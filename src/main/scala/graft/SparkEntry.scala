@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Aggregates every query module's (name → Q) entries. Each Q pairs a
+  * Spark DataFrame builder with (when SQL-expressible) a DuckDB oracle
+  * over the same parquet tables.
+  */
 object SparkEntry {
+
+  /** All query modules, in presentation order. */
+  def modules: Seq[QueryModule] = Seq(CoreQueries)
+
+  private lazy val all: Seq[(String, Q)] = modules.flatMap(_.entries)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    all.head._2.run(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (n, q) => n -> q.run }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    all.collect { case (n, Q(_, Some(sql), _)) => n -> sql.trim }.toMap
+
+  /** Headline subset for Bench. */
+  def benchQueries: Seq[String] = all.collect { case (n, q) if q.bench => n }
 }

@@ -1,0 +1,28 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One engine query: a Spark builder plus (optionally) the equivalent
+  * ANSI SQL the driver runs in DuckDB as the correctness oracle.
+  *
+  * Conventions that keep the Spark result and the DuckDB result
+  * hash-identical (see SURVEY.md §5.2):
+  *  - every computed column is aliased to the same name on both sides;
+  *  - sums/avgs over doubles go through DECIMAL so both engines do
+  *    exact arithmetic (double summation order differs between engines);
+  *  - integer-valued outputs are BIGINT on both sides (DuckDB window
+  *    functions and EXTRACT return BIGINT, Spark returns INT — we cast);
+  *  - result carries a deterministic ORDER BY on both sides;
+  *  - timestamps are emitted as DATE or formatted strings (Spark writes
+  *    parquet TIMESTAMP as UTC-adjusted, DuckDB's is naive — the types
+  *    would mismatch).
+  */
+final case class Q(
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None,
+    /** include in the Bench headline set */
+    bench: Boolean = true)
+
+trait QueryModule {
+  def entries: Seq[(String, Q)]
+}
