@@ -1,0 +1,112 @@
+package graft.silver
+
+import java.sql.Date
+
+import graft.SparkSuite
+
+/** Silver-layer transform tests on vexere-shaped in-memory fixtures
+  * (FIXTURES.md A1/A2/A5; SURVEY.md §5.2 item 2). */
+class SilverSpec extends SparkSuite {
+
+  private def busIds = {
+    import spark.implicits._
+    Seq(("Phương Trang", "B01"), ("Thành Bưởi", "B02"), ("Kumho", "B03"))
+      .toDF("Bus_Name", "Bus_Id")
+  }
+
+  test("ticket: typing, UDF ports, category, key continuation, dim join") {
+    import spark.implicits._
+    val raw = Seq(
+      ("1", "Phương Trang", "11-05-2025", "TP.HCM - Can Tho", "06:30", "11:45",
+        "BX Miền Tây", "VP Q5 TPHCM", "5h30m", "Giường nằm 40 chỗ", "150.000đ"),
+      ("2", "Thành Bưởi", "11-05-2025", "TP.HCM - Da Lat", "23:00", null,
+        "ngã tư an sươngquốc lộ 1a", "SG", "10h", "Limousine ghế ngồi 11 chỗ", "1.200.000đ"),
+      ("3", "NoSuchBus", "bad-date", "R", null, null,
+        null, null, "Không rõ", "Limousine giường phòng có WC", ""))
+      .toDF("Bus_Key", "Bus_Name", "Start_Date", "Route", "Departure_Time",
+        "Arrival_Time", "Departure_Place", "Arrival_Place", "Duration",
+        "Type_Bus", "Price")
+
+    val out = Silver.ticket(raw, busIds, maxId = 100)
+    assert(out.columns.toSeq == Seq("Bus_Key", "Bus_Id", "Bus_Name",
+      "Start_Date", "Route", "Departure_Time", "Arrival_Time",
+      "Departure_Place", "Arrival_Place", "Duration", "Type_Bus", "Price",
+      "Bus_Type_Category"))
+
+    val rows = out.orderBy("Bus_Key").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(101, 102, 103))
+    val r1 = rows(0)
+    assert(r1.getString(1) == "B01")
+    assert(r1.getDate(3) == Date.valueOf("2025-05-11"))
+    assert(r1.getString(7) == "bến xe miền tây")
+    assert(r1.getString(8) == "văn phòng quận 5 tphcm")
+    assert(r1.getFloat(9) == 5.5f)
+    assert(r1.getInt(11) == 150000)
+    assert(r1.getString(12) == "giường nằm")
+    val r2 = rows(1)
+    assert(r2.getString(8) == "sài gòn")
+    assert(r2.getFloat(9) == 10.0f)
+    assert(r2.getString(12) == "limousine ghế ngồi")
+    val r3 = rows(2)
+    assert(r3.isNullAt(1)) // unknown bus → left-join null Bus_Id
+    assert(r3.isNullAt(3)) // bad date → null
+    assert(r3.isNullAt(9)) // unparseable duration
+    assert(r3.isNullAt(11)) // empty price
+    // "limousine giường phòng có wc" hits the %giường% branch before
+    // the WC branch (reference cascade order, to_silver.py:117-128)
+    assert(r3.getString(12) == "limousine giường nằm")
+  }
+
+  test("facility: array-typed input") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "Phương Trang", Seq("Wifi", "Nước uống", "Điều hòa")),
+      (2L, "Thành Bưởi", Seq("Wifi", "Toilet")),
+      (3L, "Kumho", Seq.empty[String]),
+      (4L, "Phương Trang", Seq("")))
+      .toDF("Id", "Bus_Name", "Facilities")
+
+    val (bridge, names) = Silver.facility(raw, busIds)
+    // ids assigned alphabetically over the distinct name dim
+    val nameIds = names.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(nameIds == Map("Nước uống" -> 1, "Toilet" -> 2, "Wifi" -> 3, "Điều hòa" -> 4))
+    val bridgeRows = bridge.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(bridgeRows == Set(
+      ("B01", "Phương Trang", 1), ("B01", "Phương Trang", 3),
+      ("B01", "Phương Trang", 4), ("B02", "Thành Bưởi", 2),
+      ("B02", "Thành Bưởi", 3)))
+  }
+
+  test("facility: stringified-list schema drift") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "Phương Trang", "['Wifi', 'Toilet']"),
+      (2L, "Thành Bưởi", "[]"))
+      .toDF("Id", "Bus_Name", "Facilities")
+    val (bridge, names) = Silver.facility(raw, busIds)
+    assert(names.collect().map(r => r.getString(0) -> r.getInt(1)).toMap ==
+      Map("Toilet" -> 1, "Wifi" -> 2))
+    assert(bridge.count() == 2) // only the Phương Trang pairs survive
+  }
+
+  test("review: key continuation from existing max") {
+    import spark.implicits._
+    val reviews = Seq(
+      ("Phương Trang", "tuyệt vời", 0.91, 0.02, 0.07),
+      ("Thành Bưởi", "ổn", 0.55, 0.2, 0.25))
+      .toDF("Bus_Name", "Comment", "POS", "NEG", "NEU")
+    val out = Silver.review(reviews, busIds, maxId = 41)
+    assert(out.columns.take(3).toSeq == Seq("Review_Key", "Bus_Id", "Bus_Name"))
+    assert(out.orderBy("Review_Key").collect().map(_.getInt(0)).toSeq == Seq(42, 43))
+  }
+
+  test("maxKey: empty/missing table → 0") {
+    import spark.implicits._
+    assert(Silver.maxKey(None, "Bus_Key") == 0)
+    val existing = Seq("7", "12", "3").toDF("Bus_Key")
+    assert(Silver.maxKey(Some(existing), "Bus_Key") == 12)
+    val empty = Seq.empty[String].toDF("Bus_Key")
+    assert(Silver.maxKey(Some(empty), "Bus_Key") == 0)
+  }
+}
