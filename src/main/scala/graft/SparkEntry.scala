@@ -13,7 +13,8 @@ import graft.queries._
 object SparkEntry {
 
   /** All query modules, in presentation order. */
-  def modules: Seq[QueryModule] = Seq(CoreQueries)
+  def modules: Seq[QueryModule] = Seq(
+    CoreQueries, TextQueries, DedupQueries, SimilarityQueries, StreamQueries)
 
   private lazy val all: Seq[(String, Q)] = modules.flatMap(_.entries)
 

@@ -19,10 +19,12 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** Apply engine-required runtime confs to any externally-built session. */
+  /** Apply engine-required runtime confs and register the engine's
+    * custom expressions on any externally-built session. */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    graft.plans.GraftFunctions.registerAll(spark)
     spark
   }
 

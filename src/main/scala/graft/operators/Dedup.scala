@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions.wordShingles
+
+/** Document deduplication operators for training-data pipelines: exact,
+  * exact-Jaccard via inverted index, MinHash+LSH, and SimHash.
+  *
+  * Scale design (the 100 TB story):
+  *  - exact dedup is a hash-aggregate on a digest — one shuffle on an
+  *    evenly-distributed key;
+  *  - near-dup never goes O(n²): candidate generation is an equi-join on
+  *    shingle / LSH-band keys, so cost is Σ bucket² not n²;
+  *  - hot shingles (stopword n-grams) are the skew risk → the inverted
+  *    index drops shingles above `maxShingleFreq` (standard df-cut; at
+  *    100 TB this is the difference between a join and an explosion);
+  *  - all hashing is Spark-native xxhash64/hash (codegen'd, no UDF).
+  */
+object Dedup {
+
+  /** Exact dedup on a text digest: one row kept per distinct text
+    * (min doc_id wins), plus the duplicate count. */
+  def exact(docs: DataFrame, textCol: String = "text",
+            idCol: String = "doc_id"): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** All pairs (a < b) with exact word-`n`-gram Jaccard ≥ `threshold`,
+    * via the prefix-filtered set-similarity self-join
+    * (graft.operators.SetSimJoin) — exact, and immune to the quadratic
+    * hot-shingle blowup of a naive inverted-index join.
+    *
+    * `maxShingleFreq` optionally drops shingles with document frequency
+    * above the cut from the *universe* (sizes and intersections alike) —
+    * an approximation knob for corpora where stop-shingles carry no
+    * dedup signal; None (default) keeps the result exact.
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+                        maxShingleFreq: Option[Int] = None,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val shingled = docs
+      .select(col(idCol).as("id"), wordShingles(col(textCol), n).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val sets = maxShingleFreq match {
+      case None => shingled
+      case Some(cut) =>
+        val inv = shingled.select(col("id"), explode(col("toks")).as("tok"))
+        val keep = inv.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cut).select(col("tok"))
+        inv.join(keep, Seq("tok"))
+          .groupBy(col("id")).agg(collect_list(col("tok")).as("toks"))
+    }
+    SetSimJoin.jaccardSelfJoin(sets, threshold)
+  }
+
+  /** MinHash permutation constants (a·x+b mod p), fixed seed so
+    * signatures are stable across runs/sessions. */
+  private val MersennePrime = (1L << 61) - 1
+  private case class Perm(a: Long, b: Long)
+  private def perms(numHashes: Int): Seq[Perm] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(numHashes)(Perm(math.abs(rnd.nextLong()) % MersennePrime + 1,
+      math.abs(rnd.nextLong()) % MersennePrime))
+  }
+
+  /** xxhash64 of each distinct shingle — materialize this as its own
+    * column before `minhashSignature` so each shingle is hashed once
+    * per row, not once per permutation (lambda bodies re-evaluate their
+    * subtree per element). */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    transform(wordShingles(text, n), s => xxhash64(s))
+
+  /** MinHash signature (array<bigint>, length `numHashes`) from
+    * pre-hashed shingles, as a Column expression. Fine for small/ad-hoc
+    * use, but higher-order functions evaluate interpreted — the pairs
+    * pipeline uses `minhashSignatures` (explode + codegen'd
+    * aggregates) instead, which is orders of magnitude faster. */
+  def minhashSignature(hashes: Column, numHashes: Int = 128): Column = {
+    val ps = perms(numHashes)
+    val permArr = arrays_zip(
+      lit(ps.map(_.a).toArray).as("a"), lit(ps.map(_.b).toArray).as("b"))
+    transform(permArr, p =>
+      array_min(transform(hashes, h =>
+        pmod(p.getField("a") * h + p.getField("b"), lit(MersennePrime)))))
+  }
+
+  /** (id, sig) per document: explode shingle hashes, then ONE
+    * typed-imperative aggregate (graft.plans.MinHashAgg) holding the
+    * whole long[numHashes] buffer — `numHashes` separate MIN aggregate
+    * columns would overflow the codegen field limit and fall back to
+    * interpreted aggregation. Docs with no shingles drop out. */
+  def minhashSignatures(docs: DataFrame, numHashes: Int, n: Int,
+                        textCol: String, idCol: String): DataFrame = {
+    val hs = docs.select(col(idCol).as("id"),
+      explode(shingleHashes(col(textCol), n)).as("h"))
+    val ps = perms(numHashes)
+    val agg = graft.plans.MinHashAgg(
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("h"),
+      ps.map(_.a), ps.map(_.b), MersennePrime)
+    val sigCol = org.apache.spark.sql.graft.ColumnBridge
+      .column(agg.toAggregateExpression())
+    hs.groupBy(col("id")).agg(sigCol.as("sig"))
+  }
+
+  /** Near-duplicate pairs via MinHash LSH banding + exact-Jaccard
+    * verification.
+    *
+    * Candidates: split each signature into `bands` bands of
+    * numHashes/bands rows; docs sharing any (band index, band hash)
+    * bucket become candidates (equi-join on the bucket key — never
+    * all-pairs). Verification recomputes exact shingle Jaccard on the
+    * candidate pairs only, so output = {pairs with J ≥ threshold found
+    * by LSH}; with 128/32 bands, P(miss) < 1e-30 at J≈0.98.
+    */
+  def minhashNearDupPairs(docs: DataFrame, threshold: Double,
+                          numHashes: Int = 128, bands: Int = 32, n: Int = 3,
+                          textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val signed = minhashSignatures(docs, numHashes, n, textCol, idCol)
+    // persisted: both sides of the bucket self-join reference this
+    // subtree; without it the signature aggregation runs twice
+    val banded = signed.select(
+      col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val sh = docs.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** (id, 64-bit SimHash) per document: explode whitespace tokens, one
+    * codegen'd SUM aggregate per bit voting ±1 by the token's xxhash64
+    * bit (term frequency is the natural weight), then assemble the
+    * majority bits into one long. */
+  def simhashes(docs: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val aggs = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        .as(s"b$b")
+    }
+    toks.groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b =>
+          when(col(s"b$b") >= 0, lit(1L << b)).otherwise(0L)).reduce(_ + _).as("sh"))
+  }
+
+  /** Near-duplicate pairs by SimHash Hamming distance ≤ `maxDist`.
+    * Candidates via 8×8-bit band buckets (pigeonhole: Hamming ≤ 7 ⇒ at
+    * least one band identical), verified with bit_count(a XOR b). */
+  def simhashNearDupPairs(docs: DataFrame, maxDist: Int = 6,
+                          textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    require(maxDist <= 7, "8-band bucketing guarantees recall only to distance 7")
+    val hashed = simhashes(docs, textCol, idCol)
+    val banded = hashed.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(7)),
+        b => call_function("shiftright", col("sh"), b * 8).bitwiseAND(0xFF))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.band_val") === col("r.band_val") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        bit_count(col("l.sh").bitwiseXOR(col("r.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Exact set-similarity self-join with prefix filtering (AllPairs /
+  * PPJoin family): all pairs with Jaccard ≥ t over per-row token sets,
+  * without the quadratic hot-token blowup of a naive inverted-index
+  * join.
+  *
+  * Method:
+  *  1. rank all distinct tokens globally, rarest first (document
+  *     frequency ascending) — ranking via range-repartition + partition
+  *     offsets (graft.operators.PartitionOffsetKeyGen), so no
+  *     single-task global window even when the token dictionary is
+  *     huge;
+  *  2. represent each row's set as its sorted rank array;
+  *  3. index only each row's PREFIX — the first |x| − ⌈t·|x|⌉ + 1
+  *     ranks. Any pair with J ≥ t must share a prefix token (pigeonhole
+  *     on the ≥ ⌈t·|x|⌉ overlap a qualifying pair needs), so candidate
+  *     generation is an equi-join on prefix tokens only. Because the
+  *     order is rarest-first, prefixes hold the rare tokens and the
+  *     join buckets stay small — this is what kills the Σdf² cost of
+  *     hot tokens;
+  *  4. verify candidates with the exact intersection size.
+  */
+object SetSimJoin {
+
+  /** `sets`: (id: long, toks: array<string>). Output: (id_a, id_b,
+    * jaccard) with id_a < id_b and jaccard ≥ threshold. */
+  def jaccardSelfJoin(sets: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1)
+    val spark = sets.sparkSession
+
+    val tokens = sets.select(col("id"), explode(col("toks")).as("tok"))
+    val freq = tokens.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // rarest-first global dense rank without a global window:
+    // range-partition by (df, tok), sort within partitions, then add
+    // per-partition offsets
+    val ranked = PartitionOffsetKeyGen.assign(
+      freq.repartitionByRange(col("df"), col("tok"))
+        .sortWithinPartitions(col("df"), col("tok")),
+      "rank", offset = 0L)
+      .select(col("tok"), col("rank"))
+
+    // persisted: the self-join and the two verify joins each reference
+    // this subtree, and Spark re-executes unshared lineage per reference
+    // (the sides aren't canonically equal, so ReusedExchange can't help)
+    val rankSets = tokens
+      .join(ranked, Seq("tok"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("rank"))).as("ranks"))
+      .withColumn("sz", size(col("ranks")))
+      // prefix length |x| − ⌈t·|x|⌉ + 1
+      .withColumn("plen",
+        (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast(IntegerType))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val prefixes = rankSets
+      .select(col("id"), col("sz"),
+        explode(slice(col("ranks"), lit(1), col("plen"))).as("r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // length filter: J ≥ t needs t·|x| ≤ |y| ≤ |x|/t — prunes the bulk
+    // of prefix-bucket candidates before the distinct/verify stages
+    val candidates = prefixes.as("l")
+      .join(prefixes.as("r"),
+        col("l.r") === col("r.r") && col("l.id") < col("r.id") &&
+          col("l.sz") * threshold <= col("r.sz") &&
+          col("r.sz") * threshold <= col("l.sz"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+
+    graft.plans.VectorExpressions.register(spark)
+    val sides = rankSets.select(col("id"), col("ranks"), col("sz"))
+    candidates
+      .join(sides.select(col("id").as("id_a"), col("ranks").as("ranks_a"),
+        col("sz").as("sz_a")), Seq("id_a"))
+      .join(sides.select(col("id").as("id_b"), col("ranks").as("ranks_b"),
+        col("sz").as("sz_b")), Seq("id_b"))
+      // ranks arrays are sorted → codegen'd linear-merge intersection
+      .withColumn("common", graft.plans.VectorExpressions
+        .sortedIntersectCount(col("ranks_a"), col("ranks_b")))
+      .withColumn("jaccard",
+        col("common").cast(DoubleType) / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

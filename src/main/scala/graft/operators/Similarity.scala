@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array<float>).
+  *
+  * Dot products / norms are computed in DOUBLE via `zip_with` +
+  * `aggregate` — codegen'd builtin higher-order functions, no UDF.
+  *
+  * Scale paths:
+  *  - `bruteForceTopK`: queries × corpus via broadcast of the (small)
+  *    query set — exact, embarrassingly parallel over corpus partitions;
+  *    the per-query top-k is a partitioned window, never a global sort.
+  *    Right answer up to ~10⁵ queries × any corpus size.
+  *  - `lshTopK`: random-hyperplane signatures bucket the corpus
+  *    (`nearDupPairsLSH` / sign-LSH); only same-bucket (or
+  *    neighboring-band) candidates are scored — the 100 TB path where
+  *    scoring every vector is off the table.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Codegen'd cosine from pre-normed sides: dot via the native
+    * DotProduct expression (graft.plans), norms computed once per
+    * vector, not once per pair. */
+  private def fastCos(av: Column, an: Column, bv: Column, bn: Column): Column =
+    graft.plans.VectorExpressions.dotProduct(av, bv) / (an * bn)
+
+  private def withNorm(df: DataFrame, vec: String, norm: String): DataFrame = {
+    graft.plans.VectorExpressions.register(df.sparkSession)
+    df.withColumn(norm,
+      sqrt(graft.plans.VectorExpressions.dotProduct(col(vec), col(vec))))
+  }
+
+  /** Exact top-`k` cosine neighbors for each query vector.
+    * Output: (query_id, neighbor_id, rank, cos). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = withNorm(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "qv", "qn")
+    val c = withNorm(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "cv", "cn")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", fastCos(col("qv"), col("qn"), col("cv"), col("cn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** Fixed random hyperplanes (seeded → stable across runs). */
+  private def hyperplanes(bits: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(bits, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-LSH signature: one bit per hyperplane (sign of the dot
+    * product), emitted as `bands` integer bucket keys of bits/bands
+    * bits each. */
+  def signLshBands(vec: Column, bits: Int, bands: Int, dim: Int): Column = {
+    require(bits % bands == 0)
+    val perBand = bits / bands
+    val planes = hyperplanes(bits, dim)
+    val bandKeys = (0 until bands).map { b =>
+      (0 until perBand).map { i =>
+        val plane = lit(planes(b * perBand + i).map(v => v: java.lang.Double))
+        when(graft.plans.VectorExpressions.dotProduct(vec, plane) >= 0, 1L << i)
+          .otherwise(0L)
+      }.reduce(_ + _)
+    }
+    array(bandKeys.map(_.cast(LongType)): _*)
+  }
+
+  /** Approximate top-`k`: score only candidates that share at least one
+    * sign-LSH band bucket with the query. Same output schema as
+    * `bruteForceTopK`; recall < 1 by construction (tested, not assumed).
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+              bits: Int = 32, bands: Int = 8,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    graft.plans.VectorExpressions.register(queries.sparkSession)
+    def banded(df: DataFrame, id: String, vec: String, norm: String) =
+      withNorm(df.select(col(idCol).as(id), col(vecCol).as(vec)), vec, norm)
+        .select(col(id), col(vec), col(norm),
+          posexplode(signLshBands(col(vec), bits, bands, dim)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val qb = banded(queries, "query_id", "qv", "qn")
+    val cb = banded(corpus, "neighbor_id", "cv", "cn")
+    val candidates = cb
+      .join(broadcast(qb), Seq("band", "band_key"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("qv"), col("qn"), col("cv"), col("cn"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    candidates
+      .withColumn("cos", fastCos(col("qv"), col("qn"), col("cv"), col("cn")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** All pairs (a < b) with cosine ≥ `threshold` — embedding-space
+    * near-duplicate detection. Exact variant (self cross join pruned by
+    * AQE-sized shuffle): for corpora where n² is affordable; at scale,
+    * swap the candidate source for sign-LSH buckets as in `lshTopK`. */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val a = withNorm(corpus.select(col(idCol).as("id_a"), col(vecCol).as("va")), "va", "na")
+    val b = withNorm(corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb")), "vb", "nb")
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", fastCos(col("va"), col("na"), col("vb"), col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

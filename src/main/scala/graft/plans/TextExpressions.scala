@@ -1,0 +1,53 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word n-grams ("shingles") of a whitespace-tokenized string —
+  * the unit set for Jaccard/MinHash dedup.
+  *
+  * Semantics (must stay aligned with the DuckDB oracle in
+  * DedupQueries): trim → split on `\s+` → consecutive n-word windows
+  * joined by a single space → distinct; fewer than n tokens → empty
+  * array.
+  *
+  * This replaces an `array_distinct(transform(sequence(...), ...))`
+  * composition: higher-order functions evaluate interpreted, re-running
+  * a small expression tree per element (~20 s for 5 000 docs at sf0.1);
+  * this flat Scala loop does the same work in milliseconds.
+  * CodegenFallback is fine here — the surrounding projection still
+  * codegens and calls eval() once per row. */
+case class WordNgrams(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override protected def nullSafeEval(text: Any, nAny: Any): Any = {
+    val n = nAny.asInstanceOf[Int]
+    val toks = text.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    if (toks.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val seen = mutable.LinkedHashSet.empty[String]
+      var i = 0
+      while (i <= toks.length - n) {
+        val sb = new StringBuilder(toks(i))
+        var k = 1
+        while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+        seen += sb.result()
+        i += 1
+      }
+      new GenericArrayData(seen.iterator.map(s =>
+        UTF8String.fromString(s): Any).toArray)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordNgrams =
+    copy(left = newLeft, right = newRight)
+}

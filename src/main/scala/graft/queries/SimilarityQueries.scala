@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Similarity
+
+/** Similarity-search inventory over `embeddings` (array<float>, 64-d). */
+object SimilarityQueries extends QueryModule {
+
+  override def entries: Seq[(String, Q)] = Seq(
+
+    // Exact top-5 cosine neighbors for the first 32 vectors as queries;
+    // broadcast queries × corpus, per-query partitioned window top-k.
+    "q40_cosine_topk" -> Q(
+      run = (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 32), emb, k = 5)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("query_id", "rank")
+      },
+      oracle = Some("""
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                          c.vec_id) AS rank,
+               ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 32
+        QUALIFY rank <= 5
+        ORDER BY query_id, rank""")),
+
+    // Embedding-space near-duplicate pairs (cos ≥ 0.4 — sized to this
+    // corpus' similarity distribution so the result is non-trivial).
+    "q41_cosine_neardup" -> Q(
+      run = (s, dir) =>
+        Similarity.cosineNearDupPairs(Tables(s, dir, "embeddings"), 0.4)
+          .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+          .orderBy("id_a", "id_b"),
+      oracle = Some("""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        ORDER BY id_a, id_b""")),
+
+    // Sign-LSH bucketed approximate top-k — the 100 TB scale path.
+    // Approximate by design → rows-only check; recall is measured in
+    // SimilaritySpec against the exact result.
+    "q42_lsh_topk" -> Q(
+      run = (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.lshTopK(emb.filter(col("vec_id") < 32), emb, k = 5, dim = 64)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("query_id", "rank")
+      })
+  )
+}

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.MultiModal
+import graft.streaming.{BatchSessionize, StreamingJobs}
+
+/** Streaming + semi-structured + multimodal inventory over `events` and
+  * `documents`. */
+object StreamQueries extends QueryModule {
+
+  override def entries: Seq[(String, Q)] = Seq(
+
+    // Structured Streaming (AvailableNow) windowed aggregation — the
+    // result must equal the equivalent batch SQL, which is exactly what
+    // the DuckDB oracle asserts.
+    "q50_stream_hourly" -> Q(
+      run = (s, dir) =>
+        StreamingJobs.runHourlyAvailableNow(s, dir, "graft_stream_hourly")
+          .orderBy("hour_start", "event_type"),
+      oracle = Some("""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
+               event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""),
+      bench = false),
+
+    // Gap-based sessionization, batch gaps-and-islands formulation
+    // (lag → flag → cumulative sum → group) — the SQL-expressible twin
+    // of the flatMapGroupsWithState operator (equivalence tested in
+    // StreamingSpec).
+    "q51_sessionize" -> Q(
+      run = (s, dir) =>
+        BatchSessionize.sessions(Tables(s, dir, "events"), gapMinutes = 30)
+          .orderBy("user_id", "session_start"),
+      oracle = Some("""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                        - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 30 * 60000000
+                      OR lag(ts) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        numbered AS (
+          SELECT user_id, ts,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM flagged)
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+               COUNT(*) AS n_events
+        FROM numbered
+        GROUP BY user_id, session_seq
+        ORDER BY user_id, session_start""")),
+
+    // Multimodal plumbing: text payloads as opaque binary blobs with
+    // typed metadata — byte length, digest, deterministic "thumbnail"
+    // prefix (the decode step itself is stubbed; see
+    // graft.operators.MultiModal).
+    "q60_multimodal_bytes" -> Q(
+      run = (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"),
+            col("text").cast("binary").as("payload"))
+          .select(col("doc_id"), col("source"), col("text"),
+            length(col("payload")).cast("long").as("n_bytes"),
+            md5(col("payload")).as("digest"),
+            substring(col("text"), 1, 16).as("head"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_media"),
+            sum(col("n_bytes")).as("total_bytes"),
+            countDistinct(col("digest")).as("n_distinct"),
+            min(col("head")).as("min_head"))
+          .orderBy("source"),
+      oracle = Some("""
+        SELECT source, COUNT(*) AS n_media,
+               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+               COUNT(DISTINCT md5(text)) AS n_distinct,
+               MIN(substring(text, 1, 16)) AS min_head
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    // Frame-sampling plan over binary payloads (pure column math).
+    "q61_frame_offsets" -> Q(
+      run = (s, dir) =>
+        MultiModal.sampleFrameOffsets(
+          Tables(s, dir, "documents")
+            .select(col("doc_id").as("media_id"),
+              col("text").cast("binary").as("payload"))
+            .filter(col("media_id") < 50),
+          frames = 4)
+          .select(col("media_id"), col("frame_index").cast("long").as("frame_index"),
+            col("byte_offset"))
+          .orderBy("media_id", "frame_index"),
+      oracle = Some("""
+        SELECT doc_id AS media_id, f AS frame_index,
+               CAST(FLOOR(f * octet_length(encode(text)) / 4) AS BIGINT) AS byte_offset
+        FROM documents, (SELECT UNNEST(range(0, 4)) AS f)
+        WHERE doc_id < 50
+        ORDER BY media_id, frame_index"""))
+  )
+}

@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+import graft.plans.RollingHash
+
+/** Text-analysis operator inventory over the `documents` table:
+  * token counting, quality signals, language ID, fingerprinting. */
+object TextQueries extends QueryModule {
+
+  override def entries: Seq[(String, Q)] = Seq(
+
+    // Whitespace + BPE-ish subword token counts, rolled up per lang.
+    "q21_token_stats" -> Q(
+      run = (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(col("lang"), tokenCount(col("text")).as("n_tok"),
+            subwordTokenCount(col("text")).as("n_sub"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("total_tokens"),
+            sum(col("n_sub")).as("total_subwords"),
+            max(col("n_tok")).as("max_tokens"))
+          .orderBy("lang"),
+      oracle = Some("""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+               CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_subwords,
+               CAST(MAX(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS max_tokens
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // Per-document quality signals: ratios of exact integer counts →
+    // bit-identical doubles in both engines.
+    "q22_text_quality" -> Q(
+      run = (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            tokenCount(col("text")).as("n_tok"),
+            round(meanWordLen(col("text")), 4).as("mean_word_len"),
+            round(punctRatio(col("text")), 4).as("punct_ratio"),
+            round(stopwordRatio(col("text"),
+              Seq("the", "a", "and", "of", "to", "in", "is")), 4).as("stop_ratio"))
+          .orderBy("doc_id"),
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+               ROUND(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                     / len(string_split_regex(trim(text), '\s+')), 4) AS mean_word_len,
+               ROUND(CAST(length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE)
+                     / length(text), 4) AS punct_ratio,
+               ROUND(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                       t -> list_contains(['the','a','and','of','to','in','is'], t))) AS DOUBLE)
+                     / len(string_split_regex(lower(trim(text)), '\s+')), 4) AS stop_ratio
+        FROM documents ORDER BY doc_id""")),
+
+    // Dictionary-overlap language ID, scale formulation: explode tokens
+    // once, one codegen'd conditional-sum per language profile, argmax
+    // via array_max over (score, lang) structs. (The Column-level
+    // TextFunctions.langId is the same scoring, per-row; this version
+    // avoids interpreted higher-order lambdas in the hot path.)
+    // Rows-only check + TextFunctionsSpec.
+    "q23_lang_id" -> Q(
+      run = (s, dir) => {
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+        val scoreAggs = LangProfiles.map { case (lang, words) =>
+          sum(when(col("t").isInCollection(words), 1L).otherwise(0L)).as(s"s_$lang")
+        }
+        val scored = toks.groupBy(col("doc_id")).agg(scoreAggs.head, scoreAggs.tail: _*)
+        val best = array_max(array(LangProfiles.map { case (lang, _) =>
+          struct(col(s"s_$lang").as("score"), lit(lang).as("lang"))
+        }: _*))
+        scored
+          .select(when(best.getField("score") > 0, best.getField("lang"))
+            .otherwise("und").as("lang_pred"))
+          .groupBy(col("lang_pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang_pred")
+      }),
+
+    // Content fingerprints: md5 (oracle-checkable) per source.
+    "q24_fingerprint_md5" -> Q(
+      run = (s, dir) =>
+        Tables(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(
+            countDistinct(md5(col("text"))).as("n_distinct"),
+            min(md5(col("text"))).as("min_fp"),
+            max(md5(col("text"))).as("max_fp"))
+          .orderBy("source"),
+      oracle = Some("""
+        SELECT source, COUNT(DISTINCT md5(text)) AS n_distinct,
+               MIN(md5(text)) AS min_fp, MAX(md5(text)) AS max_fp
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    // Rabin–Karp fingerprint via the custom codegen Expression
+    // (graft.plans.RollingHash) — no DuckDB equivalent → rows-only +
+    // RollingHashSpec.
+    "q25_rolling_hash" -> Q(
+      run = (s, dir) => {
+        RollingHash.register(s)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), RollingHash.rollingHash(col("text")).as("fp"))
+          .groupBy()
+          .agg(count(lit(1)).as("n"), countDistinct(col("fp")).as("n_distinct"),
+            sum(col("fp")).as("fp_sum"))
+      })
+  )
+}

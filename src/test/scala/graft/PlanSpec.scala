@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan guards: the properties that make these queries hold up
+  * at 100 TB must be visible in the plan, not assumed (builder prompt:
+  * "explain the plan and iterate until it's the plan you'd want").
+  */
+class PlanSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q02: filter and projection push into the parquet scan") {
+    val plan = planOf("q02_filter_project")
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThan(o_totalprice,150000.0)"), plan)
+    // pruned read schema — only the 3 referenced columns
+    assert(!plan.contains("o_orderdate"), "scan should prune unused columns")
+  }
+
+  test("q03: dim joins broadcast, no shuffle on the dim side") {
+    val plan = planOf("q03_join_dims")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("q05: rank window is partitioned (parallel), not global") {
+    val plan = planOf("q05_rank_window")
+    assert(plan.contains("Window"))
+    assert(plan.contains("hashpartitioning(c_nationkey"), plan)
+  }
+
+  test("q01: aggregation is two-phase (partial before shuffle)") {
+    val plan = planOf("q01_group_agg")
+    assert(plan.contains("HashAggregate"))
+    assert(plan.contains("partial_"), "expected map-side partial aggregation")
+  }
+
+  test("q31: near-dup join is an equi-join on the shingle key, not a cross join") {
+    val plan = planOf("q31_ngram_jaccard")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q40: top-k window is partitioned per query vector") {
+    val plan = planOf("q40_cosine_topk")
+    assert(plan.contains("hashpartitioning(query_id"), plan)
+  }
+
+  test("whole-stage codegen spans the scalar-function pipeline") {
+    val df = SparkEntry.queries("q11_string_funcs")(spark, sf)
+    df.collect() // AQE finalizes codegen stages only on execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan) // codegen-stage marker
+  }
+}

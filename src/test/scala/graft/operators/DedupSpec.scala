@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class DedupSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("exact dedup keeps min id per distinct text") {
+    import spark.implicits._
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 3L), (2L, 1L)))
+  }
+
+  test("minhash LSH finds exactly the exact-jaccard pair set (recall check)") {
+    val exact = Dedup.ngramJaccardPairs(docs, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDupPairs(docs, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs at distance 0; near-dups are close") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark table scan merge join filter"),
+      (2L, "spark table scan merge join filter"),
+      (3L, "completely different words entirely here now"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(df, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0)))
+  }
+
+  test("simhash near-dup pairs cover the planted high-jaccard pairs") {
+    val planted = Dedup.ngramJaccardPairs(docs, 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashNearDupPairs(docs, maxDist = 6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.nonEmpty)
+    assert(planted.subsetOf(sim),
+      s"missing: ${planted.diff(sim)}")
+  }
+
+  test("df-cut drops hot shingles but keeps true near-dup pairs") {
+    val withCut = Dedup.ngramJaccardPairs(docs, 0.8, maxShingleFreq = Some(50))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val noCut = Dedup.ngramJaccardPairs(docs, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // near-dup docs share mostly rare shingles; a mild df-cut must not
+    // change the verified pair set on this corpus
+    assert(withCut == noCut)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.core.Tables
+import graft.streaming.StreamingJobs.Event
+
+class StreamingSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("AvailableNow hourly agg equals the batch aggregation") {
+    val streamed = StreamingJobs
+      .runHourlyAvailableNow(spark, sf, "graft_test_hourly")
+      .collect().map(_.toSeq).toSet
+    val batch = Tables(spark, sf, "events")
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm")
+        .as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("val_sum"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("flatMapGroups sessionization equals the window-function formulation") {
+    import spark.implicits._
+    val events = Tables(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val stateful = StreamingJobs.sessionizeBatchComplete(events, gapMinutes = 30)
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"))
+      .collect().map(_.toSeq).toSet
+    val windowed = BatchSessionize.sessions(Tables(spark, sf, "events"), 30)
+      .collect().map(_.toSeq).toSet
+    assert(stateful == windowed)
+    assert(stateful.nonEmpty)
+  }
+
+  test("flatMapGroupsWithState emits closed sessions in a streaming query") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val t0 = 1700000000000L
+    mem.addData(
+      Event(1, new Timestamp(t0), 1L, "click", 1.0),
+      Event(2, new Timestamp(t0 + 60000), 1L, "click", 1.0),
+      // 2h gap closes the first session
+      Event(3, new Timestamp(t0 + 7200000), 1L, "click", 1.0))
+    val q = StreamingJobs.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("graft_test_sessions")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val closed = spark.table("graft_test_sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    // one closed session (2 events); the open one stays in state
+    assert(closed == Seq((1L, 2L)))
+  }
+}
