@@ -14,7 +14,8 @@ object SparkEntry {
 
   /** All query modules, in presentation order. */
   def modules: Seq[QueryModule] = Seq(
-    CoreQueries, TextQueries, DedupQueries, SimilarityQueries, StreamQueries)
+    CoreQueries, LakeQueries, TextQueries, DedupQueries,
+    SimilarityQueries, StreamQueries)
 
   private lazy val all: Seq[(String, Q)] = modules.flatMap(_.entries)
 

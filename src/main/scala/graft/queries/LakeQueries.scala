@@ -1,0 +1,118 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.sources.Lake
+
+/** Source/sink round-trips (SURVEY.md §2.1 S1-S3 through the Lake
+  * layer) plus beyond-reference relational surface: ROLLUP grouping
+  * sets, PIVOT, approx-distinct. */
+object LakeQueries extends QueryModule {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  override def entries: Seq[(String, Q)] = Seq(
+
+    // S1/S5 CSV round-trip: parquet → engine CSV sink → engine CSV scan
+    // with explicit schema → aggregate. Oracle reads the original
+    // parquet — equality proves the writer/reader pair is lossless.
+    "q26_csv_roundtrip" -> Q(
+      run = (s, dir) => {
+        val tmp = Files.createTempDirectory("graft_csv_rt").toString
+        Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+          .write.mode("overwrite").option("header", true).csv(tmp)
+        val schema = StructType(Seq(
+          StructField("l_orderkey", LongType),
+          StructField("l_quantity", DoubleType),
+          StructField("l_returnflag", StringType)))
+        Lake.readCsv(s, tmp, schema)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"),
+            max(col("l_orderkey")).as("max_key"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+               MAX(l_orderkey) AS max_key
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // S2 JSON round-trip: parquet → line-delimited JSON sink → JSON
+    // scan with explicit schema → aggregate.
+    "q27_json_roundtrip" -> Q(
+      run = (s, dir) => {
+        val tmp = Files.createTempDirectory("graft_json_rt").toString
+        Tables(s, dir, "part")
+          .select(col("p_partkey"), col("p_type"), col("p_retailprice"))
+          .write.mode("overwrite").json(tmp)
+        val schema = StructType(Seq(
+          StructField("p_partkey", LongType),
+          StructField("p_type", StringType),
+          StructField("p_retailprice", DoubleType)))
+        Lake.readJsonLines(s, tmp, Some(schema))
+          .groupBy(col("p_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("p_retailprice")).as("price_sum"))
+          .orderBy("p_type")
+      },
+      oracle = Some("""
+        SELECT p_type, COUNT(*) AS n,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+        FROM part GROUP BY 1 ORDER BY 1""")),
+
+    // ROLLUP grouping sets (beyond-reference relational surface).
+    "q28_rollup" -> Q(
+      run = (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+            col("n"), col("qty"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      oracle = Some("""
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // PIVOT: per-user event-type counts as columns.
+    "q29_pivot" -> Q(
+      run = (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = Tables(s, dir, "events")
+          .groupBy(col("user_id"))
+          .pivot("event_type", types)
+          .count()
+        p.select(col("user_id") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        SELECT user_id,
+               COUNT(*) FILTER (event_type = 'click') AS click,
+               COUNT(*) FILTER (event_type = 'error') AS error,
+               COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+               COUNT(*) FILTER (event_type = 'signup') AS signup,
+               COUNT(*) FILTER (event_type = 'view') AS view
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // approx_count_distinct — the A5 swap for 100 TB scale
+    // (SURVEY.md §4.2). HLL sketches aren't bit-reproducible across
+    // engines → rows-only check; ApproxDistinctSpec bounds the error.
+    "q34_approx_distinct" -> Q(
+      run = (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+          .orderBy("l_returnflag"))
+  )
+}

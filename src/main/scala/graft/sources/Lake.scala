@@ -1,0 +1,128 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Parquet-backed lake layer — the engine's realization of the
+  * reference's Delta bronze/silver/gold tables (SURVEY.md §2.1; Delta
+  * jars aren't available in this environment, and nothing in the
+  * reference's semantics needs the Delta log: what it needs is
+  * overwrite/append tables, a table-existence probe, and idempotent
+  * re-runs, provided here with parquet + partitioned dynamic
+  * overwrite).
+  *
+  * Scale notes baked into the API:
+  *  - `writePartitionedOverwrite` uses dynamic partition overwrite —
+  *    re-running a daily batch replaces exactly that day's partitions
+  *    (idempotent ingestion, the fix for the reference's blind-append
+  *    protocol, SURVEY.md §7.4);
+  *  - `appendDedup` is the keyed upsert-equivalent: left-anti join on
+  *    the key against the existing table before appending, so replays
+  *    don't duplicate (the `DeltaTable.merge` role);
+  *  - readers take explicit schemas — schema inference at 100 TB means
+  *    an extra full pass over the data.
+  */
+object Lake {
+
+  // ---- sources ------------------------------------------------------
+
+  /** S1: CSV scan with header; explicit schema (all-string for the raw
+    * ticket contract) instead of inference. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", true).schema(schema).csv(path)
+
+  /** S1 variant matching the reference exactly: header + all columns
+    * read as string (to_brz.py:15 inference on header-only CSV). */
+  def readCsvAllString(spark: SparkSession, path: String,
+                       columns: Seq[String]): DataFrame =
+    readCsv(spark, path,
+      StructType(columns.map(StructField(_, StringType, nullable = true))))
+
+  /** S2: line-delimited JSON scan. */
+  def readJsonLines(spark: SparkSession, path: String,
+                    schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+
+  /** S3: multiline (whole-document array) JSON scan. */
+  def readJsonMultiline(spark: SparkSession, path: String,
+                        schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("multiLine", true)
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+
+  // ---- table read / probes -----------------------------------------
+
+  /** S4: table scan. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S10: table-existence probe (the reference reached into py4j
+    * internals for `catalog().tableExists`; here: does the directory
+    * hold a parquet footprint). */
+  def isTable(spark: SparkSession, path: String): Boolean = {
+    val dir = new java.io.File(path)
+    dir.isDirectory && dir.listFiles().exists(f =>
+      f.getName.endsWith(".parquet") || f.getName == "_SUCCESS")
+  }
+
+  /** S4+S10: read the table if it exists (the reference's try/except
+    * around first-run reads, to_silver.py:104-108). */
+  def readIfExists(spark: SparkSession, path: String): Option[DataFrame] =
+    if (isTable(spark, path)) Some(read(spark, path)) else None
+
+  /** S12: cheap emptiness guard (no full count). */
+  def isEmpty(df: DataFrame): Boolean = df.isEmpty
+
+  /** S11: register tables as temp views for SQL (to_gold.py:21-26). */
+  def registerViews(views: (String, DataFrame)*): Unit =
+    views.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+
+  /** S9: small-column collect to driver (crawl_faci.py:208) — for dims
+    * only; never for fact-scale data. */
+  def collectStringSet(df: DataFrame, column: String): Set[String] =
+    df.select(col(column)).distinct().collect()
+      .flatMap(r => Option(r.getString(0))).toSet
+
+  // ---- sinks --------------------------------------------------------
+
+  /** S5: full overwrite. */
+  def writeOverwrite(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** S6: append. */
+  def writeAppend(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
+  /** Idempotent daily ingestion: partition by `partitionCol` and
+    * overwrite only the partitions present in `df` (dynamic partition
+    * overwrite). Re-running a day's batch replaces that day, never
+    * duplicates it. */
+  def writePartitionedOverwrite(df: DataFrame, path: String,
+                                partitionCol: String): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(path)
+
+  /** Keyed dedup-append (the MERGE-insert-if-absent role): append only
+    * rows whose `keyCols` don't already exist in the target. */
+  def appendDedup(spark: SparkSession, df: DataFrame, path: String,
+                  keyCols: Seq[String]): Unit = {
+    val toWrite = readIfExists(spark, path) match {
+      case None => df
+      case Some(existing) =>
+        df.join(existing.select(keyCols.map(col): _*).distinct(),
+          keyCols, "left_anti")
+    }
+    writeAppend(toWrite, path)
+  }
+
+  /** S7: merge-and-rewrite as a single JSON part file
+    * (crawl_faci.py:334-338) — for small exchange files only. */
+  def writeSingleJson(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite).json(path)
+}

@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.audit.AuditLogger
+import graft.audit.AuditLogger.AuditRecord
+import graft.gold.GoldQueries
+import graft.silver.Silver
+import graft.sources.Lake
+
+/** Temp-dir lake round-trip of the full reference pipeline across two
+  * simulated daily runs: raw CSV/JSON → bronze → silver (append +
+  * max-key continuation) → gold → audit (SURVEY.md §5.2 item 4).
+  */
+class PipelineIntegrationSpec extends SparkSuite {
+
+  private lazy val root = Files.createTempDirectory("graft-lake-").toString
+
+  private val ticketCols = Seq("Bus_Key", "Bus_Name", "Start_Date", "Route",
+    "Departure_Time", "Arrival_Time", "Departure_Place", "Arrival_Place",
+    "Duration", "Type_Bus", "Price")
+
+  private def writeRawCsv(day: String, rows: Seq[Seq[String]]): String = {
+    val dir = s"$root/raw/ticket/$day"
+    new java.io.File(dir).mkdirs()
+    val f = new java.io.File(s"$dir/bus_data_$day.csv")
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    w.println(ticketCols.mkString(","))
+    rows.foreach(r => w.println(r.mkString(",")))
+    w.close()
+    dir
+  }
+
+  test("two daily runs: bronze → silver append with key continuation → gold → audit") {
+    import spark.implicits._
+    val busIds = Seq(("Phương Trang", "B01"), ("Thành Bưởi", "B02"))
+      .toDF("Bus_Name", "Bus_Id")
+    Lake.writeOverwrite(busIds, s"$root/silver/bus_ids")
+
+    def runDay(day: String, rows: Seq[Seq[String]]): Unit = {
+      val raw = writeRawCsv(day, rows)
+      // bronze: raw CSV → all-string table at the day path (S1→S5)
+      val bronze = Lake.readCsvAllString(spark, raw, ticketCols)
+      Lake.writeOverwrite(bronze, s"$root/bronze/ticket/$day")
+      // silver: transform + append with max-key continuation (S6)
+      val maxId = Silver.maxKey(
+        Lake.readIfExists(spark, s"$root/silver/ticket"), "Bus_Key")
+      val silver = Silver.ticket(
+        Lake.read(spark, s"$root/bronze/ticket/$day"),
+        Lake.read(spark, s"$root/silver/bus_ids"), maxId)
+      Lake.writeAppend(silver, s"$root/silver/ticket")
+      // audit
+      AuditLogger.log(spark, s"$root/audit/audit", Seq(AuditRecord(
+        day, "kltn", "tickets_convert", "success", day, day, 1.0, 1, "local")))
+    }
+
+    runDay("01-06-2025", Seq(
+      Seq("1", "Phương Trang", "01-06-2025", "HCM - Can Tho", "06:30", "10:00",
+        "BX Mien Tay", "VP Q5", "3h30m", "Giường nằm 40 chỗ", "150.000đ"),
+      Seq("2", "Thành Bưởi", "01-06-2025", "HCM - Da Lat", "22:00", "05:00",
+        "SG", "TP Da Lat", "7h", "Limousine giường nằm", "300.000đ")))
+    runDay("02-06-2025", Seq(
+      Seq("1", "Phương Trang", "02-06-2025", "HCM - Can Tho", "07:00", "10:30",
+        "BX Mien Tay", "VP Q5", "3h30m", "Giường nằm 40 chỗ", "140.000đ")))
+
+    val silver = Lake.read(spark, s"$root/silver/ticket")
+    assert(silver.count() == 3)
+    // keys continue across runs: run1 → {1,2}, run2 → {3}
+    assert(silver.select("Bus_Key").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+
+    // gold over the accumulated silver
+    val q4 = GoldQueries.q4(silver).collect()
+    assert(q4.length == 2) // two distinct days
+    assert(q4.map(_.getDouble(1)).toSeq == Seq(225000.0, 140000.0))
+
+    val audit = Lake.read(spark, s"$root/audit/audit")
+    assert(audit.count() == 2)
+    assert(audit.schema == AuditLogger.schema)
+  }
+
+  test("idempotent re-run: dynamic partition overwrite replaces, never duplicates") {
+    import spark.implicits._
+    val day1 = Seq(("2025-06-01", 1L, "a"), ("2025-06-01", 2L, "b"))
+      .toDF("day", "id", "v")
+    val day2 = Seq(("2025-06-02", 3L, "c")).toDF("day", "id", "v")
+    val path = s"$root/idem"
+    Lake.writePartitionedOverwrite(day1, path, "day")
+    Lake.writePartitionedOverwrite(day2, path, "day")
+    // replay day1 (e.g. task retry) with corrected data
+    val day1b = Seq(("2025-06-01", 1L, "a2"), ("2025-06-01", 2L, "b2"))
+      .toDF("day", "id", "v")
+    Lake.writePartitionedOverwrite(day1b, path, "day")
+    val out = Lake.read(spark, path)
+    assert(out.count() == 3) // no duplicates from the replay
+    assert(out.filter(col("day") === "2025-06-01")
+      .select("v").collect().map(_.getString(0)).sorted.toSeq == Seq("a2", "b2"))
+  }
+
+  test("appendDedup: keyed replay appends only unseen keys") {
+    import spark.implicits._
+    val path = s"$root/dedup_append"
+    Lake.appendDedup(spark, Seq((1L, "x"), (2L, "y")).toDF("k", "v"), path, Seq("k"))
+    Lake.appendDedup(spark, Seq((2L, "y"), (3L, "z")).toDF("k", "v"), path, Seq("k"))
+    val out = Lake.read(spark, path)
+    assert(out.select("k").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("facility pipeline: JSON bronze with schema drift → silver dims") {
+    import spark.implicits._
+    val busIds = Lake.read(spark, s"$root/silver/bus_ids")
+    // line-delimited JSON with stringified list (the drift variant)
+    val dir = s"$root/raw/facility"
+    new java.io.File(dir).mkdirs()
+    val w = new java.io.PrintWriter(s"$dir/bus_facilities.json", "UTF-8")
+    w.println("""{"Id": 1, "Bus_Name": "Phương Trang", "Facilities": "['Wifi', 'Toilet']"}""")
+    w.println("""{"Id": 2, "Bus_Name": "Thành Bưởi", "Facilities": "[]"}""")
+    w.close()
+    val bronze = Lake.readJsonLines(spark, s"$dir/bus_facilities.json")
+    Lake.writeOverwrite(bronze, s"$root/bronze/facility")
+    val (bridge, names) = Silver.facility(
+      Lake.read(spark, s"$root/bronze/facility"), busIds)
+    Lake.writeAppend(bridge, s"$root/silver/facility")
+    Lake.writeAppend(names, s"$root/silver/facility_name")
+    assert(Lake.read(spark, s"$root/silver/facility").count() == 2)
+    assert(Lake.collectStringSet(
+      Lake.read(spark, s"$root/silver/facility_name"), "Facility_Name") ==
+      Set("Wifi", "Toilet"))
+  }
+
+  test("single-file JSON exchange sink round-trips") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val path = s"$root/single_json"
+    Lake.writeSingleJson(df, path)
+    val parts = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(parts.length == 1)
+    val back = Lake.readJsonLines(spark, path)
+    assert(back.count() == 2)
+  }
+}
