@@ -18,6 +18,10 @@ object Bench {
       .getOrCreate()
     graft.core.GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("ERROR")
+    // warm the JVM + parquet footers once so per-query numbers measure
+    // the operators, not first-touch codegen/classloading
+    graft.core.Tables.names.foreach(n =>
+      graft.core.Tables(spark, sfDir, n).count())
     val qs = SparkEntry.queries
     val results = SparkEntry.benchQueries.map { name =>
       val t0 = System.nanoTime()

@@ -125,4 +125,31 @@ object Lake {
     * (crawl_faci.py:334-338) — for small exchange files only. */
   def writeSingleJson(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite).json(path)
+
+  /** Bucketed catalog table: co-locates future joins/aggregations on
+    * `bucketCol` — two tables bucketed the same way join with ZERO
+    * shuffle (the pre-partitioning story for repeated fact-fact joins
+    * at 100 TB; see BucketedJoinSpec for the no-Exchange plan proof). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // an orphaned location (e.g. metadata lost with a previous session's
+    // in-memory catalog) blocks CREATE TABLE — clear it
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+        .getPath + s"/$table")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+  }
 }

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.core.Tables
+import graft.sources.Lake
+
+/** Scale-path operators: salted skew joins and bucketed co-located
+  * joins must produce identical results to their naive forms, and the
+  * bucketed join must show a shuffle-free plan. */
+class ScaleOpsSpec extends SparkSuite {
+
+  test("saltedInnerJoin equals plain join on a skewed key") {
+    import spark.implicits._
+    // 10k rows of one hot key + a tail
+    val big = ((1 to 10000).map(i => ("hot", i)) ++ (1 to 100).map(i => (s"k$i", i)))
+      .toDF("k", "v").repartition(8)
+    val small = (Seq("hot") ++ (1 to 100).map(i => s"k$i")).zipWithIndex
+      .map { case (k, i) => (k, s"dim$i") }.toDF("k", "d")
+    val plain = big.join(small, Seq("k")).groupBy(col("k")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val salted = SkewJoin.saltedInnerJoin(big, small, Seq("k"), salts = 8)
+      .groupBy(col("k")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(salted == plain)
+  }
+
+  test("saltedCount equals plain groupBy count") {
+    import spark.implicits._
+    val df = ((1 to 5000).map(_ => "hot") ++ (1 to 50).map(i => s"k$i"))
+      .toDF("k").repartition(8)
+    val plain = df.groupBy(col("k")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val salted = SkewJoin.saltedCount(df, col("k"), salts = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join with zero shuffle") {
+    val sf = "/root/testdata/sf0.001"
+    Lake.writeBucketed(Tables(spark, sf, "orders"), "b_orders", "o_orderkey", 8)
+    Lake.writeBucketed(Tables(spark, sf, "lineitem"), "b_lineitem", "l_orderkey", 8)
+    // force the shuffle-family join path: at real scale neither side
+    // broadcasts, which is exactly when bucketing pays off
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_lineitem").join(
+        spark.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("o_totalprice"), col("l_quantity"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), plan)
+      assert(joined.count() == Tables(spark, sf, "lineitem").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
