@@ -56,6 +56,32 @@ object StreamQueries extends QueryModule {
         GROUP BY user_id, session_seq
         ORDER BY user_id, session_start""")),
 
+    // Exactly-once dedup over an at-least-once (self-unioned) stream;
+    // the oracle aggregates the single-copy batch — equality proves
+    // every duplicate was dropped.
+    "q52_stream_dedup" -> Q(
+      run = (s, dir) =>
+        StreamingJobs.runDedupAvailableNow(s, dir, "graft_stream_dedup")
+          .orderBy("event_type"),
+      oracle = Some("""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      bench = false),
+
+    // Stream-static broadcast enrichment join.
+    "q53_stream_static_join" -> Q(
+      run = (s, dir) =>
+        StreamingJobs.runStaticJoinAvailableNow(s, dir,
+          Tables(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+          "graft_stream_join")
+          .orderBy("c_mktsegment"),
+      oracle = Some("""
+        SELECT c_mktsegment, COUNT(*) AS n
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      bench = false),
+
     // Multimodal plumbing: text payloads as opaque binary blobs with
     // typed metadata — byte length, digest, deterministic "thumbnail"
     // prefix (the decode step itself is stubbed; see

@@ -62,6 +62,51 @@ object StreamingJobs {
     spark.table(queryName)
   }
 
+  /** Exactly-once over an at-least-once source: the input stream is the
+    * events file source unioned with itself (every record delivered
+    * twice — the replay/retry shape), deduplicated on event_id within
+    * the watermark, then aggregated. The batch oracle is the plain
+    * single-copy aggregate — equality proves the dedup. */
+  def runDedupAvailableNow(spark: SparkSession, dir: String,
+                           queryName: String): DataFrame = {
+    val once = readEvents(spark, dir)
+    val atLeastOnce = once.union(readEvents(spark, dir))
+    val q = atLeastOnce
+      .withWatermark("ts", "24 hours")
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("val_sum"))
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
+  /** Stream-static enrichment join: streaming events against a static
+    * dimension table, aggregated per dim attribute. */
+  def runStaticJoinAvailableNow(spark: SparkSession, dir: String,
+                                dim: DataFrame, queryName: String): DataFrame = {
+    val q = readEvents(spark, dir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class Session(user_id: Long, session_start: Timestamp,
