@@ -415,6 +415,54 @@ object CoreQueries extends QueryModule {
         ORDER BY c_mktsegment, c_nationkey""")),
 
     // ----------------------------------------------------------------
+    // Analytic windows beyond the reference's rank/row_number surface:
+    // lag/lead, running sum over rowsBetween, ntile quartiles.
+    "q35_analytic_windows" -> Q(
+      run = (s, dir) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        t(s, dir, "lineitem")
+          .filter(col("l_suppkey") < 5)
+          .select(
+            col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            lag(col("l_quantity"), 1).over(w).as("prev_qty"),
+            lead(col("l_quantity"), 1).over(w).as("next_qty"),
+            sum(col("l_quantity").cast(DecimalType(18, 2)))
+              .over(w.rowsBetween(Window.unboundedPreceding, 0))
+              .cast(DoubleType).as("running_qty"),
+            ntile(4).over(w).cast(LongType).as("quartile"))
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      },
+      oracle = Some("""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               lag(l_quantity, 1) OVER w AS prev_qty,
+               lead(l_quantity, 1) OVER w AS next_qty,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER
+                 (PARTITION BY l_suppkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty,
+               ntile(4) OVER w AS quartile
+        FROM lineitem
+        WHERE l_suppkey < 5
+        WINDOW w AS (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        ORDER BY l_suppkey, l_orderkey, l_linenumber""")),
+
+    // ----------------------------------------------------------------
+    // Top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject — a
+    // per-partition heap + driver merge, never a full global sort
+    // (PlanSpec asserts). Deterministic tiebreak on the key.
+    "q36_topk_limit" -> Q(
+      run = (s, dir) =>
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(20),
+      oracle = Some("""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")),
+
+    // ----------------------------------------------------------------
     // Semi-structured: JSON field extraction from the events.props
     // column (engine extension; reference reads whole JSON docs §2.1 S2/S3).
     "q20_json_extract" -> Q(

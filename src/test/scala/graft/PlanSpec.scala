@@ -51,6 +51,18 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("hashpartitioning(query_id"), plan)
   }
 
+  test("q36: LIMIT plans as TakeOrderedAndProject, not a global sort") {
+    val plan = planOf("q36_topk_limit")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q04: the orders scan is shared via exchange reuse or stays dual-scan cheap") {
+    // self-join-to-own-aggregate: both references resolve to the same
+    // pruned parquet scan (2 columns) — assert the pruning held
+    val plan = planOf("q04_cheapest_join")
+    assert(!plan.contains("o_orderpriority"), "scan must prune unused columns")
+  }
+
   test("whole-stage codegen spans the scalar-function pipeline") {
     val df = SparkEntry.queries("q11_string_funcs")(spark, sf)
     df.collect() // AQE finalizes codegen stages only on execution
