@@ -126,6 +126,45 @@ object Lake {
   def writeSingleJson(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite).json(path)
 
+  /** Small-file compaction (the OPTIMIZE role): rewrite a table's many
+    * small part files into ~`targetFileMB` outputs. Small files are the
+    * silent killer of 100 TB scans — per-file open/footer costs and
+    * tiny row groups defeat both the scheduler and parquet stats.
+    * Writes to a staging dir then atomically swaps, so a concurrent
+    * reader never sees a half-written table. Returns the output file
+    * count. */
+  def compact(spark: SparkSession, path: String, targetFileMB: Int = 128): Int = {
+    val dir = new java.io.File(path)
+    val bytes = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(_.length()).sum
+    val parts = math.max(1, math.ceil(bytes / (targetFileMB * 1024.0 * 1024.0)).toInt)
+    val staging = new java.io.File(path + "__compacting")
+    read(spark, path).repartition(parts)
+      .write.mode(SaveMode.Overwrite).parquet(staging.getPath)
+    val old = new java.io.File(path + "__old")
+    require(dir.renameTo(old) && staging.renameTo(dir), s"compaction swap failed for $path")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(old)
+    new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
+  }
+
+  /** Cluster-sorted layout (Z-order-lite): range-repartition on the
+    * cluster keys + sort within partitions, so each parquet file holds
+    * a disjoint key range and row-group min/max stats prune range
+    * predicates at scan time. */
+  def writeClustered(df: DataFrame, path: String, clusterCols: Seq[String],
+                     numFiles: Option[Int] = None): Unit = {
+    val ranged = numFiles match {
+      // explicit file count bypasses AQE's small-shuffle coalescing
+      case Some(n) => df.repartitionByRange(n, clusterCols.map(col): _*)
+      case None => df.repartitionByRange(clusterCols.map(col): _*)
+    }
+    ranged.sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Bucketed catalog table: co-locates future joins/aggregations on
     * `bucketCol` — two tables bucketed the same way join with ZERO
     * shuffle (the pre-partitioning story for repeated fact-fact joins

@@ -1,0 +1,45 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.core.Tables
+
+class LakeMaintenanceSpec extends SparkSuite {
+
+  private lazy val root = Files.createTempDirectory("graft-maint-").toString
+
+  test("compact: many small files → few, content identical") {
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    val path = s"$root/li_small"
+    li.repartition(32).write.parquet(path)
+    val before = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before == 32)
+    val after = Lake.compact(spark, path, targetFileMB = 128)
+    assert(after < 4)
+    val back = Lake.read(spark, path)
+    assert(back.count() == li.count())
+    assert(back.agg(sum(col("l_quantity"))).head.getDouble(0) ==
+      li.agg(sum(col("l_quantity"))).head.getDouble(0))
+  }
+
+  test("writeClustered: files hold disjoint key ranges (stats-prunable)") {
+    val o = Tables(spark, "/root/testdata/sf0.001", "orders")
+    val path = s"$root/orders_clustered"
+    Lake.writeClustered(o.repartition(8), path, Seq("o_orderkey"),
+      numFiles = Some(4))
+    val ranges = Lake.read(spark, path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2,
+        s"overlapping file ranges: $hi1 > $lo2")
+      case _ =>
+    }
+  }
+}
