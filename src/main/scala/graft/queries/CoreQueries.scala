@@ -463,6 +463,33 @@ object CoreQueries extends QueryModule {
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")),
 
     // ----------------------------------------------------------------
+    // INTERSECT / EXCEPT — completing the set-operation family beyond
+    // the reference's UNION ALL (SURVEY §2.7 "No INTERSECT / EXCEPT").
+    "q37_setops" -> Q(
+      run = (s, dir) => {
+        val clickers = t(s, dir, "events")
+          .filter(col("event_type") === "click").select(col("user_id"))
+        val buyers = t(s, dir, "events")
+          .filter(col("event_type") === "purchase").select(col("user_id"))
+        val both = clickers.intersect(buyers)
+          .withColumn("segment", lit("click_and_buy"))
+        val onlyClick = clickers.except(buyers)
+          .withColumn("segment", lit("click_only"))
+        both.unionAll(onlyClick).orderBy("segment", "user_id")
+      },
+      oracle = Some("""
+        SELECT user_id, 'click_and_buy' AS segment FROM (
+          SELECT user_id FROM events WHERE event_type = 'click'
+          INTERSECT
+          SELECT user_id FROM events WHERE event_type = 'purchase')
+        UNION ALL
+        SELECT user_id, 'click_only' AS segment FROM (
+          SELECT user_id FROM events WHERE event_type = 'click'
+          EXCEPT
+          SELECT user_id FROM events WHERE event_type = 'purchase')
+        ORDER BY segment, user_id""")),
+
+    // ----------------------------------------------------------------
     // Semi-structured: JSON field extraction from the events.props
     // column (engine extension; reference reads whole JSON docs §2.1 S2/S3).
     "q20_json_extract" -> Q(
