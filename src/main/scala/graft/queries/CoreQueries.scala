@@ -463,6 +463,31 @@ object CoreQueries extends QueryModule {
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")),
 
     // ----------------------------------------------------------------
+    // As-of join (graft.operators.AsOfJoin): each click event enriched
+    // with the user's most recent purchase value at that instant.
+    // Oracle: DuckDB's native ASOF JOIN — two entirely different
+    // realizations of the operator must agree row-for-row.
+    "q38_asof_join" -> Q(
+      run = (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value").as("last_purchase"))
+        graft.operators.AsOfJoin.asOf(clicks, purchases, "user_id", "ts")
+          .select(col("event_id"), col("user_id"),
+            col("last_purchase"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        SELECT c.event_id, c.user_id, p.value AS last_purchase
+        FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN
+             (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+        ORDER BY event_id""")),
+
+    // ----------------------------------------------------------------
     // INTERSECT / EXCEPT — completing the set-operation family beyond
     // the reference's UNION ALL (SURVEY §2.7 "No INTERSECT / EXCEPT").
     "q37_setops" -> Q(
