@@ -463,6 +463,49 @@ object CoreQueries extends QueryModule {
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")),
 
     // ----------------------------------------------------------------
+    // Summary statistics profile (the describe()/data-profiling role):
+    // stddev and correlation computed from exact decimal sums so both
+    // engines produce bit-identical doubles (streaming/naive stddev
+    // differs across summation orders).
+    "q39_summary_stats" -> Q(
+      run = (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        def d(c: String, sc: Int = 2) = col(c).cast(DecimalType(24, sc))
+        li.groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(d("l_quantity")).cast(DoubleType).as("s_q"),
+            sum((d("l_quantity") * d("l_quantity")).cast(DecimalType(30, 4)))
+              .cast(DoubleType).as("ss_q"),
+            sum(d("l_extendedprice")).cast(DoubleType).as("s_p"),
+            sum((d("l_quantity") * d("l_extendedprice")).cast(DecimalType(34, 4)))
+              .cast(DoubleType).as("s_qp"))
+          .select(
+            col("l_returnflag"), col("n"),
+            (col("s_q") / col("n")).as("mean_qty"),
+            sqrt((col("ss_q") - col("s_q") * col("s_q") / col("n"))
+              / (col("n") - 1)).as("stddev_qty"),
+            ((col("s_qp") - col("s_q") * col("s_p") / col("n")) / col("n"))
+              .as("cov_qty_price"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        WITH sums AS (
+          SELECT l_returnflag, COUNT(*) AS n,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(24,2))) AS DOUBLE) AS s_q,
+                 CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(24,2)) *
+                               CAST(l_quantity AS DECIMAL(24,2)) AS DECIMAL(30,4))) AS DOUBLE) AS ss_q,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,2))) AS DOUBLE) AS s_p,
+                 CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(24,2)) *
+                               CAST(l_extendedprice AS DECIMAL(24,2)) AS DECIMAL(34,4))) AS DOUBLE) AS s_qp
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               s_q / n AS mean_qty,
+               sqrt((ss_q - s_q * s_q / n) / (n - 1)) AS stddev_qty,
+               (s_qp - s_q * s_p / n) / n AS cov_qty_price
+        FROM sums ORDER BY l_returnflag""")),
+
+    // ----------------------------------------------------------------
     // As-of join (graft.operators.AsOfJoin): each click event enriched
     // with the user's most recent purchase value at that instant.
     // Oracle: DuckDB's native ASOF JOIN — two entirely different

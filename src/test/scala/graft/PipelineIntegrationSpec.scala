@@ -129,6 +129,29 @@ class PipelineIntegrationSpec extends SparkSuite {
       Set("Wifi", "Toilet"))
   }
 
+  test("review pipeline: multiline JSON array → scored → silver with keys") {
+    import spark.implicits._
+    val dir = s"$root/raw/review"
+    new java.io.File(dir).mkdirs()
+    val w = new java.io.PrintWriter(s"$dir/bus_reviews.json", "UTF-8")
+    w.println("""[
+      {"Bus_Name": "Phương Trang", "Customer_Name": "A", "Stars": 5,
+       "Comment": "xe tốt sạch sẽ", "Date": "01/06/2025"},
+      {"Bus_Name": "Thành Bưởi", "Customer_Name": "B", "Stars": 1,
+       "Comment": "bad dirty bus", "Date": "02/06/2025"}
+    ]""")
+    w.close()
+    val raw = graft.sources.Lake.readJsonMultiline(spark, s"$dir/bus_reviews.json")
+    assert(raw.count() == 2) // multiLine parse of a JSON array
+    val scored = graft.scoring.Sentiment.scoreReviews(raw, "Comment")
+      .select($"Bus_Name", $"Comment", $"POS", $"NEG", $"NEU")
+    val silver = Silver.review(scored,
+      Lake.read(spark, s"$root/silver/bus_ids"), maxId = 7)
+    val rows = silver.orderBy("Review_Key").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(8, 9))
+    assert(rows(0).getAs[Double]("POS") == 0.5)
+  }
+
   test("single-file JSON exchange sink round-trips") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
