@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Sweep every registered query's physical plan for scale
+  * anti-patterns. Every tolerated pattern is an explicit allowlist
+  * entry with its justification — anything new fails the build until
+  * it's reviewed (the brief's "explain the plan and iterate until it's
+  * the plan you'd want", enforced).
+  */
+class PlanAuditSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // streaming queries run their own sinks — covered by StreamingSpec
+  private val skip = Set("q50_stream_hourly", "q52_stream_dedup",
+    "q53_stream_static_join")
+
+  /** pattern → queries where it is the intended plan shape. */
+  private val allowed: Map[String, Set[String]] = Map(
+    "CartesianProduct" -> Set.empty,
+    "BroadcastNestedLoopJoin" -> Set(
+      // dense-grid cross join against a tiny broadcast side
+      "q07_grid_crossjoin",
+      // brute-force EXACT similarity: deliberate all-pairs scoring with
+      // the small side broadcast; the scale path is q42's sign-LSH
+      "q40_cosine_topk", "q41_cosine_neardup"),
+    "Exchange SinglePartition" -> Set(
+      // global row_number over the tiny DISTINCT dim (W1 parity shape;
+      // fact-scale keys use PartitionOffsetKeyGen)
+      "q06_rownum_ids",
+      // scalar (ungrouped) aggregates and global sorts of small finals
+      "q17_scalar_agg", "q25_rolling_hash",
+      // ORDER BY of a small final result (driver-bound anyway)
+      "q36_topk_limit"))
+
+  test("every plan is free of non-allowlisted scale anti-patterns") {
+    val violations = scala.collection.mutable.ListBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!skip(name)) {
+        val plan = fn(spark, sf).queryExecution
+          .explainString(ExplainMode.fromString("formatted"))
+        allowed.foreach { case (pattern, ok) =>
+          if (plan.contains(pattern) && !ok(name))
+            violations += s"$name: $pattern"
+        }
+      }
+    }
+    assert(violations.isEmpty, violations.mkString("\n"))
+  }
+}
