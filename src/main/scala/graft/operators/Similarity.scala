@@ -117,6 +117,88 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the k-means-style ANN
+    * scale path: partition the corpus into `nlist` cells around
+    * centroids, search only the `nprobe` cells nearest each query.
+    *
+    * Centroid selection is deterministic (the `nlist` lowest-id
+    * vectors seed the cells — one Lloyd refinement pass over the corpus
+    * sharpens them without any RNG). At 100 TB the cell assignment is a
+    * one-off write-side job (cluster the table by cell id — see
+    * Lake.writeClustered) and each query touches nprobe/nlist of the
+    * data.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    graft.plans.VectorExpressions.register(queries.sparkSession)
+    import graft.plans.VectorExpressions.dotProduct
+
+    // deterministic seeds → one averaging pass → refined centroids
+    val seeds = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    def nearestCentroid(vec: org.apache.spark.sql.Column,
+                        centroids: Array[Array[Double]]) = {
+      val scored = centroids.zipWithIndex.map { case (c, i) =>
+        val cLit = lit(c.map(v => v: java.lang.Double))
+        val cn = math.sqrt(c.map(x => x * x).sum)
+        struct((dotProduct(vec, cLit) / cn).as("sim"), lit(i).as("cell"))
+      }
+      array_max(array(scored: _*)).getField("cell")
+    }
+    val assigned0 = corpus.withColumn("__cell", nearestCentroid(col(vecCol), seeds))
+    val refined: Array[Array[Double]] = assigned0
+      .select(col("__cell"), col(vecCol))
+      .groupBy(col("__cell"))
+      .agg(collect_list(col(vecCol)).as("vs"))
+      .collect()
+      .map { r =>
+        val cell = r.getInt(0)
+        val vs = r.getSeq[scala.collection.Seq[Float]](1)
+        val dim = vs.head.length
+        val mean = new Array[Double](dim)
+        vs.foreach(v => (0 until dim).foreach(i => mean(i) += v(i)))
+        (cell, mean.map(_ / vs.length))
+      }.sortBy(_._1).map(_._2)
+
+    val assigned = corpus
+      .withColumn("__cell", nearestCentroid(col(vecCol), refined))
+      .withColumn("__cn",
+        sqrt(dotProduct(col(vecCol), col(vecCol))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // each query probes its nprobe nearest cells
+    val probeCells = {
+      val scored = refined.zipWithIndex.map { case (c, i) =>
+        val cLit = lit(c.map(v => v: java.lang.Double))
+        val cn = math.sqrt(c.map(x => x * x).sum)
+        struct((dotProduct(col("qv"), cLit) / cn).as("sim"), lit(i).as("cell"))
+      }
+      slice(array_sort(array(scored: _*),
+        (a, b) => when(a.getField("sim") > b.getField("sim"), -1)
+          .when(a.getField("sim") < b.getField("sim"), 1).otherwise(0)),
+        1, nprobe)
+    }
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("__qn", sqrt(dotProduct(col("qv"), col("qv"))))
+      .withColumn("__cell", explode(probeCells.getField("cell")))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col(idCol))
+    assigned
+      .join(broadcast(q), Seq("__cell"))
+      .filter(col("query_id") =!= col(idCol))
+      .withColumn("cos",
+        dotProduct(col("qv"), col(vecCol)) / (col("__qn") * col("__cn")))
+      .withColumn("rank", row_number().over(w).cast(org.apache.spark.sql.types.LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"),
+        col("cos"))
+  }
+
   /** All pairs (a < b) with cosine ≥ `threshold` — embedding-space
     * near-duplicate detection. Exact variant (self cross join pruned by
     * AQE-sized shuffle): for corpora where n² is affordable; at scale,

@@ -46,6 +46,18 @@ object SimilarityQueries extends QueryModule {
         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
         ORDER BY id_a, id_b""")),
 
+    // IVF-cell approximate top-k — the k-means-family ANN scale path
+    // (deterministic centroids, nprobe cell search). Approximate →
+    // rows-only check; recall measured in SimilaritySpec.
+    "q43_ivf_topk" -> Q(
+      run = (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.ivfTopK(emb.filter(col("vec_id") < 32), emb, k = 5)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("query_id", "rank")
+      }),
+
     // Sign-LSH bucketed approximate top-k — the 100 TB scale path.
     // Approximate by design → rows-only check; recall is measured in
     // SimilaritySpec against the exact result.

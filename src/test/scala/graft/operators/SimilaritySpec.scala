@@ -42,6 +42,20 @@ class SimilaritySpec extends SparkSuite {
     assert(recall > 0.15)
   }
 
+  test("ivfTopK recall@5 against exact top-5") {
+    val q = emb.filter(col("vec_id") < 32)
+    val exact = Similarity.bruteForceTopK(q, emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(q, emb, 5, nlist = 16, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"IVF recall@5 (nprobe=4/16) = $recall%.3f")
+    assert(recall > 0.3)
+    // every query still gets exactly k results
+    val perQuery = approx.groupBy(_._1).map(_._2.size)
+    assert(perQuery.forall(_ == 5))
+  }
+
   test("cosineNearDupPairs is symmetric-free (a<b) and thresholded") {
     val pairs = Similarity.cosineNearDupPairs(emb, 0.4).collect()
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
