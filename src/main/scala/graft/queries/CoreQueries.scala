@@ -463,6 +463,29 @@ object CoreQueries extends QueryModule {
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")),
 
     // ----------------------------------------------------------------
+    // Ordered-set aggregates: interpolated percentiles and argmax/argmin
+    // (max_by/min_by) per group.
+    "q44_percentiles" -> Q(
+      run = (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            percentile_approx(col("o_totalprice"), lit(0.5), lit(1000000)).as("p50_approx"),
+            expr("percentile(o_totalprice, 0.5)").as("median"),
+            expr("percentile(o_totalprice, 0.9)").as("p90"),
+            max_by(col("o_orderkey"), col("o_totalprice")).as("top_order"),
+            min_by(col("o_orderkey"), col("o_totalprice")).as("bottom_order"))
+          .drop("p50_approx") // approx sketch isn't cross-engine comparable
+          .orderBy("o_orderstatus"),
+      oracle = Some("""
+        SELECT o_orderstatus,
+               quantile_cont(o_totalprice, 0.5) AS median,
+               quantile_cont(o_totalprice, 0.9) AS p90,
+               max_by(o_orderkey, o_totalprice) AS top_order,
+               min_by(o_orderkey, o_totalprice) AS bottom_order
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ----------------------------------------------------------------
     // Summary statistics profile (the describe()/data-profiling role):
     // stddev and correlation computed from exact decimal sums so both
     // engines produce bit-identical doubles (streaming/naive stddev
