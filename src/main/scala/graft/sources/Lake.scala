@@ -126,6 +126,40 @@ object Lake {
   def writeSingleJson(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite).json(path)
 
+  /** Merge-and-renumber exchange protocol (crawl_faci.py:317-338): new
+    * records union'd by name onto the existing exchange file, ids
+    * renumbered to continue from the existing max, rewritten as a
+    * single part file. Uses the KeyGen abstraction so the renumbering
+    * scales past the single-task global window if the exchange file
+    * ever grows. */
+  def mergeAndRenumberJson(spark: SparkSession, path: String,
+                           incoming: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.max
+    val merged = if (new java.io.File(path).exists() &&
+        !readJsonLines(spark, path).isEmpty) {
+      val existing = readJsonLines(spark, path)
+      val maxId = existing.agg(max(col(idCol).cast("long"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+      val renumbered = graft.operators.GlobalRowNumberKeyGen
+        .assign(incoming.drop(idCol), idCol, maxId)
+      existing.unionByName(renumbered.select(existing.columns.map(col): _*))
+    } else graft.operators.GlobalRowNumberKeyGen
+      .assign(incoming.drop(idCol), idCol, 0L)
+    // stage-then-swap: the merged plan reads the current file lazily,
+    // so never overwrite the input in place
+    val staging = path + "__merging"
+    writeSingleJson(merged, staging)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    val dir = new java.io.File(path)
+    if (dir.exists()) rm(dir)
+    require(new java.io.File(staging).renameTo(dir), s"merge swap failed for $path")
+    readJsonLines(spark, path)
+  }
+
   /** Small-file compaction (the OPTIMIZE role): rewrite a table's many
     * small part files into ~`targetFileMB` outputs. Small files are the
     * silent killer of 100 TB scans — per-file open/footer costs and

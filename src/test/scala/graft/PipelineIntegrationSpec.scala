@@ -152,6 +152,29 @@ class PipelineIntegrationSpec extends SparkSuite {
     assert(rows(0).getAs[Double]("POS") == 0.5)
   }
 
+  test("mergeAndRenumberJson: ids continue across merges, single part file") {
+    import spark.implicits._
+    val path = s"$root/exchange/bus_facilities.json"
+    new java.io.File(path).getParentFile.mkdirs()
+    val r1 = Lake.mergeAndRenumberJson(spark,
+      path, Seq((99L, "PT", "Wifi"), (98L, "TB", "Toilet"))
+        .toDF("Id", "Bus_Name", "Facility"), "Id")
+    assert(r1.select("Id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    val r2 = Lake.mergeAndRenumberJson(spark,
+      path, Seq((0L, "KH", "TV")).toDF("Id", "Bus_Name", "Facility"), "Id")
+    // existing rows keep their ids; the new row continues from max
+    assert(r2.count() == 3)
+    assert(r2.select("Id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(new java.io.File(path).listFiles()
+      .count(_.getName.startsWith("part-")) == 1)
+  }
+
+  test("isEmpty guard (S12)") {
+    import spark.implicits._
+    assert(Lake.isEmpty(Seq.empty[(Long, String)].toDF("a", "b")))
+    assert(!Lake.isEmpty(Seq((1L, "x")).toDF("a", "b")))
+  }
+
   test("single-file JSON exchange sink round-trips") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
