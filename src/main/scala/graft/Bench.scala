@@ -9,7 +9,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // the contract runs at local[32]; allow override but never default
+    // below the box's cores (round-1 defaulted to 4 → driver bench ran
+    // 2.7x slow)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.max(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
