@@ -14,7 +14,7 @@ object SparkEntry {
 
   /** All query modules, in presentation order. */
   def modules: Seq[QueryModule] = Seq(
-    CoreQueries, LakeQueries, TextQueries, DedupQueries,
+    CoreQueries, ExtendedQueries, LakeQueries, TextQueries, DedupQueries,
     SimilarityQueries, StreamQueries)
 
   private lazy val all: Seq[(String, Q)] = modules.flatMap(_.entries)

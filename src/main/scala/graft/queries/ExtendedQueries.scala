@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** Round-2 relational extensions beyond the reference surface
+  * (SURVEY.md §2 "not present" gaps, closed): range/interval join,
+  * CUBE grouping sets, exact correlation statistics, deterministic
+  * hash sampling, and changelog compaction (latest-row-per-key).
+  *
+  * Scale notes per query are inline; all five carry DuckDB oracles.
+  */
+object ExtendedQueries extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  override def entries: Seq[(String, Q)] = Seq(
+
+    // ----------------------------------------------------------------
+    // Range (interval) join — the non-equi join class SURVEY §2.3 notes
+    // as absent from the reference. Facts are banded by a small interval
+    // table: Spark plans broadcast-nested-loop with the 6-row band side
+    // broadcast, so each fact partition scans locally — no shuffle of
+    // the big side. At 100 TB the same shape holds: NLJ cost is
+    // |facts| × |bands| with bands tiny; for large band tables switch
+    // to the bucket-point rewrite (band lo/hi → integer bucket keys →
+    // equi-join), which q61's offset math demonstrates.
+    "q45_range_join" -> Q(
+      run = (s, dir) => {
+        val bands = s.range(0, 6).select((col("id") * 100000L).as("lo"))
+        t(s, dir, "orders")
+          .join(broadcast(bands),
+            col("o_totalprice") >= col("lo") &&
+              col("o_totalprice") < col("lo") + 100000L)
+          .groupBy(col("lo"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+          .orderBy("lo")
+      },
+      oracle = Some("""
+        SELECT lo, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        JOIN (SELECT UNNEST(range(0, 6)) * 100000 AS lo) bands
+          ON o_totalprice >= lo AND o_totalprice < lo + 100000
+        GROUP BY lo ORDER BY lo""")),
+
+    // ----------------------------------------------------------------
+    // CUBE grouping sets + grouping_id (completes the rollup/pivot
+    // family, q28/q29). gid bit order follows Spark's grouping_id():
+    // first cube column = most significant bit; the oracle reproduces
+    // it as 2*GROUPING(a)+GROUPING(b). Same 2-phase hash agg as a
+    // plain groupBy — CUBE expands to 4 grouping sets map-side, so the
+    // shuffle carries 4x rows of a 6-key agg: still trivial at scale.
+    "q46_cube" -> Q(
+      run = (s, dir) =>
+        t(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+            dsum(col("l_quantity")).as("qty"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+            col("gid").cast(LongType).as("gid"), col("n"), col("qty"))
+          .orderBy("gid", "l_returnflag", "l_linestatus"),
+      oracle = Some("""
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY gid, l_returnflag, l_linestatus""")),
+
+    // ----------------------------------------------------------------
+    // Correlation / covariance statistics via exact decimal moment sums.
+    // Native corr()/covar_pop() accumulate doubles in partition order —
+    // non-deterministic across plans and engines — so the five moments
+    // are summed as DECIMAL (associative, exact, any partitioning),
+    // cast to double once, and combined with the textbook formulas:
+    // identical IEEE arithmetic in both engines → hash-equal output.
+    // This is also the right 100 TB design: one map-side-combinable agg
+    // pass, deterministic under AQE re-planning and speculative retries.
+    "q47_corr_stats" -> Q(
+      run = (s, dir) => {
+        val x = col("l_quantity").cast(DecimalType(18, 2))
+        val y = col("l_extendedprice").cast(DecimalType(18, 2))
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(x).cast(DoubleType).as("sx"),
+            sum(y).cast(DoubleType).as("sy"),
+            sum(x * x).cast(DoubleType).as("sxx"),
+            sum(y * y).cast(DoubleType).as("syy"),
+            sum(x * y).cast(DoubleType).as("sxy"))
+          .select(
+            col("l_returnflag"),
+            col("n"),
+            round((col("sxy") / col("n")) - (col("sx") / col("n")) * (col("sy") / col("n")), 4)
+              .as("covar_pop"),
+            round(((col("sxy") / col("n")) - (col("sx") / col("n")) * (col("sy") / col("n"))) /
+              (sqrt((col("sxx") / col("n")) - (col("sx") / col("n")) * (col("sx") / col("n"))) *
+                sqrt((col("syy") / col("n")) - (col("sy") / col("n")) * (col("sy") / col("n")))), 6)
+              .as("corr"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT l_returnflag, COUNT(*) AS n,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               ROUND((sxy / n) - (sx / n) * (sy / n), 4) AS covar_pop,
+               ROUND(((sxy / n) - (sx / n) * (sy / n)) /
+                     (sqrt((sxx / n) - (sx / n) * (sx / n)) *
+                      sqrt((syy / n) - (sy / n) * (sy / n))), 6) AS corr
+        FROM m ORDER BY l_returnflag""")),
+
+    // ----------------------------------------------------------------
+    // Deterministic stratified hash sampling — the training-data
+    // pipeline primitive (down-sample over-represented strata without a
+    // seed handshake between engines/runs). Membership is a pure
+    // function of the key: first two hex chars of md5(key) under a
+    // per-stratum threshold (256ths: URGENT 50%, HIGH 25%, rest 6.25%).
+    // Scale: embarrassingly parallel scan-side filter — no shuffle, no
+    // RNG state, reproducible on any cluster layout, and pushes the
+    // stratum column read down to the parquet scan.
+    "q48_hash_sample" -> Q(
+      run = (s, dir) =>
+        t(s, dir, "orders")
+          .filter(
+            substring(md5(col("o_orderkey").cast(StringType)), 1, 2) <
+              when(col("o_orderpriority").startsWith("1"), lit("80"))
+                .when(col("o_orderpriority").startsWith("2"), lit("40"))
+                .otherwise(lit("10")))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_sampled"), dsum(col("o_totalprice")).as("rev_sampled"))
+          .orderBy("o_orderpriority"),
+      oracle = Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_sampled,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev_sampled
+        FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <
+              CASE WHEN o_orderpriority LIKE '1%' THEN '80'
+                   WHEN o_orderpriority LIKE '2%' THEN '40'
+                   ELSE '10' END
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ----------------------------------------------------------------
+    // Changelog compaction: latest row per key (the batch form of
+    // upsert/SCD "current view" — the reference's append-only silver
+    // protocol compacted to one row per entity). row_number over a
+    // per-key descending window; the window partitions on the key, so
+    // the only shuffle is the hash partition by user_id — at 100 TB
+    // this is the standard log-compaction shape (same key partitioning
+    // a MERGE would use).
+    "q49_changelog_latest" -> Q(
+      run = (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+            col("event_type").as("last_type"), col("value").as("last_value"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+               event_type AS last_type, value AS last_value
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) = 1
+        ORDER BY user_id"""))
+  )
+}

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.core.Tables
 import graft.operators.Similarity
@@ -68,6 +69,35 @@ object SimilarityQueries extends QueryModule {
           .select(col("query_id"), col("neighbor_id"), col("rank"),
             round(col("cos"), 6).as("cos"))
           .orderBy("query_id", "rank")
-      })
+      }),
+
+    // Per-label centroids via fixed-point accumulation — the IVF
+    // centroid-recompute / class-prototype primitive. Float sums are
+    // order-dependent (non-associative), so a distributed mean would
+    // vary run-to-run under AQE re-planning; quantizing each component
+    // to floor(v * 1e6) makes the sum an exact BIGINT — associative,
+    // commutative, plan-invariant, and engine-portable. One
+    // posexplode + hash agg on (label, pos): shuffle carries
+    // |vectors| × dim small rows; at 100 TB the same agg map-side
+    // combines to |labels| × dim per partition.
+    "q63_vector_centroids" -> Q(
+      run = (s, dir) =>
+        Tables(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding")))
+          .select(col("label"), (col("pos") + 1).cast(LongType).as("pos"),
+            floor(col("col").cast(DoubleType) * 1000000L).cast(LongType).as("q"))
+          .groupBy(col("label"), col("pos"))
+          .agg(count(lit(1)).as("n_vecs"),
+            floor(sum(col("q")).cast(DoubleType) / count(lit(1)))
+              .cast(LongType).as("centroid_micro"))
+          .orderBy("label", "pos"),
+      oracle = Some("""
+        WITH comp AS (
+          SELECT label, generate_subscripts(embedding, 1) AS pos,
+                 CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+          FROM embeddings)
+        SELECT label, CAST(pos AS BIGINT) AS pos, COUNT(*) AS n_vecs,
+               CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS centroid_micro
+        FROM comp GROUP BY label, pos ORDER BY label, pos"""))
   )
 }

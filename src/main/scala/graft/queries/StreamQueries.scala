@@ -82,6 +82,56 @@ object StreamQueries extends QueryModule {
         GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
       bench = false),
 
+    // The REAL custom-state streaming operator end-to-end: the same
+    // flatMapGroupsWithState sessionizer q51 mirrors in batch SQL, run
+    // as an AvailableNow streaming query (Append mode, sentinel-flushed
+    // trailing sessions) — its complete output must equal the DuckDB
+    // gaps-and-islands oracle.
+    "q54_stream_sessionize" -> Q(
+      run = (s, dir) =>
+        StreamingJobs.runSessionizeAvailableNow(s, dir, "graft_stream_sessionize")
+          .orderBy("user_id", "session_start"),
+      oracle = Some("""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                        - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 30 * 60000000
+                      OR lag(ts) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        numbered AS (
+          SELECT user_id, ts,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM flagged)
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+               COUNT(*) AS n_events
+        FROM numbered
+        GROUP BY user_id, session_seq
+        ORDER BY user_id, session_start"""),
+      bench = false),
+
+    // Stream-stream event-time interval join (view → purchase within
+    // 1h, per user) with watermarks bounding both sides' state; inner
+    // matches in Append mode must equal the batch interval join.
+    "q55_stream_stream_join" -> Q(
+      run = (s, dir) =>
+        StreamingJobs.runStreamStreamJoinAvailableNow(s, dir, "graft_stream_join2")
+          .orderBy("user_id", "view_id", "purchase_id"),
+      oracle = Some("""
+        SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+               epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP)) AS lag_us
+        FROM events v
+        JOIN events p
+          ON v.user_id = p.user_id
+         AND v.event_type = 'view' AND p.event_type = 'purchase'
+         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        ORDER BY 1, 2, 3"""),
+      bench = false),
+
     // Multimodal plumbing: text payloads as opaque binary blobs with
     // typed metadata — byte length, digest, deterministic "thumbnail"
     // prefix (the decode step itself is stubbed; see

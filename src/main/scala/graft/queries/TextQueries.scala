@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 import graft.core.Tables
@@ -109,6 +110,50 @@ object TextQueries extends QueryModule {
           .groupBy()
           .agg(count(lit(1)).as("n"), countDistinct(col("fp")).as("n_distinct"),
             sum(col("fp")).as("fp_sum"))
-      })
+      }),
+
+    // TF-IDF top-3 terms per document — the keyword-extraction /
+    // relevance-weighting primitive. Scale shape: one explode+agg for
+    // tf (shuffle on (doc, term)), one agg for df (shuffle on term),
+    // corpus size N broadcast as a 1-row dim, then a per-doc window
+    // top-k. idf = ln(N/df) is a double function of two exact integers
+    // → identical in both engines; score ordering ties broken by term.
+    "q62_tfidf" -> Q(
+      run = (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val toks = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+        val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val df = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))
+        tf.join(df, Seq("term"))
+          .crossJoin(broadcast(n))
+          .withColumn("score",
+            col("tf") * log(col("n_docs").cast(DoubleType) / col("df")))
+          .withColumn("rk", row_number().over(w).cast(LongType))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("term"),
+            round(col("score"), 6).as("tfidf"))
+          .orderBy("doc_id", "rk")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+        df AS (
+          SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks WHERE term <> '' GROUP BY 1),
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tf * ln(CAST(n_docs AS DOUBLE) / df) DESC, term) AS BIGINT) AS rk,
+               term,
+               ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN nd
+        QUALIFY rk <= 3
+        ORDER BY doc_id, rk"""))
   )
 }

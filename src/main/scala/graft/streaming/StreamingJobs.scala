@@ -114,34 +114,60 @@ object StreamingJobs {
   // must be public: the state Encoder's generated code instantiates it
   final case class SessionState(start: Long, last: Long, n: Long)
 
+  /** Timestamp → epoch micros. `getTime` alone truncates to millis —
+    * the events fixture is micro-precision (not ms-aligned), so gap
+    * comparisons must run at the same precision as the batch oracle
+    * (`BatchSessionize` uses unix_micros). */
+  private def micros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+
+  private def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Sentinel event_id: closes the open session of its user without
+    * starting a new one — lets an AvailableNow run over a finite source
+    * flush trailing sessions so Append output equals the batch oracle. */
+  val FlushSentinelId: Long = -1L
+
   /** Gap-based sessionization (30-min inactivity) with
     * `flatMapGroupsWithState` — the custom-state streaming operator.
     * Emits a session when the gap to the next event exceeds the
     * timeout; `BatchSessionize.sessions` is the batch-SQL oracle it is
-    * tested against. */
+    * tested against. Rows with event_id == FlushSentinelId only close
+    * the current session (end-of-stream markers). */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var cur = state.getOption
           val out = Seq.newBuilder[Session]
           for (e <- sorted) {
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.last <= gapMs =>
+            val t = micros(e.ts)
+            if (e.event_id == FlushSentinelId) {
+              cur.foreach(s =>
+                out += Session(userId, fromMicros(s.start), fromMicros(s.last), s.n))
+              cur = None
+            } else cur match {
+              case Some(s) if t - s.last <= gapUs =>
                 cur = Some(s.copy(last = t, n = s.n + 1))
               case Some(s) =>
-                out += Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n)
+                out += Session(userId, fromMicros(s.start), fromMicros(s.last), s.n)
                 cur = Some(SessionState(t, t, 1))
               case None =>
                 cur = Some(SessionState(t, t, 1))
             }
           }
-          cur.foreach(state.update)
+          cur match {
+            case Some(s) => state.update(s)
+            case None    => if (state.exists) state.remove()
+          }
           out.result().iterator
         })
   }
@@ -150,27 +176,116 @@ object StreamingJobs {
     * helper so tests can compare complete output against the SQL oracle. */
   def sessionizeBatchComplete(events: Dataset[Event], gapMinutes: Int = 30): DataFrame = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
     events
       .groupByKey(_.user_id)
       .flatMapGroups { (userId: Long, rows: Iterator[Event]) =>
-        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
         val out = Seq.newBuilder[Session]
         var cur: Option[SessionState] = None
         for (e <- sorted) {
-          val t = e.ts.getTime
+          val t = micros(e.ts)
           cur match {
-            case Some(s) if t - s.last <= gapMs =>
+            case Some(s) if t - s.last <= gapUs =>
               cur = Some(s.copy(last = t, n = s.n + 1))
             case Some(s) =>
-              out += Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n)
+              out += Session(userId, fromMicros(s.start), fromMicros(s.last), s.n)
               cur = Some(SessionState(t, t, 1))
             case None => cur = Some(SessionState(t, t, 1))
           }
         }
-        cur.foreach(s => out += Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n))
+        cur.foreach(s => out += Session(userId, fromMicros(s.start), fromMicros(s.last), s.n))
         out.result().iterator
       }.toDF()
+  }
+
+  /** Run the flatMapGroupsWithState sessionizer as a real streaming
+    * query (AvailableNow, Append) whose complete output equals the
+    * batch gaps-and-islands result. Trailing open sessions are the
+    * classic Append-mode gap: with NoTimeout they would never emit on a
+    * finite source — so a second file-source stream of per-user
+    * sentinel events (ts beyond every real event + gap) is unioned in;
+    * the state function closes each user's last session when its
+    * sentinel arrives. At 100 TB the same job runs unmodified on a live
+    * source with EventTimeTimeout instead of sentinels — the sentinel
+    * union is the finite-source test harness, not the operator.
+    */
+  def runSessionizeAvailableNow(spark: SparkSession, dir: String,
+                                queryName: String,
+                                gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    // Batch-side sentinel manifest: one row per user at maxTs + gap + 1 min.
+    val batch = graft.core.Tables(spark, dir, "events")
+    val maxUs = batch.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val sentinelNanos = (maxUs + (gapMinutes + 1) * 60000000L) * 1000L
+    val sentinelDir = java.nio.file.Files
+      .createTempDirectory("graft_sessionize_sentinels").toString
+    batch.select(col("user_id")).distinct()
+      .select(
+        lit(FlushSentinelId).as("event_id"), lit(sentinelNanos).as("ts"),
+        col("user_id"), lit("flush").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(sentinelDir)
+
+    val sentinels = spark.readStream
+      .schema(rawSchema)
+      .parquet(sentinelDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = readEvents(spark, dir).union(sentinels)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event]
+
+    val q = sessionize(events, gapMinutes)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"))
+  }
+
+  /** Stream-stream event-time interval join: each `view` matched to the
+    * same user's `purchase`s within the following hour. Both sides are
+    * watermarked and the join condition bounds purchase time to
+    * [view_ts, view_ts + 1h], so state for either side is dropped once
+    * the other side's watermark passes the interval — bounded state at
+    * any scale. Inner-join matches emit as they are found (Append). */
+  def runStreamStreamJoinAvailableNow(spark: SparkSession, dir: String,
+                                      queryName: String): DataFrame = {
+    val views = readEvents(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = readEvents(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val q = views
+      .join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("view_ts") &&
+          col("p_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("view_ts"))).as("lag_us"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
   }
 }
 

@@ -14,7 +14,7 @@ class PlanAuditSpec extends SparkSuite {
 
   // streaming queries run their own sinks — covered by StreamingSpec
   private val skip = Set("q50_stream_hourly", "q52_stream_dedup",
-    "q53_stream_static_join")
+    "q53_stream_static_join", "q54_stream_sessionize", "q55_stream_stream_join")
 
   /** pattern → queries where it is the intended plan shape. */
   private val allowed: Map[String, Set[String]] = Map(
@@ -24,7 +24,13 @@ class PlanAuditSpec extends SparkSuite {
       "q07_grid_crossjoin",
       // brute-force EXACT similarity: deliberate all-pairs scoring with
       // the small side broadcast; the scale path is q42's sign-LSH
-      "q40_cosine_topk", "q41_cosine_neardup"),
+      "q40_cosine_topk", "q41_cosine_neardup",
+      // range join against a 6-row broadcast band table: NLJ cost is
+      // |facts|×6 with no shuffle of the fact side (the intended shape;
+      // big band tables would use the bucket-point equi-join rewrite)
+      "q45_range_join",
+      // corpus-size N as a 1-row broadcast dim crossed into the tf×df join
+      "q62_tfidf"),
     "Exchange SinglePartition" -> Set(
       // global row_number over the tiny DISTINCT dim (W1 parity shape;
       // fact-scale keys use PartitionOffsetKeyGen)
