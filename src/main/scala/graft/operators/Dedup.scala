@@ -89,13 +89,30 @@ object Dedup {
         pmod(p.getField("a") * h + p.getField("b"), lit(MersennePrime)))))
   }
 
-  /** (id, sig) per document: explode shingle hashes, then ONE
-    * typed-imperative aggregate (graft.plans.MinHashAgg) holding the
-    * whole long[numHashes] buffer — `numHashes` separate MIN aggregate
-    * columns would overflow the codegen field limit and fall back to
-    * interpreted aggregation. Docs with no shingles drop out. */
+  /** (id, sig) per document — map-local via the MinHashSig expression
+    * (graft.plans.DocHashExpressions): the whole signature is a
+    * projection, so NO shuffle of the shingle stream at all. Docs with
+    * no shingles (< n tokens) drop out, matching the round-1
+    * explode+aggregate formulation bit-for-bit (DocHashSpec). */
   def minhashSignatures(docs: DataFrame, numHashes: Int, n: Int,
                         textCol: String, idCol: String): DataFrame = {
+    val ps = perms(numHashes)
+    docs.select(col(idCol).as("id"),
+      graft.plans.DocHashExpressions
+        .minhashSig(col(textCol), n, ps.map(_.a), ps.map(_.b), MersennePrime)
+        .as("sig"))
+      .filter(col("sig").isNotNull)
+  }
+
+  /** The aggregation form of the signature: explode pre-hashed shingles
+    * and fold them through ONE typed-imperative aggregate
+    * (graft.plans.MinHashAgg) with a long[numHashes] buffer. Use when
+    * the shingle/feature stream does not come from a single text column
+    * (pre-tokenized corpora, multi-column features) — `numHashes`
+    * separate MIN aggregate columns would overflow the codegen field
+    * limit and fall back to interpreted aggregation. */
+  def minhashSignaturesAgg(docs: DataFrame, numHashes: Int, n: Int,
+                           textCol: String, idCol: String): DataFrame = {
     val hs = docs.select(col(idCol).as("id"),
       explode(shingleHashes(col(textCol), n)).as("h"))
     val ps = perms(numHashes)
@@ -152,26 +169,15 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** (id, 64-bit SimHash) per document: explode whitespace tokens, one
-    * codegen'd SUM aggregate per bit voting ±1 by the token's xxhash64
-    * bit (term frequency is the natural weight), then assemble the
-    * majority bits into one long. */
+  /** (id, 64-bit SimHash) per document — map-local via the SimHash64
+    * expression: every token occurrence votes ±1 per bit by its
+    * xxhash64 bit (term frequency is the natural weight). Replaces the
+    * round-1 explode + 64×SUM aggregation (same result, no corpus-wide
+    * token shuffle — DocHashSpec asserts the equivalence). */
   def simhashes(docs: DataFrame, textCol: String = "text",
-                idCol: String = "doc_id"): DataFrame = {
-    val toks = docs
-      .select(col(idCol).as("id"),
-        explode(split(trim(col(textCol)), "\\s+")).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val aggs = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-        .as(s"b$b")
-    }
-    toks.groupBy(col("id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("id"),
-        (0 until 64).map(b =>
-          when(col(s"b$b") >= 0, lit(1L << b)).otherwise(0L)).reduce(_ + _).as("sh"))
-  }
+                idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.plans.DocHashExpressions.simhash64(col(textCol)).as("sh"))
 
   /** Near-duplicate pairs by SimHash Hamming distance ≤ `maxDist`.
     * Candidates via 8×8-bit band buckets (pigeonhole: Hamming ≤ 7 ⇒ at

@@ -58,25 +58,24 @@ object TextQueries extends QueryModule {
                      / len(string_split_regex(lower(trim(text)), '\s+')), 4) AS stop_ratio
         FROM documents ORDER BY doc_id""")),
 
-    // Dictionary-overlap language ID, scale formulation: explode tokens
-    // once, one codegen'd conditional-sum per language profile, argmax
-    // via array_max over (score, lang) structs. (The Column-level
-    // TextFunctions.langId is the same scoring, per-row; this version
-    // avoids interpreted higher-order lambdas in the hot path.)
-    // Rows-only check + TextFunctionsSpec.
+    // Dictionary-overlap language ID, scale formulation: the per-doc
+    // profile scores come from ONE map-local DictHitsMulti expression
+    // (graft.plans.DocHashExpressions) — no token explode, no shuffle
+    // of the token stream; argmax via array_max over (score, lang)
+    // structs. The only shuffle is the final 5-key census. (Round 1
+    // exploded tokens into a corpus-wide groupBy(doc_id) — at 100 TB
+    // that shuffle is the whole job.) Rows-only check +
+    // TextFunctionsSpec/DocHashSpec.
     "q23_lang_id" -> Q(
       run = (s, dir) => {
-        val toks = Tables(s, dir, "documents")
-          .select(col("doc_id"),
-            explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
-        val scoreAggs = LangProfiles.map { case (lang, words) =>
-          sum(when(col("t").isInCollection(words), 1L).otherwise(0L)).as(s"s_$lang")
-        }
-        val scored = toks.groupBy(col("doc_id")).agg(scoreAggs.head, scoreAggs.tail: _*)
-        val best = array_max(array(LangProfiles.map { case (lang, _) =>
-          struct(col(s"s_$lang").as("score"), lit(lang).as("lang"))
+        val hits = graft.plans.DocHashExpressions
+          .dictHits(lower(trim(col("text"))), LangProfiles.map(_._2))
+        val best = array_max(array(LangProfiles.zipWithIndex.map {
+          case ((lang, _), i) =>
+            struct(col("hits").getItem(i).as("score"), lit(lang).as("lang"))
         }: _*))
-        scored
+        Tables(s, dir, "documents")
+          .select(hits.as("hits"))
           .select(when(best.getField("score") > 0, best.getField("lang"))
             .otherwise("und").as("lang_pred"))
           .groupBy(col("lang_pred"))
@@ -124,8 +123,11 @@ object TextQueries extends QueryModule {
         val toks = docs
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
           .filter(col("term") =!= "")
+        // df derives from tf (one row per (doc, term) already) — never
+        // re-explode + re-shuffle the full token stream for it
         val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        val df = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n_docs"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("score").desc, col("term"))
