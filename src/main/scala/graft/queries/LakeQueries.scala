@@ -113,6 +113,58 @@ object LakeQueries extends QueryModule {
         Tables(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
           .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
-          .orderBy("l_returnflag"))
+          .orderBy("l_returnflag")),
+
+    // Copy-on-write MERGE through the manifest-log table format
+    // (graft.sources.VersionedTable — the DeltaTable.merge role): seed
+    // a versioned table with orders, upsert a deterministic md5-keyed
+    // subset with doubled prices, read the LATEST snapshot back. The
+    // oracle computes the post-merge state directly — equality proves
+    // update-vs-insert routing and snapshot resolution.
+    "q64_merge_upsert" -> Q(
+      run = (s, dir) => {
+        val root = Files.createTempDirectory("graft_vt_merge").resolve("t").toString
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        graft.sources.VersionedTable.overwrite(orders, root)
+        val changes = orders
+          .filter(substring(md5(col("o_orderkey").cast(StringType)), 1, 1) === "0")
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+        graft.sources.VersionedTable.merge(s, root, changes, Seq("o_orderkey"))
+        graft.sources.VersionedTable.read(s, root)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(
+                 CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+                      THEN o_totalprice * 2 ELSE o_totalprice END
+                 AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Time travel: after the same overwrite→merge history, read
+    // VERSION 0 — the pre-merge snapshot must equal the raw table (the
+    // merge touched none of version 0's files).
+    "q65_time_travel" -> Q(
+      run = (s, dir) => {
+        val root = Files.createTempDirectory("graft_vt_tt").resolve("t").toString
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        graft.sources.VersionedTable.overwrite(orders, root)
+        val changes = orders
+          .filter(substring(md5(col("o_orderkey").cast(StringType)), 1, 1) === "0")
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+        graft.sources.VersionedTable.merge(s, root, changes, Seq("o_orderkey"))
+        graft.sources.VersionedTable.readVersion(s, root, 0)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }

@@ -1,0 +1,167 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Minimal manifest-log table format — the engine's standalone stand-in
+  * for the Delta transaction log the reference builds on
+  * (SURVEY.md §1.1; Delta jars are unavailable here, and the semantics
+  * the pipelines rely on are exactly these):
+  *
+  *  - **atomic commits**: a version is a JSON manifest listing its data
+  *    files; committing = writing `_log/<version>.manifest` via
+  *    create-new (fails if the version already exists → natural
+  *    optimistic concurrency, last committer of a version wins nothing);
+  *  - **snapshot isolation / time travel**: readers resolve one
+  *    manifest and read only its file list — concurrent commits never
+  *    change a running query's input (`readVersion`);
+  *  - **append without rewrite**: new data files are added under
+  *    `data/` and the new manifest inherits the previous file list —
+  *    O(new data), like a Delta append;
+  *  - **copy-on-write MERGE**: `merge` upserts by key and commits the
+  *    rewritten table as a new version (the `DeltaTable.merge` role,
+  *    idempotent replacement for the reference's blind appends);
+  *  - **RESTORE**: `restore` commits a new version that points at an
+  *    old version's files — history is preserved, rollback is
+  *    roll-forward;
+  *  - **VACUUM**: `vacuum` deletes data files unreachable from the
+  *    retained manifests.
+  *
+  * Scale design: the manifest holds file paths only (O(files), like a
+  * Delta checkpoint); data file moves are renames, never copies; reads
+  * hand Spark the exact file list so partition pruning and parquet
+  * row-group stats work unchanged. Multi-writer safety comes from the
+  * create-new manifest semantics: two writers racing to commit version
+  * N+1 → exactly one wins, the loser re-reads and retries (documented
+  * single-JVM here; on an object store the same protocol needs a
+  * put-if-absent primitive, which S3/GCS/ABFS all provide).
+  */
+object VersionedTable {
+
+  private def logDir(root: String) = new File(root, "_log")
+  private def dataDir(root: String) = new File(root, "data")
+
+  private def manifestFile(root: String, v: Long): File =
+    new File(logDir(root), f"$v%012d.manifest")
+
+  /** Existing versions, ascending; empty if the table doesn't exist. */
+  def versions(root: String): Seq[Long] = {
+    val d = logDir(root)
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles().filter(_.getName.endsWith(".manifest"))
+      .map(_.getName.stripSuffix(".manifest").toLong).sorted.toSeq
+  }
+
+  def latestVersion(root: String): Option[Long] = versions(root).lastOption
+
+  private def readManifest(root: String, v: Long): Seq[String] = {
+    val txt = new String(
+      Files.readAllBytes(manifestFile(root, v).toPath), StandardCharsets.UTF_8)
+    txt.linesIterator.filter(_.nonEmpty).toSeq
+  }
+
+  /** Atomic commit of `files` as version `v`. Fails if someone else
+    * committed `v` first (optimistic concurrency) — callers retry from
+    * a fresh read. */
+  private def commitManifest(root: String, v: Long, files: Seq[String]): Long = {
+    logDir(root).mkdirs()
+    val target = manifestFile(root, v)
+    val tmp = Files.createTempFile(logDir(root).toPath, s"_tmp$v", ".inprogress")
+    Files.write(tmp, files.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    try {
+      // ATOMIC_MOVE onto an existing target throws → exactly one
+      // committer of version v succeeds
+      if (target.exists())
+        throw new java.nio.file.FileAlreadyExistsException(target.getPath)
+      Files.move(tmp, target.toPath, StandardCopyOption.ATOMIC_MOVE)
+    } finally Files.deleteIfExists(tmp)
+    v
+  }
+
+  private def nextVersion(root: String): Long =
+    latestVersion(root).map(_ + 1).getOrElse(0L)
+
+  /** Write `df`'s rows as new data files under `data/`, returning their
+    * paths (staged via a temp dir, then renamed in — never copied). */
+  private def stageDataFiles(df: DataFrame, root: String, v: Long): Seq[String] = {
+    val staging = new File(root, s"_staging_v$v")
+    df.write.mode(SaveMode.Overwrite).parquet(staging.getPath)
+    dataDir(root).mkdirs()
+    val moved = staging.listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .zipWithIndex.map { case (f, i) =>
+        val dst = new File(dataDir(root), f"v$v%05d-$i%05d.parquet")
+        Files.move(f.toPath, dst.toPath, StandardCopyOption.ATOMIC_MOVE)
+        dst.getPath
+      }.toSeq
+    def rm(f: File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    rm(staging)
+    moved
+  }
+
+  /** Full overwrite → new version referencing only the new files. */
+  def overwrite(df: DataFrame, root: String): Long = {
+    val v = nextVersion(root)
+    commitManifest(root, v, stageDataFiles(df, root, v))
+  }
+
+  /** Append → new version inheriting the previous file list plus the
+    * new files; existing data is not rewritten. */
+  def append(df: DataFrame, root: String): Long = {
+    val v = nextVersion(root)
+    val prev = latestVersion(root).map(readManifest(root, _)).getOrElse(Seq.empty)
+    commitManifest(root, v, prev ++ stageDataFiles(df, root, v))
+  }
+
+  /** Snapshot read of a specific version (time travel). */
+  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
+    val files = readManifest(root, v)
+    require(files.nonEmpty, s"version $v of $root has no files")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Read the latest snapshot. */
+  def read(spark: SparkSession, root: String): DataFrame =
+    readVersion(spark, root,
+      latestVersion(root).getOrElse(sys.error(s"no versions at $root")))
+
+  /** Copy-on-write MERGE (upsert): rows of `source` replace target rows
+    * sharing `keyCols`; unmatched source rows are inserted. Commits the
+    * rewritten table as a new version. At 100 TB the same protocol
+    * rewrites only the files whose key ranges intersect the source
+    * (file-level pruning via the clustered layout — Lake.writeClustered);
+    * rewriting everything is the correct simple form at test scale. */
+  def merge(spark: SparkSession, root: String, source: DataFrame,
+            keyCols: Seq[String]): Long = {
+    val target = read(spark, root)
+    val kept = target.join(
+      source.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+    overwrite(kept.unionByName(source.select(target.columns.map(col): _*)), root)
+  }
+
+  /** RESTORE: commit a new version whose manifest is version `v`'s file
+    * list — the table's latest state becomes the old snapshot while
+    * history (and audit) is preserved. */
+  def restore(root: String, v: Long): Long = {
+    val files = readManifest(root, v)
+    commitManifest(root, nextVersion(root), files)
+  }
+
+  /** VACUUM: drop manifests older than the last `retainVersions` and
+    * delete data files no retained manifest references. Returns the
+    * number of data files deleted. */
+  def vacuum(root: String, retainVersions: Int = 1): Int = {
+    val vs = versions(root)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.length - retainVersions))
+    val live = keep.flatMap(readManifest(root, _)).toSet
+    val dead = Option(dataDir(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet") && !live.contains(f.getPath))
+    dead.foreach(_.delete())
+    drop.foreach(v => manifestFile(root, v).delete())
+    dead.length
+  }
+}
