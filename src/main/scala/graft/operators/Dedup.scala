@@ -179,6 +179,55 @@ object Dedup {
     docs.select(col(idCol).as("id"),
       graft.plans.DocHashExpressions.simhash64(col(textCol)).as("sh"))
 
+  /** Connected components over an undirected pair list — turns near-dup
+    * PAIRS into dedup GROUPS (keep one doc per component). Iterative
+    * min-label propagation: every node adopts the smallest label in its
+    * neighborhood until fixpoint, checked with a changed-label count per
+    * round and capped at `maxIter`.
+    *
+    * Scale notes: each round is one join + one agg on the edge list —
+    * the classic BSP formulation; rounds ≈ graph diameter, and near-dup
+    * graphs are shallow (clusters are cliques-ish), so a handful of
+    * rounds suffices. For adversarially deep graphs swap the iteration
+    * body for large-star/small-star (Kiveris et al.), same interface.
+    * Each round's labels are `localCheckpoint`ed — persist alone does
+    * NOT truncate the logical plan, and an iterative union/join doubles
+    * it per round (exponential analyze/explain cost by round ~12).
+    *
+    * Input: (id_a, id_b) pairs. Output: (id, component) for every id in
+    * `nodes` (singletons map to themselves).
+    */
+  def connectedComponents(pairs: DataFrame, nodes: DataFrame,
+                          maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val prop = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("lbl"))
+      val next = labels.select(col("node"), col("lbl")).union(prop)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.lbl") < col("o.lbl")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    val out = nodes.select(col(nodes.columns.head).as("id"))
+      .join(labels, col("id") === col("node"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("component"))
+    edges.unpersist()
+    out
+  }
+
   /** Near-duplicate pairs by SimHash Hamming distance ≤ `maxDist`.
     * Candidates via 8×8-bit band buckets (pigeonhole: Hamming ≤ 7 ⇒ at
     * least one band identical), verified with bit_count(a XOR b). */

@@ -58,4 +58,26 @@ class DedupSpec extends SparkSuite {
     // change the verified pair set on this corpus
     assert(withCut == noCut)
   }
+
+  test("connected components: chain, triangle, singleton") {
+    import spark.implicits._
+    // 1-2-3 chain (diameter 2), 5-6-7 triangle, 9 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L), (5L, 7L))
+      .toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 5L, 6L, 7L, 9L).toDF("id")
+    val got = Dedup.connectedComponents(pairs, nodes).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 9L -> 9L))
+  }
+
+  test("connected components converge on a deep path graph") {
+    import spark.implicits._
+    // path 0-1-2-...-12: worst-case diameter for min-label propagation
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val nodes = (0L to 12L).toDF("id")
+    val got = Dedup.connectedComponents(pairs, nodes).collect()
+      .map(r => r.getLong(1)).toSet
+    assert(got == Set(0L))
+  }
 }
