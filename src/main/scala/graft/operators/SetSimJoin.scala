@@ -36,14 +36,28 @@ object SetSimJoin {
 
     val tokens = sets.select(col("id"), explode(col("toks")).as("tok"))
     val freq = tokens.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    // rarest-first global dense rank without a global window:
-    // range-partition by (df, tok), sort within partitions, then add
-    // per-partition offsets
-    val ranked = PartitionOffsetKeyGen.assign(
-      freq.repartitionByRange(col("df"), col("tok"))
-        .sortWithinPartitions(col("df"), col("tok")),
-      "rank", offset = 0L)
-      .select(col("tok"), col("rank"))
+    // rarest-first global ORDER (dense ranks are not needed — only a
+    // long that is order-isomorphic to (df, tok)): after
+    // repartitionByRange the partition index is ordered by the key, and
+    // after sortWithinPartitions the local row order is too, so
+    // monotonically_increasing_id (pid << 33 | local) is itself
+    // order-isomorphic — no per-partition count pass, no offset window,
+    // no broadcast join (the PartitionOffsetKeyGen machinery this
+    // replaces cost ~2 extra jobs over the dictionary per run).
+    //
+    // MUST be eagerly checkpointed, not lazily persisted: mono_id is
+    // only consistent within ONE evaluation, and a lazily-cached
+    // subtree can materialize different partitions in different
+    // downstream stages (= separate evaluations with different AQE
+    // layouts), silently assigning a token two different ranks. The
+    // eager localCheckpoint freezes the tok→rank map before any
+    // consumer runs. (Found the hard way: one shared shingle of a
+    // near-dup pair ranked differently in the two docs' arrays.)
+    val ranked = freq
+      .repartitionByRange(col("df"), col("tok"))
+      .sortWithinPartitions(col("df"), col("tok"))
+      .select(col("tok"), monotonically_increasing_id().as("rank"))
+      .localCheckpoint(true)
 
     // persisted: the self-join and the two verify joins each reference
     // this subtree, and Spark re-executes unshared lineage per reference

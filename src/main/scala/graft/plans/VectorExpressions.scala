@@ -64,23 +64,34 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Intersection size of two SORTED int arrays — linear merge, codegen'd.
-  * The verification step of set-similarity joins calls this once per
-  * candidate pair; the builtin `array_intersect` builds a hash set per
-  * call in interpreted code. Inputs MUST be sorted ascending (as
-  * produced by sort_array) — unsorted inputs give undefined counts. */
+/** Intersection size of two SORTED integer arrays (int or bigint
+  * elements — resolved from the input type at plan time; reading a
+  * bigint slot with getInt silently returns half the bytes, the bug
+  * that motivated this) — linear merge, codegen'd. The verification
+  * step of set-similarity joins calls this once per candidate pair; the
+  * builtin `array_intersect` builds a hash set per call in interpreted
+  * code. Inputs MUST be sorted ascending (as produced by sort_array) —
+  * unsorted inputs give undefined counts. */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "sorted_intersect_count"
 
+  private lazy val elemIsLong: Boolean = left.dataType match {
+    case org.apache.spark.sql.types.ArrayType(et, _) =>
+      et == org.apache.spark.sql.types.LongType
+    case other => throw new IllegalArgumentException(
+      s"sorted_intersect_count expects array inputs, got $other")
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     var i = 0; var j = 0; var n = 0L
     while (i < x.numElements() && j < y.numElements()) {
-      val xi = x.getInt(i); val yj = y.getInt(j)
+      val xi = if (elemIsLong) x.getLong(i) else x.getInt(i).toLong
+      val yj = if (elemIsLong) y.getLong(j) else y.getInt(j).toLong
       if (xi == yj) { n += 1; i += 1; j += 1 }
       else if (xi < yj) i += 1
       else j += 1
@@ -93,10 +104,11 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val n = ctx.freshName("n")
       val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
+      val get = if (elemIsLong) "getLong" else "getInt"
       s"""
         int $i = 0; int $j = 0; long $n = 0L;
         while ($i < $a.numElements() && $j < $b.numElements()) {
-          int $xi = $a.getInt($i); int $yj = $b.getInt($j);
+          long $xi = $a.$get($i); long $yj = $b.$get($j);
           if ($xi == $yj) { $n++; $i++; $j++; }
           else if ($xi < $yj) { $i++; } else { $j++; }
         }
