@@ -26,6 +26,22 @@ object StreamQueries extends QueryModule {
         FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""),
       bench = false),
 
+    // Sliding 2h/1h windowed aggregation — every event contributes to
+    // two windows; the oracle reproduces window assignment by crossing
+    // each event with offsets {0h, 1h} off its hour-truncated ts.
+    "q56_stream_sliding" -> Q(
+      run = (s, dir) =>
+        StreamingJobs.runSlidingAvailableNow(s, dir, "graft_stream_sliding")
+          .orderBy("win_start", "event_type"),
+      oracle = Some("""
+        SELECT strftime(date_trunc('hour', ts) - INTERVAL (o) HOUR,
+                        '%Y-%m-%d %H:%M') AS win_start,
+               event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS o)
+        GROUP BY 1, 2 ORDER BY win_start, event_type"""),
+      bench = false),
+
     // Gap-based sessionization, batch gaps-and-islands formulation
     // (lag → flag → cumulative sum → group) — the SQL-expressible twin
     // of the flatMapGroupsWithState operator (equivalence tested in

@@ -62,6 +62,31 @@ object StreamingJobs {
     spark.table(queryName)
   }
 
+  /** Sliding-window aggregation (2-hour windows every hour): each event
+    * lands in two overlapping windows — the smoothing shape for rate
+    * monitoring. Same watermark/state mechanics as the tumbling case;
+    * state is 2× (one open window per slide), still bounded. */
+  def runSlidingAvailableNow(spark: SparkSession, dir: String,
+                             queryName: String): DataFrame = {
+    val q = readEvents(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("val_sum"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        col("event_type"), col("n"), col("val_sum"))
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Exactly-once over an at-least-once source: the input stream is the
     * events file source unioned with itself (every record delivered
     * twice — the replay/retry shape), deduplicated on event_id within
