@@ -19,9 +19,11 @@ object SparkEntry {
 
   private lazy val all: Seq[(String, Q)] = modules.flatMap(_.entries)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The 6-table star join exercises scans, broadcasts,
+    * shuffle joins, decimal aggregation and ordering in one plan. */
   def entry(spark: SparkSession): DataFrame =
-    all.head._2.run(spark, "/root/testdata/sf0.001")
+    queries("q67_star_join")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -101,16 +101,26 @@ object Similarity {
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
     val qb = banded(queries, "query_id", "qv", "qn")
     val cb = banded(corpus, "neighbor_id", "cv", "cn")
-    val candidates = cb
-      .join(broadcast(qb), Seq("band", "band_key"))
+    // candidate pairs dedup on the ID pair only — a distinct over the
+    // full vector columns hashes 64 floats per row per side (it was
+    // ~40% of the query); vectors are re-attached afterwards from the
+    // (small, broadcast) query set and the corpus
+    val candidates = cb.select(col("neighbor_id"), col("band"), col("band_key"))
+      .join(broadcast(qb.select(col("query_id"), col("band"), col("band_key"))),
+        Seq("band", "band_key"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        col("qv"), col("qn"), col("cv"), col("cn"))
+      .select(col("query_id"), col("neighbor_id"))
       .distinct()
+    val qSide = withNorm(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "qv", "qn")
+    val cSide = withNorm(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "cv", "cn")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     candidates
+      .join(cSide, Seq("neighbor_id"))
+      .join(broadcast(qSide), Seq("query_id"))
       .withColumn("cos", fastCos(col("qv"), col("qn"), col("cv"), col("cn")))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)

@@ -227,6 +227,57 @@ object ExtendedQueries extends QueryModule {
         JOIN region   ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA'
         GROUP BY n_name
-        ORDER BY revenue DESC, n_name"""))
+        ORDER BY revenue DESC, n_name""")),
+
+    // ----------------------------------------------------------------
+    // Salted skew join: lineitem⋈supplier with the big side salted over
+    // 8 sub-keys and the small side replicated 8× (the single-monster-
+    // key fix AQE's partition splitting can't do). The oracle is the
+    // PLAIN join — salting must be result-invariant by construction.
+    "q68_salted_join" -> Q(
+      run = (s, dir) =>
+        graft.operators.SkewJoin.saltedInnerJoin(
+          t(s, dir, "lineitem").select(col("l_suppkey"), col("l_extendedprice")),
+          t(s, dir, "supplier").select(col("s_suppkey").as("l_suppkey"),
+            col("s_nationkey")),
+          keys = Seq("l_suppkey"), salts = 8)
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("price_sum"))
+          .orderBy("s_nationkey"),
+      oracle = Some("""
+        SELECT s_nationkey, COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
+    // ----------------------------------------------------------------
+    // RANGE-frame rolling window (the frame class the reference never
+    // uses — SURVEY §2.5 "defaults only"): per-customer trailing-30-day
+    // order revenue, frame bounded by VALUE (days), not row count.
+    // Partitioned by customer → parallel; exact decimal running sums.
+    "q69_rolling_window" -> Q(
+      run = (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("od_days"))
+          .rangeBetween(-30, 0)
+        t(s, dir, "orders")
+          .withColumn("od_days",
+            datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast(DateType))
+              .cast(LongType))
+          .withColumn("rev30",
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+              .cast(DoubleType))
+          .select(col("o_custkey"), col("o_orderkey"),
+            to_date(col("o_orderdate")).as("od"), col("rev30"))
+          .orderBy("o_custkey", "od", "o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+                 RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) AS rev30
+        FROM orders
+        ORDER BY o_custkey, od, o_orderkey"""))
   )
 }
