@@ -148,5 +148,7 @@ object GraftFunctions {
       "word_ngrams", exprs => WordNgrams(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "built-in")
   }
 }

@@ -156,6 +156,42 @@ object TextQueries extends QueryModule {
                ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
         FROM tf JOIN df USING (term) CROSS JOIN nd
         QUALIFY rk <= 3
-        ORDER BY doc_id, rk"""))
+        ORDER BY doc_id, rk""")),
+
+    // Corpus-prep capstone: the full "prepare a training corpus" sweep
+    // — quality gates (token count, punctuation ratio), exact dedup
+    // (min doc_id per content digest), per-language census. One
+    // composition of the library's text + dedup operators; every
+    // predicate is integer-derived so both engines agree bit-for-bit.
+    // Scale shape: scan-side filters → one digest shuffle → 3-key agg.
+    "q70_corpus_prep" -> Q(
+      run = (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+        Tables(s, dir, "documents")
+          .withColumn("n_tok", tokenCount(col("text")))
+          .withColumn("pr", punctRatio(col("text")))
+          .filter(col("n_tok") >= 10 && col("pr") < 0.2)
+          .withColumn("keep_rank", row_number().over(w))
+          .filter(col("keep_rank") === 1)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("total_tokens"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH scored AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+                 CAST(length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE)
+                   / length(text) AS pr,
+                 md5(text) AS digest
+          FROM documents),
+        kept AS (
+          SELECT * FROM scored
+          WHERE n_tok >= 10 AND pr < 0.2
+          QUALIFY row_number() OVER (PARTITION BY digest ORDER BY doc_id) = 1)
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens
+        FROM kept GROUP BY lang ORDER BY lang"""))
   )
 }

@@ -186,4 +186,29 @@ class PipelineIntegrationSpec extends SparkSuite {
     val back = Lake.readJsonLines(spark, path)
     assert(back.count() == 2)
   }
+
+  test("versioned silver: replayed daily batch is idempotent via MERGE") {
+    import spark.implicits._
+    val tbl = s"$root/vt_silver"
+    // day 1 lands
+    graft.sources.VersionedTable.overwrite(
+      Seq((1, "2024-01-01", 100), (2, "2024-01-01", 150))
+        .toDF("key", "day", "price"), tbl)
+    // day 2 lands; then the SAME day-2 batch replays (retry) with one
+    // corrected row — a blind append would duplicate, MERGE must not
+    val day2 = Seq((3, "2024-01-02", 90), (4, "2024-01-02", 200))
+      .toDF("key", "day", "price")
+    graft.sources.VersionedTable.merge(spark, tbl, day2, Seq("key"))
+    val day2Retry = Seq((3, "2024-01-02", 95), (4, "2024-01-02", 200))
+      .toDF("key", "day", "price")
+    graft.sources.VersionedTable.merge(spark, tbl, day2Retry, Seq("key"))
+    val latest = graft.sources.VersionedTable.read(spark, tbl)
+      .as[(Int, String, Int)].collect().toSet
+    assert(latest == Set((1, "2024-01-01", 100), (2, "2024-01-01", 150),
+      (3, "2024-01-02", 95), (4, "2024-01-02", 200)))
+    // audit trail: the pre-retry state is still one time-travel away
+    val beforeRetry = graft.sources.VersionedTable.readVersion(spark, tbl, 1)
+      .as[(Int, String, Int)].collect().toSet
+    assert(beforeRetry.contains((3, "2024-01-02", 90)))
+  }
 }
