@@ -64,7 +64,9 @@ object TextQueries extends QueryModule {
     // of the token stream; argmax via array_max over (score, lang)
     // structs. The only shuffle is the final 5-key census. (Round 1
     // exploded tokens into a corpus-wide groupBy(doc_id) — at 100 TB
-    // that shuffle is the whole job.) Rows-only check +
+    // that shuffle is the whole job.) The DuckDB oracle re-scores the
+    // corpus from the same (hardcoded, keep in sync) profiles with the
+    // same (score DESC, lang DESC) tie-break; plus
     // TextFunctionsSpec/DocHashSpec.
     "q23_lang_id" -> Q(
       run = (s, dir) => {
@@ -81,7 +83,29 @@ object TextQueries extends QueryModule {
           .groupBy(col("lang_pred"))
           .agg(count(lit(1)).as("n"))
           .orderBy("lang_pred")
-      }),
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS t
+          FROM documents),
+        profiles(lang, words) AS (VALUES
+          ('de', ['der','die','das','und','ist','nicht','mit','ein']),
+          ('en', ['the','and','is','of','to','in','that','it']),
+          ('es', ['el','la','de','que','y','en','un','es']),
+          ('fr', ['le','la','de','et','est','un','une','que']),
+          ('zh', ['的','是','了','在','我','有','和','不'])),
+        scores AS (
+          SELECT doc_id, lang,
+                 COUNT(*) FILTER (list_contains(words, t)) AS score
+          FROM toks CROSS JOIN profiles
+          GROUP BY doc_id, lang),
+        best AS (
+          SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred
+          FROM scores
+          QUALIFY row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, lang DESC) = 1)
+        SELECT lang_pred, COUNT(*) AS n
+        FROM best GROUP BY lang_pred ORDER BY lang_pred""")),
 
     // Content fingerprints: md5 (oracle-checkable) per source.
     "q24_fingerprint_md5" -> Q(
@@ -99,7 +123,10 @@ object TextQueries extends QueryModule {
         FROM documents GROUP BY source ORDER BY source""")),
 
     // Rabin–Karp fingerprint via the custom codegen Expression
-    // (graft.plans.RollingHash) — no DuckDB equivalent → rows-only +
+    // (graft.plans.RollingHash). The DuckDB oracle recomputes the
+    // mod-2⁶⁴ byte polynomial in HUGEINT with explicit wraparound
+    // (list_reduce over code points — the corpus is ASCII, so code
+    // point == byte) including Spark's wrapping long SUM; plus
     // RollingHashSpec.
     "q25_rolling_hash" -> Q(
       run = (s, dir) => {
@@ -109,7 +136,30 @@ object TextQueries extends QueryModule {
           .groupBy()
           .agg(count(lit(1)).as("n"), countDistinct(col("fp")).as("n_distinct"),
             sum(col("fp")).as("fp_sum"))
-      }),
+      },
+      oracle = Some("""
+        WITH fp AS (
+          SELECT doc_id,
+            list_reduce(
+              list_prepend(0::HUGEINT,
+                [unicode(text[i])::HUGEINT for i in range(1, len(text)+1)]),
+              (a, b) -> (a * 1000000007::HUGEINT + b)
+                        % 18446744073709551616::HUGEINT) AS h
+          FROM documents),
+        signed AS (
+          SELECT doc_id,
+            CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                      THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fp
+          FROM fp)
+        SELECT COUNT(*) AS n, COUNT(DISTINCT fp) AS n_distinct,
+          CAST(CASE WHEN m >= 9223372036854775808::HUGEINT
+                    THEN m - 18446744073709551616::HUGEINT ELSE m END AS BIGINT) AS fp_sum
+        FROM signed,
+          (SELECT ((SUM(CAST(fp AS HUGEINT)) % 18446744073709551616::HUGEINT)
+                   + 18446744073709551616::HUGEINT)
+                  % 18446744073709551616::HUGEINT AS m
+           FROM signed)
+        GROUP BY m""")),
 
     // TF-IDF top-3 terms per document — the keyword-extraction /
     // relevance-weighting primitive. Scale shape: one explode+agg for
