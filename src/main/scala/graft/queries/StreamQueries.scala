@@ -148,6 +148,27 @@ object StreamQueries extends QueryModule {
         ORDER BY 1, 2, 3"""),
       bench = false),
 
+    // Streaming foreachBatch upsert into the versioned table format:
+    // an at-least-once (self-unioned) stream MERGEd per micro-batch on
+    // event_id — the oracle aggregates the single-copy batch table, so
+    // equality proves exactly-once landing through the upsert sink.
+    "q71_stream_upsert" -> Q(
+      run = (s, dir) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_stream_upsert").resolve("t").toString
+        StreamingJobs.runUpsertAvailableNow(s, dir, root)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast(org.apache.spark.sql.types.DoubleType).as("val_sum"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      bench = false),
+
     // Multimodal plumbing: text payloads as opaque binary blobs with
     // typed metadata — byte length, digest, deterministic "thumbnail"
     // prefix (the decode step itself is stubbed; see

@@ -113,6 +113,35 @@ object StreamingJobs {
     spark.table(queryName)
   }
 
+  /** Streaming upsert sink: foreachBatch → VersionedTable.merge — the
+    * idiomatic upgrade of the reference's blind daily appends
+    * (SURVEY.md §2.10: "foreachBatch upsert via DeltaTable.merge"),
+    * realized on the engine's own manifest-log table format. Each
+    * micro-batch is deduplicated on the key and MERGEd, so an
+    * at-least-once source (here: the events file source unioned with
+    * itself, every record delivered twice) still lands exactly once,
+    * and every batch is an atomic, time-travelable table version. */
+  def runUpsertAvailableNow(spark: SparkSession, dir: String,
+                            tableRoot: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val atLeastOnce = readEvents(spark, dir).union(readEvents(spark, dir))
+    val q = atLeastOnce.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        val deduped = batch.dropDuplicates("event_id")
+        if (VersionedTable.latestVersion(tableRoot).isEmpty)
+          VersionedTable.overwrite(deduped, tableRoot)
+        else
+          VersionedTable.merge(spark, tableRoot, deduped, Seq("event_id"))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    VersionedTable.read(spark, tableRoot)
+  }
+
   /** Stream-static enrichment join: streaming events against a static
     * dimension table, aggregated per dim attribute. */
   def runStaticJoinAvailableNow(spark: SparkSession, dir: String,
