@@ -278,6 +278,34 @@ object ExtendedQueries extends QueryModule {
                  RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
                  AS DOUBLE) AS rev30
         FROM orders
-        ORDER BY o_custkey, od, o_orderkey"""))
+        ORDER BY o_custkey, od, o_orderkey""")),
+
+    // ----------------------------------------------------------------
+    // Fuzzy-match join (entity resolution): nearest customer name per
+    // supplier by Levenshtein distance, BLOCKED on nation — the
+    // blocking-key + edit-distance pattern that makes fuzzy matching
+    // an equi-join problem at scale (cost Σ block², never n²; exactly
+    // the reference's Bus_Name reconciliation problem done right).
+    "q72_fuzzy_join" -> Q(
+      run = (s, dir) => {
+        val w = Window.partitionBy(col("s_suppkey"))
+          .orderBy(col("lev"), col("c_name"))
+        t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+          .join(t(s, dir, "customer").select(col("c_name"), col("c_nationkey")),
+            col("s_nationkey") === col("c_nationkey"))
+          .withColumn("lev", levenshtein(col("s_name"), col("c_name")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("s_suppkey"), col("s_name"),
+            col("c_name").as("best_match"), col("lev").cast(LongType).as("lev"))
+          .orderBy("s_suppkey")
+      },
+      oracle = Some("""
+        SELECT s_suppkey, s_name, c_name AS best_match,
+               CAST(levenshtein(s_name, c_name) AS BIGINT) AS lev
+        FROM supplier JOIN customer ON s_nationkey = c_nationkey
+        QUALIFY row_number() OVER (PARTITION BY s_suppkey
+          ORDER BY levenshtein(s_name, c_name), c_name) = 1
+        ORDER BY s_suppkey"""))
   )
 }
