@@ -117,11 +117,15 @@ object VersionedTable {
     commitManifest(root, v, prev ++ stageDataFiles(df, root, v))
   }
 
-  /** Snapshot read of a specific version (time travel). */
+  /** Snapshot read of a specific version (time travel). mergeSchema:
+    * an appended batch may carry added nullable columns (schema
+    * evolution — the Delta `mergeSchema` role); the union schema is
+    * reconstructed from the version's file footers, old files reading
+    * null for new columns. */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
     val files = readManifest(root, v)
     require(files.nonEmpty, s"version $v of $root has no files")
-    spark.read.parquet(files: _*)
+    spark.read.option("mergeSchema", "true").parquet(files: _*)
   }
 
   /** Read the latest snapshot. */

@@ -67,6 +67,20 @@ class VersionedTableSpec extends SparkSuite {
       == Seq((2, "b")))
   }
 
+  test("schema evolution: appended batch with a new column merges") {
+    import spark.implicits._
+    val root = tmpRoot()
+    VersionedTable.overwrite(Seq((1, "a")).toDF("k", "v"), root)
+    VersionedTable.append(Seq((2, "b", 9.5)).toDF("k", "v", "score"), root)
+    val latest = VersionedTable.read(spark, root)
+    assert(latest.columns.toSet == Set("k", "v", "score"))
+    val rows = latest.orderBy("k").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score"))) // old file → null
+    assert(rows(1).getDouble(rows(1).fieldIndex("score")) == 9.5)
+    // time travel still sees the original 2-column schema
+    assert(VersionedTable.readVersion(spark, root, 0).columns.toSet == Set("k", "v"))
+  }
+
   test("concurrent commit of the same version: exactly one wins") {
     import spark.implicits._
     val root = tmpRoot()
