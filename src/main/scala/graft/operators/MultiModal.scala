@@ -60,6 +60,24 @@ object MultiModal {
     }
   }
 
+  final case class ResizedMedia(media_id: Long, orig_bytes: Long,
+                                new_bytes: Long, new_checksum: Long)
+
+  /** Batch resize over the payload column (stub codec truncation in
+    * place of a real resample) — same mapPartitions batching shape as
+    * extractFeatures; emits before/after sizes and the resized
+    * payload's checksum so the transform is oracle-checkable. */
+  def resizeBatch(media: Dataset[MediaRow], maxBytes: Int): Dataset[ResizedMedia] = {
+    implicit val enc = Encoders.product[ResizedMedia]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val out = FakeCodec.resize(r.payload, maxBytes)
+        ResizedMedia(r.media_id, r.payload.length.toLong, out.length.toLong,
+          FakeCodec.checksum(out))
+      }
+    }
+  }
+
   /** Deterministic frame sampling plan for a video payload: emit
     * `frames` evenly-spaced (media_id, frame_index, byte_offset) rows —
     * pure column math + posexplode, no codec needed to *plan* the

@@ -11,11 +11,10 @@ import org.apache.spark.sql.types._
   * join.
   *
   * Method:
-  *  1. rank all distinct tokens globally, rarest first (document
-  *     frequency ascending) — ranking via range-repartition + partition
-  *     offsets (graft.operators.PartitionOffsetKeyGen), so no
-  *     single-task global window even when the token dictionary is
-  *     huge;
+  *  1. order all distinct tokens globally, rarest first (document
+  *     frequency ascending) — via range-repartition + local sort +
+  *     monotonically_increasing_id (order-isomorphic, no single-task
+  *     global window even when the token dictionary is huge);
   *  2. represent each row's set as its sorted rank array;
   *  3. index only each row's PREFIX — the first |x| − ⌈t·|x|⌉ + 1
   *     ranks. Any pair with J ≥ t must share a prefix token (pigeonhole

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
 
 import graft.core.Tables
 import graft.operators.MultiModal
@@ -194,6 +195,39 @@ object StreamQueries extends QueryModule {
                COUNT(DISTINCT md5(text)) AS n_distinct,
                MIN(substring(text, 1, 16)) AS min_head
         FROM documents GROUP BY source ORDER BY source""")),
+
+    // Batched multimodal resize (mapPartitions, stub codec): the
+    // truncation stand-in is deterministic, so the resized payload's
+    // base-31 wrapping checksum is recomputed by the oracle in HUGEINT
+    // over the first 64 code points (ASCII corpus: code point == byte).
+    "q73_multimodal_resize" -> Q(
+      run = (s, dir) => {
+        import s.implicits._
+        val media = Tables(s, dir, "documents")
+          .filter(col("doc_id") < 50)
+          .select(col("doc_id").as("media_id"), lit("text").as("kind"),
+            col("text").cast(BinaryType).as("payload"))
+          .as[MultiModal.MediaRow]
+        MultiModal.resizeBatch(media, maxBytes = 64).toDF()
+          .orderBy("media_id")
+      },
+      oracle = Some("""
+        WITH resized AS (
+          SELECT doc_id AS media_id,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
+                 CAST(LEAST(octet_length(encode(text)), 64) AS BIGINT) AS new_bytes,
+                 list_reduce(
+                   list_prepend(0::HUGEINT,
+                     [unicode(text[i])::HUGEINT
+                      for i in range(1, LEAST(len(text), 64) + 1)]),
+                   (a, b) -> (a * 31::HUGEINT + b)
+                             % 18446744073709551616::HUGEINT) AS h
+          FROM documents WHERE doc_id < 50)
+        SELECT media_id, orig_bytes, new_bytes,
+               CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                         THEN h - 18446744073709551616::HUGEINT
+                         ELSE h END AS BIGINT) AS new_checksum
+        FROM resized ORDER BY media_id""")),
 
     // Frame-sampling plan over binary payloads (pure column math).
     "q61_frame_offsets" -> Q(
