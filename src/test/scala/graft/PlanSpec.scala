@@ -69,4 +69,19 @@ class PlanSpec extends SparkSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1)"), plan) // codegen-stage marker
   }
+
+  test("q67 flagship: dims broadcast, facts equi-join, no nested loops") {
+    val plan = planOf("q67_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the region filter must reach the region scan, not sit above a join
+    assert(plan.contains("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)]") ||
+      plan.contains("EqualTo(r_name,ASIA)"), plan)
+  }
+
+  test("q49 changelog window partitions by the compaction key") {
+    val plan = planOf("q49_changelog_latest")
+    assert(plan.contains("hashpartitioning(user_id"), plan)
+  }
 }
