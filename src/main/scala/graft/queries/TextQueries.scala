@@ -241,7 +241,77 @@ object TextQueries extends QueryModule {
           SELECT * FROM scored
           WHERE n_tok >= 10 AND pr < 0.2
           QUALIFY row_number() OVER (PARTITION BY digest ORDER BY doc_id) = 1)
-        SELECT lang, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens
-        FROM kept GROUP BY lang ORDER BY lang"""))
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+        FROM kept GROUP BY lang ORDER BY lang""")),
+
+    // Document chunking: overlapping token windows (size 32, stride 24)
+    // with per-chunk offsets — the context-window preparation step of a
+    // training/RAG pipeline. Pure column math (sequence + posexplode +
+    // slice): map-local, no shuffle; chunk text reported as md5 to keep
+    // the oracle compact.
+    "q74_chunking" -> Q(
+      run = (s, dir) => {
+        val toks = split(col("text"), " ")
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), toks.as("toks"), size(toks).as("n_tok"))
+          .select(col("doc_id"), col("toks"), col("n_tok"),
+            posexplode(sequence(lit(0), greatest(col("n_tok") - 1, lit(0)), lit(24))))
+          .select(col("doc_id"), col("pos").cast(LongType).as("chunk_idx"),
+            col("col").cast(LongType).as("start_tok"),
+            slice(col("toks"), col("col") + 1, lit(32)).as("chunk"))
+          .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+            size(col("chunk")).cast(LongType).as("n_chunk_tok"),
+            md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+                 len(string_split(text, ' ')) AS n_tok
+          FROM documents),
+        starts AS (
+          SELECT doc_id, toks, n_tok,
+                 UNNEST(range(0, GREATEST(n_tok - 1, 0) + 1, 24)) AS start_tok,
+                 generate_subscripts(range(0, GREATEST(n_tok - 1, 0) + 1, 24), 1) - 1
+                   AS chunk_idx
+          FROM base)
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(start_tok AS BIGINT) AS start_tok,
+               CAST(len(toks[start_tok + 1 : LEAST(start_tok + 32, n_tok)]) AS BIGINT)
+                 AS n_chunk_tok,
+               md5(array_to_string(toks[start_tok + 1 : LEAST(start_tok + 32, n_tok)], ' '))
+                 AS chunk_md5
+        FROM starts ORDER BY doc_id, chunk_idx""")),
+
+    // Sequence packing (contiguous concat-then-cut): every document's
+    // starting position in the concatenated token stream via the
+    // DISTRIBUTED prefix sum (graft.operators.PrefixSum — range
+    // partition + per-partition windows + broadcast offsets; a naive
+    // sum().over(orderBy) would single-task the table), then
+    // pack_id = floor(stream_pos / 512).
+    "q75_sequence_pack" -> Q(
+      run = (s, dir) => {
+        val counted = Tables(s, dir, "documents")
+          .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+        graft.operators.PrefixSum.running(counted, "doc_id", "n_tok", "cum")
+          .withColumn("stream_pos", col("cum") - col("n_tok"))
+          .select(col("doc_id"), col("n_tok"), col("stream_pos"),
+            floor(col("stream_pos") / 512).cast(LongType).as("pack_id"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents),
+        pos AS (
+          SELECT doc_id, n_tok,
+                 COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS stream_pos
+          FROM c)
+        SELECT doc_id, n_tok, stream_pos,
+               CAST(FLOOR(stream_pos / 512.0) AS BIGINT) AS pack_id
+        FROM pos ORDER BY doc_id"""))
   )
 }

@@ -39,7 +39,10 @@ class PlanAuditSpec extends SparkSuite {
       // scalar (ungrouped) aggregates and global sorts of small finals
       "q17_scalar_agg", "q25_rolling_hash",
       // ORDER BY of a small final result (driver-bound anyway)
-      "q36_topk_limit"))
+      "q36_topk_limit",
+      // distributed prefix sum: the only global window is over the
+      // per-partition totals (#partitions rows), by construction
+      "q75_sequence_pack"))
 
   test("every plan is free of non-allowlisted scale anti-patterns") {
     val violations = scala.collection.mutable.ListBuffer.empty[String]
