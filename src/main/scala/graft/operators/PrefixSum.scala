@@ -46,6 +46,6 @@ object PrefixSum {
     parted
       .join(broadcast(offsets), Seq("__pid"))
       .withColumn(outCol, sum(col(valueCol)).over(local) + col("__off"))
-      .drop("__pid")
+      .drop("__pid", "__off")
   }
 }

@@ -117,6 +117,36 @@ class ExtendedOpsSpec extends SparkSuite {
     assert(out(1) == 0L)      // mean(-0.5, 0.5)
   }
 
+  test("q74 chunking edges: exact-fit, one-over, single-token docs") {
+    import spark.implicits._
+    def chunks(nTok: Int): Seq[(Long, Long, Int)] = {
+      val text = (1 to nTok).map(i => s"t$i").mkString(" ")
+      val toks = split(col("text"), " ")
+      Seq((1L, text)).toDF("doc_id", "text")
+        .select(col("doc_id"), toks.as("toks"), size(toks).as("n_tok"))
+        .select(col("doc_id"),
+          posexplode(sequence(lit(0), greatest(col("n_tok") - 1, lit(0)), lit(24))),
+          col("toks"))
+        .select(col("pos").cast("long"), col("col").cast("long"),
+          size(slice(col("toks"), col("col") + 1, lit(32))))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    }
+    assert(chunks(1) == Seq((0L, 0L, 1)))
+    assert(chunks(32) == Seq((0L, 0L, 32), (1L, 24L, 8)))
+    assert(chunks(24) == Seq((0L, 0L, 24)))
+    assert(chunks(25) == Seq((0L, 0L, 25), (1L, 24L, 1)))
+  }
+
+  test("q75 prefix sum equals a single-partition cumulative sum") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, i % 7 + 1)).toDF("k", "v").repartition(13)
+    val got = graft.operators.PrefixSum.running(df, "k", "v", "cum")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(2)))
+    var acc = 0L
+    val want = (1L to 500L).map { i => acc += i % 7 + 1; (i, acc) }
+    assert(got.toSeq == want)
+  }
+
   test("q54 streaming fMGWS sessionize equals the batch oracle at sf0.001") {
     val stream = StreamingJobs
       .runSessionizeAvailableNow(spark, sf, "spec_stream_sessionize")
