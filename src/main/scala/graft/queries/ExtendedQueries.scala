@@ -306,6 +306,58 @@ object ExtendedQueries extends QueryModule {
         FROM supplier JOIN customer ON s_nationkey = c_nationkey
         QUALIFY row_number() OVER (PARTITION BY s_suppkey
           ORDER BY levenshtein(s_name, c_name), c_name) = 1
-        ORDER BY s_suppkey"""))
+        ORDER BY s_suppkey""")),
+
+    // ----------------------------------------------------------------
+    // Typed COGROUP (KeyValueGroupedDataset.cogroup): merge two fact
+    // streams per key in ONE pass — each side shuffles once on the key
+    // and the function sees both groups together, where the join
+    // formulation would aggregate each side separately and join the
+    // results. The oracle IS that join formulation: equality across
+    // the two strategies is the check.
+    "q76_cogroup_stats" -> Q(
+      run = (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("ts"))
+          .as[(Long, java.sql.Timestamp)]
+        val ord = t(s, dir, "orders")
+          .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"))
+          .as[(Long, java.sql.Date)]
+        ev.groupByKey(_._1).cogroup(ord.groupByKey(_._1)) { (k, evs, ords) =>
+          // built per group: DateTimeFormatter is not Serializable
+          val fmt = java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+          var n = 0L
+          var first: java.sql.Timestamp = null
+          evs.foreach { e =>
+            n += 1; if (first == null || e._2.before(first)) first = e._2
+          }
+          var m = 0L
+          var last: java.sql.Date = null
+          ords.foreach { o =>
+            m += 1; if (last == null || o._2.after(last)) last = o._2
+          }
+          Iterator.single((k, n, m,
+            Option(first).map(ts => fmt.format(ts.toInstant)).orNull,
+            Option(last).map(_.toString).orNull))
+        }.toDF("user_id", "n_events", "n_orders", "first_event", "last_order")
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id AS k, COUNT(*) AS n_events,
+                 strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_event
+          FROM events GROUP BY 1),
+        o AS (
+          SELECT o_custkey AS k, COUNT(*) AS n_orders,
+                 CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS last_order
+          FROM orders GROUP BY 1)
+        SELECT COALESCE(e.k, o.k) AS user_id,
+               COALESCE(n_events, 0) AS n_events,
+               COALESCE(n_orders, 0) AS n_orders,
+               first_event, last_order
+        FROM e FULL OUTER JOIN o ON e.k = o.k
+        ORDER BY user_id"""))
   )
 }
