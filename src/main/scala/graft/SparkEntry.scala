@@ -20,10 +20,12 @@ object SparkEntry {
   private lazy val all: Seq[(String, Q)] = modules.flatMap(_.entries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
-    * rows>0. The 6-table star join exercises scans, broadcasts,
-    * shuffle joins, decimal aggregation and ordering in one plan. */
+    * rows>0. The 4-table dim-join aggregation exercises scans,
+    * broadcasts, a shuffle join, decimal aggregation and ordering in
+    * one plan, and is robustly non-empty at the smoke scale (the
+    * 6-table q67 collapses to one ASIA row at sf0.001). */
   def entry(spark: SparkSession): DataFrame =
-    queries("q67_star_join")(spark, "/root/testdata/sf0.001")
+    queries("q03_join_dims")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
