@@ -84,4 +84,21 @@ class PlanSpec extends SparkSuite {
     val plan = planOf("q49_changelog_latest")
     assert(plan.contains("hashpartitioning(user_id"), plan)
   }
+
+  test("q74 chunking is map-local: no hash shuffle anywhere in the plan") {
+    val plan = planOf("q74_chunking")
+    // the only exchange is the final ORDER BY's range partitioning
+    assert(!plan.contains("hashpartitioning"), plan)
+  }
+
+  test("q63 centroid aggregation is two-phase (map-side combine)") {
+    val plan = planOf("q63_vector_centroids")
+    assert(plan.contains("partial_"), plan)
+  }
+
+  test("q45 range join broadcasts the band side (fact side never shuffles)") {
+    val plan = planOf("q45_range_join")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("hashpartitioning(o_totalprice"), plan)
+  }
 }
