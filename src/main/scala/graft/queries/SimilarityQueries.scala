@@ -98,6 +98,40 @@ object SimilarityQueries extends QueryModule {
           FROM embeddings)
         SELECT label, CAST(pos AS BIGINT) AS pos, COUNT(*) AS n_vecs,
                CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS centroid_micro
-        FROM comp GROUP BY label, pos ORDER BY label, pos"""))
+        FROM comp GROUP BY label, pos ORDER BY label, pos""")),
+
+    // Array algebra surface: per-vector top-3 components by value
+    // (position-tie-broken) via posexplode + per-key window — the
+    // sparsification / top-k-features primitive. Float values pass
+    // through untouched (no cross-engine summation), so the compare is
+    // bit-exact. Scale: one explode + partitioned window, map-side
+    // combine not needed.
+    "q77_array_topk_components" -> Q(
+      run = (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"))
+          .orderBy(col("v").desc, col("pos"))
+        Tables(s, dir, "embeddings")
+          .filter(col("vec_id") < 100)
+          .select(col("vec_id"), posexplode(col("embedding")))
+          .select(col("vec_id"), (col("pos") + 1).cast(LongType).as("pos"),
+            col("col").cast(DoubleType).as("v"))
+          .withColumn("rk", row_number().over(w).cast(LongType))
+          .filter(col("rk") <= 3)
+          .select(col("vec_id"), col("rk"), col("pos"), col("v"))
+          .orderBy("vec_id", "rk")
+      },
+      oracle = Some("""
+        WITH comp AS (
+          SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+                 CAST(UNNEST(embedding) AS DOUBLE) AS v
+          FROM embeddings WHERE vec_id < 100)
+        SELECT vec_id,
+               CAST(row_number() OVER (PARTITION BY vec_id
+                 ORDER BY v DESC, pos) AS BIGINT) AS rk,
+               pos, v
+        FROM comp
+        QUALIFY rk <= 3
+        ORDER BY vec_id, rk"""))
   )
 }
