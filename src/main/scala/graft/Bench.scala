@@ -31,9 +31,23 @@ object Bench {
     // ~1.5x under contention; the min is the operator's cost, the max
     // is the neighbor's. (SPARK_GRAFT_BENCH_RUNS overrides.)
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // drop every cached block before a timed run — CacheManager entries
+    // AND RDD-level blocks (localCheckpoint storage from the dedup/ANN
+    // operators). Reported numbers are therefore COLD: no run reuses a
+    // previous run's materialized intermediates, and storage memory never
+    // accumulates across the suite to squeeze execution memory (the
+    // round-2 driver bench showed exactly that failure mode: q31/q32/q66
+    // at 4-6x their idle-box cost once dozens of earlier queries' caches
+    // were resident).
+    def dropAllBlocks(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     val results = SparkEntry.benchQueries.map { name =>
       var n = -1L
       val secs = (1 to runs).map { _ =>
+        dropAllBlocks()
         val t0 = System.nanoTime()
         n = try qs(name)(spark, sfDir).count()
         catch { case e: Throwable =>

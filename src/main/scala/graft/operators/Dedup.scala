@@ -141,15 +141,19 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val signed = minhashSignatures(docs, numHashes, n, textCol, idCol)
-    // persisted: both sides of the bucket self-join reference this
-    // subtree; without it the signature aggregation runs twice
+    // eagerly checkpointed (not persist): both sides of the bucket
+    // self-join reference this subtree; without reuse the signature
+    // computation runs twice. localCheckpoint over persist because the
+    // operator returns a lazy plan — a CacheManager entry could never be
+    // unpersisted by the caller and accumulates across queries in a
+    // long-lived session; checkpoint blocks free on GC of the result.
     val banded = signed.select(
       col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val candidates = banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") &&
@@ -158,7 +162,7 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
     val sh = docs.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     candidates
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -240,7 +244,7 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(7)),
         b => call_function("shiftright", col("sh"), b * 8).bitwiseAND(0xFF))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") &&

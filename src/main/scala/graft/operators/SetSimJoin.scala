@@ -58,9 +58,16 @@ object SetSimJoin {
       .select(col("tok"), monotonically_increasing_id().as("rank"))
       .localCheckpoint(true)
 
-    // persisted: the self-join and the two verify joins each reference
-    // this subtree, and Spark re-executes unshared lineage per reference
-    // (the sides aren't canonically equal, so ReusedExchange can't help)
+    // eagerly checkpointed, NOT lazily persisted: the self-join and the
+    // two verify joins each reference this subtree, and Spark re-executes
+    // unshared lineage per reference (the sides aren't canonically equal,
+    // so ReusedExchange can't help). A CacheManager persist() here leaks —
+    // the operator returns a lazy plan, so there is no point where the
+    // caller could unpersist, and in a long-lived session the
+    // MEMORY_AND_DISK entries accumulate until they squeeze execution
+    // memory (shuffle spill everywhere). localCheckpoint materializes
+    // once, truncates lineage, and its RDD blocks are freed by the
+    // ContextCleaner as soon as the result DataFrame is dropped.
     val rankSets = tokens
       .join(ranked, Seq("tok"))
       .groupBy(col("id"))
@@ -69,12 +76,12 @@ object SetSimJoin {
       // prefix length |x| − ⌈t·|x|⌉ + 1
       .withColumn("plen",
         (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast(IntegerType))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     val prefixes = rankSets
       .select(col("id"), col("sz"),
         explode(slice(col("ranks"), lit(1), col("plen"))).as("r"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     // length filter: J ≥ t needs t·|x| ≤ |y| ≤ |x|/t — prunes the bulk
     // of prefix-bucket candidates before the distinct/verify stages

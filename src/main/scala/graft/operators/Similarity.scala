@@ -159,25 +159,38 @@ object Similarity {
       array_max(array(scored: _*)).getField("cell")
     }
     val assigned0 = corpus.withColumn("__cell", nearestCentroid(col(vecCol), seeds))
-    val refined: Array[Array[Double]] = assigned0
-      .select(col("__cell"), col(vecCol))
-      .groupBy(col("__cell"))
-      .agg(collect_list(col(vecCol)).as("vs"))
+    // Lloyd refinement DISTRIBUTED: per-(cell, component) mean via
+    // posexplode + hash agg — the q63 fixed-point pattern (quantize each
+    // component to micro units so the sum is an exact, associative,
+    // plan-invariant BIGINT). Only nlist × dim aggregate rows reach the
+    // driver; the corpus vectors themselves never do (a
+    // collect_list(embedding).collect() here would ship the whole corpus
+    // to the driver — fatal at 100 TB).
+    val compMeans = assigned0
+      .select(col("__cell"), posexplode(col(vecCol)))
+      .select(col("__cell"), col("pos"),
+        floor(col("col").cast(DoubleType) * 1000000L).cast(LongType).as("q"))
+      .groupBy(col("__cell"), col("pos"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
       .collect()
-      .map { r =>
-        val cell = r.getInt(0)
-        val vs = r.getSeq[scala.collection.Seq[Float]](1)
-        val dim = vs.head.length
-        val mean = new Array[Double](dim)
-        vs.foreach(v => (0 until dim).foreach(i => mean(i) += v(i)))
-        (cell, mean.map(_ / vs.length))
-      }.sortBy(_._1).map(_._2)
+    val dim = seeds.head.length
+    val meanByCell = Array.fill(nlist)(null: Array[Double])
+    compMeans.foreach { r =>
+      val cell = r.getInt(0)
+      if (meanByCell(cell) == null) meanByCell(cell) = new Array[Double](dim)
+      meanByCell(cell)(r.getInt(1)) = r.getLong(2).toDouble / r.getLong(3) / 1e6
+    }
+    // a cell that attracted no vectors keeps its seed centroid
+    val refined: Array[Array[Double]] =
+      (0 until nlist).map(i => Option(meanByCell(i)).getOrElse(seeds(i))).toArray
 
+    // no persist: the assignment subtree feeds exactly one join below,
+    // so caching it would only leak a CacheManager entry the caller can
+    // never unpersist
     val assigned = corpus
       .withColumn("__cell", nearestCentroid(col(vecCol), refined))
       .withColumn("__cn",
         sqrt(dotProduct(col(vecCol), col(vecCol))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // each query probes its nprobe nearest cells
     val probeCells = {

@@ -307,8 +307,9 @@ object TextQueries extends QueryModule {
           FROM documents),
         pos AS (
           SELECT doc_id, n_tok,
-                 COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS stream_pos
+                 CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS stream_pos
           FROM c)
         SELECT doc_id, n_tok, stream_pos,
                CAST(FLOOR(stream_pos / 512.0) AS BIGINT) AS pack_id

@@ -86,15 +86,20 @@ object VersionedTable {
     latestVersion(root).map(_ + 1).getOrElse(0L)
 
   /** Write `df`'s rows as new data files under `data/`, returning their
-    * paths (staged via a temp dir, then renamed in — never copied). */
+    * paths (staged via a temp dir, then renamed in — never copied).
+    * Names carry a writer-unique nonce besides the target version: two
+    * writers racing toward the same version must never stage onto the
+    * same path, or the commit loser's cleanup would delete the winner's
+    * data (exactly the Delta/Iceberg convention of UUID part files). */
   private def stageDataFiles(df: DataFrame, root: String, v: Long): Seq[String] = {
-    val staging = new File(root, s"_staging_v$v")
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new File(root, s"_staging_v$v-$nonce")
     df.write.mode(SaveMode.Overwrite).parquet(staging.getPath)
     dataDir(root).mkdirs()
     val moved = staging.listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       .zipWithIndex.map { case (f, i) =>
-        val dst = new File(dataDir(root), f"v$v%05d-$i%05d.parquet")
+        val dst = new File(dataDir(root), f"v$v%05d-$nonce-$i%05d.parquet")
         Files.move(f.toPath, dst.toPath, StandardCopyOption.ATOMIC_MOVE)
         dst.getPath
       }.toSeq
@@ -133,18 +138,68 @@ object VersionedTable {
     readVersion(spark, root,
       latestVersion(root).getOrElse(sys.error(s"no versions at $root")))
 
-  /** Copy-on-write MERGE (upsert): rows of `source` replace target rows
-    * sharing `keyCols`; unmatched source rows are inserted. Commits the
-    * rewritten table as a new version. At 100 TB the same protocol
-    * rewrites only the files whose key ranges intersect the source
-    * (file-level pruning via the clustered layout — Lake.writeClustered);
-    * rewriting everything is the correct simple form at test scale. */
+  /** Copy-on-write MERGE (upsert) with file-level pruning and
+    * optimistic-commit retry — the Delta `DeltaTable.merge` role the
+    * reference relies on (spark_config.py:20-24):
+    *
+    *  - **phase 1 (prune)**: a semi-join of the target against the
+    *    distinct source keys, carrying only the `_metadata.file_path`
+    *    column, finds the files that actually contain a matched key.
+    *    Untouched files are carried into the new manifest AS-IS — never
+    *    re-read, never rewritten (at 100 TB a merge touching 0.1% of
+    *    keys rewrites ~0.1% of files, not the table);
+    *  - **phase 2 (rewrite)**: only the touched files are re-read;
+    *    matched rows are dropped (anti-join) and the full source
+    *    (updates + inserts) is appended to the rewrite;
+    *  - **commit**: optimistic — if another writer committed the target
+    *    version first, the staged files are discarded and the WHOLE
+    *    merge re-runs against the new snapshot (recomputing, not just
+    *    re-committing: the conflicting commit may have changed rows this
+    *    merge must see), up to `maxRetries` times.
+    *
+    * `beforeCommit` is a test seam fired immediately before each commit
+    * attempt (lets a spec inject a racing writer deterministically).
+    * Rows of `source` replace target rows sharing `keyCols`; unmatched
+    * source rows are inserted. Returns the committed version. */
   def merge(spark: SparkSession, root: String, source: DataFrame,
-            keyCols: Seq[String]): Long = {
-    val target = read(spark, root)
-    val kept = target.join(
-      source.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
-    overwrite(kept.unionByName(source.select(target.columns.map(col): _*)), root)
+            keyCols: Seq[String], maxRetries: Int = 5,
+            beforeCommit: () => Unit = () => ()): Long = {
+    // materialized once — reused by the prune semi-join and the rewrite
+    // anti-join on every attempt; blocks free on GC (no CacheManager leak)
+    val srcKeys = source.select(keyCols.map(col): _*).distinct()
+      .localCheckpoint(true)
+    var attempt = 0
+    while (true) {
+      val base = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
+      val files = readManifest(root, base)
+      val target = spark.read.option("mergeSchema", "true").parquet(files: _*)
+      val outCols = target.columns.toSeq
+      val touchedNames = target
+        .withColumn("__file", col("_metadata.file_path"))
+        .join(srcKeys, keyCols, "left_semi")
+        .select(col("__file")).distinct()
+        .collect().map(_.getString(0).split('/').last).toSet
+      val (touched, untouched) =
+        files.partition(f => touchedNames.contains(f.split('/').last))
+      val src = source.select(outCols.map(col): _*)
+      val rewritten =
+        if (touched.isEmpty) src // pure insert — nothing to rewrite
+        else spark.read.option("mergeSchema", "true").parquet(touched: _*)
+          .join(srcKeys, keyCols, "left_anti")
+          .unionByName(src, allowMissingColumns = true)
+          .select(outCols.map(col): _*)
+      val v = base + 1
+      val staged = stageDataFiles(rewritten, root, v)
+      beforeCommit()
+      try return commitManifest(root, v, untouched ++ staged)
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          staged.foreach(p => Files.deleteIfExists(new File(p).toPath))
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
   }
 
   /** RESTORE: commit a new version whose manifest is version `v`'s file

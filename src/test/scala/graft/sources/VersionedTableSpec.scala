@@ -81,6 +81,75 @@ class VersionedTableSpec extends SparkSuite {
     assert(VersionedTable.readVersion(spark, root, 0).columns.toSet == Set("k", "v"))
   }
 
+  private def md5OfDataFiles(root: String): Map[String, String] =
+    new java.io.File(root, "data").listFiles().map { f =>
+      val bytes = Files.readAllBytes(f.toPath)
+      f.getName -> java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).map("%02x".format(_)).mkString
+    }.toMap
+
+  test("merge rewrites only files containing matched keys (file-pruned COW)") {
+    import spark.implicits._
+    val root = tmpRoot()
+    // one data file per batch so the pruning boundary is exact
+    VersionedTable.overwrite(Seq((1, "a"), (2, "b")).toDF("k", "v").coalesce(1), root)
+    VersionedTable.append(Seq((10, "x"), (11, "y")).toDF("k", "v").coalesce(1), root)
+    val manifestBefore = VersionedTable.readVersion(spark, root, 1)
+    val before = md5OfDataFiles(root)
+    assert(before.size == 2)
+    val untouchedName = new java.io.File(root, "data").listFiles()
+      .map(_.getName).find(_.startsWith("v00000")).get
+
+    // source touches only the second file's keys (update 10, insert 12)
+    VersionedTable.merge(spark, root,
+      Seq((10, "X"), (12, "n")).toDF("k", "v"), Seq("k"))
+
+    val after = md5OfDataFiles(root)
+    // the v0 file (keys 1,2 — no match) survives byte-identical AND is
+    // referenced by the new manifest; the v1 file was replaced
+    assert(after(untouchedName) == before(untouchedName))
+    val m = classOf[VersionedTable.type].getDeclaredMethods
+      .find(_.getName == "readManifest").get
+    m.setAccessible(true)
+    val latestFiles = m.invoke(VersionedTable, root, java.lang.Long.valueOf(2L))
+      .asInstanceOf[Seq[String]]
+    assert(latestFiles.exists(_.endsWith(untouchedName)))
+    assert(!latestFiles.exists(_.split('/').last.startsWith("v00001-")))
+    assert(VersionedTable.read(spark, root).as[(Int, String)].collect().toSet
+      == Set((1, "a"), (2, "b"), (10, "X"), (11, "y"), (12, "n")))
+    // time travel unaffected
+    assert(manifestBefore.count() == 4)
+  }
+
+  test("merge retries on commit conflict and re-merges against the new snapshot") {
+    import spark.implicits._
+    val root = tmpRoot()
+    VersionedTable.overwrite(Seq((1, "a"), (2, "b")).toDF("k", "v"), root)
+    var raced = false
+    val v = VersionedTable.merge(spark, root,
+      Seq((2, "B")).toDF("k", "v"), Seq("k"),
+      beforeCommit = () => if (!raced) {
+        raced = true // a racing writer lands version 1 first
+        VersionedTable.append(Seq((5, "e")).toDF("k", "v"), root)
+      })
+    // loser retried: its commit is version 2 and it SEES the racer's row
+    assert(v == 2L)
+    assert(VersionedTable.read(spark, root).as[(Int, String)].collect().toSet
+      == Set((1, "a"), (2, "B"), (5, "e")))
+  }
+
+  test("merge gives up after maxRetries under persistent conflict") {
+    import spark.implicits._
+    val root = tmpRoot()
+    VersionedTable.overwrite(Seq((1, "a")).toDF("k", "v"), root)
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      VersionedTable.merge(spark, root,
+        Seq((1, "A")).toDF("k", "v"), Seq("k"), maxRetries = 1,
+        beforeCommit = () =>
+          VersionedTable.append(Seq((99, "z")).toDF("k", "v"), root))
+    }
+  }
+
   test("concurrent commit of the same version: exactly one wins") {
     import spark.implicits._
     val root = tmpRoot()
