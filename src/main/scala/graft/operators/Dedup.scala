@@ -232,6 +232,80 @@ object Dedup {
     out
   }
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — same interface and output as `connectedComponents`, for
+    * adversarially DEEP graphs: min-label propagation needs rounds ≈
+    * diameter (a d-link chain costs d rounds), while the star operations
+    * contract tree height multiplicatively → O(log n) rounds.
+    *
+    * Per round, on the canonical (u < v) edge set:
+    *  - LARGE-STAR: every node links its strictly-larger neighbors to
+    *    min(N(u) ∪ {u});
+    *  - SMALL-STAR: orienting edges toward the larger endpoint, every
+    *    node links its smaller neighbors and itself to their minimum.
+    * Both are one groupBy + one equi-join on the edge list — the same
+    * BSP shuffle shape as a min-label round, just a smarter rewiring.
+    * Fixpoint (= edges form stars rooted at component minima) is
+    * detected exactly: equal edge count AND an empty anti-join.
+    */
+  def connectedComponentsStar(pairs: DataFrame, nodes: DataFrame,
+                              maxIter: Int = 50): DataFrame =
+    connectedComponentsStarWithRounds(pairs, nodes, maxIter)._1
+
+  /** As `connectedComponentsStar`, also returning the round count (the
+    * O(log n) convergence claim is spec-asserted via this). */
+  def connectedComponentsStarWithRounds(pairs: DataFrame, nodes: DataFrame,
+                                        maxIter: Int = 50): (DataFrame, Int) = {
+    def canon(e: DataFrame): DataFrame = e
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      canon(sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("m").as("u"), col("v")))
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // e is canonical (u < v): grouping by the LARGER endpoint v gives
+      // exactly the ≤-neighborhood; its min is min(N ∪ {v})
+      val mins = e.groupBy(col("v")).agg(min(col("u")).as("m"))
+      val withM = e.join(mins, Seq("v"))
+      canon(withM.filter(col("u") =!= col("m"))
+        .select(col("m").as("u"), col("u").as("v"))
+        .union(mins.select(col("m").as("u"), col("v"))))
+    }
+
+    var edges = canon(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
+      .localCheckpoint(true)
+    var converged = edges.isEmpty
+    var i = 0
+    while (!converged && i < maxIter) {
+      // per-round localCheckpoint: persist does not truncate lineage and
+      // an iterated join/agg plan doubles per round (see
+      // connectedComponents)
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges.unpersist()
+      edges = next
+      i += 1
+    }
+    require(converged, s"connectedComponentsStar did not converge in $maxIter rounds")
+    // at fixpoint every edge is (root, member)
+    val labels = edges.select(col("v").as("node"), col("u").as("lbl"))
+    val out = nodes.select(col(nodes.columns.head).as("id"))
+      .join(labels, col("id") === col("node"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("component"))
+    (out, i)
+  }
+
   /** Near-duplicate pairs by SimHash Hamming distance ≤ `maxDist`.
     * Candidates via 8×8-bit band buckets (pigeonhole: Hamming ≤ 7 ⇒ at
     * least one band identical), verified with bit_count(a XOR b). */

@@ -65,6 +65,36 @@ object LakeQueries extends QueryModule {
                CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
         FROM part GROUP BY 1 ORDER BY 1""")),
 
+    // S3/S7 multiline round-trip: parquet → single-file JSON ARRAY
+    // exchange sink (the crawlers' json.dump shape) → multiline JSON
+    // scan with explicit schema → aggregate. Oracle reads the original
+    // parquet — equality proves the array writer/multiline reader pair
+    // is lossless.
+    "q79_json_multiline_roundtrip" -> Q(
+      run = (s, dir) => {
+        val tmp = Files.createTempDirectory("graft_json_ml")
+          .resolve("nation.json").toString
+        Lake.writeJsonArray(
+          Tables(s, dir, "nation")
+            .select(col("n_nationkey").cast(LongType).as("n_nationkey"),
+              col("n_name"), col("n_regionkey").cast(LongType).as("n_regionkey")),
+          tmp)
+        val schema = StructType(Seq(
+          StructField("n_nationkey", LongType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", LongType)))
+        Lake.readJsonMultiline(s, tmp, Some(schema))
+          .groupBy(col("n_regionkey"))
+          .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"),
+            max(col("n_nationkey")).as("max_key"))
+          .orderBy("n_regionkey")
+      },
+      oracle = Some("""
+        SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, COUNT(*) AS n,
+               MIN(n_name) AS first_name,
+               CAST(MAX(n_nationkey) AS BIGINT) AS max_key
+        FROM nation GROUP BY 1 ORDER BY 1""")),
+
     // ROLLUP grouping sets (beyond-reference relational surface).
     "q28_rollup" -> Q(
       run = (s, dir) =>

@@ -313,6 +313,43 @@ object TextQueries extends QueryModule {
           FROM c)
         SELECT doc_id, n_tok, stream_pos,
                CAST(FLOOR(stream_pos / 512.0) AS BIGINT) AS pack_id
-        FROM pos ORDER BY doc_id"""))
+        FROM pos ORDER BY doc_id""")),
+
+    // Batched model scoring through the SentimentScorer trait — the
+    // Spark-side inference shape of the reference's transformer scorer
+    // (sentiment_analysis.py:61-84: batches of 16 per forward pass).
+    // The deterministic lexicon impl (corpus-tuned vocabulary) stands in
+    // for the model, so the batching/mapPartitions plumbing — schema,
+    // batch grouping, row reassembly — is what the oracle verifies.
+    // r4 rounding parity: both engines compute round((cnt/n)*1e4)/1e4
+    // with the same IEEE op order; positives round half-up identically.
+    "q78_sentiment_batch" -> Q(
+      run = (s, dir) => {
+        val scorer = new graft.scoring.LexiconScorer(
+          Set("fast", "big", "merge"), Set("slow", "small", "error"))
+        graft.scoring.Sentiment.scoreReviewsBatched(
+          Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+          "text", scorer)
+          .select(col("doc_id"), col("POS"), col("NEG"), col("NEU"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), t -> t != '') AS ts
+          FROM documents),
+        cnt AS (
+          SELECT doc_id,
+                 CAST(len(ts) AS DOUBLE) AS n,
+                 CAST(len(list_filter(ts,
+                   t -> t IN ('fast', 'big', 'merge'))) AS DOUBLE) AS p,
+                 CAST(len(list_filter(ts,
+                   t -> t IN ('slow', 'small', 'error'))) AS DOUBLE) AS ng
+          FROM toks)
+        SELECT doc_id,
+               ROUND(p / n * 10000) / 10000.0 AS POS,
+               ROUND(ng / n * 10000) / 10000.0 AS NEG,
+               ROUND((n - p - ng) / n * 10000) / 10000.0 AS NEU
+        FROM cnt ORDER BY doc_id"""))
   )
 }

@@ -16,6 +16,15 @@ trait SentimentScorer extends Serializable {
   /** Returns (POS, NEG, NEU), each in [0,1], 4-decimal rounded
     * (sentiment_analysis.py:76-82 contract). */
   def score(text: String): (Double, Double, Double)
+
+  /** Score a whole batch in one call — the shape a transformer model
+    * wants (the reference feeds the tokenizer batches of 16,
+    * sentiment_analysis.py:61-84, because per-row inference wastes the
+    * accelerator). Default: per-row delegation, so pure-function
+    * scorers need only implement `score`; a model-backed impl overrides
+    * this with one padded forward pass per batch. */
+  def scoreBatch(texts: Seq[String]): Seq[(Double, Double, Double)] =
+    texts.map(score)
 }
 
 /** Language routing contract (langdetect's role, sentiment_analysis
@@ -33,14 +42,11 @@ object DiacriticLanguageDetector extends LanguageDetector {
 }
 
 /** Deterministic lexicon scorer: positive/negative token ratios with
-  * the remainder as neutral mass. */
-object LexiconSentimentScorer extends SentimentScorer {
-  private val Positive = Set(
-    "tốt", "tuyệt", "hài", "lòng", "sạch", "nhanh", "thân", "thiện", "êm",
-    "good", "great", "excellent", "clean", "friendly", "comfortable", "nice")
-  private val Negative = Set(
-    "tệ", "bẩn", "chậm", "trễ", "xấu", "kém", "hỏng",
-    "bad", "dirty", "late", "slow", "terrible", "broken", "rude")
+  * the remainder as neutral mass. Lexicons are constructor parameters
+  * so a pipeline can score any domain's vocabulary through the same
+  * contract. */
+class LexiconScorer(positive: Set[String], negative: Set[String])
+    extends SentimentScorer {
 
   private def r4(x: Double): Double = math.round(x * 10000.0) / 10000.0
 
@@ -50,12 +56,19 @@ object LexiconSentimentScorer extends SentimentScorer {
     // diacritic letters out of their words
     val toks = text.toLowerCase.split("(?U)\\W+").filter(_.nonEmpty)
     if (toks.isEmpty) return (0.0, 0.0, 1.0)
-    val pos = toks.count(Positive.contains).toDouble
-    val neg = toks.count(Negative.contains).toDouble
+    val pos = toks.count(positive.contains).toDouble
+    val neg = toks.count(negative.contains).toDouble
     val n = toks.length.toDouble
     (r4(pos / n), r4(neg / n), r4((n - pos - neg) / n))
   }
 }
+
+/** Default review-domain lexicon (Vietnamese + English). */
+object LexiconSentimentScorer extends LexiconScorer(
+  Set("tốt", "tuyệt", "hài", "lòng", "sạch", "nhanh", "thân", "thiện", "êm",
+    "good", "great", "excellent", "clean", "friendly", "comfortable", "nice"),
+  Set("tệ", "bẩn", "chậm", "trễ", "xấu", "kém", "hỏng",
+    "bad", "dirty", "late", "slow", "terrible", "broken", "rude"))
 
 object Sentiment {
 
@@ -82,5 +95,33 @@ object Sentiment {
   def langOf(detector: LanguageDetector): Column => Column = {
     val u = udf((t: String) => detector.detect(t))
     c => u(c)
+  }
+
+  /** Batched inference through the scorer trait — the Spark-side shape
+    * the reference's transformer scoring needs (sentiment_analysis
+    * .py:61-84 feeds the model 16 comments per forward pass): one
+    * mapPartitions, each partition's rows grouped into `batchSize`
+    * batches, ONE `scoreBatch` call per batch. Executors each hold their
+    * own scorer (broadcast via closure — a model impl lazily loads its
+    * weights once per executor), no per-row model dispatch, no data
+    * movement: scoring is a map-local projection, embarrassingly
+    * parallel over partitions at any corpus size. */
+  def scoreReviewsBatched(reviews: DataFrame, commentCol: String,
+                          scorer: SentimentScorer = LexiconSentimentScorer,
+                          batchSize: Int = 16): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructType}
+    val outSchema = StructType(reviews.schema
+      .add("POS", DoubleType).add("NEG", DoubleType).add("NEU", DoubleType))
+    val idx = reviews.schema.fieldIndex(commentCol)
+    reviews.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val scores = scorer.scoreBatch(
+          batch.map(r => if (r.isNullAt(idx)) null else r.getString(idx)))
+        batch.lazyZip(scores).map { case (r, (p, n, u)) =>
+          Row.fromSeq(r.toSeq ++ Seq(p, n, u))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 }

@@ -126,6 +126,47 @@ object Lake {
   def writeSingleJson(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite).json(path)
 
+  /** S7 variant — JSON ARRAY exchange file: one file holding a single
+    * multiline JSON array, the exact shape the reference's crawlers
+    * exchange (`json.dump(list_of_records)`, crawl_faci.py:312-314);
+    * read back with `readJsonMultiline` (S3). Exchange files only — the
+    * array is assembled from ONE coalesced part file, so this is for
+    * dim-sized handoffs, never fact-scale data. */
+  def writeJsonArray(df: DataFrame, path: String): Unit = {
+    import java.nio.charset.StandardCharsets
+    val staging = path + "__lines"
+    writeSingleJson(df, staging)
+    val part = new java.io.File(staging).listFiles()
+      .find(_.getName.endsWith(".json"))
+      .getOrElse(sys.error(s"no part file written under $staging"))
+    val records = scala.jdk.CollectionConverters.CollectionHasAsScala(
+      java.nio.file.Files.readAllLines(part.toPath, StandardCharsets.UTF_8))
+      .asScala.filter(_.nonEmpty)
+    val target = new java.io.File(path)
+    Option(target.getParentFile).foreach(_.mkdirs())
+    java.nio.file.Files.write(target.toPath,
+      records.mkString("[\n", ",\n", "\n]").getBytes(StandardCharsets.UTF_8))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(staging))
+  }
+
+  /** Serving-catalog registration (to_gold.py:221-228 plus the Hive
+    * Metastore/Presto role, hive/Dockerfile:1-5): persist each output as
+    * a catalog table under `db` so any SQL-over-catalog client can query
+    * the gold layer by name. Overwrite save mode → re-running the gold
+    * job re-registers idempotently (same names, fresh data, no
+    * duplicate tables). */
+  def registerCatalog(spark: SparkSession, db: String,
+                      tables: Seq[(String, DataFrame)]): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    tables.foreach { case (name, df) =>
+      df.write.mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable(s"$db.$name")
+    }
+  }
+
   /** Merge-and-renumber exchange protocol (crawl_faci.py:317-338): new
     * records union'd by name onto the existing exchange file, ids
     * renumbered to continue from the existing max, rewritten as a

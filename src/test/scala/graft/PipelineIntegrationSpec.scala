@@ -187,6 +187,57 @@ class PipelineIntegrationSpec extends SparkSuite {
     assert(back.count() == 2)
   }
 
+  test("gold catalog registration: 8 gold outputs + audit, idempotent re-run") {
+    import spark.implicits._
+    val d = java.sql.Date.valueOf("2025-06-01")
+    val ticket = Seq(
+      (1, "B01", "Phương Trang", d, "HCM - Cần Thơ", "06:30", 3.5f,
+        "giường nằm", 150000, "giường nằm"),
+      (2, "B02", "Thành Bưởi", d, "HCM - Đà Lạt", "22:00", 7.0f,
+        "limousine", 300000, "limousine giường nằm"))
+      .toDF("Bus_Key", "Bus_Id", "Bus_Name", "Start_Date", "Route",
+        "Departure_Time", "Duration", "Type_Bus", "Price", "Bus_Type_Category")
+    val vi = Seq((1, "B01", "Phương Trang", "xe tốt", 0.8, 0.1))
+      .toDF("Review_Key", "Bus_Id", "Bus_Name", "Comment", "POS", "NEG")
+    val en = Seq((2, "B02", "Thành Bưởi", "late bus", 0.2, 0.7))
+      .toDF("Review_Key", "Bus_Id", "Bus_Name", "Comment", "POS", "NEG")
+    val facility = Seq(("B01", "Phương Trang", 1))
+      .toDF("Bus_Id", "Bus_Name", "Facility_Id")
+    val facilityName = Seq(("Wifi", 1)).toDF("Facility_Name", "Facility_Id")
+    val auditPath = s"$root/audit_catalog"
+    AuditLogger.log(spark, auditPath, Seq(AuditRecord(
+      "01-06-2025", "kltn", "gold_register", "success",
+      "01-06-2025", "01-06-2025", 1.0, 1, "local")))
+
+    // the to_gold.py:221-228 shape: every gold output + the audit table
+    // registered under one serving database
+    def outputs = Seq(
+      "gold_q1" -> GoldQueries.q1(ticket),
+      "gold_q2" -> GoldQueries.q2(ticket, vi, en),
+      "gold_q3" -> GoldQueries.q3(ticket),
+      "gold_q4" -> GoldQueries.q4(ticket),
+      "gold_q5" -> GoldQueries.q5(vi),
+      "gold_q6" -> GoldQueries.q6(vi, en),
+      "gold_q7" -> GoldQueries.q7(ticket),
+      "gold_q8" -> GoldQueries.q8(facility, facilityName),
+      "audit" -> Lake.read(spark, auditPath))
+
+    Lake.registerCatalog(spark, "gold", outputs)
+    val counts = outputs.map { case (n, _) =>
+      n -> spark.table(s"gold.$n").count()
+    }.toMap
+    // re-running the gold job re-registers without duplicating tables
+    // or rows (the reference's daily DAG re-runs to_gold every day)
+    Lake.registerCatalog(spark, "gold", outputs)
+    outputs.foreach { case (n, _) =>
+      assert(spark.catalog.tableExists(s"gold.$n"), s"missing gold.$n")
+      assert(spark.table(s"gold.$n").count() == counts(n), s"count drift in gold.$n")
+    }
+    assert(spark.catalog.listTables("gold").count() == 9)
+    // a SQL-over-catalog client sees the gold layer by name
+    assert(spark.sql("SELECT COUNT(*) FROM gold.gold_q1").head().getLong(0) > 0)
+  }
+
   test("versioned silver: replayed daily batch is idempotent via MERGE") {
     import spark.implicits._
     val tbl = s"$root/vt_silver"

@@ -80,4 +80,32 @@ class DedupSpec extends SparkSuite {
       .map(r => r.getLong(1)).toSet
     assert(got == Set(0L))
   }
+
+  test("star connected components agree with min-label on mixed graphs") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L), (5L, 7L),
+      (20L, 11L), (11L, 15L))
+      .toDF("id_a", "id_b")
+    val nodes = (Seq(1L, 2L, 3L, 5L, 6L, 7L, 9L, 11L, 15L, 20L)).toDF("id")
+    val star = Dedup.connectedComponentsStar(pairs, nodes).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val label = Dedup.connectedComponents(pairs, nodes).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == label)
+    assert(star(9L) == 9L) // singleton maps to itself
+  }
+
+  test("star components: 1000-link chain converges in O(log n) rounds") {
+    import spark.implicits._
+    // adversarially deep: diameter 1000 — min-label propagation would
+    // need 1000 rounds; the star alternation contracts multiplicatively
+    val pairs = (0L until 1000L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val nodes = (0L to 1000L).toDF("id")
+    val (out, rounds) =
+      Dedup.connectedComponentsStarWithRounds(pairs, nodes, maxIter = 30)
+    assert(out.select("component").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(0L))
+    assert(out.count() == 1001)
+    assert(rounds <= 20, s"took $rounds rounds — not O(log n)")
+  }
 }

@@ -35,4 +35,34 @@ class SentimentSpec extends SparkSuite {
     assert(rows(0).getAs[Double]("POS") == 0.5)
     assert(rows(1).getAs[Double]("NEG") == 1.0)
   }
+
+  test("batched scoring equals per-row scoring, rows stay aligned") {
+    import spark.implicits._
+    val raw = (1 to 100)
+      .map(i => (i.toLong, if (i % 3 == 0) s"good trip $i" else s"bad seat $i"))
+      .toDF("id", "Comment")
+      .repartition(7) // uneven partitions → ragged trailing batches
+    val batched = Sentiment.scoreReviewsBatched(raw, "Comment")
+      .select("id", "POS", "NEG", "NEU").orderBy("id").collect()
+    val perRow = Sentiment.scoreReviews(raw, "Comment")
+      .select("id", "POS", "NEG", "NEU").orderBy("id").collect()
+    assert(batched.toSeq == perRow.toSeq)
+  }
+
+  test("scorer receives batches of at most batchSize texts") {
+    import spark.implicits._
+    // probe scorer: leaks the observed batch size through POS
+    object BatchProbe extends SentimentScorer {
+      override def score(text: String) = (0.0, 0.0, 1.0)
+      override def scoreBatch(texts: Seq[String]) =
+        texts.map(_ => (texts.size.toDouble, 0.0, 0.0))
+    }
+    val raw = (1 to 100).map(i => (i.toLong, s"c$i")).toDF("id", "Comment")
+      .repartition(2)
+    val sizes = Sentiment.scoreReviewsBatched(raw, "Comment", BatchProbe, 16)
+      .select("POS").collect().map(_.getDouble(0))
+    assert(sizes.max <= 16.0)
+    // 100 rows over 2 partitions → full batches dominate
+    assert(sizes.count(_ == 16.0) >= 80)
+  }
 }
