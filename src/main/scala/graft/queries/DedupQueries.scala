@@ -109,6 +109,46 @@ object DedupQueries extends QueryModule {
           UNION
           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
         SELECT node AS doc_id, MIN(lbl) AS component
+        FROM reach GROUP BY node ORDER BY doc_id""")),
+
+    // Same pairs → groups reduction through the LARGE-STAR/SMALL-STAR
+    // alternation (Kiveris et al.) — the O(log n)-round path for
+    // adversarially deep dedup graphs. Same recursive-CTE oracle as
+    // q66: both component algorithms must produce identical labels.
+    // bench=false: it would re-run q31's candidate generation verbatim —
+    // correctness gate only; q66 stays the benchmarked groups query.
+    "q80_dedup_groups_star" -> Q(
+      bench = false,
+      run = (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Dedup.connectedComponentsStar(
+          Dedup.ngramJaccardPairs(docs, threshold = 0.8),
+          docs.select(col("doc_id")))
+          .select(col("id").as("doc_id"), col("component"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id,
+                 list_distinct([string_split(text, ' ')[i] || ' ' ||
+                                string_split(text, ' ')[i+1] || ' ' ||
+                                string_split(text, ' ')[i+2]
+                                for i in range(1, len(string_split(text, ' ')) - 1)]) AS s
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+        SELECT node AS doc_id, MIN(lbl) AS component
         FROM reach GROUP BY node ORDER BY doc_id"""))
   )
 }

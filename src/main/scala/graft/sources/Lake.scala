@@ -162,6 +162,20 @@ object Lake {
                       tables: Seq[(String, DataFrame)]): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     tables.foreach { case (name, df) =>
+      // a location orphaned by a previous session's in-memory catalog
+      // (metadata gone, directory still on disk) blocks CREATE TABLE —
+      // clear it, exactly as writeBucketed does
+      if (!spark.catalog.tableExists(s"$db.$name")) {
+        val loc = new java.io.File(
+          new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+            .getPath + s"/$db.db/$name")
+        if (loc.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+          }
+          rm(loc)
+        }
+      }
       df.write.mode(SaveMode.Overwrite).format("parquet")
         .saveAsTable(s"$db.$name")
     }

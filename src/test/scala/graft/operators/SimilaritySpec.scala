@@ -56,6 +56,40 @@ class SimilaritySpec extends SparkSuite {
     assert(perQuery.forall(_ == 5))
   }
 
+  test("ivfTopK ships no corpus-sized collect to the driver") {
+    // sf0.01 corpus: 500 x 64-float vectors = 128 KB raw. The IVF
+    // build may collect seeds (nlist vectors) and the refined centroid
+    // aggregates (nlist x dim rows) — NOT the corpus. Sum every task's
+    // driver-bound resultSize across the whole build+query and assert
+    // it stays far below the corpus size: a collect of the vectors
+    // (the round-2 Lloyd refinement bug) trips this immediately.
+    val big = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val corpusBytes = big.count() * 64 * 4
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) bytes.addAndGet(t.taskMetrics.resultSize)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = Similarity
+        .ivfTopK(big.filter(col("vec_id") < 32), big, 5, nlist = 16, nprobe = 4)
+        .count()
+      assert(n == 32 * 5)
+      // listener events are posted async — wait for the byte count to
+      // go quiet before judging it
+      var last = -1L
+      var spins = 0
+      while (bytes.get() != last && spins < 50) {
+        last = bytes.get(); Thread.sleep(100); spins += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    info(s"driver-bound task-result bytes: ${bytes.get()} (corpus ≈ $corpusBytes)")
+    assert(bytes.get() < corpusBytes / 2,
+      s"driver received ${bytes.get()} B — corpus-sized collect suspected")
+  }
+
   test("cosineNearDupPairs is symmetric-free (a<b) and thresholded") {
     val pairs = Similarity.cosineNearDupPairs(emb, 0.4).collect()
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
