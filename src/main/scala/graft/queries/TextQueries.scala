@@ -350,6 +350,75 @@ object TextQueries extends QueryModule {
                ROUND(p / n * 10000) / 10000.0 AS POS,
                ROUND(ng / n * 10000) / 10000.0 AS NEG,
                ROUND((n - p - ng) / n * 10000) / 10000.0 AS NEU
-        FROM cnt ORDER BY doc_id"""))
+        FROM cnt ORDER BY doc_id""")),
+
+    // Corpus bigram LM counts — the n-gram language-model table every
+    // pretraining pipeline builds. Sequential (multiset) bigrams, NOT
+    // the distinct shingle sets dedup uses: assembled map-locally with
+    // sequence + element_at (no UDF), then ONE count shuffle with
+    // map-side combine; top-100 by a total order so LIMIT is
+    // deterministic. At 100 TB the same plan holds — the shuffle
+    // carries one row per distinct bigram per partition.
+    "q81_bigram_counts" -> Q(
+      run = (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 2)
+          .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+            i => concat(element_at(col("w"), i), lit(" "),
+              element_at(col("w"), i + 1)))).as("bigram"))
+          .groupBy(col("bigram"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("bigram"))
+          .limit(100),
+      oracle = Some("""
+        WITH w AS (
+          SELECT string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+        b AS (
+          SELECT UNNEST([w[i] || ' ' || w[i+1]
+                         for i in range(1, len(w))]) AS bigram FROM w)
+        SELECT bigram, COUNT(*) AS n FROM b
+        GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""")),
+
+    // Benchmark decontamination — flag corpus documents sharing ≥ 5
+    // distinct 3-grams with a benchmark set (docs 0-9 stand in for the
+    // eval suite). The scale shape is the one that matters: benchmark
+    // n-gram sets are tiny next to the corpus, so the overlap check is
+    // a BROADCAST semi-join against the corpus's exploded shingles —
+    // the corpus is never shuffled, and per-doc overlap is a map-side
+    // combined count.
+    "q82_decontaminate" -> Q(
+      run = (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val shingle3 = (c: org.apache.spark.sql.Column) =>
+          graft.functions.TextFunctions.wordShingles(c, 3)
+        val docSh = docs.filter(col("doc_id") >= 10)
+          .select(col("doc_id"), explode(shingle3(col("text"))).as("sh"))
+        val benchSh = docs.filter(col("doc_id") < 10)
+          .select(explode(shingle3(col("text"))).as("sh")).distinct()
+        docSh.join(broadcast(benchSh), Seq("sh"))
+          .groupBy(col("doc_id"))
+          // wordShingles is per-doc DISTINCT and benchSh is distinct →
+          // one joined row per shared n-gram
+          .agg(count(lit(1)).as("overlap_ngrams"))
+          .filter(col("overlap_ngrams") >= 5)
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct([string_split(text, ' ')[i] || ' ' ||
+                                string_split(text, ' ')[i+1] || ' ' ||
+                                string_split(text, ' ')[i+2]
+                                for i in range(1, len(string_split(text, ' ')) - 1)]) AS s
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+        bench AS (
+          SELECT list_distinct(flatten(list(s))) AS bs FROM sh WHERE doc_id < 10)
+        SELECT doc_id, CAST(len(list_intersect(s, bs)) AS BIGINT) AS overlap_ngrams
+        FROM sh, bench
+        WHERE doc_id >= 10 AND len(list_intersect(s, bs)) >= 5
+        ORDER BY doc_id"""))
   )
 }

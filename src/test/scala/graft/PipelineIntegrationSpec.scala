@@ -233,7 +233,10 @@ class PipelineIntegrationSpec extends SparkSuite {
       assert(spark.catalog.tableExists(s"gold.$n"), s"missing gold.$n")
       assert(spark.table(s"gold.$n").count() == counts(n), s"count drift in gold.$n")
     }
-    assert(spark.catalog.listTables("gold").count() == 9)
+    // listTables also reports session temp views (other suites register
+    // them on the shared session) — count only permanent tables
+    assert(spark.catalog.listTables("gold")
+      .filter(!_.isTemporary).count() == 9)
     // a SQL-over-catalog client sees the gold layer by name
     assert(spark.sql("SELECT COUNT(*) FROM gold.gold_q1").head().getLong(0) > 0)
   }

@@ -101,4 +101,19 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("hashpartitioning(o_totalprice"), plan)
   }
+
+  test("q81 bigram counts: partial aggregation before the one count shuffle") {
+    val plan = planOf("q81_bigram_counts")
+    assert(plan.contains("partial_count"), plan)
+    // top-100 must be TakeOrdered, not a global sort of all bigrams
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q82 decontamination: benchmark set broadcast, corpus never shuffled pre-agg") {
+    val plan = planOf("q82_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the only hash shuffle is the per-doc overlap aggregation
+    assert("hashpartitioning\\(doc_id".r.findAllIn(plan).nonEmpty, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }

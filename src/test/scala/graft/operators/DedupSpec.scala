@@ -95,6 +95,33 @@ class DedupSpec extends SparkSuite {
     assert(star(9L) == 9L) // singleton maps to itself
   }
 
+  test("star and min-label agree with a driver union-find on random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30
+      val edgeList = Seq.fill(35)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // ground truth: driver union-find attaching larger roots under
+      // smaller, so every root IS its component minimum
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edgeList.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val pairs = edgeList.toDF("id_a", "id_b")
+      val nodes = (0L until n.toLong).toDF("id")
+      val star = Dedup.connectedComponentsStar(pairs, nodes).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val label = Dedup.connectedComponents(pairs, nodes).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == expected, s"star vs union-find, seed $seed")
+      assert(label == expected, s"min-label vs union-find, seed $seed")
+    }
+  }
+
   test("star components: 1000-link chain converges in O(log n) rounds") {
     import spark.implicits._
     // adversarially deep: diameter 1000 — min-label propagation would
