@@ -86,7 +86,11 @@ class SimilaritySpec extends SparkSuite {
       }
     } finally spark.sparkContext.removeSparkListener(listener)
     info(s"driver-bound task-result bytes: ${bytes.get()} (corpus ≈ $corpusBytes)")
-    assert(bytes.get() < corpusBytes / 2,
+    // observed healthy value ≈ 54 KB; the round-2 bug (collecting every
+    // vector as a Row of doubles) ships ≥ 2x the raw corpus bytes, so
+    // < corpusBytes cleanly separates the two while tolerating
+    // scheduler-overhead noise
+    assert(bytes.get() < corpusBytes,
       s"driver received ${bytes.get()} B — corpus-sized collect suspected")
   }
 
