@@ -108,18 +108,46 @@ object VersionedTable {
     moved
   }
 
-  /** Full overwrite → new version referencing only the new files. */
+  /** Commit with optimistic retry: `manifest(v)` builds the file list
+    * for target version `v` from the then-current table state; on a
+    * version conflict (another writer landed first) the target version
+    * and file list are recomputed and the commit retried. Data files
+    * are version-independent (nonce-named), so losers re-commit without
+    * re-staging. */
+  private def commitWithRetry(root: String, maxRetries: Int)
+                             (manifest: Long => Seq[String]): Long = {
+    var attempt = 0
+    while (true) {
+      val v = nextVersion(root)
+      try return commitManifest(root, v, manifest(v))
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Full overwrite → new version referencing only the new files.
+    * Overwrite carries no read-dependency on the previous state, so a
+    * commit conflict only means renumbering — the staged files are
+    * reused as-is. */
   def overwrite(df: DataFrame, root: String): Long = {
-    val v = nextVersion(root)
-    commitManifest(root, v, stageDataFiles(df, root, v))
+    val staged = stageDataFiles(df, root, nextVersion(root))
+    commitWithRetry(root, maxRetries = 5)(_ => staged)
   }
 
   /** Append → new version inheriting the previous file list plus the
-    * new files; existing data is not rewritten. */
+    * new files; existing data is not rewritten. The previous file list
+    * is re-read inside the retry loop: losing a commit race means the
+    * winner's files must appear in ours (append-vs-append commutes, so
+    * retrying with the fresh manifest is always safe). */
   def append(df: DataFrame, root: String): Long = {
-    val v = nextVersion(root)
-    val prev = latestVersion(root).map(readManifest(root, _)).getOrElse(Seq.empty)
-    commitManifest(root, v, prev ++ stageDataFiles(df, root, v))
+    val staged = stageDataFiles(df, root, nextVersion(root))
+    commitWithRetry(root, maxRetries = 5) { _ =>
+      latestVersion(root).map(readManifest(root, _)).getOrElse(Seq.empty) ++ staged
+    }
   }
 
   /** Snapshot read of a specific version (time travel). mergeSchema:
@@ -163,7 +191,8 @@ object VersionedTable {
     * source rows are inserted. Returns the committed version. */
   def merge(spark: SparkSession, root: String, source: DataFrame,
             keyCols: Seq[String], maxRetries: Int = 5,
-            beforeCommit: () => Unit = () => ()): Long = {
+            beforeCommit: () => Unit = () => (),
+            evolveSchema: Boolean = false): Long = {
     // materialized once — reused by the prune semi-join and the rewrite
     // anti-join on every attempt; blocks free on GC (no CacheManager leak)
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
@@ -173,7 +202,15 @@ object VersionedTable {
       val base = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
       val files = readManifest(root, base)
       val target = spark.read.option("mergeSchema", "true").parquet(files: _*)
-      val outCols = target.columns.toSeq
+      // schema evolution (the Delta mergeSchema role): source-only
+      // columns are appended to the table schema; untouched files simply
+      // lack them and read back null via the mergeSchema snapshot read —
+      // no rewrite of old data, exactly like Delta
+      val outCols =
+        if (evolveSchema)
+          target.columns.toSeq ++
+            source.columns.filterNot(target.columns.toSet)
+        else target.columns.toSeq
       val touchedNames = target
         .withColumn("__file", col("_metadata.file_path"))
         .join(srcKeys, keyCols, "left_semi")

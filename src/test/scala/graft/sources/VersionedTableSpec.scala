@@ -138,6 +138,46 @@ class VersionedTableSpec extends SparkSuite {
       == Set((1, "a"), (2, "B"), (5, "e")))
   }
 
+  test("merge evolveSchema: source-only columns appear, old rows read null") {
+    import spark.implicits._
+    val root = tmpRoot()
+    VersionedTable.overwrite(Seq((1, "a"), (2, "b")).toDF("k", "v").coalesce(1), root)
+    VersionedTable.append(Seq((10, "x")).toDF("k", "v").coalesce(1), root)
+    VersionedTable.merge(spark, root,
+      Seq((2, "B", 7.5), (3, "C", 1.0)).toDF("k", "v", "score"), Seq("k"),
+      evolveSchema = true)
+    val out = VersionedTable.read(spark, root)
+    assert(out.columns.toSeq == Seq("k", "v", "score"))
+    val got = out.collect().map(r =>
+      (r.getInt(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    // file with key 10 was untouched (not rewritten) — its rows read
+    // null for the evolved column through the mergeSchema snapshot read
+    assert(got == Set((1, "a", None), (2, "B", Some(7.5)),
+      (3, "C", Some(1.0)), (10, "x", None)))
+    // pre-evolution snapshot still time-travels with the old schema
+    assert(VersionedTable.readVersion(spark, root, 1).columns.toSeq == Seq("k", "v"))
+  }
+
+  test("two threads appending concurrently: both commit, no rows lost") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = tmpRoot()
+    VersionedTable.overwrite(Seq((0, "seed")).toDF("k", "v"), root)
+    val fs = (1 to 4).map { i =>
+      Future(VersionedTable.append(Seq((i, s"w$i")).toDF("k", "v"), root))
+    }
+    val versions = Await.result(Future.sequence(fs), 120.seconds)
+    // every writer won a distinct version
+    assert(versions.toSet.size == 4)
+    assert(VersionedTable.versions(root) == (0L to 4L))
+    // and the final snapshot holds every writer's rows
+    assert(VersionedTable.read(spark, root).as[(Int, String)].collect().toSet
+      == Set((0, "seed"), (1, "w1"), (2, "w2"), (3, "w3"), (4, "w4")))
+  }
+
   test("merge gives up after maxRetries under persistent conflict") {
     import spark.implicits._
     val root = tmpRoot()
