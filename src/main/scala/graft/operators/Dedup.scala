@@ -214,14 +214,18 @@ object Dedup {
     while (changed > 0 && i < maxIter) {
       val prop = edges.join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node"), col("lbl"))
-      val next = labels.select(col("node"), col("lbl")).union(prop)
-        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+      // each node's previous label rides through the aggregation (it
+      // occurs exactly once per node, on the old-labels side; max
+      // ignores the propagated rows' nulls), so the convergence check
+      // is a scan of the checkpointed result — no extra join per round
+      val lblType = labels.schema("lbl").dataType
+      val next = labels.select(col("node"), col("lbl"), col("lbl").as("old"))
+        .unionByName(prop.withColumn("old", lit(null).cast(lblType)))
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"), max(col("old")).as("old"))
         .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.lbl") < col("o.lbl")).count()
+      changed = next.filter(col("lbl") < col("old")).count()
       labels.unpersist()
-      labels = next
+      labels = next.select(col("node"), col("lbl"))
       i += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
