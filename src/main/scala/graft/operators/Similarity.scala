@@ -224,14 +224,53 @@ object Similarity {
 
   /** All pairs (a < b) with cosine ≥ `threshold` — embedding-space
     * near-duplicate detection. Exact variant (self cross join pruned by
-    * AQE-sized shuffle): for corpora where n² is affordable; at scale,
-    * swap the candidate source for sign-LSH buckets as in `lshTopK`. */
+    * AQE-sized shuffle): for corpora where n² is affordable; the scale
+    * path is `cosineNearDupPairsLSH` below. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
                          idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame = {
     val a = withNorm(corpus.select(col(idCol).as("id_a"), col(vecCol).as("va")), "va", "na")
     val b = withNorm(corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb")), "vb", "nb")
     a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", fastCos(col("va"), col("na"), col("vb"), col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Embedding near-dup pairs at scale: candidates from sign-LSH band
+    * buckets (an equi-join on (band, key) — never all-pairs), verified
+    * with the exact cosine. Output ⊆ `cosineNearDupPairs`, precision 1
+    * by construction; recall < 1 (a pair must share ≥ 1 of `bands` band
+    * buckets — with 4-bit bands and cos ≥ 0.4 that's ≈ 0.75, rising
+    * steeply with similarity; SimilaritySpec measures it). At 100 TB
+    * cost is Σ bucket² per band, governed by bits/bands exactly like
+    * the MinHash banding knobs. */
+  def cosineNearDupPairsLSH(corpus: DataFrame, threshold: Double, dim: Int,
+                            bits: Int = 32, bands: Int = 8,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    graft.plans.VectorExpressions.register(corpus.sparkSession)
+    // eagerly checkpointed: both sides of the bucket self-join and the
+    // verify re-attach reference this subtree (see SetSimJoin note)
+    val sides = withNorm(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "v", "nrm")
+      .localCheckpoint(true)
+    val banded = sides
+      .select(col("id"), posexplode(signLshBands(col("v"), bits, bands, dim)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+      .localCheckpoint(true)
+    val candidates = banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.band_key") === col("r.band_key") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(sides.select(col("id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(sides.select(col("id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("id_b"))
       .withColumn("cos", fastCos(col("va"), col("na"), col("vb"), col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))

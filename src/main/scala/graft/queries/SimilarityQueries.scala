@@ -71,6 +71,17 @@ object SimilarityQueries extends QueryModule {
           .orderBy("query_id", "rank")
       }),
 
+    // Embedding near-dup pairs through sign-LSH band buckets — q41's
+    // 100 TB path (equi-join candidates, exact-cosine verify; output is
+    // a subset of q41's with precision 1). Approximate recall →
+    // rows-only check; recall + subset proof live in SimilaritySpec.
+    "q83_cosine_neardup_lsh" -> Q(
+      run = (s, dir) =>
+        Similarity.cosineNearDupPairsLSH(
+          Tables(s, dir, "embeddings"), 0.4, dim = 64)
+          .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+          .orderBy("id_a", "id_b")),
+
     // Per-label centroids via fixed-point accumulation — the IVF
     // centroid-recompute / class-prototype primitive. Float sums are
     // order-dependent (non-associative), so a distributed mean would

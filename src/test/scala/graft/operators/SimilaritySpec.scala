@@ -99,4 +99,18 @@ class SimilaritySpec extends SparkSuite {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
     assert(pairs.forall(_.getDouble(2) >= 0.4))
   }
+
+  test("cosineNearDupPairsLSH: subset of exact with measured recall") {
+    val exact = Similarity.cosineNearDupPairs(emb, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosineNearDupPairsLSH(emb, 0.4, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision 1 by construction: every candidate is exact-verified
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact)}")
+    val recall = lsh.size.toDouble / exact.size
+    info(f"sign-LSH near-dup recall = $recall%.3f (${lsh.size}/${exact.size})")
+    // 32 bits / 8 bands: P(≥1 shared band) ≈ 0.75 AT the 0.4 threshold,
+    // higher above it — guard against a broken bucketing join
+    assert(recall > 0.5)
+  }
 }
