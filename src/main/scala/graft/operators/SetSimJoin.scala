@@ -78,10 +78,13 @@ object SetSimJoin {
         (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast(IntegerType))
       .localCheckpoint(true)
 
+    // NOT checkpointed: both self-join sides re-derive this from the
+    // checkpointed rankSets — the re-derivation is a map-local explode
+    // (no shuffle), cheaper than materializing + reading back a second
+    // stored copy, and one fewer eager job on the critical path
     val prefixes = rankSets
       .select(col("id"), col("sz"),
         explode(slice(col("ranks"), lit(1), col("plen"))).as("r"))
-      .localCheckpoint(true)
 
     // length filter: J ≥ t needs t·|x| ≤ |y| ≤ |x|/t — prunes the bulk
     // of prefix-bucket candidates before the distinct/verify stages
