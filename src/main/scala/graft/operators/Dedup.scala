@@ -58,6 +58,22 @@ object Dedup {
     SetSimJoin.jaccardSelfJoin(sets, threshold)
   }
 
+  /** Incremental near-dup: pairs (new_id, corpus_id) with word-n-gram
+    * Jaccard ≥ `threshold` — the daily-ingestion dedup shape: a (small)
+    * new batch checked against the historical corpus through the
+    * prefix-filtered A-vs-B join, never a corpus self-join. */
+  def ngramJaccardJoin(newDocs: DataFrame, corpus: DataFrame,
+                       threshold: Double, n: Int = 3,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    def sets(df: DataFrame) = df
+      .select(col(idCol).as("id"), wordShingles(col(textCol), n).as("toks"))
+      .filter(size(col("toks")) > 0)
+    SetSimJoin.jaccardJoin(sets(newDocs), sets(corpus), threshold)
+      .select(col("id_l").as("new_id"), col("id_r").as("corpus_id"),
+        col("jaccard"))
+  }
+
   /** MinHash permutation constants (a·x+b mod p), fixed seed so
     * signatures are stable across runs/sessions. */
   private val MersennePrime = (1L << 61) - 1

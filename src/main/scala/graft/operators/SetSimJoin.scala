@@ -111,4 +111,63 @@ object SetSimJoin {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Exact A-vs-B set-similarity join — the INCREMENTAL dedup shape: a
+    * new batch checked against the historical corpus, no corpus
+    * self-join. `left`/`right`: (id, toks). Output: (id_l, id_r,
+    * jaccard) with jaccard ≥ threshold.
+    *
+    * Same prefix-filtering theory as the self-join: the rarest-first
+    * rank order is built over BOTH sides' tokens (document frequency
+    * across the union), so a qualifying cross pair must share a prefix
+    * token and candidates come from a prefix-to-prefix equi-join with
+    * the length filter — cost is Σ bucket_l × bucket_r, never
+    * |A| × |B|. At 100 TB the corpus side's rank sets are a one-off
+    * write-side artifact; each daily batch joins against them. */
+  def jaccardJoin(left: DataFrame, right: DataFrame,
+                  threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1)
+    val spark = left.sparkSession
+    val tokens = left
+      .select(lit(0).as("side"), col("id"), explode(col("toks")).as("tok"))
+      .unionByName(right
+        .select(lit(1).as("side"), col("id"), explode(col("toks")).as("tok")))
+    val freq = tokens.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ranked = freq
+      .repartitionByRange(col("df"), col("tok"))
+      .sortWithinPartitions(col("df"), col("tok"))
+      .select(col("tok"), monotonically_increasing_id().as("rank"))
+      .localCheckpoint(true)
+    val rankSets = tokens
+      .join(ranked, Seq("tok"))
+      .groupBy(col("side"), col("id"))
+      .agg(sort_array(collect_list(col("rank"))).as("ranks"))
+      .withColumn("sz", size(col("ranks")))
+      .withColumn("plen",
+        (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast(IntegerType))
+      .localCheckpoint(true)
+    def prefixes(side: Int, idName: String) = rankSets
+      .filter(col("side") === side)
+      .select(col("id").as(idName), col("sz"),
+        explode(slice(col("ranks"), lit(1), col("plen"))).as("r"))
+    val candidates = prefixes(0, "id_l").as("l")
+      .join(prefixes(1, "id_r").as("r"),
+        col("l.r") === col("r.r") &&
+          col("l.sz") * threshold <= col("r.sz") &&
+          col("r.sz") * threshold <= col("l.sz"))
+      .select(col("id_l"), col("id_r"))
+      .distinct()
+    graft.plans.VectorExpressions.register(spark)
+    candidates
+      .join(rankSets.filter(col("side") === 0).select(col("id").as("id_l"),
+        col("ranks").as("ranks_l"), col("sz").as("sz_l")), Seq("id_l"))
+      .join(rankSets.filter(col("side") === 1).select(col("id").as("id_r"),
+        col("ranks").as("ranks_r"), col("sz").as("sz_r")), Seq("id_r"))
+      .withColumn("common", graft.plans.VectorExpressions
+        .sortedIntersectCount(col("ranks_l"), col("ranks_r")))
+      .withColumn("jaccard",
+        col("common").cast(DoubleType) / (col("sz_l") + col("sz_r") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_l"), col("id_r"), col("jaccard"))
+  }
 }

@@ -65,6 +65,37 @@ object DedupQueries extends QueryModule {
           .orderBy("id_a", "id_b"),
       oracle = Some(bruteForceJaccardSql)),
 
+    // Incremental dedup: a "daily batch" (doc_id % 10 = 0) checked
+    // against the rest of the corpus through the prefix-filtered A-vs-B
+    // join — the ingestion-time dedup shape (no corpus self-join).
+    // Oracle: DuckDB brute-force cross-split Jaccard.
+    "q84_incremental_dedup" -> Q(
+      run = (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Dedup.ngramJaccardJoin(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0), threshold = 0.8)
+          .select(col("new_id"), col("corpus_id"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("new_id", "corpus_id")
+      },
+      oracle = Some("""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct([string_split(text, ' ')[i] || ' ' ||
+                                string_split(text, ' ')[i+1] || ' ' ||
+                                string_split(text, ' ')[i+2]
+                                for i in range(1, len(string_split(text, ' ')) - 1)]) AS s
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= 3)
+        SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+               ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+        ORDER BY new_id, corpus_id""")),
+
     // SimHash near-dup pairs (Hamming ≤ 6 on 64-bit token-vote hashes).
     // Spark-native murmur/xxhash aren't reproducible in DuckDB →
     // rows-only check + SimHashSpec.

@@ -27,6 +27,23 @@ class DedupSpec extends SparkSuite {
     assert(lsh == exact)
   }
 
+  test("incremental A-vs-B join equals the cross-split slice of the self-join") {
+    val exactAll = Dedup.ngramJaccardPairs(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // split by parity; expected = self-join pairs straddling the split,
+    // oriented (even, odd)
+    val expected = exactAll.collect {
+      case (a, b) if a % 2 == 0 && b % 2 != 0 => (a, b)
+      case (a, b) if a % 2 != 0 && b % 2 == 0 => (b, a)
+    }
+    val got = Dedup.ngramJaccardJoin(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "fixture should contain cross-split near-dups")
+    assert(got == expected)
+  }
+
   test("simhash: identical docs at distance 0; near-dups are close") {
     import spark.implicits._
     val df = Seq(
