@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Deterministic sampling operators for training-data pipelines.
+  *
+  * All sampling here is KEYED, not RNG-based: membership is a pure
+  * function of a stable key (first 8 hex chars of md5(key) compared to
+  * a rate threshold), so samples are reproducible across runs, engines
+  * and cluster layouts, survive retries/replays unchanged, and never
+  * need seed plumbing. The comparison is string-ordered hex — exactly
+  * portable to any engine with md5 (the q48 convention).
+  */
+object Sampling {
+
+  /** 8-hex-digit threshold for `rate` ∈ [0,1]: key kept iff
+    * md5-prefix < threshold. Rates ≥ 1 map to "g", which orders after
+    * every hex digit — keeps ALL keys, exactly. */
+  def hexThreshold(rate: Double): String = {
+    require(rate >= 0, s"rate must be >= 0, got $rate")
+    if (rate >= 1.0) "g"
+    else f"${math.round(rate * (1L << 32))}%08x"
+  }
+
+  /** Source-weighted mixture sampling — the data-mixing primitive
+    * (re-weight heterogeneous sources toward a target distribution
+    * before training): each row is kept iff its key's md5-uniform falls
+    * under its group's target rate. Groups absent from `rates` are
+    * DROPPED (rate 0).
+    *
+    * Scale shape: the rates table is tiny → broadcast; the corpus is
+    * filtered map-locally, never shuffled. Changing the mixture is a
+    * re-filter, not a re-shuffle. */
+  def mixture(df: DataFrame, groupCol: String, key: Column,
+              rates: Map[String, Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rdf = rates.toSeq.map { case (g, r) => (g, hexThreshold(r)) }
+      .toDF(groupCol, "__thr")
+    df.join(broadcast(rdf), Seq(groupCol))
+      .filter(substring(md5(key.cast(StringType)), 1, 8) < col("__thr"))
+      .drop("__thr")
+  }
+}

@@ -419,6 +419,35 @@ object TextQueries extends QueryModule {
         SELECT doc_id, CAST(len(list_intersect(s, bs)) AS BIGINT) AS overlap_ngrams
         FROM sh, bench
         WHERE doc_id >= 10 AND len(list_intersect(s, bs)) >= 5
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // Source-weighted mixture sampling (data mixing): re-weight the
+    // corpus toward a target per-language distribution with the keyed
+    // md5-threshold rule — reproducible membership, broadcast rates,
+    // map-local filter (the corpus never shuffles to change a mixture).
+    // Thresholds: rate r keeps keys whose 8-hex md5 prefix < hex(r·2³²);
+    // rate 1.0 uses "g" (> every hex digit) so it keeps ALL rows exactly.
+    "q85_mixture_sample" -> Q(
+      run = (s, dir) =>
+        graft.operators.Sampling.mixture(
+          Tables(s, dir, "documents"), "lang", col("doc_id"),
+          Map("en" -> 0.25, "de" -> 1.0, "es" -> 0.5,
+            "fr" -> 0.75, "zh" -> 0.125))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_chars")).as("chars_kept"))
+          .orderBy("lang"),
+      oracle = Some("""
+        SELECT lang, COUNT(*) AS n_kept,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+              CASE lang WHEN 'en' THEN '40000000'
+                        WHEN 'de' THEN 'g'
+                        WHEN 'es' THEN '80000000'
+                        WHEN 'fr' THEN 'c0000000'
+                        WHEN 'zh' THEN '20000000'
+                        ELSE '00000000' END
+        GROUP BY lang ORDER BY lang"""))
   )
 }

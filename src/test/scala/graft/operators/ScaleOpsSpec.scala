@@ -57,4 +57,24 @@ class ScaleOpsSpec extends SparkSuite {
       assert(joined.count() == Tables(spark, sf, "lineitem").count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("mixture sampling: rates honored, deterministic, missing groups dropped") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables(spark, sf, "documents")
+    val rates = Map("en" -> 0.25, "de" -> 1.0, "zh" -> 0.0)
+    def run() = Sampling.mixture(docs, "lang", col("doc_id"), rates)
+    val kept = run().groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rate 1.0 keeps everything EXACTLY; rate 0 and absent groups drop
+    assert(kept("de") == totals("de"))
+    assert(!kept.contains("zh") && !kept.contains("es") && !kept.contains("fr"))
+    // rate 0.25 lands near a quarter (keyed Bernoulli, ~240 en docs)
+    val enFrac = kept("en").toDouble / totals("en")
+    assert(enFrac > 0.1 && enFrac < 0.4, s"en fraction $enFrac")
+    // determinism: same membership on a re-run
+    assert(run().select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == run().select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
 }
