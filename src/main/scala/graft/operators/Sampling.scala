@@ -43,4 +43,26 @@ object Sampling {
       .filter(substring(md5(key.cast(StringType)), 1, 8) < col("__thr"))
       .drop("__thr")
   }
+
+  /** Deterministic train/val/test assignment: cumulative thresholds
+    * over the same keyed md5-uniform, so every row lands in EXACTLY one
+    * split (disjoint and exhaustive by construction), membership is
+    * stable across runs/engines/cluster layouts, and growing the corpus
+    * never moves an existing row between splits. Pure map-local CASE —
+    * no shuffle, no sampling pass.
+    *
+    * `fractions` in order, e.g. Seq("train" -> 0.8, "val" -> 0.1,
+    * "test" -> 0.1); must sum to 1 (±1e-9). */
+  def assignSplit(key: Column, fractions: Seq[(String, Double)]): Column = {
+    require(fractions.nonEmpty && fractions.forall(_._2 >= 0))
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val prefix = substring(md5(key.cast(StringType)), 1, 8)
+    val cums = fractions.scanLeft(0.0)(_ + _._2).tail
+    // last split is the CASE default → exhaustive even under rounding
+    fractions.init.zip(cums.init).foldRight(
+      lit(fractions.last._1): Column) { case (((name, _), cum), rest) =>
+      when(prefix < hexThreshold(cum), name).otherwise(rest)
+    }
+  }
 }

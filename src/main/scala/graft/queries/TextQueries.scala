@@ -448,6 +448,28 @@ object TextQueries extends QueryModule {
                         WHEN 'fr' THEN 'c0000000'
                         WHEN 'zh' THEN '20000000'
                         ELSE '00000000' END
-        GROUP BY lang ORDER BY lang"""))
+        GROUP BY lang ORDER BY lang""")),
+
+    // Deterministic train/val/test split: cumulative keyed-md5 ranges →
+    // every row in exactly one split, stable under corpus growth, no
+    // shuffle (map-local CASE). Thresholds: 0.8 → 'cccccccd',
+    // 0.8+0.1 → 'e6666666' (round(cum·2³²) in hex), else test.
+    "q86_dataset_split" -> Q(
+      run = (s, dir) =>
+        Tables(s, dir, "documents")
+          .withColumn("split", graft.operators.Sampling.assignSplit(
+            col("doc_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("split", "lang"),
+      oracle = Some("""
+        SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccd'
+                    THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+                    THEN 'val'
+                    ELSE 'test' END AS split,
+               lang, COUNT(*) AS n
+        FROM documents GROUP BY split, lang ORDER BY split, lang"""))
   )
 }

@@ -77,4 +77,29 @@ class ScaleOpsSpec extends SparkSuite {
     assert(run().select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
       == run().select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
+
+  test("assignSplit: disjoint+exhaustive, near target fractions, growth-stable") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables(spark, sf, "documents")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val split = docs.withColumn("split",
+      Sampling.assignSplit(col("doc_id"), fr))
+    val counts = split.groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.count()
+    // exhaustive: every row in exactly one split (one column ⇒ disjoint)
+    assert(counts.values.sum == total)
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(math.abs(counts("train").toDouble / total - 0.8) < 0.06)
+    // growth stability: membership on a subset equals membership on the
+    // full corpus restricted to that subset (assignment is per-key)
+    val half = docs.filter(col("doc_id") < 250).withColumn("split",
+      Sampling.assignSplit(col("doc_id"), fr))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fullRestricted = split.filter(col("doc_id") < 250)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(half == fullRestricted)
+  }
 }
