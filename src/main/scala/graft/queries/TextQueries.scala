@@ -470,6 +470,42 @@ object TextQueries extends QueryModule {
                     THEN 'val'
                     ELSE 'test' END AS split,
                lang, COUNT(*) AS n
-        FROM documents GROUP BY split, lang ORDER BY split, lang"""))
+        FROM documents GROUP BY split, lang ORDER BY split, lang""")),
+
+    // Intra-document repetition filter (the Gopher-rules "top n-gram
+    // mass fraction" quality signal): flag documents where one bigram
+    // carries ≥ 10% of all bigram occurrences. Integer fixed-point
+    // ratio (micro units via integral div) so the compare is exact.
+    // Scale: both aggregations key on doc_id (+bigram) → map-side
+    // combine; nothing corpus-global.
+    "q87_repetition_filter" -> Q(
+      run = (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 2)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(1), size(col("w")) - 1),
+              i => concat(element_at(col("w"), i), lit(" "),
+                element_at(col("w"), i + 1)))).as("bigram"))
+          .groupBy(col("doc_id"), col("bigram"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("c")).as("top"), sum(col("c")).as("tot"))
+          .select(col("doc_id"),
+            expr("(top * 1000000) div tot").as("rep_micro"))
+          .filter(col("rep_micro") >= 100000)
+          .orderBy("doc_id"),
+      oracle = Some("""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+        b AS (
+          SELECT doc_id, UNNEST([w[i] || ' ' || w[i+1]
+                                 for i in range(1, len(w))]) AS bigram FROM w),
+        c AS (SELECT doc_id, bigram, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        d AS (SELECT doc_id, MAX(c) AS top, SUM(c) AS tot FROM c GROUP BY 1)
+        SELECT doc_id, CAST((top * 1000000) // tot AS BIGINT) AS rep_micro
+        FROM d WHERE (top * 1000000) // tot >= 100000
+        ORDER BY doc_id"""))
   )
 }
