@@ -341,6 +341,59 @@ object StreamingJobs {
     q.stop()
     spark.table(queryName)
   }
+
+  /** Streaming corpus ingestion with dedup-at-the-door — the complete
+    * daily-ingestion dedup story: each micro-batch of documents is
+    * (1) exact-deduped within itself (min doc_id per text digest),
+    * (2) exact- AND near-dup checked AGAINST THE ACCUMULATED CORPUS —
+    * the near-dup check is the prefix-filtered A-vs-B join
+    * (Dedup.ngramJaccardJoin), never a corpus self-join — and
+    * (3) appended to the versioned corpus table, one atomic
+    * time-travelable version per batch. Set `maxFilesPerTrigger` on the
+    * source dir so each arriving file is its own batch (done here). */
+  def runIngestDedupAvailableNow(spark: SparkSession, docsDir: String,
+                                 tableRoot: String,
+                                 threshold: Double = 0.8): DataFrame = {
+    import graft.sources.VersionedTable
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(docsDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__md5")).orderBy(col("doc_id"))
+        val inBatch = batch
+          .withColumn("__md5", md5(col("text")))
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") === 1)
+          .drop("__rk")
+        val survivors = VersionedTable.latestVersion(tableRoot) match {
+          case None => inBatch.drop("__md5")
+          case Some(_) =>
+            val corpus = VersionedTable.read(spark, tableRoot)
+            val newExact = inBatch.join(
+              corpus.select(md5(col("text")).as("__md5")).distinct(),
+              Seq("__md5"), "left_anti").drop("__md5")
+            val nearDupIds = graft.operators.Dedup
+              .ngramJaccardJoin(newExact, corpus, threshold)
+              .select(col("new_id")).distinct()
+            newExact.join(nearDupIds,
+              col("doc_id") === col("new_id"), "left_anti")
+        }
+        if (VersionedTable.latestVersion(tableRoot).isEmpty)
+          VersionedTable.overwrite(survivors, tableRoot)
+        else if (!survivors.isEmpty)
+          VersionedTable.append(survivors, tableRoot)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    VersionedTable.read(spark, tableRoot)
+  }
 }
 
 /** Batch gaps-and-islands sessionization — the window-function

@@ -66,4 +66,41 @@ class StreamingSpec extends SparkSuite {
     // one closed session (2 events); the open one stays in state
     assert(closed == Seq((1L, 2L)))
   }
+
+  test("streaming ingest dedups each batch against the accumulated corpus") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val docsDir = s"$root/incoming"
+    new java.io.File(docsDir).mkdirs()
+    // 35-token base text: a 1-token edit keeps 3-gram Jaccard ≈ 0.83 ≥ 0.8
+    val base = (1 to 34).map(i => s"w$i").mkString(" ")
+    val other = (1 to 34).map(i => s"x$i").mkString(" ")
+    def drop(dir: String, name: String, mtime: Long,
+             rows: Seq[(Long, String)]): Unit = {
+      val tmp = s"$root/stage_$name"
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime) // file-source batch order = mtime order
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    drop(docsDir, "f1", t0, Seq(
+      1L -> (base + " ending"), 2L -> other,
+      3L -> (base + " ending"))) // in-batch exact dup of doc 1
+    drop(docsDir, "f2", t0 + 5000, Seq(
+      10L -> other, // exact dup of corpus doc 2
+      11L -> (base + " changed"), // near-dup of corpus doc 1 (J ≈ 0.86)
+      12L -> (1 to 34).map(i => s"z$i").mkString(" "))) // genuinely new
+    val corpusRoot = s"$root/corpus"
+    val out = StreamingJobs.runIngestDedupAvailableNow(
+      spark, docsDir, corpusRoot, threshold = 0.8)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 12L))
+    // one atomic version per non-empty batch: v0 = {1,2}, v1 = +{12}
+    assert(graft.sources.VersionedTable.versions(corpusRoot) == Seq(0L, 1L))
+    assert(graft.sources.VersionedTable.readVersion(spark, corpusRoot, 0)
+      .count() == 2)
+  }
 }
