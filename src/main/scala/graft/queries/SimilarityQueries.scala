@@ -82,6 +82,44 @@ object SimilarityQueries extends QueryModule {
           .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
           .orderBy("id_a", "id_b")),
 
+    // Embedding-space contamination check — q82's vector-space sibling:
+    // corpus vectors whose max cosine against a (tiny) benchmark set
+    // crosses the threshold. The scale shape: benchmark broadcast,
+    // corpus scored map-locally (|corpus| × |bench| dot products with
+    // NO shuffle of the corpus), per-vector max is a map-side-combined
+    // agg. Deliberate exact scoring against a broadcast dim → the BNLJ
+    // is the intended plan (allowlisted); an LSH-bucketed variant would
+    // reuse q83's banding if the benchmark ever grew fact-sized.
+    "q88_embedding_contamination" -> Q(
+      run = (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        graft.plans.VectorExpressions.register(s)
+        val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+          graft.plans.VectorExpressions.dotProduct(a, b)
+        val bench = emb.filter(col("vec_id") < 10)
+          .select(col("embedding").as("bv"))
+          .withColumn("bn", sqrt(dot(col("bv"), col("bv"))))
+        emb.filter(col("vec_id") >= 10)
+          .withColumn("cn", sqrt(dot(col("embedding"), col("embedding"))))
+          .crossJoin(broadcast(bench))
+          .withColumn("cos", dot(col("embedding"), col("bv")) / (col("cn") * col("bn")))
+          .groupBy(col("vec_id"))
+          .agg(max(col("cos")).as("mx"))
+          .filter(col("mx") >= 0.35)
+          .select(col("vec_id"), round(col("mx"), 6).as("max_cos"))
+          .orderBy("vec_id")
+      },
+      oracle = Some("""
+        WITH bench AS (SELECT embedding FROM embeddings WHERE vec_id < 10),
+        m AS (
+          SELECT c.vec_id,
+                 MAX(list_cosine_similarity(c.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[])) AS mx
+          FROM embeddings c, bench b WHERE c.vec_id >= 10
+          GROUP BY c.vec_id)
+        SELECT vec_id, ROUND(mx, 6) AS max_cos
+        FROM m WHERE mx >= 0.35 ORDER BY vec_id""")),
+
     // Per-label centroids via fixed-point accumulation — the IVF
     // centroid-recompute / class-prototype primitive. Float sums are
     // order-dependent (non-associative), so a distributed mean would

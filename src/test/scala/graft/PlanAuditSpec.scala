@@ -30,6 +30,10 @@ class PlanAuditSpec extends SparkSuite {
       // |facts|×6 with no shuffle of the fact side (the intended shape;
       // big band tables would use the bucket-point equi-join rewrite)
       "q45_range_join",
+      // contamination scoring against a ~10-row broadcast benchmark:
+      // |corpus|×|bench| map-local dot products, corpus never shuffles;
+      // a fact-sized benchmark would switch to q83's LSH banding
+      "q88_embedding_contamination",
       // corpus-size N as a 1-row broadcast dim crossed into the tf×df join
       "q62_tfidf"),
     "Exchange SinglePartition" -> Set(
