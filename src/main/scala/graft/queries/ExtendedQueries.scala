@@ -358,6 +358,28 @@ object ExtendedQueries extends QueryModule {
                COALESCE(n_orders, 0) AS n_orders,
                first_event, last_order
         FROM e FULL OUTER JOIN o ON e.k = o.k
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // ----------------------------------------------------------------
+    // Mergeable HLL sketches (DataSketches, Spark 3.5+): the
+    // pre-aggregation primitive for incremental analytics at 100 TB —
+    // build per-partition-of-the-data sketches ONCE (map-side
+    // combinable binary agg), then answer any rollup by merging
+    // sketches, never rescanning rows. Here: per-lang distinct-doc
+    // sketches + the global count from hll_union_agg over the five
+    // sketches. Sketch bytes aren't reproducible in DuckDB → rows-only
+    // check; ExtendedOpsSpec pins merge-consistency and error bounds.
+    "q89_hll_mergeable" -> Q(
+      run = (s, dir) => {
+        val perLang = t(s, dir, "documents")
+          .groupBy(col("lang"))
+          .agg(hll_sketch_agg(col("doc_id")).as("sk"))
+        val per = perLang.select(col("lang"),
+          hll_sketch_estimate(col("sk")).as("n_est"))
+        val global = perLang
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_est"))
+          .select(lit("ALL").as("lang"), col("n_est"))
+        per.unionByName(global).orderBy("lang")
+      })
   )
 }

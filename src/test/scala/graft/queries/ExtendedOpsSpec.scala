@@ -174,4 +174,28 @@ class ExtendedOpsSpec extends SparkSuite {
       .orderBy("user_id", "view_id", "purchase_id").collect().toSeq
     assert(stream.nonEmpty && stream == batch)
   }
+
+  test("q89 HLL sketches: merge-consistent and within error of exact") {
+    import org.apache.spark.sql.functions.{hll_sketch_agg, hll_sketch_estimate, hll_union_agg}
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.01", "documents")
+    // union is order-insensitive (per-bucket max), but DataSketches
+    // DENSIFIES when merging sparse-mode sketches, so merge-of-parts
+    // and sketch-of-whole may differ slightly below lgK capacity —
+    // both must still sit within HLL error of the exact distinct
+    val merged = docs.groupBy(col("lang"))
+      .agg(hll_sketch_agg(col("doc_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))).head().getLong(0)
+    val whole = docs
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("doc_id")))).head().getLong(0)
+    val exact = docs.select(col("doc_id")).distinct().count()
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"merged estimate $merged vs exact $exact")
+    assert(math.abs(whole - exact).toDouble / exact < 0.05,
+      s"whole estimate $whole vs exact $exact")
+    // determinism: the merged estimate is stable across evaluations
+    val merged2 = docs.groupBy(col("lang"))
+      .agg(hll_sketch_agg(col("doc_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))).head().getLong(0)
+    assert(merged == merged2)
+  }
 }
