@@ -96,4 +96,11 @@ object TextFunctions {
     * ~1000× slower; requires GraftSession.tune (function registry). */
   def wordShingles(text: Column, n: Int = 3): Column =
     call_function("word_ngrams", text, lit(n))
+
+  /** ALL word n-grams in order with multiplicity (LM counts /
+    * repetition stats); `wordShingles` is the distinct-set variant for
+    * dedup. Native WordNgramsAll expression; requires
+    * GraftSession.tune. */
+  def wordShinglesAll(text: Column, n: Int = 3): Column =
+    call_function("word_ngrams_all", text, lit(n))
 }

@@ -51,3 +51,39 @@ case class WordNgrams(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): WordNgrams =
     copy(left = newLeft, right = newRight)
 }
+
+/** ALL word n-grams in order WITH multiplicity — the language-model
+  * counts shape (`WordNgrams` above returns the distinct SET for
+  * dedup). Same tokenization contract: trim → split on `\s+` →
+  * consecutive n-word windows joined by single spaces; fewer than n
+  * tokens → empty array. Replaces the interpreted
+  * `transform(sequence(...), i -> concat(element_at...))` composition
+  * with one flat loop per row. */
+case class WordNgramsAll(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams_all"
+
+  override protected def nullSafeEval(text: Any, nAny: Any): Any = {
+    val n = nAny.asInstanceOf[Int]
+    val toks = text.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    if (toks.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](toks.length - n + 1)
+      var i = 0
+      while (i <= toks.length - n) {
+        val sb = new StringBuilder(toks(i))
+        var k = 1
+        while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+        out(i) = UTF8String.fromString(sb.result())
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordNgramsAll =
+    copy(left = newLeft, right = newRight)
+}

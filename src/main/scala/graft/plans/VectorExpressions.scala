@@ -147,6 +147,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "word_ngrams", exprs => WordNgrams(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "word_ngrams_all", exprs => WordNgramsAll(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")

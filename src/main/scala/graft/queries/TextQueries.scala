@@ -354,19 +354,18 @@ object TextQueries extends QueryModule {
 
     // Corpus bigram LM counts — the n-gram language-model table every
     // pretraining pipeline builds. Sequential (multiset) bigrams, NOT
-    // the distinct shingle sets dedup uses: assembled map-locally with
-    // sequence + element_at (no UDF), then ONE count shuffle with
-    // map-side combine; top-100 by a total order so LIMIT is
-    // deterministic. At 100 TB the same plan holds — the shuffle
-    // carries one row per distinct bigram per partition.
+    // the distinct shingle sets dedup uses: assembled map-locally by
+    // the native WordNgramsAll expression (the equivalent
+    // sequence+element_at higher-order composition evaluates
+    // interpreted per element), then ONE count shuffle with map-side
+    // combine; top-100 by a total order so LIMIT is deterministic. At
+    // 100 TB the same plan holds — the shuffle carries one row per
+    // distinct bigram per partition.
     "q81_bigram_counts" -> Q(
       run = (s, dir) =>
         Tables(s, dir, "documents")
-          .select(split(col("text"), " ").as("w"))
-          .filter(size(col("w")) >= 2)
-          .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
-            i => concat(element_at(col("w"), i), lit(" "),
-              element_at(col("w"), i + 1)))).as("bigram"))
+          .select(explode(graft.functions.TextFunctions
+            .wordShinglesAll(col("text"), 2)).as("bigram"))
           .groupBy(col("bigram"))
           .agg(count(lit(1)).as("n"))
           .orderBy(desc("n"), col("bigram"))
@@ -481,12 +480,9 @@ object TextQueries extends QueryModule {
     "q87_repetition_filter" -> Q(
       run = (s, dir) =>
         Tables(s, dir, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("w"))
-          .filter(size(col("w")) >= 2)
           .select(col("doc_id"),
-            explode(transform(sequence(lit(1), size(col("w")) - 1),
-              i => concat(element_at(col("w"), i), lit(" "),
-                element_at(col("w"), i + 1)))).as("bigram"))
+            explode(graft.functions.TextFunctions
+              .wordShinglesAll(col("text"), 2)).as("bigram"))
           .groupBy(col("doc_id"), col("bigram"))
           .agg(count(lit(1)).as("c"))
           .groupBy(col("doc_id"))

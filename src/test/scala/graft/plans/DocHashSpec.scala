@@ -69,4 +69,21 @@ class DocHashSpec extends SparkSuite {
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
     assert(viaExpr.nonEmpty && viaExpr.sameElements(viaAgg))
   }
+
+  test("WordNgramsAll matches the higher-order-function formulation") {
+    import graft.functions.TextFunctions.wordShinglesAll
+    val viaExpr = docs.select(col("doc_id"),
+      wordShinglesAll(col("text"), 2).as("b"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val w = split(trim(col("text")), "\\s+")
+    val viaHof = docs.select(col("doc_id"),
+      when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1),
+          i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+        .otherwise(array().cast("array<string>")).as("b"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    assert(viaExpr.nonEmpty && viaExpr.sameElements(viaHof))
+    // multiplicity preserved (this is the LM-counts variant, not the set)
+    assert(viaExpr.exists { case (_, b) => b.size != b.distinct.size })
+  }
 }
