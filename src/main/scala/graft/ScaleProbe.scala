@@ -1,0 +1,33 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    graft.core.GraftSession.tune(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = graft.core.Tables(spark, "/root/testdata/sf0.1", "documents")
+      .select(col("doc_id"), col("text"))
+    def corpus(mult: Int) = (0 until mult).map(i =>
+      base.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ union _)
+    for (mult <- Seq(1, 4, 10)) {
+      val c = corpus(mult).localCheckpoint(true)
+      val n = c.count()
+      def time(name: String)(f: => Long): Unit = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"[probe] mult=$mult%2d docs=$n%7d $name%-18s ${(System.nanoTime()-t0)/1e9}%7.2f s  ($rows rows)")
+      }
+      time("ngram_jaccard") { graft.operators.Dedup.ngramJaccardPairs(c, 0.8).count() }
+      time("minhash_lsh")   { graft.operators.Dedup.minhashNearDupPairs(c, 0.8).count() }
+      time("simhash")       { graft.operators.Dedup.simhashNearDupPairs(c, 6).count() }
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+    spark.stop()
+  }
+}
