@@ -28,6 +28,27 @@ object ScaleProbe {
       time("simhash")       { graft.operators.Dedup.simhashNearDupPairs(c, 6).count() }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
+    val ebase = graft.core.Tables(spark, "/root/testdata/sf0.1", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    for (mult <- Seq(1, 4, 10)) {
+      // per-iteration: the end-of-iteration blanket unpersist would
+      // destroy a checkpoint shared across iterations
+      val queries32 = ebase.filter(col("vec_id") < 32).localCheckpoint(true)
+      val c = (0 until mult).map(i => ebase.select(
+        (col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding")))
+        .reduce(_ union _).localCheckpoint(true)
+      val n = c.count()
+      def time(name: String)(f: => Long): Unit = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"[probe] mult=$mult%2d vecs=$n%7d $name%-18s ${(System.nanoTime()-t0)/1e9}%7.2f s  ($rows rows)")
+      }
+      time("brute_topk") { graft.operators.Similarity.bruteForceTopK(queries32, c, 5).count() }
+      time("lsh_topk")   { graft.operators.Similarity.lshTopK(queries32, c, 5, dim = 64).count() }
+      time("ivf_topk")   { graft.operators.Similarity.ivfTopK(queries32, c, 5).count() }
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
     spark.stop()
   }
 }
