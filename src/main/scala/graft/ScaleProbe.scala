@@ -28,6 +28,27 @@ object ScaleProbe {
       time("simhash")       { graft.operators.Dedup.simhashNearDupPairs(c, 6).count() }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
+    // pairs → groups at 10x: label propagation vs star alternation on
+    // the quarter-million-edge clique-heavy dedup graph
+    {
+      val c10 = corpus(10).localCheckpoint(true)
+      val pairs = graft.operators.Dedup.ngramJaccardPairs(c10, 0.8)
+        .localCheckpoint(true)
+      val nodes = c10.select(col("doc_id"))
+      def time(name: String)(f: => Long): Unit = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"[probe] edges=${pairs.count()}%7d $name%-18s ${(System.nanoTime()-t0)/1e9}%7.2f s  ($rows rows)")
+      }
+      time("cc_label") {
+        graft.operators.Dedup.connectedComponents(pairs, nodes).count()
+      }
+      time("cc_star") {
+        graft.operators.Dedup.connectedComponentsStar(pairs, nodes).count()
+      }
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
     val ebase = graft.core.Tables(spark, "/root/testdata/sf0.1", "embeddings")
       .select(col("vec_id"), col("embedding"))
     for (mult <- Seq(1, 4, 10)) {
