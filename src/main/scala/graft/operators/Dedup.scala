@@ -326,6 +326,26 @@ object Dedup {
     (out, i)
   }
 
+  /** One-call dedup capstone: near-dup pairs → connected components
+    * (star alternation — the faster variant on clique-heavy dedup
+    * graphs, see PLANS.md) → ONE surviving representative per group,
+    * chosen as the row with the highest `keepBy` value (min id breaks
+    * ties) — what a corpus pipeline actually keeps: the best copy, not
+    * the lowest-numbered one. Output: every input doc with its group
+    * and a `keep` flag (singletons always keep). */
+  def dedupKeepBest(docs: DataFrame, threshold: Double, n: Int = 3,
+                    keepBy: String = "doc_id", textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, threshold, n, None, textCol, idCol)
+    val comp = connectedComponentsStar(pairs, docs.select(col(idCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col(keepBy).desc, col(idCol))
+    docs.join(comp, docs(idCol) === comp("id"))
+      .drop("id")
+      .withColumn("keep", row_number().over(w) === 1)
+  }
+
   /** Near-duplicate pairs by SimHash Hamming distance ≤ `maxDist`.
     * Candidates via 8×8-bit band buckets (pigeonhole: Hamming ≤ 7 ⇒ at
     * least one band identical), verified with bit_count(a XOR b). */

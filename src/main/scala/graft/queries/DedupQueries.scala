@@ -65,6 +65,51 @@ object DedupQueries extends QueryModule {
           .orderBy("id_a", "id_b"),
       oracle = Some(bruteForceJaccardSql)),
 
+    // Dedup capstone — keep the BEST copy per near-dup group (by
+    // n_chars, id tiebreak), drop the rest: pairs → star components →
+    // per-group window. Output is the kept census per group; oracle
+    // recomputes components with the recursive CTE and applies the
+    // same keep rule.
+    "q90_dedup_keep_best" -> Q(
+      run = (s, dir) =>
+        Dedup.dedupKeepBest(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), col("text"), col("n_chars")),
+          threshold = 0.8, keepBy = "n_chars")
+          .filter(col("keep"))
+          .select(col("component"), col("doc_id").as("kept_id"),
+            col("n_chars"))
+          .orderBy("component"),
+      oracle = Some("""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id,
+                 list_distinct([string_split(text, ' ')[i] || ' ' ||
+                                string_split(text, ' ')[i+1] || ' ' ||
+                                string_split(text, ' ')[i+2]
+                                for i in range(1, len(string_split(text, ' ')) - 1)]) AS s
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+        comp AS (
+          SELECT node AS doc_id, MIN(lbl) AS component
+          FROM reach GROUP BY node)
+        SELECT component, d.doc_id AS kept_id, d.n_chars
+        FROM comp JOIN documents d ON comp.doc_id = d.doc_id
+        QUALIFY row_number() OVER (PARTITION BY component
+          ORDER BY d.n_chars DESC, d.doc_id) = 1
+        ORDER BY component""")),
+
     // Incremental dedup: a "daily batch" (doc_id % 10 = 0) checked
     // against the rest of the corpus through the prefix-filtered A-vs-B
     // join — the ingestion-time dedup shape (no corpus self-join).
