@@ -69,8 +69,10 @@ object DedupQueries extends QueryModule {
     // n_chars, id tiebreak), drop the rest: pairs → star components →
     // per-group window. Output is the kept census per group; oracle
     // recomputes components with the recursive CTE and applies the
-    // same keep rule.
+    // same keep rule. bench=false like q80: the pair generation +
+    // component cost is already benched via q31/q66.
     "q90_dedup_keep_best" -> Q(
+      bench = false,
       run = (s, dir) =>
         Dedup.dedupKeepBest(
           Tables(s, dir, "documents")
