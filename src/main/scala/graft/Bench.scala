@@ -27,10 +27,13 @@ object Bench {
     graft.core.Tables.names.foreach(n =>
       graft.core.Tables(spark, sfDir, n).count())
     val qs = SparkEntry.queries
-    // min of 2 runs per query: this box's run-to-run noise reaches
-    // ~1.5x under contention; the min is the operator's cost, the max
-    // is the neighbor's. (SPARK_GRAFT_BENCH_RUNS overrides.)
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // min over 3 INTERLEAVED full passes: this VM takes host-side
+    // CPU-steal bursts (identical commit measured 41 s vs 170 s totals
+    // — see BASELINE.md). Back-to-back repeats of one query sit inside
+    // the same burst; whole-suite passes put minutes between a query's
+    // repeats, so the min picks the burst-free pass.
+    // (SPARK_GRAFT_BENCH_RUNS overrides.)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // drop every cached block before a timed run — CacheManager entries
     // AND RDD-level blocks (localCheckpoint storage from the dedup/ANN
     // operators). Reported numbers are therefore COLD: no run reuses a
@@ -44,20 +47,26 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
-    val results = SparkEntry.benchQueries.map { name =>
-      var n = -1L
-      val secs = (1 to runs).map { _ =>
+    val names = SparkEntry.benchQueries
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    val rowsOf = scala.collection.mutable.Map.empty[String, Long]
+    for (pass <- 1 to runs) {
+      names.foreach { name =>
         dropAllBlocks()
         val t0 = System.nanoTime()
-        n = try qs(name)(spark, sfDir).count()
+        val n = try qs(name)(spark, sfDir).count()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L
         }
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        rowsOf(name) = n
+        if (sec < best.getOrElse(name, Double.MaxValue)) best(name) = sec
       }
-      val sec = secs.min
-      System.err.println(f"[bench] $name%-22s $sec%8.2fs  ($n rows)")
-      name -> sec
+      System.err.println(f"[bench] pass $pass/$runs done, running total ${best.values.sum}%.1f s")
+    }
+    val results = names.map { name =>
+      System.err.println(f"[bench] ${name}%-22s ${best(name)}%8.2fs  (${rowsOf(name)} rows)")
+      name -> best(name)
     }
     val q = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
