@@ -59,14 +59,20 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L
         }
         val sec = (System.nanoTime() - t0) / 1e9
-        rowsOf(name) = n
-        if (sec < best.getOrElse(name, Double.MaxValue)) best(name) = sec
+        if (n >= 0) {
+          // only SUCCESSFUL runs feed the min / row count: a transient
+          // failure is usually fast, and its elapsed time would
+          // otherwise masquerade as a speedup in the reported best
+          rowsOf(name) = n
+          if (sec < best.getOrElse(name, Double.MaxValue)) best(name) = sec
+        } else if (!rowsOf.contains(name)) rowsOf(name) = -1L
       }
       System.err.println(f"[bench] pass $pass/$runs done, running total ${best.values.sum}%.1f s")
     }
     val results = names.map { name =>
-      System.err.println(f"[bench] ${name}%-22s ${best(name)}%8.2fs  (${rowsOf(name)} rows)")
-      name -> best(name)
+      val sec = best.getOrElse(name, -1.0) // -1: failed every pass
+      System.err.println(f"[bench] ${name}%-22s $sec%8.2fs  (${rowsOf(name)} rows)")
+      name -> sec
     }
     val q = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

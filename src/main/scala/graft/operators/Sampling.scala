@@ -16,12 +16,16 @@ import org.apache.spark.sql.types.StringType
 object Sampling {
 
   /** 8-hex-digit threshold for `rate` ∈ [0,1]: key kept iff
-    * md5-prefix < threshold. Rates ≥ 1 map to "g", which orders after
-    * every hex digit — keeps ALL keys, exactly. */
+    * md5-prefix < threshold. Rates that round to ≥ 2³² (1.0 and values
+    * within rounding of it) map to "g", which orders after every hex
+    * digit — keeps ALL keys, exactly. (Formatting 2³² itself would emit
+    * NINE hex digits, and "100000000" compares lexicographically BELOW
+    * most 8-digit prefixes — a ~100% rate silently keeping ~6% of
+    * keys.) */
   def hexThreshold(rate: Double): String = {
     require(rate >= 0, s"rate must be >= 0, got $rate")
-    if (rate >= 1.0) "g"
-    else f"${math.round(rate * (1L << 32))}%08x"
+    val v = math.round(rate * (1L << 32))
+    if (v >= (1L << 32)) "g" else f"$v%08x"
   }
 
   /** Source-weighted mixture sampling — the data-mixing primitive

@@ -25,6 +25,14 @@ import org.apache.spark.sql.types._
   */
 object Lake {
 
+  /** Recursive delete shared by the staging/swap sinks. Null-safe:
+    * `listFiles()` returns null for non-directories AND for I/O errors
+    * mid-walk (a racing deleter, a permission change). */
+  private[sources] def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
   // ---- sources ------------------------------------------------------
 
   /** S1: CSV scan with header; explicit schema (all-string for the raw
@@ -146,10 +154,7 @@ object Lake {
     Option(target.getParentFile).foreach(_.mkdirs())
     java.nio.file.Files.write(target.toPath,
       records.mkString("[\n", ",\n", "\n]").getBytes(StandardCharsets.UTF_8))
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
-    }
-    rm(new java.io.File(staging))
+    deleteRecursively(new java.io.File(staging))
   }
 
   /** Serving-catalog registration (to_gold.py:221-228 plus the Hive
@@ -169,12 +174,7 @@ object Lake {
         val loc = new java.io.File(
           new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
             .getPath + s"/$db.db/$name")
-        if (loc.exists()) {
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
-          }
-          rm(loc)
-        }
+        if (loc.exists()) deleteRecursively(loc)
       }
       df.write.mode(SaveMode.Overwrite).format("parquet")
         .saveAsTable(s"$db.$name")
@@ -206,11 +206,8 @@ object Lake {
     // so never overwrite the input in place
     val staging = path + "__merging"
     writeSingleJson(merged, staging)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
-    }
     val dir = new java.io.File(path)
-    if (dir.exists()) rm(dir)
+    if (dir.exists()) deleteRecursively(dir)
     require(new java.io.File(staging).renameTo(dir), s"merge swap failed for $path")
     readJsonLines(spark, path)
   }
@@ -232,10 +229,7 @@ object Lake {
       .write.mode(SaveMode.Overwrite).parquet(staging.getPath)
     val old = new java.io.File(path + "__old")
     require(dir.renameTo(old) && staging.renameTo(dir), s"compaction swap failed for $path")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
-    }
-    rm(old)
+    deleteRecursively(old)
     new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
   }
 
@@ -267,13 +261,7 @@ object Lake {
     val loc = new java.io.File(
       new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
         .getPath + s"/$table")
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(loc)
-    }
+    if (loc.exists()) deleteRecursively(loc)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)

@@ -66,19 +66,25 @@ object VersionedTable {
 
   /** Atomic commit of `files` as version `v`. Fails if someone else
     * committed `v` first (optimistic concurrency) — callers retry from
-    * a fresh read. */
+    * a fresh read.
+    *
+    * Exclusivity comes from `Files.createLink` (link(2)): hard-linking
+    * the fully-written temp manifest onto the target fails with
+    * FileAlreadyExistsException if the target exists — atomically, in
+    * the filesystem. An exists()-then-rename would be a TOCTOU race:
+    * POSIX rename(2) silently REPLACES an existing target, so two
+    * same-version committers inside the check window would both
+    * "succeed" and the loser's manifest would be silently overwritten.
+    * Readers never see a partial manifest: content is complete before
+    * the link springs into existence. (On an object store the same
+    * role is played by put-if-absent.) */
   private def commitManifest(root: String, v: Long, files: Seq[String]): Long = {
     logDir(root).mkdirs()
     val target = manifestFile(root, v)
     val tmp = Files.createTempFile(logDir(root).toPath, s"_tmp$v", ".inprogress")
     Files.write(tmp, files.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    try {
-      // ATOMIC_MOVE onto an existing target throws → exactly one
-      // committer of version v succeeds
-      if (target.exists())
-        throw new java.nio.file.FileAlreadyExistsException(target.getPath)
-      Files.move(tmp, target.toPath, StandardCopyOption.ATOMIC_MOVE)
-    } finally Files.deleteIfExists(tmp)
+    try Files.createLink(target.toPath, tmp)
+    finally Files.deleteIfExists(tmp)
     v
   }
 
@@ -103,8 +109,7 @@ object VersionedTable {
         Files.move(f.toPath, dst.toPath, StandardCopyOption.ATOMIC_MOVE)
         dst.getPath
       }.toSeq
-    def rm(f: File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
-    rm(staging)
+    Lake.deleteRecursively(staging)
     moved
   }
 
@@ -223,6 +228,10 @@ object VersionedTable {
         if (touched.isEmpty) src // pure insert — nothing to rewrite
         else spark.read.option("mergeSchema", "true").parquet(touched: _*)
           .join(srcKeys, keyCols, "left_anti")
+          // allowMissingColumns covers the KEPT side: outCols comes from
+          // EVERY file's footer, so touched files written before a later
+          // schema evolution may lack columns the union must null-fill
+          // (the source side is always complete — select(outCols) above)
           .unionByName(src, allowMissingColumns = true)
           .select(outCols.map(col): _*)
       val v = base + 1

@@ -369,8 +369,9 @@ object StreamingJobs {
           .withColumn("__rk", row_number().over(w))
           .filter(col("__rk") === 1)
           .drop("__rk")
-        val survivors = VersionedTable.latestVersion(tableRoot) match {
-          case None => inBatch.drop("__md5")
+        VersionedTable.latestVersion(tableRoot) match {
+          case None =>
+            VersionedTable.overwrite(inBatch.drop("__md5"), tableRoot)
           case Some(_) =>
             val corpus = VersionedTable.read(spark, tableRoot)
             val newExact = inBatch.join(
@@ -379,13 +380,15 @@ object StreamingJobs {
             val nearDupIds = graft.operators.Dedup
               .ngramJaccardJoin(newExact, corpus, threshold)
               .select(col("new_id")).distinct()
-            newExact.join(nearDupIds,
+            // materialized once: both the emptiness check and the append
+            // consume it — without this the corpus-wide near-dup join
+            // (the batch's dominant cost) would run twice
+            val survivors = newExact.join(nearDupIds,
               col("doc_id") === col("new_id"), "left_anti")
+              .localCheckpoint(true)
+            if (!survivors.isEmpty)
+              VersionedTable.append(survivors, tableRoot)
         }
-        if (VersionedTable.latestVersion(tableRoot).isEmpty)
-          VersionedTable.overwrite(survivors, tableRoot)
-        else if (!survivors.isEmpty)
-          VersionedTable.append(survivors, tableRoot)
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -76,6 +76,13 @@ class ScaleOpsSpec extends SparkSuite {
     // determinism: same membership on a re-run
     assert(run().select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
       == run().select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // threshold edge cases: anything that ROUNDS to 2^32 must map to
+    // "g" (keep-all) — formatting 2^32 itself would emit 9 hex digits,
+    // which compares BELOW most 8-digit prefixes (keep ~6%, not ~100%)
+    assert(Sampling.hexThreshold(1.0) == "g")
+    assert(Sampling.hexThreshold(0.9999999999) == "g")
+    assert(Sampling.hexThreshold(0.0) == "00000000")
+    assert(Sampling.hexThreshold(0.5) == "80000000")
   }
 
   test("assignSplit: disjoint+exhaustive, near target fractions, growth-stable") {
