@@ -74,10 +74,28 @@ object Bench {
       System.err.println(f"[bench] ${name}%-22s $sec%8.2fs  (${rowsOf(name)} rows)")
       name -> sec
     }
+    val total = results.map(_._2).sum
+    // The recorded bench artifact keeps only the LAST ~2000 chars of
+    // combined output, and in past rounds (r02/r03) the single
+    // full-precision JSON line (~2700 chars for 78 queries) never fit —
+    // its "metric"/"value" head was truncated away, and late-flushed
+    // stderr lines landed after it. So: (1) drain stderr first so the
+    // JSON lines are the final output; (2) print the full-precision line
+    // for whole-output parsers; (3) print LAST a compact line that always
+    // fits the tail — qNN keys (full names are in the stderr lines above,
+    // BASELINE.md and CORRECTNESS_r*.json) and centisecond values, ~950
+    // chars for 78 queries.
+    System.err.flush()
+    Thread.sleep(1500)
     val q = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$q,"sf":"$sfDir"}""")
+    val qc = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.2f"
+    }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"queries":$qc,"sf":"$sfDir"}""")
+    Console.out.flush()
+    Thread.sleep(250)
     spark.stop()
   }
 }

@@ -23,7 +23,12 @@ object Sampling {
     * most 8-digit prefixes — a ~100% rate silently keeping ~6% of
     * keys.) */
   def hexThreshold(rate: Double): String = {
-    require(rate >= 0, s"rate must be >= 0, got $rate")
+    // epsilon headroom only for float accumulation (assignSplit's
+    // cumulative sums) — a genuinely out-of-range rate like 1.5 (an
+    // up-weighting mistake in a mixture map) must fail loudly, not
+    // silently keep 100%
+    require(rate >= 0 && rate <= 1.0 + 1e-9,
+      s"rate must be in [0, 1], got $rate")
     val v = math.round(rate * (1L << 32))
     if (v >= (1L << 32)) "g" else f"$v%08x"
   }

@@ -143,17 +143,26 @@ object Lake {
   def writeJsonArray(df: DataFrame, path: String): Unit = {
     import java.nio.charset.StandardCharsets
     val staging = path + "__lines"
-    writeSingleJson(df, staging)
+    // force an uncompressed staging write: a session-level JSON
+    // compression codec would otherwise emit part-*.json.gz, and the
+    // lines must be readable as plain text below
+    df.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("compression", "none").json(staging)
+    // match on the part-* prefix, not the .json suffix — Spark's part
+    // file naming is stable, its extension varies with codec config
     val part = new java.io.File(staging).listFiles()
-      .find(_.getName.endsWith(".json"))
+      .find(f => f.getName.startsWith("part-"))
       .getOrElse(sys.error(s"no part file written under $staging"))
     val records = scala.jdk.CollectionConverters.CollectionHasAsScala(
       java.nio.file.Files.readAllLines(part.toPath, StandardCharsets.UTF_8))
       .asScala.filter(_.nonEmpty)
     val target = new java.io.File(path)
     Option(target.getParentFile).foreach(_.mkdirs())
+    val body = // an empty array is "[]", not a whitespace-only "[\n\n]"
+      if (records.isEmpty) "[]"
+      else records.mkString("[\n", ",\n", "\n]")
     java.nio.file.Files.write(target.toPath,
-      records.mkString("[\n", ",\n", "\n]").getBytes(StandardCharsets.UTF_8))
+      body.getBytes(StandardCharsets.UTF_8))
     deleteRecursively(new java.io.File(staging))
   }
 

@@ -84,6 +84,17 @@ object VersionedTable {
     val tmp = Files.createTempFile(logDir(root).toPath, s"_tmp$v", ".inprogress")
     Files.write(tmp, files.mkString("\n").getBytes(StandardCharsets.UTF_8))
     try Files.createLink(target.toPath, tmp)
+    catch {
+      case _: UnsupportedOperationException =>
+        // filesystem without link(2) (some network mounts / overlay edge
+        // cases): fall back to exists-check + ATOMIC_MOVE. Weaker — the
+        // check/move window is a TOCTOU race — but on such filesystems
+        // it is the strongest primitive available, and it preserves the
+        // manifest-never-partial property (move, not write-in-place).
+        if (target.exists())
+          throw new java.nio.file.FileAlreadyExistsException(target.getPath)
+        Files.move(tmp, target.toPath, StandardCopyOption.ATOMIC_MOVE)
+    }
     finally Files.deleteIfExists(tmp)
     v
   }

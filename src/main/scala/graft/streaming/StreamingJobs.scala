@@ -369,9 +369,32 @@ object StreamingJobs {
           .withColumn("__rk", row_number().over(w))
           .filter(col("__rk") === 1)
           .drop("__rk")
+        // within-batch NEAR-dup pass: exact digests can't catch two
+        // non-identical near-copies arriving in the same file — each is
+        // only checked against the PREVIOUS corpus, so without this both
+        // would be committed permanently. Self-pairs over the (small)
+        // batch → min doc_id per connected component survives.
+        def nearDedupWithin(docs: DataFrame): DataFrame = {
+          val pairs = graft.operators.Dedup
+            .ngramJaccardPairs(docs, threshold).localCheckpoint(true)
+          if (pairs.isEmpty) docs
+          else {
+            val keep = graft.operators.Dedup
+              .connectedComponents(pairs, docs.select(col("doc_id")))
+              .groupBy(col("component")).agg(min(col("id")).as("doc_id"))
+            docs.join(keep.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          }
+        }
         VersionedTable.latestVersion(tableRoot) match {
           case None =>
-            VersionedTable.overwrite(inBatch.drop("__md5"), tableRoot)
+            val survivors = nearDedupWithin(inBatch.drop("__md5"))
+              .localCheckpoint(true)
+            // a zero-row first file must not commit: a v0 manifest
+            // referencing no parquet files would make every later
+            // readVersion (and thus every later batch's corpus read)
+            // throw on an empty path list
+            if (!survivors.isEmpty)
+              VersionedTable.overwrite(survivors, tableRoot)
           case Some(_) =>
             val corpus = VersionedTable.read(spark, tableRoot)
             val newExact = inBatch.join(
@@ -383,8 +406,9 @@ object StreamingJobs {
             // materialized once: both the emptiness check and the append
             // consume it — without this the corpus-wide near-dup join
             // (the batch's dominant cost) would run twice
-            val survivors = newExact.join(nearDupIds,
-              col("doc_id") === col("new_id"), "left_anti")
+            val survivors = nearDedupWithin(
+              newExact.join(nearDupIds,
+                col("doc_id") === col("new_id"), "left_anti"))
               .localCheckpoint(true)
             if (!survivors.isEmpty)
               VersionedTable.append(survivors, tableRoot)

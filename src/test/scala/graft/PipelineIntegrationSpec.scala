@@ -129,6 +129,15 @@ class PipelineIntegrationSpec extends SparkSuite {
       Set("Wifi", "Toilet"))
   }
 
+  test("writeJsonArray: empty input is a literal [], not whitespace junk") {
+    import spark.implicits._
+    val path = s"$root/exchange/empty_array.json"
+    Lake.writeJsonArray(
+      Seq.empty[(Long, String)].toDF("Id", "Name"), path)
+    assert(new String(Files.readAllBytes(new java.io.File(path).toPath),
+      "UTF-8") == "[]")
+  }
+
   test("review pipeline: multiline JSON array → scored → silver with keys") {
     import spark.implicits._
     val dir = s"$root/raw/review"

@@ -83,6 +83,10 @@ class ScaleOpsSpec extends SparkSuite {
     assert(Sampling.hexThreshold(0.9999999999) == "g")
     assert(Sampling.hexThreshold(0.0) == "00000000")
     assert(Sampling.hexThreshold(0.5) == "80000000")
+    // out-of-range rates fail loudly (a 1.5 "rate" is a mis-specified
+    // mixture, not a keep-all)
+    intercept[IllegalArgumentException](Sampling.hexThreshold(1.5))
+    intercept[IllegalArgumentException](Sampling.hexThreshold(-0.1))
   }
 
   test("assignSplit: disjoint+exhaustive, near target fractions, growth-stable") {

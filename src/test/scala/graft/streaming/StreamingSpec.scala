@@ -93,14 +93,48 @@ class StreamingSpec extends SparkSuite {
       10L -> other, // exact dup of corpus doc 2
       11L -> (base + " changed"), // near-dup of corpus doc 1 (J ≈ 0.86)
       12L -> (1 to 34).map(i => s"z$i").mkString(" "))) // genuinely new
+    // f3: two docs that are near-dups OF EACH OTHER but of nothing in
+    // the corpus — the within-batch near-dup pass must keep only the
+    // min doc_id; without it both commit permanently
+    val fresh = (1 to 34).map(i => s"v$i").mkString(" ")
+    drop(docsDir, "f3", t0 + 10000, Seq(
+      20L -> (fresh + " alpha"), 21L -> (fresh + " beta")))
     val corpusRoot = s"$root/corpus"
     val out = StreamingJobs.runIngestDedupAvailableNow(
       spark, docsDir, corpusRoot, threshold = 0.8)
     assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
-      == Seq(1L, 2L, 12L))
-    // one atomic version per non-empty batch: v0 = {1,2}, v1 = +{12}
-    assert(graft.sources.VersionedTable.versions(corpusRoot) == Seq(0L, 1L))
+      == Seq(1L, 2L, 12L, 20L))
+    // one atomic version per non-empty batch: v0={1,2}, v1=+{12}, v2=+{20}
+    assert(graft.sources.VersionedTable.versions(corpusRoot) == Seq(0L, 1L, 2L))
     assert(graft.sources.VersionedTable.readVersion(spark, corpusRoot, 0)
       .count() == 2)
+  }
+
+  test("streaming ingest: empty first file commits nothing, corpus still works") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest0").toString
+    val docsDir = s"$root/incoming"
+    new java.io.File(docsDir).mkdirs()
+    def drop(name: String, mtime: Long, rows: Seq[(Long, String)]): Unit = {
+      val tmp = s"$root/stage_$name"
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(docsDir, s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    // a zero-row first file: committing it would write a v0 manifest
+    // referencing no parquet files, breaking every later read
+    drop("f0", t0, Seq.empty[(Long, String)])
+    drop("f1", t0 + 5000, Seq(
+      1L -> (1 to 34).map(i => s"w$i").mkString(" ")))
+    val corpusRoot = s"$root/corpus"
+    val out = StreamingJobs.runIngestDedupAvailableNow(
+      spark, docsDir, corpusRoot, threshold = 0.8)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // exactly one committed version — the empty batch left no v0
+    assert(graft.sources.VersionedTable.versions(corpusRoot) == Seq(0L))
   }
 }
