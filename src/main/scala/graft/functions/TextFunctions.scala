@@ -103,4 +103,32 @@ object TextFunctions {
     * GraftSession.tune. */
   def wordShinglesAll(text: Column, n: Int = 3): Column =
     call_function("word_ngrams_all", text, lit(n))
+
+  /** PII masking battery, applied in order (kind, pattern, placeholder).
+    * Patterns deliberately avoid backreferences and lookaround so the
+    * same strings run identically under Java regex and RE2-class engines
+    * (the DuckDB oracle executes literal copies — keep q92 in sync).
+    * Order matters: emails before phones/ids so an address's digits are
+    * consumed by the email mask, phones (distinguished by the leading
+    * `+`) before bare digit runs. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+    ("url", "https?://[^ ]+", "<URL>"),
+    ("phone", "\\+[0-9][0-9()\\-]{5,}[0-9]", "<PHONE>"),
+    ("id", "[0-9]{6,}", "<ID>"))
+
+  /** Scrub all PII-shaped spans from `text` — chained native
+    * regexp_replace: codegen'd, map-local, no UDF, no shuffle. */
+  def scrubPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (_, p, r)) =>
+      regexp_replace(c, p, r)
+    }
+
+  /** Match count for one PII category (audit/reporting side of the
+    * scrubber). */
+  def piiCount(text: Column, kind: String): Column = {
+    val p = PiiPatterns.find(_._1 == kind)
+      .getOrElse(sys.error(s"unknown PII kind $kind"))._2
+    regexp_count(text, lit(p)).cast("long")
+  }
 }

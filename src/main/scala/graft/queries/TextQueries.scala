@@ -502,6 +502,233 @@ object TextQueries extends QueryModule {
         d AS (SELECT doc_id, MAX(c) AS top, SUM(c) AS tot FROM c GROUP BY 1)
         SELECT doc_id, CAST((top * 1000000) // tot AS BIGINT) AS rep_micro
         FROM d WHERE (top * 1000000) // tot >= 100000
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // Chunk-level dedup stats (the paragraph/line-dedup shape of
+    // RefinedWeb/CCNet, at chunk granularity since this corpus has no
+    // line structure): non-overlapping 32-token chunks, content-hashed;
+    // a chunk is "duplicated" iff its hash occurs more than once
+    // corpus-wide. ONE shuffle total: the count-per-hash is a window
+    // over the chunk hash (no second join-back pass); per-doc rollup
+    // keys on doc_id (map-side combinable). Exact integral micro ratio.
+    "q91_chunk_dedup" -> Q(
+      run = (s, dir) => {
+        val toks = split(col("text"), " ")
+        val chunks = Tables(s, dir, "documents")
+          .select(col("doc_id"), toks.as("toks"), size(toks).as("n_tok"))
+          .select(col("doc_id"),
+            explode(sequence(lit(0), greatest(col("n_tok") - 1, lit(0)),
+              lit(32))).as("st"), col("toks"))
+          .select(col("doc_id"),
+            md5(array_join(slice(col("toks"), col("st") + 1, lit(32)), " "))
+              .as("cmd5"))
+        chunks
+          .withColumn("c", count(lit(1)).over(Window.partitionBy(col("cmd5"))))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            count(when(col("c") > 1, 1)).as("n_dup"))
+          .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+            expr("(n_dup * 1000000) div n_chunks").as("dup_micro"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+                 len(string_split(text, ' ')) AS n_tok
+          FROM documents),
+        starts AS (
+          SELECT doc_id, toks, n_tok,
+                 UNNEST(range(0, GREATEST(n_tok - 1, 0) + 1, 32)) AS st
+          FROM base),
+        chunks AS (
+          SELECT doc_id,
+                 md5(array_to_string(toks[st + 1 : LEAST(st + 32, n_tok)], ' '))
+                   AS cmd5
+          FROM starts),
+        counted AS (
+          SELECT doc_id, COUNT(*) OVER (PARTITION BY cmd5) AS c FROM chunks)
+        SELECT doc_id, COUNT(*) AS n_chunks,
+               COUNT(*) FILTER (c > 1) AS n_dup,
+               CAST((COUNT(*) FILTER (c > 1) * 1000000) // COUNT(*) AS BIGINT)
+                 AS dup_micro
+        FROM counted GROUP BY doc_id ORDER BY doc_id""")),
+
+    // PII scrubbing battery (TextFunctions.scrubPii): emails, URLs,
+    // phones, long digit runs → typed placeholders. The synthetic corpus
+    // carries no natural PII, so the query deterministically plants
+    // PII-shaped spans from table data (same construction in both
+    // engines), scrubs them, and proves removal: n_residual counts
+    // pattern matches REMAINING after the scrub and must be 0 on every
+    // row. Chained codegen regexp_replace — map-local, no shuffle.
+    "q92_pii_scrub" -> Q(
+      run = (s, dir) => {
+        import graft.functions.TextFunctions._
+        val id9 = lpad(col("c_custkey").cast(StringType), 9, "0")
+        val note = concat(
+          col("c_name"),
+          when(col("c_custkey") % 2 === 0,
+            concat(lit(" contact customer"), id9, lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("c_custkey") % 3 === 0,
+            concat(lit(" call +1-"), id9)).otherwise(lit("")),
+          when(col("c_custkey") % 5 === 0,
+            concat(lit(" visit https://support.example.com/"),
+              lower(col("c_mktsegment")))).otherwise(lit("")))
+        val residual = PiiPatterns.map { case (k, _, _) =>
+          piiCount(scrubPii(note), k)
+        }.reduce(_ + _)
+        Tables(s, dir, "customer")
+          .select(col("c_custkey"), scrubPii(note).as("scrubbed"),
+            piiCount(note, "email").as("n_email"),
+            piiCount(note, "phone").as("n_phone"),
+            piiCount(note, "id").as("n_id"),
+            residual.as("n_residual"))
+          .orderBy("c_custkey")
+      },
+      oracle = Some("""
+        WITH notes AS (
+          SELECT c_custkey,
+                 c_name
+                 || CASE WHEN c_custkey % 2 = 0
+                    THEN ' contact customer' || lpad(CAST(c_custkey AS VARCHAR), 9, '0')
+                         || '@example.com' ELSE '' END
+                 || CASE WHEN c_custkey % 3 = 0
+                    THEN ' call +1-' || lpad(CAST(c_custkey AS VARCHAR), 9, '0')
+                    ELSE '' END
+                 || CASE WHEN c_custkey % 5 = 0
+                    THEN ' visit https://support.example.com/' || lower(c_mktsegment)
+                    ELSE '' END AS note
+          FROM customer),
+        scrub AS (
+          SELECT c_custkey, note,
+                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(note,
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                   'https?://[^ ]+', '<URL>', 'g'),
+                   '\+[0-9][0-9()\-]{5,}[0-9]', '<PHONE>', 'g'),
+                   '[0-9]{6,}', '<ID>', 'g') AS scrubbed
+          FROM notes)
+        SELECT c_custkey, scrubbed,
+               CAST(len(regexp_extract_all(note,
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(note,
+                 '\+[0-9][0-9()\-]{5,}[0-9]')) AS BIGINT) AS n_phone,
+               CAST(len(regexp_extract_all(note, '[0-9]{6,}')) AS BIGINT) AS n_id,
+               CAST(len(regexp_extract_all(scrubbed,
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+                 + len(regexp_extract_all(scrubbed, 'https?://[^ ]+'))
+                 + len(regexp_extract_all(scrubbed, '\+[0-9][0-9()\-]{5,}[0-9]'))
+                 + len(regexp_extract_all(scrubbed, '[0-9]{6,}')) AS BIGINT)
+                 AS n_residual
+        FROM scrub ORDER BY c_custkey""")),
+
+    // Gopher-style composite quality rules with per-rule reasons: short
+    // docs, out-of-band mean word length, too few common-word hits,
+    // repetitive top bigram. All signals are exact integers (micro
+    // fixed-point for the ratios) so the compare is bit-exact. Scale:
+    // the base signals are map-local; the bigram stats key on doc_id
+    // (+bigram) with map-side combine; one doc_id equi-join merges them.
+    "q93_quality_rules" -> Q(
+      run = (s, dir) => {
+        val toks = split(col("text"), " ")
+        val base = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            size(toks).cast(LongType).as("n_tok"),
+            length(translate(col("text"), " ", "")).cast(LongType)
+              .as("n_nonspace"))
+          .select(col("doc_id"), col("text"), col("n_tok"),
+            expr("(n_nonspace * 1000000) div n_tok").as("mwl_micro"),
+            size(array_intersect(split(col("text"), " "),
+              array(Seq("join", "hash", "row", "batch", "scan").map(lit): _*)))
+              .cast(LongType).as("n_common"))
+        val rep = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(graft.functions.TextFunctions
+              .wordShinglesAll(col("text"), 2)).as("bigram"))
+          .groupBy(col("doc_id"), col("bigram"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(expr("(max(c) * 1000000) div sum(c)").as("rep_micro"))
+        base.join(rep, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("n_tok") < 20, 1L).otherwise(0L).as("r_short"),
+            when(col("mwl_micro") < 3900000 || col("mwl_micro") > 5100000, 1L)
+              .otherwise(0L).as("r_wordlen"),
+            when(col("n_common") < 2, 1L).otherwise(0L).as("r_common"),
+            when(coalesce(col("rep_micro"), lit(0L)) >= 100000, 1L)
+              .otherwise(0L).as("r_rep"))
+          .withColumn("n_failed",
+            col("r_short") + col("r_wordlen") + col("r_common") + col("r_rep"))
+          .withColumn("keep", when(col("n_failed") === 0, 1L).otherwise(0L))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                 CAST((length(replace(text, ' ', '')) * 1000000)
+                   // len(string_split(text, ' ')) AS BIGINT) AS mwl_micro,
+                 CAST(len(list_intersect(string_split(text, ' '),
+                   ['join','hash','row','batch','scan'])) AS BIGINT) AS n_common
+          FROM documents),
+        w AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+        b AS (
+          SELECT doc_id, UNNEST([w[i] || ' ' || w[i+1]
+                                 for i in range(1, len(w))]) AS bigram FROM w),
+        c AS (SELECT doc_id, bigram, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        rep AS (
+          SELECT doc_id, (MAX(c) * 1000000) // SUM(c) AS rep_micro
+          FROM c GROUP BY 1),
+        flags AS (
+          SELECT base.doc_id,
+                 CASE WHEN n_tok < 20 THEN 1 ELSE 0 END AS r_short,
+                 CASE WHEN mwl_micro < 3900000 OR mwl_micro > 5100000
+                      THEN 1 ELSE 0 END AS r_wordlen,
+                 CASE WHEN n_common < 2 THEN 1 ELSE 0 END AS r_common,
+                 CASE WHEN COALESCE(rep_micro, 0) >= 100000
+                      THEN 1 ELSE 0 END AS r_rep
+          FROM base LEFT JOIN rep ON base.doc_id = rep.doc_id)
+        SELECT doc_id, CAST(r_short AS BIGINT) AS r_short,
+               CAST(r_wordlen AS BIGINT) AS r_wordlen,
+               CAST(r_common AS BIGINT) AS r_common,
+               CAST(r_rep AS BIGINT) AS r_rep,
+               CAST(r_short + r_wordlen + r_common + r_rep AS BIGINT) AS n_failed,
+               CAST(CASE WHEN r_short + r_wordlen + r_common + r_rep = 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM flags ORDER BY doc_id""")),
+
+    // Deterministic token-budget sampling: docs in keyed-md5 order (a
+    // stable corpus shuffle) are taken until the token budget fills —
+    // the "give me ~N tokens, reproducibly" mixture primitive. Built on
+    // the DISTRIBUTED prefix sum (PrefixSum.running — range partition +
+    // per-partition windows + broadcast offsets; never a single-task
+    // global window). The doc straddling the boundary is included.
+    "q95_token_budget_sample" -> Q(
+      run = (s, dir) => {
+        val counted = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast(LongType).as("n_tok"),
+            md5(col("doc_id").cast(StringType)).as("hk"))
+        graft.operators.PrefixSum.running(counted, "hk", "n_tok", "cum")
+          .withColumn("prior_tok", col("cum") - col("n_tok"))
+          .filter(col("prior_tok") < 10000)
+          .select(col("doc_id"), col("n_tok"), col("prior_tok"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                 md5(CAST(doc_id AS VARCHAR)) AS hk
+          FROM documents),
+        p AS (
+          SELECT doc_id, n_tok,
+                 CAST(COALESCE(SUM(n_tok) OVER (ORDER BY hk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS prior_tok
+          FROM c)
+        SELECT doc_id, n_tok, prior_tok FROM p
+        WHERE prior_tok < 10000 ORDER BY doc_id"""))
   )
 }
