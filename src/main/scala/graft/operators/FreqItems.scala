@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** Heavy-hitters rollups over the FreqItemsAgg sketch
+  * (graft.plans.FreqItemsAgg — mergeable Misra-Gries family). */
+object FreqItems {
+
+  /** The sketch column itself (array of (item, est, lb, ub) structs,
+    * sorted est DESC, item ASC) — for callers composing their own
+    * aggregations. `itemCol` must name an attribute of the input. */
+  def sketch(itemCol: String, maxMapSize: Int = 2048): Column =
+    ColumnBridge.column(
+      graft.plans.FreqItemsAgg(UnresolvedAttribute(itemCol), maxMapSize)
+        .toAggregateExpression())
+
+  /** Top-`k` items of `itemCol` per group: one fixed-size sketch per
+    * group (map-side combinable — the shuffle carries sketches, never
+    * per-item rows), exploded and ranked. Exact while distinct items
+    * per group stay under ~0.75·maxMapSize; approximate with
+    * DataSketches error bounds beyond. */
+  def topK(df: DataFrame, groupCols: Seq[String], itemCol: String,
+           k: Int, maxMapSize: Int = 2048): DataFrame = {
+    val gs = groupCols.map(col)
+    df.groupBy(gs: _*)
+      .agg(sketch(itemCol, maxMapSize).as("__fi"))
+      .select(gs :+ posexplode(col("__fi")): _*)
+      .filter(col("pos") < k)
+      .select(gs ++ Seq((col("pos") + 1).cast("long").as("rank"),
+        col("col").getField("item").as(itemCol),
+        col("col").getField("est").as("est")): _*)
+  }
+}

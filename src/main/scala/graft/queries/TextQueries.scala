@@ -698,6 +698,41 @@ object TextQueries extends QueryModule {
                     THEN 1 ELSE 0 END AS BIGINT) AS keep
         FROM flags ORDER BY doc_id""")),
 
+    // Heavy hitters via the mergeable FreqItemsAgg sketch (DataSketches
+    // ItemsSketch behind a TypedImperativeAggregate): top-5 bigrams per
+    // lang. The shuffle carries ONE fixed-size sketch per lang, never
+    // the per-bigram count table — the 100 TB rollup shape. Below
+    // ~0.75·maxMapSize distinct items the sketch is exact (no purges),
+    // so the DuckDB oracle compares true counts; FreqItemsSpec pins the
+    // above-capacity error-bound behavior.
+    "q94_freq_items" -> Q(
+      run = (s, dir) => {
+        val bi = Tables(s, dir, "documents")
+          .select(col("lang"),
+            explode(graft.functions.TextFunctions
+              .wordShinglesAll(col("text"), 2)).as("bigram"))
+        graft.operators.FreqItems
+          .topK(bi, Seq("lang"), "bigram", 5, maxMapSize = 2048)
+          .withColumnRenamed("est", "cnt")
+          .orderBy("lang", "rank")
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT lang, string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+        b AS (
+          SELECT lang, UNNEST([w[i] || ' ' || w[i+1]
+                               for i in range(1, len(w))]) AS bigram FROM w),
+        c AS (SELECT lang, bigram, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+        r AS (
+          SELECT lang, bigram, cnt,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY cnt DESC, bigram) AS rank
+          FROM c)
+        SELECT lang, CAST(rank AS BIGINT) AS rank, bigram,
+               CAST(cnt AS BIGINT) AS cnt
+        FROM r WHERE rank <= 5 ORDER BY lang, rank""")),
+
     // Deterministic token-budget sampling: docs in keyed-md5 order (a
     // stable corpus shuffle) are taken until the token budget fills —
     // the "give me ~N tokens, reproducibly" mixture primitive. Built on

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.core.Tables
+
+/** FreqItemsAgg (mergeable heavy-hitters sketch) behavior:
+  * exact-below-capacity, partitioning-invariance, and the graceful
+  * degradation bounds above capacity. */
+class FreqItemsSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def words = Tables(spark, sf, "documents")
+    .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+
+  test("below capacity: sketch counts equal exact groupBy counts") {
+    val exact = words.groupBy("lang", "w").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val sk = words.groupBy(col("lang"))
+      .agg(FreqItems.sketch("w", maxMapSize = 256).as("fi"))
+      .select(col("lang"), explode(col("fi")).as("r"))
+      .select(col("lang"), col("r.item"), col("r.est"), col("r.lb"), col("r.ub"))
+      .collect()
+    assert(sk.nonEmpty)
+    sk.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == exact(key), s"est mismatch at $key")
+      // no purges → bounds collapse onto the exact count
+      assert(r.getLong(3) == exact(key) && r.getLong(4) == exact(key))
+    }
+    // every exact key is present (NO_FALSE_POSITIVES below capacity
+    // returns everything)
+    assert(sk.length == exact.size)
+  }
+
+  test("partitioning-invariant: 1-partition and 16-partition merges agree") {
+    def run(parts: Int) = FreqItems
+      .topK(words.repartition(parts), Seq("lang"), "w", 3, maxMapSize = 256)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(run(1) == run(16))
+  }
+
+  test("above capacity: top item survives purges within the error bound") {
+    import spark.implicits._
+    // skewed stream: one item at 5000, 200 tail items at ~25 each,
+    // through a deliberately tiny sketch (maxMapSize 8 → constant
+    // purging)
+    val rows = Seq.fill(5000)("hot") ++
+      (1 to 200).flatMap(i => Seq.fill(25)(s"tail_$i"))
+    val df = rows.toDF("w").repartition(8)
+    val out = df.agg(FreqItems.sketch("w", maxMapSize = 8).as("fi"))
+      .select(explode(col("fi")).as("r"))
+      .select(col("r.item"), col("r.est"), col("r.lb"), col("r.ub"))
+      .collect()
+    val hot = out.find(_.getString(0) == "hot")
+    assert(hot.isDefined, "dominant item must survive purging")
+    // the true count lies within the sketch's own [lb, ub] envelope
+    assert(hot.get.getLong(2) <= 5000 && hot.get.getLong(3) >= 5000,
+      s"bounds ${hot.get.getLong(2)}..${hot.get.getLong(3)} must bracket 5000")
+  }
+}
