@@ -5,6 +5,23 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
+/** Mergeable-quantile rollups over the KLL sketch
+  * (graft.plans.KllQuantilesAgg). */
+object KllQuantiles {
+
+  /** Quantiles of `valueCol` (cast to double) at `ranks`, INCLUSIVE
+    * (= percentile_disc) semantics, as an array column. Exact while
+    * the group's count stays ≤ k; ~1.65/√k rank error beyond. */
+  def quantiles(valueCol: String, ranks: Seq[Double],
+                k: Int = 32768): Column =
+    ColumnBridge.column(
+      graft.plans.KllQuantilesAgg(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          UnresolvedAttribute(valueCol),
+          org.apache.spark.sql.types.DoubleType), k, ranks)
+        .toAggregateExpression())
+}
+
 /** Heavy-hitters rollups over the FreqItemsAgg sketch
   * (graft.plans.FreqItemsAgg — mergeable Misra-Gries family). */
 object FreqItems {

@@ -733,6 +733,39 @@ object TextQueries extends QueryModule {
                CAST(cnt AS BIGINT) AS cnt
         FROM r WHERE rank <= 5 ORDER BY lang, rank""")),
 
+    // Mergeable quantiles via the KLL sketch (KllQuantilesAgg): per-lang
+    // token-count percentiles with percentile_disc (INCLUSIVE) search
+    // semantics. One fixed-size sketch per lang rides the shuffle — the
+    // 100 TB percentile shape (a sort-based or single-task-window
+    // percentile is a non-starter). k=32768 ≥ any test-scale group →
+    // full retention → exact → DuckDB-oracle-comparable; KllSpec pins
+    // the above-capacity rank-error bound.
+    "q96_kll_quantiles" -> Q(
+      run = (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(col("lang"),
+            size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+          .groupBy(col("lang"))
+          .agg(graft.operators.KllQuantiles
+            .quantiles("n_tok", Seq(0.25, 0.5, 0.75, 0.9)).as("qs"))
+          .select(col("lang"),
+            col("qs").getItem(0).cast(LongType).as("p25"),
+            col("qs").getItem(1).cast(LongType).as("p50"),
+            col("qs").getItem(2).cast(LongType).as("p75"),
+            col("qs").getItem(3).cast(LongType).as("p90"))
+          .orderBy("lang"),
+      oracle = Some("""
+        WITH c AS (
+          SELECT lang,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents)
+        SELECT lang,
+               CAST(quantile_disc(n_tok, 0.25) AS BIGINT) AS p25,
+               CAST(quantile_disc(n_tok, 0.50) AS BIGINT) AS p50,
+               CAST(quantile_disc(n_tok, 0.75) AS BIGINT) AS p75,
+               CAST(quantile_disc(n_tok, 0.90) AS BIGINT) AS p90
+        FROM c GROUP BY lang ORDER BY lang""")),
+
     // Deterministic token-budget sampling: docs in keyed-md5 order (a
     // stable corpus shuffle) are taken until the token budget fills —
     // the "give me ~N tokens, reproducibly" mixture primitive. Built on

@@ -43,6 +43,25 @@ class FreqItemsSpec extends SparkSuite {
     assert(run(1) == run(16))
   }
 
+  test("KLL: partitioning-invariant below capacity, rank-error bound above") {
+    import spark.implicits._
+    // below capacity (k=1024 > 500 values): exact + layout-invariant
+    def exactRun(parts: Int) = Tables(spark, sf, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .repartition(parts)
+      .agg(KllQuantiles.quantiles("n_tok", Seq(0.5), k = 1024).as("qs"))
+      .select(col("qs").getItem(0)).collect().head.getDouble(0)
+    assert(exactRun(1) == exactRun(16))
+    // above capacity: 100k uniform values through k=64 — estimated p50
+    // must sit within 3x the published normalized rank error of k=64
+    // (~2.9% of rank mass → value error ~±2.9k on uniform 0..100k)
+    val big = (0 until 100000).map(_.toDouble).toDF("v").repartition(32)
+    val est = big.agg(KllQuantiles.quantiles("v", Seq(0.5), k = 64).as("qs"))
+      .select(col("qs").getItem(0)).collect().head.getDouble(0)
+    val tol = 3 * 0.029 * 100000
+    assert(math.abs(est - 50000) < tol, s"p50 estimate $est off by > $tol")
+  }
+
   test("above capacity: top item survives purges within the error bound") {
     import spark.implicits._
     // skewed stream: one item at 5000, 200 tail items at ~25 each,
