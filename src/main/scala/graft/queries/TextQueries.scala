@@ -420,6 +420,60 @@ object TextQueries extends QueryModule {
         WHERE doc_id >= 10 AND len(list_intersect(s, bs)) >= 5
         ORDER BY doc_id""")),
 
+    // Decontamination with a bloom prefilter (BloomFilterOps): the
+    // benchmark's shingle set becomes a ~10-bits/item bloom literal;
+    // the corpus's shingles are prefiltered MAP-LOCALLY (codegen
+    // might_contain, no UDF) so only probable hits reach the exact
+    // broadcast semi-join — false positives cost work, never
+    // correctness, so the result is exact and matches the q82 rule.
+    // At 100 TB this bounds per-executor memory by the bloom size even
+    // when the exploded benchmark table would not comfortably
+    // broadcast. Output: per-lang kept/dropped census of the corpus.
+    "q97_bloom_decontaminate" -> Q(
+      run = (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val shingle3 = (c: org.apache.spark.sql.Column) =>
+          graft.functions.TextFunctions.wordShingles(c, 3)
+        val benchSh = docs.filter(col("doc_id") < 10)
+          .select(explode(shingle3(col("text"))).as("sh")).distinct()
+        val docSh = docs.filter(col("doc_id") >= 10)
+          .select(col("doc_id"), explode(shingle3(col("text"))).as("sh"))
+          .filter(graft.operators.BloomFilterOps.mightContain(
+            benchSh, col("sh"), col("sh"), expectedItems = 4096))
+        val dropped = docSh.join(broadcast(benchSh), Seq("sh"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("overlap"))
+          .filter(col("overlap") >= 5)
+          .select(col("doc_id"), lit(1L).as("__drop"))
+        docs.filter(col("doc_id") >= 10)
+          .join(dropped, Seq("doc_id"), "left")
+          .groupBy(col("lang"))
+          .agg(count(when(col("__drop").isNull, 1)).as("n_kept"),
+            count(when(col("__drop").isNotNull, 1)).as("n_dropped"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct([string_split(text, ' ')[i] || ' ' ||
+                                string_split(text, ' ')[i+1] || ' ' ||
+                                string_split(text, ' ')[i+2]
+                                for i in range(1, len(string_split(text, ' ')) - 1)]) AS s
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+        bench AS (
+          SELECT list_distinct(flatten(list(s))) AS bs FROM sh WHERE doc_id < 10),
+        dropped AS (
+          SELECT doc_id FROM sh, bench
+          WHERE doc_id >= 10 AND len(list_intersect(s, bs)) >= 5)
+        SELECT lang,
+               COUNT(*) FILTER (doc_id NOT IN (SELECT doc_id FROM dropped))
+                 AS n_kept,
+               COUNT(*) FILTER (doc_id IN (SELECT doc_id FROM dropped))
+                 AS n_dropped
+        FROM documents WHERE doc_id >= 10
+        GROUP BY lang ORDER BY lang""")),
+
     // Source-weighted mixture sampling (data mixing): re-weight the
     // corpus toward a target per-language distribution with the keyed
     // md5-threshold rule — reproducible membership, broadcast rates,
