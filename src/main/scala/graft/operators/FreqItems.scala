@@ -34,6 +34,21 @@ object FreqItems {
       graft.plans.FreqItemsAgg(UnresolvedAttribute(itemCol), maxMapSize)
         .toAggregateExpression())
 
+  /** The persistable partial: SERIALIZED sketch bytes (store them in a
+    * table; roll up later with `mergeSketches` without rescanning
+    * rows). Merging exact (below-capacity) partials stays exact. */
+  def sketchBytes(itemCol: String, maxMapSize: Int = 2048): Column =
+    ColumnBridge.column(
+      graft.plans.FreqItemsSketchAgg(UnresolvedAttribute(itemCol), maxMapSize)
+        .toAggregateExpression())
+
+  /** Roll up stored sketch bytes into ranked (item, est, lb, ub) rows
+    * — the incremental-analytics read path. */
+  def mergeSketches(bytesCol: String, maxMapSize: Int = 2048): Column =
+    ColumnBridge.column(
+      graft.plans.FreqItemsMergeAgg(UnresolvedAttribute(bytesCol), maxMapSize)
+        .toAggregateExpression())
+
   /** Top-`k` items of `itemCol` per group: one fixed-size sketch per
     * group (map-side combinable — the shuffle carries sketches, never
     * per-item rows), exploded and ranked. Exact while distinct items

@@ -787,6 +787,47 @@ object TextQueries extends QueryModule {
                CAST(cnt AS BIGINT) AS cnt
         FROM r WHERE rank <= 5 ORDER BY lang, rank""")),
 
+    // Two-level sketch rollup (FreqItemsSketchAgg → FreqItemsMergeAgg):
+    // per-(lang, source) partial sketches — the persistable daily
+    // partials of an incremental pipeline — merged per lang and ranked.
+    // Merging exact partials stays exact, so the result equals q94's
+    // direct aggregation and shares its oracle; FreqItemsSpec proves the
+    // partials survive a parquet round-trip. At 100 TB the second level
+    // reads sketch bytes, never the corpus.
+    "q98_sketch_rollup" -> Q(
+      run = (s, dir) => {
+        val bi = Tables(s, dir, "documents")
+          .select(col("lang"), col("source"),
+            explode(graft.functions.TextFunctions
+              .wordShinglesAll(col("text"), 2)).as("bigram"))
+        bi.groupBy(col("lang"), col("source"))
+          .agg(graft.operators.FreqItems.sketchBytes("bigram").as("sk"))
+          .groupBy(col("lang"))
+          .agg(graft.operators.FreqItems.mergeSketches("sk").as("fi"))
+          .select(col("lang"), posexplode(col("fi")))
+          .filter(col("pos") < 5)
+          .select(col("lang"), (col("pos") + 1).cast(LongType).as("rank"),
+            col("col").getField("item").as("bigram"),
+            col("col").getField("est").as("cnt"))
+          .orderBy("lang", "rank")
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT lang, string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+        b AS (
+          SELECT lang, UNNEST([w[i] || ' ' || w[i+1]
+                               for i in range(1, len(w))]) AS bigram FROM w),
+        c AS (SELECT lang, bigram, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+        r AS (
+          SELECT lang, bigram, cnt,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY cnt DESC, bigram) AS rank
+          FROM c)
+        SELECT lang, CAST(rank AS BIGINT) AS rank, bigram,
+               CAST(cnt AS BIGINT) AS cnt
+        FROM r WHERE rank <= 5 ORDER BY lang, rank""")),
+
     // Mergeable quantiles via the KLL sketch (KllQuantilesAgg): per-lang
     // token-count percentiles with percentile_disc (INCLUSIVE) search
     // semantics. One fixed-size sketch per lang rides the shuffle — the

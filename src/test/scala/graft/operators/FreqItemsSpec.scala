@@ -43,6 +43,31 @@ class FreqItemsSpec extends SparkSuite {
     assert(run(1) == run(16))
   }
 
+  test("sketch bytes survive a parquet round-trip and merge to the direct answer") {
+    val direct = FreqItems.topK(words, Seq("lang"), "w", 3, maxMapSize = 256)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    // partials per (lang, source-of-origin partition), persisted like an
+    // incremental pipeline would
+    val dir = java.nio.file.Files.createTempDirectory("graft_sketch")
+      .toString + "/partials"
+    Tables(spark, sf, "documents")
+      .select(col("lang"), col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("lang"), col("source"))
+      .agg(FreqItems.sketchBytes("w", maxMapSize = 256).as("sk"))
+      .write.parquet(dir)
+    val viaStore = spark.read.parquet(dir)
+      .groupBy(col("lang"))
+      .agg(FreqItems.mergeSketches("sk", maxMapSize = 256).as("fi"))
+      .select(col("lang"), posexplode(col("fi")))
+      .filter(col("pos") < 3)
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.item"), col("col.est"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(viaStore == direct)
+  }
+
   test("KLL: partitioning-invariant below capacity, rank-error bound above") {
     import spark.implicits._
     // below capacity (k=1024 > 500 values): exact + layout-invariant
