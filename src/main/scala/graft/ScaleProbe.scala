@@ -49,6 +49,51 @@ object ScaleProbe {
       }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
+    // sketch aggregations: cost should be linear in input with a
+    // CONSTANT per-group shuffle payload (one fixed-size sketch),
+    // regardless of item cardinality per group
+    for (mult <- Seq(1, 4, 10)) {
+      val c = corpus(mult).localCheckpoint(true)
+      val n = c.count()
+      val langd = c.withColumn("lang",
+        (col("doc_id") % 5).cast("string"))
+      def time(name: String)(f: => Long): Unit = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"[probe] mult=$mult%2d docs=$n%7d $name%-18s ${(System.nanoTime()-t0)/1e9}%7.2f s  ($rows rows)")
+      }
+      time("freq_items") {
+        graft.operators.FreqItems.topK(
+          langd.select(col("lang"),
+            explode(graft.functions.TextFunctions
+              .wordShinglesAll(col("text"), 2)).as("bigram")),
+          Seq("lang"), "bigram", 5).count()
+      }
+      time("kll_quantiles") {
+        langd.select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .groupBy(col("lang"))
+          .agg(graft.operators.KllQuantiles
+            .quantiles("n_tok", Seq(0.5, 0.9)).as("qs"))
+          .count()
+      }
+      time("chunk_dedup") { // q91's shape over the scaled corpus
+        val toks = split(col("text"), " ")
+        c.select(col("doc_id"), toks.as("toks"), size(toks).as("n_tok"))
+          .select(col("doc_id"), explode(sequence(lit(0),
+            greatest(col("n_tok") - 1, lit(0)), lit(32))).as("st"), col("toks"))
+          .select(col("doc_id"), md5(array_join(
+            slice(col("toks"), col("st") + 1, lit(32)), " ")).as("cmd5"))
+          .withColumn("cnt", count(lit(1)).over(org.apache.spark.sql
+            .expressions.Window.partitionBy(col("cmd5"))))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            count(when(col("cnt") > 1, 1)).as("n_dup"))
+          .count()
+      }
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
     val ebase = graft.core.Tables(spark, "/root/testdata/sf0.1", "embeddings")
       .select(col("vec_id"), col("embedding"))
     for (mult <- Seq(1, 4, 10)) {
