@@ -53,6 +53,31 @@ object Sampling {
       .drop("__thr")
   }
 
+  /** Deterministic EXACT-k sample per group (eval-set builder): the k
+    * smallest-md5(key) ids of each group, via the bounded-heap
+    * TopKByKeyAgg — the map-side partial reduces every group to ≤ k
+    * pairs per input partition, so the shuffle carries ≤ k·partitions
+    * pairs per group, never the group itself (a
+    * `row_number().over(partitionBy(group))` window would sort whole
+    * fact-scale groups through single tasks). Output:
+    * (groupCol, sample_rank 1..k, idCol) — a pure function of the
+    * data, stable across runs, engines and layouts. */
+  def takePerGroup(df: DataFrame, groupCol: String, idCol: String,
+                   k: Int): DataFrame = {
+    val agg = graft.plans.TopKByKeyAgg(
+      org.apache.spark.sql.graft.ColumnBridge.expression(
+        md5(col(idCol).cast(StringType))),
+      org.apache.spark.sql.graft.ColumnBridge.expression(
+        col(idCol).cast("long")),
+      k)
+    df.groupBy(col(groupCol))
+      .agg(org.apache.spark.sql.graft.ColumnBridge
+        .column(agg.toAggregateExpression()).as("__top"))
+      .select(col(groupCol), posexplode(col("__top")))
+      .select(col(groupCol), (col("pos") + 1).cast("long").as("sample_rank"),
+        col("col").getField("id").as(idCol))
+  }
+
   /** Deterministic train/val/test assignment: cumulative thresholds
     * over the same keyed md5-uniform, so every row lands in EXACTLY one
     * split (disjoint and exhaustive by construction), membership is

@@ -474,6 +474,64 @@ object TextQueries extends QueryModule {
         FROM documents WHERE doc_id >= 10
         GROUP BY lang ORDER BY lang""")),
 
+    // Exact-k deterministic sample per group (Sampling.takePerGroup):
+    // the 10 smallest-md5 docs per lang — the reproducible eval-set
+    // builder. Bounded-heap TopKByKeyAgg: map-side partials cap every
+    // group at k pairs per partition, so the shuffle never carries a
+    // whole group (the naive per-group row_number window would funnel
+    // each group through one task).
+    "q99_sample_per_group" -> Q(
+      run = (s, dir) =>
+        graft.operators.Sampling.takePerGroup(
+          Tables(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "lang", "doc_id", 10)
+          .select(col("lang"), col("sample_rank"), col("doc_id"))
+          .orderBy("lang", "sample_rank"),
+      oracle = Some("""
+        WITH r AS (
+          SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR))) AS sample_rank
+          FROM documents)
+        SELECT lang, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id
+        FROM r WHERE sample_rank <= 10 ORDER BY lang, sample_rank""")),
+
+    // Token-balanced shards (training-export layout): docs in keyed-md5
+    // order are assigned to shards of ~4096 tokens by their starting
+    // offset in the concatenated stream — deterministic shard
+    // boundaries via the distributed prefix sum, no single-task window.
+    // Output is the shard census (docs + tokens per shard).
+    "q100_token_shards" -> Q(
+      run = (s, dir) => {
+        val counted = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast(LongType).as("n_tok"),
+            md5(col("doc_id").cast(StringType)).as("hk"))
+        graft.operators.PrefixSum.running(counted, "hk", "n_tok", "cum")
+          .select(col("doc_id"), col("n_tok"),
+            expr("(cum - n_tok) div 4096").as("shard_id"))
+          .groupBy(col("shard_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tokens"))
+          .orderBy("shard_id")
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                 md5(CAST(doc_id AS VARCHAR)) AS hk
+          FROM documents),
+        p AS (
+          SELECT doc_id, n_tok,
+                 CAST(COALESCE(SUM(n_tok) OVER (ORDER BY hk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS prior
+          FROM c)
+        SELECT CAST(prior // 4096 AS BIGINT) AS shard_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM p GROUP BY 1 ORDER BY shard_id""")),
+
     // Source-weighted mixture sampling (data mixing): re-weight the
     // corpus toward a target per-language distribution with the keyed
     // md5-threshold rule — reproducible membership, broadcast rates,

@@ -46,7 +46,7 @@ class PlanAuditSpec extends SparkSuite {
       "q36_topk_limit",
       // distributed prefix sum: the only global window is over the
       // per-partition totals (#partitions rows), by construction
-      "q75_sequence_pack", "q95_token_budget_sample"))
+      "q75_sequence_pack", "q95_token_budget_sample", "q100_token_shards"))
 
   test("every plan is free of non-allowlisted scale anti-patterns") {
     val violations = scala.collection.mutable.ListBuffer.empty[String]

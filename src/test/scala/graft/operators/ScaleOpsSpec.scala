@@ -89,6 +89,26 @@ class ScaleOpsSpec extends SparkSuite {
     intercept[IllegalArgumentException](Sampling.hexThreshold(-0.1))
   }
 
+  test("takePerGroup: equals the window formulation, layout-invariant") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("lang"))
+    def run(parts: Int) = Sampling
+      .takePerGroup(docs.repartition(parts), "lang", "doc_id", 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = {
+      import org.apache.spark.sql.expressions.Window
+      docs.withColumn("rk", row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(md5(col("doc_id").cast("string")))).cast("long"))
+        .filter(col("rk") <= 7)
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(0))).toSet
+    }
+    assert(run(1) == expected)
+    assert(run(16) == expected)
+    // groups smaller than k return the whole group, ranked
+    val tiny = docs.limit(3)
+    assert(Sampling.takePerGroup(tiny, "lang", "doc_id", 100).count() == 3)
+  }
+
   test("assignSplit: disjoint+exhaustive, near target fractions, growth-stable") {
     val sf = "/root/testdata/sf0.01"
     val docs = Tables(spark, sf, "documents")
