@@ -532,6 +532,97 @@ object TextQueries extends QueryModule {
                CAST(SUM(n_tok) AS BIGINT) AS n_tokens
         FROM p GROUP BY 1 ORDER BY shard_id""")),
 
+    // Corpus-freeze capstone: the full training-data release pipeline
+    // in one composition — quality rules (QualityRules.flags) → exact
+    // dedup (min doc_id per digest) → benchmark decontamination (3-gram
+    // overlap vs the doc_id<10 holdout, broadcast semi-join) →
+    // deterministic split assignment (Sampling.assignSplit) → per-split
+    // census. Every stage reuses an independently-oracle-verified
+    // operator (q93/q30/q82/q86); this query verifies they COMPOSE.
+    // (Near-dup in composition is covered by q90's keep-best capstone.)
+    "q101_corpus_freeze" -> Q(
+      run = (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val clean = graft.operators.QualityRules
+          .flags(docs.select(col("doc_id"), col("text")))
+          .filter(col("keep") === 1)
+          .select(col("doc_id"), col("text"), col("n_tok"))
+        val firstPerDigest = clean
+          .groupBy(md5(col("text")).as("__d"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+        val deduped = clean.join(firstPerDigest, Seq("doc_id"), "left_semi")
+          .filter(col("doc_id") >= 10) // the holdout never ships
+        val shingle3 = (c: org.apache.spark.sql.Column) =>
+          graft.functions.TextFunctions.wordShingles(c, 3)
+        val benchSh = docs.filter(col("doc_id") < 10)
+          .select(explode(shingle3(col("text"))).as("sh")).distinct()
+        val contaminated = deduped
+          .select(col("doc_id"), explode(shingle3(col("text"))).as("sh"))
+          .join(broadcast(benchSh), Seq("sh"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("ov"))
+          .filter(col("ov") >= 5).select(col("doc_id"))
+        deduped.join(contaminated, Seq("doc_id"), "left_anti")
+          .withColumn("split", graft.operators.Sampling.assignSplit(
+            col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+          .orderBy("split")
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT doc_id, text,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                 CAST((length(replace(text, ' ', '')) * 1000000)
+                   // len(string_split(text, ' ')) AS BIGINT) AS mwl,
+                 CAST(len(list_intersect(string_split(text, ' '),
+                   ['join','hash','row','batch','scan'])) AS BIGINT) AS nc
+          FROM documents),
+        w AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+        b AS (
+          SELECT doc_id, UNNEST([w[i] || ' ' || w[i+1]
+                                 for i in range(1, len(w))]) AS bigram FROM w),
+        bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        rep AS (
+          SELECT doc_id, (MAX(c) * 1000000) // SUM(c) AS rep_micro
+          FROM bc GROUP BY 1),
+        clean AS (
+          SELECT base.doc_id, text, n_tok
+          FROM base LEFT JOIN rep ON base.doc_id = rep.doc_id
+          WHERE n_tok >= 20 AND mwl >= 3900000 AND mwl <= 5100000
+            AND nc >= 2 AND COALESCE(rep_micro, 0) < 100000),
+        deduped AS (
+          SELECT doc_id, text, n_tok FROM clean
+          QUALIFY row_number() OVER (PARTITION BY md5(text)
+            ORDER BY doc_id) = 1),
+        corpus AS (SELECT * FROM deduped WHERE doc_id >= 10),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct([string_split(text, ' ')[i] || ' ' ||
+                                string_split(text, ' ')[i+1] || ' ' ||
+                                string_split(text, ' ')[i+2]
+                                for i in range(1, len(string_split(text, ' ')) - 1)]) AS s
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+        bench AS (
+          SELECT list_distinct(flatten(list(s))) AS bs FROM sh WHERE doc_id < 10),
+        contaminated AS (
+          SELECT c.doc_id FROM corpus c
+          JOIN sh ON c.doc_id = sh.doc_id CROSS JOIN bench
+          WHERE len(list_intersect(sh.s, bench.bs)) >= 5),
+        final AS (
+          SELECT * FROM corpus
+          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+        SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccd'
+                    THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+                    THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM final GROUP BY split ORDER BY split""")),
+
     // Source-weighted mixture sampling (data mixing): re-weight the
     // corpus toward a target per-language distribution with the keyed
     // md5-threshold rule — reproducible membership, broadcast rates,
@@ -740,39 +831,12 @@ object TextQueries extends QueryModule {
     // the base signals are map-local; the bigram stats key on doc_id
     // (+bigram) with map-side combine; one doc_id equi-join merges them.
     "q93_quality_rules" -> Q(
-      run = (s, dir) => {
-        val toks = split(col("text"), " ")
-        val base = Tables(s, dir, "documents")
-          .select(col("doc_id"), col("text"),
-            size(toks).cast(LongType).as("n_tok"),
-            length(translate(col("text"), " ", "")).cast(LongType)
-              .as("n_nonspace"))
-          .select(col("doc_id"), col("text"), col("n_tok"),
-            expr("(n_nonspace * 1000000) div n_tok").as("mwl_micro"),
-            size(array_intersect(split(col("text"), " "),
-              array(Seq("join", "hash", "row", "batch", "scan").map(lit): _*)))
-              .cast(LongType).as("n_common"))
-        val rep = Tables(s, dir, "documents")
-          .select(col("doc_id"),
-            explode(graft.functions.TextFunctions
-              .wordShinglesAll(col("text"), 2)).as("bigram"))
-          .groupBy(col("doc_id"), col("bigram"))
-          .agg(count(lit(1)).as("c"))
-          .groupBy(col("doc_id"))
-          .agg(expr("(max(c) * 1000000) div sum(c)").as("rep_micro"))
-        base.join(rep, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            when(col("n_tok") < 20, 1L).otherwise(0L).as("r_short"),
-            when(col("mwl_micro") < 3900000 || col("mwl_micro") > 5100000, 1L)
-              .otherwise(0L).as("r_wordlen"),
-            when(col("n_common") < 2, 1L).otherwise(0L).as("r_common"),
-            when(coalesce(col("rep_micro"), lit(0L)) >= 100000, 1L)
-              .otherwise(0L).as("r_rep"))
-          .withColumn("n_failed",
-            col("r_short") + col("r_wordlen") + col("r_common") + col("r_rep"))
-          .withColumn("keep", when(col("n_failed") === 0, 1L).otherwise(0L))
-          .orderBy("doc_id")
-      },
+      run = (s, dir) =>
+        graft.operators.QualityRules.flags(
+          Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+          .select(col("doc_id"), col("r_short"), col("r_wordlen"),
+            col("r_common"), col("r_rep"), col("n_failed"), col("keep"))
+          .orderBy("doc_id"),
       oracle = Some("""
         WITH base AS (
           SELECT doc_id,
