@@ -54,7 +54,12 @@ object Bench {
       names.foreach { name =>
         dropAllBlocks()
         val t0 = System.nanoTime()
-        val n = try qs(name)(spark, sfDir).count()
+        // time the FULL plan: .count() lets Catalyst prune every column
+        // not needed for the row count — for queries whose cost lives in
+        // a pruned projection/aggregate (sketches, scrubbing, windows
+        // not affecting cardinality) it would time a near-empty plan.
+        // toRdd fixes the complete output schema, so nothing is pruned.
+        val n = try qs(name)(spark, sfDir).queryExecution.toRdd.count()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L
         }
@@ -90,10 +95,14 @@ object Bench {
     val q = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$q,"sf":"$sfDir"}""")
+    // Locale.ROOT: the f interpolator is default-locale-sensitive — a
+    // comma-decimal locale would make this line invalid JSON
+    def c2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qc = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.2f"
+      "\"" + k.takeWhile(_ != '_') + "\":" + c2(v)
     }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"queries":$qc,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${c2(total)},"unit":"sec","n":${results.size},"queries":$qc,"sf":"$sfDir"}""")
     Console.out.flush()
     Thread.sleep(250)
     spark.stop()

@@ -63,34 +63,27 @@ object ScaleProbe {
         val rows = f
         println(f"[probe] mult=$mult%2d docs=$n%7d $name%-18s ${(System.nanoTime()-t0)/1e9}%7.2f s  ($rows rows)")
       }
+      // toRdd.count(): a plain .count() would let Catalyst PRUNE the
+      // aggregates being measured (sketch/chunk stats don't affect row
+      // count) — it timed a per-group distinct, not the operator
+      def evalAll(df: org.apache.spark.sql.DataFrame): Long =
+        df.queryExecution.toRdd.count()
       time("freq_items") {
-        graft.operators.FreqItems.topK(
+        evalAll(graft.operators.FreqItems.topK(
           langd.select(col("lang"),
             explode(graft.functions.TextFunctions
               .wordShinglesAll(col("text"), 2)).as("bigram")),
-          Seq("lang"), "bigram", 5).count()
+          Seq("lang"), "bigram", 5))
       }
       time("kll_quantiles") {
-        langd.select(col("lang"),
+        evalAll(langd.select(col("lang"),
           size(split(col("text"), " ")).cast("long").as("n_tok"))
           .groupBy(col("lang"))
           .agg(graft.operators.KllQuantiles
-            .quantiles("n_tok", Seq(0.5, 0.9)).as("qs"))
-          .count()
+            .quantiles("n_tok", Seq(0.5, 0.9)).as("qs")))
       }
-      time("chunk_dedup") { // q91's shape over the scaled corpus
-        val toks = split(col("text"), " ")
-        c.select(col("doc_id"), toks.as("toks"), size(toks).as("n_tok"))
-          .select(col("doc_id"), explode(sequence(lit(0),
-            greatest(col("n_tok") - 1, lit(0)), lit(32))).as("st"), col("toks"))
-          .select(col("doc_id"), md5(array_join(
-            slice(col("toks"), col("st") + 1, lit(32)), " ")).as("cmd5"))
-          .withColumn("cnt", count(lit(1)).over(org.apache.spark.sql
-            .expressions.Window.partitionBy(col("cmd5"))))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_chunks"),
-            count(when(col("cnt") > 1, 1)).as("n_dup"))
-          .count()
+      time("chunk_dedup") { // q91's builder over the scaled corpus
+        evalAll(graft.operators.Chunks.dupStats(c))
       }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }

@@ -64,6 +64,13 @@ object Sampling {
     * data, stable across runs, engines and layouts. */
   def takePerGroup(df: DataFrame, groupCol: String, idCol: String,
                    k: Int): DataFrame = {
+    // the buffer stores ids as longs; a lossy cast (string ids, nulls)
+    // would SILENTLY drop rows from an "exact" sample — reject instead
+    val idType = df.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.ShortType).contains(idType),
+      s"takePerGroup needs an integral id column, $idCol is $idType")
     val agg = graft.plans.TopKByKeyAgg(
       org.apache.spark.sql.graft.ColumnBridge.expression(
         md5(col(idCol).cast(StringType))),

@@ -715,25 +715,10 @@ object TextQueries extends QueryModule {
     // over the chunk hash (no second join-back pass); per-doc rollup
     // keys on doc_id (map-side combinable). Exact integral micro ratio.
     "q91_chunk_dedup" -> Q(
-      run = (s, dir) => {
-        val toks = split(col("text"), " ")
-        val chunks = Tables(s, dir, "documents")
-          .select(col("doc_id"), toks.as("toks"), size(toks).as("n_tok"))
-          .select(col("doc_id"),
-            explode(sequence(lit(0), greatest(col("n_tok") - 1, lit(0)),
-              lit(32))).as("st"), col("toks"))
-          .select(col("doc_id"),
-            md5(array_join(slice(col("toks"), col("st") + 1, lit(32)), " "))
-              .as("cmd5"))
-        chunks
-          .withColumn("c", count(lit(1)).over(Window.partitionBy(col("cmd5"))))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_chunks"),
-            count(when(col("c") > 1, 1)).as("n_dup"))
-          .select(col("doc_id"), col("n_chunks"), col("n_dup"),
-            expr("(n_dup * 1000000) div n_chunks").as("dup_micro"))
-          .orderBy("doc_id")
-      },
+      run = (s, dir) =>
+        graft.operators.Chunks.dupStats(
+          Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+          .orderBy("doc_id"),
       oracle = Some("""
         WITH base AS (
           SELECT doc_id, string_split(text, ' ') AS toks,

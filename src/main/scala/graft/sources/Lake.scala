@@ -130,9 +130,14 @@ object Lake {
   }
 
   /** S7: merge-and-rewrite as a single JSON part file
-    * (crawl_faci.py:334-338) — for small exchange files only. */
-  def writeSingleJson(df: DataFrame, path: String): Unit =
-    df.coalesce(1).write.mode(SaveMode.Overwrite).json(path)
+    * (crawl_faci.py:334-338) — for small exchange files only.
+    * Compression defaults to none: exchange files are read back as
+    * plain text (by `writeJsonArray` and external consumers), and a
+    * session-level JSON codec would otherwise emit part-*.json.gz. */
+  def writeSingleJson(df: DataFrame, path: String,
+                      compression: String = "none"): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("compression", compression).json(path)
 
   /** S7 variant — JSON ARRAY exchange file: one file holding a single
     * multiline JSON array, the exact shape the reference's crawlers
@@ -143,11 +148,7 @@ object Lake {
   def writeJsonArray(df: DataFrame, path: String): Unit = {
     import java.nio.charset.StandardCharsets
     val staging = path + "__lines"
-    // force an uncompressed staging write: a session-level JSON
-    // compression codec would otherwise emit part-*.json.gz, and the
-    // lines must be readable as plain text below
-    df.coalesce(1).write.mode(SaveMode.Overwrite)
-      .option("compression", "none").json(staging)
+    writeSingleJson(df, staging) // uncompressed: lines re-read below
     // match on the part-* prefix, not the .json suffix — Spark's part
     // file naming is stable, its extension varies with codec config
     val part = new java.io.File(staging).listFiles()

@@ -374,7 +374,15 @@ object StreamingJobs {
         // only checked against the PREVIOUS corpus, so without this both
         // would be committed permanently. Self-pairs over the (small)
         // batch → min doc_id per connected component survives.
-        def nearDedupWithin(docs: DataFrame): DataFrame = {
+        // the input plan is materialized ONCE up front: jaccardSelfJoin's
+        // internal checkpoints, the components' nodes input and the final
+        // semi-join would otherwise each re-evaluate it — and in the
+        // Some(_) branch that plan contains the corpus-wide digest
+        // anti-join and near-dup join, the batch's dominant cost. The
+        // result is materialized too (emptiness check + table write both
+        // consume it).
+        def nearDedupWithin(docsLazy: DataFrame): DataFrame = {
+          val docs = docsLazy.localCheckpoint(true)
           val pairs = graft.operators.Dedup
             .ngramJaccardPairs(docs, threshold).localCheckpoint(true)
           if (pairs.isEmpty) docs
@@ -383,12 +391,12 @@ object StreamingJobs {
               .connectedComponents(pairs, docs.select(col("doc_id")))
               .groupBy(col("component")).agg(min(col("id")).as("doc_id"))
             docs.join(keep.select(col("doc_id")), Seq("doc_id"), "left_semi")
+              .localCheckpoint(true)
           }
         }
         VersionedTable.latestVersion(tableRoot) match {
           case None =>
             val survivors = nearDedupWithin(inBatch.drop("__md5"))
-              .localCheckpoint(true)
             // a zero-row first file must not commit: a v0 manifest
             // referencing no parquet files would make every later
             // readVersion (and thus every later batch's corpus read)
@@ -403,13 +411,9 @@ object StreamingJobs {
             val nearDupIds = graft.operators.Dedup
               .ngramJaccardJoin(newExact, corpus, threshold)
               .select(col("new_id")).distinct()
-            // materialized once: both the emptiness check and the append
-            // consume it — without this the corpus-wide near-dup join
-            // (the batch's dominant cost) would run twice
             val survivors = nearDedupWithin(
               newExact.join(nearDupIds,
                 col("doc_id") === col("new_id"), "left_anti"))
-              .localCheckpoint(true)
             if (!survivors.isEmpty)
               VersionedTable.append(survivors, tableRoot)
         }
