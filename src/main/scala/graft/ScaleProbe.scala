@@ -108,6 +108,39 @@ object ScaleProbe {
       time("ivf_topk")   { graft.operators.Similarity.ivfTopK(queries32, c, 5).count() }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
+    // as-of join: composed union+window vs the native sorted-merge exec
+    // (AsOfJoinExec) on 1x/4x/10x unions of the events table (shifted
+    // user ids — key cardinality grows with input, per-key history
+    // stays constant)
+    val evbase = graft.core.Tables(spark, "/root/testdata/sf0.1", "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+    for (mult <- Seq(1, 4, 10)) {
+      val ev = (0 until mult).map(i => evbase.select(
+        (col("user_id") + lit(i * 10000000L)).as("user_id"), col("ts"),
+        col("event_id"), col("event_type"), col("value")))
+        .reduce(_ union _).localCheckpoint(true)
+      val n = ev.count()
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("last_purchase"))
+      def time(name: String)(f: => Long): Unit = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"[probe] mult=$mult%2d rows=$n%8d $name%-18s ${(System.nanoTime()-t0)/1e9}%7.2f s  ($rows rows)")
+      }
+      def evalAll(df: org.apache.spark.sql.DataFrame): Long =
+        df.queryExecution.toRdd.count()
+      time("asof_composed") {
+        evalAll(graft.operators.AsOfJoin.asOf(clicks, purchases, "user_id", "ts"))
+      }
+      time("asof_native") {
+        evalAll(graft.operators.AsOfJoin.asOfNative(clicks, purchases, "user_id", "ts"))
+      }
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
     spark.stop()
   }
 }

@@ -25,6 +25,10 @@ object GraftSession {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     graft.plans.GraftFunctions.registerAll(spark)
+    org.apache.spark.sql.graft.PlanBridge
+      .registerStrategy(spark, graft.plans.AsOfJoinStrategy)
+    org.apache.spark.sql.graft.PlanBridge
+      .registerOptimization(spark, graft.plans.AsOfJoinFilterPushdown)
     spark
   }
 

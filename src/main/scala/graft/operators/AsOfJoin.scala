@@ -27,6 +27,12 @@ object AsOfJoin {
     * timestamp. Output: all left columns + the payload columns. */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String,
            timeCol: String): DataFrame = {
+    asOfComposed(left, right, keyCol, timeCol)
+  }
+
+  /** The composed (union + window) realization — see [[asOf]]. */
+  def asOfComposed(left: DataFrame, right: DataFrame, keyCol: String,
+                   timeCol: String): DataFrame = {
     val payloadCols = right.columns.filterNot(Seq(keyCol, timeCol).contains).toSeq
     val leftExtra = left.columns.filterNot(Seq(keyCol, timeCol).contains).toSeq
     val leftTagged = left.select(
@@ -46,5 +52,50 @@ object AsOfJoin {
       (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
     carried.filter(col("__is_r") === 0).drop("__is_r")
+  }
+
+  /** Native physical realization of the same operator — a custom
+    * Catalyst `LogicalPlan`/`SparkStrategy`/`SparkPlan`
+    * ([[graft.plans.AsOfJoinExec]]): children co-partitioned on the key
+    * and sorted by (key, time), then a streaming per-partition merge
+    * holding one buffered right row. Same contract as [[asOf]] (payload
+    * = right's non-key/time columns, nullable; ties resolve to the
+    * right row). Prefer this at scale: the composed form shuffles
+    * left+right unioned and carries per-payload-column window state;
+    * the exec shuffles each side once on its own key and never
+    * materializes candidate pairs. */
+  def asOfNative(left: DataFrame, right: DataFrame, keyCol: String,
+                 timeCol: String): DataFrame = {
+    val spark = left.sparkSession
+    org.apache.spark.sql.graft.PlanBridge
+      .registerStrategy(spark, graft.plans.AsOfJoinStrategy)
+    org.apache.spark.sql.graft.PlanBridge
+      .registerOptimization(spark, graft.plans.AsOfJoinFilterPushdown)
+    val lPlan = left.queryExecution.analyzed
+    // Re-alias every right column through a Project so the custom node
+    // references FRESH exprIds: when both sides derive from the same
+    // relation, the analyzer's DeduplicateRelations regenerates the
+    // duplicated leaf's exprIds inside the right subtree, and it can
+    // only remap expressions of nodes it knows — a custom node's stale
+    // references would dangle. Alias exprIds are stable across that
+    // rewrite (only their children are remapped), so the node stays
+    // valid; it also guarantees output exprIds never collide with the
+    // left side's.
+    val rAliases = right.queryExecution.analyzed.output
+      .map(a => org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)())
+    val rPlan = org.apache.spark.sql.catalyst.plans.logical.Project(
+      rAliases, right.queryExecution.analyzed)
+    def attr(out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+             n: String) =
+      out.find(_.name.equalsIgnoreCase(n)).getOrElse(
+        throw new IllegalArgumentException(
+          s"as-of column '$n' not in [${out.map(_.name).mkString(", ")}]"))
+    val rOut = rAliases.map(_.toAttribute)
+    val payload = rOut.filterNot(a =>
+      a.name.equalsIgnoreCase(keyCol) || a.name.equalsIgnoreCase(timeCol))
+    org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
+      graft.plans.AsOfJoinPlan(lPlan, rPlan,
+        Seq(attr(lPlan.output, keyCol)), Seq(attr(rOut, keyCol)),
+        attr(lPlan.output, timeCol), attr(rOut, timeCol), payload))
   }
 }

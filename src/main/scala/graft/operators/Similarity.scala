@@ -275,4 +275,29 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** SemDeDup-style semantic deduplication: treat cos ≥ `threshold` as
+    * "same meaning", group transitively (large-star/small-star
+    * connected components — O(log n) rounds), keep ONE representative
+    * per cluster (the minimum id: deterministic, and already the
+    * component label so no extra selection pass), and report how many
+    * members it replaced. Output: (idCol, group_size), one row per
+    * surviving vector (singletons keep group_size 1).
+    *
+    * `pairs` overrides the pair generator: default is the exact
+    * all-pairs variant (oracle-checkable; n² — dev scale); pass
+    * `cosineNearDupPairsLSH(...)` for the 100 TB path (bucketed
+    * candidates, recall < 1 by construction). */
+  def semanticDedupSurvivors(corpus: DataFrame, threshold: Double,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             pairs: DataFrame = null): DataFrame = {
+    val p = Option(pairs)
+      .getOrElse(cosineNearDupPairs(corpus, threshold, idCol, vecCol))
+    Dedup.connectedComponentsStar(
+      p.select(col("id_a"), col("id_b")), corpus.select(col(idCol)))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("group_size"))
+      .select(col("component").as(idCol), col("group_size"))
+  }
 }

@@ -554,6 +554,32 @@ object CoreQueries extends QueryModule {
         ORDER BY event_id""")),
 
     // ----------------------------------------------------------------
+    // Same as-of semantics through the NATIVE physical operator
+    // (graft.plans.AsOfJoinExec: custom LogicalPlan + SparkStrategy +
+    // SparkPlan, co-partitioned sorted-merge) — the brief's path (c) for
+    // whole-operator extensions. Three independent realizations must
+    // agree: this exec, q38's composed union+window, and DuckDB's
+    // native ASOF JOIN (the oracle).
+    "q102_asof_join_native" -> Q(
+      run = (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value").as("last_purchase"))
+        graft.operators.AsOfJoin.asOfNative(clicks, purchases, "user_id", "ts")
+          .select(col("event_id"), col("user_id"), col("last_purchase"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        SELECT c.event_id, c.user_id, p.value AS last_purchase
+        FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN
+             (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+        ORDER BY event_id""")),
+
+    // ----------------------------------------------------------------
     // INTERSECT / EXCEPT — completing the set-operation family beyond
     // the reference's UNION ALL (SURVEY §2.7 "No INTERSECT / EXCEPT").
     "q37_setops" -> Q(

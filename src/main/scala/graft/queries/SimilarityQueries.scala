@@ -47,6 +47,39 @@ object SimilarityQueries extends QueryModule {
         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
         ORDER BY id_a, id_b""")),
 
+    // SemDeDup-style semantic dedup capstone: embedding near-dup pairs
+    // (cos ≥ 0.4) → large-star/small-star components → one surviving
+    // representative per semantic cluster with its replaced-count and
+    // label. Exact pair generation here (oracle-checkable); the LSH
+    // pair generator (q83's) is the drop-in 100 TB path. Oracle: an
+    // independent recursive-CTE fixpoint over DuckDB's own cosine.
+    "q103_semantic_dedup" -> Q(
+      run = (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.semanticDedupSurvivors(emb, 0.4)
+          .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+          .select(col("vec_id"), col("label"), col("group_size"))
+          .orderBy("vec_id")
+      },
+      oracle = Some("""
+        WITH RECURSIVE pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]) >= 0.4),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, lbl) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+        comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+        SELECT c.component AS vec_id, e.label,
+               CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM comp c JOIN embeddings e ON e.vec_id = c.component
+        GROUP BY c.component, e.label ORDER BY vec_id""")),
+
     // IVF-cell approximate top-k — the k-means-family ANN scale path
     // (deterministic centroids, nprobe cell search). Approximate →
     // rows-only check; recall measured in SimilaritySpec.
