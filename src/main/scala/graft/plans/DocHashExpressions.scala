@@ -32,6 +32,14 @@ object DocHashExpressions {
   def simhash64(text: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
 
+  /** SimHash with MD5 token hashing instead of xxhash64 — same votes/
+    * ties/bit-assembly algorithm, but the token hash exists in DuckDB
+    * too, so the WHOLE algorithm is oracle-checkable cross-engine
+    * (q104). Gate-only: MD5 per token is far slower than XXH64 — the
+    * production path stays [[simhash64]]. */
+  def simhash64Md5(text: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(text), useMd5 = true))
+
   def minhashSig(text: Column, n: Int, as: Seq[Long], bs: Seq[Long],
                  prime: Long): Column =
     ColumnBridge.column(
@@ -45,18 +53,27 @@ object DocHashExpressions {
   * occurrence votes ±1 per bit by its xxhash64 bit (term frequency is
   * the natural weight); ties set the bit — exactly the semantics of the
   * round-1 explode + 64×SUM formulation, minus its corpus-wide shuffle. */
-case class SimHash64(child: Expression)
+case class SimHash64(child: Expression, useMd5: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
+
+  /** First 8 bytes of MD5(token), big-endian — the same value DuckDB's
+    * `('0x' || substr(md5(tok), 1, 16))::UBIGINT` produces. */
+  private def md5First8(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
 
   override protected def nullSafeEval(text: Any): Any = {
     val toks = text.asInstanceOf[UTF8String].toString.trim.split("\\s+")
     val votes = new Array[Int](64)
     var i = 0
     while (i < toks.length) {
-      val h = XXH64.hashUTF8String(
+      val h = if (useMd5) md5First8(toks(i))
+      else XXH64.hashUTF8String(
         UTF8String.fromString(toks(i)), DocHashExpressions.XxSeed)
       var b = 0
       while (b < 64) {

@@ -151,6 +151,42 @@ object DedupQueries extends QueryModule {
         Dedup.simhashNearDupPairs(Tables(s, dir, "documents"), maxDist = 6)
           .orderBy("id_a", "id_b")),
 
+    // The SimHash ALGORITHM (per-token ±1 bit votes, ties set, 64-bit
+    // assembly) oracle-verified end-to-end: same expression as q33 with
+    // the token hash swapped to MD5 (exists in both engines), emitted as
+    // hex so signedness never enters the comparison. Gate-only
+    // (bench=false): MD5 per token is the slow path — production SimHash
+    // stays on XXH64 (q33, rows-only + DocHashSpec); this row proves the
+    // only thing q33's oracle can't reach is the hash primitive itself.
+    "q104_simhash_md5" -> Q(
+      bench = false,
+      run = (s, dir) =>
+        Tables(s, dir, "documents").select(
+          col("doc_id"),
+          lower(lpad(hex(graft.plans.DocHashExpressions
+            .simhash64Md5(col("text"))), 16, "0")).as("simhash_hex"))
+          .orderBy("doc_id"),
+      oracle = Some("""
+        WITH th AS (
+          SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                FROM documents)
+        ),
+        votes AS (
+          SELECT doc_id, b.bit,
+                 SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM th CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+          GROUP BY doc_id, b.bit
+        ),
+        sh AS (
+          SELECT doc_id, bit_or(CASE WHEN v >= 0 THEN CAST(1 AS UBIGINT) << bit
+                                     ELSE CAST(0 AS UBIGINT) END) AS simhash
+          FROM votes GROUP BY doc_id
+        )
+        SELECT doc_id, lower(lpad(to_hex(simhash), 16, '0')) AS simhash_hex
+        FROM sh ORDER BY doc_id""")),
+
     // Near-dup pairs → dedup GROUPS: iterative min-label connected
     // components over the q31 pair set, every doc mapped to its
     // component representative (what a 100 TB dedup actually keeps).
