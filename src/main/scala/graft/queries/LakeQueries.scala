@@ -195,6 +195,82 @@ object LakeQueries extends QueryModule {
       oracle = Some("""
         SELECT o_orderstatus, COUNT(*) AS n,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Manifest-level data skipping: lineitem range-clustered on
+    // l_orderkey into a stats-carrying VersionedTable; a key-range read
+    // prunes files from the manifest alone (VersionedTableSpec pins the
+    // inputFiles count — here the oracle pins that skipping never
+    // changes ANSWERS: same agg as a plain WHERE over the raw table).
+    "q105_versioned_skip" -> Q(
+      run = (s, dir) => {
+        val root = Files.createTempDirectory("graft_vt_skip").resolve("t").toString
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+          .repartitionByRange(8, col("l_orderkey"))
+        graft.sources.VersionedTable.overwriteWithStats(li, root, "l_orderkey")
+        graft.sources.VersionedTable
+          .readWhere(s, root, "l_orderkey", 1000, 3000)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Z-order clustering: lineitem Morton-clustered on BOTH
+    // (l_orderkey, l_partkey); the range read here hits the SECOND
+    // dimension — under 1-D clustering it would open every file
+    // (VersionedTableSpec pins the inputFiles pruning on both axes);
+    // the oracle pins that multi-dim skipping never changes answers.
+    "q106_zorder_skip" -> Q(
+      run = (s, dir) => {
+        val root = Files.createTempDirectory("graft_vt_z").resolve("t").toString
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        graft.sources.VersionedTable.overwriteZOrdered(
+          li, root, "l_orderkey", "l_partkey", numFiles = 8)
+        graft.sources.VersionedTable
+          .readWhere(s, root, "l_partkey", 100, 300)
+          .groupBy((col("l_partkey") % 10).as("pk_mod"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+          .orderBy("pk_mod")
+      },
+      oracle = Some("""
+        SELECT l_partkey % 10 AS pk_mod, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem WHERE l_partkey BETWEEN 100 AND 300
+        GROUP BY 1 ORDER BY pk_mod""")),
+
+    // Incremental consumption (CDF role): three md5-bucketed batches of
+    // orders committed as overwrite + 2 appends; readChangesSince(v0)
+    // must return EXACTLY the two appended batches — a downstream
+    // consumer processes each commit once, never rescanning the table.
+    "q107_changes_since" -> Q(
+      run = (s, dir) => {
+        val root = Files.createTempDirectory("graft_vt_cdc").resolve("t").toString
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val b = substring(md5(col("o_orderkey").cast(StringType)), 1, 1)
+        val v0 = graft.sources.VersionedTable.overwrite(
+          orders.filter(b.between("0", "4")), root)
+        graft.sources.VersionedTable.append(
+          orders.filter(b.between("5", "9")), root)
+        graft.sources.VersionedTable.append(
+          orders.filter(!b.between("0", "9")), root)
+        graft.sources.VersionedTable.readChangesSince(s, root, v0)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) NOT BETWEEN '0' AND '4'
+        GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }

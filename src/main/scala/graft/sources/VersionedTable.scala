@@ -102,6 +102,43 @@ object VersionedTable {
   private def nextVersion(root: String): Long =
     latestVersion(root).map(_ + 1).getOrElse(0L)
 
+  /** A manifest line is `path` followed by zero or more `\tcol\tmin\tmax`
+    * stat triples — per-file column stats for manifest-level data
+    * skipping (the Delta/Iceberg role: a selective read prunes FILES
+    * from the listing alone, no footer round-trips). Old path-only
+    * manifests parse unchanged. */
+  private def pathOf(line: String): String = line.takeWhile(_ != '\t')
+
+  private def statsOf(line: String): Map[String, (Long, Long)] =
+    line.split('\t').drop(1).grouped(3).collect {
+      case Array(c, lo, hi) => c -> (lo.toLong, hi.toLong)
+    }.toMap
+
+  /** Per-staged-file [min, max] of each `statsCols` entry
+    * (long-castable), computed with one small aggregation over just the
+    * staged files; columns whose stats come back null (all-null in that
+    * file) are omitted from that file's line and never skipped on. */
+  private def statLines(spark: SparkSession, staged: Seq[String],
+                        statsCols: Seq[String]): Seq[String] = {
+    if (staged.isEmpty) return Seq.empty
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"__lo_$c"),
+      max(col(c).cast("long")).as(s"__hi_$c")))
+    val byName = spark.read.parquet(staged: _*)
+      .groupBy(col("_metadata.file_path").as("__p"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        // _metadata.file_path is a URI; staged paths are plain — key on
+        // the (nonce-unique) file name
+        val suffix = statsCols.zipWithIndex.collect {
+          case (c, i) if !r.isNullAt(1 + 2 * i) =>
+            s"\t$c\t${r.getLong(1 + 2 * i)}\t${r.getLong(2 + 2 * i)}"
+        }.mkString
+        r.getString(0).split('/').last -> suffix
+      }.toMap
+    staged.map(p => p + byName.getOrElse(p.split('/').last, ""))
+  }
+
   /** Write `df`'s rows as new data files under `data/`, returning their
     * paths (staged via a temp dir, then renamed in — never copied).
     * Names carry a writer-unique nonce besides the target version: two
@@ -154,6 +191,77 @@ object VersionedTable {
     commitWithRetry(root, maxRetries = 5)(_ => staged)
   }
 
+  /** As [[overwrite]], recording per-file [min, max] of `statsCol` in
+    * the manifest so [[readWhere]] can skip files from the listing
+    * alone. Cluster the data on `statsCol` first (`repartitionByRange`
+    * + sortWithinPartitions, or `Lake.writeClustered`'s layout) or the
+    * ranges overlap and nothing skips. */
+  def overwriteWithStats(df: DataFrame, root: String,
+                         statsCols: String*): Long = {
+    val staged = stageDataFiles(df, root, nextVersion(root))
+    val lines = statLines(df.sparkSession, staged, statsCols)
+    commitWithRetry(root, maxRetries = 5)(_ => lines)
+  }
+
+  /** As [[append]], with stats on the new files (inherited lines keep
+    * whatever stats they already carry). */
+  def appendWithStats(df: DataFrame, root: String,
+                      statsCols: String*): Long = {
+    val staged = stageDataFiles(df, root, nextVersion(root))
+    val lines = statLines(df.sparkSession, staged, statsCols)
+    commitWithRetry(root, maxRetries = 5) { _ =>
+      latestVersion(root).map(readManifest(root, _)).getOrElse(Seq.empty) ++ lines
+    }
+  }
+
+  /** Z-ORDER clustered overwrite: both columns are quantile-bucketed
+    * (approx-quantile boundaries — skew-proof) and bit-interleaved
+    * ([[graft.plans.ZOrder64]]); range-partitioning on the Morton key
+    * yields files tight in BOTH dimensions, and the manifest records
+    * both columns' per-file [min, max] — so [[readWhere]] prunes
+    * selective predicates on EITHER column from the listing alone (the
+    * Delta `OPTIMIZE ZORDER BY` role). */
+  def overwriteZOrdered(df: DataFrame, root: String, colA: String,
+                        colB: String, numFiles: Int,
+                        buckets: Int = 1024): Long = {
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    def bounds(c: String): Seq[Long] = df
+      .select(col(c).cast("double").as("__q"))
+      .stat.approxQuantile("__q", probs, 1.0 / (4 * buckets))
+      .map(_.toLong).distinct.toSeq
+    val z = graft.plans.ZOrder64(col(colA).cast("long"),
+      col(colB).cast("long"), bounds(colA), bounds(colB))
+    val clustered = df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    overwriteWithStats(clustered, root, colA, colB)
+  }
+
+  /** Range read with manifest-level data skipping: only files whose
+    * recorded `statsCol` [min, max] intersects [lo, hi] are opened
+    * (stats-less lines and other-column stats are conservatively kept);
+    * the row-level filter is applied on top, so the result is exactly
+    * `read(...).filter(statsCol BETWEEN lo AND hi)` — rows with null
+    * `statsCol` drop, per BETWEEN semantics. `df.inputFiles` on the
+    * result shows the pruned file list. */
+  def readWhere(spark: SparkSession, root: String, statsCol: String,
+                lo: Long, hi: Long): DataFrame = {
+    val v = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
+    val lines = readManifest(root, v)
+    val kept = lines.filter { ln =>
+      statsOf(ln).get(statsCol) match {
+        case Some((flo, fhi)) => fhi >= lo && flo <= hi
+        case None => true // no stats for this column → cannot skip
+      }
+    }
+    // all files skipped → still answer with the right schema (footer
+    // reads only; parquet stats keep the scan trivial)
+    val paths = (if (kept.nonEmpty) kept else lines).map(pathOf)
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      .filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
+  }
+
   /** Append → new version inheriting the previous file list plus the
     * new files; existing data is not rewritten. The previous file list
     * is re-read inside the retry loop: losing a commit race means the
@@ -172,7 +280,7 @@ object VersionedTable {
     * reconstructed from the version's file footers, old files reading
     * null for new columns. */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
-    val files = readManifest(root, v)
+    val files = readManifest(root, v).map(pathOf)
     require(files.nonEmpty, s"version $v of $root has no files")
     spark.read.option("mergeSchema", "true").parquet(files: _*)
   }
@@ -216,8 +324,9 @@ object VersionedTable {
     var attempt = 0
     while (true) {
       val base = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
-      val files = readManifest(root, base)
-      val target = spark.read.option("mergeSchema", "true").parquet(files: _*)
+      val files = readManifest(root, base) // manifest LINES (stats kept on carry)
+      val target = spark.read.option("mergeSchema", "true")
+        .parquet(files.map(pathOf): _*)
       // schema evolution (the Delta mergeSchema role): source-only
       // columns are appended to the table schema; untouched files simply
       // lack them and read back null via the mergeSchema snapshot read —
@@ -232,8 +341,12 @@ object VersionedTable {
         .join(srcKeys, keyCols, "left_semi")
         .select(col("__file")).distinct()
         .collect().map(_.getString(0).split('/').last).toSet
-      val (touched, untouched) =
-        files.partition(f => touchedNames.contains(f.split('/').last))
+      // partition the LINES: untouched carry their stats verbatim;
+      // touched are re-read by path (their rewrites get no stats —
+      // conservative, never-skipped)
+      val (touched0, untouched) =
+        files.partition(f => touchedNames.contains(pathOf(f).split('/').last))
+      val touched = touched0.map(pathOf)
       val src = source.select(outCols.map(col): _*)
       val rewritten =
         if (touched.isEmpty) src // pure insert — nothing to rewrite
@@ -259,6 +372,23 @@ object VersionedTable {
     -1L // unreachable
   }
 
+  /** Incremental consumption (the Delta CDF / Iceberg incremental-read
+    * role for append-style tables): read only the data files ADDED
+    * after version `sinceV`, so a downstream job consumes each
+    * committed batch exactly once without rescanning the table. Files
+    * rewritten by a MERGE appear too (their rows are "changed");
+    * merge-dropped rows are not tombstoned — document-level CDC for
+    * copy-on-write deletes would need a diff of row sets, which callers
+    * can do across snapshots via [[readVersion]]. */
+  def readChangesSince(spark: SparkSession, root: String,
+                       sinceV: Long): DataFrame = {
+    val latest = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
+    val before = readManifest(root, sinceV).map(pathOf).toSet
+    val added = readManifest(root, latest).map(pathOf).filterNot(before)
+    if (added.isEmpty) readVersion(spark, root, latest).limit(0)
+    else spark.read.option("mergeSchema", "true").parquet(added: _*)
+  }
+
   /** RESTORE: commit a new version whose manifest is version `v`'s file
     * list — the table's latest state becomes the old snapshot while
     * history (and audit) is preserved. */
@@ -273,7 +403,7 @@ object VersionedTable {
   def vacuum(root: String, retainVersions: Int = 1): Int = {
     val vs = versions(root)
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - retainVersions))
-    val live = keep.flatMap(readManifest(root, _)).toSet
+    val live = keep.flatMap(readManifest(root, _).map(pathOf)).toSet
     val dead = Option(dataDir(root).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.endsWith(".parquet") && !live.contains(f.getPath))
     dead.foreach(_.delete())

@@ -209,4 +209,82 @@ class VersionedTableSpec extends SparkSuite {
     assert(VersionedTable.read(spark, root).as[(Int, String)].collect().toSeq
       == Seq((2, "b")))
   }
+
+  test("manifest stats: readWhere opens only intersecting files, result = full filter") {
+    import spark.implicits._
+    val root = tmpRoot()
+    // 100 keys range-clustered into 5 disjoint files
+    val df = spark.range(100).select(col("id").as("k"),
+      (col("id") * 2).as("v")).repartitionByRange(5, col("k"))
+    VersionedTable.overwriteWithStats(df, root, "k")
+    val all = VersionedTable.read(spark, root)
+    assert(all.inputFiles.length == 5)
+    val narrow = VersionedTable.readWhere(spark, root, "k", 40, 45)
+    assert(narrow.inputFiles.length < 5, narrow.inputFiles.mkString(","))
+    val expect = all.filter(col("k").between(40, 45))
+      .as[(Long, Long)].collect().toSet
+    assert(narrow.as[(Long, Long)].collect().toSet == expect && expect.size == 6)
+    // out-of-range read: zero rows, and only the conservative fallback scan
+    assert(VersionedTable.readWhere(spark, root, "k", 1000, 2000).count() == 0)
+  }
+
+  test("manifest stats: stats-less lines never skip; merge carries stats on untouched files") {
+    import spark.implicits._
+    val root = tmpRoot()
+    VersionedTable.overwriteWithStats(
+      spark.range(50).select(col("id").as("k"), lit("x").as("v"))
+        .repartitionByRange(5, col("k")), root, "k")
+    // append WITHOUT stats: new file must always be read
+    VersionedTable.append(Seq((7L, "fresh")).toDF("k", "v"), root)
+    val got = VersionedTable.readWhere(spark, root, "k", 7, 7)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((7L, "x"), (7L, "fresh")))
+    // prune proof: 5 clustered + 1 stats-less appended → ≤ 2 files opened
+    assert(VersionedTable.readWhere(spark, root, "k", 7, 7).inputFiles.length <= 2)
+    // merge touching one key: untouched files keep their stats lines —
+    // the range read still skips the untouched non-intersecting files
+    // (only the rewrite outputs, stats-less by design, always open)
+    VersionedTable.merge(spark, root, Seq((7L, "merged")).toDF("k", "v"), Seq("k"))
+    val total = VersionedTable.read(spark, root).inputFiles.length
+    val after = VersionedTable.readWhere(spark, root, "k", 40, 49)
+    assert(after.inputFiles.length < total,
+      s"$total -> ${after.inputFiles.mkString(",")}")
+    assert(after.as[(Long, String)].collect().toSet ==
+      (40L until 50L).map(k => (k, "x")).toSet)
+  }
+
+  test("z-order clustering: readWhere prunes files on EITHER dimension") {
+    import spark.implicits._
+    val root = tmpRoot()
+    // 64x64 grid — under 1-D clustering on x, a narrow y-range touches
+    // every file; z-order keeps both dimensions tight
+    val grid = spark.range(64L * 64)
+      .select((col("id") % 64).as("x"),
+        floor(col("id") / 64).cast("long").as("y"))
+    VersionedTable.overwriteZOrdered(grid, root, "x", "y",
+      numFiles = 16, buckets = 64)
+    val total = VersionedTable.read(spark, root).inputFiles.length
+    assert(total == 16)
+    val byX = VersionedTable.readWhere(spark, root, "x", 3, 6)
+    val byY = VersionedTable.readWhere(spark, root, "y", 60, 63)
+    assert(byX.inputFiles.length <= total / 2, s"x: ${byX.inputFiles.length}/$total")
+    assert(byY.inputFiles.length <= total / 2, s"y: ${byY.inputFiles.length}/$total")
+    assert(byX.count() == 4 * 64 && byY.count() == 4 * 64)
+    assert(byX.as[(Long, Long)].collect().forall(r => r._1 >= 3 && r._1 <= 6))
+  }
+
+  test("readChangesSince returns exactly the later-committed batches") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val v0 = VersionedTable.overwrite(Seq((1, "a")).toDF("k", "v"), root)
+    VersionedTable.append(Seq((2, "b")).toDF("k", "v"), root)
+    VersionedTable.append(Seq((3, "c")).toDF("k", "v"), root)
+    val changes = VersionedTable.readChangesSince(spark, root, v0)
+      .as[(Int, String)].collect().toSet
+    assert(changes == Set((2, "b"), (3, "c")))
+    // nothing new since latest → empty, schema intact
+    val latest = VersionedTable.versions(root).last
+    val none = VersionedTable.readChangesSince(spark, root, latest)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("k", "v"))
+  }
 }
