@@ -65,7 +65,25 @@ object AsOfJoin {
     * the exec shuffles each side once on its own key and never
     * materializes candidate pairs. */
   def asOfNative(left: DataFrame, right: DataFrame, keyCol: String,
-                 timeCol: String): DataFrame = {
+                 timeCol: String): DataFrame =
+    asOfNative(left, right, keyCol, timeCol, direction = "backward",
+      tolerance = None)
+
+  /** As above with the pandas `merge_asof` knobs: `direction` =
+    * "backward" (latest right at-or-before, the default) or "forward"
+    * (earliest right at-or-after); `tolerance` = max |Δtime| for a
+    * match, in the time column's underlying unit (µs for timestamp,
+    * days for date, raw for integral) — the nearest candidate outside
+    * it yields null. */
+  def asOfNative(left: DataFrame, right: DataFrame, keyCol: String,
+                 timeCol: String, direction: String,
+                 tolerance: Option[Long]): DataFrame = {
+    val forward = direction match {
+      case "backward" => false
+      case "forward" => true
+      case d => throw new IllegalArgumentException(
+        s"as-of direction must be backward|forward, got '$d'")
+    }
     val spark = left.sparkSession
     org.apache.spark.sql.graft.PlanBridge
       .registerStrategy(spark, graft.plans.AsOfJoinStrategy)
@@ -96,6 +114,7 @@ object AsOfJoin {
     org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
       graft.plans.AsOfJoinPlan(lPlan, rPlan,
         Seq(attr(lPlan.output, keyCol)), Seq(attr(rOut, keyCol)),
-        attr(lPlan.output, timeCol), attr(rOut, timeCol), payload))
+        attr(lPlan.output, timeCol), attr(rOut, timeCol), payload,
+        forward, tolerance))
   }
 }

@@ -47,7 +47,16 @@ final case class AsOfJoinPlan(
     rightTime: Expression,
     /** right-side columns carried to the output (the non-key/non-time
       * right attributes), nullable in the result. */
-    payload: Seq[Attribute]) extends BinaryNode {
+    payload: Seq[Attribute],
+    /** false = backward (latest right at-or-before — the default asof);
+      * true = forward (earliest right at-or-after — pandas
+      * merge_asof direction='forward'). */
+    forward: Boolean = false,
+    /** max |left.time − right.time| for a match, in the time column's
+      * UNDERLYING unit (µs for timestamp, days for date, raw for
+      * integral) — pandas merge_asof `tolerance`. The nearest candidate
+      * outside it yields null (all farther ones are worse). */
+    tolerance: Option[Long] = None) extends BinaryNode {
 
   require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType) &&
     leftTime.dataType == rightTime.dataType,
@@ -106,8 +115,9 @@ object AsOfJoinFilterPushdown extends Rule[LogicalPlan] with PredicateHelper {
   * [[graft.operators.AsOfJoin.asOfNative]] / GraftSession). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, payload) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, payload) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, payload, fwd, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, payload,
+        fwd, tol) :: Nil
     case _ => Nil
   }
 }
@@ -127,7 +137,9 @@ final case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    payload: Seq[Attribute]) extends BinaryExecNode {
+    payload: Seq[Attribute],
+    forward: Boolean = false,
+    tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
@@ -188,14 +200,26 @@ final case class AsOfJoinExec(
         } else { rHead = null; rHeadKey = null; rHeadTime = null }
       advanceRight()
 
+      // tolerance needs the raw time difference, not just an ordering —
+      // read the single projected field by its physical storage type
+      val timeAsLong: InternalRow => Long = leftTime.dataType match {
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.DateType => r => r.getInt(0).toLong
+        case _ => r => r.getLong(0) // timestamp (µs) and integral longs
+      }
+      def withinTol(lt: InternalRow, rt: InternalRow): Boolean =
+        tolerance.forall(t => !lt.isNullAt(0) && !rt.isNullAt(0) &&
+          math.abs(timeAsLong(lt) - timeAsLong(rt)) <= t)
+
       var matched: InternalRow = null // latest visible right row (copied)
       var matchedKey: UnsafeRow = null
+      var matchedTime: InternalRow = null
 
       lIter.map { lRow =>
         val lk = lKeyProj(lRow)
         // a match from an earlier key is dead once the left key moves on
         if (matchedKey != null && keyOrd.compare(matchedKey, lk) != 0) {
-          matched = null; matchedKey = null
+          matched = null; matchedKey = null; matchedTime = null
         }
         val lt = lTimeProj(lRow)
         var scan = rHead != null
@@ -203,14 +227,28 @@ final case class AsOfJoinExec(
           val kc = keyOrd.compare(rHeadKey, lk)
           if (kc < 0) { // right key behind every remaining left row: skip
             advanceRight(); scan = rHead != null
-          } else if (kc == 0 && timeOrd.compare(rHeadTime, lt) <= 0) {
-            matched = rHead.copy() // each right row copied at most once
-            if (matchedKey == null) matchedKey = rHeadKey.copy()
+          } else if (kc == 0 && (if (forward) timeOrd.compare(rHeadTime, lt) < 0
+                                 else timeOrd.compare(rHeadTime, lt) <= 0)) {
+            // backward: consume at-or-before rows, remember the latest.
+            // forward: rows strictly before this left time can't match it
+            // or any later left row — skip without remembering.
+            if (!forward) {
+              matched = rHead.copy() // each right row copied at most once
+              if (matchedKey == null) matchedKey = rHeadKey.copy()
+              if (tolerance.isDefined) matchedTime = rHeadTime.copy()
+            }
             advanceRight(); scan = rHead != null
-          } else scan = false // right head is in this row's future
+          } else scan = false // right head is at/after this row's time
         }
+        // forward match = the (unconsumed) right head itself, if same key
+        val (m, mt) =
+          if (forward)
+            (if (rHead != null && keyOrd.compare(rHeadKey, lk) == 0) rHead else null,
+              rHeadTime)
+          else (matched, matchedTime)
         numOutputRows += 1
-        resultProj(joined(lRow, if (matched != null) matched else nullRight))
+        resultProj(joined(lRow,
+          if (m != null && withinTol(lt, mt)) m else nullRight))
       }
     }
   }

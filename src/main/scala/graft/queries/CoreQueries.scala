@@ -580,6 +580,60 @@ object CoreQueries extends QueryModule {
         ORDER BY event_id""")),
 
     // ----------------------------------------------------------------
+    // FORWARD as-of through the native exec (pandas merge_asof
+    // direction='forward'): each click enriched with the user's NEXT
+    // purchase. Oracle: DuckDB ASOF with the inequality flipped.
+    "q108_asof_forward" -> Q(
+      run = (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value").as("next_purchase"))
+        graft.operators.AsOfJoin
+          .asOfNative(clicks, purchases, "user_id", "ts", "forward", None)
+          .select(col("event_id"), col("user_id"), col("next_purchase"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        SELECT c.event_id, c.user_id, p.value AS next_purchase
+        FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN
+             (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND c.ts <= p.ts
+        ORDER BY event_id""")),
+
+    // ----------------------------------------------------------------
+    // As-of with a TOLERANCE window (pandas merge_asof tolerance):
+    // the nearest preceding purchase only counts within 3 days — the
+    // realistic attribution-window semantics. Oracle: plain ASOF, then
+    // null-out matches beyond the window (any farther candidate is
+    // farther still, so post-filtering the nearest is exact).
+    "q109_asof_tolerance" -> Q(
+      run = (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value").as("recent_purchase"))
+        val threeDaysMicros = 3L * 24 * 3600 * 1000 * 1000
+        graft.operators.AsOfJoin.asOfNative(clicks, purchases, "user_id",
+          "ts", "backward", Some(threeDaysMicros))
+          .select(col("event_id"), col("user_id"), col("recent_purchase"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        SELECT c.event_id, c.user_id,
+               CASE WHEN p.ts IS NOT NULL
+                     AND epoch_us(c.ts) - epoch_us(p.ts) <= 259200000000
+                    THEN p.value END AS recent_purchase
+        FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN
+             (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+        ORDER BY event_id""")),
+
+    // ----------------------------------------------------------------
     // INTERSECT / EXCEPT — completing the set-operation family beyond
     // the reference's UNION ALL (SURVEY §2.7 "No INTERSECT / EXCEPT").
     "q37_setops" -> Q(

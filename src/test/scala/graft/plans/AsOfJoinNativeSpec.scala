@@ -111,6 +111,57 @@ class AsOfJoinNativeSpec extends SparkSuite {
     assert(q.collect().map(_.getDouble(3)).toSeq == Seq(1.0))
   }
 
+  test("forward direction: earliest right at-or-after, per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts(10), "e1"), (1L, ts(20), "e2"), (1L, ts(30), "e3"),
+      (2L, ts(5), "e4")) // right rows for k=2 are all before → null
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts(10), 100.0), // tie with e1 → visible (at-or-after)
+      (1L, ts(25), 250.0),
+      (2L, ts(1), 5.0))
+      .toDF("k", "t", "v")
+    val got = AsOfJoin.asOfNative(left, right, "k", "t", "forward", None)
+      .collect().map(r => (r.getString(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(got == Map("e1" -> 100.0, "e2" -> 250.0, "e3" -> null, "e4" -> null))
+  }
+
+  test("tolerance: nearest match outside the window nulls out") {
+    import spark.implicits._
+    val left = Seq((1L, ts(100), "near"), (1L, ts(500), "far"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, ts(90), 9.0)).toDF("k", "t", "v")
+    // timestamps → tolerance in MICROseconds; 60 s window
+    val got = AsOfJoin.asOfNative(left, right, "k", "t",
+      "backward", Some(60L * 1000 * 1000))
+      .collect().map(r => (r.getString(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(got == Map("near" -> 9.0, "far" -> null))
+  }
+
+  test("forward ≡ DuckDB-style forward on events (spot agreement with backward impl reversed)") {
+    // forward(L, R) on time == backward(L, R) with both time columns
+    // negated — an internal consistency check on real data
+    val ev = graft.core.Tables(spark, "/root/testdata/sf0.001", "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("next_purchase"))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "next_purchase").collect()
+        .map(r => r.get(0) -> (if (r.isNullAt(1)) null else r.get(1))).toMap
+    val fwd = m(AsOfJoin.asOfNative(clicks, purchases, "user_id", "ts",
+      "forward", None))
+    val negL = clicks.withColumn("tneg", -unix_micros(col("ts")))
+      .drop("ts").withColumnRenamed("tneg", "ts")
+    val negR = purchases.withColumn("tneg", -unix_micros(col("ts")))
+      .drop("ts").withColumnRenamed("tneg", "ts")
+    val rev = m(AsOfJoin.asOfNative(negL, negR, "user_id", "ts"))
+    assert(fwd.nonEmpty && fwd == rev)
+  }
+
   test("duplicate right rows at one timestamp: the last one wins (stable with sorted input)") {
     import spark.implicits._
     // two right rows at t=10 for the same key: the merge keeps the later
