@@ -23,6 +23,56 @@ object Chunks {
           .as("cmd5"))
   }
 
+  /** CCNet-style boilerplate stripping: a `size`-token chunk appearing
+    * in ≥ `minDocs` DISTINCT documents of the same `source` is
+    * boilerplate (headers, footers, navigation) and is removed; each
+    * document is reassembled from its surviving chunks in order.
+    * Input: (doc_id, source, text). Output: (doc_id, clean_text,
+    * n_stripped) for EVERY input doc (fully-boilerplate docs come back
+    * empty).
+    *
+    * Scale shape: the frequency table is a (source, chunk-hash) hash
+    * agg with map-side combine (countDistinct of doc_id — exact, the
+    * boilerplate decision must not flap); the join back is co-
+    * partitioned with it; reassembly is one doc_id agg sorting each
+    * doc's own chunk list locally (`array_sort` of (pos, chunk)
+    * structs — never a global sort). Chunk text rides the shuffles at
+    * ~chunk granularity, the same volume a line-level CCNet pass
+    * moves. */
+  def stripBoilerplate(docs: DataFrame, size: Int = 32,
+                       minDocs: Int = 3): DataFrame = {
+    val toks = split(col("text"), " ")
+    val chunks = docs
+      .select(col("doc_id"), col("source"), toks.as("toks"),
+        org.apache.spark.sql.functions.size(toks).as("n_tok"))
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0), greatest(col("n_tok") - 1, lit(0)),
+          lit(size))).as("st"), col("toks"))
+      .select(col("doc_id"), col("source"), col("st"),
+        array_join(slice(col("toks"), col("st") + 1, lit(size)), " ")
+          .as("chunk"))
+    val counts = chunks
+      .groupBy(col("source"), md5(col("chunk")).as("cmd5"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    val kept = chunks.withColumn("cmd5", md5(col("chunk")))
+      .join(counts, Seq("source", "cmd5"))
+      .filter(col("ndocs") < minDocs)
+    val reassembled = kept.groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("st"), col("chunk")))),
+          p => p("chunk")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val totals = chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"))
+    docs.select(col("doc_id"))
+      .join(totals, Seq("doc_id"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_stripped"))
+  }
+
   /** Per-doc duplicate-chunk stats: a chunk is duplicated iff its hash
     * occurs more than once corpus-wide. ONE shuffle total (count
     * window over the content hash), then a map-side-combinable doc_id

@@ -380,6 +380,46 @@ object TextQueries extends QueryModule {
         SELECT bigram, COUNT(*) AS n FROM b
         GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""")),
 
+    // N-gram LM quality score (the CCNet/Gopher perplexity-filter
+    // signal, with the corpus itself as the LM): per-source bigram
+    // frequencies → each doc scored by the mean log-probability of its
+    // bigrams under its source's distribution. Low scores = atypical
+    // docs (the filter candidates). Plan: two hash aggs (bigram counts,
+    // source totals) + co-partitioned join back + per-doc rollup — all
+    // map-side combinable; the corpus token stream shuffles once.
+    "q111_lm_score" -> Q(
+      run = (s, dir) => {
+        val bi = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(graft.functions.TextFunctions
+              .wordShinglesAll(col("text"), 2)).as("bigram"))
+        val counts = bi.groupBy(col("source"), col("bigram"))
+          .agg(count(lit(1)).as("c"))
+        val totals = counts.groupBy(col("source"))
+          .agg(sum(col("c")).as("tot"))
+        bi.join(counts, Seq("source", "bigram"))
+          .join(totals, Seq("source"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(avg(log(col("c") / col("tot"))), 3).as("lm_score"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+        bi AS (
+          SELECT doc_id, source,
+                 UNNEST([w[i] || ' ' || w[i+1]
+                         for i in range(1, len(w))]) AS bigram FROM w),
+        counts AS (
+          SELECT source, bigram, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+        totals AS (SELECT source, SUM(c) AS tot FROM counts GROUP BY 1)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               ROUND(AVG(ln(c / tot)), 3) AS lm_score
+        FROM bi JOIN counts USING (source, bigram) JOIN totals USING (source)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // Benchmark decontamination — flag corpus documents sharing ≥ 5
     // distinct 3-grams with a benchmark set (docs 0-9 stand in for the
     // eval suite). The scale shape is the one that matters: benchmark
@@ -740,6 +780,49 @@ object TextQueries extends QueryModule {
                CAST((COUNT(*) FILTER (c > 1) * 1000000) // COUNT(*) AS BIGINT)
                  AS dup_micro
         FROM counted GROUP BY doc_id ORDER BY doc_id""")),
+
+    // CCNet-style boilerplate stripping (Chunks.stripBoilerplate): a
+    // chunk shared by ≥ 3 docs of one source is boilerplate; docs are
+    // reassembled from surviving chunks. The synthetic corpus has no
+    // natural per-source boilerplate, so the query PLANTS a 32-token
+    // per-source header (same construction in both engines — the q92
+    // planting pattern): equality with the oracle proves the header is
+    // stripped everywhere and every body survives byte-identically.
+    "q110_boilerplate_strip" -> Q(
+      run = (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val planted = docs.select(col("doc_id"), col("source"),
+          concat(expr("trim(repeat(concat('hdr_', source, ' '), 32))"),
+            lit(" "), col("text")).as("text"))
+        graft.operators.Chunks.stripBoilerplate(planted, 32, minDocs = 3)
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH planted AS (
+          SELECT doc_id, source,
+                 trim(repeat('hdr_' || source || ' ', 32)) || ' ' || text AS text
+          FROM documents),
+        base AS (SELECT doc_id, source, string_split(text,' ') AS toks,
+                        len(string_split(text,' ')) AS n_tok FROM planted),
+        starts AS (SELECT doc_id, source, toks, n_tok,
+                          UNNEST(range(0, GREATEST(n_tok-1,0)+1, 32)) AS st
+                   FROM base),
+        chunks AS (SELECT doc_id, source, st,
+                          array_to_string(toks[st+1 : LEAST(st+32, n_tok)], ' ') AS chunk
+                   FROM starts),
+        counts AS (SELECT source, md5(chunk) AS cmd5,
+                          COUNT(DISTINCT doc_id) AS ndocs
+                   FROM chunks GROUP BY 1, 2),
+        kept AS (SELECT c.doc_id, c.st, c.chunk FROM chunks c
+                 JOIN counts t ON t.source = c.source AND t.cmd5 = md5(c.chunk)
+                 WHERE t.ndocs < 3),
+        agg AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY st) AS clean_text,
+                       COUNT(*) AS n_kept FROM kept GROUP BY doc_id),
+        tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+               CAST(t.n_chunks - COALESCE(a.n_kept, 0) AS BIGINT) AS n_stripped
+        FROM documents d JOIN tot t USING (doc_id) LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id""")),
 
     // PII scrubbing battery (TextFunctions.scrubPii): emails, URLs,
     // phones, long digit runs → typed placeholders. The synthetic corpus

@@ -225,12 +225,14 @@ object VersionedTable {
                         colB: String, numFiles: Int,
                         buckets: Int = 1024): Long = {
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    def bounds(c: String): Seq[Long] = df
-      .select(col(c).cast("double").as("__q"))
-      .stat.approxQuantile("__q", probs, 1.0 / (4 * buckets))
-      .map(_.toLong).distinct.toSeq
+    // both columns' boundaries in ONE scan (multi-column approxQuantile)
+    val Array(boundsA, boundsB) = df
+      .select(col(colA).cast("double").as("__qa"),
+        col(colB).cast("double").as("__qb"))
+      .stat.approxQuantile(Array("__qa", "__qb"), probs, 1.0 / (4 * buckets))
+      .map(_.map(_.toLong).distinct.toSeq)
     val z = graft.plans.ZOrder64(col(colA).cast("long"),
-      col(colB).cast("long"), bounds(colA), bounds(colB))
+      col(colB).cast("long"), boundsA, boundsB)
     val clustered = df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
