@@ -85,6 +85,10 @@ object ScaleProbe {
       time("chunk_dedup") { // q91's builder over the scaled corpus
         evalAll(graft.operators.Chunks.dupStats(c))
       }
+      time("boilerplate") { // q110's operator (lang stands in for source)
+        evalAll(graft.operators.Chunks.stripBoilerplate(
+          langd.withColumnRenamed("lang", "source"), 32, 3))
+      }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     val ebase = graft.core.Tables(spark, "/root/testdata/sf0.1", "embeddings")
