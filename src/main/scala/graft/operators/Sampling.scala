@@ -53,6 +53,27 @@ object Sampling {
       .drop("__thr")
   }
 
+  /** Temperature-based mixture sampling (the multilingual/source
+    * re-balancing rule: sample group i with weight ∝ pᵢ^α, α < 1
+    * up-weighting rare groups): realized as keyed rates
+    * rateᵢ = (nᵢ/n_min)^(α−1), so the rarest group keeps 100% and a
+    * group 16× larger keeps 25% at α = 0.5. Group counts are a
+    * dim-sized aggregate collected to the driver (#groups rows — the
+    * sanctioned S9 pattern); the corpus itself is filtered map-locally
+    * via [[mixture]], never shuffled. α = 1 keeps everything
+    * (rate 1 ∀ i). */
+  def temperatureMixture(df: DataFrame, groupCol: String, key: Column,
+                         alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperatureMixture over an empty frame")
+    val nMin = counts.values.min.toDouble
+    mixture(df, groupCol, key,
+      counts.map { case (g, n) => g -> math.pow(n / nMin, alpha - 1.0) })
+  }
+
   /** Deterministic EXACT-k sample per group (eval-set builder): the k
     * smallest-md5(key) ids of each group, via the bounded-heap
     * TopKByKeyAgg — the map-side partial reduces every group to ≤ k

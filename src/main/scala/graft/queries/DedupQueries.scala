@@ -187,6 +187,51 @@ object DedupQueries extends QueryModule {
         SELECT doc_id, lower(lpad(to_hex(simhash), 16, '0')) AS simhash_hex
         FROM sh ORDER BY doc_id""")),
 
+    // Dedup-cluster AUDIT: the component-size histogram — how much
+    // mass dedup removes, by cluster size (the report a 100 TB dedup
+    // run ships with). bench=false: it re-runs q31's pair generation +
+    // q80's components verbatim; correctness gate only.
+    "q113_cluster_histogram" -> Q(
+      bench = false,
+      run = (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Dedup.connectedComponentsStar(
+          Dedup.ngramJaccardPairs(docs, threshold = 0.8),
+          docs.select(col("doc_id")))
+          .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("sz")).as("n_docs"),
+            (sum(col("sz")) - count(lit(1))).as("n_removable"))
+          .orderBy("sz")
+      },
+      oracle = Some("""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id,
+                 list_distinct([string_split(text, ' ')[i] || ' ' ||
+                                string_split(text, ' ')[i+1] || ' ' ||
+                                string_split(text, ' ')[i+2]
+                                for i in range(1, len(string_split(text, ' ')) - 1)]) AS s
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+        comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+        sizes AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY component)
+        SELECT sz, COUNT(*) AS n_clusters, CAST(SUM(sz) AS BIGINT) AS n_docs,
+               CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_removable
+        FROM sizes GROUP BY sz ORDER BY sz""")),
+
     // Near-dup pairs → dedup GROUPS: iterative min-label connected
     // components over the q31 pair set, every doc mapped to its
     // component representative (what a 100 TB dedup actually keeps).

@@ -692,6 +692,35 @@ object TextQueries extends QueryModule {
                         ELSE '00000000' END
         GROUP BY lang ORDER BY lang""")),
 
+    // Temperature-based mixture (Sampling.temperatureMixture, α = 0.5):
+    // rates derive from the OBSERVED lang shares — rateᵢ =
+    // (nᵢ/n_min)^(α−1), rarest lang keeps 100%. The oracle recomputes
+    // counts, thresholds (floor(x+0.5) = JVM Math.round; n = n_min →
+    // 'g', the keep-all sentinel) and the keyed filter independently.
+    "q112_temperature_sample" -> Q(
+      run = (s, dir) =>
+        graft.operators.Sampling.temperatureMixture(
+          Tables(s, dir, "documents"), "lang", col("doc_id"), alpha = 0.5)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+          .orderBy("lang"),
+      oracle = Some("""
+        WITH counts AS (
+          SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        thr AS (
+          SELECT lang,
+                 CASE WHEN n = (SELECT MIN(n) FROM counts) THEN 'g'
+                      ELSE lower(lpad(to_hex(CAST(FLOOR(
+                        pow(CAST(n AS DOUBLE) / (SELECT MIN(n) FROM counts),
+                            -0.5) * 4294967296 + 0.5) AS BIGINT)), 8, '0'))
+                 END AS t
+          FROM counts)
+        SELECT d.lang, COUNT(*) AS n_kept,
+               CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
+        FROM documents d JOIN thr ON thr.lang = d.lang
+        WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.t
+        GROUP BY d.lang ORDER BY d.lang""")),
+
     // Deterministic train/val/test split: cumulative keyed-md5 ranges →
     // every row in exactly one split, stable under corpus growth, no
     // shuffle (map-local CASE). Thresholds: 0.8 → 'cccccccd',

@@ -89,6 +89,31 @@ class ScaleOpsSpec extends SparkSuite {
     intercept[IllegalArgumentException](Sampling.hexThreshold(-0.1))
   }
 
+  test("temperatureMixture: rarest group kept whole, larger groups damped by (n/n_min)^(α-1)") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables(spark, sf, "documents")
+    val totals = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = totals.values.min
+    val rarest = totals.collect { case (g, n) if n == nMin => g }.toSet
+    val kept = Sampling.temperatureMixture(docs, "lang", col("doc_id"), 0.5)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the rarest group's rate is exactly 1.0 → kept whole
+    rarest.foreach(g => assert(kept(g) == totals(g), g))
+    // every other group lands near its (n/n_min)^(-1/2) target
+    totals.foreach { case (g, n) =>
+      val want = math.pow(n.toDouble / nMin, -0.5)
+      val got = kept(g).toDouble / n
+      assert(math.abs(got - want) < 0.15, s"$g: got $got want $want")
+    }
+    // α = 1 is the identity mixture
+    assert(Sampling.temperatureMixture(docs, "lang", col("doc_id"), 1.0)
+      .count() == docs.count())
+    intercept[IllegalArgumentException](
+      Sampling.temperatureMixture(docs, "lang", col("doc_id"), 1.5))
+  }
+
   test("takePerGroup: equals the window formulation, layout-invariant") {
     val sf = "/root/testdata/sf0.01"
     val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("lang"))
