@@ -232,6 +232,57 @@ object DedupQueries extends QueryModule {
                CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_removable
         FROM sizes GROUP BY sz ORDER BY sz""")),
 
+    // ENSEMBLE dedup: production dedup unions independent signals —
+    // lexical (3-gram Jaccard, q31's pairs) ∪ semantic (embedding
+    // cosine, q41's pairs; vec_id ≡ doc_id) — then groups transitively,
+    // so a paraphrase chain bridging a lexical pair and a semantic pair
+    // collapses into ONE cluster. bench=false: re-runs both pair
+    // generators verbatim; correctness gate only. Oracle: recursive CTE
+    // over the UNION of both pair sets, computed independently.
+    "q114_ensemble_dedup" -> Q(
+      bench = false,
+      run = (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val lexical = Dedup.ngramJaccardPairs(docs, threshold = 0.8)
+          .select(col("id_a"), col("id_b"))
+        val semantic = graft.operators.Similarity
+          .cosineNearDupPairs(Tables(s, dir, "embeddings"), 0.4)
+          .select(col("id_a"), col("id_b"))
+        Dedup.connectedComponentsStar(
+          lexical.unionByName(semantic).distinct(),
+          docs.select(col("doc_id")))
+          .select(col("id").as("doc_id"), col("component"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id,
+                 list_distinct([string_split(text, ' ')[i] || ' ' ||
+                                string_split(text, ' ')[i+1] || ' ' ||
+                                string_split(text, ' ')[i+2]
+                                for i in range(1, len(string_split(text, ' ')) - 1)]) AS s
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+          UNION
+          SELECT a.vec_id, b.vec_id
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]) >= 0.4),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+        SELECT node AS doc_id, MIN(lbl) AS component
+        FROM reach GROUP BY node ORDER BY doc_id""")),
+
     // Near-dup pairs → dedup GROUPS: iterative min-label connected
     // components over the q31 pair set, every doc mapped to its
     // component representative (what a 100 TB dedup actually keeps).
