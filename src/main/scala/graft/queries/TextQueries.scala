@@ -692,6 +692,49 @@ object TextQueries extends QueryModule {
                         ELSE '00000000' END
         GROUP BY lang ORDER BY lang""")),
 
+    // Robust length-outlier filter (median + MAD per lang — the
+    // robust-statistics quality screen; unlike mean/stddev it doesn't
+    // let the outliers move their own threshold). Exact interpolated
+    // percentile here so DuckDB's quantile_cont matches bit-for-bit;
+    // the 100 TB swap-in is approx_percentile (the q34/q44 pattern:
+    // exact for the oracle, sketch at scale).
+    "q115_mad_outliers" -> Q(
+      run = (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("lang"), col("n_chars"))
+        val med = docs.groupBy(col("lang"))
+          .agg(expr("percentile(n_chars, 0.5D)").as("med"))
+        val stats = docs.join(med, Seq("lang"))
+          .withColumn("adev", abs(col("n_chars") - col("med")))
+          .groupBy(col("lang"))
+          .agg(first(col("med")).as("med"),
+            expr("percentile(adev, 0.5D)").as("mad"))
+        val outliers = docs.join(stats, Seq("lang"))
+          .filter(abs(col("n_chars") - col("med")) > lit(3.0) * col("mad"))
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_outliers"))
+        stats.join(outliers, Seq("lang"), "left")
+          .select(col("lang"), round(col("med"), 1).as("med"),
+            round(col("mad"), 1).as("mad"),
+            coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH med AS (
+          SELECT lang, quantile_cont(n_chars, 0.5) AS med
+          FROM documents GROUP BY lang),
+        stats AS (
+          SELECT d.lang, ANY_VALUE(m.med) AS med,
+                 quantile_cont(abs(d.n_chars - m.med), 0.5) AS mad
+          FROM documents d JOIN med m USING (lang) GROUP BY d.lang),
+        outliers AS (
+          SELECT d.lang, COUNT(*) AS n_outliers
+          FROM documents d JOIN stats s USING (lang)
+          WHERE abs(d.n_chars - s.med) > 3.0 * s.mad
+          GROUP BY d.lang)
+        SELECT s.lang, ROUND(s.med, 1) AS med, ROUND(s.mad, 1) AS mad,
+               CAST(COALESCE(o.n_outliers, 0) AS BIGINT) AS n_outliers
+        FROM stats s LEFT JOIN outliers o USING (lang) ORDER BY lang""")),
+
     // Temperature-based mixture (Sampling.temperatureMixture, α = 0.5):
     // rates derive from the OBSERVED lang shares — rateᵢ =
     // (nᵢ/n_min)^(α−1), rarest lang keeps 100%. The oracle recomputes
