@@ -162,6 +162,25 @@ class AsOfJoinNativeSpec extends SparkSuite {
     assert(fwd.nonEmpty && fwd == rev)
   }
 
+  test("date-typed time column: backward match and day-unit tolerance") {
+    import spark.implicits._
+    import java.sql.Date
+    val d = Date.valueOf(_: String)
+    val left = Seq(
+      (1L, d("2024-03-10"), "close"), // 2 days after the right row
+      (1L, d("2024-03-30"), "far"))   // 22 days after → outside tolerance
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, d("2024-03-08"), 8.0)).toDF("k", "t", "v")
+    val plain = AsOfJoin.asOfNative(left, right, "k", "t")
+      .collect().map(r => r.getString(2) -> r.getDouble(3)).toMap
+    assert(plain == Map("close" -> 8.0, "far" -> 8.0))
+    // DateType stores days → tolerance unit is DAYS
+    val tol = AsOfJoin.asOfNative(left, right, "k", "t", "backward", Some(7L))
+      .collect().map(r => (r.getString(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(tol == Map("close" -> 8.0, "far" -> null))
+  }
+
   test("duplicate right rows at one timestamp: the last one wins (stable with sorted input)") {
     import spark.implicits._
     // two right rows at t=10 for the same key: the merge keeps the later
