@@ -4,24 +4,34 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Document chunking for dedup — the shared builder behind
-  * q91_chunk_dedup and the ScaleProbe chunk section (one definition so
-  * the probe can never desynchronize from the query it measures). */
+  * q91_chunk_dedup, q110_boilerplate_strip and the ScaleProbe chunk
+  * section (one definition so none of them can desynchronize). */
 object Chunks {
 
-  /** (doc_id, cmd5): the md5 of every non-overlapping `size`-token
-    * chunk of `text`. Pure column math — map-local, no shuffle. */
-  def digests(docs: DataFrame, size: Int = 32): DataFrame = {
+  /** (doc_id [, carryCols…], st, chunk): every non-overlapping
+    * `size`-token chunk of `text` with its start offset. Pure column
+    * math — map-local, no shuffle. Every chunk consumer derives from
+    * THIS builder, so a tokenization/boundary change can never apply to
+    * one consumer and not another. */
+  def chunks(docs: DataFrame, size: Int,
+             carryCols: Seq[String] = Seq.empty): DataFrame = {
     val toks = split(col("text"), " ")
+    val carry = carryCols.map(col)
     docs
-      .select(col("doc_id"), toks.as("toks"),
-        org.apache.spark.sql.functions.size(toks).as("n_tok"))
-      .select(col("doc_id"),
+      .select(Seq(col("doc_id")) ++ carry ++ Seq(toks.as("toks"),
+        org.apache.spark.sql.functions.size(toks).as("n_tok")): _*)
+      .select(Seq(col("doc_id")) ++ carry ++ Seq(
         explode(sequence(lit(0), greatest(col("n_tok") - 1, lit(0)),
-          lit(size))).as("st"), col("toks"))
-      .select(col("doc_id"),
-        md5(array_join(slice(col("toks"), col("st") + 1, lit(size)), " "))
-          .as("cmd5"))
+          lit(size))).as("st"), col("toks")): _*)
+      .select(Seq(col("doc_id")) ++ carry ++ Seq(col("st"),
+        array_join(slice(col("toks"), col("st") + 1, lit(size)), " ")
+          .as("chunk")): _*)
   }
+
+  /** (doc_id, cmd5): the md5 of every non-overlapping `size`-token
+    * chunk of `text`. */
+  def digests(docs: DataFrame, size: Int = 32): DataFrame =
+    chunks(docs, size).select(col("doc_id"), md5(col("chunk")).as("cmd5"))
 
   /** CCNet-style boilerplate stripping: a `size`-token chunk appearing
     * in ≥ `minDocs` DISTINCT documents of the same `source` is
@@ -31,31 +41,24 @@ object Chunks {
     * n_stripped) for EVERY input doc (fully-boilerplate docs come back
     * empty).
     *
-    * Scale shape: the frequency table is a (source, chunk-hash) hash
-    * agg with map-side combine (countDistinct of doc_id — exact, the
-    * boilerplate decision must not flap); the join back is co-
-    * partitioned with it; reassembly is one doc_id agg sorting each
-    * doc's own chunk list locally (`array_sort` of (pos, chunk)
-    * structs — never a global sort). Chunk text rides the shuffles at
-    * ~chunk granularity, the same volume a line-level CCNet pass
-    * moves. */
+    * Scale shape: the chunk stream is materialized ONCE (eager
+    * localCheckpoint, GC-freed — three consumers below would otherwise
+    * each re-scan the corpus); the frequency table is a (source,
+    * chunk-hash) hash agg with map-side combine (countDistinct of
+    * doc_id — exact, the boilerplate decision must not flap); the join
+    * back is co-partitioned with it; reassembly is one doc_id agg
+    * sorting each doc's own chunk list locally (`array_sort` of
+    * (pos, chunk) structs — never a global sort). Chunk text rides the
+    * shuffles at ~chunk granularity, the same volume a line-level
+    * CCNet pass moves. */
   def stripBoilerplate(docs: DataFrame, size: Int = 32,
                        minDocs: Int = 3): DataFrame = {
-    val toks = split(col("text"), " ")
-    val chunks = docs
-      .select(col("doc_id"), col("source"), toks.as("toks"),
-        org.apache.spark.sql.functions.size(toks).as("n_tok"))
-      .select(col("doc_id"), col("source"),
-        explode(sequence(lit(0), greatest(col("n_tok") - 1, lit(0)),
-          lit(size))).as("st"), col("toks"))
-      .select(col("doc_id"), col("source"), col("st"),
-        array_join(slice(col("toks"), col("st") + 1, lit(size)), " ")
-          .as("chunk"))
-    val counts = chunks
-      .groupBy(col("source"), md5(col("chunk")).as("cmd5"))
+    val ch = chunks(docs, size, Seq("source"))
+      .withColumn("cmd5", md5(col("chunk")))
+      .localCheckpoint(true)
+    val counts = ch.groupBy(col("source"), col("cmd5"))
       .agg(countDistinct(col("doc_id")).as("ndocs"))
-    val kept = chunks.withColumn("cmd5", md5(col("chunk")))
-      .join(counts, Seq("source", "cmd5"))
+    val kept = ch.join(counts, Seq("source", "cmd5"))
       .filter(col("ndocs") < minDocs)
     val reassembled = kept.groupBy(col("doc_id"))
       .agg(
@@ -63,7 +66,7 @@ object Chunks {
           array_sort(collect_list(struct(col("st"), col("chunk")))),
           p => p("chunk")), " ").as("clean_text"),
         count(lit(1)).as("n_kept"))
-    val totals = chunks.groupBy(col("doc_id"))
+    val totals = ch.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"))
     docs.select(col("doc_id"))
       .join(totals, Seq("doc_id"))

@@ -67,11 +67,22 @@ object Sampling {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
     val counts = df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
     require(counts.nonEmpty, "temperatureMixture over an empty frame")
     val nMin = counts.values.min.toDouble
-    mixture(df, groupCol, key,
-      counts.map { case (g, n) => g -> math.pow(n / nMin, alpha - 1.0) })
+    def rate(n: Long) = math.pow(n / nMin, alpha - 1.0)
+    val named = counts.collect { case (Some(g), n) => g -> rate(n) }
+    val sampled = mixture(df.filter(col(groupCol).isNotNull),
+      groupCol, key, named)
+    // a NULL group is a real group here (mixture()'s equi-join would
+    // silently drop it — null never equals null — breaking the α = 1
+    // identity); sample it directly at its own temperature rate
+    counts.get(None) match {
+      case Some(n) => sampled.unionByName(
+        df.filter(col(groupCol).isNull).filter(
+          substring(md5(key.cast(StringType)), 1, 8) < lit(hexThreshold(rate(n)))))
+      case None => sampled
+    }
   }
 
   /** Deterministic EXACT-k sample per group (eval-set builder): the k

@@ -291,8 +291,8 @@ object Similarity {
   def semanticDedupSurvivors(corpus: DataFrame, threshold: Double,
                              idCol: String = "vec_id",
                              vecCol: String = "embedding",
-                             pairs: DataFrame = null): DataFrame = {
-    val p = Option(pairs)
+                             pairs: Option[DataFrame] = None): DataFrame = {
+    val p = pairs
       .getOrElse(cosineNearDupPairs(corpus, threshold, idCol, vecCol))
     Dedup.connectedComponentsStar(
       p.select(col("id_a"), col("id_b")), corpus.select(col(idCol)))

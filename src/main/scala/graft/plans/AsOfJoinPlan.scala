@@ -61,6 +61,14 @@ final case class AsOfJoinPlan(
   require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType) &&
     leftTime.dataType == rightTime.dataType,
     "as-of join key/time column types must match across sides")
+  require(tolerance.isEmpty || (leftTime.dataType match {
+    case org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.DateType => true
+    case _ => false
+  }), s"as-of tolerance needs a timestamp/date/integral time column, " +
+    s"got ${leftTime.dataType} (the raw |Δ| read would be garbage)")
 
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))

@@ -120,7 +120,8 @@ object VersionedTable {
     * file) are omitted from that file's line and never skipped on. */
   private def statLines(spark: SparkSession, staged: Seq[String],
                         statsCols: Seq[String]): Seq[String] = {
-    if (staged.isEmpty) return Seq.empty
+    // zero stats columns (a legal varargs call) = plain path-only lines
+    if (staged.isEmpty || statsCols.isEmpty) return staged
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c).cast("long")).as(s"__lo_$c"),
       max(col(c).cast("long")).as(s"__hi_$c")))

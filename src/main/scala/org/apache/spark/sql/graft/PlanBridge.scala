@@ -26,8 +26,12 @@ object PlanBridge {
     * engine embedded in a caller's session can't rely on). */
   def registerStrategy(spark: SparkSession, strategy: SparkStrategy): Unit = {
     val exp = spark.asInstanceOf[classic.SparkSession].experimental
-    if (!exp.extraStrategies.contains(strategy))
-      exp.extraStrategies = exp.extraStrategies :+ strategy
+    // read-modify-write on shared session state: serialize, or two
+    // threads registering concurrently lose one update
+    exp.synchronized {
+      if (!exp.extraStrategies.contains(strategy))
+        exp.extraStrategies = exp.extraStrategies :+ strategy
+    }
   }
 
   /** Idempotently add a logical optimizer rule to the session
@@ -37,7 +41,9 @@ object PlanBridge {
                            rule: org.apache.spark.sql.catalyst.rules.Rule[
                              org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
     val exp = spark.asInstanceOf[classic.SparkSession].experimental
-    if (!exp.extraOptimizations.contains(rule))
-      exp.extraOptimizations = exp.extraOptimizations :+ rule
+    exp.synchronized {
+      if (!exp.extraOptimizations.contains(rule))
+        exp.extraOptimizations = exp.extraOptimizations :+ rule
+    }
   }
 }

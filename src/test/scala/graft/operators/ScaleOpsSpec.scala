@@ -112,6 +112,18 @@ class ScaleOpsSpec extends SparkSuite {
       .count() == docs.count())
     intercept[IllegalArgumentException](
       Sampling.temperatureMixture(docs, "lang", col("doc_id"), 1.5))
+    // a NULL group is a group, not a silent drop (mixture()'s equi-join
+    // would lose it): α = 1 identity holds with nulls present, and at
+    // α < 1 the null group is sampled at its own rate
+    val withNull = docs.withColumn("lang",
+      when(col("doc_id") % 5 === 0, lit(null)).otherwise(col("lang")))
+    assert(Sampling.temperatureMixture(withNull, "lang", col("doc_id"), 1.0)
+      .count() == docs.count())
+    val sampledNull = Sampling
+      .temperatureMixture(withNull, "lang", col("doc_id"), 0.5)
+      .filter(col("lang").isNull).count()
+    val totalNull = withNull.filter(col("lang").isNull).count()
+    assert(sampledNull > 0 && sampledNull <= totalNull)
   }
 
   test("takePerGroup: equals the window formulation, layout-invariant") {
