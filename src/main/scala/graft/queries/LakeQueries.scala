@@ -245,6 +245,39 @@ object LakeQueries extends QueryModule {
         FROM lineitem WHERE l_partkey BETWEEN 100 AND 300
         GROUP BY 1 ORDER BY pk_mod""")),
 
+    // Row-level snapshot diff (diffVersions — the row-granular CDC
+    // companion to q107's file-level reads): after the q64 merge
+    // history, diff(v0, v1) must surface each updated key as its
+    // delete (old values) + insert (doubled price) pair, while
+    // untouched rows inside rewritten files cancel in the multiset
+    // diff and files common to both manifests are never read at all.
+    "q116_version_diff" -> Q(
+      run = (s, dir) => {
+        val root = Files.createTempDirectory("graft_vt_diff").resolve("t").toString
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        graft.sources.VersionedTable.overwrite(orders, root)
+        val changes = orders
+          .filter(substring(md5(col("o_orderkey").cast(StringType)), 1, 1) === "0")
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+        graft.sources.VersionedTable.merge(s, root, changes, Seq("o_orderkey"))
+        graft.sources.VersionedTable.diffVersions(s, root, 0L, 1L)
+          .groupBy(col("_change"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("_change")
+      },
+      oracle = Some("""
+        SELECT 'delete' AS _change, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+        UNION ALL
+        SELECT 'insert' AS _change, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice * 2 AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+        ORDER BY _change""")),
+
     // Incremental consumption (CDF role): three md5-bucketed batches of
     // orders committed as overwrite + 2 appends; readChangesSince(v0)
     // must return EXACTLY the two appended batches — a downstream

@@ -392,6 +392,33 @@ object VersionedTable {
     else spark.read.option("mergeSchema", "true").parquet(added: _*)
   }
 
+  /** Row-level snapshot diff (the companion to [[readChangesSince]]'s
+    * file-level read): rows of version `v2` not present in `v1` tagged
+    * `insert`, rows of `v1` gone from `v2` tagged `delete` — an update
+    * appears as its delete + insert pair, multiset semantics
+    * (`exceptAll`, so duplicate rows diff by count). File-level pruning
+    * applies first: files common to both manifests cancel exactly and
+    * are never read. */
+  def diffVersions(spark: SparkSession, root: String,
+                   v1: Long, v2: Long): DataFrame = {
+    val f1 = readManifest(root, v1).map(pathOf).toSet
+    val f2 = readManifest(root, v2).map(pathOf).toSet
+    def readOr(paths: Seq[String], other: Seq[String]): DataFrame =
+      if (paths.nonEmpty)
+        spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      else // empty side: same schema, zero rows
+        spark.read.option("mergeSchema", "true").parquet(other: _*).limit(0)
+    val only1 = (f1 -- f2).toSeq.sorted
+    val only2 = (f2 -- f1).toSeq.sorted
+    if (only1.isEmpty && only2.isEmpty)
+      return readVersion(spark, root, v2).limit(0)
+        .withColumn("_change", lit("insert"))
+    val d1 = readOr(only1, only2)
+    val d2 = readOr(only2, only1)
+    d2.exceptAll(d1).withColumn("_change", lit("insert"))
+      .unionByName(d1.exceptAll(d2).withColumn("_change", lit("delete")))
+  }
+
   /** RESTORE: commit a new version whose manifest is version `v`'s file
     * list — the table's latest state becomes the old snapshot while
     * history (and audit) is preserved. */

@@ -273,6 +273,23 @@ class VersionedTableSpec extends SparkSuite {
     assert(byX.as[(Long, Long)].collect().forall(r => r._1 >= 3 && r._1 <= 6))
   }
 
+  test("diffVersions: append → insert only; merge-update → delete+insert pair; self-diff empty") {
+    import spark.implicits._
+    val root = tmpRoot()
+    VersionedTable.overwrite(Seq((1, "a"), (2, "b")).toDF("k", "v"), root)
+    VersionedTable.append(Seq((3, "c")).toDF("k", "v"), root)
+    VersionedTable.merge(spark, root, Seq((2, "B")).toDF("k", "v"), Seq("k"))
+    def diff(v1: Long, v2: Long) =
+      VersionedTable.diffVersions(spark, root, v1, v2)
+        .as[(Int, String, String)].collect().toSet
+    assert(diff(0, 1) == Set((3, "c", "insert")))
+    assert(diff(1, 2) == Set((2, "b", "delete"), (2, "B", "insert")))
+    // untouched row (1, a) sits in a rewritten-or-carried file either
+    // way and must never surface; reverse diff flips the tags
+    assert(diff(2, 1) == Set((2, "B", "delete"), (2, "b", "insert")))
+    assert(diff(1, 1).isEmpty)
+  }
+
   test("readChangesSince returns exactly the later-committed batches") {
     import spark.implicits._
     val root = tmpRoot()
