@@ -143,6 +143,18 @@ object ScaleProbe {
       time("asof_native") {
         evalAll(graft.operators.AsOfJoin.asOfNative(clicks, purchases, "user_id", "ts"))
       }
+      // wide payload: the composed form runs one `last()` window PER
+      // payload column; the native exec's merge cost is column-count
+      // oblivious (one buffered row)
+      val purchasesWide = purchases.select(
+        Seq(col("user_id"), col("ts")) ++
+          (0 until 8).map(i => (col("last_purchase") + lit(i)).as(s"p$i")): _*)
+      time("asof_composed_w8") {
+        evalAll(graft.operators.AsOfJoin.asOf(clicks, purchasesWide, "user_id", "ts"))
+      }
+      time("asof_native_w8") {
+        evalAll(graft.operators.AsOfJoin.asOfNative(clicks, purchasesWide, "user_id", "ts"))
+      }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     spark.stop()
