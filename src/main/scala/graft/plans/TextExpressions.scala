@@ -87,3 +87,36 @@ case class WordNgramsAll(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): WordNgramsAll =
     copy(left = newLeft, right = newRight)
 }
+
+/** Unicode NFC normalization (java.text.Normalizer) — the text-hygiene
+  * pass every web-scale corpus needs BEFORE hashing/dedup: canonically
+  * equivalent byte sequences (decomposed "e"+U+0301 vs precomposed "é")
+  * otherwise hash apart, so visually identical documents dodge exact
+  * AND shingle dedup. Map-local; aligned with DuckDB's `nfc_normalize`
+  * (the q117 oracle). CodegenFallback: the surrounding projection still
+  * codegens and calls eval() once per row. */
+case class NfcNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(s: Any): Any = {
+    val str = s.asInstanceOf[UTF8String].toString
+    // fast path: already-NFC strings (the overwhelming majority) skip
+    // the allocation in Normalizer.normalize
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(child = c)
+}
+
+object NfcNormalize {
+  def apply(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      NfcNormalize(org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+}

@@ -692,6 +692,41 @@ object TextQueries extends QueryModule {
                         ELSE '00000000' END
         GROUP BY lang ORDER BY lang""")),
 
+    // Unicode NFC normalization (plans.NfcNormalize ↔ DuckDB
+    // nfc_normalize): canonically-equivalent byte sequences hash apart,
+    // so un-normalized corpora dodge exact AND shingle dedup. The ASCII
+    // synthetic corpus is trivially NFC, so the query PLANTS decomposed
+    // sequences (e + U+0301, i + U+0308) on every third doc — same
+    // construction both engines — and reports per-lang changed counts
+    // and codepoints removed by normalization.
+    "q117_nfc_normalize" -> Q(
+      run = (s, dir) => {
+        val planted = Tables(s, dir, "documents").withColumn("text2",
+          when(col("doc_id") % 3 === 0,
+            // the literal is DECOMPOSED on purpose: e+U+0301, i+U+0308
+            concat(col("text"), lit(" café naïve")))
+            .otherwise(col("text")))
+        planted.select(col("lang"),
+          length(col("text2")).as("len_raw"),
+          length(graft.plans.NfcNormalize(col("text2"))).as("len_nfc"))
+          .groupBy(col("lang"))
+          .agg(count(when(col("len_raw") =!= col("len_nfc"), 1)).as("n_changed"),
+            sum(col("len_raw") - col("len_nfc")).as("cp_removed"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH planted AS (
+          SELECT doc_id, lang,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN text || ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+                      ELSE text END AS text2
+          FROM documents),
+        n AS (SELECT lang, length(text2) AS len_raw,
+                     length(nfc_normalize(text2)) AS len_nfc FROM planted)
+        SELECT lang, COUNT(*) FILTER (len_raw <> len_nfc) AS n_changed,
+               CAST(SUM(len_raw - len_nfc) AS BIGINT) AS cp_removed
+        FROM n GROUP BY lang ORDER BY lang""")),
+
     // Robust length-outlier filter (median + MAD per lang — the
     // robust-statistics quality screen; unlike mean/stddev it doesn't
     // let the outliers move their own threshold). Exact interpolated
