@@ -34,4 +34,17 @@ class RollingHashSpec extends SparkSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1)"), plan) // codegen-stage marker
   }
+
+  test("nfc_normalize is SQL-reachable and composes decomposed sequences") {
+    graft.plans.GraftFunctions.registerAll(spark)
+    // 'e' + combining acute (U+0301) → precomposed é, one codepoint
+    // less. NOTE: Spark SQL's chr() is ASCII-mod-256 (unlike DuckDB's
+    // codepoint chr), so the combining char is embedded in the literal.
+    val r = spark.sql(
+      "SELECT nfc_normalize('café') AS s, " +
+        "length(nfc_normalize('café')) AS n, " +
+        "nfc_normalize('plain ascii') AS p").collect().head
+    assert(r.getString(0) == "café" && r.getInt(1) == 4)
+    assert(r.getString(2) == "plain ascii")
+  }
 }
