@@ -241,6 +241,24 @@ object VersionedTable {
     overwriteWithStats(clustered, root, colA, colB)
   }
 
+  /** As [[overwriteZOrdered]] for APPEND-style ingestion: the incoming
+    * batch is z-clustered and stats-recorded on its own (boundaries
+    * from the batch — day-over-day drift is fine, each file's recorded
+    * [min, max] is exact regardless of how it was clustered), previous
+    * manifest lines are inherited untouched. A [[readWhere]] prunes
+    * across ALL batches; periodic [[overwriteZOrdered]] compaction
+    * tightens inter-batch overlap when it accumulates. */
+  def appendZOrdered(df: DataFrame, root: String, colA: String,
+                     colB: String, numFiles: Int,
+                     buckets: Int = 1024): Long = {
+    val clustered = zCluster(df, colA, colB, numFiles, buckets)
+    val staged = stageDataFiles(clustered, root, nextVersion(root))
+    val lines = statLines(df.sparkSession, staged, Seq(colA, colB))
+    commitWithRetry(root, maxRetries = 5) { _ =>
+      latestVersion(root).map(readManifest(root, _)).getOrElse(Seq.empty) ++ lines
+    }
+  }
+
   /** Range read with manifest-level data skipping: only files whose
     * recorded `statsCol` [min, max] intersects [lo, hi] are opened
     * (stats-less lines and other-column stats are conservatively kept);
