@@ -224,9 +224,17 @@ object VersionedTable {
     * Delta `OPTIMIZE ZORDER BY` role). */
   def overwriteZOrdered(df: DataFrame, root: String, colA: String,
                         colB: String, numFiles: Int,
-                        buckets: Int = 1024): Long = {
+                        buckets: Int = 1024): Long =
+    overwriteWithStats(zCluster(df, colA, colB, numFiles, buckets),
+      root, colA, colB)
+
+  /** Quantile-bucket both columns (one multi-column approxQuantile
+    * scan — skew-proof boundaries), bit-interleave the bucket ids
+    * ([[graft.plans.ZOrder64]]), and range-partition + sort on the
+    * Morton key so the resulting files are tight in BOTH dimensions. */
+  private def zCluster(df: DataFrame, colA: String, colB: String,
+                       numFiles: Int, buckets: Int): DataFrame = {
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    // both columns' boundaries in ONE scan (multi-column approxQuantile)
     val Array(boundsA, boundsB) = df
       .select(col(colA).cast("double").as("__qa"),
         col(colB).cast("double").as("__qb"))
@@ -234,11 +242,10 @@ object VersionedTable {
       .map(_.map(_.toLong).distinct.toSeq)
     val z = graft.plans.ZOrder64(col(colA).cast("long"),
       col(colB).cast("long"), boundsA, boundsB)
-    val clustered = df.withColumn("__z", z)
+    df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-    overwriteWithStats(clustered, root, colA, colB)
   }
 
   /** As [[overwriteZOrdered]] for APPEND-style ingestion: the incoming
