@@ -70,19 +70,21 @@ object AsOfJoin {
       tolerance = None)
 
   /** As above with the pandas `merge_asof` knobs: `direction` =
-    * "backward" (latest right at-or-before, the default) or "forward"
-    * (earliest right at-or-after); `tolerance` = max |Δtime| for a
+    * "backward" (latest right at-or-before, the default), "forward"
+    * (earliest right at-or-after) or "nearest" (smaller |Δtime| of the
+    * two, ties preferring backward); `tolerance` = max |Δtime| for a
     * match, in the time column's underlying unit (µs for timestamp,
     * days for date, raw for integral) — the nearest candidate outside
     * it yields null. */
   def asOfNative(left: DataFrame, right: DataFrame, keyCol: String,
                  timeCol: String, direction: String,
                  tolerance: Option[Long]): DataFrame = {
-    val forward = direction match {
-      case "backward" => false
-      case "forward" => true
+    val (forward, nearest) = direction match {
+      case "backward" => (false, false)
+      case "forward" => (true, false)
+      case "nearest" => (false, true)
       case d => throw new IllegalArgumentException(
-        s"as-of direction must be backward|forward, got '$d'")
+        s"as-of direction must be backward|forward|nearest, got '$d'")
     }
     val spark = left.sparkSession
     org.apache.spark.sql.graft.PlanBridge
@@ -115,6 +117,6 @@ object AsOfJoin {
       graft.plans.AsOfJoinPlan(lPlan, rPlan,
         Seq(attr(lPlan.output, keyCol)), Seq(attr(rOut, keyCol)),
         attr(lPlan.output, timeCol), attr(rOut, timeCol), payload,
-        forward, tolerance))
+        forward, tolerance, nearest))
   }
 }

@@ -47,10 +47,13 @@ object Sampling {
     val spark = df.sparkSession
     import spark.implicits._
     val rdf = rates.toSeq.map { case (g, r) => (g, hexThreshold(r)) }
-      .toDF(groupCol, "__thr")
-    df.join(broadcast(rdf), Seq(groupCol))
+      .toDF("__g", "__thr")
+    // the group column joins through an explicit string render, so a
+    // non-string group column (int language id, date bucket) matches its
+    // rates key instead of hitting engine-chosen equality coercion
+    df.join(broadcast(rdf), col(groupCol).cast(StringType) === col("__g"))
       .filter(substring(md5(key.cast(StringType)), 1, 8) < col("__thr"))
-      .drop("__thr")
+      .drop("__g", "__thr")
   }
 
   /** Temperature-based mixture sampling (the multilingual/source
@@ -65,7 +68,10 @@ object Sampling {
   def temperatureMixture(df: DataFrame, groupCol: String, key: Column,
                          alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
-    val counts = df.groupBy(col(groupCol))
+    // group rendered as string up front: a non-string group column would
+    // otherwise throw a bare ClassCastException at getString, and the
+    // rendered value is exactly what mixture() joins on
+    val counts = df.groupBy(col(groupCol).cast(StringType).as("__g"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
     require(counts.nonEmpty, "temperatureMixture over an empty frame")

@@ -56,7 +56,15 @@ final case class AsOfJoinPlan(
       * UNDERLYING unit (µs for timestamp, days for date, raw for
       * integral) — pandas merge_asof `tolerance`. The nearest candidate
       * outside it yields null (all farther ones are worse). */
-    tolerance: Option[Long] = None) extends BinaryNode {
+    tolerance: Option[Long] = None,
+    /** true = nearest (pandas merge_asof direction='nearest'): the
+      * smaller of |Δ| to the latest at-or-before and the earliest
+      * strictly-after right row; ties prefer the backward (at-or-before)
+      * candidate. Mutually exclusive with `forward`. */
+    nearest: Boolean = false) extends BinaryNode {
+
+  require(!(forward && nearest),
+    "as-of direction is one of backward/forward/nearest")
 
   require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType) &&
     leftTime.dataType == rightTime.dataType,
@@ -123,9 +131,9 @@ object AsOfJoinFilterPushdown extends Rule[LogicalPlan] with PredicateHelper {
   * [[graft.operators.AsOfJoin.asOfNative]] / GraftSession). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, payload, fwd, tol) =>
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, payload, fwd, tol, near) =>
       AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, payload,
-        fwd, tol) :: Nil
+        fwd, tol, near) :: Nil
     case _ => Nil
   }
 }
@@ -147,7 +155,8 @@ final case class AsOfJoinExec(
     rightTime: Expression,
     payload: Seq[Attribute],
     forward: Boolean = false,
-    tolerance: Option[Long] = None) extends BinaryExecNode {
+    tolerance: Option[Long] = None,
+    nearest: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
@@ -218,6 +227,11 @@ final case class AsOfJoinExec(
       def withinTol(lt: InternalRow, rt: InternalRow): Boolean =
         tolerance.forall(t => !lt.isNullAt(0) && !rt.isNullAt(0) &&
           math.abs(timeAsLong(lt) - timeAsLong(rt)) <= t)
+      // |Δ| for the nearest-candidate comparison; an incomparable (null)
+      // time is infinitely far, so a real candidate always beats it
+      def dist(lt: InternalRow, rt: InternalRow): Long =
+        if (lt.isNullAt(0) || rt.isNullAt(0)) Long.MaxValue
+        else math.abs(timeAsLong(lt) - timeAsLong(rt))
 
       var matched: InternalRow = null // latest visible right row (copied)
       var matchedKey: UnsafeRow = null
@@ -243,7 +257,7 @@ final case class AsOfJoinExec(
             if (!forward) {
               matched = rHead.copy() // each right row copied at most once
               if (matchedKey == null) matchedKey = rHeadKey.copy()
-              if (tolerance.isDefined) matchedTime = rHeadTime.copy()
+              if (tolerance.isDefined || nearest) matchedTime = rHeadTime.copy()
             }
             advanceRight(); scan = rHead != null
           } else scan = false // right head is at/after this row's time
@@ -253,7 +267,22 @@ final case class AsOfJoinExec(
           if (forward)
             (if (rHead != null && keyOrd.compare(rHeadKey, lk) == 0) rHead else null,
               rHeadTime)
-          else (matched, matchedTime)
+          else if (nearest) {
+            // backward candidate = latest consumed at-or-before row;
+            // forward candidate = the unconsumed head (strictly after,
+            // same key). Equal-time rows were consumed backward, so a
+            // tie in |Δ| can only be backward-vs-forward at the same
+            // distance — prefer backward, the pandas tie-break.
+            val fCand =
+              if (rHead != null && keyOrd.compare(rHeadKey, lk) == 0) rHead
+              else null
+            val bOk = matched != null && withinTol(lt, matchedTime)
+            val fOk = fCand != null && withinTol(lt, rHeadTime)
+            if (bOk && (!fOk || dist(lt, matchedTime) <= dist(lt, rHeadTime)))
+              (matched, matchedTime)
+            else if (fOk) (fCand, rHeadTime)
+            else (null, null)
+          } else (matched, matchedTime)
         numOutputRows += 1
         resultProj(joined(lRow,
           if (m != null && withinTol(lt, mt)) m else nullRight))

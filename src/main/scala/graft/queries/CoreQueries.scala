@@ -533,6 +533,12 @@ object CoreQueries extends QueryModule {
     // with the user's most recent purchase value at that instant.
     // Oracle: DuckDB's native ASOF JOIN — two entirely different
     // realizations of the operator must agree row-for-row.
+    // NULL-key caveat (applies to the whole q38/q102/q108/q109/q120
+    // family): both graft realizations group null keys together (window
+    // semantics — a null-key left row sees null-key right rows), while
+    // DuckDB's ASOF equi-join never matches null to null. events has no
+    // null user_id, so the oracles agree here; on null-keyed data,
+    // pre-filter right-side null keys for SQL semantics.
     "q38_asof_join" -> Q(
       run = (s, dir) => {
         val ev = t(s, dir, "events")
@@ -632,6 +638,38 @@ object CoreQueries extends QueryModule {
              (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
           ON c.user_id = p.user_id AND c.ts >= p.ts
         ORDER BY event_id""")),
+
+    // ----------------------------------------------------------------
+    // NEAREST as-of through the native exec (pandas merge_asof
+    // direction='nearest'): each click enriched with the purchase
+    // CLOSEST in time, before or after, ties preferring the preceding
+    // one. DuckDB's ASOF is backward-only, so the oracle ranks all
+    // same-user purchases by |Δt| with an explicit backward tie-break —
+    // a completely independent realization that must agree row-for-row.
+    "q120_asof_nearest" -> Q(
+      run = (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value").as("nearest_purchase"))
+        graft.operators.AsOfJoin
+          .asOfNative(clicks, purchases, "user_id", "ts", "nearest", None)
+          .select(col("event_id"), col("user_id"), col("nearest_purchase"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        SELECT event_id, user_id, nearest_purchase FROM (
+          SELECT c.event_id, c.user_id, p.value AS nearest_purchase,
+                 ROW_NUMBER() OVER (PARTITION BY c.event_id ORDER BY
+                   abs(epoch_us(c.ts) - epoch_us(p.ts)),
+                   CASE WHEN p.ts <= c.ts THEN 0 ELSE 1 END) AS rn
+          FROM (SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'click') c
+          LEFT JOIN (SELECT user_id, ts, value FROM events
+                     WHERE event_type = 'purchase') p
+            ON c.user_id = p.user_id)
+        WHERE rn = 1 ORDER BY event_id""")),
 
     // ----------------------------------------------------------------
     // INTERSECT / EXCEPT — completing the set-operation family beyond

@@ -16,6 +16,18 @@ object LakeQueries extends QueryModule {
   private def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
 
+  /** Temp work dir for the round-trip / table-format queries, deleted on
+    * JVM exit — repeated gate/bench runs must not leak disk (each run
+    * still gets fresh dirs DURING the run; cleanup is exit-time because
+    * lazily-evaluated reads may re-open the files until the session
+    * ends). */
+  private def tempRoot(prefix: String): java.nio.file.Path = {
+    val p = Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      Lake.deleteRecursively(p.toFile)))
+    p
+  }
+
   override def entries: Seq[(String, Q)] = Seq(
 
     // S1/S5 CSV round-trip: parquet → engine CSV sink → engine CSV scan
@@ -23,7 +35,7 @@ object LakeQueries extends QueryModule {
     // parquet — equality proves the writer/reader pair is lossless.
     "q26_csv_roundtrip" -> Q(
       run = (s, dir) => {
-        val tmp = Files.createTempDirectory("graft_csv_rt").toString
+        val tmp = tempRoot("graft_csv_rt").toString
         Tables(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
           .write.mode("overwrite").option("header", true).csv(tmp)
@@ -47,7 +59,7 @@ object LakeQueries extends QueryModule {
     // scan with explicit schema → aggregate.
     "q27_json_roundtrip" -> Q(
       run = (s, dir) => {
-        val tmp = Files.createTempDirectory("graft_json_rt").toString
+        val tmp = tempRoot("graft_json_rt").toString
         Tables(s, dir, "part")
           .select(col("p_partkey"), col("p_type"), col("p_retailprice"))
           .write.mode("overwrite").json(tmp)
@@ -72,7 +84,7 @@ object LakeQueries extends QueryModule {
     // is lossless.
     "q79_json_multiline_roundtrip" -> Q(
       run = (s, dir) => {
-        val tmp = Files.createTempDirectory("graft_json_ml")
+        val tmp = tempRoot("graft_json_ml")
           .resolve("nation.json").toString
         Lake.writeJsonArray(
           Tables(s, dir, "nation")
@@ -153,7 +165,7 @@ object LakeQueries extends QueryModule {
     // update-vs-insert routing and snapshot resolution.
     "q64_merge_upsert" -> Q(
       run = (s, dir) => {
-        val root = Files.createTempDirectory("graft_vt_merge").resolve("t").toString
+        val root = tempRoot("graft_vt_merge").resolve("t").toString
         val orders = Tables(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         graft.sources.VersionedTable.overwrite(orders, root)
@@ -179,7 +191,7 @@ object LakeQueries extends QueryModule {
     // merge touched none of version 0's files).
     "q65_time_travel" -> Q(
       run = (s, dir) => {
-        val root = Files.createTempDirectory("graft_vt_tt").resolve("t").toString
+        val root = tempRoot("graft_vt_tt").resolve("t").toString
         val orders = Tables(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         graft.sources.VersionedTable.overwrite(orders, root)
@@ -204,7 +216,7 @@ object LakeQueries extends QueryModule {
     // changes ANSWERS: same agg as a plain WHERE over the raw table).
     "q105_versioned_skip" -> Q(
       run = (s, dir) => {
-        val root = Files.createTempDirectory("graft_vt_skip").resolve("t").toString
+        val root = tempRoot("graft_vt_skip").resolve("t").toString
         val li = Tables(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
           .repartitionByRange(8, col("l_orderkey"))
@@ -228,11 +240,42 @@ object LakeQueries extends QueryModule {
     // the oracle pins that multi-dim skipping never changes answers.
     "q106_zorder_skip" -> Q(
       run = (s, dir) => {
-        val root = Files.createTempDirectory("graft_vt_z").resolve("t").toString
+        val root = tempRoot("graft_vt_z").resolve("t").toString
         val li = Tables(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
         graft.sources.VersionedTable.overwriteZOrdered(
           li, root, "l_orderkey", "l_partkey", numFiles = 8)
+        graft.sources.VersionedTable
+          .readWhere(s, root, "l_partkey", 100, 300)
+          .groupBy((col("l_partkey") % 10).as("pk_mod"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+          .orderBy("pk_mod")
+      },
+      oracle = Some("""
+        SELECT l_partkey % 10 AS pk_mod, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem WHERE l_partkey BETWEEN 100 AND 300
+        GROUP BY 1 ORDER BY pk_mod""")),
+
+    // Incremental Z-ordered ingestion (appendZOrdered): two md5-bucketed
+    // lineitem batches appended as separately-clustered commits, each
+    // carrying its own per-file stats; the range read hits the SECOND
+    // dimension and must prune across BOTH batches from the manifest
+    // alone (VersionedTableSpec pins the cross-batch inputFiles
+    // pruning); the oracle pins that batch-local clustering never
+    // changes answers — the union of both batches is the whole table.
+    "q118_zorder_append" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_za").resolve("t").toString
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        val b = substring(md5(col("l_orderkey").cast(StringType)), 1, 1)
+        graft.sources.VersionedTable.appendZOrdered(
+          li.filter(b.between("0", "7")), root, "l_orderkey", "l_partkey",
+          numFiles = 6)
+        graft.sources.VersionedTable.appendZOrdered(
+          li.filter(!b.between("0", "7")), root, "l_orderkey", "l_partkey",
+          numFiles = 6)
         graft.sources.VersionedTable
           .readWhere(s, root, "l_partkey", 100, 300)
           .groupBy((col("l_partkey") % 10).as("pk_mod"))
@@ -253,7 +296,7 @@ object LakeQueries extends QueryModule {
     // diff and files common to both manifests are never read at all.
     "q116_version_diff" -> Q(
       run = (s, dir) => {
-        val root = Files.createTempDirectory("graft_vt_diff").resolve("t").toString
+        val root = tempRoot("graft_vt_diff").resolve("t").toString
         val orders = Tables(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         graft.sources.VersionedTable.overwrite(orders, root)
@@ -284,7 +327,7 @@ object LakeQueries extends QueryModule {
     // consumer processes each commit once, never rescanning the table.
     "q107_changes_since" -> Q(
       run = (s, dir) => {
-        val root = Files.createTempDirectory("graft_vt_cdc").resolve("t").toString
+        val root = tempRoot("graft_vt_cdc").resolve("t").toString
         val orders = Tables(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         val b = substring(md5(col("o_orderkey").cast(StringType)), 1, 1)

@@ -115,6 +115,23 @@ object SimilarityQueries extends QueryModule {
           .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
           .orderBy("id_a", "id_b")),
 
+    // The 100 TB form of q103: SemDeDup composed over the LSH-bucketed
+    // pair generator instead of exact all-pairs — band-bucket equi-join
+    // candidates, exact-cosine verify, then the same star-contraction
+    // components. Approximate recall by construction → rows-only check;
+    // SimilaritySpec proves the structural containment against q103's
+    // exact survivors (every exact cluster maps into exactly one
+    // LSH cluster) and measures survivor-set agreement.
+    "q119_semantic_dedup_lsh" -> Q(
+      run = (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.semanticDedupSurvivors(emb, 0.4,
+          pairs = Some(Similarity.cosineNearDupPairsLSH(emb, 0.4, dim = 64)))
+          .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+          .select(col("vec_id"), col("label"), col("group_size"))
+          .orderBy("vec_id")
+      }),
+
     // Embedding-space contamination check — q82's vector-space sibling:
     // corpus vectors whose max cosine against a (tiny) benchmark set
     // crosses the threshold. The scale shape: benchmark broadcast,

@@ -28,7 +28,7 @@ object Lake {
   /** Recursive delete shared by the staging/swap sinks. Null-safe:
     * `listFiles()` returns null for non-directories AND for I/O errors
     * mid-walk (a racing deleter, a permission change). */
-  private[sources] def deleteRecursively(f: java.io.File): Unit = {
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete()
   }

@@ -440,8 +440,22 @@ object VersionedTable {
         .withColumn("_change", lit("insert"))
     val d1 = readOr(only1, only2)
     val d2 = readOr(only2, only1)
-    d2.exceptAll(d1).withColumn("_change", lit("insert"))
-      .unionByName(d1.exceptAll(d2).withColumn("_change", lit("delete")))
+    // exceptAll is positional — align both sides by NAME over the union
+    // of their columns (typed nulls fill the gaps) so a schema-evolving
+    // merge/append between the diffed versions (a supported mergeSchema
+    // path) diffs instead of throwing, old rows reading null for
+    // later-added columns exactly as a snapshot read would
+    val allCols = (d1.columns ++ d2.columns.filterNot(d1.columns.contains)).toSeq
+    def aligned(df: DataFrame) = df.select(allCols.map { c =>
+      if (df.columns.contains(c)) col(c)
+      else {
+        val dt = (if (d1.columns.contains(c)) d1 else d2).schema(c).dataType
+        lit(null).cast(dt).as(c)
+      }
+    }: _*)
+    val a1 = aligned(d1); val a2 = aligned(d2)
+    a2.exceptAll(a1).withColumn("_change", lit("insert"))
+      .unionByName(a1.exceptAll(a2).withColumn("_change", lit("delete")))
   }
 
   /** RESTORE: commit a new version whose manifest is version `v`'s file

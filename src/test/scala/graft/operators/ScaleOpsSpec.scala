@@ -126,6 +126,23 @@ class ScaleOpsSpec extends SparkSuite {
     assert(sampledNull > 0 && sampledNull <= totalNull)
   }
 
+  test("mixture and temperatureMixture accept non-string group columns") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables(spark, sf, "documents")
+      .withColumn("lang_id",
+        when(col("lang") === "en", 0).otherwise(1)) // IntegerType group
+    // mixture: rates keyed by the string RENDER of the int group
+    val kept = Sampling.mixture(docs, "lang_id", col("doc_id"),
+      Map("0" -> 1.0, "1" -> 0.0))
+    assert(kept.count() == docs.filter(col("lang") === "en").count())
+    assert(kept.columns.toSeq == docs.columns.toSeq) // schema preserved
+    // temperatureMixture: used to throw ClassCastException at getString
+    val t1 = Sampling.temperatureMixture(docs, "lang_id", col("doc_id"), 1.0)
+    assert(t1.count() == docs.count()) // α = 1 identity holds for int groups
+    val t05 = Sampling.temperatureMixture(docs, "lang_id", col("doc_id"), 0.5)
+    assert(t05.count() > 0 && t05.count() < docs.count())
+  }
+
   test("takePerGroup: equals the window formulation, layout-invariant") {
     val sf = "/root/testdata/sf0.01"
     val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("lang"))

@@ -113,4 +113,26 @@ class SimilaritySpec extends SparkSuite {
     // higher above it — guard against a broken bucketing join
     assert(recall > 0.5)
   }
+
+  test("semanticDedupSurvivors over LSH pairs: coarsening of the exact clustering, measured agreement") {
+    // the q119 composition — the 100 TB form of SemDeDup end-to-end
+    def survivors(pairs: Option[org.apache.spark.sql.DataFrame]) =
+      Similarity.semanticDedupSurvivors(emb, 0.4, pairs = pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = survivors(None)
+    val lsh = survivors(Some(Similarity.cosineNearDupPairsLSH(emb, 0.4, dim = 64)))
+    // LSH edges ⊆ exact edges (precision 1), so LSH components only ever
+    // SPLIT exact components: every LSH survivor's id is an exact
+    // component representative or a member that lost its linking edge —
+    // and every exact survivor must still survive under fewer edges
+    assert(exact.keySet.subsetOf(lsh.keySet),
+      s"exact survivors lost: ${exact.keySet.diff(lsh.keySet)}")
+    // total mass is conserved: every vector is in exactly one cluster
+    assert(lsh.values.sum == exact.values.sum)
+    // agreement: identical survivor sets unless recall dropped edges
+    val agreement = exact.size.toDouble / lsh.size
+    info(f"SemDeDup LSH/exact survivor agreement = $agreement%.3f " +
+      s"(${exact.size}/${lsh.size})")
+    assert(agreement > 0.8, s"LSH split too many clusters: $agreement")
+  }
 }

@@ -141,6 +141,61 @@ class AsOfJoinNativeSpec extends SparkSuite {
     assert(got == Map("near" -> 9.0, "far" -> null))
   }
 
+  test("nearest direction: closer of before/after, ties prefer backward, tolerance bounds both") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts(10), "mid"),    // right at 7 (Δ3) and 12 (Δ2) → forward wins
+      (1L, ts(14), "tieb"),   // right at 12 (Δ2) and 16 (Δ2) → tie → backward
+      (1L, ts(16), "exact"),  // right exactly at 16 → Δ0 backward (tie rule)
+      (2L, ts(50), "onlyb"),  // only an earlier right row → backward
+      (3L, ts(50), "onlyf"),  // only a later right row → forward
+      (4L, ts(50), "none"))   // no right rows for the key → null
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts(7), 7.0), (1L, ts(12), 12.0), (1L, ts(16), 16.0),
+      (2L, ts(1), 1.0), (3L, ts(99), 99.0))
+      .toDF("k", "t", "v")
+    def got(tol: Option[Long]) =
+      AsOfJoin.asOfNative(left, right, "k", "t", "nearest", tol)
+        .collect().map(r => (r.getString(2),
+          if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(got(None) == Map("mid" -> 12.0, "tieb" -> 12.0, "exact" -> 16.0,
+      "onlyb" -> 1.0, "onlyf" -> 99.0, "none" -> null))
+    // 5 s window: onlyb (Δ49) and onlyf (Δ49) fall out; mid/tieb/exact stay
+    assert(got(Some(5L * 1000 * 1000)) == Map("mid" -> 12.0, "tieb" -> 12.0,
+      "exact" -> 16.0, "onlyb" -> null, "onlyf" -> null, "none" -> null))
+  }
+
+  test("nearest ≡ closer-of(backward, forward) on the events table") {
+    val ev = graft.core.Tables(spark, "/root/testdata/sf0.001", "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("p"))
+    def m(df: org.apache.spark.sql.DataFrame, tcol: String) =
+      df.collect().map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[java.sql.Timestamp](tcol)),
+          Option(r.getAs[Any]("p")))).toMap
+    // backward/forward runs carry the matched right ts so the oracle can
+    // re-derive the nearest choice per row
+    val pts = purchases.withColumn("rts", col("ts"))
+    val bwd = m(AsOfJoin.asOfNative(clicks, pts, "user_id", "ts"), "rts")
+    val fwd = m(AsOfJoin.asOfNative(clicks, pts, "user_id", "ts",
+      "forward", None), "rts")
+    val lts = clicks.collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[java.sql.Timestamp]("ts")).toMap
+    val near = m(AsOfJoin.asOfNative(clicks, pts, "user_id", "ts",
+      "nearest", None), "rts")
+    assert(near.nonEmpty && near.size == lts.size)
+    near.foreach { case (eid, (_, gotP)) =>
+      val lt = lts(eid).getTime
+      def d(c: (Option[java.sql.Timestamp], Option[Any])) =
+        c._1.map(t => math.abs(t.getTime - lt)).getOrElse(Long.MaxValue)
+      val expect = if (d(bwd(eid)) <= d(fwd(eid))) bwd(eid)._2 else fwd(eid)._2
+      assert(gotP == expect, s"event $eid: got $gotP expected $expect")
+    }
+  }
+
   test("forward ≡ DuckDB-style forward on events (spot agreement with backward impl reversed)") {
     // forward(L, R) on time == backward(L, R) with both time columns
     // negated — an internal consistency check on real data

@@ -273,6 +273,47 @@ class VersionedTableSpec extends SparkSuite {
     assert(byX.as[(Long, Long)].collect().forall(r => r._1 >= 3 && r._1 <= 6))
   }
 
+  test("appendZOrdered: per-batch clustering + stats, readWhere prunes across batches on either column") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val grid = spark.range(64L * 64)
+      .select((col("id") % 64).as("x"),
+        floor(col("id") / 64).cast("long").as("y"))
+    // two disjoint halves appended as separately-clustered batches
+    VersionedTable.appendZOrdered(grid.filter(col("x") < 32), root,
+      "x", "y", numFiles = 8, buckets = 64)
+    VersionedTable.appendZOrdered(grid.filter(col("x") >= 32), root,
+      "x", "y", numFiles = 8, buckets = 64)
+    assert(VersionedTable.versions(root) == Seq(0L, 1L))
+    val total = VersionedTable.read(spark, root).inputFiles.length
+    assert(total == 16) // batch 2 inherited batch 1's files untouched
+    // x-range inside batch 1 → batch 2's 8 files ALL pruned from the
+    // manifest stats alone (strictly < 8 proves intra-batch pruning too)
+    val byX = VersionedTable.readWhere(spark, root, "x", 3, 6)
+    assert(byX.inputFiles.length < 8, s"x: ${byX.inputFiles.length}/$total")
+    // y-range spans BOTH batches → pruning works per batch on the
+    // second dimension, never dropping matching rows
+    val byY = VersionedTable.readWhere(spark, root, "y", 60, 63)
+    assert(byY.inputFiles.length <= total / 2, s"y: ${byY.inputFiles.length}/$total")
+    assert(byX.count() == 4 * 64 && byY.count() == 4 * 64)
+    assert(byY.as[(Long, Long)].collect().forall(r => r._2 >= 60 && r._2 <= 63))
+  }
+
+  test("diffVersions: schema-evolved merge between versions diffs by name, old rows read null") {
+    import spark.implicits._
+    val root = tmpRoot()
+    VersionedTable.overwrite(Seq((1, "a"), (2, "b")).toDF("k", "v"), root)
+    // merge with evolveSchema adds a column between v0 and v1
+    VersionedTable.merge(spark, root,
+      Seq((2, "B", 9.5)).toDF("k", "v", "score"), Seq("k"),
+      evolveSchema = true)
+    val d = VersionedTable.diffVersions(spark, root, 0L, 1L)
+      .select(col("k"), col("v"), col("score"), col("_change"))
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2), r.getString(3))).toSet
+    assert(d == Set((2, "b", null, "delete"), (2, "B", 9.5, "insert")))
+  }
+
   test("diffVersions: append → insert only; merge-update → delete+insert pair; self-diff empty") {
     import spark.implicits._
     val root = tmpRoot()
