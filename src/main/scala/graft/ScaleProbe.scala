@@ -14,6 +14,49 @@ object ScaleProbe {
     def corpus(mult: Int) = (0 until mult).map(i =>
       base.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
       .reduce(_ union _)
+    // adversarial skew probe (`runMain graft.ScaleProbe skew`): every doc
+    // shares one boilerplate shingle set — the pathological hot-token
+    // corpus for an inverted-index join. Prefix filtering must hold the
+    // CANDIDATE count near-linear in docs (rarest-first ranking keeps
+    // the hot shingles out of every prefix) while the naive inverted
+    // index pairs Σ df·(df−1)/2 — quadratic in the boilerplate df. The
+    // naive figure is computed as an aggregate, never materialized.
+    if (args.contains("skew")) {
+      val boiler = " the quick brown fox jumps over the lazy dog " +
+        "again and again every single day without fail"
+      // replicas get DISJOINT content (every word salted with the
+      // replica index) but the SAME boilerplate: genuine near-dup pairs
+      // live within one replica (linear in mult), while the boilerplate
+      // shingles' df grows with the whole corpus — so a quadratic
+      // candidate count could only come from the hot tokens the prefix
+      // filter is supposed to neutralize. Plain replication would be
+      // wrong here: exact copies are REAL near-dup pairs, and the
+      // output itself grows quadratically, hiding the effect.
+      def skewCorpus(mult: Int) = (0 until mult).map(i =>
+        base.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          concat(regexp_replace(col("text"), "(\\S+)", "$1" + s"_r$i"),
+            lit(boiler)).as("text")))
+        .reduce(_ union _)
+      for (mult <- Seq(1, 4, 10)) {
+        val c = skewCorpus(mult).localCheckpoint(true)
+        val n = c.count()
+        val sets = c.select(col("doc_id").as("id"),
+          graft.functions.TextFunctions.wordShingles(col("text"), 3).as("toks"))
+          .filter(size(col("toks")) > 0)
+        val naive = sets.select(explode(col("toks")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+          .agg(sum((col("df") * (col("df") - 1) / 2).cast("long")).as("s"))
+          .first().getLong(0)
+        val t0 = System.nanoTime()
+        val (_, cand) = graft.operators.SetSimJoin.rankSetsAndCandidates(sets, 0.8)
+        val pc = cand.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] mult=$mult%2d docs=$n%7d skew_candidates    " +
+          f"prefix=$pc%10d naive=$naive%14d ratio=${naive.toDouble / pc}%9.1f  $secs%6.2f s")
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
+      spark.stop(); return
+    }
     for (mult <- Seq(1, 4, 10)) {
       val c = corpus(mult).localCheckpoint(true)
       val n = c.count()

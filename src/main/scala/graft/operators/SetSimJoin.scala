@@ -30,8 +30,35 @@ object SetSimJoin {
   /** `sets`: (id: long, toks: array<string>). Output: (id_a, id_b,
     * jaccard) with id_a < id_b and jaccard ≥ threshold. */
   def jaccardSelfJoin(sets: DataFrame, threshold: Double): DataFrame = {
-    require(threshold > 0 && threshold <= 1)
     val spark = sets.sparkSession
+    val (rankSets, candidates) = rankSetsAndCandidates(sets, threshold)
+
+    graft.plans.VectorExpressions.register(spark)
+    val sides = rankSets.select(col("id"), col("ranks"), col("sz"))
+    candidates
+      .join(sides.select(col("id").as("id_a"), col("ranks").as("ranks_a"),
+        col("sz").as("sz_a")), Seq("id_a"))
+      .join(sides.select(col("id").as("id_b"), col("ranks").as("ranks_b"),
+        col("sz").as("sz_b")), Seq("id_b"))
+      // ranks arrays are sorted → codegen'd linear-merge intersection
+      .withColumn("common", graft.plans.VectorExpressions
+        .sortedIntersectCount(col("ranks_a"), col("ranks_b")))
+      .withColumn("jaccard",
+        col("common").cast(DoubleType) / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Stages 1-3 of the AllPairs pipeline — rank-encoded sets plus the
+    * prefix-filtered candidate pairs, before exact verification. Shared
+    * by [[jaccardSelfJoin]] and the ScaleProbe skew section, which
+    * counts these candidates on a pathological every-doc-shares-a-
+    * boilerplate corpus to MEASURE (not argue) that prefix filtering
+    * holds the candidate count near-linear where a naive inverted-index
+    * join (Σ df² over hot tokens) goes quadratic. */
+  private[graft] def rankSetsAndCandidates(
+      sets: DataFrame, threshold: Double): (DataFrame, DataFrame) = {
+    require(threshold > 0 && threshold <= 1)
 
     val tokens = sets.select(col("id"), explode(col("toks")).as("tok"))
     val freq = tokens.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -96,20 +123,7 @@ object SetSimJoin {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
 
-    graft.plans.VectorExpressions.register(spark)
-    val sides = rankSets.select(col("id"), col("ranks"), col("sz"))
-    candidates
-      .join(sides.select(col("id").as("id_a"), col("ranks").as("ranks_a"),
-        col("sz").as("sz_a")), Seq("id_a"))
-      .join(sides.select(col("id").as("id_b"), col("ranks").as("ranks_b"),
-        col("sz").as("sz_b")), Seq("id_b"))
-      // ranks arrays are sorted → codegen'd linear-merge intersection
-      .withColumn("common", graft.plans.VectorExpressions
-        .sortedIntersectCount(col("ranks_a"), col("ranks_b")))
-      .withColumn("jaccard",
-        col("common").cast(DoubleType) / (col("sz_a") + col("sz_b") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    (rankSets, candidates)
   }
 
   /** Exact A-vs-B set-similarity join — the INCREMENTAL dedup shape: a
