@@ -78,7 +78,17 @@ object AsOfJoin {
     * it yields null. */
   def asOfNative(left: DataFrame, right: DataFrame, keyCol: String,
                  timeCol: String, direction: String,
+                 tolerance: Option[Long]): DataFrame =
+    asOfNative(left, right, Seq(keyCol), timeCol, direction, tolerance)
+
+  /** Multi-key as-of (pandas `merge_asof(by=[...])`): the match must
+    * agree on EVERY key column. Same plan — [[graft.plans.AsOfJoinPlan]]
+    * carries Seq keys natively; the sides co-partition on the full key
+    * tuple and the merge compares composite keys. */
+  def asOfNative(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                 timeCol: String, direction: String,
                  tolerance: Option[Long]): DataFrame = {
+    require(keyCols.nonEmpty, "as-of join needs at least one key column")
     val (forward, nearest) = direction match {
       case "backward" => (false, false)
       case "forward" => (true, false)
@@ -112,10 +122,10 @@ object AsOfJoin {
           s"as-of column '$n' not in [${out.map(_.name).mkString(", ")}]"))
     val rOut = rAliases.map(_.toAttribute)
     val payload = rOut.filterNot(a =>
-      a.name.equalsIgnoreCase(keyCol) || a.name.equalsIgnoreCase(timeCol))
+      keyCols.exists(a.name.equalsIgnoreCase) || a.name.equalsIgnoreCase(timeCol))
     org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
       graft.plans.AsOfJoinPlan(lPlan, rPlan,
-        Seq(attr(lPlan.output, keyCol)), Seq(attr(rOut, keyCol)),
+        keyCols.map(attr(lPlan.output, _)), keyCols.map(attr(rOut, _)),
         attr(lPlan.output, timeCol), attr(rOut, timeCol), payload,
         forward, tolerance, nearest))
   }

@@ -222,6 +222,93 @@ object Similarity {
         col("cos"))
   }
 
+  /** Product-quantization approximate top-k (IVFADC's scoring half,
+    * Jégou et al. 2011) — the ANN MEMORY-compression scale path: the
+    * corpus is L2-normalized and encoded as `m` sub-space centroid ids
+    * (64 floats → `m` small ints, ~32× smaller), queries precompute one
+    * m×ksub lookup table each, and scanning a candidate costs m table
+    * adds instead of dim multiplies ([[graft.plans.PqAdcScore]],
+    * codegen'd). The `refine`-deep ADC shortlist is re-scored with the
+    * exact cosine, so reported scores are exact; ranks are approximate
+    * (recall measured in SimilaritySpec, never assumed).
+    *
+    * Codebook training is deterministic and distributed: the ksub
+    * lowest-id vectors seed each subspace, one Lloyd pass refines them
+    * via the same fixed-point (µ-quantized BIGINT) component means as
+    * [[ivfTopK]] — m·ksub·dsub aggregate rows reach the driver, never
+    * corpus vectors. At 100 TB the encode is a one-off write-side job
+    * (codes live next to the table like any derived column) and this
+    * composes with [[ivfTopK]]'s cell pruning: restrict the scan to the
+    * probed cells, score survivors by ADC — classic IVFADC. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+             m: Int = 8, ksub: Int = 16, refine: Int = 4,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
+    val dsub = dim / m
+    graft.plans.VectorExpressions.register(queries.sparkSession)
+    import graft.plans.{PqExpressions => PQ}
+
+    // normalized corpus: ADC then approximates q·x̂, so cos ≈ adc/|q|
+    // with no per-row corpus norm in the hot path
+    val cNorm = withNorm(corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv")), "cv", "cn")
+      .withColumn("cvn", transform(col("cv"),
+        x => x.cast(DoubleType) / col("cn")))
+
+    // deterministic seeds: the ksub lowest-id normalized vectors, each
+    // split into its m subvectors (ksub rows to the driver — dim-sized)
+    val seedRows = cNorm.orderBy(col("neighbor_id")).limit(ksub)
+      .select(col("cvn")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seedRows.length == ksub,
+      s"pqTopK needs ≥ $ksub corpus vectors to seed the codebook")
+    val seedBook: Array[Array[Array[Double]]] =
+      Array.tabulate(m, ksub)((j, c) => seedRows(c).slice(j * dsub, (j + 1) * dsub))
+
+    // one distributed Lloyd pass: per-(subspace, code, component) mean
+    // via posexplode + fixed-point hash agg (exact, plan-invariant);
+    // only m·ksub·dsub rows reach the driver
+    val j = (col("pos") / dsub).cast(IntegerType)
+    val stats = cNorm
+      .withColumn("__code", PQ.encode(col("cvn"), seedBook))
+      .select(posexplode(col("cvn")).as(Seq("pos", "x")), col("__code"))
+      .select(j.as("j"), (col("pos") % dsub).as("p"),
+        element_at(col("__code"), j + 1).as("c"),
+        floor(col("x") * 1000000L).cast(LongType).as("q"))
+      .groupBy(col("j"), col("c"), col("p"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    val refinedBook = seedBook.map(_.map(_.clone()))
+    stats.foreach { r =>
+      refinedBook(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+        r.getLong(3).toDouble / r.getLong(4) / 1e6
+    } // a code no vector chose keeps its seed centroid
+
+    val encoded = cNorm
+      .withColumn("__code", PQ.encode(col("cvn"), refinedBook))
+      .select(col("neighbor_id"), col("cv"), col("cn"), col("__code"))
+    val q = withNorm(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")), "qv", "qn")
+      .withColumn("__lut", PQ.lut(col("qv"), refinedBook))
+
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("__adc").desc, col("neighbor_id"))
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    encoded.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__adc", PQ.adcScore(col("__code"), col("__lut"), ksub))
+      .withColumn("__arank", row_number().over(wAdc))
+      .filter(col("__arank") <= k * refine) // ADC shortlist
+      .withColumn("cos", fastCos(col("qv"), col("qn"), col("cv"), col("cn")))
+      .withColumn("rank", row_number().over(wExact).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** All pairs (a < b) with cosine ≥ `threshold` — embedding-space
     * near-duplicate detection. Exact variant (self cross join pruned by
     * AQE-sized shuffle): for corpora where n² is affordable; the scale

@@ -672,6 +672,40 @@ object CoreQueries extends QueryModule {
         WHERE rn = 1 ORDER BY event_id""")),
 
     // ----------------------------------------------------------------
+    // MULTI-KEY as-of through the native exec (pandas merge_asof
+    // by=[...]): the match must agree on BOTH (user_id, band) — each
+    // click gets the user's most recent purchase in the same value
+    // band. Oracle: DuckDB ASOF with two equality conditions. The same
+    // composite-key tuple drives the co-partitioning, so the plan shape
+    // is unchanged from q102.
+    "q121_asof_multikey" -> Q(
+      run = (s, dir) => {
+        val ev = t(s, dir, "events")
+        val band = (floor(col("value") * 10) % 3).cast("long").as("band")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), band, col("ts"), col("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), band, col("ts"),
+            col("value").as("band_purchase"))
+        graft.operators.AsOfJoin.asOfNative(clicks, purchases,
+          Seq("user_id", "band"), "ts", "backward", None)
+          .select(col("event_id"), col("user_id"), col("band"),
+            col("band_purchase"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        SELECT c.event_id, c.user_id, c.band, p.value AS band_purchase
+        FROM (SELECT user_id, CAST(floor(value * 10) AS BIGINT) % 3 AS band,
+                     ts, event_id
+              FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN
+             (SELECT user_id, CAST(floor(value * 10) AS BIGINT) % 3 AS band,
+                     ts, value
+              FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND c.band = p.band AND c.ts >= p.ts
+        ORDER BY event_id""")),
+
+    // ----------------------------------------------------------------
     // INTERSECT / EXCEPT — completing the set-operation family beyond
     // the reference's UNION ALL (SURVEY §2.7 "No INTERSECT / EXCEPT").
     "q37_setops" -> Q(

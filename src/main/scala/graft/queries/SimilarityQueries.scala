@@ -104,6 +104,21 @@ object SimilarityQueries extends QueryModule {
           .orderBy("query_id", "rank")
       }),
 
+    // Product-quantization approximate top-k (Similarity.pqTopK) — the
+    // ANN memory-compression path: corpus stored as 8 int codes per
+    // vector (~32× smaller than 64 floats), scanned via codegen'd ADC
+    // table lookups, exact-rescored on the shortlist. Deterministic
+    // codebook (seeded + one distributed Lloyd pass) but approximate
+    // ranks → rows-only check; recall measured in SimilaritySpec.
+    "q122_pq_topk" -> Q(
+      run = (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.pqTopK(emb.filter(col("vec_id") < 32), emb, k = 5, dim = 64)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("query_id", "rank")
+      }),
+
     // Embedding near-dup pairs through sign-LSH band buckets — q41's
     // 100 TB path (equi-join candidates, exact-cosine verify; output is
     // a subset of q41's with precision 1). Approximate recall →

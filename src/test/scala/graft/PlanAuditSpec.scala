@@ -35,7 +35,12 @@ class PlanAuditSpec extends SparkSuite {
       // a fact-sized benchmark would switch to q83's LSH banding
       "q88_embedding_contamination",
       // corpus-size N as a 1-row broadcast dim crossed into the tf×df join
-      "q62_tfidf"),
+      "q62_tfidf",
+      // PQ ADC scan: the 32-query LUT side is broadcast and every
+      // corpus CODE row (m ints, not the vector) is scored map-locally —
+      // the intended IVFADC scoring shape; cell pruning (ivfTopK)
+      // composes in front of it when the corpus is cell-clustered
+      "q122_pq_topk"),
     "Exchange SinglePartition" -> Set(
       // global row_number over the tiny DISTINCT dim (W1 parity shape;
       // fact-scale keys use PartitionOffsetKeyGen)

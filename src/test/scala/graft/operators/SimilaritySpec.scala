@@ -56,6 +56,32 @@ class SimilaritySpec extends SparkSuite {
     assert(perQuery.forall(_ == 5))
   }
 
+  test("pqTopK recall@5 against exact top-5; exact scores on the shortlist") {
+    val q = emb.filter(col("vec_id") < 32)
+    val exactRows = Similarity.bruteForceTopK(q, emb, 5).collect()
+    val exact = exactRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactCos = exactRows.map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val approxRows = Similarity.pqTopK(q, emb, 5, dim = 64).collect()
+    val approx = approxRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"PQ ADC recall@5 (m=8, ksub=16, refine=4) = $recall%.3f")
+    assert(recall > 0.3)
+    // every query gets exactly k ranked results
+    assert(approxRows.groupBy(_.getLong(0)).values.forall(
+      _.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L)))
+    // reported scores are the EXACT cosine (the refine step rescores):
+    // any (q, n) the exact run also ranked must carry the same cos
+    approxRows.foreach { r =>
+      exactCos.get((r.getLong(0), r.getLong(1))).foreach(c =>
+        assert(math.abs(c - r.getDouble(3)) < 1e-9))
+    }
+    // determinism: codebook seeding + Lloyd are RNG-free
+    val again = Similarity.pqTopK(q, emb, 5, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == approx)
+  }
+
   test("ivfTopK ships no corpus-sized collect to the driver") {
     // sf0.01 corpus: 500 x 64-float vectors = 128 KB raw. The IVF
     // build may collect seeds (nlist vectors) and the refined centroid

@@ -196,6 +196,29 @@ class AsOfJoinNativeSpec extends SparkSuite {
     }
   }
 
+  test("multi-key as-of: the match must agree on every key column") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "a", ts(20), "e1"), // right (1,a,10) matches; (1,b,15) is closer but wrong k2
+      (1L, "b", ts(20), "e2"), // right (1,b,15)
+      (2L, "a", ts(20), "e3")) // k1=2 only has k2=b rows → null
+      .toDF("k1", "k2", "t", "tag")
+    val right = Seq(
+      (1L, "a", ts(10), 10.0), (1L, "b", ts(15), 15.0), (2L, "b", ts(5), 5.0))
+      .toDF("k1", "k2", "t", "v")
+    val got = AsOfJoin.asOfNative(left, right, Seq("k1", "k2"), "t",
+      "backward", None)
+      .collect().map(r => (r.getString(3),
+        if (r.isNullAt(4)) null else r.getDouble(4))).toMap
+    assert(got == Map("e1" -> 10.0, "e2" -> 15.0, "e3" -> null))
+    // single-key overload ≡ Seq-of-one
+    val one = AsOfJoin.asOfNative(left, right, "k1", "t")
+    val oneSeq = AsOfJoin.asOfNative(left, right, Seq("k1"), "t",
+      "backward", None)
+    assert(one.collect().map(_.toSeq).toSet ==
+      oneSeq.collect().map(_.toSeq).toSet)
+  }
+
   test("forward ≡ DuckDB-style forward on events (spot agreement with backward impl reversed)") {
     // forward(L, R) on time == backward(L, R) with both time columns
     // negated — an internal consistency check on real data
