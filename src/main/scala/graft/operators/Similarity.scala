@@ -127,7 +127,64 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
-  /** IVF (inverted-file) approximate top-k — the k-means-style ANN
+  /** Cell id of the centroid most cosine-similar to `vec` — the shared
+    * IVF assignment rule (deterministic; centroids ride as plan-time
+    * literals, map-local). */
+  private def nearestCentroid(vec: Column,
+                              centroids: Array[Array[Double]]): Column = {
+    import graft.plans.VectorExpressions.dotProduct
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = lit(c.map(v => v: java.lang.Double))
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      struct((dotProduct(vec, cLit) / cn).as("sim"), lit(i).as("cell"))
+    }
+    array_max(array(scored: _*)).getField("cell")
+  }
+
+  /** One distributed Lloyd pass: per-(cell, component) mean via
+    * posexplode + hash agg — the q63 fixed-point pattern (quantize each
+    * component to micro units so the sum is an exact, associative,
+    * plan-invariant BIGINT). Only ncells × dim aggregate rows reach the
+    * driver; the corpus vectors themselves never do (a
+    * collect_list(embedding).collect() here would ship the whole corpus
+    * to the driver — fatal at 100 TB). `assigned` must carry a `__cell`
+    * int column; a cell that attracted no vectors keeps its seed. */
+  private def refineCentroids(assigned: DataFrame, vecCol: String,
+                              seeds: Array[Array[Double]]): Array[Array[Double]] = {
+    val compMeans = assigned
+      .select(col("__cell"), posexplode(col(vecCol)))
+      .select(col("__cell"), col("pos"),
+        floor(col("col").cast(DoubleType) * 1000000L).cast(LongType).as("q"))
+      .groupBy(col("__cell"), col("pos"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    val dim = seeds.head.length
+    val meanByCell = Array.fill(seeds.length)(null: Array[Double])
+    compMeans.foreach { r =>
+      val cell = r.getInt(0)
+      if (meanByCell(cell) == null) meanByCell(cell) = new Array[Double](dim)
+      meanByCell(cell)(r.getInt(1)) = r.getLong(2).toDouble / r.getLong(3) / 1e6
+    }
+    seeds.indices.map(i => Option(meanByCell(i)).getOrElse(seeds(i))).toArray
+  }
+
+  /** The `nprobe` cell ids nearest (cosine) to the query vector, as an
+    * array column — map-local, centroids as literals. */
+  private def probeCells(qv: Column, centroids: Array[Array[Double]],
+                         nprobe: Int): Column = {
+    import graft.plans.VectorExpressions.dotProduct
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = lit(c.map(v => v: java.lang.Double))
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      struct((dotProduct(qv, cLit) / cn).as("sim"), lit(i).as("cell"))
+    }
+    slice(array_sort(array(scored: _*),
+      (a, b) => when(a.getField("sim") > b.getField("sim"), -1)
+        .when(a.getField("sim") < b.getField("sim"), 1).otherwise(0)),
+      1, nprobe).getField("cell")
+  }
+
+  /** IVF (inverted-file) approximate top-k — the k-means-family ANN
     * scale path: partition the corpus into `nlist` cells around
     * centroids, search only the `nprobe` cells nearest each query.
     *
@@ -149,40 +206,8 @@ object Similarity {
     val seeds = corpus.orderBy(col(idCol)).limit(nlist)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    def nearestCentroid(vec: org.apache.spark.sql.Column,
-                        centroids: Array[Array[Double]]) = {
-      val scored = centroids.zipWithIndex.map { case (c, i) =>
-        val cLit = lit(c.map(v => v: java.lang.Double))
-        val cn = math.sqrt(c.map(x => x * x).sum)
-        struct((dotProduct(vec, cLit) / cn).as("sim"), lit(i).as("cell"))
-      }
-      array_max(array(scored: _*)).getField("cell")
-    }
     val assigned0 = corpus.withColumn("__cell", nearestCentroid(col(vecCol), seeds))
-    // Lloyd refinement DISTRIBUTED: per-(cell, component) mean via
-    // posexplode + hash agg — the q63 fixed-point pattern (quantize each
-    // component to micro units so the sum is an exact, associative,
-    // plan-invariant BIGINT). Only nlist × dim aggregate rows reach the
-    // driver; the corpus vectors themselves never do (a
-    // collect_list(embedding).collect() here would ship the whole corpus
-    // to the driver — fatal at 100 TB).
-    val compMeans = assigned0
-      .select(col("__cell"), posexplode(col(vecCol)))
-      .select(col("__cell"), col("pos"),
-        floor(col("col").cast(DoubleType) * 1000000L).cast(LongType).as("q"))
-      .groupBy(col("__cell"), col("pos"))
-      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
-      .collect()
-    val dim = seeds.head.length
-    val meanByCell = Array.fill(nlist)(null: Array[Double])
-    compMeans.foreach { r =>
-      val cell = r.getInt(0)
-      if (meanByCell(cell) == null) meanByCell(cell) = new Array[Double](dim)
-      meanByCell(cell)(r.getInt(1)) = r.getLong(2).toDouble / r.getLong(3) / 1e6
-    }
-    // a cell that attracted no vectors keeps its seed centroid
-    val refined: Array[Array[Double]] =
-      (0 until nlist).map(i => Option(meanByCell(i)).getOrElse(seeds(i))).toArray
+    val refined = refineCentroids(assigned0, vecCol, seeds)
 
     // no persist: the assignment subtree feeds exactly one join below,
     // so caching it would only leak a CacheManager entry the caller can
@@ -193,20 +218,9 @@ object Similarity {
         sqrt(dotProduct(col(vecCol), col(vecCol))))
 
     // each query probes its nprobe nearest cells
-    val probeCells = {
-      val scored = refined.zipWithIndex.map { case (c, i) =>
-        val cLit = lit(c.map(v => v: java.lang.Double))
-        val cn = math.sqrt(c.map(x => x * x).sum)
-        struct((dotProduct(col("qv"), cLit) / cn).as("sim"), lit(i).as("cell"))
-      }
-      slice(array_sort(array(scored: _*),
-        (a, b) => when(a.getField("sim") > b.getField("sim"), -1)
-          .when(a.getField("sim") < b.getField("sim"), 1).otherwise(0)),
-        1, nprobe)
-    }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("__qn", sqrt(dotProduct(col("qv"), col("qv"))))
-      .withColumn("__cell", explode(probeCells.getField("cell")))
+      .withColumn("__cell", explode(probeCells(col("qv"), refined, nprobe)))
 
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
@@ -256,34 +270,7 @@ object Similarity {
       .withColumn("cvn", transform(col("cv"),
         x => x.cast(DoubleType) / col("cn")))
 
-    // deterministic seeds: the ksub lowest-id normalized vectors, each
-    // split into its m subvectors (ksub rows to the driver — dim-sized)
-    val seedRows = cNorm.orderBy(col("neighbor_id")).limit(ksub)
-      .select(col("cvn")).collect()
-      .map(_.getSeq[Double](0).toArray)
-    require(seedRows.length == ksub,
-      s"pqTopK needs ≥ $ksub corpus vectors to seed the codebook")
-    val seedBook: Array[Array[Array[Double]]] =
-      Array.tabulate(m, ksub)((j, c) => seedRows(c).slice(j * dsub, (j + 1) * dsub))
-
-    // one distributed Lloyd pass: per-(subspace, code, component) mean
-    // via posexplode + fixed-point hash agg (exact, plan-invariant);
-    // only m·ksub·dsub rows reach the driver
-    val j = (col("pos") / dsub).cast(IntegerType)
-    val stats = cNorm
-      .withColumn("__code", PQ.encode(col("cvn"), seedBook))
-      .select(posexplode(col("cvn")).as(Seq("pos", "x")), col("__code"))
-      .select(j.as("j"), (col("pos") % dsub).as("p"),
-        element_at(col("__code"), j + 1).as("c"),
-        floor(col("x") * 1000000L).cast(LongType).as("q"))
-      .groupBy(col("j"), col("c"), col("p"))
-      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
-      .collect()
-    val refinedBook = seedBook.map(_.map(_.clone()))
-    stats.foreach { r =>
-      refinedBook(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
-        r.getLong(3).toDouble / r.getLong(4) / 1e6
-    } // a code no vector chose keeps its seed centroid
+    val refinedBook = trainPqCodebook(cNorm, "cvn", "neighbor_id", m, ksub, dsub)
 
     val encoded = cNorm
       .withColumn("__code", PQ.encode(col("cvn"), refinedBook))
@@ -303,6 +290,119 @@ object Similarity {
       .withColumn("__adc", PQ.adcScore(col("__code"), col("__lut"), ksub))
       .withColumn("__arank", row_number().over(wAdc))
       .filter(col("__arank") <= k * refine) // ADC shortlist
+      .withColumn("cos", fastCos(col("qv"), col("qn"), col("cv"), col("cn")))
+      .withColumn("rank", row_number().over(wExact).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** Deterministic PQ codebook over `vecs.vecCol` (array<double>): the
+    * ksub lowest-`orderCol` vectors seed each subspace (ksub rows to
+    * the driver — dim-sized), then ONE distributed Lloyd pass refines
+    * via per-(subspace, code, component) fixed-point means — only
+    * m·ksub·dsub aggregate rows reach the driver. A code no vector
+    * chose keeps its seed centroid. Shared by [[pqTopK]] (raw
+    * normalized vectors) and [[ivfPqTopK]] (cell residuals). */
+  private def trainPqCodebook(vecs: DataFrame, vecCol: String,
+                              orderCol: String, m: Int, ksub: Int,
+                              dsub: Int): Array[Array[Array[Double]]] = {
+    import graft.plans.{PqExpressions => PQ}
+    val seedRows = vecs.orderBy(col(orderCol)).limit(ksub)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seedRows.length == ksub,
+      s"PQ codebook needs ≥ $ksub vectors to seed, got ${seedRows.length}")
+    val seedBook: Array[Array[Array[Double]]] =
+      Array.tabulate(m, ksub)((j, c) => seedRows(c).slice(j * dsub, (j + 1) * dsub))
+    val j = (col("pos") / dsub).cast(IntegerType)
+    val stats = vecs
+      .withColumn("__code", PQ.encode(col(vecCol), seedBook))
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")), col("__code"))
+      .select(j.as("j"), (col("pos") % dsub).as("p"),
+        element_at(col("__code"), j + 1).as("c"),
+        floor(col("x") * 1000000L).cast(LongType).as("q"))
+      .groupBy(col("j"), col("c"), col("p"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    val refined = seedBook.map(_.map(_.clone()))
+    stats.foreach { r =>
+      refined(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+        r.getLong(3).toDouble / r.getLong(4) / 1e6
+    }
+    refined
+  }
+
+  /** IVFADC end-to-end (Jégou et al. 2011, §IV): [[ivfTopK]]'s cell
+    * pruning composed with [[pqTopK]]'s ADC scoring — the complete
+    * 100 TB ANN query shape. The normalized corpus is clustered into
+    * `nlist` cells; each vector stores its cell id plus the PQ code of
+    * its RESIDUAL (x̂ − centroid, the distribution PQ quantizes best);
+    * each query probes `nprobe` cells and scores only their members via
+    * q·x̂ ≈ q·c_cell + Σ_j lut[j][code_j] — the per-(query, cell) base
+    * term is computed once in the (tiny) probe table, and candidates
+    * come from an EQUI-JOIN on cell id, never a cross join. The
+    * `refine`-deep shortlist is exact-rescored, so scores are true
+    * cosines. Scan cost: nprobe/nlist of the corpus × m table adds per
+    * row, over codes ~32× smaller than the vectors. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+                nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
+                ksub: Int = 16, refine: Int = 4,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
+    val dsub = dim / m
+    graft.plans.VectorExpressions.register(queries.sparkSession)
+    import graft.plans.VectorExpressions.dotProduct
+    import graft.plans.{PqExpressions => PQ}
+
+    val cNorm = withNorm(corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv")), "cv", "cn")
+      .withColumn("cvn", transform(col("cv"),
+        x => x.cast(DoubleType) / col("cn")))
+    // IVF centroids over the NORMALIZED corpus (deterministic seeds +
+    // one distributed Lloyd pass, as ivfTopK)
+    val seeds = cNorm.orderBy(col("neighbor_id")).limit(nlist)
+      .select(col("cvn")).collect().map(_.getSeq[Double](0).toArray)
+    require(seeds.length == nlist,
+      s"ivfPqTopK needs ≥ $nlist corpus vectors to seed the cells")
+    val centroids = refineCentroids(
+      cNorm.withColumn("__cell", nearestCentroid(col("cvn"), seeds)),
+      "cvn", seeds)
+    val centLit = typedLit(centroids.map(_.toSeq).toSeq)
+    def residual(vec: Column, cell: Column): Column =
+      zip_with(vec, element_at(centLit, cell + 1), (x, c) => x - c)
+
+    val assigned = cNorm
+      .withColumn("__cell", nearestCentroid(col("cvn"), centroids))
+      .withColumn("__res", residual(col("cvn"), col("__cell")))
+    val book = trainPqCodebook(assigned, "__res", "neighbor_id", m, ksub, dsub)
+    val encoded = assigned
+      .withColumn("__code", PQ.encode(col("__res"), book))
+      .select(col("neighbor_id"), col("cv"), col("cn"), col("__cell"),
+        col("__code"))
+
+    // probe table: nprobe rows per query, each carrying the
+    // per-(query, cell) base term q·c_cell and the (cell-independent)
+    // residual LUT
+    val q = withNorm(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")), "qv", "qn")
+      .withColumn("__lut", PQ.lut(col("qv"), book))
+      .withColumn("__cell", explode(probeCells(col("qv"), centroids, nprobe)))
+      .withColumn("__base",
+        dotProduct(col("qv"), element_at(centLit, col("__cell") + 1)))
+
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("__adc").desc, col("neighbor_id"))
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    encoded.join(broadcast(q), Seq("__cell")) // pruned scan: equi-join on cell
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__adc",
+        col("__base") + PQ.adcScore(col("__code"), col("__lut"), ksub))
+      .withColumn("__arank", row_number().over(wAdc))
+      .filter(col("__arank") <= k * refine)
       .withColumn("cos", fastCos(col("qv"), col("qn"), col("cv"), col("cn")))
       .withColumn("rank", row_number().over(wExact).cast(LongType))
       .filter(col("rank") <= k)

@@ -119,6 +119,22 @@ object SimilarityQueries extends QueryModule {
           .orderBy("query_id", "rank")
       }),
 
+    // IVFADC end-to-end (Similarity.ivfPqTopK): cell pruning (q43's
+    // IVF) composed with residual-PQ ADC scoring (q122's codes) — the
+    // complete 100 TB ANN query: candidates come from an EQUI-JOIN on
+    // probed cell ids over ~32×-compressed codes, never a cross join
+    // (PlanAuditSpec-clean with no allowlist entry). Approximate →
+    // rows-only; recall + plan shape in SimilaritySpec.
+    "q123_ivfpq_topk" -> Q(
+      run = (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.ivfPqTopK(emb.filter(col("vec_id") < 32), emb,
+          k = 5, dim = 64)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("query_id", "rank")
+      }),
+
     // Embedding near-dup pairs through sign-LSH band buckets — q41's
     // 100 TB path (equi-join candidates, exact-cosine verify; output is
     // a subset of q41's with precision 1). Approximate recall →

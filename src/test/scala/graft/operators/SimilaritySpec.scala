@@ -82,6 +82,33 @@ class SimilaritySpec extends SparkSuite {
     assert(again == approx)
   }
 
+  test("ivfPqTopK: cell-pruned ADC recall, equi-join plan (no cross join), exact scores") {
+    val q = emb.filter(col("vec_id") < 32)
+    val exactRows = Similarity.bruteForceTopK(q, emb, 5).collect()
+    val exact = exactRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactCos = exactRows.map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val out = Similarity.ivfPqTopK(q, emb, 5, dim = 64)
+    val rows = out.collect()
+    val approx = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"IVFADC recall@5 (nprobe=4/16, m=8) = $recall%.3f")
+    // nprobe/nlist caps recall near ivfTopK's; ADC shortlist trims a
+    // little more — guard against a broken composition, not noise
+    assert(recall > 0.25)
+    // the candidate scan is an equi-join on cell id — NEVER a cross
+    // join / nested loop (the whole point of composing IVF in front)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    // exact rescoring: any (q, n) the exact run also ranked carries the
+    // identical cosine
+    rows.foreach { r =>
+      exactCos.get((r.getLong(0), r.getLong(1))).foreach(c =>
+        assert(math.abs(c - r.getDouble(3)) < 1e-9))
+    }
+  }
+
   test("ivfTopK ships no corpus-sized collect to the driver") {
     // sf0.01 corpus: 500 x 64-float vectors = 128 KB raw. The IVF
     // build may collect seeds (nlist vectors) and the refined centroid
