@@ -73,6 +73,26 @@ object StreamQueries extends QueryModule {
         GROUP BY user_id, session_seq
         ORDER BY user_id, session_start""")),
 
+    // STREAMING as-of enrichment (StreamingJobs.asOfEnrich): one
+    // latest-purchase state row per user via flatMapGroupsWithState —
+    // the temporal-join shape. Three realizations of the as-of operator
+    // must now agree: the composed batch form (q38), the native
+    // physical exec (q102) and this streaming pass — all against the
+    // same DuckDB ASOF JOIN oracle.
+    "q124_stream_asof" -> Q(
+      run = (s, dir) =>
+        StreamingJobs.runAsOfEnrichAvailableNow(s, dir, "graft_stream_asof")
+          .select(col("event_id"), col("user_id"), col("last_purchase"))
+          .orderBy("event_id"),
+      oracle = Some("""
+        SELECT c.event_id, c.user_id, p.value AS last_purchase
+        FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN
+             (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+        ORDER BY event_id"""),
+      bench = false),
+
     // Exactly-once dedup over an at-least-once (self-unioned) stream;
     // the oracle aggregates the single-copy batch — equality proves
     // every duplicate was dropped.

@@ -307,6 +307,70 @@ object StreamingJobs {
         col("n_events"))
   }
 
+  final case class Enriched(event_id: Long, user_id: Long,
+                            last_purchase: Option[Double])
+  // must be public: the state Encoder's generated code instantiates it
+  final case class PurchaseState(last: Long, value: Double)
+
+  /** STREAMING as-of enrichment — the temporal-join sibling of
+    * [[graft.operators.AsOfJoin]]: each click is enriched with the same
+    * user's most recent purchase value, with one
+    * `flatMapGroupsWithState` keeping a single (latest-purchase) state
+    * row per user — O(users) state, no buffered event history, exactly
+    * the kdb/Flink temporal-join shape. Ties follow the q38 rule (a
+    * purchase is visible at its own timestamp: purchases sort before
+    * clicks at equal time). State only advances by EVENT time, so an
+    * out-of-order purchase older than the current state never regresses
+    * it; clicks processed before a late purchase arrives keep their
+    * at-processing enrichment — standard streaming semantics (the batch
+    * as-of is the retrospective exact answer). */
+  def asOfEnrich(events: Dataset[Event]): Dataset[Enriched] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[PurchaseState]) => {
+          val sorted = rows.toSeq.sortBy(e =>
+            (micros(e.ts), if (e.event_type == "purchase") 0 else 1, e.event_id))
+          var cur = state.getOption
+          val out = Seq.newBuilder[Enriched]
+          for (e <- sorted) {
+            if (e.event_type == "purchase") {
+              val t = micros(e.ts)
+              if (cur.forall(_.last <= t)) cur = Some(PurchaseState(t, e.value))
+            } else if (e.event_type == "click")
+              out += Enriched(e.event_id, userId, cur.map(_.value))
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+        })
+  }
+
+  /** Run [[asOfEnrich]] as a real AvailableNow streaming query over the
+    * events table; on a finite in-order source the complete output
+    * equals the batch as-of join (q38/q102's oracle — three
+    * realizations of the operator, batch-composed, batch-native and
+    * streaming, must agree). */
+  def runAsOfEnrichAvailableNow(spark: SparkSession, dir: String,
+                                queryName: String): DataFrame = {
+    import spark.implicits._
+    val events = readEvents(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event]
+    val q = asOfEnrich(events)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Stream-stream event-time interval join: each `view` matched to the
     * same user's `purchase`s within the following hour. Both sides are
     * watermarked and the join condition bounds purchase time to

@@ -67,6 +67,59 @@ class StreamingSpec extends SparkSuite {
     assert(closed == Seq((1L, 2L)))
   }
 
+  test("streaming as-of enrichment equals the batch as-of join") {
+    val sf = "/root/testdata/sf0.001"
+    val got = StreamingJobs.runAsOfEnrichAvailableNow(spark, sf, "graft_test_asof")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    val ev = Tables(spark, sf, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("last_purchase"))
+    val want = graft.operators.AsOfJoin.asOf(clicks, purchases, "user_id", "ts")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("streaming as-of: state advances by event time, late purchases never regress it") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingJobs.Event]
+    val t0 = 1700000000000L
+    def run(): Map[Long, Any] = {
+      val q = StreamingJobs.asOfEnrich(mem.toDS())
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("graft_test_asof_mem")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable(); q.stop()
+      spark.table("graft_test_asof_mem").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    }
+    // batch 1: purchase@10, tie-click@10 (sees it), click@20
+    mem.addData(
+      StreamingJobs.Event(1, new Timestamp(t0 + 10000), 1L, "purchase", 5.0),
+      StreamingJobs.Event(2, new Timestamp(t0 + 10000), 1L, "click", 0.0),
+      StreamingJobs.Event(3, new Timestamp(t0 + 20000), 1L, "click", 0.0))
+    val out1 = run()
+    assert(out1 == Map(2L -> 5.0, 3L -> 5.0))
+    // batch 2: an out-of-order purchase OLDER than the state must not
+    // regress it; a newer one advances it
+    mem.addData(
+      StreamingJobs.Event(4, new Timestamp(t0 + 5000), 1L, "purchase", 1.0),
+      StreamingJobs.Event(5, new Timestamp(t0 + 30000), 1L, "click", 0.0),
+      StreamingJobs.Event(6, new Timestamp(t0 + 40000), 1L, "purchase", 9.0),
+      StreamingJobs.Event(7, new Timestamp(t0 + 50000), 1L, "click", 0.0))
+    val out2 = run()
+    assert(out2.get(5L).contains(5.0), s"late purchase regressed state: $out2")
+    assert(out2.get(7L).contains(9.0))
+  }
+
   test("streaming ingest dedups each batch against the accumulated corpus") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_ingest").toString
