@@ -34,10 +34,10 @@ object Similarity {
   /** Codegen'd cosine from pre-normed sides: dot via the native
     * DotProduct expression (graft.plans), norms computed once per
     * vector, not once per pair. */
-  private def fastCos(av: Column, an: Column, bv: Column, bn: Column): Column =
+  private[operators] def fastCos(av: Column, an: Column, bv: Column, bn: Column): Column =
     graft.plans.VectorExpressions.dotProduct(av, bv) / (an * bn)
 
-  private def withNorm(df: DataFrame, vec: String, norm: String): DataFrame = {
+  private[operators] def withNorm(df: DataFrame, vec: String, norm: String): DataFrame = {
     graft.plans.VectorExpressions.register(df.sparkSession)
     df.withColumn(norm,
       sqrt(graft.plans.VectorExpressions.dotProduct(col(vec), col(vec))))
@@ -303,7 +303,7 @@ object Similarity {
     * m·ksub·dsub aggregate rows reach the driver. A code no vector
     * chose keeps its seed centroid. Shared by [[pqTopK]] (raw
     * normalized vectors) and [[ivfPqTopK]] (cell residuals). */
-  private def trainPqCodebook(vecs: DataFrame, vecCol: String,
+  private[operators] def trainPqCodebook(vecs: DataFrame, vecCol: String,
                               orderCol: String, m: Int, ksub: Int,
                               dsub: Int): Array[Array[Array[Double]]] = {
     import graft.plans.{PqExpressions => PQ}

@@ -16,18 +16,6 @@ object LakeQueries extends QueryModule {
   private def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
 
-  /** Temp work dir for the round-trip / table-format queries, deleted on
-    * JVM exit — repeated gate/bench runs must not leak disk (each run
-    * still gets fresh dirs DURING the run; cleanup is exit-time because
-    * lazily-evaluated reads may re-open the files until the session
-    * ends). */
-  private def tempRoot(prefix: String): java.nio.file.Path = {
-    val p = Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      Lake.deleteRecursively(p.toFile)))
-    p
-  }
-
   override def entries: Seq[(String, Q)] = Seq(
 
     // S1/S5 CSV round-trip: parquet → engine CSV sink → engine CSV scan

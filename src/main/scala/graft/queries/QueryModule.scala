@@ -25,4 +25,15 @@ final case class Q(
 
 trait QueryModule {
   def entries: Seq[(String, Q)]
+
+  /** Temp work dir for queries that build tables/indexes inside the
+    * run, deleted on JVM exit — repeated gate/bench runs must not leak
+    * disk (cleanup is exit-time because lazily-evaluated reads may
+    * re-open the files until the session ends). */
+  protected def tempRoot(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      graft.sources.Lake.deleteRecursively(p.toFile)))
+    p
+  }
 }

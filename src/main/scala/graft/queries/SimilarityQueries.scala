@@ -135,6 +135,26 @@ object SimilarityQueries extends QueryModule {
           .orderBy("query_id", "rank")
       }),
 
+    // PERSISTED PQ index (PqIndex): the write-side encode job made
+    // concrete — codebook + codes committed as durable artifacts (codes
+    // are a VersionedTable), a second batch APPENDED with the stored
+    // codebook (no retrain, no rewrite), then searched. Approximate →
+    // rows-only; PqIndexSpec pins search ≡ pqTopK on a same-corpus
+    // build and the incremental-append contract.
+    "q125_pq_index" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_pq_idx").resolve("i").toString
+        val emb = Tables(s, dir, "embeddings")
+        val b = col("vec_id") % 4
+        graft.operators.PqIndex.build(emb.filter(b =!= 0), root, dim = 64)
+        graft.operators.PqIndex.append(emb.filter(b === 0), root)
+        graft.operators.PqIndex.search(
+          emb.filter(col("vec_id") < 32), emb, root, k = 5)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("query_id", "rank")
+      }),
+
     // Embedding near-dup pairs through sign-LSH band buckets — q41's
     // 100 TB path (equi-join candidates, exact-cosine verify; output is
     // a subset of q41's with precision 1). Approximate recall →

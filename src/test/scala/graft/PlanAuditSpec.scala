@@ -40,7 +40,9 @@ class PlanAuditSpec extends SparkSuite {
       // corpus CODE row (m ints, not the vector) is scored map-locally —
       // the intended IVFADC scoring shape; cell pruning (ivfTopK)
       // composes in front of it when the corpus is cell-clustered
-      "q122_pq_topk"),
+      "q122_pq_topk",
+      // same ADC scan shape over the PERSISTED codes table
+      "q125_pq_index"),
     "Exchange SinglePartition" -> Set(
       // global row_number over the tiny DISTINCT dim (W1 parity shape;
       // fact-scale keys use PartitionOffsetKeyGen)
