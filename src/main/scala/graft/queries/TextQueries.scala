@@ -1189,6 +1189,82 @@ object TextQueries extends QueryModule {
                    AS BIGINT) AS prior_tok
           FROM c)
         SELECT doc_id, n_tok, prior_tok FROM p
-        WHERE prior_tok < 10000 ORDER BY doc_id"""))
+        WHERE prior_tok < 10000 ORDER BY doc_id""")),
+
+    // EXACT SUBSTRING DEDUP (Lee et al. 2022) — every 8-token sliding
+    // window hashed map-locally, duplicates via one combine-able hash
+    // aggregate (never a suffix array, never a global sort). q126 lists
+    // the cross-doc duplicated spans; q127 interval-merges occurrences
+    // into per-doc duplicated-token coverage; q128 rebuilds the corpus
+    // with every non-first occurrence removed (keep-first semantics).
+    "q126_span_dedup" -> Q(
+      run = (s, dir) =>
+        graft.operators.SpanDedup
+          .duplicatedSpans(Tables(s, dir, "documents"), w = 8)
+          .orderBy("span_hash"),
+      oracle = Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        spans AS (
+          SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS h
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) u)
+        SELECT h AS span_hash, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_occ
+        FROM spans GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+        ORDER BY span_hash""")),
+
+    "q127_span_coverage" -> Q(
+      run = (s, dir) =>
+        graft.operators.SpanDedup
+          .duplicationCoverage(Tables(s, dir, "documents"), w = 8)
+          .select(col("id").as("doc_id"), col("n_tok"), col("dup_tok"),
+            col("dup_ratio"))
+          .orderBy("doc_id"),
+      oracle = Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        spans AS (
+          SELECT doc_id, i, md5(array_to_string(t[i:i+7], ' ')) AS h
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) u),
+        dups AS (SELECT h FROM spans GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        occ AS (SELECT s.doc_id, s.i, s.i + 7 AS e FROM spans s JOIN dups USING (h)),
+        m AS (SELECT doc_id, i, e,
+                MAX(e) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+              FROM occ),
+        isl AS (SELECT doc_id, i, e,
+                SUM(CASE WHEN pe IS NULL OR i > pe THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+                FROM m),
+        cov AS (SELECT doc_id, CAST(SUM(e2 - s2 + 1) AS BIGINT) AS dup_tok
+                FROM (SELECT doc_id, g, MIN(i) AS s2, MAX(e) AS e2
+                      FROM isl GROUP BY doc_id, g) GROUP BY doc_id)
+        SELECT c.doc_id, CAST(len(t.t) AS BIGINT) AS n_tok, c.dup_tok,
+               ROUND(CAST(c.dup_tok AS DOUBLE) / len(t.t), 6) AS dup_ratio
+        FROM cov c JOIN toks t USING (doc_id) ORDER BY doc_id""")),
+
+    "q128_span_strip" -> Q(
+      run = (s, dir) =>
+        graft.operators.SpanDedup
+          .stripDuplicatedSpans(Tables(s, dir, "documents"), w = 8)
+          .select(col("id").as("doc_id"), col("text"))
+          .orderBy("doc_id"),
+      oracle = Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        spans AS (
+          SELECT doc_id, i, md5(array_to_string(t[i:i+7], ' ')) AS h
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) u),
+        dups AS (SELECT h FROM spans GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        occ AS (SELECT s.doc_id, s.i,
+                  ROW_NUMBER() OVER (PARTITION BY s.h ORDER BY s.doc_id, s.i) AS rn
+                FROM spans s JOIN dups USING (h)),
+        rem AS (SELECT DISTINCT doc_id, p
+                FROM occ, LATERAL (SELECT unnest(generate_series(i, i + 7)) AS p) v
+                WHERE rn > 1),
+        tokpos AS (SELECT doc_id, p, t[p] AS tok
+                   FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS p) w),
+        kept AS (SELECT doc_id, array_to_string(list(tok ORDER BY p), ' ') AS text
+                 FROM tokpos ANTI JOIN rem USING (doc_id, p) GROUP BY doc_id)
+        SELECT t.doc_id, COALESCE(k.text, '') AS text
+        FROM toks t LEFT JOIN kept k USING (doc_id) ORDER BY doc_id"""))
   )
 }
