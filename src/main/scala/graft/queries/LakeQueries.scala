@@ -276,6 +276,45 @@ object LakeQueries extends QueryModule {
         FROM lineitem WHERE l_partkey BETWEEN 100 AND 300
         GROUP BY 1 ORDER BY pk_mod""")),
 
+    // OPTIMIZE compaction: four stats-carrying appends degenerate the
+    // table into small files; compact() bin-packs them (range-clustered
+    // on l_orderkey, stats recomputed), and the post-compaction
+    // readWhere must prune from the NEW manifest and answer exactly as
+    // a plain WHERE over the raw table (VersionedTableSpec pins the
+    // file-count drop and pruning; the oracle pins the answers).
+    // bench=false: the timed region would be five table writes, not a
+    // read path.
+    "q129_compact" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_opt").resolve("t").toString
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+        val b = col("l_orderkey") % 4
+        (0 to 3).foreach { i =>
+          val batch = li.filter(b === i)
+            .repartitionByRange(4, col("l_orderkey"))
+          if (i == 0)
+            graft.sources.VersionedTable
+              .overwriteWithStats(batch, root, "l_orderkey")
+          else
+            graft.sources.VersionedTable
+              .appendWithStats(batch, root, "l_orderkey")
+        }
+        graft.sources.VersionedTable.compact(s, root,
+          targetBytes = 256L << 10, statsCols = Seq("l_orderkey"))
+        graft.sources.VersionedTable
+          .readWhere(s, root, "l_orderkey", 2000, 5000)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem WHERE l_orderkey BETWEEN 2000 AND 5000
+        GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      bench = false),
+
     // Row-level snapshot diff (diffVersions — the row-granular CDC
     // companion to q107's file-level reads): after the q64 merge
     // history, diff(v0, v1) must surface each updated key as its

@@ -458,6 +458,79 @@ object VersionedTable {
       .unionByName(a1.exceptAll(a2).withColumn("_change", lit("delete")))
   }
 
+  /** OPTIMIZE (bin-packing compaction): coalesce the latest snapshot's
+    * small files (< `targetBytes`) into ~`targetBytes` files and commit
+    * the new layout as a new version — the Delta `OPTIMIZE` role that
+    * keeps append-heavy tables from degenerating into a small-files
+    * swamp. Rows are untouched: the new manifest is the carried-over
+    * big files plus the packed rewrites, so every read answers exactly
+    * as before, and older versions still time-travel to the old layout
+    * (vacuum reclaims the loose files once their manifests age out).
+    *
+    * With `statsCols` the packed rows are range-clustered and sorted on
+    * those columns and the new manifest lines carry recomputed
+    * [min, max] stats, so [[readWhere]] skipping stays tight across the
+    * compaction (inter-batch overlap from many appends TIGHTENS, the
+    * OPTIMIZE ZORDER-lite effect). File sizes come from the filesystem
+    * listing — O(files) driver-side stat calls, the same cost class as
+    * reading the manifest.
+    *
+    * Commit is optimistic with an append-commutes rule: a concurrent
+    * APPEND's lines are inherited on retry, but if a concurrent writer
+    * REWROTE any file this compaction packed (a merge), committing
+    * would resurrect its dropped rows — the compaction aborts instead
+    * (staged files cleaned), callers re-run against the new snapshot.
+    * `beforeCommit` is the test seam for injecting that race.
+    * Returns the committed version, or the current one if there was
+    * nothing to pack. */
+  def compact(spark: SparkSession, root: String,
+              targetBytes: Long = 128L << 20,
+              statsCols: Seq[String] = Seq.empty,
+              maxRetries: Int = 5,
+              beforeCommit: () => Unit = () => ()): Long = {
+    val base = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
+    val lines = readManifest(root, base)
+    val (smallLines, _) =
+      lines.partition(ln => new File(pathOf(ln)).length() < targetBytes)
+    if (smallLines.length <= 1) return base // nothing to pack
+    val smallPaths = smallLines.map(pathOf)
+    val smallSet = smallPaths.toSet
+    val totalBytes = smallPaths.map(new File(_).length()).sum
+    val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.option("mergeSchema", "true").parquet(smallPaths: _*)
+    val packed =
+      if (statsCols.nonEmpty)
+        df.repartitionByRange(numFiles, statsCols.map(col): _*)
+          .sortWithinPartitions(statsCols.map(col): _*)
+      else df.repartition(numFiles)
+    val staged = stageDataFiles(packed, root, base + 1)
+    val newLines = statLines(spark, staged, statsCols)
+    var attempt = 0
+    while (true) {
+      val cur = latestVersion(root).get
+      val curLines = readManifest(root, cur)
+      if (!smallSet.subsetOf(curLines.map(pathOf).toSet)) {
+        staged.foreach(p => Files.deleteIfExists(new File(p).toPath))
+        throw new java.util.ConcurrentModificationException(
+          s"file compacted from $root was rewritten concurrently; " +
+            "aborting compaction — re-run against the new snapshot")
+      }
+      val manifest =
+        curLines.filterNot(ln => smallSet.contains(pathOf(ln))) ++ newLines
+      beforeCommit()
+      try return commitManifest(root, cur + 1, manifest)
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          if (attempt > maxRetries) {
+            staged.foreach(p => Files.deleteIfExists(new File(p).toPath))
+            throw e
+          }
+      }
+    }
+    -1L // unreachable
+  }
+
   /** RESTORE: commit a new version whose manifest is version `v`'s file
     * list — the table's latest state becomes the old snapshot while
     * history (and audit) is preserved. */

@@ -345,4 +345,89 @@ class VersionedTableSpec extends SparkSuite {
     val none = VersionedTable.readChangesSince(spark, root, latest)
     assert(none.count() == 0 && none.columns.toSeq == Seq("k", "v"))
   }
+
+  test("compact bin-packs small files; data identical, history intact") {
+    import spark.implicits._
+    val root = tmpRoot()
+    VersionedTable.overwrite(
+      (1 to 100).map(i => (i, s"v$i")).toDF("k", "v").repartition(8), root)
+    VersionedTable.append(
+      (101 to 200).map(i => (i, s"v$i")).toDF("k", "v").repartition(8), root)
+    val before = VersionedTable.read(spark, root)
+    val rowsBefore = before.as[(Int, String)].collect().sorted.toSeq
+    val filesBefore = before.inputFiles.length
+    assert(filesBefore == 16)
+    val v = VersionedTable.compact(spark, root) // default 128 MB: one file
+    assert(v == 2L)
+    val after = VersionedTable.read(spark, root)
+    assert(after.inputFiles.length == 1)
+    assert(after.as[(Int, String)].collect().sorted.toSeq == rowsBefore)
+    // the pre-compaction layout still time-travels until vacuumed
+    assert(VersionedTable.readVersion(spark, root, 1).inputFiles.length
+      == filesBefore)
+  }
+
+  test("compact is a no-op when there is at most one small file") {
+    import spark.implicits._
+    val root = tmpRoot()
+    VersionedTable.overwrite(
+      Seq((1, "a"), (2, "b")).toDF("k", "v").coalesce(1), root)
+    assert(VersionedTable.compact(spark, root) == 0L)
+    assert(VersionedTable.versions(root) == Seq(0L))
+  }
+
+  test("compact with statsCols: packed files carry stats, readWhere still prunes") {
+    import spark.implicits._
+    val root = tmpRoot()
+    (0 to 3).foreach { b =>
+      val df = (b * 100 + 1 to b * 100 + 100)
+        .map(i => (i.toLong, s"v$i")).toDF("k", "v").repartition(2)
+      if (b == 0) VersionedTable.overwriteWithStats(df, root, "k")
+      else VersionedTable.appendWithStats(df, root, "k")
+    }
+    val dataFiles = new java.io.File(root, "data").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val total = dataFiles.map(_.length()).sum
+    // every input file is "small"; total/target rounds to 2 output files
+    val v = VersionedTable.compact(spark, root,
+      targetBytes = total / 2 + 1, statsCols = Seq("k"))
+    assert(v == 4L)
+    val all = VersionedTable.read(spark, root)
+    assert(all.inputFiles.length == 2 && all.count() == 400)
+    // range-clustered on k → a selective range opens ONE of the two files
+    val pruned = VersionedTable.readWhere(spark, root, "k", 10, 20)
+    assert(pruned.inputFiles.length == 1)
+    assert(pruned.count() == 11)
+  }
+
+  test("compact commutes with a concurrent append, aborts on a concurrent rewrite") {
+    import spark.implicits._
+    // append during compaction: inherited, nothing lost
+    val r1 = tmpRoot()
+    VersionedTable.overwrite(Seq((1, "a")).toDF("k", "v"), r1)
+    VersionedTable.append(Seq((2, "b")).toDF("k", "v"), r1)
+    var appended = false
+    VersionedTable.compact(spark, r1, beforeCommit = () =>
+      if (!appended) {
+        appended = true
+        VersionedTable.append(Seq((3, "c")).toDF("k", "v"), r1)
+      })
+    assert(VersionedTable.read(spark, r1).as[(Int, String)].collect().toSet
+      == Set((1, "a"), (2, "b"), (3, "c")))
+    // merge rewriting a to-be-compacted file: resurrection hazard → abort
+    val r2 = tmpRoot()
+    VersionedTable.overwrite(Seq((1, "a")).toDF("k", "v"), r2)
+    VersionedTable.append(Seq((2, "b")).toDF("k", "v"), r2)
+    var merged = false
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedTable.compact(spark, r2, beforeCommit = () =>
+        if (!merged) {
+          merged = true
+          VersionedTable.merge(spark, r2, Seq((1, "A")).toDF("k", "v"), Seq("k"))
+        })
+    }
+    // the merge's result is intact; no compacted-away resurrection
+    assert(VersionedTable.read(spark, r2).as[(Int, String)].collect().toSet
+      == Set((1, "A"), (2, "b")))
+  }
 }
