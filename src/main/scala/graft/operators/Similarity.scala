@@ -62,6 +62,47 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** ColBERT-style late-interaction (MaxSim) retrieval over MULTI-VECTOR
+    * documents: each document is a BAG of token vectors, and
+    * score(q, d) = Σ over q's tokens of the max cosine against d's
+    * tokens. Inputs are token-level frames (docCol, idCol, vecCol);
+    * output (query_doc, neighbor_doc, rank, score), top `k` per query
+    * doc.
+    *
+    * Distributed shape: the token-level score join broadcasts the query
+    * tokens (query sets are human-sized; the corpus side streams), then
+    * BOTH reductions — max per (query doc, corpus doc, query token) and
+    * the sum over query tokens — are combine-able hash aggregates with
+    * map-side partials; no corpus collect, no shuffle of raw vectors
+    * beyond the aggregate rows. Cosines are rounded to 6 dp and summed
+    * as DECIMAL so the score is bit-identical regardless of aggregation
+    * order (the DuckDB-oracle contract). */
+  def maxSimTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                 docCol: String = "doc_id", idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val q = withNorm(queries.select(col(docCol).as("query_doc"),
+      col(idCol).as("qt"), col(vecCol).as("qv")), "qv", "qn")
+    val c = withNorm(corpus.select(col(docCol).as("neighbor_doc"),
+      col(vecCol).as("cv")), "cv", "cn")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_doc") =!= col("neighbor_doc"))
+      .withColumn("__cos", round(fastCos(col("qv"), col("qn"),
+        col("cv"), col("cn")), 6).cast(DecimalType(9, 6)))
+    val perToken = scored
+      .groupBy(col("query_doc"), col("neighbor_doc"), col("qt"))
+      .agg(max(col("__cos")).as("__m"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_doc"))
+      .orderBy(col("score").desc, col("neighbor_doc"))
+    perToken
+      .groupBy(col("query_doc"), col("neighbor_doc"))
+      .agg(sum(col("__m")).cast(DecimalType(18, 6)).as("score"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_doc"), col("neighbor_doc"), col("rank"),
+        col("score").cast(DoubleType).as("score"))
+  }
+
   /** Fixed random hyperplanes (seeded → stable across runs). */
   private def hyperplanes(bits: Int, dim: Int): Array[Array[Double]] = {
     val rnd = new scala.util.Random(7)

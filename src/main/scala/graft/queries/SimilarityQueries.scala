@@ -155,6 +155,39 @@ object SimilarityQueries extends QueryModule {
           .orderBy("query_id", "rank")
       }),
 
+    // ColBERT-style MaxSim late-interaction retrieval: every 8
+    // consecutive vectors form one multi-vector "document"; score =
+    // Σ over query tokens of the max cosine against the candidate's
+    // tokens. Token-level broadcast join + two combine-able aggregates
+    // (max per query token, DECIMAL sum) — no corpus collect. The
+    // DuckDB oracle recomputes the same late interaction from scratch.
+    "q130_maxsim" -> Q(
+      run = (s, dir) => {
+        val t = Tables(s, dir, "embeddings")
+          .withColumn("d", expr("vec_id div 8"))
+        Similarity.maxSimTopK(t.filter(col("d") < 4), t, k = 5,
+          docCol = "d")
+          .orderBy("query_doc", "rank")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT vec_id // 8 AS d, vec_id AS t_id,
+                          embedding::DOUBLE[] AS v FROM embeddings),
+        s AS (
+          SELECT q.d AS query_doc, c.d AS neighbor_doc, q.t_id AS qt,
+                 MAX(CAST(ROUND(list_cosine_similarity(q.v, c.v), 6)
+                     AS DECIMAL(9,6))) AS m
+          FROM t q JOIN t c ON q.d != c.d
+          WHERE q.d < 4
+          GROUP BY 1, 2, 3),
+        sc AS (SELECT query_doc, neighbor_doc,
+                      CAST(SUM(m) AS DECIMAL(18,6)) AS score
+               FROM s GROUP BY 1, 2)
+        SELECT query_doc, neighbor_doc,
+               ROW_NUMBER() OVER (PARTITION BY query_doc
+                 ORDER BY score DESC, neighbor_doc) AS rank,
+               CAST(score AS DOUBLE) AS score
+        FROM sc QUALIFY rank <= 5 ORDER BY query_doc, rank""")),
+
     // Embedding near-dup pairs through sign-LSH band buckets — q41's
     // 100 TB path (equi-join candidates, exact-cosine verify; output is
     // a subset of q41's with precision 1). Approximate recall →

@@ -26,6 +26,9 @@ class PlanAuditSpec extends SparkSuite {
       // brute-force EXACT similarity: deliberate all-pairs scoring with
       // the small side broadcast; the scale path is q42's sign-LSH
       "q40_cosine_topk", "q41_cosine_neardup",
+      // MaxSim late interaction: query TOKENS broadcast, corpus tokens
+      // stream through map-local scoring into combine-able aggregates
+      "q130_maxsim",
       // range join against a 6-row broadcast band table: NLJ cost is
       // |facts|×6 with no shuffle of the fact side (the intended shape;
       // big band tables would use the bucket-point equi-join rewrite)

@@ -29,6 +29,23 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("maxSimTopK: late-interaction score is the sum of per-query-token maxes") {
+    import spark.implicits._
+    // doc 0 (query): unit x + unit y; doc 1 matches only x (score 1);
+    // doc 2 matches both (score 2); doc 3 is diagonal:
+    // cos = 1/sqrt(2) against each token -> score 2/sqrt(2) ~ 1.414214
+    val t = Seq(
+      (0L, 0L, Array(1f, 0f)), (0L, 1L, Array(0f, 1f)),
+      (1L, 10L, Array(1f, 0f)), (1L, 11L, Array(1f, 0f)),
+      (2L, 20L, Array(1f, 0f)), (2L, 21L, Array(0f, 1f)),
+      (3L, 30L, Array(1f, 1f))
+    ).toDF("d", "vec_id", "embedding")
+    val out = Similarity.maxSimTopK(t.filter(col("d") === 0), t, k = 3,
+      docCol = "d")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((2L, 1L, 2.0), (3L, 2L, 1.414214), (1L, 3L, 1.0)))
+  }
+
   test("lshTopK recall@5 against exact top-5") {
     val q = emb.filter(col("vec_id") < 32)
     val exact = Similarity.bruteForceTopK(q, emb, 5).collect()
