@@ -101,17 +101,51 @@ object Sampling {
     * (groupCol, sample_rank 1..k, idCol) — a pure function of the
     * data, stable across runs, engines and layouts. */
   def takePerGroup(df: DataFrame, groupCol: String, idCol: String,
-                   k: Int): DataFrame = {
+                   k: Int): DataFrame =
+    topKByStringKey(df, groupCol, idCol,
+      md5(col(idCol).cast(StringType)), k)
+
+  /** Efraimidis–Spirakis weighted sampling WITHOUT replacement, exact k
+    * per group: row i is sampled with probability proportional to
+    * `weightCol` by ranking on uᵢ^(1/wᵢ) (the A-ES key) and keeping the
+    * k largest per group. uᵢ is the md5-uniform of the id — the same
+    * keyed-determinism contract as every sampler here: reproducible
+    * across runs, engines and layouts, no seed plumbing.
+    *
+    * Implementation detail: the bounded heap keeps the k SMALLEST
+    * string keys, so the A-ES key is flipped to 1 - u^(1/w) and
+    * fixed-point-formatted ("%.18f" — lexicographic order equals
+    * numeric order on [0,1)). Rows with null/non-positive weight are
+    * excluded (zero probability mass). Scale shape = [[takePerGroup]]:
+    * map-side partials cap every group at k pairs per partition. */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String,
+                             idCol: String, weightCol: String,
+                             k: Int): DataFrame = {
+    val w = col(weightCol).cast("double")
+    val u = (conv(substring(md5(col(idCol).cast(StringType)), 1, 8), 16, 10)
+      .cast("double") + 1.0) / 4294967296.0
+    val esKey = format_string("%.18f", lit(1.0) - pow(u, lit(1.0) / w))
+    topKByStringKey(df.filter(w > 0.0), groupCol, idCol, esKey, k)
+  }
+
+  /** Shared bounded-heap top-k: the k smallest `key` strings per group
+    * via TopKByKeyAgg — the map-side partial reduces every group to ≤ k
+    * pairs per input partition, so the shuffle carries ≤ k·partitions
+    * pairs per group, never the group itself (a
+    * `row_number().over(partitionBy(group))` window would sort whole
+    * fact-scale groups through single tasks). */
+  private def topKByStringKey(df: DataFrame, groupCol: String,
+                              idCol: String, key: org.apache.spark.sql.Column,
+                              k: Int): DataFrame = {
     // the buffer stores ids as longs; a lossy cast (string ids, nulls)
     // would SILENTLY drop rows from an "exact" sample — reject instead
     val idType = df.schema(idCol).dataType
     require(Seq(org.apache.spark.sql.types.LongType,
       org.apache.spark.sql.types.IntegerType,
       org.apache.spark.sql.types.ShortType).contains(idType),
-      s"takePerGroup needs an integral id column, $idCol is $idType")
+      s"exact-k sampling needs an integral id column, $idCol is $idType")
     val agg = graft.plans.TopKByKeyAgg(
-      org.apache.spark.sql.graft.ColumnBridge.expression(
-        md5(col(idCol).cast(StringType))),
+      org.apache.spark.sql.graft.ColumnBridge.expression(key),
       org.apache.spark.sql.graft.ColumnBridge.expression(
         col(idCol).cast("long")),
       k)

@@ -1191,6 +1191,37 @@ object TextQueries extends QueryModule {
         SELECT doc_id, n_tok, prior_tok FROM p
         WHERE prior_tok < 10000 ORDER BY doc_id""")),
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis):
+    // 10 docs per lang with probability ∝ token count, ranked on the
+    // deterministic A-ES key u^(1/w) (u = md5-uniform of doc_id). Same
+    // bounded-heap scale shape as q99 — map-side partials cap every
+    // group at k pairs; the oracle recomputes the A-ES ranking from
+    // scratch (printf fixed-point mirrors the engine's key formatting).
+    "q131_weighted_sample" -> Q(
+      run = (s, dir) =>
+        graft.operators.Sampling.weightedSamplePerGroup(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), col("lang"),
+              size(split(col("text"), " ")).as("n_tok")),
+          "lang", "doc_id", "n_tok", 10)
+          .select(col("lang"), col("sample_rank"), col("doc_id"))
+          .orderBy("lang", "sample_rank"),
+      oracle = Some("""
+        WITH c AS (
+          SELECT lang, doc_id,
+                 CAST(len(string_split(text, ' ')) AS DOUBLE) AS w,
+                 (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   + 1) / 4294967296.0 AS u
+          FROM documents),
+        r AS (
+          SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY printf('%.18f', 1.0 - pow(u, 1.0 / w)),
+                            doc_id) AS sample_rank
+          FROM c WHERE w > 0)
+        SELECT lang, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id
+        FROM r WHERE sample_rank <= 10 ORDER BY lang, sample_rank""")),
+
     // EXACT SUBSTRING DEDUP (Lee et al. 2022) — every 8-token sliding
     // window hashed map-locally, duplicates via one combine-able hash
     // aggregate (never a suffix array, never a global sort). q126 lists

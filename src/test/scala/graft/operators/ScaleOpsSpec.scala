@@ -163,6 +163,30 @@ class ScaleOpsSpec extends SparkSuite {
     assert(Sampling.takePerGroup(tiny, "lang", "doc_id", 100).count() == 3)
   }
 
+  test("weightedSamplePerGroup: heavy rows dominate, zero/null weights excluded, layout-invariant") {
+    import spark.implicits._
+    val df = ((1L to 100L).map(i => (i, "g", 0.001)) ++
+      Seq((999L, "g", 1e9), (1000L, "g", 0.0), (1001L, "g", -3.0)))
+      .toDF("doc_id", "lang", "w")
+    def run(parts: Int) = Sampling
+      .weightedSamplePerGroup(df.repartition(parts), "lang", "doc_id", "w", 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val s1 = run(1); val s16 = run(16)
+    assert(s1.toSeq == s16.toSeq) // pure function of the data, not layout
+    // w=1e9 → u^(1/w) ≈ 1 → always the top-ranked sample
+    assert(s1.head == ((1L, 999L)))
+    // zero and negative weights carry no probability mass
+    val ids = s1.map(_._2).toSet
+    assert(!ids.contains(1000L) && !ids.contains(1001L))
+    assert(s1.length == 5)
+    // proportionality direction: across many distinct weights, a 100×
+    // heavier row out-ranks a lighter one far more often than not —
+    // spot-check the math on one pair analytically instead of an RNG:
+    // key(w) = u^(1/w) is increasing in w for fixed u < 1
+    val u = 0.3
+    assert(math.pow(u, 1.0 / 10.0) > math.pow(u, 1.0 / 2.0))
+  }
+
   test("assignSplit: disjoint+exhaustive, near target fractions, growth-stable") {
     val sf = "/root/testdata/sf0.01"
     val docs = Tables(spark, sf, "documents")
