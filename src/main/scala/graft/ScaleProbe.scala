@@ -57,6 +57,42 @@ object ScaleProbe {
       }
       spark.stop(); return
     }
+    // exact substring-span dedup (`runMain graft.ScaleProbe spans`):
+    // replicas carry DISJOINT token spaces (every word salted with the
+    // replica index), so duplicated spans exist only WITHIN a replica
+    // and the true answer grows linearly — plain replication would make
+    // every window an 8×-duplicated span and measure output explosion,
+    // not operator scaling. Cost must track the window count (map-local
+    // explode + combine-able aggregates), never pairs of docs.
+    if (args.contains("spans")) {
+      def saltCorpus(mult: Int) = (0 until mult).map(i =>
+        base.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", "$1" + s"_r$i").as("text")))
+        .reduce(_ union _)
+      for (mult <- Seq(1, 4, 10)) {
+        val c = saltCorpus(mult).localCheckpoint(true)
+        val n = c.count()
+        def evalAll(df: org.apache.spark.sql.DataFrame): Long =
+          df.queryExecution.toRdd.count()
+        def time(name: String)(f: => Long): Unit = {
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val rows = f
+          println(f"[probe] mult=$mult%2d docs=$n%7d $name%-18s ${(System.nanoTime()-t0)/1e9}%7.2f s  ($rows rows)")
+        }
+        time("span_dups") {
+          evalAll(graft.operators.SpanDedup.duplicatedSpans(c, 8))
+        }
+        time("span_coverage") {
+          evalAll(graft.operators.SpanDedup.duplicationCoverage(c, 8))
+        }
+        time("span_strip") {
+          evalAll(graft.operators.SpanDedup.stripDuplicatedSpans(c, 8))
+        }
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
+      spark.stop(); return
+    }
     for (mult <- Seq(1, 4, 10)) {
       val c = corpus(mult).localCheckpoint(true)
       val n = c.count()

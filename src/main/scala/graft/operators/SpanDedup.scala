@@ -61,12 +61,18 @@ object SpanDedup {
       .filter(col("n_docs") >= minDocs)
       .select(col("h").as("span_hash"), col("n_docs"), col("n_occ"))
 
-  /** Occurrences of cross-doc duplicated spans: (id, pos, h). */
+  /** Occurrences of cross-doc duplicated spans: (id, pos, h). One
+    * spans frame feeds both the duplicate filter and the occurrence
+    * side (the semi-join's build side re-derives it, but never a third
+    * time through [[duplicatedSpans]]' own hashing pass). */
   private def dupOccurrences(docs: DataFrame, w: Int, minDocs: Int,
                              idCol: String, textCol: String): DataFrame = {
     val spans = spanHashes(docs, w, idCol, textCol)
-    val dups = duplicatedSpans(docs, w, minDocs, idCol, textCol)
-      .select(col("span_hash").as("h"))
+    val dups = spans
+      .groupBy(col("h"), col("id")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("h")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("h"))
     spans.join(dups, Seq("h"), "left_semi")
   }
 
