@@ -1222,6 +1222,60 @@ object TextQueries extends QueryModule {
         SELECT lang, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id
         FROM r WHERE sample_rank <= 10 ORDER BY lang, sample_rank""")),
 
+    // Dedup-then-pack freeze: q128's keep-first span strip feeds the
+    // q100 token-balanced sharder — the "remove duplicated text, THEN
+    // lay out training shards" composition, end-to-end under one
+    // oracle. Token counts are recomputed on the STRIPPED text (an
+    // empty stripped doc still counts its one empty token on both
+    // engines — the split('') convention), and shard boundaries come
+    // from the distributed prefix sum in keyed-md5 order.
+    "q132_strip_shards" -> Q(
+      run = (s, dir) => {
+        val stripped = graft.operators.SpanDedup
+          .stripDuplicatedSpans(Tables(s, dir, "documents"), w = 8)
+        val counted = stripped.select(col("id").as("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tok"),
+          md5(col("id").cast(StringType)).as("hk"))
+        graft.operators.PrefixSum.running(counted, "hk", "n_tok", "cum")
+          .select(col("doc_id"), col("n_tok"),
+            expr("(cum - n_tok) div 2048").as("shard_id"))
+          .groupBy(col("shard_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+          .orderBy("shard_id")
+      },
+      oracle = Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        spans AS (
+          SELECT doc_id, i, md5(array_to_string(t[i:i+7], ' ')) AS h
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) u),
+        dups AS (SELECT h FROM spans GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        occ AS (SELECT s.doc_id, s.i,
+                  ROW_NUMBER() OVER (PARTITION BY s.h ORDER BY s.doc_id, s.i) AS rn
+                FROM spans s JOIN dups USING (h)),
+        rem AS (SELECT DISTINCT doc_id, p
+                FROM occ, LATERAL (SELECT unnest(generate_series(i, i + 7)) AS p) v
+                WHERE rn > 1),
+        tokpos AS (SELECT doc_id, p, t[p] AS tok
+                   FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS p) w),
+        kept AS (SELECT doc_id, array_to_string(list(tok ORDER BY p), ' ') AS text
+                 FROM tokpos ANTI JOIN rem USING (doc_id, p) GROUP BY doc_id),
+        stripped AS (SELECT t.doc_id, COALESCE(k.text, '') AS text
+                     FROM toks t LEFT JOIN kept k USING (doc_id)),
+        c AS (SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                     md5(CAST(doc_id AS VARCHAR)) AS hk
+              FROM stripped),
+        p AS (SELECT doc_id, n_tok,
+                     CAST(COALESCE(SUM(n_tok) OVER (ORDER BY hk
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS prior_tok
+              FROM c)
+        SELECT prior_tok // 2048 AS shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM p GROUP BY 1 ORDER BY shard_id"""),
+      bench = false), // the timed region is a q128 superset
+
     // EXACT SUBSTRING DEDUP (Lee et al. 2022) — every 8-token sliding
     // window hashed map-locally, duplicates via one combine-able hash
     // aggregate (never a suffix array, never a global sort). q126 lists
