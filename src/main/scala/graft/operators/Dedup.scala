@@ -163,13 +163,7 @@ object Dedup {
     // operator returns a lazy plan — a CacheManager entry could never be
     // unpersisted by the caller and accumulates across queries in a
     // long-lived session; checkpoint blocks free on GC of the result.
-    val banded = signed.select(
-      col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
-      .localCheckpoint(true)
+    val banded = bandRows(signed, bands, rows).localCheckpoint(true)
     val candidates = banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") &&
@@ -188,6 +182,20 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** (id, band, band_hash) LSH bucket rows from a signature frame —
+    * `bands` rows per doc, each hashing `rows` consecutive signature
+    * entries. Shared by the self-join path above and the persisted
+    * [[LshIndex]] (whose stored rows MUST band identically or
+    * candidates silently vanish). */
+  private[operators] def bandRows(signed: DataFrame, bands: Int,
+                                  rows: Int): DataFrame =
+    signed.select(
+      col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
 
   /** (id, 64-bit SimHash) per document — map-local via the SimHash64
     * expression: every token occurrence votes ±1 per bit by its

@@ -1,0 +1,114 @@
+package graft.operators
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions.wordShingles
+import graft.sources.VersionedTable
+
+/** Persisted MinHash-LSH dedup index — the lexical sibling of
+  * [[PqIndex]]: instead of re-signing the whole corpus every time a
+  * batch arrives (the [[Dedup.minhashNearDupPairs]] shape), the
+  * corpus' band-bucket rows are committed once as a durable
+  * [[graft.sources.VersionedTable]] and daily ingestion
+  * (a) `check`s the incoming batch against the STORED bands — an
+  * equi-join on (band, band_hash), O(batch) new signatures — and
+  * (b) `append`s the admitted docs' bands, O(batch) again.
+  *
+  * Layout under `root`:
+  *  - `scheme.txt` — `numHashes bands n`: the banding scheme. MinHash
+  *    permutations are seeded constants (Dedup.perms), so signatures
+  *    are reproducible from the scheme alone — but bands from a
+  *    DIFFERENT scheme never collide with stored ones, so append/check
+  *    always re-read the stored scheme rather than trusting defaults;
+  *  - `bands/` — VersionedTable of (id, band, band_hash): `bands` ints
+  *    per doc, the ~text-free scan side. Shingle sets are NOT stored:
+  *    exact-Jaccard verification re-reads only the candidate ids from
+  *    the caller-supplied corpus (semi-join), the [[PqIndex.search]]
+  *    rescore pattern.
+  */
+object LshIndex {
+
+  private def schemeFile(root: String) = new File(root, "scheme.txt")
+  private def bandsRoot(root: String) = new File(root, "bands").getPath
+
+  private def readScheme(root: String): (Int, Int, Int) = {
+    val Array(nh, b, n) = new String(
+      Files.readAllBytes(schemeFile(root).toPath), StandardCharsets.UTF_8)
+      .trim.split(" ").map(_.toInt)
+    (nh, b, n)
+  }
+
+  private def bandRowsOf(docs: DataFrame, numHashes: Int, bands: Int,
+                         n: Int, idCol: String, textCol: String): DataFrame =
+    Dedup.bandRows(
+      Dedup.minhashSignatures(docs, numHashes, n, textCol, idCol),
+      bands, numHashes / bands)
+
+  /** Sign `corpus` and commit its band rows as version 0 (plus the
+    * scheme sidecar). */
+  def build(corpus: DataFrame, root: String,
+            numHashes: Int = 128, bands: Int = 32, n: Int = 3,
+            idCol: String = "doc_id", textCol: String = "text"): Long = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    new File(root).mkdirs()
+    Files.write(schemeFile(root).toPath,
+      s"$numHashes $bands $n".getBytes(StandardCharsets.UTF_8))
+    VersionedTable.overwrite(
+      bandRowsOf(corpus, numHashes, bands, n, idCol, textCol),
+      bandsRoot(root))
+  }
+
+  /** Sign a NEW batch with the stored scheme and append its band rows —
+    * O(batch); existing rows inherited untouched. */
+  def append(batch: DataFrame, root: String,
+             idCol: String = "doc_id", textCol: String = "text"): Long = {
+    val (nh, b, n) = readScheme(root)
+    VersionedTable.append(
+      bandRowsOf(batch, nh, b, n, idCol, textCol), bandsRoot(root))
+  }
+
+  /** Near-duplicate pairs between `batch` and the INDEXED corpus:
+    * candidates from the stored-bands × batch-bands equi-join
+    * (never a corpus self-join, never a corpus re-sign), verified with
+    * exact shingle Jaccard — shingles recomputed for the batch and,
+    * via a candidate-id semi-join, for ONLY the matched sliver of
+    * `corpus`. Same-id pairs are excluded (re-ingesting a doc is not a
+    * duplicate of itself). Output: (id_a = indexed id, id_b = batch id,
+    * jaccard ≥ threshold). Recall is the banding recall of
+    * [[Dedup.minhashNearDupPairs]]; precision is 1 (exact verify). */
+  def check(batch: DataFrame, corpus: DataFrame, root: String,
+            threshold: Double,
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = batch.sparkSession
+    val (nh, b, n) = readScheme(root)
+    val stored = VersionedTable.read(spark, bandsRoot(root))
+    val fresh = bandRowsOf(batch, nh, b, n, idCol, textCol)
+      .localCheckpoint(true)
+    val candidates = stored.as("l")
+      .join(fresh.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col("l.id") =!= col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val shCorpus = corpus
+      .select(col(idCol).as("id_a"), wordShingles(col(textCol), n).as("sh_a"))
+      .join(candidates.select(col("id_a")).distinct(), Seq("id_a"), "left_semi")
+    val shBatch = batch
+      .select(col(idCol).as("id_b"), wordShingles(col(textCol), n).as("sh_b"))
+    candidates
+      .join(shCorpus, Seq("id_a"))
+      .join(shBatch, Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

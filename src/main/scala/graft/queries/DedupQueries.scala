@@ -359,6 +359,31 @@ object DedupQueries extends QueryModule {
           UNION
           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
         SELECT node AS doc_id, MIN(lbl) AS component
-        FROM reach GROUP BY node ORDER BY doc_id"""))
+        FROM reach GROUP BY node ORDER BY doc_id""")),
+
+    // Persisted LSH dedup index (LshIndex — the lexical sibling of
+    // q125's PQ index): the corpus' MinHash band rows live as a
+    // VersionedTable; an incoming batch is signed once and checked via
+    // an equi-join against the STORED bands (never a corpus re-sign),
+    // exact-Jaccard verified on the candidate sliver, then appended.
+    // Banding recall < 1 by construction → rows-only; LshIndexSpec
+    // pins check() == a fresh whole-corpus LSH pass restricted to
+    // cross pairs, plus the append/copy-detection contract.
+    "q133_lsh_index" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_lsh_idx").resolve("i").toString
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val b = col("doc_id") % 4
+        val indexed = docs.filter(b =!= 0)
+        graft.operators.LshIndex.build(indexed, root)
+        val pairs = graft.operators.LshIndex
+          .check(docs.filter(b === 0), indexed, root, threshold = 0.8)
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id_a", "id_b")
+        graft.operators.LshIndex.append(docs.filter(b === 0), root)
+        pairs
+      })
   )
 }
