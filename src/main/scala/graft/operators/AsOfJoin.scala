@@ -81,13 +81,25 @@ object AsOfJoin {
                  tolerance: Option[Long]): DataFrame =
     asOfNative(left, right, Seq(keyCol), timeCol, direction, tolerance)
 
+  /** Single-key variant with the pandas `allow_exact_matches` knob. */
+  def asOfNative(left: DataFrame, right: DataFrame, keyCol: String,
+                 timeCol: String, direction: String,
+                 tolerance: Option[Long],
+                 allowExactMatches: Boolean): DataFrame =
+    asOfNative(left, right, Seq(keyCol), timeCol, direction, tolerance,
+      allowExactMatches)
+
   /** Multi-key as-of (pandas `merge_asof(by=[...])`): the match must
     * agree on EVERY key column. Same plan — [[graft.plans.AsOfJoinPlan]]
     * carries Seq keys natively; the sides co-partition on the full key
     * tuple and the merge compares composite keys. */
   def asOfNative(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                  timeCol: String, direction: String,
-                 tolerance: Option[Long]): DataFrame = {
+                 tolerance: Option[Long],
+                 /** pandas allow_exact_matches: false makes backward
+                   * strictly-before, forward strictly-after, and
+                   * excludes the exact instant from nearest. */
+                 allowExactMatches: Boolean = true): DataFrame = {
     require(keyCols.nonEmpty, "as-of join needs at least one key column")
     val (forward, nearest) = direction match {
       case "backward" => (false, false)
@@ -127,6 +139,6 @@ object AsOfJoin {
       graft.plans.AsOfJoinPlan(lPlan, rPlan,
         keyCols.map(attr(lPlan.output, _)), keyCols.map(attr(rOut, _)),
         attr(lPlan.output, timeCol), attr(rOut, timeCol), payload,
-        forward, tolerance, nearest))
+        forward, tolerance, nearest, allowExactMatches))
   }
 }

@@ -61,7 +61,12 @@ final case class AsOfJoinPlan(
       * smaller of |Δ| to the latest at-or-before and the earliest
       * strictly-after right row; ties prefer the backward (at-or-before)
       * candidate. Mutually exclusive with `forward`. */
-    nearest: Boolean = false) extends BinaryNode {
+    nearest: Boolean = false,
+    /** false = pandas merge_asof allow_exact_matches=False: a right row
+      * at EXACTLY the left time never matches — backward becomes
+      * strictly-before, forward strictly-after, nearest excludes the
+      * exact instant on both sides. */
+    allowExactMatches: Boolean = true) extends BinaryNode {
 
   require(!(forward && nearest),
     "as-of direction is one of backward/forward/nearest")
@@ -131,9 +136,9 @@ object AsOfJoinFilterPushdown extends Rule[LogicalPlan] with PredicateHelper {
   * [[graft.operators.AsOfJoin.asOfNative]] / GraftSession). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, payload, fwd, tol, near) =>
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, payload, fwd, tol, near, ax) =>
       AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, payload,
-        fwd, tol, near) :: Nil
+        fwd, tol, near, ax) :: Nil
     case _ => Nil
   }
 }
@@ -156,7 +161,8 @@ final case class AsOfJoinExec(
     payload: Seq[Attribute],
     forward: Boolean = false,
     tolerance: Option[Long] = None,
-    nearest: Boolean = false) extends BinaryExecNode {
+    nearest: Boolean = false,
+    allowExactMatches: Boolean = true) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
@@ -236,6 +242,14 @@ final case class AsOfJoinExec(
       var matched: InternalRow = null // latest visible right row (copied)
       var matchedKey: UnsafeRow = null
       var matchedTime: InternalRow = null
+      // strict-nearest only: right rows at EXACTLY the current left time
+      // are parked here so the true strictly-after head stays visible to
+      // the forward candidate; they become backward candidates as soon
+      // as the left time moves past them. Holds the equal-time run of
+      // ONE instant of one key — bounded by the duplicate-timestamp
+      // count, not the partition.
+      val parked = scala.collection.mutable.Queue
+        .empty[(InternalRow, UnsafeRow, InternalRow)]
 
       lIter.map { lRow =>
         val lk = lKeyProj(lRow)
@@ -244,23 +258,44 @@ final case class AsOfJoinExec(
           matched = null; matchedKey = null; matchedTime = null
         }
         val lt = lTimeProj(lRow)
+        if (parked.nonEmpty) {
+          if (keyOrd.compare(parked.head._2, lk) != 0) parked.clear()
+          else if (timeOrd.compare(parked.head._3, lt) < 0)
+            while (parked.nonEmpty) { // drain in order: the last one wins
+              val (r, k, t) = parked.dequeue()
+              matched = r
+              if (matchedKey == null) matchedKey = k
+              matchedTime = t
+            }
+        }
         var scan = rHead != null
         while (scan) {
           val kc = keyOrd.compare(rHeadKey, lk)
           if (kc < 0) { // right key behind every remaining left row: skip
             advanceRight(); scan = rHead != null
-          } else if (kc == 0 && (if (forward) timeOrd.compare(rHeadTime, lt) < 0
-                                 else timeOrd.compare(rHeadTime, lt) <= 0)) {
-            // backward: consume at-or-before rows, remember the latest.
-            // forward: rows strictly before this left time can't match it
-            // or any later left row — skip without remembering.
-            if (!forward) {
-              matched = rHead.copy() // each right row copied at most once
-              if (matchedKey == null) matchedKey = rHeadKey.copy()
-              if (tolerance.isDefined || nearest) matchedTime = rHeadTime.copy()
-            }
-            advanceRight(); scan = rHead != null
-          } else scan = false // right head is at/after this row's time
+          } else if (kc == 0) {
+            val tc = timeOrd.compare(rHeadTime, lt)
+            // backward/nearest: consume visible rows, remember the
+            // latest (at-or-before, or strictly-before when exact
+            // matches are disallowed). forward: rows that can't match
+            // this or any later left row are skipped without
+            // remembering (strictly before; at-or-before when strict —
+            // an equal-time row can never match strictly-forward).
+            val consume =
+              if (forward) { if (allowExactMatches) tc < 0 else tc <= 0 }
+              else { if (allowExactMatches) tc <= 0 else tc < 0 }
+            if (consume) {
+              if (!forward) {
+                matched = rHead.copy() // each right row copied at most once
+                if (matchedKey == null) matchedKey = rHeadKey.copy()
+                if (tolerance.isDefined || nearest) matchedTime = rHeadTime.copy()
+              }
+              advanceRight(); scan = rHead != null
+            } else if (nearest && !allowExactMatches && tc == 0) {
+              parked.enqueue((rHead.copy(), rHeadKey.copy(), rHeadTime.copy()))
+              advanceRight(); scan = rHead != null
+            } else scan = false // right head is at/after this row's time
+          } else scan = false
         }
         // forward match = the (unconsumed) right head itself, if same key
         val (m, mt) =

@@ -706,6 +706,43 @@ object CoreQueries extends QueryModule {
         ORDER BY event_id""")),
 
     // ----------------------------------------------------------------
+    // STRICT as-of (pandas merge_asof allow_exact_matches=False): each
+    // click enriched with the user's best purchase from a STRICTLY
+    // earlier day — a same-day purchase must NOT match. Times are
+    // day-bucket longs so exact ties genuinely occur (752 click rows
+    // share a day with a purchase at sf0.01); purchases reduce to one
+    // row per (user, day) first so equal-time duplicates can't make
+    // the match nondeterministic. Oracle: DuckDB ASOF with the strict
+    // inequality.
+    "q134_asof_strict" -> Q(
+      run = (s, dir) => {
+        val ev = t(s, dir, "events")
+        val day = expr("unix_micros(ts) div 86400000000").as("d")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), day, col("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), day, col("value"))
+          .groupBy(col("user_id"), col("d"))
+          .agg(max(col("value")).as("prev_day_purchase"))
+        graft.operators.AsOfJoin.asOfNative(clicks, purchases,
+          "user_id", "d", "backward", None, allowExactMatches = false)
+          .select(col("event_id"), col("user_id"),
+            col("prev_day_purchase"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        SELECT c.event_id, c.user_id, p.v AS prev_day_purchase
+        FROM (SELECT user_id, epoch_us(ts) // 86400000000 AS d, event_id
+              FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN
+             (SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+                     MAX(value) AS v
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY 1, 2) p
+          ON c.user_id = p.user_id AND c.d > p.d
+        ORDER BY event_id""")),
+
+    // ----------------------------------------------------------------
     // INTERSECT / EXCEPT — completing the set-operation family beyond
     // the reference's UNION ALL (SURVEY §2.7 "No INTERSECT / EXCEPT").
     "q37_setops" -> Q(

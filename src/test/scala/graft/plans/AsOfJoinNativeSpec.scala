@@ -270,4 +270,58 @@ class AsOfJoinNativeSpec extends SparkSuite {
       .collect().head.getDouble(0)
     assert(v == 1.0 || v == 2.0) // one of the tied rows, never null
   }
+
+  test("allow_exact_matches=false: backward strictly-before, forward strictly-after") {
+    import spark.implicits._
+    val left = Seq((1L, ts(10), "e1"), (1L, ts(20), "e2"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, ts(5), 5.0), (1L, ts(10), 10.0), (1L, ts(20), 20.0),
+      (1L, ts(25), 25.0)).toDF("k", "t", "v")
+    def run(dir: String) = AsOfJoin
+      .asOfNative(left, right, "k", "t", dir, None, allowExactMatches = false)
+      .collect().map(r => r.getString(2) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    // inclusive would give e1→10, e2→20 on both directions
+    assert(run("backward") == Map("e1" -> 5.0, "e2" -> 10.0))
+    assert(run("forward") == Map("e1" -> 20.0, "e2" -> 25.0))
+  }
+
+  test("allow_exact_matches=false + nearest: exact instant excluded, parked run visible later") {
+    import spark.implicits._
+    // right has a DUPLICATE run at t=10 that must not block the true
+    // strictly-after candidate for the left row at t=10, and must
+    // resurface as the backward candidate for the later left row
+    val left = Seq((1L, ts(10), "e1"), (1L, ts(11), "e2"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, ts(7), 7.0), (1L, ts(10), 101.0), (1L, ts(10), 102.0),
+      (1L, ts(12), 12.0)).toDF("k", "t", "v")
+    val got = AsOfJoin
+      .asOfNative(left, right, "k", "t", "nearest", None,
+        allowExactMatches = false)
+      .collect().map(r => r.getString(2) -> r.getDouble(3)).toMap
+    // e1@10: candidates 7 (|Δ|=3) and 12 (|Δ|=2) — the t=10 run is
+    // excluded — nearest is 12. e2@11: backward candidates now include
+    // the parked t=10 run (last one wins) at |Δ|=1, forward 12 at
+    // |Δ|=1 — tie prefers backward → 102.
+    assert(got == Map("e1" -> 12.0, "e2" -> 102.0))
+  }
+
+  test("allow_exact_matches=false ≡ inclusive on data with no exact ties (events)") {
+    val ev = graft.core.Tables(spark, "/root/testdata/sf0.001", "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("v"))
+    // drop purchases landing on an exact click timestamp so the strict
+    // and inclusive semantics must coincide
+    val noTies = purchases.join(
+      clicks.select(col("user_id"), col("ts")), Seq("user_id", "ts"),
+      "left_anti")
+    def resultMap(strict: Boolean) = AsOfJoin
+      .asOfNative(clicks, noTies, "user_id", "ts", "backward", None,
+        allowExactMatches = !strict)
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(resultMap(strict = true) == resultMap(strict = false))
+  }
 }
