@@ -43,6 +43,29 @@ object LakeQueries extends QueryModule {
                MAX(l_orderkey) AS max_key
         FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
+    // ORC round-trip: parquet → ORC sink → ORC scan → aggregate. ORC is
+    // the one columnar format Spark bundles beyond parquet (predicate
+    // pushdown + column pruning work the same); the oracle never reads
+    // ORC — it aggregates the source table directly, pinning that the
+    // round-trip is lossless.
+    "q135_orc_roundtrip" -> Q(
+      run = (s, dir) => {
+        val tmp = tempRoot("graft_orc_rt").toString
+        Tables(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+          .write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp)
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n"), dsum(col("s_acctbal")).as("bal"),
+            max(col("s_suppkey")).as("max_key"))
+          .orderBy("s_nationkey")
+      },
+      oracle = Some("""
+        SELECT s_nationkey, COUNT(*) AS n,
+               CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+               MAX(s_suppkey) AS max_key
+        FROM supplier GROUP BY 1 ORDER BY 1""")),
+
     // S2 JSON round-trip: parquet → line-delimited JSON sink → JSON
     // scan with explicit schema → aggregate.
     "q27_json_roundtrip" -> Q(
