@@ -380,6 +380,120 @@ object ExtendedQueries extends QueryModule {
           .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_est"))
           .select(lit("ALL").as("lang"), col("n_est"))
         per.unionByName(global).orderBy("lang")
-      })
+      }),
+
+    // Gap-based sessionization (batch form of q54's streaming
+    // sessionize): a 6-hour silence starts a new session; session ids
+    // are a running sum of session-start flags per user. One shuffle on
+    // user_id drives both windows and the final per-session aggregate.
+    // Times emitted as epoch-µs BIGINTs (the timestamp-output
+    // convention).
+    "q136_sessionize" -> Q(
+      run = (s, dir) => {
+        val gap = 6L * 3600 * 1000000
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        val prev = lag(col("us"), 1).over(w)
+        ev.withColumn("__new",
+            when(prev.isNull || col("us") - prev > gap, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("__new")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("us")).as("start_us"),
+            (max(col("us")) - min(col("us"))).as("duration_us"))
+          .orderBy("user_id", "session_id")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        s AS (SELECT user_id, us,
+                CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                          IS NULL
+                     OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                          > 21600000000
+                     THEN 1 ELSE 0 END AS n
+              FROM e),
+        g AS (SELECT user_id, us,
+                SUM(n) OVER (PARTITION BY user_id ORDER BY us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM s)
+        SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MIN(us) AS BIGINT) AS start_us,
+               CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+        FROM g GROUP BY 1, 2 ORDER BY user_id, session_id""")),
+
+    // Ordered conversion funnel: first view → first click AFTER it →
+    // first purchase after THAT — strictly ordered timestamps per user,
+    // not mere co-occurrence. Per-stage min-aggregates + broadcast-able
+    // user-level joins; no window over the full event stream.
+    "q137_funnel" -> Q(
+      run = (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            expr("unix_micros(ts)").as("us"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+        val c = ev.filter(col("event_type") === "click").as("e")
+          .join(v, Seq("user_id")).filter(col("us") > col("t1"))
+          .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+        val p = ev.filter(col("event_type") === "purchase").as("e")
+          .join(c, Seq("user_id")).filter(col("us") > col("t2"))
+          .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+        val stages = Seq(("1_view", v), ("2_click", c), ("3_purchase", p))
+          .map { case (n, df) =>
+            df.agg(count(lit(1)).as("users")).select(lit(n).as("stage"),
+              col("users"))
+          }
+        stages.reduce(_ unionByName _).orderBy("stage")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        v AS (SELECT user_id, MIN(us) AS t1 FROM e
+              WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN v USING (user_id)
+              WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+        p AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN c USING (user_id)
+              WHERE event_type = 'purchase' AND us > t2 GROUP BY 1)
+        SELECT stage, users FROM (
+          SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS users FROM v
+          UNION ALL
+          SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+          UNION ALL
+          SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p)
+        ORDER BY stage""")),
+
+    // Retention cohort grid: users cohorted by first-event week, one
+    // row per (cohort_week, week_offset) with distinct active users —
+    // the dashboard staple. Two aggregates on user_id + one distinct;
+    // week ids are epoch-µs floor-divisions so both engines bucket
+    // identically.
+    "q138_retention" -> Q(
+      run = (s, dir) => {
+        val wk = 604800000000L
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+        val first = ev.groupBy(col("user_id"))
+          .agg(min(col("us")).as("f"))
+          .select(col("user_id"), expr(s"f div $wk").as("cohort_week"))
+        val active = ev
+          .select(col("user_id"), expr(s"us div $wk").as("w"))
+          .distinct()
+        active.join(first, Seq("user_id"))
+          .groupBy(col("cohort_week"),
+            (col("w") - col("cohort_week")).as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("active_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        f AS (SELECT user_id, MIN(us) // 604800000000 AS cohort_week
+              FROM e GROUP BY 1),
+        a AS (SELECT DISTINCT user_id, us // 604800000000 AS w FROM e)
+        SELECT cohort_week, w - cohort_week AS week_offset,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+        FROM a JOIN f USING (user_id)
+        GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""))
   )
 }
