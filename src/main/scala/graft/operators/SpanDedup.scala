@@ -118,11 +118,23 @@ object SpanDedup {
                            textCol: String = "text"): DataFrame = {
     val byHash = Window.partitionBy(col("h"))
       .orderBy(col("id"), col("pos"))
-    // removed token positions, one ARRAY per affected doc — the strip
-    // join below is doc-level, never token-level
     val removed = dupOccurrences(docs, w, minDocs, idCol, textCol)
       .withColumn("__rn", row_number().over(byHash))
       .filter(col("__rn") > 1)
+    rebuildWithout(docs, removed, w, idCol, textCol)
+  }
+
+  /** Rebuild each doc's text with the tokens covered by `occurrences`
+    * ((id, pos) span starts) removed. The strip join is DOC-level — the
+    * covered positions collapse to one array per affected doc — so
+    * token rows never shuffle. Every input doc appears in the output,
+    * possibly with empty text. Shared by [[stripDuplicatedSpans]] and
+    * [[SpanIndex.stripAgainst]]. */
+  private[operators] def rebuildWithout(docs: DataFrame,
+                                        occurrences: DataFrame, w: Int,
+                                        idCol: String,
+                                        textCol: String): DataFrame = {
+    val removed = occurrences
       .select(col("id"),
         explode(sequence(col("pos"), col("pos") + (w - 1))).as("p"))
       .groupBy(col("id"))

@@ -1222,6 +1222,45 @@ object TextQueries extends QueryModule {
         SELECT lang, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id
         FROM r WHERE sample_rank <= 10 ORDER BY lang, sample_rank""")),
 
+    // Persisted substring index (SpanIndex — the third persisted index
+    // beside q125's PQ and q133's LSH): the corpus' distinct 8-token
+    // span hashes live as a VersionedTable; an incoming batch is
+    // stripped of every corpus-known span by one hashing pass + a
+    // semi-join against the STORED hashes — the corpus text is never
+    // touched. Exact matching → fully oracle-checkable: DuckDB
+    // recomputes the corpus span set and the strip from scratch.
+    "q139_span_index" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_span_idx").resolve("i").toString
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val b = col("doc_id") % 4
+        graft.operators.SpanIndex.build(docs.filter(b =!= 0), root, w = 8)
+        val out = graft.operators.SpanIndex
+          .stripAgainst(docs.filter(b === 0), root)
+          .select(col("id").as("doc_id"), col("text"))
+          .orderBy("doc_id")
+        graft.operators.SpanIndex.append(docs.filter(b === 0), root)
+        out
+      },
+      oracle = Some("""
+        WITH toks0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        corpus AS (SELECT * FROM toks0 WHERE doc_id % 4 != 0),
+        batch AS (SELECT * FROM toks0 WHERE doc_id % 4 = 0),
+        cs AS (SELECT DISTINCT md5(array_to_string(t[i:i+7], ' ')) AS h
+               FROM corpus, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) u),
+        bs AS (SELECT doc_id, i, md5(array_to_string(t[i:i+7], ' ')) AS h
+               FROM batch, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) u),
+        cov AS (SELECT bs.doc_id, bs.i FROM bs JOIN cs USING (h)),
+        rem AS (SELECT DISTINCT doc_id, p
+                FROM cov, LATERAL (SELECT unnest(generate_series(i, i + 7)) AS p) v),
+        tokpos AS (SELECT doc_id, p, t[p] AS tok
+                   FROM batch, LATERAL (SELECT unnest(generate_series(1, len(t))) AS p) w),
+        kept AS (SELECT doc_id, array_to_string(list(tok ORDER BY p), ' ') AS text
+                 FROM tokpos ANTI JOIN rem USING (doc_id, p) GROUP BY doc_id)
+        SELECT b.doc_id, COALESCE(k.text, '') AS text
+        FROM batch b LEFT JOIN kept k USING (doc_id) ORDER BY doc_id""")),
+
     // Dedup-then-pack freeze: q128's keep-first span strip feeds the
     // q100 token-balanced sharder — the "remove duplicated text, THEN
     // lay out training shards" composition, end-to-end under one
