@@ -400,6 +400,28 @@ class VersionedTableSpec extends SparkSuite {
     assert(pruned.count() == 11)
   }
 
+  test("compact then vacuum: loose files reclaimed, packed snapshot intact, skipping live") {
+    import spark.implicits._
+    val root = tmpRoot()
+    (0 to 3).foreach { b =>
+      val df = (b * 50 + 1 to b * 50 + 50)
+        .map(i => (i.toLong, s"v$i")).toDF("k", "v").repartition(2)
+      if (b == 0) VersionedTable.overwriteWithStats(df, root, "k")
+      else VersionedTable.appendWithStats(df, root, "k")
+    }
+    VersionedTable.compact(spark, root, statsCols = Seq("k"))
+    val packedFiles = VersionedTable.read(spark, root).inputFiles.toSet
+    val deleted = VersionedTable.vacuum(root, retainVersions = 1)
+    assert(deleted == 8) // the 4×2 loose pre-compaction files
+    // the packed layout survives untouched and still answers + prunes
+    val survivors = new java.io.File(root, "data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
+    assert(packedFiles.map(p => new java.net.URI(p).getPath) == survivors)
+    assert(VersionedTable.read(spark, root).count() == 200)
+    val pruned = VersionedTable.readWhere(spark, root, "k", 5, 15)
+    assert(pruned.count() == 11 && pruned.inputFiles.length == 1)
+  }
+
   test("compact commutes with a concurrent append, aborts on a concurrent rewrite") {
     import spark.implicits._
     // append during compaction: inherited, nothing lost
