@@ -93,6 +93,58 @@ object ScaleProbe {
       }
       spark.stop(); return
     }
+    // persisted-index ingestion probe (`runMain graft.ScaleProbe indexes`):
+    // a FIXED batch checked against a GROWING indexed corpus. The whole
+    // point of the stored indexes is that ingest cost is O(batch) +
+    // a stored-table scan — never a corpus re-sign — so check/strip wall
+    // time must grow far slower than the corpus, while the naive
+    // alternative (re-sign the union every batch) tracks corpus size.
+    if (args.contains("indexes")) {
+      for (mult <- Seq(1, 4, 10)) {
+        // per-iteration: the end-of-iteration blanket unpersist would
+        // destroy a checkpoint shared across iterations
+        val batch = base.filter(col("doc_id") % 10 === 0).localCheckpoint(true)
+        val nb = batch.count()
+        val c = (0 until mult).map(i =>
+          base.filter(col("doc_id") % 10 =!= 0)
+            .select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+              concat(col("text"), lit(s" r$i")).as("text")))
+          .reduce(_ union _).localCheckpoint(true)
+        val n = c.count()
+        def time(name: String)(f: => Long): Unit = {
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val rows = f
+          println(f"[probe] mult=$mult%2d corpus=$n%7d batch=$nb%6d $name%-18s ${(System.nanoTime()-t0)/1e9}%7.2f s  ($rows rows)")
+        }
+        val lshRoot = java.nio.file.Files
+          .createTempDirectory("probe_lsh").resolve("i").toString
+        val spanRoot = java.nio.file.Files
+          .createTempDirectory("probe_span").resolve("i").toString
+        time("lsh_index_build") {
+          graft.operators.LshIndex.build(c, lshRoot); n
+        }
+        time("lsh_index_check") {
+          graft.operators.LshIndex.check(batch, c, lshRoot, 0.8).count()
+        }
+        time("lsh_naive_resign") { // what check() replaces
+          graft.operators.Dedup.ngramJaccardJoin(batch, c, 0.8).count()
+        }
+        time("span_index_build") {
+          graft.operators.SpanIndex.build(c, spanRoot, w = 8); n
+        }
+        time("span_index_strip") {
+          graft.operators.SpanIndex.stripAgainst(batch, spanRoot)
+            .queryExecution.toRdd.count()
+        }
+        graft.sources.Lake.deleteRecursively(
+          new java.io.File(lshRoot).getParentFile)
+        graft.sources.Lake.deleteRecursively(
+          new java.io.File(spanRoot).getParentFile)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
+      spark.stop(); return
+    }
     for (mult <- Seq(1, 4, 10)) {
       val c = corpus(mult).localCheckpoint(true)
       val n = c.count()
