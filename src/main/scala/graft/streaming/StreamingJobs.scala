@@ -489,6 +489,53 @@ object StreamingJobs {
     q.stop()
     VersionedTable.read(spark, tableRoot)
   }
+
+  /** Streaming ingestion with exact-substring stripping at the door —
+    * [[graft.operators.SpanIndex]] wired into `foreachBatch`: each
+    * micro-batch is rebuilt with every span the ACCUMULATED corpus
+    * already contains removed (corpus-first keep semantics), docs
+    * stripped to nothing are dropped, survivors commit atomically to
+    * the corpus table AND their (post-strip) spans to the index — so a
+    * later batch repeating an earlier batch's novel text is stripped
+    * too. First non-empty batch seeds both. Per-batch cost is
+    * O(batch) + one stored-hash equi-join (never a corpus re-read:
+    * the ScaleProbe `indexes` section is the measurement). */
+  def runSpanStripIngestAvailableNow(spark: SparkSession, docsDir: String,
+                                     tableRoot: String, indexRoot: String,
+                                     w: Int = 8): DataFrame = {
+    import graft.operators.SpanIndex
+    import graft.sources.VersionedTable
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(docsDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val in = batch.localCheckpoint(true)
+        if (VersionedTable.latestVersion(tableRoot).isEmpty) {
+          if (!in.isEmpty) {
+            VersionedTable.overwrite(in, tableRoot)
+            SpanIndex.build(in, indexRoot, w)
+          }
+        } else {
+          val stripped = SpanIndex.stripAgainst(in, indexRoot)
+            .filter(length(col("text")) > 0)
+            .select(col("id").as("doc_id"), col("text"))
+            .localCheckpoint(true)
+          if (!stripped.isEmpty) {
+            VersionedTable.append(stripped, tableRoot)
+            SpanIndex.append(stripped, indexRoot)
+          }
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    VersionedTable.read(spark, tableRoot)
+  }
 }
 
 /** Batch gaps-and-islands sessionization — the window-function

@@ -190,4 +190,43 @@ class StreamingSpec extends SparkSuite {
     // exactly one committed version — the empty batch left no v0
     assert(graft.sources.VersionedTable.versions(corpusRoot) == Seq(0L))
   }
+
+  test("streaming span-strip ingest: corpus-known spans removed at the door, index accumulates") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_spaningest").toString
+    val docsDir = s"$root/incoming"
+    new java.io.File(docsDir).mkdirs()
+    def drop(name: String, mtime: Long, rows: Seq[(Long, String)]): Unit = {
+      val tmp = s"$root/stage_$name"
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(docsDir, s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ") // one 8-token span
+    drop("f1", t0, Seq(1L -> s"intro $boiler outro"))
+    // f2: doc 10 repeats f1's boilerplate around NOVEL text; doc 11 is
+    // nothing but corpus-known text -> stripped empty -> dropped
+    val novel = (1 to 8).map(i => s"n$i").mkString(" ")
+    drop("f2", t0 + 5000, Seq(
+      10L -> s"$boiler $novel",
+      11L -> boiler))
+    // f3: repeats doc 10's NOVEL run -> stripped because the index
+    // accumulated the f2 batch's post-strip spans
+    drop("f3", t0 + 10000, Seq(20L -> s"$novel tail words here"))
+    val out = StreamingJobs.runSpanStripIngestAvailableNow(
+      spark, docsDir, s"$root/corpus", s"$root/index")
+    val got = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == s"intro $boiler outro") // seed batch intact
+    assert(got(10L) == novel) // boilerplate stripped, novel text kept
+    assert(!got.contains(11L)) // fully corpus-known -> dropped
+    assert(got(20L) == "tail words here") // f2's novel run now indexed
+    assert(got.size == 3)
+    // one version per surviving batch
+    assert(graft.sources.VersionedTable.versions(s"$root/corpus")
+      == Seq(0L, 1L, 2L))
+  }
 }
