@@ -1389,6 +1389,133 @@ object TextQueries extends QueryModule {
         kept AS (SELECT doc_id, array_to_string(list(tok ORDER BY p), ' ') AS text
                  FROM tokpos ANTI JOIN rem USING (doc_id, p) GROUP BY doc_id)
         SELECT t.doc_id, COALESCE(k.text, '') AS text
-        FROM toks t LEFT JOIN kept k USING (doc_id) ORDER BY doc_id"""))
+        FROM toks t LEFT JOIN kept k USING (doc_id) ORDER BY doc_id""")),
+
+    // Okapi BM25 retrieval (k1 = 1.2, b = 0.75): top-10 documents for
+    // the corpus' own 3 highest-collection-frequency terms — the
+    // lexical-retrieval complement to q62's TF-IDF keyword extraction
+    // and the ANN family's dense retrieval. Scale shape: ONE token
+    // explode+agg into (doc, term) tf; doc lengths, query terms (df +
+    // collection frequency), and the N/avgdl scalars all derive from
+    // that tf frame — the token stream is never re-shuffled; the
+    // 3-term query side broadcasts into the tf join; the final agg is
+    // ≤ 3 rows per doc and orderBy+limit compiles to
+    // TakeOrderedAndProject (no single-partition window). Parity: all
+    // BM25 inputs (tf, df, dl, N) are exact integers, avgdl an exact
+    // integer ratio, so the per-term double is bit-identical in both
+    // engines; per-term scores round to 6 dp and sum through
+    // DECIMAL(18,6) (order-independent) per the QueryModule contract.
+    "q140_bm25" -> Q(
+      run = (s, dir) => {
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+        val tf = toks.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        val qt = tf.groupBy(col("term"))
+          .agg(sum(col("tf")).as("cf"), count(lit(1)).as("df"))
+          .orderBy(col("cf").desc, col("term")).limit(3)
+          .select(col("term"), col("df"))
+        val g = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+        val score =
+          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1)) *
+            (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+        tf.join(broadcast(qt), Seq("term"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(g))
+          .withColumn("s", round(score, 6))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_terms"),
+            sum(col("s").cast(DecimalType(18, 6))).cast(DoubleType).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(10)
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM toks WHERE term <> '' GROUP BY 1, 2),
+        dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        qt AS (SELECT term, df FROM (
+                 SELECT term, CAST(SUM(tf) AS BIGINT) AS cf,
+                        COUNT(*) AS df
+                 FROM tf GROUP BY term)
+               ORDER BY cf DESC, term LIMIT 3),
+        g AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        sc AS (
+          SELECT tf.doc_id,
+                 ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1) *
+                       (tf * 2.2) /
+                       (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS s
+          FROM tf JOIN qt USING (term) JOIN dl USING (doc_id) CROSS JOIN g)
+        SELECT doc_id, COUNT(*) AS n_terms,
+               CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+        FROM sc GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT 10""")),
+
+    // PMI collocations: top-20 bigrams by pointwise mutual information
+    // ln(p(xy) / (p(x)·p(y))) with an occurrence floor (≥ 5) — the
+    // classic multi-word-expression / collocation extractor over a
+    // corpus (q81 counts raw bigram frequency; PMI corrects for the
+    // parts' own frequencies). Tokenization is q81's: plain split on
+    // ' ', bigrams via wordShinglesAll. Scale shape: two explode+agg
+    // shuffles (unigram and bigram counts — different keys, both
+    // map-side combinable), the bigram frame joins the unigram counts
+    // twice on its parts (vocab-sized side → Catalyst broadcasts it at
+    // realistic vocabularies), N/M as a 1-row broadcast dim. Parity:
+    // every probability is a long/long double division written with
+    // identical association on both sides, so the doubles agree
+    // bit-for-bit before the 6 dp round.
+    "q141_pmi_collocations" -> Q(
+      run = (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val uni = docs
+          .select(explode(split(col("text"), " ")).as("t"))
+          .groupBy(col("t")).agg(count(lit(1)).as("c"))
+        val bc = docs
+          .select(explode(graft.functions.TextFunctions
+            .wordShinglesAll(col("text"), 2)).as("bigram"))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("cxy"))
+          .filter(col("cxy") >= 5)
+          .withColumn("x", split(col("bigram"), " ").getItem(0))
+          .withColumn("y", split(col("bigram"), " ").getItem(1))
+        val scal = uni.agg(sum(col("c")).as("n"))
+          .crossJoin(broadcast(docs
+            .select(explode(graft.functions.TextFunctions
+              .wordShinglesAll(col("text"), 2)).as("bg"))
+            .agg(count(lit(1)).as("m"))))
+        val ux = uni.select(col("t").as("x"), col("c").as("cx"))
+        val uy = uni.select(col("t").as("y"), col("c").as("cy"))
+        bc.join(ux, Seq("x")).join(uy, Seq("y"))
+          .crossJoin(broadcast(scal))
+          .select(col("bigram"), col("cxy").as("n_occ"),
+            round(log((col("cxy") / col("m")) /
+              ((col("cx") / col("n")) * (col("cy") / col("n")))), 6).as("pmi"))
+          .orderBy(col("pmi").desc, col("bigram"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        uni AS (SELECT t, COUNT(*) AS c
+                FROM (SELECT UNNEST(w) AS t FROM w) GROUP BY t),
+        b AS (SELECT UNNEST([w[i] || ' ' || w[i+1]
+                             for i in range(1, len(w))]) AS bigram
+              FROM w WHERE len(w) >= 2),
+        bc AS (SELECT bigram, COUNT(*) AS cxy FROM b GROUP BY bigram
+               HAVING COUNT(*) >= 5),
+        s AS (SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS n,
+                     (SELECT COUNT(*) FROM b) AS m)
+        SELECT bigram, CAST(cxy AS BIGINT) AS n_occ,
+               ROUND(ln((cxy / m) /
+                        ((ux.c / n) * (uy.c / n))), 6) AS pmi
+        FROM bc
+        JOIN uni ux ON string_split(bigram, ' ')[1] = ux.t
+        JOIN uni uy ON string_split(bigram, ' ')[2] = uy.t
+        CROSS JOIN s
+        ORDER BY pmi DESC, bigram LIMIT 20"""))
   )
 }

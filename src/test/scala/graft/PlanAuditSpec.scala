@@ -39,6 +39,12 @@ class PlanAuditSpec extends SparkSuite {
       "q88_embedding_contamination",
       // corpus-size N as a 1-row broadcast dim crossed into the tf×df join
       "q62_tfidf",
+      // BM25: the (N, avgdl) scalars as a 1-row broadcast dim crossed
+      // into the tf×query-term join (q62's shape)
+      "q140_bm25",
+      // PMI: the (N, M) token/bigram totals as 1-row broadcast dims
+      // crossed into the bigram×unigram join (q62's shape)
+      "q141_pmi_collocations",
       // PQ ADC scan: the 32-query LUT side is broadcast and every
       // corpus CODE row (m ints, not the vector) is scored map-locally —
       // the intended IVFADC scoring shape; cell pruning (ivfTopK)
