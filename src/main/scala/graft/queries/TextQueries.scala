@@ -1516,6 +1516,137 @@ object TextQueries extends QueryModule {
         JOIN uni ux ON string_split(bigram, ' ')[1] = ux.t
         JOIN uni uy ON string_split(bigram, ' ')[2] = uy.t
         CROSS JOIN s
-        ORDER BY pmi DESC, bigram LIMIT 20"""))
+        ORDER BY pmi DESC, bigram LIMIT 20""")),
+
+    // TextRank keyword extraction: weighted PageRank (d = 0.85, 5
+    // iterations) over the symmetrized word co-occurrence graph
+    // (bigram pairs, self-loops dropped, occurrence floor ≥ 3) — the
+    // graph-centrality keyword ranker next to q62's TF-IDF and q141's
+    // PMI. Scale shape: `Graphs.weightedPageRank` is the Pregel loop —
+    // per iteration one rank×edges equi-join + one map-side-combinable
+    // groupBy(dst), edge list localCheckpoint'ed once, lineage
+    // truncated per round; only scalars (N, (1-d)/N) touch the driver.
+    // Parity: the recurrence is pure FIXED-POINT INTEGER arithmetic —
+    // ranks in 1e-8 units, damping as the integer ratio 85/100, every
+    // division a floor div — so the per-iteration rank vector is
+    // exactly identical in both engines by construction (an iterated
+    // FLOATING recurrence is not portable: Spark round()/format_string
+    // vs DuckDB ROUND()/printf were both measured diverging by 1 ulp
+    // at 8 dp on this corpus). The oracle mirrors it with `//` and a
+    // final CAST back from DuckDB's HUGEINT sum; only the last rescale
+    // (pr / 1e8) touches doubles — one exact division on both sides.
+    "q142_textrank" -> Q(
+      run = (s, dir) => {
+        val bg = Tables(s, dir, "documents")
+          .select(explode(wordShinglesAll(col("text"), 2)).as("bigram"))
+          .select(split(col("bigram"), " ").getItem(0).as("x"),
+            split(col("bigram"), " ").getItem(1).as("y"))
+          .filter(col("x") =!= col("y"))
+          .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 3)
+        val edges = bg
+          .select(col("x").as("src"), col("y").as("dst"), col("c").as("w"))
+          .union(bg
+            .select(col("y").as("src"), col("x").as("dst"), col("c").as("w")))
+          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+        graft.operators.Graphs.weightedPageRank(edges, iters = 5, damping = 0.85)
+          .select(col("node").as("term"), col("pr").as("rank_score"))
+          .orderBy(col("rank_score").desc, col("term"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        b AS (SELECT UNNEST([w[i] || ' ' || w[i+1]
+                             for i in range(1, len(w))]) AS bigram
+              FROM w WHERE len(w) >= 2),
+        bg AS (SELECT x, y, COUNT(*) AS c FROM (
+                 SELECT string_split(bigram, ' ')[1] AS x,
+                        string_split(bigram, ' ')[2] AS y FROM b)
+               WHERE x <> y GROUP BY x, y HAVING COUNT(*) >= 3),
+        e AS (SELECT src, dst, CAST(SUM(c) AS BIGINT) AS w FROM (
+                SELECT x AS src, y AS dst, c FROM bg
+                UNION ALL
+                SELECT y AS src, x AS dst, c FROM bg)
+              GROUP BY src, dst),
+        o AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM e GROUP BY src),
+        nn AS (SELECT COUNT(*) AS n FROM (SELECT DISTINCT src FROM e)),
+        r0 AS (SELECT src AS node,
+                      100000000 // (SELECT n FROM nn) AS pr FROM o),
+        r1 AS (SELECT e.dst AS node,
+                      CAST((100 - 85) * 100000000 //
+                             (100 * (SELECT n FROM nn)) +
+                           (85 * SUM((r.pr * e.w) // o.outw)) // 100
+                           AS BIGINT) AS pr
+               FROM e JOIN r0 r ON e.src = r.node JOIN o ON e.src = o.src
+               GROUP BY e.dst),
+        r2 AS (SELECT e.dst AS node,
+                      CAST((100 - 85) * 100000000 //
+                             (100 * (SELECT n FROM nn)) +
+                           (85 * SUM((r.pr * e.w) // o.outw)) // 100
+                           AS BIGINT) AS pr
+               FROM e JOIN r1 r ON e.src = r.node JOIN o ON e.src = o.src
+               GROUP BY e.dst),
+        r3 AS (SELECT e.dst AS node,
+                      CAST((100 - 85) * 100000000 //
+                             (100 * (SELECT n FROM nn)) +
+                           (85 * SUM((r.pr * e.w) // o.outw)) // 100
+                           AS BIGINT) AS pr
+               FROM e JOIN r2 r ON e.src = r.node JOIN o ON e.src = o.src
+               GROUP BY e.dst),
+        r4 AS (SELECT e.dst AS node,
+                      CAST((100 - 85) * 100000000 //
+                             (100 * (SELECT n FROM nn)) +
+                           (85 * SUM((r.pr * e.w) // o.outw)) // 100
+                           AS BIGINT) AS pr
+               FROM e JOIN r3 r ON e.src = r.node JOIN o ON e.src = o.src
+               GROUP BY e.dst),
+        r5 AS (SELECT e.dst AS node,
+                      CAST((100 - 85) * 100000000 //
+                             (100 * (SELECT n FROM nn)) +
+                           (85 * SUM((r.pr * e.w) // o.outw)) // 100
+                           AS BIGINT) AS pr
+               FROM e JOIN r4 r ON e.src = r.node JOIN o ON e.src = o.src
+               GROUP BY e.dst)
+        SELECT node AS term, pr / 100000000.0 AS rank_score FROM r5
+        ORDER BY rank_score DESC, term LIMIT 20""")),
+
+    // Feature hashing (the hashing-trick vectorizer): every token maps
+    // to bucket = md5-prefix mod 16 — the deterministic, engine-
+    // portable stand-in for murmur3 CountVectorizer featurization
+    // (16, not a realistic 2^18, so the synthetic corpus' ~30-term
+    // vocab actually collides and the collision audit is non-trivial)
+    // — and the query audits the resulting feature space: per-bucket
+    // occurrence mass, distinct-term collisions, and document reach.
+    // Scale shape: one explode, one groupBy(bucket) at fixed-key
+    // cardinality (map-side combinable; the two count-distincts expand
+    // to (bucket, term) / (bucket, doc) partials — both bounded by
+    // vocab and corpus size, never by token count). Parity: the md5
+    // prefix→BIGINT bridge is the repo-standard conv(s,16,10) vs
+    // ('0x'||s)::BIGINT pair; all outputs exact integers.
+    "q143_feature_hashing" -> Q(
+      run = (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+          .withColumn("bucket",
+            conv(substring(md5(col("term")), 1, 8), 16, 10)
+              .cast(LongType) % 16)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_occ"),
+            countDistinct(col("term")).as("n_terms"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy(col("bucket")),
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+          FROM documents),
+        t AS (SELECT doc_id, term,
+                     CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 16
+                       AS bucket
+              FROM toks WHERE term <> '')
+        SELECT bucket, COUNT(*) AS n_occ,
+               CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM t GROUP BY bucket ORDER BY bucket"""))
   )
 }

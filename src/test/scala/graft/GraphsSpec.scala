@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graphs
+
+class GraphsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def edges(rows: (String, String, Long)*) =
+    rows.toDF("src", "dst", "w")
+
+  test("one iteration on a directed pair matches the hand-computed recurrence") {
+    // a -> b (weight 1): N = 2, pr0 = 0.5 each; b is the only in-node.
+    // pr1(b) = 0.15/2 + 0.85 * (0.5 * 1/1) = 0.5
+    // pr1(a) = 0.15/2 = 0.075 (no in-edges; a's out-mass leaves, b dangles)
+    val r = Graphs.weightedPageRank(edges(("a", "b", 1L)), iters = 1)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r("b") - 0.5) < 1e-9)
+    assert(math.abs(r("a") - 0.075) < 1e-9)
+  }
+
+  test("symmetric graph: mass conserved, degree-weighted hub ranks highest") {
+    // path hub: b touches both a and c; symmetrized edge list
+    val sym = edges(
+      ("a", "b", 2L), ("b", "a", 2L),
+      ("b", "c", 1L), ("c", "b", 1L))
+    val r = Graphs.weightedPageRank(sym, iters = 10)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    // no dangling nodes -> total rank mass stays 1 (up to the
+    // fixed-point floor-division leakage, < 1e-8 per edge per round)
+    assert(math.abs(r.values.sum - 1.0) < 1e-5)
+    assert(r("b") > r("a") && r("b") > r("c"))
+    // a sends ALL its mass to b; c likewise -> a and c split b's outflow
+    // by edge weight 2:1
+    assert(r("a") > r("c"))
+  }
+
+  test("deterministic across partitionings (fixed-point integer recurrence)") {
+    val many = (0L until 400L).flatMap { i =>
+      val a = s"n${i % 57}"; val b = s"n${(i * 31 + 7) % 57}"
+      if (a == b) Seq.empty else Seq((a, b, i % 5 + 1), (b, a, i % 5 + 1))
+    }
+    val e1 = many.toDF("src", "dst", "w").repartition(13)
+    val e2 = many.reverse.toDF("src", "dst", "w").repartition(3)
+    val r1 = Graphs.weightedPageRank(e1, iters = 5)
+      .orderBy("node").collect().map(x => (x.getString(0), x.getDouble(1)))
+    val r2 = Graphs.weightedPageRank(e2, iters = 5)
+      .orderBy("node").collect().map(x => (x.getString(0), x.getDouble(1)))
+    assert(r1.sameElements(r2))
+  }
+
+  test("rejects empty edges and bad knobs") {
+    intercept[IllegalArgumentException] {
+      Graphs.weightedPageRank(edges(), iters = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Graphs.weightedPageRank(edges(("a", "b", 1L)), iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graphs.weightedPageRank(edges(("a", "b", 1L)), damping = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Graphs.weightedPageRank(edges(("a", "b", 1L)), damping = 0.001)
+    }
+  }
+}
