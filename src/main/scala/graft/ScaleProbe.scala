@@ -145,6 +145,44 @@ object ScaleProbe {
       }
       spark.stop(); return
     }
+    // weighted-PageRank probe (`runMain graft.ScaleProbe pagerank`):
+    // replicas carry DISJOINT token spaces (every word salted with the
+    // replica index), so the co-occurrence graph is a disjoint union
+    // of per-replica graphs — nodes AND edges grow linearly with mult
+    // and replica 0's true rank vector is unchanged. The Pregel loop
+    // costs one O(E) join + one O(E) combinable agg per iteration, so
+    // wall time must track the edge count, never N² or E·N.
+    if (args.contains("pagerank")) {
+      def saltCorpus(m: Int) = (0 until m).map(i =>
+        base.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", "$1" + s"_r$i").as("text")))
+        .reduce(_ union _)
+      for (mult <- Seq(1, 4, 10)) {
+        val c = saltCorpus(mult).localCheckpoint(true)
+        c.count()
+        val bg = c.select(explode(graft.functions.TextFunctions
+            .wordShinglesAll(col("text"), 2)).as("bigram"))
+          .select(split(col("bigram"), " ").getItem(0).as("x"),
+            split(col("bigram"), " ").getItem(1).as("y"))
+          .filter(col("x") =!= col("y"))
+          .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 3)
+        val edges = bg
+          .select(col("x").as("src"), col("y").as("dst"), col("c").as("w"))
+          .union(bg
+            .select(col("y").as("src"), col("x").as("dst"), col("c").as("w")))
+          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+          .localCheckpoint(true)
+        val ne = edges.count()
+        val t0 = System.nanoTime()
+        val nv = graft.operators.Graphs.weightedPageRank(edges, iters = 5)
+          .queryExecution.toRdd.count()
+        println(f"[probe] mult=$mult%2d edges=$ne%8d pagerank_5it       " +
+          f"${(System.nanoTime() - t0) / 1e9}%7.2f s  ($nv nodes)")
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
+      spark.stop(); return
+    }
     for (mult <- Seq(1, 4, 10)) {
       val c = corpus(mult).localCheckpoint(true)
       val n = c.count()

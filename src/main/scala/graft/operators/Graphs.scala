@@ -48,7 +48,8 @@ object Graphs {
     * Returns `(node, pr)` for all N nodes, pr in [0, 1].
     */
   def weightedPageRank(edges: DataFrame, iters: Int = 5,
-                       damping: Double = 0.85): DataFrame = {
+                       damping: Double = 0.85,
+                       teleport: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val dNum = math.round(damping * 100).toInt
     require(dNum > 0 && dNum < 100,
@@ -56,14 +57,28 @@ object Graphs {
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     // (src, dst, w, outw) — built once, reused every round
     val ew = edges.join(outw, Seq("src")).localCheckpoint(true)
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+    // nodes carry their teleport membership (`tele`: 1/0) — with no
+    // teleport set, every node is a restart target (plain PageRank)
+    val nodes = {
+      val all = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      teleport match {
+        case None => all.withColumn("tele", lit(1))
+        case Some(t) =>
+          val ts = t.select(col(t.columns.head).as("node")).distinct()
+          all.join(ts.withColumn("__t", lit(1)), Seq("node"), "left")
+            .select(col("node"),
+              when(col("__t").isNotNull, lit(1)).otherwise(lit(0)).as("tele"))
+      }
+    }.localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "weightedPageRank: empty edge list")
-    // (1-d)/N in 1e-8 units, floor — exact long arithmetic
-    val baseS = (100L - dNum) * 100000000L / (100L * n)
-    var ranks = nodes.select(col("node"), lit(100000000L / n).as("pr_s"))
+    val s = nodes.filter(col("tele") === 1).count()
+    require(s > 0, "weightedPageRank: teleport set disjoint from graph nodes")
+    // (1-d)/|S| restart mass in 1e-8 units, floor — exact long arithmetic
+    val baseS = (100L - dNum) * 100000000L / (100L * s)
+    var ranks = nodes
+      .selectExpr("node", "tele", s"tele * ${100000000L / s} AS pr_s")
       .localCheckpoint(true)
     var i = 0
     while (i < iters) {
@@ -71,8 +86,8 @@ object Graphs {
         .selectExpr("dst", "(pr_s * w) div outw AS c")
         .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
       val next = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
-        .selectExpr("node",
-          s"$baseS + ($dNum * coalesce(in_mass, 0)) div 100 AS pr_s")
+        .selectExpr("node", "tele",
+          s"tele * $baseS + ($dNum * coalesce(in_mass, 0)) div 100 AS pr_s")
         .localCheckpoint(true)
       ranks.unpersist()
       ranks = next
@@ -80,5 +95,70 @@ object Graphs {
     }
     ew.unpersist()
     ranks.select(col("node"), (col("pr_s") / lit(1.0e8)).as("pr"))
+  }
+
+  /** Exact triangle count + global clustering coefficient over an
+    * UNDIRECTED edge list `(u, v)` (self-loops and duplicate/reversed
+    * pairs tolerated — canonicalized internally).
+    *
+    * Algorithm: degree orientation (Cohen's MR triangle counting) —
+    * orient every edge from the (degree, id)-smaller endpoint to the
+    * larger, so each triangle is counted exactly once at its
+    * lowest-degree corner and no node's oriented out-degree exceeds
+    * O(sqrt(E)). Wedges are generated by self-joining the ORIENTED
+    * list on `src` (Σ outdeg² work, immune to the hub blowup a raw
+    * undirected wedge join suffers — a degree-10^6 hub contributes
+    * 10^12 raw wedges but only its sqrt-bounded oriented fan), then
+    * closed by one equi-join back to the oriented list.
+    *
+    * Parity: counts are exact integers; the clustering coefficient is
+    * one long/long double division (3·triangles / wedges), identical
+    * bits in any engine.
+    *
+    * Returns one row: `(n_triangles, n_wedges, global_cc)` where
+    * `n_wedges` = Σ_v C(deg(v), 2) over the undirected graph and
+    * `global_cc` = 3·triangles / wedges (0.0 for a wedge-free graph).
+    */
+  def triangleStats(pairs: DataFrame): DataFrame = {
+    val und = pairs
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient u→v iff (deg(u), u) < (deg(v), v)
+    val oriented = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t"),
+            col("dv").as("dt")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"),
+            col("du").as("dt"))).as("e"))
+      .select(col("e.s").as("src"), col("e.t").as("dst"),
+        col("e.dt").as("ddst"))
+      .localCheckpoint(true)
+    val e2 = oriented
+      .select(col("src").as("src2"), col("dst").as("dst2"),
+        col("ddst").as("ddst2"))
+    val wedgePairs = oriented.join(e2, col("src") === col("src2") &&
+      (col("ddst") < col("ddst2") ||
+        (col("ddst") === col("ddst2") && col("dst") < col("dst2"))))
+    val closed = wedgePairs.join(
+      oriented.select(col("src").as("cs"), col("dst").as("cd")),
+      col("dst") === col("cs") && col("dst2") === col("cd"), "semi"
+    )
+    val tri = closed.agg(count(lit(1)).as("n_triangles"))
+    val wedges = deg
+      .agg(sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"))
+    tri.crossJoin(broadcast(wedges))
+      .select(col("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") === 0, lit(0.0))
+          .otherwise((lit(3) * col("n_triangles")) / col("n_wedges"))
+          .as("global_cc"))
   }
 }

@@ -12,6 +12,26 @@ import graft.plans.RollingHash
   * token counting, quality signals, language ID, fingerprinting. */
 object TextQueries extends QueryModule {
 
+  /** Symmetrized word co-occurrence graph over `documents` — bigram
+    * pairs, self-loops dropped, occurrence floor ≥ 3 — as an edge list
+    * `(src, dst, w)`. Shared by the graph-analytics family
+    * (q142/q144/q145); two explode+agg shuffles, both map-side
+    * combinable. */
+  private def cooccurrenceEdges(s: org.apache.spark.sql.SparkSession,
+                                dir: String) = {
+    val bg = Tables(s, dir, "documents")
+      .select(explode(wordShinglesAll(col("text"), 2)).as("bigram"))
+      .select(split(col("bigram"), " ").getItem(0).as("x"),
+        split(col("bigram"), " ").getItem(1).as("y"))
+      .filter(col("x") =!= col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 3)
+    bg.select(col("x").as("src"), col("y").as("dst"), col("c").as("w"))
+      .union(bg
+        .select(col("y").as("src"), col("x").as("dst"), col("c").as("w")))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+  }
+
   override def entries: Seq[(String, Q)] = Seq(
 
     // Whitespace + BPE-ish subword token counts, rolled up per lang.
@@ -1536,24 +1556,12 @@ object TextQueries extends QueryModule {
     // final CAST back from DuckDB's HUGEINT sum; only the last rescale
     // (pr / 1e8) touches doubles — one exact division on both sides.
     "q142_textrank" -> Q(
-      run = (s, dir) => {
-        val bg = Tables(s, dir, "documents")
-          .select(explode(wordShinglesAll(col("text"), 2)).as("bigram"))
-          .select(split(col("bigram"), " ").getItem(0).as("x"),
-            split(col("bigram"), " ").getItem(1).as("y"))
-          .filter(col("x") =!= col("y"))
-          .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
-          .filter(col("c") >= 3)
-        val edges = bg
-          .select(col("x").as("src"), col("y").as("dst"), col("c").as("w"))
-          .union(bg
-            .select(col("y").as("src"), col("x").as("dst"), col("c").as("w")))
-          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
-        graft.operators.Graphs.weightedPageRank(edges, iters = 5, damping = 0.85)
+      run = (s, dir) =>
+        graft.operators.Graphs
+          .weightedPageRank(cooccurrenceEdges(s, dir), iters = 5, damping = 0.85)
           .select(col("node").as("term"), col("pr").as("rank_score"))
           .orderBy(col("rank_score").desc, col("term"))
-          .limit(20)
-      },
+          .limit(20),
       oracle = Some("""
         WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
         b AS (SELECT UNNEST([w[i] || ' ' || w[i+1]
@@ -1647,6 +1655,149 @@ object TextQueries extends QueryModule {
         SELECT bucket, COUNT(*) AS n_occ,
                CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms,
                CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
-        FROM t GROUP BY bucket ORDER BY bucket"""))
+        FROM t GROUP BY bucket ORDER BY bucket""")),
+
+    // Personalized PageRank: same graph and fixed-point recurrence as
+    // q142, but the (1-d) restart mass returns only to a SEED set
+    // (terms of length ≥ 6) instead of uniformly — the topic-/domain-
+    // conditioned authority ranker (seeded crawl prioritization,
+    // query-biased keyword extraction). Teleport membership is a
+    // deterministic predicate so the oracle can re-derive it; the
+    // operator semi-matches the seed frame against the graph's node
+    // set and errors on a disjoint seed. Parity: identical integer
+    // recurrence with a per-node CASE on the restart term.
+    "q144_pagerank_personalized" -> Q(
+      run = (s, dir) => {
+        val edges = cooccurrenceEdges(s, dir)
+        val seeds = edges.select(col("src").as("node")).distinct()
+          .filter(length(col("node")) >= 6)
+        graft.operators.Graphs
+          .weightedPageRank(edges, iters = 5, damping = 0.85,
+            teleport = Some(seeds))
+          .select(col("node").as("term"), col("pr").as("rank_score"))
+          .orderBy(col("rank_score").desc, col("term"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        b AS (SELECT UNNEST([w[i] || ' ' || w[i+1]
+                             for i in range(1, len(w))]) AS bigram
+              FROM w WHERE len(w) >= 2),
+        bg AS (SELECT x, y, COUNT(*) AS c FROM (
+                 SELECT string_split(bigram, ' ')[1] AS x,
+                        string_split(bigram, ' ')[2] AS y FROM b)
+               WHERE x <> y GROUP BY x, y HAVING COUNT(*) >= 3),
+        e AS (SELECT src, dst, CAST(SUM(c) AS BIGINT) AS w FROM (
+                SELECT x AS src, y AS dst, c FROM bg
+                UNION ALL
+                SELECT y AS src, x AS dst, c FROM bg)
+              GROUP BY src, dst),
+        o AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM e GROUP BY src),
+        ss AS (SELECT COUNT(*) AS s FROM o WHERE length(src) >= 6),
+        r0 AS (SELECT src AS node,
+                      CASE WHEN length(src) >= 6
+                           THEN 100000000 // (SELECT s FROM ss)
+                           ELSE 0 END AS pr FROM o),
+        r1 AS (SELECT e.dst AS node,
+                      CAST(CASE WHEN length(e.dst) >= 6
+                             THEN (100 - 85) * 100000000 //
+                                  (100 * (SELECT s FROM ss))
+                             ELSE 0 END +
+                           (85 * SUM((r.pr * e.w) // o.outw)) // 100
+                           AS BIGINT) AS pr
+               FROM e JOIN r0 r ON e.src = r.node JOIN o ON e.src = o.src
+               GROUP BY e.dst),
+        r2 AS (SELECT e.dst AS node,
+                      CAST(CASE WHEN length(e.dst) >= 6
+                             THEN (100 - 85) * 100000000 //
+                                  (100 * (SELECT s FROM ss))
+                             ELSE 0 END +
+                           (85 * SUM((r.pr * e.w) // o.outw)) // 100
+                           AS BIGINT) AS pr
+               FROM e JOIN r1 r ON e.src = r.node JOIN o ON e.src = o.src
+               GROUP BY e.dst),
+        r3 AS (SELECT e.dst AS node,
+                      CAST(CASE WHEN length(e.dst) >= 6
+                             THEN (100 - 85) * 100000000 //
+                                  (100 * (SELECT s FROM ss))
+                             ELSE 0 END +
+                           (85 * SUM((r.pr * e.w) // o.outw)) // 100
+                           AS BIGINT) AS pr
+               FROM e JOIN r2 r ON e.src = r.node JOIN o ON e.src = o.src
+               GROUP BY e.dst),
+        r4 AS (SELECT e.dst AS node,
+                      CAST(CASE WHEN length(e.dst) >= 6
+                             THEN (100 - 85) * 100000000 //
+                                  (100 * (SELECT s FROM ss))
+                             ELSE 0 END +
+                           (85 * SUM((r.pr * e.w) // o.outw)) // 100
+                           AS BIGINT) AS pr
+               FROM e JOIN r3 r ON e.src = r.node JOIN o ON e.src = o.src
+               GROUP BY e.dst),
+        r5 AS (SELECT e.dst AS node,
+                      CAST(CASE WHEN length(e.dst) >= 6
+                             THEN (100 - 85) * 100000000 //
+                                  (100 * (SELECT s FROM ss))
+                             ELSE 0 END +
+                           (85 * SUM((r.pr * e.w) // o.outw)) // 100
+                           AS BIGINT) AS pr
+               FROM e JOIN r4 r ON e.src = r.node JOIN o ON e.src = o.src
+               GROUP BY e.dst)
+        SELECT node AS term, pr / 100000000.0 AS rank_score FROM r5
+        ORDER BY rank_score DESC, term LIMIT 20""")),
+
+    // Exact triangle census of the co-occurrence graph: triangle
+    // count, wedge count, global clustering coefficient — the graph-
+    // structure audit (how clique-ish is the corpus vocabulary).
+    // Scale shape: `Graphs.triangleStats` uses degree orientation
+    // (Cohen's MR algorithm) — every edge points from its (degree,id)-
+    // smaller endpoint, each triangle is counted once at its lowest-
+    // degree corner, and the wedge self-join fans out Σ outdeg² with
+    // outdeg bounded ~sqrt(E) — immune to the hub blowup of a raw
+    // wedge join. Parity: exact integer counts; the coefficient is one
+    // long/long double division written identically on both sides.
+    "q145_triangles" -> Q(
+      run = (s, dir) =>
+        graft.operators.Graphs.triangleStats(
+          cooccurrenceEdges(s, dir)
+            .select(col("src").as("u"), col("dst").as("v"))),
+      oracle = Some("""
+        WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        b AS (SELECT UNNEST([w[i] || ' ' || w[i+1]
+                             for i in range(1, len(w))]) AS bigram
+              FROM w WHERE len(w) >= 2),
+        bg AS (SELECT x, y, COUNT(*) AS c FROM (
+                 SELECT string_split(bigram, ' ')[1] AS x,
+                        string_split(bigram, ' ')[2] AS y FROM b)
+               WHERE x <> y GROUP BY x, y HAVING COUNT(*) >= 3),
+        und AS (SELECT DISTINCT LEAST(x, y) AS u, GREATEST(x, y) AS v
+                FROM bg),
+        deg AS (SELECT node, COUNT(*) AS deg FROM (
+                  SELECT u AS node FROM und
+                  UNION ALL SELECT v AS node FROM und) GROUP BY node),
+        o AS (SELECT CASE WHEN du.deg < dv.deg
+                            OR (du.deg = dv.deg AND u < v)
+                          THEN u ELSE v END AS src,
+                     CASE WHEN du.deg < dv.deg
+                            OR (du.deg = dv.deg AND u < v)
+                          THEN v ELSE u END AS dst,
+                     CASE WHEN du.deg < dv.deg
+                            OR (du.deg = dv.deg AND u < v)
+                          THEN dv.deg ELSE du.deg END AS ddst
+              FROM und
+              JOIN deg du ON und.u = du.node
+              JOIN deg dv ON und.v = dv.node),
+        tri AS (SELECT COUNT(*) AS n_triangles
+                FROM o e1 JOIN o e2 ON e1.src = e2.src
+                  AND (e1.ddst < e2.ddst
+                       OR (e1.ddst = e2.ddst AND e1.dst < e2.dst))
+                WHERE EXISTS (SELECT 1 FROM o e3
+                              WHERE e3.src = e1.dst AND e3.dst = e2.dst)),
+        wg AS (SELECT CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT)
+                 AS n_wedges FROM deg)
+        SELECT CAST(n_triangles AS BIGINT) AS n_triangles, n_wedges,
+               CASE WHEN n_wedges = 0 THEN 0.0
+                    ELSE (3 * n_triangles) / n_wedges END AS global_cc
+        FROM tri CROSS JOIN wg"""))
   )
 }

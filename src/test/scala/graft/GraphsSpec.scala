@@ -50,6 +50,50 @@ class GraphsSpec extends SparkSuite {
     assert(r1.sameElements(r2))
   }
 
+  test("personalized PageRank: directed pair, hand-computed teleport mass") {
+    // a -> b, teleport {a}: S = {a}, pr0 = (1e8, 0).
+    // pr1(b) = 0 + 0.85 * (1.0 * 1/1) = 0.85; pr1(a) = 0.15/|S| = 0.15
+    val r = Graphs.weightedPageRank(edges(("a", "b", 1L)), iters = 1,
+        teleport = Some(Seq("a").toDF("node")))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("a") == 0.15 && r("b") == 0.85)
+  }
+
+  test("personalized PageRank: rank concentrates around the seed") {
+    // symmetric path a-b-c with restart at a: the far end ranks lowest
+    val sym = edges(
+      ("a", "b", 1L), ("b", "a", 1L),
+      ("b", "c", 1L), ("c", "b", 1L))
+    val r = Graphs.weightedPageRank(sym, iters = 20,
+        teleport = Some(Seq("a").toDF("node")))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("a") > r("c"))
+    // teleport set disjoint from the graph is a hard error
+    intercept[IllegalArgumentException] {
+      Graphs.weightedPageRank(sym, iters = 1,
+        teleport = Some(Seq("zz").toDF("node")))
+    }
+  }
+
+  test("triangleStats: known small graphs") {
+    def stats(rows: (String, String)*) = {
+      val df = rows.toDF("u", "v")
+      Graphs.triangleStats(df).collect().head
+    }
+    val tri = stats(("a", "b"), ("b", "c"), ("c", "a"))
+    assert(tri.getLong(0) == 1L && tri.getLong(1) == 3L &&
+      tri.getDouble(2) == 1.0)
+    val square = stats(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+    assert(square.getLong(0) == 0L && square.getLong(1) == 4L &&
+      square.getDouble(2) == 0.0)
+    // K4: 4 triangles, 12 wedges, cc = 1; duplicate + reversed edges
+    // and self-loops are canonicalized away
+    val k4 = stats(("a", "b"), ("b", "a"), ("a", "b"), ("a", "c"),
+      ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"), ("d", "d"))
+    assert(k4.getLong(0) == 4L && k4.getLong(1) == 12L &&
+      k4.getDouble(2) == 1.0)
+  }
+
   test("rejects empty edges and bad knobs") {
     intercept[IllegalArgumentException] {
       Graphs.weightedPageRank(edges(), iters = 1)

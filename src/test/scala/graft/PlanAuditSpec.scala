@@ -51,7 +51,10 @@ class PlanAuditSpec extends SparkSuite {
       // composes in front of it when the corpus is cell-clustered
       "q122_pq_topk",
       // same ADC scan shape over the PERSISTED codes table
-      "q125_pq_index"),
+      "q125_pq_index",
+      // triangle census: the 1-row triangle-count and wedge-count
+      // scalars crossed into the single output row (q62's shape)
+      "q145_triangles"),
     "Exchange SinglePartition" -> Set(
       // global row_number over the tiny DISTINCT dim (W1 parity shape;
       // fact-scale keys use PartitionOffsetKeyGen)
