@@ -494,6 +494,35 @@ object ExtendedQueries extends QueryModule {
         SELECT cohort_week, w - cohort_week AS week_offset,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
         FROM a JOIN f USING (user_id)
-        GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""))
+        GROUP BY 1, 2 ORDER BY cohort_week, week_offset""")),
+
+    // Count-Min sketch: point-frequency estimation as the fourth
+    // mergeable sketch next to KLL/FreqItems/HLL — one depth×width
+    // counter table over the token stream (map-side combinable; merge
+    // is elementwise addition, so partials persist and roll up with
+    // plain built-ins, bit-identical to the single pass — spec-pinned).
+    // The query reports the 10 highest exact-count tokens with their
+    // CMS estimates and overcounts at a deliberately narrow width so
+    // collisions are visible. Murmur-seeded buckets aren't
+    // reproducible in DuckDB → rows-only check; CountMinSpec pins the
+    // one-sided error (est ≥ exact, bounded overcount), partition
+    // invariance, and the merge path.
+    "q146_countmin" -> Q(
+      run = (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+        val exact = toks.groupBy(col("term"))
+          .agg(count(lit(1)).as("exact"))
+          .orderBy(col("exact").desc, col("term")).limit(10)
+        val sk = toks.agg(
+          graft.operators.CountMin.sketch("term", 4, 16).as("sk"))
+        exact.crossJoin(broadcast(sk))
+          .select(col("term"), col("exact"),
+            graft.operators.CountMin
+              .estimate(col("sk"), col("term"), 4, 16).as("cms_est"))
+          .withColumn("overcount", col("cms_est") - col("exact"))
+          .orderBy(col("exact").desc, col("term"))
+      })
   )
 }

@@ -54,7 +54,10 @@ class PlanAuditSpec extends SparkSuite {
       "q125_pq_index",
       // triangle census: the 1-row triangle-count and wedge-count
       // scalars crossed into the single output row (q62's shape)
-      "q145_triangles"),
+      "q145_triangles",
+      // CMS: the 1-row sketch table broadcast into the top-10 exact
+      // counts (q62's shape)
+      "q146_countmin"),
     "Exchange SinglePartition" -> Set(
       // global row_number over the tiny DISTINCT dim (W1 parity shape;
       // fact-scale keys use PartitionOffsetKeyGen)
