@@ -1798,6 +1798,50 @@ object TextQueries extends QueryModule {
         SELECT CAST(n_triangles AS BIGINT) AS n_triangles, n_wedges,
                CASE WHEN n_wedges = 0 THEN 0.0
                     ELSE (3 * n_triangles) / n_wedges END AS global_cc
-        FROM tri CROSS JOIN wg"""))
+        FROM tri CROSS JOIN wg""")),
+
+    // Adamic-Adar link prediction on the co-occurrence graph: top-20
+    // UNCONNECTED term pairs by Σ 1/ln(deg) over their common
+    // neighbors — the classic "which nodes should be linked"
+    // similarity signal (on a dedup graph: likely-missed duplicate
+    // pairs). Scale shape: `Graphs.adamicAdar` — one z-centered
+    // adjacency self-join (Σ deg² wedges, ultra-hubs dropped via the
+    // maxDegree knob since centers cannot be degree-oriented away),
+    // one anti-join against the edge list, one combinable groupBy.
+    // Parity: deg exact ints; each 1/ln(deg) term is rounded ONCE to
+    // 6 dp and summed through DECIMAL(18,6) — the single-shot rounding
+    // contract (portable, unlike the iterated q142 case).
+    "q147_adamic_adar" -> Q(
+      run = (s, dir) =>
+        graft.operators.Graphs.adamicAdar(
+          cooccurrenceEdges(s, dir)
+            .select(col("src").as("u"), col("dst").as("v")),
+          maxDegree = 10000L)
+          .orderBy(col("aa_score").desc, col("u"), col("v"))
+          .limit(20),
+      oracle = Some("""
+        WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        b AS (SELECT UNNEST([w[i] || ' ' || w[i+1]
+                             for i in range(1, len(w))]) AS bigram
+              FROM w WHERE len(w) >= 2),
+        bg AS (SELECT x, y, COUNT(*) AS c FROM (
+                 SELECT string_split(bigram, ' ')[1] AS x,
+                        string_split(bigram, ' ')[2] AS y FROM b)
+               WHERE x <> y GROUP BY x, y HAVING COUNT(*) >= 3),
+        und AS (SELECT DISTINCT LEAST(x, y) AS u, GREATEST(x, y) AS v
+                FROM bg),
+        adj AS (SELECT u AS z, v AS n FROM und
+                UNION ALL SELECT v AS z, u AS n FROM und),
+        deg AS (SELECT z, COUNT(*) AS deg FROM adj GROUP BY z),
+        adjc AS (SELECT a.z, a.n, d.deg FROM adj a JOIN deg d USING (z)
+                 WHERE d.deg BETWEEN 2 AND 10000),
+        wg AS (SELECT l.n AS u, r.n AS v, l.deg
+               FROM adjc l JOIN adjc r ON l.z = r.z AND l.n < r.n),
+        unc AS (SELECT u, v, deg FROM wg ANTI JOIN und USING (u, v))
+        SELECT u, v, COUNT(*) AS common_neighbors,
+               CAST(SUM(CAST(ROUND(1.0 / ln(deg), 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) AS aa_score
+        FROM unc GROUP BY u, v
+        ORDER BY aa_score DESC, u, v LIMIT 20"""))
   )
 }

@@ -94,6 +94,25 @@ class GraphsSpec extends SparkSuite {
       k4.getDouble(2) == 1.0)
   }
 
+  test("adamicAdar: hand-computed scores, hub cap, connected pairs excluded") {
+    def aa(maxDeg: Long, rows: (String, String)*) =
+      Graphs.adamicAdar(rows.toDF("u", "v"), maxDeg)
+        .collect()
+        .map(x => (x.getString(0), x.getString(1)) ->
+          (x.getLong(2), x.getDouble(3))).toMap
+    // path a-b-c: (a,c) share b (deg 2) -> 1/ln(2) rounded to 6 dp
+    val path = aa(10000L, ("a", "b"), ("b", "c"))
+    assert(path.keySet == Set(("a", "c")))
+    assert(path(("a", "c")) == ((1L, 1.442695)))
+    // star s-(l1,l2,l3): every leaf pair shares s (deg 3) -> 1/ln(3)
+    val star = aa(10000L, ("s", "l1"), ("s", "l2"), ("s", "l3"))
+    assert(star.size == 3 && star.values.forall(_ == ((1L, 0.910239))))
+    // hub cap: with maxDegree = 2 the star center is dropped entirely
+    assert(aa(2L, ("s", "l1"), ("s", "l2"), ("s", "l3")).isEmpty)
+    // triangle: all pairs already connected -> nothing to predict
+    assert(aa(10000L, ("a", "b"), ("b", "c"), ("c", "a")).isEmpty)
+  }
+
   test("rejects empty edges and bad knobs") {
     intercept[IllegalArgumentException] {
       Graphs.weightedPageRank(edges(), iters = 1)
