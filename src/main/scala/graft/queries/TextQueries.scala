@@ -1842,6 +1842,79 @@ object TextQueries extends QueryModule {
                CAST(SUM(CAST(ROUND(1.0 / ln(deg), 6) AS DECIMAL(18,6)))
                     AS DOUBLE) AS aa_score
         FROM unc GROUP BY u, v
-        ORDER BY aa_score DESC, u, v LIMIT 20"""))
+        ORDER BY aa_score DESC, u, v LIMIT 20""")),
+
+    // Degree assortativity (Newman's r) + basic graph audit of the
+    // co-occurrence graph: do high-degree terms co-occur with other
+    // high-degree terms (r > 0) or with rare ones (r < 0)? One pass:
+    // canonical undirected edges, each annotated with its endpoint
+    // degrees, folded into four exact integer sums (M, Σ(j+k),
+    // Σ(j²+k²), Σjk) from which r is one closed-form double
+    // expression. Scale shape: two vocab-sized joins + one combinable
+    // aggregation to 1 row; the 1-row stats frames cross via
+    // broadcast. Parity: all sums exact integers, the final
+    // expression is written token-identically on both sides, rounded
+    // once to 6 dp.
+    "q148_graph_assortativity" -> Q(
+      run = (s, dir) => {
+        val und = cooccurrenceEdges(s, dir)
+          .select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v"))
+          .distinct()
+        val deg = und.select(col("u").as("node"))
+          .union(und.select(col("v").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        val e = und
+          .join(deg.select(col("node").as("u"), col("deg").as("j")), Seq("u"))
+          .join(deg.select(col("node").as("v"), col("deg").as("k")), Seq("v"))
+        val sums = e.agg(count(lit(1)).as("m"),
+          sum(col("j") + col("k")).as("s1"),
+          sum(col("j") * col("j") + col("k") * col("k")).as("s2"),
+          sum(col("j") * col("k")).as("s3"))
+        val nd = deg.agg(count(lit(1)).as("n_nodes"),
+          max(col("deg")).as("max_degree"))
+        val mu2 = (col("s1") / (lit(2.0) * col("m"))) *
+          (col("s1") / (lit(2.0) * col("m")))
+        val den = col("s2") / (lit(2.0) * col("m")) - mu2
+        sums.crossJoin(broadcast(nd))
+          .select(col("n_nodes"), col("m").as("n_edges"), col("max_degree"),
+            round(when(den === 0, lit(0.0))
+              .otherwise((col("s3") / col("m") - mu2) / den), 6)
+              .as("assortativity"))
+      },
+      oracle = Some("""
+        WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        b AS (SELECT UNNEST([w[i] || ' ' || w[i+1]
+                             for i in range(1, len(w))]) AS bigram
+              FROM w WHERE len(w) >= 2),
+        bg AS (SELECT x, y, COUNT(*) AS c FROM (
+                 SELECT string_split(bigram, ' ')[1] AS x,
+                        string_split(bigram, ' ')[2] AS y FROM b)
+               WHERE x <> y GROUP BY x, y HAVING COUNT(*) >= 3),
+        und AS (SELECT DISTINCT LEAST(x, y) AS u, GREATEST(x, y) AS v
+                FROM bg),
+        deg AS (SELECT node, COUNT(*) AS deg FROM (
+                  SELECT u AS node FROM und
+                  UNION ALL SELECT v AS node FROM und) GROUP BY node),
+        e AS (SELECT du.deg AS j, dv.deg AS k
+              FROM und
+              JOIN deg du ON und.u = du.node
+              JOIN deg dv ON und.v = dv.node),
+        s AS (SELECT COUNT(*) AS m,
+                     CAST(SUM(j + k) AS BIGINT) AS s1,
+                     CAST(SUM(j * j + k * k) AS BIGINT) AS s2,
+                     CAST(SUM(j * k) AS BIGINT) AS s3 FROM e),
+        nd AS (SELECT COUNT(*) AS n_nodes,
+                      CAST(MAX(deg) AS BIGINT) AS max_degree FROM deg)
+        SELECT n_nodes, m AS n_edges, max_degree,
+               ROUND(CASE WHEN s2 / (2.0 * m) -
+                            (s1 / (2.0 * m)) * (s1 / (2.0 * m)) = 0
+                          THEN 0.0
+                          ELSE (s3 / m -
+                                (s1 / (2.0 * m)) * (s1 / (2.0 * m))) /
+                               (s2 / (2.0 * m) -
+                                (s1 / (2.0 * m)) * (s1 / (2.0 * m)))
+                     END, 6) AS assortativity
+        FROM s CROSS JOIN nd"""))
   )
 }

@@ -57,7 +57,10 @@ class PlanAuditSpec extends SparkSuite {
       "q145_triangles",
       // CMS: the 1-row sketch table broadcast into the top-10 exact
       // counts (q62's shape)
-      "q146_countmin"),
+      "q146_countmin",
+      // assortativity: the two 1-row stats frames crossed into the
+      // single output row (q62's shape)
+      "q148_graph_assortativity"),
     "Exchange SinglePartition" -> Set(
       // global row_number over the tiny DISTINCT dim (W1 parity shape;
       // fact-scale keys use PartitionOffsetKeyGen)
