@@ -120,6 +120,67 @@ object Graphs {
     * `n_wedges` = Σ_v C(deg(v), 2) over the undirected graph and
     * `global_cc` = 3·triangles / wedges (0.0 for a wedge-free graph).
     */
+  /** Multi-source BFS hop labeling over a directed edge list
+    * `(src, dst, ...)`: the minimum number of hops from any seed node
+    * to every graph node — reachability/distance labeling (crawl
+    * depth, contamination spread, "how far is every doc from the
+    * trusted set"). Feed a symmetrized edge list for undirected
+    * semantics.
+    *
+    * Scale shape: the Pregel relaxation loop — per round one
+    * dist×edges equi-join + one min-aggregation (map-side combinable)
+    * + one least() update against the node list, lineage truncated per
+    * round; rounds = graph diameter (≤ `maxIter`). Convergence is
+    * detected exactly and for free: distances only decrease, so the
+    * total distance sum is strictly monotone and equality between
+    * rounds means fixpoint.
+    *
+    * Parity: distances are pure integers (sentinel 999999 for
+    * unreached internally, emitted as -1) — an unrolled oracle of ≥
+    * diameter rounds matches exactly.
+    *
+    * Returns `(node, hops)` for all graph nodes; unreachable → -1.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame,
+              maxIter: Int = 20): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val UNSEEN = 999999L
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    val ss = seeds.select(col(seeds.columns.head).as("node")).distinct()
+      .withColumn("__s", lit(1))
+    val flagged = nodes.join(ss, Seq("node"), "left")
+      .select(col("node"),
+        when(col("__s").isNotNull, lit(0L)).otherwise(lit(UNSEEN)).as("d"))
+      .localCheckpoint(true)
+    require(!flagged.filter(col("d") === 0L).isEmpty,
+      "bfsHops: no seed node appears in the graph")
+    var dist = flagged
+    var prevSum = dist.agg(sum(col("d"))).head().getLong(0)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = e.join(dist, e("src") === dist("node"))
+        .select(col("dst"), (col("d") + 1L).as("pd"))
+        .groupBy(col("dst")).agg(min(col("pd")).as("pd"))
+      val next = dist.join(prop, dist("node") === prop("dst"), "left")
+        .select(col("node"),
+          least(col("d"), coalesce(col("pd"), lit(UNSEEN))).as("d"))
+        .localCheckpoint(true)
+      val s = next.agg(sum(col("d"))).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      dist.unpersist()
+      dist = next
+      i += 1
+    }
+    e.unpersist()
+    dist.select(col("node"),
+      when(col("d") === UNSEEN, lit(-1L)).otherwise(col("d")).as("hops"))
+  }
+
   /** Adamic-Adar link prediction over an UNDIRECTED edge list
     * `(u, v)`: for every UNCONNECTED pair sharing at least one
     * neighbor, score = Σ over common neighbors z of 1/ln(deg(z)) —

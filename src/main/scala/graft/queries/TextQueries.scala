@@ -1915,6 +1915,62 @@ object TextQueries extends QueryModule {
                                (s2 / (2.0 * m) -
                                 (s1 / (2.0 * m)) * (s1 / (2.0 * m)))
                      END, 6) AS assortativity
-        FROM s CROSS JOIN nd"""))
+        FROM s CROSS JOIN nd""")),
+
+    // Multi-source BFS hop labeling: distance of every vocabulary term
+    // from the "long-term" seed set (length ≥ 8) in the co-occurrence
+    // graph — reachability/distance labeling (crawl depth from a
+    // trusted set, contamination spread). `Graphs.bfsHops` runs the
+    // Pregel relaxation loop to exact fixpoint (distance-sum
+    // monotonicity makes convergence detection one scalar per round);
+    // the oracle unrolls 4 relaxation rounds — more than this graph's
+    // diameter, so fixpoint and unrolled agree. Parity: pure integer
+    // distances with a 999999 unreached sentinel emitted as -1;
+    // min-plus relaxation is order-independent.
+    "q149_bfs_hops" -> Q(
+      run = (s, dir) => {
+        val edges = cooccurrenceEdges(s, dir)
+        val seeds = edges.select(col("src").as("node")).distinct()
+          .filter(length(col("node")) >= 8)
+        graft.operators.Graphs.bfsHops(edges, seeds)
+          .select(col("node").as("term"), col("hops"))
+          .orderBy(col("hops"), col("term"))
+      },
+      oracle = Some("""
+        WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        b AS (SELECT UNNEST([w[i] || ' ' || w[i+1]
+                             for i in range(1, len(w))]) AS bigram
+              FROM w WHERE len(w) >= 2),
+        bg AS (SELECT x, y, COUNT(*) AS c FROM (
+                 SELECT string_split(bigram, ' ')[1] AS x,
+                        string_split(bigram, ' ')[2] AS y FROM b)
+               WHERE x <> y GROUP BY x, y HAVING COUNT(*) >= 3),
+        e AS (SELECT DISTINCT src, dst FROM (
+                SELECT x AS src, y AS dst FROM bg
+                UNION ALL SELECT y AS src, x AS dst FROM bg)),
+        n AS (SELECT DISTINCT src AS node FROM e),
+        d0 AS (SELECT node,
+                      CAST(CASE WHEN length(node) >= 8 THEN 0
+                                ELSE 999999 END AS BIGINT) AS d FROM n),
+        p1 AS (SELECT e.dst AS node, MIN(dp.d + 1) AS pd
+               FROM e JOIN d0 dp ON e.src = dp.node GROUP BY e.dst),
+        d1 AS (SELECT d0.node, LEAST(d0.d, COALESCE(p1.pd, 999999)) AS d
+               FROM d0 LEFT JOIN p1 USING (node)),
+        p2 AS (SELECT e.dst AS node, MIN(dp.d + 1) AS pd
+               FROM e JOIN d1 dp ON e.src = dp.node GROUP BY e.dst),
+        d2 AS (SELECT d1.node, LEAST(d1.d, COALESCE(p2.pd, 999999)) AS d
+               FROM d1 LEFT JOIN p2 USING (node)),
+        p3 AS (SELECT e.dst AS node, MIN(dp.d + 1) AS pd
+               FROM e JOIN d2 dp ON e.src = dp.node GROUP BY e.dst),
+        d3 AS (SELECT d2.node, LEAST(d2.d, COALESCE(p3.pd, 999999)) AS d
+               FROM d2 LEFT JOIN p3 USING (node)),
+        p4 AS (SELECT e.dst AS node, MIN(dp.d + 1) AS pd
+               FROM e JOIN d3 dp ON e.src = dp.node GROUP BY e.dst),
+        d4 AS (SELECT d3.node, LEAST(d3.d, COALESCE(p4.pd, 999999)) AS d
+               FROM d3 LEFT JOIN p4 USING (node))
+        SELECT node AS term,
+               CAST(CASE WHEN d = 999999 THEN -1 ELSE d END AS BIGINT)
+                 AS hops
+        FROM d4 ORDER BY hops, term"""))
   )
 }

@@ -113,6 +113,33 @@ class GraphsSpec extends SparkSuite {
     assert(aa(10000L, ("a", "b"), ("b", "c"), ("c", "a")).isEmpty)
   }
 
+  test("bfsHops: hand-computed distances, unreachable, seed validation") {
+    def hops(seeds: Seq[String], rows: (String, String)*) =
+      Graphs.bfsHops(
+        rows.toDF("src", "dst").withColumn("w", lit(1L)),
+        seeds.toDF("node"))
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // directed path a->b->c->d from a: 0,1,2,3 (3 relaxation rounds)
+    assert(hops(Seq("a"), ("a", "b"), ("b", "c"), ("c", "d")) ==
+      Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L))
+    // symmetric path seeded mid-chain
+    assert(hops(Seq("b"),
+      ("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+      ("c", "d"), ("d", "c")) ==
+      Map("a" -> 1L, "b" -> 0L, "c" -> 1L, "d" -> 2L))
+    // disconnected component is unreachable -> -1
+    assert(hops(Seq("a"), ("a", "b"), ("c", "d")) ==
+      Map("a" -> 0L, "b" -> 1L, "c" -> -1L, "d" -> -1L))
+    // multi-seed: min over seeds wins
+    assert(hops(Seq("a", "d"), ("a", "b"), ("b", "c"), ("c", "d"),
+      ("d", "c")) ==
+      Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 0L))
+    // a seed set disjoint from the graph is a hard error
+    intercept[IllegalArgumentException] {
+      hops(Seq("zz"), ("a", "b"))
+    }
+  }
+
   test("rejects empty edges and bad knobs") {
     intercept[IllegalArgumentException] {
       Graphs.weightedPageRank(edges(), iters = 1)
