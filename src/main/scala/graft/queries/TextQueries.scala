@@ -1971,6 +1971,104 @@ object TextQueries extends QueryModule {
         SELECT node AS term,
                CAST(CASE WHEN d = 999999 THEN -1 ELSE d END AS BIGINT)
                  AS hops
-        FROM d4 ORDER BY hops, term"""))
+        FROM d4 ORDER BY hops, term""")),
+
+    // Boolean AND retrieval over the inverted-index shape: documents
+    // containing ALL of the corpus' 3 highest-collection-frequency
+    // terms, with their total matched-term frequency — the
+    // conjunctive-query complement to q140's ranked BM25. Scale
+    // shape: ONE token explode+agg into (doc, term) postings; the
+    // 3-term query side broadcasts into the postings join; the AND is
+    // a count-of-matched-terms filter in one combinable groupBy —
+    // postings never self-join. Parity: exact integers.
+    "q150_boolean_retrieval" -> Q(
+      run = (s, dir) => {
+        val tf = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val qt = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+          .orderBy(col("cf").desc, col("term")).limit(3)
+          .select(col("term"))
+        tf.join(broadcast(qt), Seq("term"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("total_tf"))
+          .filter(col("n_terms") === 3)
+          .select(col("doc_id"), col("total_tf"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf
+               FROM toks WHERE term <> '' GROUP BY 1, 2),
+        qt AS (SELECT term FROM (
+                 SELECT term, CAST(SUM(tf) AS BIGINT) AS cf
+                 FROM tf GROUP BY term)
+               ORDER BY cf DESC, term LIMIT 3)
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS total_tf
+        FROM tf JOIN qt USING (term)
+        GROUP BY doc_id HAVING COUNT(*) = 3
+        ORDER BY doc_id""")),
+
+    // Positional phrase search: occurrences of the corpus' most
+    // frequent word TRIGRAM located through the positional-index
+    // shape — token (doc, position, term) rows, the 1-row phrase
+    // broadcast into the first-word postings, adjacency closed by
+    // (doc, p+1) / (doc, p+2) equi-joins. This is the plan a k-word
+    // phrase query compiles to over a positional inverted index (the
+    // exact-match complement to q139's span index); all joins are
+    // equi (position arithmetic is a join-key expression), nothing
+    // scans pairs. Parity: positions come from the same raw token
+    // array on both sides (0- vs 1-based bases cancel in relative
+    // offsets); counts exact.
+    "q151_phrase_search" -> Q(
+      run = (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val tk = docs
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .toDF("doc_id", "p", "term")
+        val tri = docs
+          .select(explode(wordShinglesAll(col("text"), 3)).as("tg"))
+          .groupBy(col("tg")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("tg")).limit(1)
+          .select(split(col("tg"), " ").getItem(0).as("w1"),
+            split(col("tg"), " ").getItem(1).as("w2"),
+            split(col("tg"), " ").getItem(2).as("w3"))
+        val t1 = tk.toDF("doc_id1", "p1", "t1")
+        val t2 = tk.toDF("doc_id2", "p2", "t2")
+        tk.join(broadcast(tri), col("term") === col("w1"))
+          .join(t1, col("doc_id1") === col("doc_id") &&
+            col("p1") === col("p") + 1 && col("t1") === col("w2"))
+          .join(t2, col("doc_id2") === col("doc_id") &&
+            col("p2") === col("p") + 2 && col("t2") === col("w3"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_occ"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH wl AS (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents),
+        tg AS (SELECT UNNEST([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                              for i in range(1, len(t) - 1)]) AS tg
+               FROM wl WHERE len(t) >= 3),
+        top AS (SELECT string_split(tg, ' ')[1] AS w1,
+                       string_split(tg, ' ')[2] AS w2,
+                       string_split(tg, ' ')[3] AS w3
+                FROM (SELECT tg, COUNT(*) AS c FROM tg GROUP BY tg
+                      ORDER BY c DESC, tg LIMIT 1)),
+        tokpos AS (SELECT doc_id, p, t[p] AS tok
+                   FROM wl, LATERAL (SELECT unnest(
+                     generate_series(1, len(t))) AS p) g)
+        SELECT t0.doc_id, COUNT(*) AS n_occ
+        FROM tokpos t0
+        JOIN top ON t0.tok = top.w1
+        JOIN tokpos t1 ON t1.doc_id = t0.doc_id AND t1.p = t0.p + 1
+                      AND t1.tok = top.w2
+        JOIN tokpos t2 ON t2.doc_id = t0.doc_id AND t2.p = t0.p + 2
+                      AND t2.tok = top.w3
+        GROUP BY t0.doc_id ORDER BY t0.doc_id"""))
   )
 }
