@@ -31,10 +31,21 @@ object CountMin {
     * sketch because CMS merge is elementwise long addition. Input must
     * be sketches of identical depth×width; returns one row with column
     * `sketchCol`. */
-  def mergeAll(df: DataFrame, sketchCol: String): DataFrame =
+  def mergeAll(df: DataFrame, sketchCol: String): DataFrame = {
+    // guard: positional sum over MIXED depth×width sketches would
+    // silently produce a garbage sketch (positions happily align) —
+    // require one size. One map-local pass + distinct over the
+    // sketch table (partial-sketch-sized, never corpus-sized).
+    val sizes = df.select(size(col(sketchCol)).as("sz"))
+      .distinct().limit(2).collect()
+    require(sizes.length <= 1,
+      s"mergeAll: input sketches disagree on depth*width " +
+        s"(${sizes.map(_.getInt(0)).mkString(" vs ")}) — " +
+        "all partials must come from the same sketch(depth, width)")
     df.select(posexplode(col(sketchCol)))
       .groupBy(col("pos")).agg(sum(col("col")).as("c"))
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("c")))),
         x => x.getField("c")).as(sketchCol))
+  }
 }

@@ -95,6 +95,9 @@ object Graphs {
       i += 1
     }
     ew.unpersist()
+    // nodes is fully folded into the final ranks checkpoint — free it
+    // eagerly like ew/ranks instead of waiting for GC
+    nodes.unpersist()
     ranks.select(col("node"), (col("pr_s") / lit(1.0e8)).as("pr"))
   }
 

@@ -646,13 +646,20 @@ object CoreQueries extends QueryModule {
     // one. DuckDB's ASOF is backward-only, so the oracle ranks all
     // same-user purchases by |Δt| with an explicit backward tie-break —
     // a completely independent realization that must agree row-for-row.
+    // Purchases are pre-aggregated to ONE row per (user, ts) on BOTH
+    // sides: with duplicate per-user purchase timestamps, |Δt|+side
+    // can't order equal-time rows, so the oracle's ROW_NUMBER (and the
+    // native exec's equal-time keep-last) would each pick an arbitrary
+    // survivor — collapsing duplicates first makes both engines
+    // deterministic for any future dataset.
     "q120_asof_nearest" -> Q(
       run = (s, dir) => {
         val ev = t(s, dir, "events")
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("user_id"), col("ts"), col("event_id"))
         val purchases = ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts"), col("value").as("nearest_purchase"))
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("nearest_purchase"))
         graft.operators.AsOfJoin
           .asOfNative(clicks, purchases, "user_id", "ts", "nearest", None)
           .select(col("event_id"), col("user_id"), col("nearest_purchase"))
@@ -666,8 +673,8 @@ object CoreQueries extends QueryModule {
                    CASE WHEN p.ts <= c.ts THEN 0 ELSE 1 END) AS rn
           FROM (SELECT user_id, ts, event_id FROM events
                 WHERE event_type = 'click') c
-          LEFT JOIN (SELECT user_id, ts, value FROM events
-                     WHERE event_type = 'purchase') p
+          LEFT JOIN (SELECT user_id, ts, MAX(value) AS value FROM events
+                     WHERE event_type = 'purchase' GROUP BY 1, 2) p
             ON c.user_id = p.user_id)
         WHERE rn = 1 ORDER BY event_id""")),
 

@@ -29,11 +29,25 @@ trait QueryModule {
   /** Temp work dir for queries that build tables/indexes inside the
     * run, deleted on JVM exit — repeated gate/bench runs must not leak
     * disk (cleanup is exit-time because lazily-evaluated reads may
-    * re-open the files until the session ends). */
+    * re-open the files until the session ends). ONE shared shutdown
+    * hook drains the queue — registering a hook per call would
+    * accumulate an unbounded number of hook threads across repeated
+    * gate/bench runs in a long-lived session. */
   protected def tempRoot(prefix: String): java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      graft.sources.Lake.deleteRecursively(p.toFile)))
+    QueryModule.tempDirs.add(p)
     p
   }
+}
+
+object QueryModule {
+  private val tempDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    var p = tempDirs.poll()
+    while (p != null) {
+      graft.sources.Lake.deleteRecursively(p.toFile)
+      p = tempDirs.poll()
+    }
+  }))
 }

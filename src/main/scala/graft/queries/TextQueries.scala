@@ -32,6 +32,28 @@ object TextQueries extends QueryModule {
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
   }
 
+  /** Term-frequency postings `(doc_id, term, tf)` over `documents` —
+    * the inverted-index base shared by the retrieval family
+    * (q62 TF-IDF, q140 BM25, q150 boolean AND). ONE token explode +
+    * map-side-combinable agg; doc lengths, document frequencies, and
+    * query-term selection all derive from this frame so the token
+    * stream is shuffled exactly once per query. */
+  private def termPostings(s: org.apache.spark.sql.SparkSession,
+                           dir: String) =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Positional postings `(doc_id, p, term)` — the positional
+    * inverted-index base for phrase search (q151). */
+  private def positionalPostings(s: org.apache.spark.sql.SparkSession,
+                                 dir: String) =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "p", "term")
+
   override def entries: Seq[(String, Q)] = Seq(
 
     // Whitespace + BPE-ish subword token counts, rolled up per lang.
@@ -190,13 +212,12 @@ object TextQueries extends QueryModule {
     "q62_tfidf" -> Q(
       run = (s, dir) => {
         val docs = Tables(s, dir, "documents")
-        val toks = docs
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-          .filter(col("term") =!= "")
         // df derives from tf (one row per (doc, term) already) — never
-        // re-explode + re-shuffle the full token stream for it
-        val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // re-explode + re-shuffle the full token stream for it.
+        // localCheckpoint (not persist): the caller can never unpersist a
+        // cache created inside a builder, so a persist here leaks a
+        // CacheManager entry per invocation (round-2/3 pathology).
+        val tf = termPostings(s, dir).localCheckpoint(true)
         val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n_docs"))
         val w = Window.partitionBy(col("doc_id"))
@@ -1427,12 +1448,9 @@ object TextQueries extends QueryModule {
     // DECIMAL(18,6) (order-independent) per the QueryModule contract.
     "q140_bm25" -> Q(
       run = (s, dir) => {
-        val toks = Tables(s, dir, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-          .filter(col("term") =!= "")
-        val tf = toks.groupBy(col("doc_id"), col("term"))
-          .agg(count(lit(1)).as("tf"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // localCheckpoint (not persist): a builder-owned persist can
+        // never be unpersisted by the caller — CacheManager leak.
+        val tf = termPostings(s, dir).localCheckpoint(true)
         val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
         val qt = tf.groupBy(col("term"))
           .agg(sum(col("tf")).as("cf"), count(lit(1)).as("df"))
@@ -1983,11 +2001,7 @@ object TextQueries extends QueryModule {
     // postings never self-join. Parity: exact integers.
     "q150_boolean_retrieval" -> Q(
       run = (s, dir) => {
-        val tf = Tables(s, dir, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-          .filter(col("term") =!= "")
-          .groupBy(col("doc_id"), col("term"))
-          .agg(count(lit(1)).as("tf"))
+        val tf = termPostings(s, dir)
         val qt = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
           .orderBy(col("cf").desc, col("term")).limit(3)
           .select(col("term"))
@@ -2027,9 +2041,7 @@ object TextQueries extends QueryModule {
     "q151_phrase_search" -> Q(
       run = (s, dir) => {
         val docs = Tables(s, dir, "documents")
-        val tk = docs
-          .select(col("doc_id"), posexplode(split(col("text"), " ")))
-          .toDF("doc_id", "p", "term")
+        val tk = positionalPostings(s, dir)
         val tri = docs
           .select(explode(wordShinglesAll(col("text"), 3)).as("tg"))
           .groupBy(col("tg")).agg(count(lit(1)).as("c"))

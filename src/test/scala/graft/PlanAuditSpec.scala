@@ -75,6 +75,8 @@ class PlanAuditSpec extends SparkSuite {
 
   test("every plan is free of non-allowlisted scale anti-patterns") {
     val violations = scala.collection.mutable.ListBuffer.empty[String]
+    val cacheLeaks = scala.collection.mutable.ListBuffer.empty[String]
+    spark.sharedState.cacheManager.clearCache()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!skip(name)) {
         val plan = fn(spark, sf).queryExecution
@@ -83,8 +85,18 @@ class PlanAuditSpec extends SparkSuite {
           if (plan.contains(pattern) && !ok(name))
             violations += s"$name: $pattern"
         }
+        // Cache-lifecycle guard: a builder may persist internally only if
+        // it unpersists before returning (Dedup's loop pattern) — a
+        // persist that survives builder return can never be freed by the
+        // caller and leaks a CacheManager entry per invocation (the
+        // round-2/3 memory-squeeze pathology; see README cache rule).
+        if (!spark.sharedState.cacheManager.isEmpty) {
+          cacheLeaks += s"$name: CacheManager entry leaked by builder"
+          spark.sharedState.cacheManager.clearCache()
+        }
       }
     }
     assert(violations.isEmpty, violations.mkString("\n"))
+    assert(cacheLeaks.isEmpty, cacheLeaks.mkString("\n"))
   }
 }
