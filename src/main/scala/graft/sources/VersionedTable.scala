@@ -48,6 +48,9 @@ object VersionedTable {
   private def manifestFile(root: String, v: Long): File =
     new File(logDir(root), f"$v%012d.manifest")
 
+  private def checkpointFile(root: String, v: Long): File =
+    new File(logDir(root), f"$v%012d.checkpoint")
+
   /** Existing versions, ascending; empty if the table doesn't exist. */
   def versions(root: String): Seq[Long] = {
     val d = logDir(root)
@@ -58,11 +61,89 @@ object VersionedTable {
 
   def latestVersion(root: String): Option[Long] = versions(root).lastOption
 
+  /** Raw lines of one manifest FILE (full listing or delta directives —
+    * use [[readListing]] for the resolved file list of a version). */
   private def readManifest(root: String, v: Long): Seq[String] = {
     val txt = new String(
       Files.readAllBytes(manifestFile(root, v).toPath), StandardCharsets.UTF_8)
     txt.linesIterator.filter(_.nonEmpty).toSeq
   }
+
+  // -------------------------------------------------------------------
+  // Delta log + checkpoints (the Delta-Lake _last_checkpoint role).
+  //
+  // A manifest file is either a FULL listing (every line `path[\tstats]`
+  // — the only format before round 6, still written by overwrite/
+  // restore whose content is inherently their own file set) or a DELTA:
+  // a `#delta` header followed by `-\t<path>` (file removed vs the
+  // previous version) and `+\t<line>` (file added, stats kept on the
+  // line). Append-family commits write O(batch) delta bytes instead of
+  // re-writing the whole listing — at 10^6 accumulated files a daily
+  // append no longer writes (and every reader no longer parses) a
+  // ~100 MB listing per commit.
+  //
+  // Readers resolve a version by walking back at most
+  // `checkpointInterval` manifests: every Nth delta commit also writes
+  // `<v>.checkpoint`, the full resolved listing at v (side file, not
+  // the commit — commit-file bytes stay O(batch) for EVERY commit; the
+  // checkpoint is deterministic from the log, so a best-effort
+  // overwrite is safe and a crashed checkpoint write costs only a
+  // longer walk). Old tables (all-full manifests) resolve on the first
+  // file touched. Checkpoint writes are amortized O(total/N).
+  // -------------------------------------------------------------------
+
+  private val DeltaHeader = "#delta"
+
+  /** Every Nth commit gets a checkpoint (Delta's default is 10). */
+  private[sources] val checkpointInterval: Long = 10L
+
+  private def isDelta(lines: Seq[String]): Boolean =
+    lines.headOption.contains(DeltaHeader)
+
+  private def deltaContent(removed: Seq[String], added: Seq[String]): Seq[String] =
+    DeltaHeader +: (removed.map(p => s"-\t${pathOf(p)}") ++ added.map("+\t" + _))
+
+  /** Resolved file list (manifest LINES, stats preserved) of version
+    * `v`: nearest checkpoint-or-full-manifest at-or-below `v`, plus the
+    * delta suffix replayed oldest→newest. */
+  private[sources] def readListing(root: String, v: Long): Seq[String] = {
+    var deltas = List.empty[Seq[String]] // newest..oldest → prepend = replay order
+    var cur = v
+    var base: Seq[String] = null
+    while (base == null) {
+      val ckpt = checkpointFile(root, cur)
+      if (ckpt.exists()) {
+        val txt = new String(Files.readAllBytes(ckpt.toPath), StandardCharsets.UTF_8)
+        base = txt.linesIterator.filter(_.nonEmpty).toSeq
+      } else {
+        val lines = readManifest(root, cur)
+        if (isDelta(lines)) {
+          require(cur > 0, s"version 0 of $root cannot be a delta")
+          deltas ::= lines.tail
+          cur -= 1
+        } else base = lines
+      }
+    }
+    deltas.foldLeft(base) { (listing, delta) =>
+      val removed = delta.collect { case l if l.startsWith("-\t") => l.drop(2) }.toSet
+      val added = delta.collect { case l if l.startsWith("+\t") => l.drop(2) }
+      (if (removed.isEmpty) listing
+       else listing.filterNot(l => removed.contains(pathOf(l)))) ++ added
+    }
+  }
+
+  /** Best-effort full-listing checkpoint for `v` (idempotent — content
+    * is deterministic from the log; REPLACE_EXISTING is safe). */
+  private def writeCheckpoint(root: String, v: Long): Unit = {
+    val listing = readListing(root, v)
+    val tmp = Files.createTempFile(logDir(root).toPath, s"_ckpt$v", ".inprogress")
+    Files.write(tmp, listing.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, checkpointFile(root, v).toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def maybeCheckpoint(root: String, v: Long): Unit =
+    if (v > 0 && v % checkpointInterval == 0) writeCheckpoint(root, v)
 
   /** Atomic commit of `files` as version `v`. Fails if someone else
     * committed `v` first (optimistic concurrency) — callers retry from
@@ -210,9 +291,11 @@ object VersionedTable {
                       statsCols: String*): Long = {
     val staged = stageDataFiles(df, root, nextVersion(root))
     val lines = statLines(df.sparkSession, staged, statsCols)
-    commitWithRetry(root, maxRetries = 5) { _ =>
-      latestVersion(root).map(readManifest(root, _)).getOrElse(Seq.empty) ++ lines
+    val v = commitWithRetry(root, maxRetries = 5) { v =>
+      if (v == 0) lines else deltaContent(Seq.empty, lines)
     }
+    maybeCheckpoint(root, v)
+    v
   }
 
   /** Z-ORDER clustered overwrite: both columns are quantile-bucketed
@@ -261,9 +344,11 @@ object VersionedTable {
     val clustered = zCluster(df, colA, colB, numFiles, buckets)
     val staged = stageDataFiles(clustered, root, nextVersion(root))
     val lines = statLines(df.sparkSession, staged, Seq(colA, colB))
-    commitWithRetry(root, maxRetries = 5) { _ =>
-      latestVersion(root).map(readManifest(root, _)).getOrElse(Seq.empty) ++ lines
+    val v = commitWithRetry(root, maxRetries = 5) { v =>
+      if (v == 0) lines else deltaContent(Seq.empty, lines)
     }
+    maybeCheckpoint(root, v)
+    v
   }
 
   /** Range read with manifest-level data skipping: only files whose
@@ -276,7 +361,7 @@ object VersionedTable {
   def readWhere(spark: SparkSession, root: String, statsCol: String,
                 lo: Long, hi: Long): DataFrame = {
     val v = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
-    val lines = readManifest(root, v)
+    val lines = readListing(root, v)
     val kept = lines.filter { ln =>
       statsOf(ln).get(statsCol) match {
         case Some((flo, fhi)) => fhi >= lo && flo <= hi
@@ -297,9 +382,14 @@ object VersionedTable {
     * retrying with the fresh manifest is always safe). */
   def append(df: DataFrame, root: String): Long = {
     val staged = stageDataFiles(df, root, nextVersion(root))
-    commitWithRetry(root, maxRetries = 5) { _ =>
-      latestVersion(root).map(readManifest(root, _)).getOrElse(Seq.empty) ++ staged
+    // delta commit: O(batch) bytes regardless of accumulated file count
+    // (append-vs-append commutes by construction — the delta carries no
+    // copy of the previous listing to go stale on a lost race)
+    val v = commitWithRetry(root, maxRetries = 5) { v =>
+      if (v == 0) staged else deltaContent(Seq.empty, staged)
     }
+    maybeCheckpoint(root, v)
+    v
   }
 
   /** Snapshot read of a specific version (time travel). mergeSchema:
@@ -308,7 +398,7 @@ object VersionedTable {
     * reconstructed from the version's file footers, old files reading
     * null for new columns. */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
-    val files = readManifest(root, v).map(pathOf)
+    val files = readListing(root, v).map(pathOf)
     require(files.nonEmpty, s"version $v of $root has no files")
     spark.read.option("mergeSchema", "true").parquet(files: _*)
   }
@@ -352,7 +442,7 @@ object VersionedTable {
     var attempt = 0
     while (true) {
       val base = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
-      val files = readManifest(root, base) // manifest LINES (stats kept on carry)
+      val files = readListing(root, base) // listing LINES (stats kept on carry)
       val target = spark.read.option("mergeSchema", "true")
         .parquet(files.map(pathOf): _*)
       // schema evolution (the Delta mergeSchema role): source-only
@@ -369,11 +459,12 @@ object VersionedTable {
         .join(srcKeys, keyCols, "left_semi")
         .select(col("__file")).distinct()
         .collect().map(_.getString(0).split('/').last).toSet
-      // partition the LINES: untouched carry their stats verbatim;
-      // touched are re-read by path (their rewrites get no stats —
+      // select the touched LINES; untouched lines are never listed in
+      // the delta commit at all (they carry their stats implicitly);
+      // touched files are re-read by path (their rewrites get no stats —
       // conservative, never-skipped)
-      val (touched0, untouched) =
-        files.partition(f => touchedNames.contains(pathOf(f).split('/').last))
+      val touched0 =
+        files.filter(f => touchedNames.contains(pathOf(f).split('/').last))
       val touched = touched0.map(pathOf)
       val src = source.select(outCols.map(col): _*)
       val rewritten =
@@ -389,8 +480,14 @@ object VersionedTable {
       val v = base + 1
       val staged = stageDataFiles(rewritten, root, v)
       beforeCommit()
-      try return commitManifest(root, v, untouched ++ staged)
-      catch {
+      // delta commit: `-` the rewritten files, `+` the staged rewrite —
+      // O(touched + batch) bytes, not O(total files)
+      try {
+        val committed =
+          commitManifest(root, v, deltaContent(touched0, staged))
+        maybeCheckpoint(root, committed)
+        return committed
+      } catch {
         case e: java.nio.file.FileAlreadyExistsException =>
           staged.foreach(p => Files.deleteIfExists(new File(p).toPath))
           attempt += 1
@@ -411,8 +508,8 @@ object VersionedTable {
   def readChangesSince(spark: SparkSession, root: String,
                        sinceV: Long): DataFrame = {
     val latest = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
-    val before = readManifest(root, sinceV).map(pathOf).toSet
-    val added = readManifest(root, latest).map(pathOf).filterNot(before)
+    val before = readListing(root, sinceV).map(pathOf).toSet
+    val added = readListing(root, latest).map(pathOf).filterNot(before)
     if (added.isEmpty) readVersion(spark, root, latest).limit(0)
     else spark.read.option("mergeSchema", "true").parquet(added: _*)
   }
@@ -426,8 +523,8 @@ object VersionedTable {
     * are never read. */
   def diffVersions(spark: SparkSession, root: String,
                    v1: Long, v2: Long): DataFrame = {
-    val f1 = readManifest(root, v1).map(pathOf).toSet
-    val f2 = readManifest(root, v2).map(pathOf).toSet
+    val f1 = readListing(root, v1).map(pathOf).toSet
+    val f2 = readListing(root, v2).map(pathOf).toSet
     def readOr(paths: Seq[String], other: Seq[String]): DataFrame =
       if (paths.nonEmpty)
         spark.read.option("mergeSchema", "true").parquet(paths: _*)
@@ -489,7 +586,7 @@ object VersionedTable {
               maxRetries: Int = 5,
               beforeCommit: () => Unit = () => ()): Long = {
     val base = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
-    val lines = readManifest(root, base)
+    val lines = readListing(root, base)
     val (smallLines, _) =
       lines.partition(ln => new File(pathOf(ln)).length() < targetBytes)
     if (smallLines.length <= 1) return base // nothing to pack
@@ -508,18 +605,21 @@ object VersionedTable {
     var attempt = 0
     while (true) {
       val cur = latestVersion(root).get
-      val curLines = readManifest(root, cur)
+      val curLines = readListing(root, cur)
       if (!smallSet.subsetOf(curLines.map(pathOf).toSet)) {
         staged.foreach(p => Files.deleteIfExists(new File(p).toPath))
         throw new java.util.ConcurrentModificationException(
           s"file compacted from $root was rewritten concurrently; " +
             "aborting compaction — re-run against the new snapshot")
       }
-      val manifest =
-        curLines.filterNot(ln => smallSet.contains(pathOf(ln))) ++ newLines
       beforeCommit()
-      try return commitManifest(root, cur + 1, manifest)
-      catch {
+      // delta commit: `-` the packed small files, `+` their replacement
+      try {
+        val committed =
+          commitManifest(root, cur + 1, deltaContent(smallLines, newLines))
+        maybeCheckpoint(root, committed)
+        return committed
+      } catch {
         case e: java.nio.file.FileAlreadyExistsException =>
           attempt += 1
           if (attempt > maxRetries) {
@@ -535,21 +635,34 @@ object VersionedTable {
     * list — the table's latest state becomes the old snapshot while
     * history (and audit) is preserved. */
   def restore(root: String, v: Long): Long = {
-    val files = readManifest(root, v)
+    // full listing on purpose: a restore's content IS the old file set,
+    // and the full manifest doubles as a walk-back barrier
+    val files = readListing(root, v)
     commitManifest(root, nextVersion(root), files)
   }
 
   /** VACUUM: drop manifests older than the last `retainVersions` and
-    * delete data files no retained manifest references. Returns the
-    * number of data files deleted. */
+    * delete data files no retained manifest references. The oldest
+    * RETAINED version gets a checkpoint first — a retained delta
+    * manifest must stay resolvable once the older manifests it would
+    * walk back through are gone. Returns the number of data files
+    * deleted. */
   def vacuum(root: String, retainVersions: Int = 1): Int = {
     val vs = versions(root)
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - retainVersions))
-    val live = keep.flatMap(readManifest(root, _).map(pathOf)).toSet
+    keep.headOption.foreach { oldest =>
+      if (!checkpointFile(root, oldest).exists() &&
+          isDelta(readManifest(root, oldest)))
+        writeCheckpoint(root, oldest)
+    }
+    val live = keep.flatMap(readListing(root, _).map(pathOf)).toSet
     val dead = Option(dataDir(root).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.endsWith(".parquet") && !live.contains(f.getPath))
     dead.foreach(_.delete())
-    drop.foreach(v => manifestFile(root, v).delete())
+    drop.foreach { v =>
+      manifestFile(root, v).delete()
+      checkpointFile(root, v).delete()
+    }
     dead.length
   }
 }

@@ -108,11 +108,7 @@ class VersionedTableSpec extends SparkSuite {
     // the v0 file (keys 1,2 — no match) survives byte-identical AND is
     // referenced by the new manifest; the v1 file was replaced
     assert(after(untouchedName) == before(untouchedName))
-    val m = classOf[VersionedTable.type].getDeclaredMethods
-      .find(_.getName == "readManifest").get
-    m.setAccessible(true)
-    val latestFiles = m.invoke(VersionedTable, root, java.lang.Long.valueOf(2L))
-      .asInstanceOf[Seq[String]]
+    val latestFiles = VersionedTable.readListing(root, 2L)
     assert(latestFiles.exists(_.endsWith(untouchedName)))
     assert(!latestFiles.exists(_.split('/').last.startsWith("v00001-")))
     assert(VersionedTable.read(spark, root).as[(Int, String)].collect().toSet
@@ -451,5 +447,42 @@ class VersionedTableSpec extends SparkSuite {
     // the merge's result is intact; no compacted-away resurrection
     assert(VersionedTable.read(spark, r2).as[(Int, String)].collect().toSet
       == Set((1, "A"), (2, "b")))
+  }
+
+  test("append chain: delta commits are O(batch), checkpoints bound the walk") {
+    import spark.implicits._
+    val root = tmpRoot()
+    VersionedTable.overwrite(Seq((0, "r")).toDF("k", "v").repartition(1), root)
+    val sizes = (1 to 24).map { i =>
+      VersionedTable.append(Seq((i, s"r$i")).toDF("k", "v").repartition(1), root)
+      new java.io.File(root, f"_log/${i.toLong}%012d.manifest").length()
+    }
+    // the commit FILE stays one batch's lines no matter how many files
+    // the table has accumulated (the pre-round-6 full-listing format
+    // grew linearly: commit 24 carried all 25 files)
+    assert(sizes.last <= sizes.head + 16,
+      s"manifest bytes grew with table size: $sizes")
+    // periodic full checkpoints bound the reader's walk-back
+    assert(new java.io.File(root, f"_log/${10L}%012d.checkpoint").exists())
+    assert(new java.io.File(root, f"_log/${20L}%012d.checkpoint").exists())
+    // resolution exact at the head, at a checkpoint, and between two
+    assert(VersionedTable.read(spark, root).count() == 25)
+    assert(VersionedTable.readVersion(spark, root, 10).count() == 11)
+    assert(VersionedTable.readVersion(spark, root, 13).count() == 14)
+  }
+
+  test("vacuum checkpoints the oldest retained delta; history stays resolvable") {
+    import spark.implicits._
+    val root = tmpRoot()
+    VersionedTable.overwrite(Seq((0, "r")).toDF("k", "v").repartition(1), root)
+    (1 to 5).foreach(i => VersionedTable.append(
+      Seq((i, s"r$i")).toDF("k", "v").repartition(1), root))
+    val deleted = VersionedTable.vacuum(root, retainVersions = 2)
+    assert(deleted == 0) // append-only: every data file is still live
+    assert(VersionedTable.versions(root) == Seq(4L, 5L))
+    // v4 is a delta whose base manifests were vacuumed away — it must
+    // resolve through the checkpoint vacuum wrote for it
+    assert(VersionedTable.readVersion(spark, root, 4).count() == 5)
+    assert(VersionedTable.read(spark, root).count() == 6)
   }
 }
