@@ -2081,6 +2081,89 @@ object TextQueries extends QueryModule {
                       AND t1.tok = top.w2
         JOIN tokpos t2 ON t2.doc_id = t0.doc_id AND t2.p = t0.p + 2
                       AND t2.tok = top.w3
-        GROUP BY t0.doc_id ORDER BY t0.doc_id"""))
+        GROUP BY t0.doc_id ORDER BY t0.doc_id""")),
+
+    // BPE tokenizer-training statistics (operators/Bpe): the first 3
+    // merge rules trained on the corpus' word-frequency vocabulary —
+    // the tokenizer-training stage of an LLM data pipeline. Scale
+    // shape: ONE corpus-sized explode+agg builds (word, wc); every
+    // iteration after that is vocab-sized (pair counts = LEAD window +
+    // combinable agg; merge application = pure window chain; chosen
+    // pair = 1-row collect entering the next plan as a literal).
+    // Parity: exact integer counts, (cnt DESC, a, b) tie-break, and
+    // the oracle unrolls the SAME window algebra (match-mark, run
+    // grouping, even-offset parity, LAG-consumed) 3 times — the
+    // q142/q149 unrolled-recurrence pattern.
+    "q152_bpe_merges" -> Q(
+      run = (s, dir) => {
+        val vocab = Tables(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+        val rules = graft.operators.Bpe.train(vocab, 3)
+        import s.implicits._
+        rules.map(r => (r.iter, r.left, r.right, r.cnt))
+          .toDF("iter", "left_sym", "right_sym", "cnt")
+          .orderBy("iter")
+      },
+      oracle = Some("""
+        WITH vocab AS (
+          SELECT word, COUNT(*) AS wc FROM (
+            SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+          WHERE word <> '' GROUP BY word),
+        s0 AS (SELECT word AS w, wc, p AS rn, chars[p] AS sym
+               FROM (SELECT word, wc, regexp_extract_all(word, '.') AS chars
+                     FROM vocab),
+                    LATERAL (SELECT UNNEST(generate_series(1, len(chars))) AS p) g),
+        p1 AS (SELECT a, b, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+                 SELECT wc, sym AS a,
+                        LEAD(sym) OVER (PARTITION BY w ORDER BY rn) AS b FROM s0)
+               WHERE b IS NOT NULL GROUP BY a, b),
+        t1 AS (SELECT a AS ta, b AS tb, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+        x1 AS (SELECT s.*, ta, tb,
+                 CASE WHEN sym = ta AND
+                           LEAD(sym) OVER (PARTITION BY w ORDER BY rn) = tb
+                      THEN 1 ELSE 0 END AS mt
+               FROM s0 s CROSS JOIN t1),
+        g1 AS (SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY w, mt ORDER BY rn) AS grp
+               FROM x1),
+        o1 AS (SELECT *, CASE WHEN mt = 1 AND
+                 (rn - MIN(rn) OVER (PARTITION BY w, mt, grp)) % 2 = 0
+                 THEN 1 ELSE 0 END AS taken FROM g1),
+        c1 AS (SELECT *, COALESCE(LAG(taken) OVER (PARTITION BY w ORDER BY rn), 0)
+                 AS consumed FROM o1),
+        s1 AS (SELECT w, wc, ROW_NUMBER() OVER (PARTITION BY w ORDER BY rn) AS rn,
+                      CASE WHEN taken = 1 THEN ta || tb ELSE sym END AS sym
+               FROM c1 WHERE consumed = 0),
+        p2 AS (SELECT a, b, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+                 SELECT wc, sym AS a,
+                        LEAD(sym) OVER (PARTITION BY w ORDER BY rn) AS b FROM s1)
+               WHERE b IS NOT NULL GROUP BY a, b),
+        t2 AS (SELECT a AS ta, b AS tb, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+        x2 AS (SELECT s.*, ta, tb,
+                 CASE WHEN sym = ta AND
+                           LEAD(sym) OVER (PARTITION BY w ORDER BY rn) = tb
+                      THEN 1 ELSE 0 END AS mt
+               FROM s1 s CROSS JOIN t2),
+        g2 AS (SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY w, mt ORDER BY rn) AS grp
+               FROM x2),
+        o2 AS (SELECT *, CASE WHEN mt = 1 AND
+                 (rn - MIN(rn) OVER (PARTITION BY w, mt, grp)) % 2 = 0
+                 THEN 1 ELSE 0 END AS taken FROM g2),
+        c2 AS (SELECT *, COALESCE(LAG(taken) OVER (PARTITION BY w ORDER BY rn), 0)
+                 AS consumed FROM o2),
+        s2 AS (SELECT w, wc, ROW_NUMBER() OVER (PARTITION BY w ORDER BY rn) AS rn,
+                      CASE WHEN taken = 1 THEN ta || tb ELSE sym END AS sym
+               FROM c2 WHERE consumed = 0),
+        p3 AS (SELECT a, b, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+                 SELECT wc, sym AS a,
+                        LEAD(sym) OVER (PARTITION BY w ORDER BY rn) AS b FROM s2)
+               WHERE b IS NOT NULL GROUP BY a, b),
+        t3 AS (SELECT a AS ta, b AS tb, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1)
+        SELECT * FROM (
+          SELECT 1 AS iter, ta AS left_sym, tb AS right_sym, cnt FROM t1
+          UNION ALL SELECT 2, ta, tb, cnt FROM t2
+          UNION ALL SELECT 3, ta, tb, cnt FROM t3)
+        ORDER BY iter"""))
   )
 }
