@@ -131,4 +131,40 @@ object TextFunctions {
       .getOrElse(sys.error(s"unknown PII kind $kind"))._2
     regexp_count(text, lit(p)).cast("long")
   }
+
+  /** Tracking query parameters stripped by [[canonicalizeUrl]]. */
+  private val TrackingParams = "(?:utm_[A-Za-z0-9]+|gclid|fbclid|ref)"
+
+  /** URL canonicalization — the RefinedWeb/CCNet pre-content-dedup
+    * stage (strict subset of their rules, all backtracking-safe
+    * regexps like [[scrubPii]]):
+    *  - drop the fragment;
+    *  - lowercase scheme + authority (path/query case is preserved —
+    *    paths are case-sensitive);
+    *  - drop a `www.` host prefix and the scheme's default port
+    *    (`:80` for http, `:443` for https);
+    *  - strip tracking query params (utm_*, gclid, fbclid, ref),
+    *    collapsing the separators they leave behind;
+    *  - strip the path's trailing slash.
+    * Map-local column expression — composes in front of the dedup
+    * battery (dedup-by-canonical-URL keep-best, q153) at zero shuffle
+    * cost. Non-URL input degrades to lowercase-authority-less
+    * pass-through, never throws. */
+  def canonicalizeUrl(u: Column): Column = {
+    val authority = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*"
+    val noFrag = regexp_replace(u, "#.*", "")
+    val head0 = lower(regexp_extract(noFrag, "(" + authority + ")", 1))
+    val tail0 = regexp_replace(noFrag, authority, "")
+    val head1 = regexp_replace(head0, "://www\\.", "://")
+    val scheme = regexp_extract(head1, "^([a-z0-9+.-]+)://", 1)
+    val head = when(scheme === "http", regexp_replace(head1, ":80$", ""))
+      .when(scheme === "https", regexp_replace(head1, ":443$", ""))
+      .otherwise(head1)
+    val t0 = regexp_replace(tail0, "/\\?", "?") // path trailing slash (pre-query)
+    val t1 = regexp_replace(t0, "&" + TrackingParams + "=[^&]*", "")
+    val t2 = regexp_replace(t1, "\\?" + TrackingParams + "=[^&]*&", "?")
+    val t3 = regexp_replace(t2, "\\?" + TrackingParams + "=[^&]*$", "")
+    val tail = regexp_replace(t3, "/$", "") // bare trailing slash
+    concat(head, tail)
+  }
 }

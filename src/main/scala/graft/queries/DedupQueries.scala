@@ -384,6 +384,103 @@ object DedupQueries extends QueryModule {
           .orderBy("id_a", "id_b")
         graft.operators.LshIndex.append(docs.filter(b === 0), root)
         pairs
-      })
+      }),
+
+    // URL canonicalization + metadata dedup — the RefinedWeb/CCNet
+    // PRE-content-dedup stage: canonicalize each document's URL
+    // (lowercase authority, www./default-port strip, tracking-param
+    // strip, fragment/trailing-slash strip), then keep-best per
+    // canonical URL (longest text, doc_id tie-break). URLs are derived
+    // deterministically from (doc_id, source) on BOTH sides (the
+    // documents table carries no URL column — the q60/q73 synthetic
+    // modality pattern), exercising every canonicalization rule:
+    // mixed-case scheme/host, default ports, a path trailing slash,
+    // interleaved tracking + real params, fragments. Scale shape:
+    // canonicalization is a map-local regexp chain; the dedup is ONE
+    // shuffle on the canonical URL (window keep-best) — this runs
+    // ahead of the content-dedup battery and shrinks ITS input.
+    "q153_url_dedup" -> Q(
+      run = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val id = col("doc_id")
+        val url = concat(
+          when(id % 2 === 0, lit("HTTPS://")).otherwise(lit("http://")),
+          lit("WWW."), col("source"), lit(".Example.COM"),
+          when(id % 3 === 0,
+            when(id % 2 === 0, lit(":443")).otherwise(lit(":80")))
+            .otherwise(lit("")),
+          lit("/articles/"), (id % 50).cast("string"),
+          when(id % 4 === 0, lit("/")).otherwise(lit("")),
+          lit("?utm_source=feed"),
+          when(id % 5 === 0, concat(lit("&page="), (id % 2).cast("string")))
+            .otherwise(lit("")),
+          concat(lit("&utm_campaign=c"), (id % 7).cast("string")),
+          lit("#sec"), (id % 3).cast("string"))
+        val canon = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            graft.functions.TextFunctions.canonicalizeUrl(url).as("url"))
+        val w = Window.partitionBy(col("url"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        canon
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n_dups",
+            count(lit(1)).over(Window.partitionBy(col("url"))).cast("long"))
+          .filter(col("rk") === 1)
+          .select(col("url"), col("doc_id").as("kept_doc"), col("n_dups"))
+          .orderBy("url")
+      },
+      oracle = Some("""
+        WITH raw AS (
+          SELECT doc_id, n_chars,
+            (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END ||
+             'WWW.' || source || '.Example.COM' ||
+             CASE WHEN doc_id % 3 = 0 THEN
+               CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
+             ELSE '' END ||
+             '/articles/' || CAST(doc_id % 50 AS VARCHAR) ||
+             CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+             '?utm_source=feed' ||
+             CASE WHEN doc_id % 5 = 0
+                  THEN '&page=' || CAST(doc_id % 2 AS VARCHAR) ELSE '' END ||
+             '&utm_campaign=c' || CAST(doc_id % 7 AS VARCHAR) ||
+             '#sec' || CAST(doc_id % 3 AS VARCHAR)) AS u
+          FROM documents),
+        step AS (
+          SELECT doc_id, n_chars, regexp_replace(u, '#.*', '') AS nofrag
+          FROM raw),
+        parts AS (
+          SELECT doc_id, n_chars,
+            lower(regexp_extract(nofrag,
+              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*')) AS head0,
+            regexp_replace(nofrag,
+              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', '') AS tail0
+          FROM step),
+        heads AS (
+          SELECT doc_id, n_chars, tail0,
+            CASE WHEN regexp_extract(h1, '^([a-z0-9+.-]+)://', 1) = 'http'
+                 THEN regexp_replace(h1, ':80$', '')
+                 WHEN regexp_extract(h1, '^([a-z0-9+.-]+)://', 1) = 'https'
+                 THEN regexp_replace(h1, ':443$', '')
+                 ELSE h1 END AS head
+          FROM (SELECT doc_id, n_chars, tail0,
+                  regexp_replace(head0, '://www\.', '://') AS h1 FROM parts)),
+        tails AS (
+          SELECT doc_id, n_chars, head,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(tail0, '/\?', '?'),
+              '&(?:utm_[A-Za-z0-9]+|gclid|fbclid|ref)=[^&]*', '', 'g'),
+              '\?(?:utm_[A-Za-z0-9]+|gclid|fbclid|ref)=[^&]*&', '?'),
+              '\?(?:utm_[A-Za-z0-9]+|gclid|fbclid|ref)=[^&]*$', ''),
+              '/$', '') AS tail
+          FROM heads),
+        canon AS (SELECT doc_id, n_chars, head || tail AS url FROM tails),
+        ranked AS (
+          SELECT url, doc_id,
+            ROW_NUMBER() OVER (PARTITION BY url
+              ORDER BY n_chars DESC, doc_id) AS rk,
+            CAST(COUNT(*) OVER (PARTITION BY url) AS BIGINT) AS n_dups
+          FROM canon)
+        SELECT url, doc_id AS kept_doc, n_dups
+        FROM ranked WHERE rk = 1 ORDER BY url"""))
   )
 }

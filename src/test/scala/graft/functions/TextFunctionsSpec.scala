@@ -56,4 +56,25 @@ class TextFunctionsSpec extends SparkSuite {
     assert(scores.forall(s => s >= 0.0 && s <= 1.0))
     assert(scores(0) > scores(1))
   }
+
+  test("canonicalizeUrl: every rule, hand-computed") {
+    import spark.implicits._
+    val cases = Seq(
+      // lowercase scheme+authority, www strip, default https port,
+      // tracking strip (first + interleaved), fragment strip
+      ("HTTPS://WWW.News.Example.COM:443/Articles/3?utm_source=f&page=1&utm_campaign=c2#sec",
+        "https://news.example.com/Articles/3?page=1"),
+      // http default port, lone tracking query collapses away,
+      // path trailing slash before the query
+      ("http://Example.COM:80/a/?utm_medium=x#f", "http://example.com/a"),
+      // non-default port kept; path case preserved; real params kept
+      ("https://Example.com:8443/A/B?id=2&ref=home", "https://example.com:8443/A/B?id=2"),
+      // bare trailing slash; no query
+      ("HTTP://WWW.a.com/", "http://a.com"),
+      // non-URL input: authority-less pass-through, never throws
+      ("not a url", "not a url"))
+    val got = cases.map(_._1).toDF("u")
+      .select(canonicalizeUrl(col("u"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
 }
