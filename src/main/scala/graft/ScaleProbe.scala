@@ -145,6 +145,76 @@ object ScaleProbe {
       }
       spark.stop(); return
     }
+    // streaming-door probe (`runMain graft.ScaleProbe door`): the FULL
+    // per-batch cost of runIngestDedupAvailableNow's indexed door —
+    // digest anti-join + LshIndex.check + the three O(batch) appends —
+    // against a 1x/4x/10x PRE-INDEXED corpus. `door_novel` (a batch
+    // with disjoint token space → no candidates) must be FLAT across
+    // corpus growth: the batch is signed once and everything
+    // corpus-sized is a column-pruned scan of stored rows, never a
+    // re-sign. `door_raw` (the unsalted batch — disjoint doc ids, only
+    // organic near-matches) adds the candidate-sliver verify work,
+    // which grows with its own MATCH count — the output-bound cost a
+    // dedup door exists to pay — and must stay flat too when the match
+    // count does.
+    if (args.contains("door")) {
+      for (mult <- Seq(1, 4, 10)) {
+        val batch = base.filter(col("doc_id") % 10 === 0).localCheckpoint(true)
+        val novelBatch = batch.select(col("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", "$1_nv").as("text"))
+          .localCheckpoint(true)
+        val nb = batch.count()
+        val c = (0 until mult).map(i =>
+          base.filter(col("doc_id") % 10 =!= 0)
+            .select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+              concat(col("text"), lit(s" r$i")).as("text")))
+          .reduce(_ union _).localCheckpoint(true)
+        val n = c.count()
+        def time(name: String)(f: => Long): Unit = {
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val rows = f
+          println(f"[probe] mult=$mult%2d corpus=$n%7d batch=$nb%6d $name%-18s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($rows rows)")
+        }
+        def door(in: org.apache.spark.sql.DataFrame, tableRoot: String,
+                 indexRoot: String, digestsRoot: String): Long = {
+          import graft.sources.VersionedTable
+          val corpus = VersionedTable.read(spark, tableRoot)
+          val newExact = in.withColumn("__md5", md5(col("text")))
+            .join(VersionedTable.read(spark, digestsRoot),
+              Seq("__md5"), "left_anti")
+            .drop("__md5").localCheckpoint(true)
+          val nearIds = graft.operators.LshIndex
+            .check(newExact, corpus, indexRoot, 0.8)
+            .select(col("id_b")).distinct()
+          val survivors = newExact
+            .join(nearIds, col("doc_id") === col("id_b"), "left_anti")
+            .localCheckpoint(true)
+          val k = survivors.count()
+          if (k > 0) {
+            VersionedTable.append(survivors, tableRoot)
+            graft.operators.LshIndex.append(survivors, indexRoot)
+            VersionedTable.append(
+              survivors.select(md5(col("text")).as("__md5")), digestsRoot)
+          }
+          k
+        }
+        // setup (untimed): corpus table + LSH index + digest table
+        val root = java.nio.file.Files.createTempDirectory("probe_door")
+        val tableRoot = root.resolve("corpus").toString
+        val indexRoot = root.resolve("index").toString
+        val digestsRoot = root.resolve("index/digests").toString
+        graft.sources.VersionedTable.overwrite(c, tableRoot)
+        graft.operators.LshIndex.build(c, indexRoot)
+        graft.sources.VersionedTable.overwrite(
+          c.select(md5(col("text")).as("__md5")), digestsRoot)
+        time("door_novel") { door(novelBatch, tableRoot, indexRoot, digestsRoot) }
+        time("door_raw") { door(batch, tableRoot, indexRoot, digestsRoot) }
+        graft.sources.Lake.deleteRecursively(root.toFile)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
+      spark.stop(); return
+    }
     // weighted-PageRank probe (`runMain graft.ScaleProbe pagerank`):
     // replicas carry DISJOINT token spaces (every word salted with the
     // replica index), so the co-occurrence graph is a disjoint union

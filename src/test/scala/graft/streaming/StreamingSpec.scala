@@ -153,14 +153,22 @@ class StreamingSpec extends SparkSuite {
     drop(docsDir, "f3", t0 + 10000, Seq(
       20L -> (fresh + " alpha"), 21L -> (fresh + " beta")))
     val corpusRoot = s"$root/corpus"
+    val indexRoot = s"$root/index"
     val out = StreamingJobs.runIngestDedupAvailableNow(
-      spark, docsDir, corpusRoot, threshold = 0.8)
+      spark, docsDir, corpusRoot, indexRoot, threshold = 0.8)
     assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
       == Seq(1L, 2L, 12L, 20L))
     // one atomic version per non-empty batch: v0={1,2}, v1=+{12}, v2=+{20}
     assert(graft.sources.VersionedTable.versions(corpusRoot) == Seq(0L, 1L, 2L))
     assert(graft.sources.VersionedTable.readVersion(spark, corpusRoot, 0)
       .count() == 2)
+    // the persisted door indexes advanced in step with the corpus: one
+    // bands version and one digest version per surviving batch, and the
+    // digest table holds exactly the four admitted docs' digests
+    assert(graft.sources.VersionedTable.versions(s"$indexRoot/bands")
+      == Seq(0L, 1L, 2L))
+    assert(graft.sources.VersionedTable
+      .read(spark, s"$indexRoot/digests").count() == 4)
   }
 
   test("streaming ingest: empty first file commits nothing, corpus still works") {
@@ -185,7 +193,7 @@ class StreamingSpec extends SparkSuite {
       1L -> (1 to 34).map(i => s"w$i").mkString(" ")))
     val corpusRoot = s"$root/corpus"
     val out = StreamingJobs.runIngestDedupAvailableNow(
-      spark, docsDir, corpusRoot, threshold = 0.8)
+      spark, docsDir, corpusRoot, s"$root/index", threshold = 0.8)
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
     // exactly one committed version — the empty batch left no v0
     assert(graft.sources.VersionedTable.versions(corpusRoot) == Seq(0L))
