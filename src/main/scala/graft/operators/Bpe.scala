@@ -88,6 +88,19 @@ object Bpe {
       .select(col("w"), col("wc"), col("rn"), col("sym"))
   }
 
+  /** ENCODE: apply an ordered merge-rule list to a `(word, wc)`
+    * vocabulary, returning the segmented symbol rows `(w, wc, rn, sym)`
+    * — BPE tokenization of every distinct word. The 100 TB encoding
+    * path: segmentation is computed ONCE PER DISTINCT WORD here; a
+    * corpus tokenizes by equi-joining its words against this
+    * vocab-sized table (never re-running the merge chain per
+    * occurrence), and corpus-weighted subword statistics come straight
+    * from `wc` without touching the corpus again. */
+  def encode(vocab: DataFrame, rules: Seq[MergeRule]): DataFrame =
+    rules.sortBy(_.iter).foldLeft(initialSymbols(vocab)) { (syms, r) =>
+      applyMerge(syms, r.left, r.right)
+    }
+
   /** Train `k` merge rules over a `(word, wc)` vocabulary. Stops early
     * if the vocabulary runs out of adjacent pairs. */
   def train(vocab: DataFrame, k: Int): Seq[MergeRule] = {

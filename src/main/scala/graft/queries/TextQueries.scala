@@ -2164,6 +2164,103 @@ object TextQueries extends QueryModule {
           SELECT 1 AS iter, ta AS left_sym, tb AS right_sym, cnt FROM t1
           UNION ALL SELECT 2, ta, tb, cnt FROM t2
           UNION ALL SELECT 3, ta, tb, cnt FROM t3)
-        ORDER BY iter"""))
+        ORDER BY iter""")),
+
+    // BPE ENCODING (q152's trained rules applied): segment the
+    // vocabulary with the 3 trained merges and report the top-20
+    // subword symbols by corpus-weighted frequency — the tokenize side
+    // of the tokenizer-training pair. Scale shape: segmentation runs
+    // ONCE PER DISTINCT WORD (vocab-sized window chains); corpus
+    // weighting rides the wc column — the corpus itself is touched
+    // only by the initial vocab explode+agg. A 100 TB corpus
+    // tokenizes by equi-joining words against this segmentation
+    // table. Parity: the oracle unrolls the identical window algebra
+    // one application deeper than q152 and aggregates the same exact
+    // integers.
+    "q154_bpe_encode" -> Q(
+      run = (s, dir) => {
+        val vocab = Tables(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+          .localCheckpoint(true) // shared by train (3 passes) + encode
+        val rules = graft.operators.Bpe.train(vocab, 3)
+        val out = graft.operators.Bpe.encode(vocab, rules)
+          .groupBy(col("sym")).agg(sum(col("wc")).as("total"))
+          .orderBy(col("total").desc, col("sym")).limit(20)
+        vocab.unpersist()
+        out
+      },
+      oracle = Some("""
+        WITH vocab AS (
+          SELECT word, COUNT(*) AS wc FROM (
+            SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+          WHERE word <> '' GROUP BY word),
+        s0 AS (SELECT word AS w, wc, p AS rn, chars[p] AS sym
+               FROM (SELECT word, wc, regexp_extract_all(word, '.') AS chars
+                     FROM vocab),
+                    LATERAL (SELECT UNNEST(generate_series(1, len(chars))) AS p) g),
+        p1 AS (SELECT a, b, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+                 SELECT wc, sym AS a,
+                        LEAD(sym) OVER (PARTITION BY w ORDER BY rn) AS b FROM s0)
+               WHERE b IS NOT NULL GROUP BY a, b),
+        t1 AS (SELECT a AS ta, b AS tb FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+        x1 AS (SELECT s.*, ta, tb,
+                 CASE WHEN sym = ta AND
+                           LEAD(sym) OVER (PARTITION BY w ORDER BY rn) = tb
+                      THEN 1 ELSE 0 END AS mt
+               FROM s0 s CROSS JOIN t1),
+        g1 AS (SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY w, mt ORDER BY rn) AS grp
+               FROM x1),
+        o1 AS (SELECT *, CASE WHEN mt = 1 AND
+                 (rn - MIN(rn) OVER (PARTITION BY w, mt, grp)) % 2 = 0
+                 THEN 1 ELSE 0 END AS taken FROM g1),
+        c1 AS (SELECT *, COALESCE(LAG(taken) OVER (PARTITION BY w ORDER BY rn), 0)
+                 AS consumed FROM o1),
+        s1 AS (SELECT w, wc, ROW_NUMBER() OVER (PARTITION BY w ORDER BY rn) AS rn,
+                      CASE WHEN taken = 1 THEN ta || tb ELSE sym END AS sym
+               FROM c1 WHERE consumed = 0),
+        p2 AS (SELECT a, b, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+                 SELECT wc, sym AS a,
+                        LEAD(sym) OVER (PARTITION BY w ORDER BY rn) AS b FROM s1)
+               WHERE b IS NOT NULL GROUP BY a, b),
+        t2 AS (SELECT a AS ta, b AS tb FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+        x2 AS (SELECT s.*, ta, tb,
+                 CASE WHEN sym = ta AND
+                           LEAD(sym) OVER (PARTITION BY w ORDER BY rn) = tb
+                      THEN 1 ELSE 0 END AS mt
+               FROM s1 s CROSS JOIN t2),
+        g2 AS (SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY w, mt ORDER BY rn) AS grp
+               FROM x2),
+        o2 AS (SELECT *, CASE WHEN mt = 1 AND
+                 (rn - MIN(rn) OVER (PARTITION BY w, mt, grp)) % 2 = 0
+                 THEN 1 ELSE 0 END AS taken FROM g2),
+        c2 AS (SELECT *, COALESCE(LAG(taken) OVER (PARTITION BY w ORDER BY rn), 0)
+                 AS consumed FROM o2),
+        s2 AS (SELECT w, wc, ROW_NUMBER() OVER (PARTITION BY w ORDER BY rn) AS rn,
+                      CASE WHEN taken = 1 THEN ta || tb ELSE sym END AS sym
+               FROM c2 WHERE consumed = 0),
+        p3 AS (SELECT a, b, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+                 SELECT wc, sym AS a,
+                        LEAD(sym) OVER (PARTITION BY w ORDER BY rn) AS b FROM s2)
+               WHERE b IS NOT NULL GROUP BY a, b),
+        t3 AS (SELECT a AS ta, b AS tb FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
+        x3 AS (SELECT s.*, ta, tb,
+                 CASE WHEN sym = ta AND
+                           LEAD(sym) OVER (PARTITION BY w ORDER BY rn) = tb
+                      THEN 1 ELSE 0 END AS mt
+               FROM s2 s CROSS JOIN t3),
+        g3 AS (SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY w, mt ORDER BY rn) AS grp
+               FROM x3),
+        o3 AS (SELECT *, CASE WHEN mt = 1 AND
+                 (rn - MIN(rn) OVER (PARTITION BY w, mt, grp)) % 2 = 0
+                 THEN 1 ELSE 0 END AS taken FROM g3),
+        c3 AS (SELECT *, COALESCE(LAG(taken) OVER (PARTITION BY w ORDER BY rn), 0)
+                 AS consumed FROM o3),
+        s3 AS (SELECT w, wc, ROW_NUMBER() OVER (PARTITION BY w ORDER BY rn) AS rn,
+                      CASE WHEN taken = 1 THEN ta || tb ELSE sym END AS sym
+               FROM c3 WHERE consumed = 0)
+        SELECT sym, CAST(SUM(wc) AS BIGINT) AS total
+        FROM s3 GROUP BY sym ORDER BY total DESC, sym LIMIT 20"""))
   )
 }

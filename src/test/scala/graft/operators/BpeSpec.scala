@@ -40,6 +40,17 @@ class BpeSpec extends SparkSuite {
     assert(next == Seq(("aa", "a", 1L), ("aa", "aa", 1L)))
   }
 
+  test("encode applies the trained rules in order") {
+    import spark.implicits._
+    val vocab = Seq(("aaab", 2L), ("ab", 1L)).toDF("word", "wc")
+    val rules = Bpe.train(vocab, 3)
+    // after (a,a), (a,b), (aa,ab): "aaab" → [aa, ab] → [aaab]; "ab" → [ab]
+    val segs = Bpe.encode(vocab, rules)
+      .groupBy("sym").agg(org.apache.spark.sql.functions.sum("wc").as("t"))
+      .as[(String, Long)].collect().toMap
+    assert(segs == Map("aaab" -> 2L, "ab" -> 1L))
+  }
+
   test("train stops early when no adjacent pairs remain") {
     import spark.implicits._
     val vocab = Seq(("ab", 3L)).toDF("word", "wc")
