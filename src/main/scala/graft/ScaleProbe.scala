@@ -215,6 +215,34 @@ object ScaleProbe {
       }
       spark.stop(); return
     }
+    // BPE-training probe (`runMain graft.ScaleProbe bpe`): replicas
+    // REUSE the same token space (plain replication with shifted ids),
+    // so the corpus grows 1x/4x/10x while the vocabulary — and with it
+    // every post-extraction training structure — stays CONSTANT (word
+    // counts scale by mult; pair ranking is scale-invariant). Train
+    // wall must be dominated by the one corpus-sized explode+agg and
+    // otherwise flat: the iterations run on vocab-sized symbol rows.
+    if (args.contains("bpe")) {
+      for (mult <- Seq(1, 4, 10)) {
+        val c = corpus(mult).localCheckpoint(true)
+        val n = c.count()
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val vocab = c.select(explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+        val nv = vocab.count()
+        val tVocab = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val rules = graft.operators.Bpe.train(vocab, 5)
+        val tTrain = (System.nanoTime() - t1) / 1e9
+        println(f"[probe] mult=$mult%2d docs=$n%7d vocab=$nv%6d bpe " +
+          f"extract=$tVocab%6.2f s train5=$tTrain%6.2f s " +
+          f"(top=${rules.head.left}+${rules.head.right}:${rules.head.cnt})")
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
+      spark.stop(); return
+    }
     // weighted-PageRank probe (`runMain graft.ScaleProbe pagerank`):
     // replicas carry DISJOINT token spaces (every word salted with the
     // replica index), so the co-occurrence graph is a disjoint union
