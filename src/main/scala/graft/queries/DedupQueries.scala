@@ -481,6 +481,59 @@ object DedupQueries extends QueryModule {
             CAST(COUNT(*) OVER (PARTITION BY url) AS BIGINT) AS n_dups
           FROM canon)
         SELECT url, doc_id AS kept_doc, n_dups
-        FROM ranked WHERE rk = 1 ORDER BY url"""))
+        FROM ranked WHERE rk = 1 ORDER BY url""")),
+
+    // Cross-source overlap matrix: pairwise shared distinct word-3-gram
+    // shingles + shingle-set Jaccard for every source pair — the
+    // corpus-composition analytic behind mixture weighting and
+    // cross-source contamination review (which sources are near-copies
+    // of each other BEFORE computing mixture weights on them). Scale
+    // shape: one explode+distinct to (source, shingle); the pair list
+    // pivots through the SHINGLE key, so the join fan-out per shingle
+    // is bounded by the source count (≤ #sources rows per key, never
+    // doc-pair-quadratic); per-source totals are a #sources-row
+    // broadcast dim. Parity: exact integer counts; jaccard is one
+    // long/long double division written identically on both sides.
+    "q155_source_overlap" -> Q(
+      run = (s, dir) => {
+        import graft.functions.TextFunctions.wordShingles
+        val sh = Tables(s, dir, "documents")
+          .select(col("source"), explode(wordShingles(col("text"), 3)).as("sh"))
+          .distinct()
+          .localCheckpoint(true) // reused: self-join both sides + totals
+        val tot = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val pairs = sh.toDF("src_a", "sh")
+          .join(sh.toDF("src_b", "sh"), Seq("sh"))
+          .filter(col("src_a") < col("src_b"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("shared"))
+        pairs
+          .join(broadcast(tot.toDF("src_a", "na")), Seq("src_a"))
+          .join(broadcast(tot.toDF("src_b", "nb")), Seq("src_b"))
+          .withColumn("jaccard",
+            round(col("shared") / (col("na") + col("nb") - col("shared")), 6))
+          .select(col("src_a"), col("src_b"), col("shared"), col("jaccard"))
+          .orderBy("src_a", "src_b")
+      },
+      oracle = Some("""
+        WITH sh0 AS (
+          SELECT DISTINCT source,
+                 UNNEST([string_split(text, ' ')[i] || ' ' ||
+                         string_split(text, ' ')[i+1] || ' ' ||
+                         string_split(text, ' ')[i+2]
+                         for i in range(1, len(string_split(text, ' ')) - 1)]) AS sh
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+        tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                FROM sh0 GROUP BY source),
+        p AS (SELECT a.source AS src_a, b.source AS src_b,
+                     CAST(COUNT(*) AS BIGINT) AS shared
+              FROM sh0 a JOIN sh0 b ON a.sh = b.sh AND a.source < b.source
+              GROUP BY 1, 2)
+        SELECT src_a, src_b, shared,
+               ROUND(shared / (ta.n + tb.n - shared), 6) AS jaccard
+        FROM p JOIN tot ta ON ta.source = src_a
+               JOIN tot tb ON tb.source = src_b
+        ORDER BY src_a, src_b"""))
   )
 }
