@@ -215,6 +215,37 @@ object ScaleProbe {
       }
       spark.stop(); return
     }
+    // manifest-chain probe (`runMain graft.ScaleProbe manifest`): a
+    // 60-append chain on a VersionedTable. With round-6 delta commits
+    // the per-append wall must stay flat (the commit file is one
+    // batch's lines; the round-5 full-listing format re-wrote — and
+    // made every reader re-parse — the whole accumulated listing per
+    // commit), and the head read resolves through the nearest
+    // checkpoint (walk ≤ 10 manifests) regardless of chain length.
+    if (args.contains("manifest")) {
+      val root = java.nio.file.Files
+        .createTempDirectory("probe_manifest").resolve("t").toString
+      val batch = spark.range(1000).toDF("k")
+        .withColumn("v", col("k") * 2).repartition(1)
+      graft.sources.VersionedTable.overwrite(batch, root)
+      val walls = (1 to 60).map { _ =>
+        val t0 = System.nanoTime()
+        graft.sources.VersionedTable.append(batch, root)
+        (System.nanoTime() - t0) / 1e6
+      }
+      def mean(xs: Seq[Double]) = xs.sum / xs.size
+      val sizes = new java.io.File(root, "_log").listFiles()
+        .filter(_.getName.endsWith(".manifest")).map(_.length())
+      val t0 = System.nanoTime()
+      val n = graft.sources.VersionedTable.read(spark, root).count()
+      println(f"[probe] manifest append-wall ms: first15=${mean(walls.take(15))}%7.1f " +
+        f"last15=${mean(walls.takeRight(15))}%7.1f  " +
+        f"manifest-bytes min=${sizes.min} max=${sizes.max}  " +
+        f"head-read=${(System.nanoTime() - t0) / 1e9}%5.2f s ($n rows, 61 files)")
+      graft.sources.Lake.deleteRecursively(
+        new java.io.File(root).getParentFile)
+      spark.stop(); return
+    }
     // BPE-training probe (`runMain graft.ScaleProbe bpe`): replicas
     // REUSE the same token space (plain replication with shifted ids),
     // so the corpus grows 1x/4x/10x while the vocabulary — and with it
