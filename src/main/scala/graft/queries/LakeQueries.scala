@@ -299,6 +299,35 @@ object LakeQueries extends QueryModule {
         FROM lineitem WHERE l_partkey BETWEEN 100 AND 300
         GROUP BY 1 ORDER BY pk_mod""")),
 
+    // 2-D box read over the z-ordered layout (readWhereBox): the
+    // conjunctive range on BOTH clustered columns — the query shape
+    // Morton clustering exists for, pruning multiplicatively on the
+    // two dimensions from the manifest alone (VersionedTableSpec pins
+    // that the box read opens strictly fewer files than either 1-D
+    // prune). Same build convention as q118 (the timed region includes
+    // the clustered write).
+    "q156_zorder_box" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_box").resolve("t").toString
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        graft.sources.VersionedTable.overwriteZOrdered(
+          li, root, "l_orderkey", "l_partkey", numFiles = 12)
+        graft.sources.VersionedTable
+          .readWhereBox(s, root,
+            Seq(("l_orderkey", 1000L, 3000L), ("l_partkey", 100L, 400L)))
+          .groupBy((col("l_orderkey") % 7).as("ok_mod"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+          .orderBy("ok_mod")
+      },
+      oracle = Some("""
+        SELECT l_orderkey % 7 AS ok_mod, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem
+        WHERE l_orderkey BETWEEN 1000 AND 3000
+          AND l_partkey BETWEEN 100 AND 400
+        GROUP BY 1 ORDER BY ok_mod""")),
+
     // OPTIMIZE compaction: four stats-carrying appends degenerate the
     // table into small files; compact() bin-packs them (range-clustered
     // on l_orderkey, stats recomputed), and the post-compaction

@@ -375,6 +375,33 @@ object VersionedTable {
       .filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
   }
 
+  /** Conjunctive multi-column range read (the 2-D z-order box query):
+    * only files whose recorded stats intersect EVERY `(col, lo, hi)`
+    * bound are opened — on a [[overwriteZOrdered]]/[[appendZOrdered]]
+    * layout both dimensions prune multiplicatively, the point of the
+    * Morton clustering. Missing stats for a bound's column keep the
+    * file (conservative). Result = `read(...)` filtered by all bounds
+    * (BETWEEN semantics per column). */
+  def readWhereBox(spark: SparkSession, root: String,
+                   bounds: Seq[(String, Long, Long)]): DataFrame = {
+    require(bounds.nonEmpty, "readWhereBox needs at least one bound")
+    val v = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
+    val lines = readListing(root, v)
+    val kept = lines.filter { ln =>
+      val st = statsOf(ln)
+      bounds.forall { case (c, lo, hi) =>
+        st.get(c) match {
+          case Some((flo, fhi)) => fhi >= lo && flo <= hi
+          case None => true
+        }
+      }
+    }
+    val paths = (if (kept.nonEmpty) kept else lines).map(pathOf)
+    bounds.foldLeft(spark.read.option("mergeSchema", "true").parquet(paths: _*)) {
+      case (df, (c, lo, hi)) => df.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+    }
+  }
+
   /** Append → new version inheriting the previous file list plus the
     * new files; existing data is not rewritten. The previous file list
     * is re-read inside the retry loop: losing a commit race means the
@@ -645,8 +672,12 @@ object VersionedTable {
     * delete data files no retained manifest references. The oldest
     * RETAINED version gets a checkpoint first — a retained delta
     * manifest must stay resolvable once the older manifests it would
-    * walk back through are gone. Returns the number of data files
-    * deleted. */
+    * walk back through are gone. (Like the commit protocol, vacuum is
+    * documented single-JVM: a reader that began a walk-back BEFORE the
+    * checkpoint existed and reaches a just-deleted manifest fails and
+    * retries its read — on an object store the same role is played by
+    * a retention grace period, as in Delta's VACUUM.) Returns the
+    * number of data files deleted. */
   def vacuum(root: String, retainVersions: Int = 1): Int = {
     val vs = versions(root)
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - retainVersions))

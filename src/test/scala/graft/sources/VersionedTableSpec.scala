@@ -485,4 +485,46 @@ class VersionedTableSpec extends SparkSuite {
     assert(VersionedTable.readVersion(spark, root, 4).count() == 5)
     assert(VersionedTable.read(spark, root).count() == 6)
   }
+
+  test("round-5 full-listing tables read, time-travel, and append unchanged (migration)") {
+    import spark.implicits._
+    val root = tmpRoot()
+    VersionedTable.overwrite(Seq((1, "a")).toDF("k", "v").repartition(1), root)
+    // hand-write v1 the way round-5 append did: a FULL listing of the
+    // previous files plus a new one (no #delta header, no checkpoint)
+    val dataDir = new java.io.File(root, "data")
+    val f0 = dataDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val f1 = new java.io.File(dataDir, "v00001-legacy-00000.parquet")
+    java.nio.file.Files.copy(f0.toPath, f1.toPath)
+    java.nio.file.Files.write(
+      new java.io.File(root, "_log/000000000001.manifest").toPath,
+      (f0.getPath + "\n" + f1.getPath)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(VersionedTable.read(spark, root).count() == 2)
+    // a round-6 delta append resolves on top of the legacy full listing
+    VersionedTable.append(Seq((2, "b")).toDF("k", "v").repartition(1), root)
+    assert(VersionedTable.read(spark, root).count() == 3)
+    assert(VersionedTable.readVersion(spark, root, 1).count() == 2)
+    assert(VersionedTable.readVersion(spark, root, 0).count() == 1)
+  }
+
+  test("readWhereBox prunes on BOTH z-order dimensions, tighter than either alone") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val df = (0 until 4096)
+      .map(i => (i.toLong, ((i * 2654435761L) % 4096), i.toDouble))
+      .toDF("a", "b", "x")
+    VersionedTable.overwriteZOrdered(df, root, "a", "b", numFiles = 16)
+    val box = VersionedTable.readWhereBox(spark, root,
+      Seq(("a", 100L, 500L), ("b", 100L, 500L)))
+    val oneA = VersionedTable.readWhere(spark, root, "a", 100, 500)
+    val oneB = VersionedTable.readWhere(spark, root, "b", 100, 500)
+    assert(box.inputFiles.length <= oneA.inputFiles.length)
+    assert(box.inputFiles.length <= oneB.inputFiles.length)
+    assert(box.inputFiles.length < 16)
+    // exactness: box read == full filter
+    val expect = df.filter(col("a").between(100, 500) && col("b").between(100, 500))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(box.select("a", "b").as[(Long, Long)].collect().toSet == expect)
+  }
 }
