@@ -155,7 +155,10 @@ object TextFunctions {
     val noFrag = regexp_replace(u, "#.*", "")
     val head0 = lower(regexp_extract(noFrag, "(" + authority + ")", 1))
     val tail0 = regexp_replace(noFrag, authority, "")
-    val head1 = regexp_replace(head0, "://www\\.", "://")
+    // (www\.)+ not www\.: strip ALL leading www. labels so the
+    // function is idempotent (canon(canon(u)) == canon(u)) — a
+    // www.www.x.com host would otherwise lose one label per pass
+    val head1 = regexp_replace(head0, "://(?:www\\.)+", "://")
     val scheme = regexp_extract(head1, "^([a-z0-9+.-]+)://", 1)
     val head = when(scheme === "http", regexp_replace(head1, ":80$", ""))
       .when(scheme === "https", regexp_replace(head1, ":443$", ""))

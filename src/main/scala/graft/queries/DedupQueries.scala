@@ -463,7 +463,7 @@ object DedupQueries extends QueryModule {
                  THEN regexp_replace(h1, ':443$', '')
                  ELSE h1 END AS head
           FROM (SELECT doc_id, n_chars, tail0,
-                  regexp_replace(head0, '://www\.', '://') AS h1 FROM parts)),
+                  regexp_replace(head0, '://(?:www\.)+', '://') AS h1 FROM parts)),
         tails AS (
           SELECT doc_id, n_chars, head,
             regexp_replace(regexp_replace(regexp_replace(regexp_replace(

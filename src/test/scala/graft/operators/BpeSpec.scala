@@ -51,6 +51,30 @@ class BpeSpec extends SparkSuite {
     assert(segs == Map("aaab" -> 2L, "ab" -> 1L))
   }
 
+  test("train is partitioning-invariant and encode reassembles every word") {
+    import spark.implicits._
+    val words = Seq("banana" -> 3L, "bandana" -> 2L, "ananas" -> 4L,
+      "cabana" -> 1L, "nab" -> 5L)
+    val vocab = words.toDF("word", "wc")
+    val rules = Bpe.train(vocab, 3)
+    // deterministic regardless of physical layout (exact integer
+    // counts + total tie-break order)
+    assert(Bpe.train(vocab.repartition(7), 3) == rules)
+    // segmentation losslessness: concatenating each word's symbols in
+    // rn order reproduces the word, for every trained prefix of rules
+    (0 to 3).foreach { k =>
+      val segs = Bpe.encode(vocab, rules.take(k))
+        .groupBy("w")
+        .agg(org.apache.spark.sql.functions.concat_ws("",
+          org.apache.spark.sql.functions.array_sort(
+            org.apache.spark.sql.functions.collect_list(
+              org.apache.spark.sql.functions.struct("rn", "sym")))
+            .getField("sym")).as("joined"))
+        .as[(String, String)].collect().toMap
+      words.foreach { case (w, _) => assert(segs(w) == w, s"k=$k word=$w") }
+    }
+  }
+
   test("train stops early when no adjacent pairs remain") {
     import spark.implicits._
     val vocab = Seq(("ab", 3L)).toDF("word", "wc")
