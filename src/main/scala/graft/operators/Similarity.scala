@@ -62,6 +62,40 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** Hard-negative mining for retrieval/embedding training (the
+    * DPR/SimCSE recipe): for each query vector, the top-`k` most
+    * similar corpus vectors that (a) belong to a DIFFERENT positive
+    * group (`groupCol` — same-group candidates are positives, not
+    * negatives) and (b) score at or below `ceiling` cosine (6-dp
+    * rounded) — candidates above the ceiling are likely unlabeled
+    * positives/near-dups, the classic false-negative trap. The hardest
+    * admissible negatives are exactly what contrastive training wants.
+    *
+    * Same distributed shape as [[bruteForceTopK]]: query side
+    * broadcast, corpus streams through map-local scoring, one window
+    * top-k per query. The group predicate and ceiling prune BEFORE the
+    * window, so the shuffled candidate set only shrinks. Output:
+    * (query_id, neighbor_id, rank, cos). */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+                    ceiling: Double,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    groupCol: String = "label"): DataFrame = {
+    val q = withNorm(queries.select(col(idCol).as("query_id"),
+      col(groupCol).as("__qg"), col(vecCol).as("qv")), "qv", "qn")
+    val c = withNorm(corpus.select(col(idCol).as("neighbor_id"),
+      col(groupCol).as("__cg"), col(vecCol).as("cv")), "cv", "cn")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("__qg") =!= col("__cg"))
+      .withColumn("cos", fastCos(col("qv"), col("qn"), col("cv"), col("cn")))
+      .filter(round(col("cos"), 6) <= ceiling)
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** ColBERT-style late-interaction (MaxSim) retrieval over MULTI-VECTOR
     * documents: each document is a BAG of token vectors, and
     * score(q, d) = Σ over q's tokens of the max cosine against d's

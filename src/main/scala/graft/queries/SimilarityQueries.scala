@@ -33,6 +33,34 @@ object SimilarityQueries extends QueryModule {
         QUALIFY rank <= 5
         ORDER BY query_id, rank""")),
 
+    // Hard-negative mining (DPR/SimCSE recipe): per query, top-5
+    // corpus vectors from a DIFFERENT label (same-label = positives)
+    // scoring ≤ 0.35 cosine (6-dp) — above that, likely unlabeled
+    // positives (the false-negative trap; ceiling sized to this
+    // corpus: cross-label p99 ≈ 0.29, max ≈ 0.49, so the rule
+    // genuinely excludes a tail). Same broadcast-queries brute shape
+    // as q40; group + ceiling prune before the window.
+    "q157_hard_negatives" -> Q(
+      run = (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.hardNegatives(
+          emb.filter(col("vec_id") < 32), emb, k = 5, ceiling = 0.35)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("query_id", "rank")
+      },
+      oracle = Some("""
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                          c.vec_id) AS rank,
+               ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
+        FROM embeddings q JOIN embeddings c ON q.label != c.label
+        WHERE q.vec_id < 32
+          AND ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) <= 0.35
+        QUALIFY rank <= 5
+        ORDER BY query_id, rank""")),
+
     // Embedding-space near-duplicate pairs (cos ≥ 0.4 — sized to this
     // corpus' similarity distribution so the result is non-trivial).
     "q41_cosine_neardup" -> Q(

@@ -26,6 +26,9 @@ class PlanAuditSpec extends SparkSuite {
       // brute-force EXACT similarity: deliberate all-pairs scoring with
       // the small side broadcast; the scale path is q42's sign-LSH
       "q40_cosine_topk", "q41_cosine_neardup",
+      // hard-negative mining: q40's exact broadcast-queries shape with
+      // group + ceiling pruning before the window
+      "q157_hard_negatives",
       // MaxSim late interaction: query TOKENS broadcast, corpus tokens
       // stream through map-local scoring into combine-able aggregates
       "q130_maxsim",

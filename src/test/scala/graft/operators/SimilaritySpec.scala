@@ -29,6 +29,42 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("hardNegatives: different-label only, under the ceiling, the hardest admissible") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val out = Similarity.hardNegatives(queries, emb, k = 3, ceiling = 0.35)
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, n, cos) = (r.getLong(0), r.getLong(1), r.getDouble(3))
+      assert(labels(q) != labels(n), s"same-label pair $q-$n leaked")
+      assert(math.rint(cos * 1e6) / 1e6 <= 0.35, s"above-ceiling $cos")
+    }
+    // the hardest admissible: each query's rank-1 equals the driver-side
+    // argmax over admissible candidates (reference recomputed from the
+    // raw vectors)
+    val vecs = emb.collect().map(r => r.getLong(0) ->
+      (r.getSeq[Float](1).toArray, r.getInt(2))).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val top1 = rows.filter(_.getLong(2) == 1L)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    top1.foreach { case (q, got) =>
+      val (qv, ql) = vecs(q)
+      val best = vecs.toSeq
+        .filter { case (id, (_, l)) => l != ql && id != q }
+        .map { case (id, (v, _)) => (id, math.rint(cos(qv, v) * 1e6) / 1e6) }
+        .filter(_._2 <= 0.35)
+        .maxBy { case (id, c) => (c, -id) }
+      assert(got == best._1, s"query $q: got $got want ${best._1}")
+    }
+  }
+
   test("maxSimTopK: late-interaction score is the sum of per-query-token maxes") {
     import spark.implicits._
     // doc 0 (query): unit x + unit y; doc 1 matches only x (score 1);
