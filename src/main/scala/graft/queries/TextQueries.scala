@@ -2261,6 +2261,112 @@ object TextQueries extends QueryModule {
                       CASE WHEN taken = 1 THEN ta || tb ELSE sym END AS sym
                FROM c3 WHERE consumed = 0)
         SELECT sym, CAST(SUM(wc) AS BIGINT) AS total
-        FROM s3 GROUP BY sym ORDER BY total DESC, sym LIMIT 20"""))
+        FROM s3 GROUP BY sym ORDER BY total DESC, sym LIMIT 20""")),
+
+    // End-to-end BPE tokenization (the q154 scale claim AS a query):
+    // per-document BPE token counts after the 3 trained merges,
+    // computed by equi-joining the corpus' words against the
+    // vocab-sized segmentation table — the corpus is never run through
+    // the merge chain itself (segmentation once per DISTINCT word; at
+    // 100 TB the join side is the token stream, the segmentation side
+    // a vocabulary dim). Output: (doc_id, n_words, n_bpe) — the
+    // compression the trained merges bought on each document.
+    "q158_bpe_token_counts" -> Q(
+      run = (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val vocab = docs
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+          .localCheckpoint(true)
+        val rules = graft.operators.Bpe.train(vocab, 3)
+        val seg = graft.operators.Bpe.encode(vocab, rules)
+          .groupBy(col("w")).agg(count(lit(1)).as("n_sub"))
+          .withColumnRenamed("w", "word")
+        vocab.unpersist()
+        docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .join(seg, Seq("word"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH vocab AS (
+          SELECT word, COUNT(*) AS wc FROM (
+            SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+          WHERE word <> '' GROUP BY word),
+        s0 AS (SELECT word AS w, wc, p AS rn, chars[p] AS sym
+               FROM (SELECT word, wc, regexp_extract_all(word, '.') AS chars
+                     FROM vocab),
+                    LATERAL (SELECT UNNEST(generate_series(1, len(chars))) AS p) g),
+        p1 AS (SELECT a, b, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+                 SELECT wc, sym AS a,
+                        LEAD(sym) OVER (PARTITION BY w ORDER BY rn) AS b FROM s0)
+               WHERE b IS NOT NULL GROUP BY a, b),
+        t1 AS (SELECT a AS ta, b AS tb FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+        x1 AS (SELECT s.*, ta, tb,
+                 CASE WHEN sym = ta AND
+                           LEAD(sym) OVER (PARTITION BY w ORDER BY rn) = tb
+                      THEN 1 ELSE 0 END AS mt
+               FROM s0 s CROSS JOIN t1),
+        g1 AS (SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY w, mt ORDER BY rn) AS grp
+               FROM x1),
+        o1 AS (SELECT *, CASE WHEN mt = 1 AND
+                 (rn - MIN(rn) OVER (PARTITION BY w, mt, grp)) % 2 = 0
+                 THEN 1 ELSE 0 END AS taken FROM g1),
+        c1 AS (SELECT *, COALESCE(LAG(taken) OVER (PARTITION BY w ORDER BY rn), 0)
+                 AS consumed FROM o1),
+        s1 AS (SELECT w, wc, ROW_NUMBER() OVER (PARTITION BY w ORDER BY rn) AS rn,
+                      CASE WHEN taken = 1 THEN ta || tb ELSE sym END AS sym
+               FROM c1 WHERE consumed = 0),
+        p2 AS (SELECT a, b, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+                 SELECT wc, sym AS a,
+                        LEAD(sym) OVER (PARTITION BY w ORDER BY rn) AS b FROM s1)
+               WHERE b IS NOT NULL GROUP BY a, b),
+        t2 AS (SELECT a AS ta, b AS tb FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+        x2 AS (SELECT s.*, ta, tb,
+                 CASE WHEN sym = ta AND
+                           LEAD(sym) OVER (PARTITION BY w ORDER BY rn) = tb
+                      THEN 1 ELSE 0 END AS mt
+               FROM s1 s CROSS JOIN t2),
+        g2 AS (SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY w, mt ORDER BY rn) AS grp
+               FROM x2),
+        o2 AS (SELECT *, CASE WHEN mt = 1 AND
+                 (rn - MIN(rn) OVER (PARTITION BY w, mt, grp)) % 2 = 0
+                 THEN 1 ELSE 0 END AS taken FROM g2),
+        c2 AS (SELECT *, COALESCE(LAG(taken) OVER (PARTITION BY w ORDER BY rn), 0)
+                 AS consumed FROM o2),
+        s2 AS (SELECT w, wc, ROW_NUMBER() OVER (PARTITION BY w ORDER BY rn) AS rn,
+                      CASE WHEN taken = 1 THEN ta || tb ELSE sym END AS sym
+               FROM c2 WHERE consumed = 0),
+        p3 AS (SELECT a, b, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+                 SELECT wc, sym AS a,
+                        LEAD(sym) OVER (PARTITION BY w ORDER BY rn) AS b FROM s2)
+               WHERE b IS NOT NULL GROUP BY a, b),
+        t3 AS (SELECT a AS ta, b AS tb FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
+        x3 AS (SELECT s.*, ta, tb,
+                 CASE WHEN sym = ta AND
+                           LEAD(sym) OVER (PARTITION BY w ORDER BY rn) = tb
+                      THEN 1 ELSE 0 END AS mt
+               FROM s2 s CROSS JOIN t3),
+        g3 AS (SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY w, mt ORDER BY rn) AS grp
+               FROM x3),
+        o3 AS (SELECT *, CASE WHEN mt = 1 AND
+                 (rn - MIN(rn) OVER (PARTITION BY w, mt, grp)) % 2 = 0
+                 THEN 1 ELSE 0 END AS taken FROM g3),
+        c3 AS (SELECT *, COALESCE(LAG(taken) OVER (PARTITION BY w ORDER BY rn), 0)
+                 AS consumed FROM o3),
+        s3 AS (SELECT w, wc, ROW_NUMBER() OVER (PARTITION BY w ORDER BY rn) AS rn,
+                      CASE WHEN taken = 1 THEN ta || tb ELSE sym END AS sym
+               FROM c3 WHERE consumed = 0),
+        wcnt AS (SELECT w AS word, COUNT(*) AS n_sub FROM s3 GROUP BY w),
+        dtok AS (SELECT doc_id, word FROM (
+                   SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+                   FROM documents) WHERE word <> '')
+        SELECT doc_id, COUNT(*) AS n_words,
+               CAST(SUM(n_sub) AS BIGINT) AS n_bpe
+        FROM dtok JOIN wcnt USING (word)
+        GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
