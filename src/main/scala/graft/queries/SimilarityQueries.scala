@@ -343,6 +343,88 @@ object SimilarityQueries extends QueryModule {
                pos, v
         FROM comp
         QUALIFY rk <= 3
-        ORDER BY vec_id, rk"""))
+        ORDER BY vec_id, rk""")),
+
+    // Hybrid retrieval via Reciprocal Rank Fusion (k = 60, the
+    // standard constant): each query document's LEXICAL ranking
+    // (distinct-term overlap, the inverted-index side) and DENSE
+    // ranking (exact embedding cosine, the q40 side) are fused as
+    // rrf = 1/(60+r_lex) + 1/(60+r_dense), top-5 per query — the
+    // textbook hybrid-search primitive over the corpus' parallel
+    // text/embedding representations (vec_id == doc_id). Scale shape:
+    // the lexical side joins query terms (broadcast) to the postings,
+    // the dense side is the broadcast-queries brute scan (LSH/IVF are
+    // the swap-in scale paths), the fusion itself is ONE outer join of
+    // two rank tables on (query, candidate) — rankers compose without
+    // touching each other's internals. Parity: ranks are exact
+    // integers from deterministic orderings; the fused double is the
+    // same two-term sum both sides, ranked after a 6-dp round so
+    // ordering never hinges on a ulp.
+    "q159_hybrid_rrf" -> Q(
+      run = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+        val emb = Tables(s, dir, "embeddings")
+        val terms = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "").distinct()
+        val lex = terms.filter(col("doc_id") < 32).toDF("query_id", "term")
+          .join(terms.toDF("cand_id", "term"), Seq("term"))
+          .filter(col("cand_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("cand_id"))
+          .agg(count(lit(1)).as("overlap"))
+          .withColumn("rl", row_number().over(Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("overlap").desc, col("cand_id"))))
+          .select(col("query_id"), col("cand_id"), col("rl"))
+        val dense = Similarity
+          .bruteForceTopK(emb.filter(col("vec_id") < 32), emb, k = 1 << 20)
+          .select(col("query_id"), col("neighbor_id").as("cand_id"),
+            col("rank").as("rd"))
+        val fused = dense.join(lex, Seq("query_id", "cand_id"), "left")
+          .withColumn("rrf", round(
+            coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0)) +
+              lit(1.0) / (lit(60) + col("rd")), 6))
+        fused
+          .withColumn("rank", row_number().over(Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("rrf").desc, col("cand_id"))).cast(LongType))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("cand_id"), col("rank"), col("rrf"))
+          .orderBy("query_id", "rank")
+      },
+      oracle = Some("""
+        WITH terms AS (
+          SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+            FROM documents) WHERE term <> ''),
+        lexr AS (
+          SELECT query_id, cand_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY overlap DESC, cand_id) AS rl
+          FROM (SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+                       COUNT(*) AS overlap
+                FROM terms q JOIN terms c
+                  ON q.term = c.term AND c.doc_id != q.doc_id
+                WHERE q.doc_id < 32 GROUP BY 1, 2)),
+        dense AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                     c.embedding::DOUBLE[]) DESC, c.vec_id) AS rd
+          FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+          WHERE q.vec_id < 32),
+        fused AS (
+          SELECT d.query_id, d.cand_id,
+                 ROUND(COALESCE(1.0::DOUBLE / (60 + l.rl), 0.0::DOUBLE) +
+                       1.0::DOUBLE / (60 + d.rd), 6) AS rrf
+          FROM dense d LEFT JOIN lexr l
+            ON l.query_id = d.query_id AND l.cand_id = d.cand_id)
+        SELECT query_id, cand_id, rank, rrf FROM (
+          SELECT query_id, cand_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY rrf DESC, cand_id) AS rank, rrf
+          FROM fused)
+        WHERE rank <= 5 ORDER BY query_id, rank"""))
   )
 }

@@ -29,6 +29,10 @@ class PlanAuditSpec extends SparkSuite {
       // hard-negative mining: q40's exact broadcast-queries shape with
       // group + ceiling pruning before the window
       "q157_hard_negatives",
+      // RRF fusion's dense side embeds q40's exact broadcast-queries
+      // scan (LSH/IVF are the swap-in scale paths; fusion itself is an
+      // outer equi-join of rank tables)
+      "q159_hybrid_rrf",
       // MaxSim late interaction: query TOKENS broadcast, corpus tokens
       // stream through map-local scoring into combine-able aggregates
       "q130_maxsim",
