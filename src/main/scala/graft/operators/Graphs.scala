@@ -272,4 +272,69 @@ object Graphs {
           .otherwise((lit(3) * col("n_triangles")) / col("n_wedges"))
           .as("global_cc"))
   }
+
+  /** Synchronous label-propagation community detection (Raghavan et
+    * al. 2007) over an UNDIRECTED edge list `(u, v)` — the cheap
+    * community structure a corpus pipeline uses to group near-topic
+    * documents or co-occurring terms where connected components
+    * (`Dedup.connectedComponentsStar`) is too coarse (one giant
+    * component) and modularity methods are too expensive.
+    *
+    * Every node starts labeled with itself; each synchronous round
+    * relabels every node with its neighbors' most frequent label.
+    * Ties and convergence are made DETERMINISTIC: ties break to the
+    * smallest label, and the loop runs a FIXED number of rounds (no
+    * data-dependent stopping) — sync LPA can oscillate on bipartite
+    * structures, and a fixed-round schedule is the standard remedy
+    * that also makes the result engine-portable (an unrolled oracle
+    * of the same depth matches exactly).
+    *
+    * Scale shape: the BSP/Pregel loop — per round ONE equi-join of
+    * the label vector with the (localCheckpoint'ed once) symmetrized
+    * edge list, ONE combinable groupBy counting (node, label) votes,
+    * and ONE per-node top-1 window (bounded fan-in: |labels per node|
+    * ≤ degree). Lineage truncated per round like `weightedPageRank`.
+    *
+    * Parity: labels are node ids (exact strings/ints), votes are
+    * exact counts, the argmax is a deterministic (count desc, label
+    * asc) pick — no floating point anywhere.
+    *
+    * Returns `(node, label)` for all graph nodes.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val u = col("u"); val v = col("v")
+    val raw = edges.select(col(edges.columns(0)).as("u"),
+      col(edges.columns(1)).as("v"))
+    // symmetrize + drop self-loops/dups: each undirected edge becomes
+    // one (src, dst) row per direction, so a single src-equi-join sees
+    // every neighbor of every node
+    val e = raw.filter(u =!= v)
+      .select(u.as("src"), v.as("dst"))
+      .union(raw.filter(u =!= v).select(v.as("src"), u.as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < rounds) {
+      val votes = e.join(labels, e("dst") === labels("node"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src"))
+        .orderBy(col("c").desc, col("label").asc)
+      val next = votes
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("src").as("node"), col("label"))
+        .localCheckpoint(true)
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    e.unpersist()
+    labels
+  }
 }

@@ -2367,6 +2367,93 @@ object TextQueries extends QueryModule {
         SELECT doc_id, COUNT(*) AS n_words,
                CAST(SUM(n_sub) AS BIGINT) AS n_bpe
         FROM dtok JOIN wcnt USING (word)
-        GROUP BY doc_id ORDER BY doc_id"""))
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // graph — synchronous label-propagation communities (Raghavan et
+    // al. 2007) over the co-occurrence graph: the topical grouping
+    // finer than connected components (q66 merges everything
+    // reachable; LPA groups by neighborhood MAJORITY). Deterministic
+    // by construction: ties break to the smallest label, and the loop
+    // runs exactly 3 synchronous rounds, so the oracle unrolls the
+    // same 3 vote/argmax rounds. Scale shape: per round ONE
+    // edge-equi-join + ONE combinable vote count + ONE degree-bounded
+    // top-1 window; lineage localCheckpoint-truncated per round.
+    // Parity: labels are exact strings, votes exact counts — no
+    // floating point anywhere.
+    "q160_label_prop" -> Q(
+      run = (s, dir) => {
+        val edges = cooccurrenceEdges(s, dir)
+        graft.operators.Graphs.labelPropagation(edges, rounds = 3)
+          .select(col("node").as("term"), col("label").as("community"))
+          .orderBy(col("term"))
+      },
+      oracle = Some("""
+        WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        b AS (SELECT UNNEST([w[i] || ' ' || w[i+1]
+                             for i in range(1, len(w))]) AS bigram
+              FROM w WHERE len(w) >= 2),
+        bg AS (SELECT x, y, COUNT(*) AS c FROM (
+                 SELECT string_split(bigram, ' ')[1] AS x,
+                        string_split(bigram, ' ')[2] AS y FROM b)
+               WHERE x <> y GROUP BY x, y HAVING COUNT(*) >= 3),
+        e AS (SELECT DISTINCT src, dst FROM (
+                SELECT x AS src, y AS dst FROM bg
+                UNION ALL SELECT y AS src, x AS dst FROM bg)),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+        v1 AS (SELECT e.src AS n2, l.label, COUNT(*) AS c
+               FROM e JOIN l0 l ON e.dst = l.node GROUP BY e.src, l.label),
+        l1 AS (SELECT n2 AS node, label FROM (
+                 SELECT n2, label, ROW_NUMBER() OVER (
+                   PARTITION BY n2 ORDER BY c DESC, label ASC) AS rn
+                 FROM v1) WHERE rn = 1),
+        v2 AS (SELECT e.src AS n2, l.label, COUNT(*) AS c
+               FROM e JOIN l1 l ON e.dst = l.node GROUP BY e.src, l.label),
+        l2 AS (SELECT n2 AS node, label FROM (
+                 SELECT n2, label, ROW_NUMBER() OVER (
+                   PARTITION BY n2 ORDER BY c DESC, label ASC) AS rn
+                 FROM v2) WHERE rn = 1),
+        v3 AS (SELECT e.src AS n2, l.label, COUNT(*) AS c
+               FROM e JOIN l2 l ON e.dst = l.node GROUP BY e.src, l.label),
+        l3 AS (SELECT n2 AS node, label FROM (
+                 SELECT n2, label, ROW_NUMBER() OVER (
+                   PARTITION BY n2 ORDER BY c DESC, label ASC) AS rn
+                 FROM v3) WHERE rn = 1)
+        SELECT node AS term, label AS community
+        FROM l3 ORDER BY term""")),
+
+    // DSIR-style importance weighting (Xie et al. 2023): score every
+    // document by hashed-unigram target/source distribution ratios —
+    // the cheap pre-training data-selection signal (pick web docs
+    // that look like a curated target). Target = the English subset;
+    // score = mean fixed-point bucket ratio over the doc's tokens.
+    // Scale shape: ONE token explode feeding combinable aggs; the
+    // 64-row bucket-ratio table BROADCASTS back into the token
+    // stream. Parity: md5-prefix buckets (q48 convention), floor-div
+    // fixed-point ratios, integer mean — exact end-to-end.
+    "q161_dsir_score" -> Q(
+      run = (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"))
+        graft.operators.Dsir
+          .scoreAgainstTarget(docs, col("lang") === "en", buckets = 64)
+          .orderBy(col("dsir_score").desc, col("doc_id"))
+          .limit(25)
+      },
+      oracle = Some("""
+        WITH tok AS (
+          SELECT doc_id,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+                 CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % 64 AS b
+          FROM (SELECT doc_id, lang,
+                       UNNEST(string_split(text, ' ')) AS word
+                FROM documents) WHERE word <> ''),
+        r AS (SELECT b,
+                     CAST((SUM(tgt) * 1000000) // COUNT(*) AS BIGINT) AS rr
+              FROM tok GROUP BY b)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               CAST(SUM(rr) // COUNT(*) AS BIGINT) AS dsir_score
+        FROM tok JOIN r USING (b)
+        GROUP BY doc_id
+        ORDER BY dsir_score DESC, doc_id LIMIT 25"""))
   )
 }

@@ -154,4 +154,32 @@ class GraphsSpec extends SparkSuite {
       Graphs.weightedPageRank(edges(("a", "b", 1L)), damping = 0.001)
     }
   }
+
+  test("labelPropagation: two triangles with a bridge, hand-traced 3 rounds") {
+    // triangles {a,b,c} and {x,y,z}, bridge c-x. Sync LPA, min tie-break:
+    // r1: a=b b=a c=a x=c y=x z=x
+    // r2: a=a b=a c=a x=x y=c z=c
+    // r3: a=a b=a c=a x=c y=c z=c  -> communities {a,b,c}->a {x,y,z}->c
+    val e = edges(("a", "b", 1L), ("b", "c", 1L), ("a", "c", 1L),
+      ("x", "y", 1L), ("y", "z", 1L), ("x", "z", 1L), ("c", "x", 1L))
+    val r = Graphs.labelPropagation(e, rounds = 3)
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(r == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "c", "y" -> "c", "z" -> "c"))
+  }
+
+  test("labelPropagation: canonicalizes dups/reversed/self-loops, deterministic") {
+    // duplicate, reversed and self-loop rows must not change the vote
+    val clean = edges(("a", "b", 1L), ("b", "c", 1L))
+    val noisy = edges(("a", "b", 1L), ("b", "a", 1L), ("a", "b", 1L),
+      ("b", "c", 1L), ("c", "c", 1L))
+    val rc = Graphs.labelPropagation(clean, rounds = 2)
+      .orderBy("node").collect().map(x => (x.getString(0), x.getString(1)))
+    val rn = Graphs.labelPropagation(noisy.repartition(7), rounds = 2)
+      .orderBy("node").collect().map(x => (x.getString(0), x.getString(1)))
+    assert(rc.sameElements(rn))
+    intercept[IllegalArgumentException] {
+      Graphs.labelPropagation(clean, rounds = 0)
+    }
+  }
 }
