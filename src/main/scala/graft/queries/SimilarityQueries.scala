@@ -425,6 +425,140 @@ object SimilarityQueries extends QueryModule {
                  ROW_NUMBER() OVER (PARTITION BY query_id
                    ORDER BY rrf DESC, cand_id) AS rank, rrf
           FROM fused)
-        WHERE rank <= 5 ORDER BY query_id, rank"""))
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // Exact fixed-point k-means (KMeansFx): k=4 clusters, 2 Lloyd
+    // rounds, full assignment table — the clustering stage of
+    // cluster-balanced curation (SemDeDup's first step), and the
+    // repo's first ORACLE-CHECKED clustering: quantized longs, exact
+    // L2², truncated integer centroid means, ties to the smallest
+    // cluster — the whole trajectory reproduces bit-for-bit in
+    // DuckDB's unrolled 2 rounds. Scale shape: per round one
+    // MAP-LOCAL assignment pass (centroids ride as k×d literals — no
+    // join) + one combinable (cluster, dim) agg; only k·d rows ever
+    // reach the driver.
+    "q162_kmeans" -> Q(
+      run = (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        graft.operators.KMeansFx.assignments(emb, k = 4, iters = 2)
+          .orderBy("vec_id")
+      },
+      oracle = Some("""
+        WITH q AS (
+          SELECT vec_id, i AS dim,
+                 CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000)
+                   AS BIGINT) AS x
+          FROM embeddings,
+               (SELECT UNNEST(generate_series(1, 64)) AS i) g),
+        seed AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl
+                 FROM (SELECT vec_id FROM embeddings
+                       ORDER BY vec_id LIMIT 4)),
+        c0 AS (SELECT s.cl, q.dim, q.x FROM seed s JOIN q USING (vec_id)),
+        dist1 AS (SELECT q.vec_id, c.cl,
+                         SUM((q.x - c.x) * (q.x - c.x)) AS d2
+                  FROM q JOIN c0 c USING (dim) GROUP BY 1, 2),
+        asg1 AS (SELECT vec_id, cl FROM (
+                   SELECT vec_id, cl, ROW_NUMBER() OVER (
+                     PARTITION BY vec_id ORDER BY d2, cl) AS rn
+                   FROM dist1) WHERE rn = 1),
+        upd1 AS (SELECT a.cl, q.dim,
+                        CAST(SUM(q.x) // COUNT(*) AS BIGINT) AS x
+                 FROM asg1 a JOIN q USING (vec_id) GROUP BY a.cl, q.dim),
+        c1 AS (SELECT c0.cl, c0.dim, COALESCE(u.x, c0.x) AS x
+               FROM c0 LEFT JOIN upd1 u
+                 ON c0.cl = u.cl AND c0.dim = u.dim),
+        dist2 AS (SELECT q.vec_id, c.cl,
+                         SUM((q.x - c.x) * (q.x - c.x)) AS d2
+                  FROM q JOIN c1 c USING (dim) GROUP BY 1, 2),
+        asg2 AS (SELECT vec_id, cl FROM (
+                   SELECT vec_id, cl, ROW_NUMBER() OVER (
+                     PARTITION BY vec_id ORDER BY d2, cl) AS rn
+                   FROM dist2) WHERE rn = 1),
+        upd2 AS (SELECT a.cl, q.dim,
+                        CAST(SUM(q.x) // COUNT(*) AS BIGINT) AS x
+                 FROM asg2 a JOIN q USING (vec_id) GROUP BY a.cl, q.dim),
+        c2 AS (SELECT c1.cl, c1.dim, COALESCE(u.x, c1.x) AS x
+               FROM c1 LEFT JOIN upd2 u
+                 ON c1.cl = u.cl AND c1.dim = u.dim),
+        dist3 AS (SELECT q.vec_id, c.cl,
+                         SUM((q.x - c.x) * (q.x - c.x)) AS d2
+                  FROM q JOIN c2 c USING (dim) GROUP BY 1, 2),
+        asg3 AS (SELECT vec_id, cl FROM (
+                   SELECT vec_id, cl, ROW_NUMBER() OVER (
+                     PARTITION BY vec_id ORDER BY d2, cl) AS rn
+                   FROM dist3) WHERE rn = 1)
+        SELECT vec_id, CAST(cl AS BIGINT) AS cluster
+        FROM asg3 ORDER BY vec_id""")),
+
+    // Cluster-balanced subsample composing q162's assignment with the
+    // q48 keyed-md5 deterministic pick: the 20 smallest-md5(vec_id)
+    // vectors per k-means cluster — uniform pressure on every region
+    // of embedding space regardless of cluster mass (the curation
+    // counterweight to frequency-proportional sampling). One window
+    // over the assignment table; md5 rank is engine-portable.
+    "q163_cluster_sample" -> Q(
+      run = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        graft.operators.KMeansFx.assignments(emb, k = 4, iters = 2)
+          .withColumn("rank", row_number().over(Window
+            .partitionBy(col("cluster"))
+            .orderBy(md5(col("vec_id").cast("string")),
+              col("vec_id"))).cast(LongType))
+          .filter(col("rank") <= 20)
+          .select(col("cluster"), col("rank"), col("vec_id"))
+          .orderBy("cluster", "rank")
+      },
+      oracle = Some("""
+        WITH q AS (
+          SELECT vec_id, i AS dim,
+                 CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000)
+                   AS BIGINT) AS x
+          FROM embeddings,
+               (SELECT UNNEST(generate_series(1, 64)) AS i) g),
+        seed AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl
+                 FROM (SELECT vec_id FROM embeddings
+                       ORDER BY vec_id LIMIT 4)),
+        c0 AS (SELECT s.cl, q.dim, q.x FROM seed s JOIN q USING (vec_id)),
+        dist1 AS (SELECT q.vec_id, c.cl,
+                         SUM((q.x - c.x) * (q.x - c.x)) AS d2
+                  FROM q JOIN c0 c USING (dim) GROUP BY 1, 2),
+        asg1 AS (SELECT vec_id, cl FROM (
+                   SELECT vec_id, cl, ROW_NUMBER() OVER (
+                     PARTITION BY vec_id ORDER BY d2, cl) AS rn
+                   FROM dist1) WHERE rn = 1),
+        upd1 AS (SELECT a.cl, q.dim,
+                        CAST(SUM(q.x) // COUNT(*) AS BIGINT) AS x
+                 FROM asg1 a JOIN q USING (vec_id) GROUP BY a.cl, q.dim),
+        c1 AS (SELECT c0.cl, c0.dim, COALESCE(u.x, c0.x) AS x
+               FROM c0 LEFT JOIN upd1 u
+                 ON c0.cl = u.cl AND c0.dim = u.dim),
+        dist2 AS (SELECT q.vec_id, c.cl,
+                         SUM((q.x - c.x) * (q.x - c.x)) AS d2
+                  FROM q JOIN c1 c USING (dim) GROUP BY 1, 2),
+        asg2 AS (SELECT vec_id, cl FROM (
+                   SELECT vec_id, cl, ROW_NUMBER() OVER (
+                     PARTITION BY vec_id ORDER BY d2, cl) AS rn
+                   FROM dist2) WHERE rn = 1),
+        upd2 AS (SELECT a.cl, q.dim,
+                        CAST(SUM(q.x) // COUNT(*) AS BIGINT) AS x
+                 FROM asg2 a JOIN q USING (vec_id) GROUP BY a.cl, q.dim),
+        c2 AS (SELECT c1.cl, c1.dim, COALESCE(u.x, c1.x) AS x
+               FROM c1 LEFT JOIN upd2 u
+                 ON c1.cl = u.cl AND c1.dim = u.dim),
+        dist3 AS (SELECT q.vec_id, c.cl,
+                         SUM((q.x - c.x) * (q.x - c.x)) AS d2
+                  FROM q JOIN c2 c USING (dim) GROUP BY 1, 2),
+        asg3 AS (SELECT vec_id, cl FROM (
+                   SELECT vec_id, cl, ROW_NUMBER() OVER (
+                     PARTITION BY vec_id ORDER BY d2, cl) AS rn
+                   FROM dist3) WHERE rn = 1)
+        SELECT CAST(cl AS BIGINT) AS cluster, rank, vec_id FROM (
+          SELECT cl, vec_id, ROW_NUMBER() OVER (PARTITION BY cl
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rank
+          FROM asg3)
+        WHERE rank <= 20 ORDER BY cluster, rank"""))
   )
 }
