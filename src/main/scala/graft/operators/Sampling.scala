@@ -178,4 +178,37 @@ object Sampling {
       when(prefix < hexThreshold(cum), name).otherwise(rest)
     }
   }
+
+  /** Deterministic epoch shuffle — the training-data ordering stage:
+    * assign every row a (shard, pos) so that reading shards in pos
+    * order yields a uniform pseudo-random permutation of the corpus
+    * that is a pure function of (epoch, id). Different epochs give
+    * independent permutations (the md5 key mixes the epoch in); the
+    * same epoch replays byte-identically across runs, engines and
+    * cluster layouts — resumable training without persisting an order.
+    *
+    * Scale shape: shard = md5-uniform % numShards is map-local; the
+    * only movement is ONE hash shuffle on shard, and each shard is then
+    * sorted independently (pos = rank of the md5 key within the shard).
+    * A shard is the training-side read unit — pick numShards so a shard
+    * (≈ corpus/numShards) fits a writer task; the global permutation is
+    * never materialized through one node. Epoch re-shuffles re-run the
+    * map + one shuffle; nothing is stateful. */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+                   numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val h = md5(concat_ws(":", lit(epoch.toString),
+      col(idCol).cast(StringType)))
+    // conv(hex,16,10) returns a decimal STRING — cast before the mod;
+    // 8 hex chars < 2³² always fits a long, and is non-negative so
+    // % == pmod (and matches DuckDB's ('0x'||…)::BIGINT % n)
+    val shard = (conv(substring(h, 1, 8), 16, 10).cast("long")
+      % numShards.toLong).as("shard")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
 }

@@ -2454,6 +2454,37 @@ object TextQueries extends QueryModule {
                CAST(SUM(rr) // COUNT(*) AS BIGINT) AS dsir_score
         FROM tok JOIN r USING (b)
         GROUP BY doc_id
-        ORDER BY dsir_score DESC, doc_id LIMIT 25"""))
+        ORDER BY dsir_score DESC, doc_id LIMIT 25""")),
+
+    // Deterministic epoch shuffle (the training-data ordering stage):
+    // every doc gets a (shard, pos) that is a pure function of
+    // (epoch, doc_id) — reading shards in pos order is a reproducible
+    // pseudo-random permutation of the corpus; a different epoch is an
+    // independent permutation with zero persisted state. Scale: shard
+    // assignment is map-local, then ONE hash shuffle on shard and a
+    // per-shard sort — the permutation never funnels through one node
+    // (ScaleOpsSpec pins the permutation + layout-invariance
+    // properties). Parity: md5-hex shard arithmetic (q131's
+    // ('0x'||…)::BIGINT convention).
+    "q164_epoch_shuffle" -> Q(
+      run = (s, dir) =>
+        graft.operators.Sampling.epochShuffle(
+          Tables(s, dir, "documents").select(col("doc_id")),
+          "doc_id", epoch = 3, numShards = 8)
+          .select(col("shard"), col("pos"), col("doc_id"))
+          .orderBy("shard", "pos"),
+      oracle = Some("""
+        WITH h AS (
+          SELECT doc_id, md5('3:' || CAST(doc_id AS VARCHAR)) AS h
+          FROM documents),
+        s AS (
+          SELECT doc_id, h,
+                 CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % 8 AS shard
+          FROM h)
+        SELECT shard,
+               CAST(row_number() OVER (PARTITION BY shard
+                 ORDER BY h, doc_id) AS BIGINT) AS pos,
+               doc_id
+        FROM s ORDER BY shard, pos"""))
   )
 }

@@ -211,4 +211,32 @@ class ScaleOpsSpec extends SparkSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(half == fullRestricted)
   }
+
+  test("epochShuffle: permutation per epoch, dense per-shard positions, layout-invariant, epochs independent") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"))
+    val n = docs.count()
+    val e3 = Sampling.epochShuffle(docs, "doc_id", epoch = 3, numShards = 8)
+    val rows = e3.select("shard", "pos", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every doc appears exactly once — it IS a permutation
+    assert(rows.length == n)
+    assert(rows.map(_._3).distinct.length == n)
+    // positions are dense 1..|shard| within each shard
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._2).sorted.toSeq == (1L to g.length).toSeq)
+    }
+    // deterministic + layout-invariant: a different input partitioning
+    // yields the identical (shard, pos) assignment
+    val relaid = Sampling.epochShuffle(
+      docs.repartition(13), "doc_id", epoch = 3, numShards = 8)
+      .select("shard", "pos", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(relaid == rows.toSet)
+    // a different epoch is a genuinely different permutation
+    val e4 = Sampling.epochShuffle(docs, "doc_id", epoch = 4, numShards = 8)
+      .select("shard", "pos", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(e4 != rows.toSet)
+  }
 }
