@@ -16,12 +16,21 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read it as raw nanos and convert with integer
-      // division (a double division would lose precision at ns scale).
+      // events.ts has shipped as both parquet TIMESTAMP(NANOS) — which
+      // Spark's vectorized reader rejects unless read as raw int64 —
+      // and plain TIMESTAMP(MICROS) (ntz). Branch on the footer schema:
+      // nanos arrive as LongType (integer-divided to micros; a double
+      // division would lose precision at ns scale), micros arrive as
+      // timestamp_ntz and are reinterpreted in the UTC session zone.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ =>
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view (SURVEY.md §2.1 S11). */

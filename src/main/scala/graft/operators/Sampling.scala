@@ -197,7 +197,16 @@ object Sampling {
   def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
                    numShards: Int): DataFrame = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
-    val h = md5(concat_ws(":", lit(epoch.toString),
+    // 'shard'/'pos' are the operator's output columns and '__h' its
+    // scratch key — refuse inputs that already carry them rather than
+    // silently overwriting caller data.
+    Seq("shard", "pos", "__h").foreach(c =>
+      require(!df.columns.contains(c),
+        s"epochShuffle reserves output column '$c'; input already has it"))
+    // concat (not concat_ws): a NULL id must propagate to a NULL hash
+    // key — concat_ws would skip the NULL element and collapse every
+    // NULL id onto md5("<epoch>:"), one shared (shard,pos) neighborhood.
+    val h = md5(concat(lit(epoch.toString + ":"),
       col(idCol).cast(StringType)))
     // conv(hex,16,10) returns a decimal STRING — cast before the mod;
     // 8 hex chars < 2³² always fits a long, and is non-negative so

@@ -14,22 +14,34 @@ import org.apache.spark.sql.types._
   */
 object StreamingJobs {
 
-  /** Raw events schema as stored (ts arrives as nanos int64; see
-    * graft.core.Tables). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** Events schema with `ts` as the given type — the fixture has
+    * shipped ts both as nanos int64 (TIMESTAMP(NANOS), readable only as
+    * raw long) and as plain TIMESTAMP(MICROS) ntz; see
+    * graft.core.Tables. */
+  private def rawSchema(tsType: org.apache.spark.sql.types.DataType) =
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Streaming source over the events parquet (file source → the same
-    * nanos→micros conversion as the batch path). */
+  /** Nanos-int64 layout — what the sentinel writers below produce. */
+  private val nanosSchema = rawSchema(LongType)
+
+  /** Streaming source over the events parquet. A streaming source needs
+    * a declared schema, so the batch reader's footer inference (one
+    * driver-side metadata read) decides which ts layout this lake
+    * shipped; both normalize to TimestampType in the UTC session zone. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    val tsType = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
+    val stream = spark.readStream
+      .schema(rawSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (tsType == LongType)
+      stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else stream.withColumn("ts", col("ts").cast(TimestampType))
   }
 
   /** Tumbling 1-hour windowed aggregation with a watermark; returns the
@@ -283,7 +295,7 @@ object StreamingJobs {
       .write.mode("overwrite").parquet(sentinelDir)
 
     val sentinels = spark.readStream
-      .schema(rawSchema)
+      .schema(nanosSchema)
       .parquet(sentinelDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val events = readEvents(spark, dir).union(sentinels)
