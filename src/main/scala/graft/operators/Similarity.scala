@@ -311,6 +311,60 @@ object Similarity {
         col("cos"))
   }
 
+  /** Approximate k-nearest-neighbor GRAPH over the whole corpus
+    * (corpus-vs-corpus top-k, every vector a query) — the substrate for
+    * embedding-space curation: feed the edges to label propagation
+    * (q160) for clustering, to connected components for SemDeDup-style
+    * group pruning, or keep them as the retrieval graph.
+    *
+    * [[bruteForceTopK]] cannot play this role at scale: it broadcasts
+    * the query side, and here the query side IS the corpus. Instead
+    * both sides get IVF cell ids map-locally (centroids ride as
+    * literals — same deterministic seeding + one Lloyd pass as
+    * [[ivfTopK]]) and candidates materialize through ONE hash equi-join
+    * on the cell id: the stored side keeps its home cell, the probing
+    * side explodes to its `nprobe` nearest cells. No broadcast of
+    * anything corpus-sized, no cross join — shuffle volume is
+    * nprobe·|corpus| rows and per-cell candidate work is
+    * (n/nlist)·nprobe per vector, the standard IVF recall/cost dial
+    * (size nlist ≈ √n so a cell fits an executor's hash partition).
+    * Neighbors are exact-cosine-scored and window-ranked per query;
+    * recall vs the brute graph is measured in SimilaritySpec, never
+    * assumed. Output: (query_id, neighbor_id, rank, cos). */
+  def knnGraphIvf(corpus: DataFrame, k: Int,
+                  nlist: Int = 16, nprobe: Int = 4,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    graft.plans.VectorExpressions.register(corpus.sparkSession)
+    import graft.plans.VectorExpressions.dotProduct
+
+    val seeds = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val assigned0 = corpus.withColumn("__cell", nearestCentroid(col(vecCol), seeds))
+    val refined = refineCentroids(assigned0, vecCol, seeds)
+
+    val stored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("__cell", nearestCentroid(col("cv"), refined))
+      .withColumn("__cn", sqrt(dotProduct(col("cv"), col("cv"))))
+    val probing = corpus
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("__qn", sqrt(dotProduct(col("qv"), col("qv"))))
+      .withColumn("__cell", explode(probeCells(col("qv"), refined, nprobe)))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    stored.join(probing, Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        dotProduct(col("qv"), col("cv")) / (col("__qn") * col("__cn")))
+      .withColumn("rank", row_number().over(w).cast(org.apache.spark.sql.types.LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** Product-quantization approximate top-k (IVFADC's scoring half,
     * Jégou et al. 2011) — the ANN MEMORY-compression scale path: the
     * corpus is L2-normalized and encoded as `m` sub-space centroid ids

@@ -559,6 +559,48 @@ object SimilarityQueries extends QueryModule {
           SELECT cl, vec_id, ROW_NUMBER() OVER (PARTITION BY cl
             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rank
           FROM asg3)
-        WHERE rank <= 20 ORDER BY cluster, rank"""))
+        WHERE rank <= 20 ORDER BY cluster, rank""")),
+
+    // Corpus-wide kNN GRAPH, exact form (every vector a query, top-5
+    // cosine neighbors each) — the substrate for embedding-space
+    // curation: edges feed label propagation (q160), connected
+    // components, or retrieval. This brute realization is the ORACLE
+    // TWIN of q166's IVF-blocked form (the q103/q119 pairing): fine at
+    // oracle scale, but its broadcast-the-query-side shape cannot
+    // scale when the query side IS the corpus.
+    "q165_knn_graph" -> Q(
+      run = (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb, emb, k = 5)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("query_id", "rank")
+      },
+      oracle = Some("""
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                          c.vec_id) AS rank,
+               ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        QUALIFY rank <= 5
+        ORDER BY query_id, rank""")),
+
+    // The 100 TB form of q165: both corpus copies get IVF cell ids
+    // map-locally and candidates come from ONE hash equi-join on the
+    // cell (stored side in its home cell, probing side exploded to its
+    // nprobe nearest cells) — no corpus broadcast, no cross join;
+    // shuffle is nprobe·|corpus| rows. Approximate by construction
+    // (cell recall), so rows-only here; SimilaritySpec measures edge
+    // recall vs the exact q165 graph and pins the bound.
+    "q166_knn_graph_ivf" -> Q(
+      run = (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.knnGraphIvf(emb, k = 5, nlist = 16, nprobe = 4)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("query_id", "rank")
+      },
+      oracle = None)
   )
 }

@@ -2485,6 +2485,62 @@ object TextQueries extends QueryModule {
                CAST(row_number() OVER (PARTITION BY shard
                  ORDER BY h, doc_id) AS BIGINT) AS pos,
                doc_id
-        FROM s ORDER BY shard, pos"""))
+        FROM s ORDER BY shard, pos""")),
+
+    // Learned linear quality classifier (Perceptron.trainScore): the
+    // FineWeb/Dolma "distill an expensive filter into a cheap one"
+    // stage — labels bootstrapped from a deterministic rule (here:
+    // length >= 300), distilled into a linear scorer over 64 hashed
+    // unigram buckets by 2 full-batch perceptron rounds. ALL-integer
+    // training (the q162-kmeans fixed-point contract applied to a
+    // learned model): the oracle unrolls both rounds — w1 = sum of
+    // y*x over every doc (w0 = 0 misclassifies everything), w2 adds
+    // the round-2 misclassified set's updates — and the final margins
+    // reproduce bit-for-bit. Scale: feature build is one explode +
+    // hash agg; each round broadcasts the 64-row weight table, one
+    // semi-join, one combinable bucket agg; cross-round state is
+    // `buckets` rows, never corpus-sized.
+    "q167_perceptron_quality" -> Q(
+      run = (s, dir) =>
+        graft.operators.Perceptron.trainScore(
+          Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+          label = length(col("text")) >= 300, buckets = 64, iters = 2)
+          .orderBy("doc_id"),
+      oracle = Some("""
+        WITH lab AS (
+          SELECT doc_id,
+                 CASE WHEN length(text) >= 300 THEN 1 ELSE -1 END AS y
+          FROM documents),
+        x AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % 64 AS b,
+                 COUNT(*) AS x
+          FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+                FROM documents)
+          WHERE word <> '' GROUP BY 1, 2),
+        w1 AS (
+          SELECT b, CAST(SUM(l.y * x.x) AS BIGINT) AS w
+          FROM x JOIN lab l USING (doc_id) GROUP BY b),
+        m2 AS (
+          SELECT x.doc_id, CAST(SUM(w1.w * x.x) AS BIGINT) AS m
+          FROM x JOIN w1 USING (b) GROUP BY 1),
+        mis2 AS (
+          SELECT m2.doc_id FROM m2 JOIN lab USING (doc_id)
+          WHERE lab.y * m2.m <= 0),
+        d2 AS (
+          SELECT b, CAST(SUM(l.y * x.x) AS BIGINT) AS d
+          FROM x JOIN lab l USING (doc_id) JOIN mis2 USING (doc_id)
+          GROUP BY b),
+        w2 AS (
+          SELECT w1.b, w1.w + COALESCE(d2.d, 0) AS w
+          FROM w1 LEFT JOIN d2 USING (b)),
+        outm AS (
+          SELECT x.doc_id, CAST(SUM(w2.w * x.x) AS BIGINT) AS margin
+          FROM x JOIN w2 USING (b) GROUP BY 1)
+        SELECT o.doc_id, CAST(l.y AS BIGINT) AS label, o.margin,
+               CAST(CASE WHEN o.margin > 0 THEN 1 ELSE -1 END AS BIGINT)
+                 AS predicted
+        FROM outm o JOIN lab l USING (doc_id)
+        ORDER BY doc_id"""))
   )
 }

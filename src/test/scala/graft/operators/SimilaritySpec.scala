@@ -109,6 +109,29 @@ class SimilaritySpec extends SparkSuite {
     assert(perQuery.forall(_ == 5))
   }
 
+  test("knnGraphIvf: edge recall vs the exact graph; exact cos on shared edges") {
+    val exactRows = Similarity.bruteForceTopK(emb, emb, 5).collect()
+    val exact = exactRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactCos = exactRows.map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val approxRows = Similarity.knnGraphIvf(emb, 5, nlist = 16, nprobe = 4)
+      .collect()
+    val approx = approxRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"kNN-graph IVF edge recall@5 (nprobe=4/16) = $recall%.3f")
+    assert(recall > 0.3)
+    // every corpus vector is a query and gets at most k edges; scores
+    // on shared edges are the EXACT cosine (blocking only prunes
+    // candidates, never perturbs scores)
+    val perQuery = approxRows.groupBy(_.getLong(0))
+    assert(perQuery.size == emb.count())
+    assert(perQuery.values.forall(_.length <= 5))
+    approxRows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exactCos.get(key).foreach(c => assert(math.abs(c - r.getDouble(3)) < 1e-9))
+    }
+  }
+
   test("pqTopK recall@5 against exact top-5; exact scores on the shortlist") {
     val q = emb.filter(col("vec_id") < 32)
     val exactRows = Similarity.bruteForceTopK(q, emb, 5).collect()
