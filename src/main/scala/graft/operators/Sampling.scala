@@ -220,4 +220,73 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("__h")
   }
+
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): split a total sampling `budget` across groups
+    * (languages/sources) as UNIFORMLY as possible subject to a per-
+    * group cap of `epochs`×(group size) — small languages are never
+    * over-repeated past the epoch cap, head languages absorb the
+    * slack. The frequency-proportional and temperature alternatives
+    * ([[mixture]]/[[temperatureMixture]]) over-sample the head or
+    * over-repeat the tail; UniMax is the budget-feasible uniform fill.
+    *
+    * Exact integer waterfilling, deterministic: groups sorted by cap
+    * ascending (ties on name), a prefix saturates at its cap (prefix
+    * property: cap_i·m_i + cum_{i-1} is non-decreasing, so the
+    * criterion cap_i·m_i ≤ B − cum_{i−1} flips once), the rest split
+    * the remainder evenly with the first `remainder mod u` groups (in
+    * sort order) taking one extra. Pure longs — bit-identical in any
+    * engine.
+    *
+    * Scale shape: ONE group-count agg over the corpus; everything
+    * after runs on the GROUP table (dim-sized: languages/sources, not
+    * documents), where unpartitioned windows are fine. Output:
+    * (group, n, cap, alloc), Σ alloc = min(budget, Σ cap). */
+  def unimaxAlloc(df: DataFrame, groupCol: String, budget: Long,
+                  epochs: Int = 1): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.orderBy(col("cap"), col("grp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    df.groupBy(col(groupCol).as("grp")).agg(count(lit(1)).as("n"))
+      .withColumn("cap", col("n") * epochs)
+      .withColumn("i", row_number().over(
+        Window.orderBy(col("cap"), col("grp"))).cast("long"))
+      .withColumn("cum", sum(col("cap")).over(wOrd))
+      .withColumn("g", count(lit(1)).over(wAll))
+      .withColumn("sat",
+        col("cap") * (col("g") - col("i") + 1) <=
+          lit(budget) - (col("cum") - col("cap")))
+      .withColumn("s", sum(when(col("sat"), col("cap")).otherwise(0L)).over(wAll))
+      .withColumn("k", sum(when(col("sat"), 1L).otherwise(0L)).over(wAll))
+      .withColumn("u", col("g") - col("k"))
+      .withColumn("alloc", when(col("sat"), col("cap")).otherwise(
+        expr(s"($budget - s) div u") +
+          when(col("i") - col("k") <= expr(s"($budget - s) % u"), 1L)
+            .otherwise(0L)))
+      .select(col("grp").as(groupCol), col("n"), col("cap"), col("alloc"))
+  }
+
+  /** UniMax sampling at `epochs = 1`: materialize [[unimaxAlloc]]'s
+    * allocation as an actual document pick — the `alloc_g` smallest-
+    * md5(id) documents of each group (the q48 keyed convention:
+    * reproducible across runs, engines, layouts). The allocation table
+    * is dim-sized → broadcast; the corpus pays one per-group window.
+    * Output: (group, rank, id). */
+  def unimaxSample(df: DataFrame, groupCol: String, idCol: String,
+                   budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val alloc = unimaxAlloc(df.select(col(groupCol), col(idCol)), groupCol, budget)
+      .select(col(groupCol), col("alloc"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast(StringType)), col(idCol))
+    df.select(col(groupCol), col(idCol))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .join(broadcast(alloc), Seq(groupCol))
+      .filter(col("rank") <= col("alloc"))
+      .select(col(groupCol), col("rank"), col(idCol))
+  }
 }

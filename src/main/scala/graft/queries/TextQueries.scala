@@ -2542,5 +2542,80 @@ object TextQueries extends QueryModule {
                  AS predicted
         FROM outm o JOIN lab l USING (doc_id)
         ORDER BY doc_id"""))
-  )
+  ) ++ unimaxEntries
+
+  private def unimaxEntries: Seq[(String, Q)] = {
+    // shared oracle CTE: the exact integer waterfilling over the
+    // language histogram (caps ascending; a prefix saturates — the
+    // criterion cap·m <= B - cum_prev flips once — the rest split the
+    // remainder evenly, first `rem mod u` groups one extra)
+    val allocSql = """
+        sizes AS (
+          SELECT lang AS grp, COUNT(*) AS n, COUNT(*) AS cap
+          FROM documents GROUP BY 1),
+        st AS (
+          SELECT grp, n, cap,
+                 ROW_NUMBER() OVER (ORDER BY cap, grp) AS i,
+                 SUM(cap) OVER (ORDER BY cap, grp
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+                 COUNT(*) OVER () AS g
+          FROM sizes),
+        f AS (
+          SELECT *, CASE WHEN cap * (g - i + 1) <= 400 - (cum - cap)
+                         THEN 1 ELSE 0 END AS sat
+          FROM st),
+        alloc AS (
+          SELECT grp, n, cap,
+                 CAST(CASE WHEN sat = 1 THEN cap
+                      ELSE (400 - SUM(sat * cap) OVER ())
+                             // (g - SUM(sat) OVER ())
+                           + CASE WHEN i - SUM(sat) OVER () <=
+                                    (400 - SUM(sat * cap) OVER ())
+                                      % (g - SUM(sat) OVER ())
+                                  THEN 1 ELSE 0 END
+                      END AS BIGINT) AS alloc
+          FROM f)"""
+
+    Seq(
+      // UniMax budget allocation (Chung et al. 2023): the language-
+      // balanced sampling allocator — budget split as uniformly as the
+      // per-language epoch caps allow (tail languages saturate at
+      // their cap, head languages absorb the slack; here en takes 118
+      // of its 218 while fr/de/es/zh keep everything). Exact integer
+      // waterfilling: bit-identical windows both engines. Scale: one
+      // corpus histogram agg; the waterfill runs on the DIM-sized
+      // language table.
+      "q168_unimax_alloc" -> Q(
+        run = (s, dir) =>
+          graft.operators.Sampling.unimaxAlloc(
+            Tables(s, dir, "documents").select(col("lang"), col("doc_id")),
+            "lang", budget = 400, epochs = 1)
+            .orderBy("lang"),
+        oracle = Some(s"""
+          WITH $allocSql
+          SELECT grp AS lang, n, cap, alloc FROM alloc ORDER BY lang""")),
+
+      // The allocation materialized as an actual pick: the alloc_g
+      // smallest-md5(doc_id) docs per language (q48 keyed convention)
+      // — 400 rows, deterministic end-to-end. Allocation table is
+      // dim-sized -> broadcast; the corpus pays one per-group window.
+      "q169_unimax_sample" -> Q(
+        run = (s, dir) =>
+          graft.operators.Sampling.unimaxSample(
+            Tables(s, dir, "documents").select(col("lang"), col("doc_id")),
+            "lang", "doc_id", budget = 400)
+            .orderBy("lang", "rank"),
+        oracle = Some(s"""
+          WITH $allocSql,
+          ranked AS (
+            SELECT lang, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+            FROM documents)
+          SELECT r.lang, CAST(r.rank AS BIGINT) AS rank, r.doc_id
+          FROM ranked r JOIN alloc a ON r.lang = a.grp
+          WHERE r.rank <= a.alloc
+          ORDER BY lang, rank"""))
+    )
+  }
 }

@@ -239,4 +239,48 @@ class ScaleOpsSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(e4 != rows.toSet)
   }
+
+  test("unimaxAlloc: caps honored, budget exhausted, uniform fill, epoch caps") {
+    import spark.implicits._
+    // group sizes 5, 10, 20, 100
+    val rows = Seq(("a", 5), ("b", 10), ("c", 20), ("d", 100))
+      .flatMap { case (g, n) => (1 to n).map(i => (g, s"$g$i")) }
+    val df = rows.toDF("grp", "id")
+
+    def allocMap(budget: Long, epochs: Int = 1) =
+      Sampling.unimaxAlloc(df, "grp", budget, epochs).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+
+    // budget below total: a/b/c saturate, d absorbs the slack
+    val m = allocMap(60)
+    assert(m("a") == ((5L, 5L, 5L)) && m("b") == ((10L, 10L, 10L))
+      && m("c") == ((20L, 20L, 20L)))
+    assert(m("d")._3 == 25L)
+    assert(m.values.map(_._3).sum == 60L)
+
+    // budget above total caps: everyone keeps everything
+    val all = allocMap(1000)
+    assert(all.values.forall { case (n, cap, alloc) => alloc == cap && cap == n })
+
+    // tight budget: uniform split with remainder to the sort-order head
+    val tight = allocMap(10)
+    assert(tight.values.map(_._3).sum == 10L)
+    assert(tight.values.map(_._3).max - tight.values.map(_._3).min <= 1L)
+
+    // epochs scale the caps (alloc may exceed n, never epochs*n)
+    val ep = allocMap(300, epochs = 2)
+    assert(ep.values.forall { case (n, cap, alloc) => cap == 2 * n && alloc <= cap })
+    assert(ep.values.map(_._3).sum == 270L) // min(300, sum caps = 270)
+
+    // sample materializes the allocation exactly, layout-invariant
+    val s1 = Sampling.unimaxSample(df, "grp", "id", 60).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val s2 = Sampling.unimaxSample(df.repartition(7), "grp", "id", 60).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(s1 == s2)
+    assert(s1.size == 60)
+    assert(s1.groupBy(_._1).view.mapValues(_.size).toMap ==
+      Map("a" -> 5, "b" -> 10, "c" -> 20, "d" -> 25))
+  }
 }
