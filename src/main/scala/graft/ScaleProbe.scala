@@ -312,6 +312,56 @@ object ScaleProbe {
       }
       spark.stop(); return
     }
+    // kNN-graph probe (`runMain graft.ScaleProbe knn`): corpus-vs-corpus
+    // top-k where BOTH sides grow. With nlist scaled ∝ mult (the
+    // operator's documented dial: nlist ≈ √n keeps per-cell population
+    // constant), per-vector candidate work is flat and total wall must
+    // track |corpus|, never |corpus|² — the brute self-join this
+    // replaces IS the quadratic baseline. Replicas are id-shifted
+    // copies, so cells fill with near-identical vectors — the
+    // WORST-case cell skew for the equi-join (every copy of a vector
+    // lands in the same cell).
+    if (args.contains("knn")) {
+      val emb = graft.core.Tables(spark, "/root/testdata/sf0.1", "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      def embCorpus(m: Int) = (0 until m).map(i =>
+        emb.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          col("embedding")))
+        .reduce(_ union _)
+      for (mult <- Seq(1, 4, 10)) {
+        val c = embCorpus(mult).localCheckpoint(true)
+        val n = c.count()
+        val t0 = System.nanoTime()
+        val edges = graft.operators.Similarity
+          .knnGraphIvf(c, k = 5, nlist = 16 * mult, nprobe = 4)
+          .queryExecution.toRdd.count()
+        println(f"[probe] mult=$mult%2d vecs=$n%7d knn_graph_ivf      " +
+          f"${(System.nanoTime() - t0) / 1e9}%7.2f s  ($edges edges, " +
+          f"nlist=${16 * mult})")
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
+      spark.stop(); return
+    }
+    // perceptron probe (`runMain graft.ScaleProbe perceptron`): 2
+    // training rounds over a growing corpus — per round one
+    // buckets-row broadcast join, one semi-join, one combinable bucket
+    // agg, so wall must track the token count; cross-round state is 64
+    // rows regardless of corpus size.
+    if (args.contains("perceptron")) {
+      for (mult <- Seq(1, 4, 10)) {
+        val c = corpus(mult).localCheckpoint(true)
+        val n = c.count()
+        val t0 = System.nanoTime()
+        val rows = graft.operators.Perceptron
+          .trainScore(c, label = length(col("text")) >= 300,
+            buckets = 64, iters = 2)
+          .queryExecution.toRdd.count()
+        println(f"[probe] mult=$mult%2d docs=$n%7d perceptron_2it     " +
+          f"${(System.nanoTime() - t0) / 1e9}%7.2f s  ($rows rows)")
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
+      spark.stop(); return
+    }
     for (mult <- Seq(1, 4, 10)) {
       val c = corpus(mult).localCheckpoint(true)
       val n = c.count()

@@ -203,18 +203,15 @@ object Similarity {
   }
 
   /** Cell id of the centroid most cosine-similar to `vec` — the shared
-    * IVF assignment rule (deterministic; centroids ride as plan-time
-    * literals, map-local). */
+    * IVF assignment rule (deterministic, map-local; the codebook rides
+    * INSIDE one native expression as a field, so plan size is O(1) in
+    * nlist — the literal-array formulation this replaced generated
+    * nlist·dim-literal code that janino compiled pathologically slowly
+    * near nlist≈64 and not at all past the method-size limit; see
+    * graft.plans.IvfProbeCells). */
   private def nearestCentroid(vec: Column,
-                              centroids: Array[Array[Double]]): Column = {
-    import graft.plans.VectorExpressions.dotProduct
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val cLit = lit(c.map(v => v: java.lang.Double))
-      val cn = math.sqrt(c.map(x => x * x).sum)
-      struct((dotProduct(vec, cLit) / cn).as("sim"), lit(i).as("cell"))
-    }
-    array_max(array(scored: _*)).getField("cell")
-  }
+                              centroids: Array[Array[Double]]): Column =
+    graft.plans.IvfExpressions.nearestCell(vec, centroids)
 
   /** One distributed Lloyd pass: per-(cell, component) mean via
     * posexplode + hash agg — the q63 fixed-point pattern (quantize each
@@ -244,20 +241,11 @@ object Similarity {
   }
 
   /** The `nprobe` cell ids nearest (cosine) to the query vector, as an
-    * array column — map-local, centroids as literals. */
+    * array column — map-local, codebook inside one native expression
+    * (see [[nearestCentroid]]'s plan-size note). */
   private def probeCells(qv: Column, centroids: Array[Array[Double]],
-                         nprobe: Int): Column = {
-    import graft.plans.VectorExpressions.dotProduct
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val cLit = lit(c.map(v => v: java.lang.Double))
-      val cn = math.sqrt(c.map(x => x * x).sum)
-      struct((dotProduct(qv, cLit) / cn).as("sim"), lit(i).as("cell"))
-    }
-    slice(array_sort(array(scored: _*),
-      (a, b) => when(a.getField("sim") > b.getField("sim"), -1)
-        .when(a.getField("sim") < b.getField("sim"), 1).otherwise(0)),
-      1, nprobe).getField("cell")
-  }
+                         nprobe: Int): Column =
+    graft.plans.IvfExpressions.probeCells(qv, centroids, nprobe)
 
   /** IVF (inverted-file) approximate top-k — the k-means-family ANN
     * scale path: partition the corpus into `nlist` cells around

@@ -426,6 +426,37 @@ object LakeQueries extends QueryModule {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders
         WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) NOT BETWEEN '0' AND '4'
-        GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Schema evolution (the Delta mergeSchema role): v0 lands
+    // (doc_id, source); a later append arrives with a NEW nullable
+    // `lang` column. The merged read presents the union schema with
+    // v0's rows null-filled — no rewrite of v0's files (the
+    // pre-evolution snapshot still time-travels with the old schema;
+    // VersionedTableSpec pins that side). Oracle: en docs (the v0
+    // batch) surface as lang 'unknown', the evolved batch keeps its
+    // value.
+    "q170_schema_evolution" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_evolve").resolve("t").toString
+        val docs = Tables(s, dir, "documents")
+        graft.sources.VersionedTable.overwrite(
+          docs.filter(col("lang") === "en")
+            .select(col("doc_id"), col("source")), root)
+        graft.sources.VersionedTable.append(
+          docs.filter(col("lang") =!= "en")
+            .select(col("doc_id"), col("source"), col("lang")), root)
+        graft.sources.VersionedTable.read(s, root)
+          .groupBy(col("source"),
+            coalesce(col("lang"), lit("unknown")).as("lang"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+          .orderBy("source", "lang")
+      },
+      oracle = Some("""
+        SELECT source,
+               CASE WHEN lang = 'en' THEN 'unknown' ELSE lang END AS lang,
+               COUNT(*) AS n, MIN(doc_id) AS min_id
+        FROM documents
+        GROUP BY 1, 2 ORDER BY source, lang"""))
   )
 }
