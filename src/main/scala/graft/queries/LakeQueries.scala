@@ -428,6 +428,44 @@ object LakeQueries extends QueryModule {
         WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) NOT BETWEEN '0' AND '4'
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // STREAMING changes feed (readChangesStream): the CDF consumed as
+    // a Structured Streaming source — every committed append surfaces
+    // as new micro-batch input, checkpointable (process each commit
+    // once without hand-tracking versions; VersionedTableSpec pins the
+    // checkpointed-resume and rewrite-refusal sides). Here an
+    // AvailableNow pass over a 3-commit append-only history must
+    // aggregate to exactly the whole table.
+    "q171_changes_stream" -> Q(
+      run = (s, dir) => {
+        import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+        val root = tempRoot("graft_vt_cdcstream").resolve("t").toString
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val b = substring(md5(col("o_orderkey").cast(StringType)), 1, 1)
+        graft.sources.VersionedTable.overwrite(
+          orders.filter(b.between("0", "4")), root)
+        graft.sources.VersionedTable.append(
+          orders.filter(b.between("5", "9")), root)
+        graft.sources.VersionedTable.append(
+          orders.filter(!b.between("0", "9")), root)
+        val q = graft.sources.VersionedTable.readChangesStream(s, root)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .writeStream
+          .outputMode(OutputMode.Complete())
+          .format("memory")
+          .queryName("graft_changes_stream")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.processAllAvailable(); q.stop()
+        s.table("graft_changes_stream").orderBy("o_orderstatus")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+      bench = false),
+
     // Schema evolution (the Delta mergeSchema role): v0 lands
     // (doc_id, source); a later append arrives with a NEW nullable
     // `lang` column. The merged read presents the union schema with

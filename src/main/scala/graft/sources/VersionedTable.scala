@@ -541,6 +541,49 @@ object VersionedTable {
     else spark.read.option("mergeSchema", "true").parquet(added: _*)
   }
 
+  /** STREAMING changes feed for an APPEND-ONLY table — the streaming
+    * twin of [[readChangesSince]]: a Structured Streaming source over
+    * the table's data directory, so every committed append's files
+    * surface as new micro-batch input, checkpointable like any stream
+    * (a consumer with a checkpoint resumes at exactly the first unseen
+    * file — process-each-commit-once without tracking versions by
+    * hand). Data files are staged under a temp name and moved into
+    * `data/` atomically at commit (stageDataFiles), so the file source
+    * never observes a half-written file.
+    *
+    * Append-only contract, enforced at call time rather than
+    * discovered as duplicates downstream: MERGE/OPTIMIZE/Z-order
+    * rewrite survivors into NEW files that a file stream would replay
+    * as fresh rows. Tables with rewriting history need the batch
+    * [[readChangesSince]]/[[diffVersions]] path. (One residual gap a
+    * listing check cannot see: an append that exhausted its commit
+    * retries leaves staged-but-unreferenced files in `data/` — that
+    * append THREW at the writer, so the failure is visible there, and
+    * `vacuum` reclaims the orphans.)
+    *
+    * Scale shape: the source lists `data/` (file-source listing, same
+    * cost class as any streaming lake ingestion); each micro-batch
+    * reads only the new files — O(batch), never O(table). */
+  def readChangesStream(spark: SparkSession, root: String): DataFrame = {
+    val latest = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
+    // every version's listing must be contained in the next — true for
+    // overwrite-at-v0 + appends; false as soon as anything rewrote
+    val listings = versions(root).map(v => readListing(root, v).map(pathOf).toSet)
+    listings.sliding(2).foreach {
+      case Seq(a, b) => require(a.subsetOf(b),
+        s"readChangesStream requires an append-only history at $root: " +
+          "a version removed/rewrote files (MERGE/OPTIMIZE/Z-order); " +
+          "use readChangesSince/diffVersions instead")
+      case _ =>
+    }
+    val schema = readVersion(spark, root, latest).schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("mergeSchema", "true")
+      .parquet(dataDir(root).getPath)
+  }
+
   /** Row-level snapshot diff (the companion to [[readChangesSince]]'s
     * file-level read): rows of version `v2` not present in `v1` tagged
     * `insert`, rows of `v1` gone from `v2` tagged `delete` — an update

@@ -15,7 +15,8 @@ class PlanAuditSpec extends SparkSuite {
   // streaming queries run their own sinks — covered by StreamingSpec
   private val skip = Set("q50_stream_hourly", "q52_stream_dedup",
     "q53_stream_static_join", "q54_stream_sessionize", "q55_stream_stream_join",
-    "q56_stream_sliding", "q71_stream_upsert", "q124_stream_asof")
+    "q56_stream_sliding", "q71_stream_upsert", "q124_stream_asof",
+    "q171_changes_stream")
 
   /** pattern → queries where it is the intended plan shape. */
   private val allowed: Map[String, Set[String]] = Map(
@@ -29,6 +30,10 @@ class PlanAuditSpec extends SparkSuite {
       // hard-negative mining: q40's exact broadcast-queries shape with
       // group + ceiling pruning before the window
       "q157_hard_negatives",
+      // exact kNN graph: q40's brute shape with queries = corpus — the
+      // deliberate ORACLE TWIN of q166's IVF-blocked equi-join form
+      // (which is the scale path and must NOT appear here)
+      "q165_knn_graph",
       // RRF fusion's dense side embeds q40's exact broadcast-queries
       // scan (LSH/IVF are the swap-in scale paths; fusion itself is an
       // outer equi-join of rank tables)

@@ -527,4 +527,47 @@ class VersionedTableSpec extends SparkSuite {
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(box.select("a", "b").as[(Long, Long)].collect().toSet == expect)
   }
+
+  test("readChangesStream: each commit once, checkpointed resume, rewrite refused") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmpRoot()
+    val ckpt = Files.createTempDirectory("graft_vt_cdcstream_ckpt").toString
+    VersionedTable.overwrite(Seq((1, "a"), (2, "b")).toDF("k", "v"), root)
+    VersionedTable.append(Seq((3, "c")).toDF("k", "v"), root)
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    def drain(): Seq[(Int, String)] = {
+      seen.clear()
+      val q = VersionedTable.readChangesStream(spark, root)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         _: Long) =>
+          seen.synchronized {
+            seen ++= b.collect().map(r => (r.getInt(0), r.getString(1)))
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable(); q.stop()
+      seen.toSeq
+    }
+
+    // first run: everything committed so far, exactly once
+    assert(drain().toSet == Set((1, "a"), (2, "b"), (3, "c")))
+    // no new commits → empty incremental batch
+    assert(drain().isEmpty)
+    // a new append surfaces as exactly its own rows
+    VersionedTable.append(Seq((4, "d"), (5, "e")).toDF("k", "v"), root)
+    assert(drain().toSet == Set((4, "d"), (5, "e")))
+
+    // a rewriting commit (MERGE) breaks the append-only contract
+    VersionedTable.merge(spark, root, Seq((1, "A")).toDF("k", "v"), Seq("k"))
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.readChangesStream(spark, root)
+    }
+    assert(e.getMessage.contains("append-only"))
+  }
 }
