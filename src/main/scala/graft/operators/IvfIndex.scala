@@ -1,0 +1,133 @@
+package graft.operators
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.sources.VersionedTable
+
+/** Persisted IVF ANN index — the vector sibling of [[LshIndex]] and
+  * [[PqIndex]], completing the persisted-index family: instead of
+  * re-training centroids and re-assigning the whole corpus on every
+  * query batch (the [[Similarity.ivfTopK]] shape), the trained
+  * centroids and the CELL-CLUSTERED vectors are committed once and
+  * queries seek straight into their probe cells.
+  *
+  * Layout under `root`:
+  *  - `centroids.txt` — nlist lines of dim doubles
+  *    (`java.lang.Double.toString` round-trips exactly, so stored
+  *    centroids reproduce in-memory training bit-for-bit);
+  *  - `cells/` — VersionedTable of (id, cell, norm, vec),
+  *    RANGE-CLUSTERED by cell at build (repartitionByRange → each file
+  *    covers a narrow cell band) with per-file [min, max] cell stats in
+  *    the manifest — so a probe reads its cells through
+  *    [[VersionedTable.readWhereIn]] FILE-SKIPPING from the listing
+  *    alone, the IVF-list seek realized as manifest pruning. At 100 TB
+  *    the cells table is the one clustered copy of the vectors; a
+  *    query batch opens nprobe/nlist of its files.
+  *
+  * `append` assigns new vectors with the STORED centroids (O(batch)
+  * map-local) — cell semantics never drift from the build; re-training
+  * is an explicit re-`build`, exactly the Delta OPTIMIZE-style
+  * rewrite. Search equals [[Similarity.ivfTopK]] output bit-for-bit on
+  * the same corpus/params (IvfIndexSpec pins it): same centroids, same
+  * assignment rule, same exact-cosine window — persistence changes
+  * WHERE the cells come from, never the math. */
+object IvfIndex {
+
+  private def centroidsFile(root: String) = new File(root, "centroids.txt")
+  private def cellsRoot(root: String) = new File(root, "cells").getPath
+
+  private def writeCentroids(root: String, cs: Array[Array[Double]]): Unit =
+    Files.write(centroidsFile(root).toPath,
+      cs.map(_.map(java.lang.Double.toString).mkString(" ")).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+
+  private def readCentroids(root: String): Array[Array[Double]] =
+    new String(Files.readAllBytes(centroidsFile(root).toPath),
+      StandardCharsets.UTF_8)
+      .split("\n").map(_.trim).filter(_.nonEmpty)
+      .map(_.split(" ").map(java.lang.Double.parseDouble))
+
+  private def cellRowsOf(vecs: DataFrame, centroids: Array[Array[Double]],
+                         idCol: String, vecCol: String): DataFrame = {
+    import graft.plans.VectorExpressions.dotProduct
+    graft.plans.VectorExpressions.register(vecs.sparkSession)
+    vecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("cell",
+        Similarity.nearestCentroid(col("vec"), centroids).cast(LongType))
+      .withColumn("norm", sqrt(dotProduct(col("vec"), col("vec"))))
+  }
+
+  /** Train centroids on `corpus` (the shared deterministic seeds +
+    * one-Lloyd-pass rule), commit the cell-clustered vectors as
+    * version 0 with cell stats. */
+  def build(corpus: DataFrame, root: String, nlist: Int = 16,
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            numFiles: Int = 0): Long = {
+    new File(root).mkdirs()
+    val centroids = Similarity.trainCentroids(corpus, nlist, idCol, vecCol)
+    writeCentroids(root, centroids)
+    // explicit file count (default ~2 cells/file): an adaptive
+    // coalesce would happily pack a small build into ONE file and
+    // erase the per-file cell bands readWhereIn prunes on
+    val files = if (numFiles > 0) numFiles else math.max(nlist / 2, 1)
+    VersionedTable.overwriteWithStats(
+      cellRowsOf(corpus, centroids, idCol, vecCol)
+        .repartitionByRange(files, col("cell"), col("id")),
+      cellsRoot(root), "cell")
+  }
+
+  /** Assign a NEW batch with the STORED centroids and append its cell
+    * rows — O(batch); the build's files are inherited untouched. */
+  def append(batch: DataFrame, root: String,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             numFiles: Int = 1): Long = {
+    val centroids = readCentroids(root)
+    VersionedTable.appendWithStats(
+      cellRowsOf(batch, centroids, idCol, vecCol)
+        .repartitionByRange(math.max(numFiles, 1), col("cell"), col("id")),
+      cellsRoot(root), "cell")
+  }
+
+  /** Approximate top-`k` cosine neighbors from the index: each query
+    * probes its `nprobe` nearest stored centroids, the probed cells
+    * are read with manifest file-skipping, candidates score with the
+    * exact cosine and window-rank per query — byte-identical results
+    * to [[Similarity.ivfTopK]] on the same corpus/params. Output:
+    * (query_id, neighbor_id, rank, cos). */
+  def topK(spark: SparkSession, queries: DataFrame, root: String, k: Int,
+           nprobe: Int = 4, idCol: String = "vec_id",
+           vecCol: String = "embedding"): DataFrame = {
+    import graft.plans.VectorExpressions.dotProduct
+    graft.plans.VectorExpressions.register(spark)
+    val centroids = readCentroids(root)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("__qn", sqrt(dotProduct(col("qv"), col("qv"))))
+      .withColumn("cell",
+        explode(Similarity.probeCells(col("qv"), centroids, nprobe)))
+      .withColumn("cell", col("cell").cast(LongType))
+    // the union of probed cells decides which index FILES open at all
+    // (query batches are human-sized; the collect is nprobe·|queries|
+    // ints). The per-row cell equi-join then narrows to each query's
+    // own probes.
+    val probed = q.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cells = VersionedTable.readWhereIn(spark, cellsRoot(root), "cell", probed)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("id"))
+    cells.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("cos",
+        dotProduct(col("qv"), col("vec")) / (col("__qn") * col("norm")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"),
+        col("cos"))
+  }
+}

@@ -209,9 +209,23 @@ object Similarity {
     * nlist·dim-literal code that janino compiled pathologically slowly
     * near nlist≈64 and not at all past the method-size limit; see
     * graft.plans.IvfProbeCells). */
-  private def nearestCentroid(vec: Column,
-                              centroids: Array[Array[Double]]): Column =
+  private[operators] def nearestCentroid(vec: Column,
+                                         centroids: Array[Array[Double]]): Column =
     graft.plans.IvfExpressions.nearestCell(vec, centroids)
+
+  /** Deterministic IVF centroid training shared by [[ivfTopK]],
+    * [[knnGraphIvf]] and [[IvfIndex.build]]: the `nlist` lowest-id
+    * vectors seed the cells, one distributed fixed-point Lloyd pass
+    * refines them — only nlist·dim aggregate rows reach the driver. */
+  private[operators] def trainCentroids(corpus: DataFrame, nlist: Int,
+                                        idCol: String,
+                                        vecCol: String): Array[Array[Double]] = {
+    val seeds = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val assigned0 = corpus.withColumn("__cell", nearestCentroid(col(vecCol), seeds))
+    refineCentroids(assigned0, vecCol, seeds)
+  }
 
   /** One distributed Lloyd pass: per-(cell, component) mean via
     * posexplode + hash agg — the q63 fixed-point pattern (quantize each
@@ -243,8 +257,8 @@ object Similarity {
   /** The `nprobe` cell ids nearest (cosine) to the query vector, as an
     * array column — map-local, codebook inside one native expression
     * (see [[nearestCentroid]]'s plan-size note). */
-  private def probeCells(qv: Column, centroids: Array[Array[Double]],
-                         nprobe: Int): Column =
+  private[operators] def probeCells(qv: Column, centroids: Array[Array[Double]],
+                                    nprobe: Int): Column =
     graft.plans.IvfExpressions.probeCells(qv, centroids, nprobe)
 
   /** IVF (inverted-file) approximate top-k — the k-means-family ANN
@@ -266,11 +280,7 @@ object Similarity {
     import graft.plans.VectorExpressions.dotProduct
 
     // deterministic seeds → one averaging pass → refined centroids
-    val seeds = corpus.orderBy(col(idCol)).limit(nlist)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    val assigned0 = corpus.withColumn("__cell", nearestCentroid(col(vecCol), seeds))
-    val refined = refineCentroids(assigned0, vecCol, seeds)
+    val refined = trainCentroids(corpus, nlist, idCol, vecCol)
 
     // no persist: the assignment subtree feeds exactly one join below,
     // so caching it would only leak a CacheManager entry the caller can
@@ -326,11 +336,7 @@ object Similarity {
     graft.plans.VectorExpressions.register(corpus.sparkSession)
     import graft.plans.VectorExpressions.dotProduct
 
-    val seeds = corpus.orderBy(col(idCol)).limit(nlist)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    val assigned0 = corpus.withColumn("__cell", nearestCentroid(col(vecCol), seeds))
-    val refined = refineCentroids(assigned0, vecCol, seeds)
+    val refined = trainCentroids(corpus, nlist, idCol, vecCol)
 
     val stored = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))

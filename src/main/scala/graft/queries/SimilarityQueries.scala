@@ -601,6 +601,27 @@ object SimilarityQueries extends QueryModule {
             round(col("cos"), 6).as("cos"))
           .orderBy("query_id", "rank")
       },
+      oracle = None),
+
+    // Persisted IVF index (IvfIndex: centroids sidecar + CELL-CLUSTERED
+    // vectors with per-file cell stats) — the vector member of the
+    // persisted-index family (q125 PQ, q133 LSH, q139 spans). Queries
+    // seek straight into their probe cells via manifest file-skipping
+    // (readWhereIn); search is bit-identical to in-memory ivfTopK on
+    // the same corpus/params (IvfIndexSpec pins equality, file
+    // skipping, and stored-centroid appends). Approximate by
+    // construction (cell recall) → rows-only here.
+    "q172_ivf_index" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_ivf_ix").resolve("ix").toString
+        val emb = Tables(s, dir, "embeddings")
+        graft.operators.IvfIndex.build(emb, root, nlist = 16)
+        graft.operators.IvfIndex.topK(
+          s, emb.filter(col("vec_id") < 32), root, k = 5, nprobe = 4)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("query_id", "rank")
+      },
       oracle = None)
   )
 }

@@ -375,6 +375,29 @@ object VersionedTable {
       .filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
   }
 
+  /** IN-list read with manifest-stat file skipping: only files whose
+    * recorded `[min, max]` for `statsCol` contains AT LEAST ONE of
+    * `values` are opened (missing stats keep the file, conservative) —
+    * the IVF-list seek shape: a cell-clustered table serves "cells IN
+    * (probe set)" from the listing alone. Result = `read(...)`
+    * filtered by the IN list. */
+  def readWhereIn(spark: SparkSession, root: String, statsCol: String,
+                  values: Seq[Long]): DataFrame = {
+    require(values.nonEmpty, "readWhereIn needs at least one value")
+    val v = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
+    val lines = readListing(root, v)
+    val sorted = values.distinct.sorted
+    val kept = lines.filter { ln =>
+      statsOf(ln).get(statsCol) match {
+        case Some((flo, fhi)) => sorted.exists(x => x >= flo && x <= fhi)
+        case None => true
+      }
+    }
+    val paths = (if (kept.nonEmpty) kept else lines).map(pathOf)
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      .filter(col(statsCol).isin(sorted: _*))
+  }
+
   /** Conjunctive multi-column range read (the 2-D z-order box query):
     * only files whose recorded stats intersect EVERY `(col, lo, hi)`
     * bound are opened — on a [[overwriteZOrdered]]/[[appendZOrdered]]
