@@ -28,10 +28,20 @@ object PrefixSum {
     * (ties summed in arbitrary-but-consistent order within the same
     * orderCol value — pass a unique key for determinism). */
   def running(df: DataFrame, orderCol: String, valueCol: String,
+              outCol: String): DataFrame =
+    running(df, Seq(orderCol), valueCol, outCol)
+
+  /** Composite-key form: global order is the ASCENDING lexicographic
+    * order of `orderCols` (derive a negated column for a descending
+    * dimension — e.g. curriculum order is `-margin, id`). Same two-pass
+    * scale shape. */
+  def running(df: DataFrame, orderCols: Seq[String], valueCol: String,
               outCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "running needs at least one order column")
+    val keys = orderCols.map(col)
     val parted = df
-      .repartitionByRange(col(orderCol))
-      .sortWithinPartitions(col(orderCol))
+      .repartitionByRange(keys: _*)
+      .sortWithinPartitions(keys: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
     val offsets = parted
@@ -41,7 +51,7 @@ object PrefixSum {
           Window.orderBy(col("__pid"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__off"))
-    val local = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+    val local = Window.partitionBy(col("__pid")).orderBy(keys: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     parted
       .join(broadcast(offsets), Seq("__pid"))

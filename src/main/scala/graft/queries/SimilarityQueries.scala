@@ -622,6 +622,94 @@ object SimilarityQueries extends QueryModule {
             round(col("cos"), 6).as("cos"))
           .orderBy("query_id", "rank")
       },
-      oracle = None)
+      oracle = None),
+
+    // Clustering EVALUATION: per-cluster purity of the q162 fixed-point
+    // k-means assignment against the ground-truth labels the
+    // embeddings fixture carries — the standard quick audit before
+    // trusting a clustering for curation (cluster-balanced sampling,
+    // SemDeDup pruning). Exact integers end-to-end: the same unrolled
+    // Lloyd trajectory as q162, then one (cluster, label) count and a
+    // top-label window. Output: (cluster, n_vecs, top_label, top_n) —
+    // overall purity = Σ top_n / Σ n_vecs.
+    "q173_cluster_purity" -> Q(
+      run = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables(s, dir, "embeddings")
+        val asg = graft.operators.KMeansFx.assignments(
+          emb.select(col("vec_id"), col("embedding")), k = 4, iters = 2)
+        val counts = asg
+          .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+          .groupBy(col("cluster"), col("label"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("cluster"))
+          .orderBy(col("n").desc, col("label"))
+        counts
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_vecs", sum(col("n")).over(
+            Window.partitionBy(col("cluster"))))
+          .filter(col("rn") === 1)
+          .select(col("cluster"), col("n_vecs"),
+            col("label").cast(LongType).as("top_label"),
+            col("n").as("top_n"))
+          .orderBy("cluster")
+      },
+      oracle = Some("""
+        WITH q AS (
+          SELECT vec_id, i AS dim,
+                 CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000)
+                   AS BIGINT) AS x
+          FROM embeddings,
+               (SELECT UNNEST(generate_series(1, 64)) AS i) g),
+        seed AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl
+                 FROM (SELECT vec_id FROM embeddings
+                       ORDER BY vec_id LIMIT 4)),
+        c0 AS (SELECT s.cl, q.dim, q.x FROM seed s JOIN q USING (vec_id)),
+        dist1 AS (SELECT q.vec_id, c.cl,
+                         SUM((q.x - c.x) * (q.x - c.x)) AS d2
+                  FROM q JOIN c0 c USING (dim) GROUP BY 1, 2),
+        asg1 AS (SELECT vec_id, cl FROM (
+                   SELECT vec_id, cl, ROW_NUMBER() OVER (
+                     PARTITION BY vec_id ORDER BY d2, cl) AS rn
+                   FROM dist1) WHERE rn = 1),
+        upd1 AS (SELECT a.cl, q.dim,
+                        CAST(SUM(q.x) // COUNT(*) AS BIGINT) AS x
+                 FROM asg1 a JOIN q USING (vec_id) GROUP BY a.cl, q.dim),
+        c1 AS (SELECT c0.cl, c0.dim, COALESCE(u.x, c0.x) AS x
+               FROM c0 LEFT JOIN upd1 u
+                 ON c0.cl = u.cl AND c0.dim = u.dim),
+        dist2 AS (SELECT q.vec_id, c.cl,
+                         SUM((q.x - c.x) * (q.x - c.x)) AS d2
+                  FROM q JOIN c1 c USING (dim) GROUP BY 1, 2),
+        asg2 AS (SELECT vec_id, cl FROM (
+                   SELECT vec_id, cl, ROW_NUMBER() OVER (
+                     PARTITION BY vec_id ORDER BY d2, cl) AS rn
+                   FROM dist2) WHERE rn = 1),
+        upd2 AS (SELECT a.cl, q.dim,
+                        CAST(SUM(q.x) // COUNT(*) AS BIGINT) AS x
+                 FROM asg2 a JOIN q USING (vec_id) GROUP BY a.cl, q.dim),
+        c2 AS (SELECT c1.cl, c1.dim, COALESCE(u.x, c1.x) AS x
+               FROM c1 LEFT JOIN upd2 u
+                 ON c1.cl = u.cl AND c1.dim = u.dim),
+        dist3 AS (SELECT q.vec_id, c.cl,
+                         SUM((q.x - c.x) * (q.x - c.x)) AS d2
+                  FROM q JOIN c2 c USING (dim) GROUP BY 1, 2),
+        asg3 AS (SELECT vec_id, cl FROM (
+                   SELECT vec_id, cl, ROW_NUMBER() OVER (
+                     PARTITION BY vec_id ORDER BY d2, cl) AS rn
+                   FROM dist3) WHERE rn = 1),
+        j AS (SELECT a.cl, e.label FROM asg3 a
+              JOIN embeddings e USING (vec_id)),
+        g AS (SELECT cl, label, COUNT(*) AS n FROM j GROUP BY 1, 2),
+        t AS (SELECT cl, CAST(SUM(n) AS BIGINT) AS n_vecs FROM g GROUP BY cl),
+        top AS (SELECT cl, CAST(label AS BIGINT) AS top_label,
+                       CAST(n AS BIGINT) AS top_n,
+                       ROW_NUMBER() OVER (PARTITION BY cl
+                         ORDER BY n DESC, label) AS rn
+                FROM g)
+        SELECT CAST(t.cl AS BIGINT) AS cluster, t.n_vecs,
+               top.top_label, top.top_n
+        FROM t JOIN top ON t.cl = top.cl AND top.rn = 1
+        ORDER BY cluster"""))
   )
 }

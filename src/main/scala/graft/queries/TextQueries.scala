@@ -2615,7 +2615,79 @@ object TextQueries extends QueryModule {
           SELECT r.lang, CAST(r.rank AS BIGINT) AS rank, r.doc_id
           FROM ranked r JOIN alloc a ON r.lang = a.grp
           WHERE r.rank <= a.alloc
-          ORDER BY lang, rank"""))
+          ORDER BY lang, rank""")),
+
+      // Curriculum packing: order the corpus by the q167 learned
+      // quality margin (best first — the anti-curriculum flips one
+      // sign) and cut the token stream into 512-token training shards
+      // in that order — quality-ordered batches with zero driver
+      // state. Composition of two proven pieces: the perceptron's
+      // integer margins and the q75 distributed prefix sum, here over
+      // the COMPOSITE key (-margin, doc_id) (PrefixSum.running's
+      // multi-column order). Everything integer → full oracle.
+      "q174_curriculum_pack" -> Q(
+        run = (s, dir) => {
+          val docs = Tables(s, dir, "documents")
+          val scored = graft.operators.Perceptron.trainScore(
+            docs.select(col("doc_id"), col("text")),
+            label = length(col("text")) >= 300, buckets = 64, iters = 2)
+            .select(col("doc_id"), col("margin"))
+          val counted = docs.select(col("doc_id"),
+            size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+            .join(scored, Seq("doc_id"))
+            .withColumn("neg_margin", -col("margin"))
+          graft.operators.PrefixSum
+            .running(counted, Seq("neg_margin", "doc_id"), "n_tok", "cum")
+            .withColumn("stream_pos", col("cum") - col("n_tok"))
+            .select(col("doc_id"), col("margin"), col("n_tok"),
+              floor(col("stream_pos") / 512).cast(LongType).as("pack_id"))
+            .orderBy(col("margin").desc, col("doc_id"))
+        },
+        oracle = Some("""
+          WITH lab AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) >= 300 THEN 1 ELSE -1 END AS y
+            FROM documents),
+          x AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % 64 AS b,
+                   COUNT(*) AS x
+            FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE word <> '' GROUP BY 1, 2),
+          w1 AS (
+            SELECT b, CAST(SUM(l.y * x.x) AS BIGINT) AS w
+            FROM x JOIN lab l USING (doc_id) GROUP BY b),
+          m2 AS (
+            SELECT x.doc_id, CAST(SUM(w1.w * x.x) AS BIGINT) AS m
+            FROM x JOIN w1 USING (b) GROUP BY 1),
+          mis2 AS (
+            SELECT m2.doc_id FROM m2 JOIN lab USING (doc_id)
+            WHERE lab.y * m2.m <= 0),
+          d2 AS (
+            SELECT b, CAST(SUM(l.y * x.x) AS BIGINT) AS d
+            FROM x JOIN lab l USING (doc_id) JOIN mis2 USING (doc_id)
+            GROUP BY b),
+          w2 AS (
+            SELECT w1.b, w1.w + COALESCE(d2.d, 0) AS w
+            FROM w1 LEFT JOIN d2 USING (b)),
+          outm AS (
+            SELECT x.doc_id, CAST(SUM(w2.w * x.x) AS BIGINT) AS margin
+            FROM x JOIN w2 USING (b) GROUP BY 1),
+          counted AS (
+            SELECT o.doc_id, o.margin,
+                   CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+            FROM outm o JOIN documents d USING (doc_id)),
+          pos AS (
+            SELECT doc_id, margin, n_tok,
+                   CAST(COALESCE(SUM(n_tok) OVER (
+                     ORDER BY -margin, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS stream_pos
+            FROM counted)
+          SELECT doc_id, margin, n_tok,
+                 CAST(FLOOR(stream_pos / 512.0) AS BIGINT) AS pack_id
+          FROM pos ORDER BY margin DESC, doc_id"""))
     )
   }
 }
