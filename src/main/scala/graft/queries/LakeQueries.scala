@@ -466,6 +466,75 @@ object LakeQueries extends QueryModule {
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
       bench = false),
 
+    // Row-level DELETE WHERE (COW): the table format's data-removal
+    // story — a takedown against a training corpus removes rows FROM
+    // THE TABLE (files without matches untouched, only matching files
+    // rewritten; old versions still time-travel until vacuum). Here:
+    // delete one md5 bucket of orders, aggregate the survivors.
+    "q175_delete_where" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_delete").resolve("t").toString
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val b = substring(md5(col("o_orderkey").cast(StringType)), 1, 1)
+        graft.sources.VersionedTable.overwrite(
+          orders.filter(b.between("0", "7")), root)
+        graft.sources.VersionedTable.append(
+          orders.filter(!b.between("0", "7")), root)
+        graft.sources.VersionedTable.delete(s, root,
+          substring(md5(col("o_orderkey").cast(StringType)), 1, 1) === "0")
+        graft.sources.VersionedTable.read(s, root)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) != '0'
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Shallow clone (zero-copy table fork): clone the orders table,
+    // MERGE an adjustment into the CLONE — the clone diverges, the
+    // source is untouched, no data files were copied at clone time
+    // (VersionedTableSpec pins the zero-copy and divergence sides).
+    // The experiment-on-a-fork story for a 100 TB corpus: forking is a
+    // manifest write.
+    "q176_shallow_clone" -> Q(
+      run = (s, dir) => {
+        val src = tempRoot("graft_vt_clonesrc").resolve("t").toString
+        val dst = tempRoot("graft_vt_clonedst").resolve("t").toString
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        graft.sources.VersionedTable.overwrite(orders, src)
+        graft.sources.VersionedTable.shallowClone(src, dst)
+        val changes = orders
+          .filter(substring(md5(col("o_orderkey").cast(StringType)), 1, 1) === "0")
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+        graft.sources.VersionedTable.merge(s, dst, changes, Seq("o_orderkey"))
+        // clone after merge UNION'd with the untouched source: the
+        // source half must aggregate to the RAW table
+        graft.sources.VersionedTable.read(s, dst).withColumn("side", lit("clone"))
+          .unionByName(graft.sources.VersionedTable.read(s, src)
+            .withColumn("side", lit("source")))
+          .groupBy(col("side"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("side", "o_orderstatus")
+      },
+      oracle = Some("""
+        SELECT 'clone' AS side, o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(
+                 CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+                      THEN o_totalprice * 2 ELSE o_totalprice END
+                 AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY 2
+        UNION ALL
+        SELECT 'source' AS side, o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY 2
+        ORDER BY side, o_orderstatus""")),
+
     // Schema evolution (the Delta mergeSchema role): v0 lands
     // (doc_id, source); a later append arrives with a NEW nullable
     // `lang` column. The merged read presents the union schema with

@@ -547,6 +547,81 @@ object VersionedTable {
     -1L // unreachable
   }
 
+  /** Row-level DELETE WHERE (copy-on-write) — the Delta `DELETE FROM`
+    * role, and the table format's data-removal story (takedown /
+    * right-to-be-forgotten requests against a training corpus must
+    * remove rows FROM THE TABLE, not just filter at read time):
+    *
+    *  - **phase 1 (prune)**: one metadata-column scan finds the files
+    *    that actually contain a matching row (parquet row-group stats
+    *    prune beneath it); files without matches are never read again
+    *    and their manifest lines — stats included — are untouched;
+    *  - **phase 2 (rewrite)**: only the touched files are re-read and
+    *    their NON-matching rows staged as replacement files;
+    *  - **commit**: one delta entry (`-` touched, `+` survivors),
+    *    O(touched + survivors) bytes, optimistic retry like every
+    *    writer. Old versions still time-travel to the pre-delete rows
+    *    (physical removal of historical copies = `vacuum` after the
+    *    retention window, exactly Delta's model).
+    *
+    * SQL semantics: rows where the predicate is TRUE are deleted; rows
+    * where it is NULL are kept. A predicate matching nothing commits
+    * no new version (returns the current one). */
+  def delete(spark: SparkSession, root: String,
+             predicate: org.apache.spark.sql.Column,
+             maxRetries: Int = 5,
+             beforeCommit: () => Unit = () => ()): Long = {
+    var attempt = 0
+    while (true) {
+      val base = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
+      val files = readListing(root, base)
+      val target = spark.read.option("mergeSchema", "true")
+        .parquet(files.map(pathOf): _*)
+      val touchedNames = target
+        .withColumn("__file", col("_metadata.file_path"))
+        .filter(predicate)
+        .select(col("__file")).distinct()
+        .collect().map(_.getString(0).split('/').last).toSet
+      if (touchedNames.isEmpty) return base
+      val touched0 =
+        files.filter(f => touchedNames.contains(pathOf(f).split('/').last))
+      val survivors = spark.read.option("mergeSchema", "true")
+        .parquet(touched0.map(pathOf): _*)
+        // keep when NOT(true): null-predicate rows survive, per SQL
+        .filter(!coalesce(predicate, lit(false)))
+      val v = base + 1
+      val staged = stageDataFiles(survivors, root, v)
+      beforeCommit()
+      try {
+        val committed = commitManifest(root, v, deltaContent(touched0, staged))
+        maybeCheckpoint(root, committed)
+        return committed
+      } catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          staged.foreach(p => Files.deleteIfExists(new File(p).toPath))
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** SHALLOW CLONE (the Delta `CREATE TABLE ... SHALLOW CLONE` role):
+    * a new table at `dst` whose version 0 references the SOURCE's
+    * current data files by path — zero data copied, stats lines
+    * carried as-is, so manifest pruning works immediately. Writes to
+    * the clone stage into the clone's own data dir and never touch the
+    * source; the clone's history starts fresh at v0 (time travel into
+    * the source's past is the source's job). Like Delta shallow
+    * clones, a `vacuum` ON THE SOURCE can reclaim files the clone
+    * still references — deep-copy (read + overwrite) when the source's
+    * retention is not under your control. */
+  def shallowClone(src: String, dst: String): Long = {
+    val base = latestVersion(src).getOrElse(sys.error(s"no versions at $src"))
+    require(latestVersion(dst).isEmpty, s"clone target $dst already exists")
+    commitManifest(dst, 0, readListing(src, base))
+  }
+
   /** Incremental consumption (the Delta CDF / Iceberg incremental-read
     * role for append-style tables): read only the data files ADDED
     * after version `sinceV`, so a downstream job consumes each

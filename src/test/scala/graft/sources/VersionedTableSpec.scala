@@ -570,4 +570,66 @@ class VersionedTableSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("append-only"))
   }
+
+  test("delete: COW rewrite of touched files only; nulls kept; time travel intact") {
+    import spark.implicits._
+    val root = tmpRoot()
+    // two files: ks 1-2 in v0's file, 3-4 in v1's
+    VersionedTable.overwrite(Seq((1, "a"), (2, "b")).toDF("k", "v")
+      .coalesce(1), root)
+    VersionedTable.append(Seq((3, "c"), (4, "d")).toDF("k", "v")
+      .coalesce(1), root)
+    val before = new java.io.File(root, "data").listFiles().map(_.getName).toSet
+
+    val v = VersionedTable.delete(spark, root, col("k") === 3)
+    assert(v == 2L)
+    assert(VersionedTable.read(spark, root).as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "b"), (4, "d")))
+    // the untouched v0 file survives BY NAME (no rewrite); the touched
+    // v1 file was replaced
+    val after = new java.io.File(root, "data").listFiles().map(_.getName).toSet
+    assert(before.intersect(after).nonEmpty)
+    assert(!before.subsetOf(after) || after.size > before.size)
+    // pre-delete snapshot still time-travels to all four rows
+    assert(VersionedTable.readVersion(spark, root, 1).count() == 4)
+
+    // nothing-matches → same version back, no commit
+    assert(VersionedTable.delete(spark, root, col("k") === 99) == 2L)
+    assert(VersionedTable.versions(root).lastOption.contains(2L))
+
+    // null predicate rows are KEPT (SQL semantics): v is null for k=4
+    val root2 = tmpRoot()
+    VersionedTable.overwrite(
+      Seq((1, Some("x")), (2, None)).toDF("k", "v"), root2)
+    VersionedTable.delete(spark, root2, col("v") === "x")
+    assert(VersionedTable.read(spark, root2).select("k")
+      .as[Int].collect().toSet == Set(2))
+  }
+
+  test("shallowClone: zero-copy reads, diverging writes, fresh history") {
+    import spark.implicits._
+    val src = tmpRoot(); val dst = tmpRoot() + "_clone"
+    VersionedTable.overwrite(Seq((1, "a"), (2, "b")).toDF("k", "v"), src)
+    VersionedTable.append(Seq((3, "c")).toDF("k", "v"), src)
+    val srcFiles = new java.io.File(src, "data").listFiles().map(_.getName).toSet
+
+    VersionedTable.shallowClone(src, dst)
+    // same rows, NO data files copied into the clone
+    assert(VersionedTable.read(spark, dst).as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "b"), (3, "c")))
+    val dstData = new java.io.File(dst, "data")
+    assert(!dstData.isDirectory || dstData.listFiles().isEmpty)
+
+    // writes diverge: clone append lands in the CLONE's data dir only
+    VersionedTable.append(Seq((4, "d")).toDF("k", "v"), dst)
+    assert(VersionedTable.read(spark, dst).count() == 4)
+    assert(VersionedTable.read(spark, src).count() == 3)
+    assert(new java.io.File(src, "data").listFiles().map(_.getName).toSet
+      == srcFiles)
+
+    // an existing target refuses
+    intercept[IllegalArgumentException] {
+      VersionedTable.shallowClone(src, dst)
+    }
+  }
 }
