@@ -249,6 +249,39 @@ object StreamQueries extends QueryModule {
                          ELSE h END AS BIGINT) AS new_checksum
         FROM resized ORDER BY media_id""")),
 
+    // Rate-anomaly detection (Anomaly.rateOutliers): hourly event
+    // counts per type, flag hours more than 3 standard deviations off
+    // the type's mean — the pipeline-monitoring query (spikes and
+    // outages both). The z-test runs in its squared cross-multiplied
+    // integer form (cnt·n − sum)² > k²·(cnt·sumsq − sum²), so the
+    // flag set reproduces bit-for-bit in DuckDB: no float mean, no
+    // sqrt. One (type, hour) count shuffle + a dim-sized stats
+    // broadcast.
+    "q177_rate_anomaly" -> Q(
+      run = (s, dir) =>
+        graft.operators.Anomaly.rateOutliers(
+          Tables(s, dir, "events"),
+          "event_type",
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm"),
+          k = 3)
+          .withColumnRenamed("window_start", "hour_start")
+          .orderBy("event_type", "hour_start"),
+      oracle = Some("""
+        WITH h AS (
+          SELECT event_type,
+                 strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        s AS (
+          SELECT event_type, COUNT(*) AS cnt, SUM(n) AS sum,
+                 SUM(n*n) AS sumsq
+          FROM h GROUP BY 1)
+        SELECT h.event_type, h.hour_start, h.n
+        FROM h JOIN s USING (event_type)
+        WHERE (s.cnt*h.n - s.sum)*(s.cnt*h.n - s.sum)
+                > 9 * (s.cnt*s.sumsq - s.sum*s.sum)
+        ORDER BY event_type, hour_start""")),
+
     // Frame-sampling plan over binary payloads (pure column math).
     "q61_frame_offsets" -> Q(
       run = (s, dir) =>
