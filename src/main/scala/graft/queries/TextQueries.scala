@@ -2687,7 +2687,46 @@ object TextQueries extends QueryModule {
             FROM counted)
           SELECT doc_id, margin, n_tok,
                  CAST(FLOOR(stream_pos / 512.0) AS BIGINT) AS pack_id
-          FROM pos ORDER BY margin DESC, doc_id"""))
+          FROM pos ORDER BY margin DESC, doc_id""")),
+
+      // Distribution drift (two-sample Kolmogorov-Smirnov, EXACT): the
+      // corpus-quality tripwire — did the doc-length DISTRIBUTION of
+      // English docs move relative to the rest, not just its mean?
+      // D·nA·nB = max_x |nB·cA(x) − nA·cB(x)| over the value
+      // histogram: every term a long, the statistic and its arg-max
+      // point bit-identical in both engines. One histogram agg over
+      // the corpus; CDFs run on the dim-sized histogram.
+      "q178_ks_drift" -> Q(
+        run = (s, dir) =>
+          graft.operators.Drift.ksStat(
+            Tables(s, dir, "documents"),
+            valueCol = col("n_chars"),
+            isA = col("lang") === "en"),
+        oracle = Some("""
+          WITH hist AS (
+            SELECT n_chars AS x,
+                   SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS na_x,
+                   SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS nb_x
+            FROM documents GROUP BY 1),
+          cdf AS (
+            SELECT x,
+                   SUM(na_x) OVER (ORDER BY x
+                     ROWS UNBOUNDED PRECEDING) AS ca,
+                   SUM(nb_x) OVER (ORDER BY x
+                     ROWS UNBOUNDED PRECEDING) AS cb,
+                   SUM(na_x) OVER () AS n_a,
+                   SUM(nb_x) OVER () AS n_b
+            FROM hist),
+          scored AS (
+            SELECT *, ABS(n_b*ca - n_a*cb) AS num,
+                   MAX(ABS(n_b*ca - n_a*cb)) OVER () AS d_num
+            FROM cdf)
+          SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                 CAST(d_num AS BIGINT) AS d_num,
+                 CAST((d_num * 1000000) // (n_a * n_b) AS BIGINT) AS d_ppm,
+                 CAST(MIN(x) AS BIGINT) AS at_value
+          FROM scored WHERE num = d_num
+          GROUP BY n_a, n_b, d_num"""))
     )
   }
 }
