@@ -2491,7 +2491,11 @@ object TextQueries extends QueryModule {
     // FineWeb/Dolma "distill an expensive filter into a cheap one"
     // stage — labels bootstrapped from a deterministic rule (here:
     // length >= 300), distilled into a linear scorer over 64 hashed
-    // unigram buckets by 2 full-batch perceptron rounds. ALL-integer
+    // unigram buckets by 2 full-batch perceptron rounds. NOTE: this
+    // query verifies the TRAINING MECHANICS' cross-engine parity; on
+    // bulk-mass-dominated data the full-batch update oscillates
+    // between one-class baselines (RocchioSpec measures it) — the
+    // trainer that actually learns is q180's sparse Rocchio. ALL-integer
     // training (the q162-kmeans fixed-point contract applied to a
     // learned model): the oracle unrolls both rounds — w1 = sum of
     // y*x over every doc (w0 = 0 misclassifies everything), w2 adds
@@ -2726,7 +2730,166 @@ object TextQueries extends QueryModule {
                  CAST((d_num * 1000000) // (n_a * n_b) AS BIGINT) AS d_ppm,
                  CAST(MIN(x) AS BIGINT) AS at_value
           FROM scored WHERE num = d_num
-          GROUP BY n_a, n_b, d_num"""))
+          GROUP BY n_a, n_b, d_num""")),
+
+      // Filter-agreement QA: confusion matrix + EXACT Cohen's kappa
+      // between two quality filters — here the bootstrap rule
+      // (length >= 300) and the q167 learned scorer distilled from it.
+      // Kappa in pure integers: po and pe cross-multiplied through n²,
+      // kappa_ppm = 10⁶·(n·(tp+tn) − pe_num) div (n² − pe_num) with
+      // pe_num = (tp+fp)(tp+fn) + (fn+tn)(fp+tn) — bit-identical both
+      // engines. The curation read: how much of the expensive rule
+      // does the cheap distilled filter actually reproduce, beyond
+      // chance?
+      "q179_filter_agreement" -> Q(
+        run = (s, dir) => {
+          val scored = graft.operators.Perceptron.trainScore(
+            Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+            label = length(col("text")) >= 300, buckets = 64, iters = 2)
+          val c = scored.agg(
+            sum(when(col("label") === 1 && col("predicted") === 1, 1L)
+              .otherwise(0L)).as("tp"),
+            sum(when(col("label") === -1 && col("predicted") === 1, 1L)
+              .otherwise(0L)).as("fp"),
+            sum(when(col("label") === 1 && col("predicted") === -1, 1L)
+              .otherwise(0L)).as("fn"),
+            sum(when(col("label") === -1 && col("predicted") === -1, 1L)
+              .otherwise(0L)).as("tn"))
+          c.select(col("tp"), col("fp"), col("fn"), col("tn"),
+            expr("""(1000000L * ((tp+fp+fn+tn)*(tp+tn)
+                     - ((tp+fp)*(tp+fn) + (fn+tn)*(fp+tn))))
+                    div ((tp+fp+fn+tn)*(tp+fp+fn+tn)
+                     - ((tp+fp)*(tp+fn) + (fn+tn)*(fp+tn)))""")
+              .as("kappa_ppm"))
+        },
+        oracle = Some("""
+          WITH lab AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) >= 300 THEN 1 ELSE -1 END AS y
+            FROM documents),
+          x AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % 64 AS b,
+                   COUNT(*) AS x
+            FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE word <> '' GROUP BY 1, 2),
+          w1 AS (
+            SELECT b, CAST(SUM(l.y * x.x) AS BIGINT) AS w
+            FROM x JOIN lab l USING (doc_id) GROUP BY b),
+          m2 AS (
+            SELECT x.doc_id, CAST(SUM(w1.w * x.x) AS BIGINT) AS m
+            FROM x JOIN w1 USING (b) GROUP BY 1),
+          mis2 AS (
+            SELECT m2.doc_id FROM m2 JOIN lab USING (doc_id)
+            WHERE lab.y * m2.m <= 0),
+          d2 AS (
+            SELECT b, CAST(SUM(l.y * x.x) AS BIGINT) AS d
+            FROM x JOIN lab l USING (doc_id) JOIN mis2 USING (doc_id)
+            GROUP BY b),
+          w2 AS (
+            SELECT w1.b, w1.w + COALESCE(d2.d, 0) AS w
+            FROM w1 LEFT JOIN d2 USING (b)),
+          outm AS (
+            SELECT x.doc_id, CAST(SUM(w2.w * x.x) AS BIGINT) AS margin
+            FROM x JOIN w2 USING (b) GROUP BY 1),
+          pred AS (
+            SELECT o.doc_id, l.y,
+                   CASE WHEN o.margin > 0 THEN 1 ELSE -1 END AS p
+            FROM outm o JOIN lab l USING (doc_id)),
+          conf AS (
+            SELECT
+              CAST(SUM(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+              CAST(SUM(CASE WHEN y = -1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+              CAST(SUM(CASE WHEN y = 1 AND p = -1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+              CAST(SUM(CASE WHEN y = -1 AND p = -1 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+            FROM pred)
+          SELECT tp, fp, fn, tn,
+                 CAST((1000000 * ((tp+fp+fn+tn)*(tp+tn)
+                        - ((tp+fp)*(tp+fn) + (fn+tn)*(fp+tn))))
+                      // ((tp+fp+fn+tn)*(tp+fp+fn+tn)
+                        - ((tp+fp)*(tp+fn) + (fn+tn)*(fp+tn)))
+                   AS BIGINT) AS kappa_ppm
+          FROM conf""")),
+
+      // The linear filter that actually LEARNS: sparse Rocchio
+      // (class-balanced centroid difference -> top-2 |w| feature
+      // selection -> accuracy-optimal threshold, every stage exact
+      // integers). The label is a content-derived stand-in judge
+      // ("window"-heavier than "batch" — both words own private hash
+      // buckets, so the signal survives the 64-bucket feature
+      // hashing); the trainer recovers it at 494/500 where the q167
+      // batch perceptron oscillates between the one-class baselines
+      // (its full-batch updates are bulk-mass dominated — measured,
+      // see RocchioSpec). Scale: one centroid agg, a topK take, two
+      // distributed prefix sums over the margin histogram; driver
+      // traffic is 2 longs + topK rows + theta.
+      "q180_rocchio_filter" -> Q(
+        run = (s, dir) => {
+          val toks = (c: String) =>
+            size(filter(split(col("text"), " "), t => t === c))
+          graft.operators.Rocchio.trainScore(
+            Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+            label = toks("window") > toks("batch"),
+            buckets = 64, topK = 2)
+            .orderBy("doc_id")
+        },
+        oracle = Some("""
+          WITH lab AS (
+            SELECT doc_id,
+                   CASE WHEN len(list_filter(string_split(text, ' '),
+                                             w -> w = 'window'))
+                           > len(list_filter(string_split(text, ' '),
+                                             w -> w = 'batch'))
+                        THEN 1 ELSE -1 END AS y
+            FROM documents),
+          x AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % 64 AS b,
+                   COUNT(*) AS x
+            FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE word <> '' GROUP BY 1, 2),
+          sizes AS (
+            SELECT SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS npos,
+                   SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS nneg
+            FROM lab),
+          w0 AS (
+            SELECT b,
+                   CAST(SUM(CASE WHEN l.y = 1
+                                 THEN (SELECT nneg FROM sizes) * x.x
+                                 ELSE -(SELECT npos FROM sizes) * x.x END)
+                     AS BIGINT) AS w
+            FROM x JOIN lab l USING (doc_id) GROUP BY b),
+          topk AS (
+            SELECT b, w FROM (
+              SELECT b, w, ROW_NUMBER() OVER (ORDER BY ABS(w) DESC, b) AS rn
+              FROM w0) WHERE rn <= 2),
+          marg AS (
+            SELECT l.doc_id, l.y, COALESCE(mm.m, 0) AS m
+            FROM lab l LEFT JOIN (
+              SELECT x.doc_id, CAST(SUM(t.w * x.x) AS BIGINT) AS m
+              FROM x JOIN topk t USING (b) GROUP BY 1) mm USING (doc_id)),
+          hist AS (
+            SELECT m, SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS p,
+                   SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS n
+            FROM marg GROUP BY m),
+          cum AS (
+            SELECT m,
+                   SUM(p) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS cp,
+                   SUM(n) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS cn
+            FROM hist),
+          cand AS (
+            SELECT m, (SELECT npos FROM sizes) - cp + cn AS acc FROM cum
+            UNION ALL
+            SELECT (SELECT MIN(m) - 1 FROM marg),
+                   (SELECT npos FROM sizes)),
+          theta AS (SELECT m FROM cand ORDER BY acc DESC, m LIMIT 1)
+          SELECT doc_id, CAST(y AS BIGINT) AS label,
+                 CAST(m AS BIGINT) AS margin,
+                 CAST(CASE WHEN m > (SELECT m FROM theta)
+                           THEN 1 ELSE -1 END AS BIGINT) AS predicted
+          FROM marg ORDER BY doc_id"""))
     )
   }
 }
