@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval range join at scale — the bucket-point equi-join
+  * rewrite q45's broadcast-NLJ form documents as its big-band-table
+  * successor. A range predicate `lo <= p AND p <= hi` has no equi-join
+  * key, so Spark's only native plans are broadcast NLJ (fine for a
+  * dim-sized band table, quadratic otherwise). The standard rewrite
+  * manufactures the key: fix a bucket width W, explode every interval
+  * to the W-aligned buckets it overlaps, map every point to its home
+  * bucket, equi-join on the bucket id, and re-check the exact
+  * predicate as a residual filter.
+  *
+  * Scale shape: ONE hash equi-join; interval fan-out is
+  * ⌈len/W⌉ + 1 rows per interval and each point is exactly one row —
+  * pick W near the median interval length so both sides stay ~1×.
+  * Skewed buckets (a hot value range) salt like any other hot key.
+  * No broadcast of anything fact-sized, no cross join.
+  *
+  * Output: every (point row ++ interval row) pair whose point lies in
+  * [lo, hi] — inner-join semantics, exactly the NLJ result (the
+  * rewrite only prunes pairs the residual would reject; ResidualSpec
+  * equality is pinned in RangeJoinSpec). */
+object RangeJoin {
+
+  def bucketedPointJoin(points: DataFrame, intervals: DataFrame,
+                        pointCol: String, loCol: String, hiCol: String,
+                        bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val p = points.withColumn("__bucket",
+      floor(col(pointCol) / bucketWidth).cast("long"))
+    val iv = intervals.withColumn("__bucket",
+      explode(sequence(
+        floor(col(loCol) / bucketWidth).cast("long"),
+        floor(col(hiCol) / bucketWidth).cast("long"))))
+    p.join(iv, Seq("__bucket"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bucket")
+  }
+}

@@ -52,6 +52,40 @@ object ExtendedQueries extends QueryModule {
           ON o_totalprice >= lo AND o_totalprice < lo + 100000
         GROUP BY lo ORDER BY lo""")),
 
+    // The 100 TB form of q45: the bucket-point EQUI-JOIN rewrite of
+    // the point-in-interval join (RangeJoin.bucketedPointJoin) — q45's
+    // broadcast NLJ is fine for a 6-row band table and quadratic past
+    // it; here the band table is FACT-DERIVED (50 md5-chosen anchor
+    // orders, each spanning [price, price+20000]) and the join
+    // manufactures its equi key: intervals explode to their W-aligned
+    // covering buckets, points map to their home bucket, ONE hash join
+    // + residual filter. Interval fan-out <= len/W + 1 = 2 rows here.
+    "q181_range_join_bucketed" -> Q(
+      run = (s, dir) => {
+        val orders = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val anchors = orders
+          .filter(substring(md5(col("o_orderkey").cast(StringType)), 1, 2)
+            === "00")
+          .select(col("o_orderkey").as("anchor_key"),
+            col("o_totalprice").as("lo"),
+            (col("o_totalprice") + 20000L).as("hi"))
+        graft.operators.RangeJoin.bucketedPointJoin(
+          orders, anchors, "o_totalprice", "lo", "hi", bucketWidth = 20000L)
+          .groupBy(col("anchor_key"))
+          .agg(count(lit(1)).as("n_in_band"))
+          .orderBy("anchor_key")
+      },
+      oracle = Some("""
+        SELECT a.anchor_key, COUNT(*) AS n_in_band
+        FROM (SELECT o_orderkey AS anchor_key, o_totalprice AS lo,
+                     o_totalprice + 20000 AS hi
+              FROM orders
+              WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) = '00') a
+        JOIN orders p
+          ON p.o_totalprice >= a.lo AND p.o_totalprice <= a.hi
+        GROUP BY 1 ORDER BY anchor_key""")),
+
     // ----------------------------------------------------------------
     // CUBE grouping sets + grouping_id (completes the rollup/pivot
     // family, q28/q29). gid bit order follows Spark's grouping_id():
