@@ -466,6 +466,46 @@ object LakeQueries extends QueryModule {
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
       bench = false),
 
+    // Incremental materialized view (MaterializedView.refreshAdditive,
+    // the Delta-Live-Tables / IVM role): an additive aggregate view
+    // over a versioned source refreshes from readChangesSince — each
+    // refresh reads O(new files) of the source and joins against the
+    // GROUP-sized view state, never rescanning the table. Three
+    // refreshes across three commits; the final view must equal the
+    // full-table aggregate (the IVM correctness invariant).
+    // VersionedTableSpec's sibling (MaterializedViewSpec) pins the
+    // delta-only reads and the no-op refresh.
+    "q182_incremental_view" -> Q(
+      run = (s, dir) => {
+        val src = tempRoot("graft_mv_src").resolve("t").toString
+        val view = tempRoot("graft_mv_view").resolve("v").toString
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val b = substring(md5(col("o_orderkey").cast(StringType)), 1, 1)
+        graft.sources.VersionedTable.overwrite(
+          orders.filter(b.between("0", "4")), src)
+        graft.sources.MaterializedView.refreshAdditive(
+          s, src, view, Seq("o_orderstatus"), "o_totalprice")
+        graft.sources.VersionedTable.append(
+          orders.filter(b.between("5", "9")), src)
+        graft.sources.MaterializedView.refreshAdditive(
+          s, src, view, Seq("o_orderstatus"), "o_totalprice")
+        graft.sources.VersionedTable.append(
+          orders.filter(!b.between("0", "9")), src)
+        graft.sources.MaterializedView.refreshAdditive(
+          s, src, view, Seq("o_orderstatus"), "o_totalprice")
+        graft.sources.VersionedTable.read(s, view)
+          .select(col("o_orderstatus"), col("n"),
+            col("total").cast(org.apache.spark.sql.types.DoubleType)
+              .as("total"))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+      bench = false),
+
     // Row-level DELETE WHERE (COW): the table format's data-removal
     // story — a takedown against a training corpus removes rows FROM
     // THE TABLE (files without matches untouched, only matching files
