@@ -506,6 +506,56 @@ object LakeQueries extends QueryModule {
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
       bench = false),
 
+    // Retraction-aware incremental view (refreshWithRetraction): the
+    // IVM story THROUGH rewriting commits — the source takes an
+    // append, then a DELETE WHERE, then a MERGE price-doubling update
+    // (a delete+insert pair in the multiset diff), and the view
+    // refreshed after each commit must still equal the full-table
+    // aggregate of the final state. diffVersions' file-level pruning
+    // keeps append stretches O(new files); only rewritten files
+    // re-read.
+    "q183_retraction_view" -> Q(
+      run = (s, dir) => {
+        val src = tempRoot("graft_mvr_src").resolve("t").toString
+        val view = tempRoot("graft_mvr_view").resolve("v").toString
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val b = substring(md5(col("o_orderkey").cast(StringType)), 1, 1)
+        def refresh(): Unit = {
+          graft.sources.MaterializedView.refreshWithRetraction(
+            s, src, view, Seq("o_orderstatus"), "o_totalprice"); ()
+        }
+        graft.sources.VersionedTable.overwrite(
+          orders.filter(b.between("0", "7")), src)
+        refresh()
+        graft.sources.VersionedTable.append(
+          orders.filter(!b.between("0", "7")), src)
+        refresh()
+        graft.sources.VersionedTable.delete(s, src,
+          substring(md5(col("o_orderkey").cast(StringType)), 1, 1) === "0")
+        refresh()
+        graft.sources.VersionedTable.merge(s, src,
+          orders.filter(b === "1")
+            .withColumn("o_totalprice", col("o_totalprice") * 2),
+          Seq("o_orderkey"))
+        refresh()
+        graft.sources.VersionedTable.read(s, view)
+          .select(col("o_orderstatus"), col("n"),
+            col("total").cast(org.apache.spark.sql.types.DoubleType)
+              .as("total"))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(
+                 CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '1'
+                      THEN o_totalprice * 2 ELSE o_totalprice END
+                 AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) != '0'
+        GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+      bench = false),
+
     // Row-level DELETE WHERE (COW): the table format's data-removal
     // story — a takedown against a training corpus removes rows FROM
     // THE TABLE (files without matches untouched, only matching files

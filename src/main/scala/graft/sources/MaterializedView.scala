@@ -89,4 +89,55 @@ object MaterializedView {
     writeRefreshed(viewRoot, srcV)
     srcV
   }
+
+  /** Retraction-aware refresh — drops [[refreshAdditive]]'s append-only
+    * restriction: changes come from [[VersionedTable.diffVersions]]'s
+    * multiset row diff (`insert`/`delete` tags), so DELETE WHERE and
+    * MERGE commits maintain the view exactly — an update retracts its
+    * old row (−1, −x) and asserts the new one (+1, +x). Groups whose
+    * count AND sum both return to zero leave the view. File-level
+    * pruning in the diff means an append-only stretch costs the same
+    * as [[refreshAdditive]]; only rewritten files are re-read. */
+  def refreshWithRetraction(spark: SparkSession, srcRoot: String,
+                            viewRoot: String, keyCols: Seq[String],
+                            sumCol: String): Long = {
+    val srcV = VersionedTable.latestVersion(srcRoot)
+      .getOrElse(sys.error(s"no versions at $srcRoot"))
+    val last = refreshedVersion(viewRoot)
+    if (last.contains(srcV)) return srcV
+    new File(viewRoot).mkdirs()
+
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val delta = last match {
+      case None =>
+        VersionedTable.read(spark, srcRoot)
+          .groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("n"),
+            sum(col(sumCol).cast(dec)).cast(dec).as("total"))
+      case Some(v) =>
+        val sign = when(col("_change") === "insert", lit(1L)).otherwise(lit(-1L))
+        VersionedTable.diffVersions(spark, srcRoot, v, srcV)
+          .groupBy(keyCols.map(col): _*)
+          .agg(sum(sign).as("n"),
+            sum(sign.cast(dec) * col(sumCol).cast(dec)).cast(dec).as("total"))
+    }
+    val next = last match {
+      case None => delta
+      case Some(_) =>
+        VersionedTable.read(spark, viewRoot)
+          .select(keyCols.map(col) :+ col("n").as("__pn")
+            :+ col("total").as("__pt"): _*)
+          .join(delta, keyCols, "full_outer")
+          .select(keyCols.map(col) ++ Seq(
+            (coalesce(col("__pn"), lit(0L)) + coalesce(col("n"), lit(0L)))
+              .as("n"),
+            (coalesce(col("__pt"), lit(0).cast(dec)) +
+              coalesce(col("total"), lit(0).cast(dec)))
+              .cast(dec).as("total")): _*)
+          .filter(col("n") =!= 0L || col("total") =!= lit(0).cast(dec))
+    }
+    VersionedTable.overwrite(next, viewRoot)
+    writeRefreshed(viewRoot, srcV)
+    srcV
+  }
 }

@@ -44,4 +44,27 @@ class MaterializedViewSpec extends SparkSuite {
       .select(col("k"), col("n")).as[(String, Long)].collect().toSet
     assert(first == Set(("a", 2L), ("b", 1L)))
   }
+
+  test("retraction refresh: deletes retract, updates adjust, emptied groups leave") {
+    val src = tmp("graft_mvr_src"); val view = tmp("graft_mvr_view")
+    VersionedTable.overwrite(
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 5.0))
+        .toDF("id", "k", "x"), src)
+    def refresh() =
+      MaterializedView.refreshWithRetraction(spark, src, view, Seq("k"), "x")
+    refresh()
+
+    // MERGE update: id=2 price 20 -> 25 (delete+insert pair in the diff)
+    VersionedTable.merge(spark, src,
+      Seq((2L, "a", 25.0)).toDF("id", "k", "x"), Seq("id"))
+    refresh()
+    // DELETE: group b empties entirely
+    VersionedTable.delete(spark, src, col("k") === "b")
+    refresh()
+
+    val got = VersionedTable.read(spark, view)
+      .select(col("k"), col("n"), col("total").cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == Set(("a", 2L, 35.0)))
+  }
 }
