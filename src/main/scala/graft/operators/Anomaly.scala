@@ -20,7 +20,11 @@ import org.apache.spark.sql.functions._
   * Scale shape: one (group, window) count shuffle, one dim-sized
   * group-stats agg broadcast back into the windows, map-local flag —
   * the window table, not the raw events, is all that is ever
-  * re-touched. */
+  * re-touched.
+  *
+  * Reference anchor: beyond-reference (the reference's audit table
+  * records task durations but computes no outlier statistics;
+  * reference/airflow/plugins/audit/audit_logger.py:11-21). */
 object Anomaly {
 
   /** Windows of `df` (bucketed by `windowExpr`, grouped by `groupCol`)

@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
   * value × side), then the running CDFs on the HISTOGRAM — dim-sized
   * for bounded-domain signals (doc lengths, integer scores), where a
   * single-partition window is fine. An unbounded continuous signal
-  * would first bucket (`floor(x/w)`), which only coarsens D. */
+  * would first bucket (`floor(x/w)`), which only coarsens D.
+  *
+  * Reference anchor: beyond-reference (no data-quality monitoring in
+  * the reference; statistic from Kolmogorov 1933 / Smirnov 1939). */
 object Drift {
 
   /** One row: (n_a, n_b, d_num, d_ppm, at_value) where

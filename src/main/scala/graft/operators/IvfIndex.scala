@@ -36,7 +36,12 @@ import graft.sources.VersionedTable
   * rewrite. Search equals [[Similarity.ivfTopK]] output bit-for-bit on
   * the same corpus/params (IvfIndexSpec pins it): same centroids, same
   * assignment rule, same exact-cosine window — persistence changes
-  * WHERE the cells come from, never the math. */
+  * WHERE the cells come from, never the math.
+  *
+  * Reference anchor: beyond-reference (IVF from Sivic & Zisserman
+  * 2003 / Jégou et al. 2011; persistence layout is this repo's
+  * manifest-log table format).
+  */
 object IvfIndex {
 
   private def centroidsFile(root: String) = new File(root, "centroids.txt")

@@ -40,6 +40,11 @@ import org.apache.spark.sql.functions._
   * @param buckets hashed feature-space size
   * @param iters   full-batch perceptron rounds (w₀ = 0, so round 1
   *                updates on every doc: y·0 ≤ 0)
+  *
+  * Reference anchor: beyond-reference (Rosenblatt 1958; the FineWeb/
+  * Dolma distilled-filter recipe). On bulk-mass-dominated data the
+  * full-batch update oscillates — [[Rocchio]] is the recommended
+  * trainer (RocchioSpec measures both).
   */
 object Perceptron {
 

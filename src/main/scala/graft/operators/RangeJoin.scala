@@ -21,8 +21,12 @@ import org.apache.spark.sql.functions._
   *
   * Output: every (point row ++ interval row) pair whose point lies in
   * [lo, hi] — inner-join semantics, exactly the NLJ result (the
-  * rewrite only prunes pairs the residual would reject; ResidualSpec
-  * equality is pinned in RangeJoinSpec). */
+  * rewrite only prunes pairs the residual would reject; equality is
+  * pinned in RangeJoinSpec).
+  *
+  * Reference anchor: beyond-reference (the reference's only interval
+  * predicate is the dayband CASE cascade, to_gold.py:36-39; the
+  * bucket rewrite is the standard interval-join surrogate key). */
 object RangeJoin {
 
   def bucketedPointJoin(points: DataFrame, intervals: DataFrame,

@@ -32,7 +32,11 @@ import org.apache.spark.sql.functions._
   *
   * Output: (id, label, margin, predicted) with predicted = +1 iff
   * margin > θ. Driver traffic: class sizes (2 longs), the topK weight
-  * rows, θ (1 row) — never anything corpus-sized. */
+  * rows, θ (1 row) — never anything corpus-sized.
+  *
+  * Reference anchor: beyond-reference (the reference pipeline has no
+  * learned filtering; algorithm from Rocchio 1971 and the FineWeb/
+  * Dolma linear-classifier curation recipe). */
 object Rocchio {
 
   def trainScore(docs: DataFrame, label: Column,

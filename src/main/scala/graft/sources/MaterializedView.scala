@@ -32,7 +32,11 @@ import org.apache.spark.sql.functions._
   * Scale shape: each refresh reads O(new files) of the source (the
   * CDF read), aggregates them (combinable), and joins against the
   * GROUP-CARDINALITY view state — never the source table. The view
-  * overwrite is O(|groups|), the thing a view exists to keep small. */
+  * overwrite is O(|groups|), the thing a view exists to keep small.
+  *
+  * Reference anchor: the reference's gold layer recomputes every
+  * aggregate from silver on each DAG run (to_gold.py:7-12, full-table
+  * SQL per day); this is that layer upgraded to delta maintenance. */
 object MaterializedView {
 
   private def sidecar(viewRoot: String) = new File(viewRoot, "_refreshed_v")

@@ -632,4 +632,19 @@ class VersionedTableSpec extends SparkSuite {
       VersionedTable.shallowClone(src, dst)
     }
   }
+
+  test("the documented hazard: vacuum on the SOURCE breaks a shallow clone") {
+    import spark.implicits._
+    val src = tmpRoot(); val dst = tmpRoot() + "_clone"
+    VersionedTable.overwrite(Seq((1, "a")).toDF("k", "v"), src)
+    VersionedTable.shallowClone(src, dst)
+    // source rewrites, then reclaims the files the clone references
+    VersionedTable.overwrite(Seq((2, "b")).toDF("k", "v"), src)
+    val reclaimed = VersionedTable.vacuum(src, retainVersions = 1)
+    assert(reclaimed > 0)
+    // the clone's manifest now points at deleted files
+    intercept[Exception] {
+      VersionedTable.read(spark, dst).collect()
+    }
+  }
 }
