@@ -342,6 +342,44 @@ object ScaleProbe {
       }
       spark.stop(); return
     }
+    // materialized-view probe (`runMain graft.ScaleProbe mv`): the IVM
+    // claim is that a refresh costs O(new batch), not O(source table).
+    // Build a 1×/4×/10× source, refresh to current, then append ONE
+    // fixed-size batch and time the incremental refresh — flat wall
+    // across source sizes is the pass. (The view itself is
+    // group-cardinality — 3 order statuses — so the state join is
+    // constant too.)
+    if (args.contains("mv")) {
+      val orders = graft.core.Tables(spark, "/root/testdata/sf0.1", "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val batch = orders.filter(
+        substring(md5(col("o_orderkey").cast("string")), 1, 2) === "00")
+        .withColumn("o_orderkey", col("o_orderkey") + 900000000L)
+        .localCheckpoint(true)
+      val nb = batch.count()
+      for (mult <- Seq(1, 4, 10)) {
+        val src = java.nio.file.Files
+          .createTempDirectory(s"graft_mv_probe$mult").resolve("t").toString
+        val view = java.nio.file.Files
+          .createTempDirectory(s"graft_mv_probe_v$mult").resolve("v").toString
+        val big = (0 until mult).map(i =>
+          orders.select((col("o_orderkey") + lit(i * 10000000L))
+            .as("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
+          .reduce(_ union _)
+        graft.sources.VersionedTable.overwrite(big, src)
+        graft.sources.MaterializedView.refreshAdditive(
+          spark, src, view, Seq("o_orderstatus"), "o_totalprice")
+        graft.sources.VersionedTable.append(batch, src)
+        val t0 = System.nanoTime()
+        graft.sources.MaterializedView.refreshAdditive(
+          spark, src, view, Seq("o_orderstatus"), "o_totalprice")
+        val dt = (System.nanoTime() - t0) / 1e9
+        val n = graft.sources.VersionedTable.read(spark, src).count()
+        println(f"[probe] mult=$mult%2d src_rows=$n%9d batch=$nb%6d " +
+          f"mv_refresh $dt%6.2f s")
+      }
+      spark.stop(); return
+    }
     // perceptron probe (`runMain graft.ScaleProbe perceptron`): 2
     // training rounds over a growing corpus — per round one
     // buckets-row broadcast join, one semi-join, one combinable bucket
