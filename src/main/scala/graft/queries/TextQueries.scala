@@ -2889,7 +2889,52 @@ object TextQueries extends QueryModule {
                  CAST(m AS BIGINT) AS margin,
                  CAST(CASE WHEN m > (SELECT m FROM theta)
                            THEN 1 ELSE -1 END AS BIGINT) AS predicted
-          FROM marg ORDER BY doc_id"""))
+          FROM marg ORDER BY doc_id""")),
+
+      // Corpus data card: the per-source report a curation team reads
+      // before training — docs, token mass, exact-duplicate docs
+      // (md5-text groups >1 within the source), long-doc share — one
+      // scan + one dup-group agg, everything exact integers. The
+      // "describe the corpus" capstone composing the engine's counting
+      // primitives into the standard datasheet row.
+      "q184_corpus_report" -> Q(
+        run = (s, dir) => {
+          val docs = Tables(s, dir, "documents")
+          val base = docs.groupBy(col("source"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(size(split(col("text"), " ")).cast(LongType))
+                .as("n_tokens"),
+              sum(when(length(col("text")) >= 300, 1L).otherwise(0L))
+                .as("n_long"))
+          val dups = docs
+            .groupBy(col("source"), md5(col("text")).as("__h"))
+            .agg(count(lit(1)).as("__c"))
+            .filter(col("__c") > 1)
+            .groupBy(col("source"))
+            .agg(sum(col("__c")).as("n_dup_docs"))
+          base.join(dups, Seq("source"), "left")
+            .select(col("source"), col("n_docs"), col("n_tokens"),
+              coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+              col("n_long"))
+            .orderBy("source")
+        },
+        oracle = Some("""
+          WITH base AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                     AS n_tokens,
+                   CAST(SUM(CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_long
+            FROM documents GROUP BY source),
+          dups AS (
+            SELECT source, CAST(SUM(c) AS BIGINT) AS n_dup_docs
+            FROM (SELECT source, md5(text) AS h, COUNT(*) AS c
+                  FROM documents GROUP BY 1, 2)
+            WHERE c > 1 GROUP BY source)
+          SELECT b.source, b.n_docs, b.n_tokens,
+                 COALESCE(d.n_dup_docs, 0) AS n_dup_docs, b.n_long
+          FROM base b LEFT JOIN dups d USING (source)
+          ORDER BY source"""))
     )
   }
 }
