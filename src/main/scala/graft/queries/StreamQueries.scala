@@ -249,6 +249,29 @@ object StreamQueries extends QueryModule {
                          ELSE h END AS BIGINT) AS new_checksum
         FROM resized ORDER BY media_id""")),
 
+    // STREAMING materialized view (runViewMaintenanceAvailableNow):
+    // the full incremental story composed end to end — each
+    // micro-batch lands as a versioned-table append AND the hourly
+    // aggregate view refreshes from the changes feed (q182's IVM
+    // driven by a stream; the reference's recompute-gold-per-day loop,
+    // replaced). The final view must equal the batch aggregate.
+    "q185_stream_view" -> Q(
+      run = (s, dir) => {
+        val src = tempRoot("graft_smv_src").resolve("t").toString
+        val view = tempRoot("graft_smv_view").resolve("v").toString
+        StreamingJobs.runViewMaintenanceAvailableNow(s, dir, src, view)
+          .select(col("hour_start"), col("event_type"), col("n"),
+            col("total").cast(org.apache.spark.sql.types.DoubleType)
+              .as("val_sum"))
+          .orderBy("hour_start", "event_type")
+      },
+      oracle = Some("""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
+               event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""),
+      bench = false),
+
     // Rate-anomaly detection (Anomaly.rateOutliers): hourly event
     // counts per type, flag hours more than 3 standard deviations off
     // the type's mean — the pipeline-monitoring query (spikes and

@@ -154,6 +154,38 @@ object StreamingJobs {
     VersionedTable.read(spark, tableRoot)
   }
 
+  /** Streaming MATERIALIZED VIEW: each micro-batch lands as a
+    * versioned-table append AND the additive aggregate view refreshes
+    * from the table's changes feed — the full incremental story
+    * composed end to end (ingest → durable versioned source → IVM),
+    * replacing the reference's recompute-the-gold-layer-per-day loop.
+    * Per batch: one O(batch) append commit + one O(batch)-read
+    * refresh against the GROUP-sized view state (ScaleProbe `mv`:
+    * flat across a 10× source). Returns the refreshed view. */
+  def runViewMaintenanceAvailableNow(spark: SparkSession, dir: String,
+                                     srcRoot: String,
+                                     viewRoot: String): DataFrame = {
+    import graft.sources.{MaterializedView, VersionedTable}
+    val q = readEvents(spark, dir)
+      .withColumn("hour_start",
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        if (VersionedTable.latestVersion(srcRoot).isEmpty)
+          VersionedTable.overwrite(batch, srcRoot)
+        else VersionedTable.append(batch, srcRoot)
+        MaterializedView.refreshAdditive(spark, srcRoot, viewRoot,
+          Seq("hour_start", "event_type"), "value")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    VersionedTable.read(spark, viewRoot)
+  }
+
   /** Stream-static enrichment join: streaming events against a static
     * dimension table, aggregated per dim attribute. */
   def runStaticJoinAvailableNow(spark: SparkSession, dir: String,
