@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.Dedup
+import graft.operators.{Certify, Dedup}
 
 /** Deduplication operator inventory over `documents`. The exact-Jaccard
   * brute force in DuckDB is the shared oracle for both the
@@ -29,6 +29,28 @@ object DedupQueries extends QueryModule {
     WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
           / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
     ORDER BY id_a, id_b"""
+
+  /** [[bruteForceJaccardSql]] with certification flags appended as
+    * literal-1 BIGINT columns (see [[graft.operators.Certify]]). */
+  private def jaccardAnchorSql(split: String, flags: String*): String = {
+    val flagCols = flags.map(f => s", CAST(1 AS BIGINT) AS $f").mkString
+    s"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2]
+                            for i in range(1, len(string_split(text, ' ')) - 1)]) AS s
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard$flagCols
+    FROM sh a JOIN sh b ON $split
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+    ORDER BY id_a, id_b"""
+  }
 
   override def entries: Seq[(String, Q)] = Seq(
 
@@ -144,12 +166,25 @@ object DedupQueries extends QueryModule {
         ORDER BY new_id, corpus_id""")),
 
     // SimHash near-dup pairs (Hamming ≤ 6 on 64-bit token-vote hashes).
-    // Spark-native murmur/xxhash aren't reproducible in DuckDB →
-    // rows-only check + SimHashSpec.
+    // Spark-native xxhash isn't reproducible in DuckDB, so the pairs
+    // themselves can't hash-check — CERTIFIED instead: the exact
+    // n-gram-Jaccard pairs anchor the hash and SimHash's candidate set
+    // folds into one recall flag (RecallProbe: SimHash at maxDist=6
+    // recovers 100% of the jaccard≥0.8 pairs → floor 0.8). SimHashSpec
+    // pins the hash algorithm itself; q104 oracle-checks it via MD5.
     "q33_simhash" -> Q(
-      run = (s, dir) =>
-        Dedup.simhashNearDupPairs(Tables(s, dir, "documents"), maxDist = 6)
-          .orderBy("id_a", "id_b")),
+      run = (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.8)
+        val approx = Dedup.simhashNearDupPairs(docs, maxDist = 6)
+        Certify.attach(
+          exact.select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 6).as("jaccard")),
+          Certify.recallFlag(approx, exact, Seq("id_a", "id_b"),
+            0.8, "recall_ok"))
+          .orderBy("id_a", "id_b")
+      },
+      oracle = Some(jaccardAnchorSql("a.doc_id < b.doc_id", "recall_ok"))),
 
     // The SimHash ALGORITHM (per-token ±1 bit votes, ties set, 64-bit
     // assembly) oracle-verified end-to-end: same expression as q33 with
@@ -366,9 +401,12 @@ object DedupQueries extends QueryModule {
     // VersionedTable; an incoming batch is signed once and checked via
     // an equi-join against the STORED bands (never a corpus re-sign),
     // exact-Jaccard verified on the candidate sliver, then appended.
-    // Banding recall < 1 by construction → rows-only; LshIndexSpec
-    // pins check() == a fresh whole-corpus LSH pass restricted to
-    // cross pairs, plus the append/copy-detection contract.
+    // CERTIFIED: the exact cross-split jaccard pairs anchor the hash
+    // (prefix-filtered A-vs-B join, same oracle CTE as q31 restricted
+    // to the split); the index's candidate pairs fold into a subset
+    // flag (precision 1 — exact verify) and a recall flag (128/32
+    // MinHash banding at j≥0.8: band-hit probability ≈ 1 → floor 0.8).
+    // LshIndexSpec keeps the append/copy-detection contract.
     "q133_lsh_index" -> Q(
       run = (s, dir) => {
         val root = tempRoot("graft_lsh_idx").resolve("i").toString
@@ -376,15 +414,25 @@ object DedupQueries extends QueryModule {
           .select(col("doc_id"), col("text"))
         val b = col("doc_id") % 4
         val indexed = docs.filter(b =!= 0)
+        val batch = docs.filter(b === 0)
         graft.operators.LshIndex.build(indexed, root)
-        val pairs = graft.operators.LshIndex
-          .check(docs.filter(b === 0), indexed, root, threshold = 0.8)
-          .select(col("id_a"), col("id_b"),
-            round(col("jaccard"), 6).as("jaccard"))
+        val approx = graft.operators.LshIndex
+          .check(batch, indexed, root, threshold = 0.8)
+        graft.operators.LshIndex.append(batch, root)
+        val exact = Dedup.ngramJaccardJoin(batch, indexed, threshold = 0.8)
+          .select(col("corpus_id").as("id_a"), col("new_id").as("id_b"),
+            col("jaccard"))
+        Certify.attach(
+          exact.select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 6).as("jaccard")),
+          Certify.subsetFlag(approx, exact, Seq("id_a", "id_b"), "subset_ok"),
+          Certify.recallFlag(approx, exact, Seq("id_a", "id_b"),
+            0.8, "recall_ok"))
           .orderBy("id_a", "id_b")
-        graft.operators.LshIndex.append(docs.filter(b === 0), root)
-        pairs
-      }),
+      },
+      oracle = Some(jaccardAnchorSql(
+        "a.doc_id % 4 != 0 AND b.doc_id % 4 = 0",
+        "subset_ok", "recall_ok"))),
 
     // URL canonicalization + metadata dedup — the RefinedWeb/CCNet
     // PRE-content-dedup stage: canonicalize each document's URL

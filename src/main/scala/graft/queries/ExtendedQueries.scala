@@ -401,20 +401,46 @@ object ExtendedQueries extends QueryModule {
     // combinable binary agg), then answer any rollup by merging
     // sketches, never rescanning rows. Here: per-lang distinct-doc
     // sketches + the global count from hll_union_agg over the five
-    // sketches. Sketch bytes aren't reproducible in DuckDB → rows-only
-    // check; ExtendedOpsSpec pins merge-consistency and error bounds.
+    // sketches. Sketch bytes aren't reproducible in DuckDB, so the
+    // estimates can't hash-check — CERTIFIED instead: exact per-lang +
+    // global distinct counts anchor the hash; every estimate (per-lang
+    // AND the sketch-merged global) folds into one within-tolerance
+    // flag (measured rel err 0.000 at the gate SF — DataSketches HLL
+    // is exact at these cardinalities — bound 0.05). ExtendedOpsSpec
+    // keeps merge-consistency.
     "q89_hll_mergeable" -> Q(
       run = (s, dir) => {
-        val perLang = t(s, dir, "documents")
+        val docs = t(s, dir, "documents")
+        val perLang = docs
           .groupBy(col("lang"))
-          .agg(hll_sketch_agg(col("doc_id")).as("sk"))
+          .agg(hll_sketch_agg(col("doc_id")).as("sk"),
+            countDistinct(col("doc_id")).as("n_exact"))
         val per = perLang.select(col("lang"),
-          hll_sketch_estimate(col("sk")).as("n_est"))
+          hll_sketch_estimate(col("sk")).as("n_est"), col("n_exact"))
         val global = perLang
           .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_est"))
-          .select(lit("ALL").as("lang"), col("n_est"))
-        per.unionByName(global).orderBy("lang")
-      }),
+          .crossJoin(broadcast(
+            docs.agg(countDistinct(col("doc_id")).as("n_exact"))))
+          .select(lit("ALL").as("lang"), col("n_est"), col("n_exact"))
+        val all = per.unionByName(global)
+        graft.operators.Certify.attach(
+          all.select(col("lang"), col("n_exact")),
+          graft.operators.Certify.allRowsFlag(all,
+            abs(col("n_est") - col("n_exact"))
+              .cast(org.apache.spark.sql.types.DoubleType) /
+              col("n_exact") <= 0.05,
+            "within_tol"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        SELECT lang, COUNT(DISTINCT doc_id) AS n_exact,
+               CAST(1 AS BIGINT) AS within_tol
+        FROM documents GROUP BY lang
+        UNION ALL
+        SELECT 'ALL' AS lang, COUNT(DISTINCT doc_id) AS n_exact,
+               CAST(1 AS BIGINT) AS within_tol
+        FROM documents
+        ORDER BY lang""")),
 
     // Gap-based sessionization (batch form of q54's streaming
     // sessionize): a 6-hour silence starts a new session; session ids
@@ -538,9 +564,13 @@ object ExtendedQueries extends QueryModule {
     // The query reports the 10 highest exact-count tokens with their
     // CMS estimates and overcounts at a deliberately narrow width so
     // collisions are visible. Murmur-seeded buckets aren't
-    // reproducible in DuckDB → rows-only check; CountMinSpec pins the
-    // one-sided error (est ≥ exact, bounded overcount), partition
-    // invariance, and the merge path.
+    // reproducible in DuckDB, so the estimates can't hash-check —
+    // CERTIFIED instead: the top-10 exact counts anchor the hash and
+    // the CMS estimates fold into one bounds flag asserting the
+    // one-sided error (est ≥ exact always; overcount ≤ 2·N/width —
+    // 2× the expected per-row collision mass, min over 4 rows sits
+    // well under it). CountMinSpec keeps partition invariance and the
+    // merge path.
     "q146_countmin" -> Q(
       run = (s, dir) => {
         val toks = t(s, dir, "documents")
@@ -550,13 +580,31 @@ object ExtendedQueries extends QueryModule {
           .agg(count(lit(1)).as("exact"))
           .orderBy(col("exact").desc, col("term")).limit(10)
         val sk = toks.agg(
-          graft.operators.CountMin.sketch("term", 4, 16).as("sk"))
-        exact.crossJoin(broadcast(sk))
+          graft.operators.CountMin.sketch("term", 4, 16).as("sk"),
+          count(lit(1)).as("n_total"))
+        val est = exact.crossJoin(broadcast(sk))
           .select(col("term"), col("exact"),
             graft.operators.CountMin
-              .estimate(col("sk"), col("term"), 4, 16).as("cms_est"))
-          .withColumn("overcount", col("cms_est") - col("exact"))
+              .estimate(col("sk"), col("term"), 4, 16).as("cms_est"),
+            col("n_total"))
+        graft.operators.Certify.attach(
+          est.select(col("term"), col("exact")),
+          graft.operators.Certify.allRowsFlag(est,
+            col("cms_est") >= col("exact") &&
+              (col("cms_est") - col("exact"))
+                .cast(org.apache.spark.sql.types.DoubleType) <=
+              col("n_total").cast(org.apache.spark.sql.types.DoubleType)
+                * 2.0 / 16.0,
+            "bounds_ok"))
           .orderBy(col("exact").desc, col("term"))
-      })
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT UNNEST(string_split(text, ' ')) AS term FROM documents),
+        e AS (
+          SELECT term, COUNT(*) AS exact FROM toks WHERE term <> ''
+          GROUP BY term ORDER BY exact DESC, term LIMIT 10)
+        SELECT term, exact, CAST(1 AS BIGINT) AS bounds_ok
+        FROM e ORDER BY exact DESC, term"""))
   )
 }

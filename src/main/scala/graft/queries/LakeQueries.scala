@@ -160,13 +160,31 @@ object LakeQueries extends QueryModule {
 
     // approx_count_distinct — the A5 swap for 100 TB scale
     // (SURVEY.md §4.2). HLL sketches aren't bit-reproducible across
-    // engines → rows-only check; ApproxDistinctSpec bounds the error.
+    // engines, so the estimates can't hash-check — CERTIFIED instead
+    // (graft.operators.Certify): the exact per-group distinct counts
+    // anchor the hash and every group's estimate folds into one
+    // within-tolerance flag (HLL++ rsd 0.05; measured max rel err
+    // 0.027 at the gate SF → bound 0.08). ApproxDistinctSpec keeps the
+    // per-group error assertions.
     "q34_approx_distinct" -> Q(
-      run = (s, dir) =>
-        Tables(s, dir, "lineitem")
+      run = (s, dir) => {
+        val per = Tables(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
-          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
-          .orderBy("l_returnflag")),
+          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            countDistinct(col("l_partkey")).as("exact_parts"))
+        graft.operators.Certify.attach(
+          per.select(col("l_returnflag"), col("exact_parts")),
+          graft.operators.Certify.allRowsFlag(per,
+            abs(col("approx_parts") - col("exact_parts"))
+              .cast(org.apache.spark.sql.types.DoubleType) /
+              col("exact_parts") <= 0.08,
+            "within_tol"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+               CAST(1 AS BIGINT) AS within_tol
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // Copy-on-write MERGE through the manifest-log table format
     // (graft.sources.VersionedTable — the DeltaTable.merge role): seed

@@ -4,10 +4,41 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.core.Tables
-import graft.operators.Similarity
+import graft.operators.{Certify, Similarity}
 
 /** Similarity-search inventory over `embeddings` (array<float>, 64-d). */
 object SimilarityQueries extends QueryModule {
+
+  /** Exact top-5 anchor SQL (q40's oracle) with `flags` appended as
+    * literal-1 BIGINT columns — the oracle half of the certified
+    * pattern (see [[graft.operators.Certify]]): the exact rows
+    * hash-check; a flag flipping to 0 on the Spark side is a FAIL. */
+  private def exactTopkSql(where: String, flags: String*): String = {
+    val flagCols = flags.map(f => s", CAST(1 AS BIGINT) AS $f").mkString
+    s"""
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                          c.vec_id) AS rank,
+               ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos$flagCols
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        $where
+        QUALIFY rank <= 5
+        ORDER BY query_id, rank"""
+  }
+
+  /** Certified-ANN gate body: exact twin as the hash-checked anchor,
+    * approximate result folded into ONE aggregate recall flag (floor
+    * measured by graft.RecallProbe, set well under it). */
+  private def certifiedTopK(exact: org.apache.spark.sql.DataFrame,
+                            approx: org.apache.spark.sql.DataFrame,
+                            floor: Double): org.apache.spark.sql.DataFrame =
+    Certify.attach(
+      exact.select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos")),
+      Certify.recallFlag(approx, exact, Seq("query_id", "neighbor_id"),
+        floor, "recall_ok"))
+      .orderBy("query_id", "rank")
 
   override def entries: Seq[(String, Q)] = Seq(
 
@@ -109,66 +140,80 @@ object SimilarityQueries extends QueryModule {
         GROUP BY c.component, e.label ORDER BY vec_id""")),
 
     // IVF-cell approximate top-k — the k-means-family ANN scale path
-    // (deterministic centroids, nprobe cell search). Approximate →
-    // rows-only check; recall measured in SimilaritySpec.
+    // (deterministic centroids, nprobe cell search). CERTIFIED: the
+    // exact twin is the hash-checked anchor; the IVF result folds into
+    // one recall flag (RecallProbe: 0.825 at nprobe=6 → floor 0.6).
     "q43_ivf_topk" -> Q(
       run = (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
-        Similarity.ivfTopK(emb.filter(col("vec_id") < 32), emb, k = 5)
-          .select(col("query_id"), col("neighbor_id"), col("rank"),
-            round(col("cos"), 6).as("cos"))
-          .orderBy("query_id", "rank")
-      }),
+        val q = emb.filter(col("vec_id") < 32)
+        certifiedTopK(
+          Similarity.bruteForceTopK(q, emb, k = 5),
+          Similarity.ivfTopK(q, emb, k = 5, nlist = 16, nprobe = 6),
+          floor = 0.6)
+      },
+      oracle = Some(exactTopkSql("WHERE q.vec_id < 32", "recall_ok"))),
 
     // Sign-LSH bucketed approximate top-k — the 100 TB scale path.
-    // Approximate by design → rows-only check; recall is measured in
-    // SimilaritySpec against the exact result.
+    // CERTIFIED vs the exact twin (RecallProbe: 0.913 at 64 bits / 16
+    // bands → floor 0.6).
     "q42_lsh_topk" -> Q(
       run = (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
-        Similarity.lshTopK(emb.filter(col("vec_id") < 32), emb, k = 5, dim = 64)
-          .select(col("query_id"), col("neighbor_id"), col("rank"),
-            round(col("cos"), 6).as("cos"))
-          .orderBy("query_id", "rank")
-      }),
+        val q = emb.filter(col("vec_id") < 32)
+        certifiedTopK(
+          Similarity.bruteForceTopK(q, emb, k = 5),
+          Similarity.lshTopK(q, emb, k = 5, dim = 64, bits = 64, bands = 16),
+          floor = 0.6)
+      },
+      oracle = Some(exactTopkSql("WHERE q.vec_id < 32", "recall_ok"))),
 
     // Product-quantization approximate top-k (Similarity.pqTopK) — the
     // ANN memory-compression path: corpus stored as 8 int codes per
     // vector (~32× smaller than 64 floats), scanned via codegen'd ADC
     // table lookups, exact-rescored on the shortlist. Deterministic
     // codebook (seeded + one distributed Lloyd pass) but approximate
-    // ranks → rows-only check; recall measured in SimilaritySpec.
+    // ranks → CERTIFIED vs the exact twin (RecallProbe: 0.800 at refine=16 →
+    // floor 0.6).
     "q122_pq_topk" -> Q(
       run = (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
-        Similarity.pqTopK(emb.filter(col("vec_id") < 32), emb, k = 5, dim = 64)
-          .select(col("query_id"), col("neighbor_id"), col("rank"),
-            round(col("cos"), 6).as("cos"))
-          .orderBy("query_id", "rank")
-      }),
+        val q = emb.filter(col("vec_id") < 32)
+        certifiedTopK(
+          Similarity.bruteForceTopK(q, emb, k = 5),
+          Similarity.pqTopK(q, emb, k = 5, dim = 64, refine = 16),
+          floor = 0.6)
+      },
+      oracle = Some(exactTopkSql("WHERE q.vec_id < 32", "recall_ok"))),
 
     // IVFADC end-to-end (Similarity.ivfPqTopK): cell pruning (q43's
     // IVF) composed with residual-PQ ADC scoring (q122's codes) — the
     // complete 100 TB ANN query: candidates come from an EQUI-JOIN on
     // probed cell ids over ~32×-compressed codes, never a cross join
     // (PlanAuditSpec-clean with no allowlist entry). Approximate →
-    // rows-only; recall + plan shape in SimilaritySpec.
+    // CERTIFIED vs the exact twin (RecallProbe: 0.763 at nprobe=8 /
+    // refine=8 → floor 0.55).
     "q123_ivfpq_topk" -> Q(
       run = (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
-        Similarity.ivfPqTopK(emb.filter(col("vec_id") < 32), emb,
-          k = 5, dim = 64)
-          .select(col("query_id"), col("neighbor_id"), col("rank"),
-            round(col("cos"), 6).as("cos"))
-          .orderBy("query_id", "rank")
-      }),
+        val q = emb.filter(col("vec_id") < 32)
+        certifiedTopK(
+          Similarity.bruteForceTopK(q, emb, k = 5),
+          Similarity.ivfPqTopK(q, emb, k = 5, dim = 64,
+            nprobe = 8, refine = 8),
+          floor = 0.55)
+      },
+      oracle = Some(exactTopkSql("WHERE q.vec_id < 32", "recall_ok"))),
 
     // PERSISTED PQ index (PqIndex): the write-side encode job made
     // concrete — codebook + codes committed as durable artifacts (codes
     // are a VersionedTable), a second batch APPENDED with the stored
-    // codebook (no retrain, no rewrite), then searched. Approximate →
-    // rows-only; PqIndexSpec pins search ≡ pqTopK on a same-corpus
-    // build and the incremental-append contract.
+    // codebook (no retrain, no rewrite), then searched; PqIndexSpec
+    // pins search ≡ pqTopK on a same-corpus build and the
+    // incremental-append contract.
+    // CERTIFIED vs the exact twin: the codebook trains on 3/4 of the
+    // corpus and the last quarter is APPENDED with stored centroids, so
+    // recall sits at/below q122's same-corpus figure — floor 0.5.
     "q125_pq_index" -> Q(
       run = (s, dir) => {
         val root = tempRoot("graft_pq_idx").resolve("i").toString
@@ -176,12 +221,13 @@ object SimilarityQueries extends QueryModule {
         val b = col("vec_id") % 4
         graft.operators.PqIndex.build(emb.filter(b =!= 0), root, dim = 64)
         graft.operators.PqIndex.append(emb.filter(b === 0), root)
-        graft.operators.PqIndex.search(
-          emb.filter(col("vec_id") < 32), emb, root, k = 5)
-          .select(col("query_id"), col("neighbor_id"), col("rank"),
-            round(col("cos"), 6).as("cos"))
-          .orderBy("query_id", "rank")
-      }),
+        val q = emb.filter(col("vec_id") < 32)
+        certifiedTopK(
+          Similarity.bruteForceTopK(q, emb, k = 5),
+          graft.operators.PqIndex.search(q, emb, root, k = 5, refine = 16),
+          floor = 0.5)
+      },
+      oracle = Some(exactTopkSql("WHERE q.vec_id < 32", "recall_ok"))),
 
     // ColBERT-style MaxSim late-interaction retrieval: every 8
     // consecutive vectors form one multi-vector "document"; score =
@@ -218,31 +264,75 @@ object SimilarityQueries extends QueryModule {
 
     // Embedding near-dup pairs through sign-LSH band buckets — q41's
     // 100 TB path (equi-join candidates, exact-cosine verify; output is
-    // a subset of q41's with precision 1). Approximate recall →
-    // rows-only check; recall + subset proof live in SimilaritySpec.
+    // a subset of q41's with precision 1). CERTIFIED: exact pairs are
+    // the hash-checked anchor; the LSH result folds into a subset flag
+    // (precision 1 by construction) and a recall flag (RecallProbe:
+    // 0.949 at 64 bits / 16 bands → floor 0.75).
     "q83_cosine_neardup_lsh" -> Q(
-      run = (s, dir) =>
-        Similarity.cosineNearDupPairsLSH(
-          Tables(s, dir, "embeddings"), 0.4, dim = 64)
-          .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
-          .orderBy("id_a", "id_b")),
+      run = (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val exact = Similarity.cosineNearDupPairs(emb, 0.4)
+        val approx = Similarity.cosineNearDupPairsLSH(
+          emb, 0.4, dim = 64, bits = 64, bands = 16)
+        Certify.attach(
+          exact.select(col("id_a"), col("id_b"),
+            round(col("cos"), 6).as("cos")),
+          Certify.subsetFlag(approx, exact, Seq("id_a", "id_b"), "subset_ok"),
+          Certify.recallFlag(approx, exact, Seq("id_a", "id_b"),
+            0.75, "recall_ok"))
+          .orderBy("id_a", "id_b")
+      },
+      oracle = Some("""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos,
+               CAST(1 AS BIGINT) AS subset_ok,
+               CAST(1 AS BIGINT) AS recall_ok
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        ORDER BY id_a, id_b""")),
 
     // The 100 TB form of q103: SemDeDup composed over the LSH-bucketed
     // pair generator instead of exact all-pairs — band-bucket equi-join
     // candidates, exact-cosine verify, then the same star-contraction
-    // components. Approximate recall by construction → rows-only check;
-    // SimilaritySpec proves the structural containment against q103's
-    // exact survivors (every exact cluster maps into exactly one
-    // LSH cluster) and measures survivor-set agreement.
+    // components. CERTIFIED: the exact survivors (q103's recursive-CTE-
+    // checkable output) anchor the hash; the LSH survivor set folds
+    // into one agreement flag (RecallProbe: 0.993 survivor agreement at
+    // 64 bits / 16 bands → floor 0.9). SimilaritySpec keeps the
+    // structural containment proof.
     "q119_semantic_dedup_lsh" -> Q(
       run = (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
-        Similarity.semanticDedupSurvivors(emb, 0.4,
-          pairs = Some(Similarity.cosineNearDupPairsLSH(emb, 0.4, dim = 64)))
-          .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+        val labels = emb.select(col("vec_id"), col("label"))
+        val exact = Similarity.semanticDedupSurvivors(emb, 0.4)
+          .join(labels, Seq("vec_id"))
           .select(col("vec_id"), col("label"), col("group_size"))
+        val approx = Similarity.semanticDedupSurvivors(emb, 0.4,
+          pairs = Some(Similarity.cosineNearDupPairsLSH(
+            emb, 0.4, dim = 64, bits = 64, bands = 16)))
+        Certify.attach(exact,
+          Certify.recallFlag(approx, exact, Seq("vec_id"),
+            0.9, "agreement_ok"))
           .orderBy("vec_id")
-      }),
+      },
+      oracle = Some("""
+        WITH RECURSIVE pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]) >= 0.4),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, lbl) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+        comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+        SELECT c.component AS vec_id, e.label,
+               CAST(COUNT(*) AS BIGINT) AS group_size,
+               CAST(1 AS BIGINT) AS agreement_ok
+        FROM comp c JOIN embeddings e ON e.vec_id = c.component
+        GROUP BY c.component, e.label ORDER BY vec_id""")),
 
     // Embedding-space contamination check — q82's vector-space sibling:
     // corpus vectors whose max cosine against a (tiny) benchmark set
@@ -590,18 +680,20 @@ object SimilarityQueries extends QueryModule {
     // map-locally and candidates come from ONE hash equi-join on the
     // cell (stored side in its home cell, probing side exploded to its
     // nprobe nearest cells) — no corpus broadcast, no cross join;
-    // shuffle is nprobe·|corpus| rows. Approximate by construction
-    // (cell recall), so rows-only here; SimilaritySpec measures edge
-    // recall vs the exact q165 graph and pins the bound.
+    // shuffle is nprobe·|corpus| rows. Approximate by construction.
+    // CERTIFIED: the exact q165 graph is the hash-checked anchor and
+    // the IVF graph folds into one edge-recall flag (RecallProbe:
+    // 0.795 at nprobe=8 → floor 0.6); SimilaritySpec pins per-query
+    // behavior.
     "q166_knn_graph_ivf" -> Q(
       run = (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
-        Similarity.knnGraphIvf(emb, k = 5, nlist = 16, nprobe = 4)
-          .select(col("query_id"), col("neighbor_id"), col("rank"),
-            round(col("cos"), 6).as("cos"))
-          .orderBy("query_id", "rank")
+        certifiedTopK(
+          Similarity.bruteForceTopK(emb, emb, k = 5),
+          Similarity.knnGraphIvf(emb, k = 5, nlist = 16, nprobe = 8),
+          floor = 0.6)
       },
-      oracle = None),
+      oracle = Some(exactTopkSql("", "recall_ok"))),
 
     // Persisted IVF index (IvfIndex: centroids sidecar + CELL-CLUSTERED
     // vectors with per-file cell stats) — the vector member of the
@@ -609,20 +701,21 @@ object SimilarityQueries extends QueryModule {
     // seek straight into their probe cells via manifest file-skipping
     // (readWhereIn); search is bit-identical to in-memory ivfTopK on
     // the same corpus/params (IvfIndexSpec pins equality, file
-    // skipping, and stored-centroid appends). Approximate by
-    // construction (cell recall) → rows-only here.
+    // skipping, and stored-centroid appends). CERTIFIED vs the exact
+    // twin — search ≡ ivfTopK on the same corpus/params (spec-pinned),
+    // so the nprobe=6 floor matches q43's (RecallProbe: 0.825 → 0.6).
     "q172_ivf_index" -> Q(
       run = (s, dir) => {
         val root = tempRoot("graft_ivf_ix").resolve("ix").toString
         val emb = Tables(s, dir, "embeddings")
         graft.operators.IvfIndex.build(emb, root, nlist = 16)
-        graft.operators.IvfIndex.topK(
-          s, emb.filter(col("vec_id") < 32), root, k = 5, nprobe = 4)
-          .select(col("query_id"), col("neighbor_id"), col("rank"),
-            round(col("cos"), 6).as("cos"))
-          .orderBy("query_id", "rank")
+        val q = emb.filter(col("vec_id") < 32)
+        certifiedTopK(
+          Similarity.bruteForceTopK(q, emb, k = 5),
+          graft.operators.IvfIndex.topK(s, q, root, k = 5, nprobe = 6),
+          floor = 0.6)
       },
-      oracle = None),
+      oracle = Some(exactTopkSql("WHERE q.vec_id < 32", "recall_ok"))),
 
     // Clustering EVALUATION: per-cluster purity of the q162 fixed-point
     // k-means assignment against the ground-truth labels the

@@ -32,7 +32,8 @@ class PlanAuditSpec extends SparkSuite {
       "q157_hard_negatives",
       // exact kNN graph: q40's brute shape with queries = corpus — the
       // deliberate ORACLE TWIN of q166's IVF-blocked equi-join form
-      // (which is the scale path and must NOT appear here)
+      // (q166 appears below only because its certified output embeds
+      // this same twin as the hash anchor; its IVF path is equi-join)
       "q165_knn_graph",
       // RRF fusion's dense side embeds q40's exact broadcast-queries
       // scan (LSH/IVF are the swap-in scale paths; fusion itself is an
@@ -72,7 +73,20 @@ class PlanAuditSpec extends SparkSuite {
       "q146_countmin",
       // assortativity: the two 1-row stats frames crossed into the
       // single output row (q62's shape)
-      "q148_graph_assortativity"),
+      "q148_graph_assortativity",
+      // CERTIFIED gate queries (graft.operators.Certify): the BNLJ is
+      // the EXACT ORACLE TWIN that anchors the hash-checked output —
+      // the approximate path being certified stays a banded/cell
+      // equi-join (audited by SimilaritySpec's plan assertions); the
+      // twin is gate-scale-only by the same q165 rationale
+      "q42_lsh_topk", "q43_ivf_topk", "q123_ivfpq_topk",
+      "q166_knn_graph_ivf", "q172_ivf_index",
+      "q83_cosine_neardup_lsh", "q119_semantic_dedup_lsh",
+      // certified queries whose only BNLJ is Certify.attach's 1-ROW
+      // flag frame crossed onto the anchor (q62's 1-row-broadcast
+      // shape); their exact twins are equi-joins
+      "q33_simhash", "q133_lsh_index", "q34_approx_distinct",
+      "q89_hll_mergeable"),
     "Exchange SinglePartition" -> Set(
       // global row_number over the tiny DISTINCT dim (W1 parity shape;
       // fact-scale keys use PartitionOffsetKeyGen)
