@@ -52,8 +52,13 @@ object Drift {
       .filter(col("num") === col("d_num"))
       .groupBy(col("n_a"), col("n_b"), col("d_num"))
       .agg(min(col("x")).as("at_value"))
+      // d_num ≤ nA·nB, so d_num·10⁶ overflows BIGINT once nA·nB passes
+      // ~9.2e12 (≈3M rows per side) — the multiply runs in DECIMAL(38,0)
+      // and only the ≤10⁶ quotient comes back to BIGINT, keeping the
+      // ppm bit-exact at any sample size
       .select(col("n_a"), col("n_b"), col("d_num"),
-        expr("(d_num * 1000000L) div (n_a * n_b)").as("d_ppm"),
+        expr("CAST((CAST(d_num AS DECIMAL(38,0)) * 1000000)" +
+          " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("d_ppm"),
         col("at_value"))
   }
 }

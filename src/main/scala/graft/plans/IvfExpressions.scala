@@ -23,8 +23,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * inside, not the dispatch.
   *
   * Ranking is dot(vec, c)/|c| — |vec| is constant per row, so the cell
-  * order equals the cosine order (the literal version's exact rule).
-  * Ties break to the SMALLER cell id, deterministically.
+  * order equals the cosine order. Ties break to the SMALLER cell id,
+  * deterministically. NOTE this is a deliberate tie-rule CHANGE from
+  * the literal `array_max(struct(sim, cell))` formulation it replaced,
+  * which broke exact-similarity ties to the LARGER id: ties require
+  * two centroids exactly equisimilar to a query (duplicate seed
+  * vectors), and smallest-id-wins matches every other tie rule in the
+  * engine (window orderings, component labels). Cell assignments
+  * produced before round 7 may differ on such duplicate-centroid
+  * corpora; re-derive with [[IvfIndex.build]] if bit-compatibility
+  * matters.
   */
 case class IvfProbeCells(child: Expression, centroids: Array[Array[Double]],
                          nprobe: Int)

@@ -18,16 +18,21 @@ import org.apache.spark.sql.functions._
   * `view' = view ⊕ aggregate(changes-since-last-refresh)` (full-outer
   * join on the keys, null-safe addition). Non-additive aggregates
   * (distinct counts, max over deletes) and rewriting sources need
-  * recompute or retraction logic — out of scope, enforced by the same
-  * append-only check as [[VersionedTable.readChangesStream]] at
-  * refresh time via readChangesSince on an append-only history.
+  * recompute or retraction logic — distinct counts have a
+  * sketch-backed path in [[refreshDistinct]]; deletes/updates use
+  * [[refreshWithRetraction]].
   *
-  * The view is itself a VersionedTable (time-travelable refresh
-  * history) plus a `_refreshed_v` sidecar recording the source version
-  * the state covers — written ATOMICALLY after the view commit, so a
-  * crash between the two re-reads at most one delta (refresh is
-  * idempotent only per-version; re-running a refresh for the SAME
-  * source version is a no-op by the sidecar check).
+  * EXACTLY-ONCE refresh: the `_refreshed_v` sidecar records the pair
+  * `(source version covered, view version holding that state)` and is
+  * the view's ONLY commit pointer — refresh reads the view AT the
+  * recorded version (never latest) and reads source changes with the
+  * probed source version as an EXPLICIT upper bound
+  * ([[VersionedTable.readChangesBetween]]). A crash between the view
+  * overwrite and the sidecar move leaves an orphaned view version the
+  * next refresh ignores and supersedes (re-deriving from the recorded
+  * state — no delta is ever applied twice); a source commit landing
+  * mid-refresh is simply outside the bound and covered by the next
+  * refresh. The sidecar move itself is ATOMIC_MOVE.
   *
   * Scale shape: each refresh reads O(new files) of the source (the
   * CDF read), aggregates them (combinable), and joins against the
@@ -41,18 +46,38 @@ object MaterializedView {
 
   private def sidecar(viewRoot: String) = new File(viewRoot, "_refreshed_v")
 
+  /** (source version covered, view version holding that state). Legacy
+    * single-long sidecars (pre round-8) carry no view version — fall
+    * back to the view's latest, the best available pointer. */
+  private def sidecarState(viewRoot: String): Option[(Long, Long)] =
+    if (!sidecar(viewRoot).exists()) None
+    else {
+      val toks = new String(Files.readAllBytes(sidecar(viewRoot).toPath),
+        StandardCharsets.UTF_8).trim.split("\\s+")
+      val srcV = toks(0).toLong
+      val viewV =
+        if (toks.length > 1) toks(1).toLong
+        else VersionedTable.latestVersion(viewRoot)
+          .getOrElse(sys.error(s"sidecar without view data at $viewRoot"))
+      Some((srcV, viewV))
+    }
+
   /** Source version the view state currently covers, if any. */
   def refreshedVersion(viewRoot: String): Option[Long] =
-    if (!sidecar(viewRoot).exists()) None
-    else Some(new String(Files.readAllBytes(sidecar(viewRoot).toPath),
-      StandardCharsets.UTF_8).trim.toLong)
+    sidecarState(viewRoot).map(_._1)
 
-  private def writeRefreshed(viewRoot: String, v: Long): Unit = {
+  private def writeRefreshed(viewRoot: String, srcV: Long, viewV: Long): Unit = {
     val tmp = Files.createTempFile(new File(viewRoot).toPath, "_rv", ".tmp")
-    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, s"$srcV $viewV".getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, sidecar(viewRoot).toPath,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
+
+  /** The view state the sidecar points at (never the latest version —
+    * see the exactly-once note above). */
+  private def committedState(spark: SparkSession, viewRoot: String,
+                             st: (Long, Long)): DataFrame =
+    VersionedTable.readVersion(spark, viewRoot, st._2)
 
   /** Refresh the additive view (group keys → `n` count + one summed
     * column `sumCol` as DECIMAL(18,2)) from `srcRoot`'s changes since
@@ -62,25 +87,25 @@ object MaterializedView {
                       keyCols: Seq[String], sumCol: String): Long = {
     val srcV = VersionedTable.latestVersion(srcRoot)
       .getOrElse(sys.error(s"no versions at $srcRoot"))
-    val last = refreshedVersion(viewRoot)
-    if (last.contains(srcV)) return srcV
+    val st = sidecarState(viewRoot)
+    if (st.exists(_._1 == srcV)) return srcV
     new File(viewRoot).mkdirs()
 
-    val changes = last match {
-      case None    => VersionedTable.read(spark, srcRoot)
-      case Some(v) => VersionedTable.readChangesSince(spark, srcRoot, v)
+    val changes = st match {
+      case None         => VersionedTable.readVersion(spark, srcRoot, srcV)
+      case Some((v, _)) => VersionedTable.readChangesBetween(spark, srcRoot, v, srcV)
     }
     val dec = org.apache.spark.sql.types.DecimalType(18, 2)
     val delta = changes.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sum(col(sumCol).cast(dec)).cast(dec).as("total"))
 
-    val next = last match {
+    val next = st match {
       case None => delta
-      case Some(_) =>
-        val prev = VersionedTable.read(spark, viewRoot)
-        prev.select(keyCols.map(col) :+ col("n").as("__pn")
-          :+ col("total").as("__pt"): _*)
+      case Some(s) =>
+        committedState(spark, viewRoot, s)
+          .select(keyCols.map(col) :+ col("n").as("__pn")
+            :+ col("total").as("__pt"): _*)
           .join(delta, keyCols, "full_outer")
           .select(keyCols.map(col) ++ Seq(
             (coalesce(col("__pn"), lit(0L)) + coalesce(col("n"), lit(0L)))
@@ -89,9 +114,66 @@ object MaterializedView {
               coalesce(col("total"), lit(0).cast(dec)))
               .cast(dec).as("total")): _*)
     }
-    VersionedTable.overwrite(next, viewRoot)
-    writeRefreshed(viewRoot, srcV)
+    val viewV = VersionedTable.overwrite(next, viewRoot)
+    writeRefreshed(viewRoot, srcV, viewV)
     srcV
+  }
+
+  /** COUNT(DISTINCT)-maintaining refresh — the NON-additive aggregate
+    * [[refreshAdditive]] can't carry: distinct counts don't add across
+    * deltas (yesterday's values overlap today's). The view state keeps
+    * a MERGEABLE DataSketches HLL sketch per group
+    * (`hll_sketch_agg(distinctCol)`, a map-side-combinable binary agg);
+    * each refresh sketches ONLY the change rows and `hll_union`s them
+    * into the stored per-group sketches — O(new files) read,
+    * O(|groups|) state, never a source rescan, exactly the q89
+    * pre-aggregation pattern made incremental. Estimates come out via
+    * [[readDistinct]]; DataSketches HLL is EXACT below its coupon
+    * threshold (~512 distincts at the default lgK=12) and ±~2% above,
+    * so group-level route/bus cardinalities hash-match a full
+    * recompute while web-scale ones degrade gracefully (the gate query
+    * certifies both: exact anchor + tolerance flag). Same
+    * exactly-once sidecar protocol as the other refreshers. */
+  def refreshDistinct(spark: SparkSession, srcRoot: String, viewRoot: String,
+                      keyCols: Seq[String], distinctCol: String): Long = {
+    val srcV = VersionedTable.latestVersion(srcRoot)
+      .getOrElse(sys.error(s"no versions at $srcRoot"))
+    val st = sidecarState(viewRoot)
+    if (st.exists(_._1 == srcV)) return srcV
+    new File(viewRoot).mkdirs()
+
+    val changes = st match {
+      case None         => VersionedTable.readVersion(spark, srcRoot, srcV)
+      case Some((v, _)) => VersionedTable.readChangesBetween(spark, srcRoot, v, srcV)
+    }
+    val delta = changes.groupBy(keyCols.map(col): _*)
+      .agg(hll_sketch_agg(col(distinctCol)).as("sk"))
+
+    val next = st match {
+      case None => delta
+      case Some(s) =>
+        committedState(spark, viewRoot, s)
+          .select(keyCols.map(col) :+ col("sk").as("__psk"): _*)
+          .join(delta, keyCols, "full_outer")
+          .select(keyCols.map(col) :+
+            (when(col("__psk").isNull, col("sk"))
+              .when(col("sk").isNull, col("__psk"))
+              .otherwise(hll_union(col("__psk"), col("sk")))).as("sk"): _*)
+    }
+    val viewV = VersionedTable.overwrite(next, viewRoot)
+    writeRefreshed(viewRoot, srcV, viewV)
+    srcV
+  }
+
+  /** The distinct-count view's serving read: per-group estimates from
+    * the stored sketches (group keys + `n_distinct` BIGINT). */
+  def readDistinct(spark: SparkSession, viewRoot: String,
+                   keyCols: Seq[String]): DataFrame = {
+    val st = sidecarState(viewRoot)
+      .getOrElse(sys.error(s"no refreshed view at $viewRoot"))
+    committedState(spark, viewRoot, st)
+      .select(keyCols.map(col) :+
+        hll_sketch_estimate(col("sk")).as("n_distinct"): _*)
   }
 
   /** Retraction-aware refresh — drops [[refreshAdditive]]'s append-only
@@ -107,28 +189,28 @@ object MaterializedView {
                             sumCol: String): Long = {
     val srcV = VersionedTable.latestVersion(srcRoot)
       .getOrElse(sys.error(s"no versions at $srcRoot"))
-    val last = refreshedVersion(viewRoot)
-    if (last.contains(srcV)) return srcV
+    val st = sidecarState(viewRoot)
+    if (st.exists(_._1 == srcV)) return srcV
     new File(viewRoot).mkdirs()
 
     val dec = org.apache.spark.sql.types.DecimalType(18, 2)
-    val delta = last match {
+    val delta = st match {
       case None =>
-        VersionedTable.read(spark, srcRoot)
+        VersionedTable.readVersion(spark, srcRoot, srcV)
           .groupBy(keyCols.map(col): _*)
           .agg(count(lit(1)).as("n"),
             sum(col(sumCol).cast(dec)).cast(dec).as("total"))
-      case Some(v) =>
+      case Some((v, _)) =>
         val sign = when(col("_change") === "insert", lit(1L)).otherwise(lit(-1L))
         VersionedTable.diffVersions(spark, srcRoot, v, srcV)
           .groupBy(keyCols.map(col): _*)
           .agg(sum(sign).as("n"),
             sum(sign.cast(dec) * col(sumCol).cast(dec)).cast(dec).as("total"))
     }
-    val next = last match {
+    val next = st match {
       case None => delta
-      case Some(_) =>
-        VersionedTable.read(spark, viewRoot)
+      case Some(s) =>
+        committedState(spark, viewRoot, s)
           .select(keyCols.map(col) :+ col("n").as("__pn")
             :+ col("total").as("__pt"): _*)
           .join(delta, keyCols, "full_outer")
@@ -140,8 +222,8 @@ object MaterializedView {
               .cast(dec).as("total")): _*)
           .filter(col("n") =!= 0L || col("total") =!= lit(0).cast(dec))
     }
-    VersionedTable.overwrite(next, viewRoot)
-    writeRefreshed(viewRoot, srcV)
+    val viewV = VersionedTable.overwrite(next, viewRoot)
+    writeRefreshed(viewRoot, srcV, viewV)
     srcV
   }
 }

@@ -631,11 +631,21 @@ object VersionedTable {
     * copy-on-write deletes would need a diff of row sets, which callers
     * can do across snapshots via [[readVersion]]. */
   def readChangesSince(spark: SparkSession, root: String,
-                       sinceV: Long): DataFrame = {
-    val latest = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
+                       sinceV: Long): DataFrame =
+    readChangesBetween(spark, root, sinceV,
+      latestVersion(root).getOrElse(sys.error(s"no versions at $root")))
+
+  /** [[readChangesSince]] with an EXPLICIT upper bound: files added in
+    * (sinceV, untilV]. Consumers that record the version they covered
+    * must read with that version as the bound — an unbounded read races
+    * a concurrent commit landing after the version probe, silently
+    * covering rows the recorded version doesn't admit (the
+    * MaterializedView double-count). */
+  def readChangesBetween(spark: SparkSession, root: String,
+                         sinceV: Long, untilV: Long): DataFrame = {
     val before = readListing(root, sinceV).map(pathOf).toSet
-    val added = readListing(root, latest).map(pathOf).filterNot(before)
-    if (added.isEmpty) readVersion(spark, root, latest).limit(0)
+    val added = readListing(root, untilV).map(pathOf).filterNot(before)
+    if (added.isEmpty) readVersion(spark, root, untilV).limit(0)
     else spark.read.option("mergeSchema", "true").parquet(added: _*)
   }
 

@@ -166,19 +166,49 @@ object StreamingJobs {
                                      srcRoot: String,
                                      viewRoot: String): DataFrame = {
     import graft.sources.{MaterializedView, VersionedTable}
+    // foreachBatch is at-least-once: Structured Streaming RE-RUNS a
+    // failed micro-batch with the SAME batchId, and a blind append
+    // would land its rows twice (and the additive view would absorb
+    // them twice). Standard exactly-once pattern: record the last
+    // committed batchId in a sidecar next to the table and skip ids
+    // already committed. The sidecar and the stream's checkpoint share
+    // srcRoot's lifetime, so batchIds stay monotonic per table — a
+    // fresh table starts both at zero.
+    val batchFile = new java.io.File(srcRoot, "_last_batch")
+    def lastCommitted: Long =
+      if (!batchFile.exists()) -1L
+      else new String(java.nio.file.Files.readAllBytes(batchFile.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    def commitBatchId(id: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempFile(
+        new java.io.File(srcRoot).toPath, "_lb", ".tmp")
+      java.nio.file.Files.write(tmp,
+        id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, batchFile.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    new java.io.File(srcRoot).mkdirs()
     val q = readEvents(spark, dir)
       .withColumn("hour_start",
         date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm"))
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                       _: Long) =>
-        if (VersionedTable.latestVersion(srcRoot).isEmpty)
-          VersionedTable.overwrite(batch, srcRoot)
-        else VersionedTable.append(batch, srcRoot)
+                       batchId: Long) =>
+        if (batchId > lastCommitted) {
+          if (VersionedTable.latestVersion(srcRoot).isEmpty)
+            VersionedTable.overwrite(batch, srcRoot)
+          else VersionedTable.append(batch, srcRoot)
+          commitBatchId(batchId)
+        }
+        // refresh is idempotent per source version (sidecar check), so
+        // running it on a replayed batch is a no-op, never a re-apply
         MaterializedView.refreshAdditive(spark, srcRoot, viewRoot,
           Seq("hour_start", "event_type"), "value")
         ()
       }
+      .option("checkpointLocation",
+        new java.io.File(srcRoot, "_ingest_ckpt").getPath)
       .trigger(Trigger.AvailableNow())
       .start()
     q.processAllAvailable()

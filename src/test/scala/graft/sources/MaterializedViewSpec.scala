@@ -67,4 +67,68 @@ class MaterializedViewSpec extends SparkSuite {
       .as[(String, Long, Double)].collect().toSet
     assert(got == Set(("a", 2L, 35.0)))
   }
+
+  test("crash between view commit and sidecar: orphan version ignored, no double-count") {
+    // ADVICE round-7 finding: refresh must derive from the SIDECAR's
+    // recorded (srcV, viewV) pair, never the view's latest version —
+    // a crash after the view overwrite but before the sidecar move
+    // leaves an orphaned view version that a latest-reading refresh
+    // would re-apply the same delta onto (additive double-count).
+    val src = tmp("graft_mvc_src"); val view = tmp("graft_mvc_view")
+    VersionedTable.overwrite(Seq(("a", 10.0), ("b", 5.0)).toDF("k", "x"), src)
+    MaterializedView.refreshAdditive(spark, src, view, Seq("k"), "x")
+    VersionedTable.append(Seq(("a", 1.0)).toDF("k", "x"), src)
+
+    // simulate the crash: the refresh's view OVERWRITE landed (an
+    // orphan version with the delta already applied) but the sidecar
+    // still records the pre-refresh pair
+    val sidecarBytes = Files.readAllBytes(
+      new java.io.File(view, "_refreshed_v").toPath)
+    MaterializedView.refreshAdditive(spark, src, view, Seq("k"), "x")
+    Files.write(new java.io.File(view, "_refreshed_v").toPath, sidecarBytes)
+
+    // the re-run refresh must supersede the orphan, not stack onto it
+    MaterializedView.refreshAdditive(spark, src, view, Seq("k"), "x")
+    val got = VersionedTable.read(spark, view)
+      .select(col("k"), col("n"), col("total").cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == Set(("a", 2L, 11.0), ("b", 1L, 5.0)),
+      s"delta re-applied onto orphaned state: $got")
+  }
+
+  test("readChangesBetween bounds the read: a commit after the probe is excluded") {
+    val src = tmp("graft_mvb_src")
+    VersionedTable.overwrite(Seq(("a", 1.0)).toDF("k", "x"), src)
+    VersionedTable.append(Seq(("b", 2.0)).toDF("k", "x"), src)
+    val probed = VersionedTable.latestVersion(src).get // = 1
+    VersionedTable.append(Seq(("c", 3.0)).toDF("k", "x"), src)
+    val rows = VersionedTable.readChangesBetween(spark, src, 0, probed)
+      .select(col("k")).as[String].collect().toSet
+    assert(rows == Set("b"), s"unbounded read leaked a later commit: $rows")
+  }
+
+  test("distinct-count view: HLL-merge refresh equals full recompute across appends") {
+    val src = tmp("graft_mvd_src"); val view = tmp("graft_mvd_view")
+    def refresh() =
+      MaterializedView.refreshDistinct(spark, src, view, Seq("k"), "u")
+    // batch 1: a has 2 distinct, b has 1
+    VersionedTable.overwrite(
+      Seq(("a", "u1"), ("a", "u2"), ("a", "u1"), ("b", "u9"))
+        .toDF("k", "u"), src)
+    refresh()
+    // batch 2: overlap (a:u2 again) must NOT inflate; new group c
+    VersionedTable.append(
+      Seq(("a", "u2"), ("a", "u3"), ("c", "u5")).toDF("k", "u"), src)
+    refresh()
+    // batch 3: pure overlap — refresh is a merge, counts unchanged
+    VersionedTable.append(Seq(("a", "u1"), ("c", "u5")).toDF("k", "u"), src)
+    refresh()
+    val got = MaterializedView.readDistinct(spark, view, Seq("k"))
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 3L), ("b", 1L), ("c", 1L)), got.toString)
+    // idempotent: nothing new → no new view version
+    val viewV = VersionedTable.latestVersion(view)
+    refresh()
+    assert(VersionedTable.latestVersion(view) == viewV)
+  }
 }
