@@ -574,6 +574,57 @@ object LakeQueries extends QueryModule {
         GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
       bench = false),
 
+    // COUNT(DISTINCT)-maintaining view (MaterializedView
+    // .refreshDistinct) — the NON-additive aggregate q182 can't carry
+    // (the reference's gold q3 shape: distinct bus names per route):
+    // view state is a mergeable DataSketches HLL sketch per group,
+    // each refresh sketches only the change rows and hll_unions them
+    // into the stored state — O(new files) read, O(|groups|) state,
+    // never a source rescan. Three refreshes across three overlapping
+    // commits; CERTIFIED: the exact full-recompute distinct counts
+    // anchor the hash, the sketch estimates fold into a
+    // within-tolerance flag (DataSketches HLL is exact at this
+    // group cardinality — tolerance 2% guards the estimator regime).
+    "q186_distinct_view" -> Q(
+      run = (s, dir) => {
+        val src = tempRoot("graft_mvd_src").resolve("t").toString
+        val view = tempRoot("graft_mvd_view").resolve("v").toString
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_suppkey"))
+        val b = substring(md5(col("l_orderkey").cast(StringType)), 1, 1)
+        def refresh(): Unit = {
+          graft.sources.MaterializedView.refreshDistinct(
+            s, src, view, Seq("l_returnflag"), "l_suppkey"); ()
+        }
+        graft.sources.VersionedTable.overwrite(
+          li.filter(b.between("0", "4")), src)
+        refresh()
+        graft.sources.VersionedTable.append(
+          li.filter(b.between("5", "9")), src)
+        refresh()
+        graft.sources.VersionedTable.append(
+          li.filter(!b.between("0", "9")), src)
+        refresh()
+        val est = graft.sources.MaterializedView.readDistinct(
+          s, view, Seq("l_returnflag"))
+        val exact = li.groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_suppkey")).as("n_distinct"))
+        graft.operators.Certify.attach(
+          exact,
+          graft.operators.Certify.allRowsFlag(
+            est.join(exact.withColumnRenamed("n_distinct", "__ex"),
+              Seq("l_returnflag")),
+            abs(col("n_distinct") - col("__ex")).cast(DoubleType) /
+              col("__ex") <= 0.02,
+            "sketch_ok"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_distinct,
+               CAST(1 AS BIGINT) AS sketch_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      bench = false),
+
     // Row-level DELETE WHERE (COW): the table format's data-removal
     // story — a takedown against a training corpus removes rows FROM
     // THE TABLE (files without matches untouched, only matching files
