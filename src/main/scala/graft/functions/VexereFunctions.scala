@@ -101,6 +101,32 @@ object VexereFunctions {
       .otherwise("khác")
   }
 
+  /** The BACKFILL variant of the cascade (all_run/to_silver-all.py:
+    * 173-185) — the reference's bulk-reprocess job carries an extended
+    * 11-branch classifier that differs from the daily one in three
+    * deliberate ways, all preserved:
+    *  - branch 5 keeps Python's `&`-over-`|` precedence as written:
+    *    `(limousine AND giường nằm) OR giường` — a bare "giường" bus
+    *    classifies as limousine here, unlike the daily job's
+    *    `limousine AND (giường nằm OR giường)`;
+    *  - a dedicated branch for "limousine giường phòng có WC";
+    *  - the giường-phòng branch is `(limousine AND giường phòng) OR
+    *    phòng`, same precedence quirk.
+    */
+  def busTypeCategoryBackfill(typeBusLower: Column): Column = {
+    val t = typeBusLower
+    when(t.like("%giường nằm%") && !t.like("%limousine%"), "giường nằm")
+      .when(t.like("%huyndai solati 11 chỗ%"), "limousine ghế ngồi")
+      .when(t.like("%limousine%") && t.like("%ghế ngồi%"), "limousine ghế ngồi")
+      .when(t.like("%limousine%") && t.like("%giường nằm có wc%"), "limousine giường nằm có WC")
+      .when((t.like("%limousine%") && t.like("%giường nằm%")) || t.like("%giường%"), "limousine giường nằm")
+      .when(t.rlike("""limousine.*[0-9]+\s*chỗ"""), "limousine giường nằm")
+      .when(t.like("%limousine%") && t.like("%giường phòng có wc%"), "limousine giường phòng có WC")
+      .when((t.like("%limousine%") && t.like("%giường phòng%")) || t.like("%phòng%"), "limousine giường phòng")
+      .when(t.like("%ghế ngồi%"), "ghế ngồi")
+      .otherwise("khác")
+  }
+
   /** "HH:mm" departure time → dayband label (to_gold.py:35-40); null /
     * unparseable → null (no ELSE branch in the reference CASE). */
   def dayband(departureTime: Column): Column = {

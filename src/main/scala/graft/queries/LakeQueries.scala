@@ -13,6 +13,23 @@ import graft.sources.Lake
   * sets, PIVOT, approx-distinct. */
 object LakeQueries extends QueryModule {
 
+  /** 11-entry Type_Bus cycle for the backfill gate queries — one string
+    * per cascade branch of busTypeCategoryBackfill, including the
+    * bare-giường precedence quirk (idx 6, 8) and the phòng branch
+    * (idx 9); indexes map to hand-derived categories in the oracles. */
+  private val BackfillTypeBus: Seq[String] = Seq(
+    "Ghế ngồi 45 chỗ",
+    "Giường nằm 40 chỗ",
+    "Huyndai Solati 11 chỗ",
+    "Limousine ghế ngồi 9 chỗ",
+    "Limousine giường nằm có WC",
+    "Limousine giường nằm 22 chỗ",
+    "Xe giường đôi",
+    "Limousine 24 chỗ",
+    "Limousine giường phòng có WC",
+    "Xe phòng VIP",
+    "Xe khách thường")
+
   private def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
 
@@ -585,6 +602,150 @@ object LakeQueries extends QueryModule {
     // anchor the hash, the sketch estimates fold into a
     // within-tolerance flag (DataSketches HLL is exact at this
     // group cardinality — tolerance 2% guards the estimator regime).
+    // 3-day silver BACKFILL (Silver.backfillRange — the all_run/
+    // to_silver-all.py date-range job): ticket-shaped batches derived
+    // deterministically from `orders` land as per-day bronze tables
+    // under the {MM-yyyy}/{dd-MM-yyyy} path convention, then the range
+    // loop transforms + appends each day with a fresh max-Bus_Key
+    // probe and the EXTENDED 11-branch cascade. Per-day key ranges
+    // (min_key = prior days' total + 1) prove the continuation without
+    // depending on within-day row order; the cascade is pinned by the
+    // n_categories count here and by category in q188. All derivation
+    // columns are replicated literally in the oracle.
+    "q187_backfill" -> Q(
+      run = (s, dir) => {
+        val brz = tempRoot("graft_bf_brz").resolve("b").toString
+        val slv = tempRoot("graft_bf_slv").resolve("t").toString
+        val types = typedLit(BackfillTypeBus)
+        val k = col("o_orderkey")
+        val raw = Tables(s, dir, "orders").select(
+          concat(lit("0"), (k % 3 + 5).cast(StringType), lit("-01-2024"))
+            .as("Start_Date"),
+          concat(lit("noi di "), (k % 7).cast(StringType))
+            .as("Departure_Place"),
+          concat(lit("noi den "), (k % 5).cast(StringType))
+            .as("Arrival_Place"),
+          concat((k % 12 + 1).cast(StringType), lit("h"),
+            (k % 4 * 15).cast(StringType), lit("m")).as("Duration"),
+          concat((k % 90 + 10).cast(StringType), lit(".000đ")).as("Price"),
+          element_at(types, (k % 11 + 1).cast(IntegerType)).as("Type_Bus"),
+          concat(lit("bus "), (k % 30).cast(StringType)).as("Bus_Name"))
+        val days = (5 to 7).map(d => java.time.LocalDate.of(2024, 1, d))
+        days.foreach { d =>
+          graft.sources.VersionedTable.overwrite(
+            raw.filter(col("Start_Date") ===
+              d.format(java.time.format.DateTimeFormatter
+                .ofPattern("dd-MM-yyyy"))),
+            graft.silver.Silver.bronzeDayPath(brz, d))
+        }
+        val busIds = Tables(s, dir, "nation").select(
+          concat(lit("bus "), col("n_nationkey").cast(StringType))
+            .as("Bus_Name"),
+          (col("n_nationkey") + 1).cast(IntegerType).as("Bus_Id"))
+        graft.silver.Silver.backfillRange(
+          days.head, days.last,
+          readDay = d => {
+            val p = graft.silver.Silver.bronzeDayPath(brz, d)
+            if (graft.sources.VersionedTable.latestVersion(p).isDefined)
+              Some(graft.sources.VersionedTable.read(s, p))
+            else None
+          },
+          busIds = busIds,
+          readSilver = () =>
+            if (graft.sources.VersionedTable.latestVersion(slv).isDefined)
+              Some(graft.sources.VersionedTable.read(s, slv))
+            else None,
+          appendSilver = df =>
+            if (graft.sources.VersionedTable.latestVersion(slv).isEmpty) {
+              graft.sources.VersionedTable.overwrite(df, slv); ()
+            } else { graft.sources.VersionedTable.append(df, slv); () },
+          extendedCascade = true)
+        graft.sources.VersionedTable.read(s, slv)
+          .groupBy(col("Start_Date").as("start_date"))
+          .agg(count(lit(1)).as("n"),
+            min(col("Bus_Key")).cast(LongType).as("min_key"),
+            max(col("Bus_Key")).cast(LongType).as("max_key"),
+            count(col("Bus_Id")).as("n_matched"),
+            sum(col("Price").cast(LongType)).as("price_sum"),
+            sum(col("Duration").cast(DecimalType(9, 2)))
+              .cast(DoubleType).as("dur_sum"),
+            countDistinct(col("Bus_Type_Category")).as("n_categories"))
+          .orderBy("start_date")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT o_orderkey AS k,
+                 (o_orderkey % 3) + 5 AS day,
+                 ((o_orderkey % 12) + 1) + (o_orderkey % 4) * 15 / 60.0 AS duration,
+                 ((o_orderkey % 90) + 10) * 1000 AS price,
+                 CASE (o_orderkey % 11)
+                   WHEN 0 THEN 'ghế ngồi'
+                   WHEN 1 THEN 'giường nằm'
+                   WHEN 2 THEN 'limousine ghế ngồi'
+                   WHEN 3 THEN 'limousine ghế ngồi'
+                   WHEN 4 THEN 'limousine giường nằm có WC'
+                   WHEN 5 THEN 'limousine giường nằm'
+                   WHEN 6 THEN 'limousine giường nằm'
+                   WHEN 7 THEN 'limousine giường nằm'
+                   WHEN 8 THEN 'limousine giường nằm'
+                   WHEN 9 THEN 'limousine giường phòng'
+                   ELSE 'khác' END AS category,
+                 (o_orderkey % 30) AS busnum
+          FROM orders),
+        d AS (SELECT day, COUNT(*) AS n FROM t GROUP BY day),
+        c AS (SELECT day, n,
+                     CAST(SUM(n) OVER (ORDER BY day) AS BIGINT) AS cum
+              FROM d)
+        SELECT CAST(('2024-01-0' || t.day) AS DATE) AS start_date,
+               COUNT(*) AS n,
+               CAST(MIN(c.cum - c.n + 1) AS BIGINT) AS min_key,
+               MIN(c.cum) AS max_key,
+               COUNT(*) FILTER (t.busnum <= 24) AS n_matched,
+               CAST(SUM(t.price) AS BIGINT) AS price_sum,
+               CAST(SUM(CAST(t.duration AS DECIMAL(9,2))) AS DOUBLE) AS dur_sum,
+               COUNT(DISTINCT t.category) AS n_categories
+        FROM t JOIN c USING (day)
+        GROUP BY t.day
+        ORDER BY start_date"""),
+      bench = false),
+
+    // The extended cascade's category census over the same backfill
+    // derivation — every branch exercised, including the two that
+    // differ from the daily classifier (the bare-giường precedence
+    // quirk and the phòng branch). Pure map + hash agg; the oracle maps
+    // each derivation index to its hand-derived category.
+    "q188_backfill_cascade" -> Q(
+      run = (s, dir) => {
+        val types = typedLit(BackfillTypeBus)
+        val k = col("o_orderkey")
+        Tables(s, dir, "orders")
+          .select(element_at(types, (k % 11 + 1).cast(IntegerType))
+            .as("Type_Bus"))
+          .withColumn("Type_Bus", lower(col("Type_Bus")))
+          .withColumn("bus_type_category",
+            graft.functions.VexereFunctions
+              .busTypeCategoryBackfill(col("Type_Bus")))
+          .groupBy(col("bus_type_category"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("bus_type_category")
+      },
+      oracle = Some("""
+        SELECT CASE (o_orderkey % 11)
+                 WHEN 0 THEN 'ghế ngồi'
+                 WHEN 1 THEN 'giường nằm'
+                 WHEN 2 THEN 'limousine ghế ngồi'
+                 WHEN 3 THEN 'limousine ghế ngồi'
+                 WHEN 4 THEN 'limousine giường nằm có WC'
+                 WHEN 5 THEN 'limousine giường nằm'
+                 WHEN 6 THEN 'limousine giường nằm'
+                 WHEN 7 THEN 'limousine giường nằm'
+                 WHEN 8 THEN 'limousine giường nằm'
+                 WHEN 9 THEN 'limousine giường phòng'
+                 ELSE 'khác' END AS bus_type_category,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY 1 ORDER BY bus_type_category""")),
+
     "q186_distinct_view" -> Q(
       run = (s, dir) => {
         val src = tempRoot("graft_mvd_src").resolve("t").toString

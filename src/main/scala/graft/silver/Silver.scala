@@ -42,9 +42,14 @@ object Silver {
   /** Raw daily ticket batch → silver ticket fact (to_silver.py:92-135):
     * typing, normalization (native Column ports of the 3 Python UDFs),
     * category cascade, surrogate-key continuation, dim join.
+    * `extendedCascade` selects the backfill job's 11-branch classifier
+    * (all_run/to_silver-all.py:173-185) over the daily 9-branch one.
     */
   def ticket(newData: DataFrame, busIds: DataFrame, maxId: Int,
-             keyGen: KeyGen = GlobalRowNumberKeyGen): DataFrame = {
+             keyGen: KeyGen = GlobalRowNumberKeyGen,
+             extendedCascade: Boolean = false): DataFrame = {
+    val cascade: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (extendedCascade) busTypeCategoryBackfill else busTypeCategory
     val typed = newData
       .withColumn("Start_Date", to_date(col("Start_Date"), "dd-MM-yyyy"))
       .withColumn("Departure_Place", standardizeVn(col("Departure_Place")))
@@ -52,9 +57,57 @@ object Silver {
       .withColumn("Duration", round(durationHours(col("Duration")).cast(FloatType), 2))
       .withColumn("Price", priceVnd(col("Price")))
       .withColumn("Type_Bus", lower(col("Type_Bus")))
-      .withColumn("Bus_Type_Category", busTypeCategory(col("Type_Bus")))
+      .withColumn("Bus_Type_Category", cascade(col("Type_Bus")))
     val keyed = keyGen.assign(typed.drop("Bus_Key"), "Bus_Key", maxId)
     addBusId(keyed, busIds, Seq("Bus_Key", "Bus_Id", "Bus_Name"))
+  }
+
+  /** Per-day bronze path under the reference's directory convention
+    * `{root}/{MM-yyyy}/{dd-MM-yyyy}` (to_brz-all.py:35-44 /
+    * to_brz.py:13-14 — date-partitioned by path, not by table
+    * partitioning). */
+  def bronzeDayPath(root: String, date: java.time.LocalDate): String = {
+    val my = date.format(java.time.format.DateTimeFormatter.ofPattern("MM-yyyy"))
+    val dmy = date.format(java.time.format.DateTimeFormatter.ofPattern("dd-MM-yyyy"))
+    s"$root/$my/$dmy"
+  }
+
+  /** Date-range backfill driver (all_run/to_silver-all.py:110-125):
+    * one silver append per day from `start` to `end` inclusive — each
+    * day re-probes the target's max Bus_Key BEFORE transforming, so
+    * surrogate keys continue across days exactly as the daily job's
+    * single-batch continuation; a missing day is skipped and the loop
+    * continues (the reference catches per-day and proceeds). Storage
+    * rides behind closures so the loop composes with any bronze/silver
+    * realization (and unit-tests on in-memory frames):
+    *  - `readDay`: the day's bronze batch, if it exists (the
+    *    [[bronzeDayPath]] convention at the call site);
+    *  - `readSilver`: current silver target (None before first write);
+    *  - `appendSilver`: append one transformed day.
+    * Returns the number of days actually processed.
+    *
+    * Scale: the per-day max-key probe is an O(table) aggregate the
+    * reference re-runs per day — at 100 TB the caller swaps
+    * [[maxKey]]'s full scan for the silver table's column stats
+    * (VersionedTable manifest max) without touching this loop. */
+  def backfillRange(start: java.time.LocalDate, end: java.time.LocalDate,
+                    readDay: java.time.LocalDate => Option[DataFrame],
+                    busIds: DataFrame,
+                    readSilver: () => Option[DataFrame],
+                    appendSilver: DataFrame => Unit,
+                    extendedCascade: Boolean = true,
+                    keyGen: KeyGen = GlobalRowNumberKeyGen): Int = {
+    var days = 0
+    var d = start
+    while (!d.isAfter(end)) {
+      readDay(d).foreach { raw =>
+        val maxId = maxKey(readSilver(), "Bus_Key")
+        appendSilver(ticket(raw, busIds, maxId, keyGen, extendedCascade))
+        days += 1
+      }
+      d = d.plusDays(1)
+    }
+    days
   }
 
   /** Facility bronze → (bus↔facility bridge, facility_name dim)

@@ -109,4 +109,42 @@ class SilverSpec extends SparkSuite {
     val empty = Seq.empty[String].toDF("Bus_Key")
     assert(Silver.maxKey(Some(empty), "Bus_Key") == 0)
   }
+
+  test("backfillRange: per-day key continuation, missing day skipped, extended cascade") {
+    import java.time.LocalDate
+    import spark.implicits._
+    def day(n: Int, rows: (String, String)*) = rows.map { case (bus, tb) =>
+      (bus, s"0$n-06-2025", "R", "x", "y", "1h", tb, "10.000đ")
+    }.toDF("Bus_Name", "Start_Date", "Route", "Departure_Place",
+      "Arrival_Place", "Duration", "Type_Bus", "Price")
+    // day 2 missing entirely — the loop must skip and continue
+    val bronze = Map(
+      LocalDate.of(2025, 6, 1) -> day(1,
+        "Phương Trang" -> "Giường nằm 40 chỗ",
+        "Kumho" -> "Xe giường đôi"), // extended-cascade quirk row
+      LocalDate.of(2025, 6, 3) -> day(3,
+        "Thành Bưởi" -> "Xe phòng VIP"))
+    var silver: Option[org.apache.spark.sql.DataFrame] = None
+    val processed = Silver.backfillRange(
+      LocalDate.of(2025, 6, 1), LocalDate.of(2025, 6, 3),
+      readDay = bronze.get,
+      busIds = busIds,
+      readSilver = () => silver,
+      appendSilver = df => silver = Some(
+        silver.map(_.unionByName(df)).getOrElse(df)),
+      extendedCascade = true)
+    assert(processed == 2)
+    val rows = silver.get
+      .select("Bus_Key", "Start_Date", "Bus_Type_Category")
+      .collect().map(r => (r.getInt(0), r.getDate(1).toString, r.getString(2)))
+      .sortBy(_._1)
+    // keys continue across the gap: day 1 → 1,2; day 3 → 3
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3))
+    assert(rows.map(_._2).toSeq ==
+      Seq("2025-06-01", "2025-06-01", "2025-06-03"))
+    // the extended cascade fires: bare-giường → limousine giường nằm
+    // (daily would say "khác"), phòng → limousine giường phòng
+    assert(rows.map(_._3).toSeq ==
+      Seq("giường nằm", "limousine giường nằm", "limousine giường phòng"))
+  }
 }
