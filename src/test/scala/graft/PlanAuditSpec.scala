@@ -24,6 +24,13 @@ class PlanAuditSpec extends SparkSuite {
     "BroadcastNestedLoopJoin" -> Set(
       // dense-grid cross join against a tiny broadcast side
       "q07_grid_crossjoin",
+      // the vexere-literal gold grids: q7's (operator × 24h) and q8's
+      // (operator × 21 facilities) dense cross joins — same tiny
+      // broadcast-grid shape as q07_grid_crossjoin
+      "cau_7", "cau_8",
+      // distinct-count view gate: the 1-row exact-anchor flag cross
+      // (q62's 1-row-broadcast shape)
+      "q186_distinct_view",
       // brute-force EXACT similarity: deliberate all-pairs scoring with
       // the small side broadcast; the scale path is q42's sign-LSH
       "q40_cosine_topk", "q41_cosine_neardup",
