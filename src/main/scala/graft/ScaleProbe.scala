@@ -349,6 +349,48 @@ object ScaleProbe {
     // across source sizes is the pass. (The view itself is
     // group-cardinality — 3 order statuses — so the state join is
     // constant too.)
+    // two-level fuzzy-join blocking (`runMain graft.ScaleProbe fuzzy`):
+    // ONE hot block (the q72 100× hazard) with a realistic name-length
+    // spread. Measures the candidate-pair counts and wall time of the
+    // single-level block vs the length-banded two-level form — the
+    // banded candidate count should grow ~|block|²/|length buckets|
+    // while single-level grows |block|², with identical outputs.
+    if (args.contains("fuzzy")) {
+      def names(n: Int, salt: String) =
+        spark.range(n).select(col("id"),
+          concat(lit(s"company $salt "),
+            // name length varies with the row: 0-24 extra chars
+            rpad(col("id").cast("string"),
+              ((col("id") % 25) + 1).cast("int"), lit("x")))
+            .as("name"),
+          lit(0).as("blk")) // ONE block: the adversarial hot-block case
+      for (mult <- Seq(1, 4, 8)) {
+        val l = names(500 * mult, "l").localCheckpoint(true)
+        val r = names(500 * mult, "r")
+          .withColumnRenamed("name", "rname").localCheckpoint(true)
+        val (banded, fallback, full) = graft.operators.FuzzyJoin
+          .candidateCounts(l, r, "id", "name", "rname", "blk", band = 4)
+        def time(name: String)(f: => Long): Unit = {
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val rows = f
+          println(f"[probe] mult=$mult%2d rows=${500 * mult}%6d $name%-18s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($rows rows)")
+        }
+        println(f"[probe] mult=$mult%2d candidates: banded=$banded fallback=$fallback " +
+          f"two_level=${banded + fallback} single_level=$full " +
+          f"cut=${full.toDouble / (banded + fallback)}%.1fx")
+        time("two_level") {
+          graft.operators.FuzzyJoin.bestMatch(
+            l, r, "id", "name", "rname", "blk", band = 4).count()
+        }
+        time("single_level") {
+          graft.operators.FuzzyJoin.bestMatchSingleLevel(
+            l, r, "id", "name", "rname", "blk").count()
+        }
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
+      spark.stop(); return
+    }
     if (args.contains("mv")) {
       val orders = graft.core.Tables(spark, "/root/testdata/sf0.1", "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))

@@ -316,22 +316,23 @@ object ExtendedQueries extends QueryModule {
 
     // ----------------------------------------------------------------
     // Fuzzy-match join (entity resolution): nearest customer name per
-    // supplier by Levenshtein distance, BLOCKED on nation — the
-    // blocking-key + edit-distance pattern that makes fuzzy matching
-    // an equi-join problem at scale (cost Σ block², never n²; exactly
-    // the reference's Bus_Name reconciliation problem done right).
+    // supplier by Levenshtein distance through the TWO-LEVEL block
+    // (graft.operators.FuzzyJoin): nation block × string-length band,
+    // exact by the lev ≥ |len diff| bound with a full-block fallback
+    // for the rare rows the band can't certify — Σ block² becomes
+    // Σ (block, length-bucket)², the dial that survives a hot block at
+    // 100× (FuzzyJoinSpec pins equality with the single-level form;
+    // the `fuzzy` ScaleProbe measures the candidate cut). Oracle
+    // unchanged from the single-level formulation.
     "q72_fuzzy_join" -> Q(
       run = (s, dir) => {
-        val w = Window.partitionBy(col("s_suppkey"))
-          .orderBy(col("lev"), col("c_name"))
-        t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
-          .join(t(s, dir, "customer").select(col("c_name"), col("c_nationkey")),
-            col("s_nationkey") === col("c_nationkey"))
-          .withColumn("lev", levenshtein(col("s_name"), col("c_name")))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1)
+        val sup = t(s, dir, "supplier")
           .select(col("s_suppkey"), col("s_name"),
-            col("c_name").as("best_match"), col("lev").cast(LongType).as("lev"))
+            col("s_nationkey").as("nk"))
+        val cust = t(s, dir, "customer")
+          .select(col("c_name"), col("c_nationkey").as("nk"))
+        graft.operators.FuzzyJoin.bestMatch(
+          sup, cust, "s_suppkey", "s_name", "c_name", "nk", band = 4)
           .orderBy("s_suppkey")
       },
       oracle = Some("""
