@@ -86,6 +86,20 @@ object VexereFunctions {
       .otherwise(cleaned.cast(IntegerType))
   }
 
+  /** [[priceVnd]] at DECIMAL(12,0) instead of INT (SURVEY.md §1.3's
+    * "Decimal worth adding for prices at scale"): VND prices overflow
+    * Int32 past ~2.1 billion đ, and SUM/AVG over a 100 TB fact table
+    * overflows exact Double (2^53) long before that — decimal keeps
+    * both the column and its aggregates exact. Same cleaning and
+    * null semantics as [[priceVnd]]; values beyond 12 digits → null
+    * (non-ANSI decimal overflow), like the Int path's overflow→null. */
+  def priceVndDecimal(c: Column): Column = {
+    val cleaned = regexp_replace(c, "[^0-9]", "")
+    when(c.isNull || c === "" || cleaned === "",
+      lit(null).cast(DecimalType(12, 0)))
+      .otherwise(cleaned.cast(DecimalType(12, 0)))
+  }
+
   /** 9-branch LIKE cascade classifying a (lowercased) Type_Bus into
     * Bus_Type_Category (to_silver.py:117-128). */
   def busTypeCategory(typeBusLower: Column): Column = {

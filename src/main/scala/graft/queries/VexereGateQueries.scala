@@ -2,10 +2,11 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.sql.types.{DecimalType, IntegerType, StringType}
 
 import graft.core.Tables
 import graft.gold.GoldQueries
+import graft.operators.PartitionOffsetKeyGen
 import graft.silver.Silver
 
 /** The reference's 8 gold queries (to_gold.py:28-218) as GATE queries
@@ -260,6 +261,58 @@ object VexereGateQueries extends QueryModule {
         LEFT JOIN src s ON s.bus_name = b.bus_name
                        AND s.facility_id = f.facility_id
         LEFT JOIN nd ON nd.facility_id = f.facility_id
-        ORDER BY b.bus_name, f.facility_id"""))
+        ORDER BY b.bus_name, f.facility_id""")),
+
+    // cau_4 at DECIMAL(12,0) price typing (SURVEY §1.3's decimal note):
+    // the RAW price string ("905,123,456,789 đ") runs through the real
+    // silver path with decimalPrice=true, then per-day + rollup-total
+    // sum/avg. Prices are 12-digit VND — the grand-total sum exceeds
+    // 2^53, so a double-summing engine rounds it wrong; both sides
+    // compute through exact wide-integer arithmetic (Spark DECIMAL(38,0),
+    // DuckDB HUGEINT). avg is exact integer division: floor and
+    // half-up round both derived from the exact sum via `div`/`//`
+    // (identical for non-negative operands), never engine-native
+    // decimal/double division whose scale truncation differs.
+    "cau_4_decimal" -> Q(
+      run = (s, dir) => {
+        val k = col("o_orderkey")
+        val raw = Tables(s, dir, "orders").select(
+          concat(lpad(((k % 7) + 1).cast(StringType), 2, "0"),
+            lit("-01-2024")).as("Start_Date"),
+          lit("bx mien dong").as("Departure_Place"),
+          lit("tp đà lạt").as("Arrival_Place"),
+          lit("7h30m").as("Duration"),
+          concat(format_number(
+            lit(900000000000L) + (k % 90) * 1000000000L + k, 0),
+            lit(" đ")).as("Price"),
+          lit("giường nằm 40 chỗ").as("Type_Bus"),
+          busName(k).as("Bus_Name"))
+        Silver.ticket(raw, busIds(s, dir), 0,
+            keyGen = PartitionOffsetKeyGen, decimalPrice = true)
+          .rollup(col("Start_Date"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("Price")).cast(DecimalType(38, 0)).as("sum_p"))
+          .select(
+            coalesce(col("Start_Date").cast(StringType), lit("ALL"))
+              .as("start_date"),
+            col("cnt"),
+            col("sum_p").cast(StringType).as("sum_price"),
+            expr("sum_p div cnt").as("avg_floor"),
+            expr("(2 * sum_p + cnt) div (2 * cnt)").as("avg_half_up"))
+          .orderBy("start_date")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT DATE '2024-01-01' + CAST(o_orderkey % 7 AS INTEGER) AS d,
+                 CAST(900000000000 + (o_orderkey % 90) * 1000000000
+                      + o_orderkey AS HUGEINT) AS p
+          FROM orders)
+        SELECT COALESCE(CAST(d AS VARCHAR), 'ALL') AS start_date,
+               COUNT(*) AS cnt,
+               CAST(SUM(p) AS VARCHAR) AS sum_price,
+               CAST(SUM(p) // COUNT(*) AS BIGINT) AS avg_floor,
+               CAST((2 * SUM(p) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+                 AS avg_half_up
+        FROM t GROUP BY ROLLUP(d) ORDER BY start_date"""))
   )
 }

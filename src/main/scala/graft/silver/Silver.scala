@@ -44,18 +44,23 @@ object Silver {
     * category cascade, surrogate-key continuation, dim join.
     * `extendedCascade` selects the backfill job's 11-branch classifier
     * (all_run/to_silver-all.py:173-185) over the daily 9-branch one.
+    * `decimalPrice` types Price as DECIMAL(12,0) instead of INT
+    * (SURVEY.md §1.3): same parse, exact aggregates past 2^31/2^53.
     */
   def ticket(newData: DataFrame, busIds: DataFrame, maxId: Int,
              keyGen: KeyGen = GlobalRowNumberKeyGen,
-             extendedCascade: Boolean = false): DataFrame = {
+             extendedCascade: Boolean = false,
+             decimalPrice: Boolean = false): DataFrame = {
     val cascade: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       if (extendedCascade) busTypeCategoryBackfill else busTypeCategory
+    val price: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (decimalPrice) priceVndDecimal else priceVnd
     val typed = newData
       .withColumn("Start_Date", to_date(col("Start_Date"), "dd-MM-yyyy"))
       .withColumn("Departure_Place", standardizeVn(col("Departure_Place")))
       .withColumn("Arrival_Place", standardizeVn(col("Arrival_Place")))
       .withColumn("Duration", round(durationHours(col("Duration")).cast(FloatType), 2))
-      .withColumn("Price", priceVnd(col("Price")))
+      .withColumn("Price", price(col("Price")))
       .withColumn("Type_Bus", lower(col("Type_Bus")))
       .withColumn("Bus_Type_Category", cascade(col("Type_Bus")))
     val keyed = keyGen.assign(typed.drop("Bus_Key"), "Bus_Key", maxId)

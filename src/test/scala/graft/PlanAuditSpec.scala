@@ -104,7 +104,10 @@ class PlanAuditSpec extends SparkSuite {
       "q36_topk_limit",
       // distributed prefix sum: the only global window is over the
       // per-partition totals (#partitions rows), by construction
-      "q75_sequence_pack", "q95_token_budget_sample", "q100_token_shards"))
+      "q75_sequence_pack", "q95_token_budget_sample", "q100_token_shards",
+      // PartitionOffsetKeyGen inside the silver path: same prefix-sum-
+      // over-partition-totals shape as q75
+      "cau_4_decimal"))
 
   test("every plan is free of non-allowlisted scale anti-patterns") {
     val violations = scala.collection.mutable.ListBuffer.empty[String]

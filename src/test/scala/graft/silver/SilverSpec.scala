@@ -57,6 +57,27 @@ class SilverSpec extends SparkSuite {
     assert(r3.getString(12) == "limousine giường nằm")
   }
 
+  test("ticket: decimalPrice types Price as DECIMAL(12,0), same values") {
+    import spark.implicits._
+    val raw = Seq(
+      ("Phương Trang", "11-05-2025", "BX Miền Tây", "SG", "5h30m",
+        "Giường nằm 40 chỗ", "150.000đ"),
+      // 12-digit price: Int32 would overflow, DECIMAL(12,0) is exact
+      ("Thành Bưởi", "12-05-2025", "SG", "SG", "10h",
+        "Limousine ghế ngồi", "905.123.456.789 đ"),
+      ("Kumho", "13-05-2025", "SG", "SG", "1h", "Ghế ngồi", ""))
+      .toDF("Bus_Name", "Start_Date", "Departure_Place", "Arrival_Place",
+        "Duration", "Type_Bus", "Price")
+
+    val out = Silver.ticket(raw, busIds, maxId = 0, decimalPrice = true)
+    assert(out.schema("Price").dataType ==
+      org.apache.spark.sql.types.DecimalType(12, 0))
+    val prices = out.orderBy("Bus_Key").collect().map(r =>
+      if (r.isNullAt(r.fieldIndex("Price"))) null
+      else r.getDecimal(r.fieldIndex("Price")).toBigInteger.toString)
+    assert(prices.toSeq == Seq("150000", "905123456789", null))
+  }
+
   test("facility: array-typed input") {
     import spark.implicits._
     val raw = Seq(
