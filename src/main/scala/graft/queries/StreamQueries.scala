@@ -249,6 +249,40 @@ object StreamQueries extends QueryModule {
                          ELSE h END AS BIGINT) AS new_checksum
         FROM resized ORDER BY media_id""")),
 
+    // Multimodal NEAR-dup via banded perceptual-hash blocking — the
+    // image-side sibling of MinHash/SimHash text dedup. 7 bands × 9
+    // bits make the band join COMPLETE for Hamming ≤ 4 (pigeonhole),
+    // so the oracle is the full brute-force pair set, recomputed by
+    // DuckDB from the same stub codec (first-63-bytes grid, integer-
+    // mean threshold; ASCII corpus ⇒ code point == byte, as q73).
+    "q189_phash_neardup" -> Q(
+      run = (s, dir) => {
+        import s.implicits._
+        val media = Tables(s, dir, "documents")
+          .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+            col("text").cast(BinaryType).as("payload"))
+          .as[MultiModal.MediaRow]
+        MultiModal.pHashNearDupPairs(media, maxHamming = 4)
+          .orderBy("a_id", "b_id")
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT doc_id,
+                 [CASE WHEN i <= len(text) THEN unicode(text[i]) ELSE 0 END
+                  FOR i IN range(1, 64)] AS cells
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+                 list_sum([CASE WHEN cells[i+1] > list_sum(cells) // 63
+                           THEN (1::BIGINT << i) ELSE 0 END
+                           FOR i IN range(0, 63)]) AS phash
+          FROM c)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS dist
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 4
+        ORDER BY a_id, b_id""")),
+
     // STREAMING materialized view (runViewMaintenanceAvailableNow):
     // the full incremental story composed end to end — each
     // micro-batch lands as a versioned-table append AND the hourly
