@@ -884,6 +884,46 @@ object LakeQueries extends QueryModule {
                CASE WHEN lang = 'en' THEN 'unknown' ELSE lang END AS lang,
                COUNT(*) AS n, MIN(doc_id) AS min_id
         FROM documents
-        GROUP BY 1, 2 ORDER BY source, lang"""))
+        GROUP BY 1, 2 ORDER BY source, lang""")),
+
+    // METADATA-ONLY aggregates (the Delta/Iceberg "COUNT(*) from the
+    // log" optimization): countRows/statsRange answer from the
+    // manifest listing alone — they don't even take a SparkSession, so
+    // a data scan is impossible by construction. The gate builds a
+    // 3-commit stats-recorded table and emits the manifest-derived row
+    // next to a real-scan row; the oracle says both must equal the
+    // source truth. At 100 TB: O(manifest) vs a full table scan.
+    "q190_metadata_count" -> Q(
+      run = (s, dir) => {
+        import s.implicits._
+        val root = tempRoot("graft_vt_meta").resolve("t").toString
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val m = col("o_orderkey") % 3
+        graft.sources.VersionedTable.overwriteWithStats(
+          orders.filter(m === 0), root, "o_custkey")
+        graft.sources.VersionedTable.appendWithStats(
+          orders.filter(m === 1), root, "o_custkey")
+        graft.sources.VersionedTable.appendWithStats(
+          orders.filter(m === 2), root, "o_custkey")
+        val metaN = graft.sources.VersionedTable.countRows(root).get
+        val (metaLo, metaHi) =
+          graft.sources.VersionedTable.statsRange(root, "o_custkey").get
+        val scan = graft.sources.VersionedTable.read(s, root)
+          .agg(count(lit(1)).as("n"), min(col("o_custkey")).as("lo"),
+            max(col("o_custkey")).as("hi")).head()
+        Seq(("manifest", metaN, metaLo, metaHi),
+          ("scan", scan.getLong(0), scan.getLong(1), scan.getLong(2)))
+          .toDF("src", "n", "lo", "hi").orderBy("src")
+      },
+      oracle = Some("""
+        SELECT src, n, lo, hi FROM (
+          SELECT 'manifest' AS src, COUNT(*) AS n,
+                 MIN(o_custkey) AS lo, MAX(o_custkey) AS hi FROM orders
+          UNION ALL
+          SELECT 'scan', COUNT(*), MIN(o_custkey), MAX(o_custkey)
+          FROM orders)
+        ORDER BY src"""),
+      bench = false)
   )
 }

@@ -195,15 +195,22 @@ object VersionedTable {
       case Array(c, lo, hi) => c -> (lo.toLong, hi.toLong)
     }.toMap
 
+  /** The pseudo-column under which stats-recording commits keep each
+    * file's ROW COUNT (as a degenerate [n, n] stat triple — old
+    * manifests parse unchanged, real columns can't collide with the
+    * dunder name). Powers [[countRows]], the Delta "metadata-only
+    * COUNT(*)" role. */
+  private[sources] val RowsKey = "__rows"
+
   /** Per-staged-file [min, max] of each `statsCols` entry
-    * (long-castable), computed with one small aggregation over just the
-    * staged files; columns whose stats come back null (all-null in that
-    * file) are omitted from that file's line and never skipped on. */
+    * (long-castable) PLUS the file's row count under [[RowsKey]],
+    * computed with one small aggregation over just the staged files;
+    * columns whose stats come back null (all-null in that file) are
+    * omitted from that file's line and never skipped on. */
   private def statLines(spark: SparkSession, staged: Seq[String],
                         statsCols: Seq[String]): Seq[String] = {
-    // zero stats columns (a legal varargs call) = plain path-only lines
-    if (staged.isEmpty || statsCols.isEmpty) return staged
-    val aggs = statsCols.flatMap(c => Seq(
+    if (staged.isEmpty) return staged
+    val aggs = count(lit(1)).as("__n") +: statsCols.flatMap(c => Seq(
       min(col(c).cast("long")).as(s"__lo_$c"),
       max(col(c).cast("long")).as(s"__hi_$c")))
     val byName = spark.read.parquet(staged: _*)
@@ -212,13 +219,16 @@ object VersionedTable {
       .collect().map { r =>
         // _metadata.file_path is a URI; staged paths are plain — key on
         // the (nonce-unique) file name
-        val suffix = statsCols.zipWithIndex.collect {
-          case (c, i) if !r.isNullAt(1 + 2 * i) =>
-            s"\t$c\t${r.getLong(1 + 2 * i)}\t${r.getLong(2 + 2 * i)}"
+        val n = r.getLong(1)
+        val suffix = s"\t$RowsKey\t$n\t$n" + statsCols.zipWithIndex.collect {
+          case (c, i) if !r.isNullAt(2 + 2 * i) =>
+            s"\t$c\t${r.getLong(2 + 2 * i)}\t${r.getLong(3 + 2 * i)}"
         }.mkString
         r.getString(0).split('/').last -> suffix
       }.toMap
-    staged.map(p => p + byName.getOrElse(p.split('/').last, ""))
+    // a staged file absent from the aggregate wrote zero rows
+    staged.map(p =>
+      p + byName.getOrElse(p.split('/').last, s"\t$RowsKey\t0\t0"))
   }
 
   /** Write `df`'s rows as new data files under `data/`, returning their
@@ -425,6 +435,47 @@ object VersionedTable {
     }
   }
 
+  /** METADATA-ONLY row count (the Delta/Iceberg `SELECT COUNT(*)`
+    * optimization): `Some(total)` when every file of the version
+    * records [[RowsKey]] — answered from the listing alone, zero data
+    * or footer reads. At 100 TB that is O(manifest) against a full
+    * scan. `None` when any file predates count recording or was staged
+    * by a non-stats writer (conservative: the caller falls back to
+    * `read(...).count()`). Counts stay valid across append/compact/
+    * z-order/clone because inherited lines keep their stats; rewriting
+    * commits (MERGE/DELETE) re-stat their replacement files, so the
+    * invariant "line stats describe the file" holds by construction. */
+  def countRows(root: String, version: Option[Long] = None): Option[Long] = {
+    version.orElse(latestVersion(root)) match {
+      case None => None // no versions yet: nothing to count
+      case Some(v) =>
+        val counts = readListing(root, v)
+          .map(ln => statsOf(ln).get(RowsKey).map(_._1))
+        if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+    }
+  }
+
+  /** METADATA-ONLY `(min, max)` of `statsCol`: folded from the per-file
+    * [min, max] already in the listing — `Some` only when EVERY file
+    * records stats for the column (a stats-less or all-null file could
+    * hide the true extremum, so any gap → `None`, conservative). Same
+    * O(manifest) vs O(scan) story as [[countRows]]. NULL semantics
+    * match SQL MIN/MAX only when no file is entirely null-valued in
+    * `statsCol` (such files record no stat triple and force `None`
+    * rather than a wrong answer). */
+  def statsRange(root: String, statsCol: String,
+                 version: Option[Long] = None): Option[(Long, Long)] = {
+    version.orElse(latestVersion(root)) match {
+      case None => None
+      case Some(v) =>
+        val ranges = readListing(root, v).map(ln => statsOf(ln).get(statsCol))
+        if (ranges.nonEmpty && ranges.forall(_.isDefined)) {
+          val rs = ranges.flatten
+          Some((rs.map(_._1).min, rs.map(_._2).max))
+        } else None
+    }
+  }
+
   /** Append → new version inheriting the previous file list plus the
     * new files; existing data is not rewritten. The previous file list
     * is re-read inside the retry loop: losing a commit race means the
@@ -528,7 +579,11 @@ object VersionedTable {
           .unionByName(src, allowMissingColumns = true)
           .select(outCols.map(col): _*)
       val v = base + 1
-      val staged = stageDataFiles(rewritten, root, v)
+      // __rows-only stats: keeps countRows() metadata-answerable across
+      // merges (column stats of the rewritten files are dropped —
+      // statsRange goes conservative None on those, never wrong)
+      val staged = statLines(spark,
+        stageDataFiles(rewritten, root, v), Seq.empty)
       beforeCommit()
       // delta commit: `-` the rewritten files, `+` the staged rewrite —
       // O(touched + batch) bytes, not O(total files)
@@ -539,7 +594,8 @@ object VersionedTable {
         return committed
       } catch {
         case e: java.nio.file.FileAlreadyExistsException =>
-          staged.foreach(p => Files.deleteIfExists(new File(p).toPath))
+          staged.foreach(p =>
+            Files.deleteIfExists(new File(pathOf(p)).toPath))
           attempt += 1
           if (attempt > maxRetries) throw e
       }
@@ -590,7 +646,9 @@ object VersionedTable {
         // keep when NOT(true): null-predicate rows survive, per SQL
         .filter(!coalesce(predicate, lit(false)))
       val v = base + 1
-      val staged = stageDataFiles(survivors, root, v)
+      // __rows-only stats, as in merge: deletes stay metadata-countable
+      val staged = statLines(spark,
+        stageDataFiles(survivors, root, v), Seq.empty)
       beforeCommit()
       try {
         val committed = commitManifest(root, v, deltaContent(touched0, staged))
@@ -598,7 +656,8 @@ object VersionedTable {
         return committed
       } catch {
         case e: java.nio.file.FileAlreadyExistsException =>
-          staged.foreach(p => Files.deleteIfExists(new File(p).toPath))
+          staged.foreach(p =>
+            Files.deleteIfExists(new File(pathOf(p)).toPath))
           attempt += 1
           if (attempt > maxRetries) throw e
       }

@@ -224,6 +224,54 @@ class VersionedTableSpec extends SparkSuite {
     assert(VersionedTable.readWhere(spark, root, "k", 1000, 2000).count() == 0)
   }
 
+  test("countRows/statsRange: metadata-only answers; conservative None on gaps") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val df = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .repartitionByRange(4, col("k"))
+    VersionedTable.overwriteWithStats(df, root, "k")
+    assert(VersionedTable.countRows(root) == Some(100L))
+    assert(VersionedTable.statsRange(root, "k") == Some((0L, 99L)))
+    // no stats recorded for v → conservative None, never a guess
+    assert(VersionedTable.statsRange(root, "v").isEmpty)
+    // stats-recorded append: counts and ranges fold across versions
+    VersionedTable.appendWithStats(
+      spark.range(100, 150).select(col("id").as("k"), lit(0L).as("v")),
+      root, "k")
+    assert(VersionedTable.countRows(root) == Some(150L))
+    assert(VersionedTable.statsRange(root, "k") == Some((0L, 149L)))
+    // time travel: the old version still answers its own count
+    assert(VersionedTable.countRows(root, Some(0L)) == Some(100L))
+    // a PLAIN append (no stats writer) poisons only the total, and only
+    // until those files are rewritten
+    VersionedTable.append(Seq((999L, 0L)).toDF("k", "v"), root)
+    assert(VersionedTable.countRows(root).isEmpty)
+    assert(VersionedTable.countRows(root, Some(1L)) == Some(150L))
+    assert(VersionedTable.statsRange(root, "k").isEmpty)
+    // empty root: no versions → None
+    assert(VersionedTable.countRows(tmpRoot()).isEmpty)
+  }
+
+  test("countRows survives DELETE and MERGE (rewrites re-stat __rows)") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val df = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .repartitionByRange(4, col("k"))
+    VersionedTable.overwriteWithStats(df, root, "k")
+    // delete 10 rows: survivors' files are re-statted with __rows only
+    VersionedTable.delete(spark, root, col("k") < 10)
+    assert(VersionedTable.countRows(root) == Some(90L))
+    // the rewritten file lost its column stats → range goes conservative
+    assert(VersionedTable.statsRange(root, "k").isEmpty)
+    // merge: 5 updates + 5 inserts → 95 rows, still metadata-countable
+    VersionedTable.merge(spark, root,
+      spark.range(90, 100).select((col("id") - 80).as("k"), lit(-1L).as("v"))
+        .union(spark.range(200, 205).select(col("id").as("k"), lit(-2L).as("v"))),
+      Seq("k"))
+    assert(VersionedTable.countRows(root) == Some(95L))
+    assert(VersionedTable.read(spark, root).count() == 95L)
+  }
+
   test("manifest stats: stats-less lines never skip; merge carries stats on untouched files") {
     import spark.implicits._
     val root = tmpRoot()
