@@ -924,6 +924,36 @@ object LakeQueries extends QueryModule {
           SELECT 'scan', COUNT(*), MIN(o_custkey), MAX(o_custkey)
           FROM orders)
         ORDER BY src"""),
-      bench = false)
+      bench = false),
+
+    // BLOOM-INDEX point lookup (the Delta bloom index role): a corpus
+    // keyed by string URL, hash-partitioned so key ranges interleave
+    // across every file — min/max stats can never skip, only the
+    // per-file bloom can. The pruned_ok flag (files opened < files
+    // total) is deterministic: xxhash64, the bloom bits, and the hash
+    // partitioning are all fixed functions of the input.
+    "q191_bloom_skip" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_bloom").resolve("t").toString
+        val docs = Tables(s, dir, "documents")
+          .select(concat(lit("doc://"), col("doc_id").cast(StringType))
+            .as("url"), col("doc_id"), col("n_chars"))
+          .repartition(8, col("doc_id"))
+        graft.sources.VersionedTable.appendWithBloomIndex(
+          docs, root, "url", expectedPerFile = 2000, fpp = 0.01)
+        val out = graft.sources.VersionedTable.readWhereEq(s, root, "url",
+          Seq("doc://7", "doc://123", "doc://400", "doc://no-such"))
+        val opened = out.inputFiles.length
+        val total = graft.sources.VersionedTable.read(s, root)
+          .inputFiles.length
+        out.select(col("url"), col("doc_id"), col("n_chars"))
+          .withColumn("pruned_ok", lit(if (opened < total) 1L else 0L))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT 'doc://' || doc_id AS url, doc_id, n_chars,
+               CAST(1 AS BIGINT) AS pruned_ok
+        FROM documents WHERE doc_id IN (7, 123, 400)
+        ORDER BY doc_id"""))
   )
 }

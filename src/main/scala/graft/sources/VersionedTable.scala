@@ -190,9 +190,29 @@ object VersionedTable {
     * manifests parse unchanged. */
   private def pathOf(line: String): String = line.takeWhile(_ != '\t')
 
+  /** Non-numeric triples (e.g. [[BloomPrefix]] payloads) are skipped:
+    * min/max stats and other manifest extensions share the same
+    * `\tname\ta\tb` grammar without corrupting each other's parse. */
   private def statsOf(line: String): Map[String, (Long, Long)] =
     line.split('\t').drop(1).grouped(3).collect {
-      case Array(c, lo, hi) => c -> (lo.toLong, hi.toLong)
+      case Array(c, lo, hi) if !c.startsWith(BloomPrefix) &&
+          scala.util.Try(lo.toLong).isSuccess &&
+          scala.util.Try(hi.toLong).isSuccess =>
+        c -> (lo.toLong, hi.toLong)
+    }.toMap
+
+  /** Manifest grammar for per-file BLOOM FILTERS (the Delta bloom
+    * index role, point lookups on columns min/max stats can't serve):
+    * `\t__bloom_<col>\t<numBits>\t<base64(sketch)>` — one more triple
+    * on the file's line, old readers skip it via the numeric guard in
+    * [[statsOf]]. */
+  private[sources] val BloomPrefix = "__bloom_"
+
+  private def bloomsOf(line: String): Map[String, Array[Byte]] =
+    line.split('\t').drop(1).grouped(3).collect {
+      case Array(c, _, payload) if c.startsWith(BloomPrefix) =>
+        c.stripPrefix(BloomPrefix) ->
+          java.util.Base64.getDecoder.decode(payload)
     }.toMap
 
   /** The pseudo-column under which stats-recording commits keep each
@@ -306,6 +326,110 @@ object VersionedTable {
     }
     maybeCheckpoint(root, v)
     v
+  }
+
+  /** Per-staged-file BLOOM of `bloomCol`, appended to the stat lines as
+    * [[BloomPrefix]] triples. One aggregation over just the staged
+    * files; the hash domain is `xxhash64(bloomCol)` — [[readWhereEq]]
+    * probes with the identical expression, so write and read agree by
+    * construction. Sized for `expectedPerFile` items at `fpp` (bits =
+    * -n·ln p / ln²2, the standard optimum); the whole sketch lands
+    * inline on the manifest line (compact at these settings — a
+    * production table with万-file listings would side-file them, as
+    * Delta does, without changing the read contract). */
+  private def bloomLines(spark: SparkSession, lines: Seq[String],
+                         bloomCol: String, expectedPerFile: Long,
+                         fpp: Double): Seq[String] = {
+    if (lines.isEmpty) return lines
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    val numBits = math.max(64L, math.ceil(
+      -expectedPerFile * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val agg = ColumnBridge.column(new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(col(bloomCol))),
+      Literal(expectedPerFile), Literal(numBits)).toAggregateExpression())
+    val byName = spark.read.parquet(lines.map(pathOf): _*)
+      .groupBy(col("_metadata.file_path").as("__p"))
+      .agg(agg.as("__bf"))
+      .collect().collect {
+        case r if !r.isNullAt(1) =>
+          r.getString(0).split('/').last ->
+            java.util.Base64.getEncoder.encodeToString(r.getAs[Array[Byte]](1))
+      }.toMap
+    lines.map { ln =>
+      byName.get(pathOf(ln).split('/').last) match {
+        case Some(b64) => s"$ln\t$BloomPrefix$bloomCol\t$numBits\t$b64"
+        case None => ln // empty file: no bloom, conservative keep on read
+      }
+    }
+  }
+
+  /** As [[appendWithStats]], additionally recording a per-file BLOOM
+    * FILTER of `bloomCol` in the manifest — point-lookup file skipping
+    * for columns min/max ranges can't serve (string keys, UUIDs, URLs:
+    * high-cardinality identity columns whose values interleave across
+    * files). [[readWhereEq]] consults it. */
+  def appendWithBloomIndex(df: DataFrame, root: String, bloomCol: String,
+                           expectedPerFile: Long = 200000,
+                           fpp: Double = 0.01,
+                           statsCols: Seq[String] = Seq.empty): Long = {
+    val spark = df.sparkSession
+    val staged = stageDataFiles(df, root, nextVersion(root))
+    val lines = bloomLines(spark, statLines(spark, staged, statsCols),
+      bloomCol, expectedPerFile, fpp)
+    val v = commitWithRetry(root, maxRetries = 5) { v =>
+      if (v == 0) lines else deltaContent(Seq.empty, lines)
+    }
+    maybeCheckpoint(root, v)
+    v
+  }
+
+  /** EQUALITY read with bloom-index file skipping: a file is opened
+    * only if (a) its recorded numeric [min, max] for `eqCol` admits at
+    * least one probe value AND (b) its bloom for `eqCol` reports
+    * possibly-present for at least one probe — either stat missing on
+    * a line degrades that test to "keep" (conservative; false
+    * positives only cost an open, false negatives are impossible).
+    * Result = `read(...).filter(eqCol IN values)` exactly. Probe
+    * values must carry the COLUMN's type (xxhash64 is type-sensitive:
+    * an Int probe against a Long column would hash differently).
+    *
+    * The 100 TB shape: "was this URL / doc id ever ingested?" against
+    * an identity-keyed corpus answers from the listing + a handful of
+    * file opens instead of a full scan — the Delta bloom-index /
+    * Iceberg point-lookup role. */
+  def readWhereEq(spark: SparkSession, root: String, eqCol: String,
+                  values: Seq[Any]): DataFrame = {
+    require(values.nonEmpty, "readWhereEq needs at least one value")
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val v = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
+    val lines = readListing(root, v)
+    // same hash as bloomLines' xxhash64 column (seed 42), driver-side
+    val hashes = values.map(x =>
+      new XxHash64(Seq(Literal(x))).eval(null).asInstanceOf[Long])
+    val longs = values.collect { case n: Long => n
+                                 case n: Int => n.toLong }
+    val kept = lines.filter { ln =>
+      val rangeOk = statsOf(ln).get(eqCol) match {
+        case Some((flo, fhi)) if longs.length == values.length =>
+          longs.exists(x => x >= flo && x <= fhi)
+        case _ => true
+      }
+      val bloomOk = bloomsOf(ln).get(eqCol) match {
+        case Some(bytes) =>
+          val bf = org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(bytes))
+          hashes.exists(bf.mightContainLong)
+        case None => true
+      }
+      rangeOk && bloomOk
+    }
+    // all files skipped → conservative full listing for the schema
+    // (footer reads only; the IN filter still returns zero rows)
+    val paths = (if (kept.nonEmpty) kept else lines).map(pathOf)
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      .filter(col(eqCol).isin(values: _*))
   }
 
   /** Z-ORDER clustered overwrite: both columns are quantile-bucketed

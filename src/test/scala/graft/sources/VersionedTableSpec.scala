@@ -252,6 +252,38 @@ class VersionedTableSpec extends SparkSuite {
     assert(VersionedTable.countRows(tmpRoot()).isEmpty)
   }
 
+  test("bloom index: equality read opens only possibly-containing files") {
+    import spark.implicits._
+    val root = tmpRoot()
+    // 400 string keys hashed across 8 files — every file's numeric key
+    // range interleaves, so min/max stats could never skip; the bloom is
+    // the only thing standing between a probe and 8 file opens
+    val df = spark.range(400)
+      .select(concat(lit("k"), col("id")).as("url"), col("id").as("v"))
+      .repartition(8, col("id"))
+    VersionedTable.appendWithBloomIndex(df, root, "url",
+      expectedPerFile = 100, fpp = 0.01)
+    val all = VersionedTable.read(spark, root)
+    assert(all.inputFiles.length == 8)
+    val hit = VersionedTable.readWhereEq(spark, root, "url", Seq("k7", "k123"))
+    // ≤ 2 true files + at most one 1%-fpp false positive
+    assert(hit.inputFiles.length <= 3, s"opened ${hit.inputFiles.length}/8")
+    assert(hit.collect().map(_.getString(0)).toSet == Set("k7", "k123"))
+    // a missing key returns zero rows regardless of what gets opened
+    assert(VersionedTable.readWhereEq(spark, root, "url",
+      Seq("no-such-key")).count() == 0)
+    // bloom lines coexist with __rows (the numeric-guard parse)
+    assert(VersionedTable.countRows(root) == Some(400L))
+    // a plain append without a bloom degrades that batch to
+    // conservative keep — results stay exact
+    VersionedTable.append(
+      spark.range(400, 410)
+        .select(concat(lit("k"), col("id")).as("url"), col("id").as("v")),
+      root)
+    val after = VersionedTable.readWhereEq(spark, root, "url", Seq("k405"))
+    assert(after.collect().map(_.getString(0)).toSet == Set("k405"))
+  }
+
   test("countRows survives DELETE and MERGE (rewrites re-stat __rows)") {
     import spark.implicits._
     val root = tmpRoot()
