@@ -283,6 +283,50 @@ object StreamQueries extends QueryModule {
         WHERE bit_count(xor(a.phash, b.phash)) <= 4
         ORDER BY a_id, b_id""")),
 
+    // STREAMING drift monitor: the q178 exact-KS tripwire wired into
+    // ingestion — each micro-batch scores against a fixed reference
+    // sample (click values) and appends one stat row to a versioned
+    // monitor table, exactly-once. The gate dir is a single file →
+    // one deterministic batch; the oracle recomputes the same exact
+    // integer KS in DuckDB (FLOOR before BIGINT: Spark's double→long
+    // cast truncates, values are non-negative).
+    "q192_stream_drift" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_drift_mon").resolve("m").toString
+        val ref = Tables(s, dir, "events")
+          .filter(col("event_type") === "click")
+          .select(col("value").cast("long").as("x"))
+        StreamingJobs.runDriftMonitorAvailableNow(s, dir, ref, root)
+      },
+      oracle = Some("""
+        WITH both_sides AS (
+          SELECT CAST(FLOOR(value) AS BIGINT) AS x, 1 AS a
+          FROM events WHERE event_type = 'click'
+          UNION ALL
+          SELECT CAST(FLOOR(value) AS BIGINT) AS x, 0 AS a FROM events),
+        hist AS (
+          SELECT x, SUM(a) AS na_x, SUM(1 - a) AS nb_x
+          FROM both_sides GROUP BY 1),
+        cdf AS (
+          SELECT x,
+                 SUM(na_x) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS ca,
+                 SUM(nb_x) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cb,
+                 SUM(na_x) OVER () AS n_a,
+                 SUM(nb_x) OVER () AS n_b
+          FROM hist),
+        scored AS (
+          SELECT *, ABS(n_b*ca - n_a*cb) AS num,
+                 MAX(ABS(n_b*ca - n_a*cb)) OVER () AS d_num
+          FROM cdf)
+        SELECT CAST(0 AS BIGINT) AS batch_id,
+               CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CAST(d_num AS BIGINT) AS d_num,
+               CAST((d_num * 1000000) // (n_a * n_b) AS BIGINT) AS d_ppm,
+               CAST(MIN(x) AS BIGINT) AS at_value
+        FROM scored WHERE num = d_num
+        GROUP BY n_a, n_b, d_num"""),
+      bench = false),
+
     // STREAMING materialized view (runViewMaintenanceAvailableNow):
     // the full incremental story composed end to end — each
     // micro-batch lands as a versioned-table append AND the hourly

@@ -216,6 +216,73 @@ object StreamingJobs {
     VersionedTable.read(spark, viewRoot)
   }
 
+  /** STREAMING drift monitor: every ingested micro-batch's `value`
+    * distribution is KS-compared (exact, [[graft.operators.Drift]])
+    * against a FIXED reference sample, and one
+    * (batch_id, n_a, n_b, d_num, d_ppm, at_value) row appends to a
+    * versioned monitor table — the corpus-quality tripwire wired into
+    * ingestion itself: a drifting crawl alarms on the batch that
+    * drifted, not at the next offline audit. Exactly-once via the same
+    * batchId sidecar as [[runViewMaintenanceAvailableNow]] (a replayed
+    * batch neither re-appends nor re-scores).
+    *
+    * `reference` must be a single LONG column `x` (the accepted
+    * corpus' signal sample — lengths, scores, bucketed values). It is
+    * re-evaluated per batch; pin it (small: collect to a local frame,
+    * large: a parquet snapshot) if the underlying source moves.
+    *
+    * Scale: the KS stat is one histogram agg over reference ∪ batch
+    * then dim-sized CDF windows (Drift's shape); the monitor table
+    * grows one row per batch. */
+  def runDriftMonitorAvailableNow(spark: SparkSession, dir: String,
+                                  reference: DataFrame,
+                                  monitorRoot: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val batchFile = new java.io.File(monitorRoot, "_last_batch")
+    def lastCommitted: Long =
+      if (!batchFile.exists()) -1L
+      else new String(java.nio.file.Files.readAllBytes(batchFile.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    def commitBatchId(id: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempFile(
+        new java.io.File(monitorRoot).toPath, "_lb", ".tmp")
+      java.nio.file.Files.write(tmp,
+        id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, batchFile.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    new java.io.File(monitorRoot).mkdirs()
+    val ref = reference.select(col("x").cast("long").as("v"),
+      lit(1).as("side"))
+    val q = readEvents(spark, dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        if (batchId > lastCommitted) {
+          val stat = graft.operators.Drift.ksStat(
+            ref.unionByName(batch
+              .select(col("value").cast("long").as("v"), lit(0).as("side"))),
+            valueCol = col("v"), isA = col("side") === 1)
+            .withColumn("batch_id", lit(batchId))
+            .select(col("batch_id"), col("n_a"), col("n_b"),
+              col("d_num"), col("d_ppm"), col("at_value"))
+          if (VersionedTable.latestVersion(monitorRoot).isEmpty)
+            VersionedTable.overwrite(stat, monitorRoot)
+          else VersionedTable.append(stat, monitorRoot)
+          commitBatchId(batchId)
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        new java.io.File(monitorRoot, "_monitor_ckpt").getPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    VersionedTable.read(spark, monitorRoot).orderBy("batch_id")
+  }
+
   /** Stream-static enrichment join: streaming events against a static
     * dimension table, aggregated per dim attribute. */
   def runStaticJoinAvailableNow(spark: SparkSession, dir: String,
