@@ -100,7 +100,11 @@ object Bench {
     def c2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qc = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + c2(v)
+      // qNN_suffix shortens to qNN; other families (cau_*) keep the
+      // full name — truncating at '_' collapsed all of them onto one
+      // JSON key and silently dropped all but the last
+      val short = if (k.startsWith("q")) k.takeWhile(_ != '_') else k
+      "\"" + short + "\":" + c2(v)
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${c2(total)},"unit":"sec","n":${results.size},"queries":$qc,"sf":"$sfDir"}""")
     Console.out.flush()

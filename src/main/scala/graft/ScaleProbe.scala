@@ -391,6 +391,34 @@ object ScaleProbe {
       }
       spark.stop(); return
     }
+    // Bloom point-lookup door (`runMain graft.ScaleProbe bloom`): does
+    // a keyed probe's cost track the CORPUS or the ANSWER? Bloom-
+    // indexed tables at 1x/4x/10x (file count grows with the corpus),
+    // identical 3-key probe against each: files OPENED must stay at
+    // ~(true files + fpp·total) while files TOTAL grows 10x — the
+    // listing-time pruning story for "was this URL ever ingested?".
+    if (args.contains("bloom")) {
+      for (mult <- Seq(1, 4, 10)) {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_probe_bloom").resolve("t").toString
+        val docs = corpus(mult).select(
+          concat(lit("doc://"), col("doc_id").cast("string")).as("url"),
+          col("doc_id"))
+          .repartition(8 * mult, col("doc_id"))
+        graft.sources.VersionedTable.appendWithBloomIndex(docs, root, "url",
+          expectedPerFile = 25000, fpp = 0.01)
+        val keys = Seq("doc://7", "doc://123", "doc://400")
+        val t0 = System.nanoTime()
+        val out = graft.sources.VersionedTable.readWhereEq(spark, root, "url", keys)
+        val n = out.count()
+        val opened = out.inputFiles.length
+        val total = graft.sources.VersionedTable.read(spark, root)
+          .inputFiles.length
+        println(f"[probe] mult=$mult%2d files_total=$total%4d " +
+          f"files_opened=$opened%3d rows=$n%2d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
+      spark.stop(); return
+    }
     if (args.contains("mv")) {
       val orders = graft.core.Tables(spark, "/root/testdata/sf0.1", "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))

@@ -76,6 +76,27 @@ object FuzzyJoin {
         col("lev").cast(LongType).as("lev"))
   }
 
+  /** The blocking dial, automated: one dim-sized count agg probes the
+    * hot-block size and the two-level band engages only past
+    * `bandThreshold` rows in the largest block — below it the banded
+    * pass's extra shuffle + anti-join costs more than it saves (the
+    * `fuzzy` ScaleProbe puts the wall-clock crossover around 4k rows
+    * per block; at sf0.1's ~400-row nation blocks single-level wins
+    * 2×). Output is row-identical on either side of the switch, so the
+    * dial changes COST only, never answers. */
+  def bestMatchAdaptive(left: DataFrame, right: DataFrame,
+                        leftId: String, leftName: String, rightName: String,
+                        blockCol: String, band: Int = 4,
+                        bandThreshold: Long = 4000): DataFrame = {
+    val row = right.groupBy(col(blockCol)).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).head()
+    val maxBlock = if (row.isNullAt(0)) 0L else row.getLong(0)
+    if (maxBlock >= bandThreshold)
+      bestMatch(left, right, leftId, leftName, rightName, blockCol, band)
+    else
+      bestMatchSingleLevel(left, right, leftId, leftName, rightName, blockCol)
+  }
+
   /** The single-level (block-only) formulation — the oracle twin
     * [[bestMatch]] must equal row-for-row. */
   def bestMatchSingleLevel(left: DataFrame, right: DataFrame,

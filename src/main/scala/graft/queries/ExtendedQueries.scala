@@ -316,14 +316,16 @@ object ExtendedQueries extends QueryModule {
 
     // ----------------------------------------------------------------
     // Fuzzy-match join (entity resolution): nearest customer name per
-    // supplier by Levenshtein distance through the TWO-LEVEL block
-    // (graft.operators.FuzzyJoin): nation block × string-length band,
-    // exact by the lev ≥ |len diff| bound with a full-block fallback
-    // for the rare rows the band can't certify — Σ block² becomes
-    // Σ (block, length-bucket)², the dial that survives a hot block at
-    // 100× (FuzzyJoinSpec pins equality with the single-level form;
-    // the `fuzzy` ScaleProbe measures the candidate cut). Oracle
-    // unchanged from the single-level formulation.
+    // supplier by Levenshtein distance through the ADAPTIVE block
+    // (graft.operators.FuzzyJoin): a dim-sized probe of the hot block
+    // picks single-level (small blocks — the sf regime, where the
+    // banded pass's extra shuffle costs more than it saves) or the
+    // TWO-LEVEL nation × string-length band (exact by the
+    // lev ≥ |len diff| bound with a full-block fallback), Σ block² →
+    // Σ (block, length-bucket)² — the dial that survives a hot block
+    // at 100× (FuzzyJoinSpec pins row-identity across the switch; the
+    // `fuzzy` ScaleProbe measures the candidate cut and the ~4k-row
+    // crossover). Oracle unchanged from the single-level formulation.
     "q72_fuzzy_join" -> Q(
       run = (s, dir) => {
         val sup = t(s, dir, "supplier")
@@ -331,7 +333,7 @@ object ExtendedQueries extends QueryModule {
             col("s_nationkey").as("nk"))
         val cust = t(s, dir, "customer")
           .select(col("c_name"), col("c_nationkey").as("nk"))
-        graft.operators.FuzzyJoin.bestMatch(
+        graft.operators.FuzzyJoin.bestMatchAdaptive(
           sup, cust, "s_suppkey", "s_name", "c_name", "nk", band = 4)
           .orderBy("s_suppkey")
       },

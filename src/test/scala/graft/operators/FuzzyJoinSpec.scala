@@ -52,6 +52,22 @@ class FuzzyJoinSpec extends SparkSuite {
     assert(fallback == 4)
   }
 
+  test("bestMatchAdaptive: identical rows on both sides of the switch") {
+    val one = FuzzyJoin.bestMatchSingleLevel(left, right,
+      "id", "name", "rname", "blk").orderBy("id").collect().toSeq
+    // hot block (4 rows) below / above the threshold → both modes taken
+    val small = FuzzyJoin.bestMatchAdaptive(left, right,
+      "id", "name", "rname", "blk", band = 4, bandThreshold = 100)
+      .orderBy("id").collect().toSeq
+    val banded = FuzzyJoin.bestMatchAdaptive(left, right,
+      "id", "name", "rname", "blk", band = 4, bandThreshold = 1)
+      .orderBy("id").collect().toSeq
+    assert(small == one && banded == one)
+    // empty right side: no blocks → single-level, empty result
+    assert(FuzzyJoin.bestMatchAdaptive(left, right.limit(0),
+      "id", "name", "rname", "blk").isEmpty)
+  }
+
   test("equality holds across bands on the TPC-H shape (uniform lengths)") {
     // supplier/customer names share a uniform length pattern — the band
     // keeps everything (no pruning, but no loss either); equality must

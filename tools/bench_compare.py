@@ -39,7 +39,8 @@ def load_baseline(path: str = "BASELINE.md") -> dict:
     if i < 0:
         sys.exit("no consolidated baseline table in BASELINE.md")
     base = {}
-    for q, sec in re.findall(r"\|\s*(q\d+)\s*\|\s*([0-9.]+)\s*", txt[i:]):
+    for q, sec in re.findall(r"\|\s*((?:q\d+|cau_\w+))\s*\|\s*([0-9.]+)\s*",
+                             txt[i:]):
         base[q] = float(sec)
     return base
 
@@ -50,8 +51,12 @@ def main() -> int:
     base = load_baseline()
     qs = bench["queries"]
     flagged, new = [], []
-    for q in sorted(qs, key=lambda k: int(re.match(r"q(\d+)", k).group(1))):
-        short = re.match(r"q\d+", q).group(0)
+    def sort_key(k):
+        m = re.match(r"q(\d+)", k)
+        return (0, int(m.group(1)), k) if m else (1, 0, k)
+    for q in sorted(qs, key=sort_key):
+        m = re.match(r"q\d+", q)
+        short = m.group(0) if m else q
         if short not in base:
             new.append((q, qs[q]))
             continue
