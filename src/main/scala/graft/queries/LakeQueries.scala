@@ -954,6 +954,63 @@ object LakeQueries extends QueryModule {
         SELECT 'doc://' || doc_id AS url, doc_id, n_chars,
                CAST(1 AS BIGINT) AS pruned_ok
         FROM documents WHERE doc_id IN (7, 123, 400)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // DESCRIBE HISTORY, metadata-only: per-version row counts folded
+    // from the manifests (zero data reads — countRows per version).
+    // Three stats-recorded commits over key-disjoint orders slices;
+    // the oracle recomputes each version's cumulative count.
+    "q193_table_history" -> Q(
+      run = (s, dir) => {
+        import s.implicits._
+        val root = tempRoot("graft_vt_hist").resolve("t").toString
+        val orders = Tables(s, dir, "orders").select(col("o_orderkey"))
+        val m = col("o_orderkey") % 3
+        graft.sources.VersionedTable.overwriteWithStats(
+          orders.filter(m === 0), root)
+        graft.sources.VersionedTable.appendWithStats(
+          orders.filter(m === 1), root)
+        graft.sources.VersionedTable.appendWithStats(
+          orders.filter(m === 2), root)
+        graft.sources.VersionedTable.history(root)
+          .map { case (v, files, rows) =>
+            (v, if (files > 0) 1L else 0L, rows.getOrElse(-1L))
+          }
+          .toDF("version", "has_files", "n_rows")
+          .orderBy("version")
+      },
+      oracle = Some("""
+        SELECT CAST(v AS BIGINT) AS version, CAST(1 AS BIGINT) AS has_files,
+               (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 <= v)
+                 AS n_rows
+        FROM (SELECT UNNEST(range(3)) AS v) ORDER BY version"""),
+      bench = false),
+
+    // CHECK-constraint append (write-time quality gate): two batches
+    // satisfying the contract commit; the spec proves the rejection
+    // path. Output = the guarded table's aggregate, so a constraint
+    // that silently dropped or mutated rows would break the hash.
+    "q194_checked_append" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_check").resolve("t").toString
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        val c = col("l_quantity") > 0 && col("l_returnflag").isNotNull
+        graft.sources.VersionedTable.overwriteWithStats(
+          li.filter(col("l_orderkey") % 2 === 0), root)
+        graft.sources.VersionedTable.appendChecked(
+          li.filter(col("l_orderkey") % 2 === 1), root, c)
+        graft.sources.VersionedTable.read(s, root)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("qty"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem GROUP BY 1 ORDER BY 1"""),
+      bench = false)
   )
 }

@@ -600,6 +600,38 @@ object VersionedTable {
     }
   }
 
+  /** DESCRIBE HISTORY role, metadata-only: one (version, files, rows)
+    * row per commit, folded from the manifests alone — `rows` is
+    * `None` for versions containing any file that predates row-count
+    * recording (same conservatism as [[countRows]]). O(versions ×
+    * listing), zero data reads: at 100 TB the audit question "what did
+    * each commit do to the row count" must not cost one scan per
+    * version. */
+  def history(root: String): Seq[(Long, Int, Option[Long])] =
+    versions(root).map { v =>
+      (v, readListing(root, v).size, countRows(root, Some(v)))
+    }
+
+  /** CHECK-constraint append (the Delta `ALTER TABLE ADD CONSTRAINT
+    * CHECK` role): the batch commits only if EVERY row satisfies
+    * `constraint` — a null result counts as a violation, like SQL
+    * CHECK enforcement at write time (the constraint must be TRUE).
+    * On violation nothing is staged and nothing commits; the exception
+    * carries one offending row for the pipeline log. The quality gate
+    * at the TABLE boundary: a buggy upstream cannot land rows the
+    * contract forbids, no matter which job wrote them. One extra
+    * filter-take(1) pass over the batch (cheap next to the write);
+    * stats/row counts are recorded as [[appendWithStats]]. */
+  def appendChecked(df: DataFrame, root: String,
+                    constraint: org.apache.spark.sql.Column,
+                    statsCols: String*): Long = {
+    val bad = df.filter(!coalesce(constraint, lit(false))).take(1)
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"CHECK constraint violated by batch row: ${bad.head}")
+    appendWithStats(df, root, statsCols: _*)
+  }
+
   /** Append → new version inheriting the previous file list plus the
     * new files; existing data is not rewritten. The previous file list
     * is re-read inside the retry loop: losing a commit race means the

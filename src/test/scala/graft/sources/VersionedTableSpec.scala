@@ -284,6 +284,40 @@ class VersionedTableSpec extends SparkSuite {
     assert(after.collect().map(_.getString(0)).toSet == Set("k405"))
   }
 
+  test("history: metadata-only per-version (files, rows); appendChecked gates") {
+    import spark.implicits._
+    val root = tmpRoot()
+    VersionedTable.overwriteWithStats(
+      spark.range(10).select(col("id").as("k")), root)
+    VersionedTable.appendWithStats(
+      spark.range(10, 30).select(col("id").as("k")), root)
+    // a plain append leaves that version's count unknowable → None
+    VersionedTable.append(Seq(99L).toDF("k"), root)
+    assert(VersionedTable.history(root).map {
+      case (v, files, rows) => (v, files > 0, rows)
+    } == Seq((0L, true, Some(10L)), (1L, true, Some(30L)),
+      (2L, true, None)))
+
+    // CHECK constraint: violating batch rejected atomically
+    val before = VersionedTable.latestVersion(root)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.appendChecked(
+        Seq(5L, -1L).toDF("k"), root, col("k") >= 0)
+    }
+    assert(e.getMessage.contains("CHECK constraint"))
+    assert(VersionedTable.latestVersion(root) == before,
+      "rejected batch must not commit")
+    assert(VersionedTable.read(spark, root).count() == 31)
+    // null constraint result counts as violation (SQL CHECK: must be TRUE)
+    intercept[IllegalArgumentException] {
+      VersionedTable.appendChecked(
+        Seq(Some(5L), None).toDF("k"), root, col("k") >= 0)
+    }
+    // a clean batch passes and is row-counted
+    VersionedTable.appendChecked(Seq(7L).toDF("k"), root, col("k") >= 0)
+    assert(VersionedTable.read(spark, root).count() == 32)
+  }
+
   test("countRows survives DELETE and MERGE (rewrites re-stat __rows)") {
     import spark.implicits._
     val root = tmpRoot()
