@@ -179,6 +179,27 @@ object Sampling {
     }
   }
 
+  /** Leakage-safe dataset split — [[assignSplit]] hardened against
+    * near-duplicate leakage (the held-out-contamination failure mode:
+    * doc A in train, its near-dup B in test, and the eval measures
+    * memorization). Splits are assigned to whole NEAR-DUP COMPONENTS:
+    * hash the component representative, not the doc id, so every
+    * member of a dup cluster lands in the same split by construction
+    * (SamplingSpec asserts no `pairs` edge crosses splits).
+    *
+    * `pairs` is any symmetric near-dup pair set (id_a, id_b) — exact
+    * n-gram Jaccard for an oracle-checkable gate, MinHash-LSH bands as
+    * the 100 TB drop-in (the q103/q119 pairing). Scale shape: the
+    * component contraction is the star-operation BSP (O(log n)
+    * rounds); the split itself is one map-local md5 CASE. Singleton
+    * docs are their own component → plain assignSplit behavior.
+    *
+    * Output: (id, component, split) — one row per `docs` row. */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
+                       fractions: Seq[(String, Double)]): DataFrame =
+    Dedup.connectedComponentsStar(pairs, docs.select(col(idCol)))
+      .withColumn("split", assignSplit(col("component"), fractions))
+
   /** Deterministic epoch shuffle — the training-data ordering stage:
     * assign every row a (shard, pos) so that reading shards in pos
     * order yields a uniform pseudo-random permutation of the corpus

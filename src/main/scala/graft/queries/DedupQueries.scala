@@ -267,6 +267,57 @@ object DedupQueries extends QueryModule {
                CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_removable
         FROM sizes GROUP BY sz ORDER BY sz""")),
 
+    // LEAKAGE-SAFE train/val/test split (Sampling.leakageSafeSplit):
+    // q86's md5 split hardened against near-dup leakage — splits are
+    // assigned to whole near-dup COMPONENTS (hash the component
+    // representative, not the doc id), so a train doc's near-duplicate
+    // can never land in test and turn the eval into a memorization
+    // probe. Exact Jaccard pairs here (oracle-checkable); the LSH pair
+    // generator is the 100 TB drop-in (q103/q119 pairing). bench=false:
+    // pair generation re-runs q31 verbatim; correctness gate only.
+    // Oracle: the q113 recursive-CTE components + q86's md5 CASE, on
+    // the component id.
+    "q196_leakage_split" -> Q(
+      bench = false,
+      run = (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        graft.operators.Sampling.leakageSafeSplit(
+          docs, Dedup.ngramJaccardPairs(docs, threshold = 0.8), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .select(col("id").as("doc_id"), col("component"), col("split"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id,
+                 list_distinct([string_split(text, ' ')[i] || ' ' ||
+                                string_split(text, ' ')[i+1] || ' ' ||
+                                string_split(text, ' ')[i+2]
+                                for i in range(1, len(string_split(text, ' ')) - 1)]) AS s
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+        comp AS (SELECT node AS doc_id, MIN(lbl) AS component
+                 FROM reach GROUP BY node)
+        SELECT doc_id, component,
+               CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 8) < 'cccccccd'
+                    THEN 'train'
+                    WHEN substr(md5(CAST(component AS VARCHAR)), 1, 8) < 'e6666666'
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM comp ORDER BY doc_id""")),
+
     // ENSEMBLE dedup: production dedup unions independent signals —
     // lexical (3-gram Jaccard, q31's pairs) ∪ semantic (embedding
     // cosine, q41's pairs; vec_id ≡ doc_id) — then groups transitively,

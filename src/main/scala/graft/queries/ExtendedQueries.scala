@@ -87,6 +87,45 @@ object ExtendedQueries extends QueryModule {
         GROUP BY 1 ORDER BY anchor_key""")),
 
     // ----------------------------------------------------------------
+    // Grid-blocked exact RADIUS JOIN (GridJoin) — the 2-D spatial
+    // member of the blocked-join family (q72 blocks on nation × length,
+    // q181 on 1-D buckets; this on grid cells): all customer pairs
+    // within integer distance 1000 on a synthetic 100k × 100k plane
+    // (coordinates md5-derived from the key — the q153 synthetic-
+    // modality pattern — so both engines re-derive them exactly).
+    // Candidates come from ONE hash equi-join on the cell id (probe
+    // side exploded to its fixed 3×3 cell neighborhood, build side at
+    // its home cell — complete for any pair within one cell side, each
+    // pair matched exactly once); the exact integer-squared-distance
+    // residual makes the result bit-identical to the cross join the
+    // oracle runs. Scale: shuffle is 9·N + N rows, no broadcast, no
+    // BNLJ; hot (dense) cells salt like any hot key.
+    "q195_grid_radius" -> Q(
+      run = (s, dir) => {
+        val h = md5(col("c_custkey").cast(StringType))
+        val pts = t(s, dir, "customer").select(
+          col("c_custkey").as("id"),
+          (conv(substring(h, 1, 7), 16, 10).cast(LongType) % 100000L).as("x"),
+          (conv(substring(h, 9, 7), 16, 10).cast(LongType) % 100000L).as("y"))
+        graft.operators.GridJoin
+          .selfRadiusPairs(pts, "id", "x", "y", radius = 1000L)
+          .orderBy("id_a", "id_b")
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT c_custkey AS id,
+                 CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 7))
+                   AS BIGINT) % 100000 AS x,
+                 CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 9, 7))
+                   AS BIGINT) % 100000 AS y
+          FROM customer)
+        SELECT a.id AS id_a, b.id AS id_b,
+               (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS dist2
+        FROM p a JOIN p b ON a.id < b.id
+        WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 1000*1000
+        ORDER BY id_a, id_b""")),
+
+    // ----------------------------------------------------------------
     // CUBE grouping sets + grouping_id (completes the rollup/pivot
     // family, q28/q29). gid bit order follows Spark's grouping_id():
     // first cube column = most significant bit; the oracle reproduces

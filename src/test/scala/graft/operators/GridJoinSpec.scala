@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class GridJoinSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  /** Adversarial fixture: points ON cell corners/edges (multiples of
+    * the radius), just inside/outside the radius along axes and
+    * diagonals, negative coordinates straddling the origin, and a
+    * pseudo-random cloud. */
+  private def fixture = {
+    val boundary = Seq(
+      (0L, 0L, 0L), (1L, 100L, 0L), (2L, 0L, 100L), (3L, 100L, 100L),
+      (4L, 101L, 0L), (5L, 0L, 101L), (6L, 71L, 71L), (7L, 71L, 72L),
+      (8L, -1L, -1L), (9L, -100L, 0L), (10L, -100L, -100L),
+      (11L, -101L, 0L), (12L, 200L, 200L), (13L, 199L, 200L))
+    val cloud = (100L until 400L).map { i =>
+      (i, i * 2654435761L % 997L - 300L, i * 40503L % 991L - 300L)
+    }
+    (boundary ++ cloud).toDF("id", "x", "y")
+  }
+
+  test("selfRadiusPairs equals brute force on boundary + cloud; each pair once") {
+    val pts = fixture
+    val got = GridJoin.selfRadiusPairs(pts, "id", "x", "y", radius = 100L)
+      .select("id_a", "id_b", "dist2")
+      .as[(Long, Long, Long)].collect().toList
+    val a = pts.select(col("id").as("id_a"), col("x").as("ax"), col("y").as("ay"))
+    val b = pts.select(col("id").as("id_b"), col("x").as("bx"), col("y").as("by"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("dist2",
+        (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by")))
+      .filter(col("dist2") <= 100L * 100L)
+      .select("id_a", "id_b", "dist2")
+      .as[(Long, Long, Long)].collect().toList
+    assert(got.size == got.toSet.size, "duplicate pair emitted")
+    assert(got.toSet == brute.toSet)
+    assert(brute.nonEmpty)
+    // boundary semantics: dist == radius is IN (0,0)-(100,0);
+    // (0,0)-(101,0) is OUT; diagonal (0,0)-(71,71) in (71²·2 = 10082 > 10000? no —
+    // 10082 > 10000 so OUT) and (0,0)-(71,72)… asserted via brute equality above;
+    // pin the exact-radius edge explicitly:
+    assert(got.toSet.contains((0L, 1L, 10000L)))
+    assert(!got.exists(p => p._1 == 0L && p._2 == 4L))
+  }
+
+  test("two-table radiusJoin equals cross-join residual; plan is a hash equi-join") {
+    val l = fixture.select(col("id").as("lid"), col("x").as("lx"), col("y").as("ly"))
+    val r = fixture.select(col("id").as("rid"), col("x").as("rx"), col("y").as("ry"))
+    val join = GridJoin.radiusJoin(l, "lx", "ly", r, "rx", "ry", radius = 73L)
+    val got = join.select("lid", "rid").as[(Long, Long)].collect().toSet
+    val brute = l.crossJoin(r)
+      .filter((col("lx") - col("rx")) * (col("lx") - col("rx")) +
+        (col("ly") - col("ry")) * (col("ly") - col("ry")) <= 73L * 73L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == brute && got.nonEmpty)
+    val plan = join.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("probe fan-out is exactly 9 cells per point") {
+    val n = fixture.count()
+    val probe = GridJoin.radiusJoin(
+      fixture.select(col("id"), col("x"), col("y")),
+      "x", "y",
+      spark.range(0).select(col("id").as("rid"), lit(0L).as("rx"), lit(0L).as("ry")),
+      "rx", "ry", radius = 100L)
+    // empty build side → 0 result rows, but the probe explode itself is
+    // what we bound: re-derive it the way the operator does.
+    val fan = fixture
+      .withColumn("cx", explode(sequence(
+        ((col("x") - pmod(col("x"), lit(100L))) / 100L).cast("long") - 1,
+        ((col("x") - pmod(col("x"), lit(100L))) / 100L).cast("long") + 1)))
+      .withColumn("cy", explode(sequence(
+        ((col("y") - pmod(col("y"), lit(100L))) / 100L).cast("long") - 1,
+        ((col("y") - pmod(col("y"), lit(100L))) / 100L).cast("long") + 1)))
+      .groupBy("id").count().select(max(col("count")), min(col("count")))
+      .as[(Long, Long)].head()
+    assert(fan == ((9L, 9L)))
+    assert(probe.count() == 0)
+    assert(n > 0)
+  }
+}

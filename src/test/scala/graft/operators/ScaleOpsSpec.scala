@@ -212,6 +212,29 @@ class ScaleOpsSpec extends SparkSuite {
     assert(half == fullRestricted)
   }
 
+  test("leakageSafeSplit: no near-dup edge crosses splits; singletons match assignSplit") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables(spark, sf, "documents")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.8)
+      .select(col("id_a"), col("id_b"))
+    val split = Sampling.leakageSafeSplit(docs, pairs, "doc_id", fr)
+    val byId = split.select("id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId.size == docs.count())
+    // the leakage guarantee: both endpoints of EVERY near-dup pair
+    // land in the same split
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    edges.foreach { case (a, b) => assert(byId(a) == byId(b), s"($a,$b)") }
+    // docs in no pair are their own component → plain assignSplit
+    val inPair = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    val solo = split.filter(!col("id").isin(inPair.toSeq: _*))
+      .withColumn("plain", Sampling.assignSplit(col("id"), fr))
+    assert(solo.filter(col("split") =!= col("plain")).count() == 0)
+    assert(solo.count() > 0)
+  }
+
   test("epochShuffle: permutation per epoch, dense per-shard positions, layout-invariant, epochs independent") {
     val sf = "/root/testdata/sf0.001"
     val docs = Tables(spark, sf, "documents").select(col("doc_id"))
