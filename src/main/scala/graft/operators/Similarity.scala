@@ -532,6 +532,83 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** SQ8 scalar-quantized top-k — the third compression point on the
+    * ANN memory ladder (floats 256 B → SQ8 64 B → PQ 8 B per vector):
+    * each dimension is affinely quantized to an unsigned byte against
+    * the corpus' per-dimension [min, max] (the faiss
+    * ScalarQuantizer recipe), candidates are ranked by the SYMMETRIC
+    * integer dot of range-centered codes (2c−255 ∈ [−255, 255] — the
+    * centering removes the quantizer's additive offset, which would
+    * otherwise bias the ranking toward large-component-sum vectors),
+    * and the `refine`-deep shortlist is rescored with the exact
+    * cosine.
+    *
+    * Unlike LSH/IVF/PQ this path is FULLY deterministic in
+    * SQL-replayable arithmetic — per-dim min/max, the affine map, the
+    * clamp, and an all-integer score — so its gate query carries a
+    * complete hash oracle, no Certify flags (the one approximate-ANN
+    * family member where the oracle can replay the approximation
+    * itself).
+    *
+    * Scale shape: stats are ONE dim-sized agg (collected: `dim` rows,
+    * never vectors); codes are map-local; scoring reuses
+    * [[bruteForceTopK]]'s broadcast-queries scan but reads 4× fewer
+    * bytes per vector at rest (byte codes vs floats) — the win is
+    * bandwidth, not candidates; compose with IVF cells for pruning. */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              refine: Int = 64, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    graft.plans.VectorExpressions.register(queries.sparkSession)
+    val stats = corpus
+      .select(posexplode(col(vecCol)))
+      .select(col("pos"), col("col").cast(DoubleType).as("v"))
+      .groupBy(col("pos"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .collect() // dim rows — bounded, documented
+    val dim = stats.length
+    val mins = new Array[Double](dim)
+    val spans = new Array[Double](dim)
+    stats.foreach { r =>
+      val p = r.getInt(0)
+      mins(p) = r.getDouble(1)
+      spans(p) = r.getDouble(2) - r.getDouble(1)
+    }
+    // centered code 2·clamp(⌊(v−min)·255/span⌋, 0, 255) − 255, as a
+    // double-typed array (values are exact small integers; DotProduct's
+    // double accumulation is exact for them)
+    def centered(vec: Column): Column =
+      transform(vec, (x, i) => {
+        val m = element_at(lit(mins), i + 1)
+        val s = element_at(lit(spans), i + 1)
+        val code = when(s === 0.0, lit(0.0)).otherwise(
+          greatest(least(floor((x.cast(DoubleType) - m) * 255.0 / s),
+            lit(255.0)), lit(0.0)))
+        code * 2.0 - 255.0
+      })
+    val q = withNorm(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")), "qv", "qn")
+      .withColumn("qc", centered(col("qv")))
+    val c = withNorm(corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv")), "cv", "cn")
+      .withColumn("cc", centered(col("cv")))
+    val wShort = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("__iscore").desc, col("neighbor_id"))
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__iscore", graft.plans.VectorExpressions
+        .dotProduct(col("qc"), col("cc")).cast(LongType))
+      .withColumn("__srank", row_number().over(wShort))
+      .filter(col("__srank") <= refine)
+      .withColumn("cos", fastCos(col("qv"), col("qn"), col("cv"), col("cn")))
+      .withColumn("rank", row_number().over(wExact).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** All pairs (a < b) with cosine ≥ `threshold` — embedding-space
     * near-duplicate detection. Exact variant (self cross join pruned by
     * AQE-sized shuffle): for corpora where n² is affordable; the scale

@@ -229,6 +229,61 @@ object SimilarityQueries extends QueryModule {
       },
       oracle = Some(exactTopkSql("WHERE q.vec_id < 32", "recall_ok"))),
 
+    // SQ8 scalar-quantized top-k (Similarity.sq8TopK) — the middle
+    // rung of the ANN compression ladder (floats → SQ8 bytes → PQ
+    // codes). Unlike q42/q43/q122 this one needs NO Certify flags: the
+    // per-dim [min,max] stats, the affine byte quantization, the
+    // centered INTEGER candidate score and the exact rescore are all
+    // deterministic SQL-replayable arithmetic, so the oracle replays
+    // the whole approximation and the result hash-checks outright —
+    // the approximate-ANN family's one complete oracle.
+    "q197_sq8_topk" -> Q(
+      run = (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.sq8TopK(emb.filter(col("vec_id") < 32), emb,
+          k = 5, refine = 32)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("query_id", "rank")
+      },
+      oracle = Some("""
+        WITH g AS (SELECT UNNEST(generate_series(1, 64)) AS pos),
+        comp AS (
+          SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS v
+          FROM embeddings, g),
+        stats AS (
+          SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM comp GROUP BY pos),
+        codes AS (
+          SELECT c.vec_id, c.pos,
+                 CASE WHEN s.mx = s.mn THEN 0.0
+                      ELSE GREATEST(LEAST(FLOOR((c.v - s.mn) * 255.0
+                             / (s.mx - s.mn)), 255.0), 0.0)
+                 END * 2.0 - 255.0 AS cc
+          FROM comp c JOIN stats s USING (pos)),
+        iscore AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 CAST(SUM(a.cc * b.cc) AS BIGINT) AS isc
+          FROM codes a JOIN codes b USING (pos)
+          WHERE a.vec_id < 32 AND a.vec_id != b.vec_id
+          GROUP BY 1, 2),
+        short AS (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY isc DESC, neighbor_id) AS srank
+          FROM iscore)
+        SELECT sh.query_id, sh.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY sh.query_id
+                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                   c.embedding::DOUBLE[]) DESC, sh.neighbor_id) AS rank,
+               ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                 c.embedding::DOUBLE[]), 6) AS cos
+        FROM short sh
+        JOIN embeddings q ON q.vec_id = sh.query_id
+        JOIN embeddings c ON c.vec_id = sh.neighbor_id
+        WHERE sh.srank <= 32
+        QUALIFY rank <= 5
+        ORDER BY query_id, rank""")),
+
     // ColBERT-style MaxSim late-interaction retrieval: every 8
     // consecutive vectors form one multi-vector "document"; score =
     // Σ over query tokens of the max cosine against the candidate's

@@ -37,6 +37,10 @@ class PlanAuditSpec extends SparkSuite {
       // hard-negative mining: q40's exact broadcast-queries shape with
       // group + ceiling pruning before the window
       "q157_hard_negatives",
+      // SQ8 compressed scan: q40's broadcast-queries shape reading
+      // byte codes instead of floats — the win is 4× scan bandwidth,
+      // not candidates; IVF cells compose in front for pruning
+      "q197_sq8_topk",
       // exact kNN graph: q40's brute shape with queries = corpus — the
       // deliberate ORACLE TWIN of q166's IVF-blocked equi-join form
       // (q166 appears below only because its certified output embeds

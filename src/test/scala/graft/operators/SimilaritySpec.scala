@@ -92,6 +92,31 @@ class SimilaritySpec extends SparkSuite {
     (mean, perQ.min)
   }
 
+  test("sq8TopK: recall@5, exact cos on results, full-refine degenerates to exact") {
+    val q = emb.filter(col("vec_id") < 32)
+    val exactDf = Similarity.bruteForceTopK(q, emb, 5)
+    val exact = exactDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approxRows = Similarity.sq8TopK(q, emb, 5, refine = 32).collect()
+    val approx = approxRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (mean, min) = recallOf(exact, approx)
+    info(f"SQ8 recall@5 (refine=32) mean=$mean%.3f min=$min%.3f")
+    assert(mean > 0.8, f"SQ8 mean recall $mean%.3f") // 8-bit/dim is a mild quantizer
+    assert(min >= 0.4, f"a query fell to $min%.3f recall")
+    // returned cosines are the EXACT rescore — every (q,n,cos) triple
+    // must appear identically in the brute-force all-pairs scoring
+    val exactCos = Similarity.bruteForceTopK(q, emb, 1 << 20).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    approxRows.foreach { r =>
+      assert(exactCos((r.getLong(0), r.getLong(1))) == r.getDouble(3))
+    }
+    // refine covering the whole corpus → identical to the exact top-k
+    val full = Similarity.sq8TopK(q, emb, 5, refine = 1 << 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fullExact = exactDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == fullExact)
+  }
+
   test("lshTopK recall@5 against exact top-5 (default + tuned gate params)") {
     val q = emb.filter(col("vec_id") < 32)
     val exact = Similarity.bruteForceTopK(q, emb, 5).collect()
