@@ -541,6 +541,62 @@ object LakeQueries extends QueryModule {
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
       bench = false),
 
+    // JOIN-view incremental maintenance (MaterializedView.refreshJoin):
+    // an orders ⋈ customer enriched-fact view maintained across
+    // INTERLEAVED appends to BOTH sources via the delta-join identity
+    // ΔJ = ΔA⋈B_new ∪ A_old⋈ΔB (ΔA⋈ΔB covered once, in the first
+    // term) — each refresh APPENDS only the delta rows, never
+    // recomputing the join. Four refreshes (initial full, ΔA-only,
+    // ΔB-only — which must pick up earlier A rows joining the new
+    // customers — then ΔA against the grown B); the served view must
+    // equal the full join, which the oracle recomputes from scratch.
+    // MaterializedViewSpec pins delta-sized appends, the no-op
+    // refresh, and orphan-commit recovery.
+    "q198_join_view" -> Q(
+      run = (s, dir) => {
+        val aRoot = tempRoot("graft_mvj_a").resolve("a").toString
+        val bRoot = tempRoot("graft_mvj_b").resolve("b").toString
+        val view = tempRoot("graft_mvj_v").resolve("v").toString
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+            col("o_totalprice"))
+        val cust = Tables(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val ob = substring(md5(col("o_orderkey").cast(StringType)), 1, 1)
+        val cb = substring(md5(col("c_custkey").cast(StringType)), 1, 1)
+        def refresh(): Unit = {
+          graft.sources.MaterializedView.refreshJoin(
+            s, aRoot, bRoot, view, Seq("c_custkey")); ()
+        }
+        graft.sources.VersionedTable.overwrite(
+          orders.filter(ob.between("0", "5")), aRoot)
+        graft.sources.VersionedTable.overwrite(
+          cust.filter(cb.between("0", "7")), bRoot)
+        refresh()
+        graft.sources.VersionedTable.append(
+          orders.filter(ob.between("6", "a")), aRoot)
+        refresh()
+        graft.sources.VersionedTable.append(
+          cust.filter(!cb.between("0", "7")), bRoot)
+        refresh()
+        graft.sources.VersionedTable.append(
+          orders.filter(!ob.between("0", "a")), aRoot)
+        refresh()
+        graft.sources.MaterializedView.readJoin(s, view)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast(org.apache.spark.sql.types.DoubleType).as("total"))
+          .orderBy("c_mktsegment")
+      },
+      oracle = Some("""
+        SELECT c.c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment ORDER BY c_mktsegment"""),
+      bench = false),
+
     // Retraction-aware incremental view (refreshWithRetraction): the
     // IVM story THROUGH rewriting commits — the source takes an
     // append, then a DELETE WHERE, then a MERGE price-doubling update

@@ -176,6 +176,96 @@ object MaterializedView {
         hll_sketch_estimate(col("sk")).as("n_distinct"): _*)
   }
 
+  private def joinSidecar(viewRoot: String) = new File(viewRoot, "_refreshed_vj")
+
+  /** (left source version, right source version, view version). */
+  private def joinSidecarState(viewRoot: String): Option[(Long, Long, Long)] =
+    if (!joinSidecar(viewRoot).exists()) None
+    else {
+      val toks = new String(
+        Files.readAllBytes(joinSidecar(viewRoot).toPath),
+        StandardCharsets.UTF_8).trim.split("\\s+")
+      Some((toks(0).toLong, toks(1).toLong, toks(2).toLong))
+    }
+
+  private def writeJoinRefreshed(viewRoot: String, aV: Long, bV: Long,
+                                 viewV: Long): Unit = {
+    val tmp = Files.createTempFile(new File(viewRoot).toPath, "_rvj", ".tmp")
+    Files.write(tmp, s"$aV $bV $viewV".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, joinSidecar(viewRoot).toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** JOIN-view refresh — incremental maintenance of an inner equi-join
+    * over TWO append-only [[VersionedTable]] sources (the enriched-fact
+    * view: facts ⋈ slowly-growing dimension, or fact ⋈ fact). The
+    * delta-join identity for appends,
+    *
+    *   J(A+ΔA, B+ΔB) − J(A, B)  =  ΔA ⋈ (B+ΔB)  ∪  A ⋈ ΔB,
+    *
+    * covers ΔA⋈ΔB exactly once (in the first term), so each refresh
+    * APPENDS that delta to the view — the view table is fact-sized but
+    * every refresh writes only O(|ΔA⋈B| + |A⋈ΔB|) rows, never a
+    * recompute of J. The two delta joins read each Δ as a CDF file
+    * read and join it against the other FULL side — at scale the small
+    * Δ side broadcasts or, with both tables cell/bucket-clustered on
+    * the join key, prunes the big side's files through the manifest.
+    *
+    * EXACTLY-ONCE: `_refreshed_vj` records (aV, bV, viewV); both
+    * change reads carry explicit upper bounds probed BEFORE reading
+    * (commits landing mid-refresh fall to the next refresh). Because
+    * the normal path appends, a crash AFTER the append but before the
+    * sidecar move leaves an orphaned view commit — detected on the
+    * next refresh (latest ≠ recorded viewV) and superseded by
+    * restoring the recorded state with one overwrite before appending
+    * (O(|view|), crash-recovery path only). Single writer per view,
+    * like the other refreshers. Serve with [[readJoin]].
+    *
+    * Returns the (left, right) source versions now covered. */
+  def refreshJoin(spark: SparkSession, leftRoot: String, rightRoot: String,
+                  viewRoot: String, joinCols: Seq[String]): (Long, Long) = {
+    val aV = VersionedTable.latestVersion(leftRoot)
+      .getOrElse(sys.error(s"no versions at $leftRoot"))
+    val bV = VersionedTable.latestVersion(rightRoot)
+      .getOrElse(sys.error(s"no versions at $rightRoot"))
+    val st = joinSidecarState(viewRoot)
+    if (st.exists(s => s._1 == aV && s._2 == bV)) return (aV, bV)
+    new File(viewRoot).mkdirs()
+
+    val viewV = st match {
+      case None =>
+        val full = VersionedTable.readVersion(spark, leftRoot, aV)
+          .join(VersionedTable.readVersion(spark, rightRoot, bV), joinCols)
+        VersionedTable.overwrite(full, viewRoot)
+      case Some((a0, b0, v0)) =>
+        val dA = VersionedTable.readChangesBetween(spark, leftRoot, a0, aV)
+        val dB = VersionedTable.readChangesBetween(spark, rightRoot, b0, bV)
+        val bNew = VersionedTable.readVersion(spark, rightRoot, bV)
+        val aOld = VersionedTable.readVersion(spark, leftRoot, a0)
+        val delta = dA.join(bNew, joinCols)
+          .unionByName(aOld.join(dB, joinCols))
+        if (VersionedTable.latestVersion(viewRoot).contains(v0))
+          VersionedTable.append(delta, viewRoot)
+        else {
+          // orphaned commit from a crashed refresh: restore the
+          // recorded state, then append this delta on the clean base
+          VersionedTable.overwrite(
+            VersionedTable.readVersion(spark, viewRoot, v0), viewRoot)
+          VersionedTable.append(delta, viewRoot)
+        }
+    }
+    writeJoinRefreshed(viewRoot, aV, bV, viewV)
+    (aV, bV)
+  }
+
+  /** The join view's serving read: the state at the recorded view
+    * version (never latest — orphaned commits are invisible). */
+  def readJoin(spark: SparkSession, viewRoot: String): DataFrame = {
+    val st = joinSidecarState(viewRoot)
+      .getOrElse(sys.error(s"no refreshed join view at $viewRoot"))
+    VersionedTable.readVersion(spark, viewRoot, st._3)
+  }
+
   /** Retraction-aware refresh — drops [[refreshAdditive]]'s append-only
     * restriction: changes come from [[VersionedTable.diffVersions]]'s
     * multiset row diff (`insert`/`delete` tags), so DELETE WHERE and

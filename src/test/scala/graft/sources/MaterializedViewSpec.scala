@@ -96,6 +96,57 @@ class MaterializedViewSpec extends SparkSuite {
       s"delta re-applied onto orphaned state: $got")
   }
 
+  test("join view: interleaved deltas, delta-sized appends, no-op, orphan recovery") {
+    val a = tmp("graft_mvj_a"); val b = tmp("graft_mvj_b")
+    val view = tmp("graft_mvj_v")
+    def fullJoin = VersionedTable.read(spark, a)
+      .join(VersionedTable.read(spark, b), Seq("k"))
+      .select("k", "x", "y").as[(String, Double, String)].collect().toSet
+    def served = MaterializedView.readJoin(spark, view)
+      .select("k", "x", "y").as[(String, Double, String)].collect().toSet
+
+    VersionedTable.overwrite(Seq(("a", 1.0), ("b", 2.0), ("z", 9.0)).toDF("k", "x"), a)
+    VersionedTable.overwrite(Seq(("a", "A1"), ("b", "B1")).toDF("k", "y"), b)
+    MaterializedView.refreshJoin(spark, a, b, view, Seq("k"))
+    assert(served == fullJoin && served.size == 2)
+
+    // ΔA only: new fact rows join the existing dimension
+    VersionedTable.append(Seq(("a", 3.0), ("c", 4.0)).toDF("k", "x"), a)
+    MaterializedView.refreshJoin(spark, a, b, view, Seq("k"))
+    assert(served == fullJoin && served.size == 3)
+
+    // ΔB only: the NEW dimension row must pick up EARLIER fact rows
+    // (z was unmatched until now) — the A_old ⋈ ΔB term
+    VersionedTable.append(Seq(("z", "Z1"), ("c", "C1")).toDF("k", "y"), b)
+    val viewVBefore = VersionedTable.latestVersion(view).get
+    MaterializedView.refreshJoin(spark, a, b, view, Seq("k"))
+    assert(served == fullJoin && served.size == 5)
+    // the refresh APPENDED a delta (one new version), no rewrite
+    assert(VersionedTable.latestVersion(view).contains(viewVBefore + 1))
+
+    // both sides at once: ΔA⋈ΔB must appear exactly once
+    VersionedTable.append(Seq(("d", 5.0), ("z", 6.0)).toDF("k", "x"), a)
+    VersionedTable.append(Seq(("d", "D1")).toDF("k", "y"), b)
+    MaterializedView.refreshJoin(spark, a, b, view, Seq("k"))
+    assert(served == fullJoin && served.size == 7)
+
+    // no-op refresh: no new view version
+    val vv = VersionedTable.latestVersion(view)
+    MaterializedView.refreshJoin(spark, a, b, view, Seq("k"))
+    assert(VersionedTable.latestVersion(view) == vv)
+
+    // crash simulation: view append landed, sidecar did not move —
+    // the re-run must supersede the orphan, not duplicate the delta
+    val sidecarBytes = Files.readAllBytes(
+      new java.io.File(view, "_refreshed_vj").toPath)
+    VersionedTable.append(Seq(("e", 7.0)).toDF("k", "x"), a)
+    MaterializedView.refreshJoin(spark, a, b, view, Seq("k"))
+    Files.write(new java.io.File(view, "_refreshed_vj").toPath, sidecarBytes)
+    MaterializedView.refreshJoin(spark, a, b, view, Seq("k"))
+    assert(served == fullJoin,
+      s"delta duplicated onto orphaned state: $served vs $fullJoin")
+  }
+
   test("readChangesBetween bounds the read: a commit after the probe is excluded") {
     val src = tmp("graft_mvb_src")
     VersionedTable.overwrite(Seq(("a", 1.0)).toDF("k", "x"), src)
