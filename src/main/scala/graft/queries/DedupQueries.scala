@@ -633,6 +633,73 @@ object DedupQueries extends QueryModule {
                ROUND(shared / (ta.n + tb.n - shared), 6) AS jaccard
         FROM p JOIN tot ta ON ta.source = src_a
                JOIN tot tb ON tb.source = src_b
-        ORDER BY src_a, src_b"""))
+        ORDER BY src_a, src_b""")),
+
+    // q155's SKETCH form (operators.Kmv, KmvSketchAgg): the same
+    // cross-source overlap matrix from k-minimum-values sketches —
+    // n sketches + n² array ops on 256-hash arrays instead of the n²
+    // shingle join (at 100 TB the sketches build in one combinable agg
+    // pass and the matrix is dim-sized algebra). KMV, unlike HLL,
+    // estimates INTERSECTIONS: the k smallest of skA ∪ skB is the
+    // union's own sketch; the fraction present in both sides is
+    // Jaccard. The md5 bottom-k and the all-BIGINT estimator are
+    // deterministic, so the oracle REPLAYS the whole estimator in SQL
+    // (the q197 property) — no Certify flags; KmvSpec asserts the
+    // error bounds vs q155's exact matrix.
+    "q199_kmv_overlap" -> Q(
+      run = (s, dir) => {
+        import graft.functions.TextFunctions.wordShingles
+        val sh = Tables(s, dir, "documents")
+          .select(col("source"), explode(wordShingles(col("text"), 3)).as("sh"))
+        val sk = graft.operators.Kmv.sketch(sh, "source", md5(col("sh")), 256)
+        graft.operators.Kmv.pairStats(sk, "source", 256)
+          .orderBy("src_a", "src_b")
+      },
+      oracle = Some("""
+        WITH sh0 AS (
+          SELECT DISTINCT source,
+                 UNNEST([string_split(text, ' ')[i] || ' ' ||
+                         string_split(text, ' ')[i+1] || ' ' ||
+                         string_split(text, ' ')[i+2]
+                         for i in range(1, len(string_split(text, ' ')) - 1)]) AS sh
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+        h AS (SELECT DISTINCT source, md5(sh) AS h FROM sh0),
+        r AS (SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY h) AS rn FROM h),
+        sk AS (SELECT source, list(h ORDER BY h) AS sk
+               FROM r WHERE rn <= 256 GROUP BY source),
+        pairs AS (
+          SELECT a.source AS src_a, b.source AS src_b,
+                 a.sk AS ska, b.sk AS skb,
+                 list_sort(list_distinct(list_concat(a.sk, b.sk)))[1:256] AS merged
+          FROM sk a JOIN sk b ON a.source < b.source),
+        m AS (
+          SELECT src_a, src_b, ska, skb, merged,
+                 CAST(len(merged) AS BIGINT) AS kp,
+                 CAST(len(list_intersect(list_intersect(merged, ska), skb))
+                   AS BIGINT) AS mt
+          FROM pairs)
+        SELECT src_a, src_b,
+               CASE WHEN len(ska) < 256 THEN CAST(len(ska) AS BIGINT)
+                    ELSE (255 * 4294967296)
+                         // (CAST(('0x' || substr(ska[256], 1, 8)) AS BIGINT) + 1)
+               END AS est_a,
+               CASE WHEN len(skb) < 256 THEN CAST(len(skb) AS BIGINT)
+                    ELSE (255 * 4294967296)
+                         // (CAST(('0x' || substr(skb[256], 1, 8)) AS BIGINT) + 1)
+               END AS est_b,
+               CASE WHEN len(merged) < 256 THEN CAST(len(merged) AS BIGINT)
+                    ELSE (255 * 4294967296)
+                         // (CAST(('0x' || substr(merged[256], 1, 8)) AS BIGINT) + 1)
+               END AS est_union,
+               CASE WHEN kp = 0 THEN 0
+                    ELSE (CASE WHEN len(merged) < 256 THEN CAST(len(merged) AS BIGINT)
+                               ELSE (255 * 4294967296)
+                                    // (CAST(('0x' || substr(merged[256], 1, 8)) AS BIGINT) + 1)
+                          END) * mt // kp
+               END AS est_inter,
+               CASE WHEN kp = 0 THEN 0 ELSE mt * 1000000 // kp END AS jaccard_micro
+        FROM m ORDER BY src_a, src_b"""))
   )
 }
