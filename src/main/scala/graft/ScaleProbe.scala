@@ -57,6 +57,60 @@ object ScaleProbe {
       }
       spark.stop(); return
     }
+    // grid radius-join probe (`runMain graft.ScaleProbe grid`): candidate
+    // pairs (post cell equi-join, pre residual) must grow ~linearly in
+    // points at fixed density — the plane grows with the corpus, so
+    // per-cell occupancy is constant and candidates ≈ 9·occupancy·n,
+    // vs the n²/2 cross join. The HOT variant drops 20% of all points
+    // into ONE cell (urban-density skew): its candidates gain the
+    // hot-block² term — measured here as the documented salting dial,
+    // exactly q72's blocked-fuzzy-join story in 2-D.
+    if (args.contains("grid")) {
+      val r = 1000L
+      def pts(mult: Int, hot: Boolean) = {
+        val side = 100000L * math.round(math.sqrt(mult)) // fixed density
+        val n = 15000L * mult
+        val ids = spark.range(n).select(col("id"))
+        val h = md5(col("id").cast("string"))
+        val base = ids.select(col("id"),
+          (conv(substring(h, 1, 7), 16, 10).cast("long") % side).as("x"),
+          (conv(substring(h, 9, 7), 16, 10).cast("long") % side).as("y"))
+        if (!hot) base
+        else base.select(col("id"),
+          when(col("id") % 5 === 0, col("x") % r).otherwise(col("x")).as("x"),
+          when(col("id") % 5 === 0, col("y") % r).otherwise(col("y")).as("y"))
+      }
+      for (hot <- Seq(false, true); mult <- Seq(1, 4, 10)) {
+        val p = pts(mult, hot).localCheckpoint(true)
+        val n = p.count()
+        // candidate count = the equi-join size before the residual:
+        // per-cell probe(9-exploded) × build occupancy, as an aggregate
+        val probe = p.select(explode(sequence(
+          ((col("x") - pmod(col("x"), lit(r))) / r).cast("long") - 1,
+          ((col("x") - pmod(col("x"), lit(r))) / r).cast("long") + 1)).as("cx"),
+          col("y"))
+          .select(col("cx"), explode(sequence(
+            ((col("y") - pmod(col("y"), lit(r))) / r).cast("long") - 1,
+            ((col("y") - pmod(col("y"), lit(r))) / r).cast("long") + 1)).as("cy"))
+          .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("np"))
+        val build = p
+          .select(((col("x") - pmod(col("x"), lit(r))) / r).cast("long").as("cx"),
+            ((col("y") - pmod(col("y"), lit(r))) / r).cast("long").as("cy"))
+          .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("nb"))
+        val cand = probe.join(build, Seq("cx", "cy"))
+          .agg(sum(col("np") * col("nb")).as("c")).first().getLong(0)
+        val t0 = System.nanoTime()
+        val pairs = graft.operators.GridJoin
+          .selfRadiusPairs(p, "id", "x", "y", r).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val label = if (hot) "grid_hot " else "grid_unif"
+        println(f"[probe] mult=$mult%2d pts=$n%7d $label cand=$cand%12d " +
+          f"pairs=$pairs%9d n2=${n * (n - 1) / 2}%14d " +
+          f"cand_per_pt=${cand.toDouble / n}%8.1f  $secs%6.2f s")
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
+      spark.stop(); return
+    }
     // exact substring-span dedup (`runMain graft.ScaleProbe spans`):
     // replicas carry DISJOINT token spaces (every word salted with the
     // replica index), so duplicated spans exist only WITHIN a replica
