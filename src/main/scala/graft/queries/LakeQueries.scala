@@ -982,6 +982,52 @@ object LakeQueries extends QueryModule {
         ORDER BY src"""),
       bench = false),
 
+    // METADATA-ONLY SUM/AVG (VersionedTable.sumTotal — q190's family
+    // completed): per-file BIGINT sums of a pre-quantized measure
+    // (decimal cents) recorded at write time, folded from the listing
+    // alone. sumTotal/countRows take no SparkSession, so a scan is
+    // impossible by construction; the scan row proves the manifest
+    // answer equals the data. bench=false: commit churn, gate only.
+    "q200_metadata_sum" -> Q(
+      bench = false,
+      run = (s, dir) => {
+        import s.implicits._
+        val root = tempRoot("graft_vt_sums").resolve("t").toString
+        val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"),
+            (col("o_totalprice").cast(dec) * 100).cast(LongType)
+              .as("price_cents"))
+        val m = col("o_orderkey") % 3
+        graft.sources.VersionedTable.overwriteWithSums(
+          orders.filter(m === 0), root, Seq("price_cents"))
+        graft.sources.VersionedTable.appendWithSums(
+          orders.filter(m === 1), root, Seq("price_cents"))
+        graft.sources.VersionedTable.appendWithSums(
+          orders.filter(m === 2), root, Seq("price_cents"))
+        val metaSum = graft.sources.VersionedTable
+          .sumTotal(root, "price_cents").get
+        val metaN = graft.sources.VersionedTable.countRows(root).get
+        val scan = graft.sources.VersionedTable.read(s, root)
+          .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("t")).head()
+        Seq(("manifest", metaN, metaSum, metaSum / metaN),
+          ("scan", scan.getLong(0), scan.getLong(1),
+            scan.getLong(1) / scan.getLong(0)))
+          .toDF("src", "n", "total_cents", "avg_cents").orderBy("src")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT COUNT(*) AS n,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS s
+          FROM orders)
+        SELECT src, n, total_cents, avg_cents FROM (
+          SELECT 'manifest' AS src, n, s AS total_cents, s // n AS avg_cents
+          FROM t
+          UNION ALL
+          SELECT 'scan', n, s, s // n FROM t)
+        ORDER BY src""")),
+
     // BLOOM-INDEX point lookup (the Delta bloom index role): a corpus
     // keyed by string URL, hash-partitioned so key ranges interleave
     // across every file — min/max stats can never skip, only the

@@ -251,6 +251,40 @@ object VersionedTable {
       p + byName.getOrElse(p.split('/').last, s"\t$RowsKey\t0\t0"))
   }
 
+  /** Manifest key for per-file COLUMN SUMS: `sum:<col>` with the sum
+    * duplicated in both triple slots (same (key, lo, hi) grammar, so
+    * old readers parse and ignore it). The summed value is the row's
+    * `col` CAST TO LONG — callers pre-quantize non-integral measures
+    * (e.g. decimal cents) so the per-file sum is exact BIGINT. */
+  private def sumKey(c: String): String = s"sum:$c"
+
+  /** Per-staged-file sums of each `sumCols` entry appended to the stat
+    * lines (one aggregation over just the staged files, like
+    * [[statLines]]). A zero-row file records sum 0; a file whose
+    * column is entirely null records NO sum (conservative — callers of
+    * [[sumTotal]] get `None` rather than a wrong total). */
+  private def sumLines(spark: SparkSession, lines: Seq[String],
+                       sumCols: Seq[String]): Seq[String] = {
+    if (lines.isEmpty || sumCols.isEmpty) return lines
+    val paths = lines.map(_.split('\t').head)
+    val aggs = sumCols.map(c => sum(col(c).cast("long")).as(s"__s_$c"))
+    val byName = spark.read.parquet(paths: _*)
+      .groupBy(col("_metadata.file_path").as("__p"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val suffix = sumCols.zipWithIndex.collect {
+          case (c, i) if !r.isNullAt(1 + i) =>
+            s"\t${sumKey(c)}\t${r.getLong(1 + i)}\t${r.getLong(1 + i)}"
+        }.mkString
+        r.getString(0).split('/').last -> suffix
+      }.toMap
+    lines.map { ln =>
+      val name = ln.split('\t').head.split('/').last
+      ln + byName.getOrElse(name,
+        sumCols.map(c => s"\t${sumKey(c)}\t0\t0").mkString)
+    }
+  }
+
   /** Write `df`'s rows as new data files under `data/`, returning their
     * paths (staged via a temp dir, then renamed in — never copied).
     * Names carry a writer-unique nonce besides the target version: two
@@ -326,6 +360,51 @@ object VersionedTable {
     }
     maybeCheckpoint(root, v)
     v
+  }
+
+  /** As [[appendWithStats]], additionally recording per-file SUMS of
+    * each `sumCols` entry (cast to long per row — pre-quantize
+    * non-integral measures) so [[sumTotal]] can answer SUM/AVG from
+    * the manifest alone. */
+  def appendWithSums(df: DataFrame, root: String, sumCols: Seq[String],
+                     statsCols: Seq[String] = Seq.empty): Long = {
+    val spark = df.sparkSession
+    val staged = stageDataFiles(df, root, nextVersion(root))
+    val lines = sumLines(spark, statLines(spark, staged, statsCols), sumCols)
+    val v = commitWithRetry(root, maxRetries = 5) { v =>
+      if (v == 0) lines else deltaContent(Seq.empty, lines)
+    }
+    maybeCheckpoint(root, v)
+    v
+  }
+
+  /** As [[overwriteWithStats]] with per-file sums — see
+    * [[appendWithSums]]. */
+  def overwriteWithSums(df: DataFrame, root: String, sumCols: Seq[String],
+                        statsCols: Seq[String] = Seq.empty): Long = {
+    val spark = df.sparkSession
+    val staged = stageDataFiles(df, root, nextVersion(root))
+    val lines = sumLines(spark, statLines(spark, staged, statsCols), sumCols)
+    commitWithRetry(root, maxRetries = 5)(_ => lines)
+  }
+
+  /** METADATA-ONLY `SUM(sumCol)` — folded from the per-file sums in
+    * the listing, zero data reads (the [[countRows]] story for the
+    * third aggregate; AVG = sumTotal / countRows at the caller).
+    * `None` when ANY file of the version lacks a recorded sum (staged
+    * by a non-sum writer, or its column was entirely null there) —
+    * conservative, fall back to a scan. Takes no SparkSession: a scan
+    * is impossible by construction. */
+  def sumTotal(root: String, sumCol: String,
+               version: Option[Long] = None): Option[Long] = {
+    version.orElse(latestVersion(root)) match {
+      case None => None
+      case Some(v) =>
+        val sums = readListing(root, v)
+          .map(ln => statsOf(ln).get(sumKey(sumCol)).map(_._1))
+        if (sums.nonEmpty && sums.forall(_.isDefined)) Some(sums.flatten.sum)
+        else None
+    }
   }
 
   /** Per-staged-file BLOOM of `bloomCol`, appended to the stat lines as

@@ -252,6 +252,41 @@ class VersionedTableSpec extends SparkSuite {
     assert(VersionedTable.countRows(tmpRoot()).isEmpty)
   }
 
+  test("sumTotal: metadata-only sums; zero-row and all-null and plain-append semantics") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val df = spark.range(100).select(col("id").as("k"), (col("id") * 3).as("v"))
+      .repartitionByRange(4, col("k"))
+    VersionedTable.overwriteWithSums(df, root, Seq("v"))
+    assert(VersionedTable.sumTotal(root, "v") == Some(3L * 99 * 100 / 2))
+    assert(VersionedTable.countRows(root) == Some(100L)) // rows still recorded
+    // sums fold across append commits; a zero-row batch contributes 0
+    VersionedTable.appendWithSums(
+      spark.range(100, 150).select(col("id").as("k"), lit(10L).as("v")),
+      root, Seq("v"))
+    VersionedTable.appendWithSums(
+      df.filter(col("k") < 0), root, Seq("v"))
+    assert(VersionedTable.sumTotal(root, "v")
+      == Some(3L * 99 * 100 / 2 + 50L * 10))
+    // time travel answers the old total
+    assert(VersionedTable.sumTotal(root, "v", Some(0L)) == Some(3L * 99 * 100 / 2))
+    // unrecorded column → None, never a guess
+    assert(VersionedTable.sumTotal(root, "k").isEmpty)
+    // an all-null file poisons the total (conservative)
+    val rootN = tmpRoot()
+    VersionedTable.overwriteWithSums(
+      Seq((1L, Some(5L)), (2L, None)).toDF("k", "v").coalesce(1),
+      rootN, Seq("v"))
+    VersionedTable.appendWithSums(
+      Seq((3L, None: Option[Long])).toDF("k", "v"), rootN, Seq("v"))
+    assert(VersionedTable.sumTotal(rootN, "v").isEmpty)
+    assert(VersionedTable.sumTotal(rootN, "v", Some(0L)) == Some(5L))
+    // a plain append (non-sum writer) poisons only from that version on
+    VersionedTable.append(Seq((999L, 1L)).toDF("k", "v"), root)
+    assert(VersionedTable.sumTotal(root, "v").isEmpty)
+    assert(VersionedTable.sumTotal(root, "v", Some(2L)).isDefined)
+  }
+
   test("bloom index: equality read opens only possibly-containing files") {
     import spark.implicits._
     val root = tmpRoot()
