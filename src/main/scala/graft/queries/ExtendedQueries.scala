@@ -126,6 +126,57 @@ object ExtendedQueries extends QueryModule {
         ORDER BY id_a, id_b""")),
 
     // ----------------------------------------------------------------
+    // SCD TYPE-2 dimension history (operators.Scd2 — the Kimball
+    // slowly-changing-dimension surface, completing the as-of family
+    // q38/q102/q108/q120/q121 on the DIMENSION side): a 3-version
+    // customer-segment change feed (versions synthesized
+    // deterministically from the key so both engines re-derive them)
+    // becomes [valid_from, valid_to) intervals via ONE per-key window;
+    // orders then temporal-join to the segment valid at each fact's
+    // timestamp through a hash EQUI-JOIN on the key with the interval
+    // residual — fan-out = versions-per-key (3), never quadratic.
+    "q201_scd2_temporal" -> Q(
+      run = (s, dir) => {
+        val cust = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val changes = cust
+          .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+            lit(0L).as("ts"))
+          .unionByName(cust.select(col("c_custkey").as("k"),
+            concat(col("c_mktsegment"), lit("_B")).as("seg"),
+            (col("c_custkey") % 100 + 1).as("ts")))
+          .unionByName(cust.select(col("c_custkey").as("k"),
+            concat(col("c_mktsegment"), lit("_C")).as("seg"),
+            (col("c_custkey") % 100 + 51).as("ts")))
+        val hist = graft.operators.Scd2.intervals(changes, Seq("k"), "ts")
+        val facts = t(s, dir, "orders")
+          .select(col("o_custkey").as("k"), (col("o_orderkey") % 150).as("t"))
+        graft.operators.Scd2.temporalJoin(facts, hist, Seq("k"), "t")
+          .select(hist("seg"), facts("t"))
+          .groupBy(col("seg"))
+          .agg(count(lit(1)).as("n"), sum(col("t")).as("sum_t"))
+          .orderBy("seg")
+      },
+      oracle = Some("""
+        WITH hist AS (
+          SELECT c_custkey AS k, c_mktsegment AS seg, 0 AS ts FROM customer
+          UNION ALL
+          SELECT c_custkey, c_mktsegment || '_B', c_custkey % 100 + 1
+          FROM customer
+          UNION ALL
+          SELECT c_custkey, c_mktsegment || '_C', c_custkey % 100 + 51
+          FROM customer),
+        iv AS (
+          SELECT k, seg, ts AS valid_from,
+                 LEAD(ts) OVER (PARTITION BY k ORDER BY ts) AS valid_to
+          FROM hist),
+        f AS (SELECT o_custkey AS k, o_orderkey % 150 AS t FROM orders)
+        SELECT seg, COUNT(*) AS n, CAST(SUM(t) AS BIGINT) AS sum_t
+        FROM f JOIN iv ON f.k = iv.k AND f.t >= iv.valid_from
+                       AND (iv.valid_to IS NULL OR f.t < iv.valid_to)
+        GROUP BY seg ORDER BY seg""")),
+
+    // ----------------------------------------------------------------
     // CUBE grouping sets + grouping_id (completes the rollup/pivot
     // family, q28/q29). gid bit order follows Spark's grouping_id():
     // first cube column = most significant bit; the oracle reproduces
