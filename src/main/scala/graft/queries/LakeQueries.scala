@@ -1028,6 +1028,50 @@ object LakeQueries extends QueryModule {
           SELECT 'scan', n, s, s // n FROM t)
         ORDER BY src""")),
 
+    // MALFORMED-RECORD QUARANTINE (Lake.readJsonWithQuarantine — the
+    // production hardening of the S2 JSON scan): a JSONL batch where
+    // every 7th line is deterministically TRUNCATED mid-object; the
+    // reader routes parseable lines to the data channel and malformed
+    // raw lines to the quarantine channel — nothing dropped, nothing
+    // aborted, one text scan + map-local from_json split. The oracle
+    // re-derives both channels' aggregates from the corruption rule
+    // without ever seeing the file. bench=false: file-write churn.
+    "q202_json_quarantine" -> Q(
+      bench = false,
+      run = (s, dir) => {
+        import s.implicits._
+        val out = tempRoot("graft_jsonq").resolve("lines").toString
+        val orders = Tables(s, dir, "orders")
+        val line = to_json(struct(col("o_orderkey").as("k"),
+          col("o_totalprice").as("v")))
+        orders.select(
+          when(col("o_orderkey") % 7 === 0, substring(line, 1, 10))
+            .otherwise(line).as("value"))
+          .write.mode("overwrite").text(out)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.DoubleType)))
+        val (good, bad) = graft.sources.Lake
+          .readJsonWithQuarantine(s, out, schema)
+        val g = good.agg(count(lit(1)).as("n"), sum(col("k")).as("sk"),
+          sum(col("v").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast(org.apache.spark.sql.types.DoubleType).as("sv")).head()
+        val b = bad.agg(count(lit(1)).as("n"),
+          sum(length(col("raw_line"))).as("len")).head()
+        Seq((g.getLong(0), g.getLong(1), g.getDouble(2),
+          b.getLong(0), b.getLong(1)))
+          .toDF("n_good", "sum_k", "sum_v", "n_bad", "len_bad")
+      },
+      oracle = Some("""
+        SELECT CAST(COUNT(*) FILTER (o_orderkey % 7 != 0) AS BIGINT) AS n_good,
+               CAST(SUM(o_orderkey) FILTER (o_orderkey % 7 != 0) AS BIGINT) AS sum_k,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 FILTER (o_orderkey % 7 != 0) AS DOUBLE) AS sum_v,
+               CAST(COUNT(*) FILTER (o_orderkey % 7 = 0) AS BIGINT) AS n_bad,
+               CAST(10 * COUNT(*) FILTER (o_orderkey % 7 = 0) AS BIGINT) AS len_bad
+        FROM orders""")),
+
     // BLOOM-INDEX point lookup (the Delta bloom index role): a corpus
     // keyed by string URL, hash-partitioned so key ranges interleave
     // across every file — min/max stats can never skip, only the

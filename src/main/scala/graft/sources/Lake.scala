@@ -54,6 +54,38 @@ object Lake {
     schema.fold(r)(s => r.schema(s)).json(path)
   }
 
+  /** S2 hardened: PERMISSIVE line-delimited JSON with the malformed
+    * rows ROUTED, not dropped — the production ingest contract (a
+    * crawler feed always contains truncated/garbled lines; silently
+    * dropping them hides upstream breakage, failing the whole batch
+    * blocks the pipeline on one bad line). Returns (good, bad): `good`
+    * carries the schema's columns for parseable lines; `bad` carries
+    * the raw text of each malformed line for the quarantine table.
+    * One scan shape: Spark's PERMISSIVE mode fills the declared
+    * `_corrupt_record` column on parse failure and nulls the data
+    * columns, so the split is two filters on the same cached read —
+    * map-local, no shuffle. */
+  def readJsonWithQuarantine(spark: SparkSession, path: String,
+                             schema: StructType): (DataFrame, DataFrame) = {
+    // text + from_json rather than spark.read.json: raw-file JSON
+    // reads refuse queries that touch only the corrupt column (the
+    // Spark 2.3+ restriction), and the text line IS the quarantine
+    // payload anyway
+    val corrupt = "_corrupt_record"
+    val full = schema.add(StructField(corrupt, StringType, nullable = true))
+    val parsed = spark.read.text(path).select(col("value"),
+      from_json(col("value"), full, Map(
+        "mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> corrupt)).as("j"))
+    val good = parsed
+      .filter(col("j").isNotNull && col(s"j.$corrupt").isNull)
+      .select(schema.fieldNames.map(f => col(s"j.$f").as(f)).toSeq: _*)
+    val bad = parsed
+      .filter(col("j").isNull || col(s"j.$corrupt").isNotNull)
+      .select(col("value").as("raw_line"))
+    (good, bad)
+  }
+
   /** S3: multiline (whole-document array) JSON scan. */
   def readJsonMultiline(spark: SparkSession, path: String,
                         schema: Option[StructType] = None): DataFrame = {
