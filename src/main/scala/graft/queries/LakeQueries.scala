@@ -1072,6 +1072,45 @@ object LakeQueries extends QueryModule {
                CAST(10 * COUNT(*) FILTER (o_orderkey % 7 = 0) AS BIGINT) AS len_bad
         FROM orders""")),
 
+    // PARTITION PRUNING through a Hive-style layout
+    // (Lake.writePartitioned): orders written as o_orderstatus=X/
+    // directories, then a single-status read must touch ONLY that
+    // directory's files — asserted in-job over the scan's inputFiles
+    // and folded into the deterministic pruned_ok flag (directory
+    // pruning happens at planning time, so the flag is a pure function
+    // of the layout). The per-status aggregate over the partitioned
+    // roundtrip hash-checks against the raw table. bench=false:
+    // file-write churn.
+    "q203_partition_pruning" -> Q(
+      bench = false,
+      run = (s, dir) => {
+        val root = tempRoot("graft_part").resolve("t").toString
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        graft.sources.Lake.writePartitioned(orders, root, Seq("o_orderstatus"))
+        val table = s.read.parquet(root)
+        // inputFiles ignores pruning (it lists the unfiltered
+        // relation); _metadata.file_path records what the scan READ
+        val one = table.filter(col("o_orderstatus") === "F")
+          .select(col("_metadata.file_path")).distinct()
+          .collect().map(_.getString(0))
+        val prunedOk =
+          one.nonEmpty && one.forall(_.contains("o_orderstatus=F")) &&
+            one.length < table.inputFiles.length
+        table.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast(org.apache.spark.sql.types.DoubleType).as("total"))
+          .withColumn("pruned_ok", lit(if (prunedOk) 1L else 0L))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+               CAST(1 AS BIGINT) AS pruned_ok
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // BLOOM-INDEX point lookup (the Delta bloom index role): a corpus
     // keyed by string URL, hash-partitioned so key ranges interleave
     // across every file — min/max stats can never skip, only the

@@ -290,6 +290,20 @@ object Lake {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Hive-style PARTITIONED layout (`part=value/` directories) — the
+    * third physical-layout member next to [[writeClustered]] (range
+    * files + stats pruning) and [[writeBucketed]] (join co-location):
+    * equality/IN predicates on the partition columns prune whole
+    * DIRECTORIES at planning time (PartitionFilters in the scan, zero
+    * footer reads for pruned partitions). Right for low-cardinality
+    * routing columns (status, date, lang); high-cardinality keys
+    * belong to clustering/bucketing — a partition per key would melt
+    * the listing. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partCols: _*).parquet(path)
+
   /** Bucketed catalog table: co-locates future joins/aggregations on
     * `bucketCol` — two tables bucketed the same way join with ZERO
     * shuffle (the pre-partitioning story for repeated fact-fact joins

@@ -26,6 +26,28 @@ class LakeMaintenanceSpec extends SparkSuite {
       li.agg(sum(col("l_quantity"))).head.getDouble(0))
   }
 
+  test("writePartitioned: planning-time directory pruning (scan selects one partition)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = Files.createTempDirectory("graft_partp").resolve("t").toString
+    val orders = Tables(spark, "/root/testdata/sf0.001", "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    graft.sources.Lake.writePartitioned(orders, root, Seq("o_orderstatus"))
+    val nStatuses = orders.select("o_orderstatus").distinct().count()
+    assert(nStatuses > 1)
+    val one = spark.read.parquet(root).filter(col("o_orderstatus") === "F")
+    // the scan node must have selected exactly ONE partition directory
+    // BEFORE execution — that's planning-time pruning, not row filtering
+    val scans = one.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    assert(scans.head.partitionFilters.nonEmpty, "no PartitionFilters pushed")
+    val selected = scans.head.selectedPartitions.partitionCount
+    assert(selected == 1, s"expected 1 partition, got $selected")
+    // and the data routes correctly
+    assert(one.count() ==
+      orders.filter(col("o_orderstatus") === "F").count())
+  }
+
   test("writeClustered: files hold disjoint key ranges (stats-prunable)") {
     val o = Tables(spark, "/root/testdata/sf0.001", "orders")
     val path = s"$root/orders_clustered"
