@@ -82,6 +82,12 @@ class PlanAuditSpec extends SparkSuite {
       // CMS: the 1-row sketch table broadcast into the top-10 exact
       // counts (q62's shape)
       "q146_countmin",
+      // KMV overlap matrix: the src_a < src_b pairing of the
+      // #sources-row SKETCH table with itself — both sides are
+      // dim-sized synopses (20 rows of 256 hashes), the entire point
+      // of sketch algebra; the fact-scale work is the one combinable
+      // sketch agg upstream
+      "q199_kmv_overlap",
       // assortativity: the two 1-row stats frames crossed into the
       // single output row (q62's shape)
       "q148_graph_assortativity",
