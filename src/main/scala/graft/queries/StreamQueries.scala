@@ -327,6 +327,53 @@ object StreamQueries extends QueryModule {
         GROUP BY n_a, n_b, d_num"""),
       bench = false),
 
+    // STREAMING QUARANTINE INGEST (runQuarantineIngestAvailableNow):
+    // q202's malformed-record split wired into continuous ingestion —
+    // 3 JSONL files (every 7th line truncated mid-object) stream
+    // through one-file micro-batches; parseable rows land in the data
+    // VersionedTable, malformed raw lines in the quarantine table,
+    // each exactly-once via its own batchId sidecar. Output: both
+    // durable tables' aggregates, which the oracle re-derives from
+    // the corruption rule alone. bench=false: file/commit churn.
+    "q204_stream_quarantine" -> Q(
+      bench = false,
+      run = (s, dir) => {
+        import s.implicits._
+        val in = tempRoot("graft_sq_in").resolve("lines").toString
+        val goodRoot = tempRoot("graft_sq_good").resolve("t").toString
+        val badRoot = tempRoot("graft_sq_bad").resolve("t").toString
+        val line = to_json(struct(col("o_orderkey").as("k"),
+          col("o_totalprice").as("v")))
+        Tables(s, dir, "orders")
+          .select(when(col("o_orderkey") % 7 === 0, substring(line, 1, 10))
+            .otherwise(line).as("value"))
+          .repartition(3)
+          .write.mode("overwrite").text(in)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.DoubleType)))
+        val (good, bad) = StreamingJobs.runQuarantineIngestAvailableNow(
+          s, in, schema, goodRoot, badRoot)
+        val g = good.agg(count(lit(1)).as("n"), sum(col("k")).as("sk"),
+          sum(col("v").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast(org.apache.spark.sql.types.DoubleType).as("sv")).head()
+        val b = bad.agg(count(lit(1)).as("n"),
+          sum(length(col("raw_line"))).as("len")).head()
+        Seq((g.getLong(0), g.getLong(1), g.getDouble(2),
+          b.getLong(0), b.getLong(1)))
+          .toDF("n_good", "sum_k", "sum_v", "n_bad", "len_bad")
+      },
+      oracle = Some("""
+        SELECT CAST(COUNT(*) FILTER (o_orderkey % 7 != 0) AS BIGINT) AS n_good,
+               CAST(SUM(o_orderkey) FILTER (o_orderkey % 7 != 0) AS BIGINT) AS sum_k,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 FILTER (o_orderkey % 7 != 0) AS DOUBLE) AS sum_v,
+               CAST(COUNT(*) FILTER (o_orderkey % 7 = 0) AS BIGINT) AS n_bad,
+               CAST(10 * COUNT(*) FILTER (o_orderkey % 7 = 0) AS BIGINT) AS len_bad
+        FROM orders""")),
+
     // STREAMING materialized view (runViewMaintenanceAvailableNow):
     // the full incremental story composed end to end — each
     // micro-batch lands as a versioned-table append AND the hourly

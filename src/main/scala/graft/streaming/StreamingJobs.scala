@@ -283,6 +283,83 @@ object StreamingJobs {
     VersionedTable.read(spark, monitorRoot).orderBy("batch_id")
   }
 
+  /** STREAMING QUARANTINE INGEST: the [[graft.sources.Lake
+    * .readJsonWithQuarantine]] split wired into continuous ingestion —
+    * each micro-batch of raw JSONL lines routes parseable rows to the
+    * durable data table and malformed raw lines to the durable
+    * quarantine table, both [[graft.sources.VersionedTable]]s.
+    * Exactly-once per TABLE via per-table batchId sidecars: the two
+    * appends can't be made atomic together, so each is guarded by its
+    * own `_last_batch` — a crash between them replays the batch,
+    * skips the already-committed table and lands only the missing one
+    * (StreamingSpec-style replay reasoning; the q192 sidecar pattern,
+    * doubled). Scale: the split is map-local from_json; each commit is
+    * O(batch). */
+  def runQuarantineIngestAvailableNow(spark: SparkSession, inputDir: String,
+                                      schema: org.apache.spark.sql.types.StructType,
+                                      goodRoot: String,
+                                      badRoot: String): (DataFrame, DataFrame) = {
+    import graft.sources.VersionedTable
+    def lastBatch(root: String): Long = {
+      val f = new java.io.File(root, "_last_batch")
+      if (!f.exists()) -1L
+      else new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    }
+    def commitBatch(root: String, id: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempFile(
+        new java.io.File(root).toPath, "_lb", ".tmp")
+      java.nio.file.Files.write(tmp,
+        id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp,
+        new java.io.File(root, "_last_batch").toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    def appendTo(root: String, df: DataFrame): Unit =
+      if (VersionedTable.latestVersion(root).isEmpty)
+        { VersionedTable.overwrite(df, root); () }
+      else { VersionedTable.append(df, root); () }
+    new java.io.File(goodRoot).mkdirs()
+    new java.io.File(badRoot).mkdirs()
+    val corrupt = "_corrupt_record"
+    val full = schema.add(
+      org.apache.spark.sql.types.StructField(corrupt,
+        org.apache.spark.sql.types.StringType, nullable = true))
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", 1)
+      .text(inputDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val parsed = batch.select(col("value"),
+          from_json(col("value"), full, Map(
+            "mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> corrupt)).as("j"))
+          .localCheckpoint(true) // both channels read it; parse once
+        val good = parsed
+          .filter(col("j").isNotNull && col(s"j.$corrupt").isNull)
+          .select(schema.fieldNames.map(f => col(s"j.$f").as(f)).toSeq: _*)
+        val bad = parsed
+          .filter(col("j").isNull || col(s"j.$corrupt").isNotNull)
+          .select(col("value").as("raw_line"))
+        if (batchId > lastBatch(goodRoot)) {
+          appendTo(goodRoot, good); commitBatch(goodRoot, batchId)
+        }
+        if (batchId > lastBatch(badRoot)) {
+          appendTo(badRoot, bad); commitBatch(badRoot, batchId)
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        new java.io.File(goodRoot, "_ingest_ckpt").getPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    (VersionedTable.read(spark, goodRoot), VersionedTable.read(spark, badRoot))
+  }
+
   /** Stream-static enrichment join: streaming events against a static
     * dimension table, aggregated per dim attribute. */
   def runStaticJoinAvailableNow(spark: SparkSession, dir: String,
