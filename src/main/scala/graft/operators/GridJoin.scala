@@ -79,6 +79,59 @@ object GridJoin {
           .as("dist2"))
   }
 
+  /** Nearest neighbor per left point (the map-matching / snap-to-road
+    * primitive) by EXPANDING-RING search: round k runs [[radiusJoin]]
+    * at radius·2ᵏ over the still-unmatched points and keeps each
+    * point's minimum-distance candidate. Correct because radiusJoin is
+    * complete within its radius: a point matched in the radius-R round
+    * has ALL its ≤R neighbors as candidates, so the round's min IS the
+    * global nearest (ties to the smaller neighbor id). Points with no
+    * neighbor inside radius·2^(maxRounds−1) are absent from the output
+    * — size radius/maxRounds to the data's NN-distance tail (uniform
+    * density: NN distances concentrate at ~√(area/n), so a handful of
+    * doublings covers the tail; the last ring must stay well under the
+    * plane side or its 3×3 cells degenerate to all-pairs).
+    *
+    * Scale shape: each round is the one-equi-join radius join on the
+    * REMAINING points only (typically collapsing geometrically), with
+    * a bounded driver loop like the BSP operators; per-round state is
+    * localCheckpointed to truncate lineage. Output:
+    * (idCol, nn_id, dist2). */
+  def nearestNeighbor(points: DataFrame, idCol: String,
+                      xCol: String, yCol: String, radius: Long,
+                      maxRounds: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxRounds >= 1)
+    val build = points.select(col(idCol).as("__rid"), col(xCol).as("__rx"),
+      col(yCol).as("__ry"))
+    var remaining = points.select(col(idCol), col(xCol), col(yCol))
+      .localCheckpoint(true)
+    var found: DataFrame = null
+    var r = radius
+    var round = 0
+    while (round < maxRounds && !remaining.isEmpty) {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("__d2"), col("__rid"))
+      val best = radiusJoin(remaining, xCol, yCol,
+        build, "__rx", "__ry", r)
+        .filter(col(idCol) =!= col("__rid"))
+        .withColumn("__d2",
+          (col(xCol) - col("__rx")) * (col(xCol) - col("__rx")) +
+            (col(yCol) - col("__ry")) * (col(yCol) - col("__ry")))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col(idCol), col("__rid").as("nn_id"), col("__d2").as("dist2"))
+        .localCheckpoint(true)
+      found = if (found == null) best else found.unionByName(best)
+      remaining = remaining
+        .join(best.select(col(idCol)), Seq(idCol), "left_anti")
+        .localCheckpoint(true)
+      r = r * 2
+      round += 1
+    }
+    found
+  }
+
   /** Floor division on BIGINT columns. `div` truncates toward zero —
     * wrong for negatives (it would split a cell at the origin) — and
     * flooring a double quotient can round up at scale; subtracting the

@@ -126,6 +126,47 @@ object ExtendedQueries extends QueryModule {
         ORDER BY id_a, id_b""")),
 
     // ----------------------------------------------------------------
+    // Expanding-ring NEAREST NEIGHBOR (GridJoin.nearestNeighbor — the
+    // map-matching / snap-to-nearest primitive on q195's plane): each
+    // customer's nearest other customer, found by rounds of the cell
+    // equi-join at doubling radii over the still-unmatched points —
+    // complete-within-radius makes each round's min the true NN, so
+    // the whole thing is exact and the oracle recomputes it as the
+    // all-pairs window minimum. Ring start 2000 covers most points in
+    // round one (uniform NN distances ~√(area/n) ≈ 2.6k here);
+    // stragglers escalate geometrically instead of forcing a global
+    // worst-case radius on everyone.
+    "q205_grid_nearest" -> Q(
+      run = (s, dir) => {
+        val h = md5(col("c_custkey").cast(StringType))
+        val pts = t(s, dir, "customer").select(
+          col("c_custkey").as("id"),
+          (conv(substring(h, 1, 7), 16, 10).cast(LongType) % 100000L).as("x"),
+          (conv(substring(h, 9, 7), 16, 10).cast(LongType) % 100000L).as("y"))
+        graft.operators.GridJoin
+          .nearestNeighbor(pts, "id", "x", "y", radius = 2000L)
+          .orderBy("id")
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT c_custkey AS id,
+                 CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 7))
+                   AS BIGINT) % 100000 AS x,
+                 CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 9, 7))
+                   AS BIGINT) % 100000 AS y
+          FROM customer),
+        d AS (
+          SELECT a.id, b.id AS nn,
+                 (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+          FROM p a JOIN p b ON a.id != b.id),
+        r AS (
+          SELECT id, nn, d2,
+                 ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, nn) AS rk
+          FROM d)
+        SELECT id, nn AS nn_id, d2 AS dist2 FROM r WHERE rk = 1
+        ORDER BY id""")),
+
+    // ----------------------------------------------------------------
     // SCD TYPE-2 dimension history (operators.Scd2 — the Kimball
     // slowly-changing-dimension surface, completing the as-of family
     // q38/q102/q108/q120/q121 on the DIMENSION side): a 3-version

@@ -64,6 +64,34 @@ class GridJoinSpec extends SparkSuite {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("nearestNeighbor: equals brute-force NN; multi-round escalation; out-of-ring absent") {
+    // a far-away outlier whose NN sits beyond the final ring must be
+    // ABSENT, not wrong
+    val pts = fixture.unionByName(Seq((9999L, 100000L, 100000L)).toDF("id", "x", "y"))
+    // radius 16 with 4 rounds → final ring 128; cloud spans ~600, so
+    // several points need escalation and the outlier never matches
+    val got = GridJoin.nearestNeighbor(pts, "id", "x", "y",
+      radius = 16L, maxRounds = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val all = pts.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = all.map { case (i, x, y) =>
+      val cands = all.filter(_._1 != i)
+        .map { case (j, bx, by) =>
+          (j, (x - bx) * (x - bx) + (y - by) * (y - by)) }
+        .sortBy { case (j, d2) => (d2, j) }
+      i -> cands.head
+    }.toMap
+    assert(!got.contains(9999L))
+    got.foreach { case (i, (nn, d2)) =>
+      assert(brute(i) == ((nn, d2)), s"point $i: got ($nn,$d2) want ${brute(i)}")
+    }
+    // every point whose true NN is within the final ring must be found
+    val maxR = 16L * 8
+    brute.foreach { case (i, (_, d2)) =>
+      if (d2 <= maxR * maxR) assert(got.contains(i), s"point $i missing")
+    }
+  }
+
   test("probe fan-out is exactly 9 cells per point") {
     val n = fixture.count()
     val probe = GridJoin.radiusJoin(
