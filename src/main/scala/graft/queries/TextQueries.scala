@@ -1495,6 +1495,87 @@ object TextQueries extends QueryModule {
         FROM sc GROUP BY doc_id
         ORDER BY bm25 DESC, doc_id LIMIT 10""")),
 
+    // TWO-STAGE RETRIEVAL (retrieve-then-rerank, the production IR
+    // architecture): stage 1 is q140's BM25 over the corpus' 3
+    // hottest terms, widened to a top-20 SHORTLIST (cheap lexical
+    // recall over the inverted index); stage 2 reranks only the
+    // shortlist by dense cosine against a query embedding (vec 0;
+    // vec_id ≡ doc_id) — the expensive scorer touches 20 rows, never
+    // the corpus. q159 fuses two full rankers with RRF; this is the
+    // complementary composition where the dense stage is gated behind
+    // the lexical one. Both stages deterministic → full oracle.
+    "q206_two_stage_retrieval" -> Q(
+      run = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tf = termPostings(s, dir).localCheckpoint(true)
+        val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        val qt = tf.groupBy(col("term"))
+          .agg(sum(col("tf")).as("cf"), count(lit(1)).as("df"))
+          .orderBy(col("cf").desc, col("term")).limit(3)
+          .select(col("term"), col("df"))
+        val g = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+        val score =
+          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1)) *
+            (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+        val shortlist = tf.join(broadcast(qt), Seq("term"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(g))
+          .withColumn("s", round(score, 6))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("s").cast(DecimalType(18, 6))).cast(DoubleType).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(20)
+        val emb = Tables(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"))
+        shortlist
+          .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+            Seq("doc_id"))
+          .crossJoin(broadcast(qv))
+          .withColumn("cos", round(graft.operators.Similarity
+            .cosine(col("embedding"), col("qv")), 6))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("cos").desc, col("doc_id"))).cast(LongType))
+          .filter(col("rank") <= 10)
+          .select(col("rank"), col("doc_id"), col("bm25"), col("cos"))
+          .orderBy("rank")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM toks WHERE term <> '' GROUP BY 1, 2),
+        dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        qt AS (SELECT term, df FROM (
+                 SELECT term, CAST(SUM(tf) AS BIGINT) AS cf,
+                        COUNT(*) AS df
+                 FROM tf GROUP BY term)
+               ORDER BY cf DESC, term LIMIT 3),
+        g AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        sc AS (
+          SELECT tf.doc_id,
+                 ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1) *
+                       (tf * 2.2) /
+                       (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS s
+          FROM tf JOIN qt USING (term) JOIN dl USING (doc_id) CROSS JOIN g),
+        shortlist AS (
+          SELECT doc_id,
+                 CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+          FROM sc GROUP BY doc_id
+          ORDER BY bm25 DESC, doc_id LIMIT 20),
+        rr AS (
+          SELECT sl.doc_id, sl.bm25,
+                 ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                   q.embedding::DOUBLE[]), 6) AS cos
+          FROM shortlist sl
+          JOIN embeddings e ON e.vec_id = sl.doc_id
+          JOIN embeddings q ON q.vec_id = 0)
+        SELECT ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rank,
+               doc_id, bm25, cos
+        FROM rr QUALIFY rank <= 10 ORDER BY rank""")),
+
     // PMI collocations: top-20 bigrams by pointwise mutual information
     // ln(p(xy) / (p(x)·p(y))) with an occurrence floor (≥ 5) — the
     // classic multi-word-expression / collocation extractor over a

@@ -67,6 +67,9 @@ class PlanAuditSpec extends SparkSuite {
       // BM25: the (N, avgdl) scalars as a 1-row broadcast dim crossed
       // into the tf×query-term join (q62's shape)
       "q140_bm25",
+      // two-stage retrieval: q140's (N, avgdl) 1-row dim plus the
+      // 1-row query-vector frame crossed onto the 20-row shortlist
+      "q206_two_stage_retrieval",
       // PMI: the (N, M) token/bigram totals as 1-row broadcast dims
       // crossed into the bigram×unigram join (q62's shape)
       "q141_pmi_collocations",
@@ -113,6 +116,8 @@ class PlanAuditSpec extends SparkSuite {
       "q17_scalar_agg", "q25_rolling_hash",
       // ORDER BY of a small final result (driver-bound anyway)
       "q36_topk_limit",
+      // rerank window over the 20-row shortlist (small final)
+      "q206_two_stage_retrieval",
       // distributed prefix sum: the only global window is over the
       // per-partition totals (#partitions rows), by construction
       "q75_sequence_pack", "q95_token_budget_sample", "q100_token_shards",
