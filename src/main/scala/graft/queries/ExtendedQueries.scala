@@ -126,6 +126,43 @@ object ExtendedQueries extends QueryModule {
         ORDER BY id_a, id_b""")),
 
     // ----------------------------------------------------------------
+    // K-ANONYMITY audit + suppression (operators.Privacy — the
+    // release-side governance stage after q92's PII scrub removes
+    // DIRECT identifiers): events generalized to the quasi-identifier
+    // (event_type, value-band of 25) still leak when a combination is
+    // rarer than k=10 — those groups are the risk report (the anchor
+    // rows), and the suppress_ok flag certifies that the enforced
+    // release keeps exactly the ≥k groups (kept + risky rows = total;
+    // min kept group ≥ k). One combinable group count + a semi-join;
+    // no fact-scale window.
+    "q208_k_anonymity" -> Q(
+      run = (s, dir) => {
+        val quasi = t(s, dir, "events").select(col("event_type"),
+          graft.operators.Privacy.band(col("value"), 25.0).as("band"))
+        val risky = graft.operators.Privacy
+          .kAnonymityAudit(quasi, Seq("event_type", "band"), 10L)
+        val kept = graft.operators.Privacy
+          .suppressSmallGroups(quasi, Seq("event_type", "band"), 10L)
+        val ok = kept.groupBy(col("event_type"), col("band"))
+          .agg(count(lit(1)).as("kn"))
+          .agg(min(col("kn")).as("mn"), sum(col("kn")).as("tot"))
+          .crossJoin(broadcast(
+            risky.agg(coalesce(sum(col("n")), lit(0L)).as("rt"))))
+          .crossJoin(broadcast(quasi.agg(count(lit(1)).as("all"))))
+          .select((col("mn") >= 10L && col("tot") + col("rt") === col("all"))
+            .cast(LongType).as("suppress_ok"))
+        graft.operators.Certify.attach(risky, ok)
+          .orderBy("event_type", "band")
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT event_type, CAST(FLOOR(value / 25) AS BIGINT) AS band,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT event_type, band, n, CAST(1 AS BIGINT) AS suppress_ok
+        FROM g WHERE n < 10 ORDER BY event_type, band""")),
+
+    // ----------------------------------------------------------------
     // Expanding-ring NEAREST NEIGHBOR (GridJoin.nearestNeighbor — the
     // map-matching / snap-to-nearest primitive on q195's plane): each
     // customer's nearest other customer, found by rounds of the cell

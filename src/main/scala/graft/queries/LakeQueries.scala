@@ -1111,6 +1111,54 @@ object LakeQueries extends QueryModule {
                CAST(1 AS BIGINT) AS pruned_ok
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // TABLE INTEGRITY AUDIT (VersionedTable.fsck): after real churn —
+    // overwrite, append, MERGE, DELETE, compact — every version's
+    // listing must still resolve on disk (no missing files) and a
+    // planted crashed-writer stray must surface as exactly one orphan,
+    // which vacuum then reclaims. All counts are invariants of the
+    // commit protocol (deterministic); the scan row count anchors the
+    // hash to the real post-churn data, which the oracle recomputes.
+    // bench=false: commit churn.
+    "q207_table_fsck" -> Q(
+      bench = false,
+      run = (s, dir) => {
+        import s.implicits._
+        val root = tempRoot("graft_fsck").resolve("t").toString
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val b = substring(md5(col("o_orderkey").cast(StringType)), 1, 1)
+        graft.sources.VersionedTable.overwrite(orders.filter(b < "8"), root)
+        graft.sources.VersionedTable.append(orders.filter(b >= "8"), root)
+        graft.sources.VersionedTable.merge(s, root,
+          orders.filter(b === "0").withColumn("o_totalprice",
+            col("o_totalprice") * 2), Seq("o_orderkey"))
+        graft.sources.VersionedTable.delete(s, root,
+          col("o_orderstatus") === "P")
+        graft.sources.VersionedTable.compact(s, root)
+        val (m0, o0) = graft.sources.VersionedTable.fsck(root)
+        // crashed writer: a stray data file no manifest references
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(root, "data", "v99999-dead0000-0.parquet"),
+          Array[Byte](1, 2, 3))
+        val (m1, o1) = graft.sources.VersionedTable.fsck(root)
+        graft.sources.VersionedTable.vacuum(root)
+        val (m2, o2) = graft.sources.VersionedTable.fsck(root)
+        val n = graft.sources.VersionedTable.read(s, root).count()
+        Seq((m0.size.toLong, o0.size.toLong, m1.size.toLong, o1.size.toLong,
+          m2.size.toLong, o2.size.toLong, n))
+          .toDF("missing_churn", "orphans_churn", "missing_stray",
+            "orphans_stray", "missing_vacuumed", "orphans_vacuumed", "n_rows")
+      },
+      oracle = Some("""
+        SELECT CAST(0 AS BIGINT) AS missing_churn,
+               CAST(0 AS BIGINT) AS orphans_churn,
+               CAST(0 AS BIGINT) AS missing_stray,
+               CAST(1 AS BIGINT) AS orphans_stray,
+               CAST(0 AS BIGINT) AS missing_vacuumed,
+               CAST(0 AS BIGINT) AS orphans_vacuumed,
+               COUNT(*) AS n_rows
+        FROM orders WHERE o_orderstatus != 'P'""")),
+
     // BLOOM-INDEX point lookup (the Delta bloom index role): a corpus
     // keyed by string URL, hash-partitioned so key ranges interleave
     // across every file — min/max stats can never skip, only the

@@ -1123,6 +1123,27 @@ object VersionedTable {
     * retries its read — on an object store the same role is played by
     * a retention grace period, as in Delta's VACUUM.) Returns the
     * number of data files deleted. */
+  /** Integrity audit (the fsck / Delta FSCK role): cross-check every
+    * version's listing against the data directory.
+    *  - `missing`: paths some version references but the disk lacks —
+    *    CORRUPTION (that version, and time travel to it, is broken);
+    *  - `orphans`: `.parquet` files on disk no version references —
+    *    crashed-writer leftovers, safe to reclaim (vacuum removes
+    *    them along with expired versions).
+    * Metadata + one directory listing, zero data reads — the audit an
+    * operator runs before trusting a 100 TB table, priced O(manifest).
+    * An empty/missing table reports clean (nothing referenced, nothing
+    * on disk). */
+  def fsck(root: String): (Seq[String], Seq[String]) = {
+    val referenced = versions(root)
+      .flatMap(v => readListing(root, v).map(pathOf)).distinct
+    val onDisk = Option(dataDir(root).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+    val diskSet = onDisk.toSet
+    val refSet = referenced.toSet
+    (referenced.filterNot(diskSet).sorted, onDisk.filterNot(refSet).sorted)
+  }
+
   def vacuum(root: String, retainVersions: Int = 1): Int = {
     val vs = versions(root)
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - retainVersions))

@@ -107,7 +107,11 @@ class PlanAuditSpec extends SparkSuite {
       // flag frame crossed onto the anchor (q62's 1-row-broadcast
       // shape); their exact twins are equi-joins
       "q33_simhash", "q133_lsh_index", "q34_approx_distinct",
-      "q89_hll_mergeable"),
+      "q89_hll_mergeable",
+      // k-anonymity: the suppress_ok flag frame (built from two 1-row
+      // aggregates crossed together) attaches to the risky-group
+      // anchor — q62's 1-row-broadcast shape
+      "q208_k_anonymity"),
     "Exchange SinglePartition" -> Set(
       // global row_number over the tiny DISTINCT dim (W1 parity shape;
       // fact-scale keys use PartitionOffsetKeyGen)

@@ -287,6 +287,28 @@ class VersionedTableSpec extends SparkSuite {
     assert(VersionedTable.sumTotal(root, "v", Some(2L)).isDefined)
   }
 
+  test("fsck: clean after churn; detects missing referenced files and orphans") {
+    import spark.implicits._
+    val root = tmpRoot()
+    VersionedTable.overwrite(spark.range(100).toDF("k"), root)
+    VersionedTable.append(spark.range(100, 150).toDF("k"), root)
+    assert(VersionedTable.fsck(root) == ((Seq.empty, Seq.empty)))
+    // orphan: a stray parquet no manifest references
+    val stray = new java.io.File(root, "data/v99999-dead0000-0.parquet")
+    java.nio.file.Files.write(stray.toPath, Array[Byte](1))
+    assert(VersionedTable.fsck(root)._2 == Seq(stray.getPath))
+    stray.delete()
+    // missing: delete a file version 0 references → corruption surfaced
+    val victim = new java.io.File(
+      VersionedTable.readVersion(spark, root, 0).inputFiles.head
+        .stripPrefix("file:"))
+    victim.delete()
+    val (missing, orphans) = VersionedTable.fsck(root)
+    assert(missing == Seq(victim.getPath) && orphans.isEmpty)
+    // empty table: clean, not an error
+    assert(VersionedTable.fsck(tmpRoot()) == ((Seq.empty, Seq.empty)))
+  }
+
   test("bloom index: equality read opens only possibly-containing files") {
     import spark.implicits._
     val root = tmpRoot()
