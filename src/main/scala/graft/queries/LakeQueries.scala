@@ -1159,6 +1159,61 @@ object LakeQueries extends QueryModule {
                COUNT(*) AS n_rows
         FROM orders WHERE o_orderstatus != 'P'""")),
 
+    // NATIVE DAG ORCHESTRATION (pipeline.DagRunner — the kltn.dag.py
+    // role): the reference's 3-parallel-pipelines → gold → audit shape
+    // run natively with dependency ordering, per-task retry and
+    // Airflow's upstream_failed propagation. ticket_silver is FLAKY
+    // (fails twice, succeeds on try 3 — retry visible in try_number);
+    // review_silver fails permanently, so review_gold is SKIPPED while
+    // the independent pipelines complete; the audit table (the
+    // reference's one declared schema) records it all. Deterministic
+    // columns only (states, tries); timings are real and projected
+    // out. bench=false: orchestration churn.
+    "q209_dag_audit" -> Q(
+      bench = false,
+      run = (s, dir) => {
+        val work = tempRoot("graft_dag").resolve("w")
+        val auditPath = work.resolve("audit").toString
+        val orders = Tables(s, dir, "orders")
+        val flaky = new java.util.concurrent.atomic.AtomicInteger(0)
+        def sink(name: String)(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.mode("overwrite").parquet(work.resolve(name).toString)
+        import graft.pipeline.DagRunner.Task
+        val tasks = Seq(
+          Task("ticket_bronze", Seq.empty,
+            () => sink("tb")(orders.limit(100))),
+          Task("ticket_silver", Seq("ticket_bronze"),
+            () => {
+              if (flaky.incrementAndGet() < 3) sys.error("transient")
+              sink("ts")(s.read.parquet(work.resolve("tb").toString))
+            }, maxTries = 3),
+          Task("facility_bronze", Seq.empty,
+            () => sink("fb")(orders.limit(50))),
+          Task("review_silver", Seq.empty,
+            () => sys.error("permanent"), maxTries = 2),
+          Task("review_gold", Seq("review_silver"),
+            () => sink("rg")(orders.limit(1))),
+          Task("gold", Seq("ticket_silver", "facility_bronze"),
+            () => sink("g")(s.read.parquet(work.resolve("ts").toString)
+              .agg(count(lit(1)).as("n")))))
+        graft.pipeline.DagRunner.run(s, "vexere_dag", tasks, auditPath,
+          clock = () => "2026-01-01T00:00:00Z", hostname = "gate")
+        graft.sources.Lake.read(s, auditPath)
+          .select(col("dag_id"), col("task_id"), col("state"),
+            col("try_number").cast(LongType).as("tries"))
+          .orderBy("task_id")
+      },
+      oracle = Some("""
+        SELECT * FROM (VALUES
+          ('vexere_dag', 'facility_bronze', 'success', CAST(1 AS BIGINT)),
+          ('vexere_dag', 'gold',            'success', CAST(1 AS BIGINT)),
+          ('vexere_dag', 'review_gold', 'upstream_failed', CAST(0 AS BIGINT)),
+          ('vexere_dag', 'review_silver',   'failed',  CAST(2 AS BIGINT)),
+          ('vexere_dag', 'ticket_bronze',   'success', CAST(1 AS BIGINT)),
+          ('vexere_dag', 'ticket_silver',   'success', CAST(3 AS BIGINT)))
+          AS t(dag_id, task_id, state, tries)
+        ORDER BY task_id""")),
+
     // BLOOM-INDEX point lookup (the Delta bloom index role): a corpus
     // keyed by string URL, hash-partitioned so key ranges interleave
     // across every file — min/max stats can never skip, only the
