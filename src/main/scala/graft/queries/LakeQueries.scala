@@ -1214,6 +1214,21 @@ object LakeQueries extends QueryModule {
           AS t(dag_id, task_id, state, tries)
         ORDER BY task_id""")),
 
+    // SQL SERVING SURFACE (the reference's Presto role, natively):
+    // ONE ANSI SQL text — CTE, dim join, partitioned window, decimal
+    // rounding, BIGINT casts — executed verbatim by BOTH engines:
+    // spark.sql over registered temp views here, DuckDB over the raw
+    // parquet as the oracle. The strings are character-identical
+    // (LakeQueries.ServingSql), so this row certifies the portable-SQL
+    // contract itself, not a hand-matched translation.
+    "q210_sql_surface" -> Q(
+      run = (s, dir) => {
+        Tables(s, dir, "orders").createOrReplaceTempView("orders")
+        Tables(s, dir, "customer").createOrReplaceTempView("customer")
+        s.sql(LakeQueries.ServingSql)
+      },
+      oracle = Some(LakeQueries.ServingSql)),
+
     // BLOOM-INDEX point lookup (the Delta bloom index role): a corpus
     // keyed by string URL, hash-partitioned so key ranges interleave
     // across every file — min/max stats can never skip, only the
@@ -1301,4 +1316,18 @@ object LakeQueries extends QueryModule {
         FROM lineitem GROUP BY 1 ORDER BY 1"""),
       bench = false)
   )
+
+  /** q210's single SQL text — executed VERBATIM by Spark (temp views)
+    * and DuckDB (raw parquet): the portable-SQL serving contract. */
+  val ServingSql: String = """
+    WITH co AS (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+               ORDER BY o.o_totalprice DESC, o.o_orderkey) AS BIGINT) AS rk
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+    SELECT c_mktsegment, o_orderkey,
+           CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 0) AS BIGINT)
+             AS price_rounded,
+           rk
+    FROM co WHERE rk <= 3 ORDER BY c_mktsegment, rk"""
 }
