@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
 
 import graft.core.Tables
 import graft.operators.MultiModal
@@ -373,6 +373,65 @@ object StreamQueries extends QueryModule {
                CAST(COUNT(*) FILTER (o_orderkey % 7 = 0) AS BIGINT) AS n_bad,
                CAST(10 * COUNT(*) FILTER (o_orderkey % 7 = 0) AS BIGINT) AS len_bad
         FROM orders""")),
+
+    // STREAMING SKETCH ROLLUP (runSketchRollupAvailableNow — q146's
+    // mergeable-CMS story made streaming): events stream through
+    // one-file micro-batches, each appending ONE CMS partial per
+    // event_type to a durable sketch table (exactly-once); serving
+    // merges the stored partials per group with positional long sums
+    // (the CMS merge law — bit-identical to a single pass, spec-
+    // pinned) and answers point-frequency probes with the one-sided
+    // error bound folded into a Certify flag. The raw stream is never
+    // retained. bench=false: commit churn.
+    "q211_stream_sketch" -> Q(
+      bench = false,
+      run = (s, dir) => {
+        val in = tempRoot("graft_sk_in").resolve("p").toString
+        val root = tempRoot("graft_sk_tab").resolve("t").toString
+        val width = 64
+        val src = Tables(s, dir, "events")
+          .select(col("event_type").as("grp"),
+            floor(col("value")).cast(LongType).cast(StringType).as("item"))
+        src.repartition(3).write.mode("overwrite").parquet(in)
+        val partials = StreamingJobs.runSketchRollupAvailableNow(
+          s, in, root, depth = 4, width = width)
+        val merged = StreamingJobs.mergeSketchesPerGroup(partials)
+        val probes = merged.select(col("grp"), col("sk"),
+          explode(array(lit("0"), lit("1"), lit("2"))).as("item"))
+          .withColumn("cms_est", graft.operators.CountMin
+            .estimate(col("sk"), col("item"), 4, width))
+        val exact = src.groupBy(col("grp"), col("item"))
+          .agg(count(lit(1)).as("exact"))
+        val totals = src.groupBy(col("grp")).agg(count(lit(1)).as("n_grp"))
+        val est = probes
+          .join(exact, Seq("grp", "item"), "left")
+          .join(totals, Seq("grp"))
+          .withColumn("exact", coalesce(col("exact"), lit(0L)))
+        graft.operators.Certify.attach(
+          est.select(col("grp"), col("item"), col("exact")),
+          graft.operators.Certify.allRowsFlag(est,
+            col("cms_est") >= col("exact") &&
+              (col("cms_est") - col("exact"))
+                .cast(org.apache.spark.sql.types.DoubleType) <=
+                col("n_grp").cast(org.apache.spark.sql.types.DoubleType)
+                  * 2.0 / width,
+            "bounds_ok"))
+          .orderBy("grp", "item")
+      },
+      oracle = Some("""
+        WITH src AS (
+          SELECT event_type AS grp,
+                 CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) AS item
+          FROM events),
+        probe AS (
+          SELECT DISTINCT grp, p.item
+          FROM src, (VALUES ('0'), ('1'), ('2')) p(item)),
+        e AS (SELECT grp, item, COUNT(*) AS n FROM src GROUP BY 1, 2)
+        SELECT probe.grp, probe.item,
+               CAST(COALESCE(e.n, 0) AS BIGINT) AS exact,
+               CAST(1 AS BIGINT) AS bounds_ok
+        FROM probe LEFT JOIN e ON e.grp = probe.grp AND e.item = probe.item
+        ORDER BY 1, 2""")),
 
     // STREAMING materialized view (runViewMaintenanceAvailableNow):
     // the full incremental story composed end to end — each

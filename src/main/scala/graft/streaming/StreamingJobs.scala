@@ -360,6 +360,80 @@ object StreamingJobs {
     (VersionedTable.read(spark, goodRoot), VersionedTable.read(spark, badRoot))
   }
 
+  /** STREAMING SKETCH ROLLUP: per micro-batch, ONE combinable CMS
+    * sketch row per group appended to a durable partial-sketch table
+    * (exactly-once via the q192 batchId sidecar); serving merges the
+    * stored partials per group with pure built-ins (CMS merge is
+    * elementwise long addition — [[graft.operators.CountMin
+    * .mergeAll]]'s positional sum, here per group). The streaming
+    * form of q146's pre-aggregation story: the raw stream is never
+    * retained, yet any later point-frequency question is answerable
+    * from state that grows as groups × batches × (depth·width longs),
+    * and the merged sketch is bit-identical to a single pass over
+    * everything (CountMinSpec's merge law). `items` must be a STRING
+    * column named `item` with a group column named `grp`. */
+  def runSketchRollupAvailableNow(spark: SparkSession, inputDir: String,
+                                  sketchRoot: String, depth: Int,
+                                  width: Int): DataFrame = {
+    import graft.sources.VersionedTable
+    val batchFile = new java.io.File(sketchRoot, "_last_batch")
+    def lastCommitted: Long =
+      if (!batchFile.exists()) -1L
+      else new String(java.nio.file.Files.readAllBytes(batchFile.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    def commitBatchId(id: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempFile(
+        new java.io.File(sketchRoot).toPath, "_lb", ".tmp")
+      java.nio.file.Files.write(tmp,
+        id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, batchFile.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    new java.io.File(sketchRoot).mkdirs()
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("grp",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("item",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        if (batchId > lastCommitted) {
+          val partial = batch.groupBy(col("grp"))
+            .agg(graft.operators.CountMin.sketch("item", depth, width).as("sk"))
+            .withColumn("batch_id", lit(batchId))
+          if (VersionedTable.latestVersion(sketchRoot).isEmpty)
+            VersionedTable.overwrite(partial, sketchRoot)
+          else VersionedTable.append(partial, sketchRoot)
+          commitBatchId(batchId)
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        new java.io.File(sketchRoot, "_sketch_ckpt").getPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    VersionedTable.read(spark, sketchRoot)
+  }
+
+  /** Merge a partial-sketch table (grp, sk, …) to one sketch per
+    * group — positional long addition, the CMS merge law. */
+  def mergeSketchesPerGroup(partials: DataFrame): DataFrame =
+    partials.select(col("grp"), posexplode(col("sk")))
+      .groupBy(col("grp"), col("pos"))
+      .agg(sum(col("col")).as("c"))
+      .groupBy(col("grp"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+        .as("__pairs"))
+      .select(col("grp"),
+        transform(col("__pairs"), p => p.getField("c")).as("sk"))
+
   /** Stream-static enrichment join: streaming events against a static
     * dimension table, aggregated per dim attribute. */
   def runStaticJoinAvailableNow(spark: SparkSession, dir: String,
