@@ -135,12 +135,10 @@ class PlanAuditSpec extends SparkSuite {
     spark.sharedState.cacheManager.clearCache()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!skip(name)) {
-        val plan = fn(spark, sf).queryExecution
-          .explainString(ExplainMode.fromString("formatted"))
-        allowed.foreach { case (pattern, ok) =>
-          if (plan.contains(pattern) && !ok(name))
-            violations += s"$name: $pattern"
-        }
+        // the same check users get as a library call (core.PlanAudit)
+        graft.core.PlanAudit.audit(fn(spark, sf),
+          allowed.collect { case (p, ok) if ok(name) => p }.toSet)
+          .foreach(f => violations += s"$name: ${f.pattern}")
         // Cache-lifecycle guard: a builder may persist internally only if
         // it unpersists before returning (Dedup's loop pattern) — a
         // persist that survives builder return can never be freed by the
@@ -154,5 +152,21 @@ class PlanAuditSpec extends SparkSuite {
     }
     assert(violations.isEmpty, violations.mkString("\n"))
     assert(cacheLeaks.isEmpty, cacheLeaks.mkString("\n"))
+  }
+
+  test("PlanAudit library surface: findings returned, require throws, allowlist honored") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val a = Seq((1L, "x")).toDF("k", "va")
+    val b = Seq((1L, "y")).toDF("j", "vb")
+    val nlj = a.join(b, col("k") >= col("j"))
+    val got = graft.core.PlanAudit.audit(nlj).map(_.pattern)
+    assert(got.contains("BroadcastNestedLoopJoin"))
+    intercept[IllegalArgumentException] { graft.core.PlanAudit.require(nlj) }
+    // tolerated explicitly → clean
+    graft.core.PlanAudit.require(nlj, Set("BroadcastNestedLoopJoin"))
+    // a plain equi-join is clean with no allowlist
+    assert(graft.core.PlanAudit.audit(
+      a.join(b.withColumnRenamed("j", "k"), Seq("k"))).isEmpty)
   }
 }
