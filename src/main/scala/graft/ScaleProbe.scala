@@ -111,6 +111,42 @@ object ScaleProbe {
       }
       spark.stop(); return
     }
+    // KMV overlap-matrix probe (`runMain graft.ScaleProbe kmv`): the
+    // sketch build is ONE combinable agg whose partials are capped at
+    // k hashes, so build wall tracks the scan and the 190-pair matrix
+    // is constant-cost dim-sized array algebra regardless of corpus
+    // size — vs the exact q155 matrix whose shingle self-join grows
+    // with the corpus. Estimates must stay stable across replication
+    // (replicas repeat the same shingles → distinct-value space, and
+    // hence every sketch, is unchanged).
+    if (args.contains("kmv")) {
+      import graft.functions.TextFunctions.wordShingles
+      var base1: Map[(String, String), Long] = null
+      for (mult <- Seq(1, 4, 10)) {
+        val c = corpus(mult).localCheckpoint(true)
+        val n = c.count()
+        val sh = c.withColumn("source",
+          concat(lit("src"), (col("doc_id") % 20).cast("string")))
+          .select(col("source"), explode(wordShingles(col("text"), 3)).as("sh"))
+        val t0 = System.nanoTime()
+        val sk = graft.operators.Kmv
+          .sketch(sh, "source", md5(col("sh")), 256).localCheckpoint(true)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val stats = graft.operators.Kmv.pairStats(sk, "source", 256)
+          .collect()
+        val tMatrix = (System.nanoTime() - t1) / 1e9
+        val est = stats.map(r => ((r.getString(0), r.getString(1)),
+          r.getLong(4))).toMap
+        if (base1 == null) base1 = est
+        val drift = est.map { case (k, v) =>
+          math.abs(v - base1(k)).toDouble / math.max(1L, base1(k)) }.max
+        println(f"[probe] mult=$mult%2d docs=$n%7d kmv build=$tBuild%6.2f s " +
+          f"matrix(${stats.length})=$tMatrix%6.2f s max_union_drift=$drift%.4f")
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
+      spark.stop(); return
+    }
     // exact substring-span dedup (`runMain graft.ScaleProbe spans`):
     // replicas carry DISJOINT token spaces (every word salted with the
     // replica index), so duplicated spans exist only WITHIN a replica

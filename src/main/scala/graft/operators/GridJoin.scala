@@ -132,6 +132,54 @@ object GridJoin {
     found
   }
 
+  /** k-nearest generalization of [[nearestNeighbor]]: a point is
+    * resolved in the radius-R round iff it has ≥ k candidates within
+    * R — then its true k nearest ALL lie within R (the k-th smallest
+    * candidate distance is ≤ R, and radiusJoin is complete up to R),
+    * so the round's top-k is exact. A point with fewer than k
+    * candidates escalates to the next ring WHOLE — emitting its
+    * partial list would under-report a point that has k corpus
+    * neighbors further out. Points still unresolved after the last
+    * ring are absent (size radius/maxRounds to the k-NN distance
+    * tail, as in [[nearestNeighbor]]).
+    * Output: (idCol, rank 1..k, nn_id, dist2). */
+  def kNearest(points: DataFrame, idCol: String, xCol: String,
+               yCol: String, k: Int, radius: Long,
+               maxRounds: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && maxRounds >= 1)
+    val build = points.select(col(idCol).as("__rid"), col(xCol).as("__rx"),
+      col(yCol).as("__ry"))
+    var remaining = points.select(col(idCol), col(xCol), col(yCol))
+      .localCheckpoint(true)
+    var found: DataFrame = null
+    var r = radius
+    var round = 0
+    while (round < maxRounds && !remaining.isEmpty) {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("__d2"), col("__rid"))
+      val cand = radiusJoin(remaining, xCol, yCol, build, "__rx", "__ry", r)
+        .filter(col(idCol) =!= col("__rid"))
+        .withColumn("__d2",
+          (col(xCol) - col("__rx")) * (col(xCol) - col("__rx")) +
+            (col(yCol) - col("__ry")) * (col(yCol) - col("__ry")))
+        .withColumn("__rk", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(
+          Window.partitionBy(col(idCol))))
+      val best = cand.filter(col("__n") >= k && col("__rk") <= k)
+        .select(col(idCol), col("__rk").cast("long").as("rank"),
+          col("__rid").as("nn_id"), col("__d2").as("dist2"))
+        .localCheckpoint(true)
+      found = if (found == null) best else found.unionByName(best)
+      remaining = remaining
+        .join(best.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+        .localCheckpoint(true)
+      r = r * 2
+      round += 1
+    }
+    found
+  }
+
   /** Floor division on BIGINT columns. `div` truncates toward zero —
     * wrong for negatives (it would split a cell at the origin) — and
     * flooring a double quotient can round up at scale; subtracting the

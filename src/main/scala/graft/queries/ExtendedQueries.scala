@@ -204,6 +204,42 @@ object ExtendedQueries extends QueryModule {
         ORDER BY id""")),
 
     // ----------------------------------------------------------------
+    // Grid k-NEAREST (GridJoin.kNearest, k=3): q205's expanding-ring
+    // search generalized — a point resolves in the radius-R round iff
+    // ≥ k candidates sit within R (then its true top-k all lie within
+    // R and the round's ranking is exact); thinner neighborhoods
+    // escalate whole. Oracle: the all-pairs window top-3.
+    "q212_grid_knn" -> Q(
+      run = (s, dir) => {
+        val h = md5(col("c_custkey").cast(StringType))
+        val pts = t(s, dir, "customer").select(
+          col("c_custkey").as("id"),
+          (conv(substring(h, 1, 7), 16, 10).cast(LongType) % 100000L).as("x"),
+          (conv(substring(h, 9, 7), 16, 10).cast(LongType) % 100000L).as("y"))
+        graft.operators.GridJoin
+          .kNearest(pts, "id", "x", "y", k = 3, radius = 2000L)
+          .orderBy("id", "rank")
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT c_custkey AS id,
+                 CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 7))
+                   AS BIGINT) % 100000 AS x,
+                 CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 9, 7))
+                   AS BIGINT) % 100000 AS y
+          FROM customer),
+        d AS (
+          SELECT a.id, b.id AS nn,
+                 (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+          FROM p a JOIN p b ON a.id != b.id),
+        r AS (
+          SELECT id, nn, d2,
+                 ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, nn) AS rk
+          FROM d)
+        SELECT id, CAST(rk AS BIGINT) AS rank, nn AS nn_id, d2 AS dist2
+        FROM r WHERE rk <= 3 ORDER BY id, rank""")),
+
+    // ----------------------------------------------------------------
     // SCD TYPE-2 dimension history (operators.Scd2 — the Kimball
     // slowly-changing-dimension surface, completing the as-of family
     // q38/q102/q108/q120/q121 on the DIMENSION side): a 3-version

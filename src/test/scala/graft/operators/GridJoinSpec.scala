@@ -92,6 +92,35 @@ class GridJoinSpec extends SparkSuite {
     }
   }
 
+  test("kNearest: equals brute top-k; no partial lists from thin rings") {
+    val pts = fixture
+    val k = 3
+    val got = GridJoin.kNearest(pts, "id", "x", "y", k, radius = 16L,
+      maxRounds = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val all = pts.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    all.foreach { case (i, x, y) =>
+      val brute = all.filter(_._1 != i)
+        .map { case (j, bx, by) =>
+          (j, (x - bx) * (x - bx) + (y - by) * (y - by)) }
+        .sortBy { case (j, d2) => (d2, j) }.take(k)
+      got.get(i) match {
+        case Some(rows) =>
+          // a resolved point must carry its FULL exact top-k, ranked
+          assert(rows.length == k, s"partial list for $i")
+          val sorted = rows.sortBy(_._2).map(r => (r._3, r._4)).toSeq
+          assert(sorted == brute.toSeq, s"point $i: $sorted vs $brute")
+        case None =>
+          // only legitimate when the k-th neighbor is beyond the last ring
+          val maxR = 16L * 128
+          assert(brute.size < k || brute.last._2 > maxR * maxR,
+            s"point $i unresolved but k-th neighbor within range")
+      }
+    }
+    assert(got.nonEmpty)
+  }
+
   test("probe fan-out is exactly 9 cells per point") {
     val n = fixture.count()
     val probe = GridJoin.radiusJoin(
