@@ -1072,6 +1072,47 @@ object LakeQueries extends QueryModule {
                CAST(10 * COUNT(*) FILTER (o_orderkey % 7 = 0) AS BIGINT) AS len_bad
         FROM orders""")),
 
+    // CSV QUARANTINE (Lake.readCsvWithQuarantine — the q202 split for
+    // the reference's PRIMARY raw format, crawler CSV): every 7th
+    // line's key field is garbled to an untypeable token; the reader
+    // routes typed rows and raw bad lines, dropping the exact header
+    // line. Oracle re-derives both channels from the corruption rule.
+    // bench=false: file churn.
+    "q213_csv_quarantine" -> Q(
+      bench = false,
+      run = (s, dir) => {
+        import s.implicits._
+        val out = tempRoot("graft_csvq").resolve("lines").toString
+        val orders = Tables(s, dir, "orders")
+        val k = col("o_orderkey").cast(StringType)
+        val v = col("o_totalprice").cast(StringType)
+        val header = s.range(1).select(lit("k,v").as("value"))
+        header.unionByName(orders.select(
+          when(col("o_orderkey") % 7 === 0,
+            concat(lit("XX,"), v))
+            .otherwise(concat(k, lit(","), v)).as("value")))
+          .coalesce(1).write.mode("overwrite").text(out)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.DoubleType)))
+        val (good, bad) = graft.sources.Lake
+          .readCsvWithQuarantine(s, out, schema)
+        val g = good.agg(count(lit(1)).as("n"), sum(col("k")).as("sk"),
+          sum(col("v").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast(org.apache.spark.sql.types.DoubleType).as("sv")).head()
+        val b = bad.agg(count(lit(1)).as("n")).head()
+        Seq((g.getLong(0), g.getLong(1), g.getDouble(2), b.getLong(0)))
+          .toDF("n_good", "sum_k", "sum_v", "n_bad")
+      },
+      oracle = Some("""
+        SELECT CAST(COUNT(*) FILTER (o_orderkey % 7 != 0) AS BIGINT) AS n_good,
+               CAST(SUM(o_orderkey) FILTER (o_orderkey % 7 != 0) AS BIGINT) AS sum_k,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 FILTER (o_orderkey % 7 != 0) AS DOUBLE) AS sum_v,
+               CAST(COUNT(*) FILTER (o_orderkey % 7 = 0) AS BIGINT) AS n_bad
+        FROM orders""")),
+
     // PARTITION PRUNING through a Hive-style layout
     // (Lake.writePartitioned): orders written as o_orderstatus=X/
     // directories, then a single-status read must touch ONLY that

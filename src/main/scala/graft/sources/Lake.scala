@@ -86,6 +86,33 @@ object Lake {
     (good, bad)
   }
 
+  /** S1 hardened: the CSV sibling of [[readJsonWithQuarantine]] (the
+    * reference's primary raw input is crawler CSV — to_brz.py:13-15).
+    * Same text + from_csv split: parseable lines to the data channel
+    * with the declared schema, malformed raw lines (wrong arity,
+    * untypeable fields) to the quarantine channel. `header` lines are
+    * dropped by exact match against the schema's field names joined
+    * with commas (the reference's crawler writes exactly that). */
+  def readCsvWithQuarantine(spark: SparkSession, path: String,
+                            schema: StructType): (DataFrame, DataFrame) = {
+    val corrupt = "_corrupt_record"
+    val full = schema.add(StructField(corrupt, StringType, nullable = true))
+    val headerLine = schema.fieldNames.mkString(",")
+    val parsed = spark.read.text(path)
+      .filter(col("value") =!= headerLine)
+      .select(col("value"),
+        from_csv(col("value"), full, Map(
+          "mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> corrupt)).as("j"))
+    val good = parsed
+      .filter(col("j").isNotNull && col(s"j.$corrupt").isNull)
+      .select(schema.fieldNames.map(f => col(s"j.$f").as(f)).toSeq: _*)
+    val bad = parsed
+      .filter(col("j").isNull || col(s"j.$corrupt").isNotNull)
+      .select(col("value").as("raw_line"))
+    (good, bad)
+  }
+
   /** S3: multiline (whole-document array) JSON scan. */
   def readJsonMultiline(spark: SparkSession, path: String,
                         schema: Option[StructType] = None): DataFrame = {
