@@ -204,6 +204,50 @@ object ExtendedQueries extends QueryModule {
         ORDER BY id""")),
 
     // ----------------------------------------------------------------
+    // NULL-SEMANTICS surface: the null-handling corners a production
+    // join/aggregate hits — a NULL-SAFE equi-join (<=> / IS NOT
+    // DISTINCT FROM: null keys MATCH the dim's null sentinel row
+    // instead of dropping) and a GROUP BY over the nullable key (the
+    // null group is a real group). Orders' custkey is deterministically
+    // nulled on an md5 bucket; the dim is a key subset plus one
+    // null-keyed UNKNOWN row. Catalyst plans <=> as a hash equi-join
+    // (null-safe equality IS an equi-key), so the scale shape is
+    // unchanged.
+    "q214_null_semantics" -> Q(
+      run = (s, dir) => {
+        val nulled = when(
+          substring(md5(col("o_orderkey").cast(StringType)), 1, 1) === "0",
+          lit(null).cast(LongType)).otherwise(col("o_custkey"))
+        val facts = t(s, dir, "orders")
+          .select(nulled.as("k"), col("o_totalprice"))
+        val dim = t(s, dir, "customer")
+          .filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey").as("dk"), col("c_mktsegment").as("seg"))
+          .unionByName(s.range(1).select(
+            lit(null).cast(LongType).as("dk"), lit("UNKNOWN").as("seg")))
+        facts.join(dim, facts("k") <=> dim("dk"))
+          .groupBy(col("seg"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("total"))
+          .orderBy("seg")
+      },
+      oracle = Some("""
+        WITH facts AS (
+          SELECT CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+                      THEN NULL ELSE o_custkey END AS k,
+                 o_totalprice
+          FROM orders),
+        dim AS (
+          SELECT c_custkey AS dk, c_mktsegment AS seg FROM customer
+          WHERE c_custkey % 10 = 0
+          UNION ALL SELECT NULL, 'UNKNOWN')
+        SELECT seg, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM facts JOIN dim ON facts.k IS NOT DISTINCT FROM dim.dk
+        GROUP BY seg ORDER BY seg""")),
+
+    // ----------------------------------------------------------------
     // Grid k-NEAREST (GridJoin.kNearest, k=3): q205's expanding-ring
     // search generalized — a point resolves in the radius-R round iff
     // ≥ k candidates sit within R (then its true top-k all lie within

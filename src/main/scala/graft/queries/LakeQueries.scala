@@ -1072,6 +1072,57 @@ object LakeQueries extends QueryModule {
                CAST(10 * COUNT(*) FILTER (o_orderkey % 7 = 0) AS BIGINT) AS len_bad
         FROM orders""")),
 
+    // METADATA-ONLY VERSION PROFILE: the full audit question "what
+    // did each commit do to the data distribution" answered from
+    // manifests alone — per version: file count, rows, key min/max,
+    // exact measure sum (history + statsRange + sumTotal composed;
+    // none takes a SparkSession). The oracle recomputes every
+    // version's cumulative profile from the md5 split rule.
+    // bench=false: commit churn.
+    "q215_version_profile" -> Q(
+      bench = false,
+      run = (s, dir) => {
+        import s.implicits._
+        val root = tempRoot("graft_vprof").resolve("t").toString
+        val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"),
+            (col("o_totalprice").cast(dec) * 100).cast(LongType)
+              .as("price_cents"))
+        val b = substring(md5(col("o_orderkey").cast(StringType)), 1, 1)
+        graft.sources.VersionedTable.overwriteWithSums(
+          orders.filter(b < "6"), root,
+          Seq("price_cents"), Seq("o_orderkey"))
+        graft.sources.VersionedTable.appendWithSums(
+          orders.filter(b.between("6", "b")), root,
+          Seq("price_cents"), Seq("o_orderkey"))
+        graft.sources.VersionedTable.appendWithSums(
+          orders.filter(b > "b"), root,
+          Seq("price_cents"), Seq("o_orderkey"))
+        val vt = graft.sources.VersionedTable
+        vt.history(root).map { case (v, files, rows) =>
+          val (lo, hi) = vt.statsRange(root, "o_orderkey", Some(v)).get
+          (v, files.toLong, rows.get, lo, hi,
+            vt.sumTotal(root, "price_cents", Some(v)).get)
+        }.toDF("version", "files", "n_rows", "min_key", "max_key",
+          "sum_cents")
+          .drop("files") // file count is layout, not data — not oracled
+          .orderBy("version")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT o_orderkey AS k,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+                 substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS b
+          FROM orders),
+        v AS (SELECT 0 AS version, k, c FROM t WHERE b < '6'
+              UNION ALL SELECT 1, k, c FROM t WHERE b <= 'b'
+              UNION ALL SELECT 2, k, c FROM t)
+        SELECT CAST(version AS BIGINT) AS version, COUNT(*) AS n_rows,
+               MIN(k) AS min_key, MAX(k) AS max_key,
+               CAST(SUM(c) AS BIGINT) AS sum_cents
+        FROM v GROUP BY version ORDER BY version""")),
+
     // CSV QUARANTINE (Lake.readCsvWithQuarantine — the q202 split for
     // the reference's PRIMARY raw format, crawler CSV): every 7th
     // line's key field is garbled to an untypeable token; the reader
