@@ -204,6 +204,45 @@ object ExtendedQueries extends QueryModule {
         ORDER BY id""")),
 
     // ----------------------------------------------------------------
+    // Rank-window completeness (the analytic members q35 doesn't
+    // carry): percent_rank, cume_dist, first/last/nth value over the
+    // standard frame. The ordering key is made unique (totalprice,
+    // orderkey) so every rank-derived double is the same exact
+    // rational in both engines; emitted at 6 dp.
+    "q216_rank_windows" -> Q(
+      run = (s, dir) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val wf = w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        t(s, dir, "orders")
+          .select(col("o_orderstatus"), col("o_orderkey"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"),
+            first(col("o_orderkey")).over(wf).as("first_key"),
+            last(col("o_orderkey")).over(wf).as("last_key"),
+            nth_value(col("o_orderkey"), 3).over(wf).as("third_key"))
+          .filter(col("o_orderkey") % 31 === 0)
+          .orderBy("o_orderstatus", "o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, o_orderkey,
+               ROUND(percent_rank() OVER w, 6) AS pr,
+               ROUND(cume_dist() OVER w, 6) AS cd,
+               first_value(o_orderkey) OVER wf AS first_key,
+               last_value(o_orderkey) OVER wf AS last_key,
+               nth_value(o_orderkey, 3) OVER wf AS third_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice, o_orderkey),
+               wf AS (PARTITION BY o_orderstatus
+                      ORDER BY o_totalprice, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING)
+        QUALIFY o_orderkey % 31 = 0
+        ORDER BY o_orderstatus, o_orderkey""")),
+
+    // ----------------------------------------------------------------
     // NULL-SEMANTICS surface: the null-handling corners a production
     // join/aggregate hits — a NULL-SAFE equi-join (<=> / IS NOT
     // DISTINCT FROM: null keys MATCH the dim's null sentinel row

@@ -433,6 +433,44 @@ object StreamQueries extends QueryModule {
         FROM probe LEFT JOIN e ON e.grp = probe.grp AND e.item = probe.item
         ORDER BY 1, 2""")),
 
+    // STREAMING HLL DISTINCT ROLLUP — q211's shape with the
+    // DataSketches HLL partials (hll_sketch_agg per batch per group,
+    // hll_union_agg at serve): per-group distinct user counts from
+    // durable sketch state only, certified against the exact distinct
+    // the oracle recomputes (DataSketches is exact at these
+    // cardinalities; bound 5% like q89). Reuses the generic sketch
+    // ingest: the partial column type is the only difference.
+    // bench=false: commit churn.
+    "q217_stream_hll" -> Q(
+      bench = false,
+      run = (s, dir) => {
+        val in = tempRoot("graft_hll_in").resolve("p").toString
+        val root = tempRoot("graft_hll_tab").resolve("t").toString
+        val src = Tables(s, dir, "events")
+          .select(col("event_type").as("grp"),
+            col("user_id").cast(StringType).as("item"))
+        src.repartition(3).write.mode("overwrite").parquet(in)
+        val partials = StreamingJobs.runHllRollupAvailableNow(s, in, root)
+        val est = partials.groupBy(col("grp"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_est"))
+        val exact = src.distinct().groupBy(col("grp"))
+          .agg(count(lit(1)).as("n_exact"))
+        val joined = est.join(exact, Seq("grp"))
+        graft.operators.Certify.attach(
+          joined.select(col("grp"), col("n_exact")),
+          graft.operators.Certify.allRowsFlag(joined,
+            abs(col("n_est") - col("n_exact"))
+              .cast(org.apache.spark.sql.types.DoubleType) /
+              col("n_exact") <= 0.05,
+            "within_tol"))
+          .orderBy("grp")
+      },
+      oracle = Some("""
+        SELECT event_type AS grp,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+               CAST(1 AS BIGINT) AS within_tol
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
     // STREAMING materialized view (runViewMaintenanceAvailableNow):
     // the full incremental story composed end to end — each
     // micro-batch lands as a versioned-table append AND the hourly

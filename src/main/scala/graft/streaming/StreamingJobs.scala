@@ -374,7 +374,23 @@ object StreamingJobs {
     * column named `item` with a group column named `grp`. */
   def runSketchRollupAvailableNow(spark: SparkSession, inputDir: String,
                                   sketchRoot: String, depth: Int,
-                                  width: Int): DataFrame = {
+                                  width: Int): DataFrame =
+    runPartialRollupAvailableNow(spark, inputDir, sketchRoot,
+      graft.operators.CountMin.sketch("item", depth, width).as("sk"))
+
+  /** As [[runSketchRollupAvailableNow]] with DataSketches HLL partials
+    * (`hll_sketch_agg`) — the streaming DISTINCT rollup; serve with
+    * `hll_sketch_estimate(hll_union_agg(sk))` per group. */
+  def runHllRollupAvailableNow(spark: SparkSession, inputDir: String,
+                               sketchRoot: String): DataFrame =
+    runPartialRollupAvailableNow(spark, inputDir, sketchRoot,
+      hll_sketch_agg(col("item")).as("sk"))
+
+  /** Shared (grp, item)-stream → durable per-batch partial-aggregate
+    * table machinery behind the sketch rollups. */
+  private def runPartialRollupAvailableNow(
+      spark: SparkSession, inputDir: String, sketchRoot: String,
+      partialAgg: org.apache.spark.sql.Column): DataFrame = {
     import graft.sources.VersionedTable
     val batchFile = new java.io.File(sketchRoot, "_last_batch")
     def lastCommitted: Long =
@@ -404,7 +420,7 @@ object StreamingJobs {
                        batchId: Long) =>
         if (batchId > lastCommitted) {
           val partial = batch.groupBy(col("grp"))
-            .agg(graft.operators.CountMin.sketch("item", depth, width).as("sk"))
+            .agg(partialAgg)
             .withColumn("batch_id", lit(batchId))
           if (VersionedTable.latestVersion(sketchRoot).isEmpty)
             VersionedTable.overwrite(partial, sketchRoot)
