@@ -43,4 +43,28 @@ object Privacy {
   /** Convenience: a bucketed (generalized) quasi column. */
   def band(c: Column, width: Double): Column =
     floor(c / width).cast("long")
+
+  /** Salted one-way mask: a stable pseudonym (same input → same
+    * token, joinable across releases with the same salt) that cannot
+    * be reversed without the salt — the PSEUDONYMIZATION stage next
+    * to q92's pattern scrub (which redacts) and [[kAnonymityAudit]]
+    * (which suppresses). SHA-256 hex; map-local. */
+  def maskHash(c: Column, salt: String): Column =
+    sha2(concat(lit(salt), c.cast("string")), 256)
+
+  /** Partial reveal: all but the last `keepLast` characters starred —
+    * the debuggable mask (enough to eyeball record identity, not
+    * enough to reconstruct). Strings no longer than `keepLast` pass
+    * through whole. (The catalyst StringRepeat is used directly — the
+    * Scala `repeat` API only accepts a literal count.) */
+  def maskPartial(c: Column, keepLast: Int): Column = {
+    val s = c.cast("string")
+    val stars = org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.StringRepeat(
+        org.apache.spark.sql.graft.ColumnBridge.expression(lit("*")),
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          length(s) - keepLast)))
+    when(length(s) <= keepLast, s)
+      .otherwise(concat(stars, substring(s, -keepLast, keepLast)))
+  }
 }

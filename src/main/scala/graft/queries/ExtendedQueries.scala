@@ -204,6 +204,76 @@ object ExtendedQueries extends QueryModule {
         ORDER BY id""")),
 
     // ----------------------------------------------------------------
+    // KEYED TABLE DIFF (operators.TableDiff — diffVersions' ops
+    // sibling for ARBITRARY table pairs): orders vs a deterministically
+    // mutated copy (md5 bucket '0' removed, bucket '1' price-doubled,
+    // bucket '2' re-keyed into fresh adds) classified per key as
+    // added/removed/changed/unchanged through ONE full-outer equi-join
+    // with a null-safe struct compare. Output: per-status count + key
+    // checksum; the oracle re-derives the mutation and the
+    // classification from scratch.
+    "q219_table_diff" -> Q(
+      run = (s, dir) => {
+        val before = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val b = substring(md5(col("o_orderkey").cast(StringType)), 1, 1)
+        val after = before.filter(b =!= "0")
+          .withColumn("o_totalprice",
+            when(b === "1", col("o_totalprice") * 2)
+              .otherwise(col("o_totalprice")))
+          .unionByName(before.filter(b === "2")
+            .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+        graft.operators.TableDiff.keyed(before, after, Seq("o_orderkey"))
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .orderBy("status")
+      },
+      oracle = Some("""
+        WITH before AS (
+          SELECT o_orderkey AS k,
+                 substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS b
+          FROM orders),
+        statuses AS (
+          SELECT k, CASE WHEN b = '0' THEN 'removed'
+                         WHEN b = '1' THEN 'changed'
+                         ELSE 'unchanged' END AS status
+          FROM before
+          UNION ALL
+          SELECT k + 10000000, 'added' FROM before WHERE b = '2')
+        SELECT status, COUNT(*) AS n,
+               CAST(SUM(k) AS BIGINT) AS key_sum
+        FROM statuses GROUP BY status ORDER BY status""")),
+
+    // ----------------------------------------------------------------
+    // MASKED RELEASE (Privacy.maskHash/maskPartial — the
+    // pseudonymization stage completing the governance family: q92
+    // redacts patterns, q208 suppresses rare groups, this tokenizes
+    // identifiers): keys become salted SHA-256 pseudonyms (stable →
+    // joinable across releases sharing the salt, irreversible without
+    // it) and names keep only their last 3 characters. Both masks are
+    // deterministic map-local expressions, so the release hash-checks
+    // against DuckDB's own sha256/repeat.
+    "q218_masked_release" -> Q(
+      run = (s, dir) =>
+        t(s, dir, "customer")
+          .filter(col("c_custkey") % 10 === 0)
+          .select(
+            graft.operators.Privacy.maskHash(col("c_custkey"), "s4lt")
+              .as("cust_token"),
+            graft.operators.Privacy.maskPartial(col("c_name"), 3)
+              .as("name_masked"),
+            col("c_mktsegment"))
+          .orderBy("cust_token"),
+      oracle = Some("""
+        SELECT sha256('s4lt' || CAST(c_custkey AS VARCHAR)) AS cust_token,
+               CASE WHEN length(c_name) <= 3 THEN c_name
+                    ELSE repeat('*', length(c_name) - 3)
+                         || substr(c_name, -3, 3) END AS name_masked,
+               c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 0
+        ORDER BY cust_token""")),
+
+    // ----------------------------------------------------------------
     // Rank-window completeness (the analytic members q35 doesn't
     // carry): percent_rank, cume_dist, first/last/nth value over the
     // standard frame. The ordering key is made unique (totalprice,

@@ -1072,6 +1072,44 @@ object LakeQueries extends QueryModule {
                CAST(10 * COUNT(*) FILTER (o_orderkey % 7 = 0) AS BIGINT) AS len_bad
         FROM orders""")),
 
+    // PRIMARY-KEY APPEND ENFORCEMENT (VersionedTable.appendUnique):
+    // a disjoint batch lands; a batch colliding with the snapshot and
+    // a batch duplicating itself are both REJECTED whole (nothing
+    // staged, nothing committed — proven by the final table state
+    // matching the two good batches exactly). Flags are deterministic
+    // outcomes of the commit protocol. bench=false: commit churn.
+    "q220_unique_append" -> Q(
+      bench = false,
+      run = (s, dir) => {
+        import s.implicits._
+        val root = tempRoot("graft_uniq").resolve("t").toString
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val b = substring(md5(col("o_orderkey").cast(StringType)), 1, 1)
+        graft.sources.VersionedTable.appendUnique(
+          orders.filter(b < "8"), root, Seq("o_orderkey"))
+        val collides = scala.util.Try(graft.sources.VersionedTable
+          .appendUnique(orders.filter(b.between("7", "9")), root,
+            Seq("o_orderkey"))).isFailure
+        val selfDup = scala.util.Try(graft.sources.VersionedTable
+          .appendUnique(orders.filter(b === "9")
+            .unionByName(orders.filter(b === "9")), root,
+            Seq("o_orderkey"))).isFailure
+        graft.sources.VersionedTable.appendUnique(
+          orders.filter(b >= "8"), root, Seq("o_orderkey"))
+        val st = graft.sources.VersionedTable.read(s, root)
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("ks")).head()
+        Seq((st.getLong(0), st.getLong(1),
+          if (collides) 1L else 0L, if (selfDup) 1L else 0L))
+          .toDF("n_rows", "key_sum", "collision_rejected", "selfdup_rejected")
+      },
+      oracle = Some("""
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(1 AS BIGINT) AS collision_rejected,
+               CAST(1 AS BIGINT) AS selfdup_rejected
+        FROM orders""")),
+
     // METADATA-ONLY VERSION PROFILE: the full audit question "what
     // did each commit do to the data distribution" answered from
     // manifests alone — per version: file count, rows, key min/max,

@@ -1123,6 +1123,32 @@ object VersionedTable {
     * retries its read — on an object store the same role is played by
     * a retention grace period, as in Delta's VACUUM.) Returns the
     * number of data files deleted. */
+  /** PRIMARY-KEY-enforced append (the uniqueness member of the
+    * write-time contract family next to [[appendChecked]]'s row CHECK):
+    * the batch commits only if its `keys` are unique WITHIN the batch
+    * and ABSENT from the current snapshot — otherwise nothing stages,
+    * nothing commits, and the exception names an offending key. Cost:
+    * one group-count over the batch + one key-projected semi-join
+    * against the table (with a key-clustered layout the semi-join
+    * prunes through the manifest). Uniqueness is enforced against the
+    * snapshot READ AT CHECK TIME — single writer per key domain, like
+    * the materialized-view refreshers; concurrent unique-appends of
+    * the same key race check-then-commit. */
+  def appendUnique(df: DataFrame, root: String, keys: Seq[String]): Long = {
+    val kc = keys.map(col)
+    val dup = df.groupBy(kc: _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"appendUnique: batch duplicates key ${dup.head.mkString("(", ",", ")")}")
+    if (latestVersion(root).isDefined) {
+      val hit = read(df.sparkSession, root).select(kc: _*)
+        .join(df.select(kc: _*), keys, "left_semi").limit(1).collect()
+      require(hit.isEmpty,
+        s"appendUnique: key already present ${hit.head.mkString("(", ",", ")")}")
+    }
+    append(df, root)
+  }
+
   /** Integrity audit (the fsck / Delta FSCK role): cross-check every
     * version's listing against the data directory.
     *  - `missing`: paths some version references but the disk lacks —
