@@ -844,6 +844,48 @@ object ExtendedQueries extends QueryModule {
                CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
         FROM g GROUP BY 1, 2 ORDER BY user_id, session_id""")),
 
+    // ----------------------------------------------------------------
+    // SESSION_WINDOW TVF (the built-in gap-session surface — q136
+    // derives sessions manually with lag+cumsum, q54 statefully with
+    // flatMapGroupsWithState; this is Spark's native third way, and
+    // the three must agree). Boundary nuance the oracle mirrors:
+    // session_window is end-EXCLUSIVE — an event exactly gap after
+    // its predecessor starts a NEW session (diff >= gap), while
+    // q136's manual rule splits only on diff > gap.
+    "q221_session_window" -> Q(
+      run = (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("ts"), expr("unix_micros(ts)").as("us"))
+        ev.groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("us")).as("start_us"),
+            (max(col("us")) - min(col("us"))).as("duration_us"))
+          .withColumn("session_id", row_number().over(
+            Window.partitionBy(col("user_id")).orderBy(col("start_us")))
+            .cast(LongType))
+          .select(col("user_id"), col("session_id"), col("n_events"),
+            col("start_us"), col("duration_us"))
+          .orderBy("user_id", "session_id")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        s AS (SELECT user_id, us,
+                CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                          IS NULL
+                     OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                          >= 21600000000
+                     THEN 1 ELSE 0 END AS n
+              FROM e),
+        g AS (SELECT user_id, us,
+                SUM(n) OVER (PARTITION BY user_id ORDER BY us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM s)
+        SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MIN(us) AS BIGINT) AS start_us,
+               CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+        FROM g GROUP BY 1, 2 ORDER BY user_id, session_id""")),
+
     // Ordered conversion funnel: first view → first click AFTER it →
     // first purchase after THAT — strictly ordered timestamps per user,
     // not mere co-occurrence. Per-stage min-aggregates + broadcast-able
