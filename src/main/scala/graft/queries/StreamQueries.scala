@@ -471,6 +471,44 @@ object StreamQueries extends QueryModule {
                CAST(1 AS BIGINT) AS within_tol
         FROM events GROUP BY 1 ORDER BY 1""")),
 
+    // STREAMING JOIN-VIEW maintenance (the q185/q198 composition):
+    // event facts stream in one-file micro-batches into a versioned
+    // source; after each batch, refreshJoin folds the delta join
+    // against a static-but-versioned user→segment dimension into the
+    // enriched-fact view — per batch O(|delta join|) appended, never a
+    // recompute; exactly-once at both layers (append sidecar +
+    // refreshJoin's (aV,bV) pair). The served view aggregate must
+    // equal the full join the oracle recomputes from scratch.
+    // bench=false: commit churn.
+    "q222_stream_join_view" -> Q(
+      bench = false,
+      run = (s, dir) => {
+        val in = tempRoot("graft_sjv_in").resolve("p").toString
+        val left = tempRoot("graft_sjv_l").resolve("t").toString
+        val right = tempRoot("graft_sjv_r").resolve("t").toString
+        val view = tempRoot("graft_sjv_v").resolve("v").toString
+        Tables(s, dir, "events")
+          .select(col("user_id").as("grp"), col("value").as("item"))
+          .repartition(3).write.mode("overwrite").parquet(in)
+        val dim = Tables(s, dir, "customer")
+          .select(col("c_custkey").as("grp"),
+            col("c_mktsegment").as("seg"))
+        graft.sources.VersionedTable.overwrite(dim, right)
+        StreamingJobs.runJoinViewMaintenanceAvailableNow(
+          s, in, left, right, view, Seq("grp"))
+          .groupBy(col("seg"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("item")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast(org.apache.spark.sql.types.DoubleType).as("total"))
+          .orderBy("seg")
+      },
+      oracle = Some("""
+        SELECT c.c_mktsegment AS seg, COUNT(*) AS n,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1 ORDER BY 1""")),
+
     // STREAMING materialized view (runViewMaintenanceAvailableNow):
     // the full incremental story composed end to end — each
     // micro-batch lands as a versioned-table append AND the hourly

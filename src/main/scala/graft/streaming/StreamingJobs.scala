@@ -360,6 +360,66 @@ object StreamingJobs {
     (VersionedTable.read(spark, goodRoot), VersionedTable.read(spark, badRoot))
   }
 
+  /** STREAMING JOIN-VIEW maintenance — [[runViewMaintenanceAvailableNow]]
+    * for the ENRICHED-FACT view: each micro-batch of (grp, item) fact
+    * rows appends to the left versioned source exactly-once (batchId
+    * sidecar), then [[graft.sources.MaterializedView.refreshJoin]]
+    * folds the delta join against the right source into the view —
+    * per batch the view gains O(|Δ ⋈ right|) rows, never a join
+    * recompute; a replayed batch is a no-op at BOTH layers (the
+    * sidecar skips the append; refreshJoin's (aV, bV) pair check
+    * skips the refresh). Returns the served view. */
+  def runJoinViewMaintenanceAvailableNow(spark: SparkSession,
+                                         inputDir: String, leftRoot: String,
+                                         rightRoot: String, viewRoot: String,
+                                         joinCols: Seq[String]): DataFrame = {
+    import graft.sources.{MaterializedView, VersionedTable}
+    val batchFile = new java.io.File(leftRoot, "_last_batch")
+    def lastCommitted: Long =
+      if (!batchFile.exists()) -1L
+      else new String(java.nio.file.Files.readAllBytes(batchFile.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    def commitBatchId(id: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempFile(
+        new java.io.File(leftRoot).toPath, "_lb", ".tmp")
+      java.nio.file.Files.write(tmp,
+        id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, batchFile.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    new java.io.File(leftRoot).mkdirs()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("grp",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("item",
+        org.apache.spark.sql.types.DoubleType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        if (batchId > lastCommitted) {
+          if (VersionedTable.latestVersion(leftRoot).isEmpty)
+            VersionedTable.overwrite(batch, leftRoot)
+          else VersionedTable.append(batch, leftRoot)
+          commitBatchId(batchId)
+        }
+        // idempotent per (leftV, rightV) — a replayed batch no-ops
+        MaterializedView.refreshJoin(spark, leftRoot, rightRoot,
+          viewRoot, joinCols)
+        ()
+      }
+      .option("checkpointLocation",
+        new java.io.File(leftRoot, "_jv_ckpt").getPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    MaterializedView.readJoin(spark, viewRoot)
+  }
+
   /** STREAMING SKETCH ROLLUP: per micro-batch, ONE combinable CMS
     * sketch row per group appended to a durable partial-sketch table
     * (exactly-once via the q192 batchId sidecar); serving merges the
