@@ -1,0 +1,146 @@
+package graft.operators
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.sources.VersionedTable
+
+/** Persisted INVERTED INDEX with incremental ingest — the lexical
+  * retrieval sibling of [[LshIndex]] (dedup) and [[PqIndex]] (ANN):
+  * instead of re-tokenizing the whole corpus per query (the q140
+  * shape, correct but O(corpus) at serve time), the postings are
+  * committed ONCE as durable [[graft.sources.VersionedTable]]s and
+  * both maintenance and serving are sub-corpus:
+  *
+  *  - `append` tokenizes ONLY the incoming batch and appends its
+  *    postings + doc lengths — O(batch), the daily-ingest door;
+  *  - `searchBm25` reads ONLY the query terms' postings: the postings
+  *    table carries a per-file BLOOM FILTER on `term`
+  *    ([[VersionedTable.appendWithBloomIndex]]), so the term probe
+  *    opens ~(files containing the term + fpp·total) files, never the
+  *    corpus — the Lucene/Elasticsearch role on lake storage.
+  *
+  * Layout under `root`:
+  *  - `postings/` — VersionedTable `(doc_id, term, tf)`, bloom on
+  *    `term`. At 100 TB the writer would additionally cluster batches
+  *    by term (repartition on term before append) so a term's rows
+  *    concentrate in few files and the bloom prune converges to the
+  *    true posting files; correctness never depends on clustering.
+  *  - `doclen/` — VersionedTable `(doc_id, dl)`: BM25's length
+  *    normalizer. Joined only against the candidate docs.
+  *  - `_stats` — `(n_docs, sum_dl)` sidecar, updated atomically per
+  *    batch (tmp + ATOMIC_MOVE): the two corpus-global scalars BM25
+  *    needs, maintained in O(1) instead of re-aggregated from doclen
+  *    at serve time. Single writer per index root, like the other
+  *    persisted indexes.
+  *
+  * Scoring is bit-compatible with the ad-hoc corpus query (q140):
+  * same Robertson/Sparck-Jones idf `ln((N − df + 0.5)/(df + 0.5) + 1)`,
+  * same k1=1.2 / b=0.75, scores rounded to 6dp and summed as
+  * DECIMAL(18,6) so the result hash-matches an engine-independent
+  * recompute — an index must return exactly what the scan would.
+  *
+  * Reference anchor: the reference serves ad-hoc SQL over gold tables
+  * (Presto/Metabase, out of engine scope); text retrieval is
+  * beyond-reference LLM-pipeline surface (BM25: Robertson et al.,
+  * TREC-3 1994).
+  */
+object TextIndex {
+
+  private def postingsRoot(root: String) = new File(root, "postings").getPath
+  private def doclenRoot(root: String) = new File(root, "doclen").getPath
+  private def statsFile(root: String) = new File(root, "_stats")
+
+  /** Whitespace tokenization → `(doc_id, term, tf)`; ONE explode +
+    * map-side-combinable count, the q140 postings convention (docs
+    * with no tokens contribute nothing, including to n_docs). */
+  private def postingsOf(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** (n_docs, sum_dl) covered by the committed index. */
+  def stats(root: String): (Long, Long) = {
+    val toks = new String(Files.readAllBytes(statsFile(root).toPath),
+      StandardCharsets.UTF_8).trim.split("\\s+")
+    (toks(0).toLong, toks(1).toLong)
+  }
+
+  private def writeStats(root: String, nDocs: Long, sumDl: Long): Unit = {
+    val tmp = Files.createTempFile(new File(root).toPath, "_st", ".tmp")
+    Files.write(tmp, s"$nDocs $sumDl".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, statsFile(root).toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Tokenize `docs` and commit them as the index's first batch. */
+  def build(docs: DataFrame, root: String, idCol: String = "doc_id",
+            textCol: String = "text"): Unit = {
+    new File(root).mkdirs()
+    writeStats(root, 0L, 0L)
+    append(docs, root, idCol, textCol)
+  }
+
+  /** O(batch) ingest: tokenize ONLY `docs`, append postings (bloom on
+    * term) + doc lengths, bump the stats sidecar. Batches must not
+    * re-send already-indexed doc_ids (append-only corpus — the
+    * [[LshIndex]] `check`-then-append door is the dedup gate). */
+  def append(docs: DataFrame, root: String, idCol: String = "doc_id",
+             textCol: String = "text"): Unit = {
+    // localCheckpoint: the batch postings feed three consumers
+    // (postings append, doclen append, stats roll-up) — tokenize once
+    val p = postingsOf(docs, idCol, textCol).localCheckpoint(true)
+    VersionedTable.appendWithBloomIndex(p, postingsRoot(root), "term")
+    val dl = p.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    VersionedTable.append(dl, doclenRoot(root))
+    // one 1-row driver aggregate — the O(1) stats delta
+    val row = dl.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("dl")), lit(0L)).as("s")).head()
+    val (n0, s0) = stats(root)
+    writeStats(root, n0 + row.getLong(0), s0 + row.getLong(1))
+  }
+
+  /** The committed postings `(doc_id, term, tf)` — full scan (for
+    * audits / term-statistics rollups; serving goes through the
+    * pruned path below). */
+  def postings(spark: SparkSession, root: String): DataFrame =
+    VersionedTable.read(spark, postingsRoot(root))
+
+  /** Top-`k` docs by BM25 over `terms` — `(doc_id, n_terms, bm25)`,
+    * ties broken by doc_id. Touches: the query terms' posting files
+    * (bloom-pruned listing), the doclen table (candidate-doc join),
+    * and the 2-scalar stats sidecar. Never the corpus text. */
+  def searchBm25(spark: SparkSession, root: String, terms: Seq[String],
+                 k: Int): DataFrame = {
+    require(terms.nonEmpty, "searchBm25 needs at least one term")
+    val (nDocs, sumDl) = stats(root)
+    require(nDocs > 0, s"empty index at $root")
+    val avgdl = sumDl.toDouble / nDocs
+    val tf = VersionedTable.readWhereEq(spark, postingsRoot(root), "term", terms)
+    // document frequency per query term — exact, from the term's own
+    // postings (the pruned read returns ALL rows of each probed term)
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = VersionedTable.read(spark, doclenRoot(root))
+    val score =
+      log((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1)) *
+        (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl)))
+    tf.join(broadcast(dft), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("s", round(score, 6))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("s").cast(DecimalType(18, 6))).cast(DoubleType).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -858,6 +858,34 @@ object SimilarityQueries extends QueryModule {
         SELECT CAST(t.cl AS BIGINT) AS cluster, t.n_vecs,
                top.top_label, top.top_n
         FROM t JOIN top ON t.cl = top.cl AND top.rn = 1
-        ORDER BY cluster"""))
+        ORDER BY cluster""")),
+
+    // EXACT fixed-point Gram / sufficient-statistics matrix
+    // ([[graft.operators.LinAlg]]): one map-side-combinable agg whose
+    // shuffle carries a single 2145-cell buffer per partition — the
+    // one-pass PCA/covariance primitive. The bias row (i=0) carries
+    // n·scale² and the per-dim sums, so mean + covariance numerators
+    // all derive from this frame. The oracle computes the SAME matrix
+    // the way the agg avoids — explode to N·d rows and self-join to
+    // N·d² — certifying every integer of the fast path.
+    "q224_gram_matrix" -> Q(
+      run = (s, dir) =>
+        graft.operators.LinAlg.gramWithBias(
+          Tables(s, dir, "embeddings").select(col("embedding")),
+          col("embedding"), 64)
+          .orderBy(col("i"), col("j")),
+      oracle = Some("""
+        WITH q AS (
+          SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i,
+                 CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1024) AS BIGINT) AS qx
+          FROM embeddings),
+        qq AS (
+          SELECT vec_id, CAST(0 AS BIGINT) AS i, CAST(1024 AS BIGINT) AS qx
+          FROM embeddings
+          UNION ALL SELECT vec_id, i, qx FROM q)
+        SELECT a.i AS i, b.i AS j,
+               CAST(SUM(CAST(a.qx AS DECIMAL(18,0)) * b.qx) AS DECIMAL(38,0)) AS s
+        FROM qq a JOIN qq b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY 1, 2 ORDER BY i, j"""))
   )
 }

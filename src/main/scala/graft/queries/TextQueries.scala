@@ -3015,7 +3015,57 @@ object TextQueries extends QueryModule {
           SELECT b.source, b.n_docs, b.n_tokens,
                  COALESCE(d.n_dup_docs, 0) AS n_dup_docs, b.n_long
           FROM base b LEFT JOIN dups d USING (source)
-          ORDER BY source"""))
+          ORDER BY source""")),
+
+      // PERSISTED INVERTED INDEX door + serve ([[TextIndex]]): the
+      // corpus is indexed in TWO batches (build + O(batch) append —
+      // the daily-ingest door) and the query is answered from the
+      // INDEX — bloom-pruned postings reads for the query terms + the
+      // 2-scalar stats sidecar + the doclen join — never from the
+      // corpus text. Scoring is q140's BM25 contract bit-for-bit, so
+      // the oracle recomputes the SAME answer from scratch: an index
+      // must return exactly what the scan would.
+      "q223_text_index_bm25" -> Q(
+        run = (s, dir) => {
+          val root = tempRoot("graft_q223").resolve("ix").toString
+          val docs = Tables(s, dir, "documents")
+            .select(col("doc_id"), col("text"))
+          graft.operators.TextIndex.build(
+            docs.filter(col("doc_id") % 10 =!= 0), root)
+          graft.operators.TextIndex.append(
+            docs.filter(col("doc_id") % 10 === 0), root)
+          // query-term selection (3 hottest by collection frequency) is
+          // a stats rollup over the postings — a 3-row driver take
+          val terms = graft.operators.TextIndex.postings(s, root)
+            .groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+            .orderBy(col("cf").desc, col("term")).limit(3)
+            .select(col("term")).collect().map(_.getString(0)).toSeq
+          graft.operators.TextIndex.searchBm25(s, root, terms, 10)
+        },
+        oracle = Some("""
+          WITH toks AS (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+          tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM toks WHERE term <> '' GROUP BY 1, 2),
+          dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+          qt AS (SELECT term, df FROM (
+                   SELECT term, CAST(SUM(tf) AS BIGINT) AS cf,
+                          COUNT(*) AS df
+                   FROM tf GROUP BY term)
+                 ORDER BY cf DESC, term LIMIT 3),
+          g AS (SELECT COUNT(*) AS n_docs,
+                       CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+          sc AS (
+            SELECT tf.doc_id,
+                   ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1) *
+                         (tf * 2.2) /
+                         (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS s
+            FROM tf JOIN qt USING (term) JOIN dl USING (doc_id) CROSS JOIN g)
+          SELECT doc_id, COUNT(*) AS n_terms,
+                 CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+          FROM sc GROUP BY doc_id
+          ORDER BY bm25 DESC, doc_id LIMIT 10"""))
     )
   }
 }

@@ -128,7 +128,11 @@ class PlanAuditSpec extends SparkSuite {
       "q75_sequence_pack", "q95_token_budget_sample", "q100_token_shards",
       // PartitionOffsetKeyGen inside the silver path: same prefix-sum-
       // over-partition-totals shape as q75
-      "cau_4_decimal"))
+      "cau_4_decimal",
+      // global GramAgg: ONE dim²/2 buffer per partition reaches the
+      // final agg (q17's scalar-aggregate shape — the corpus never
+      // moves); the 2145-row triangle join/sort after is dim-sized
+      "q224_gram_matrix"))
 
   test("every plan is free of non-allowlisted scale anti-patterns") {
     val violations = scala.collection.mutable.ListBuffer.empty[String]

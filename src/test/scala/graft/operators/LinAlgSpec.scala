@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class LinAlgSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+
+  private def asMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => ((r.getLong(0), r.getLong(1)),
+      r.getDecimal(2).toBigInteger)).toMap
+
+  test("gramFixedPoint == brute-force integer recompute") {
+    val got = asMap(LinAlg.gramFixedPoint(emb, col("embedding"), 64))
+    val vecs = emb.collect().map(_.getSeq[Float](1).toArray)
+    val q = vecs.map(_.map(x => math.floor(x.toDouble * 1024).toLong))
+    val dim = 64
+    for (i <- 0 until dim; j <- i until dim) {
+      val expect = q.map(v => BigInt(v(i)) * BigInt(v(j))).sum
+      assert(got((i.toLong, j.toLong)) == expect.bigInteger,
+        s"cell ($i,$j)")
+    }
+    assert(got.size == dim * (dim + 1) / 2)
+  }
+
+  test("gramWithBias bias row carries n·scale² and scale·sums") {
+    val n = emb.count()
+    val got = asMap(LinAlg.gramWithBias(emb, col("embedding"), 64))
+    assert(got((0L, 0L)) == (BigInt(n) * 1024L * 1024L).bigInteger)
+    val q0 = emb.collect()
+      .map(r => math.floor(r.getSeq[Float](1).head.toDouble * 1024).toLong)
+      .map(BigInt(_)).sum
+    assert(got((0L, 1L)) == (q0 * 1024L).bigInteger)
+    assert(got.size == 65 * 66 / 2)
+  }
+
+  test("partition-layout invariance (merge path)") {
+    val a = asMap(LinAlg.gramFixedPoint(emb.repartition(13), col("embedding"), 64))
+    val b = asMap(LinAlg.gramFixedPoint(emb.coalesce(1), col("embedding"), 64))
+    assert(a == b)
+  }
+
+  test("BigInt spill path: cells past 2^59 stay exact") {
+    import spark.implicits._
+    // q = floor(512·2^20) = 2^29 → each product 2^58; 8 rows → 2^61,
+    // past the 2^59 at-rest flush threshold → exercises the spill
+    val big = Seq.fill(8)(Array(512.0f)).toDF("v").repartition(3)
+    val got = asMap(
+      LinAlg.gramFixedPoint(big, col("v"), 1, scale = 1L << 20)
+        .select(col("i"), col("j"), col("s")))
+    assert(got((0L, 0L)) == (BigInt(8) * (BigInt(1) << 58)).bigInteger)
+  }
+
+  test("quantized elements past 2^30 are rejected, not silently wrong") {
+    import spark.implicits._
+    val huge = Seq(Array(3.0e9f)).toDF("v")
+    val ex = intercept[Exception] {
+      LinAlg.gramFixedPoint(huge, col("v"), 1).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+}

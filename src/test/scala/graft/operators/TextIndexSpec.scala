@@ -1,0 +1,98 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class TextIndexSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+    .select(col("doc_id"), col("text"))
+  private def tmpRoot(): String =
+    Files.createTempDirectory("graft_text_idx").resolve("i").toString
+
+  private def postingsSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id", "term", "tf").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  test("incremental build (base + append) == one-shot build, postings and stats") {
+    val oneShot = tmpRoot(); val incr = tmpRoot()
+    TextIndex.build(docs, oneShot)
+    TextIndex.build(docs.filter(col("doc_id") % 3 =!= 0), incr)
+    TextIndex.append(docs.filter(col("doc_id") % 3 === 0), incr)
+    assert(postingsSet(TextIndex.postings(spark, oneShot)) ==
+      postingsSet(TextIndex.postings(spark, incr)))
+    assert(TextIndex.stats(oneShot) == TextIndex.stats(incr))
+    val (nDocs, sumDl) = TextIndex.stats(oneShot)
+    // stats sidecar == aggregate of the postings it summarizes
+    val agg = TextIndex.postings(spark, oneShot)
+      .agg(countDistinct(col("doc_id")), sum(col("tf"))).head()
+    assert(nDocs == agg.getLong(0) && sumDl == agg.getLong(1))
+  }
+
+  test("searchBm25 from the index == from-scratch corpus BM25 (q140 contract)") {
+    val root = tmpRoot()
+    TextIndex.build(docs.filter(col("doc_id") % 10 =!= 0), root)
+    TextIndex.append(docs.filter(col("doc_id") % 10 === 0), root)
+    val terms = TextIndex.postings(spark, root)
+      .groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+      .orderBy(col("cf").desc, col("term")).limit(3)
+      .select("term").collect().map(_.getString(0)).toSeq
+
+    // from-scratch reference: identical scoring over a fresh tokenize
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val st = dl.agg(count(lit(1)), sum(col("dl"))).head()
+    val (nDocs, sumDl) = (st.getLong(0), st.getLong(1))
+    val avgdl = sumDl.toDouble / nDocs
+    val dft = tf.filter(col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val score =
+      log((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1)) *
+        (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl)))
+    val expect = tf.filter(col("term").isin(terms: _*))
+      .join(broadcast(dft), Seq("term")).join(dl, Seq("doc_id"))
+      .withColumn("s", round(score, 6))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("s").cast(DecimalType(18, 6))).cast(DoubleType).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    val got = TextIndex.searchBm25(spark, root, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
+  test("term probe opens fewer files than the postings table holds (bloom prune)") {
+    import spark.implicits._
+    val root = tmpRoot()
+    // several appends → several posting files with per-file blooms;
+    // one batch carries a synthetic doc holding a UNIQUE token, so
+    // that term's postings provably live in a single batch's files
+    TextIndex.build(docs.filter(col("doc_id") % 4 === 0)
+      .repartition(4), root)
+    for (r <- 1 to 2)
+      TextIndex.append(docs.filter(col("doc_id") % 4 === r)
+        .repartition(4), root)
+    val rare = "xq_unique_probe_token"
+    TextIndex.append(
+      Seq((9999999L, s"$rare only here")).toDF("doc_id", "text"), root)
+    val pruned = graft.sources.VersionedTable
+      .readWhereEq(spark, s"$root/postings", "term", Seq(rare))
+    val total = TextIndex.postings(spark, root).inputFiles.length
+    val opened = pruned.inputFiles.length
+    info(s"files: opened $opened of $total for rare term '$rare'")
+    assert(opened < total)
+    assert(pruned.count() == 1)
+  }
+}
