@@ -62,4 +62,31 @@ object LinAlg {
     gramFixedPoint(
       df.select(concat(array(lit(1.0f)), vecCol).as("__v")),
       col("__v"), dim + 1, scale)
+
+  /** The Achlioptas ±1 sign matrix (k×dim) for [[randomProject]]:
+    * sign(j,i) = +1 iff md5("j_i")'s first hex char is 0-7 — a pure
+    * function of (j, i), so any engine (and the SQL oracle) rebuilds
+    * the identical matrix from the two integers alone. */
+  def jlSigns(k: Int, dim: Int): Array[Array[Byte]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(k, dim) { (j, i) =>
+      val hex = md.digest(s"${j}_${i}".getBytes("UTF-8"))
+      md.reset()
+      // first hex char 0-7 ⇔ top bit of the first byte is 0
+      if ((hex(0) & 0x80) == 0) 1.toByte else (-1).toByte
+    }
+  }
+
+  /** Johnson–Lindenstrauss projection of `vecCol` (length `dim`) to
+    * `k` exact fixed-point coordinates — map-local (ONE native
+    * expression, sign matrix as a plan-time field, no join and no
+    * shuffle), the dimensionality-reduction front end for cheaper
+    * ANN / clustering at 100 TB. Appends `outCol` as array<long>
+    * where `y_j = Σ_i sign(j,i)·floor(x_i·scale)`. */
+  def randomProject(df: DataFrame, vecCol: Column, dim: Int, k: Int,
+                    outCol: String = "proj",
+                    scale: Long = 1024L): DataFrame =
+    df.withColumn(outCol,
+      graft.plans.ProjectionExpressions.signProject(
+        vecCol, jlSigns(k, dim), scale))
 }

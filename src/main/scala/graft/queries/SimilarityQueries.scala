@@ -886,6 +886,38 @@ object SimilarityQueries extends QueryModule {
         SELECT a.i AS i, b.i AS j,
                CAST(SUM(CAST(a.qx AS DECIMAL(18,0)) * b.qx) AS DECIMAL(38,0)) AS s
         FROM qq a JOIN qq b ON a.vec_id = b.vec_id AND a.i <= b.i
-        GROUP BY 1, 2 ORDER BY i, j"""))
+        GROUP BY 1, 2 ORDER BY i, j""")),
+
+    // Johnson–Lindenstrauss ±1 random projection (Achlioptas 2003) in
+    // exact fixed point ([[graft.operators.LinAlg.randomProject]]):
+    // ONE map-local native expression with the md5-derived sign
+    // matrix as a plan-time field — no join, no shuffle, O(1) plan
+    // size. Signs are a pure function of (j, i), so the oracle
+    // REBUILDS the matrix in SQL and replays the projection exactly —
+    // the dimensionality-reduction front end for ANN/clustering is
+    // itself oracle-checked, not spec-bounded.
+    "q225_random_projection" -> Q(
+      run = (s, dir) =>
+        graft.operators.LinAlg.randomProject(
+          Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+          col("embedding"), 64, 16)
+          .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "y")))
+          .select(col("vec_id"), col("j").cast(LongType).as("j"), col("y"))
+          .orderBy("vec_id", "j"),
+      oracle = Some("""
+        WITH q AS (
+          SELECT vec_id,
+                 CAST(generate_subscripts(embedding, 1) AS BIGINT) - 1 AS i,
+                 CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1024) AS BIGINT) AS qx
+          FROM embeddings),
+        s AS (
+          SELECT j.j, i.i,
+                 CASE WHEN substr(md5(j.j || '_' || i.i), 1, 1)
+                           BETWEEN '0' AND '7' THEN 1 ELSE -1 END AS sgn
+          FROM range(16) j(j), range(64) i(i))
+        SELECT q.vec_id, CAST(s.j AS BIGINT) AS j,
+               CAST(SUM(s.sgn * q.qx) AS BIGINT) AS y
+        FROM q JOIN s USING (i)
+        GROUP BY 1, 2 ORDER BY vec_id, j"""))
   )
 }

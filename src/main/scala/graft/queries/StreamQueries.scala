@@ -509,6 +509,23 @@ object StreamQueries extends QueryModule {
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
         GROUP BY 1 ORDER BY 1""")),
 
+    // q52's exactly-once dedup with BOUNDED state:
+    // dropDuplicatesWithinWatermark evicts dedup state past the
+    // watermark horizon — O(horizon), not O(all keys ever), the form
+    // that survives an unbounded keyspace. Replay duplicates carry
+    // identical event times (always inside the delay), so the output
+    // still equals the single-copy batch aggregate.
+    "q226_stream_dedup_watermark" -> Q(
+      run = (s, dir) =>
+        StreamingJobs.runDedupWithinWatermarkAvailableNow(
+          s, dir, "graft_stream_dedup_wm")
+          .orderBy("event_type"),
+      oracle = Some("""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      bench = false),
+
     // STREAMING materialized view (runViewMaintenanceAvailableNow):
     // the full incremental story composed end to end — each
     // micro-batch lands as a versioned-table append AND the hourly

@@ -125,6 +125,37 @@ object StreamingJobs {
     spark.table(queryName)
   }
 
+  /** [[runDedupAvailableNow]] with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` evicts a key's dedup state once
+    * the watermark passes its event time + delay, so state is
+    * O(events inside the watermark horizon) instead of O(every key
+    * ever seen) — the shape that survives an unbounded keyspace at
+    * 100 TB/day. Correct whenever duplicates arrive within the delay
+    * of each other (true for replay/retry duplication: the copies
+    * carry the SAME event time); the plain dropDuplicates variant is
+    * for keys that may recur arbitrarily late. Oracle: the
+    * single-copy batch aggregate, same as q52. */
+  def runDedupWithinWatermarkAvailableNow(spark: SparkSession, dir: String,
+                                          queryName: String): DataFrame = {
+    val once = readEvents(spark, dir)
+    val atLeastOnce = once.union(readEvents(spark, dir))
+    val q = atLeastOnce
+      .withWatermark("ts", "24 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("val_sum"))
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming upsert sink: foreachBatch → VersionedTable.merge — the
     * idiomatic upgrade of the reference's blind daily appends
     * (SURVEY.md §2.10: "foreachBatch upsert via DeltaTable.merge"),

@@ -55,6 +55,46 @@ class LinAlgSpec extends SparkSuite {
     assert(got((0L, 0L)) == (BigInt(8) * (BigInt(1) << 58)).bigInteger)
   }
 
+  test("randomProject == driver-side sign-matrix recompute; plan is map-local") {
+    val k = 16; val dim = 64
+    val got = LinAlg.randomProject(emb, col("embedding"), dim, k)
+      .select(col("vec_id"), col("proj")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val signs = LinAlg.jlSigns(k, dim)
+    emb.collect().foreach { r =>
+      val q = r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1024).toLong)
+      val expect = Array.tabulate(k)(j =>
+        (0 until dim).map(i => signs(j)(i) * q(i)).sum)
+      assert(got(r.getLong(0)).sameElements(expect))
+    }
+    // map-local: no Exchange anywhere in the projection plan
+    val plan = LinAlg.randomProject(emb, col("embedding"), dim, k)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("JL property: projected distances concentrate around the originals") {
+    val k = 16; val dim = 64
+    val rows = LinAlg.randomProject(emb.limit(200), col("embedding"), dim, k)
+      .collect()
+      .map(r => (r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getSeq[Long](2).map(_.toDouble / 1024.0).toArray))
+    val pairs = for (a <- rows.indices; b <- a + 1 until rows.length
+                     if (a + b) % 37 == 0) yield (rows(a), rows(b))
+    val ratios = pairs.flatMap { case ((xa, pa), (xb, pb)) =>
+      def d2(u: Array[Double], v: Array[Double]) =
+        u.zip(v).map { case (p, q) => (p - q) * (p - q) }.sum
+      val orig = d2(xa, xb)
+      // E[|P(x−y)|²] = k·|x−y|² for ±1 sign projections
+      if (orig > 1e-9) Some(d2(pa, pb) / (k * orig)) else None
+    }
+    val mean = ratios.sum / ratios.size
+    info(f"pairs=${ratios.size} mean distortion ratio $mean%.3f")
+    assert(mean > 0.8 && mean < 1.2)
+    // no catastrophic single-pair distortion at k=16 (loose 6x bound)
+    assert(ratios.forall(r => r > 1.0 / 6 && r < 6.0))
+  }
+
   test("quantized elements past 2^30 are rejected, not silently wrong") {
     import spark.implicits._
     val huge = Seq(Array(3.0e9f)).toDF("v")
