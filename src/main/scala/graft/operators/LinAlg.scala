@@ -89,4 +89,100 @@ object LinAlg {
     df.withColumn(outCol,
       graft.plans.ProjectionExpressions.signProject(
         vecCol, jlSigns(k, dim), scale))
+
+  /** Sign-symmetric division `sign(a)·(|a| div b)` for the
+    * power-iteration rescale: on NEGATIVES, floor (DuckDB BIGINT
+    * `//`) and truncation (BigInt `/`, DuckDB HUGEINT `//` —
+    * measured: the two DuckDB operators disagree) give different
+    * quotients, so the portable rule divides magnitudes — positive
+    * division is unambiguous in every engine, and the oracle writes
+    * it the same way (`sign(w)·(abs(w)·2²⁰ // m)`). */
+  private def signDiv(a: BigInt, b: BigInt): BigInt =
+    (a.abs / b) * a.signum
+
+  /** max|entry|-rescale to the 2²⁰ fixed-point grid ([[signDiv]]). */
+  private def rescale(m: Array[Array[BigInt]]): Array[Array[BigInt]] = {
+    val mx = m.flatten.map(_.abs).max
+    if (mx.signum == 0) m else m.map(_.map(x => signDiv(x << 20, mx)))
+  }
+
+  /** Dominant second-moment direction (the top "PCA" component,
+    * uncentered) by EXACT INTEGER repeated SQUARING of the
+    * [[gramFixedPoint]] matrix: `G^(2^squarings)` amplifies the
+    * spectral gap exponentially (plain power iteration needs ~100
+    * rounds on a near-isotropic spectrum — measured; 7 squarings
+    * ≡ 128 rounds), with every product rescaled to max|entry| = 2²⁰
+    * by [[signDiv]] — no float normalization anywhere, so the whole
+    * trajectory is a pure integer function of the data that the SQL
+    * oracle replays CTE-for-CTE ([[pcaOracleSql]]). The Gram triangle
+    * is the ONLY driver traffic (dim²/2 rows — dim-sized; the corpus
+    * stays distributed; the d³ squarings are microseconds), and the
+    * returned vector (`A·1`, rescaled) rides back into the plan as a
+    * [[graft.plans.FixedDot]] constant. */
+  def topComponentFixedPoint(df: DataFrame, vecCol: Column, dim: Int,
+                             scale: Long = 1024L,
+                             squarings: Int = 7): Array[Long] = {
+    val tri = gramFixedPoint(df, vecCol, dim, scale).collect()
+    val g = Array.ofDim[BigInt](dim, dim)
+    tri.foreach { r =>
+      val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      val s = BigInt(r.getDecimal(2).toBigInteger)
+      g(i)(j) = s; g(j)(i) = s
+    }
+    var a = rescale(g)
+    for (_ <- 1 to squarings) {
+      val sq = Array.tabulate(dim, dim)((i, j) =>
+        (0 until dim).map(k => a(i)(k) * a(k)(j)).sum)
+      a = rescale(sq)
+    }
+    val w = a.map(_.sum) // A·1
+    val mx = w.map(_.abs).max
+    val v = if (mx.signum == 0) w else w.map(x => signDiv(x << 20, mx))
+    v.map(_.toLong)
+  }
+
+  /** The DuckDB replay of [[topComponentFixedPoint]] + projection —
+    * gram self-join, `squarings` rescaled matrix squarings, row-sum
+    * extraction, corpus projection. Kept next to the operator so the
+    * arithmetic can only drift in one place. */
+  def pcaOracleSql(table: String, idCol: String, vecCol: String,
+                   squarings: Int = 7): String = {
+    def rs(src: String): String =
+      s"CAST(sign(s) AS HUGEINT) * ((ABS(s) * 1048576) // " +
+        s"(SELECT MAX(ABS(s)) FROM $src))"
+    val chain = (1 to squarings).map { t =>
+      s"""        b$t AS MATERIALIZED (SELECT a.i AS i, b.j AS j, SUM(a.v * b.v) AS s
+        |               FROM a${t - 1} a JOIN a${t - 1} b ON a.j = b.i GROUP BY 1, 2),
+        |        a$t AS MATERIALIZED (SELECT i, j, ${rs(s"b$t")} AS v FROM b$t),""".stripMargin
+    }.mkString("\n")
+    s"""
+        WITH q AS MATERIALIZED (
+          SELECT $idCol,
+                 CAST(generate_subscripts($vecCol, 1) AS BIGINT) - 1 AS i,
+                 CAST(FLOOR(CAST(UNNEST($vecCol) AS DOUBLE) * 1024) AS BIGINT) AS qx
+          FROM $table),
+        gr AS MATERIALIZED (
+          SELECT a.i AS i, b.i AS j,
+                 CAST(SUM(CAST(a.qx AS DECIMAL(18,0)) * b.qx) AS HUGEINT) AS s
+          FROM q a JOIN q b ON a.$idCol = b.$idCol AND a.i <= b.i
+          GROUP BY 1, 2),
+        g0 AS MATERIALIZED (SELECT i, j, s FROM gr
+               UNION ALL SELECT j, i, s FROM gr WHERE i < j),
+        a0 AS MATERIALIZED (SELECT i, j, ${rs("g0")} AS v FROM g0),
+$chain
+        w AS MATERIALIZED (SELECT i, SUM(v) AS s FROM a$squarings GROUP BY i),
+        vv AS MATERIALIZED (SELECT i, ${rs("w")} AS v FROM w)
+        SELECT q.$idCol, CAST(SUM(vv.v * q.qx) AS BIGINT) AS p
+        FROM q JOIN vv USING (i)
+        GROUP BY 1 ORDER BY $idCol"""
+  }
+
+  /** Map-local projection of every vector onto an integer weight
+    * vector (e.g. [[topComponentFixedPoint]]'s output): appends
+    * `outCol = Σ_i w_i·floor(x_i·scale)` as an exact long — the
+    * corpus-wide PCA-ordering / outlier-trimming pass, no shuffle. */
+  def projectFixed(df: DataFrame, vecCol: Column, weights: Array[Long],
+                   outCol: String = "p", scale: Long = 1024L): DataFrame =
+    df.withColumn(outCol,
+      graft.plans.ProjectionExpressions.fixedDot(vecCol, weights, scale))
 }

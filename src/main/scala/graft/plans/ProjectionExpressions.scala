@@ -63,9 +63,47 @@ case class SignProject(child: Expression, signs: Array[Array[Byte]],
     copy(child = newChild)
 }
 
+/** Fixed-point dot product against a constant integer weight vector
+  * (plan-time field): `y = Σ_i w_i · floor(x_i · scale)` — the
+  * map-local projection step of [[graft.operators.LinAlg]]'s PCA
+  * path. Overflow headroom: |y| ≤ d · max|w| · max|q|; callers keep
+  * `max|w| ≤ 2^20` (the power-iteration rescale bound), so d ≤ 2^12
+  * and |q| < 2^30 stay far inside long. */
+case class FixedDot(child: Expression, weights: Array[Long], scale: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  private val dim = weights.length
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fixed_dot"
+
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    require(x.numElements() == dim,
+      s"fixed_dot expects $dim elements, got ${x.numElements()}")
+    var s = 0L; var i = 0
+    while (i < dim) {
+      val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      s += weights(i) * math.floor(v * scale).toLong
+      i += 1
+    }
+    s
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FixedDot =
+    copy(child = newChild)
+}
+
 object ProjectionExpressions {
   def signProject(vec: Column, signs: Array[Array[Byte]],
                   scale: Long): Column =
     ColumnBridge.column(
       SignProject(ColumnBridge.expression(vec), signs, scale))
+
+  def fixedDot(vec: Column, weights: Array[Long], scale: Long): Column =
+    ColumnBridge.column(
+      FixedDot(ColumnBridge.expression(vec), weights, scale))
 }

@@ -918,6 +918,30 @@ object SimilarityQueries extends QueryModule {
         SELECT q.vec_id, CAST(s.j AS BIGINT) AS j,
                CAST(SUM(s.sgn * q.qx) AS BIGINT) AS y
         FROM q JOIN s USING (i)
-        GROUP BY 1, 2 ORDER BY vec_id, j"""))
+        GROUP BY 1, 2 ORDER BY vec_id, j""")),
+
+    // PCA top-component projection, EXACT end to end
+    // ([[graft.operators.LinAlg.topComponentFixedPoint]]): the Gram
+    // triangle (dim-sized — the only driver traffic) feeds 7 rescaled
+    // integer matrix SQUARINGS (≡ 128 plain power rounds — needed on
+    // this near-isotropic spectrum, measured in LinAlgSpec); the
+    // resulting weight vector rides back as a FixedDot plan constant
+    // for a map-local corpus projection. No float normalization
+    // anywhere, so the oracle REPLAYS the identical squaring chain in
+    // HUGEINT ([[graft.operators.LinAlg.pcaOracleSql]] — generated
+    // beside the operator so the arithmetic can only drift in one
+    // place) — distributed PCA certified bit-for-bit.
+    "q227_pca_projection" -> Q(
+      run = (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val v = graft.operators.LinAlg.topComponentFixedPoint(
+          emb, col("embedding"), 64)
+        graft.operators.LinAlg.projectFixed(emb, col("embedding"), v)
+          .select(col("vec_id"), col("p"))
+          .orderBy("vec_id")
+      },
+      oracle = Some(graft.operators.LinAlg.pcaOracleSql(
+        "embeddings", "vec_id", "embedding")))
   )
 }

@@ -95,6 +95,40 @@ class LinAlgSpec extends SparkSuite {
     assert(ratios.forall(r => r > 1.0 / 6 && r < 6.0))
   }
 
+  test("topComponentFixedPoint aligns with the float-space dominant eigenvector") {
+    val v = LinAlg.topComponentFixedPoint(emb, col("embedding"), 64)
+    // float reference: 50 normalized power-iteration rounds on the
+    // double Gram matrix (plenty past the integer path's 3)
+    val vecs = emb.collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val g = Array.ofDim[Double](64, 64)
+    vecs.foreach { x =>
+      for (i <- 0 until 64; j <- 0 until 64) g(i)(j) += x(i) * x(j)
+    }
+    var u = Array.fill(64)(1.0)
+    for (_ <- 1 to 50) {
+      val w = Array.tabulate(64)(i => (0 until 64).map(j => g(i)(j) * u(j)).sum)
+      val n = math.sqrt(w.map(x => x * x).sum)
+      u = w.map(_ / n)
+    }
+    val vn = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+    val cos = math.abs(v.zip(u).map { case (a, b) => a * b }.sum) / vn
+    info(f"cosine(integer 7-squaring, float 50-round) = $cos%.4f")
+    assert(cos > 0.98)
+  }
+
+  test("projectFixed == driver dot recompute; plan is map-local") {
+    val v = LinAlg.topComponentFixedPoint(emb, col("embedding"), 64)
+    val proj = LinAlg.projectFixed(emb, col("embedding"), v)
+    assert(!proj.queryExecution.executedPlan.toString.contains("Exchange"))
+    val got = proj.select(col("vec_id"), col("p")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    emb.collect().foreach { r =>
+      val q = r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1024).toLong)
+      val expect = v.zip(q).map { case (w, x) => w * x }.sum
+      assert(got(r.getLong(0)) == expect)
+    }
+  }
+
   test("quantized elements past 2^30 are rejected, not silently wrong") {
     import spark.implicits._
     val huge = Seq(Array(3.0e9f)).toDF("v")
