@@ -509,6 +509,47 @@ object ScaleProbe {
       }
       spark.stop(); return
     }
+    // TextIndex door + serve (`runMain graft.ScaleProbe tix`): does the
+    // inverted index track the BATCH on ingest and the ANSWER on serve?
+    // Corpus at 1x/4x/10x committed in 4 appends each; then (a) one
+    // more fixed-size append is timed (must stay flat — O(batch)
+    // tokenize + append, never a corpus re-sign), and (b) a unique
+    // term's postings probe counts files OPENED vs files total (must
+    // stay ~(true files + fpp·total) while total grows — the bloom
+    // listing prune).
+    if (args.contains("tix")) {
+      for (mult <- Seq(1, 4, 10)) {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_probe_tix").resolve("ix").toString
+        val c = corpus(mult).repartition(8 * mult).localCheckpoint(true)
+        val n = c.count()
+        graft.operators.TextIndex.build(
+          c.filter(col("doc_id") % 4 === 0), root)
+        for (r <- 1 to 3)
+          graft.operators.TextIndex.append(
+            c.filter(col("doc_id") % 4 === r), root)
+        val batch = base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + lit(900000000L)).as("doc_id"),
+            concat(col("text"), lit(" tixprobe_unique_term")).as("text"))
+          .localCheckpoint(true)
+        val nb = batch.count()
+        val t0 = System.nanoTime()
+        graft.operators.TextIndex.append(batch, root)
+        val ingest = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val pruned = graft.sources.VersionedTable.readWhereEq(
+          spark, s"$root/postings", "term", Seq("tixprobe_unique_term"))
+        val hits = pruned.count()
+        val serve = (System.nanoTime() - t1) / 1e9
+        val opened = pruned.inputFiles.length
+        val total = graft.operators.TextIndex.postings(spark, root)
+          .inputFiles.length
+        println(f"[probe] mult=$mult%2d corpus=$n%7d batch=$nb%6d " +
+          f"ingest $ingest%6.2f s  serve $serve%5.2f s " +
+          f"files_opened=$opened%3d/$total%3d rows=$hits")
+      }
+      spark.stop(); return
+    }
     if (args.contains("mv")) {
       val orders = graft.core.Tables(spark, "/root/testdata/sf0.1", "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))

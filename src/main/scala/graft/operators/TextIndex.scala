@@ -93,9 +93,15 @@ object TextIndex {
   /** O(batch) ingest: tokenize ONLY `docs`, append postings (bloom on
     * term) + doc lengths, bump the stats sidecar. Batches must not
     * re-send already-indexed doc_ids (append-only corpus — the
-    * [[LshIndex]] `check`-then-append door is the dedup gate). */
+    * [[LshIndex]] `check`-then-append door is the dedup gate).
+    * Self-initializing on a fresh root (streaming sinks call append
+    * only, never build). */
   def append(docs: DataFrame, root: String, idCol: String = "doc_id",
              textCol: String = "text"): Unit = {
+    if (!statsFile(root).exists()) {
+      new File(root).mkdirs()
+      writeStats(root, 0L, 0L)
+    }
     // localCheckpoint: the batch postings feed three consumers
     // (postings append, doclen append, stats roll-up) — tokenize once
     val p = postingsOf(docs, idCol, textCol).localCheckpoint(true)

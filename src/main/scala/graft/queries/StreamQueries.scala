@@ -526,6 +526,52 @@ object StreamQueries extends QueryModule {
         FROM events GROUP BY event_type ORDER BY event_type"""),
       bench = false),
 
+    // STREAMING inverted-index maintenance capstone: the documents
+    // stream (3 files → 3 micro-batches, maxFilesPerTrigger=1) drains
+    // into the persisted TextIndex through the exactly-once batchId
+    // door; serving then answers BM25 from the INDEX alone. The
+    // oracle recomputes the same top-10 from the corpus text — the
+    // streamed index must be indistinguishable from a from-scratch
+    // scan (q223's contract reached through the streaming door).
+    "q228_stream_text_index" -> Q(
+      run = (s, dir) => {
+        val in = tempRoot("graft_q228_in").resolve("p").toString
+        val ix = tempRoot("graft_q228_ix").resolve("ix").toString
+        Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+          .repartition(3).write.mode("overwrite").parquet(in)
+        StreamingJobs.runTextIndexIngestAvailableNow(s, in, ix)
+        val terms = graft.operators.TextIndex.postings(s, ix)
+          .groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+          .orderBy(col("cf").desc, col("term")).limit(3)
+          .select(col("term")).collect().map(_.getString(0)).toSeq
+        graft.operators.TextIndex.searchBm25(s, ix, terms, 10)
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM toks WHERE term <> '' GROUP BY 1, 2),
+        dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        qt AS (SELECT term, df FROM (
+                 SELECT term, CAST(SUM(tf) AS BIGINT) AS cf,
+                        COUNT(*) AS df
+                 FROM tf GROUP BY term)
+               ORDER BY cf DESC, term LIMIT 3),
+        g AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        sc AS (
+          SELECT tf.doc_id,
+                 ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1) *
+                       (tf * 2.2) /
+                       (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS s
+          FROM tf JOIN qt USING (term) JOIN dl USING (doc_id) CROSS JOIN g)
+        SELECT doc_id, COUNT(*) AS n_terms,
+               CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+        FROM sc GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT 10"""),
+      bench = false),
+
     // STREAMING materialized view (runViewMaintenanceAvailableNow):
     // the full incremental story composed end to end — each
     // micro-batch lands as a versioned-table append AND the hourly

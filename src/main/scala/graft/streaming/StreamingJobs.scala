@@ -156,6 +156,57 @@ object StreamingJobs {
     spark.table(queryName)
   }
 
+  /** STREAMING retrieval-index maintenance — the
+    * [[graft.operators.TextIndex]] ingest door as a real streaming
+    * sink: each micro-batch of documents is tokenized and appended to
+    * the persisted inverted index (postings + doclen + stats, all
+    * O(batch)), so the index trails the document stream and serving
+    * ([[graft.operators.TextIndex.searchBm25]]) never re-reads the
+    * corpus. Exactly-once per the q192 batchId-sidecar pattern: a
+    * replayed micro-batch (failed-batch re-run) is skipped instead of
+    * double-appending its postings. */
+  def runTextIndexIngestAvailableNow(spark: SparkSession, inputDir: String,
+                                     indexRoot: String): Unit = {
+    new java.io.File(indexRoot).mkdirs()
+    def lastCommitted: Long = {
+      val f = new java.io.File(indexRoot, "_last_batch")
+      if (!f.exists()) -1L
+      else new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    }
+    def commitBatchId(id: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempFile(
+        new java.io.File(indexRoot).toPath, "_lb", ".tmp")
+      java.nio.file.Files.write(tmp,
+        id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp,
+        new java.io.File(indexRoot, "_last_batch").toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", 1)
+      .schema(schema)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        if (batchId > lastCommitted) {
+          graft.operators.TextIndex.append(batch.toDF(), indexRoot)
+          commitBatchId(batchId)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Streaming upsert sink: foreachBatch → VersionedTable.merge — the
     * idiomatic upgrade of the reference's blind daily appends
     * (SURVEY.md §2.10: "foreachBatch upsert via DeltaTable.merge"),

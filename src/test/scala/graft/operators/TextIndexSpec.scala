@@ -73,6 +73,24 @@ class TextIndexSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming ingest door == batch build; job re-run is a no-op (batchId sidecar)") {
+    val in = Files.createTempDirectory("graft_tix_in").resolve("p").toString
+    val ix = tmpRoot()
+    docs.repartition(3).write.mode("overwrite").parquet(in)
+    graft.streaming.StreamingJobs.runTextIndexIngestAvailableNow(spark, in, ix)
+    val ref = tmpRoot()
+    TextIndex.build(docs, ref)
+    assert(postingsSet(TextIndex.postings(spark, ix)) ==
+      postingsSet(TextIndex.postings(spark, ref)))
+    assert(TextIndex.stats(ix) == TextIndex.stats(ref))
+    // a fresh run over the same input replays batchIds 0..2 — the
+    // sidecar must swallow them instead of double-appending
+    graft.streaming.StreamingJobs.runTextIndexIngestAvailableNow(spark, in, ix)
+    assert(TextIndex.stats(ix) == TextIndex.stats(ref))
+    assert(postingsSet(TextIndex.postings(spark, ix)).size ==
+      postingsSet(TextIndex.postings(spark, ref)).size)
+  }
+
   test("term probe opens fewer files than the postings table holds (bloom prune)") {
     import spark.implicits._
     val root = tmpRoot()
