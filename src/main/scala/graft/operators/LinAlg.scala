@@ -54,6 +54,28 @@ object LinAlg {
       .select(col("i"), col("j"), col("s"))
   }
 
+  /** PER-GROUP Gram matrices in the SAME one-pass aggregate (the
+    * class-conditional second moments — Fisher/LDA sufficient
+    * statistics, per-domain feature covariance): `(group, i, j, s)`,
+    * one dim²/2 buffer per group per partition, map-side combined.
+    * Group cardinality is the scale dial: the shuffle carries
+    * |groups|·dim²/2 cells, fine for labels/domains/languages, not
+    * for per-document grouping. */
+  def gramByGroup(df: DataFrame, groupCol: String, vecCol: Column,
+                  dim: Int, scale: Long = 1024L): DataFrame = {
+    val spark = df.sparkSession
+    val agg = GramAgg(ColumnBridge.expression(vecCol), dim, scale)
+    val flat = df.groupBy(col(groupCol))
+      .agg(ColumnBridge.column(agg.toAggregateExpression()).as("g"))
+      .select(col(groupCol), posexplode(col("g")).as(Seq("idx", "s")))
+    val pairs = for { i <- 0 until dim; j <- i until dim } yield
+      (((2 * dim - i + 1) * i) / 2 + (j - i), i.toLong, j.toLong)
+    import spark.implicits._
+    val ix = spark.createDataset(pairs).toDF("idx", "i", "j")
+    flat.join(broadcast(ix), Seq("idx"))
+      .select(col(groupCol), col("i"), col("j"), col("s"))
+  }
+
   /** [[gramFixedPoint]] over `[1.0, vec]` — row/col 0 hold `n·scale²`
     * and `scale·Σ floor(xⱼ·scale)`: the complete sufficient statistics
     * for mean + covariance in one pass. */

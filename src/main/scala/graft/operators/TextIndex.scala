@@ -121,6 +121,48 @@ object TextIndex {
   def postings(spark: SparkSession, root: String): DataFrame =
     VersionedTable.read(spark, postingsRoot(root))
 
+  /** OPTIMIZE: rewrite the postings RANGE-CLUSTERED on `term` (one
+    * overwrite commit, blooms re-derived per file). Incremental
+    * appends interleave each batch's whole vocabulary across its own
+    * files, so every file's bloom matches every common term and the
+    * serve-time prune degrades toward a full open; after clustering,
+    * a term's rows live in 1-2 contiguous files and [[searchBm25]]
+    * opens ~that many — the Delta `OPTIMIZE ZORDER` role for the
+    * retrieval index. Query results are bit-identical before/after
+    * (same rows, new layout); time travel keeps the old layout
+    * readable. Run it on the maintenance cadence, not per batch. */
+  def optimize(spark: SparkSession, root: String,
+               targetFiles: Int = 8): Long = {
+    val p = postings(spark, root)
+      .repartitionByRange(targetFiles, col("term"), col("doc_id"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+    VersionedTable.overwriteWithBloomIndex(p, postingsRoot(root), "term")
+  }
+
+  /** TAKEDOWN: remove `docIds` from the index (the GDPR/DMCA path for
+    * the retrieval layer) — copy-on-write deletes on postings and
+    * doclen (only FILES containing a target row are rewritten;
+    * [[graft.sources.VersionedTable.delete]]), stats decremented by
+    * the removed docs' exact lengths (read BEFORE the delete). After
+    * the call, serving behaves as if the docs were never ingested —
+    * n_docs, df, avgdl all reflect the removal. COW-rewritten posting
+    * files carry no bloom line → the listing prune degrades to a
+    * conservative open for those files only; [[optimize]] restores
+    * full pruning on the maintenance cadence. */
+  def delete(spark: SparkSession, root: String, docIds: Seq[Long]): Unit = {
+    require(docIds.nonEmpty, "delete needs at least one doc id")
+    val gone = VersionedTable.read(spark, doclenRoot(root))
+      .filter(col("doc_id").isin(docIds: _*))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("s")).head()
+    VersionedTable.delete(spark, postingsRoot(root),
+      col("doc_id").isin(docIds: _*))
+    VersionedTable.delete(spark, doclenRoot(root),
+      col("doc_id").isin(docIds: _*))
+    val (n0, s0) = stats(root)
+    writeStats(root, n0 - gone.getLong(0), s0 - gone.getLong(1))
+  }
+
   /** Top-`k` docs by BM25 over `terms` — `(doc_id, n_terms, bm25)`,
     * ties broken by doc_id. Touches: the query terms' posting files
     * (bloom-pruned listing), the doclen table (candidate-doc join),

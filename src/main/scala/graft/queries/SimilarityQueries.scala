@@ -942,6 +942,65 @@ object SimilarityQueries extends QueryModule {
           .orderBy("vec_id")
       },
       oracle = Some(graft.operators.LinAlg.pcaOracleSql(
-        "embeddings", "vec_id", "embedding")))
+        "embeddings", "vec_id", "embedding"))),
+
+    // CLASS-CONDITIONAL Gram matrices (Fisher/LDA sufficient
+    // statistics, per-domain covariance) — q224's aggregate under a
+    // groupBy: one dim²/2 buffer PER LABEL per partition, map-side
+    // combined; the shuffle carries |labels|·2080 cells, never a
+    // vector. Same N·d² self-join oracle, per label.
+    "q229_group_gram" -> Q(
+      run = (s, dir) =>
+        graft.operators.LinAlg.gramByGroup(
+          Tables(s, dir, "embeddings")
+            .select(col("label").cast(LongType).as("label"),
+              col("embedding")),
+          "label", col("embedding"), 64)
+          .orderBy(col("label"), col("i"), col("j")),
+      oracle = Some("""
+        WITH q AS (
+          SELECT vec_id, CAST(label AS BIGINT) AS label,
+                 CAST(generate_subscripts(embedding, 1) AS BIGINT) - 1 AS i,
+                 CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1024) AS BIGINT) AS qx
+          FROM embeddings)
+        SELECT a.label AS label, a.i AS i, b.i AS j,
+               CAST(SUM(CAST(a.qx AS DECIMAL(18,0)) * b.qx) AS DECIMAL(38,0)) AS s
+        FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY 1, 2, 3 ORDER BY label, i, j""")),
+
+    // INCREMENTAL sufficient-statistics maintenance
+    // ([[graft.sources.MaterializedView.refreshGram]]): the Gram
+    // matrix is cell-wise ADDITIVE over appends, so the view refreshes
+    // by gram-aggregating ONLY the changes feed and adding into the
+    // stored dim²/2 cells — PCA/covariance statistics trail the
+    // corpus with O(new files) reads and dim-sized state, never a
+    // rescan. Two refreshes across an append here; the oracle
+    // recomputes the full matrix from scratch — any double-applied or
+    // missed delta breaks exact integer equality.
+    "q232_gram_view" -> Q(
+      run = (s, dir) => {
+        val src = tempRoot("graft_q232_s").resolve("t").toString
+        val view = tempRoot("graft_q232_v").resolve("v").toString
+        val emb = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        graft.sources.VersionedTable.overwrite(
+          emb.filter(col("vec_id") % 5 =!= 0), src)
+        graft.sources.MaterializedView.refreshGram(s, src, view, "embedding", 64)
+        graft.sources.VersionedTable.append(
+          emb.filter(col("vec_id") % 5 === 0), src)
+        graft.sources.MaterializedView.refreshGram(s, src, view, "embedding", 64)
+        graft.sources.MaterializedView.readGram(s, view)
+          .orderBy(col("i"), col("j"))
+      },
+      oracle = Some("""
+        WITH q AS (
+          SELECT vec_id,
+                 CAST(generate_subscripts(embedding, 1) AS BIGINT) - 1 AS i,
+                 CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1024) AS BIGINT) AS qx
+          FROM embeddings)
+        SELECT a.i AS i, b.i AS j,
+               CAST(SUM(CAST(a.qx AS DECIMAL(18,0)) * b.qx) AS DECIMAL(38,0)) AS s
+        FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY 1, 2 ORDER BY i, j"""))
   )
 }

@@ -3065,6 +3065,109 @@ object TextQueries extends QueryModule {
           SELECT doc_id, COUNT(*) AS n_terms,
                  CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS bm25
           FROM sc GROUP BY doc_id
+          ORDER BY bm25 DESC, doc_id LIMIT 10""")),
+
+      // INDEX OPTIMIZE (the Delta `OPTIMIZE ZORDER` role for the
+      // retrieval index): incremental appends interleave each batch's
+      // whole vocabulary across its files, so every file's bloom
+      // matches every common term; [[TextIndex.optimize]] rewrites
+      // the postings RANGE-CLUSTERED on term (one overwrite commit,
+      // blooms re-derived) and serving results must be BIT-IDENTICAL
+      // through the new layout — which is exactly what the oracle
+      // (the same from-scratch BM25) certifies. The prune-width gain
+      // is measured in TextIndexSpec (common-term opens shrink to the
+      // clustered file count).
+      "q230_text_index_optimize" -> Q(
+        run = (s, dir) => {
+          val root = tempRoot("graft_q230").resolve("ix").toString
+          val docs = Tables(s, dir, "documents")
+            .select(col("doc_id"), col("text"))
+          graft.operators.TextIndex.build(
+            docs.filter(col("doc_id") % 4 === 0), root)
+          for (r <- 1 to 3)
+            graft.operators.TextIndex.append(
+              docs.filter(col("doc_id") % 4 === r), root)
+          graft.operators.TextIndex.optimize(s, root, targetFiles = 4)
+          val terms = graft.operators.TextIndex.postings(s, root)
+            .groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+            .orderBy(col("cf").desc, col("term")).limit(3)
+            .select(col("term")).collect().map(_.getString(0)).toSeq
+          graft.operators.TextIndex.searchBm25(s, root, terms, 10)
+        },
+        oracle = Some("""
+          WITH toks AS (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+          tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM toks WHERE term <> '' GROUP BY 1, 2),
+          dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+          qt AS (SELECT term, df FROM (
+                   SELECT term, CAST(SUM(tf) AS BIGINT) AS cf,
+                          COUNT(*) AS df
+                   FROM tf GROUP BY term)
+                 ORDER BY cf DESC, term LIMIT 3),
+          g AS (SELECT COUNT(*) AS n_docs,
+                       CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+          sc AS (
+            SELECT tf.doc_id,
+                   ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1) *
+                         (tf * 2.2) /
+                         (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS s
+            FROM tf JOIN qt USING (term) JOIN dl USING (doc_id) CROSS JOIN g)
+          SELECT doc_id, COUNT(*) AS n_terms,
+                 CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+          FROM sc GROUP BY doc_id
+          ORDER BY bm25 DESC, doc_id LIMIT 10""")),
+
+      // INDEX TAKEDOWN (GDPR/DMCA for the retrieval layer,
+      // [[TextIndex.delete]]): COW deletes on postings + doclen (only
+      // files holding a target row rewrite) and an exact stats
+      // decrement. Serving must behave as if the docs were NEVER
+      // ingested — n_docs, df and avgdl all shift — so the oracle
+      // recomputes BM25 over the corpus WITHOUT the deleted docs: any
+      // stale statistic or surviving posting hash-mismatches.
+      "q231_text_index_delete" -> Q(
+        run = (s, dir) => {
+          val root = tempRoot("graft_q231").resolve("ix").toString
+          val docs = Tables(s, dir, "documents")
+            .select(col("doc_id"), col("text"))
+          graft.operators.TextIndex.build(docs, root)
+          // the takedown list is driver-sized by nature (a legal list,
+          // not a fact scan) — here ~1% of ids
+          val gone = docs.filter(col("doc_id") % 97 === 0)
+            .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+          graft.operators.TextIndex.delete(s, root, gone)
+          val terms = graft.operators.TextIndex.postings(s, root)
+            .groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+            .orderBy(col("cf").desc, col("term")).limit(3)
+            .select(col("term")).collect().map(_.getString(0)).toSeq
+          graft.operators.TextIndex.searchBm25(s, root, terms, 10)
+        },
+        oracle = Some("""
+          WITH live AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+          toks AS (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM live),
+          tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM toks WHERE term <> '' GROUP BY 1, 2),
+          dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+          qt AS (SELECT term, df FROM (
+                   SELECT term, CAST(SUM(tf) AS BIGINT) AS cf,
+                          COUNT(*) AS df
+                   FROM tf GROUP BY term)
+                 ORDER BY cf DESC, term LIMIT 3),
+          g AS (SELECT COUNT(*) AS n_docs,
+                       CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+          sc AS (
+            SELECT tf.doc_id,
+                   ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1) *
+                         (tf * 2.2) /
+                         (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS s
+            FROM tf JOIN qt USING (term) JOIN dl USING (doc_id) CROSS JOIN g)
+          SELECT doc_id, COUNT(*) AS n_terms,
+                 CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+          FROM sc GROUP BY doc_id
           ORDER BY bm25 DESC, doc_id LIMIT 10"""))
     )
   }

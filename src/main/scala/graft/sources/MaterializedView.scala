@@ -165,6 +165,56 @@ object MaterializedView {
     srcV
   }
 
+  /** GRAM-MATRIX view refresh — incremental maintenance of the exact
+    * sufficient-statistics matrix ([[graft.operators.LinAlg]]) over an
+    * append-only vector table: the Gram matrix is ADDITIVE
+    * (`G(A∪Δ) = G(A) + G(Δ)` cell-wise, exact integers), so each
+    * refresh runs the one-pass [[graft.plans.GramAgg]] over ONLY the
+    * change rows and adds it into the stored dim²/2-cell view —
+    * PCA/covariance statistics that trail the corpus without ever
+    * rescanning it. State is dim-sized; the refresh reads O(new
+    * files). Same exactly-once `(srcV, viewV)` sidecar protocol as
+    * [[refreshAdditive]]. */
+  def refreshGram(spark: SparkSession, srcRoot: String, viewRoot: String,
+                  vecCol: String, dim: Int, scale: Long = 1024L): Long = {
+    val srcV = VersionedTable.latestVersion(srcRoot)
+      .getOrElse(sys.error(s"no versions at $srcRoot"))
+    val st = sidecarState(viewRoot)
+    if (st.exists(_._1 == srcV)) return srcV
+    new File(viewRoot).mkdirs()
+
+    val changes = st match {
+      case None         => VersionedTable.readVersion(spark, srcRoot, srcV)
+      case Some((v, _)) => VersionedTable.readChangesBetween(spark, srcRoot, v, srcV)
+    }
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val delta = graft.operators.LinAlg
+      .gramFixedPoint(changes, col(vecCol), dim, scale)
+
+    val next = st match {
+      case None => delta
+      case Some(s) =>
+        committedState(spark, viewRoot, s)
+          .select(col("i"), col("j"), col("s").as("__ps"))
+          .join(delta, Seq("i", "j"), "full_outer")
+          .select(col("i"), col("j"),
+            (coalesce(col("__ps"), lit(0).cast(dec)) +
+              coalesce(col("s"), lit(0).cast(dec)))
+              .cast(dec).as("s"))
+    }
+    val viewV = VersionedTable.overwrite(next, viewRoot)
+    writeRefreshed(viewRoot, srcV, viewV)
+    srcV
+  }
+
+  /** The gram view's serving read: `(i, j, s)` at the recorded view
+    * version. */
+  def readGram(spark: SparkSession, viewRoot: String): DataFrame = {
+    val st = sidecarState(viewRoot)
+      .getOrElse(sys.error(s"no refreshed view at $viewRoot"))
+    committedState(spark, viewRoot, st)
+  }
+
   /** The distinct-count view's serving read: per-group estimates from
     * the stored sketches (group keys + `n_distinct` BIGINT). */
   def readDistinct(spark: SparkSession, viewRoot: String,

@@ -464,6 +464,22 @@ object VersionedTable {
     v
   }
 
+  /** As [[overwriteWithStats]], with a per-file bloom on `bloomCol` —
+    * the OPTIMIZE/recluster commit for bloom-indexed tables: rewrite
+    * the whole table (typically range-clustered on the key) so the
+    * blooms converge to near-disjoint key sets and [[readWhereEq]]'s
+    * listing prune approaches the true file set. */
+  def overwriteWithBloomIndex(df: DataFrame, root: String, bloomCol: String,
+                              expectedPerFile: Long = 200000,
+                              fpp: Double = 0.01,
+                              statsCols: Seq[String] = Seq.empty): Long = {
+    val spark = df.sparkSession
+    val staged = stageDataFiles(df, root, nextVersion(root))
+    val lines = bloomLines(spark, statLines(spark, staged, statsCols),
+      bloomCol, expectedPerFile, fpp)
+    commitWithRetry(root, maxRetries = 5)(_ => lines)
+  }
+
   /** EQUALITY read with bloom-index file skipping: a file is opened
     * only if (a) its recorded numeric [min, max] for `eqCol` admits at
     * least one probe value AND (b) its bloom for `eqCol` reports

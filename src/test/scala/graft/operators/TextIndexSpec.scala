@@ -91,6 +91,45 @@ class TextIndexSpec extends SparkSuite {
       postingsSet(TextIndex.postings(spark, ref)).size)
   }
 
+  test("delete == index rebuilt from the remaining docs (postings, stats)") {
+    val root = tmpRoot()
+    TextIndex.build(docs, root)
+    val gone = docs.filter(col("doc_id") % 7 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    TextIndex.delete(spark, root, gone)
+    val ref = tmpRoot()
+    TextIndex.build(docs.filter(col("doc_id") % 7 =!= 0), ref)
+    assert(postingsSet(TextIndex.postings(spark, root)) ==
+      postingsSet(TextIndex.postings(spark, ref)))
+    assert(TextIndex.stats(root) == TextIndex.stats(ref))
+  }
+
+  test("optimize clusters by term: common-term probe narrows; content identical") {
+    val root = tmpRoot()
+    TextIndex.build(docs.filter(col("doc_id") % 4 === 0).repartition(4), root)
+    for (r <- 1 to 3)
+      TextIndex.append(docs.filter(col("doc_id") % 4 === r).repartition(4), root)
+    val hot = TextIndex.postings(spark, root)
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(1)
+      .select("term").head().getString(0)
+    val before = graft.sources.VersionedTable
+      .readWhereEq(spark, s"$root/postings", "term", Seq(hot))
+      .inputFiles.length
+    val contentBefore = postingsSet(TextIndex.postings(spark, root))
+    val statsBefore = TextIndex.stats(root)
+    TextIndex.optimize(spark, root, targetFiles = 4)
+    val after = graft.sources.VersionedTable
+      .readWhereEq(spark, s"$root/postings", "term", Seq(hot))
+      .inputFiles.length
+    info(s"common term '$hot': opened $before files pre-optimize, $after post")
+    // a common term matches every interleaved batch file pre-optimize;
+    // range-clustered it lives in 1-2 contiguous files
+    assert(after < before && after <= 2)
+    assert(postingsSet(TextIndex.postings(spark, root)) == contentBefore)
+    assert(TextIndex.stats(root) == statsBefore)
+  }
+
   test("term probe opens fewer files than the postings table holds (bloom prune)") {
     import spark.implicits._
     val root = tmpRoot()

@@ -45,6 +45,27 @@ class MaterializedViewSpec extends SparkSuite {
     assert(first == Set(("a", 2L), ("b", 1L)))
   }
 
+  test("gram view: delta refresh == from-scratch gram; no-op when current") {
+    val src = tmp("graft_mvg_src"); val view = tmp("graft_mvg_view")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    VersionedTable.overwrite(emb.filter(col("vec_id") % 3 =!= 0), src)
+    MaterializedView.refreshGram(spark, src, view, "embedding", 64)
+    VersionedTable.append(emb.filter(col("vec_id") % 3 === 0), src)
+    MaterializedView.refreshGram(spark, src, view, "embedding", 64)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)),
+        r.getDecimal(2).toBigInteger)).toMap
+    val got = cells(MaterializedView.readGram(spark, view))
+    val expect = cells(graft.operators.LinAlg
+      .gramFixedPoint(emb, col("embedding"), 64))
+    assert(got == expect)
+    // current source version → refresh writes no new view version
+    val viewV = VersionedTable.latestVersion(view)
+    MaterializedView.refreshGram(spark, src, view, "embedding", 64)
+    assert(VersionedTable.latestVersion(view) == viewV)
+  }
+
   test("retraction refresh: deletes retract, updates adjust, emptied groups leave") {
     val src = tmp("graft_mvr_src"); val view = tmp("graft_mvr_view")
     VersionedTable.overwrite(
