@@ -28,16 +28,21 @@ import graft.sources.VersionedTable
   * Layout under `root`:
   *  - `postings/` — VersionedTable `(doc_id, term, tf)`, bloom on
   *    `term`. At 100 TB the writer would additionally cluster batches
-  *    by term (repartition on term before append) so a term's rows
-  *    concentrate in few files and the bloom prune converges to the
-  *    true posting files; correctness never depends on clustering.
+  *    by term so a term's rows concentrate in few files ([[optimize]]
+  *    does exactly that on the maintenance cadence); correctness
+  *    never depends on clustering.
   *  - `doclen/` — VersionedTable `(doc_id, dl)`: BM25's length
   *    normalizer. Joined only against the candidate docs.
-  *  - `_stats` — `(n_docs, sum_dl)` sidecar, updated atomically per
-  *    batch (tmp + ATOMIC_MOVE): the two corpus-global scalars BM25
-  *    needs, maintained in O(1) instead of re-aggregated from doclen
-  *    at serve time. Single writer per index root, like the other
-  *    persisted indexes.
+  *  - `_stats` — the index's ATOMIC COMMIT POINTER:
+  *    `(n_docs, sum_dl, postingsV, doclenV)`, replaced by tmp +
+  *    ATOMIC_MOVE only after BOTH table commits land. Every read
+  *    serves AT the recorded versions, so a crash between the
+  *    postings append and the doclen append (or before the pointer
+  *    move) leaves ORPHAN table versions that serving never sees and
+  *    the next maintenance op restores over (the
+  *    [[graft.sources.MaterializedView.refreshJoin]] recovery
+  *    pattern) — the index is torn-commit-safe with a single writer,
+  *    like the rest of the persisted-index family.
   *
   * Scoring is bit-compatible with the ad-hoc corpus query (q140):
   * same Robertson/Sparck-Jones idf `ln((N − df + 0.5)/(df + 0.5) + 1)`,
@@ -68,30 +73,70 @@ object TextIndex {
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
 
-  /** (n_docs, sum_dl) covered by the committed index. */
-  def stats(root: String): (Long, Long) = {
+  /** The committed pointer: (n_docs, sum_dl, postingsV, doclenV).
+    * Legacy 2-field sidecars (first TextIndex cut) carry no versions —
+    * fall back to the tables' latest, the best available pointer. */
+  private def commitState(root: String): (Long, Long, Long, Long) = {
     val toks = new String(Files.readAllBytes(statsFile(root).toPath),
       StandardCharsets.UTF_8).trim.split("\\s+")
-    (toks(0).toLong, toks(1).toLong)
+    if (toks.length >= 4)
+      (toks(0).toLong, toks(1).toLong, toks(2).toLong, toks(3).toLong)
+    else {
+      val pV = VersionedTable.latestVersion(postingsRoot(root)).getOrElse(-1L)
+      val dV = VersionedTable.latestVersion(doclenRoot(root)).getOrElse(-1L)
+      (toks(0).toLong, toks(1).toLong, pV, dV)
+    }
   }
 
-  private def writeStats(root: String, nDocs: Long, sumDl: Long): Unit = {
+  /** (n_docs, sum_dl) covered by the committed index. */
+  def stats(root: String): (Long, Long) = {
+    val (n, s, _, _) = commitState(root)
+    (n, s)
+  }
+
+  private def writeCommit(root: String, nDocs: Long, sumDl: Long,
+                          pV: Long, dV: Long): Unit = {
     val tmp = Files.createTempFile(new File(root).toPath, "_st", ".tmp")
-    Files.write(tmp, s"$nDocs $sumDl".getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, s"$nDocs $sumDl $pV $dV".getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, statsFile(root).toPath,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Land `df` on `tableRoot` as the next COMMITTED state on top of
+    * `recordedV`: orphan versions from a crashed maintenance op
+    * (latest ≠ recorded) are overwritten back to the recorded state
+    * first — O(|table|), crash-recovery path only. Returns the new
+    * version to record. */
+  private def appendCommitted(df: DataFrame, tableRoot: String,
+                              recordedV: Long, bloomCol: Option[String],
+                              spark: SparkSession): Long = {
+    val latest = VersionedTable.latestVersion(tableRoot)
+    def write(d: DataFrame, overwrite: Boolean): Long = (bloomCol, overwrite) match {
+      case (Some(c), true)  => VersionedTable.overwriteWithBloomIndex(d, tableRoot, c)
+      case (Some(c), false) => VersionedTable.appendWithBloomIndex(d, tableRoot, c)
+      case (None, true)     => VersionedTable.overwrite(d, tableRoot)
+      case (None, false)    => VersionedTable.append(d, tableRoot)
+    }
+    if (recordedV < 0) write(df, overwrite = true) // fresh (orphans discarded)
+    else {
+      if (!latest.contains(recordedV))
+        write(VersionedTable.readVersion(spark, tableRoot, recordedV),
+          overwrite = true)
+      write(df, overwrite = false)
+    }
   }
 
   /** Tokenize `docs` and commit them as the index's first batch. */
   def build(docs: DataFrame, root: String, idCol: String = "doc_id",
             textCol: String = "text"): Unit = {
     new File(root).mkdirs()
-    writeStats(root, 0L, 0L)
+    writeCommit(root, 0L, 0L, -1L, -1L)
     append(docs, root, idCol, textCol)
   }
 
   /** O(batch) ingest: tokenize ONLY `docs`, append postings (bloom on
-    * term) + doc lengths, bump the stats sidecar. Batches must not
+    * term) + doc lengths, then move the commit pointer — one atomic
+    * rename covering both tables and the stats delta. Batches must not
     * re-send already-indexed doc_ids (append-only corpus — the
     * [[LshIndex]] `check`-then-append door is the dedup gate).
     * Self-initializing on a fresh root (streaming sinks call append
@@ -100,26 +145,30 @@ object TextIndex {
              textCol: String = "text"): Unit = {
     if (!statsFile(root).exists()) {
       new File(root).mkdirs()
-      writeStats(root, 0L, 0L)
+      writeCommit(root, 0L, 0L, -1L, -1L)
     }
+    val spark = docs.sparkSession
+    val (n0, s0, pV0, dV0) = commitState(root)
     // localCheckpoint: the batch postings feed three consumers
     // (postings append, doclen append, stats roll-up) — tokenize once
     val p = postingsOf(docs, idCol, textCol).localCheckpoint(true)
-    VersionedTable.appendWithBloomIndex(p, postingsRoot(root), "term")
+    val pV = appendCommitted(p, postingsRoot(root), pV0, Some("term"), spark)
     val dl = p.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    VersionedTable.append(dl, doclenRoot(root))
+      .localCheckpoint(true) // doclen append + stats delta read it
+    val dV = appendCommitted(dl, doclenRoot(root), dV0, None, spark)
     // one 1-row driver aggregate — the O(1) stats delta
     val row = dl.agg(count(lit(1)).as("n"),
       coalesce(sum(col("dl")), lit(0L)).as("s")).head()
-    val (n0, s0) = stats(root)
-    writeStats(root, n0 + row.getLong(0), s0 + row.getLong(1))
+    writeCommit(root, n0 + row.getLong(0), s0 + row.getLong(1), pV, dV)
   }
 
-  /** The committed postings `(doc_id, term, tf)` — full scan (for
-    * audits / term-statistics rollups; serving goes through the
-    * pruned path below). */
-  def postings(spark: SparkSession, root: String): DataFrame =
-    VersionedTable.read(spark, postingsRoot(root))
+  /** The committed postings `(doc_id, term, tf)` — full scan at the
+    * RECORDED version (orphans invisible; for audits / term-statistics
+    * rollups — serving goes through the pruned path below). */
+  def postings(spark: SparkSession, root: String): DataFrame = {
+    val (_, _, pV, _) = commitState(root)
+    VersionedTable.readVersion(spark, postingsRoot(root), pV)
+  }
 
   /** OPTIMIZE: rewrite the postings RANGE-CLUSTERED on `term` (one
     * overwrite commit, blooms re-derived per file). Incremental
@@ -133,51 +182,66 @@ object TextIndex {
     * readable. Run it on the maintenance cadence, not per batch. */
   def optimize(spark: SparkSession, root: String,
                targetFiles: Int = 8): Long = {
+    val (n0, s0, _, dV0) = commitState(root)
     val p = postings(spark, root)
       .repartitionByRange(targetFiles, col("term"), col("doc_id"))
       .sortWithinPartitions(col("term"), col("doc_id"))
-    VersionedTable.overwriteWithBloomIndex(p, postingsRoot(root), "term")
+    val pV = VersionedTable.overwriteWithBloomIndex(p, postingsRoot(root), "term")
+    writeCommit(root, n0, s0, pV, dV0)
+    pV
   }
 
   /** TAKEDOWN: remove `docIds` from the index (the GDPR/DMCA path for
     * the retrieval layer) — copy-on-write deletes on postings and
     * doclen (only FILES containing a target row are rewritten;
     * [[graft.sources.VersionedTable.delete]]), stats decremented by
-    * the removed docs' exact lengths (read BEFORE the delete). After
-    * the call, serving behaves as if the docs were never ingested —
-    * n_docs, df, avgdl all reflect the removal. COW-rewritten posting
-    * files carry no bloom line → the listing prune degrades to a
-    * conservative open for those files only; [[optimize]] restores
-    * full pruning on the maintenance cadence. */
+    * the removed docs' exact lengths (read BEFORE the delete), commit
+    * pointer moved once at the end. After the call, serving behaves
+    * as if the docs were never ingested — n_docs, df, avgdl all
+    * reflect the removal. COW-rewritten posting files carry no bloom
+    * line → the listing prune degrades to a conservative open for
+    * those files only; [[optimize]] restores full pruning on the
+    * maintenance cadence. */
   def delete(spark: SparkSession, root: String, docIds: Seq[Long]): Unit = {
     require(docIds.nonEmpty, "delete needs at least one doc id")
-    val gone = VersionedTable.read(spark, doclenRoot(root))
+    val (n0, s0, pV0, dV0) = commitState(root)
+    val gone = VersionedTable.readVersion(spark, doclenRoot(root), dV0)
       .filter(col("doc_id").isin(docIds: _*))
       .agg(count(lit(1)).as("n"),
         coalesce(sum(col("dl")), lit(0L)).as("s")).head()
-    VersionedTable.delete(spark, postingsRoot(root),
+    // restore any orphans before the COW delete (delete acts on latest)
+    if (!VersionedTable.latestVersion(postingsRoot(root)).contains(pV0))
+      VersionedTable.overwriteWithBloomIndex(
+        VersionedTable.readVersion(spark, postingsRoot(root), pV0),
+        postingsRoot(root), "term")
+    if (!VersionedTable.latestVersion(doclenRoot(root)).contains(dV0))
+      VersionedTable.overwrite(
+        VersionedTable.readVersion(spark, doclenRoot(root), dV0),
+        doclenRoot(root))
+    val pV = VersionedTable.delete(spark, postingsRoot(root),
       col("doc_id").isin(docIds: _*))
-    VersionedTable.delete(spark, doclenRoot(root),
+    val dV = VersionedTable.delete(spark, doclenRoot(root),
       col("doc_id").isin(docIds: _*))
-    val (n0, s0) = stats(root)
-    writeStats(root, n0 - gone.getLong(0), s0 - gone.getLong(1))
+    writeCommit(root, n0 - gone.getLong(0), s0 - gone.getLong(1), pV, dV)
   }
 
   /** Top-`k` docs by BM25 over `terms` — `(doc_id, n_terms, bm25)`,
     * ties broken by doc_id. Touches: the query terms' posting files
-    * (bloom-pruned listing), the doclen table (candidate-doc join),
-    * and the 2-scalar stats sidecar. Never the corpus text. */
+    * (bloom-pruned listing AT the committed version), the doclen
+    * table (candidate-doc join), and the stats sidecar. Never the
+    * corpus text. */
   def searchBm25(spark: SparkSession, root: String, terms: Seq[String],
                  k: Int): DataFrame = {
     require(terms.nonEmpty, "searchBm25 needs at least one term")
-    val (nDocs, sumDl) = stats(root)
+    val (nDocs, sumDl, pV, dV) = commitState(root)
     require(nDocs > 0, s"empty index at $root")
     val avgdl = sumDl.toDouble / nDocs
-    val tf = VersionedTable.readWhereEq(spark, postingsRoot(root), "term", terms)
+    val tf = VersionedTable.readWhereEq(spark, postingsRoot(root), "term",
+      terms, atVersion = Some(pV))
     // document frequency per query term — exact, from the term's own
     // postings (the pruned read returns ALL rows of each probed term)
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val dl = VersionedTable.read(spark, doclenRoot(root))
+    val dl = VersionedTable.readVersion(spark, doclenRoot(root), dV)
     val score =
       log((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1)) *
         (col("tf") * lit(2.2)) /

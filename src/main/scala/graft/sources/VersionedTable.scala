@@ -495,10 +495,11 @@ object VersionedTable {
     * file opens instead of a full scan — the Delta bloom-index /
     * Iceberg point-lookup role. */
   def readWhereEq(spark: SparkSession, root: String, eqCol: String,
-                  values: Seq[Any]): DataFrame = {
+                  values: Seq[Any], atVersion: Option[Long] = None): DataFrame = {
     require(values.nonEmpty, "readWhereEq needs at least one value")
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-    val v = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
+    val v = atVersion.getOrElse(
+      latestVersion(root).getOrElse(sys.error(s"no versions at $root")))
     val lines = readListing(root, v)
     // same hash as bloomLines' xxhash64 column (seed 42), driver-side
     val hashes = values.map(x =>

@@ -91,6 +91,34 @@ class TextIndexSpec extends SparkSuite {
       postingsSet(TextIndex.postings(spark, ref)).size)
   }
 
+  test("torn commit: orphan table versions are invisible to serving and restored over") {
+    val root = tmpRoot()
+    TextIndex.build(docs.filter(col("doc_id") % 3 === 1), root)
+    val terms = Seq("the")
+    val before = TextIndex.searchBm25(spark, root, terms, 5)
+      .collect().map(_.toSeq).toSeq
+    val contentBefore = postingsSet(TextIndex.postings(spark, root))
+    // simulate a crash mid-append: postings landed, doclen + pointer
+    // did not — an ORPHAN postings version
+    val orphan = postingsSet(TextIndex.postings(spark, root)).take(5)
+      .map { case (d, t, f) => (d + 500000L, t, f) }.toSeq
+    import spark.implicits._
+    graft.sources.VersionedTable.appendWithBloomIndex(
+      orphan.toDF("doc_id", "term", "tf"), s"$root/postings", "term")
+    // serving still answers from the committed pointer
+    assert(TextIndex.searchBm25(spark, root, terms, 5)
+      .collect().map(_.toSeq).toSeq == before)
+    assert(postingsSet(TextIndex.postings(spark, root)) == contentBefore)
+    // the next real append restores the recorded state first — the
+    // orphan batch is gone, the new batch is in, stats consistent
+    TextIndex.append(docs.filter(col("doc_id") % 3 === 2), root)
+    val ref = tmpRoot()
+    TextIndex.build(docs.filter(col("doc_id") % 3 =!= 0), ref)
+    assert(postingsSet(TextIndex.postings(spark, root)) ==
+      postingsSet(TextIndex.postings(spark, ref)))
+    assert(TextIndex.stats(root) == TextIndex.stats(ref))
+  }
+
   test("delete == index rebuilt from the remaining docs (postings, stats)") {
     val root = tmpRoot()
     TextIndex.build(docs, root)
