@@ -143,21 +143,71 @@ object LinAlg {
     * [[graft.plans.FixedDot]] constant. */
   def topComponentFixedPoint(df: DataFrame, vecCol: Column, dim: Int,
                              scale: Long = 1024L,
-                             squarings: Int = 7): Array[Long] = {
-    val tri = gramFixedPoint(df, vecCol, dim, scale).collect()
+                             squarings: Int = 7): Array[Long] =
+    topComponentOfGram(gramFixedPoint(df, vecCol, dim, scale), dim, squarings)
+
+  /** [[topComponentFixedPoint]] from an ALREADY-MATERIALIZED gram
+    * triangle frame `(i, j, s)` — e.g. the incrementally-maintained
+    * [[graft.sources.MaterializedView.readGram]] view: PCA that
+    * trails the corpus through O(new files) refreshes, never a
+    * rescan. The collect is the dim²/2-row triangle (dim-sized by
+    * design). */
+  def topComponentOfGram(gram: DataFrame, dim: Int,
+                         squarings: Int = 7): Array[Long] = {
+    val g = collectGram(gram, dim)
+    var a = rescale(g)
+    for (_ <- 1 to squarings) a = rescale(square(a))
+    extract(a)
+  }
+
+  /** Top TWO components: v₁ from the squaring chain on the rescaled
+    * gram A₀; v₂ from the SAME chain on the exactly-DEFLATED matrix
+    *
+    *   G₂ = (v₁ᵀv₁)²·A₀ − (v₁ᵀv₁)·(w v₁ᵀ + v₁ wᵀ) + (v₁ᵀA₀v₁)·v₁v₁ᵀ
+    *      = P·A₀·P,   P = (v₁ᵀv₁)·I − v₁v₁ᵀ,   w = A₀·v₁
+    *
+    * — P annihilates v₁ identically in integer arithmetic, so G₂'s
+    * dominant direction is the second component. Magnitude audit (all
+    * bounds at the 2²⁰ grid): |A₀| ≤ 2²⁰, v₁ᵀv₁ ≤ 2⁴⁶, |w| ≤ 2⁴⁶,
+    * v₁ᵀA₀v₁ ≤ 2⁷², so |G₂| ≤ 2¹¹⁴ — inside the oracle's HUGEINT.
+    * The pair gives the standard 2-D PCA scatter for corpus maps /
+    * outlier trims, exact end to end ([[pca2OracleSql]] replays it). */
+  def topTwoComponentsOfGram(gram: DataFrame, dim: Int,
+                             squarings: Int = 7): (Array[Long], Array[Long]) = {
+    val a0 = rescale(collectGram(gram, dim))
+    var a = a0
+    for (_ <- 1 to squarings) a = rescale(square(a))
+    val v1 = extract(a)
+    val v = v1.map(BigInt(_))
+    val vv = v.map(x => x * x).sum
+    val w = Array.tabulate(dim)(i => (0 until dim).map(j => a0(i)(j) * v(j)).sum)
+    val vav = (0 until dim).map(i => v(i) * w(i)).sum
+    val g2 = Array.tabulate(dim, dim)((i, j) =>
+      vv * vv * a0(i)(j) - vv * (w(i) * v(j) + v(i) * w(j)) + vav * v(i) * v(j))
+    var b = rescale(g2)
+    for (_ <- 1 to squarings) b = rescale(square(b))
+    (v1, extract(b))
+  }
+
+  private def collectGram(gram: DataFrame, dim: Int): Array[Array[BigInt]] = {
     val g = Array.ofDim[BigInt](dim, dim)
-    tri.foreach { r =>
+    gram.collect().foreach { r =>
       val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
       val s = BigInt(r.getDecimal(2).toBigInteger)
       g(i)(j) = s; g(j)(i) = s
     }
-    var a = rescale(g)
-    for (_ <- 1 to squarings) {
-      val sq = Array.tabulate(dim, dim)((i, j) =>
-        (0 until dim).map(k => a(i)(k) * a(k)(j)).sum)
-      a = rescale(sq)
-    }
-    val w = a.map(_.sum) // A·1
+    g
+  }
+
+  private def square(a: Array[Array[BigInt]]): Array[Array[BigInt]] = {
+    val dim = a.length
+    Array.tabulate(dim, dim)((i, j) =>
+      (0 until dim).map(k => a(i)(k) * a(k)(j)).sum)
+  }
+
+  /** `rescale(A·1)` — the converged direction out of a squaring chain. */
+  private def extract(a: Array[Array[BigInt]]): Array[Long] = {
+    val w = a.map(_.sum)
     val mx = w.map(_.abs).max
     val v = if (mx.signum == 0) w else w.map(x => signDiv(x << 20, mx))
     v.map(_.toLong)
@@ -167,16 +217,28 @@ object LinAlg {
     * gram self-join, `squarings` rescaled matrix squarings, row-sum
     * extraction, corpus projection. Kept next to the operator so the
     * arithmetic can only drift in one place. */
-  def pcaOracleSql(table: String, idCol: String, vecCol: String,
-                   squarings: Int = 7): String = {
-    def rs(src: String): String =
-      s"CAST(sign(s) AS HUGEINT) * ((ABS(s) * 1048576) // " +
-        s"(SELECT MAX(ABS(s)) FROM $src))"
-    val chain = (1 to squarings).map { t =>
-      s"""        b$t AS MATERIALIZED (SELECT a.i AS i, b.j AS j, SUM(a.v * b.v) AS s
-        |               FROM a${t - 1} a JOIN a${t - 1} b ON a.j = b.i GROUP BY 1, 2),
-        |        a$t AS MATERIALIZED (SELECT i, j, ${rs(s"b$t")} AS v FROM b$t),""".stripMargin
+  private def rsSql(src: String): String =
+    s"CAST(sign(s) AS HUGEINT) * ((ABS(s) * 1048576) // " +
+      s"(SELECT MAX(ABS(s)) FROM $src))"
+
+  /** `squarings` rescaled-squaring CTEs `${p}a1..${p}a$squarings`
+    * starting from `${p}a0`, plus the direction extraction
+    * `${p}w`/`${p}v` (row sums, rescaled). */
+  private def chainSql(p: String, squarings: Int): String = {
+    val steps = (1 to squarings).map { t =>
+      s"""        ${p}b$t AS MATERIALIZED (SELECT a.i AS i, b.j AS j, SUM(a.v * b.v) AS s
+        |               FROM ${p}a${t - 1} a JOIN ${p}a${t - 1} b ON a.j = b.i GROUP BY 1, 2),
+        |        ${p}a$t AS MATERIALIZED (SELECT i, j, ${rsSql(s"${p}b$t")} AS v FROM ${p}b$t),""".stripMargin
     }.mkString("\n")
+    s"""$steps
+        ${p}w AS MATERIALIZED (SELECT i, SUM(v) AS s FROM ${p}a$squarings GROUP BY i),
+        ${p}v AS MATERIALIZED (SELECT i, ${rsSql(s"${p}w")} AS v FROM ${p}w),"""
+  }
+
+  /** The shared oracle prelude: quantized coordinates `q`, gram
+    * triangle, symmetric `g0`, rescaled `a0`. */
+  private def gramPrelude(table: String, idCol: String,
+                          vecCol: String): String =
     s"""
         WITH q AS MATERIALIZED (
           SELECT $idCol,
@@ -190,14 +252,52 @@ object LinAlg {
           GROUP BY 1, 2),
         g0 AS MATERIALIZED (SELECT i, j, s FROM gr
                UNION ALL SELECT j, i, s FROM gr WHERE i < j),
-        a0 AS MATERIALIZED (SELECT i, j, ${rs("g0")} AS v FROM g0),
-$chain
-        w AS MATERIALIZED (SELECT i, SUM(v) AS s FROM a$squarings GROUP BY i),
-        vv AS MATERIALIZED (SELECT i, ${rs("w")} AS v FROM w)
-        SELECT q.$idCol, CAST(SUM(vv.v * q.qx) AS BIGINT) AS p
-        FROM q JOIN vv USING (i)
+        a0 AS MATERIALIZED (SELECT i, j, ${rsSql("g0")} AS v FROM g0),"""
+
+  /** The DuckDB replay of [[topComponentFixedPoint]] + projection —
+    * gram self-join, `squarings` rescaled matrix squarings, row-sum
+    * extraction, corpus projection. Kept next to the operator so the
+    * arithmetic can only drift in one place. */
+  def pcaOracleSql(table: String, idCol: String, vecCol: String,
+                   squarings: Int = 7): String =
+    s"""${gramPrelude(table, idCol, vecCol)}
+${chainSql("", squarings)}
+        __end AS (SELECT 1)
+        SELECT q.$idCol, CAST(SUM(v.v * q.qx) AS BIGINT) AS p
+        FROM q JOIN v USING (i)
         GROUP BY 1 ORDER BY $idCol"""
-  }
+
+  /** The DuckDB replay of [[topTwoComponentsOfGram]] + projection:
+    * chain 1 → v₁, exact deflation G₂ = P·A₀·P, chain 2 → v₂, both
+    * projections. */
+  def pca2OracleSql(table: String, idCol: String, vecCol: String,
+                    squarings: Int = 7): String =
+    s"""${gramPrelude(table, idCol, vecCol)}
+${chainSql("", squarings)}
+        dvv AS MATERIALIZED (SELECT SUM(v.v * v.v) AS x FROM v),
+        dw AS MATERIALIZED (
+          SELECT a.i AS i, SUM(a.v * v.v) AS x
+          FROM a0 a JOIN v ON a.j = v.i GROUP BY 1),
+        dvav AS MATERIALIZED (
+          SELECT SUM(v.v * w.x) AS x FROM v JOIN dw w USING (i)),
+        g2 AS MATERIALIZED (
+          SELECT a.i AS i, a.j AS j,
+                 (SELECT x * x FROM dvv) * a.v
+                 - (SELECT x FROM dvv) * (wi.x * vj.v + vi.v * wj.x)
+                 + (SELECT x FROM dvav) * vi.v * vj.v AS s
+          FROM a0 a
+          JOIN dw wi ON wi.i = a.i JOIN dw wj ON wj.i = a.j
+          JOIN v vi ON vi.i = a.i JOIN v vj ON vj.i = a.j),
+        ca0 AS MATERIALIZED (SELECT i, j, ${rsSql("g2")} AS v FROM g2),
+${chainSql("c", squarings)}
+        p1 AS MATERIALIZED (
+          SELECT q.$idCol, CAST(SUM(v.v * q.qx) AS BIGINT) AS p1
+          FROM q JOIN v USING (i) GROUP BY 1),
+        p2 AS MATERIALIZED (
+          SELECT q.$idCol, CAST(SUM(cv.v * q.qx) AS BIGINT) AS p2
+          FROM q JOIN cv USING (i) GROUP BY 1)
+        SELECT p1.$idCol, p1.p1, p2.p2
+        FROM p1 JOIN p2 USING ($idCol) ORDER BY $idCol"""
 
   /** Map-local projection of every vector onto an integer weight
     * vector (e.g. [[topComponentFixedPoint]]'s output): appends

@@ -1001,6 +1001,56 @@ object SimilarityQueries extends QueryModule {
         SELECT a.i AS i, b.i AS j,
                CAST(SUM(CAST(a.qx AS DECIMAL(18,0)) * b.qx) AS DECIMAL(38,0)) AS s
         FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
-        GROUP BY 1, 2 ORDER BY i, j"""))
+        GROUP BY 1, 2 ORDER BY i, j""")),
+
+    // INCREMENTAL PCA capstone: the top component computed FROM THE
+    // INCREMENTALLY-MAINTAINED GRAM VIEW (q232's refreshGram across
+    // an append), never from a corpus rescan — the statistics trail
+    // the table, the eigensolve reads dim²/2 view cells, the
+    // projection is map-local. Because the view equals the
+    // from-scratch gram EXACTLY, the result must hash-match q227's
+    // full-recompute oracle verbatim.
+    "q233_pca_incremental" -> Q(
+      run = (s, dir) => {
+        val src = tempRoot("graft_q233_s").resolve("t").toString
+        val view = tempRoot("graft_q233_v").resolve("v").toString
+        val emb = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        graft.sources.VersionedTable.overwrite(
+          emb.filter(col("vec_id") % 4 =!= 0), src)
+        graft.sources.MaterializedView.refreshGram(s, src, view, "embedding", 64)
+        graft.sources.VersionedTable.append(
+          emb.filter(col("vec_id") % 4 === 0), src)
+        graft.sources.MaterializedView.refreshGram(s, src, view, "embedding", 64)
+        val v = graft.operators.LinAlg.topComponentOfGram(
+          graft.sources.MaterializedView.readGram(s, view), 64)
+        graft.operators.LinAlg.projectFixed(emb, col("embedding"), v)
+          .select(col("vec_id"), col("p"))
+          .orderBy("vec_id")
+      },
+      oracle = Some(graft.operators.LinAlg.pcaOracleSql(
+        "embeddings", "vec_id", "embedding"))),
+
+    // 2-D PCA scatter (corpus maps / outlier trims): second component
+    // via EXACT integer deflation — G₂ = P·A₀·P with the projector
+    // P = (v₁ᵀv₁)I − v₁v₁ᵀ annihilating v₁ identically — then the
+    // same squaring chain on G₂. Both weight vectors ride back as
+    // FixedDot plan constants (two map-local projections, no
+    // shuffle). The oracle replays both chains + the deflation in
+    // HUGEINT (magnitude audit in the operator doc: |G₂| ≤ 2¹¹⁴).
+    "q234_pca_2d" -> Q(
+      run = (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val (v1, v2) = graft.operators.LinAlg.topTwoComponentsOfGram(
+          graft.operators.LinAlg.gramFixedPoint(emb, col("embedding"), 64), 64)
+        graft.operators.LinAlg.projectFixed(
+          graft.operators.LinAlg.projectFixed(emb, col("embedding"), v1, "p1"),
+          col("embedding"), v2, "p2")
+          .select(col("vec_id"), col("p1"), col("p2"))
+          .orderBy("vec_id")
+      },
+      oracle = Some(graft.operators.LinAlg.pca2OracleSql(
+        "embeddings", "vec_id", "embedding")))
   )
 }

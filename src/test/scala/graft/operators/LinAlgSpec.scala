@@ -116,6 +116,40 @@ class LinAlgSpec extends SparkSuite {
     assert(cos > 0.98)
   }
 
+  test("topTwoComponents: v2 ⊥ v1 and aligned with the float 2nd eigenvector") {
+    val (v1, v2) = LinAlg.topTwoComponentsOfGram(
+      LinAlg.gramFixedPoint(emb, col("embedding"), 64), 64)
+    def norm(v: Array[Long]) = math.sqrt(v.map(x => x.toDouble * x).sum)
+    val cos12 = math.abs(v1.zip(v2).map { case (a, b) => a.toDouble * b }.sum) /
+      (norm(v1) * norm(v2))
+    info(f"|cos(v1, v2)| = $cos12%.5f")
+    assert(cos12 < 0.05)
+    // float reference: deflated power iteration (Gram–Schmidt each step)
+    val vecs = emb.collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val g = Array.ofDim[Double](64, 64)
+    vecs.foreach { x =>
+      for (i <- 0 until 64; j <- 0 until 64) g(i)(j) += x(i) * x(j)
+    }
+    def iterate(orthoTo: Option[Array[Double]]): Array[Double] = {
+      var u = Array.fill(64)(1.0)
+      for (_ <- 1 to 80) {
+        var w = Array.tabulate(64)(i => (0 until 64).map(j => g(i)(j) * u(j)).sum)
+        orthoTo.foreach { o =>
+          val d = w.zip(o).map { case (a, b) => a * b }.sum
+          w = w.zip(o).map { case (a, b) => a - d * b }
+        }
+        val n = math.sqrt(w.map(x => x * x).sum)
+        u = w.map(_ / n)
+      }
+      u
+    }
+    val u1 = iterate(None)
+    val u2 = iterate(Some(u1))
+    val cos2 = math.abs(v2.zip(u2).map { case (a, b) => a * b }.sum) / norm(v2)
+    info(f"cosine(integer v2, float u2) = $cos2%.4f")
+    assert(cos2 > 0.95)
+  }
+
   test("projectFixed == driver dot recompute; plan is map-local") {
     val v = LinAlg.topComponentFixedPoint(emb, col("embedding"), 64)
     val proj = LinAlg.projectFixed(emb, col("embedding"), v)
