@@ -43,4 +43,42 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bucket")
   }
+
+  /** INTERVAL-OVERLAP equi-join rewrite — the interval×interval
+    * sibling of [[bucketedPointJoin]]: all pairs with
+    * `a.lo <= b.hi AND b.lo <= a.hi` (closed-interval overlap).
+    * Both sides explode to their W-aligned bucket range and equi-join
+    * on the bucket; a pair overlapping k shared buckets would emit k
+    * times, so the join keeps only the FIRST shared bucket —
+    * `bucket == max(⌊a.lo/W⌋, ⌊b.lo/W⌋)` (the later-starting
+    * interval's first bucket, which any overlapping pair shares) —
+    * making each pair match exactly once with NO post-join dedup
+    * (the [[GridJoin]] home-cell rule in 1-D).
+    *
+    * Scale: ONE hash equi-join, fan-out ⌈len/W⌉+1 per row per side —
+    * W near the median interval length keeps both sides ~1×; a hot
+    * bucket (many concurrent intervals) is the salting dial, and its
+    * OUTPUT is itself quadratic (truly-overlapping pairs), so extra
+    * candidates are answer-driven. Spark's native alternative is a
+    * cartesian/NLJ with the full predicate. */
+  def bucketedOverlapJoin(a: DataFrame, b: DataFrame,
+                          loA: String, hiA: String,
+                          loB: String, hiB: String,
+                          bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val ea = a.withColumn("__bucket",
+      explode(sequence(
+        floor(col(loA) / bucketWidth).cast("long"),
+        floor(col(hiA) / bucketWidth).cast("long"))))
+    val eb = b.withColumn("__bucket",
+      explode(sequence(
+        floor(col(loB) / bucketWidth).cast("long"),
+        floor(col(hiB) / bucketWidth).cast("long"))))
+    ea.join(eb, Seq("__bucket"))
+      .filter(col(loA) <= col(hiB) && col(loB) <= col(hiA))
+      .filter(col("__bucket") ===
+        greatest(floor(col(loA) / bucketWidth).cast("long"),
+          floor(col(loB) / bucketWidth).cast("long")))
+      .drop("__bucket")
+  }
 }

@@ -1007,6 +1007,42 @@ object ExtendedQueries extends QueryModule {
           SELECT term, COUNT(*) AS exact FROM toks WHERE term <> ''
           GROUP BY term ORDER BY exact DESC, term LIMIT 10)
         SELECT term, exact, CAST(1 AS BIGINT) AS bounds_ok
-        FROM e ORDER BY exact DESC, term"""))
+        FROM e ORDER BY exact DESC, term""")),
+
+    // INTERVAL-OVERLAP equi-join (RangeJoin.bucketedOverlapJoin — the
+    // interval×interval member of the blocked-join family): concurrent
+    // 30-minute event windows per user. Both sides explode to their
+    // W-aligned buckets, ONE hash join on the bucket, and each pair
+    // matches EXACTLY once via the later-start home-bucket rule (no
+    // post-join dedup — GridJoin's rule in 1-D). W = the window
+    // length, so fan-out ≤ 2 rows per interval. The user equality and
+    // id ordering ride as residuals; the oracle is the NLJ this
+    // rewrite replaces.
+    "q235_overlap_join" -> Q(
+      run = (s, dir) => {
+        val w = 1800000000L // 30 min in µs
+        val e = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            expr("unix_micros(ts)").as("lo"))
+          .withColumn("hi", col("lo") + lit(w))
+        val a = e.select(col("event_id").as("id_a"),
+          col("user_id").as("u_a"), col("lo").as("lo_a"), col("hi").as("hi_a"))
+        val b = e.select(col("event_id").as("id_b"),
+          col("user_id").as("u_b"), col("lo").as("lo_b"), col("hi").as("hi_b"))
+        graft.operators.RangeJoin.bucketedOverlapJoin(
+          a, b, "lo_a", "hi_a", "lo_b", "hi_b", bucketWidth = w)
+          .filter(col("u_a") === col("u_b") && col("id_a") < col("id_b"))
+          .groupBy(col("u_a").as("user_id"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS lo,
+                          epoch_us(ts) + 1800000000 AS hi FROM events)
+        SELECT a.user_id AS user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM e a JOIN e b
+          ON a.user_id = b.user_id AND a.event_id < b.event_id
+         AND a.lo <= b.hi AND b.lo <= a.hi
+        GROUP BY 1 ORDER BY 1"""))
   )
 }

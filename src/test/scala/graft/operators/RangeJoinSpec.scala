@@ -26,6 +26,28 @@ class RangeJoinSpec extends SparkSuite {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("overlap join: equals the theta join, each pair exactly once, no NLJ") {
+    val a = (0L until 300L).map(i => (i, i * 13 % 900, i * 13 % 900 + i % 70))
+      .toDF("id_a", "lo_a", "hi_a")
+    val b = (0L until 300L).map(i => (i, i * 31 % 900, i * 31 % 900 + i % 55))
+      .toDF("id_b", "lo_b", "hi_b")
+    val joined = RangeJoin.bucketedOverlapJoin(
+      a, b, "lo_a", "hi_a", "lo_b", "hi_b", bucketWidth = 60L)
+      .select("id_a", "id_b")
+    // exactly once: no pair may appear twice even pre-distinct
+    val rows = joined.as[(Long, Long)].collect().toSeq
+    assert(rows.size == rows.toSet.size, "a pair matched more than once")
+    val naive = a.join(b, col("lo_a") <= col("hi_b") && col("lo_b") <= col("hi_a"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(rows.toSet == naive)
+    assert(naive.nonEmpty)
+    val plan = RangeJoin.bucketedOverlapJoin(
+      a, b, "lo_a", "hi_a", "lo_b", "hi_b", bucketWidth = 60L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("interval fan-out is ceil(len/W)+1 bounded") {
     val ivs = Seq((1L, 0L, 99L), (2L, 0L, 100L), (3L, 55L, 56L))
       .toDF("iid", "lo", "hi")
