@@ -1444,6 +1444,40 @@ object LakeQueries extends QueryModule {
         SELECT l_returnflag, COUNT(*) AS n,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         FROM lineitem GROUP BY 1 ORDER BY 1"""),
+      bench = false),
+
+    // BRANCH → work → MERGE BACK (VersionedTable.mergeBranch — the
+    // lakeFS/Nessie Git-for-data close of q176's shallow clone):
+    // branch forks zero-copy, BOTH sides append concurrently
+    // (append-only histories are conflict-free — the data
+    // fast-forward), and the branch's additions land on the source as
+    // ONE commit; the append-only precondition is checked from the
+    // manifests alone (spec proves the rewrite-branch refusal). The
+    // merged source must aggregate to the FULL table — a dropped,
+    // duplicated, or clone-point-leaked row breaks the hash.
+    "q236_branch_merge" -> Q(
+      run = (s, dir) => {
+        val src = tempRoot("graft_vt_brsrc").resolve("t").toString
+        val br = tempRoot("graft_vt_brdst").resolve("t").toString
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        graft.sources.VersionedTable.overwrite(
+          orders.filter(col("o_orderkey") % 3 === 0), src)
+        graft.sources.VersionedTable.shallowClone(src, br)
+        graft.sources.VersionedTable.append(
+          orders.filter(col("o_orderkey") % 3 === 1), br)
+        graft.sources.VersionedTable.append(
+          orders.filter(col("o_orderkey") % 3 === 2), src)
+        graft.sources.VersionedTable.mergeBranch(s, br, src)
+        graft.sources.VersionedTable.read(s, src)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY 1 ORDER BY 1"""),
       bench = false)
   )
 

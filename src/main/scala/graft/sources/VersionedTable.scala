@@ -933,6 +933,36 @@ object VersionedTable {
     commitManifest(dst, 0, readListing(src, base))
   }
 
+  /** Merge an APPEND-ONLY branch (created by [[shallowClone]]) back
+    * into its source — the lakeFS/Nessie "Git-for-data" close of the
+    * branch workflow: everything the branch added since the clone
+    * point (its version 0) lands on `srcRoot` as ONE append commit.
+    * Source and branch may have appended CONCURRENTLY — append-only
+    * histories are conflict-free by construction (the data
+    * fast-forward), so divergence needs no three-way resolution. The
+    * branch must not have REWRITTEN clone-point files (delete / merge
+    * / compact): checked from the manifests alone — every clone-point
+    * file still present at the branch head — and refused otherwise,
+    * because a rewrite's row-level effects cannot be replayed as an
+    * append. O(manifest) check + O(branch additions) data read; the
+    * shared clone-point files never move or copy. */
+  def mergeBranch(spark: SparkSession, branchRoot: String,
+                  srcRoot: String): Long = {
+    val bHead = latestVersion(branchRoot)
+      .getOrElse(sys.error(s"no versions at $branchRoot"))
+    val cloneFiles = readListing(branchRoot, 0).map(pathOf).toSet
+    val headFiles = readListing(branchRoot, bHead).map(pathOf).toSet
+    val rewritten = cloneFiles.diff(headFiles)
+    require(rewritten.isEmpty,
+      s"branch rewrote ${rewritten.size} clone-point file(s) " +
+        "(delete/merge/compact) — not an append-only branch; " +
+        "merge back manually via diffVersions")
+    if (bHead == 0) return latestVersion(srcRoot)
+      .getOrElse(sys.error(s"no versions at $srcRoot"))
+    val delta = readChangesBetween(spark, branchRoot, 0, bHead)
+    append(delta, srcRoot)
+  }
+
   /** Incremental consumption (the Delta CDF / Iceberg incremental-read
     * role for append-style tables): read only the data files ADDED
     * after version `sinceV`, so a downstream job consumes each

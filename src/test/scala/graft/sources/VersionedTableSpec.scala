@@ -804,6 +804,37 @@ class VersionedTableSpec extends SparkSuite {
     }
   }
 
+  test("mergeBranch: concurrent appends fast-forward; rewrite branches refuse") {
+    import spark.implicits._
+    val src = tmpRoot(); val br = tmpRoot() + "_branch"
+    VersionedTable.overwrite(Seq((1, "a"), (2, "b")).toDF("k", "v"), src)
+    VersionedTable.shallowClone(src, br)
+    VersionedTable.append(Seq((3, "br1")).toDF("k", "v"), br)
+    VersionedTable.append(Seq((4, "br2")).toDF("k", "v"), br)
+    VersionedTable.append(Seq((5, "src")).toDF("k", "v"), src) // diverge
+    VersionedTable.mergeBranch(spark, br, src)
+    assert(VersionedTable.read(spark, src).as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "b"), (3, "br1"), (4, "br2"), (5, "src")))
+    // the merge is ONE commit; clone-point rows arrive exactly once
+    assert(VersionedTable.read(spark, src).count() == 5)
+
+    // an untouched branch merges as a no-op
+    val br2 = tmpRoot() + "_branch2"
+    VersionedTable.shallowClone(src, br2)
+    val v0 = VersionedTable.latestVersion(src)
+    VersionedTable.mergeBranch(spark, br2, src)
+    assert(VersionedTable.latestVersion(src) == v0)
+
+    // a branch that REWROTE clone-point files (delete) refuses
+    val br3 = tmpRoot() + "_branch3"
+    VersionedTable.shallowClone(src, br3)
+    VersionedTable.delete(spark, br3, col("k") === 1)
+    val ex = intercept[IllegalArgumentException] {
+      VersionedTable.mergeBranch(spark, br3, src)
+    }
+    assert(ex.getMessage.contains("append-only"))
+  }
+
   test("the documented hazard: vacuum on the SOURCE breaks a shallow clone") {
     import spark.implicits._
     val src = tmpRoot(); val dst = tmpRoot() + "_clone"
