@@ -20,6 +20,27 @@ object KllQuantiles {
           UnresolvedAttribute(valueCol),
           org.apache.spark.sql.types.DoubleType), k, ranks)
         .toAggregateExpression())
+
+  /** The persistable partial: serialized sketch bytes of `valueCol`
+    * (cast to double) — store per batch, roll up with
+    * [[mergeQuantiles]] without rescanning rows. Exact while the
+    * total count stays ≤ k. */
+  def sketchBytes(valueCol: String, k: Int = 32768): Column =
+    ColumnBridge.column(
+      graft.plans.KllSketchAgg(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          UnresolvedAttribute(valueCol),
+          org.apache.spark.sql.types.DoubleType), k)
+        .toAggregateExpression())
+
+  /** Quantiles at `ranks` from a column of SERIALIZED sketch partials
+    * ([[sketchBytes]] output) — serving cost O(partials). */
+  def mergeQuantiles(bytesCol: String, ranks: Seq[Double],
+                     k: Int = 32768): Column =
+    ColumnBridge.column(
+      graft.plans.KllMergeQuantilesAgg(
+        UnresolvedAttribute(bytesCol), k, ranks)
+        .toAggregateExpression())
 }
 
 /** Heavy-hitters rollups over the FreqItemsAgg sketch

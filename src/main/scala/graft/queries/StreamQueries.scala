@@ -526,6 +526,48 @@ object StreamQueries extends QueryModule {
         FROM events GROUP BY event_type ORDER BY event_type"""),
       bench = false),
 
+    // STREAMING PERCENTILE rollup — the quantile member of the
+    // sketch-streaming family (q211 CMS counts, q217 HLL distincts):
+    // per-batch KLL partials (serialized sketch BYTES) append
+    // exactly-once; serving merges blobs per group
+    // (KllQuantiles.mergeQuantiles — O(partials), the raw stream
+    // never retained). KLL with k=32768 holds every value below
+    // capacity and merging exact partials stays exact, so at gate
+    // scale the streamed quantiles hash-match percentile_disc — the
+    // approximation path is certified by full equality here and by
+    // the error-bound spec beyond capacity.
+    "q237_stream_kll" -> Q(
+      bench = false,
+      run = (s, dir) => {
+        val in = tempRoot("graft_kll_in").resolve("p").toString
+        val root = tempRoot("graft_kll_tab").resolve("t").toString
+        val src = Tables(s, dir, "events")
+          .select(col("event_type").as("grp"),
+            floor(col("value")).cast(LongType).cast(StringType).as("item"))
+        src.repartition(3).write.mode("overwrite").parquet(in)
+        val partials = StreamingJobs.runKllRollupAvailableNow(s, in, root)
+        partials.groupBy(col("grp"))
+          .agg(graft.operators.KllQuantiles
+            .mergeQuantiles("sk", Seq(0.25, 0.5, 0.75, 0.9)).as("qs"))
+          .select(col("grp"),
+            col("qs").getItem(0).cast(LongType).as("p25"),
+            col("qs").getItem(1).cast(LongType).as("p50"),
+            col("qs").getItem(2).cast(LongType).as("p75"),
+            col("qs").getItem(3).cast(LongType).as("p90"))
+          .orderBy("grp")
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT event_type AS grp,
+                 CAST(FLOOR(value) AS BIGINT) AS v
+          FROM events)
+        SELECT grp,
+               CAST(quantile_disc(v, 0.25) AS BIGINT) AS p25,
+               CAST(quantile_disc(v, 0.50) AS BIGINT) AS p50,
+               CAST(quantile_disc(v, 0.75) AS BIGINT) AS p75,
+               CAST(quantile_disc(v, 0.90) AS BIGINT) AS p90
+        FROM c GROUP BY grp ORDER BY grp""")),
+
     // STREAMING inverted-index maintenance capstone: the documents
     // stream (3 files → 3 micro-batches, maxFilesPerTrigger=1) drains
     // into the persisted TextIndex through the exactly-once batchId

@@ -528,6 +528,18 @@ object StreamingJobs {
     runPartialRollupAvailableNow(spark, inputDir, sketchRoot,
       hll_sketch_agg(col("item")).as("sk"))
 
+  /** As [[runSketchRollupAvailableNow]] with KLL quantile partials
+    * ([[graft.operators.KllQuantiles.sketchBytes]] over the item cast
+    * to double) — the streaming PERCENTILE rollup; serve with
+    * [[graft.operators.KllQuantiles.mergeQuantiles]] per group.
+    * Exact (percentile_disc-matching) while a group's streamed count
+    * stays ≤ k; mergeable-estimate beyond. */
+  def runKllRollupAvailableNow(spark: SparkSession, inputDir: String,
+                               sketchRoot: String,
+                               k: Int = 32768): DataFrame =
+    runPartialRollupAvailableNow(spark, inputDir, sketchRoot,
+      graft.operators.KllQuantiles.sketchBytes("item", k).as("sk"))
+
   /** Shared (grp, item)-stream → durable per-batch partial-aggregate
     * table machinery behind the sketch rollups. */
   private def runPartialRollupAvailableNow(

@@ -19,7 +19,7 @@ class PlanAuditSpec extends SparkSuite {
     "q171_changes_stream", "q185_stream_view", "q192_stream_drift",
     "q204_stream_quarantine", "q211_stream_sketch", "q217_stream_hll",
     "q222_stream_join_view", "q226_stream_dedup_watermark",
-    "q228_stream_text_index")
+    "q228_stream_text_index", "q237_stream_kll")
 
   /** pattern → queries where it is the intended plan shape. */
   private val allowed: Map[String, Set[String]] = Map(

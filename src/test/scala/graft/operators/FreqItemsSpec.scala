@@ -87,6 +87,30 @@ class FreqItemsSpec extends SparkSuite {
     assert(math.abs(est - 50000) < tol, s"p50 estimate $est off by > $tol")
   }
 
+  test("KLL bytes partials: parquet round-trip + merge == direct quantiles") {
+    import spark.implicits._
+    val vals = Tables(spark, sf, "documents")
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val direct = vals.groupBy(col("lang"))
+      .agg(KllQuantiles.quantiles("n_tok", Seq(0.25, 0.5, 0.9)).as("qs"))
+      .select(col("lang"), col("qs")).as[(String, Seq[Double])]
+      .collect().toMap
+    // three per-"batch" partials through a parquet round-trip, merged
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_kll_bytes").resolve("p").toString
+    vals.withColumn("b", col("n_tok") % 3)
+      .groupBy(col("lang"), col("b"))
+      .agg(KllQuantiles.sketchBytes("n_tok").as("sk"))
+      .write.mode("overwrite").parquet(tmp)
+    val merged = spark.read.parquet(tmp)
+      .groupBy(col("lang"))
+      .agg(KllQuantiles.mergeQuantiles("sk", Seq(0.25, 0.5, 0.9)).as("qs"))
+      .select(col("lang"), col("qs")).as[(String, Seq[Double])]
+      .collect().toMap
+    assert(merged == direct) // exact below capacity, any partitioning
+  }
+
   test("above capacity: top item survives purges within the error bound") {
     import spark.implicits._
     // skewed stream: one item at 5000, 200 tail items at ~25 each,
