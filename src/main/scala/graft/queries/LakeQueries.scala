@@ -1478,6 +1478,40 @@ object LakeQueries extends QueryModule {
         SELECT o_orderstatus, COUNT(*) AS n,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders GROUP BY 1 ORDER BY 1"""),
+      bench = false),
+
+    // RESULT-SET CACHE (ResultCache — the Snowflake serving role):
+    // the aggregate runs through the cache three times — miss
+    // (materialize), hit (served from the stored parquet, source not
+    // scanned — proven in ResultCacheSpec), then a source APPEND
+    // changes the version fingerprint so the third call recomputes
+    // over the full table. A stale hit after the append would return
+    // the half-table aggregate and break the hash.
+    "q238_result_cache" -> Q(
+      run = (s, dir) => {
+        val src = tempRoot("graft_rc_src").resolve("t").toString
+        val cache = tempRoot("graft_rc").resolve("c").toString
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        graft.sources.VersionedTable.overwrite(
+          orders.filter(col("o_orderkey") % 2 === 0), src)
+        def aggNow = graft.sources.VersionedTable.read(s, src)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        graft.sources.ResultCache.through(aggNow, cache,
+          graft.sources.ResultCache.depsOf(src)).count()
+        graft.sources.ResultCache.through(aggNow, cache,
+          graft.sources.ResultCache.depsOf(src)).count()
+        graft.sources.VersionedTable.append(
+          orders.filter(col("o_orderkey") % 2 === 1), src)
+        graft.sources.ResultCache.through(aggNow, cache,
+          graft.sources.ResultCache.depsOf(src))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY 1 ORDER BY 1"""),
       bench = false)
   )
 

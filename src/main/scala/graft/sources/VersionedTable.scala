@@ -61,6 +61,24 @@ object VersionedTable {
 
   def latestVersion(root: String): Option[Long] = versions(root).lastOption
 
+  /** Timestamp time travel (the Delta `TIMESTAMP AS OF` role): the
+    * latest version whose manifest was committed at or before
+    * `tsMillis` — commit times come from the manifest files' own
+    * mtimes (the log IS the clock; an object store would read object
+    * creation times the same way). None if the table didn't exist
+    * yet. Commit times are wall-clock, so this is an OPERATIONAL
+    * surface ("what did the dashboard read at 9am"), not a
+    * deterministic one — oracle-checkable queries pin versions. */
+  def versionAsOf(root: String, tsMillis: Long): Option[Long] =
+    versions(root)
+      .filter(v => manifestFile(root, v).lastModified() <= tsMillis)
+      .lastOption
+
+  /** Read the snapshot [[versionAsOf]] `tsMillis` resolves to. */
+  def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame =
+    readVersion(spark, root, versionAsOf(root, tsMillis)
+      .getOrElse(sys.error(s"no version at or before $tsMillis in $root")))
+
   /** Raw lines of one manifest FILE (full listing or delta directives —
     * use [[readListing]] for the resolved file list of a version). */
   private def readManifest(root: String, v: Long): Seq[String] = {
