@@ -15,7 +15,7 @@ object SparkEntry {
   /** All query modules, in presentation order. */
   def modules: Seq[QueryModule] = Seq(
     CoreQueries, ExtendedQueries, LakeQueries, TextQueries, DedupQueries,
-    SimilarityQueries, StreamQueries, VexereGateQueries)
+    SimilarityQueries, StreamQueries, EvalQueries, VexereGateQueries)
 
   private lazy val all: Seq[(String, Q)] = modules.flatMap(_.entries)
 

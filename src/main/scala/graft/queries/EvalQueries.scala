@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Eval, Features, Similarity}
+
+/** Offline evaluation + supervised feature engineering — judging the
+  * engine's own retrievers and quality classifiers before trusting
+  * them at corpus scale (graft.operators.Eval/Features scaladoc for
+  * the scale shapes). All metrics are exact integer ppm via truncating
+  * `div` on non-negative longs, mirrored token-for-token by the
+  * DuckDB oracles; only χ² needs wide arithmetic (DECIMAL(38,0) /
+  * HUGEINT).
+  */
+object EvalQueries extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  override def entries: Seq[(String, Q)] = Seq(
+
+    // ----------------------------------------------------------------
+    // Ranked-retrieval evaluation: the exact cosine retriever (q40)
+    // judged against label-match relevance — hits@10, P@10, R@10, MRR
+    // per query. One top-k join against the qrels + two keyed aggs —
+    // no windows, nothing driver-side; at 100 TB the qrels join is a
+    // key-partitioned equi-join like any fact-fact join.
+    "q246_retrieval_eval" -> Q(
+      run = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 32)
+        val ranked = Similarity.bruteForceTopK(q, emb, k = 10)
+        val rel = q.select(col("vec_id").as("query_id"), col("label"))
+          .join(emb.select(col("vec_id").as("neighbor_id"), col("label")),
+            Seq("label"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"))
+        Eval.retrievalMetrics(ranked, rel,
+            "query_id", "neighbor_id", "rank", k = 10)
+          .orderBy("query_id")
+      },
+      oracle = Some("""
+        WITH ranked AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                   c.embedding::DOUBLE[]) DESC,
+                            c.vec_id) AS rank
+          FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+          WHERE q.vec_id < 32),
+        rel AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM embeddings q JOIN embeddings c
+            ON q.vec_id != c.vec_id AND q.label = c.label
+          WHERE q.vec_id < 32),
+        tot AS (SELECT query_id, COUNT(*) AS rel_total FROM rel GROUP BY 1),
+        hit AS (
+          SELECT r.query_id, COUNT(*) AS hits, MIN(r.rank) AS first_rank
+          FROM ranked r JOIN rel
+            ON r.query_id = rel.query_id AND r.neighbor_id = rel.neighbor_id
+          WHERE r.rank <= 10 GROUP BY 1)
+        SELECT t.query_id, CAST(t.rel_total AS BIGINT) AS rel_total,
+               CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+               CAST(COALESCE(h.hits, 0) * 1000000 // 10 AS BIGINT) AS p_at_k_ppm,
+               CAST(COALESCE(h.hits, 0) * 1000000 // t.rel_total AS BIGINT)
+                 AS recall_ppm,
+               CAST(COALESCE(1000000 // h.first_rank, 0) AS BIGINT) AS mrr_ppm
+        FROM tot t LEFT JOIN hit h USING (query_id)
+        ORDER BY query_id""")),
+
+    // ----------------------------------------------------------------
+    // Exact tie-corrected AUC (Mann–Whitney) of doc length as an
+    // English-detector — the canonical threshold-free classifier
+    // metric, computed from the SCORE HISTOGRAM + a distributed prefix
+    // sum (never a global per-row rank window; the Rocchio margin
+    // discipline). Oracle replays the identical histogram algebra.
+    "q247_auc_exact" -> Q(
+      run = (s, dir) =>
+        Eval.aucExact(
+          t(s, dir, "documents")
+            .withColumn("is_en", (col("lang") === "en").cast("long")),
+          "n_chars", "is_en"),
+      oracle = Some("""
+        WITH h AS (
+          SELECT n_chars AS score,
+                 SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+                 COUNT(*) AS tot
+          FROM documents GROUP BY 1),
+        c AS (
+          SELECT score, pos, tot,
+                 SUM(tot) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM h)
+        SELECT CAST(SUM(pos) AS BIGINT) AS pos,
+               CAST(SUM(tot - pos) AS BIGINT) AS neg,
+               CAST((SUM(pos * (2 * cum - tot + 1)) - SUM(pos) * (SUM(pos) + 1))
+                    * 1000000 // (2 * SUM(pos) * SUM(tot - pos)) AS BIGINT)
+                 AS auc_ppm
+        FROM c""")),
+
+    // ----------------------------------------------------------------
+    // Reliability table (calibration diagnostic): rank-decile bins of
+    // the score, each reporting positive rate vs mean score-percentile
+    // midpoint + the scaled ECE term — all exact ppm integers off the
+    // same histogram substrate as q247.
+    "q248_calibration_bins" -> Q(
+      run = (s, dir) =>
+        Eval.calibrationBins(
+          t(s, dir, "documents")
+            .withColumn("is_en", (col("lang") === "en").cast("long")),
+          "n_chars", "is_en", bins = 10)
+          .orderBy("bin"),
+      oracle = Some("""
+        WITH h AS (
+          SELECT n_chars AS score,
+                 SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+                 COUNT(*) AS tot
+          FROM documents GROUP BY 1),
+        c AS (
+          SELECT score, pos, tot,
+                 SUM(tot) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM h),
+        nn AS (SELECT COUNT(*) AS n_all FROM documents),
+        e AS (
+          SELECT pos, tot, cum - tot AS cb,
+                 LEAST(9, (cum - tot) * 10 // n_all) AS bin,
+                 (2 * (cum - tot) + tot) * 500000 // n_all AS p_mid_ppm
+          FROM c CROSS JOIN nn)
+        SELECT CAST(bin AS BIGINT) AS bin, CAST(SUM(tot) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS pos,
+               CAST(SUM(pos) * 1000000 // SUM(tot) AS BIGINT) AS acc_ppm,
+               CAST(SUM(p_mid_ppm * tot) // SUM(tot) AS BIGINT) AS conf_ppm,
+               CAST(ABS(SUM(pos) * 1000000 // SUM(tot)
+                        - SUM(p_mid_ppm * tot) // SUM(tot))
+                    * SUM(tot) AS BIGINT) AS ece_term
+        FROM e GROUP BY bin ORDER BY bin""")),
+
+    // ----------------------------------------------------------------
+    // χ² feature selection: top-20 tokens by association with the
+    // English label. One distinct (doc, token) explode + one
+    // vocabulary-sized agg + a 1-row totals broadcast; the χ² formula
+    // is per-row column math in DECIMAL(38,0) (HUGEINT in the oracle).
+    "q249_chi2_select" -> Q(
+      run = (s, dir) =>
+        Features.chi2Select(
+          t(s, dir, "documents")
+            .withColumn("is_en", (col("lang") === "en").cast("long")),
+          "text", "doc_id", "is_en", topK = 20),
+      oracle = Some("""
+        WITH pairs AS (
+          SELECT DISTINCT * FROM (
+            SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                   unnest(string_split(text, ' ')) AS token
+            FROM documents)),
+        tok AS (SELECT token, SUM(y) AS a, SUM(1 - y) AS b
+                FROM pairs GROUP BY 1),
+        tots AS (
+          SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p_tot,
+                 SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS n_tot
+          FROM documents)
+        SELECT token, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+               CAST(CAST(p_tot + n_tot AS HUGEINT)
+                    * (a * (n_tot - b) - b * (p_tot - a))
+                    * (a * (n_tot - b) - b * (p_tot - a))
+                    * 1000000
+                    // ((a + b) * (p_tot + n_tot - a - b) * p_tot * n_tot)
+                 AS BIGINT) AS chi2_ppm
+        FROM tok CROSS JOIN tots
+        WHERE a + b < p_tot + n_tot
+        ORDER BY chi2_ppm DESC, token LIMIT 20""")),
+
+    // ----------------------------------------------------------------
+    // Leave-one-out target encoding of order priority against the
+    // F-status label — the leakage-safe categorical feature (the row's
+    // own label excluded from its mean). Category stats are one
+    // dim-sized agg broadcast back onto the facts.
+    "q250_target_encode" -> Q(
+      run = (s, dir) =>
+        Features.targetEncodeLoo(
+          t(s, dir, "orders")
+            .withColumn("y", (col("o_orderstatus") === "F").cast("long")),
+          "o_orderpriority", "y")
+          .filter(col("o_orderkey") < 3000)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("loo_ppm"))
+          .orderBy("o_orderkey"),
+      oracle = Some("""
+        WITH st AS (
+          SELECT o_orderpriority,
+                 SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS sy,
+                 COUNT(*) AS nc
+          FROM orders GROUP BY 1)
+        SELECT o_orderkey, o_orderpriority,
+               CAST((sy - CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    * 1000000 // (nc - 1) AS BIGINT) AS loo_ppm
+        FROM orders JOIN st USING (o_orderpriority)
+        WHERE o_orderkey < 3000 ORDER BY o_orderkey"""))
+  )
+}

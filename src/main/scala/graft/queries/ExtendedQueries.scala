@@ -1043,6 +1043,115 @@ object ExtendedQueries extends QueryModule {
         FROM e a JOIN e b
           ON a.user_id = b.user_id AND a.event_id < b.event_id
          AND a.lo <= b.hi AND b.lo <= a.hi
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ----------------------------------------------------------------
+    // Time-series gap repair 1/2 — forward fill (LOCF): click/view
+    // events carry no reading (derived NULL); each user's series fills
+    // from its most recent observation. One window pass per series,
+    // O(1) frame state (graft.operators.TimeSeries) — parallel across
+    // users, no global sort. No arithmetic touches the carried value,
+    // so the doubles hash exactly.
+    "q243_forward_fill" -> Q(
+      run = (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("user_id") < 30)
+          .withColumn("reading",
+            when(col("event_type").isin("click", "view"), lit(null))
+              .otherwise(col("value")))
+        graft.operators.TimeSeries
+          .forwardFill(ev, "user_id", "ts", "event_id", "reading")
+          .select(col("user_id"), col("event_id"), col("reading"),
+            col("filled"))
+          .orderBy("user_id", "event_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN event_type IN ('click', 'view') THEN NULL
+                      ELSE value END AS reading
+          FROM events WHERE user_id < 30)
+        SELECT user_id, event_id, reading,
+               LAST_VALUE(reading IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        FROM e ORDER BY user_id, event_id""")),
+
+    // ----------------------------------------------------------------
+    // Time-series gap repair 2/2 — linear interpolation between the
+    // nearest observations (edge gaps degrade to nearest-fill). The
+    // value is pre-quantized to exact BIGINT micros and the
+    // interpolation expression is evaluated step-for-step identically
+    // by the oracle — correctly-rounded IEEE ops only (the q40
+    // parity rule), no libm. Two O(1)-state window passes per series.
+    "q244_interpolate" -> Q(
+      run = (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("user_id") < 30)
+          .withColumn("reading",
+            when(col("event_type").isin("click", "view"), lit(null))
+              .otherwise(col("value")))
+        graft.operators.TimeSeries
+          .interpolate(ev, "user_id", "ts", "event_id", "reading")
+          .select(col("user_id"), col("event_id"),
+            round(col("filled"), 6).as("filled"))
+          .orderBy("user_id", "event_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS t,
+                 CASE WHEN event_type IN ('click', 'view') THEN NULL
+                      ELSE value END AS reading
+          FROM events WHERE user_id < 30),
+        w AS (
+          SELECT user_id, event_id, t,
+                 CASE WHEN reading IS NOT NULL
+                      THEN CAST(round(reading * 1000000) AS BIGINT) END AS v,
+                 CASE WHEN reading IS NOT NULL THEN t END AS tt
+          FROM e),
+        f AS (
+          SELECT user_id, event_id, t, v,
+                 LAST_VALUE(v IGNORE NULLS) OVER pw AS pv,
+                 LAST_VALUE(tt IGNORE NULLS) OVER pw AS pt,
+                 FIRST_VALUE(v IGNORE NULLS) OVER nw AS nv,
+                 FIRST_VALUE(tt IGNORE NULLS) OVER nw AS nt
+          FROM w
+          WINDOW pw AS (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 nw AS (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        SELECT user_id, event_id,
+               ROUND(CASE
+                 WHEN v IS NOT NULL THEN CAST(v AS DOUBLE) / 1000000.0
+                 WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                   (CAST(pv AS DOUBLE)
+                     + CAST(nv - pv AS DOUBLE) * CAST(t - pt AS DOUBLE)
+                       / CAST(nt - pt AS DOUBLE)) / 1000000.0
+                 WHEN pv IS NOT NULL THEN CAST(pv AS DOUBLE) / 1000000.0
+                 WHEN nv IS NOT NULL THEN CAST(nv AS DOUBLE) / 1000000.0
+               END, 6) AS filled
+        FROM f ORDER BY user_id, event_id""")),
+
+    // ----------------------------------------------------------------
+    // OHLC bar downsampling: hourly (event_type, bucket) bars with
+    // first/last selected by a zero-padded unique (ts, id) order key,
+    // so min_by/max_by and DuckDB arg_min/arg_max agree exactly. ONE
+    // combinable hash agg — each partial carries a single (value, key)
+    // pair per bar, the canonical metrics-rollup shape at fleet scale.
+    "q245_ohlc_bars" -> Q(
+      run = (s, dir) =>
+        graft.operators.TimeSeries
+          .ohlcBars(t(s, dir, "events"), "event_type", "ts", "event_id",
+            "value", widthSec = 3600L)
+          .orderBy("event_type", "bucket"),
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_type, epoch_us(ts) // 3600000000 AS bucket, value,
+                 lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+                 lpad(CAST(event_id AS VARCHAR), 12, '0') AS ok
+          FROM events)
+        SELECT event_type, bucket,
+               arg_min(value, ok) AS open, MAX(value) AS high,
+               MIN(value) AS low, arg_max(value, ok) AS close,
+               COUNT(*) AS n
+        FROM e GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

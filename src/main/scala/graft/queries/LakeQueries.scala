@@ -1512,6 +1512,138 @@ object LakeQueries extends QueryModule {
         SELECT o_orderstatus, COUNT(*) AS n,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders GROUP BY 1 ORDER BY 1"""),
+      bench = false),
+
+    // APPLY CHANGES INTO (the DLT apply_changes / Debezium-sink role):
+    // an ordered I/U/D feed with per-key sequence numbers folds into
+    // the table as ONE atomic copy-on-write commit — net effect only
+    // (seq 2 overrides seq 1: a delete un-deleted by a later upsert,
+    // an update overridden by a later delete — both exercised), with
+    // deletes of absent keys as no-ops. Oracle replays the feed's net
+    // effect declaratively.
+    "q239_cdc_apply" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_cdc").resolve("t").toString
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        graft.sources.VersionedTable.overwrite(
+          orders.filter(col("o_orderkey") < 10000), root)
+        val tail = orders.filter(col("o_orderkey") >= 5000)
+        val feed1 = tail.select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice") + 500).as("o_totalprice"), lit(1L).as("seq"),
+          when(col("o_orderkey") % 10 < 3, "D").otherwise("U").as("op"))
+        val feed2 = tail.filter(col("o_orderkey") % 10 === 0 ||
+            col("o_orderkey") % 10 === 3)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_totalprice") + 1000).as("o_totalprice"), lit(2L).as("seq"),
+            when(col("o_orderkey") % 10 === 0, "U").otherwise("D").as("op"))
+        graft.sources.VersionedTable.applyChanges(s, root,
+          feed1.unionByName(feed2), Seq("o_orderkey"), "seq", "op")
+        graft.sources.VersionedTable.read(s, root)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some("""
+        WITH survivors AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+          FROM orders WHERE o_orderkey < 5000
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
+                      ELSE o_totalprice + 500 END AS price
+          FROM orders
+          WHERE o_orderkey >= 5000 AND o_orderkey % 10 NOT IN (1, 2, 3))
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM survivors GROUP BY 1 ORDER BY 1"""),
+      bench = false),
+
+    // WRITE-AUDIT-PUBLISH (the Iceberg WAP workflow, composed from
+    // the engine's own parts): stage a batch on a shallow-clone
+    // BRANCH, audit it with a write-time CHECK, and only a batch that
+    // passes ever reaches the main table via the branch fast-forward
+    // merge. The poisoned batch is rejected WHOLE (appendChecked
+    // aborts before any commit) and main provably never sees it — the
+    // `bad_rejected` / `main_isolated` flags fold that proof into the
+    // hash.
+    "q241_wap_publish" -> Q(
+      run = (s, dir) => {
+        val main = tempRoot("graft_wap_main").resolve("t").toString
+        val branch = tempRoot("graft_wap_branch").resolve("t").toString
+        val ev = Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        // stats-bearing overwrite → the isolation proof below stays
+        // metadata-only (countRows folds the manifest, no scan)
+        graft.sources.VersionedTable.overwriteWithStats(
+          ev.filter(col("event_id") < 5000), main)
+        graft.sources.VersionedTable.shallowClone(main, branch)
+        val slice = ev.filter(col("event_id") >= 5000 && col("event_id") < 7500)
+        val poisoned = slice.withColumn("value",
+          when(col("event_id") === 6000, lit(null)).otherwise(col("value")))
+        val badRejected =
+          try {
+            graft.sources.VersionedTable.appendChecked(
+              poisoned, branch, col("value").isNotNull)
+            0L
+          } catch { case _: IllegalArgumentException => 1L }
+        // audit proof: the branch (and a fortiori main) is still the
+        // base batch — the rejected write left no partial commit
+        val mainIsolated =
+          if (graft.sources.VersionedTable.countRows(branch).contains(5000L)) 1L
+          else 0L
+        graft.sources.VersionedTable.appendChecked(
+          slice, branch, col("value").isNotNull)
+        graft.sources.VersionedTable.mergeBranch(s, branch, main)
+        graft.sources.VersionedTable.read(s, main)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("val_sum"))
+          .withColumn("bad_rejected", lit(badRejected))
+          .withColumn("main_isolated", lit(mainIsolated))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum,
+               CAST(1 AS BIGINT) AS bad_rejected,
+               CAST(1 AS BIGINT) AS main_isolated
+        FROM events WHERE event_id < 7500
+        GROUP BY 1 ORDER BY 1"""),
+      bench = false),
+
+    // MIN/MAX-maintaining incremental view (MaterializedView
+    // .refreshMinMax): per-group extremes are monotone under
+    // append-only sources, so three append→refresh cycles must land
+    // the view exactly on the full-recompute answer — the non-additive
+    // aggregate family (q186 covered COUNT(DISTINCT) via sketches;
+    // extremes need no sketch at all).
+    "q242_minmax_view" -> Q(
+      run = (s, dir) => {
+        val src = tempRoot("graft_mmv_src").resolve("t").toString
+        val view = tempRoot("graft_mmv_view").resolve("v").toString
+        val ev = Tables(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        graft.sources.VersionedTable.overwrite(
+          ev.filter(col("event_id") < 4000), src)
+        graft.sources.MaterializedView.refreshMinMax(
+          s, src, view, Seq("event_type"), "value")
+        graft.sources.VersionedTable.append(
+          ev.filter(col("event_id") >= 4000 && col("event_id") < 7000), src)
+        graft.sources.MaterializedView.refreshMinMax(
+          s, src, view, Seq("event_type"), "value")
+        graft.sources.VersionedTable.append(
+          ev.filter(col("event_id") >= 7000), src)
+        graft.sources.MaterializedView.refreshMinMax(
+          s, src, view, Seq("event_type"), "value")
+        graft.sources.VersionedTable.read(s, view)
+          .select(col("event_type"), col("lo"), col("hi"), col("n"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, MIN(value) AS lo, MAX(value) AS hi,
+               COUNT(value) AS n
+        FROM events GROUP BY 1 ORDER BY 1"""),
       bench = false)
   )
 

@@ -1051,6 +1051,55 @@ object SimilarityQueries extends QueryModule {
           .orderBy("vec_id")
       },
       oracle = Some(graft.operators.LinAlg.pca2OracleSql(
-        "embeddings", "vec_id", "embedding")))
+        "embeddings", "vec_id", "embedding"))),
+
+    // ----------------------------------------------------------------
+    // Weighted (tf·idf) cosine similarity join over TEXT — the
+    // weighted complement of q31's unweighted Jaccard set-sim join:
+    // pairs sharing RARE vocabulary score high even at modest set
+    // overlap. Integer idf surrogate (N div df) keeps the weights
+    // exact BIGINT; the only floats are one correctly-rounded sqrt
+    // per norm + one divide per pair, mirrored token-for-token by the
+    // oracle. Candidate generation is the posting-list equi-join with
+    // the df cap (Σ df² over capped df, never corpus²) — the cap is
+    // the 100 TB dial AND principled: df > cap ⇒ idf ≈ 0 ⇒ the
+    // dropped pairs score ~0 anyway (graft.operators
+    // .SparseCosineJoin).
+    "q251_sparse_cosine_join" -> Q(
+      run = (s, dir) =>
+        graft.operators.SparseCosineJoin.pairs(
+          Tables(s, dir, "documents"), "doc_id", "text",
+          dfCap = 400L, minCos = 0.9)
+          .select(col("id_a"), col("id_b"), col("dot"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("id_a", "id_b"),
+      oracle = Some("""
+        WITH tf AS (
+          SELECT id, token, COUNT(*) AS tf FROM (
+            SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+          GROUP BY 1, 2),
+        dfv AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        w AS (
+          SELECT t.token, t.id, t.tf * (n.n_docs // d.df) AS w
+          FROM tf t JOIN dfv d USING (token) CROSS JOIN n
+          WHERE d.df <= 400),
+        norms AS (SELECT id, SUM(w * w) AS norm2 FROM w GROUP BY 1),
+        dots AS (
+          SELECT a.id AS id_a, b.id AS id_b, SUM(a.w * b.w) AS dot
+          FROM w a JOIN w b ON a.token = b.token AND a.id < b.id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, CAST(dot AS BIGINT) AS dot,
+               ROUND(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na.norm2 AS DOUBLE))
+                    * sqrt(CAST(nb.norm2 AS DOUBLE))), 6) AS cos
+        FROM dots
+        JOIN norms na ON na.id = dots.id_a
+        JOIN norms nb ON nb.id = dots.id_b
+        WHERE CAST(dot AS DOUBLE)
+              / (sqrt(CAST(na.norm2 AS DOUBLE))
+                 * sqrt(CAST(nb.norm2 AS DOUBLE))) >= 0.9
+        ORDER BY id_a, id_b"""))
   )
 }

@@ -687,6 +687,42 @@ object StreamQueries extends QueryModule {
                CAST(FLOOR(f * octet_length(encode(text)) / 4) AS BIGINT) AS byte_offset
         FROM documents, (SELECT UNNEST(range(0, 4)) AS f)
         WHERE doc_id < 50
-        ORDER BY media_id, frame_index"""))
+        ORDER BY media_id, frame_index""")),
+
+    // STREAMING CDC apply (StreamingJobs.runCdcApplyAvailableNow —
+    // the DLT apply_changes ingestion loop): the event stream as an
+    // ordered change feed (key user_id, seq event_id, `error`
+    // tombstones, everything else upserts), folded per micro-batch
+    // into the table by ONE atomic applyChanges commit behind the
+    // exactly-once batchId sidecar. The job runs TWICE over the same
+    // checkpoint + sidecar — the replay must be a no-op, or the
+    // (deterministic) final state would still match but the version
+    // history wouldn't (the `replay_noop` flag folds that proof into
+    // the hash). Oracle: last event per user by event_id, tombstoned
+    // users absent.
+    "q240_stream_cdc" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_stream_cdc").resolve("t").toString
+        StreamingJobs.runCdcApplyAvailableNow(s, dir, root)
+        val vAfterFirst = graft.sources.VersionedTable
+          .latestVersion(root).get
+        val finalDf = StreamingJobs.runCdcApplyAvailableNow(s, dir, root)
+        val replayNoop = if (graft.sources.VersionedTable
+            .latestVersion(root).get == vAfterFirst) 1L else 0L
+        finalDf
+          .select(col("user_id"), col("event_type"), col("value"))
+          .withColumn("replay_noop", lit(replayNoop))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH latest AS (
+          SELECT user_id, event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY event_id DESC) AS rn
+          FROM events)
+        SELECT user_id, event_type, value, CAST(1 AS BIGINT) AS replay_noop
+        FROM latest WHERE rn = 1 AND event_type != 'error'
+        ORDER BY user_id"""),
+      bench = false)
   )
 }

@@ -165,6 +165,54 @@ object MaterializedView {
     srcV
   }
 
+  /** MIN/MAX-maintaining refresh — the monotone non-additive
+    * aggregates: under an APPEND-ONLY source, per-group extremes only
+    * ever widen, so the view folds each delta's (min, max, n) into the
+    * stored group row with `least`/`greatest` — no sketch, no rescan,
+    * exact forever. That monotonicity is precisely what a DELETE
+    * breaks (removing the current minimum strands the view), so like
+    * the streaming CDF this refresher is append-only by contract:
+    * rewriting sources must recompute (their change feed surfaces
+    * rewritten files as re-reads, which min/max folding would absorb
+    * harmlessly but a shrunk domain would never surface). Same
+    * exactly-once `(srcV, viewV)` sidecar protocol as
+    * [[refreshAdditive]]. */
+  def refreshMinMax(spark: SparkSession, srcRoot: String, viewRoot: String,
+                    keyCols: Seq[String], valCol: String): Long = {
+    val srcV = VersionedTable.latestVersion(srcRoot)
+      .getOrElse(sys.error(s"no versions at $srcRoot"))
+    val st = sidecarState(viewRoot)
+    if (st.exists(_._1 == srcV)) return srcV
+    new File(viewRoot).mkdirs()
+
+    val changes = st match {
+      case None         => VersionedTable.readVersion(spark, srcRoot, srcV)
+      case Some((v, _)) => VersionedTable.readChangesBetween(spark, srcRoot, v, srcV)
+    }
+    val delta = changes.groupBy(keyCols.map(col): _*)
+      .agg(min(col(valCol)).as("lo"), max(col(valCol)).as("hi"),
+        count(col(valCol)).as("n"))
+
+    val next = st match {
+      case None => delta
+      case Some(s) =>
+        committedState(spark, viewRoot, s)
+          .select(keyCols.map(col) ++ Seq(col("lo").as("__pl"),
+            col("hi").as("__ph"), col("n").as("__pn")): _*)
+          .join(delta, keyCols, "full_outer")
+          .select(keyCols.map(col) ++ Seq(
+            // least/greatest skip nulls → new-group and no-delta rows
+            // both fold correctly without branching
+            least(col("__pl"), col("lo")).as("lo"),
+            greatest(col("__ph"), col("hi")).as("hi"),
+            (coalesce(col("__pn"), lit(0L)) + coalesce(col("n"), lit(0L)))
+              .as("n")): _*)
+    }
+    val viewV = VersionedTable.overwrite(next, viewRoot)
+    writeRefreshed(viewRoot, srcV, viewV)
+    srcV
+  }
+
   /** GRAM-MATRIX view refresh — incremental maintenance of the exact
     * sufficient-statistics matrix ([[graft.operators.LinAlg]]) over an
     * append-only vector table: the Gram matrix is ADDITIVE

@@ -873,6 +873,91 @@ object VersionedTable {
     -1L // unreachable
   }
 
+  /** APPLY CHANGES INTO (the Delta Live Tables `apply_changes` /
+    * Debezium-sink role): fold an ORDERED change feed — rows tagged
+    * I(nsert)/U(psert)/D(elete) in `opCol`, ordered per key by
+    * `seqCol` — into the table as ONE atomic copy-on-write commit.
+    *
+    * Net effect first: only each key's LATEST op applies (a key
+    * updated five times then deleted is just a delete), so the rewrite
+    * is O(touched files + net keys), never O(feed length). Sequence
+    * ties break to the lexicographically largest op (U > I > D) —
+    * documented so replays and re-partitioned feeds fold identically;
+    * feeds with a genuinely total (key, seq) order never hit the rule.
+    *
+    *  - **phase 1 (prune)**: the MERGE `_metadata.file_path` semi-join
+    *    against ALL net-affected keys (upserted and deleted alike) —
+    *    untouched files carry as-is, stats included;
+    *  - **phase 2 (rewrite)**: touched files minus every affected key,
+    *    plus the net upsert rows (a delete whose key is absent is a
+    *    no-op by construction — nothing matches, nothing is added);
+    *  - **commit**: one optimistic delta entry, retry recomputes
+    *    against the winner's snapshot like every writer.
+    *
+    * Deletes and upserts land in the SAME version: a reader never
+    * observes the delete applied but the upserts missing (the
+    * two-commit delete-then-merge composition would expose exactly
+    * that torn state). Returns the committed version. */
+  def applyChanges(spark: SparkSession, root: String, feed: DataFrame,
+                   keyCols: Seq[String], seqCol: String, opCol: String,
+                   maxRetries: Int = 5,
+                   beforeCommit: () => Unit = () => ()): Long = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(seqCol).desc, upper(col(opCol)).desc)
+    // net effect — computed once, reused across commit retries
+    // (blocks free on GC, the merge() localCheckpoint discipline)
+    val latest = feed
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .localCheckpoint(true)
+    val affectedKeys = latest.select(keyCols.map(col): _*).distinct()
+      .localCheckpoint(true)
+    val upserts = latest.filter(upper(col(opCol)) =!= "D")
+      .drop(opCol).drop(seqCol)
+    var attempt = 0
+    while (true) {
+      val base = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
+      val files = readListing(root, base)
+      val target = spark.read.option("mergeSchema", "true")
+        .parquet(files.map(pathOf): _*)
+      val touchedNames = target
+        .withColumn("__file", col("_metadata.file_path"))
+        .join(affectedKeys, keyCols, "left_semi")
+        .select(col("__file")).distinct()
+        .collect().map(_.getString(0).split('/').last).toSet
+      val touched0 =
+        files.filter(f => touchedNames.contains(pathOf(f).split('/').last))
+      val outCols = target.columns.toSeq
+      val src = upserts.select(outCols.map(col): _*)
+      val rewritten =
+        if (touched0.isEmpty) src // pure insert / all-absent deletes
+        else spark.read.option("mergeSchema", "true")
+          .parquet(touched0.map(pathOf): _*)
+          .join(affectedKeys, keyCols, "left_anti")
+          .unionByName(src, allowMissingColumns = true)
+          .select(outCols.map(col): _*)
+      val v = base + 1
+      // __rows-only stats: countRows() stays metadata-answerable
+      val staged = statLines(spark,
+        stageDataFiles(rewritten, root, v), Seq.empty)
+      beforeCommit()
+      try {
+        val committed =
+          commitManifest(root, v, deltaContent(touched0, staged))
+        maybeCheckpoint(root, committed)
+        return committed
+      } catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          staged.foreach(p =>
+            Files.deleteIfExists(new File(pathOf(p)).toPath))
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Row-level DELETE WHERE (copy-on-write) — the Delta `DELETE FROM`
     * role, and the table format's data-removal story (takedown /
     * right-to-be-forgotten requests against a training corpus must

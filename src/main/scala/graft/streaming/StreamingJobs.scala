@@ -298,6 +298,76 @@ object StreamingJobs {
     VersionedTable.read(spark, viewRoot)
   }
 
+  /** STREAMING CDC apply — the Delta Live Tables
+    * `apply_changes` ingestion loop: each micro-batch of the event
+    * stream is interpreted as an ordered change feed (key = user_id,
+    * sequence = event_id, op derived from the event type: `error`
+    * tombstones the user, everything else upserts their latest
+    * activity row) and folded into the target table via ONE atomic
+    * [[graft.sources.VersionedTable.applyChanges]] commit per batch.
+    *
+    * Exactly-once: foreachBatch is at-least-once, and although
+    * applyChanges happens to be idempotent for a byte-identical
+    * replayed feed, the batchId sidecar (the
+    * [[runViewMaintenanceAvailableNow]] protocol) skips replays
+    * BEFORE any write — exactness by protocol, not by luck.
+    *
+    * Scale: per batch one copy-on-write commit touching only files
+    * holding affected keys; the net-effect window runs on the BATCH,
+    * never the table. */
+  def runCdcApplyAvailableNow(spark: SparkSession, dir: String,
+                              tableRoot: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val batchFile = new java.io.File(tableRoot, "_last_batch")
+    def lastCommitted: Long =
+      if (!batchFile.exists()) -1L
+      else new String(java.nio.file.Files.readAllBytes(batchFile.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    def commitBatchId(id: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempFile(
+        new java.io.File(tableRoot).toPath, "_lb", ".tmp")
+      java.nio.file.Files.write(tmp,
+        id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, batchFile.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    new java.io.File(tableRoot).mkdirs()
+    val q = readEvents(spark, dir)
+      .select(col("user_id"), col("event_id").as("seq"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+          .as("op"),
+        col("event_type"), col("value"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        if (batchId > lastCommitted) {
+          if (VersionedTable.latestVersion(tableRoot).isEmpty) {
+            // bootstrap: the first batch's net upserts ARE version 0
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("user_id"))
+              .orderBy(col("seq").desc, col("op").desc)
+            VersionedTable.overwrite(
+              batch.withColumn("__rn", row_number().over(w))
+                .filter(col("__rn") === 1 && col("op") =!= "D")
+                .drop("__rn", "op", "seq"),
+              tableRoot)
+          } else
+            VersionedTable.applyChanges(spark, tableRoot, batch,
+              Seq("user_id"), "seq", "op")
+          commitBatchId(batchId)
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        new java.io.File(tableRoot, "_cdc_ckpt").getPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    VersionedTable.read(spark, tableRoot)
+  }
+
   /** STREAMING drift monitor: every ingested micro-batch's `value`
     * distribution is KS-compared (exact, [[graft.operators.Drift]])
     * against a FIXED reference sample, and one

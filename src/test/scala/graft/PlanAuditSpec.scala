@@ -19,7 +19,7 @@ class PlanAuditSpec extends SparkSuite {
     "q171_changes_stream", "q185_stream_view", "q192_stream_drift",
     "q204_stream_quarantine", "q211_stream_sketch", "q217_stream_hll",
     "q222_stream_join_view", "q226_stream_dedup_watermark",
-    "q228_stream_text_index", "q237_stream_kll")
+    "q228_stream_text_index", "q237_stream_kll", "q240_stream_cdc")
 
   /** pattern → queries where it is the intended plan shape. */
   private val allowed: Map[String, Set[String]] = Map(
@@ -113,7 +113,22 @@ class PlanAuditSpec extends SparkSuite {
       // k-anonymity: the suppress_ok flag frame (built from two 1-row
       // aggregates crossed together) attaches to the risky-group
       // anchor — q62's 1-row-broadcast shape
-      "q208_k_anonymity"),
+      "q208_k_anonymity",
+      // retrieval evaluation ranks with the deliberate EXACT retriever
+      // (q40's brute broadcast-queries shape) so the metrics judge the
+      // true ranking; an ANN system-under-test would swap in its own
+      // equi-join plan, the harness itself is keyed joins + aggs
+      "q246_retrieval_eval",
+      // calibration: the 1-row corpus-count dim crossed into the
+      // histogram (q62's 1-row-broadcast shape)
+      "q248_calibration_bins",
+      // χ²: the 1-row class-totals dim crossed into the vocabulary
+      // aggregate (q62's shape)
+      "q249_chi2_select",
+      // sparse cosine join: the 1-row corpus-count dim crossed into
+      // the capped posting table (q62's shape); candidate generation
+      // itself is the posting-list equi-join
+      "q251_sparse_cosine_join"),
     "Exchange SinglePartition" -> Set(
       // global row_number over the tiny DISTINCT dim (W1 parity shape;
       // fact-scale keys use PartitionOffsetKeyGen)
@@ -133,7 +148,12 @@ class PlanAuditSpec extends SparkSuite {
       // global GramAgg: ONE dim²/2 buffer per partition reaches the
       // final agg (q17's scalar-aggregate shape — the corpus never
       // moves); the 2145-row triangle join/sort after is dim-sized
-      "q224_gram_matrix"))
+      "q224_gram_matrix",
+      // AUC / calibration: the prefix sum over the score HISTOGRAM
+      // runs PrefixSum's partition-totals window (#partitions rows,
+      // q75's shape); q247 additionally folds to a 1-row scalar
+      // aggregate (q17's shape)
+      "q247_auc_exact", "q248_calibration_bins"))
 
   test("every plan is free of non-allowlisted scale anti-patterns") {
     val violations = scala.collection.mutable.ListBuffer.empty[String]

@@ -1,0 +1,136 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** VersionedTable.applyChanges (CDC APPLY CHANGES) + the streaming
+  * door: net-effect ordering, absent-key deletes, single-commit
+  * atomicity, exactly-once replay. */
+class CdcApplySpec extends SparkSuite {
+
+  private def freshRoot(tag: String): String =
+    Files.createTempDirectory(s"graft_cdc_$tag").resolve("t").toString
+
+  private def base(root: String): Unit = {
+    import spark.implicits._
+    VersionedTable.overwrite(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+        .toDF("k", "s", "v"), root)
+  }
+
+  private def state(root: String): Set[(Long, String, Double)] =
+    VersionedTable.read(spark, root).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("s"),
+        r.getAs[Double]("v"))).toSet
+
+  test("net effect: latest op per key wins, in one commit") {
+    import spark.implicits._
+    val root = freshRoot("net")
+    base(root)
+    val v0 = VersionedTable.latestVersion(root).get
+    val feed = Seq(
+      (1L, "a", 11.0, 1L, "U"), // then deleted at seq 2 → gone
+      (1L, "a", 12.0, 2L, "D"),
+      (2L, "b", 21.0, 1L, "D"), // then re-upserted at seq 2 → 22.0
+      (2L, "b", 22.0, 2L, "U"),
+      (3L, "c", 31.0, 1L, "U"), // two updates → latest (32.0)
+      (3L, "c", 32.0, 2L, "U"),
+      (4L, "d", 40.0, 1L, "I"), // fresh insert
+      (9L, "x", 0.0, 1L, "D")   // delete of an absent key → no-op
+    ).toDF("k", "s", "v", "seq", "op")
+    VersionedTable.applyChanges(spark, root, feed, Seq("k"), "seq", "op")
+    assert(state(root) == Set(
+      (2L, "b", 22.0), (3L, "c", 32.0), (4L, "d", 40.0)))
+    assert(VersionedTable.latestVersion(root).get == v0 + 1,
+      "upserts and deletes must land in ONE commit")
+  }
+
+  test("only-absent-key deletes still commit cleanly (pure no-op data)") {
+    import spark.implicits._
+    val root = freshRoot("noop")
+    base(root)
+    val feed = Seq((7L, "z", 0.0, 1L, "D")).toDF("k", "s", "v", "seq", "op")
+    VersionedTable.applyChanges(spark, root, feed, Seq("k"), "seq", "op")
+    assert(state(root) ==
+      Set((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+  }
+
+  test("replaying the same feed is idempotent") {
+    import spark.implicits._
+    val root = freshRoot("replay")
+    base(root)
+    val feed = Seq(
+      (1L, "a", 99.0, 1L, "U"), (2L, "b", 0.0, 1L, "D"))
+      .toDF("k", "s", "v", "seq", "op")
+    VersionedTable.applyChanges(spark, root, feed, Seq("k"), "seq", "op")
+    val s1 = state(root)
+    VersionedTable.applyChanges(spark, root, feed, Seq("k"), "seq", "op")
+    assert(state(root) == s1)
+    assert(s1 == Set((1L, "a", 99.0), (3L, "c", 30.0)))
+  }
+
+  test("untouched files are never rewritten") {
+    import spark.implicits._
+    val root = freshRoot("prune")
+    // two separately-committed batches → separate files; the feed
+    // touches only batch 2's key range
+    VersionedTable.overwrite(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "s", "v"), root)
+    VersionedTable.append(
+      Seq((10L, "j", 1.0), (11L, "jj", 2.0)).toDF("k", "s", "v"), root)
+    val before = VersionedTable.read(spark, root).inputFiles.toSet
+    val feed = Seq((10L, "j", 9.0, 1L, "U")).toDF("k", "s", "v", "seq", "op")
+    VersionedTable.applyChanges(spark, root, feed, Seq("k"), "seq", "op")
+    val after = VersionedTable.read(spark, root).inputFiles.toSet
+    val kept = before.intersect(after)
+    assert(kept.nonEmpty, "batch-1 files must carry through untouched")
+    assert(state(root) == Set(
+      (1L, "a", 10.0), (2L, "b", 20.0), (10L, "j", 9.0), (11L, "jj", 2.0)))
+  }
+
+  test("streaming door: multi-batch apply + replay is a no-op") {
+    import spark.implicits._
+    import graft.streaming.StreamingJobs
+    // the source globs on the literal file name, so batch 2 arrives
+    // from a SECOND directory (same checkpoint under the table root —
+    // a new path is a new micro-batch; a seen one is not)
+    def mkDir(ids: Seq[Long]): String = {
+      val dir = Files.createTempDirectory("graft_cdc_stream").toString
+      val df = ids.map(i => (i, java.sql.Timestamp.from(
+          java.time.Instant.ofEpochSecond(1700000000L + i)),
+          i % 5, if (i % 7 == 0) "error" else "view", i * 1.5, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val tmp = Files.createTempDirectory("graft_cdc_mk").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, new java.io.File(dir, "events.parquet").toPath)
+      dir
+    }
+    val dir1 = mkDir(0L to 49L)
+    val root = Files.createTempDirectory("graft_cdc_stream_t")
+      .resolve("t").toString
+    def got() = VersionedTable.read(spark, root).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value"))).toSet
+    // pre-existing table (users 0..9) → the streamed batch takes the
+    // applyChanges branch, not the bootstrap overwrite
+    VersionedTable.overwrite(
+      (0L to 9L).map(u => (u, "seed", 0.0))
+        .toDF("user_id", "event_type", "value"), root)
+    StreamingJobs.runCdcApplyAvailableNow(spark, dir1, root)
+    // users 0..4: latest event id is 45+u; user 4's (id 49, 49%7=0) is
+    // an error → tombstoned despite the seed row; users 5..9 untouched
+    val exp = ((0L to 3L).map(u => (u, (45 + u) * 1.5)) ++
+      (5L to 9L).map(u => (u, 0.0))).toSet
+    assert(got() == exp)
+    assert(!got().exists(_._1 == 4L), "tombstoned user must be absent")
+    val v1 = VersionedTable.latestVersion(root).get
+    // replay: same checkpoint, no new files → version must not move
+    StreamingJobs.runCdcApplyAvailableNow(spark, dir1, root)
+    assert(VersionedTable.latestVersion(root).get == v1)
+    assert(got() == exp)
+  }
+}
