@@ -80,6 +80,31 @@ object Eval {
           expr("(s2 - p * (p + 1)) * 1000000 div (2 * p * n)"))
           .as("auc_ppm"))
 
+  /** Per-group [[aucExact]] — cross-validation folds, per-language or
+    * per-source audits. The histogram gains the group key and the
+    * running total becomes a window PARTITIONED by group over the
+    * (group × score)-cardinality histogram — parallel across groups,
+    * still never a per-row rank. */
+  def aucByGroup(df: DataFrame, scoreCol: String, labelCol: String,
+                 groupCol: String): DataFrame = {
+    val hist = df.groupBy(col(groupCol), col(scoreCol).cast("long").as("score"))
+      .agg(sum(col(labelCol).cast("long")).as("pos"),
+        count(lit(1)).as("tot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("score"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    hist.withColumn("cum", sum(col("tot")).over(w))
+      .groupBy(col(groupCol))
+      .agg(sum(col("pos")).as("p"),
+        sum(col("tot") - col("pos")).as("n"),
+        sum(col("pos") * (lit(2) * col("cum") - col("tot") + lit(1)))
+          .as("s2"))
+      .select(col(groupCol), col("p").as("pos"), col("n").as("neg"),
+        when(col("p") > 0 && col("n") > 0,
+          expr("(s2 - p * (p + 1)) * 1000000 div (2 * p * n)"))
+          .as("auc_ppm"))
+  }
+
   /** Reliability table: rows bucketed into `bins` rank-deciles of the
     * score (ties share a bin — the bin is a pure function of the score,
     * so re-runs and engines agree), each bin reporting its size, its

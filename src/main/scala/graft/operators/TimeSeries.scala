@@ -115,4 +115,45 @@ object TimeSeries {
         max_by(col("__v"), col("__ok")).as("close"),
         count(lit(1)).as("n"))
   }
+
+  /** MERGEABLE OHLC partials over (grp, epoch-micros, id, value) rows:
+    * one bar fragment per (grp, bucket) carrying its boundary ORDER
+    * KEYS alongside open/close, so fragments from different batches
+    * re-merge exactly ([[ohlcMergeBars]]). This is the incremental /
+    * streaming form of [[ohlcBars]]: partials are tiny (7 columns per
+    * bar), associative, and a partial table unioned over any batch
+    * split merges to the identical bars a single pass would produce —
+    * the sketch-rollup contract with EXACT state instead of a sketch. */
+  def ohlcPartials(df: DataFrame, grpCol: String, tUsCol: String,
+                   idCol: String, valueCol: String,
+                   widthSec: Long): DataFrame = {
+    val ok = concat(
+      lpad(col(tUsCol).cast("string"), 20, "0"),
+      lpad(col(idCol).cast("string"), 12, "0"))
+    df.select(col(grpCol).as("grp"),
+        expr(s"$tUsCol div ${widthSec * 1000000L}").cast(LongType)
+          .as("bucket"),
+        col(valueCol).as("__v"), ok.as("__ok"))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(
+        min(col("__ok")).as("open_key"),
+        min_by(col("__v"), col("__ok")).as("open"),
+        max(col("__v")).as("high"),
+        min(col("__v")).as("low"),
+        max(col("__ok")).as("close_key"),
+        max_by(col("__v"), col("__ok")).as("close"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Merge OHLC partial fragments to final bars — the same
+    * min_by/max_by algebra over the boundary keys, so merge(union of
+    * partials) ≡ single-pass bars bit-for-bit. */
+  def ohlcMergeBars(partials: DataFrame): DataFrame =
+    partials.groupBy(col("grp"), col("bucket"))
+      .agg(
+        min_by(col("open"), col("open_key")).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), col("close_key")).as("close"),
+        sum(col("n")).as("n"))
 }

@@ -196,6 +196,101 @@ object EvalQueries extends QueryModule {
                CAST((sy - CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
                     * 1000000 // (nc - 1) AS BIGINT) AS loo_ppm
         FROM orders JOIN st USING (o_orderpriority)
-        WHERE o_orderkey < 3000 ORDER BY o_orderkey"""))
+        WHERE o_orderkey < 3000 ORDER BY o_orderkey""")),
+
+    // ----------------------------------------------------------------
+    // Matryoshka-style dimension-truncation audit: top-10 retrieval on
+    // the FIRST 16 of 64 dimensions vs the full-dimension ranking —
+    // overlap@10 per query, exact ppm. Both rankings are
+    // deterministic, so the oracle replays the WHOLE comparison (no
+    // Certify flags): the question "how much retrieval quality does a
+    // 4× cheaper index keep" answered engine-side before committing to
+    // a truncated index at scale.
+    "q256_matryoshka_eval" -> Q(
+      run = (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 32)
+        val full = Similarity.bruteForceTopK(q, emb, k = 10)
+          .select(col("query_id"), col("neighbor_id"))
+        val q16 = q.withColumn("embedding", slice(col("embedding"), 1, 16))
+        val c16 = emb.withColumn("embedding", slice(col("embedding"), 1, 16))
+        val trunc = Similarity.bruteForceTopK(q16, c16, k = 10)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = trunc.join(full, Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+        q.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("hits"), lit(0L)).as("hits"),
+            (coalesce(col("hits"), lit(0L)) * 100000L).as("overlap_ppm"))
+          .orderBy("query_id")
+      },
+      oracle = Some("""
+        WITH full_r AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                   c.embedding::DOUBLE[]) DESC,
+                            c.vec_id) AS rank
+          FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+          WHERE q.vec_id < 32),
+        trunc_r AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(
+                              (q.embedding::DOUBLE[])[1:16],
+                              (c.embedding::DOUBLE[])[1:16]) DESC,
+                            c.vec_id) AS rank
+          FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+          WHERE q.vec_id < 32),
+        h AS (
+          SELECT t.query_id, COUNT(*) AS hits
+          FROM trunc_r t JOIN full_r f
+            ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+          WHERE t.rank <= 10 AND f.rank <= 10
+          GROUP BY 1)
+        SELECT q.vec_id AS query_id,
+               CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+               CAST(COALESCE(h.hits, 0) * 100000 AS BIGINT) AS overlap_ppm
+        FROM embeddings q LEFT JOIN h ON q.vec_id = h.query_id
+        WHERE q.vec_id < 32
+        ORDER BY query_id""")),
+
+    // ----------------------------------------------------------------
+    // Cross-validated AUC: md5-derived 5-fold assignment (the q48
+    // keyed-hash pattern — engines re-derive folds identically) ×
+    // per-fold exact AUC (Eval.aucByGroup — the q247 histogram
+    // algebra with the running sum PARTITIONED by fold). Fold spread
+    // is the stability check a single global AUC hides.
+    "q258_cv_auc" -> Q(
+      run = (s, dir) =>
+        Eval.aucByGroup(
+          t(s, dir, "documents")
+            .withColumn("is_en", (col("lang") === "en").cast("long"))
+            .withColumn("fold",
+              conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+                .cast("long") % 5),
+          "n_chars", "is_en", "fold")
+          .orderBy("fold"),
+      oracle = Some("""
+        WITH d AS (
+          SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                   AS BIGINT) % 5 AS fold,
+                 n_chars,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents),
+        h AS (SELECT fold, n_chars AS score, SUM(y) AS pos, COUNT(*) AS tot
+              FROM d GROUP BY 1, 2),
+        c AS (
+          SELECT fold, pos, tot,
+                 SUM(tot) OVER (PARTITION BY fold ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM h)
+        SELECT fold, CAST(SUM(pos) AS BIGINT) AS pos,
+               CAST(SUM(tot - pos) AS BIGINT) AS neg,
+               CAST((SUM(pos * (2 * cum - tot + 1)) - SUM(pos) * (SUM(pos) + 1))
+                    * 1000000 // (2 * SUM(pos) * SUM(tot - pos)) AS BIGINT)
+                 AS auc_ppm
+        FROM c GROUP BY fold ORDER BY fold"""))
   )
 }

@@ -1152,6 +1152,74 @@ object ExtendedQueries extends QueryModule {
                arg_min(value, ok) AS open, MAX(value) AS high,
                MIN(value) AS low, arg_max(value, ok) AS close,
                COUNT(*) AS n
-        FROM e GROUP BY 1, 2 ORDER BY 1, 2"""))
+        FROM e GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ----------------------------------------------------------------
+    // GROUPING SETS with grouping() indicators — the general form of
+    // the rollup/cube family (q28/q46): two independent 1-D marginals
+    // plus the grand total in ONE pass (Spark plans a single Expand +
+    // hash agg — one scan where three UNION'd GROUP BYs would scan
+    // thrice). SQL-only surface in Spark → executed via spark.sql over
+    // the registered views (the q210 serving pattern).
+    "q255_grouping_sets" -> Q(
+      run = (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""
+          SELECT o_orderstatus, o_orderpriority,
+                 CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+                 CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total
+          FROM orders
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""")),
+
+    // ----------------------------------------------------------------
+    // Join-key SKEW DIAGNOSIS report — the operational audit behind
+    // the salting dial (q68): one combinable key-count aggregation,
+    // then a 1-row profile of the count distribution (max / mean /
+    // interpolated percentiles / max-over-mean skew factor in exact
+    // ppm). At 100 TB this report is what decides whether a join key
+    // needs salting BEFORE the job burns a day discovering it; cost is
+    // one histogram pass, never a sort of the fact table.
+    "q257_skew_report" -> Q(
+      run = (s, dir) => {
+        val cnt = t(s, dir, "lineitem")
+          .groupBy(col("l_suppkey")).agg(count(lit(1)).as("c"))
+        cnt.agg(
+            count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+            max(col("c")).as("max_c"),
+            expr("percentile(c, 0.5D)").as("p50"),
+            expr("percentile(c, 0.9D)").as("p90"),
+            expr("percentile(c, 0.99D)").as("p99"))
+          .select(col("n_keys"), col("n_rows"), col("max_c"),
+            expr("n_rows * 1000000 div n_keys").as("mean_ppm"),
+            expr("max_c * n_keys * 1000000 div n_rows").as("skew_ppm"),
+            col("p50"), col("p90"), col("p99"))
+      },
+      oracle = Some("""
+        WITH h AS (SELECT l_suppkey, COUNT(*) AS c FROM lineitem GROUP BY 1)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(MAX(c) AS BIGINT) AS max_c,
+               CAST(SUM(c) * 1000000 // COUNT(*) AS BIGINT) AS mean_ppm,
+               CAST(MAX(c) * COUNT(*) * 1000000 // SUM(c) AS BIGINT)
+                 AS skew_ppm,
+               quantile_cont(c, 0.5) AS p50,
+               quantile_cont(c, 0.9) AS p90,
+               quantile_cont(c, 0.99) AS p99
+        FROM h"""))
   )
 }

@@ -1644,6 +1644,95 @@ object LakeQueries extends QueryModule {
         SELECT event_type, MIN(value) AS lo, MAX(value) AS hi,
                COUNT(value) AS n
         FROM events GROUP BY 1 ORDER BY 1"""),
+      bench = false),
+
+    // UPDATE ... SET (copy-on-write) — the third leg of the DML triad
+    // (MERGE q64, DELETE q175): SET expressions referencing the row's
+    // own pre-update columns, applied only where the predicate is
+    // TRUE, via the same prune-then-rewrite shape as DELETE (untouched
+    // files carry as-is). The doubled price is exact in binary
+    // floating point (×2 is a pure exponent bump), so the DECIMAL
+    // aggregate hash-matches the oracle's CASE replay.
+    "q253_update_where" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_update").resolve("t").toString
+        val orders = Tables(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
+        graft.sources.VersionedTable.overwrite(orders, root)
+        graft.sources.VersionedTable.update(s, root,
+          col("o_orderstatus") === "O" && col("o_totalprice") < 100000,
+          Map("o_totalprice" -> (col("o_totalprice") * 2),
+            "o_orderpriority" -> lit("REPRICED")))
+        graft.sources.VersionedTable.read(s, root)
+          .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_orderstatus", "o_orderpriority")
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT o_orderstatus,
+                 CASE WHEN o_orderstatus = 'O' AND o_totalprice < 100000
+                      THEN 'REPRICED' ELSE o_orderpriority END
+                   AS o_orderpriority,
+                 CASE WHEN o_orderstatus = 'O' AND o_totalprice < 100000
+                      THEN o_totalprice * 2 ELSE o_totalprice END
+                   AS o_totalprice
+          FROM orders)
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
+        FROM u GROUP BY 1, 2 ORDER BY 1, 2"""),
+      bench = false),
+
+    // MERGE-ON-READ delete (sources.Tombstones — the deletion-vector
+    // role): two tombstone batches (overlapping keys — idempotent)
+    // land as O(keys) commits with the data files PROVABLY untouched
+    // (mor_lazy: metadata-only countRows still reports the full
+    // table), reads subtract tombstones via one broadcast anti-join,
+    // and purge folds everything into ONE atomic file-pruned commit
+    // after which plain reads agree (purged_ok).
+    "q254_mor_delete" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_mor").resolve("t").toString
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        graft.sources.VersionedTable.overwriteWithStats(orders, root)
+        val total = orders.count()
+        graft.sources.Tombstones.deleteMor(s, root,
+          orders.filter(col("o_orderkey") % 5 === 0).select(col("o_orderkey")))
+        graft.sources.Tombstones.deleteMor(s, root,
+          orders.filter(col("o_orderkey") % 7 === 0).select(col("o_orderkey")))
+        // MOR laziness proof: the table's own files (and manifest row
+        // count) are untouched by both deletes
+        val morLazy =
+          if (graft.sources.VersionedTable.countRows(root).contains(total)) 1L
+          else 0L
+        // materialize BEFORE purge: the MOR plan references the
+        // tombstone files purge deletes
+        val active = graft.sources.Tombstones.readActive(s, root)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .localCheckpoint(true)
+        graft.sources.Tombstones.purge(s, root)
+        // after purge the plain snapshot read agrees with the MOR read
+        val purgedOk =
+          if (graft.sources.VersionedTable.read(s, root).count() ==
+              total - orders.filter(col("o_orderkey") % 5 === 0 ||
+                col("o_orderkey") % 7 === 0).count()) 1L
+          else 0L
+        active
+          .withColumn("mor_lazy", lit(morLazy))
+          .withColumn("purged_ok", lit(purgedOk))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total,
+               CAST(1 AS BIGINT) AS mor_lazy, CAST(1 AS BIGINT) AS purged_ok
+        FROM orders
+        WHERE o_orderkey % 5 != 0 AND o_orderkey % 7 != 0
+        GROUP BY 1 ORDER BY 1"""),
       bench = false)
   )
 

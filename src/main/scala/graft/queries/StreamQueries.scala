@@ -723,6 +723,40 @@ object StreamQueries extends QueryModule {
         SELECT user_id, event_type, value, CAST(1 AS BIGINT) AS replay_noop
         FROM latest WHERE rn = 1 AND event_type != 'error'
         ORDER BY user_id"""),
+      bench = false),
+
+    // STREAMING OHLC rollup (runOhlcRollupAvailableNow): the events
+    // stream (3 files → 3 micro-batches) drains into a durable
+    // partial-bars table — EXACT mergeable state (fragments carry
+    // their boundary order keys), so the served bars are bit-identical
+    // to q245's single-pass bars over the same rows; the oracle is
+    // literally q245's with the stream's column names.
+    "q252_stream_ohlc" -> Q(
+      run = (s, dir) => {
+        val in = tempRoot("graft_ohlc_in").resolve("p").toString
+        val root = tempRoot("graft_ohlc_tab").resolve("t").toString
+        Tables(s, dir, "events")
+          .select(col("event_type").as("grp"),
+            unix_micros(col("ts")).as("t_us"),
+            col("event_id").as("id"), col("value").as("v"))
+          .repartition(3).write.mode("overwrite").parquet(in)
+        val partials = StreamingJobs.runOhlcRollupAvailableNow(
+          s, in, root, widthSec = 3600L)
+        graft.operators.TimeSeries.ohlcMergeBars(partials)
+          .orderBy("grp", "bucket")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_type AS grp, epoch_us(ts) // 3600000000 AS bucket,
+                 value,
+                 lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+                 lpad(CAST(event_id AS VARCHAR), 12, '0') AS ok
+          FROM events)
+        SELECT grp, bucket,
+               arg_min(value, ok) AS open, MAX(value) AS high,
+               MIN(value) AS low, arg_max(value, ok) AS close,
+               COUNT(*) AS n
+        FROM e GROUP BY 1, 2 ORDER BY 1, 2"""),
       bench = false)
   )
 }

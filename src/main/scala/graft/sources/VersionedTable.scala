@@ -1020,6 +1020,72 @@ object VersionedTable {
     -1L // unreachable
   }
 
+  /** Row-level UPDATE ... SET (copy-on-write) — the Delta
+    * `UPDATE table SET col = expr WHERE pred` role, completing the DML
+    * triad (MERGE upserts by key, DELETE removes rows, UPDATE rewrites
+    * columns in place). Same two-phase shape as [[delete]]:
+    *
+    *  - **phase 1 (prune)**: one metadata-column scan finds files
+    *    containing a matching row; all other manifest lines — stats
+    *    included — carry untouched;
+    *  - **phase 2 (rewrite)**: touched files re-read once; matching
+    *    rows get each `set` expression applied, non-matching rows pass
+    *    through byte-equal; commit is one optimistic delta entry.
+    *
+    * SQL semantics: the SET applies where the predicate is TRUE; NULL
+    * predicates leave the row unchanged. `set` expressions may
+    * reference the row's own pre-update columns (they are evaluated
+    * against the scanned row, exactly like SQL UPDATE). A predicate
+    * matching nothing commits no new version. */
+  def update(spark: SparkSession, root: String,
+             predicate: org.apache.spark.sql.Column,
+             set: Map[String, org.apache.spark.sql.Column],
+             maxRetries: Int = 5,
+             beforeCommit: () => Unit = () => ()): Long = {
+    var attempt = 0
+    while (true) {
+      val base = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
+      val files = readListing(root, base)
+      val target = spark.read.option("mergeSchema", "true")
+        .parquet(files.map(pathOf): _*)
+      require(set.keySet.subsetOf(target.columns.toSet),
+        s"SET columns ${set.keySet.diff(target.columns.toSet)} not in table")
+      val touchedNames = target
+        .withColumn("__file", col("_metadata.file_path"))
+        .filter(predicate)
+        .select(col("__file")).distinct()
+        .collect().map(_.getString(0).split('/').last).toSet
+      if (touchedNames.isEmpty) return base
+      val touched0 =
+        files.filter(f => touchedNames.contains(pathOf(f).split('/').last))
+      val hit = coalesce(predicate, lit(false))
+      val rewritten = spark.read.option("mergeSchema", "true")
+        .parquet(touched0.map(pathOf): _*)
+        .select(target.columns.toSeq.map { c =>
+          set.get(c) match {
+            case Some(e) => when(hit, e).otherwise(col(c)).as(c)
+            case None    => col(c)
+          }
+        }: _*)
+      val v = base + 1
+      val staged = statLines(spark,
+        stageDataFiles(rewritten, root, v), Seq.empty)
+      beforeCommit()
+      try {
+        val committed = commitManifest(root, v, deltaContent(touched0, staged))
+        maybeCheckpoint(root, committed)
+        return committed
+      } catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          staged.foreach(p =>
+            Files.deleteIfExists(new File(pathOf(p)).toPath))
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
   /** SHALLOW CLONE (the Delta `CREATE TABLE ... SHALLOW CLONE` role):
     * a new table at `dst` whose version 0 references the SOURCE's
     * current data files by path — zero data copied, stats lines

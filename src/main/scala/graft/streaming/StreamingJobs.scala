@@ -610,6 +610,69 @@ object StreamingJobs {
     runPartialRollupAvailableNow(spark, inputDir, sketchRoot,
       graft.operators.KllQuantiles.sketchBytes("item", k).as("sk"))
 
+  /** STREAMING OHLC ROLLUP — the sketch-rollup machinery with EXACT
+    * mergeable state: per micro-batch one
+    * [[graft.operators.TimeSeries.ohlcPartials]] fragment per
+    * (grp, bucket) appends to a durable partial table (exactly-once
+    * batchId sidecar); serving merges fragments with
+    * [[graft.operators.TimeSeries.ohlcMergeBars]] — bit-identical to
+    * a single pass over everything, because the fragments carry their
+    * boundary order keys. Input dir: parquet of
+    * (grp string, t_us long, id long, v double). */
+  def runOhlcRollupAvailableNow(spark: SparkSession, inputDir: String,
+                                barsRoot: String,
+                                widthSec: Long): DataFrame = {
+    import graft.sources.VersionedTable
+    val batchFile = new java.io.File(barsRoot, "_last_batch")
+    def lastCommitted: Long =
+      if (!batchFile.exists()) -1L
+      else new String(java.nio.file.Files.readAllBytes(batchFile.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    def commitBatchId(id: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempFile(
+        new java.io.File(barsRoot).toPath, "_lb", ".tmp")
+      java.nio.file.Files.write(tmp,
+        id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, batchFile.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    new java.io.File(barsRoot).mkdirs()
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("grp",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("t_us",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        if (batchId > lastCommitted) {
+          val partial = graft.operators.TimeSeries
+            .ohlcPartials(batch, "grp", "t_us", "id", "v", widthSec)
+            .withColumn("batch_id", lit(batchId))
+          if (VersionedTable.latestVersion(barsRoot).isEmpty)
+            VersionedTable.overwrite(partial, barsRoot)
+          else VersionedTable.append(partial, barsRoot)
+          commitBatchId(batchId)
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        new java.io.File(barsRoot, "_bars_ckpt").getPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    VersionedTable.read(spark, barsRoot)
+  }
+
   /** Shared (grp, item)-stream → durable per-batch partial-aggregate
     * table machinery behind the sketch rollups. */
   private def runPartialRollupAvailableNow(

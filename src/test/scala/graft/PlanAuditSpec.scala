@@ -19,7 +19,8 @@ class PlanAuditSpec extends SparkSuite {
     "q171_changes_stream", "q185_stream_view", "q192_stream_drift",
     "q204_stream_quarantine", "q211_stream_sketch", "q217_stream_hll",
     "q222_stream_join_view", "q226_stream_dedup_watermark",
-    "q228_stream_text_index", "q237_stream_kll", "q240_stream_cdc")
+    "q228_stream_text_index", "q237_stream_kll", "q240_stream_cdc",
+    "q252_stream_ohlc")
 
   /** pattern → queries where it is the intended plan shape. */
   private val allowed: Map[String, Set[String]] = Map(
@@ -128,7 +129,11 @@ class PlanAuditSpec extends SparkSuite {
       // sparse cosine join: the 1-row corpus-count dim crossed into
       // the capped posting table (q62's shape); candidate generation
       // itself is the posting-list equi-join
-      "q251_sparse_cosine_join"),
+      "q251_sparse_cosine_join",
+      // matryoshka audit compares TWO deliberate exact brute rankings
+      // (q40's broadcast-queries shape × full and truncated dims) —
+      // the comparison is what certifies a cheaper truncated INDEX
+      "q256_matryoshka_eval"),
     "Exchange SinglePartition" -> Set(
       // global row_number over the tiny DISTINCT dim (W1 parity shape;
       // fact-scale keys use PartitionOffsetKeyGen)
@@ -153,7 +158,11 @@ class PlanAuditSpec extends SparkSuite {
       // runs PrefixSum's partition-totals window (#partitions rows,
       // q75's shape); q247 additionally folds to a 1-row scalar
       // aggregate (q17's shape)
-      "q247_auc_exact", "q248_calibration_bins"))
+      "q247_auc_exact", "q248_calibration_bins",
+      // skew report: 1-row profile of the key-count histogram —
+      // q17's scalar-aggregate shape (the fact table never moves;
+      // only per-partition partials reach the final agg)
+      "q257_skew_report"))
 
   test("every plan is free of non-allowlisted scale anti-patterns") {
     val violations = scala.collection.mutable.ListBuffer.empty[String]

@@ -57,6 +57,21 @@ class EvalSpec extends SparkSuite {
       .digest(i.toString.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  test("aucByGroup: each group's AUC equals aucExact on that group alone") {
+    import spark.implicits._
+    val df = (1 to 600).map { i =>
+      val g = s"f${i % 3}"
+      (g, (i * 7L) % 53, (if ((i * 2654435761L) % 97 < 40 + i % 3 * 10) 1L else 0L))
+    }.toDF("g", "score", "y")
+    val grouped = Eval.aucByGroup(df, "score", "y", "g")
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Long]("auc_ppm")).toMap
+    Seq("f0", "f1", "f2").foreach { g =>
+      val solo = Eval.aucExact(df.filter(col("g") === g), "score", "y")
+        .collect().head.getAs[Long]("auc_ppm")
+      assert(grouped(g) == solo, s"group $g")
+    }
+  }
+
   test("retrievalMetrics: hand-computed hits/recall/MRR") {
     import spark.implicits._
     val ranked = Seq(

@@ -91,6 +91,36 @@ class TimeSeriesSpec extends SparkSuite {
       ("b", 0L, 1.0, 4.0, 1.0, 4.0, 2L)))
   }
 
+  test("ohlcPartials merged over any batch split ≡ single-pass bars") {
+    import spark.implicits._
+    // 300 rows, 3 series, ~60 buckets; deterministic pseudo-random
+    val rows = (1 to 300).map { i =>
+      val h = i * 2654435761L % 1000003L
+      (s"g${i % 3}", (h % 600000L) * 1000000L, i.toLong, (h % 977L) / 10.0)
+    }
+    val df = rows.toDF("grp", "t_us", "id", "v")
+    val direct = TimeSeries
+      .ohlcPartials(df, "grp", "t_us", "id", "v", widthSec = 10000L)
+    // split into 3 arbitrary batches (by id mod), union the partials
+    val parts = (0 to 2).map(b =>
+      TimeSeries.ohlcPartials(df.filter(col("id") % 3 === b),
+        "grp", "t_us", "id", "v", widthSec = 10000L))
+      .reduce(_ unionByName _)
+    def bars(p: org.apache.spark.sql.DataFrame) =
+      TimeSeries.ohlcMergeBars(p).collect()
+        .map(r => (r.getAs[String]("grp"), r.getAs[Long]("bucket"),
+          r.getAs[Double]("open"), r.getAs[Double]("high"),
+          r.getAs[Double]("low"), r.getAs[Double]("close"),
+          r.getAs[Long]("n"))).toSet
+    assert(bars(parts) == bars(direct))
+    // and merging the single-pass partials is the identity on them
+    assert(bars(direct) == TimeSeries.ohlcMergeBars(direct).collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Long]("bucket"),
+        r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"),
+        r.getAs[Long]("n"))).toSet)
+  }
+
   test("ohlcBars: same-timestamp rows break ties by id") {
     val df = ev(Seq(
       ("a", 1000000L, 2L, Some(5.0)),

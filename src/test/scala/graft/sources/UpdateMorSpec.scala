@@ -1,0 +1,96 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** VersionedTable.update (COW UPDATE WHERE) and Tombstones
+  * (merge-on-read delete): SQL semantics, file pruning, laziness,
+  * purge equivalence. */
+class UpdateMorSpec extends SparkSuite {
+
+  private def freshRoot(tag: String): String =
+    Files.createTempDirectory(s"graft_upd_$tag").resolve("t").toString
+
+  private def rows(root: String): Set[(Long, String, Double)] =
+    VersionedTable.read(spark, root).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("s"),
+        r.getAs[Double]("v"))).toSet
+
+  test("update: SET references pre-update columns; NULL predicate keeps") {
+    import spark.implicits._
+    val root = freshRoot("set")
+    VersionedTable.overwrite(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, null.asInstanceOf[String], 30.0))
+        .toDF("k", "s", "v"), root)
+    // predicate on s: NULL row (k=3) must be left unchanged per SQL
+    VersionedTable.update(spark, root,
+      col("s") =!= "b",
+      Map("v" -> (col("v") + col("k")), "s" -> upper(col("s"))))
+    assert(rows(root) == Set(
+      (1L, "A", 11.0), (2L, "b", 20.0), (3L, null, 30.0)))
+  }
+
+  test("update: untouched files carry; no-match commits nothing") {
+    import spark.implicits._
+    val root = freshRoot("prune")
+    VersionedTable.overwrite(Seq((1L, "a", 1.0)).toDF("k", "s", "v"), root)
+    VersionedTable.append(Seq((10L, "z", 2.0)).toDF("k", "s", "v"), root)
+    val before = VersionedTable.read(spark, root).inputFiles.toSet
+    VersionedTable.update(spark, root, col("k") === 10L,
+      Map("v" -> lit(9.0)))
+    val after = VersionedTable.read(spark, root).inputFiles.toSet
+    assert(before.intersect(after).nonEmpty, "batch-1 file must survive")
+    assert(rows(root) == Set((1L, "a", 1.0), (10L, "z", 9.0)))
+    val v = VersionedTable.latestVersion(root).get
+    VersionedTable.update(spark, root, col("k") === 999L,
+      Map("v" -> lit(0.0)))
+    assert(VersionedTable.latestVersion(root).get == v,
+      "no-match update must not commit")
+  }
+
+  test("update: unknown SET column is rejected") {
+    import spark.implicits._
+    val root = freshRoot("badcol")
+    VersionedTable.overwrite(Seq((1L, "a", 1.0)).toDF("k", "s", "v"), root)
+    intercept[IllegalArgumentException] {
+      VersionedTable.update(spark, root, lit(true), Map("nope" -> lit(1)))
+    }
+  }
+
+  test("tombstones: MOR delete leaves files untouched; purge ≡ COW") {
+    import spark.implicits._
+    val root = freshRoot("mor")
+    VersionedTable.overwriteWithStats(
+      (1L to 100L).map(i => (i, s"s$i", i * 1.0)).toDF("k", "s", "v"), root)
+    val filesBefore = VersionedTable.read(spark, root).inputFiles.toSet
+    Tombstones.deleteMor(spark, root,
+      spark.range(1, 101).filter(col("id") % 3 === 0).select(col("id").as("k")))
+    Tombstones.deleteMor(spark, root, // overlapping batch — idempotent
+      spark.range(1, 101).filter(col("id") % 6 === 0).select(col("id").as("k")))
+    assert(VersionedTable.read(spark, root).inputFiles.toSet == filesBefore,
+      "MOR delete must not rewrite data files")
+    assert(VersionedTable.countRows(root).contains(100L),
+      "manifest row count untouched before purge")
+    val active = Tombstones.readActive(spark, root)
+      .collect().map(_.getAs[Long]("k")).toSet
+    val expect = (1L to 100L).filterNot(_ % 3 == 0).toSet
+    assert(active == expect)
+    Tombstones.purge(spark, root)
+    assert(rows(root).map(_._1) == expect, "purge folds tombstones in")
+    assert(Tombstones.pendingKeys(spark, root).isEmpty, "store reset")
+    // MOR read and plain read agree post-purge
+    assert(Tombstones.readActive(spark, root)
+      .collect().map(_.getAs[Long]("k")).toSet == expect)
+  }
+
+  test("tombstones: purge with nothing pending is a no-op") {
+    import spark.implicits._
+    val root = freshRoot("mornoop")
+    VersionedTable.overwrite(Seq((1L, "a", 1.0)).toDF("k", "s", "v"), root)
+    val v = VersionedTable.latestVersion(root).get
+    assert(Tombstones.purge(spark, root) == v)
+  }
+}
