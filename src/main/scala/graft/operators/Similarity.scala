@@ -687,4 +687,68 @@ object Similarity {
       .agg(count(lit(1)).as("group_size"))
       .select(col("component").as(idCol), col("group_size"))
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Massively
+    * multilingual sentence embeddings..." §3: ratio margin): mine
+    * aligned pairs across two embedding spaces by scoring each
+    * candidate not by raw cosine — which hub vectors inflate — but by
+    * its RATIO to the mean of both endpoints' top-`k` neighborhoods:
+    *
+    *   margin(x, y) = 2·cos(x,y) / (avgₖ cos(x, NNₖ(x)) + avgₖ cos(y, NNₖ(y)))
+    *
+    * Emitted pair = each x's best-margin y with margin ≥ threshold —
+    * the parallel-corpus mining stage of a translation-data pipeline.
+    *
+    * Determinism contract: cosines are 6-dp-quantized to exact BIGINT
+    * micros FIRST, so the k-neighborhood sums (and hence the margin
+    * ratio, an integer ppm via `div`) are order-free — a double AVG
+    * over k values would depend on summation order across engines.
+    * Ties break to the smaller candidate id at both the top-k and the
+    * argmax.
+    *
+    * Scale shape: gate-scale uses the exact broadcast cross (the q40
+    * brute, allowlisted); at corpus scale swap the candidate generator
+    * for the banded sign-LSH equi-join (`cosineNearDupPairsLSH`) —
+    * margins only ever evaluate on candidates, and the top-k sums are
+    * per-id hash aggregations either way. */
+  def marginMining(a: DataFrame, b: DataFrame, k: Int,
+                   thresholdPpm: Long,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val av = withNorm(a.select(col(idCol).as("id_a"), col(vecCol).as("va")),
+      "va", "na")
+    val bv = withNorm(b.select(col(idCol).as("id_b"), col(vecCol).as("vb")),
+      "vb", "nb")
+    val scored = bv.crossJoin(broadcast(av))
+      .withColumn("cos_u",
+        round(fastCos(col("va"), col("na"), col("vb"), col("nb")) * 1000000)
+          .cast(LongType))
+      .select(col("id_a"), col("id_b"), col("cos_u"))
+      .localCheckpoint(true) // reused by both k-sums and the candidates
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a")).orderBy(col("cos_u").desc, col("id_b"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_b")).orderBy(col("cos_u").desc, col("id_a"))
+    val sumA = scored.withColumn("r", row_number().over(wA))
+      .filter(col("r") <= k)
+      .groupBy(col("id_a")).agg(sum(col("cos_u")).as("ka"))
+    val sumB = scored.withColumn("r", row_number().over(wB))
+      .filter(col("r") <= k)
+      .groupBy(col("id_b")).agg(sum(col("cos_u")).as("kb"))
+    // positive-cosine candidates with positive neighborhood mass only:
+    // keeps every integer division on non-negative operands, where
+    // Spark's truncating `div` and DuckDB's flooring `//` agree (a
+    // mined pair needs positive similarity anyway)
+    val margins = scored.filter(col("cos_u") > 0)
+      .join(sumA, "id_a").join(sumB, "id_b")
+      .filter(col("ka") + col("kb") > 0)
+      .withColumn("margin_ppm",
+        expr(s"2 * cos_u * $k * 1000000 div (ka + kb)"))
+    val best = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"))
+      .orderBy(col("margin_ppm").desc, col("id_b"))
+    margins.withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1 && col("margin_ppm") >= thresholdPpm)
+      .select(col("id_a"), col("id_b"), col("cos_u"), col("margin_ppm"))
+  }
 }

@@ -1220,6 +1220,38 @@ object ExtendedQueries extends QueryModule {
                quantile_cont(c, 0.5) AS p50,
                quantile_cont(c, 0.9) AS p90,
                quantile_cont(c, 0.99) AS p99
-        FROM h"""))
+        FROM h""")),
+
+    // ----------------------------------------------------------------
+    // Exact JOIN-SIZE audit from key histograms: |A ⋈ B on k| =
+    // Σ_k cntA(k)·cntB(k) — answered from two cheap combinable
+    // aggregations + one histogram-sized equi-join, WITHOUT running
+    // the join. At 100 TB this is how you find out the fact-fact join
+    // you're about to launch explodes 40× before you shuffle a byte
+    // (the q257 skew report's companion). The size_verified flag runs
+    // the real join at gate scale and pins the prediction exact.
+    "q263_join_size" -> Q(
+      run = (s, dir) => {
+        val ho = t(s, dir, "orders")
+          .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("ca"))
+        val hc = t(s, dir, "customer")
+          .groupBy(col("c_custkey").as("k")).agg(count(lit(1)).as("cb"))
+        val predicted = ho.join(hc, "k")
+          .agg(sum(col("ca") * col("cb")).as("predicted"),
+            count(lit(1)).as("matched_keys"))
+        val actual = t(s, dir, "orders").join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey")).count()
+        predicted.select(col("predicted"), col("matched_keys"),
+          (col("predicted") === actual).cast("long").as("size_verified"))
+      },
+      oracle = Some("""
+        WITH ho AS (SELECT o_custkey AS k, COUNT(*) AS ca
+                    FROM orders GROUP BY 1),
+        hc AS (SELECT c_custkey AS k, COUNT(*) AS cb
+               FROM customer GROUP BY 1)
+        SELECT CAST(SUM(ca * cb) AS BIGINT) AS predicted,
+               CAST(COUNT(*) AS BIGINT) AS matched_keys,
+               CAST(1 AS BIGINT) AS size_verified
+        FROM ho JOIN hc USING (k)"""))
   )
 }

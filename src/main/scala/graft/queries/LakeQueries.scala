@@ -1733,6 +1733,119 @@ object LakeQueries extends QueryModule {
         FROM orders
         WHERE o_orderkey % 5 != 0 AND o_orderkey % 7 != 0
         GROUP BY 1 ORDER BY 1"""),
+      bench = false),
+
+    // AGGREGATE expectations at the write boundary (the DLT
+    // expect_or_fail role, one level up from q194's row-level CHECK):
+    // null-RATE ceilings and volume floors are batch properties no
+    // per-row constraint can express. The poisoned batch (2% planted
+    // null values) fails the 1% ceiling and is rejected WHOLE before
+    // any file stages; the clean batch passes the same gate.
+    "q259_expectations" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_expect").resolve("t").toString
+        val ev = Tables(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        // even/odd split — scale-independent (the plan audit builds
+        // this query at sf0.001 too)
+        graft.sources.VersionedTable.overwrite(
+          ev.filter(col("event_id") % 2 === 0), root)
+        val gates = Seq(
+          "null_rate_le_1pct" ->
+            (sum(col("value").isNull.cast("long")) * 100 <= count(lit(1))),
+          "volume_ge_100" -> (count(lit(1)) >= 100L))
+        val odds = ev.filter(col("event_id") % 2 === 1)
+        val poisoned = odds.withColumn("value",
+          when(col("event_id") % 50 === 1, lit(null)) // 4% null rate
+            .otherwise(col("value")))
+        val badRejected =
+          try {
+            graft.sources.VersionedTable.appendExpecting(poisoned, root, gates)
+            0L
+          } catch { case _: IllegalArgumentException => 1L }
+        graft.sources.VersionedTable.appendExpecting(odds, root, gates)
+        graft.sources.VersionedTable.read(s, root)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("val_sum"))
+          .withColumn("bad_rejected", lit(badRejected))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum,
+               CAST(1 AS BIGINT) AS bad_rejected
+        FROM events GROUP BY 1 ORDER BY 1"""),
+      bench = false),
+
+    // ATOMIC MULTI-TABLE PUBLISH (sources.SnapshotGroup — the
+    // TextIndex commit-pointer protocol as library surface): facts and
+    // their summary move under ONE pointer. Between the facts-v2
+    // commit and the publish, readers still resolve the v1 PAIR — the
+    // torn middle (new facts, old summary) is unobservable by
+    // construction (torn_invisible folds that probe into the hash).
+    "q260_snapshot_group" -> Q(
+      run = (s, dir) => {
+        val grp = tempRoot("graft_sg").toString
+        val facts = new java.io.File(grp, "facts").getPath
+        val summ = new java.io.File(grp, "summary").getPath
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        def summarize(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        val half = orders.filter(col("o_orderkey") % 2 === 0)
+        val fv1 = graft.sources.VersionedTable.overwrite(half, facts)
+        val sv1 = graft.sources.VersionedTable.overwrite(summarize(half), summ)
+        graft.sources.SnapshotGroup.publish(grp,
+          Map(facts -> fv1, summ -> sv1))
+        // facts move ahead WITHOUT a publish — a crash-between-commits
+        val fv2 = graft.sources.VersionedTable.overwrite(orders, facts)
+        val tornInvisible =
+          if (graft.sources.SnapshotGroup.readAt(s, grp, facts).count() ==
+              half.count()) 1L else 0L
+        val sv2 = graft.sources.VersionedTable.overwrite(summarize(orders), summ)
+        graft.sources.SnapshotGroup.publish(grp,
+          Map(facts -> fv2, summ -> sv2))
+        // published pair is consistent: summary rows == re-aggregated facts
+        graft.sources.SnapshotGroup.readAt(s, grp, summ)
+          .withColumn("torn_invisible", lit(tornInvisible))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total,
+               CAST(1 AS BIGINT) AS torn_invisible
+        FROM orders GROUP BY 1 ORDER BY 1"""),
+      bench = false),
+
+    // REPLACE WHERE (Delta's replaceWhere partition reload): the 'F'
+    // slice is atomically swapped for its repriced reload in ONE
+    // commit; non-matching files never rewrite, and the batch-scope
+    // guard (every replacement row must itself match the predicate)
+    // is what catches a mis-scoped reload before it leaks.
+    "q261_replace_where" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_rw").resolve("t").toString
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        graft.sources.VersionedTable.overwrite(orders, root)
+        val reload = orders.filter(col("o_orderstatus") === "F")
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        graft.sources.VersionedTable.replaceWhere(s, root,
+          col("o_orderstatus") === "F", reload)
+        graft.sources.VersionedTable.read(s, root)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F'
+                                  THEN o_totalprice + 1000
+                                  ELSE o_totalprice END
+                 AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY 1 ORDER BY 1"""),
       bench = false)
   )
 

@@ -1100,6 +1100,55 @@ object SimilarityQueries extends QueryModule {
         WHERE CAST(dot AS DOUBLE)
               / (sqrt(CAST(na.norm2 AS DOUBLE))
                  * sqrt(CAST(nb.norm2 AS DOUBLE))) >= 0.9
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // ----------------------------------------------------------------
+    // Margin-based bitext mining (Artetxe & Schwenk 2019 ratio
+    // margin) — the parallel-corpus mining stage of a translation
+    // pipeline: label-0 vectors mined against label-1, each candidate
+    // scored by its cosine RELATIVE to both endpoints' top-4
+    // neighborhoods (hubs deflate), best-margin partner kept at
+    // margin ≥ 1.1. Cosines are 6-dp-quantized to BIGINT before the
+    // neighborhood sums so every aggregate is order-free integers —
+    // the oracle replays the whole selection. Gate-scale candidates
+    // are the allowlisted exact brute; the LSH equi-join swaps in at
+    // corpus scale (operator scaladoc).
+    "q262_bitext_margin" -> Q(
+      run = (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.marginMining(
+          emb.filter(col("label") === 0), emb.filter(col("label") === 1),
+          k = 4, thresholdPpm = 1100000L)
+          .orderBy("id_a")
+      },
+      oracle = Some("""
+        WITH av AS (SELECT vec_id AS id_a, embedding FROM embeddings
+                    WHERE label = 0),
+        bv AS (SELECT vec_id AS id_b, embedding FROM embeddings
+               WHERE label = 1),
+        scored AS (
+          SELECT id_a, id_b,
+                 CAST(round(list_cosine_similarity(a.embedding::DOUBLE[],
+                        b.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS cos_u
+          FROM av a CROSS JOIN bv b),
+        ka AS (SELECT id_a, SUM(cos_u) AS ka FROM (
+                 SELECT *, row_number() OVER (PARTITION BY id_a
+                   ORDER BY cos_u DESC, id_b) r FROM scored)
+               WHERE r <= 4 GROUP BY 1),
+        kb AS (SELECT id_b, SUM(cos_u) AS kb FROM (
+                 SELECT *, row_number() OVER (PARTITION BY id_b
+                   ORDER BY cos_u DESC, id_a) r FROM scored)
+               WHERE r <= 4 GROUP BY 1),
+        m AS (
+          SELECT s.id_a, s.id_b, s.cos_u,
+                 2 * s.cos_u * 4 * 1000000 // (ka.ka + kb.kb) AS margin_ppm
+          FROM scored s
+          JOIN ka ON s.id_a = ka.id_a JOIN kb ON s.id_b = kb.id_b
+          WHERE s.cos_u > 0 AND ka.ka + kb.kb > 0),
+        best AS (SELECT *, row_number() OVER (PARTITION BY id_a
+                   ORDER BY margin_ppm DESC, id_b) rk FROM m)
+        SELECT id_a, id_b, cos_u, CAST(margin_ppm AS BIGINT) AS margin_ppm
+        FROM best WHERE rk = 1 AND margin_ppm >= 1100000
+        ORDER BY id_a"""))
   )
 }

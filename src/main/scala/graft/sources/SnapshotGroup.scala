@@ -1,0 +1,65 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** ATOMIC MULTI-TABLE PUBLISH — a commit pointer spanning several
+  * [[VersionedTable]]s (the generalized form of TextIndex's two-table
+  * protocol, exposed as library surface): a pipeline that writes a
+  * fact table AND its summary/index/dimension siblings needs readers
+  * to see the tables move TOGETHER, or a dashboard joins today's facts
+  * against yesterday's dimensions.
+  *
+  * Protocol: commit each table on its own (every commit is already
+  * atomic and versioned), then [[publish]] the map {table root →
+  * version} as ONE pointer file moved in by tmp + ATOMIC_MOVE.
+  * Readers resolve through [[readAt]]: they only ever see version sets
+  * that were published together. A crash after some table commits but
+  * before the publish leaves orphan versions that no reader resolves —
+  * the next successful publish supersedes them (vacuum reclaims their
+  * files after retention, the TextIndex recovery stance).
+  *
+  * Single publisher per group root (the single-writer discipline every
+  * pointer in this repo assumes); multi-writer groups would CAS the
+  * pointer, which an object store's put-if-match provides. */
+object SnapshotGroup {
+
+  private def pointer(groupRoot: String) = new File(groupRoot, "_published")
+
+  /** Atomically publish a consistent set of (table root → version). */
+  def publish(groupRoot: String, versions: Map[String, Long]): Unit = {
+    require(versions.nonEmpty, "empty publish")
+    new File(groupRoot).mkdirs()
+    val body = versions.toSeq.sortBy(_._1)
+      .map { case (r, v) => s"$r\t$v" }.mkString("\n")
+    val tmp = Files.createTempFile(new File(groupRoot).toPath, "_pub", ".tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, pointer(groupRoot).toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The currently published version set, if any publish ever landed. */
+  def current(groupRoot: String): Option[Map[String, Long]] = {
+    val p = pointer(groupRoot)
+    if (!p.exists()) None
+    else Some(new String(Files.readAllBytes(p.toPath), StandardCharsets.UTF_8)
+      .split('\n').filter(_.nonEmpty).map { line =>
+        val Array(r, v) = line.split('\t')
+        r -> v.toLong
+      }.toMap)
+  }
+
+  /** Read `tableRoot` AT its published version — never the latest
+    * (unpublished commits are invisible by construction). */
+  def readAt(spark: SparkSession, groupRoot: String,
+             tableRoot: String): DataFrame = {
+    val vs = current(groupRoot)
+      .getOrElse(sys.error(s"nothing published at $groupRoot"))
+    val v = vs.getOrElse(tableRoot,
+      sys.error(s"$tableRoot not part of the published group"))
+    VersionedTable.readVersion(spark, tableRoot, v)
+  }
+}

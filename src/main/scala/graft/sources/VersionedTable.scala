@@ -746,6 +746,93 @@ object VersionedTable {
     appendWithStats(df, root, statsCols: _*)
   }
 
+  /** Append guarded by AGGREGATE expectations (the Delta Live Tables
+    * `expect_or_fail` role, one level up from [[appendChecked]]'s
+    * row-level CHECK): each expectation is a boolean AGGREGATE
+    * predicate over the whole batch (null-rate ceilings, distinct-count
+    * floors, volume sanity bands — the things a per-row constraint
+    * cannot express). ALL expectations evaluate in ONE aggregation
+    * job; any false one rejects the batch whole, before any file is
+    * staged, naming every failed expectation. */
+  def appendExpecting(df: DataFrame, root: String,
+                      expectations: Seq[(String, org.apache.spark.sql.Column)],
+                      statsCols: String*): Long = {
+    require(expectations.nonEmpty, "no expectations given")
+    val row = df.agg(
+      expectations.head._2.cast("boolean").as(expectations.head._1),
+      expectations.tail.map { case (n, c) => c.cast("boolean").as(n) }: _*)
+      .collect().head
+    val failed = expectations.map(_._1).zipWithIndex.collect {
+      case (n, i) if row.isNullAt(i) || !row.getBoolean(i) => n
+    }
+    if (failed.nonEmpty)
+      throw new IllegalArgumentException(
+        s"expectations failed for batch: ${failed.mkString(", ")}")
+    appendWithStats(df, root, statsCols: _*)
+  }
+
+  /** REPLACE WHERE (the Delta `overwrite` + `replaceWhere` option):
+    * atomically swap the rows matching `predicate` for the rows of
+    * `batch` — the idempotent partition-reload primitive (re-landing
+    * one day of a date-partitioned fact must replace exactly that day,
+    * in one commit a reader either sees entirely or not at all; a
+    * delete-then-append composition exposes the torn middle).
+    *
+    * Same prune-then-rewrite shape as [[delete]]; by default every
+    * batch row must itself satisfy the predicate (Delta's guard — a
+    * mis-scoped reload silently leaking rows into other partitions is
+    * the bug this catches), disable via `validateBatch = false`. */
+  def replaceWhere(spark: SparkSession, root: String,
+                   predicate: org.apache.spark.sql.Column,
+                   batch: DataFrame,
+                   validateBatch: Boolean = true,
+                   maxRetries: Int = 5): Long = {
+    if (validateBatch) {
+      val leak = batch.filter(!coalesce(predicate, lit(false))).take(1)
+      if (leak.nonEmpty)
+        throw new IllegalArgumentException(
+          s"replaceWhere batch row outside the predicate scope: ${leak.head}")
+    }
+    var attempt = 0
+    while (true) {
+      val base = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
+      val files = readListing(root, base)
+      val target = spark.read.option("mergeSchema", "true")
+        .parquet(files.map(pathOf): _*)
+      val touchedNames = target
+        .withColumn("__file", col("_metadata.file_path"))
+        .filter(predicate)
+        .select(col("__file")).distinct()
+        .collect().map(_.getString(0).split('/').last).toSet
+      val touched0 =
+        files.filter(f => touchedNames.contains(pathOf(f).split('/').last))
+      val outCols = target.columns.toSeq
+      val survivorsPlusBatch =
+        if (touched0.isEmpty) batch.select(outCols.map(col): _*)
+        else spark.read.option("mergeSchema", "true")
+          .parquet(touched0.map(pathOf): _*)
+          .filter(!coalesce(predicate, lit(false)))
+          .unionByName(batch.select(outCols.map(col): _*),
+            allowMissingColumns = true)
+          .select(outCols.map(col): _*)
+      val v = base + 1
+      val staged = statLines(spark,
+        stageDataFiles(survivorsPlusBatch, root, v), Seq.empty)
+      try {
+        val committed = commitManifest(root, v, deltaContent(touched0, staged))
+        maybeCheckpoint(root, committed)
+        return committed
+      } catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          staged.foreach(p =>
+            Files.deleteIfExists(new File(pathOf(p)).toPath))
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Append → new version inheriting the previous file list plus the
     * new files; existing data is not rewritten. The previous file list
     * is re-read inside the retry loop: losing a commit race means the

@@ -133,7 +133,12 @@ class PlanAuditSpec extends SparkSuite {
       // matryoshka audit compares TWO deliberate exact brute rankings
       // (q40's broadcast-queries shape × full and truncated dims) —
       // the comparison is what certifies a cheaper truncated INDEX
-      "q256_matryoshka_eval"),
+      "q256_matryoshka_eval",
+      // bitext margin mining: gate-scale candidates are the exact
+      // brute broadcast (q40's shape); the LSH equi-join swaps in at
+      // corpus scale (operator scaladoc), margins evaluate on
+      // candidates either way
+      "q262_bitext_margin"),
     "Exchange SinglePartition" -> Set(
       // global row_number over the tiny DISTINCT dim (W1 parity shape;
       // fact-scale keys use PartitionOffsetKeyGen)
@@ -162,7 +167,10 @@ class PlanAuditSpec extends SparkSuite {
       // skew report: 1-row profile of the key-count histogram —
       // q17's scalar-aggregate shape (the fact table never moves;
       // only per-partition partials reach the final agg)
-      "q257_skew_report"))
+      "q257_skew_report",
+      // join-size audit: 1-row fold of the histogram equi-join —
+      // q17's scalar-aggregate shape again
+      "q263_join_size"))
 
   test("every plan is free of non-allowlisted scale anti-patterns") {
     val violations = scala.collection.mutable.ListBuffer.empty[String]

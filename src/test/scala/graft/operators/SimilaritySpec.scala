@@ -6,6 +6,50 @@ import graft.SparkSuite
 
 class SimilaritySpec extends SparkSuite {
 
+  test("marginMining ≡ driver-side reference; hubs deflate") {
+    import spark.implicits._
+    // deterministic pseudo-random 4-d vectors, two "languages"; vector
+    // b0 is a HUB (close to everything on side A)
+    def vec(seed: Int): Seq[Float] =
+      (0 until 4).map(d => (((seed * 2654435761L + d * 40503L) % 1000L)
+        / 500.0f - 1.0f))
+    val aSide = (0 until 8).map(i => (i.toLong, vec(i * 7 + 1)))
+    val hub = (100L, Seq(0.01f, 0.02f, 0.015f, 0.01f)) // tiny norm ≈ everything
+    val bSide = hub +: (1 until 8).map(i => (100L + i, vec(i * 13 + 5)))
+    val a = aSide.toDF("vec_id", "embedding")
+    val b = bSide.toDF("vec_id", "embedding")
+    val got = Similarity.marginMining(a, b, k = 3, thresholdPpm = 0L)
+      .collect().map(r => (r.getAs[Long]("id_a"),
+        (r.getAs[Long]("id_b"), r.getAs[Long]("cos_u"),
+         r.getAs[Long]("margin_ppm")))).toMap
+
+    // driver-side reference of the identical integer algebra
+    def cos(x: Seq[Float], y: Seq[Float]): Double = {
+      val d = x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      val nx = math.sqrt(x.map(p => p.toDouble * p.toDouble).sum)
+      val ny = math.sqrt(y.map(p => p.toDouble * p.toDouble).sum)
+      d / (nx * ny)
+    }
+    val cosU = (for ((ia, va) <- aSide; (ib, vb) <- bSide)
+      yield (ia, ib) -> math.round(cos(va, vb) * 1000000)).toMap
+    val aIds = aSide.map(_._1); val bIds = bSide.map(_._1)
+    val ka = aIds.map(ia => ia -> bIds.map(ib => (cosU((ia, ib)), ib))
+      .sortBy(t => (-t._1, t._2)).take(3).map(_._1).sum).toMap
+    val kb = bIds.map(ib => ib -> aIds.map(ia => (cosU((ia, ib)), ia))
+      .sortBy(t => (-t._1, t._2)).take(3).map(_._1).sum).toMap
+    val want = aIds.flatMap { ia =>
+      val cands = bIds.filter(ib => cosU((ia, ib)) > 0)
+        .filter(ib => ka(ia) + kb(ib) > 0)
+        .map { ib =>
+          val m = 2L * cosU((ia, ib)) * 3L * 1000000L / (ka(ia) + kb(ib))
+          (ib, cosU((ia, ib)), m)
+        }
+      if (cands.isEmpty) None
+      else Some(ia -> cands.maxBy(t => (t._3, -t._1)))
+    }.toMap
+    assert(got == want)
+  }
+
   private val sf = "/root/testdata/sf0.001"
   private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
 

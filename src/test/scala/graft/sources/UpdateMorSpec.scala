@@ -86,6 +86,49 @@ class UpdateMorSpec extends SparkSuite {
       .collect().map(_.getAs[Long]("k")).toSet == expect)
   }
 
+  test("appendExpecting: clean batch lands; every failed gate is named") {
+    import spark.implicits._
+    val root = freshRoot("expect")
+    VersionedTable.overwrite(Seq((1L, "a", 1.0)).toDF("k", "s", "v"), root)
+    val gates = Seq(
+      "no_nulls" -> (sum(col("v").isNull.cast("long")) === 0L),
+      "min_rows" -> (count(lit(1)) >= 2L))
+    VersionedTable.appendExpecting(
+      Seq((2L, "b", 2.0), (3L, "c", 3.0)).toDF("k", "s", "v"), root, gates)
+    assert(VersionedTable.read(spark, root).count() == 3L)
+    val err = intercept[IllegalArgumentException] {
+      VersionedTable.appendExpecting(
+        Seq((4L, "d", null.asInstanceOf[java.lang.Double]))
+          .toDF("k", "s", "v")
+          .select(col("k"), col("s"), col("v").cast("double")), root, gates)
+    }
+    assert(err.getMessage.contains("no_nulls") &&
+      err.getMessage.contains("min_rows"),
+      s"both failed gates must be named: ${err.getMessage}")
+    assert(VersionedTable.read(spark, root).count() == 3L,
+      "rejected batch must leave no trace")
+  }
+
+  test("replaceWhere: atomic slice swap; scope guard catches leaks") {
+    import spark.implicits._
+    val root = freshRoot("rw")
+    VersionedTable.overwrite(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))
+        .toDF("k", "s", "v"), root)
+    val v0 = VersionedTable.latestVersion(root).get
+    // a leaking batch (row with s='b') is rejected before any commit
+    intercept[IllegalArgumentException] {
+      VersionedTable.replaceWhere(spark, root, col("s") === "a",
+        Seq((9L, "b", 9.0)).toDF("k", "s", "v"))
+    }
+    assert(VersionedTable.latestVersion(root).get == v0)
+    VersionedTable.replaceWhere(spark, root, col("s") === "a",
+      Seq((10L, "a", 10.0)).toDF("k", "s", "v"))
+    assert(VersionedTable.latestVersion(root).get == v0 + 1,
+      "replace = ONE commit")
+    assert(rows(root) == Set((2L, "b", 2.0), (10L, "a", 10.0)))
+  }
+
   test("tombstones: purge with nothing pending is a no-op") {
     import spark.implicits._
     val root = freshRoot("mornoop")
