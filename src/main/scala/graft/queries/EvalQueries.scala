@@ -291,6 +291,80 @@ object EvalQueries extends QueryModule {
                CAST((SUM(pos * (2 * cum - tot + 1)) - SUM(pos) * (SUM(pos) + 1))
                     * 1000000 // (2 * SUM(pos) * SUM(tot - pos)) AS BIGINT)
                  AS auc_ppm
-        FROM c GROUP BY fold ORDER BY fold"""))
+        FROM c GROUP BY fold ORDER BY fold""")),
+
+    // ----------------------------------------------------------------
+    // Skip-gram training pairs (word2vec data generation, Mikolov et
+    // al. 2013) with deterministic ∝1/f frequency subsampling of
+    // centers — an occurrence survives iff md5(doc,pos) mod f < C, an
+    // exact integer rule both engines replay. ±2 positional equi-joins
+    // (the q151 positional-index plan); vocab-sized frequency
+    // broadcast; nothing quadratic.
+    "q264_skipgram_pairs" -> Q(
+      run = (s, dir) =>
+        graft.operators.TrainPrep.skipGramPairs(
+          t(s, dir, "documents"), "doc_id", "text",
+          window = 2, keepC = 400L)
+          .groupBy(col("center"), col("context"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("center", "context"),
+      oracle = Some("""
+        WITH t AS (SELECT doc_id AS doc, string_split(text, ' ') AS toks
+                   FROM documents),
+        tok AS (SELECT doc, gs AS pos, toks[gs + 1] AS tok
+                FROM t, (SELECT unnest(range(0, 200)) AS gs) g
+                WHERE gs < len(toks)),
+        freq AS (SELECT tok, COUNT(*) AS f FROM tok GROUP BY 1),
+        centers AS (
+          SELECT doc, pos, tok AS center FROM tok JOIN freq USING (tok)
+          WHERE CAST(('0x' || substr(md5(doc || '_' || pos), 1, 8)) AS BIGINT)
+                % f < 400),
+        ctx AS (SELECT doc, pos AS cpos, tok AS context FROM tok),
+        pairs AS (
+          SELECT center, context FROM centers c
+          JOIN (SELECT unnest([-2, -1, 1, 2]) AS off) o ON true
+          JOIN ctx ON ctx.doc = c.doc AND ctx.cpos = c.pos + o.off)
+        SELECT center, context, COUNT(*) AS n
+        FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ----------------------------------------------------------------
+    // Length-bucketed batch packing + padding-waste audit: docs bucket
+    // by 16-token band, order by md5(id) inside the bucket (the
+    // q48/q164 deterministic-shuffle rule), cut into batches of 8;
+    // each batch reports its Σ(max−len) padding and waste ppm — the
+    // measurement that justifies bucketing over naive batching.
+    // Windows are per-BUCKET (parallel), never corpus-global.
+    "q265_length_batching" -> Q(
+      run = (s, dir) =>
+        graft.operators.TrainPrep.lengthBatches(
+          t(s, dir, "documents"), "doc_id", "text",
+          band = 16L, batchSize = 8)
+          .orderBy("bucket", "batch_id"),
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id AS id,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END
+                   AS len
+          FROM documents),
+        b AS (SELECT id, CAST(len AS BIGINT) AS len,
+                     CAST(len // 16 AS BIGINT) AS bucket,
+                     md5(CAST(id AS VARCHAR)) AS ord
+              FROM d),
+        r AS (SELECT *, row_number() OVER (PARTITION BY bucket
+                ORDER BY ord, id) AS rn FROM b),
+        g AS (
+          SELECT bucket, CAST((rn - 1) // 8 AS BIGINT) AS batch_id,
+                 COUNT(*) AS n_docs, MAX(len) AS max_len, SUM(len) AS sum_len
+          FROM r GROUP BY 1, 2)
+        SELECT bucket, batch_id, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(max_len AS BIGINT) AS max_len,
+               CAST(sum_len AS BIGINT) AS sum_len,
+               CAST(max_len * n_docs - sum_len AS BIGINT) AS padding,
+               CAST(CASE WHEN max_len > 0
+                 THEN (max_len * n_docs - sum_len) * 1000000
+                      // (max_len * n_docs)
+                 ELSE 0 END AS BIGINT) AS waste_ppm
+        FROM g ORDER BY bucket, batch_id"""))
   )
 }

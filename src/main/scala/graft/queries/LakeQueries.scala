@@ -1846,6 +1846,46 @@ object LakeQueries extends QueryModule {
                                   ELSE o_totalprice END
                  AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders GROUP BY 1 ORDER BY 1"""),
+      bench = false),
+
+    // Zero-copy branch AT A HISTORICAL VERSION (shallowCloneAt — the
+    // Delta `CLONE ... VERSION AS OF` role): after a merge rewrites
+    // the source, a branch forked from v0 still aggregates to the
+    // ORIGINAL table while the source head shows the merged state —
+    // time-travel branching without copying a byte.
+    "q267_branch_at" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_bat").resolve("t").toString
+        val branch = tempRoot("graft_vt_batbr").resolve("b").toString
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        graft.sources.VersionedTable.overwrite(orders, root)
+        val changes = orders
+          .filter(substring(md5(col("o_orderkey").cast(StringType)), 1, 1) === "0")
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+        graft.sources.VersionedTable.merge(s, root, changes, Seq("o_orderkey"))
+        graft.sources.VersionedTable.shallowCloneAt(root, branch, Some(0L))
+        graft.sources.VersionedTable.read(s, branch)
+          .withColumn("side", lit("branch_v0"))
+          .unionByName(graft.sources.VersionedTable.read(s, root)
+            .withColumn("side", lit("source_head")))
+          .groupBy(col("side"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("side", "o_orderstatus")
+      },
+      oracle = Some("""
+        SELECT 'branch_v0' AS side, o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
+        FROM orders GROUP BY 2
+        UNION ALL
+        SELECT 'source_head' AS side, o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(
+                 CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+                      THEN o_totalprice * 2 ELSE o_totalprice END
+                 AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY 2
+        ORDER BY side, o_orderstatus"""),
       bench = false)
   )
 

@@ -757,6 +757,59 @@ object StreamQueries extends QueryModule {
                MIN(value) AS low, arg_max(value, ok) AS close,
                COUNT(*) AS n
         FROM e GROUP BY 1, 2 ORDER BY 1, 2"""),
+      bench = false),
+
+    // STREAMING expect-or-quarantine (the DLT expect_or_drop role):
+    // three deterministic micro-batches; batch 1 carries a 10%
+    // planted null rate and lands WHOLE in the quarantine table with
+    // its failed gate named, batches 0/2 pass into main — the stream
+    // neither drops rows nor aborts, and main's quality invariant
+    // holds by construction.
+    "q266_stream_expectations" -> Q(
+      run = (s, dir) => {
+        val in = tempRoot("graft_exp_in").toString
+        val main = tempRoot("graft_exp_main").resolve("t").toString
+        val quar = tempRoot("graft_exp_quar").resolve("q").toString
+        val ev = Tables(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        (0 until 3).foreach { b =>
+          val slice0 = ev.filter(col("event_id") % 3 === b)
+          val slice = if (b == 1)
+            slice0.withColumn("value",
+              when(col("event_id") % 30 === 1, lit(null))
+                .otherwise(col("value")))
+          else slice0
+          val tmp = tempRoot(s"graft_exp_mk$b").toString
+          slice.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          java.nio.file.Files.move(part.toPath,
+            new java.io.File(in, s"batch$b.parquet").toPath)
+        }
+        val gates = Seq(
+          "null_rate_le_1pct" ->
+            (sum(col("value").isNull.cast("long")) * 100 <= count(lit(1))),
+          "nonempty" -> (count(lit(1)) >= 1L))
+        val mainDf = StreamingJobs.runExpectOrQuarantineAvailableNow(
+          s, in, main, quar, gates)
+        val quarStats = graft.sources.VersionedTable.read(s, quar)
+          .agg(count(lit(1)).as("quar_n"),
+            max(col("failed_gates")).as("quar_tag"))
+        mainDf.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast(org.apache.spark.sql.types.DoubleType).as("val_sum"))
+          .crossJoin(broadcast(quarStats))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum,
+               (SELECT COUNT(*) FROM events WHERE event_id % 3 = 1)
+                 AS quar_n,
+               'null_rate_le_1pct' AS quar_tag
+        FROM events WHERE event_id % 3 != 1
+        GROUP BY 1 ORDER BY 1"""),
       bench = false)
   )
 }

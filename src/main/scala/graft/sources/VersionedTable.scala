@@ -1183,8 +1183,22 @@ object VersionedTable {
     * clones, a `vacuum` ON THE SOURCE can reclaim files the clone
     * still references — deep-copy (read + overwrite) when the source's
     * retention is not under your control. */
-  def shallowClone(src: String, dst: String): Long = {
-    val base = latestVersion(src).getOrElse(sys.error(s"no versions at $src"))
+  def shallowClone(src: String, dst: String): Long =
+    shallowCloneAt(src, dst, None)
+
+  /** [[shallowClone]] pinned to a HISTORICAL version — zero-copy
+    * branching off any point in the source's history (the Delta
+    * `CLONE ... VERSION AS OF` role): debugging yesterday's pipeline
+    * against yesterday's table, or forking an experiment from the
+    * last known-good snapshot, without blocking the source's writers.
+    * The clone-at-past caveat sharpens: the source's `vacuum` may
+    * reclaim files ONLY old versions reference — deep-copy if the
+    * source's retention is shorter than the experiment. */
+  def shallowCloneAt(src: String, dst: String,
+                     version: Option[Long]): Long = {
+    val base = version.getOrElse(
+      latestVersion(src).getOrElse(sys.error(s"no versions at $src")))
+    require(versions(src).contains(base), s"version $base not in $src history")
     require(latestVersion(dst).isEmpty, s"clone target $dst already exists")
     commitManifest(dst, 0, readListing(src, base))
   }

@@ -610,6 +610,82 @@ object StreamingJobs {
     runPartialRollupAvailableNow(spark, inputDir, sketchRoot,
       graft.operators.KllQuantiles.sketchBytes("item", k).as("sk"))
 
+  /** STREAMING expect-or-quarantine door (the DLT `expect_or_drop`
+    * role, streaming form of [[graft.sources.VersionedTable
+    * .appendExpecting]]): every micro-batch is judged against the
+    * AGGREGATE expectations in one aggregation job; a passing batch
+    * appends to the MAIN table, a failing one lands WHOLE in the
+    * quarantine table with the failed gate names attached — nothing
+    * is dropped, nothing aborts the stream, and the main table's
+    * quality invariants hold by construction. Exactly-once via the
+    * batchId sidecar (each batch goes to exactly ONE of the two
+    * tables). Input dir: parquet of
+    * (event_id long, event_type string, value double). */
+  def runExpectOrQuarantineAvailableNow(
+      spark: SparkSession, inputDir: String, mainRoot: String,
+      quarRoot: String,
+      gates: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    import graft.sources.VersionedTable
+    val batchFile = new java.io.File(mainRoot, "_last_batch")
+    def lastCommitted: Long =
+      if (!batchFile.exists()) -1L
+      else new String(java.nio.file.Files.readAllBytes(batchFile.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    def commitBatchId(id: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempFile(
+        new java.io.File(mainRoot).toPath, "_lb", ".tmp")
+      java.nio.file.Files.write(tmp,
+        id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, batchFile.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    new java.io.File(mainRoot).mkdirs()
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        if (batchId > lastCommitted) {
+          val row = batch.agg(
+            gates.head._2.cast("boolean").as(gates.head._1),
+            gates.tail.map { case (n, c) => c.cast("boolean").as(n) }: _*)
+            .collect().head
+          val failed = gates.map(_._1).zipWithIndex.collect {
+            case (n, i) if row.isNullAt(i) || !row.getBoolean(i) => n
+          }
+          if (failed.isEmpty) {
+            if (VersionedTable.latestVersion(mainRoot).isEmpty)
+              VersionedTable.overwrite(batch, mainRoot)
+            else VersionedTable.append(batch, mainRoot)
+          } else {
+            val tagged = batch.withColumn("failed_gates",
+              lit(failed.sorted.mkString(",")))
+            if (VersionedTable.latestVersion(quarRoot).isEmpty)
+              VersionedTable.overwrite(tagged, quarRoot)
+            else VersionedTable.append(tagged, quarRoot)
+          }
+          commitBatchId(batchId)
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        new java.io.File(mainRoot, "_exp_ckpt").getPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    VersionedTable.read(spark, mainRoot)
+  }
+
   /** STREAMING OHLC ROLLUP — the sketch-rollup machinery with EXACT
     * mergeable state: per micro-batch one
     * [[graft.operators.TimeSeries.ohlcPartials]] fragment per

@@ -32,6 +32,26 @@ class SnapshotGroupSpec extends SparkSuite {
     assert(SnapshotGroup.readAt(spark, grp, b).count() == 2L)
   }
 
+  test("shallowCloneAt: branch from a historical version; bad version rejected") {
+    import spark.implicits._
+    val grp = Files.createTempDirectory("graft_sg_clone").toString
+    val src = new java.io.File(grp, "src").getPath
+    val br = new java.io.File(grp, "br").getPath
+    VersionedTable.overwrite(Seq((1L, 10.0)).toDF("k", "v"), src)
+    VersionedTable.append(Seq((2L, 20.0)).toDF("k", "v"), src)
+    VersionedTable.shallowCloneAt(src, br, Some(0L))
+    assert(VersionedTable.read(spark, br).count() == 1L,
+      "branch must see only v0's rows")
+    assert(VersionedTable.read(spark, src).count() == 2L)
+    // branch writes diverge without touching the source
+    VersionedTable.append(Seq((9L, 90.0)).toDF("k", "v"), br)
+    assert(VersionedTable.read(spark, src).count() == 2L)
+    intercept[IllegalArgumentException] {
+      VersionedTable.shallowCloneAt(src,
+        new java.io.File(grp, "br2").getPath, Some(99L))
+    }
+  }
+
   test("readAt rejects a table outside the group; empty group errors") {
     import spark.implicits._
     val grp = Files.createTempDirectory("graft_sg_err").toString
