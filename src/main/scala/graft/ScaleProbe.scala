@@ -744,6 +744,70 @@ object ScaleProbe {
       }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
+    // sparse-cosine probe (`runMain graft.ScaleProbe sparse`): the
+    // weighted cosine join's candidate volume is Σ df² over CAPPED df.
+    // Replicas are content-salted (the skew-probe trick) so each
+    // replica brings its own vocabulary: per-token df stays constant
+    // as the corpus grows, so candidates — and wall time — must grow
+    // LINEARLY in docs. The uncapped Σ df² aggregate is printed as
+    // the counterfactual the cap avoids.
+    if (args.contains("sparse")) {
+      def saltedCorpus(mult: Int) = (0 until mult).map(i =>
+        base.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", "$1" + s"_r$i").as("text")))
+        .reduce(_ union _)
+      for (mult <- Seq(1, 4, 10)) {
+        val c = saltedCorpus(mult).localCheckpoint(true)
+        val n = c.count()
+        val tf = c.select(col("doc_id").as("id"),
+            explode(split(col("text"), " ")).as("token"))
+          .groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
+        val dfs = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+          .localCheckpoint(true)
+        val uncappedCand = dfs
+          .agg(sum((col("df") * (col("df") - 1) / 2).cast("long")))
+          .first().getLong(0)
+        val cappedCand = dfs.filter(col("df") <= 400)
+          .agg(sum((col("df") * (col("df") - 1) / 2).cast("long")))
+          .first().getLong(0)
+        val t0 = System.nanoTime()
+        val pairs = graft.operators.SparseCosineJoin
+          .pairs(c, "doc_id", "text", dfCap = 400L, minCos = 0.9).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] mult=$mult%2d docs=$n%7d sparse_cosine  " +
+          f"capped_cand=$cappedCand%12d uncapped=$uncappedCand%14d " +
+          f"pairs=$pairs%8d  $secs%6.2f s")
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
+    }
+    // CDC-apply probe (`runMain graft.ScaleProbe cdc`): applyChanges
+    // cost must track the FEED and its touched files, not the table.
+    // A fixed 1k-key feed is applied to key-clustered tables at
+    // 1x/4x/10x scale: the prune pass is one metadata-column scan, the
+    // rewrite touches only the files holding fed keys, so wall time
+    // stays flat while the table grows 10x.
+    if (args.contains("cdc")) {
+      import graft.sources.VersionedTable
+      for (mult <- Seq(1, 4, 10)) {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_probe_cdc$mult").resolve("t").toString
+        val rows = spark.range(0, mult * 100000L)
+          .select(col("id").as("k"), (col("id") % 97).cast("double").as("v"))
+          .repartitionByRange(mult * 8, col("k"))
+        VersionedTable.overwrite(rows, root)
+        val feed = spark.range(0, 1000L)
+          .select((col("id") * 7L).as("k"),
+            lit(-1.0).as("v"), lit(1L).as("seq"),
+            when(col("id") % 5 === 0, "D").otherwise("U").as("op"))
+        val t0 = System.nanoTime()
+        VersionedTable.applyChanges(spark, root, feed, Seq("k"), "seq", "op")
+        val secs = (System.nanoTime() - t0) / 1e9
+        val files = VersionedTable.read(spark, root).inputFiles.length
+        println(f"[probe] mult=$mult%2d rows=${mult * 100000}%8d cdc_apply " +
+          f"files_now=$files%4d  $secs%6.2f s")
+        graft.sources.Lake.deleteRecursively(new java.io.File(root).getParentFile)
+      }
+    }
     spark.stop()
   }
 }

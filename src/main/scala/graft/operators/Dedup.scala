@@ -383,4 +383,45 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .distinct()
   }
+
+  /** DIRECTED n-gram containment pairs: (a, b) where
+    * |shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ threshold — the
+    * sub-document detector Jaccard structurally misses (a short doc
+    * quoted whole inside a long one has tiny Jaccard but containment
+    * 1.0; Broder's original resemblance/containment split). Exact ppm
+    * integers: containment_ppm = inter · 10⁶ div |Sa|.
+    *
+    * Scale shape: one distinct-shingle explode + shingle equi-join
+    * (Σ df² candidate cost); `dfCap` drops shingles in more than that
+    * many docs from candidate generation — boilerplate shingles
+    * generate quadratic candidates while contributing containment
+    * evidence every document shares (the SetSimJoin prefix-filter
+    * rationale, as a frequency cap). Capped shingles still count in
+    * |Sa| (the denominator is a per-doc property), so the cap only
+    * LOWERS measured containment — a candidate that clears the
+    * threshold on rare shingles alone is never lost. */
+  def containmentPairs(docs: DataFrame, thresholdPpm: Long, n: Int = 3,
+                       dfCap: Long = Long.MaxValue,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+        explode(graft.functions.TextFunctions.wordShingles(col(textCol), n))
+          .as("g"))
+      .localCheckpoint(true) // sizes + both join sides reuse it
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sa"))
+    val kept =
+      if (dfCap == Long.MaxValue) sh
+      else sh.join(
+        sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= dfCap).select(col("g")), "g")
+    val inter = kept.as("a").join(kept.as("b"),
+        col("a.g") === col("b.g") && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter.join(sizes.select(col("id").as("id_a"), col("sa")), "id_a")
+      .withColumn("containment_ppm", expr("inter * 1000000 div sa"))
+      .filter(col("containment_ppm") >= thresholdPpm)
+      .select(col("id_a"), col("id_b"), col("inter"), col("sa"),
+        col("containment_ppm"))
+  }
 }

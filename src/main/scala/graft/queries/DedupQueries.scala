@@ -71,6 +71,39 @@ object DedupQueries extends QueryModule {
 
     // Exact n-gram Jaccard near-dup pairs via shingle inverted index —
     // never materializes n² pairs.
+    // ----------------------------------------------------------------
+    // DIRECTED n-gram CONTAINMENT pairs (Broder's resemblance vs
+    // containment split): |Sa ∩ Sb| / |Sa| ≥ 0.8 catches sub-document
+    // inclusion — a doc quoted whole inside a longer one — which
+    // Jaccard (q31) structurally under-scores by the size asymmetry.
+    // Exact ppm integers; same Σ df² shingle equi-join candidate shape
+    // as q31, with the df cap as the boilerplate dial (capped shingles
+    // still count in |Sa|, so the cap only lowers measured
+    // containment, never invents a pair).
+    "q268_containment_join" -> Q(
+      run = (s, dir) =>
+        graft.operators.Dedup.containmentPairs(
+          Tables(s, dir, "documents"), thresholdPpm = 800000L)
+          .orderBy("id_a", "id_b"),
+      oracle = Some("""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct([string_split(text, ' ')[i] || ' ' ||
+                                string_split(text, ' ')[i+1] || ' ' ||
+                                string_split(text, ' ')[i+2]
+                                for i in range(1, len(string_split(text, ' ')) - 1)]) AS s
+          FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS sa
+          FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+          WHERE len(a.s) > 0)
+        SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+               CAST(sa AS BIGINT) AS sa,
+               CAST(inter * 1000000 // sa AS BIGINT) AS containment_ppm
+        FROM pairs WHERE inter * 1000000 // sa >= 800000
+        ORDER BY id_a, id_b""")),
+
     "q31_ngram_jaccard" -> Q(
       run = (s, dir) =>
         Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), threshold = 0.8)

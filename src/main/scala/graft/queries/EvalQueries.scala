@@ -365,6 +365,106 @@ object EvalQueries extends QueryModule {
                  THEN (max_len * n_docs - sum_len) * 1000000
                       // (max_len * n_docs)
                  ELSE 0 END AS BIGINT) AS waste_ppm
-        FROM g ORDER BY bucket, batch_id"""))
+        FROM g ORDER BY bucket, batch_id""")),
+
+    // ----------------------------------------------------------------
+    // Tokenizer fertility per language: subword-per-word ratio (exact
+    // ppm over the corpus sums) — the standard tokenizer-quality audit
+    // (high fertility = a language the vocab serves badly, paying more
+    // compute per word). One combinable aggregation.
+    "q269_fertility" -> Q(
+      run = (s, dir) => {
+        import graft.functions.TextFunctions._
+        t(s, dir, "documents")
+          .select(col("lang"), tokenCount(col("text")).as("w"),
+            subwordTokenCount(col("text")).as("sw"))
+          .groupBy(col("lang"))
+          .agg(sum(col("w")).as("words"), sum(col("sw")).as("subwords"))
+          .withColumn("fertility_ppm", expr("subwords * 1000000 div words"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        SELECT lang,
+               CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+                 AS words,
+               CAST(SUM(len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS subwords,
+               CAST(SUM(len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) * 1000000
+                 // SUM(len(string_split_regex(trim(text), '\s+')))
+                 AS BIGINT) AS fertility_ppm
+        FROM documents GROUP BY lang ORDER BY lang"""),
+      bench = false),
+
+    // ----------------------------------------------------------------
+    // Context-length truncation audit: token mass lost per source at a
+    // 128-token context — Σ max(0, len−128) over Σ len, exact ppm.
+    // The measurement behind choosing a context length / chunking
+    // policy before burning compute at scale. One aggregation.
+    "q270_truncation_loss" -> Q(
+      run = (s, dir) => {
+        import graft.functions.TextFunctions._
+        t(s, dir, "documents")
+          .select(col("source"), tokenCount(col("text")).as("len"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("total_tokens"),
+            sum(greatest(col("len") - 128, lit(0L))).as("lost_tokens"),
+            sum((col("len") > 128).cast("long")).as("docs_truncated"))
+          .withColumn("loss_ppm",
+            expr("lost_tokens * 1000000 div total_tokens"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT source,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS len
+          FROM documents)
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len) AS BIGINT) AS total_tokens,
+               CAST(SUM(GREATEST(len - 128, 0)) AS BIGINT) AS lost_tokens,
+               CAST(SUM(CASE WHEN len > 128 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS docs_truncated,
+               CAST(SUM(GREATEST(len - 128, 0)) * 1000000 // SUM(len)
+                 AS BIGINT) AS loss_ppm
+        FROM d GROUP BY source ORDER BY source"""),
+      bench = false),
+
+    // ----------------------------------------------------------------
+    // Mislabel screen: distance of each vector to its OWN label's
+    // fixed-point centroid (q63's exact integer centroid math), top-20
+    // farthest as relabel candidates — the embedding-space data-QA
+    // audit before trusting labels for training or eval. One explode +
+    // one centroid agg + one combinable distance agg; all integers.
+    "q271_mislabel_screen" -> Q(
+      run = (s, dir) => {
+        val comp = t(s, dir, "embeddings")
+          .select(col("label"), col("vec_id"), posexplode(col("embedding")))
+          .select(col("label"), col("vec_id"), col("pos"),
+            floor(col("col").cast("double") * 1000000L).cast("long").as("q"))
+        val cent = comp.groupBy(col("label"), col("pos"))
+          .agg(floor(sum(col("q")).cast("double") / count(lit(1)))
+            .cast("long").as("c"))
+        comp.join(cent, Seq("label", "pos"))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist2"))
+          .orderBy(col("dist2").desc, col("vec_id"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH comp AS (
+          SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos,
+                 CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000)
+                   AS BIGINT) AS q
+          FROM embeddings),
+        cent AS (
+          SELECT label, pos,
+                 CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+          FROM comp GROUP BY 1, 2),
+        d AS (
+          SELECT vec_id, comp.label, SUM((q - c) * (q - c)) AS dist2
+          FROM comp JOIN cent USING (label, pos) GROUP BY 1, 2)
+        SELECT vec_id, label, CAST(dist2 AS BIGINT) AS dist2
+        FROM d ORDER BY dist2 DESC, vec_id LIMIT 20"""))
   )
 }

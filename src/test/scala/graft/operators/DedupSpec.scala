@@ -152,4 +152,35 @@ class DedupSpec extends SparkSuite {
     assert(out.count() == 1001)
     assert(rounds <= 20, s"took $rounds rounds — not O(log n)")
   }
+
+  test("containmentPairs: directional, catches sub-document inclusion") {
+    import spark.implicits._
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, quote), // short doc...
+      (2L, s"intro words here $quote closing words trail off now"), // ...quoted whole
+      (3L, "completely different content with no overlap at all ok")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, thresholdPpm = 900000L)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("containment_ppm"))).toSet
+    // all of doc1's 4 shingles appear in doc2 → containment(1→2)=1.0;
+    // reverse direction is well below 0.9; doc3 pairs with nobody
+    assert(got == Set((1L, 2L, 1000000L)))
+  }
+
+  test("containmentPairs: df cap only lowers containment, never invents") {
+    import spark.implicits._
+    val docs = (1L to 6L).map(i =>
+      (i, s"shared common boiler plate text everywhere unique$i tail$i end$i"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.containmentPairs(docs, 0L)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Long]("containment_ppm"))).toMap
+    val capped = Dedup.containmentPairs(docs, 0L, dfCap = 3L)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Long]("containment_ppm"))).toMap
+    assert(capped.keySet.subsetOf(uncapped.keySet))
+    capped.foreach { case (k, v) => assert(v <= uncapped(k), s"$k") }
+  }
 }
