@@ -465,6 +465,49 @@ object EvalQueries extends QueryModule {
           SELECT vec_id, comp.label, SUM((q - c) * (q - c)) AS dist2
           FROM comp JOIN cent USING (label, pos) GROUP BY 1, 2)
         SELECT vec_id, label, CAST(dist2 AS BIGINT) AS dist2
-        FROM d ORDER BY dist2 DESC, vec_id LIMIT 20"""))
+        FROM d ORDER BY dist2 DESC, vec_id LIMIT 20""")),
+
+    // ----------------------------------------------------------------
+    // Vocabulary drift between two corpus snapshots (here: even/odd
+    // doc halves standing in for version N vs N+1): per-token χ²-style
+    // contribution in the cross-multiplied integer form
+    // (nB·cA − nA·cB)² · 10⁶ div (nA·nB·(cA+cB)) — the q178 KS idea
+    // for CATEGORICAL (token) distributions, exact in
+    // DECIMAL(38,0)/HUGEINT. Top-20 most-drifted tokens are the
+    // monitoring headline when a crawl's composition shifts. One
+    // token histogram agg + vocabulary-sized column math.
+    "q276_vocab_drift" -> Q(
+      run = (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select((col("doc_id") % 2 === 0).cast("int").as("side"),
+            explode(split(col("text"), " ")).as("token"))
+        val hist = toks.groupBy(col("token"))
+          .agg(sum(col("side").cast("long")).as("ca"),
+            sum(lit(1L) - col("side")).as("cb"))
+        val tots = hist.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+        hist.crossJoin(broadcast(tots))
+          .withColumn("drift_ppm", expr("""
+            cast(nb * ca - na * cb as decimal(38,0))
+              * (nb * ca - na * cb) * 1000000
+            div (na * nb * (ca + cb))"""))
+          .select(col("token"), col("ca"), col("cb"), col("drift_ppm"))
+          .orderBy(col("drift_ppm").desc, col("token"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS side,
+                 unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        hist AS (SELECT token, SUM(side) AS ca, SUM(1 - side) AS cb
+                 FROM toks GROUP BY 1),
+        tots AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM hist)
+        SELECT token, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+               CAST(CAST(nb * ca - na * cb AS HUGEINT)
+                    * (nb * ca - na * cb) * 1000000
+                    // (na * nb * (ca + cb)) AS BIGINT) AS drift_ppm
+        FROM hist CROSS JOIN tots
+        ORDER BY drift_ppm DESC, token LIMIT 20"""),
+      bench = false)
   )
 }

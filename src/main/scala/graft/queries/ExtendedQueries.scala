@@ -1252,6 +1252,197 @@ object ExtendedQueries extends QueryModule {
         SELECT CAST(SUM(ca * cb) AS BIGINT) AS predicted,
                CAST(COUNT(*) AS BIGINT) AS matched_keys,
                CAST(1 AS BIGINT) AS size_verified
-        FROM ho JOIN hc USING (k)"""))
+        FROM ho JOIN hc USING (k)""")),
+
+    // ----------------------------------------------------------------
+    // ANALYZE TABLE column statistics (Lake.analyzeReport): null count
+    // + exact NDV per column, melted to one row per column in ONE
+    // aggregation pass — the catalog-stats collection a cost-based
+    // planner / data contract / q263 join-size audit feeds on. Exact
+    // NDV here; approx_count_distinct is the documented fleet-scale
+    // swap (q34's pattern).
+    "q272_analyze_table" -> Q(
+      run = (s, dir) =>
+        graft.sources.Lake.analyzeReport(t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+          .orderBy("column"),
+      oracle = Some("""
+        SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS ndv FROM orders
+        UNION ALL
+        SELECT 'o_custkey', COUNT(*),
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', COUNT(*),
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', COUNT(*),
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+        ORDER BY "column""""),
+      bench = false),
+
+    // ----------------------------------------------------------------
+    // Functional-dependency discovery: A→B holds iff |distinct A| =
+    // |distinct (A,B)| — two combinable distinct-counts per candidate,
+    // no joins. Schema archaeology for undocumented data (which
+    // columns are denormalized copies, which "keys" actually
+    // determine attributes) before trusting a merge key.
+    "q273_fd_check" -> Q(
+      run = (s, dir) => {
+        def fd(df: DataFrame, name: String, a: String, b: String) =
+          df.agg(countDistinct(col(a)).as("lhs_card"),
+            countDistinct(col(a), col(b)).as("pair_card"))
+            .select(lit(name).as("fd"), col("lhs_card"), col("pair_card"),
+              (col("lhs_card") === col("pair_card")).cast("long").as("holds"))
+        fd(t(s, dir, "nation"), "nationkey->regionkey",
+            "n_nationkey", "n_regionkey")
+          .unionByName(fd(t(s, dir, "customer"), "custkey->mktsegment",
+            "c_custkey", "c_mktsegment"))
+          .unionByName(fd(t(s, dir, "customer"), "nationkey->mktsegment",
+            "c_nationkey", "c_mktsegment"))
+          .unionByName(fd(t(s, dir, "orders"), "custkey->orderpriority",
+            "o_custkey", "o_orderpriority"))
+          .orderBy("fd")
+      },
+      oracle = Some("""
+        SELECT 'nationkey->regionkey' AS fd,
+               CAST(COUNT(DISTINCT n_nationkey) AS BIGINT) AS lhs_card,
+               CAST(COUNT(DISTINCT (n_nationkey, n_regionkey)) AS BIGINT)
+                 AS pair_card,
+               CAST(CASE WHEN COUNT(DISTINCT n_nationkey) =
+                 COUNT(DISTINCT (n_nationkey, n_regionkey))
+                 THEN 1 ELSE 0 END AS BIGINT) AS holds
+        FROM nation
+        UNION ALL
+        SELECT 'custkey->mktsegment',
+               CAST(COUNT(DISTINCT c_custkey) AS BIGINT),
+               CAST(COUNT(DISTINCT (c_custkey, c_mktsegment)) AS BIGINT),
+               CAST(CASE WHEN COUNT(DISTINCT c_custkey) =
+                 COUNT(DISTINCT (c_custkey, c_mktsegment))
+                 THEN 1 ELSE 0 END AS BIGINT)
+        FROM customer
+        UNION ALL
+        SELECT 'nationkey->mktsegment',
+               CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+               CAST(COUNT(DISTINCT (c_nationkey, c_mktsegment)) AS BIGINT),
+               CAST(CASE WHEN COUNT(DISTINCT c_nationkey) =
+                 COUNT(DISTINCT (c_nationkey, c_mktsegment))
+                 THEN 1 ELSE 0 END AS BIGINT)
+        FROM customer
+        UNION ALL
+        SELECT 'custkey->orderpriority',
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+               CAST(COUNT(DISTINCT (o_custkey, o_orderpriority)) AS BIGINT),
+               CAST(CASE WHEN COUNT(DISTINCT o_custkey) =
+                 COUNT(DISTINCT (o_custkey, o_orderpriority))
+                 THEN 1 ELSE 0 END AS BIGINT)
+        FROM orders
+        ORDER BY fd"""),
+      bench = false),
+
+    // ----------------------------------------------------------------
+    // Referential-integrity audit: orphan counts per FK edge via anti
+    // joins — two real edges (clean) and one PLANTED break (customer
+    // restricted to even keys) proving the detector fires. The
+    // pre-merge data contract for a star schema.
+    "q274_ri_audit" -> Q(
+      run = (s, dir) => {
+        def ri(name: String, child: DataFrame, fk: String,
+               parent: DataFrame, pk: String) = {
+          val orphans = child.join(parent.select(col(pk)),
+            child(fk) === col(pk), "left_anti")
+          child.agg(count(lit(1)).as("n_child"))
+            .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphans"))))
+            .select(lit(name).as("fk_edge"), col("n_child"),
+              col("n_orphans"),
+              (col("n_orphans") === 0L).cast("long").as("holds"))
+        }
+        val evenCustomers = t(s, dir, "customer")
+          .filter(col("c_custkey") % 2 === 0)
+        ri("orders.custkey->customer", t(s, dir, "orders"), "o_custkey",
+            t(s, dir, "customer"), "c_custkey")
+          .unionByName(ri("lineitem.orderkey->orders",
+            t(s, dir, "lineitem"), "l_orderkey",
+            t(s, dir, "orders"), "o_orderkey"))
+          .unionByName(ri("orders.custkey->even_customers(planted)",
+            t(s, dir, "orders"), "o_custkey",
+            evenCustomers, "c_custkey"))
+          .orderBy("fk_edge")
+      },
+      oracle = Some("""
+        SELECT 'orders.custkey->customer' AS fk_edge,
+               (SELECT COUNT(*) FROM orders) AS n_child,
+               (SELECT COUNT(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey)) AS n_orphans,
+               CAST(CASE WHEN (SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                   WHERE c.c_custkey = o.o_custkey)) = 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS holds
+        UNION ALL
+        SELECT 'lineitem.orderkey->orders',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey)),
+               CAST(CASE WHEN (SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                   WHERE o.o_orderkey = l.l_orderkey)) = 0
+                 THEN 1 ELSE 0 END AS BIGINT)
+        UNION ALL
+        SELECT 'orders.custkey->even_customers(planted)',
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 2 = 0)),
+               CAST(CASE WHEN (SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                   WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 2 = 0))
+                 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        ORDER BY fk_edge"""),
+      bench = false),
+
+    // ----------------------------------------------------------------
+    // First-order Markov transition matrix over per-user event
+    // sequences: (current, next) counts via one per-user lead window +
+    // one hash agg, probabilities as exact ppm of each row's outgoing
+    // mass — the behavioral-model substrate (next-event prediction,
+    // anomaly scoring on rare transitions).
+    "q275_markov_transitions" -> Q(
+      run = (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val trans = t(s, dir, "events")
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("cur"), col("next_type").as("nxt"))
+          .agg(count(lit(1)).as("n"))
+        val outMass = trans.groupBy(col("cur")).agg(sum(col("n")).as("tot"))
+        trans.join(outMass, "cur")
+          .select(col("cur"), col("nxt"), col("n"),
+            expr("n * 1000000 div tot").as("p_ppm"))
+          .orderBy("cur", "nxt")
+      },
+      oracle = Some("""
+        WITH seq AS (
+          SELECT event_type AS cur,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS nxt
+          FROM events),
+        trans AS (SELECT cur, nxt, COUNT(*) AS n FROM seq
+                  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        om AS (SELECT cur, SUM(n) AS tot FROM trans GROUP BY 1)
+        SELECT cur, nxt, CAST(n AS BIGINT) AS n,
+               CAST(n * 1000000 // tot AS BIGINT) AS p_ppm
+        FROM trans JOIN om USING (cur)
+        ORDER BY cur, nxt"""))
   )
 }

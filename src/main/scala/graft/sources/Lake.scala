@@ -351,4 +351,29 @@ object Lake {
       .format("parquet")
       .saveAsTable(table)
   }
+
+  /** ANALYZE TABLE-style column statistics in ONE pass: per column its
+    * null count and exact distinct count, melted to one row per column
+    * (the catalog-stats collection role — the numbers a cost-based
+    * planner, a data contract, or the q263 join-size audit feed on).
+    * Exact NDV expands the aggregate per distinct-column (fine for a
+    * handful of profiled columns); at true fleet scale swap
+    * `approx_count_distinct`/HLL per the q34/q89 pattern — the report
+    * shape is identical. */
+  def analyzeReport(df: org.apache.spark.sql.DataFrame,
+                    cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty && cols.forall(df.columns.contains),
+      s"unknown columns in ${cols.mkString(",")}")
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
+      sum(col(c).isNull.cast("long")).as(s"__nulls_$c"),
+      countDistinct(col(c)).as(s"__ndv_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c =>
+      s"'$c', __nulls_$c, __ndv_$c").mkString(", ")
+    row.selectExpr(s"__n", s"stack(${cols.size}, $stacked) " +
+        "as (column, n_nulls, ndv)")
+      .select(col("column"), col("__n").as("n_rows"),
+        col("n_nulls"), col("ndv"))
+  }
 }

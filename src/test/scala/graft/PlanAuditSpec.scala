@@ -138,7 +138,14 @@ class PlanAuditSpec extends SparkSuite {
       // brute broadcast (q40's shape); the LSH equi-join swaps in at
       // corpus scale (operator scaladoc), margins evaluate on
       // candidates either way
-      "q262_bitext_margin"),
+      "q262_bitext_margin",
+      // RI audit: each edge's 1-row orphan-count frame crossed onto
+      // its 1-row child-count frame (q62's 1-row-broadcast shape);
+      // the orphan detection itself is an anti equi-join
+      "q274_ri_audit",
+      // vocab drift: the 1-row corpus-totals dim crossed into the
+      // vocabulary histogram (q62's shape)
+      "q276_vocab_drift"),
     "Exchange SinglePartition" -> Set(
       // global row_number over the tiny DISTINCT dim (W1 parity shape;
       // fact-scale keys use PartitionOffsetKeyGen)
