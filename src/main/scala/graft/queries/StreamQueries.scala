@@ -810,6 +810,42 @@ object StreamQueries extends QueryModule {
                'null_rate_le_1pct' AS quar_tag
         FROM events WHERE event_id % 3 != 1
         GROUP BY 1 ORDER BY 1"""),
+      bench = false),
+
+    // STREAMING ATOMIC MULTI-TABLE PUBLISH capstone: each micro-batch
+    // appends facts, refreshes the additive summary view, and moves
+    // the SnapshotGroup pointer to the new PAIR — the group-resolved
+    // summary must equal a re-aggregation of the group-resolved facts
+    // (consistent_pair folds that probe into the hash) and both must
+    // equal the full-input oracle.
+    "q277_stream_atomic_publish" -> Q(
+      run = (s, dir) => {
+        val grp = tempRoot("graft_pub").toString
+        StreamingJobs.runAtomicPublishAvailableNow(s, dir, grp)
+        val facts = new java.io.File(grp, "facts").getPath
+        val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+        val summary = graft.sources.SnapshotGroup
+          .readAt(s, grp, new java.io.File(grp, "summary").getPath)
+          .select(col("event_type"), col("n"),
+            col("total").cast(dec).as("total"))
+        val reAgg = graft.sources.SnapshotGroup.readAt(s, grp, facts)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(dec)).cast(dec).as("total"))
+        val consistent =
+          if (summary.collect().toSet == reAgg.collect().toSet) 1L else 0L
+        summary
+          .select(col("event_type"), col("n"),
+            col("total").cast(org.apache.spark.sql.types.DoubleType)
+              .as("total"))
+          .withColumn("consistent_pair", lit(consistent))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+               CAST(1 AS BIGINT) AS consistent_pair
+        FROM events GROUP BY 1 ORDER BY 1"""),
       bench = false)
   )
 }

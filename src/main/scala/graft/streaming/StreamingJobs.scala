@@ -610,6 +610,63 @@ object StreamingJobs {
     runPartialRollupAvailableNow(spark, inputDir, sketchRoot,
       graft.operators.KllQuantiles.sketchBytes("item", k).as("sk"))
 
+  /** STREAMING multi-table publish: every micro-batch lands the raw
+    * events in the facts table AND refreshes the additive summary
+    * view, then moves the [[graft.sources.SnapshotGroup]] pointer to
+    * the new (facts, summary) version PAIR — readers resolving through
+    * the group never see facts ahead of their summary, even
+    * mid-batch, even across a crash between the two commits (the
+    * pointer still names the last consistent pair; orphan versions
+    * are invisible). The q222 join-view composition plus the q260
+    * atomicity contract, end to end through the streaming door.
+    * Exactly-once via the batchId sidecar. */
+  def runAtomicPublishAvailableNow(spark: SparkSession, dir: String,
+                                   groupRoot: String): DataFrame = {
+    import graft.sources.{MaterializedView, SnapshotGroup, VersionedTable}
+    val facts = new java.io.File(groupRoot, "facts").getPath
+    val view = new java.io.File(groupRoot, "summary").getPath
+    val batchFile = new java.io.File(groupRoot, "_last_batch")
+    def lastCommitted: Long =
+      if (!batchFile.exists()) -1L
+      else new String(java.nio.file.Files.readAllBytes(batchFile.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    def commitBatchId(id: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempFile(
+        new java.io.File(groupRoot).toPath, "_lb", ".tmp")
+      java.nio.file.Files.write(tmp,
+        id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, batchFile.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    new java.io.File(groupRoot).mkdirs()
+    val q = readEvents(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        if (batchId > lastCommitted) {
+          val fv =
+            if (VersionedTable.latestVersion(facts).isEmpty)
+              VersionedTable.overwrite(batch, facts)
+            else VersionedTable.append(batch, facts)
+          MaterializedView.refreshAdditive(spark, facts, view,
+            Seq("event_type"), "value")
+          val vv = VersionedTable.latestVersion(view).get
+          SnapshotGroup.publish(groupRoot, Map(facts -> fv, view -> vv))
+          commitBatchId(batchId)
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        new java.io.File(groupRoot, "_pub_ckpt").getPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    SnapshotGroup.readAt(spark, groupRoot, view)
+  }
+
   /** STREAMING expect-or-quarantine door (the DLT `expect_or_drop`
     * role, streaming form of [[graft.sources.VersionedTable
     * .appendExpecting]]): every micro-batch is judged against the

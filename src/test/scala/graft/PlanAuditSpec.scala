@@ -20,7 +20,8 @@ class PlanAuditSpec extends SparkSuite {
     "q204_stream_quarantine", "q211_stream_sketch", "q217_stream_hll",
     "q222_stream_join_view", "q226_stream_dedup_watermark",
     "q228_stream_text_index", "q237_stream_kll", "q240_stream_cdc",
-    "q252_stream_ohlc", "q266_stream_expectations")
+    "q252_stream_ohlc", "q266_stream_expectations",
+    "q277_stream_atomic_publish")
 
   /** pattern → queries where it is the intended plan shape. */
   private val allowed: Map[String, Set[String]] = Map(
