@@ -105,6 +105,46 @@ object Eval {
           .as("auc_ppm"))
   }
 
+  /** Poisson-bootstrap AUC: `reps` deterministic resampling replicates
+    * in ONE pass — each (row, replicate) draws an integer weight from
+    * the Poisson(1) pmf via an md5 hash (thresholds 368/736/920/981
+    * per mille for w = 0..4 — the standard streaming-bootstrap trick:
+    * Poisson weights ≈ multinomial resampling without materializing a
+    * resample), and each replicate's AUC comes from the same histogram
+    * algebra as [[aucExact]] on the WEIGHTED histogram (integer
+    * weights = replicated multiset, so the tie formula holds
+    * unchanged). The replicate spread is the confidence interval a
+    * single AUC number hides — error bars without re-running anything.
+    * Cost: one (reps × score)-keyed histogram agg + per-replicate
+    * windows; the corpus is scanned once. */
+  def aucBootstrap(df: DataFrame, scoreCol: String, labelCol: String,
+                   idCol: String, reps: Int): DataFrame = {
+    val h = expr(s"cast(conv(substring(md5(concat(cast($idCol as string), " +
+      s"'_', cast(rep as string))), 1, 8), 16, 10) as bigint) % 1000")
+    val w = when(h < 368, 0L).when(h < 736, 1L).when(h < 920, 2L)
+      .when(h < 981, 3L).otherwise(4L)
+    val hist = df
+      .withColumn("rep", explode(lit((0 until reps).toArray)))
+      .withColumn("__w", w)
+      .groupBy(col("rep"), col(scoreCol).cast("long").as("score"))
+      .agg(sum(col("__w") * col(labelCol).cast("long")).as("pos"),
+        sum(col("__w")).as("tot"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rep")).orderBy(col("score"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    hist.withColumn("cum", sum(col("tot")).over(win))
+      .groupBy(col("rep"))
+      .agg(sum(col("pos")).as("p"),
+        sum(col("tot") - col("pos")).as("n"),
+        sum(col("pos") * (lit(2) * col("cum") - col("tot") + lit(1)))
+          .as("s2"))
+      .select(col("rep").cast("long").as("rep"), col("p").as("pos"),
+        col("n").as("neg"),
+        when(col("p") > 0 && col("n") > 0,
+          expr("(s2 - p * (p + 1)) * 1000000 div (2 * p * n)"))
+          .as("auc_ppm"))
+  }
+
   /** Reliability table: rows bucketed into `bins` rank-deciles of the
     * score (ties share a bin — the bin is a pure function of the score,
     * so re-runs and engines agree), each bin reporting its size, its

@@ -301,6 +301,40 @@ object Graphs {
     *
     * Returns `(node, label)` for all graph nodes.
     */
+  /** Bounded k-core PEELING on an undirected edge list `(src, dst)`:
+    * `rounds` synchronous rounds of "drop every node with degree < k,
+    * drop edges touching dropped nodes" — the dense-subgraph filter
+    * (spam-farm detection, community cores, collocation nuclei). A
+    * FIXED round count keeps the contract deterministic and
+    * oracle-replayable (each round unrolls to plain SQL); graphs
+    * whose peeling hasn't converged in `rounds` keep their
+    * still-unpeeled nodes — callers wanting the true k-core loop
+    * until the node count is stable (each round is one combinable
+    * degree agg + two semi-joins, BSP-checkpointed like every
+    * iterative operator here).
+    *
+    * Returns (node, degree) of the surviving subgraph, degrees as of
+    * the surviving edge set. */
+  def kCorePeel(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+    // undirected: symmetrize once; degree = distinct neighbors
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var cur = sym
+    for (_ <- 1 to rounds) {
+      val deg = cur.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("src"))
+        .localCheckpoint(true)
+      cur = cur
+        .join(keep, "src")
+        .join(keep.withColumnRenamed("src", "dst"), "dst")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+    }
+    cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+  }
+
   def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val u = col("u"); val v = col("v")

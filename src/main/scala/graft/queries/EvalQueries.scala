@@ -508,6 +508,47 @@ object EvalQueries extends QueryModule {
                     // (na * nb * (ca + cb)) AS BIGINT) AS drift_ppm
         FROM hist CROSS JOIN tots
         ORDER BY drift_ppm DESC, token LIMIT 20"""),
+      bench = false),
+
+    // ----------------------------------------------------------------
+    // Poisson-bootstrap AUC: 16 deterministic resampling replicates in
+    // ONE corpus pass (md5-drawn Poisson(1) weights; weighted
+    // histogram algebra per replicate) — the confidence interval a
+    // single AUC hides, with zero RNG state and a full oracle replay.
+    "q278_bootstrap_auc" -> Q(
+      run = (s, dir) =>
+        Eval.aucBootstrap(
+          t(s, dir, "documents")
+            .withColumn("is_en", (col("lang") === "en").cast("long")),
+          "n_chars", "is_en", "doc_id", reps = 16)
+          .orderBy("rep"),
+      oracle = Some("""
+        WITH reps AS (SELECT unnest(range(0, 16)) AS rep),
+        d AS (
+          SELECT rep, n_chars AS score,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_' ||
+                   CAST(rep AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS hh
+          FROM documents CROSS JOIN reps),
+        wts AS (
+          SELECT rep, score, y,
+                 CASE WHEN hh < 368 THEN 0 WHEN hh < 736 THEN 1
+                      WHEN hh < 920 THEN 2 WHEN hh < 981 THEN 3
+                      ELSE 4 END AS w
+          FROM d),
+        h AS (SELECT rep, score, SUM(w * y) AS pos, SUM(w) AS tot
+              FROM wts GROUP BY 1, 2),
+        c AS (
+          SELECT rep, pos, tot,
+                 SUM(tot) OVER (PARTITION BY rep ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM h)
+        SELECT rep, CAST(SUM(pos) AS BIGINT) AS pos,
+               CAST(SUM(tot - pos) AS BIGINT) AS neg,
+               CAST((SUM(pos * (2 * cum - tot + 1)) - SUM(pos) * (SUM(pos) + 1))
+                    * 1000000 // (2 * SUM(pos) * SUM(tot - pos)) AS BIGINT)
+                 AS auc_ppm
+        FROM c GROUP BY rep ORDER BY rep"""),
       bench = false)
   )
 }

@@ -1886,6 +1886,54 @@ object LakeQueries extends QueryModule {
                  AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders GROUP BY 2
         ORDER BY side, o_orderstatus"""),
+      bench = false),
+
+    // PERSISTED table constraints (the Delta ADD CONSTRAINT role): the
+    // rules are stored WITH the table, so every writer appending
+    // through appendConstrained enforces them — a poisoned batch is
+    // rejected whole naming the broken constraint, and a fresh
+    // "writer" (re-reading the sidecar) sees the same contract.
+    "q280_persistent_constraints" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_cons").resolve("t").toString
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        graft.sources.VersionedTable.setConstraints(root, Seq(
+          "price_nonneg" -> "o_totalprice >= 0",
+          "status_known" -> "o_orderstatus IN ('F', 'O', 'P')"))
+        graft.sources.VersionedTable.overwrite(
+          orders.filter(col("o_orderkey") % 2 === 0), root)
+        val odds = orders.filter(col("o_orderkey") % 2 === 1)
+        val poisoned = odds.withColumn("o_orderstatus",
+          when(col("o_orderkey") % 999 === 1, lit("X"))
+            .otherwise(col("o_orderstatus")))
+        val badRejected =
+          try {
+            graft.sources.VersionedTable.appendConstrained(poisoned, root)
+            0L
+          } catch {
+            case e: IllegalArgumentException
+              if e.getMessage.contains("status_known") => 1L
+          }
+        // the contract is durable: a fresh writer re-reads it
+        val contractStored =
+          if (graft.sources.VersionedTable.constraintsOf(root).size == 2) 1L
+          else 0L
+        graft.sources.VersionedTable.appendConstrained(odds, root)
+        graft.sources.VersionedTable.read(s, root)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("bad_rejected", lit(badRejected))
+          .withColumn("contract_stored", lit(contractStored))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total,
+               CAST(1 AS BIGINT) AS bad_rejected,
+               CAST(1 AS BIGINT) AS contract_stored
+        FROM orders GROUP BY 1 ORDER BY 1"""),
       bench = false)
   )
 

@@ -1855,6 +1855,49 @@ object TextQueries extends QueryModule {
     // outdeg bounded ~sqrt(E) — immune to the hub blowup of a raw
     // wedge join. Parity: exact integer counts; the coefficient is one
     // long/long double division written identically on both sides.
+    // ----------------------------------------------------------------
+    // Bounded k-core PEELING (Graphs.kCorePeel) on the q142 bigram
+    // co-occurrence graph: 4 synchronous drop-degree-<3 rounds — the
+    // dense-subgraph filter (collocation nuclei, spam-farm cores).
+    // The FIXED round count is the determinism contract: the oracle
+    // unrolls the identical 4 rounds in plain SQL.
+    "q279_kcore_peel" -> Q(
+      run = (s, dir) =>
+        graft.operators.Graphs.kCorePeel(
+          cooccurrenceEdges(s, dir).select(col("src"), col("dst")),
+          k = 3L, rounds = 4)
+          .orderBy("node"),
+      oracle = Some("""
+        WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        b AS (SELECT UNNEST([w[i] || ' ' || w[i+1]
+                             for i in range(1, len(w))]) AS bigram
+              FROM w WHERE len(w) >= 2),
+        bg AS (SELECT x, y FROM (
+                 SELECT string_split(bigram, ' ')[1] AS x,
+                        string_split(bigram, ' ')[2] AS y FROM b)
+               WHERE x <> y GROUP BY x, y HAVING COUNT(*) >= 3),
+        e0 AS (SELECT DISTINCT x AS src, y AS dst FROM bg
+               UNION SELECT DISTINCT y, x FROM bg),
+        d1 AS (SELECT src, COUNT(*) AS deg FROM e0 GROUP BY 1),
+        k1 AS (SELECT src FROM d1 WHERE deg >= 3),
+        e1 AS (SELECT e.src, e.dst FROM e0 e
+               JOIN k1 a ON e.src = a.src JOIN k1 b2 ON e.dst = b2.src),
+        d2 AS (SELECT src, COUNT(*) AS deg FROM e1 GROUP BY 1),
+        k2 AS (SELECT src FROM d2 WHERE deg >= 3),
+        e2 AS (SELECT e.src, e.dst FROM e1 e
+               JOIN k2 a ON e.src = a.src JOIN k2 b2 ON e.dst = b2.src),
+        d3 AS (SELECT src, COUNT(*) AS deg FROM e2 GROUP BY 1),
+        k3 AS (SELECT src FROM d3 WHERE deg >= 3),
+        e3 AS (SELECT e.src, e.dst FROM e2 e
+               JOIN k3 a ON e.src = a.src JOIN k3 b2 ON e.dst = b2.src),
+        d4 AS (SELECT src, COUNT(*) AS deg FROM e3 GROUP BY 1),
+        k4 AS (SELECT src FROM d4 WHERE deg >= 3),
+        e4 AS (SELECT e.src, e.dst FROM e3 e
+               JOIN k4 a ON e.src = a.src JOIN k4 b2 ON e.dst = b2.src)
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM e4 GROUP BY 1 ORDER BY node"""),
+      bench = false),
+
     "q145_triangles" -> Q(
       run = (s, dir) =>
         graft.operators.Graphs.triangleStats(

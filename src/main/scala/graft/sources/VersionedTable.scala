@@ -746,6 +746,58 @@ object VersionedTable {
     appendWithStats(df, root, statsCols: _*)
   }
 
+  /** PERSISTED table constraints (the Delta `ALTER TABLE ... ADD
+    * CONSTRAINT` role): named row-level boolean SQL expressions stored
+    * in a `_constraints` sidecar next to the log, so EVERY writer that
+    * appends through [[appendConstrained]] enforces the table owner's
+    * rules — the contract travels with the table instead of with each
+    * caller's code (the gap in per-call [[appendChecked]]). Atomic
+    * tmp+move replace; single administrator per table. */
+  def setConstraints(root: String,
+                     constraints: Seq[(String, String)]): Unit = {
+    require(constraints.forall(c => !c._1.contains("\t") &&
+      !c._2.contains("\n")), "constraint names/exprs must be single-line")
+    new File(root).mkdirs()
+    val body = constraints.map { case (n, e) => s"$n\t$e" }.mkString("\n")
+    val tmp = Files.createTempFile(new File(root).toPath, "_cons", ".tmp")
+    Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, new File(root, "_constraints").toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The table's stored constraints (empty if none were ever set). */
+  def constraintsOf(root: String): Seq[(String, String)] = {
+    val f = new File(root, "_constraints")
+    if (!f.exists()) Seq.empty
+    else new String(Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split('\n').filter(_.nonEmpty).toSeq.map { line =>
+        val i = line.indexOf('\t')
+        (line.substring(0, i), line.substring(i + 1))
+      }
+  }
+
+  /** Append enforcing every STORED constraint (all evaluated in ONE
+    * aggregation; SQL CHECK semantics — NULL violates, like
+    * [[appendChecked]]): a batch breaking any constraint is rejected
+    * whole, naming every broken one. */
+  def appendConstrained(df: DataFrame, root: String,
+                        statsCols: String*): Long = {
+    val cs = constraintsOf(root)
+    if (cs.isEmpty) return appendWithStats(df, root, statsCols: _*)
+    val aggs = cs.map { case (n, e) =>
+      min(coalesce(expr(e), lit(false)).cast("long")).as(n) }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val failed = cs.map(_._1).zipWithIndex.collect {
+      // NULL aggregate = zero-row batch → vacuously satisfied
+      case (n, i) if !row.isNullAt(i) && row.getLong(i) == 0L => n
+    }
+    if (failed.nonEmpty)
+      throw new IllegalArgumentException(
+        s"stored constraints violated by batch: ${failed.mkString(", ")}")
+    appendWithStats(df, root, statsCols: _*)
+  }
+
   /** Append guarded by AGGREGATE expectations (the Delta Live Tables
     * `expect_or_fail` role, one level up from [[appendChecked]]'s
     * row-level CHECK): each expectation is a boolean AGGREGATE

@@ -182,4 +182,24 @@ class GraphsSpec extends SparkSuite {
       Graphs.labelPropagation(clean, rounds = 0)
     }
   }
+
+  test("kCorePeel: cascade removal reaches the true core") {
+    import spark.implicits._
+    // K4 clique {a,b,c,d} + a pendant chain e-f hanging off d via e:
+    // deg(f)=1 → dropped round 1; deg(e) then 1 → dropped round 2;
+    // the K4 survives with degree 3 each
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+      ("c", "d"), ("d", "e"), ("e", "f")).toDF("src", "dst")
+    val got = Graphs.kCorePeel(edges, k = 3L, rounds = 4)
+      .collect().map(r => r.getAs[String]("node") -> r.getAs[Long]("degree"))
+      .toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+  }
+
+  test("kCorePeel: k larger than any degree empties the graph") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    assert(Graphs.kCorePeel(edges, k = 5L, rounds = 2).count() == 0L)
+  }
 }

@@ -72,6 +72,26 @@ class EvalSpec extends SparkSuite {
     }
   }
 
+  test("aucBootstrap: replicates deterministic, spread brackets the " +
+    "point estimate, weights genuinely vary") {
+    import spark.implicits._
+    val df = (1 to 400).map(i =>
+      (i.toLong, (i * 13L) % 101, (if ((i * 2654435761L) % 100 < 30 + i % 40) 1L else 0L)))
+      .toDF("id", "score", "y")
+    val point = Eval.aucExact(df, "score", "y")
+      .collect().head.getAs[Long]("auc_ppm")
+    def run() = Eval.aucBootstrap(df, "score", "y", "id", reps = 12)
+      .collect().map(r => r.getAs[Long]("rep") -> r.getAs[Long]("auc_ppm"))
+      .toMap
+    val a = run()
+    assert(a == run(), "bootstrap must be deterministic")
+    assert(a.size == 12)
+    val vals = a.values.toSeq
+    assert(vals.distinct.size > 1, "replicates must differ (weights vary)")
+    assert(vals.min <= point && point <= vals.max,
+      s"point $point outside bootstrap range [${vals.min}, ${vals.max}]")
+  }
+
   test("retrievalMetrics: hand-computed hits/recall/MRR") {
     import spark.implicits._
     val ranked = Seq(

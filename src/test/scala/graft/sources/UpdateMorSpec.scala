@@ -129,6 +129,34 @@ class UpdateMorSpec extends SparkSuite {
     assert(rows(root) == Set((2L, "b", 2.0), (10L, "a", 10.0)))
   }
 
+  test("persisted constraints: stored with the table, enforced on append") {
+    import spark.implicits._
+    val root = freshRoot("cons")
+    VersionedTable.setConstraints(root, Seq(
+      "v_pos" -> "v > 0", "s_nonnull" -> "s IS NOT NULL"))
+    VersionedTable.overwrite(Seq((1L, "a", 1.0)).toDF("k", "s", "v"), root)
+    VersionedTable.appendConstrained(
+      Seq((2L, "b", 2.0)).toDF("k", "s", "v"), root)
+    assert(VersionedTable.read(spark, root).count() == 2L)
+    val err = intercept[IllegalArgumentException] {
+      VersionedTable.appendConstrained(
+        Seq((3L, null.asInstanceOf[String], -1.0)).toDF("k", "s", "v"), root)
+    }
+    assert(err.getMessage.contains("v_pos") &&
+      err.getMessage.contains("s_nonnull"))
+    assert(VersionedTable.read(spark, root).count() == 2L,
+      "rejected batch leaves no trace")
+    // contract durable across 'writers'
+    assert(VersionedTable.constraintsOf(root).map(_._1) ==
+      Seq("v_pos", "s_nonnull"))
+    // tables without a contract append freely
+    val root2 = freshRoot("nocons")
+    VersionedTable.overwrite(Seq((1L, "a", 1.0)).toDF("k", "s", "v"), root2)
+    VersionedTable.appendConstrained(
+      Seq((2L, null.asInstanceOf[String], -5.0)).toDF("k", "s", "v"), root2)
+    assert(VersionedTable.read(spark, root2).count() == 2L)
+  }
+
   test("tombstones: purge with nothing pending is a no-op") {
     import spark.implicits._
     val root = freshRoot("mornoop")
