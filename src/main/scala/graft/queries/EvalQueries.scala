@@ -549,6 +549,89 @@ object EvalQueries extends QueryModule {
                     * 1000000 // (2 * SUM(pos) * SUM(tot - pos)) AS BIGINT)
                  AS auc_ppm
         FROM c GROUP BY rep ORDER BY rep"""),
+      bench = false),
+
+    // ----------------------------------------------------------------
+    // Percentile-rank normalization: each doc's length score mapped to
+    // its tie-group percentile MIDPOINT in exact ppm — the score
+    // calibration that makes thresholds comparable across sources
+    // (the q248 substrate exposed as a per-row FEATURE). Histogram +
+    // distributed prefix sum + one join back; never a per-row rank
+    // window.
+    "q281_rank_normalize" -> Q(
+      run = (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+        val hist = graft.operators.PrefixSum.running(
+          docs.groupBy(col("n_chars").as("score"))
+            .agg(count(lit(1)).as("tot")),
+          "score", "tot", "cum")
+        docs.join(
+            hist.crossJoin(broadcast(docs.agg(count(lit(1)).as("n_all"))))
+              .select(col("score").as("n_chars"),
+                expr("(2 * (cum - tot) + tot) * 500000 div n_all")
+                  .as("pct_ppm")),
+            "n_chars")
+          .select(col("doc_id"), col("n_chars"), col("pct_ppm"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH h AS (SELECT n_chars AS score, COUNT(*) AS tot
+                   FROM documents GROUP BY 1),
+        c AS (SELECT score, tot,
+                     SUM(tot) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+              FROM h),
+        nn AS (SELECT COUNT(*) AS n_all FROM documents),
+        p AS (SELECT score, (2 * (cum - tot) + tot) * 500000 // n_all
+                       AS pct_ppm
+              FROM c CROSS JOIN nn)
+        SELECT doc_id, n_chars, CAST(pct_ppm AS BIGINT) AS pct_ppm
+        FROM documents JOIN p ON n_chars = score
+        ORDER BY doc_id"""),
+      bench = false),
+
+    // ----------------------------------------------------------------
+    // Overlapping (strided) chunking — the RAG indexing shape (window
+    // 10 tokens, stride 5: every token covered twice, boundaries never
+    // split a fact across BOTH copies): chunk starts are pure column
+    // math (sequence + explode), text via slice — map-local, the q74
+    // pattern with overlap. Emits per-chunk token counts + md5.
+    "q282_stride_chunking" -> Q(
+      run = (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+        toks
+          .withColumn("start",
+            explode(sequence(lit(0),
+              greatest(size(col("w")) - 1, lit(0)), lit(5))))
+          .select(col("doc_id"), (col("start") / 5).cast("long").as("chunk_id"),
+            concat_ws(" ", slice(col("w"), col("start") + 1, lit(10)))
+              .as("chunk"))
+          .filter(col("chunk") =!= "")
+          .select(col("doc_id"), col("chunk_id"),
+            size(split(col("chunk"), " ")).cast("long").as("n_tok"),
+            md5(col("chunk")).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents WHERE doc_id < 100),
+        starts AS (
+          SELECT doc_id, w, gs AS start
+          FROM t, (SELECT unnest(range(0, 200, 5)) AS gs) g
+          WHERE gs <= GREATEST(len(w) - 1, 0)),
+        chunks AS (
+          SELECT doc_id, start // 5 AS chunk_id,
+                 array_to_string(w[start + 1 : start + 10], ' ') AS chunk
+          FROM starts)
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tok,
+               md5(chunk) AS chunk_md5
+        FROM chunks WHERE chunk != ''
+        ORDER BY doc_id, chunk_id"""),
       bench = false)
   )
 }

@@ -146,7 +146,10 @@ class PlanAuditSpec extends SparkSuite {
       "q274_ri_audit",
       // vocab drift: the 1-row corpus-totals dim crossed into the
       // vocabulary histogram (q62's shape)
-      "q276_vocab_drift"),
+      "q276_vocab_drift",
+      // rank normalization: the 1-row corpus-count dim crossed into
+      // the score histogram (q62's shape)
+      "q281_rank_normalize"),
     "Exchange SinglePartition" -> Set(
       // global row_number over the tiny DISTINCT dim (W1 parity shape;
       // fact-scale keys use PartitionOffsetKeyGen)
@@ -178,7 +181,10 @@ class PlanAuditSpec extends SparkSuite {
       "q257_skew_report",
       // join-size audit: 1-row fold of the histogram equi-join —
       // q17's scalar-aggregate shape again
-      "q263_join_size"))
+      "q263_join_size",
+      // rank normalization: PrefixSum's partition-totals window over
+      // the score histogram (q75's shape)
+      "q281_rank_normalize"))
 
   test("every plan is free of non-allowlisted scale anti-patterns") {
     val violations = scala.collection.mutable.ListBuffer.empty[String]
