@@ -72,6 +72,26 @@ class EvalSpec extends SparkSuite {
     }
   }
 
+  test("aucExact: invariant under strictly monotone score transforms") {
+    import spark.implicits._
+    // AUC is a pure rank statistic: squashing or stretching the score
+    // axis monotonically must not move it by a single ppm
+    val df = (1 to 500).map(i =>
+      (i.toLong, (i * 17L) % 89, (if ((i * 48271L) % 100 < 45) 1L else 0L)))
+      .toDF("id", "score", "y")
+    val base = Eval.aucExact(df, "score", "y")
+      .collect().head.getAs[Long]("auc_ppm")
+    val stretched = Eval.aucExact(
+      df.withColumn("score", col("score") * 1000L + 7L), "score", "y")
+      .collect().head.getAs[Long]("auc_ppm")
+    val squashed = Eval.aucExact(
+      // x -> x² is monotone on non-negative scores
+      df.withColumn("score", col("score") * col("score")), "score", "y")
+      .collect().head.getAs[Long]("auc_ppm")
+    assert(base == stretched && base == squashed,
+      s"$base vs $stretched vs $squashed")
+  }
+
   test("aucBootstrap: replicates deterministic, spread brackets the " +
     "point estimate, weights genuinely vary") {
     import spark.implicits._

@@ -91,6 +91,38 @@ class TimeSeriesSpec extends SparkSuite {
       ("b", 0L, 1.0, 4.0, 1.0, 4.0, 2L)))
   }
 
+  test("interpolate: filled values always inside the neighbor envelope") {
+    import spark.implicits._
+    // pseudo-random gappy series: every interpolated point must lie in
+    // [min(prev, next), max(prev, next)] — linearity's safety property
+    val rows = (1 to 400).map { i =>
+      val h = (i * 2654435761L) % 1009L
+      ("s" + (i % 4), i.toLong * 500000L, i.toLong,
+        if (h % 3 == 0) None else Some((h % 700L) / 10.0))
+    }
+    val df = rows.toDF("k", "t_us", "id", "v")
+      .withColumn("ts", timestamp_micros(col("t_us")))
+    val out = TimeSeries.interpolate(df, "k", "ts", "id", "v")
+    // recompute neighbor bounds with plain windows and compare
+    import org.apache.spark.sql.expressions.Window
+    val wp = Window.partitionBy(col("k")).orderBy(col("t_us"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wn = Window.partitionBy(col("k")).orderBy(col("t_us"), col("id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val checked = out
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wp))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wn))
+      .filter(col("v").isNull && col("pv").isNotNull && col("nv").isNotNull)
+      .withColumn("lo", least(col("pv"), col("nv")))
+      .withColumn("hi", greatest(col("pv"), col("nv")))
+      // 1e-6 slack: values are quantized to micros before interpolating
+      .filter(col("filled") < col("lo") - 0.000002 ||
+        col("filled") > col("hi") + 0.000002)
+    assert(checked.count() == 0L, "interpolation left the envelope")
+    // and some rows were actually interpolated
+    assert(out.filter(col("v").isNull && col("filled").isNotNull).count() > 50)
+  }
+
   test("ohlcPartials merged over any batch split ≡ single-pass bars") {
     import spark.implicits._
     // 300 rows, 3 series, ~60 buckets; deterministic pseudo-random

@@ -72,6 +72,31 @@ class CdcApplySpec extends SparkSuite {
     assert(s1 == Set((1L, "a", 99.0), (3L, "c", 30.0)))
   }
 
+  test("commit race: the loser recomputes against the winner's snapshot") {
+    import spark.implicits._
+    val root = freshRoot("race")
+    base(root)
+    // a racing append lands BETWEEN the apply's prune pass and its
+    // commit: the apply must lose the version, re-read the new
+    // snapshot, and still land every change — including on the row
+    // the racer added (key 4 arrives mid-flight, feed deletes it)
+    var raced = false
+    val feed = Seq(
+      (1L, "a", 99.0, 1L, "U"),
+      (4L, "d", 0.0, 1L, "D")).toDF("k", "s", "v", "seq", "op")
+    VersionedTable.applyChanges(spark, root, feed, Seq("k"), "seq", "op",
+      beforeCommit = () => {
+        if (!raced) {
+          raced = true
+          VersionedTable.append(
+            Seq((4L, "d", 40.0), (5L, "e", 50.0)).toDF("k", "s", "v"), root)
+        }
+      })
+    assert(state(root) == Set(
+      (1L, "a", 99.0), (2L, "b", 20.0), (3L, "c", 30.0), (5L, "e", 50.0)),
+      "retry must see the racer's rows: key 4 deleted, key 5 kept")
+  }
+
   test("untouched files are never rewritten") {
     import spark.implicits._
     val root = freshRoot("prune")
