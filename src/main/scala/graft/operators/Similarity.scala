@@ -714,12 +714,24 @@ object Similarity {
   def marginMining(a: DataFrame, b: DataFrame, k: Int,
                    thresholdPpm: Long,
                    idCol: String = "vec_id",
-                   vecCol: String = "embedding"): DataFrame = {
+                   vecCol: String = "embedding",
+                   candidates: Option[DataFrame] = None): DataFrame = {
     val av = withNorm(a.select(col(idCol).as("id_a"), col(vecCol).as("va")),
       "va", "na")
     val bv = withNorm(b.select(col(idCol).as("id_b"), col(vecCol).as("vb")),
       "vb", "nb")
-    val scored = bv.crossJoin(broadcast(av))
+    // candidate generation: default exact brute (gate scale); pass an
+    // (id_a, id_b) frame — e.g. banded sign-LSH buckets — to restrict
+    // scoring at corpus scale. Margins and k-neighborhoods are then
+    // computed WITHIN the candidate set (exactly what LSH-based
+    // mining pipelines do: the neighborhood that normalizes a score
+    // is the retrieved neighborhood).
+    val rawPairs = candidates match {
+      case None => bv.crossJoin(broadcast(av))
+      case Some(c) => c.select(col("id_a"), col("id_b"))
+        .join(av, "id_a").join(bv, "id_b")
+    }
+    val scored = rawPairs
       .withColumn("cos_u",
         round(fastCos(col("va"), col("na"), col("vb"), col("nb")) * 1000000)
           .cast(LongType))

@@ -48,6 +48,18 @@ class SimilaritySpec extends SparkSuite {
       else Some(ia -> cands.maxBy(t => (t._3, -t._1)))
     }.toMap
     assert(got == want)
+
+    // pluggable candidate generator: the all-pairs candidate frame
+    // must reproduce the default brute exactly (the LSH swap-in
+    // contract — a banded generator restricts this same frame)
+    val allPairs = aSide.flatMap { case (ia, _) =>
+      bSide.map { case (ib, _) => (ia, ib) } }.toDF("id_a", "id_b")
+    val gotC = Similarity.marginMining(a, b, k = 3, thresholdPpm = 0L,
+        candidates = Some(allPairs))
+      .collect().map(r => (r.getAs[Long]("id_a"),
+        (r.getAs[Long]("id_b"), r.getAs[Long]("cos_u"),
+         r.getAs[Long]("margin_ppm")))).toMap
+    assert(gotC == want)
   }
 
   private val sf = "/root/testdata/sf0.001"
