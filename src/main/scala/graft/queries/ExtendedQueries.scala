@@ -1443,6 +1443,42 @@ object ExtendedQueries extends QueryModule {
         SELECT cur, nxt, CAST(n AS BIGINT) AS n,
                CAST(n * 1000000 // tot AS BIGINT) AS p_ppm
         FROM trans JOIN om USING (cur)
-        ORDER BY cur, nxt"""))
+        ORDER BY cur, nxt""")),
+
+    // ----------------------------------------------------------------
+    // Windowed event dedup: keep the FIRST event per (user, type,
+    // 5-minute bucket) — the telemetry retry/double-fire suppressor
+    // (a client that fires the same event twice in a window counts
+    // once). One partitioned window on the composite key, keyed by
+    // (ts, id) for determinism; emits the survivor census + the
+    // suppressed count per type.
+    "q283_window_dedup" -> Q(
+      run = (s, dir) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"),
+            col("bucket"))
+          .orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .withColumn("bucket", expr("unix_micros(ts) div 300000000"))
+          .withColumn("rn", row_number().over(w))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum((col("rn") === 1).cast("long")).as("n_kept"),
+            sum((col("rn") > 1).cast("long")).as("n_suppressed"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT event_type,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type,
+                                epoch_us(ts) // 300000000
+                   ORDER BY ts, event_id) AS rn
+          FROM events)
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_suppressed
+        FROM e GROUP BY 1 ORDER BY 1"""))
   )
 }
