@@ -2,6 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, MapType, StructType}
 
 /** Physical-plan anti-pattern audit as a LIBRARY surface — the check
   * PlanAuditSpec runs over every registered gate query, exposed so a
@@ -34,6 +35,28 @@ object PlanAudit {
       .explainString(ExplainMode.fromString("formatted"))
     Patterns.filterNot(allowed)
       .filter(plan.contains).map(Finding)
+  }
+
+  /** Gate-SCHEMA rule: no `DecimalType` column (top-level or nested)
+    * in a query's FINAL output. Wide exact integers are fine inside a
+    * plan (GramAgg's spill buffer, the decimal-price silver path), but
+    * a decimal that reaches the published result hash-canonicalizes
+    * differently across engines/hashers even when every value is
+    * bit-identical (the round-8 q224/q229/q232 pathology) — route it
+    * through a canonical integer VARCHAR or BIGINT instead. Planning
+    * only; nothing executes. */
+  def auditSchema(df: DataFrame): Seq[Finding] = {
+    def dec(t: DataType): Boolean = t match {
+      case _: DecimalType     => true
+      case a: ArrayType       => dec(a.elementType)
+      case m: MapType         => dec(m.keyType) || dec(m.valueType)
+      case s: StructType      => s.fields.exists(f => dec(f.dataType))
+      case _                  => false
+    }
+    df.schema.fields.toSeq.collect {
+      case f if dec(f.dataType) =>
+        Finding(s"DecimalType in output column '${f.name}'")
+    }
   }
 
   /** Throw `IllegalArgumentException` listing any non-allowed pattern

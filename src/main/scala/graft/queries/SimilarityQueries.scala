@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 import graft.core.Tables
 import graft.operators.{Certify, Similarity}
@@ -873,6 +873,10 @@ object SimilarityQueries extends QueryModule {
         graft.operators.LinAlg.gramWithBias(
           Tables(s, dir, "embeddings").select(col("embedding")),
           col("embedding"), 64)
+          // canonical integer VARCHAR for wide cells (cau_4_decimal
+          // convention): raw DECIMAL(38,0) outputs hash-canonicalize
+          // differently across engines even when values are identical
+          .select(col("i"), col("j"), col("s").cast(StringType).as("s"))
           .orderBy(col("i"), col("j")),
       oracle = Some("""
         WITH q AS (
@@ -884,7 +888,7 @@ object SimilarityQueries extends QueryModule {
           FROM embeddings
           UNION ALL SELECT vec_id, i, qx FROM q)
         SELECT a.i AS i, b.i AS j,
-               CAST(SUM(CAST(a.qx AS DECIMAL(18,0)) * b.qx) AS DECIMAL(38,0)) AS s
+               CAST(CAST(SUM(CAST(a.qx AS DECIMAL(18,0)) * b.qx) AS HUGEINT) AS VARCHAR) AS s
         FROM qq a JOIN qq b ON a.vec_id = b.vec_id AND a.i <= b.i
         GROUP BY 1, 2 ORDER BY i, j""")),
 
@@ -956,6 +960,8 @@ object SimilarityQueries extends QueryModule {
             .select(col("label").cast(LongType).as("label"),
               col("embedding")),
           "label", col("embedding"), 64)
+          .select(col("label"), col("i"), col("j"),
+            col("s").cast(StringType).as("s"))
           .orderBy(col("label"), col("i"), col("j")),
       oracle = Some("""
         WITH q AS (
@@ -964,7 +970,7 @@ object SimilarityQueries extends QueryModule {
                  CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1024) AS BIGINT) AS qx
           FROM embeddings)
         SELECT a.label AS label, a.i AS i, b.i AS j,
-               CAST(SUM(CAST(a.qx AS DECIMAL(18,0)) * b.qx) AS DECIMAL(38,0)) AS s
+               CAST(CAST(SUM(CAST(a.qx AS DECIMAL(18,0)) * b.qx) AS HUGEINT) AS VARCHAR) AS s
         FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
         GROUP BY 1, 2, 3 ORDER BY label, i, j""")),
 
@@ -990,6 +996,7 @@ object SimilarityQueries extends QueryModule {
           emb.filter(col("vec_id") % 5 === 0), src)
         graft.sources.MaterializedView.refreshGram(s, src, view, "embedding", 64)
         graft.sources.MaterializedView.readGram(s, view)
+          .select(col("i"), col("j"), col("s").cast(StringType).as("s"))
           .orderBy(col("i"), col("j"))
       },
       oracle = Some("""
@@ -999,7 +1006,7 @@ object SimilarityQueries extends QueryModule {
                  CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1024) AS BIGINT) AS qx
           FROM embeddings)
         SELECT a.i AS i, b.i AS j,
-               CAST(SUM(CAST(a.qx AS DECIMAL(18,0)) * b.qx) AS DECIMAL(38,0)) AS s
+               CAST(CAST(SUM(CAST(a.qx AS DECIMAL(18,0)) * b.qx) AS HUGEINT) AS VARCHAR) AS s
         FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
         GROUP BY 1, 2 ORDER BY i, j""")),
 

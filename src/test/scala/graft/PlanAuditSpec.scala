@@ -192,9 +192,16 @@ class PlanAuditSpec extends SparkSuite {
     spark.sharedState.cacheManager.clearCache()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!skip(name)) {
+        val df = fn(spark, sf)
         // the same check users get as a library call (core.PlanAudit)
-        graft.core.PlanAudit.audit(fn(spark, sf),
+        graft.core.PlanAudit.audit(df,
           allowed.collect { case (p, ok) if ok(name) => p }.toSet)
+          .foreach(f => violations += s"$name: ${f.pattern}")
+        // Gate-schema rule: no DecimalType may reach a published
+        // result (driver hashers canonicalize wide decimals
+        // differently — the round-8 q224/q229/q232 pathology). No
+        // allowlist: wide integers go out as VARCHAR/BIGINT.
+        graft.core.PlanAudit.auditSchema(df)
           .foreach(f => violations += s"$name: ${f.pattern}")
         // Cache-lifecycle guard: a builder may persist internally only if
         // it unpersists before returning (Dedup's loop pattern) — a
@@ -225,5 +232,25 @@ class PlanAuditSpec extends SparkSuite {
     // a plain equi-join is clean with no allowlist
     assert(graft.core.PlanAudit.audit(
       a.join(b.withColumnRenamed("j", "k"), Seq("k"))).isEmpty)
+  }
+
+  test("auditSchema flags DecimalType outputs, incl. nested; clean schemas pass") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("k", "v")
+    assert(graft.core.PlanAudit.auditSchema(df).isEmpty)
+    val top = df.select(col("k").cast(DecimalType(38, 0)).as("d"))
+    assert(graft.core.PlanAudit.auditSchema(top)
+      .map(_.pattern) === Seq("DecimalType in output column 'd'"))
+    val nested = df.select(
+      array(col("k").cast(DecimalType(10, 2))).as("arr"),
+      struct(col("k").cast(DecimalType(5, 0)).as("inner")).as("st"))
+    assert(graft.core.PlanAudit.auditSchema(nested).map(_.pattern) === Seq(
+      "DecimalType in output column 'arr'",
+      "DecimalType in output column 'st'"))
+    // the canonical route out: cast to string — clean
+    assert(graft.core.PlanAudit.auditSchema(
+      top.select(col("d").cast("string").as("d"))).isEmpty)
   }
 }
