@@ -49,10 +49,15 @@ object Eval {
   /** Histogram of an integer score against a 0/1 label, with the
     * running total in score order attached — the shared substrate for
     * [[aucExact]] and [[calibrationBins]]. `cum` includes the current
-    * score's rows; cardinality = distinct scores. */
+    * score's rows; cardinality = distinct scores. Score-NULL rows are
+    * EXCLUDED here (and from every consumer's totals): an unscored row
+    * is unrankable — left in, the nulls would form a histogram group
+    * that sorts first in the prefix-sum order and silently skew every
+    * rank-derived quantity. */
   private def scoredHistogram(df: DataFrame, scoreCol: String,
                               labelCol: String): DataFrame = {
-    val hist = df.groupBy(col(scoreCol).cast("long").as("score"))
+    val hist = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).cast("long").as("score"))
       .agg(sum(col(labelCol).cast("long")).as("pos"),
         count(lit(1)).as("tot"))
     PrefixSum.running(hist, "score", "tot", "cum")
@@ -87,7 +92,8 @@ object Eval {
     * still never a per-row rank. */
   def aucByGroup(df: DataFrame, scoreCol: String, labelCol: String,
                  groupCol: String): DataFrame = {
-    val hist = df.groupBy(col(groupCol), col(scoreCol).cast("long").as("score"))
+    val hist = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(groupCol), col(scoreCol).cast("long").as("score"))
       .agg(sum(col(labelCol).cast("long")).as("pos"),
         count(lit(1)).as("tot"))
     val w = org.apache.spark.sql.expressions.Window
@@ -123,7 +129,7 @@ object Eval {
       s"'_', cast(rep as string))), 1, 8), 16, 10) as bigint) % 1000")
     val w = when(h < 368, 0L).when(h < 736, 1L).when(h < 920, 2L)
       .when(h < 981, 3L).otherwise(4L)
-    val hist = df
+    val hist = df.filter(col(scoreCol).isNotNull)
       .withColumn("rep", explode(lit((0 until reps).toArray)))
       .withColumn("__w", w)
       .groupBy(col("rep"), col(scoreCol).cast("long").as("score"))
@@ -156,7 +162,10 @@ object Eval {
   def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
                       bins: Int = 10): DataFrame = {
     val hist = scoredHistogram(df, scoreCol, labelCol)
-      .crossJoin(broadcast(df.agg(count(lit(1)).as("n_all"))))
+      // n_all counts only the scored rows (the histogram's population —
+      // score-NULL rows are excluded there and must not inflate bins)
+      .crossJoin(broadcast(df.filter(col(scoreCol).isNotNull)
+        .agg(count(lit(1)).as("n_all"))))
       // cb = rows strictly below this score; percentile midpoint of the
       // tie group = (2·cb + tot) / (2·n) — integers at ppm scale
       .withColumn("cb", col("cum") - col("tot"))

@@ -741,21 +741,32 @@ object Similarity {
       .partitionBy(col("id_a")).orderBy(col("cos_u").desc, col("id_b"))
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id_b")).orderBy(col("cos_u").desc, col("id_a"))
+    // the top-k sums carry their ACTUAL term counts: a side with fewer
+    // than k candidates (small corpus, or an LSH-restricted candidate
+    // set) sums fewer cosines, and normalizing by k instead of the
+    // real neighborhood size would inflate its margins above the
+    // Artetxe–Schwenk ratio definition
     val sumA = scored.withColumn("r", row_number().over(wA))
       .filter(col("r") <= k)
-      .groupBy(col("id_a")).agg(sum(col("cos_u")).as("ka"))
+      .groupBy(col("id_a")).agg(sum(col("cos_u")).as("ka"),
+        count(lit(1)).as("na_k"))
     val sumB = scored.withColumn("r", row_number().over(wB))
       .filter(col("r") <= k)
-      .groupBy(col("id_b")).agg(sum(col("cos_u")).as("kb"))
+      .groupBy(col("id_b")).agg(sum(col("cos_u")).as("kb"),
+        count(lit(1)).as("nb_k"))
+    // margin = 2·cos / (ka/na + kb/nb) = 2·cos·na·nb / (ka·nb + kb·na);
     // positive-cosine candidates with positive neighborhood mass only:
     // keeps every integer division on non-negative operands, where
     // Spark's truncating `div` and DuckDB's flooring `//` agree (a
-    // mined pair needs positive similarity anyway)
+    // mined pair needs positive similarity anyway). BIGINT audit:
+    // |cos_u| ≤ 10⁶, na·nb ≤ k², so the numerator is ≤ 2·10¹²·k² —
+    // safe through k ≈ 10³.
     val margins = scored.filter(col("cos_u") > 0)
       .join(sumA, "id_a").join(sumB, "id_b")
-      .filter(col("ka") + col("kb") > 0)
+      .filter(col("ka") * col("nb_k") + col("kb") * col("na_k") > 0)
       .withColumn("margin_ppm",
-        expr(s"2 * cos_u * $k * 1000000 div (ka + kb)"))
+        expr("2 * cos_u * na_k * nb_k * 1000000 div " +
+          "(ka * nb_k + kb * na_k)"))
     val best = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id_a"))
       .orderBy(col("margin_ppm").desc, col("id_b"))

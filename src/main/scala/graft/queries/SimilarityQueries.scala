@@ -1138,20 +1138,22 @@ object SimilarityQueries extends QueryModule {
                  CAST(round(list_cosine_similarity(a.embedding::DOUBLE[],
                         b.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS cos_u
           FROM av a CROSS JOIN bv b),
-        ka AS (SELECT id_a, SUM(cos_u) AS ka FROM (
+        ka AS (SELECT id_a, SUM(cos_u) AS ka, COUNT(*) AS na_k FROM (
                  SELECT *, row_number() OVER (PARTITION BY id_a
                    ORDER BY cos_u DESC, id_b) r FROM scored)
                WHERE r <= 4 GROUP BY 1),
-        kb AS (SELECT id_b, SUM(cos_u) AS kb FROM (
+        kb AS (SELECT id_b, SUM(cos_u) AS kb, COUNT(*) AS nb_k FROM (
                  SELECT *, row_number() OVER (PARTITION BY id_b
                    ORDER BY cos_u DESC, id_a) r FROM scored)
                WHERE r <= 4 GROUP BY 1),
         m AS (
           SELECT s.id_a, s.id_b, s.cos_u,
-                 2 * s.cos_u * 4 * 1000000 // (ka.ka + kb.kb) AS margin_ppm
+                 2 * s.cos_u * ka.na_k * kb.nb_k * 1000000
+                   // (ka.ka * kb.nb_k + kb.kb * ka.na_k) AS margin_ppm
           FROM scored s
           JOIN ka ON s.id_a = ka.id_a JOIN kb ON s.id_b = kb.id_b
-          WHERE s.cos_u > 0 AND ka.ka + kb.kb > 0),
+          WHERE s.cos_u > 0
+            AND ka.ka * kb.nb_k + kb.kb * ka.na_k > 0),
         best AS (SELECT *, row_number() OVER (PARTITION BY id_a
                    ORDER BY margin_ppm DESC, id_b) rk FROM m)
         SELECT id_a, id_b, cos_u, CAST(margin_ppm AS BIGINT) AS margin_ppm

@@ -755,8 +755,13 @@ object VersionedTable {
     * tmp+move replace; single administrator per table. */
   def setConstraints(root: String,
                      constraints: Seq[(String, String)]): Unit = {
-    require(constraints.forall(c => !c._1.contains("\t") &&
-      !c._2.contains("\n")), "constraint names/exprs must be single-line")
+    // both fields must reject BOTH separators: a newline in a NAME (or
+    // a tab in an expr's name position) would corrupt the sidecar's
+    // line\ttab grammar and make constraintsOf throw on read
+    require(constraints.forall { case (n, e) =>
+      !n.contains("\t") && !n.contains("\n") &&
+        !e.contains("\t") && !e.contains("\n")
+    }, "constraint names/exprs must contain no tab or newline")
     new File(root).mkdirs()
     val body = constraints.map { case (n, e) => s"$n\t$e" }.mkString("\n")
     val tmp = Files.createTempFile(new File(root).toPath, "_cons", ".tmp")

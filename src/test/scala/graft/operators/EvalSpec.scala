@@ -38,6 +38,28 @@ class EvalSpec extends SparkSuite {
     assert(r.isNullAt(r.fieldIndex("auc_ppm")))
   }
 
+  test("score-NULL rows are excluded from AUC and calibration, not " +
+    "counted as a lowest-rank group") {
+    import spark.implicits._
+    val clean = scored(Seq((1L, 0L), (3L, 0L), (2L, 1L), (3L, 1L)))
+    val dirty = Seq(
+      (Option(1L), 0L), (Option(3L), 0L), (Option(2L), 1L),
+      (Option(3L), 1L),
+      (Option.empty[Long], 1L), (Option.empty[Long], 0L))
+      .toDF("score", "y")
+    val a = Eval.aucExact(dirty, "score", "y").collect().head
+    assert(a.getAs[Long]("pos") == 2L && a.getAs[Long]("neg") == 2L,
+      "null-score rows must not enter pos/neg totals")
+    assert(a.getAs[Long]("auc_ppm") == 625000L)
+    val cb = Eval.calibrationBins(dirty, "score", "y", bins = 2)
+      .orderBy("bin").collect()
+    val cbClean = Eval.calibrationBins(clean, "score", "y", bins = 2)
+      .orderBy("bin").collect()
+    assert(cb.toSeq == cbClean.toSeq,
+      "calibration must ignore null-score rows entirely (incl. n_all)")
+    assert(cb.map(_.getAs[Long]("n")).sum == 4L)
+  }
+
   test("aucExact: random-data AUC near 500000 (layout invariant)") {
     import spark.implicits._
     // deterministic pseudo-random: score/label decoupled via md5

@@ -33,6 +33,10 @@ class SimilaritySpec extends SparkSuite {
     val cosU = (for ((ia, va) <- aSide; (ib, vb) <- bSide)
       yield (ia, ib) -> math.round(cos(va, vb) * 1000000)).toMap
     val aIds = aSide.map(_._1); val bIds = bSide.map(_._1)
+    // count-normalized reference: margin = 2·cos·na·nb/(ka·nb + kb·na);
+    // here every neighborhood has the full k=3 terms so it reduces to
+    // the classic 2·cos·k/(ka+kb) — the deficient-neighborhood case is
+    // exercised separately below
     val ka = aIds.map(ia => ia -> bIds.map(ib => (cosU((ia, ib)), ib))
       .sortBy(t => (-t._1, t._2)).take(3).map(_._1).sum).toMap
     val kb = bIds.map(ib => ib -> aIds.map(ia => (cosU((ia, ib)), ia))
@@ -41,7 +45,8 @@ class SimilaritySpec extends SparkSuite {
       val cands = bIds.filter(ib => cosU((ia, ib)) > 0)
         .filter(ib => ka(ia) + kb(ib) > 0)
         .map { ib =>
-          val m = 2L * cosU((ia, ib)) * 3L * 1000000L / (ka(ia) + kb(ib))
+          val m = 2L * cosU((ia, ib)) * 3L * 3L * 1000000L /
+            (ka(ia) * 3L + kb(ib) * 3L)
           (ib, cosU((ia, ib)), m)
         }
       if (cands.isEmpty) None
@@ -60,6 +65,40 @@ class SimilaritySpec extends SparkSuite {
         (r.getAs[Long]("id_b"), r.getAs[Long]("cos_u"),
          r.getAs[Long]("margin_ppm")))).toMap
     assert(gotC == want)
+
+    // deficient neighborhoods: a RESTRICTED candidate set can leave a
+    // side with fewer than k candidates; margins must normalize by the
+    // ACTUAL term counts (ka/na + kb/nb), not assume k terms — the
+    // k-assuming formula would inflate margins for starved sides
+    val thin = Seq((0L, 100L), (0L, 101L), (1L, 100L))
+      .toDF("id_a", "id_b")
+    val gotThin = Similarity.marginMining(a, b, k = 3, thresholdPpm = 0L,
+        candidates = Some(thin))
+      .collect().map(r => (r.getAs[Long]("id_a"),
+        (r.getAs[Long]("id_b"), r.getAs[Long]("margin_ppm")))).toMap
+    val thinPairs = Seq((0L, 100L), (0L, 101L), (1L, 100L))
+    val kaT = thinPairs.groupBy(_._1).map { case (ia, ps) =>
+      val top = ps.map { case (_, ib) => (cosU((ia, ib)), ib) }
+        .sortBy(t => (-t._1, t._2)).take(3)
+      ia -> (top.map(_._1).sum, top.size.toLong)
+    }
+    val kbT = thinPairs.groupBy(_._2).map { case (ib, ps) =>
+      val top = ps.map { case (ia, _) => (cosU((ia, ib)), ia) }
+        .sortBy(t => (-t._1, t._2)).take(3)
+      ib -> (top.map(_._1).sum, top.size.toLong)
+    }
+    val wantThin = thinPairs.groupBy(_._1).flatMap { case (ia, ps) =>
+      val cands = ps.map(_._2).filter(ib => cosU((ia, ib)) > 0)
+        .flatMap { ib =>
+          val (kaS, na) = kaT(ia); val (kbS, nb) = kbT(ib)
+          val den = kaS * nb + kbS * na
+          if (den <= 0) None
+          else Some((ib, 2L * cosU((ia, ib)) * na * nb * 1000000L / den))
+        }
+      if (cands.isEmpty) None
+      else Some(ia -> cands.maxBy(t => (t._2, -t._1)))
+    }
+    assert(gotThin == wantThin)
   }
 
   private val sf = "/root/testdata/sf0.001"

@@ -155,6 +155,16 @@ class UpdateMorSpec extends SparkSuite {
     VersionedTable.appendConstrained(
       Seq((2L, null.asInstanceOf[String], -5.0)).toDF("k", "s", "v"), root2)
     assert(VersionedTable.read(spark, root2).count() == 2L)
+    // separator validation covers BOTH fields in BOTH directions — a
+    // newline in a NAME would truncate the sidecar line and make
+    // constraintsOf throw on the tab-less fragment
+    for (bad <- Seq(
+      Seq("a\nb" -> "v > 0"), Seq("a\tb" -> "v > 0"),
+      Seq("ok" -> "v >\n0"), Seq("ok" -> "v >\t0"))) {
+      intercept[IllegalArgumentException] {
+        VersionedTable.setConstraints(freshRoot("badcons"), bad)
+      }
+    }
   }
 
   test("tombstones: purge with nothing pending is a no-op") {
