@@ -88,6 +88,20 @@ object TextIndex {
     }
   }
 
+  /** The ingest-writer transaction recorded IN the commit pointer
+    * (−1 when never stamped / legacy pointer) — the replay guard a
+    * streaming ingest door checks before [[append]]ing a batchId it
+    * may already have landed. Stamped by `append(..., txn)` in the
+    * SAME atomic pointer move as the data commit, so there is no
+    * crash window between "postings visible" and "progress
+    * recorded". */
+  def committedTxn(root: String): Long = {
+    if (!statsFile(root).exists()) return -1L
+    val toks = new String(Files.readAllBytes(statsFile(root).toPath),
+      StandardCharsets.UTF_8).trim.split("\\s+")
+    if (toks.length >= 5) toks(4).toLong else -1L
+  }
+
   /** (n_docs, sum_dl) covered by the committed index. */
   def stats(root: String): (Long, Long) = {
     val (n, s, _, _) = commitState(root)
@@ -95,9 +109,10 @@ object TextIndex {
   }
 
   private def writeCommit(root: String, nDocs: Long, sumDl: Long,
-                          pV: Long, dV: Long): Unit = {
+                          pV: Long, dV: Long, txn: Long): Unit = {
     val tmp = Files.createTempFile(new File(root).toPath, "_st", ".tmp")
-    Files.write(tmp, s"$nDocs $sumDl $pV $dV".getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp,
+      s"$nDocs $sumDl $pV $dV $txn".getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, statsFile(root).toPath,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
@@ -130,7 +145,7 @@ object TextIndex {
   def build(docs: DataFrame, root: String, idCol: String = "doc_id",
             textCol: String = "text"): Unit = {
     new File(root).mkdirs()
-    writeCommit(root, 0L, 0L, -1L, -1L)
+    writeCommit(root, 0L, 0L, -1L, -1L, -1L)
     append(docs, root, idCol, textCol)
   }
 
@@ -140,13 +155,23 @@ object TextIndex {
     * re-send already-indexed doc_ids (append-only corpus — the
     * [[LshIndex]] `check`-then-append door is the dedup gate).
     * Self-initializing on a fresh root (streaming sinks call append
-    * only, never build). */
+    * only, never build).
+    *
+    * `txn` ≥ 0 stamps the batch id into the SAME atomic pointer move
+    * as the commit (the [[graft.sources.VersionedTable.appendTxn]]
+    * protocol): a replayed `txn` ≤ [[committedTxn]] is a NO-OP, and
+    * because serving reads AT the pointer, even a crash after the
+    * table appends but before the pointer leaves the replayed batch's
+    * orphan versions invisible — exactly-once with no sidecar
+    * window. Maintenance ops ([[optimize]]/[[delete]]) carry the
+    * stamp forward. */
   def append(docs: DataFrame, root: String, idCol: String = "doc_id",
-             textCol: String = "text"): Unit = {
+             textCol: String = "text", txn: Long = -1L): Unit = {
     if (!statsFile(root).exists()) {
       new File(root).mkdirs()
-      writeCommit(root, 0L, 0L, -1L, -1L)
+      writeCommit(root, 0L, 0L, -1L, -1L, -1L)
     }
+    if (txn >= 0 && committedTxn(root) >= txn) return
     val spark = docs.sparkSession
     val (n0, s0, pV0, dV0) = commitState(root)
     // localCheckpoint: the batch postings feed three consumers
@@ -159,7 +184,8 @@ object TextIndex {
     // one 1-row driver aggregate — the O(1) stats delta
     val row = dl.agg(count(lit(1)).as("n"),
       coalesce(sum(col("dl")), lit(0L)).as("s")).head()
-    writeCommit(root, n0 + row.getLong(0), s0 + row.getLong(1), pV, dV)
+    writeCommit(root, n0 + row.getLong(0), s0 + row.getLong(1), pV, dV,
+      math.max(txn, committedTxn(root)))
   }
 
   /** The committed postings `(doc_id, term, tf)` — full scan at the
@@ -187,7 +213,7 @@ object TextIndex {
       .repartitionByRange(targetFiles, col("term"), col("doc_id"))
       .sortWithinPartitions(col("term"), col("doc_id"))
     val pV = VersionedTable.overwriteWithBloomIndex(p, postingsRoot(root), "term")
-    writeCommit(root, n0, s0, pV, dV0)
+    writeCommit(root, n0, s0, pV, dV0, committedTxn(root))
     pV
   }
 
@@ -222,7 +248,8 @@ object TextIndex {
       col("doc_id").isin(docIds: _*))
     val dV = VersionedTable.delete(spark, doclenRoot(root),
       col("doc_id").isin(docIds: _*))
-    writeCommit(root, n0 - gone.getLong(0), s0 - gone.getLong(1), pV, dV)
+    writeCommit(root, n0 - gone.getLong(0), s0 - gone.getLong(1), pV, dV,
+      committedTxn(root))
   }
 
   /** Top-`k` docs by BM25 over `terms` — `(doc_id, n_terms, bm25)`,

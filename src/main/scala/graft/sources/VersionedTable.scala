@@ -139,7 +139,7 @@ object VersionedTable {
           require(cur > 0, s"version 0 of $root cannot be a delta")
           deltas ::= lines.tail
           cur -= 1
-        } else base = lines
+        } else base = lines.filterNot(_.startsWith(TxnPrefix))
       }
     }
     deltas.foldLeft(base) { (listing, delta) =>
@@ -907,6 +907,62 @@ object VersionedTable {
     v
   }
 
+  // -------------------------------------------------------------------
+  // Idempotent-writer transactions (the Delta txnAppId/txnVersion
+  // protocol): a commit may carry a `#txn\t<appId>\t<n>` line INSIDE
+  // its manifest, so the data files and the writer's progress marker
+  // land in the ONE atomic link — no sidecar, no crash window between
+  // "data committed" and "progress recorded". A restarted foreachBatch
+  // writer asks latestTxn(root, appId) and skips batch ids already
+  // recorded; the replayed append becomes a no-op instead of a
+  // duplicate. readListing filters the txn lines out of file
+  // resolution (full manifests explicitly; delta tails ignore any
+  // non +/- line by construction), so checkpoints and every reader
+  // stay txn-blind.
+  // -------------------------------------------------------------------
+
+  private val TxnPrefix = "#txn"
+
+  private def txnLine(appId: String, n: Long): String = {
+    require(!appId.contains('\t') && !appId.contains('\n'),
+      "txn appId must contain no tab or newline")
+    s"$TxnPrefix\t$appId\t$n"
+  }
+
+  /** The newest recorded transaction version for `appId`, scanning
+    * manifests newest→oldest (early exit on the first hit — for a
+    * steady single-writer stream that is the head commit; a table
+    * never written by `appId` walks its manifests once and returns
+    * None). */
+  def latestTxn(root: String, appId: String): Option[Long] = {
+    val prefix = s"$TxnPrefix\t$appId\t"
+    versions(root).reverseIterator.flatMap { v =>
+      readManifest(root, v).collectFirst {
+        case l if l.startsWith(prefix) => l.substring(prefix.length).toLong
+      }
+    }.nextOption()
+  }
+
+  /** [[append]] stamped with (`appId`, `txn`) atomically in the same
+    * manifest commit; a replay (`txn` ≤ the recorded latest for
+    * `appId`) is a NO-OP returning the current version. An empty table
+    * bootstraps as version 0 (full listing), so foreachBatch writers
+    * need no overwrite-vs-append branch. */
+  def appendTxn(df: DataFrame, root: String, appId: String,
+                txn: Long): Long = {
+    val line = txnLine(appId, txn)
+    if (latestTxn(root, appId).exists(_ >= txn))
+      return latestVersion(root).getOrElse(
+        sys.error(s"txn recorded but no versions at $root"))
+    val staged = stageDataFiles(df, root, nextVersion(root))
+    val v = commitWithRetry(root, maxRetries = 5) { v =>
+      if (v == 0) staged :+ line
+      else deltaContent(Seq.empty, staged) :+ line
+    }
+    maybeCheckpoint(root, v)
+    v
+  }
+
   /** Snapshot read of a specific version (time travel). mergeSchema:
     * an appended batch may carry added nullable columns (schema
     * evolution — the Delta `mergeSchema` role); the union schema is
@@ -1089,6 +1145,111 @@ object VersionedTable {
       try {
         val committed =
           commitManifest(root, v, deltaContent(touched0, staged))
+        maybeCheckpoint(root, committed)
+        return committed
+      } catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          staged.foreach(p =>
+            Files.deleteIfExists(new File(pathOf(p)).toPath))
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** [[applyChanges]] with CROSS-BATCH sequence enforcement (the Delta
+    * DLT model where the applied sequence PERSISTS in the target): the
+    * table stores `seqCol` as a regular column, and a feed row only
+    * replaces a stored row when its sequence is strictly newer — a
+    * later micro-batch carrying an OLDER sequence for a key (an
+    * out-of-order multi-file feed) leaves the newer stored state
+    * intact, where plain [[applyChanges]] (which drops the sequence at
+    * write time and can only order WITHIN one feed) would silently
+    * regress it. Equal sequences resolve to the feed row (byte-
+    * identical replays fold to the same state). Deletes obey the same
+    * guard: a stale tombstone cannot remove newer state. The target's
+    * schema must contain `seqCol`; bootstrap the table with the first
+    * feed's net upserts INCLUDING their sequence. Same prune /
+    * rewrite / optimistic-commit mechanics as [[applyChanges]].
+    *
+    * `txnAppId`/`txn` (the [[appendTxn]] protocol): when given, the
+    * writer's progress marker lands INSIDE this same atomic commit,
+    * and a replay (`txn` ≤ the recorded latest) returns without
+    * writing — exactly-once for a streaming apply door in one
+    * commit. */
+  def applyChangesGuarded(spark: SparkSession, root: String, feed: DataFrame,
+                          keyCols: Seq[String], seqCol: String, opCol: String,
+                          maxRetries: Int = 5,
+                          beforeCommit: () => Unit = () => (),
+                          txnAppId: String = null,
+                          txn: Long = -1L): Long = {
+    if (txnAppId != null && txn >= 0 &&
+        latestTxn(root, txnAppId).exists(_ >= txn))
+      return latestVersion(root).getOrElse(
+        sys.error(s"txn recorded but no versions at $root"))
+    val txnLines =
+      if (txnAppId != null && txn >= 0) Seq(txnLine(txnAppId, txn))
+      else Seq.empty
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(seqCol).desc, upper(col(opCol)).desc)
+    val latest = feed
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .localCheckpoint(true)
+    val affectedKeys = latest.select(keyCols.map(col): _*).distinct()
+      .localCheckpoint(true)
+    var attempt = 0
+    while (true) {
+      val base = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
+      val files = readListing(root, base)
+      val target = spark.read.option("mergeSchema", "true")
+        .parquet(files.map(pathOf): _*)
+      require(target.columns.contains(seqCol),
+        s"guarded apply needs the target to store '$seqCol'")
+      val touchedNames = target
+        .withColumn("__file", col("_metadata.file_path"))
+        .join(affectedKeys, keyCols, "left_semi")
+        .select(col("__file")).distinct()
+        .collect().map(_.getString(0).split('/').last).toSet
+      val touched0 =
+        files.filter(f => touchedNames.contains(pathOf(f).split('/').last))
+      val outCols = target.columns.toSeq
+      // stored rows compete as live upserts at their RECORDED sequence;
+      // __src breaks seq ties toward the feed (replay idempotence)
+      val feedCand = latest
+        .select((outCols.map(col) :+ upper(col(opCol)).as("__op")): _*)
+        .withColumn("__src", lit(1))
+      val rewritten =
+        if (touched0.isEmpty)
+          feedCand.filter(col("__op") =!= "D").select(outCols.map(col): _*)
+        else {
+          val stored = spark.read.option("mergeSchema", "true")
+            .parquet(touched0.map(pathOf): _*)
+          val storedCand = stored
+            .join(affectedKeys, keyCols, "left_semi")
+            .select((outCols.map(col) :+ lit("U").as("__op")): _*)
+            .withColumn("__src", lit(0))
+          val w2 = org.apache.spark.sql.expressions.Window
+            .partitionBy(keyCols.map(col): _*)
+            .orderBy(col(seqCol).desc, col("__src").desc, col("__op").desc)
+          val winners = storedCand.unionByName(feedCand)
+            .withColumn("__rn",
+              org.apache.spark.sql.functions.row_number().over(w2))
+            .filter(col("__rn") === 1 && col("__op") =!= "D")
+            .select(outCols.map(col): _*)
+          stored.join(affectedKeys, keyCols, "left_anti")
+            .select(outCols.map(col): _*)
+            .unionByName(winners)
+        }
+      val v = base + 1
+      val staged = statLines(spark,
+        stageDataFiles(rewritten, root, v), Seq.empty)
+      beforeCommit()
+      try {
+        val committed =
+          commitManifest(root, v, deltaContent(touched0, staged) ++ txnLines)
         maybeCheckpoint(root, committed)
         return committed
       } catch {

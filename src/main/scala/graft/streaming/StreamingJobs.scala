@@ -162,28 +162,15 @@ object StreamingJobs {
     * the persisted inverted index (postings + doclen + stats, all
     * O(batch)), so the index trails the document stream and serving
     * ([[graft.operators.TextIndex.searchBm25]]) never re-reads the
-    * corpus. Exactly-once per the q192 batchId-sidecar pattern: a
-    * replayed micro-batch (failed-batch re-run) is skipped instead of
-    * double-appending its postings. */
+    * corpus. Exactly-once via the txn-stamped pointer
+    * (`TextIndex.append(..., txn = batchId)`): the batch id moves WITH
+    * the index's atomic commit pointer, so a replayed micro-batch
+    * (failed-batch re-run) no-ops instead of double-appending — and a
+    * crash mid-append leaves only orphan versions serving never
+    * sees. */
   def runTextIndexIngestAvailableNow(spark: SparkSession, inputDir: String,
                                      indexRoot: String): Unit = {
     new java.io.File(indexRoot).mkdirs()
-    def lastCommitted: Long = {
-      val f = new java.io.File(indexRoot, "_last_batch")
-      if (!f.exists()) -1L
-      else new String(java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-    }
-    def commitBatchId(id: Long): Unit = {
-      val tmp = java.nio.file.Files.createTempFile(
-        new java.io.File(indexRoot).toPath, "_lb", ".tmp")
-      java.nio.file.Files.write(tmp,
-        id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmp,
-        new java.io.File(indexRoot, "_last_batch").toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType),
@@ -196,10 +183,8 @@ object StreamingJobs {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
-        if (batchId > lastCommitted) {
-          graft.operators.TextIndex.append(batch.toDF(), indexRoot)
-          commitBatchId(batchId)
-        }
+        graft.operators.TextIndex.append(batch.toDF(), indexRoot,
+          txn = batchId)
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -251,25 +236,13 @@ object StreamingJobs {
     // foreachBatch is at-least-once: Structured Streaming RE-RUNS a
     // failed micro-batch with the SAME batchId, and a blind append
     // would land its rows twice (and the additive view would absorb
-    // them twice). Standard exactly-once pattern: record the last
-    // committed batchId in a sidecar next to the table and skip ids
-    // already committed. The sidecar and the stream's checkpoint share
-    // srcRoot's lifetime, so batchIds stay monotonic per table — a
-    // fresh table starts both at zero.
-    val batchFile = new java.io.File(srcRoot, "_last_batch")
-    def lastCommitted: Long =
-      if (!batchFile.exists()) -1L
-      else new String(java.nio.file.Files.readAllBytes(batchFile.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-    def commitBatchId(id: Long): Unit = {
-      val tmp = java.nio.file.Files.createTempFile(
-        new java.io.File(srcRoot).toPath, "_lb", ".tmp")
-      java.nio.file.Files.write(tmp,
-        id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmp, batchFile.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    // them twice). Exactly-once via [[graft.sources.VersionedTable
+    // .appendTxn]]: the batchId is stamped INSIDE the same atomic
+    // manifest commit as the data files, so a crash anywhere leaves
+    // either no trace of the batch or the complete (data + marker)
+    // commit — a replayed batchId is a no-op append. The txn log and
+    // the stream's checkpoint share srcRoot's lifetime, so batchIds
+    // stay monotonic per table — a fresh table starts both at zero.
     new java.io.File(srcRoot).mkdirs()
     val q = readEvents(spark, dir)
       .withColumn("hour_start",
@@ -277,13 +250,8 @@ object StreamingJobs {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
-        if (batchId > lastCommitted) {
-          if (VersionedTable.latestVersion(srcRoot).isEmpty)
-            VersionedTable.overwrite(batch, srcRoot)
-          else VersionedTable.append(batch, srcRoot)
-          commitBatchId(batchId)
-        }
-        // refresh is idempotent per source version (sidecar check), so
+        VersionedTable.appendTxn(batch, srcRoot, "view_ingest", batchId)
+        // refresh is idempotent per source version, so
         // running it on a replayed batch is a no-op, never a re-apply
         MaterializedView.refreshAdditive(spark, srcRoot, viewRoot,
           Seq("hour_start", "event_type"), "value")
@@ -304,13 +272,18 @@ object StreamingJobs {
     * sequence = event_id, op derived from the event type: `error`
     * tombstones the user, everything else upserts their latest
     * activity row) and folded into the target table via ONE atomic
-    * [[graft.sources.VersionedTable.applyChanges]] commit per batch.
+    * [[graft.sources.VersionedTable.applyChangesGuarded]] commit per
+    * batch. The applied sequence PERSISTS in the table (`seq`
+    * column), so a later micro-batch carrying an OLDER sequence for a
+    * key — an out-of-order multi-file feed — cannot regress newer
+    * state: ordering holds ACROSS batches, not just within one (the
+    * Delta/DLT apply_changes contract). A pre-existing target must
+    * carry the `seq` column.
     *
-    * Exactly-once: foreachBatch is at-least-once, and although
-    * applyChanges happens to be idempotent for a byte-identical
-    * replayed feed, the batchId sidecar (the
-    * [[runViewMaintenanceAvailableNow]] protocol) skips replays
-    * BEFORE any write — exactness by protocol, not by luck.
+    * Exactly-once: foreachBatch is at-least-once; guarded apply is
+    * replay-idempotent BY CONSTRUCTION (a replayed feed's sequences
+    * tie the stored ones and fold to identical state), and the
+    * batchId replay guard additionally skips the whole job.
     *
     * Scale: per batch one copy-on-write commit touching only files
     * holding affected keys; the net-effect window runs on the BATCH,
@@ -318,20 +291,6 @@ object StreamingJobs {
   def runCdcApplyAvailableNow(spark: SparkSession, dir: String,
                               tableRoot: String): DataFrame = {
     import graft.sources.VersionedTable
-    val batchFile = new java.io.File(tableRoot, "_last_batch")
-    def lastCommitted: Long =
-      if (!batchFile.exists()) -1L
-      else new String(java.nio.file.Files.readAllBytes(batchFile.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-    def commitBatchId(id: Long): Unit = {
-      val tmp = java.nio.file.Files.createTempFile(
-        new java.io.File(tableRoot).toPath, "_lb", ".tmp")
-      java.nio.file.Files.write(tmp,
-        id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmp, batchFile.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
     new java.io.File(tableRoot).mkdirs()
     val q = readEvents(spark, dir)
       .select(col("user_id"), col("event_id").as("seq"),
@@ -341,22 +300,22 @@ object StreamingJobs {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
-        if (batchId > lastCommitted) {
-          if (VersionedTable.latestVersion(tableRoot).isEmpty) {
-            // bootstrap: the first batch's net upserts ARE version 0
-            val w = org.apache.spark.sql.expressions.Window
-              .partitionBy(col("user_id"))
-              .orderBy(col("seq").desc, col("op").desc)
-            VersionedTable.overwrite(
-              batch.withColumn("__rn", row_number().over(w))
-                .filter(col("__rn") === 1 && col("op") =!= "D")
-                .drop("__rn", "op", "seq"),
-              tableRoot)
-          } else
-            VersionedTable.applyChanges(spark, tableRoot, batch,
-              Seq("user_id"), "seq", "op")
-          commitBatchId(batchId)
-        }
+        if (VersionedTable.latestVersion(tableRoot).isEmpty) {
+          // bootstrap: the first batch's net upserts ARE version 0,
+          // sequence kept — later feeds guard against it
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"))
+            .orderBy(col("seq").desc, col("op").desc)
+          VersionedTable.appendTxn(
+            batch.withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") === 1 && col("op") =!= "D")
+              .drop("__rn", "op"),
+            tableRoot, "cdc", batchId)
+        } else
+          // the batchId stamp rides INSIDE the apply's atomic commit;
+          // a replayed batch returns before any write
+          VersionedTable.applyChangesGuarded(spark, tableRoot, batch,
+            Seq("user_id"), "seq", "op", txnAppId = "cdc", txn = batchId)
         ()
       }
       .option("checkpointLocation",
@@ -375,8 +334,8 @@ object StreamingJobs {
     * versioned monitor table — the corpus-quality tripwire wired into
     * ingestion itself: a drifting crawl alarms on the batch that
     * drifted, not at the next offline audit. Exactly-once via the same
-    * batchId sidecar as [[runViewMaintenanceAvailableNow]] (a replayed
-    * batch neither re-appends nor re-scores).
+    * txn-stamped commit protocol as [[runViewMaintenanceAvailableNow]]
+    * (a replayed batch neither re-appends nor re-scores).
     *
     * `reference` must be a single LONG column `x` (the accepted
     * corpus' signal sample — lengths, scores, bucketed values). It is
@@ -390,20 +349,6 @@ object StreamingJobs {
                                   reference: DataFrame,
                                   monitorRoot: String): DataFrame = {
     import graft.sources.VersionedTable
-    val batchFile = new java.io.File(monitorRoot, "_last_batch")
-    def lastCommitted: Long =
-      if (!batchFile.exists()) -1L
-      else new String(java.nio.file.Files.readAllBytes(batchFile.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-    def commitBatchId(id: Long): Unit = {
-      val tmp = java.nio.file.Files.createTempFile(
-        new java.io.File(monitorRoot).toPath, "_lb", ".tmp")
-      java.nio.file.Files.write(tmp,
-        id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmp, batchFile.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
     new java.io.File(monitorRoot).mkdirs()
     val ref = reference.select(col("x").cast("long").as("v"),
       lit(1).as("side"))
@@ -411,7 +356,10 @@ object StreamingJobs {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
-        if (batchId > lastCommitted) {
+        // replay guard BEFORE scoring: a replayed batch neither
+        // re-appends (appendTxn would no-op anyway) nor re-runs the KS
+        // job — the txn probe is a manifest read, the KS stat a job
+        if (!VersionedTable.latestTxn(monitorRoot, "drift").exists(_ >= batchId)) {
           val stat = graft.operators.Drift.ksStat(
             ref.unionByName(batch
               .select(col("value").cast("long").as("v"), lit(0).as("side"))),
@@ -419,10 +367,7 @@ object StreamingJobs {
             .withColumn("batch_id", lit(batchId))
             .select(col("batch_id"), col("n_a"), col("n_b"),
               col("d_num"), col("d_ppm"), col("at_value"))
-          if (VersionedTable.latestVersion(monitorRoot).isEmpty)
-            VersionedTable.overwrite(stat, monitorRoot)
-          else VersionedTable.append(stat, monitorRoot)
-          commitBatchId(batchId)
+          VersionedTable.appendTxn(stat, monitorRoot, "drift", batchId)
         }
         ()
       }
@@ -440,38 +385,18 @@ object StreamingJobs {
     * each micro-batch of raw JSONL lines routes parseable rows to the
     * durable data table and malformed raw lines to the durable
     * quarantine table, both [[graft.sources.VersionedTable]]s.
-    * Exactly-once per TABLE via per-table batchId sidecars: the two
-    * appends can't be made atomic together, so each is guarded by its
-    * own `_last_batch` — a crash between them replays the batch,
-    * skips the already-committed table and lands only the missing one
-    * (StreamingSpec-style replay reasoning; the q192 sidecar pattern,
-    * doubled). Scale: the split is map-local from_json; each commit is
-    * O(batch). */
+    * Exactly-once per TABLE via per-table txn-stamped commits
+    * ([[graft.sources.VersionedTable.appendTxn]]): the two appends
+    * can't be made atomic together, but each batchId lands in the
+    * same atomic manifest commit as its table's data — a crash
+    * between them replays the batch, no-ops on the already-stamped
+    * table and lands only the missing one. Scale: the split is
+    * map-local from_json; each commit is O(batch). */
   def runQuarantineIngestAvailableNow(spark: SparkSession, inputDir: String,
                                       schema: org.apache.spark.sql.types.StructType,
                                       goodRoot: String,
                                       badRoot: String): (DataFrame, DataFrame) = {
     import graft.sources.VersionedTable
-    def lastBatch(root: String): Long = {
-      val f = new java.io.File(root, "_last_batch")
-      if (!f.exists()) -1L
-      else new String(java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-    }
-    def commitBatch(root: String, id: Long): Unit = {
-      val tmp = java.nio.file.Files.createTempFile(
-        new java.io.File(root).toPath, "_lb", ".tmp")
-      java.nio.file.Files.write(tmp,
-        id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmp,
-        new java.io.File(root, "_last_batch").toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-    def appendTo(root: String, df: DataFrame): Unit =
-      if (VersionedTable.latestVersion(root).isEmpty)
-        { VersionedTable.overwrite(df, root); () }
-      else { VersionedTable.append(df, root); () }
     new java.io.File(goodRoot).mkdirs()
     new java.io.File(badRoot).mkdirs()
     val corrupt = "_corrupt_record"
@@ -495,12 +420,12 @@ object StreamingJobs {
         val bad = parsed
           .filter(col("j").isNull || col(s"j.$corrupt").isNotNull)
           .select(col("value").as("raw_line"))
-        if (batchId > lastBatch(goodRoot)) {
-          appendTo(goodRoot, good); commitBatch(goodRoot, batchId)
-        }
-        if (batchId > lastBatch(badRoot)) {
-          appendTo(badRoot, bad); commitBatch(badRoot, batchId)
-        }
+        // per-table txn stamps: the two appends can't be made atomic
+        // TOGETHER, but each is atomic WITH its own progress marker —
+        // a crash between them replays the batch, no-ops on the
+        // already-stamped table and lands only the missing one
+        VersionedTable.appendTxn(good, goodRoot, "quarantine_ingest", batchId)
+        VersionedTable.appendTxn(bad, badRoot, "quarantine_ingest", batchId)
         ()
       }
       .option("checkpointLocation",
@@ -514,32 +439,19 @@ object StreamingJobs {
 
   /** STREAMING JOIN-VIEW maintenance — [[runViewMaintenanceAvailableNow]]
     * for the ENRICHED-FACT view: each micro-batch of (grp, item) fact
-    * rows appends to the left versioned source exactly-once (batchId
-    * sidecar), then [[graft.sources.MaterializedView.refreshJoin]]
+    * rows appends to the left versioned source exactly-once
+    * (txn-stamped commit), then
+    * [[graft.sources.MaterializedView.refreshJoin]]
     * folds the delta join against the right source into the view —
     * per batch the view gains O(|Δ ⋈ right|) rows, never a join
-    * recompute; a replayed batch is a no-op at BOTH layers (the
-    * sidecar skips the append; refreshJoin's (aV, bV) pair check
+    * recompute; a replayed batch is a no-op at BOTH layers (appendTxn
+    * skips the append; refreshJoin's (aV, bV) pair check
     * skips the refresh). Returns the served view. */
   def runJoinViewMaintenanceAvailableNow(spark: SparkSession,
                                          inputDir: String, leftRoot: String,
                                          rightRoot: String, viewRoot: String,
                                          joinCols: Seq[String]): DataFrame = {
     import graft.sources.{MaterializedView, VersionedTable}
-    val batchFile = new java.io.File(leftRoot, "_last_batch")
-    def lastCommitted: Long =
-      if (!batchFile.exists()) -1L
-      else new String(java.nio.file.Files.readAllBytes(batchFile.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-    def commitBatchId(id: Long): Unit = {
-      val tmp = java.nio.file.Files.createTempFile(
-        new java.io.File(leftRoot).toPath, "_lb", ".tmp")
-      java.nio.file.Files.write(tmp,
-        id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmp, batchFile.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
     new java.io.File(leftRoot).mkdirs()
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("grp",
@@ -552,12 +464,7 @@ object StreamingJobs {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
-        if (batchId > lastCommitted) {
-          if (VersionedTable.latestVersion(leftRoot).isEmpty)
-            VersionedTable.overwrite(batch, leftRoot)
-          else VersionedTable.append(batch, leftRoot)
-          commitBatchId(batchId)
-        }
+        VersionedTable.appendTxn(batch, leftRoot, "jv_ingest", batchId)
         // idempotent per (leftV, rightV) — a replayed batch no-ops
         MaterializedView.refreshJoin(spark, leftRoot, rightRoot,
           viewRoot, joinCols)
@@ -574,7 +481,7 @@ object StreamingJobs {
 
   /** STREAMING SKETCH ROLLUP: per micro-batch, ONE combinable CMS
     * sketch row per group appended to a durable partial-sketch table
-    * (exactly-once via the q192 batchId sidecar); serving merges the
+    * (exactly-once via the txn-stamped commit); serving merges the
     * stored partials per group with pure built-ins (CMS merge is
     * elementwise long addition — [[graft.operators.CountMin
     * .mergeAll]]'s positional sum, here per group). The streaming
@@ -619,43 +526,29 @@ object StreamingJobs {
     * pointer still names the last consistent pair; orphan versions
     * are invisible). The q222 join-view composition plus the q260
     * atomicity contract, end to end through the streaming door.
-    * Exactly-once via the batchId sidecar. */
+    * Exactly-once via the txn-stamped facts commit. */
   def runAtomicPublishAvailableNow(spark: SparkSession, dir: String,
                                    groupRoot: String): DataFrame = {
     import graft.sources.{MaterializedView, SnapshotGroup, VersionedTable}
     val facts = new java.io.File(groupRoot, "facts").getPath
     val view = new java.io.File(groupRoot, "summary").getPath
-    val batchFile = new java.io.File(groupRoot, "_last_batch")
-    def lastCommitted: Long =
-      if (!batchFile.exists()) -1L
-      else new String(java.nio.file.Files.readAllBytes(batchFile.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-    def commitBatchId(id: Long): Unit = {
-      val tmp = java.nio.file.Files.createTempFile(
-        new java.io.File(groupRoot).toPath, "_lb", ".tmp")
-      java.nio.file.Files.write(tmp,
-        id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmp, batchFile.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
     new java.io.File(groupRoot).mkdirs()
     val q = readEvents(spark, dir)
       .select(col("event_id"), col("event_type"), col("value"))
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
-        if (batchId > lastCommitted) {
-          val fv =
-            if (VersionedTable.latestVersion(facts).isEmpty)
-              VersionedTable.overwrite(batch, facts)
-            else VersionedTable.append(batch, facts)
-          MaterializedView.refreshAdditive(spark, facts, view,
-            Seq("event_type"), "value")
-          val vv = VersionedTable.latestVersion(view).get
-          SnapshotGroup.publish(groupRoot, Map(facts -> fv, view -> vv))
-          commitBatchId(batchId)
-        }
+        // the facts append is txn-stamped (data + batchId in one atomic
+        // manifest commit → a replayed batch appends nothing); refresh
+        // and publish run UNCONDITIONALLY because both are idempotent
+        // per source version — so a crash after the append but before
+        // the pointer move is healed by the replay's refresh+publish,
+        // and readers meanwhile still resolve the last consistent pair
+        val fv = VersionedTable.appendTxn(batch, facts, "publish", batchId)
+        MaterializedView.refreshAdditive(spark, facts, view,
+          Seq("event_type"), "value")
+        val vv = VersionedTable.latestVersion(view).get
+        SnapshotGroup.publish(groupRoot, Map(facts -> fv, view -> vv))
         ()
       }
       .option("checkpointLocation",
@@ -675,7 +568,7 @@ object StreamingJobs {
     * quarantine table with the failed gate names attached — nothing
     * is dropped, nothing aborts the stream, and the main table's
     * quality invariants hold by construction. Exactly-once via the
-    * batchId sidecar (each batch goes to exactly ONE of the two
+    * txn-stamped commit (each batch goes to exactly ONE of the two
     * tables). Input dir: parquet of
     * (event_id long, event_type string, value double). */
   def runExpectOrQuarantineAvailableNow(
@@ -683,20 +576,13 @@ object StreamingJobs {
       quarRoot: String,
       gates: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
     import graft.sources.VersionedTable
-    val batchFile = new java.io.File(mainRoot, "_last_batch")
+    // a batch lands in exactly ONE of the two tables, so the replay
+    // check is the MAX of both tables' recorded txns (a crash after
+    // the quarantine append must not re-judge the batch into main)
     def lastCommitted: Long =
-      if (!batchFile.exists()) -1L
-      else new String(java.nio.file.Files.readAllBytes(batchFile.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-    def commitBatchId(id: Long): Unit = {
-      val tmp = java.nio.file.Files.createTempFile(
-        new java.io.File(mainRoot).toPath, "_lb", ".tmp")
-      java.nio.file.Files.write(tmp,
-        id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmp, batchFile.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+      (VersionedTable.latestTxn(mainRoot, "expect") ++
+        VersionedTable.latestTxn(quarRoot, "expect"))
+        .foldLeft(-1L)(math.max)
     new java.io.File(mainRoot).mkdirs()
     val q = spark.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
@@ -719,18 +605,13 @@ object StreamingJobs {
           val failed = gates.map(_._1).zipWithIndex.collect {
             case (n, i) if row.isNullAt(i) || !row.getBoolean(i) => n
           }
-          if (failed.isEmpty) {
-            if (VersionedTable.latestVersion(mainRoot).isEmpty)
-              VersionedTable.overwrite(batch, mainRoot)
-            else VersionedTable.append(batch, mainRoot)
-          } else {
-            val tagged = batch.withColumn("failed_gates",
-              lit(failed.sorted.mkString(",")))
-            if (VersionedTable.latestVersion(quarRoot).isEmpty)
-              VersionedTable.overwrite(tagged, quarRoot)
-            else VersionedTable.append(tagged, quarRoot)
-          }
-          commitBatchId(batchId)
+          if (failed.isEmpty)
+            VersionedTable.appendTxn(batch, mainRoot, "expect", batchId)
+          else
+            VersionedTable.appendTxn(
+              batch.withColumn("failed_gates",
+                lit(failed.sorted.mkString(","))),
+              quarRoot, "expect", batchId)
         }
         ()
       }
@@ -747,7 +628,7 @@ object StreamingJobs {
     * mergeable state: per micro-batch one
     * [[graft.operators.TimeSeries.ohlcPartials]] fragment per
     * (grp, bucket) appends to a durable partial table (exactly-once
-    * batchId sidecar); serving merges fragments with
+    * txn-stamped commit); serving merges fragments with
     * [[graft.operators.TimeSeries.ohlcMergeBars]] — bit-identical to
     * a single pass over everything, because the fragments carry their
     * boundary order keys. Input dir: parquet of
@@ -756,20 +637,6 @@ object StreamingJobs {
                                 barsRoot: String,
                                 widthSec: Long): DataFrame = {
     import graft.sources.VersionedTable
-    val batchFile = new java.io.File(barsRoot, "_last_batch")
-    def lastCommitted: Long =
-      if (!batchFile.exists()) -1L
-      else new String(java.nio.file.Files.readAllBytes(batchFile.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-    def commitBatchId(id: Long): Unit = {
-      val tmp = java.nio.file.Files.createTempFile(
-        new java.io.File(barsRoot).toPath, "_lb", ".tmp")
-      java.nio.file.Files.write(tmp,
-        id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmp, batchFile.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
     new java.io.File(barsRoot).mkdirs()
     val q = spark.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
@@ -786,15 +653,11 @@ object StreamingJobs {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
-        if (batchId > lastCommitted) {
-          val partial = graft.operators.TimeSeries
+        VersionedTable.appendTxn(
+          graft.operators.TimeSeries
             .ohlcPartials(batch, "grp", "t_us", "id", "v", widthSec)
-            .withColumn("batch_id", lit(batchId))
-          if (VersionedTable.latestVersion(barsRoot).isEmpty)
-            VersionedTable.overwrite(partial, barsRoot)
-          else VersionedTable.append(partial, barsRoot)
-          commitBatchId(batchId)
-        }
+            .withColumn("batch_id", lit(batchId)),
+          barsRoot, "ohlc", batchId)
         ()
       }
       .option("checkpointLocation",
@@ -812,20 +675,6 @@ object StreamingJobs {
       spark: SparkSession, inputDir: String, sketchRoot: String,
       partialAgg: org.apache.spark.sql.Column): DataFrame = {
     import graft.sources.VersionedTable
-    val batchFile = new java.io.File(sketchRoot, "_last_batch")
-    def lastCommitted: Long =
-      if (!batchFile.exists()) -1L
-      else new String(java.nio.file.Files.readAllBytes(batchFile.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-    def commitBatchId(id: Long): Unit = {
-      val tmp = java.nio.file.Files.createTempFile(
-        new java.io.File(sketchRoot).toPath, "_lb", ".tmp")
-      java.nio.file.Files.write(tmp,
-        id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmp, batchFile.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
     new java.io.File(sketchRoot).mkdirs()
     val q = spark.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
@@ -838,15 +687,10 @@ object StreamingJobs {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
-        if (batchId > lastCommitted) {
-          val partial = batch.groupBy(col("grp"))
-            .agg(partialAgg)
-            .withColumn("batch_id", lit(batchId))
-          if (VersionedTable.latestVersion(sketchRoot).isEmpty)
-            VersionedTable.overwrite(partial, sketchRoot)
-          else VersionedTable.append(partial, sketchRoot)
-          commitBatchId(batchId)
-        }
+        VersionedTable.appendTxn(
+          batch.groupBy(col("grp")).agg(partialAgg)
+            .withColumn("batch_id", lit(batchId)),
+          sketchRoot, "rollup", batchId)
         ()
       }
       .option("checkpointLocation",

@@ -116,6 +116,53 @@ class CdcApplySpec extends SparkSuite {
       (1L, "a", 10.0), (2L, "b", 20.0), (10L, "j", 9.0), (11L, "jj", 2.0)))
   }
 
+  test("applyChangesGuarded: a later batch with an OLDER sequence " +
+    "cannot regress newer state") {
+    import spark.implicits._
+    val root = freshRoot("guard")
+    // guarded targets persist the sequence
+    VersionedTable.overwrite(
+      Seq((1L, 5L, "a", 50.0), (2L, 5L, "b", 50.0), (3L, 5L, "c", 50.0))
+        .toDF("k", "seq", "s", "v"), root)
+    def st(): Set[(Long, Long, Double)] =
+      VersionedTable.read(spark, root).collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Long]("seq"),
+          r.getAs[Double]("v"))).toSet
+    // batch 1: newer sequences apply (k=1 upsert, k=2 delete)
+    VersionedTable.applyChangesGuarded(spark, root,
+      Seq((1L, 7L, "a", 70.0, "U"), (2L, 7L, "b", 0.0, "D"))
+        .toDF("k", "seq", "s", "v", "op"), Seq("k"), "seq", "op")
+    assert(st() == Set((1L, 7L, 70.0), (3L, 5L, 50.0)))
+    // batch 2 arrives LATE with OLDER sequences (seq 3 < stored 7/5):
+    // stale upsert on k=1 and stale tombstone on k=3 must both be
+    // ignored; k=4 is a fresh insert and lands
+    VersionedTable.applyChangesGuarded(spark, root,
+      Seq((1L, 3L, "a", 30.0, "U"), (3L, 3L, "c", 0.0, "D"),
+          (4L, 1L, "d", 10.0, "I"))
+        .toDF("k", "seq", "s", "v", "op"), Seq("k"), "seq", "op")
+    assert(st() == Set((1L, 7L, 70.0), (3L, 5L, 50.0), (4L, 1L, 10.0)),
+      "stale upsert and stale tombstone must both be ignored")
+    // equal sequence resolves to the feed (replay idempotence)
+    VersionedTable.applyChangesGuarded(spark, root,
+      Seq((4L, 1L, "d", 10.0, "I")).toDF("k", "seq", "s", "v", "op"),
+      Seq("k"), "seq", "op")
+    assert(st() == Set((1L, 7L, 70.0), (3L, 5L, 50.0), (4L, 1L, 10.0)))
+    // in-commit txn stamp: a replayed txn returns without writing
+    val v0 = VersionedTable.latestVersion(root).get
+    VersionedTable.applyChangesGuarded(spark, root,
+      Seq((5L, 9L, "e", 90.0, "U")).toDF("k", "seq", "s", "v", "op"),
+      Seq("k"), "seq", "op", txnAppId = "t", txn = 3L)
+    assert(VersionedTable.latestTxn(root, "t").contains(3L))
+    val v1 = VersionedTable.latestVersion(root).get
+    assert(v1 == v0 + 1)
+    VersionedTable.applyChangesGuarded(spark, root,
+      Seq((6L, 9L, "f", 90.0, "U")).toDF("k", "seq", "s", "v", "op"),
+      Seq("k"), "seq", "op", txnAppId = "t", txn = 3L)
+    assert(VersionedTable.latestVersion(root).get == v1,
+      "replayed txn must not commit")
+    assert(!st().exists(_._1 == 6L))
+  }
+
   test("streaming door: multi-batch apply + replay is a no-op") {
     import spark.implicits._
     import graft.streaming.StreamingJobs
@@ -141,10 +188,12 @@ class CdcApplySpec extends SparkSuite {
     def got() = VersionedTable.read(spark, root).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value"))).toSet
     // pre-existing table (users 0..9) → the streamed batch takes the
-    // applyChanges branch, not the bootstrap overwrite
+    // guarded-apply branch, not the bootstrap overwrite. The guarded
+    // door requires the target to CARRY the sequence column; seed
+    // rows at seq -1 (older than any event id) so the feed wins.
     VersionedTable.overwrite(
-      (0L to 9L).map(u => (u, "seed", 0.0))
-        .toDF("user_id", "event_type", "value"), root)
+      (0L to 9L).map(u => (u, -1L, "seed", 0.0))
+        .toDF("user_id", "seq", "event_type", "value"), root)
     StreamingJobs.runCdcApplyAvailableNow(spark, dir1, root)
     // users 0..4: latest event id is 45+u; user 4's (id 49, 49%7=0) is
     // an error → tombstoned despite the seed row; users 5..9 untouched

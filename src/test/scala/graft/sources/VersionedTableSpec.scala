@@ -28,6 +28,45 @@ class VersionedTableSpec extends SparkSuite {
     assert(VersionedTable.readVersion(spark, root, 0).count() == 2)
   }
 
+  test("appendTxn: batchId rides the atomic commit; replay no-ops; " +
+    "listings, checkpoints and time travel stay txn-blind") {
+    import spark.implicits._
+    val root = tmpRoot()
+    // fresh table: appendTxn bootstraps version 0 (full listing + stamp)
+    val v0 = VersionedTable.appendTxn(
+      Seq((1, "a")).toDF("k", "v"), root, "job", 0L)
+    assert(v0 == 0L)
+    assert(VersionedTable.latestTxn(root, "job").contains(0L))
+    assert(VersionedTable.latestTxn(root, "other").isEmpty)
+    val v1 = VersionedTable.appendTxn(
+      Seq((2, "b")).toDF("k", "v"), root, "job", 1L)
+    assert(v1 == 1L && VersionedTable.latestTxn(root, "job").contains(1L))
+    // REPLAY of batch 1 (and of anything older): no version, no rows
+    assert(VersionedTable.appendTxn(
+      Seq((2, "b")).toDF("k", "v"), root, "job", 1L) == 1L)
+    assert(VersionedTable.appendTxn(
+      Seq((1, "a")).toDF("k", "v"), root, "job", 0L) == 1L)
+    assert(VersionedTable.latestVersion(root).contains(1L))
+    assert(VersionedTable.read(spark, root).count() == 2)
+    // interleaved plain appends don't disturb the recorded txn
+    VersionedTable.append(Seq((3, "c")).toDF("k", "v"), root)
+    assert(VersionedTable.latestTxn(root, "job").contains(1L))
+    // txn lines survive the checkpoint cadence: push past the
+    // checkpoint interval, then read back listing + txn + time travel
+    for (i <- 2L to 12L)
+      VersionedTable.appendTxn(
+        Seq((100 + i.toInt, "x")).toDF("k", "v"), root, "job", i)
+    assert(VersionedTable.latestTxn(root, "job").contains(12L))
+    assert(VersionedTable.read(spark, root).count() == 14)
+    assert(VersionedTable.readVersion(spark, root, 1).count() == 2,
+      "time travel across txn-stamped manifests")
+    // appId validation: separators would corrupt the manifest grammar
+    intercept[IllegalArgumentException] {
+      VersionedTable.appendTxn(
+        Seq((9, "z")).toDF("k", "v"), root, "bad\tapp", 99L)
+    }
+  }
+
   test("merge upserts by key (update + insert) as a new version") {
     import spark.implicits._
     val root = tmpRoot()
