@@ -780,6 +780,48 @@ object ScaleProbe {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
     }
+    // containment-join probe (`runMain graft.ScaleProbe containment`):
+    // the directed-containment candidate volume is Σ df·(df−1) over
+    // CAPPED shingle df. Replicas are content-salted (each brings its
+    // own shingle vocabulary) PLUS a shared boilerplate sentence on
+    // every doc — the real-world quadratic driver: the boilerplate
+    // shingles' df equals the WHOLE corpus, so uncapped candidates
+    // grow as n² while the capped path drops exactly those shingles
+    // and stays linear (capped shingles still count in |Sa|, so
+    // measured containment only drops — the q284 contract). The
+    // uncapped Σ df·(df−1) is printed as the counterfactual; only the
+    // capped join actually runs.
+    if (args.contains("containment")) {
+      val boiler = " all rights reserved terms of service apply"
+      def saltedCorpus(mult: Int) = (0 until mult).map(i =>
+        base.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          concat(regexp_replace(col("text"), "(\\S+)", "$1" + s"_r$i"),
+            lit(boiler)).as("text")))
+        .reduce(_ union _)
+      for (mult <- Seq(1, 4, 10)) {
+        val c = saltedCorpus(mult).localCheckpoint(true)
+        val n = c.count()
+        val dfs = c.select(col("doc_id"),
+            explode(graft.functions.TextFunctions
+              .wordShingles(col("text"), 3)).as("g"))
+          .groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .localCheckpoint(true)
+        val uncappedCand = dfs
+          .agg(sum((col("df") * (col("df") - 1)).cast("long")))
+          .first().getLong(0)
+        val cappedCand = dfs.filter(col("df") <= 8)
+          .agg(sum((col("df") * (col("df") - 1)).cast("long")))
+          .first().getLong(0)
+        val t0 = System.nanoTime()
+        val pairs = graft.operators.Dedup.containmentPairs(
+          c, thresholdPpm = 800000L, dfCap = 8L).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] mult=$mult%2d docs=$n%7d containment    " +
+          f"capped_cand=$cappedCand%12d uncapped=$uncappedCand%14d " +
+          f"pairs=$pairs%8d  $secs%6.2f s")
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
+    }
     // CDC-apply probe (`runMain graft.ScaleProbe cdc`): applyChanges
     // cost must track the FEED and its touched files, not the table.
     // A fixed 1k-key feed is applied to key-clustered tables at

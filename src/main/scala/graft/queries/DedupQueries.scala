@@ -104,6 +104,42 @@ object DedupQueries extends QueryModule {
         FROM pairs WHERE inter * 1000000 // sa >= 800000
         ORDER BY id_a, id_b""")),
 
+    // The CAPPED form of q268 — the 100 TB dial ITSELF hash-certified:
+    // dfCap=4 genuinely bites at this scale (max shingle df is 7;
+    // 44 pairs survive vs q268's 50), and because the cap is a
+    // DETERMINISTIC frequency filter, the oracle replays it exactly —
+    // shingles in more than dfCap docs leave candidate generation but
+    // still count in |Sa|, so the capped containment only ever drops
+    // below the exact value, never invents a pair. ScaleProbe
+    // `containment` measures the linearity the cap buys.
+    "q284_containment_capped" -> Q(
+      run = (s, dir) =>
+        graft.operators.Dedup.containmentPairs(
+          Tables(s, dir, "documents"), thresholdPpm = 800000L, dfCap = 4L)
+          .orderBy("id_a", "id_b"),
+      oracle = Some("""
+        WITH sh AS (
+          SELECT doc_id,
+                 UNNEST(list_distinct([string_split(text, ' ')[i] || ' ' ||
+                                string_split(text, ' ')[i+1] || ' ' ||
+                                string_split(text, ' ')[i+2]
+                                for i in range(1, len(string_split(text, ' ')) - 1)])) AS g
+          FROM documents),
+        dfv AS (SELECT g, COUNT(*) AS df FROM sh GROUP BY g),
+        sizes AS (SELECT doc_id, COUNT(*) AS sa FROM sh GROUP BY doc_id),
+        kept AS (SELECT s.doc_id, s.g FROM sh s JOIN dfv USING (g)
+                 WHERE df <= 4),
+        i AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+          FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id != b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+               CAST(sa AS BIGINT) AS sa,
+               CAST(inter * 1000000 // sa AS BIGINT) AS containment_ppm
+        FROM i JOIN sizes ON sizes.doc_id = i.id_a
+        WHERE inter * 1000000 // sa >= 800000
+        ORDER BY id_a, id_b""")),
+
     "q31_ngram_jaccard" -> Q(
       run = (s, dir) =>
         Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), threshold = 0.8)
