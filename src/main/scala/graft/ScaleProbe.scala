@@ -107,6 +107,27 @@ object ScaleProbe {
         println(f"[probe] mult=$mult%2d pts=$n%7d $label cand=$cand%12d " +
           f"pairs=$pairs%9d n2=${n * (n - 1) / 2}%14d " +
           f"cand_per_pt=${cand.toDouble / n}%8.1f  $secs%6.2f s")
+        if (hot) {
+          // hot-cell SALTED variant: same exact output, the one giant
+          // cell's candidate work spread over 32 hash sub-buckets
+          // instead of one straggler task
+          val t1 = System.nanoTime()
+          val pairsS = graft.operators.GridJoin
+            .selfRadiusPairsSalted(p, "id", "x", "y", r,
+              salts = 32, hotThreshold = 2000L).count()
+          val secsS = (System.nanoTime() - t1) / 1e9
+          // DENSITY-CAPPED variant: the hot cell thinned to 64 build
+          // rows (documented sampling semantics) — candidates per
+          // probe point bounded by 9·64 regardless of density
+          val t2 = System.nanoTime()
+          val pairsC = graft.operators.GridJoin
+            .selfRadiusPairsSalted(p, "id", "x", "y", r,
+              salts = 32, hotThreshold = 2000L, cellCap = 64L).count()
+          val secsC = (System.nanoTime() - t2) / 1e9
+          println(f"[probe] mult=$mult%2d pts=$n%7d grid_salt cand=$cand%12d " +
+            f"pairs=$pairsS%9d (exact=${pairsS == pairs}) $secsS%6.2f s | " +
+            f"cap64 pairs=$pairsC%9d $secsC%6.2f s")
+        }
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
       spark.stop(); return

@@ -62,6 +62,99 @@ object GridJoin {
       .drop("__cx", "__cy")
   }
 
+  /** [[radiusJoin]] with HOT-CELL SALTING — the skew dial for
+    * urban-density data (the ScaleProbe `grid` hot fixture measures
+    * one cell at thousands of candidates/point vs ~16 uniform): build
+    * cells holding more than `hotThreshold` rows are split into
+    * `salts` hash sub-buckets, and probe rows targeting a hot cell
+    * replicate across the sub-buckets, so the giant cell's candidate
+    * work spreads over `salts` tasks instead of one straggler. EXACT:
+    * the output equals [[radiusJoin]]'s (each build row keeps exactly
+    * one salt; a probe row meets every salt of a hot cell) — only the
+    * shuffle distribution changes. The hot-cell frame is bounded by
+    * construction (≤ |build| / hotThreshold cells) and broadcasts.
+    *
+    * `cellCap` is the DENSITY dial with documented SAMPLING
+    * semantics: cells holding more than `cellCap` build rows are
+    * deterministically thinned to `cellCap` (ranked by xxhash64 over
+    * the full build row — a content hash, so the kept sample is
+    * stable across runs and partitionings). Pairs whose build
+    * endpoint was thinned away are ABSENT from the output; per probe
+    * point the candidate volume is bounded by 9·cellCap — the "cap
+    * the pathological block" trade for when the hot cell's quadratic
+    * OUTPUT itself is unwanted. Leave at MaxValue for exact
+    * results. */
+  def radiusJoinSalted(left: DataFrame, lx: String, ly: String,
+                       right: DataFrame, rx: String, ry: String,
+                       radius: Long, salts: Int = 16,
+                       hotThreshold: Long = 100000L,
+                       cellCap: Long = Long.MaxValue): DataFrame = {
+    require(radius > 0, s"radius must be positive, got $radius")
+    require(salts >= 2, s"salts must be >= 2, got $salts")
+    // content hash over the WHOLE build row: deterministic thinning
+    // rank and salt assignment even for coordinate-colliding rows
+    val rowHash = xxhash64(right.columns.map(col).toSeq: _*)
+    val build0 = right
+      .withColumn("__cx", floorDiv(col(rx), radius))
+      .withColumn("__cy", floorDiv(col(ry), radius))
+    val capped =
+      if (cellCap == Long.MaxValue) build0
+      else {
+        // one rank pass over rows (not row-pairs) per cell — the hot
+        // cell costs O(its rows log rows) here, never occupancy²
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__cx"), col("__cy"))
+          .orderBy(rowHash, col(rx), col(ry))
+        build0.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= cellCap).drop("__rk")
+      }
+    val hot = capped.groupBy(col("__cx"), col("__cy"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotThreshold)
+      .select(col("__cx"), col("__cy"), lit(1).as("__hot"))
+    val build = capped
+      .join(broadcast(hot), Seq("__cx", "__cy"), "left")
+      .withColumn("__salt",
+        when(col("__hot").isNotNull, pmod(rowHash, lit(salts.toLong)))
+          .otherwise(lit(0L)))
+      .drop("__hot")
+    val probe = left
+      .withColumn("__cx", explode(sequence(floorDiv(col(lx), radius) - 1,
+        floorDiv(col(lx), radius) + 1)))
+      .withColumn("__cy", explode(sequence(floorDiv(col(ly), radius) - 1,
+        floorDiv(col(ly), radius) + 1)))
+      .join(broadcast(hot), Seq("__cx", "__cy"), "left")
+      .withColumn("__salt", explode(
+        when(col("__hot").isNotNull, sequence(lit(0L), lit(salts - 1L)))
+          .otherwise(sequence(lit(0L), lit(0L)))))
+      .drop("__hot")
+    val dx = col(lx) - col(rx)
+    val dy = col(ly) - col(ry)
+    probe.join(build, Seq("__cx", "__cy", "__salt"))
+      .filter(dx * dx + dy * dy <= radius * radius)
+      .drop("__cx", "__cy", "__salt")
+  }
+
+  /** Self-join form of [[radiusJoinSalted]] — [[selfRadiusPairs]]'s
+    * output through the skew-proof (and optionally density-capped)
+    * path. */
+  def selfRadiusPairsSalted(points: DataFrame, idCol: String,
+                            xCol: String, yCol: String, radius: Long,
+                            salts: Int = 16, hotThreshold: Long = 100000L,
+                            cellCap: Long = Long.MaxValue): DataFrame = {
+    val l = points.select(col(idCol).as("id_a"), col(xCol).as("__ax"),
+      col(yCol).as("__ay"))
+    val r = points.select(col(idCol).as("id_b"), col(xCol).as("__bx"),
+      col(yCol).as("__by"))
+    radiusJoinSalted(l, "__ax", "__ay", r, "__bx", "__by", radius,
+      salts, hotThreshold, cellCap)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        ((col("__ax") - col("__bx")) * (col("__ax") - col("__bx")) +
+          (col("__ay") - col("__by")) * (col("__ay") - col("__by")))
+          .as("dist2"))
+  }
+
   /** Self-join form: unordered point pairs (id_a < id_b) within
     * `radius`, with their exact squared distance. */
   def selfRadiusPairs(points: DataFrame, idCol: String,

@@ -49,6 +49,82 @@ class GridJoinSpec extends SparkSuite {
     assert(!got.exists(p => p._1 == 0L && p._2 == 4L))
   }
 
+  /** Urban-density fixture: 20% of points collapse into ONE cell
+    * (coordinates folded into [0, r)), the rest spread widely. */
+  private def hotFixture = {
+    val r = 100L
+    (0L until 500L).map { i =>
+      val (x, y) = (i * 2654435761L % 99991L, i * 40503L % 99989L)
+      if (i % 5 == 0) (i, x % r, y % r) else (i, x, y)
+    }.toDF("id", "x", "y")
+  }
+
+  test("salted radius join: EXACT on the hot fixture (equals the " +
+    "unsalted path pair-for-pair); salting touches only distribution") {
+    val pts = hotFixture
+    val exact = GridJoin.selfRadiusPairs(pts, "id", "x", "y", 100L)
+      .as[(Long, Long, Long)].collect().toSet
+    val salted = GridJoin.selfRadiusPairsSalted(pts, "id", "x", "y", 100L,
+      salts = 4, hotThreshold = 50L)
+      .as[(Long, Long, Long)].collect().toList
+    assert(salted.size == salted.toSet.size, "duplicate pair emitted")
+    assert(salted.toSet == exact)
+    assert(exact.size > 4000, "hot cell must dominate the pair set")
+    // threshold above every cell's occupancy → degenerates to the
+    // plain path (nothing hot, salt column constant)
+    val unhot = GridJoin.selfRadiusPairsSalted(pts, "id", "x", "y", 100L,
+      salts = 4, hotThreshold = 100000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(unhot == exact)
+  }
+
+  test("cellCap: deterministic sampling semantics — output equals the " +
+    "spec's replay of the thinning rule; candidates bounded by 9·cap") {
+    val pts = hotFixture
+    val r = 100L
+    val cap = 20L
+    val got = GridJoin.selfRadiusPairsSalted(pts, "id", "x", "y", r,
+      salts = 4, hotThreshold = 50L, cellCap = cap)
+      .as[(Long, Long, Long)].collect().toSet
+    // replay the documented rule: per build cell keep the cap-many
+    // rows ranked by xxhash64 over the full build row, then brute-join
+    val b = pts.select(col("id").as("id_b"), col("x").as("bx"),
+      col("y").as("by"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(((col("bx") - pmod(col("bx"), lit(r))) / r).cast("long"),
+        ((col("by") - pmod(col("by"), lit(r))) / r).cast("long"))
+      .orderBy(xxhash64(col("id_b"), col("bx"), col("by")),
+        col("bx"), col("by"))
+    val keptBuild = b.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap).drop("__rk")
+    val a = pts.select(col("id").as("id_a"), col("x").as("ax"),
+      col("y").as("ay"))
+    val want = a.crossJoin(keptBuild)
+      .withColumn("dist2",
+        (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by")))
+      .filter(col("dist2") <= r * r && col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "dist2")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want, "capped output must equal the deterministic rule")
+    // stable across a different partitioning (content-hash rank, not
+    // physical order)
+    val got2 = GridJoin.selfRadiusPairsSalted(pts.repartition(7),
+      "id", "x", "y", r, salts = 4, hotThreshold = 50L, cellCap = cap)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got2 == got)
+    // the cap bites AND bounds: a strict subset of exact, with every
+    // probe point's candidate volume ≤ 9·cap (arithmetic on kept build)
+    val exact = GridJoin.selfRadiusPairs(pts, "id", "x", "y", r)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.subsetOf(exact) && got.size < exact.size)
+    val maxPerCell = keptBuild
+      .groupBy(((col("bx") - pmod(col("bx"), lit(r))) / r).cast("long"),
+        ((col("by") - pmod(col("by"), lit(r))) / r).cast("long"))
+      .count().agg(max(col("count"))).first().getLong(0)
+    assert(maxPerCell <= cap)
+  }
+
   test("two-table radiusJoin equals cross-join residual; plan is a hash equi-join") {
     val l = fixture.select(col("id").as("lid"), col("x").as("lx"), col("y").as("ly"))
     val r = fixture.select(col("id").as("rid"), col("x").as("rx"), col("y").as("ry"))
