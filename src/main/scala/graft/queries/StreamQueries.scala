@@ -169,6 +169,32 @@ object StreamQueries extends QueryModule {
         ORDER BY 1, 2, 3"""),
       bench = false),
 
+    // LEFT OUTER stream-stream interval join with watermark-driven
+    // null emission (runStreamStreamLeftOuterAvailableNow): the one
+    // join shape whose OUTPUT depends on watermark progress — an
+    // unmatched view emits only when eviction proves no qualifying
+    // purchase can still arrive. Far-future per-side sentinels push
+    // the final watermark past every real interval (the q54 flush
+    // pattern), so the complete output equals the plain batch LEFT
+    // interval join; sink is durable + exactly-once (txn-stamped).
+    "q285_stream_outer_join" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_ssj_outer").resolve("t").toString
+        StreamingJobs.runStreamStreamLeftOuterAvailableNow(s, dir, root)
+          .orderBy("user_id", "view_id", "purchase_id")
+      },
+      oracle = Some("""
+        SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+               epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP)) AS lag_us
+        FROM events v
+        LEFT JOIN events p
+          ON v.user_id = p.user_id
+         AND p.event_type = 'purchase'
+         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        WHERE v.event_type = 'view'
+        ORDER BY 1, 2, 3"""),
+      bench = false),
+
     // Streaming foreachBatch upsert into the versioned table format:
     // an at-least-once (self-unioned) stream MERGEd per micro-batch on
     // event_id — the oracle aggregates the single-copy batch table, so

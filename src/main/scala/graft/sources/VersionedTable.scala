@@ -947,13 +947,18 @@ object VersionedTable {
     * manifest commit; a replay (`txn` ≤ the recorded latest for
     * `appId`) is a NO-OP returning the current version. An empty table
     * bootstraps as version 0 (full listing), so foreachBatch writers
-    * need no overwrite-vs-append branch. */
+    * need no overwrite-vs-append branch. An EMPTY batch commits
+    * nothing (returns the current version, −1 on a still-empty
+    * table): recording its txn would buy nothing — replaying an empty
+    * batch is already a no-op — and an all-empty version 0 would make
+    * every later read throw on a fileless manifest. */
   def appendTxn(df: DataFrame, root: String, appId: String,
                 txn: Long): Long = {
     val line = txnLine(appId, txn)
     if (latestTxn(root, appId).exists(_ >= txn))
       return latestVersion(root).getOrElse(
         sys.error(s"txn recorded but no versions at $root"))
+    if (df.isEmpty) return latestVersion(root).getOrElse(-1L)
     val staged = stageDataFiles(df, root, nextVersion(root))
     val v = commitWithRetry(root, maxRetries = 5) { v =>
       if (v == 0) staged :+ line

@@ -978,6 +978,80 @@ object StreamingJobs {
     spark.table(queryName)
   }
 
+  /** LEFT OUTER stream-stream interval join — the watermark-EVICTION
+    * door [[runStreamStreamJoinAvailableNow]]'s inner form never
+    * exercises: an unmatched view can only emit its null row when the
+    * watermark proves no qualifying purchase can still arrive (state
+    * eviction IS the emission trigger), so this is the one join shape
+    * whose OUTPUT depends on watermark progress, not just its state
+    * size. Sinked durably through foreachBatch + txn-stamped commits
+    * (exactly-once; a replayed micro-batch appends nothing).
+    *
+    * Finite-source determinism: on a bounded run the global watermark
+    * stops at min(max view_ts, max purchase_ts) − delay, leaving the
+    * last interval's unmatched views unemitted — so, exactly like
+    * [[runSessionizeAvailableNow]]'s flush sentinels, one far-future
+    * event per SIDE (user −1, +100 h) pushes the final watermark past
+    * every real view's interval and every unmatched view emits. The
+    * sentinel union is the finite-source test harness, not the
+    * operator; live deployments just keep running. Oracle: the plain
+    * batch LEFT interval join. */
+  def runStreamStreamLeftOuterAvailableNow(spark: SparkSession, dir: String,
+                                           tableRoot: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val batch = graft.core.Tables(spark, dir, "events")
+    val maxUs = batch.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val sentinelNanos = (maxUs + 100L * 3600L * 1000000L) * 1000L
+    val sentinelDir = java.nio.file.Files
+      .createTempDirectory("graft_ssj_sentinels").toString
+    spark.range(2).select(
+        lit(-1L).as("event_id"), lit(sentinelNanos).as("ts"),
+        lit(-1L).as("user_id"),
+        when(col("id") === 0, lit("view")).otherwise(lit("purchase"))
+          .as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(sentinelDir)
+    val sentinels = spark.readStream
+      .schema(nanosSchema)
+      .parquet(sentinelDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = readEvents(spark, dir).union(sentinels)
+    val views = events
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    new java.io.File(tableRoot).mkdirs()
+    val q = views
+      .join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("view_ts") &&
+          col("p_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("view_ts"))).as("lag_us"))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        VersionedTable.appendTxn(
+          b.filter(col("user_id") >= 0), tableRoot, "ssj_outer", batchId)
+        ()
+      }
+      .option("checkpointLocation",
+        new java.io.File(tableRoot, "_ssj_ckpt").getPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    VersionedTable.read(spark, tableRoot)
+  }
+
   /** Streaming corpus ingestion with dedup-at-the-door — the complete
     * daily-ingestion dedup story: each micro-batch of documents is
     * (1) exact-deduped within itself (min doc_id per text digest),

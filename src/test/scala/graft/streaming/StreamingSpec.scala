@@ -26,6 +26,39 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("left-outer stream-stream join: unmatched views emit null rows " +
+    "after eviction; equals the batch left interval join; replay no-op") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ssj_spec").resolve("t").toString
+    val got = StreamingJobs
+      .runStreamStreamLeftOuterAvailableNow(spark, sf, root)
+      .collect().map(_.toSeq).toSet
+    val v = Tables(spark, sf, "events")
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val p = Tables(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val batch = v.join(p,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("view_ts") &&
+          col("p_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("view_ts"))).as("lag_us"))
+      .collect().map(_.toSeq).toSet
+    assert(got == batch)
+    assert(got.exists(r => r(2) == null), "null-emission rows must exist")
+    assert(got.exists(r => r(2) != null), "matched rows must exist")
+    // replay: same checkpoint, no new source files → txn-stamped sink
+    // appends nothing and the table version stands
+    val vBefore = graft.sources.VersionedTable.latestVersion(root).get
+    StreamingJobs.runStreamStreamLeftOuterAvailableNow(spark, sf, root)
+    assert(graft.sources.VersionedTable.latestVersion(root).get == vBefore)
+  }
+
   test("flatMapGroups sessionization equals the window-function formulation") {
     import spark.implicits._
     val events = Tables(spark, sf, "events")
