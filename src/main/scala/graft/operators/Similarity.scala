@@ -235,7 +235,7 @@ object Similarity {
     * collect_list(embedding).collect() here would ship the whole corpus
     * to the driver — fatal at 100 TB). `assigned` must carry a `__cell`
     * int column; a cell that attracted no vectors keeps its seed. */
-  private def refineCentroids(assigned: DataFrame, vecCol: String,
+  private[operators] def refineCentroids(assigned: DataFrame, vecCol: String,
                               seeds: Array[Array[Double]]): Array[Array[Double]] = {
     val compMeans = assigned
       .select(col("__cell"), posexplode(col(vecCol)))

@@ -772,6 +772,34 @@ object SimilarityQueries extends QueryModule {
       },
       oracle = Some(exactTopkSql("WHERE q.vec_id < 32", "recall_ok"))),
 
+    // PERSISTED IVF+PQ composite index (IvfPqIndex) — the IVFADC form
+    // a 100 TB corpus actually serves: cell-clustered code rows
+    // (manifest-pruned probes, readWhereIn) carrying PQ-compressed
+    // RESIDUALS; queries open only their probed cells' files, score
+    // by base + ADC, and exact-rescore the shortlist against the
+    // full-precision corpus. Built on 3/4 of the corpus, the last
+    // quarter APPENDED with the stored centroids+codebook (no
+    // retrain); IvfPqIndexSpec pins search ≡ in-memory ivfPqTopK on a
+    // same-corpus build plus the opened-files prune. CERTIFIED vs the
+    // exact twin at q123's floor less the appended-quarter drift —
+    // floor 0.5 (q125's split convention).
+    "q287_ivfpq_index" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_ivfpq_ix").resolve("ix").toString
+        val emb = Tables(s, dir, "embeddings")
+        val b = col("vec_id") % 4
+        graft.operators.IvfPqIndex.build(
+          emb.filter(b =!= 0), root, dim = 64)
+        graft.operators.IvfPqIndex.append(emb.filter(b === 0), root)
+        val q = emb.filter(col("vec_id") < 32)
+        certifiedTopK(
+          Similarity.bruteForceTopK(q, emb, k = 5),
+          graft.operators.IvfPqIndex.search(q, emb, root, k = 5,
+            nprobe = 8, refine = 8),
+          floor = 0.5)
+      },
+      oracle = Some(exactTopkSql("WHERE q.vec_id < 32", "recall_ok"))),
+
     // Clustering EVALUATION: per-cluster purity of the q162 fixed-point
     // k-means assignment against the ground-truth labels the
     // embeddings fixture carries — the standard quick audit before

@@ -105,7 +105,7 @@ class PlanAuditSpec extends SparkSuite {
       // equi-join (audited by SimilaritySpec's plan assertions); the
       // twin is gate-scale-only by the same q165 rationale
       "q42_lsh_topk", "q43_ivf_topk", "q123_ivfpq_topk",
-      "q166_knn_graph_ivf", "q172_ivf_index",
+      "q166_knn_graph_ivf", "q172_ivf_index", "q287_ivfpq_index",
       "q83_cosine_neardup_lsh", "q119_semantic_dedup_lsh",
       // certified queries whose only BNLJ is Certify.attach's 1-ROW
       // flag frame crossed onto the anchor (q62's 1-row-broadcast

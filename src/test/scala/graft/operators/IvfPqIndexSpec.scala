@@ -1,0 +1,67 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** IvfPqIndex: the persisted IVFADC composite — search ≡ in-memory
+  * ivfPqTopK on a same-corpus build, manifest-pruned file opens, and
+  * stored-model appends. */
+class IvfPqIndexSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("graft_ivfpq_index").resolve("ix").toString
+
+  test("index search equals the in-memory ivfPqTopK row-for-row") {
+    val root = tmpRoot()
+    IvfPqIndex.build(emb, root, dim = 64, nlist = 16)
+    val q = emb.filter(col("vec_id") < 32)
+    val fromIndex = IvfPqIndex.search(q, emb, root, k = 5,
+      nprobe = 4, refine = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val inMemory = Similarity.ivfPqTopK(q, emb, k = 5, dim = 64,
+      nlist = 16, nprobe = 4, refine = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(fromIndex == inMemory)
+    assert(fromIndex.nonEmpty)
+  }
+
+  test("probe reads skip files: only the probed cells' CODE files open") {
+    val root = tmpRoot()
+    IvfPqIndex.build(emb, root, dim = 64, nlist = 16)
+    val allFiles = graft.sources.VersionedTable
+      .read(spark, new java.io.File(root, "codes").getPath).inputFiles.length
+    val one = emb.filter(col("vec_id") === 0)
+    val opened = IvfPqIndex.search(one, emb, root, k = 5, nprobe = 2)
+      .inputFiles.count(_.contains("/codes/"))
+    info(s"opened $opened of $allFiles code files for one query (nprobe=2)")
+    assert(opened < allFiles)
+    assert(opened > 0)
+  }
+
+  test("append encodes with the STORED centroids + codebook; new " +
+    "vectors are searchable at exact-rescore fidelity") {
+    val root = tmpRoot()
+    val base = emb.filter(col("vec_id") < 400)
+    IvfPqIndex.build(base, root, dim = 64, nlist = 8)
+    // append an identical twin of vector 0 under a new id: same cell
+    // and same code by construction (stored model), and the exact
+    // rescore must put it at rank 1 with cos == 1
+    val extra = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"),
+        col("label"))
+    IvfPqIndex.append(extra, root)
+    val corpus = base.unionByName(extra)
+    val got = IvfPqIndex.search(emb.filter(col("vec_id") === 0), corpus,
+      root, k = 3, nprobe = 2).collect()
+    assert(got.head.getLong(1) == 100000L)
+    assert(math.abs(got.head.getDouble(3) - 1.0) < 1e-12)
+  }
+}
