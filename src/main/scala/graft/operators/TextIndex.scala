@@ -164,9 +164,22 @@ object TextIndex {
     * table appends but before the pointer leaves the replayed batch's
     * orphan versions invisible — exactly-once with no sidecar
     * window. Maintenance ops ([[optimize]]/[[delete]]) carry the
-    * stamp forward. */
+    * stamp forward.
+    *
+    * `autoOptimizeFiles` > 0 is the AUTO-COMPACTION policy (the Delta
+    * auto-compaction role): when the committed postings table holds at
+    * least that many files after the append, [[optimize]] runs in the
+    * same call — incremental appends interleave each batch's whole
+    * vocabulary across its own files and degrade the serve-time bloom
+    * prune toward a full open; the trigger re-clusters by term before
+    * fragmentation compounds. Results are bit-identical before/after
+    * (optimize rewrites layout, never rows) and the txn stamp carries
+    * through; 0 (default) leaves compaction on the manual maintenance
+    * cadence. */
   def append(docs: DataFrame, root: String, idCol: String = "doc_id",
-             textCol: String = "text", txn: Long = -1L): Unit = {
+             textCol: String = "text", txn: Long = -1L,
+             autoOptimizeFiles: Int = 0,
+             autoOptimizeTarget: Int = 8): Unit = {
     if (!statsFile(root).exists()) {
       new File(root).mkdirs()
       writeCommit(root, 0L, 0L, -1L, -1L, -1L)
@@ -186,6 +199,11 @@ object TextIndex {
       coalesce(sum(col("dl")), lit(0L)).as("s")).head()
     writeCommit(root, n0 + row.getLong(0), s0 + row.getLong(1), pV, dV,
       math.max(txn, committedTxn(root)))
+    if (autoOptimizeFiles > 0 &&
+        postings(spark, root).inputFiles.length >= autoOptimizeFiles) {
+      optimize(spark, root, autoOptimizeTarget)
+      ()
+    }
   }
 
   /** The committed postings `(doc_id, term, tf)` — full scan at the

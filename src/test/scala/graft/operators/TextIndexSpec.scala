@@ -158,6 +158,60 @@ class TextIndexSpec extends SparkSuite {
     assert(TextIndex.stats(root) == statsBefore)
   }
 
+  test("auto-OPTIMIZE: a threshold-crossing append triggers clustering " +
+    "in the ingest door; opens drop; results bit-identical") {
+    val root = tmpRoot(); val manual = tmpRoot()
+    // same batches into both; only `root` carries the policy. Each
+    // append is 4-way repartitioned so fragmentation actually grows.
+    def batches = (0 to 5).map(r => docs.filter(col("doc_id") % 6 === r))
+    TextIndex.build(batches.head.repartition(4), root)
+    TextIndex.build(batches.head.repartition(4), manual)
+    var fired = false
+    for (b <- batches.tail) {
+      val beforeAuto = TextIndex.postings(spark, root).inputFiles.length
+      val beforeMan = TextIndex.postings(spark, manual).inputFiles.length
+      TextIndex.append(b.repartition(4), root, autoOptimizeFiles = 5,
+        autoOptimizeTarget = 2)
+      TextIndex.append(b.repartition(4), manual)
+      val afterAuto = TextIndex.postings(spark, root).inputFiles.length
+      // the identical append on the never-optimizing twin measures how
+      // many files this batch added; without a compaction the auto
+      // side would end at exactly beforeAuto + added
+      val added = TextIndex.postings(spark, manual).inputFiles.length -
+        beforeMan
+      info(s"beforeAuto=$beforeAuto afterAuto=$afterAuto added=$added")
+      if (afterAuto < beforeAuto + added) fired = true
+    }
+    assert(fired, "fixture must cross the file threshold at least once")
+    assert(TextIndex.postings(spark, root).inputFiles.length <
+      TextIndex.postings(spark, manual).inputFiles.length,
+      "the policy must leave the index less fragmented than the twin")
+    // bit-identical to the never-optimized twin: postings rows, stats,
+    // and BM25 results all unchanged by the compactions
+    assert(postingsSet(TextIndex.postings(spark, root)) ==
+      postingsSet(TextIndex.postings(spark, manual)))
+    assert(TextIndex.stats(root) == TextIndex.stats(manual))
+    val hot = TextIndex.postings(spark, root)
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(1)
+      .select("term").head().getString(0)
+    val a = TextIndex.searchBm25(spark, root, Seq(hot), k = 10)
+      .collect().map(_.toSeq).toList
+    val m = TextIndex.searchBm25(spark, manual, Seq(hot), k = 10)
+      .collect().map(_.toSeq).toList
+    assert(a == m)
+    // and the compacted layout actually narrows the hot-term probe
+    val openedAuto = graft.sources.VersionedTable
+      .readWhereEq(spark, s"$root/postings", "term", Seq(hot))
+      .inputFiles.length
+    val openedManual = graft.sources.VersionedTable
+      .readWhereEq(spark, s"$manual/postings", "term", Seq(hot))
+      .inputFiles.length
+    info(s"hot term '$hot': auto-optimized opens $openedAuto vs " +
+      s"fragmented $openedManual")
+    assert(openedAuto < openedManual)
+  }
+
   test("term probe opens fewer files than the postings table holds (bloom prune)") {
     import spark.implicits._
     val root = tmpRoot()
