@@ -242,6 +242,43 @@ object StreamQueries extends QueryModule {
                MIN(substring(text, 1, 16)) AS min_head
         FROM documents GROUP BY source ORDER BY source""")),
 
+    // CHUNKED blob storage (graft.sources.BlobStore): every document
+    // payload lands as 64-byte RANGED CHUNKS under a pointer manifest
+    // (total bytes, chunk count, md5), then the CHUNKED READER
+    // reassembles with checksum verification and the q60 aggregate
+    // runs over the reassembled bytes — hash-equality with the oracle
+    // (which reads the original documents directly) proves the
+    // split/reassemble cycle is byte-lossless for every asset, and
+    // all_intact = 1 proves every digest verified. The layout is what
+    // lets a single multi-GB asset live in bounded cells with
+    // O(range/chunk) ranged reads (MultiModalSpec pins slicing,
+    // corruption detection, and file pruning).
+    "q288_chunked_media" -> Q(
+      bench = false,
+      run = (s, dir) => {
+        val root = tempRoot("graft_blob_gate").resolve("b").toString
+        graft.sources.BlobStore.write(
+          Tables(s, dir, "documents").select(
+            col("doc_id").as("media_id"), col("source").as("kind"),
+            col("text").cast(BinaryType).as("payload")),
+          root, chunkBytes = 64)
+        graft.sources.BlobStore.readAssembled(s, root)
+          .groupBy(col("kind"))
+          .agg(count(lit(1)).as("n_media"),
+            sum(length(col("payload"))).cast("long").as("total_bytes"),
+            countDistinct(md5(col("payload"))).as("n_distinct"),
+            min(col("intact").cast("long")).as("all_intact"))
+          .select(col("kind").as("source"), col("n_media"),
+            col("total_bytes"), col("n_distinct"), col("all_intact"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        SELECT source, COUNT(*) AS n_media,
+               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+               COUNT(DISTINCT md5(text)) AS n_distinct,
+               CAST(1 AS BIGINT) AS all_intact
+        FROM documents GROUP BY source ORDER BY source""")),
+
     // Batched multimodal resize (mapPartitions, stub codec): the
     // truncation stand-in is deterministic, so the resized payload's
     // base-31 wrapping checksum is recomputed by the oracle in HUGEINT

@@ -1,0 +1,126 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Chunk-manifest blob storage for oversized media payloads — the
+  * missing piece between [[graft.operators.MultiModal]]'s typed rows
+  * and a 100 TB media lake: a single multi-GB asset stored as ONE
+  * binary cell breaks row/page limits (parquet pages, shuffle blocks,
+  * and the JVM's 2 GB array ceiling all bound a cell), so each payload
+  * is split into fixed-size RANGED CHUNKS with a pointer row holding
+  * the envelope (total bytes, chunk count, md5) — the
+  * content-addressed-manifest layout every large-object store uses,
+  * realized on the engine's own versioned-table format.
+  *
+  * Layout under `root`:
+  *  - `pointer/` — VersionedTable (media_id, kind, total_bytes,
+  *    n_chunks, digest): one row per asset; the digest is md5 of the
+  *    WHOLE payload, written at ingest, re-checked on reassembly.
+  *  - `chunks/` — VersionedTable (media_id, chunk_idx, offset,
+  *    n_bytes, chunk), RANGE-CLUSTERED by media_id with per-file
+  *    [min, max] media_id stats, so a point/range read opens only the
+  *    files holding the asset's chunks ([[VersionedTable.readWhereIn]]
+  *    manifest pruning) — never the media lake.
+  *
+  * The chunk split and reassembly are PURE COLUMN MATH (sequence +
+  * binary substring; concat fold) — codegen-friendly, no UDF, no
+  * driver bytes. Scale notes: `chunkBytes` bounds every cell and
+  * shuffle row; [[readRange]] reads O(requested bytes / chunkBytes)
+  * chunk rows (a frame sample touches its chunk, not the asset);
+  * [[readAssembled]] is for consumers that genuinely need whole
+  * payloads and inherits their size — at 2 GB+ per asset, stream
+  * ranges instead. */
+object BlobStore {
+
+  private def pointerRoot(root: String) = s"$root/pointer"
+  private def chunksRoot(root: String) = s"$root/chunks"
+
+  /** Ingest (media_id, kind, payload) rows: split each payload into
+    * `chunkBytes`-sized ranged chunks and commit chunks (clustered +
+    * stats on media_id) and pointers. Zero-length payloads keep one
+    * empty chunk so every asset reassembles. `numFiles` > 0 pins the
+    * chunk-file count (default ~1 file per 64 chunks). */
+  def write(media: DataFrame, root: String, chunkBytes: Int,
+            numFiles: Int = 0): Unit = {
+    require(chunkBytes > 0, s"chunkBytes must be positive, got $chunkBytes")
+    // exact integer chunk count — no float ceil anywhere near lengths
+    val nChunksCol =
+      greatest(expr(s"(length(payload) + ${chunkBytes - 1}) div $chunkBytes"),
+        lit(1L))
+    val ptr = media.select(col("media_id"), col("kind"),
+      length(col("payload")).cast(LongType).as("total_bytes"),
+      nChunksCol.as("n_chunks"),
+      md5(col("payload")).as("digest"))
+    val chunks = media.select(col("media_id"), col("payload"),
+        explode(sequence(lit(0L), nChunksCol - 1)).as("chunk_idx"))
+      .select(col("media_id"), col("chunk_idx"),
+        (col("chunk_idx") * chunkBytes).as("offset"),
+        expr(s"substring(payload, chunk_idx * $chunkBytes + 1, $chunkBytes)")
+          .as("chunk"))
+      .withColumn("n_bytes", length(col("chunk")).cast(LongType))
+      .select(col("media_id"), col("chunk_idx"), col("offset"),
+        col("n_bytes"), col("chunk"))
+    val nChunkRows = chunks.count()
+    val files =
+      if (numFiles > 0) numFiles
+      else math.max(1, (nChunkRows / 64).toInt)
+    VersionedTable.overwriteWithStats(
+      chunks.repartitionByRange(files, col("media_id"), col("chunk_idx")),
+      chunksRoot(root), "media_id")
+    VersionedTable.overwrite(ptr, pointerRoot(root))
+    ()
+  }
+
+  /** Reassemble every asset with CHECKSUM VERIFICATION: chunks sort by
+    * index and concat-fold back into the payload; `intact` is true iff
+    * the reassembled bytes match the pointer's recorded length AND
+    * md5 — a lost, truncated, or corrupted chunk flips it (serve-side
+    * integrity, the manifest-digest contract). */
+  def readAssembled(spark: SparkSession, root: String): DataFrame = {
+    val ptr = VersionedTable.read(spark, pointerRoot(root))
+    val asm = VersionedTable.read(spark, chunksRoot(root))
+      .groupBy(col("media_id"))
+      .agg(aggregate(
+        transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          s => s.getField("chunk")),
+        lit(Array.emptyByteArray),
+        (acc, x) => concat(acc, x)).as("payload"))
+    ptr.join(asm, Seq("media_id"), "left")
+      .select(col("media_id"), col("kind"), col("payload"),
+        (col("payload").isNotNull &&
+          length(col("payload")).cast(LongType) === col("total_bytes") &&
+          md5(col("payload")) === col("digest")).as("intact"))
+  }
+
+  /** Ranged read: the byte slice `[offset, offset + nBytes)` of one
+    * asset, touching ONLY the chunk rows that intersect the range —
+    * and, via the manifest's media_id stats, only the FILES holding
+    * that asset. Output: one row (media_id, payload) with the slice
+    * (shorter if the range passes the asset's end). */
+  def readRange(spark: SparkSession, root: String, mediaId: Long,
+                offset: Long, nBytes: Long): DataFrame = {
+    require(offset >= 0 && nBytes > 0, "range must be non-negative/positive")
+    val lo = lit(offset); val hi = lit(offset + nBytes)
+    VersionedTable.readWhereIn(spark, chunksRoot(root), "media_id",
+      Seq(mediaId))
+      .filter(col("offset") + col("n_bytes") > lo && col("offset") < hi)
+      // intersection of [offset, offset+n_bytes) with the request:
+      // 1-based start inside the chunk + intersection length
+      .withColumn("__pos",
+        (greatest(lo, col("offset")) - col("offset") + 1).cast("int"))
+      .withColumn("__len",
+        (least(hi, col("offset") + col("n_bytes")) -
+          greatest(lo, col("offset"))).cast("int"))
+      .withColumn("piece", expr("substring(chunk, __pos, __len)"))
+      .groupBy(col("media_id"))
+      .agg(aggregate(
+        transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("piece")))),
+          s => s.getField("piece")),
+        lit(Array.emptyByteArray),
+        (acc, x) => concat(acc, x)).as("payload"))
+  }
+}

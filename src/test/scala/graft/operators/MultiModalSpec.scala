@@ -59,6 +59,68 @@ class MultiModalSpec extends SparkSuite {
     intercept[IllegalArgumentException](pHashNearDupPairs(media, maxHamming = 7))
   }
 
+  test("BlobStore: multi-chunk round-trip is byte-identical and " +
+    "checksum-verified; corruption flips intact; ranged reads slice " +
+    "exactly and prune files") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{BlobStore, VersionedTable}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_blobstore").resolve("b").toString
+    // payload sizes straddle the chunk boundary: 1 byte, exactly one
+    // chunk, chunk+1, several chunks, and a large asset
+    val rnd = new scala.util.Random(11)
+    val payloads = Seq(1, 100, 101, 350, 5000).zipWithIndex.map {
+      case (n, i) =>
+        val b = new Array[Byte](n); rnd.nextBytes(b)
+        (i.toLong, s"kind$i", b)
+    }
+    import spark.implicits._
+    BlobStore.write(payloads.toDF("media_id", "kind", "payload"), root,
+      chunkBytes = 100, numFiles = 4)
+    // chunk rows bound every cell at chunkBytes and cover the payload
+    val ch = VersionedTable.read(spark, s"$root/chunks")
+    assert(ch.agg(max(length(col("chunk")))).head().getInt(0) <= 100)
+    assert(ch.filter(col("media_id") === 4L).count() == 50)
+    // round trip: byte-identical, every asset intact
+    val back = BlobStore.readAssembled(spark, root).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Array[Byte]]("payload"), r.getAs[Boolean]("intact"))).toMap
+    payloads.foreach { case (id, _, b) =>
+      assert(back(id)._2, s"asset $id must verify")
+      assert(java.util.Arrays.equals(back(id)._1, b),
+        s"asset $id must round-trip byte-identically")
+    }
+    // ranged read: an arbitrary cross-chunk slice equals the original
+    // slice, and only the asset's files open (media_id stats prune)
+    val slice = BlobStore.readRange(spark, root, 4L, 250L, 777L)
+      .head().getAs[Array[Byte]]("payload")
+    assert(java.util.Arrays.equals(slice,
+      payloads(4)._3.slice(250, 250 + 777)))
+    val allFiles = VersionedTable.read(spark, s"$root/chunks")
+      .inputFiles.length
+    val opened = BlobStore.readRange(spark, root, 0L, 0L, 1L)
+      .inputFiles.length
+    info(s"ranged read opened $opened of $allFiles chunk files")
+    assert(opened < allFiles)
+    // past-the-end range truncates to the asset
+    val tail = BlobStore.readRange(spark, root, 1L, 90L, 1000L)
+      .head().getAs[Array[Byte]]("payload")
+    assert(java.util.Arrays.equals(tail, payloads(1)._3.slice(90, 100)))
+    // corruption: truncate one mid-asset chunk → only that asset's
+    // intact flag flips (reassembled bytes no longer match the digest)
+    val tampered = VersionedTable.read(spark, s"$root/chunks")
+      .withColumn("chunk",
+        when(col("media_id") === 3L && col("chunk_idx") === 1L,
+          expr("substring(chunk, 1, 10)")).otherwise(col("chunk")))
+    VersionedTable.overwrite(tampered, s"$root/chunks")
+    val after = BlobStore.readAssembled(spark, root).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Boolean]("intact"))
+      .toMap
+    assert(!after(3L), "corrupted asset must fail verification")
+    assert(Seq(0L, 1L, 2L, 4L).forall(after(_)),
+      "other assets stay verified")
+  }
+
   test("sampleFrameOffsets: evenly spaced plan, no codec needed") {
     import spark.implicits._
     val media = Seq((1L, Array.fill[Byte](1000)(0))).toDF("media_id", "payload")
