@@ -94,7 +94,21 @@ object Bench {
     Thread.sleep(1500)
     val q = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$q,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$q,"sf":"$sfDir"}"""
+    // the driver's artifact truncates to a ~2000-char tail, losing most
+    // per-query figures — persist the FULL line in-repo so every round's
+    // complete bench is auditable (SPARK_GRAFT_BENCH_OUT overrides;
+    // empty disables, e.g. for ad-hoc runs outside the repo)
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_FULL.json")
+    if (benchOut.nonEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get(benchOut),
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $benchOut: $e")
+      }
+    println(fullLine)
     // Locale.ROOT: the f interpolator is default-locale-sensitive — a
     // comma-decimal locale would make this line invalid JSON
     def c2(v: Double): String =
