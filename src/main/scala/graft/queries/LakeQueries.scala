@@ -1934,6 +1934,55 @@ object LakeQueries extends QueryModule {
                CAST(1 AS BIGINT) AS bad_rejected,
                CAST(1 AS BIGINT) AS contract_stored
         FROM orders GROUP BY 1 ORDER BY 1"""),
+      bench = false),
+
+    // STATS-DRIVEN JOIN PLANNING (VersionedTable.readAuto): the dim
+    // table's manifest records per-file byte sizes at write, and the
+    // read path turns them into the broadcast decision — no manual
+    // hint anywhere. The query joins customer to the versioned nation
+    // dim through readAuto and PROVES the plan flip in-result: with
+    // Spark's own size-estimate broadcasting disabled, the manifest
+    // says "small" → BroadcastHashJoin (small_bc = 1); the same table
+    // under a 1-byte threshold shuffles (large_bc = 0). The CBO story
+    // Delta gets from file statistics, on the engine's own manifest
+    // format; PlanSpec pins the same flip at spec level.
+    "q289_auto_broadcast" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_autobc").resolve("t").toString
+        graft.sources.VersionedTable.appendWithStats(
+          Tables(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name")), root)
+        val cust = Tables(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        def joined(thr: Long) = cust.join(
+          graft.sources.VersionedTable.readAuto(s, root, thr),
+          col("c_nationkey") === col("n_nationkey"))
+        // plan flags computed with Spark's native size-estimate
+        // broadcast OFF, so the manifest is the only voice (restored
+        // immediately; planning is eager via executedPlan)
+        val saved = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        val (smallBc, largeBc) =
+          try {
+            s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            def bc(thr: Long): Long =
+              if (joined(thr).queryExecution.executedPlan.toString
+                .contains("BroadcastHashJoin")) 1L else 0L
+            (bc(10L << 20), bc(1L))
+          } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        joined(10L << 20)
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("bal"))
+          .withColumn("small_bc", lit(smallBc))
+          .withColumn("large_bc", lit(largeBc))
+          .orderBy("n_name")
+      },
+      oracle = Some("""
+        SELECT n_name, COUNT(*) AS n_cust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+               CAST(1 AS BIGINT) AS small_bc,
+               CAST(0 AS BIGINT) AS large_bc
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1 ORDER BY 1"""),
       bench = false)
   )
 

@@ -45,9 +45,12 @@ object BlobStore {
   def write(media: DataFrame, root: String, chunkBytes: Int,
             numFiles: Int = 0): Unit = {
     require(chunkBytes > 0, s"chunkBytes must be positive, got $chunkBytes")
-    // exact integer chunk count — no float ceil anywhere near lengths
+    // exact integer chunk count — no float ceil anywhere near lengths;
+    // length() is INT and a ~2 GB payload would overflow the `+`, so
+    // the arithmetic runs in BIGINT
     val nChunksCol =
-      greatest(expr(s"(length(payload) + ${chunkBytes - 1}) div $chunkBytes"),
+      greatest(expr(s"(cast(length(payload) as bigint) " +
+          s"+ ${chunkBytes - 1}L) div ${chunkBytes}L"),
         lit(1L))
     val ptr = media.select(col("media_id"), col("kind"),
       length(col("payload")).cast(LongType).as("total_bytes"),
@@ -62,10 +65,15 @@ object BlobStore {
       .withColumn("n_bytes", length(col("chunk")).cast(LongType))
       .select(col("media_id"), col("chunk_idx"), col("offset"),
         col("n_bytes"), col("chunk"))
-    val nChunkRows = chunks.count()
     val files =
       if (numFiles > 0) numFiles
-      else math.max(1, (nChunkRows / 64).toInt)
+      else {
+        // one cheap pass for the default file count: sum of per-asset
+        // chunk counts, column-pruned to lengths — never a second
+        // execution of the explode/substring chunk-split job
+        val n = ptr.agg(sum(col("n_chunks"))).collect().head
+        math.max(1, (if (n.isNullAt(0)) 0L else n.getLong(0)) / 64).toInt
+      }
     VersionedTable.overwriteWithStats(
       chunks.repartitionByRange(files, col("media_id"), col("chunk_idx")),
       chunksRoot(root), "media_id")

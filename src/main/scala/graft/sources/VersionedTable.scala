@@ -131,8 +131,9 @@ object VersionedTable {
     while (base == null) {
       val ckpt = checkpointFile(root, cur)
       if (ckpt.exists()) {
-        val txt = new String(Files.readAllBytes(ckpt.toPath), StandardCharsets.UTF_8)
-        base = txt.linesIterator.filter(_.nonEmpty).toSeq
+        // checkpoints carry #txn state lines (see txnStateAt) — file
+        // resolution stays txn-blind, like full manifests
+        base = rawCheckpointLines(root, cur).filterNot(_.startsWith(TxnPrefix))
       } else {
         val lines = readManifest(root, cur)
         if (isDelta(lines)) {
@@ -150,10 +151,48 @@ object VersionedTable {
     }
   }
 
+  private def rawCheckpointLines(root: String, v: Long): Seq[String] = {
+    val txt = new String(
+      Files.readAllBytes(checkpointFile(root, v).toPath), StandardCharsets.UTF_8)
+    txt.linesIterator.filter(_.nonEmpty).toSeq
+  }
+
+  /** The newest `#txn` line per appId as of version `v`, folded by
+    * walking manifests newest→oldest and stopping at the first OLDER
+    * checkpoint (which, by this same rule, already aggregates
+    * everything below it). Checkpoints persist this state so that
+    * [[vacuum]]'s manifest expiry cannot lose an idempotent writer's
+    * progress marker — exactly why Delta carries SetTransaction
+    * actions into its checkpoints. */
+  private def txnStateAt(root: String, v: Long): Seq[String] = {
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def absorb(lines: Seq[String]): Unit = lines.foreach { l =>
+      if (l.startsWith(TxnPrefix + "\t")) {
+        val parts = l.split('\t')
+        if (parts.length == 3 && !seen.contains(parts(1)))
+          seen(parts(1)) = parts(2).toLong
+      }
+    }
+    val existing = versions(root).toSet
+    var cur = v
+    var stop = false
+    while (!stop && cur >= 0 && existing.contains(cur)) {
+      absorb(readManifest(root, cur))
+      if (cur != v && checkpointFile(root, cur).exists()) {
+        absorb(rawCheckpointLines(root, cur))
+        stop = true
+      }
+      cur -= 1
+    }
+    seen.toSeq.map { case (a, n) => s"$TxnPrefix\t$a\t$n" }
+  }
+
   /** Best-effort full-listing checkpoint for `v` (idempotent — content
-    * is deterministic from the log; REPLACE_EXISTING is safe). */
+    * is deterministic from the log; REPLACE_EXISTING is safe). Carries
+    * the aggregated `#txn` state (see [[txnStateAt]]) after the file
+    * lines; [[readListing]] filters them back out. */
   private def writeCheckpoint(root: String, v: Long): Unit = {
-    val listing = readListing(root, v)
+    val listing = readListing(root, v) ++ txnStateAt(root, v)
     val tmp = Files.createTempFile(logDir(root).toPath, s"_ckpt$v", ".inprogress")
     Files.write(tmp, listing.mkString("\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, checkpointFile(root, v).toPath,
@@ -240,6 +279,13 @@ object VersionedTable {
     * COUNT(*)" role. */
   private[sources] val RowsKey = "__rows"
 
+  /** The pseudo-column under which stats-recording commits keep each
+    * file's ON-DISK BYTE SIZE (same degenerate [n, n] triple grammar
+    * as [[RowsKey]]). Powers [[sizeBytes]] and the manifest-driven
+    * broadcast decision in [[readAuto]] — the Delta CBO role where
+    * file statistics, not hints, decide the join strategy. */
+  private[sources] val BytesKey = "__bytes"
+
   /** Per-staged-file [min, max] of each `statsCols` entry
     * (long-castable) PLUS the file's row count under [[RowsKey]],
     * computed with one small aggregation over just the staged files;
@@ -264,9 +310,14 @@ object VersionedTable {
         }.mkString
         r.getString(0).split('/').last -> suffix
       }.toMap
-    // a staged file absent from the aggregate wrote zero rows
-    staged.map(p =>
-      p + byName.getOrElse(p.split('/').last, s"\t$RowsKey\t0\t0"))
+    // a staged file absent from the aggregate wrote zero rows; every
+    // line additionally records the file's byte size (driver-side
+    // stat of just-staged files — free next to the write)
+    staged.map { p =>
+      val bytes = new File(p).length()
+      p + byName.getOrElse(p.split('/').last, s"\t$RowsKey\t0\t0") +
+        s"\t$BytesKey\t$bytes\t$bytes"
+    }
   }
 
   /** Manifest key for per-file COLUMN SUMS: `sum:<col>` with the sum
@@ -714,6 +765,61 @@ object VersionedTable {
     }
   }
 
+  /** METADATA-ONLY table size in bytes: folded from the per-file
+    * [[BytesKey]] stats — `Some` only when EVERY file of the version
+    * records its size (lines staged before byte recording force
+    * `None`, conservative). The O(manifest) input to the broadcast
+    * decision in [[readAuto]]; on an object store this is the whole
+    * point — no per-file HEAD round-trips to size a join side. */
+  def sizeBytes(root: String, version: Option[Long] = None): Option[Long] = {
+    version.orElse(latestVersion(root)) match {
+      case None => None
+      case Some(v) =>
+        val sizes = readListing(root, v)
+          .map(ln => statsOf(ln).get(BytesKey).map(_._1))
+        if (sizes.nonEmpty && sizes.forall(_.isDefined))
+          Some(sizes.flatten.sum)
+        else None
+    }
+  }
+
+  /** STATS-DRIVEN read (the manifest-fed CBO role): the latest
+    * snapshot, wrapped in a `broadcast()` hint iff the MANIFEST's
+    * recorded byte total is positive and ≤ the threshold — small
+    * versioned dims broadcast into joins with NO manual hint, large
+    * ones shuffle, and the decision costs one listing read.
+    *
+    * Threshold: `thresholdBytes` ≥ 0 wins; −1 (default) uses the
+    * session's `spark.sql.autoBroadcastJoinThreshold`. The manifest
+    * records COMPRESSED parquet bytes while Spark's threshold speaks
+    * in-memory bytes — the same mismatch Spark's own file-source
+    * sizeInBytes has, handled the same way (the threshold is the
+    * dial). A table without complete byte stats (pre-recording
+    * versions, rewritten files) falls back to a driver-side stat of
+    * the listed files — exact on a filesystem, and the conservative
+    * price only old tables pay; new stats-recording commits answer
+    * from the manifest alone.
+    *
+    * Why a hint and not a custom `LogicalPlan` stats rule: the scan
+    * Spark builds over the resolved file list already carries file
+    * sizes; what Spark CANNOT know is that this table format's
+    * snapshot = this exact file list (it sees whatever paths we pass).
+    * The broadcast decision is the one planning input the manifest
+    * adds, and `broadcast()` is the native Catalyst way to assert it —
+    * ResolveJoinStrategyHints turns it into the same
+    * BroadcastHashJoin the CBO would pick with perfect stats. */
+  def readAuto(spark: SparkSession, root: String,
+               thresholdBytes: Long = -1L): DataFrame = {
+    val v = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
+    val bytes = sizeBytes(root, Some(v)).getOrElse(
+      readListing(root, v).map(ln => new File(pathOf(ln)).length()).sum)
+    val thr =
+      if (thresholdBytes >= 0) thresholdBytes
+      else spark.sessionState.conf.autoBroadcastJoinThreshold
+    val df = readVersion(spark, root, v)
+    if (bytes > 0 && thr > 0 && bytes <= thr) broadcast(df) else df
+  }
+
   /** DESCRIBE HISTORY role, metadata-only: one (version, files, rows)
     * row per commit, folded from the manifests alone — `rows` is
     * `None` for versions containing any file that predates row-count
@@ -907,6 +1013,31 @@ object VersionedTable {
     v
   }
 
+  /** [[append]] with an AUTO-COMPACTION policy (the Delta
+    * auto-compaction role, hoisted from the TextIndex door to the base
+    * table format): when the committed listing holds ≥
+    * `autoCompactFiles` files after the append, [[compact]] runs in
+    * the same call — small per-batch files from a steady trickle of
+    * appends are folded back to ~`targetBytes` files before the
+    * small-files problem compounds (every reader's listing, footer
+    * round-trips, and task count track file count). Row content is
+    * untouched (compact packs, never edits); `statsCols` keeps
+    * [[readWhere]] skipping tight across the fold, exactly as in
+    * [[compact]]. Returns the latest committed version (the
+    * compaction's, when it fired). */
+  def appendAutoCompact(df: DataFrame, root: String,
+                        autoCompactFiles: Int,
+                        targetBytes: Long = 128L << 20,
+                        statsCols: Seq[String] = Seq.empty): Long = {
+    require(autoCompactFiles > 1, "autoCompactFiles must be > 1")
+    val v =
+      if (statsCols.isEmpty) append(df, root)
+      else appendWithStats(df, root, statsCols: _*)
+    if (readListing(root, v).size >= autoCompactFiles)
+      compact(df.sparkSession, root, targetBytes, statsCols)
+    else v
+  }
+
   // -------------------------------------------------------------------
   // Idempotent-writer transactions (the Delta txnAppId/txnVersion
   // protocol): a commit may carry a `#txn\t<appId>\t<n>` line INSIDE
@@ -931,16 +1062,25 @@ object VersionedTable {
 
   /** The newest recorded transaction version for `appId`, scanning
     * manifests newest→oldest (early exit on the first hit — for a
-    * steady single-writer stream that is the head commit; a table
-    * never written by `appId` walks its manifests once and returns
-    * None). */
+    * steady single-writer stream that is the head commit). The walk is
+    * BOUNDED at the newest checkpoint: checkpoints aggregate the txn
+    * state of everything below them ([[txnStateAt]]), so a cold table
+    * with a long non-stamped history costs O(checkpointInterval)
+    * manifest reads, not O(versions) — and txn state survives
+    * [[vacuum]]'s manifest expiry via the oldest retained version's
+    * checkpoint. */
   def latestTxn(root: String, appId: String): Option[Long] = {
     val prefix = s"$TxnPrefix\t$appId\t"
-    versions(root).reverseIterator.flatMap { v =>
-      readManifest(root, v).collectFirst {
-        case l if l.startsWith(prefix) => l.substring(prefix.length).toLong
-      }
-    }.nextOption()
+    def hitIn(lines: Seq[String]): Option[Long] = lines.collectFirst {
+      case l if l.startsWith(prefix) => l.substring(prefix.length).toLong
+    }
+    versions(root).reverseIterator.foreach { v =>
+      val hit = hitIn(readManifest(root, v))
+      if (hit.isDefined) return hit
+      if (checkpointFile(root, v).exists())
+        return hitIn(rawCheckpointLines(root, v))
+    }
+    None
   }
 
   /** [[append]] stamped with (`appId`, `txn`) atomically in the same
@@ -1182,13 +1322,27 @@ object VersionedTable {
     * writer's progress marker lands INSIDE this same atomic commit,
     * and a replay (`txn` ≤ the recorded latest) returns without
     * writing — exactly-once for a streaming apply door in one
-    * commit. */
+    * commit.
+    *
+    * DELETE ordering and `deletedCol`: without it, a delete physically
+    * removes the key, so its SEQUENCE is forgotten — delete ordering
+    * is then only enforced against rows the table still stores (a
+    * delete at seq 10 followed, in a LATER batch, by a stale upsert at
+    * seq 5 re-inserts the row). Pass `deletedCol` (a boolean column of
+    * the target schema) to persist deletes as TOMBSTONE rows — key +
+    * sequence kept, payload columns nulled, flag true — so the stale
+    * upsert loses the same seq race as any other stale row and the key
+    * stays dead. Read live rows via [[readLive]]; reclaim aged
+    * tombstones via [[vacuumTombstones]] (after which ordering
+    * guarantees for those keys age out with them, the standard CDC
+    * retention trade). */
   def applyChangesGuarded(spark: SparkSession, root: String, feed: DataFrame,
                           keyCols: Seq[String], seqCol: String, opCol: String,
                           maxRetries: Int = 5,
                           beforeCommit: () => Unit = () => (),
                           txnAppId: String = null,
-                          txn: Long = -1L): Long = {
+                          txn: Long = -1L,
+                          deletedCol: String = null): Long = {
     if (txnAppId != null && txn >= 0 &&
         latestTxn(root, txnAppId).exists(_ >= txn))
       return latestVersion(root).getOrElse(
@@ -1221,14 +1375,37 @@ object VersionedTable {
       val touched0 =
         files.filter(f => touchedNames.contains(pathOf(f).split('/').last))
       val outCols = target.columns.toSeq
+      if (deletedCol != null)
+        require(outCols.contains(deletedCol),
+          s"tombstone mode needs the target to store '$deletedCol'")
       // stored rows compete as live upserts at their RECORDED sequence;
-      // __src breaks seq ties toward the feed (replay idempotence)
+      // __src breaks seq ties toward the feed (replay idempotence).
+      // Tombstone mode projects feed DELETES as flagged rows (key +
+      // seq kept, payload nulled) so a delete's sequence persists.
+      val feedProj: Seq[org.apache.spark.sql.Column] =
+        if (deletedCol == null) outCols.map(col)
+        else {
+          val isDel = upper(col(opCol)) === "D"
+          outCols.map { c =>
+            if (c == deletedCol) isDel.as(c)
+            else if (keyCols.contains(c) || c == seqCol) col(c)
+            else when(isDel, lit(null).cast(target.schema(c).dataType))
+              .otherwise(col(c)).as(c)
+          }
+        }
       val feedCand = latest
-        .select((outCols.map(col) :+ upper(col(opCol)).as("__op")): _*)
+        .select((feedProj :+ upper(col(opCol)).as("__op")): _*)
         .withColumn("__src", lit(1))
+      // winners: tombstone mode KEEPS delete winners (as tombstone
+      // rows); plain mode drops them (the key physically disappears)
+      val winnerPred =
+        if (deletedCol == null) col("__rn") === 1 && col("__op") =!= "D"
+        else col("__rn") === 1
       val rewritten =
         if (touched0.isEmpty)
-          feedCand.filter(col("__op") =!= "D").select(outCols.map(col): _*)
+          feedCand.filter(
+            if (deletedCol == null) col("__op") =!= "D" else lit(true))
+            .select(outCols.map(col): _*)
         else {
           val stored = spark.read.option("mergeSchema", "true")
             .parquet(touched0.map(pathOf): _*)
@@ -1242,7 +1419,7 @@ object VersionedTable {
           val winners = storedCand.unionByName(feedCand)
             .withColumn("__rn",
               org.apache.spark.sql.functions.row_number().over(w2))
-            .filter(col("__rn") === 1 && col("__op") =!= "D")
+            .filter(winnerPred)
             .select(outCols.map(col): _*)
           stored.join(affectedKeys, keyCols, "left_anti")
             .select(outCols.map(col): _*)
@@ -1267,6 +1444,25 @@ object VersionedTable {
     }
     -1L // unreachable
   }
+
+  /** Live rows of a tombstone-retaining CDC table (the read companion
+    * of [[applyChangesGuarded]]'s `deletedCol` mode): the latest
+    * snapshot minus tombstone rows. Null flags (rows written before
+    * the column existed, via mergeSchema evolution) count as live. */
+  def readLive(spark: SparkSession, root: String,
+               deletedCol: String): DataFrame =
+    read(spark, root).filter(!coalesce(col(deletedCol), lit(false)))
+
+  /** Reclaim tombstones with sequence ≤ `horizon` — the CDC retention
+    * sweep (Delta's tombstone retention role). After it, out-of-order
+    * protection for the reclaimed keys ages out with them: any feed
+    * row older than `horizon` must already be impossible upstream
+    * (the standard retention contract). Returns the committed
+    * version (unchanged if no tombstone qualified). */
+  def vacuumTombstones(spark: SparkSession, root: String, deletedCol: String,
+                       seqCol: String, horizon: Long): Long =
+    delete(spark, root,
+      coalesce(col(deletedCol), lit(false)) && col(seqCol) <= lit(horizon))
 
   /** Row-level DELETE WHERE (copy-on-write) — the Delta `DELETE FROM`
     * role, and the table format's data-removal story (takedown /
@@ -1713,9 +1909,13 @@ object VersionedTable {
   def vacuum(root: String, retainVersions: Int = 1): Int = {
     val vs = versions(root)
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - retainVersions))
+    // the oldest RETAINED version always gets a (re)checkpoint before
+    // manifests below it disappear: it keeps a delta manifest
+    // resolvable AND preserves the aggregated #txn state recorded in
+    // the about-to-expire manifests (an existing checkpoint may
+    // predate newer txn stamps below `oldest`, so recompute)
     keep.headOption.foreach { oldest =>
-      if (!checkpointFile(root, oldest).exists() &&
-          isDelta(readManifest(root, oldest)))
+      if (drop.nonEmpty || !checkpointFile(root, oldest).exists())
         writeCheckpoint(root, oldest)
     }
     val live = keep.flatMap(readListing(root, _).map(pathOf)).toSet

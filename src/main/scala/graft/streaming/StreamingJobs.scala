@@ -545,10 +545,16 @@ object StreamingJobs {
         // the pointer move is healed by the replay's refresh+publish,
         // and readers meanwhile still resolve the last consistent pair
         val fv = VersionedTable.appendTxn(batch, facts, "publish", batchId)
-        MaterializedView.refreshAdditive(spark, facts, view,
-          Seq("event_type"), "value")
-        val vv = VersionedTable.latestVersion(view).get
-        SnapshotGroup.publish(groupRoot, Map(facts -> fv, view -> vv))
+        // fv < 0 = empty batch against a not-yet-bootstrapped facts
+        // table (no version 0 exists): nothing to refresh or publish —
+        // refreshing would throw on the version-less table and crash
+        // the stream
+        if (fv >= 0) {
+          MaterializedView.refreshAdditive(spark, facts, view,
+            Seq("event_type"), "value")
+          val vv = VersionedTable.latestVersion(view).get
+          SnapshotGroup.publish(groupRoot, Map(facts -> fv, view -> vv))
+        }
         ()
       }
       .option("checkpointLocation",
@@ -557,7 +563,20 @@ object StreamingJobs {
       .start()
     q.processAllAvailable()
     q.stop()
-    SnapshotGroup.readAt(spark, groupRoot, view)
+    // an all-empty input never bootstraps the facts table, so nothing
+    // was ever published — return the (empty) view shape instead of
+    // failing the publish-group resolution
+    if (SnapshotGroup.current(groupRoot).isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("total",
+            org.apache.spark.sql.types.DecimalType(18, 2)))))
+    else SnapshotGroup.readAt(spark, groupRoot, view)
   }
 
   /** STREAMING expect-or-quarantine door (the DLT `expect_or_drop`

@@ -116,4 +116,35 @@ class PlanSpec extends SparkSuite {
     assert("hashpartitioning\\(doc_id".r.findAllIn(plan).nonEmpty, plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("readAuto: manifest byte stats flip the join strategy at the " +
+    "threshold — no manual hint on either side") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_autobc").resolve("t").toString
+    val dim = (1 to 50).map(i => (i.toLong, s"name_$i")).toDF("k", "name")
+    graft.sources.VersionedTable.appendWithStats(dim, root)
+    assert(graft.sources.VersionedTable.sizeBytes(root).exists(_ > 0),
+      "appendWithStats must record per-file bytes in the manifest")
+    val fact = spark.range(20000)
+      .select((col("id") % 50 + 1).as("k"), col("id").as("v"))
+    // disable Spark's own size-estimate broadcast so the MANIFEST is
+    // the only voice in the decision
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def planWith(thr: Long): String = fact
+        .join(graft.sources.VersionedTable.readAuto(spark, root, thr), Seq("k"))
+        .groupBy(col("name")).count()
+        .queryExecution.executedPlan.toString
+      // under the threshold: the manifest says "small" → broadcast
+      val small = planWith(10L << 20)
+      assert(small.contains("BroadcastHashJoin"), small)
+      // over the threshold (1 byte): same table shuffles
+      val big = planWith(1L)
+      assert(!big.contains("BroadcastHashJoin") &&
+        big.contains("SortMergeJoin"), big)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }

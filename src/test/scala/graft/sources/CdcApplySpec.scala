@@ -163,6 +163,57 @@ class CdcApplySpec extends SparkSuite {
     assert(!st().exists(_._1 == 6L))
   }
 
+  test("tombstone mode: a delete's sequence persists — a later batch's " +
+    "stale upsert cannot resurrect the key") {
+    import spark.implicits._
+    val root = freshRoot("tomb")
+    // tombstone targets store the sequence AND the deleted flag
+    VersionedTable.overwrite(
+      Seq((1L, 5L, "a", 50.0, false), (2L, 5L, "b", 50.0, false))
+        .toDF("k", "seq", "s", "v", "gone"), root)
+    def live(): Set[(Long, Long, Double)] =
+      VersionedTable.readLive(spark, root, "gone").collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Long]("seq"),
+          r.getAs[Double]("v"))).toSet
+    // batch 1: delete k=1 at seq 10
+    VersionedTable.applyChangesGuarded(spark, root,
+      Seq((1L, 10L, "a", 0.0, "D")).toDF("k", "seq", "s", "v", "op"),
+      Seq("k"), "seq", "op", deletedCol = "gone")
+    assert(live() == Set((2L, 5L, 50.0)))
+    // the tombstone row is physically retained with its sequence
+    val tomb = VersionedTable.read(spark, root)
+      .filter(col("gone")).collect()
+    assert(tomb.map(r => (r.getAs[Long]("k"), r.getAs[Long]("seq")))
+      .toSet == Set((1L, 10L)))
+    // batch 2, LATER, carries an out-of-order upsert at seq 7 < 10:
+    // without the tombstone this would re-insert k=1 — here it loses
+    // the sequence race against the retained tombstone
+    VersionedTable.applyChangesGuarded(spark, root,
+      Seq((1L, 7L, "a", 70.0, "U")).toDF("k", "seq", "s", "v", "op"),
+      Seq("k"), "seq", "op", deletedCol = "gone")
+    assert(live() == Set((2L, 5L, 50.0)),
+      "stale upsert after a delete must not resurrect the key")
+    // a genuinely NEWER upsert at seq 12 legitimately revives it
+    VersionedTable.applyChangesGuarded(spark, root,
+      Seq((1L, 12L, "a", 120.0, "U")).toDF("k", "seq", "s", "v", "op"),
+      Seq("k"), "seq", "op", deletedCol = "gone")
+    assert(live() == Set((1L, 12L, 120.0), (2L, 5L, 50.0)))
+    // tombstone on a key never stored: recorded too (protects inserts)
+    VersionedTable.applyChangesGuarded(spark, root,
+      Seq((9L, 20L, "x", 0.0, "D")).toDF("k", "seq", "s", "v", "op"),
+      Seq("k"), "seq", "op", deletedCol = "gone")
+    VersionedTable.applyChangesGuarded(spark, root,
+      Seq((9L, 15L, "x", 15.0, "I")).toDF("k", "seq", "s", "v", "op"),
+      Seq("k"), "seq", "op", deletedCol = "gone")
+    assert(live() == Set((1L, 12L, 120.0), (2L, 5L, 50.0)),
+      "tombstone of a never-stored key must also block stale inserts")
+    // retention sweep: reclaim tombstones up to seq 20 — after it the
+    // live view is unchanged and no flagged rows remain
+    VersionedTable.vacuumTombstones(spark, root, "gone", "seq", 20L)
+    assert(live() == Set((1L, 12L, 120.0), (2L, 5L, 50.0)))
+    assert(VersionedTable.read(spark, root).filter(col("gone")).count() == 0)
+  }
+
   test("streaming door: multi-batch apply + replay is a no-op") {
     import spark.implicits._
     import graft.streaming.StreamingJobs

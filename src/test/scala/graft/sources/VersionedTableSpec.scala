@@ -28,6 +28,62 @@ class VersionedTableSpec extends SparkSuite {
     assert(VersionedTable.readVersion(spark, root, 0).count() == 2)
   }
 
+  test("appendAutoCompact: the file-count trigger folds small files, " +
+    "rows unchanged, reads open fewer files") {
+    import spark.implicits._
+    val root = tmpRoot()
+    // 6 one-row appends under a 5-file trigger: the 5th append fires
+    // the inline compaction, the 6th starts accumulating again
+    for (i <- 1 to 6)
+      VersionedTable.appendAutoCompact(
+        Seq((i.toLong, s"v$i")).toDF("k", "v"), root,
+        autoCompactFiles = 5, statsCols = Seq("k"))
+    val lines = VersionedTable.read(spark, root)
+    assert(lines.count() == 6, "compaction must never change rows")
+    assert(lines.collect().map(_.getAs[Long]("k")).sorted.toSeq
+      == (1L to 6L))
+    // listing after: 1 packed file (from the trigger at 5) + 1 new
+    val opened = lines.inputFiles.length
+    assert(opened <= 2, s"expected <= 2 files after auto-compaction, got $opened")
+    // stats survive the fold: metadata count + range still answer
+    assert(VersionedTable.countRows(root).contains(6L))
+    assert(VersionedTable.statsRange(root, "k").contains((1L, 6L)))
+  }
+
+  test("txn state survives manifest expiry: checkpoints carry the " +
+    "newest #txn per appId and vacuum preserves it") {
+    import spark.implicits._
+    val root = tmpRoot()
+    // two idempotent writers; "cold" stamps early then goes quiet
+    VersionedTable.appendTxn(Seq((0, "z")).toDF("k", "v"), root, "cold", 7L)
+    for (i <- 0L to 4L)
+      VersionedTable.appendTxn(
+        Seq((i.toInt, "a")).toDF("k", "v"), root, "hot", i)
+    // many non-stamped commits push cold's manifest deep into history
+    for (i <- 0 until 20)
+      VersionedTable.append(Seq((100 + i, "p")).toDF("k", "v"), root)
+    assert(VersionedTable.latestTxn(root, "cold").contains(7L))
+    assert(VersionedTable.latestTxn(root, "hot").contains(4L))
+    // vacuum down to ONE retained version: every manifest carrying a
+    // #txn stamp is deleted — the oldest retained version's checkpoint
+    // must still answer for both writers
+    VersionedTable.vacuum(root, retainVersions = 1)
+    assert(VersionedTable.latestTxn(root, "cold").contains(7L),
+      "a quiet writer's txn must survive manifest expiry")
+    assert(VersionedTable.latestTxn(root, "hot").contains(4L))
+    assert(VersionedTable.latestTxn(root, "never").isEmpty)
+    // the exactly-once contract holds post-vacuum: replays still no-op
+    val v = VersionedTable.latestVersion(root).get
+    assert(VersionedTable.appendTxn(
+      Seq((0, "z")).toDF("k", "v"), root, "cold", 7L) == v)
+    assert(VersionedTable.latestVersion(root).contains(v))
+    // and genuinely new batches still commit + re-stamp
+    VersionedTable.appendTxn(Seq((1, "z2")).toDF("k", "v"), root, "cold", 8L)
+    assert(VersionedTable.latestTxn(root, "cold").contains(8L))
+    // reads stay clean across all of it
+    assert(VersionedTable.read(spark, root).count() == 27)
+  }
+
   test("appendTxn: batchId rides the atomic commit; replay no-ops; " +
     "listings, checkpoints and time travel stay txn-blind") {
     import spark.implicits._

@@ -204,6 +204,33 @@ class StreamingSpec extends SparkSuite {
       .read(spark, s"$indexRoot/digests").count() == 4)
   }
 
+  test("atomic publish: an all-empty input neither crashes nor publishes") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_pub0").toString
+    val dir = s"$root/in"
+    new java.io.File(dir).mkdirs()
+    // zero-row events file with the full schema: the stream fires an
+    // empty micro-batch against a not-yet-bootstrapped facts table —
+    // the door must not crash on the version-less tables
+    val tmp = s"$root/stage"
+    Seq.empty[(Long, String, Double, java.sql.Timestamp)]
+      .toDF("event_id", "event_type", "value", "ts")
+      .coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(dir, "events.parquet").toPath)
+    val grp = s"$root/grp"
+    val out = graft.streaming.StreamingJobs
+      .runAtomicPublishAvailableNow(spark, dir, grp)
+    assert(out.count() == 0)
+    assert(graft.sources.SnapshotGroup.current(grp).isEmpty,
+      "nothing must publish for an all-empty input")
+    assert(graft.sources.VersionedTable
+      .latestVersion(new java.io.File(grp, "facts").getPath).isEmpty,
+      "an empty batch must not bootstrap a version-less facts table")
+  }
+
   test("streaming ingest: empty first file commits nothing, corpus still works") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_ingest0").toString
