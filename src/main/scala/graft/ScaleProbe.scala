@@ -571,6 +571,48 @@ object ScaleProbe {
       }
       spark.stop(); return
     }
+    // Positional-index phrase serve (`runMain graft.ScaleProbe phrase`):
+    // does a phrase query track the ANSWER, not the corpus? Positional
+    // index built at 1x/4x/10x (4 appends each, so batch vocabularies
+    // interleave across files) + one OPTIMIZE (the maintenance
+    // cadence); a planted unique bigram then serves from the index —
+    // opened position files and serve seconds must stay ~flat while
+    // the corpus (and its file count) grows. The corpus-scan
+    // counterfactual (the q151 shape) re-derives (doc, pos, term)
+    // from every document per query — O(corpus) by construction.
+    if (args.contains("phrase")) {
+      for (mult <- Seq(1, 4, 10)) {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_probe_phrase").resolve("ix").toString
+        val planted = base.filter(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + lit(900000000L)).as("doc_id"),
+            concat(col("text"), lit(" phraseprobe_u1 phraseprobe_u2"))
+              .as("text"))
+        val c = corpus(mult).union(planted)
+          .repartition(8 * mult).localCheckpoint(true)
+        val n = c.count()
+        graft.operators.TextIndex.build(
+          c.filter(col("doc_id") % 4 === 0), root, positional = true)
+        for (r <- 1 to 3)
+          graft.operators.TextIndex.append(
+            c.filter(col("doc_id") % 4 === r), root)
+        graft.operators.TextIndex.optimize(spark, root, targetFiles = 8)
+        val t0 = System.nanoTime()
+        val res = graft.operators.TextIndex.searchPhrase(spark, root,
+          Seq("phraseprobe_u1", "phraseprobe_u2"))
+        val hits = res.count()
+        val serve = (System.nanoTime() - t0) / 1e9
+        val opened = graft.sources.VersionedTable.readWhereEq(
+          spark, s"$root/positions", "term",
+          Seq("phraseprobe_u1", "phraseprobe_u2")).inputFiles.length
+        val total = graft.sources.VersionedTable.read(
+          spark, s"$root/positions").inputFiles.length
+        println(f"[probe] mult=$mult%2d corpus=$n%7d " +
+          f"serve $serve%5.2f s files_opened=$opened%3d/$total%3d " +
+          f"docs_hit=$hits")
+      }
+      spark.stop(); return
+    }
     if (args.contains("mv")) {
       val orders = graft.core.Tables(spark, "/root/testdata/sf0.1", "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))

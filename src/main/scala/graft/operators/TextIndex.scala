@@ -59,7 +59,12 @@ object TextIndex {
 
   private def postingsRoot(root: String) = new File(root, "postings").getPath
   private def doclenRoot(root: String) = new File(root, "doclen").getPath
+  private def positionsRoot(root: String) = new File(root, "positions").getPath
   private def statsFile(root: String) = new File(root, "_stats")
+
+  /** Sentinel for "this index keeps no positional postings" (5-field
+    * pointer); a positional index records posV ≥ −1 as a 6th field. */
+  private val PosAbsent = Long.MinValue
 
   /** Whitespace tokenization → `(doc_id, term, tf)`; ONE explode +
     * map-side-combinable count, the q140 postings convention (docs
@@ -72,6 +77,18 @@ object TextIndex {
       .filter(col("term") =!= "")
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+
+  /** POSITIONAL postings `(doc_id, pos, term)` — raw 0-based token
+    * positions (the q151 positional-index base), so phrase adjacency
+    * is position arithmetic on equi-join keys. Empty tokens are
+    * dropped but their positions are NOT renumbered: a phrase word is
+    * never the empty string, and relative offsets stay exact. */
+  private def positionsOf(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
 
   /** The committed pointer: (n_docs, sum_dl, postingsV, doclenV).
     * Legacy 2-field sidecars (first TextIndex cut) carry no versions —
@@ -108,11 +125,22 @@ object TextIndex {
     (n, s)
   }
 
+  /** The committed positional-postings version: `Some(posV)` iff this
+    * index keeps positional postings (6-field pointer). */
+  def posVersion(root: String): Option[Long] = {
+    if (!statsFile(root).exists()) return None
+    val toks = new String(Files.readAllBytes(statsFile(root).toPath),
+      StandardCharsets.UTF_8).trim.split("\\s+")
+    if (toks.length >= 6) Some(toks(5).toLong) else None
+  }
+
   private def writeCommit(root: String, nDocs: Long, sumDl: Long,
-                          pV: Long, dV: Long, txn: Long): Unit = {
+                          pV: Long, dV: Long, txn: Long,
+                          posV: Long = PosAbsent): Unit = {
+    val tail = if (posV == PosAbsent) "" else s" $posV"
     val tmp = Files.createTempFile(new File(root).toPath, "_st", ".tmp")
     Files.write(tmp,
-      s"$nDocs $sumDl $pV $dV $txn".getBytes(StandardCharsets.UTF_8))
+      s"$nDocs $sumDl $pV $dV $txn$tail".getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, statsFile(root).toPath,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
@@ -141,11 +169,18 @@ object TextIndex {
     }
   }
 
-  /** Tokenize `docs` and commit them as the index's first batch. */
+  /** Tokenize `docs` and commit them as the index's first batch.
+    * `positional = true` additionally keeps POSITIONAL postings
+    * (`positions/` — (doc_id, pos, term), bloom on term) so
+    * [[searchPhrase]] serves k-word phrase queries from the index;
+    * the shape is recorded in the commit pointer, so every later
+    * [[append]]/[[optimize]]/[[delete]] maintains it without being
+    * told. */
   def build(docs: DataFrame, root: String, idCol: String = "doc_id",
-            textCol: String = "text"): Unit = {
+            textCol: String = "text", positional: Boolean = false): Unit = {
     new File(root).mkdirs()
-    writeCommit(root, 0L, 0L, -1L, -1L, -1L)
+    writeCommit(root, 0L, 0L, -1L, -1L, -1L,
+      if (positional) -1L else PosAbsent)
     append(docs, root, idCol, textCol)
   }
 
@@ -194,11 +229,17 @@ object TextIndex {
     val dl = p.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       .localCheckpoint(true) // doclen append + stats delta read it
     val dV = appendCommitted(dl, doclenRoot(root), dV0, None, spark)
+    // positional shape recorded in the pointer → maintain it here
+    val posV = posVersion(root) match {
+      case Some(v0) => appendCommitted(positionsOf(docs, idCol, textCol),
+        positionsRoot(root), v0, Some("term"), spark)
+      case None => PosAbsent
+    }
     // one 1-row driver aggregate — the O(1) stats delta
     val row = dl.agg(count(lit(1)).as("n"),
       coalesce(sum(col("dl")), lit(0L)).as("s")).head()
     writeCommit(root, n0 + row.getLong(0), s0 + row.getLong(1), pV, dV,
-      math.max(txn, committedTxn(root)))
+      math.max(txn, committedTxn(root)), posV)
     if (autoOptimizeFiles > 0 &&
         postings(spark, root).inputFiles.length >= autoOptimizeFiles) {
       optimize(spark, root, autoOptimizeTarget)
@@ -231,7 +272,19 @@ object TextIndex {
       .repartitionByRange(targetFiles, col("term"), col("doc_id"))
       .sortWithinPartitions(col("term"), col("doc_id"))
     val pV = VersionedTable.overwriteWithBloomIndex(p, postingsRoot(root), "term")
-    writeCommit(root, n0, s0, pV, dV0, committedTxn(root))
+    // positional postings recluster by term too (same fragmentation
+    // story: appends interleave each batch's vocabulary)
+    val posV = posVersion(root) match {
+      case Some(v0) if v0 >= 0 =>
+        val pos = VersionedTable.readVersion(spark, positionsRoot(root), v0)
+          .repartitionByRange(targetFiles, col("term"), col("doc_id"),
+            col("pos"))
+          .sortWithinPartitions(col("term"), col("doc_id"), col("pos"))
+        VersionedTable.overwriteWithBloomIndex(pos, positionsRoot(root), "term")
+      case Some(v0) => v0
+      case None => PosAbsent
+    }
+    writeCommit(root, n0, s0, pV, dV0, committedTxn(root), posV)
     pV
   }
 
@@ -266,8 +319,19 @@ object TextIndex {
       col("doc_id").isin(docIds: _*))
     val dV = VersionedTable.delete(spark, doclenRoot(root),
       col("doc_id").isin(docIds: _*))
+    val posV = posVersion(root) match {
+      case Some(v0) if v0 >= 0 =>
+        if (!VersionedTable.latestVersion(positionsRoot(root)).contains(v0))
+          VersionedTable.overwriteWithBloomIndex(
+            VersionedTable.readVersion(spark, positionsRoot(root), v0),
+            positionsRoot(root), "term")
+        VersionedTable.delete(spark, positionsRoot(root),
+          col("doc_id").isin(docIds: _*))
+      case Some(v0) => v0
+      case None => PosAbsent
+    }
     writeCommit(root, n0 - gone.getLong(0), s0 - gone.getLong(1), pV, dV,
-      committedTxn(root))
+      committedTxn(root), posV)
   }
 
   /** Top-`k` docs by BM25 over `terms` — `(doc_id, n_terms, bm25)`,
@@ -299,5 +363,35 @@ object TextIndex {
         sum(col("s").cast(DecimalType(18, 6))).cast(DoubleType).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** PHRASE search from the positional index: `(doc_id, n_occ)` — one
+    * row per document containing the exact k-word phrase, with its
+    * occurrence count. Touches ONLY the phrase words' posting files
+    * (bloom-pruned listing AT the committed positional version — the
+    * [[searchBm25]] prune applied to `positions/`), never the corpus:
+    * word i must appear at the first word's position + i, closed by
+    * (doc_id, pos) EQUI-joins — position arithmetic is a join-key
+    * expression, nothing scans pairs. This is the plan a phrase query
+    * compiles to over a positional inverted index (Lucene's phrase
+    * scorer role), byte-equal to the q151 corpus-scan formulation. */
+  def searchPhrase(spark: SparkSession, root: String,
+                   words: Seq[String]): DataFrame = {
+    require(words.nonEmpty && words.forall(_.nonEmpty),
+      "searchPhrase needs a non-empty phrase of non-empty words")
+    val posV = posVersion(root).getOrElse(
+      sys.error(s"index at $root keeps no positional postings " +
+        "(build with positional = true)"))
+    require(posV >= 0, s"empty positional index at $root")
+    val pos = VersionedTable.readWhereEq(spark, positionsRoot(root), "term",
+      words.distinct, atVersion = Some(posV))
+    var cur = pos.filter(col("term") === words.head)
+      .select(col("doc_id"), col("pos").as("p0"))
+    for (i <- 1 until words.length)
+      cur = cur.join(
+        pos.filter(col("term") === words(i))
+          .select(col("doc_id"), (col("pos") - i).as("p0")),
+        Seq("doc_id", "p0"))
+    cur.groupBy(col("doc_id")).agg(count(lit(1)).as("n_occ"))
   }
 }

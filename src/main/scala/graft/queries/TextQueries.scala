@@ -2207,6 +2207,56 @@ object TextQueries extends QueryModule {
                       AND t2.tok = top.w3
         GROUP BY t0.doc_id ORDER BY t0.doc_id""")),
 
+    // PHRASE SEARCH FROM THE PERSISTED POSITIONAL INDEX — the serve-
+    // side completion of q151: the corpus is ingested ONCE into a
+    // TextIndex built positional (two batches through the ingest
+    // door), and the phrase query then touches only the three phrase
+    // words' bloom-pruned posting files at the committed version —
+    // never the corpus text. Hash-equality with q151's corpus-scan
+    // oracle proves index-served == scan-served across the
+    // append-maintained positional postings; TextIndexSpec pins the
+    // same equality across delete and optimize, and the `phrase`
+    // ScaleProbe measures the opened-files flatness that makes this
+    // the 100 TB plan (q151 re-derives (doc, pos, term) per query).
+    "q290_phrase_index" -> Q(
+      run = (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val root = tempRoot("graft_posix").resolve("ix").toString
+        graft.operators.TextIndex.build(
+          docs.filter(col("doc_id") % 2 === 0), root, positional = true)
+        graft.operators.TextIndex.append(
+          docs.filter(col("doc_id") % 2 === 1), root)
+        val tri = docs
+          .select(explode(wordShinglesAll(col("text"), 3)).as("tg"))
+          .groupBy(col("tg")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("tg")).limit(1)
+          .head().getString(0).split(" ").toSeq
+        graft.operators.TextIndex.searchPhrase(s, root, tri)
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH wl AS (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents),
+        tg AS (SELECT UNNEST([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                              for i in range(1, len(t) - 1)]) AS tg
+               FROM wl WHERE len(t) >= 3),
+        top AS (SELECT string_split(tg, ' ')[1] AS w1,
+                       string_split(tg, ' ')[2] AS w2,
+                       string_split(tg, ' ')[3] AS w3
+                FROM (SELECT tg, COUNT(*) AS c FROM tg GROUP BY tg
+                      ORDER BY c DESC, tg LIMIT 1)),
+        tokpos AS (SELECT doc_id, p, t[p] AS tok
+                   FROM wl, LATERAL (SELECT unnest(
+                     generate_series(1, len(t))) AS p) g)
+        SELECT t0.doc_id, COUNT(*) AS n_occ
+        FROM tokpos t0
+        JOIN top ON t0.tok = top.w1
+        JOIN tokpos t1 ON t1.doc_id = t0.doc_id AND t1.p = t0.p + 1
+                      AND t1.tok = top.w2
+        JOIN tokpos t2 ON t2.doc_id = t0.doc_id AND t2.p = t0.p + 2
+                      AND t2.tok = top.w3
+        GROUP BY t0.doc_id ORDER BY t0.doc_id""")),
+
     // BPE tokenizer-training statistics (operators/Bpe): the first 3
     // merge rules trained on the corpus' word-frequency vocabulary —
     // the tokenizer-training stage of an LLM data pipeline. Scale

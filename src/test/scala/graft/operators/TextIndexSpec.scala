@@ -212,6 +212,56 @@ class TextIndexSpec extends SparkSuite {
     assert(openedAuto < openedManual)
   }
 
+  test("positional index: phrase search == corpus-scan recompute across " +
+    "append, delete and optimize; plain index refuses") {
+    import spark.implicits._
+    val root = tmpRoot()
+    // phrase occurrences recomputed from the corpus — the oracle
+    def oracle(corpus: org.apache.spark.sql.DataFrame,
+               w: Seq[String]): Set[(Long, Long)] = {
+      val tk = corpus.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p", "t")))
+      var cur = tk.filter(col("t") === w.head)
+        .select(col("doc_id"), col("p").as("p0"))
+      for (i <- 1 until w.length)
+        cur = cur.join(tk.filter(col("t") === w(i))
+          .select(col("doc_id"), (col("p") - i).as("p0")), Seq("doc_id", "p0"))
+      cur.groupBy("doc_id").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    def served(w: Seq[String]): Set[(Long, Long)] =
+      TextIndex.searchPhrase(spark, root, w).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    TextIndex.build(base, root, positional = true)
+    // pick a phrase that certainly occurs: first two words of a doc
+    val words = docs.orderBy("doc_id").select("text").head()
+      .getString(0).split(" ").filter(_.nonEmpty).take(2).toSeq
+    assert(served(words) == oracle(base, words))
+    // append advances the positional postings in step
+    TextIndex.append(docs.filter(col("doc_id") % 3 === 0), root)
+    val full = oracle(docs, words)
+    assert(served(words) == full && full.nonEmpty)
+    // takedown removes the doc's phrase occurrences
+    val victim = full.head._1
+    TextIndex.delete(spark, root, Seq(victim))
+    assert(served(words) == full.filterNot(_._1 == victim))
+    // optimize reclusters; results bit-identical
+    TextIndex.optimize(spark, root, targetFiles = 4)
+    assert(served(words) == full.filterNot(_._1 == victim))
+    // multi-word (3) phrase agrees too
+    val w3 = docs.orderBy(col("doc_id").desc).select("text").head()
+      .getString(0).split(" ").filter(_.nonEmpty).take(3).toSeq
+    val exp3 = oracle(docs.filter(col("doc_id") =!= victim), w3)
+    assert(served(w3) == exp3)
+    // a non-positional index refuses phrase queries with a clear error
+    val plain = tmpRoot()
+    TextIndex.build(docs.limit(10), plain)
+    val e = intercept[RuntimeException](
+      TextIndex.searchPhrase(spark, plain, words))
+    assert(e.getMessage.contains("positional"))
+  }
+
   test("term probe opens fewer files than the postings table holds (bloom prune)") {
     import spark.implicits._
     val root = tmpRoot()
