@@ -1735,6 +1735,73 @@ object LakeQueries extends QueryModule {
         GROUP BY 1 ORDER BY 1"""),
       bench = false),
 
+    // MERGE-ON-READ UPDATE (sources.Tombstones.updateMor — completes
+    // the MOR triad): two STACKED updates (the second computes from
+    // the first's patched view) land as O(matched keys) patch commits
+    // with the data files provably untouched (mor_lazy), a MOR delete
+    // after the patches hides them for its keys (deletes win), reads
+    // overlay patch-then-tombstone via broadcast joins, and purge
+    // folds everything into file-pruned commits after which the plain
+    // snapshot read — what this query publishes — agrees with the
+    // hand-derived oracle.
+    "q291_mor_update" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_morupd").resolve("t").toString
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_orderpriority"), col("o_totalprice"))
+        graft.sources.VersionedTable.overwriteWithStats(orders, root)
+        val total = orders.count()
+        graft.sources.Tombstones.updateMor(s, root, Seq("o_orderkey"),
+          col("o_orderstatus") === "O" && col("o_totalprice") < 100000,
+          Map("o_totalprice" -> (col("o_totalprice") * 2),
+            "o_orderpriority" -> lit("REPRICED")))
+        // stacked: sees the FIRST patch's repriced rows
+        graft.sources.Tombstones.updateMor(s, root, Seq("o_orderkey"),
+          col("o_orderpriority") === "REPRICED" &&
+            col("o_totalprice") >= 150000,
+          Map("o_orderpriority" -> lit("REPRICED_HI")))
+        graft.sources.Tombstones.deleteMor(s, root,
+          orders.filter(col("o_orderkey") % 10 === 0)
+            .select(col("o_orderkey")))
+        // MOR laziness proof: manifest row count still reports the
+        // full table after two updates and a delete
+        val morLazy =
+          if (graft.sources.VersionedTable.countRows(root).contains(total)) 1L
+          else 0L
+        graft.sources.Tombstones.purge(s, root)
+        graft.sources.VersionedTable.read(s, root)
+          .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("mor_lazy", lit(morLazy))
+          .orderBy("o_orderstatus", "o_orderpriority")
+      },
+      oracle = Some("""
+        WITH u1 AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderstatus = 'O' AND o_totalprice < 100000
+                      THEN 'REPRICED' ELSE o_orderpriority END
+                   AS o_orderpriority,
+                 CASE WHEN o_orderstatus = 'O' AND o_totalprice < 100000
+                      THEN o_totalprice * 2 ELSE o_totalprice END
+                   AS o_totalprice
+          FROM orders),
+        u2 AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderpriority = 'REPRICED'
+                        AND o_totalprice >= 150000
+                      THEN 'REPRICED_HI' ELSE o_orderpriority END
+                   AS o_orderpriority,
+                 o_totalprice
+          FROM u1)
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total,
+               CAST(1 AS BIGINT) AS mor_lazy
+        FROM u2 WHERE o_orderkey % 10 != 0
+        GROUP BY 1, 2 ORDER BY 1, 2"""),
+      bench = false),
+
     // AGGREGATE expectations at the write boundary (the DLT
     // expect_or_fail role, one level up from q194's row-level CHECK):
     // null-RATE ceilings and volume floors are batch properties no

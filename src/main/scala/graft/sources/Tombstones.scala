@@ -32,6 +32,20 @@ object Tombstones {
   private def store(root: String): String =
     new File(root, "_tombstones").getPath
 
+  private def patchStore(root: String): String =
+    new File(root, "_patches").getPath
+
+  private def patchKeysFile(root: String): File =
+    new File(root, "_patch_keys")
+
+  private def readPatchKeys(root: String): Seq[String] = {
+    val f = patchKeysFile(root)
+    if (!f.exists()) Seq.empty
+    else new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split('\t').filter(_.nonEmpty).toSeq
+  }
+
   /** Tombstone key rows currently pending (empty frame if none). */
   def pendingKeys(spark: SparkSession, root: String): Option[DataFrame] =
     VersionedTable.latestVersion(store(root))
@@ -48,43 +62,136 @@ object Tombstones {
     else VersionedTable.append(k, store(root))
   }
 
-  /** Snapshot read MINUS pending tombstones (the merge-on-read). The
-    * anti-join broadcasts the tombstone side while it is small — which
-    * is the regime MOR is for; a tombstone set grown to fact scale is
-    * the signal to [[purge]]. */
+  /** Pending MOR-update patch rows (full table schema, one row per
+    * patched key), if any update is outstanding. */
+  def pendingPatches(spark: SparkSession, root: String): Option[DataFrame] =
+    VersionedTable.latestVersion(patchStore(root))
+      .map(_ => VersionedTable.read(spark, patchStore(root)))
+
+  /** MERGE-ON-READ UPDATE (the deletion-vector-update role, completing
+    * the MOR triad next to [[deleteMor]]): instead of a copy-on-write
+    * rewrite of every touched file ([[VersionedTable.update]]), the
+    * post-update image of just the MATCHING rows lands as an O(matched
+    * keys) PATCH commit; [[readActive]] overlays patches (newest per
+    * key — repeated updates stack because each computes from the
+    * CURRENT active view) and [[purge]] folds them into the data files
+    * when the rewrite is worth it. Same daily-trickle argument as MOR
+    * delete: a steady drip of small updates must not rewrite the same
+    * hot files daily.
+    *
+    * `keys` identify rows (the patch upsert key); all calls against
+    * one table must use the same key set (persisted in a sidecar and
+    * checked). SET semantics match [[VersionedTable.update]]: applies
+    * where `predicate` is TRUE, NULL leaves the row unchanged, SET
+    * expressions see the row's pre-update columns. Key columns must
+    * not be SET (a key rewrite is a delete + insert, not a patch).
+    * Returns the number of patched keys. */
+  def updateMor(spark: SparkSession, root: String, keys: Seq[String],
+                predicate: org.apache.spark.sql.Column,
+                set: Map[String, org.apache.spark.sql.Column]): Long = {
+    require(keys.nonEmpty, "updateMor needs key columns")
+    require(!set.keySet.exists(keys.contains),
+      "updateMor must not SET a key column")
+    val stored = readPatchKeys(root)
+    require(stored.isEmpty || stored == keys,
+      s"updateMor keys $keys differ from the table's recorded $stored")
+    if (stored.isEmpty) {
+      require(keys.forall(k => !k.contains("\t") && !k.contains("\n")),
+        "key names must contain no tab or newline")
+      java.nio.file.Files.write(patchKeysFile(root).toPath,
+        keys.mkString("\t").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val active = readActive(spark, root)
+    require(set.keySet.subsetOf(active.columns.toSet),
+      s"SET columns ${set.keySet.diff(active.columns.toSet)} not in table")
+    // patch = post-update image of the matching rows only; computed
+    // once and pinned (the store it merges into feeds readActive)
+    val patch = active.filter(coalesce(predicate, lit(false)))
+      .select(active.columns.toSeq.map { c =>
+        set.get(c).map(_.as(c)).getOrElse(col(c))
+      }: _*)
+      .localCheckpoint(true)
+    val n = patch.count()
+    if (n > 0) {
+      if (VersionedTable.latestVersion(patchStore(root)).isEmpty)
+        VersionedTable.overwrite(patch, patchStore(root))
+      else // newest patch per key wins by REPLACING it (merge upsert)
+        VersionedTable.merge(spark, patchStore(root), patch, keys)
+    }
+    n
+  }
+
+  /** Snapshot read MINUS pending tombstones PLUS pending patches (the
+    * merge-on-read): patched keys read their patch row, tombstoned
+    * keys disappear, everything else reads the base files untouched.
+    * Both overlays broadcast while small — which is the regime MOR is
+    * for; an overlay grown to fact scale is the signal to [[purge]].
+    * A key both patched and tombstoned is dead (deletes always win —
+    * [[updateMor]] computes from the active view, so it never patches
+    * a deleted key, and a delete AFTER a patch must hide it). */
   def readActive(spark: SparkSession, root: String): DataFrame = {
     val base = VersionedTable.read(spark, root)
+    val patched = pendingPatches(spark, root) match {
+      case None => base
+      case Some(p) =>
+        val keys = readPatchKeys(root)
+        base.join(broadcast(p.select(keys.map(col): _*)), keys, "left_anti")
+          .unionByName(p.select(base.columns.toSeq.map(col): _*))
+    }
     pendingKeys(spark, root) match {
-      case None    => base
-      case Some(t) => base.join(broadcast(t), t.columns.toSeq, "left_anti")
+      case None    => patched
+      case Some(t) => patched.join(broadcast(t), t.columns.toSeq, "left_anti")
     }
   }
 
-  /** Fold every pending tombstone into the data files as ONE atomic
-    * file-pruned [[VersionedTable.applyChanges]] commit, then reset
-    * the store. Returns the table version (unchanged if nothing was
+  /** Fold every pending patch AND tombstone into the data files via
+    * file-pruned [[VersionedTable.applyChanges]] commits, then reset
+    * both stores. When the patch key set and the tombstone key set
+    * coincide the whole fold is ONE atomic commit (patches at seq 1,
+    * deletes at seq 2 — deletes win a shared key, matching
+    * [[readActive]]); differing key sets fold as two commits, patches
+    * first. Returns the table version (unchanged if nothing was
     * pending). After purge, plain [[VersionedTable.read]] and
-    * [[readActive]] agree again. */
+    * [[readActive]] agree again — the COW-equivalence UpdateMorSpec
+    * pins. */
   def purge(spark: SparkSession, root: String): Long = {
-    val current = VersionedTable.latestVersion(root)
+    var current = VersionedTable.latestVersion(root)
       .getOrElse(sys.error(s"no versions at $root"))
-    pendingKeys(spark, root) match {
-      case None => current
-      case Some(t) =>
-        val keyCols = t.columns.toSeq
-        val schema = VersionedTable.read(spark, root).schema
-        // feed = keys as D ops, payload columns null-typed (applyChanges
-        // selects the full table schema from its upsert side — which is
-        // empty here, but the plan still needs the columns)
-        val feed = schema.fields.foldLeft(t.withColumn("__seq", lit(1L))
-          .withColumn("__op", lit("D"))) { (df, f) =>
-          if (keyCols.contains(f.name)) df
-          else df.withColumn(f.name, lit(null).cast(f.dataType))
+    val schema = VersionedTable.read(spark, root).schema
+    val patches = pendingPatches(spark, root)
+    val tombs = pendingKeys(spark, root)
+    val patchKeys = readPatchKeys(root)
+    def delFeed(t: DataFrame, keyCols: Seq[String]): DataFrame =
+      // keys as D ops, payload columns null-typed (applyChanges
+      // selects the full table schema from its upsert side — empty
+      // here, but the plan still needs the columns)
+      schema.fields.foldLeft(t.withColumn("__seq", lit(2L))
+        .withColumn("__op", lit("D"))) { (df, f) =>
+        if (keyCols.contains(f.name)) df
+        else df.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+    def upFeed(p: DataFrame): DataFrame = p
+      .select(schema.fieldNames.toSeq.map(col): _*)
+      .withColumn("__seq", lit(1L)).withColumn("__op", lit("U"))
+    (patches, tombs) match {
+      case (None, None) => return current
+      case (Some(p), Some(t)) if t.columns.toSeq == patchKeys =>
+        current = VersionedTable.applyChanges(spark, root,
+          upFeed(p).unionByName(delFeed(t, patchKeys)),
+          patchKeys, "__seq", "__op")
+      case _ =>
+        patches.foreach { p =>
+          current = VersionedTable.applyChanges(spark, root, upFeed(p),
+            patchKeys, "__seq", "__op")
         }
-        val v = VersionedTable.applyChanges(spark, root, feed,
-          keyCols, "__seq", "__op")
-        Lake.deleteRecursively(new File(store(root)))
-        v
+        tombs.foreach { t =>
+          current = VersionedTable.applyChanges(spark, root,
+            delFeed(t, t.columns.toSeq), t.columns.toSeq, "__seq", "__op")
+        }
     }
+    Lake.deleteRecursively(new File(store(root)))
+    Lake.deleteRecursively(new File(patchStore(root)))
+    patchKeysFile(root).delete()
+    current
   }
 }

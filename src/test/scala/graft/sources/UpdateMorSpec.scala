@@ -167,6 +167,60 @@ class UpdateMorSpec extends SparkSuite {
     }
   }
 
+  test("updateMor: patch overlay == COW update; stacking, delete-wins, " +
+    "purge folds to COW-identical state") {
+    import spark.implicits._
+    val mor = freshRoot("mor_upd"); val cow = freshRoot("cow_upd")
+    val data = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("k", "s", "v")
+    VersionedTable.overwrite(data, mor)
+    VersionedTable.overwrite(data, cow)
+    val vBefore = VersionedTable.versions(mor).size
+    // same update through both paths
+    val pred = col("v") < 25.0
+    val set = Map("v" -> (col("v") * 10), "s" -> upper(col("s")))
+    val n = Tombstones.updateMor(spark, mor, Seq("k"), pred, set)
+    assert(n == 2)
+    VersionedTable.update(spark, cow, pred, set)
+    assert(rows2(Tombstones.readActive(spark, mor)) ==
+      rows2(VersionedTable.read(spark, cow)))
+    // MOR laziness: the main table committed NOTHING
+    assert(VersionedTable.versions(mor).size == vBefore)
+    // stacked update sees the first patch (k=1: 100 -> 1100)
+    Tombstones.updateMor(spark, mor, Seq("k"),
+      col("v") === 100.0, Map("v" -> (col("v") + 1000)))
+    VersionedTable.update(spark, cow,
+      col("v") === 100.0, Map("v" -> (col("v") + 1000)))
+    assert(rows2(Tombstones.readActive(spark, mor)) ==
+      rows2(VersionedTable.read(spark, cow)))
+    // a delete after a patch hides the patch (deletes win)
+    Tombstones.deleteMor(spark, mor, Seq(Tuple1(2L)).toDF("k"))
+    VersionedTable.delete(spark, cow, col("k") === 2L)
+    assert(rows2(Tombstones.readActive(spark, mor)) ==
+      rows2(VersionedTable.read(spark, cow)))
+    // SET of a key column and mismatched key sets are rejected
+    intercept[IllegalArgumentException](Tombstones.updateMor(spark, mor,
+      Seq("k"), lit(true), Map("k" -> lit(9L))))
+    intercept[IllegalArgumentException](Tombstones.updateMor(spark, mor,
+      Seq("s"), lit(true), Map("v" -> lit(0.0))))
+    // purge folds both overlays; plain read == pre-purge active ==
+    // the COW twin — and the stores reset (second purge is a no-op)
+    val active = rows2(Tombstones.readActive(spark, mor))
+    Tombstones.purge(spark, mor)
+    assert(rows2(VersionedTable.read(spark, mor)) == active)
+    assert(rows2(VersionedTable.read(spark, mor)) ==
+      rows2(VersionedTable.read(spark, cow)))
+    assert(Tombstones.pendingPatches(spark, mor).isEmpty &&
+      Tombstones.pendingKeys(spark, mor).isEmpty)
+    val v = VersionedTable.latestVersion(mor)
+    Tombstones.purge(spark, mor)
+    assert(VersionedTable.latestVersion(mor) == v)
+  }
+
+  private def rows2(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Double)] =
+    df.collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("s"),
+      r.getAs[Double]("v"))).toSet
+
   test("tombstones: purge with nothing pending is a no-op") {
     import spark.implicits._
     val root = freshRoot("mornoop")
