@@ -66,3 +66,71 @@ object ZOrder64 {
       ColumnBridge.expression(a), ColumnBridge.expression(b),
       boundsA, boundsB))
 }
+
+/** k-ary Z-order (Morton) key — [[ZOrder64]] generalized past two
+  * dimensions for the real 100 TB pruning keys (date × tenant × key is
+  * three columns, not two). Each of the k long columns is
+  * quantile-bucketed via binary search over pre-computed boundaries,
+  * then the k bucket ids are bit-interleaved round-robin into one
+  * 63-bit key: `floor(63/k)` bits per dimension (21 × 3, 15 × 4), so
+  * up to `2^(63/k)` buckets per column. Range-partitioning on the
+  * result yields files tight in ALL k dimensions — a k-bound
+  * `readWhereBox` then prunes multiplicatively from the manifest
+  * alone. Write-path only, so CodegenFallback is fine. */
+case class ZOrderK(children: Seq[Expression], bounds: Seq[Seq[Long]])
+    extends Expression with CodegenFallback {
+
+  require(children.length >= 2 && children.length <= 6,
+    "zorderk supports 2..6 dimensions")
+  require(bounds.length == children.length,
+    "one boundary sequence per dimension")
+
+  private val k = children.length
+  private val bitsPerDim = 63 / k
+
+  require(bounds.forall(_.length < (1 << bitsPerDim)),
+    s"at most 2^$bitsPerDim-1 z-order bucket boundaries per dimension " +
+      s"at k=$k")
+
+  private val bArr: Array[Array[Long]] = bounds.map(_.toArray).toArray
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "zorderk"
+
+  /** Index of the first boundary > v (= bucket id in 0..bounds.length). */
+  private def bucket(v: Long, bs: Array[Long]): Long = {
+    var lo = 0; var hi = bs.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (bs(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo.toLong
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    var z = 0L
+    var d = 0
+    while (d < k) {
+      val v = children(d).eval(input)
+      if (v == null) return null
+      val b = bucket(v.asInstanceOf[Long], bArr(d))
+      var i = 0
+      while (i < bitsPerDim) {
+        z |= ((b >> i) & 1L) << (i * k + d)
+        i += 1
+      }
+      d += 1
+    }
+    z
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ZOrderK =
+    copy(children = newChildren)
+}
+
+object ZOrderK {
+  def apply(cols: Seq[Column], bounds: Seq[Seq[Long]]): Column =
+    ColumnBridge.column(ZOrderK(cols.map(ColumnBridge.expression), bounds))
+}

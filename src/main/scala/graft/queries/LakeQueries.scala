@@ -363,6 +363,40 @@ object LakeQueries extends QueryModule {
           AND l_partkey BETWEEN 100 AND 400
         GROUP BY 1 ORDER BY ok_mod""")),
 
+    // 3-D Z-order box read (overwriteZOrderedK + readWhereBox — the
+    // k-dim Morton generalization, plans.ZOrderK): lineitem clustered
+    // on (orderkey, partkey, suppkey) with 21 bits per dimension, then
+    // a conjunctive 3-range read that prunes on ALL THREE columns from
+    // the manifest alone (VersionedTableSpec pins the multiplicative
+    // pruning vs every 2-D projection); the oracle is the plain
+    // triple-BETWEEN over the raw table. Same q118 build convention
+    // (clustered write inside the timed region).
+    "q292_zorder_3d" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_z3").resolve("t").toString
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_quantity"))
+        graft.sources.VersionedTable.overwriteZOrderedK(
+          li, root, Seq("l_orderkey", "l_partkey", "l_suppkey"),
+          numFiles = 16)
+        graft.sources.VersionedTable
+          .readWhereBox(s, root,
+            Seq(("l_orderkey", 1000L, 30000L), ("l_partkey", 100L, 1200L),
+              ("l_suppkey", 1L, 60L)))
+          .groupBy((col("l_suppkey") % 5).as("sk_mod"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+          .orderBy("sk_mod")
+      },
+      oracle = Some("""
+        SELECT l_suppkey % 5 AS sk_mod, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem
+        WHERE l_orderkey BETWEEN 1000 AND 30000
+          AND l_partkey BETWEEN 100 AND 1200
+          AND l_suppkey BETWEEN 1 AND 60
+        GROUP BY 1 ORDER BY sk_mod""")),
+
     // OPTIMIZE compaction: four stats-carrying appends degenerate the
     // table into small files; compact() bin-packs them (range-clustered
     // on l_orderkey, stats recomputed), and the post-compaction

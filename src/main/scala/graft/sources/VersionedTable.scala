@@ -630,6 +630,63 @@ object VersionedTable {
       .drop("__z")
   }
 
+  /** k-dimensional Z-ORDER clustered overwrite ([[graft.plans.ZOrderK]]
+    * — [[overwriteZOrdered]] past two columns): all k columns are
+    * quantile-bucketed in ONE multi-column approxQuantile scan and
+    * bit-interleaved round-robin (floor(63/k) bits per dimension);
+    * range-partitioning on the Morton key yields files tight in EVERY
+    * dimension, and the manifest records each column's per-file
+    * [min, max] — so a k-bound [[readWhereBox]] prunes multiplicatively
+    * from the listing alone. The real 100 TB pruning keys are 3-4
+    * columns (date × tenant × key); `buckets` defaults to the most the
+    * per-dimension bit budget allows, capped at 1024. */
+  def overwriteZOrderedK(df: DataFrame, root: String, cols: Seq[String],
+                         numFiles: Int, buckets: Int = 0): Long =
+    overwriteWithStats(zClusterK(df, cols, numFiles, buckets),
+      root, cols: _*)
+
+  /** As [[overwriteZOrderedK]] for APPEND-style ingestion (the
+    * [[appendZOrdered]] k-dim twin): the batch is clustered with its
+    * own boundaries and stats-recorded; previous lines are inherited
+    * untouched, and [[readWhereBox]] prunes across all batches. */
+  def appendZOrderedK(df: DataFrame, root: String, cols: Seq[String],
+                      numFiles: Int, buckets: Int = 0): Long = {
+    val clustered = zClusterK(df, cols, numFiles, buckets)
+    val staged = stageDataFiles(clustered, root, nextVersion(root))
+    val lines = statLines(df.sparkSession, staged, cols)
+    val v = commitWithRetry(root, maxRetries = 5) { v =>
+      if (v == 0) lines else deltaContent(Seq.empty, lines)
+    }
+    maybeCheckpoint(root, v)
+    v
+  }
+
+  /** k-column quantile bucketing (one approxQuantile scan — skew-proof
+    * boundaries), round-robin bit-interleave ([[graft.plans.ZOrderK]]),
+    * range-partition + sort on the Morton key. `buckets <= 0` picks
+    * `min(1024, 2^(63/k - 1))` — the most the bit budget allows. */
+  private def zClusterK(df: DataFrame, cols: Seq[String], numFiles: Int,
+                        buckets: Int): DataFrame = {
+    require(cols.length >= 2 && cols.length <= 6,
+      "zClusterK supports 2..6 columns")
+    val nb =
+      if (buckets > 0) buckets
+      else math.min(1024, 1 << (63 / cols.length - 1))
+    val probs = (1 until nb).map(_.toDouble / nb).toArray
+    val qNames = cols.indices.map(i => s"__q$i")
+    val allBounds = df
+      .select(cols.zip(qNames).map { case (c, q) =>
+        col(c).cast("double").as(q)
+      }: _*)
+      .stat.approxQuantile(qNames.toArray, probs, 1.0 / (4 * nb))
+      .map(_.map(_.toLong).distinct.toSeq).toSeq
+    val z = graft.plans.ZOrderK(cols.map(c => col(c).cast("long")), allBounds)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+
   /** As [[overwriteZOrdered]] for APPEND-style ingestion: the incoming
     * batch is z-clustered and stats-recorded on its own (boundaries
     * from the batch — day-over-day drift is fine, each file's recorded

@@ -794,6 +794,63 @@ class VersionedTableSpec extends SparkSuite {
     assert(box.select("a", "b").as[(Long, Long)].collect().toSet == expect)
   }
 
+  test("overwriteZOrderedK: a 3-D box prunes multiplicatively tighter " +
+    "than every 2-D projection") {
+    import spark.implicits._
+    val root = tmpRoot()
+    // 32x32x32 cube; 64 files over the 15-bit Morton range = one
+    // 8x8x8 subcube per file, so a [4,11]^3 box touches 8 subcubes
+    // while any 2-D projection of it (third dimension free) touches 32
+    val cube = spark.range(32L * 32 * 32)
+      .select((col("id") % 32).as("x"),
+        (floor(col("id") / 32) % 32).cast("long").as("y"),
+        floor(col("id") / 1024).cast("long").as("z"))
+    VersionedTable.overwriteZOrderedK(cube, root, Seq("x", "y", "z"),
+      numFiles = 64, buckets = 32)
+    val total = VersionedTable.read(spark, root).inputFiles.length
+    assert(total == 64)
+    val box3 = VersionedTable.readWhereBox(spark, root,
+      Seq(("x", 4L, 11L), ("y", 4L, 11L), ("z", 4L, 11L)))
+    val boxXY = VersionedTable.readWhereBox(spark, root,
+      Seq(("x", 4L, 11L), ("y", 4L, 11L)))
+    val boxXZ = VersionedTable.readWhereBox(spark, root,
+      Seq(("x", 4L, 11L), ("z", 4L, 11L)))
+    val boxYZ = VersionedTable.readWhereBox(spark, root,
+      Seq(("y", 4L, 11L), ("z", 4L, 11L)))
+    assert(box3.inputFiles.length < boxXY.inputFiles.length,
+      s"3d ${box3.inputFiles.length} vs xy ${boxXY.inputFiles.length}")
+    assert(box3.inputFiles.length < boxXZ.inputFiles.length,
+      s"3d ${box3.inputFiles.length} vs xz ${boxXZ.inputFiles.length}")
+    assert(box3.inputFiles.length < boxYZ.inputFiles.length,
+      s"3d ${box3.inputFiles.length} vs yz ${boxYZ.inputFiles.length}")
+    // exactness: box read == full filter
+    assert(box3.as[(Long, Long, Long)].collect().toSet ==
+      (for (x <- 4L to 11L; y <- 4L to 11L; z <- 4L to 11L)
+        yield (x, y, z)).toSet)
+  }
+
+  test("appendZOrderedK: per-batch k-dim clustering, box read prunes " +
+    "across batches") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val cube = spark.range(16L * 16 * 16)
+      .select((col("id") % 16).as("x"),
+        (floor(col("id") / 16) % 16).cast("long").as("y"),
+        floor(col("id") / 256).cast("long").as("z"))
+    VersionedTable.appendZOrderedK(cube.filter(col("z") < 8), root,
+      Seq("x", "y", "z"), numFiles = 8, buckets = 16)
+    VersionedTable.appendZOrderedK(cube.filter(col("z") >= 8), root,
+      Seq("x", "y", "z"), numFiles = 8, buckets = 16)
+    assert(VersionedTable.versions(root) == Seq(0L, 1L))
+    val total = VersionedTable.read(spark, root).inputFiles.length
+    assert(total == 16)
+    // z-range inside batch 1 → batch 2's files all pruned
+    val box = VersionedTable.readWhereBox(spark, root,
+      Seq(("x", 0L, 7L), ("y", 0L, 7L), ("z", 0L, 3L)))
+    assert(box.inputFiles.length < 8, s"${box.inputFiles.length}/$total")
+    assert(box.count() == 8L * 8 * 4)
+  }
+
   test("readChangesStream: each commit once, checkpointed resume, rewrite refused") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
