@@ -53,6 +53,25 @@ object RecallProbe {
       println(f"ivfPqTopK nprobe=$np refine=$rf  recall=${recall(
         Similarity.ivfPqTopK(q32, emb, k = 5, dim = 64, nprobe = np, refine = rf))}%.3f")
 
+    // IVF index drift: build on half the corpus, append the rest with
+    // the STORED centroids (the silent-degradation regime), then
+    // recluster — recall before vs after quantifies what the retrain
+    // buys on a drifted-append fixture
+    {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_recall_drift").resolve("ix").toString
+      graft.operators.IvfIndex.build(
+        emb.filter(col("vec_id") < 250), root, nlist = 16)
+      graft.operators.IvfIndex.append(
+        emb.filter(col("vec_id") >= 250), root)
+      val before = recall(
+        graft.operators.IvfIndex.topK(spark, q32, root, k = 5, nprobe = 6))
+      graft.operators.IvfIndex.reclusterIfDrifted(spark, root, threshold = 0.5)
+      val after = recall(
+        graft.operators.IvfIndex.topK(spark, q32, root, k = 5, nprobe = 6))
+      println(f"ivfIndex drifted-append nprobe=6  recall before=$before%.3f after-recluster=$after%.3f")
+    }
+
     // kNN graph: every vector a query
     val exactGraph = topkSet(Similarity.bruteForceTopK(emb, emb, k = 5))
     for (np <- Seq(4, 6, 8)) {

@@ -46,6 +46,21 @@ object IvfIndex {
 
   private def centroidsFile(root: String) = new File(root, "centroids.txt")
   private def cellsRoot(root: String) = new File(root, "cells").getPath
+  private def buildRowsFile(root: String) = new File(root, "build_rows.txt")
+
+  private def writeBuildRows(root: String, rows: Long): Unit =
+    Files.write(buildRowsFile(root).toPath,
+      rows.toString.getBytes(StandardCharsets.UTF_8))
+
+  /** Rows at the last (re)build — falls back to the version-0 manifest
+    * count for indexes built before the sidecar existed. */
+  private def readBuildRows(root: String): Option[Long] = {
+    val f = buildRowsFile(root)
+    if (f.exists())
+      Some(new String(Files.readAllBytes(f.toPath),
+        StandardCharsets.UTF_8).trim.toLong)
+    else VersionedTable.countRows(cellsRoot(root), Some(0L))
+  }
 
   private def writeCentroids(root: String, cs: Array[Array[Double]]): Unit =
     Files.write(centroidsFile(root).toPath,
@@ -81,10 +96,13 @@ object IvfIndex {
     // coalesce would happily pack a small build into ONE file and
     // erase the per-file cell bands readWhereIn prunes on
     val files = if (numFiles > 0) numFiles else math.max(nlist / 2, 1)
-    VersionedTable.overwriteWithStats(
+    val v = VersionedTable.overwriteWithStats(
       cellRowsOf(corpus, centroids, idCol, vecCol)
         .repartitionByRange(files, col("cell"), col("id")),
       cellsRoot(root), "cell")
+    VersionedTable.countRows(cellsRoot(root), Some(v))
+      .foreach(writeBuildRows(root, _))
+    v
   }
 
   /** Assign a NEW batch with the STORED centroids and append its cell
@@ -97,6 +115,42 @@ object IvfIndex {
       cellRowsOf(batch, centroids, idCol, vecCol)
         .repartitionByRange(math.max(numFiles, 1), col("cell"), col("id")),
       cellsRoot(root), "cell")
+  }
+
+  /** RE-CLUSTER ON DRIFT — the maintenance dial [[append]] deliberately
+    * lacks: appends assign with the STORED centroids forever, so a
+    * drifted corpus (new batches from a different distribution)
+    * degrades cell balance and recall silently. When the mass appended
+    * since the last (re)build reaches `threshold` of the table, this
+    * retrains the centroids on the CURRENT stored vectors (the cells
+    * table carries them — no external corpus needed; same
+    * deterministic lowest-id seeds + one-Lloyd-pass rule as [[build]],
+    * so the result is bit-identical to a fresh build over the same
+    * (id, vec) set — IvfIndexSpec pins it) and rewrites the
+    * cell-clustered table as one new version (the Delta OPTIMIZE-style
+    * rewrite; history and time travel keep working). O(table) — the
+    * point of the threshold: amortize one rewrite over `threshold`
+    * worth of O(batch) appends. Returns true iff a recluster ran. */
+  def reclusterIfDrifted(spark: SparkSession, root: String,
+                         threshold: Double = 0.5,
+                         numFiles: Int = 0): Boolean = {
+    val cr = cellsRoot(root)
+    val total = VersionedTable.countRows(cr)
+      .getOrElse(VersionedTable.read(spark, cr).count())
+    if (total == 0) return false
+    val atBuild = readBuildRows(root).getOrElse(0L)
+    if ((total - atBuild).toDouble / total < threshold) return false
+    val nlist = readCentroids(root).length
+    val stored = VersionedTable.read(spark, cr).select(col("id"), col("vec"))
+    val centroids = Similarity.trainCentroids(stored, nlist, "id", "vec")
+    writeCentroids(root, centroids)
+    val files = if (numFiles > 0) numFiles else math.max(nlist / 2, 1)
+    VersionedTable.overwriteWithStats(
+      cellRowsOf(stored, centroids, "id", "vec")
+        .repartitionByRange(files, col("cell"), col("id")),
+      cr, "cell")
+    writeBuildRows(root, total)
+    true
   }
 
   /** Approximate top-`k` cosine neighbors from the index: each query

@@ -48,6 +48,21 @@ object IvfPqIndex {
   private def centroidsFile(root: String) = new File(root, "centroids.txt")
   private def codebookFile(root: String) = new File(root, "codebook.txt")
   private def codesRoot(root: String) = new File(root, "codes").getPath
+  private def buildRowsFile(root: String) = new File(root, "build_rows.txt")
+
+  private def writeBuildRows(root: String, rows: Long): Unit =
+    Files.write(buildRowsFile(root).toPath,
+      rows.toString.getBytes(StandardCharsets.UTF_8))
+
+  /** Rows at the last (re)build — falls back to the version-0 manifest
+    * count for indexes built before the sidecar existed. */
+  private def readBuildRows(root: String): Option[Long] = {
+    val f = buildRowsFile(root)
+    if (f.exists())
+      Some(new String(Files.readAllBytes(f.toPath),
+        StandardCharsets.UTF_8).trim.toLong)
+    else VersionedTable.countRows(codesRoot(root), Some(0L))
+  }
 
   private def writeCentroids(root: String, cs: Array[Array[Double]]): Unit =
     Files.write(centroidsFile(root).toPath,
@@ -132,10 +147,43 @@ object IvfPqIndex {
     val book = Similarity.trainPqCodebook(assigned, "__res", "id", m, ksub, dsub)
     writeCodebook(root, book)
     val files = if (numFiles > 0) numFiles else math.max(nlist / 2, 1)
-    VersionedTable.overwriteWithStats(
+    val v = VersionedTable.overwriteWithStats(
       codeRowsOf(corpus, centroids, book, idCol, vecCol)
         .repartitionByRange(files, col("cell"), col("id")),
       codesRoot(root), "cell")
+    VersionedTable.countRows(codesRoot(root), Some(v))
+      .foreach(writeBuildRows(root, _))
+    v
+  }
+
+  /** RE-CLUSTER ON DRIFT ([[IvfIndex.reclusterIfDrifted]]'s composite
+    * twin): [[append]] assigns + encodes with the STORED model forever,
+    * so a drifted corpus degrades cell balance, residual fit, and
+    * recall silently. When the mass appended since the last (re)build
+    * reaches `threshold` of the codes table, retrain the WHOLE model —
+    * centroids AND residual codebook — via [[build]] over the current
+    * `corpus` (the full-precision vectors live there, never in the
+    * index; model shape nlist/m/ksub is re-read from the stored
+    * artifacts, so the caller only supplies the data). One new
+    * cell-clustered version; history keeps working. Returns true iff
+    * the retrain ran. */
+  def reclusterIfDrifted(corpus: DataFrame, root: String,
+                         threshold: Double = 0.5,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         numFiles: Int = 0): Boolean = {
+    val cr = codesRoot(root)
+    val total = VersionedTable.countRows(cr).getOrElse(
+      VersionedTable.read(corpus.sparkSession, cr).count())
+    if (total == 0) return false
+    val atBuild = readBuildRows(root).getOrElse(0L)
+    if ((total - atBuild).toDouble / total < threshold) return false
+    val nlist = readCentroids(root).length
+    val book = readCodebook(root)
+    val (m, ksub, dsub) = (book.length, book(0).length, book(0)(0).length)
+    build(corpus, root, dim = m * dsub, nlist = nlist, m = m, ksub = ksub,
+      idCol = idCol, vecCol = vecCol, numFiles = numFiles)
+    true
   }
 
   /** Assign + encode a NEW batch with the STORED model and append its

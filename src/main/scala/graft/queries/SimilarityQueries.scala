@@ -800,6 +800,40 @@ object SimilarityQueries extends QueryModule {
       },
       oracle = Some(exactTopkSql("WHERE q.vec_id < 32", "recall_ok"))),
 
+    // ANN index maintenance under DRIFT (IvfIndex.reclusterIfDrifted):
+    // build on the first half of the corpus, append the second half
+    // with the stored centroids (the silent-degradation regime), then
+    // the drift dial — a 0.6 threshold correctly refuses (noop_ok; the
+    // appended mass is 0.5), a 0.5 threshold retrains the centroids on
+    // the stored vectors and rewrites cell-clustered (retrained_ok).
+    // Post-recluster search ≡ a fresh full-corpus build bit-for-bit
+    // (IvfIndexSpec pins it — deterministic lowest-id seeds + one
+    // Lloyd pass over the same (id, vec) set), so the certified floor
+    // is q172's same-corpus 0.6 at nprobe=6 with NO appended-drift
+    // discount — the point of the recluster.
+    "q293_ivf_recluster" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_ivf_rc").resolve("ix").toString
+        val emb = Tables(s, dir, "embeddings")
+        graft.operators.IvfIndex.build(
+          emb.filter(col("vec_id") < 250), root, nlist = 16)
+        graft.operators.IvfIndex.append(
+          emb.filter(col("vec_id") >= 250), root)
+        val early = graft.operators.IvfIndex.reclusterIfDrifted(
+          s, root, threshold = 0.6)
+        val ran = graft.operators.IvfIndex.reclusterIfDrifted(
+          s, root, threshold = 0.5)
+        val q = emb.filter(col("vec_id") < 32)
+        certifiedTopK(
+          Similarity.bruteForceTopK(q, emb, k = 5),
+          graft.operators.IvfIndex.topK(s, q, root, k = 5, nprobe = 6),
+          floor = 0.6)
+          .withColumn("noop_ok", lit(if (early) 0L else 1L))
+          .withColumn("retrained_ok", lit(if (ran) 1L else 0L))
+      },
+      oracle = Some(exactTopkSql("WHERE q.vec_id < 32",
+        "recall_ok", "noop_ok", "retrained_ok"))),
+
     // Clustering EVALUATION: per-cluster purity of the q162 fixed-point
     // k-means assignment against the ground-truth labels the
     // embeddings fixture carries — the standard quick audit before

@@ -57,4 +57,33 @@ class IvfIndexSpec extends SparkSuite {
     assert(got.head.getLong(1) == 100000L)
     assert(math.abs(got.head.getDouble(3) - 1.0) < 1e-12)
   }
+
+  test("reclusterIfDrifted: threshold gates the retrain; post-recluster " +
+    "search equals a fresh full-corpus build bit-for-bit") {
+    val cells = (root: String) => new java.io.File(root, "cells").getPath
+    val root = tmpRoot()
+    IvfIndex.build(emb.filter(col("vec_id") < 250), root, nlist = 16)
+    // 125/375 appended = 0.33 < 0.5 → refused, no new version
+    IvfIndex.append(emb.filter(col("vec_id").between(250, 374)), root)
+    val vBefore = graft.sources.VersionedTable.versions(cells(root)).size
+    assert(!IvfIndex.reclusterIfDrifted(spark, root, threshold = 0.5))
+    assert(graft.sources.VersionedTable.versions(cells(root)).size == vBefore)
+    // 250/500 = 0.5 ≥ 0.5 → retrain runs, ONE new version
+    IvfIndex.append(emb.filter(col("vec_id") >= 375), root)
+    assert(IvfIndex.reclusterIfDrifted(spark, root, threshold = 0.5))
+    assert(graft.sources.VersionedTable.versions(cells(root)).size ==
+      vBefore + 2) // the second append + the recluster rewrite
+    // a second probe right after: appended mass reset to 0 → refused
+    assert(!IvfIndex.reclusterIfDrifted(spark, root, threshold = 0.5))
+    // deterministic retrain: search ≡ a fresh build over the full corpus
+    val fresh = tmpRoot()
+    IvfIndex.build(emb, fresh, nlist = 16)
+    val q = emb.filter(col("vec_id") < 32)
+    def res(r: String) = IvfIndex.topK(spark, q, r, k = 5, nprobe = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3))).toSet
+    val reclustered = res(root)
+    assert(reclustered == res(fresh))
+    assert(reclustered.nonEmpty)
+  }
 }

@@ -64,4 +64,34 @@ class IvfPqIndexSpec extends SparkSuite {
     assert(got.head.getLong(1) == 100000L)
     assert(math.abs(got.head.getDouble(3) - 1.0) < 1e-12)
   }
+
+  test("reclusterIfDrifted: threshold gates the retrain; post-recluster " +
+    "search equals a fresh full-corpus build bit-for-bit") {
+    val codes = (root: String) => new java.io.File(root, "codes").getPath
+    val root = tmpRoot()
+    IvfPqIndex.build(emb.filter(col("vec_id") < 250), root, dim = 64,
+      nlist = 16)
+    IvfPqIndex.append(emb.filter(col("vec_id").between(250, 374)), root)
+    val vBefore = graft.sources.VersionedTable.versions(codes(root)).size
+    // 125/375 = 0.33 < 0.5 → refused
+    assert(!IvfPqIndex.reclusterIfDrifted(
+      emb.filter(col("vec_id") < 375), root, threshold = 0.5))
+    assert(graft.sources.VersionedTable.versions(codes(root)).size == vBefore)
+    // 250/500 = 0.5 ≥ 0.5 → the whole model (centroids AND residual
+    // codebook) retrains via build over the current corpus
+    IvfPqIndex.append(emb.filter(col("vec_id") >= 375), root)
+    assert(IvfPqIndex.reclusterIfDrifted(emb, root, threshold = 0.5))
+    assert(graft.sources.VersionedTable.versions(codes(root)).size ==
+      vBefore + 2)
+    assert(!IvfPqIndex.reclusterIfDrifted(emb, root, threshold = 0.5))
+    val fresh = tmpRoot()
+    IvfPqIndex.build(emb, fresh, dim = 64, nlist = 16)
+    val q = emb.filter(col("vec_id") < 32)
+    def res(r: String) = IvfPqIndex.search(q, emb, r, k = 5, nprobe = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3))).toSet
+    val reclustered = res(root)
+    assert(reclustered == res(fresh))
+    assert(reclustered.nonEmpty)
+  }
 }
