@@ -279,6 +279,66 @@ object StreamQueries extends QueryModule {
                CAST(1 AS BIGINT) AS all_intact
         FROM documents GROUP BY source ORDER BY source""")),
 
+    // BlobStore LIFECYCLE through the streaming door (q288's batch
+    // round-trip made incremental): assets arrive via
+    // runMediaIngestAvailableNow (txn-stamped two-table commits,
+    // chunks first, pointer last), a full re-run of the door replays
+    // every batchId and must no-op BOTH tables (replay_ok); GDPR
+    // takedown kills the pointers (range reads die instantly —
+    // range_dead_ok) and reclaimOrphans physically drops exactly the
+    // orphaned assets' chunks (reclaim_ok). The anchor is the q288
+    // aggregate over the SURVIVING assets — reassembled bytes must
+    // still be byte-identical to the raw documents the oracle reads.
+    "q294_media_lifecycle" -> Q(
+      bench = false,
+      run = (s, dir) => {
+        val in = tempRoot("graft_blob_in").resolve("p").toString
+        val root = tempRoot("graft_blob_life").resolve("b").toString
+        val media = Tables(s, dir, "documents")
+          .filter(col("doc_id") < 300)
+          .select(col("doc_id").as("media_id"), col("source").as("kind"),
+            col("text").cast(BinaryType).as("payload"))
+        media.repartition(2).write.mode("overwrite").parquet(in)
+        graft.streaming.StreamingJobs.runMediaIngestAvailableNow(
+          s, in, root, chunkBytes = 64)
+        val chunkVs = graft.sources.VersionedTable.versions(s"$root/chunks")
+        val ptrVs = graft.sources.VersionedTable.versions(s"$root/pointer")
+        graft.streaming.StreamingJobs.runMediaIngestAvailableNow(
+          s, in, root, chunkBytes = 64)
+        val replayOk =
+          graft.sources.VersionedTable.versions(s"$root/chunks") == chunkVs &&
+          graft.sources.VersionedTable.versions(s"$root/pointer") == ptrVs
+        val gone = media.filter(col("media_id") % 10 === 0)
+          .select(col("media_id")).collect().map(_.getLong(0)).toSeq
+        graft.sources.BlobStore.takedown(s, root, gone)
+        val rangeDeadOk = graft.sources.BlobStore
+          .readRange(s, root, gone.head, 0L, 16L).isEmpty
+        val reclaimOk =
+          graft.sources.BlobStore.reclaimOrphans(s, root) == gone.length
+        graft.sources.BlobStore.readAssembled(s, root)
+          .groupBy(col("kind"))
+          .agg(count(lit(1)).as("n_media"),
+            sum(length(col("payload"))).cast("long").as("total_bytes"),
+            countDistinct(md5(col("payload"))).as("n_distinct"),
+            min(col("intact").cast("long")).as("all_intact"))
+          .select(col("kind").as("source"), col("n_media"),
+            col("total_bytes"), col("n_distinct"), col("all_intact"))
+          .withColumn("replay_ok", lit(if (replayOk) 1L else 0L))
+          .withColumn("range_dead_ok", lit(if (rangeDeadOk) 1L else 0L))
+          .withColumn("reclaim_ok", lit(if (reclaimOk) 1L else 0L))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        SELECT source, COUNT(*) AS n_media,
+               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+               COUNT(DISTINCT md5(text)) AS n_distinct,
+               CAST(1 AS BIGINT) AS all_intact,
+               CAST(1 AS BIGINT) AS replay_ok,
+               CAST(1 AS BIGINT) AS range_dead_ok,
+               CAST(1 AS BIGINT) AS reclaim_ok
+        FROM documents WHERE doc_id < 300 AND doc_id % 10 != 0
+        GROUP BY source ORDER BY source""")),
+
     // Batched multimodal resize (mapPartitions, stub codec): the
     // truncation stand-in is deterministic, so the resized payload's
     // base-31 wrapping checksum is recomputed by the oracle in HUGEINT

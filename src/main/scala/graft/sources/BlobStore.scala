@@ -37,13 +37,10 @@ object BlobStore {
   private def pointerRoot(root: String) = s"$root/pointer"
   private def chunksRoot(root: String) = s"$root/chunks"
 
-  /** Ingest (media_id, kind, payload) rows: split each payload into
-    * `chunkBytes`-sized ranged chunks and commit chunks (clustered +
-    * stats on media_id) and pointers. Zero-length payloads keep one
-    * empty chunk so every asset reassembles. `numFiles` > 0 pins the
-    * chunk-file count (default ~1 file per 64 chunks). */
-  def write(media: DataFrame, root: String, chunkBytes: Int,
-            numFiles: Int = 0): Unit = {
+  /** (pointer rows, chunk rows) for a media batch — the pure column
+    * math shared by [[write]] and [[appendTxn]]. */
+  private def splitRows(media: DataFrame,
+                        chunkBytes: Int): (DataFrame, DataFrame) = {
     require(chunkBytes > 0, s"chunkBytes must be positive, got $chunkBytes")
     // exact integer chunk count — no float ceil anywhere near lengths;
     // length() is INT and a ~2 GB payload would overflow the `+`, so
@@ -65,6 +62,17 @@ object BlobStore {
       .withColumn("n_bytes", length(col("chunk")).cast(LongType))
       .select(col("media_id"), col("chunk_idx"), col("offset"),
         col("n_bytes"), col("chunk"))
+    (ptr, chunks)
+  }
+
+  /** Ingest (media_id, kind, payload) rows: split each payload into
+    * `chunkBytes`-sized ranged chunks and commit chunks (clustered +
+    * stats on media_id) and pointers. Zero-length payloads keep one
+    * empty chunk so every asset reassembles. `numFiles` > 0 pins the
+    * chunk-file count (default ~1 file per 64 chunks). */
+  def write(media: DataFrame, root: String, chunkBytes: Int,
+            numFiles: Int = 0): Unit = {
+    val (ptr, chunks) = splitRows(media, chunkBytes)
     val files =
       if (numFiles > 0) numFiles
       else {
@@ -77,8 +85,71 @@ object BlobStore {
     VersionedTable.overwriteWithStats(
       chunks.repartitionByRange(files, col("media_id"), col("chunk_idx")),
       chunksRoot(root), "media_id")
-    VersionedTable.overwrite(ptr, pointerRoot(root))
+    VersionedTable.overwriteWithStats(
+      ptr.repartitionByRange(math.max(1, files / 8), col("media_id")),
+      pointerRoot(root), "media_id")
     ()
+  }
+
+  /** EXACTLY-ONCE streaming append — the incremental door media
+    * actually arrives through ([[graft.streaming.StreamingJobs
+    * .runMediaIngestAvailableNow]] wraps it in foreachBatch). Both
+    * tables commit txn-stamped ([[VersionedTable.appendTxnWithStats]]:
+    * data, stats, and marker in ONE atomic manifest commit), chunks
+    * FIRST, pointer LAST — the pointer commit is the publish point, so
+    * a crash between the two leaves orphan chunks no reader resolves
+    * (reassembly and range reads both start from the pointer), and the
+    * replayed batch no-ops the chunk append and completes the pointer.
+    * A batch id at or below either table's recorded txn no-ops that
+    * table. */
+  def appendTxn(media: DataFrame, root: String, chunkBytes: Int,
+                appId: String, txn: Long, numFiles: Int = 1): Unit = {
+    if (VersionedTable.latestTxn(pointerRoot(root), appId).exists(_ >= txn))
+      return
+    val (ptr, chunks) = splitRows(media, chunkBytes)
+    VersionedTable.appendTxnWithStats(
+      chunks.repartitionByRange(math.max(1, numFiles),
+        col("media_id"), col("chunk_idx")),
+      chunksRoot(root), appId, txn, "media_id")
+    VersionedTable.appendTxnWithStats(ptr.coalesce(1),
+      pointerRoot(root), appId, txn, "media_id")
+    ()
+  }
+
+  /** GDPR TAKEDOWN, phase 1 of 2: delete the POINTER rows for
+    * `mediaIds` — O(pointer files touched), the visibility cut: both
+    * [[readAssembled]] and [[readRange]] resolve through the pointer,
+    * so the assets disappear from every read path immediately while
+    * the (large) chunk bytes wait for [[reclaimOrphans]] on the
+    * retention cadence — delete the pointer, reclaim the chunks. */
+  def takedown(spark: SparkSession, root: String,
+               mediaIds: Seq[Long]): Unit = {
+    require(mediaIds.nonEmpty, "takedown needs at least one media_id")
+    VersionedTable.delete(spark, pointerRoot(root),
+      col("media_id").isin(mediaIds: _*))
+    ()
+  }
+
+  /** GDPR takedown, phase 2: physically drop every chunk whose asset
+    * has no pointer (file-pruned [[VersionedTable.delete]] — untouched
+    * chunk files carry over manifest-only). The orphan-id collect is
+    * bounded by takedowns since the last reclaim, never corpus size;
+    * the distinct itself is map-side-partial over the chunk table — an
+    * offline maintenance pass, like vacuum. Returns the number of
+    * orphan ASSETS reclaimed. Old versions still time-travel to the
+    * bytes until [[VersionedTable.vacuum]] expires them — run both for
+    * physical erasure. */
+  def reclaimOrphans(spark: SparkSession, root: String): Long = {
+    val live = VersionedTable.read(spark, pointerRoot(root))
+      .select(col("media_id"))
+    val orphans = VersionedTable.read(spark, chunksRoot(root))
+      .select(col("media_id")).distinct()
+      .join(live, Seq("media_id"), "left_anti")
+      .collect().map(_.getLong(0))
+    if (orphans.nonEmpty)
+      VersionedTable.delete(spark, chunksRoot(root),
+        col("media_id").isin(orphans.toSeq: _*))
+    orphans.length.toLong
   }
 
   /** Reassemble every asset with CHECKSUM VERIFICATION: chunks sort by
@@ -112,8 +183,14 @@ object BlobStore {
                 offset: Long, nBytes: Long): DataFrame = {
     require(offset >= 0 && nBytes > 0, "range must be non-negative/positive")
     val lo = lit(offset); val hi = lit(offset + nBytes)
+    // resolve through the POINTER (manifest-pruned to the files that
+    // could hold this id): a taken-down asset must stop serving the
+    // moment its pointer row dies, not when reclaim catches up
+    val live = VersionedTable.readWhereIn(spark, pointerRoot(root),
+      "media_id", Seq(mediaId)).select(col("media_id"))
     VersionedTable.readWhereIn(spark, chunksRoot(root), "media_id",
       Seq(mediaId))
+      .join(broadcast(live), Seq("media_id"), "left_semi")
       .filter(col("offset") + col("n_bytes") > lo && col("offset") < hi)
       // intersection of [offset, offset+n_bytes) with the request:
       // 1-based start inside the chunk + intersection length

@@ -1165,6 +1165,27 @@ object VersionedTable {
     v
   }
 
+  /** [[appendTxn]] with per-file [min, max] stats on `statsCols` (the
+    * [[appendWithStats]] twin): exactly-once streaming ingestion into
+    * a stats-pruned table — the data files, their stats, AND the txn
+    * marker land in one atomic manifest commit. */
+  def appendTxnWithStats(df: DataFrame, root: String, appId: String,
+                         txn: Long, statsCols: String*): Long = {
+    val line = txnLine(appId, txn)
+    if (latestTxn(root, appId).exists(_ >= txn))
+      return latestVersion(root).getOrElse(
+        sys.error(s"txn recorded but no versions at $root"))
+    if (df.isEmpty) return latestVersion(root).getOrElse(-1L)
+    val staged = stageDataFiles(df, root, nextVersion(root))
+    val lines = statLines(df.sparkSession, staged, statsCols)
+    val v = commitWithRetry(root, maxRetries = 5) { v =>
+      if (v == 0) lines :+ line
+      else deltaContent(Seq.empty, lines) :+ line
+    }
+    maybeCheckpoint(root, v)
+    v
+  }
+
   /** Snapshot read of a specific version (time travel). mergeSchema:
     * an appended batch may carry added nullable columns (schema
     * evolution — the Delta `mergeSchema` role); the union schema is

@@ -192,6 +192,39 @@ object StreamingJobs {
     q.stop()
   }
 
+  /** [[graft.sources.BlobStore]] ingest door: media assets arrive
+    * incrementally (a crawl drop directory), each micro-batch is
+    * chunk-split and appended to the blob store through
+    * [[graft.sources.BlobStore.appendTxn]] — chunks commit first,
+    * pointer last, both txn-stamped, so a replayed micro-batch no-ops
+    * instead of double-storing and a crash between the two commits
+    * leaves only pointer-less chunks no reader resolves (the pointer
+    * commit is the publish point; the replay completes it). */
+  def runMediaIngestAvailableNow(spark: SparkSession, inputDir: String,
+                                 root: String, chunkBytes: Int): Unit = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("kind",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.BinaryType)))
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", 1)
+      .schema(schema)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        graft.sources.BlobStore.appendTxn(batch.toDF(), root, chunkBytes,
+          appId = "media_ingest", txn = batchId)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Streaming upsert sink: foreachBatch → VersionedTable.merge — the
     * idiomatic upgrade of the reference's blind daily appends
     * (SURVEY.md §2.10: "foreachBatch upsert via DeltaTable.merge"),
