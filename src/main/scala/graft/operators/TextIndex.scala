@@ -179,8 +179,11 @@ object TextIndex {
   def build(docs: DataFrame, root: String, idCol: String = "doc_id",
             textCol: String = "text", positional: Boolean = false): Unit = {
     new File(root).mkdirs()
-    writeCommit(root, 0L, 0L, -1L, -1L, -1L,
-      if (positional) -1L else PosAbsent)
+    while (!graft.sources.PointerCas.commitIfGen(new File(root),
+        graft.sources.PointerCas.gen(new File(root))) {
+      writeCommit(root, 0L, 0L, -1L, -1L, -1L,
+        if (positional) -1L else PosAbsent)
+    }) ()
     append(docs, root, idCol, textCol)
   }
 
@@ -215,31 +218,49 @@ object TextIndex {
              textCol: String = "text", txn: Long = -1L,
              autoOptimizeFiles: Int = 0,
              autoOptimizeTarget: Int = 8): Unit = {
-    if (!statsFile(root).exists()) {
+    while (!statsFile(root).exists()) {
       new File(root).mkdirs()
-      writeCommit(root, 0L, 0L, -1L, -1L, -1L)
+      // bootstrap pointer, generation-guarded like every move (two
+      // racing first-appends: the loser finds the winner's file)
+      graft.sources.PointerCas.commitIfGen(new File(root),
+        graft.sources.PointerCas.gen(new File(root))) {
+        writeCommit(root, 0L, 0L, -1L, -1L, -1L)
+      }
     }
-    if (txn >= 0 && committedTxn(root) >= txn) return
     val spark = docs.sparkSession
-    val (n0, s0, pV0, dV0) = commitState(root)
-    // localCheckpoint: the batch postings feed three consumers
-    // (postings append, doclen append, stats roll-up) — tokenize once
-    val p = postingsOf(docs, idCol, textCol).localCheckpoint(true)
-    val pV = appendCommitted(p, postingsRoot(root), pV0, Some("term"), spark)
-    val dl = p.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      .localCheckpoint(true) // doclen append + stats delta read it
-    val dV = appendCommitted(dl, doclenRoot(root), dV0, None, spark)
-    // positional shape recorded in the pointer → maintain it here
-    val posV = posVersion(root) match {
-      case Some(v0) => appendCommitted(positionsOf(docs, idCol, textCol),
-        positionsRoot(root), v0, Some("term"), spark)
-      case None => PosAbsent
+    // OPTIMISTIC multi-writer cycle (PointerCas): read the pointer
+    // generation, stage the table commits, then move the pointer iff
+    // the generation is unchanged. A lost race leaves this attempt's
+    // table versions as invisible orphans (the crash-window stance)
+    // and re-runs the WHOLE cycle against the winner's pointer —
+    // racing appenders serialize, neither batch is lost, and readers
+    // (who read AT the pointer) never see a torn postings/doclen set.
+    var committed = false
+    while (!committed) {
+      if (txn >= 0 && committedTxn(root) >= txn) return
+      val g0 = graft.sources.PointerCas.gen(new File(root))
+      val (n0, s0, pV0, dV0) = commitState(root)
+      // localCheckpoint: the batch postings feed three consumers
+      // (postings append, doclen append, stats roll-up) — tokenize once
+      val p = postingsOf(docs, idCol, textCol).localCheckpoint(true)
+      val pV = appendCommitted(p, postingsRoot(root), pV0, Some("term"), spark)
+      val dl = p.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        .localCheckpoint(true) // doclen append + stats delta read it
+      val dV = appendCommitted(dl, doclenRoot(root), dV0, None, spark)
+      // positional shape recorded in the pointer → maintain it here
+      val posV = posVersion(root) match {
+        case Some(v0) => appendCommitted(positionsOf(docs, idCol, textCol),
+          positionsRoot(root), v0, Some("term"), spark)
+        case None => PosAbsent
+      }
+      // one 1-row driver aggregate — the O(1) stats delta
+      val row = dl.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("s")).head()
+      committed = graft.sources.PointerCas.commitIfGen(new File(root), g0) {
+        writeCommit(root, n0 + row.getLong(0), s0 + row.getLong(1), pV, dV,
+          math.max(txn, committedTxn(root)), posV)
+      }
     }
-    // one 1-row driver aggregate — the O(1) stats delta
-    val row = dl.agg(count(lit(1)).as("n"),
-      coalesce(sum(col("dl")), lit(0L)).as("s")).head()
-    writeCommit(root, n0 + row.getLong(0), s0 + row.getLong(1), pV, dV,
-      math.max(txn, committedTxn(root)), posV)
     if (autoOptimizeFiles > 0 &&
         postings(spark, root).inputFiles.length >= autoOptimizeFiles) {
       optimize(spark, root, autoOptimizeTarget)
@@ -267,25 +288,35 @@ object TextIndex {
     * readable. Run it on the maintenance cadence, not per batch. */
   def optimize(spark: SparkSession, root: String,
                targetFiles: Int = 8): Long = {
-    val (n0, s0, _, dV0) = commitState(root)
-    val p = postings(spark, root)
-      .repartitionByRange(targetFiles, col("term"), col("doc_id"))
-      .sortWithinPartitions(col("term"), col("doc_id"))
-    val pV = VersionedTable.overwriteWithBloomIndex(p, postingsRoot(root), "term")
-    // positional postings recluster by term too (same fragmentation
-    // story: appends interleave each batch's vocabulary)
-    val posV = posVersion(root) match {
-      case Some(v0) if v0 >= 0 =>
-        val pos = VersionedTable.readVersion(spark, positionsRoot(root), v0)
-          .repartitionByRange(targetFiles, col("term"), col("doc_id"),
-            col("pos"))
-          .sortWithinPartitions(col("term"), col("doc_id"), col("pos"))
-        VersionedTable.overwriteWithBloomIndex(pos, positionsRoot(root), "term")
-      case Some(v0) => v0
-      case None => PosAbsent
+    // same optimistic cycle as append: a maintenance rewrite racing an
+    // ingest must not publish a pointer that drops the ingest's batch
+    var out = -1L
+    var committed = false
+    while (!committed) {
+      val g0 = graft.sources.PointerCas.gen(new File(root))
+      val (n0, s0, _, dV0) = commitState(root)
+      val p = postings(spark, root)
+        .repartitionByRange(targetFiles, col("term"), col("doc_id"))
+        .sortWithinPartitions(col("term"), col("doc_id"))
+      val pV = VersionedTable.overwriteWithBloomIndex(p, postingsRoot(root), "term")
+      // positional postings recluster by term too (same fragmentation
+      // story: appends interleave each batch's vocabulary)
+      val posV = posVersion(root) match {
+        case Some(v0) if v0 >= 0 =>
+          val pos = VersionedTable.readVersion(spark, positionsRoot(root), v0)
+            .repartitionByRange(targetFiles, col("term"), col("doc_id"),
+              col("pos"))
+            .sortWithinPartitions(col("term"), col("doc_id"), col("pos"))
+          VersionedTable.overwriteWithBloomIndex(pos, positionsRoot(root), "term")
+        case Some(v0) => v0
+        case None => PosAbsent
+      }
+      committed = graft.sources.PointerCas.commitIfGen(new File(root), g0) {
+        writeCommit(root, n0, s0, pV, dV0, committedTxn(root), posV)
+      }
+      out = pV
     }
-    writeCommit(root, n0, s0, pV, dV0, committedTxn(root), posV)
-    pV
+    out
   }
 
   /** TAKEDOWN: remove `docIds` from the index (the GDPR/DMCA path for
@@ -301,6 +332,9 @@ object TextIndex {
     * maintenance cadence. */
   def delete(spark: SparkSession, root: String, docIds: Seq[Long]): Unit = {
     require(docIds.nonEmpty, "delete needs at least one doc id")
+    var committed = false
+    while (!committed) {
+    val g0 = graft.sources.PointerCas.gen(new File(root))
     val (n0, s0, pV0, dV0) = commitState(root)
     val gone = VersionedTable.readVersion(spark, doclenRoot(root), dV0)
       .filter(col("doc_id").isin(docIds: _*))
@@ -330,8 +364,11 @@ object TextIndex {
       case Some(v0) => v0
       case None => PosAbsent
     }
-    writeCommit(root, n0 - gone.getLong(0), s0 - gone.getLong(1), pV, dV,
-      committedTxn(root), posV)
+    committed = graft.sources.PointerCas.commitIfGen(new File(root), g0) {
+      writeCommit(root, n0 - gone.getLong(0), s0 - gone.getLong(1), pV, dV,
+        committedTxn(root), posV)
+    }
+    }
   }
 
   /** Top-`k` docs by BM25 over `terms` — `(doc_id, n_terms, bm25)`,

@@ -22,23 +22,56 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the next successful publish supersedes them (vacuum reclaims their
   * files after retention, the TextIndex recovery stance).
   *
-  * Single publisher per group root (the single-writer discipline every
-  * pointer in this repo assumes); multi-writer groups would CAS the
-  * pointer, which an object store's put-if-match provides. */
+  * Multi-writer groups serialize through [[publishCas]] — a
+  * generation-guarded put-if-match ([[PointerCas]]): the loser of a
+  * race gets `false` back, re-reads the winner's snapshot, and
+  * retries; readers still only ever see whole ATOMIC_MOVE'd pointer
+  * files, so no torn version set is observable. [[publish]] keeps the
+  * unconditional last-write-wins single-publisher contract (now
+  * internally serialized, so it composes with CAS publishers). */
 object SnapshotGroup {
 
   private def pointer(groupRoot: String) = new File(groupRoot, "_published")
 
-  /** Atomically publish a consistent set of (table root → version). */
-  def publish(groupRoot: String, versions: Map[String, Long]): Unit = {
-    require(versions.nonEmpty, "empty publish")
-    new File(groupRoot).mkdirs()
+  private def writePointer(groupRoot: String,
+                           versions: Map[String, Long]): Unit = {
     val body = versions.toSeq.sortBy(_._1)
       .map { case (r, v) => s"$r\t$v" }.mkString("\n")
     val tmp = Files.createTempFile(new File(groupRoot).toPath, "_pub", ".tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointer(groupRoot).toPath,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The pointer generation a [[publishCas]] caller must echo back —
+    * read it, build the version set (usually [[current]] plus the
+    * caller's own tables), then CAS. */
+  def currentGen(groupRoot: String): Long =
+    PointerCas.gen(new File(groupRoot))
+
+  /** CONDITIONAL publish — put-if-match on the pointer generation:
+    * lands `versions` iff no other publisher won since the caller read
+    * `expectedGen` ([[currentGen]]). False = lost the race; re-read
+    * [[current]]/[[currentGen]] (the winner's snapshot) and retry with
+    * a version set rebuilt on top of it. Two racing publishers thus
+    * SERIALIZE: one wins, one retries — neither publish is silently
+    * overwritten. */
+  def publishCas(groupRoot: String, versions: Map[String, Long],
+                 expectedGen: Long): Boolean = {
+    require(versions.nonEmpty, "empty publish")
+    new File(groupRoot).mkdirs()
+    PointerCas.commitIfGen(new File(groupRoot), expectedGen) {
+      writePointer(groupRoot, versions)
+    }
+  }
+
+  /** Atomically publish a consistent set of (table root → version). */
+  def publish(groupRoot: String, versions: Map[String, Long]): Unit = {
+    require(versions.nonEmpty, "empty publish")
+    new File(groupRoot).mkdirs()
+    // unconditional, but serialized through the same generation chain
+    // so interleaved CAS publishers still detect it as a conflict
+    while (!publishCas(groupRoot, versions, currentGen(groupRoot))) ()
   }
 
   /** The currently published version set, if any publish ever landed. */

@@ -284,4 +284,55 @@ class TextIndexSpec extends SparkSuite {
     assert(opened < total)
     assert(pruned.count() == 1)
   }
+
+  test("racing appenders serialize on the commit pointer: neither batch " +
+    "is lost, stats exact, serving never torn") {
+    import java.util.concurrent.CyclicBarrier
+    val root = tmpRoot()
+    TextIndex.build(docs.filter(col("doc_id") % 3 === 0), root)
+    val batches = Seq(docs.filter(col("doc_id") % 3 === 1),
+      docs.filter(col("doc_id") % 3 === 2))
+    // both appenders release together: without the generation-guarded
+    // pointer CAS, both read the same commit state and the second
+    // pointer move would silently drop the first one's batch
+    val barrier = new CyclicBarrier(2)
+    var failure: Option[Throwable] = None
+    val ts = batches.map { b =>
+      new Thread(() => {
+        try { barrier.await(); TextIndex.append(b, root) }
+        catch { case t: Throwable => failure = Some(t) }
+      })
+    }
+    // a reader sampling serving state concurrently: n_docs from the
+    // pointer must always equal the doclen rows AT the recorded
+    // version — a torn pointer/table pair would break the equality.
+    // ONE atomic pointer read per sample (the file is ATOMIC_MOVE'd),
+    // then the immutable recorded version is counted.
+    @volatile var torn = false
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop) {
+        val toks = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(root, "_stats")),
+          java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
+        val (n, dV) = (toks(0).toLong, toks(3).toLong)
+        if (dV >= 0) {
+          val served = graft.sources.VersionedTable
+            .readVersion(spark, s"$root/doclen", dV).count()
+          if (n != served) torn = true
+        }
+      }
+    })
+    reader.start()
+    ts.foreach(_.start()); ts.foreach(_.join())
+    stop = true; reader.join()
+    failure.foreach(throw _)
+    assert(!torn, "reader observed pointer/table disagreement")
+    // the union of all three thirds — nothing lost to the race
+    val ref = tmpRoot()
+    TextIndex.build(docs, ref)
+    assert(postingsSet(TextIndex.postings(spark, root)) ==
+      postingsSet(TextIndex.postings(spark, ref)))
+    assert(TextIndex.stats(root) == TextIndex.stats(ref))
+  }
 }

@@ -52,6 +52,64 @@ class SnapshotGroupSpec extends SparkSuite {
     }
   }
 
+  test("racing publishers serialize through publishCas: every publish " +
+    "lands, readers never observe a torn version set") {
+    import spark.implicits._
+    import java.util.concurrent.CyclicBarrier
+    val grp = Files.createTempDirectory("graft_sg_race").toString
+    val tables = (0 until 2).map { i =>
+      val t = new java.io.File(grp, s"t$i").getPath
+      VersionedTable.overwrite(Seq((0L, i.toLong)).toDF("k", "v"), t)
+      t
+    }
+    // each publisher repeatedly: read gen + current set, add ITS OWN
+    // entry (a fresh version of its table), CAS; on a lost race,
+    // rebuild on the winner's snapshot — the multi-writer contract
+    val rounds = 10
+    val barrier = new CyclicBarrier(2)
+    val retries = new java.util.concurrent.atomic.AtomicLong(0)
+    def publisher(i: Int): Thread = new Thread(() => {
+      (1 to rounds).foreach { r =>
+        val v = VersionedTable.append(
+          Seq((r.toLong, i.toLong)).toDF("k", "v"), tables(i))
+        barrier.await() // maximize collision probability per round
+        var ok = false
+        while (!ok) {
+          val g = SnapshotGroup.currentGen(grp)
+          val cur = SnapshotGroup.current(grp).getOrElse(Map.empty)
+          ok = SnapshotGroup.publishCas(grp, cur + (tables(i) -> v), g)
+          if (!ok) retries.incrementAndGet()
+        }
+      }
+    })
+    // a reader hammering current() concurrently: every observed set
+    // must be internally consistent (only versions that exist, all
+    // parseable) — atomic pointer moves mean never a torn file
+    @volatile var torn = false
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop) SnapshotGroup.current(grp).foreach { m =>
+        if (!m.forall { case (t, v) =>
+          t.startsWith(grp) && VersionedTable.versions(t).contains(v)
+        }) torn = true
+      }
+    })
+    reader.start()
+    val ps = Seq(publisher(0), publisher(1))
+    ps.foreach(_.start()); ps.foreach(_.join())
+    stop = true; reader.join()
+    assert(!torn, "reader observed a torn/invalid version set")
+    // NEITHER publisher's final entry was silently overwritten
+    val fin = SnapshotGroup.current(grp).get
+    assert(fin.keySet == tables.toSet)
+    tables.zipWithIndex.foreach { case (t, i) =>
+      assert(VersionedTable.readVersion(spark, t, fin(t))
+        .filter(col("k") === rounds.toLong && col("v") === i.toLong)
+        .count() == 1L, s"publisher $i's last publish must survive")
+    }
+    info(s"lost-race retries observed: ${retries.get()}")
+  }
+
   test("readAt rejects a table outside the group; empty group errors") {
     import spark.implicits._
     val grp = Files.createTempDirectory("graft_sg_err").toString
