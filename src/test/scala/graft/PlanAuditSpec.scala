@@ -108,6 +108,7 @@ class PlanAuditSpec extends SparkSuite {
       "q42_lsh_topk", "q43_ivf_topk", "q123_ivfpq_topk",
       "q166_knn_graph_ivf", "q172_ivf_index", "q287_ivfpq_index",
       "q83_cosine_neardup_lsh", "q119_semantic_dedup_lsh",
+      "q293_ivf_recluster",
       // certified queries whose only BNLJ is Certify.attach's 1-ROW
       // flag frame crossed onto the anchor (q62's 1-row-broadcast
       // shape); their exact twins are equi-joins
