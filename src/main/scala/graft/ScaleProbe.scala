@@ -913,6 +913,72 @@ object ScaleProbe {
         graft.sources.Lake.deleteRecursively(new java.io.File(root).getParentFile)
       }
     }
+    // MOR-update probe (`runMain graft.ScaleProbe morupd`): the write
+    // side of a trickle update must track the MATCHED rows, not the
+    // table — the point of merge-on-read. A fixed ~n/1000 update whose
+    // keys are SPREAD ACROSS EVERY FILE (the hot-file daily-drip
+    // regime): COW rewrites every touched file (≈ the whole table),
+    // MOR lands only the patch rows. Both pay the O(n) predicate scan;
+    // the gap is pure write amplification and widens with scale.
+    if (args.contains("morupd")) {
+      import graft.sources.{Tombstones, VersionedTable}
+      for (mult <- Seq(1, 4, 10)) {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft_probe_morupd$mult")
+        val (mor, cow) = (dir.resolve("m").toString, dir.resolve("c").toString)
+        val rows = spark.range(0, mult * 200000L)
+          .select(col("id").as("k"), (col("id") % 97).cast("double").as("v"))
+          .repartitionByRange(mult * 16, col("k"))
+          .localCheckpoint(true)
+        VersionedTable.overwrite(rows, mor)
+        VersionedTable.overwrite(rows, cow)
+        val pred = pmod(col("k"), lit(1000L)) === 0
+        val set = Map("v" -> (col("v") * 2))
+        val t0 = System.nanoTime()
+        val matched = Tombstones.updateMor(spark, mor, Seq("k"), pred, set)
+        val morS = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        VersionedTable.update(spark, cow, pred, set)
+        val cowS = (System.nanoTime() - t1) / 1e9
+        println(f"[probe] mult=$mult%2d rows=${mult * 200000}%8d mor_update " +
+          f"matched=$matched%6d mor=$morS%6.2f s cow=$cowS%6.2f s " +
+          f"ratio=${cowS / morS}%5.2f")
+        rows.unpersist(false)
+        graft.sources.Lake.deleteRecursively(dir.toFile)
+      }
+    }
+    // 3-D z-order box probe (`runMain graft.ScaleProbe zbox`): a fixed
+    // absolute box over a corpus growing in the z dimension — the
+    // files OPENED must stay flat (the box covers a fixed slab; only
+    // the manifest grows) while a 2-D projection of the same box opens
+    // multiplicatively more as the free dimension grows.
+    if (args.contains("zbox")) {
+      import graft.sources.VersionedTable
+      for (mult <- Seq(1, 4, 10)) {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_probe_zbox$mult").resolve("t").toString
+        val n = mult * 262144L
+        val cube = spark.range(0, n)
+          .select((col("id") % 512).as("x"),
+            (pmod(col("id") * 2654435761L, lit(512L))).as("y"),
+            floor(col("id") / lit(n / 512L)).cast("long").as("z"))
+        VersionedTable.overwriteZOrderedK(cube, root, Seq("x", "y", "z"),
+          numFiles = mult * 48, buckets = 64)
+        val total = VersionedTable.read(spark, root).inputFiles.length
+        val box = Seq(("x", 0L, 63L), ("y", 0L, 63L), ("z", 0L, 63L))
+        val t0 = System.nanoTime()
+        val opened3 = VersionedTable.readWhereBox(spark, root, box)
+          .inputFiles.length
+        val secs = (System.nanoTime() - t0) / 1e9
+        val opened2 = VersionedTable.readWhereBox(spark, root, box.take(2))
+          .inputFiles.length
+        println(f"[probe] mult=$mult%2d rows=$n%8d zbox3d " +
+          f"opened3d=$opened3%4d opened2d=$opened2%4d total=$total%4d  " +
+          f"$secs%6.2f s")
+        graft.sources.Lake.deleteRecursively(
+          new java.io.File(root).getParentFile)
+      }
+    }
     spark.stop()
   }
 }

@@ -85,36 +85,50 @@ object IvfIndex {
 
   /** Train centroids on `corpus` (the shared deterministic seeds +
     * one-Lloyd-pass rule), commit the cell-clustered vectors as
-    * version 0 with cell stats. */
+    * version 0 with cell stats. `txn` ≥ 0 stamps (`appId`, txn) into
+    * the same atomic commit — the exactly-once bootstrap a streaming
+    * door's first micro-batch needs (a replayed build no-ops). */
   def build(corpus: DataFrame, root: String, nlist: Int = 16,
             idCol: String = "vec_id", vecCol: String = "embedding",
-            numFiles: Int = 0): Long = {
+            numFiles: Int = 0, appId: String = "ann_ingest",
+            txn: Long = -1L): Long = {
     new File(root).mkdirs()
+    if (txn >= 0 &&
+        VersionedTable.latestTxn(cellsRoot(root), appId).exists(_ >= txn))
+      return VersionedTable.latestVersion(cellsRoot(root)).getOrElse(-1L)
     val centroids = Similarity.trainCentroids(corpus, nlist, idCol, vecCol)
     writeCentroids(root, centroids)
     // explicit file count (default ~2 cells/file): an adaptive
     // coalesce would happily pack a small build into ONE file and
     // erase the per-file cell bands readWhereIn prunes on
     val files = if (numFiles > 0) numFiles else math.max(nlist / 2, 1)
-    val v = VersionedTable.overwriteWithStats(
-      cellRowsOf(corpus, centroids, idCol, vecCol)
-        .repartitionByRange(files, col("cell"), col("id")),
-      cellsRoot(root), "cell")
+    val rows = cellRowsOf(corpus, centroids, idCol, vecCol)
+      .repartitionByRange(files, col("cell"), col("id"))
+    val v =
+      if (txn >= 0) VersionedTable.overwriteTxnWithStats(rows,
+        cellsRoot(root), appId, txn, "cell")
+      else VersionedTable.overwriteWithStats(rows, cellsRoot(root), "cell")
     VersionedTable.countRows(cellsRoot(root), Some(v))
       .foreach(writeBuildRows(root, _))
     v
   }
 
   /** Assign a NEW batch with the STORED centroids and append its cell
-    * rows — O(batch); the build's files are inherited untouched. */
+    * rows — O(batch); the build's files are inherited untouched.
+    * `txn` ≥ 0 makes the append exactly-once per (`appId`, txn) — the
+    * [[VersionedTable.appendTxnWithStats]] protocol for the streaming
+    * door: a replayed micro-batch no-ops instead of double-adding. */
   def append(batch: DataFrame, root: String,
              idCol: String = "vec_id", vecCol: String = "embedding",
-             numFiles: Int = 1): Long = {
+             numFiles: Int = 1, appId: String = "ann_ingest",
+             txn: Long = -1L): Long = {
     val centroids = readCentroids(root)
-    VersionedTable.appendWithStats(
-      cellRowsOf(batch, centroids, idCol, vecCol)
-        .repartitionByRange(math.max(numFiles, 1), col("cell"), col("id")),
-      cellsRoot(root), "cell")
+    val rows = cellRowsOf(batch, centroids, idCol, vecCol)
+      .repartitionByRange(math.max(numFiles, 1), col("cell"), col("id"))
+    if (txn >= 0)
+      VersionedTable.appendTxnWithStats(rows, cellsRoot(root), appId,
+        txn, "cell")
+    else VersionedTable.appendWithStats(rows, cellsRoot(root), "cell")
   }
 
   /** RE-CLUSTER ON DRIFT — the maintenance dial [[append]] deliberately

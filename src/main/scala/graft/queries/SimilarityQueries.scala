@@ -834,6 +834,41 @@ object SimilarityQueries extends QueryModule {
       oracle = Some(exactTopkSql("WHERE q.vec_id < 32",
         "recall_ok", "noop_ok", "retrained_ok"))),
 
+    // The full ANN lifecycle through the STREAMING door
+    // (runAnnIngestAvailableNow): the first micro-batch BUILDS the
+    // index (txn-stamped bootstrap), the second appends with the
+    // stored centroids, the 50% appended mass trips the drift dial and
+    // the centroids retrain — so the served index equals a fresh
+    // full-corpus build (IvfIndexSpec pins bit-equality) and the
+    // recall floor is the no-discount 0.6. A full re-run of the door
+    // replays every batchId and must move NOTHING (replay_ok).
+    "q295_ann_ingest" -> Q(
+      bench = false,
+      run = (s, dir) => {
+        val flat = tempRoot("graft_ann_gate_in").resolve("p").toString
+        val root = tempRoot("graft_ann_gate_ix").resolve("ix").toString
+        val emb = Tables(s, dir, "embeddings")
+        emb.filter(col("vec_id") < 250).select("vec_id", "embedding")
+          .repartition(1).write.mode("overwrite").parquet(flat)
+        emb.filter(col("vec_id") >= 250).select("vec_id", "embedding")
+          .repartition(1).write.mode("append").parquet(flat)
+        graft.streaming.StreamingJobs.runAnnIngestAvailableNow(
+          s, flat, root, nlist = 16, driftThreshold = 0.5)
+        val cells = new java.io.File(root, "cells").getPath
+        val vs = graft.sources.VersionedTable.versions(cells)
+        graft.streaming.StreamingJobs.runAnnIngestAvailableNow(
+          s, flat, root, nlist = 16, driftThreshold = 0.5)
+        val replayOk = graft.sources.VersionedTable.versions(cells) == vs
+        val q = emb.filter(col("vec_id") < 32)
+        certifiedTopK(
+          Similarity.bruteForceTopK(q, emb, k = 5),
+          graft.operators.IvfIndex.topK(s, q, root, k = 5, nprobe = 6),
+          floor = 0.6)
+          .withColumn("replay_ok", lit(if (replayOk) 1L else 0L))
+      },
+      oracle = Some(exactTopkSql("WHERE q.vec_id < 32",
+        "recall_ok", "replay_ok"))),
+
     // Clustering EVALUATION: per-cluster purity of the q162 fixed-point
     // k-means assignment against the ground-truth labels the
     // embeddings fixture carries — the standard quick audit before

@@ -103,7 +103,9 @@ object BlobStore {
     * A batch id at or below either table's recorded txn no-ops that
     * table. */
   def appendTxn(media: DataFrame, root: String, chunkBytes: Int,
-                appId: String, txn: Long, numFiles: Int = 1): Unit = {
+                appId: String, txn: Long, numFiles: Int = 1,
+                autoCompactFiles: Int = 0,
+                autoCompactTargetBytes: Long = 128L << 20): Unit = {
     if (VersionedTable.latestTxn(pointerRoot(root), appId).exists(_ >= txn))
       return
     val (ptr, chunks) = splitRows(media, chunkBytes)
@@ -113,6 +115,19 @@ object BlobStore {
       chunksRoot(root), appId, txn, "media_id")
     VersionedTable.appendTxnWithStats(ptr.coalesce(1),
       pointerRoot(root), appId, txn, "media_id")
+    // auto-compaction (the TextIndex auto-OPTIMIZE policy at the
+    // media layer): one chunk file per micro-batch accumulates into
+    // the small-files problem and erodes the media_id bands the range
+    // reads prune on; past the threshold, bin-pack the chunk table
+    // (rows unchanged, stats re-derived) on the spot
+    if (autoCompactFiles > 0) {
+      val spark = media.sparkSession
+      if (VersionedTable.read(spark, chunksRoot(root))
+          .inputFiles.length >= autoCompactFiles)
+        VersionedTable.compact(spark, chunksRoot(root),
+          targetBytes = autoCompactTargetBytes,
+          statsCols = Seq("media_id"))
+    }
     ()
   }
 

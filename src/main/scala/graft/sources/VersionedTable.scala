@@ -1186,6 +1186,38 @@ object VersionedTable {
     v
   }
 
+  /** [[overwriteWithStats]] stamped with (`appId`, `txn`) atomically in
+    * the same manifest commit — the exactly-once BOOTSTRAP commit a
+    * streaming door's first micro-batch needs when it builds a table
+    * (or index) rather than appending to one: a replayed build
+    * (`txn` ≤ the recorded latest) is a NO-OP returning the current
+    * version instead of re-overwriting. */
+  def overwriteTxnWithStats(df: DataFrame, root: String, appId: String,
+                            txn: Long, statsCols: String*): Long = {
+    if (latestTxn(root, appId).exists(_ >= txn))
+      return latestVersion(root).getOrElse(
+        sys.error(s"txn recorded but no versions at $root"))
+    val staged = stageDataFiles(df, root, nextVersion(root))
+    val lines = statLines(df.sparkSession, staged, statsCols)
+    val v = commitWithRetry(root, maxRetries = 5)(_ =>
+      lines :+ txnLine(appId, txn))
+    maybeCheckpoint(root, v)
+    v
+  }
+
+  /** OPTIMIZE-style k-dim Z-order compaction: fold the CURRENT
+    * snapshot — however fragmented by [[appendZOrderedK]] batches with
+    * batch-local boundaries — into ONE freshly clustered layout
+    * ([[overwriteZOrderedK]] over the live rows, a new version; time
+    * travel keeps the old layout readable). Inter-batch overlap is
+    * what accumulates under incremental z-ordered ingestion; this is
+    * the maintenance pass that restores tight per-file boxes, run on
+    * the compaction cadence like [[compact]]. */
+  def compactZOrderedK(spark: SparkSession, root: String,
+                       cols: Seq[String], numFiles: Int,
+                       buckets: Int = 0): Long =
+    overwriteZOrderedK(read(spark, root), root, cols, numFiles, buckets)
+
   /** Snapshot read of a specific version (time travel). mergeSchema:
     * an appended batch may carry added nullable columns (schema
     * evolution — the Delta `mergeSchema` role); the union schema is

@@ -201,7 +201,8 @@ object StreamingJobs {
     * leaves only pointer-less chunks no reader resolves (the pointer
     * commit is the publish point; the replay completes it). */
   def runMediaIngestAvailableNow(spark: SparkSession, inputDir: String,
-                                 root: String, chunkBytes: Int): Unit = {
+                                 root: String, chunkBytes: Int,
+                                 autoCompactFiles: Int = 0): Unit = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("media_id",
         org.apache.spark.sql.types.LongType),
@@ -217,7 +218,48 @@ object StreamingJobs {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
         graft.sources.BlobStore.appendTxn(batch.toDF(), root, chunkBytes,
-          appId = "media_ingest", txn = batchId)
+          appId = "media_ingest", txn = batchId,
+          autoCompactFiles = autoCompactFiles)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** [[graft.operators.IvfIndex]] ingest door — the full ANN lifecycle
+    * through streaming: the first micro-batch BUILDS the index (train
+    * + cell-clustered commit, txn-stamped so a replayed build no-ops),
+    * later batches assign with the stored centroids and append
+    * exactly-once, and after every batch [[graft.operators.IvfIndex
+    * .reclusterIfDrifted]] checks the drift dial — when appended mass
+    * reaches `driftThreshold` the centroids retrain on the stored
+    * vectors and the table rewrites cell-clustered, so recall never
+    * silently decays under a drifting stream. */
+  def runAnnIngestAvailableNow(spark: SparkSession, inputDir: String,
+                               indexRoot: String, nlist: Int = 16,
+                               driftThreshold: Double = 0.5): Unit = {
+    new java.io.File(indexRoot).mkdirs()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", 1)
+      .schema(schema)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val ix = graft.operators.IvfIndex
+        if (!new java.io.File(indexRoot, "centroids.txt").exists())
+          ix.build(batch.toDF(), indexRoot, nlist, txn = batchId)
+        else
+          ix.append(batch.toDF(), indexRoot, txn = batchId)
+        ix.reclusterIfDrifted(spark, indexRoot, driftThreshold)
+        ()
       }
       .trigger(Trigger.AvailableNow())
       .start()

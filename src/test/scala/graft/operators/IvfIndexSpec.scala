@@ -58,6 +58,36 @@ class IvfIndexSpec extends SparkSuite {
     assert(math.abs(got.head.getDouble(3) - 1.0) < 1e-12)
   }
 
+  test("streaming ANN door: build-then-append-then-recluster lifecycle, " +
+    "job re-run is a no-op, search == fresh full-corpus build") {
+    val root = tmpRoot()
+    // two drop files = two micro-batches: one builds, the other
+    // appends (50% appended mass → the drift dial fires and retrains;
+    // either batch order converges to the same retrained state)
+    val flat = Files.createTempDirectory("graft_ann_flat").resolve("p").toString
+    emb.filter(col("vec_id") < 250).select("vec_id", "embedding")
+      .repartition(1).write.mode("overwrite").parquet(flat)
+    emb.filter(col("vec_id") >= 250).select("vec_id", "embedding")
+      .repartition(1).write.mode("append").parquet(flat)
+    graft.streaming.StreamingJobs.runAnnIngestAvailableNow(
+      spark, flat, root, nlist = 16, driftThreshold = 0.5)
+    val cells = new java.io.File(root, "cells").getPath
+    val vs = graft.sources.VersionedTable.versions(cells)
+    // re-run replays batchIds from 0: build no-ops (txn recorded),
+    // appends no-op, drift is 0 after the recluster → nothing moves
+    graft.streaming.StreamingJobs.runAnnIngestAvailableNow(
+      spark, flat, root, nlist = 16, driftThreshold = 0.5)
+    assert(graft.sources.VersionedTable.versions(cells) == vs)
+    val fresh = tmpRoot()
+    IvfIndex.build(emb, fresh, nlist = 16)
+    val q = emb.filter(col("vec_id") < 32)
+    def res(r: String) = IvfIndex.topK(spark, q, r, k = 5, nprobe = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3))).toSet
+    assert(res(root) == res(fresh))
+    assert(res(root).nonEmpty)
+  }
+
   test("reclusterIfDrifted: threshold gates the retrain; post-recluster " +
     "search equals a fresh full-corpus build bit-for-bit") {
     val cells = (root: String) => new java.io.File(root, "cells").getPath

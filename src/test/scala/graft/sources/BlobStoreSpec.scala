@@ -93,6 +93,32 @@ class BlobStoreSpec extends SparkSuite {
       stranded.head._3))
   }
 
+  test("auto-compaction bounds the chunk-file count under a trickle of " +
+    "micro-batches; assets stay byte-identical") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val assets = (0L until 8L).map(i => asset(i, 150 * (i.toInt + 1), 40 + i.toInt))
+    assets.zipWithIndex.foreach { case (a, i) =>
+      BlobStore.appendTxn(Seq(a).toDF("media_id", "kind", "payload"), root,
+        chunkBytes = 100, appId = "trickle", txn = i.toLong,
+        autoCompactFiles = 4)
+    }
+    val files = VersionedTable.read(spark, s"$root/chunks").inputFiles.length
+    info(s"chunk files after 8 one-file batches with autoCompactFiles=4: $files")
+    assert(files < 8, "compaction must fold the per-batch files")
+    val got = BlobStore.readAssembled(spark, root).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Array[Byte]]("payload"), r.getAs[Boolean]("intact"))).toMap
+    assets.foreach { case (id, _, b) =>
+      assert(got(id)._2 && java.util.Arrays.equals(got(id)._1, b))
+    }
+    // txn progress survives the compaction commits: a replay still no-ops
+    val vs = VersionedTable.versions(s"$root/chunks")
+    BlobStore.appendTxn(Seq(assets.head).toDF("media_id", "kind", "payload"),
+      root, chunkBytes = 100, appId = "trickle", txn = 0L)
+    assert(VersionedTable.versions(s"$root/chunks") == vs)
+  }
+
   test("takedown kills every read path immediately; reclaimOrphans " +
     "drops the chunks file-pruned; untouched assets carry over") {
     import spark.implicits._

@@ -851,6 +851,35 @@ class VersionedTableSpec extends SparkSuite {
     assert(box.count() == 8L * 8 * 4)
   }
 
+  test("compactZOrderedK: fragmented z-appends fold into one tight " +
+    "layout; rows identical, box pruning restored") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val cube = spark.range(16L * 16 * 16)
+      .select((col("id") % 16).as("x"),
+        (floor(col("id") / 16) % 16).cast("long").as("y"),
+        floor(col("id") / 256).cast("long").as("z"))
+    // four z-slabs appended with batch-local boundaries → 16 files
+    // whose boxes overlap across batches
+    (0 until 4).foreach { i =>
+      VersionedTable.appendZOrderedK(
+        cube.filter(col("z") >= i * 4 && col("z") < (i + 1) * 4), root,
+        Seq("x", "y", "z"), numFiles = 4, buckets = 16)
+    }
+    val before = VersionedTable.read(spark, root)
+    assert(before.inputFiles.length == 16)
+    val rows = before.as[(Long, Long, Long)].collect().toSet
+    VersionedTable.compactZOrderedK(spark, root, Seq("x", "y", "z"),
+      numFiles = 8, buckets = 16)
+    val after = VersionedTable.read(spark, root)
+    assert(after.inputFiles.length == 8)
+    assert(after.as[(Long, Long, Long)].collect().toSet == rows)
+    val box = VersionedTable.readWhereBox(spark, root,
+      Seq(("x", 0L, 7L), ("y", 0L, 7L), ("z", 0L, 7L)))
+    assert(box.inputFiles.length < 8, s"${box.inputFiles.length}")
+    assert(box.count() == 8L * 8 * 8)
+  }
+
   test("readChangesStream: each commit once, checkpointed resume, rewrite refused") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
