@@ -110,6 +110,28 @@ class SnapshotGroupSpec extends SparkSuite {
     info(s"lost-race retries observed: ${retries.get()}")
   }
 
+  test("PointerCas: a crashed holder's stale lock is stolen; a live " +
+    "lock is honored; stale expected-gen refused") {
+    val dir = Files.createTempDirectory("graft_cas_stale").toFile
+    // crashed holder: lock file left behind, mtime in the past
+    val lock = new java.io.File(dir, "_ptr.lock")
+    java.nio.file.Files.createFile(lock.toPath)
+    java.nio.file.Files.setLastModifiedTime(lock.toPath,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000))
+    var ran = false
+    assert(PointerCas.commitIfGen(dir, 0L, staleLockMs = 1000) { ran = true })
+    assert(ran && PointerCas.gen(dir) == 1L)
+    assert(!lock.exists(), "lock must release after the commit")
+    // stale expected generation → refused, gen unchanged
+    assert(!PointerCas.commitIfGen(dir, 0L) {
+      fail("move must not run on a lost race")
+    })
+    assert(PointerCas.gen(dir) == 1L)
+    assert(PointerCas.commitIfGen(dir, 1L) { () } &&
+      PointerCas.gen(dir) == 2L)
+  }
+
   test("readAt rejects a table outside the group; empty group errors") {
     import spark.implicits._
     val grp = Files.createTempDirectory("graft_sg_err").toString
