@@ -397,6 +397,55 @@ object LakeQueries extends QueryModule {
           AND l_suppkey BETWEEN 1 AND 60
         GROUP BY 1 ORDER BY sk_mod""")),
 
+    // STREAMING z-ordered ingestion (runZOrderIngestAvailableNow —
+    // the q292 layout reached incrementally): three micro-batches
+    // land 3-D clustered with batch-local boundaries and txn stamps,
+    // the 12-file fragmentation trips the auto-compaction dial and
+    // the table refolds to 6 tight files (compact_ok); a full door
+    // re-run replays every batchId and moves nothing (replay_ok).
+    // The box-read anchor must equal the plain triple-BETWEEN oracle
+    // across whatever batch order the file source picked.
+    "q296_zorder_ingest" -> Q(
+      bench = false,
+      run = (s, dir) => {
+        val in = tempRoot("graft_zing_in").resolve("p").toString
+        val root = tempRoot("graft_zing").resolve("t").toString
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_quantity"))
+        li.repartition(3).write.mode("overwrite").parquet(in)
+        val cols3 = Seq("l_orderkey", "l_partkey", "l_suppkey")
+        graft.streaming.StreamingJobs.runZOrderIngestAvailableNow(
+          s, in, root, cols3, li.schema, numFiles = 4,
+          autoCompactFiles = 9, compactTargetFiles = 6)
+        val compactOk = graft.sources.VersionedTable.read(s, root)
+          .inputFiles.length == 6
+        val vs = graft.sources.VersionedTable.versions(root)
+        graft.streaming.StreamingJobs.runZOrderIngestAvailableNow(
+          s, in, root, cols3, li.schema, numFiles = 4,
+          autoCompactFiles = 9, compactTargetFiles = 6)
+        val replayOk = graft.sources.VersionedTable.versions(root) == vs
+        graft.sources.VersionedTable
+          .readWhereBox(s, root,
+            Seq(("l_orderkey", 1000L, 30000L), ("l_partkey", 100L, 1200L),
+              ("l_suppkey", 1L, 60L)))
+          .groupBy((col("l_suppkey") % 5).as("sk_mod"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+          .withColumn("compact_ok", lit(if (compactOk) 1L else 0L))
+          .withColumn("replay_ok", lit(if (replayOk) 1L else 0L))
+          .orderBy("sk_mod")
+      },
+      oracle = Some("""
+        SELECT l_suppkey % 5 AS sk_mod, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+               CAST(1 AS BIGINT) AS compact_ok,
+               CAST(1 AS BIGINT) AS replay_ok
+        FROM lineitem
+        WHERE l_orderkey BETWEEN 1000 AND 30000
+          AND l_partkey BETWEEN 100 AND 1200
+          AND l_suppkey BETWEEN 1 AND 60
+        GROUP BY 1 ORDER BY sk_mod""")),
+
     // OPTIMIZE compaction: four stats-carrying appends degenerate the
     // table into small files; compact() bin-packs them (range-clustered
     // on l_orderkey, stats recomputed), and the post-compaction

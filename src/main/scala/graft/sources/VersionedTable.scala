@@ -648,14 +648,23 @@ object VersionedTable {
   /** As [[overwriteZOrderedK]] for APPEND-style ingestion (the
     * [[appendZOrdered]] k-dim twin): the batch is clustered with its
     * own boundaries and stats-recorded; previous lines are inherited
-    * untouched, and [[readWhereBox]] prunes across all batches. */
+    * untouched, and [[readWhereBox]] prunes across all batches.
+    * `txn` ≥ 0 stamps (`appId`, txn) into the same atomic commit —
+    * exactly-once clustered ingestion for the streaming door (a
+    * replayed batch no-ops; an empty batch commits nothing). */
   def appendZOrderedK(df: DataFrame, root: String, cols: Seq[String],
-                      numFiles: Int, buckets: Int = 0): Long = {
+                      numFiles: Int, buckets: Int = 0,
+                      appId: String = "", txn: Long = -1L): Long = {
+    if (txn >= 0 && latestTxn(root, appId).exists(_ >= txn))
+      return latestVersion(root).getOrElse(-1L)
+    if (txn >= 0 && df.isEmpty)
+      return latestVersion(root).getOrElse(-1L)
     val clustered = zClusterK(df, cols, numFiles, buckets)
     val staged = stageDataFiles(clustered, root, nextVersion(root))
     val lines = statLines(df.sparkSession, staged, cols)
+    val tl = if (txn >= 0) Seq(txnLine(appId, txn)) else Seq.empty
     val v = commitWithRetry(root, maxRetries = 5) { v =>
-      if (v == 0) lines else deltaContent(Seq.empty, lines)
+      (if (v == 0) lines else deltaContent(Seq.empty, lines)) ++ tl
     }
     maybeCheckpoint(root, v)
     v

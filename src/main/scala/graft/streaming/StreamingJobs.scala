@@ -267,6 +267,46 @@ object StreamingJobs {
     q.stop()
   }
 
+  /** Z-ORDERED ingest door — incremental clustered ingestion: each
+    * micro-batch lands [[graft.sources.VersionedTable.appendZOrderedK]]
+    * k-dim clustered with BATCH-LOCAL boundaries (exact per-file
+    * [min, max] regardless; a box read prunes across all batches) and
+    * txn-stamped exactly-once. Inter-batch box overlap accumulates
+    * with every batch-local clustering, so past `autoCompactFiles` the
+    * whole table refolds via [[graft.sources.VersionedTable
+    * .compactZOrderedK]] into `compactTargetFiles` tight files — the
+    * ingestion shape a 100 TB fact table actually takes: O(batch)
+    * landings, amortized O(table) re-clustering on a fragmentation
+    * dial, manifest-pruned reads throughout. */
+  def runZOrderIngestAvailableNow(spark: SparkSession, inputDir: String,
+                                  root: String, cols: Seq[String],
+                                  schema: org.apache.spark.sql.types.StructType,
+                                  numFiles: Int = 4,
+                                  autoCompactFiles: Int = 0,
+                                  compactTargetFiles: Int = 16): Unit = {
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", 1)
+      .schema(schema)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        import graft.sources.VersionedTable
+        VersionedTable.appendZOrderedK(batch.toDF(), root, cols, numFiles,
+          appId = "zorder_ingest", txn = batchId)
+        if (autoCompactFiles > 0 &&
+            VersionedTable.read(spark, root).inputFiles.length
+              >= autoCompactFiles)
+          VersionedTable.compactZOrderedK(spark, root, cols,
+            compactTargetFiles)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Streaming upsert sink: foreachBatch → VersionedTable.merge — the
     * idiomatic upgrade of the reference's blind daily appends
     * (SURVEY.md §2.10: "foreachBatch upsert via DeltaTable.merge"),
