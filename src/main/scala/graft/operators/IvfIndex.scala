@@ -18,8 +18,11 @@ import graft.sources.VersionedTable
   * queries seek straight into their probe cells.
   *
   * Layout under `root`:
-  *  - `centroids.txt` — nlist lines of dim doubles
-  *    (`java.lang.Double.toString` round-trips exactly, so stored
+  *  - `centroids.v{v}.txt` — nlist lines of dim doubles, VERSION-PINNED
+  *    to the cells version they govern ([[IndexModelFiles]]: staged
+  *    before the table commit, resolved at the reader's pinned
+  *    version — so a re-train can never serve mixed state;
+  *    `java.lang.Double.toString` round-trips exactly, so stored
   *    centroids reproduce in-memory training bit-for-bit);
   *  - `cells/` — VersionedTable of (id, cell, norm, vec),
   *    RANGE-CLUSTERED by cell at build (repartitionByRange → each file
@@ -44,7 +47,6 @@ import graft.sources.VersionedTable
   */
 object IvfIndex {
 
-  private def centroidsFile(root: String) = new File(root, "centroids.txt")
   private def cellsRoot(root: String) = new File(root, "cells").getPath
   private def buildRowsFile(root: String) = new File(root, "build_rows.txt")
 
@@ -53,25 +55,45 @@ object IvfIndex {
       rows.toString.getBytes(StandardCharsets.UTF_8))
 
   /** Rows at the last (re)build — falls back to the version-0 manifest
-    * count for indexes built before the sidecar existed. */
+    * count for indexes built before the sidecar existed; `None` (drift
+    * = 100%, a self-healing re-train) once vacuum expired that
+    * manifest. */
   private def readBuildRows(root: String): Option[Long] = {
     val f = buildRowsFile(root)
     if (f.exists())
       Some(new String(Files.readAllBytes(f.toPath),
         StandardCharsets.UTF_8).trim.toLong)
-    else VersionedTable.countRows(cellsRoot(root), Some(0L))
+    else {
+      val cr = cellsRoot(root)
+      if (VersionedTable.versions(cr).contains(0L))
+        VersionedTable.countRows(cr, Some(0L))
+      else None
+    }
   }
 
-  private def writeCentroids(root: String, cs: Array[Array[Double]]): Unit =
-    Files.write(centroidsFile(root).toPath,
-      cs.map(_.map(java.lang.Double.toString).mkString(" ")).mkString("\n")
-        .getBytes(StandardCharsets.UTF_8))
+  /** Does a committed index live at `root`? (The streaming door's
+    * build-or-append branch.) */
+  def exists(root: String): Boolean =
+    VersionedTable.latestVersion(cellsRoot(root)).nonEmpty
 
-  private def readCentroids(root: String): Array[Array[Double]] =
-    new String(Files.readAllBytes(centroidsFile(root).toPath),
-      StandardCharsets.UTF_8)
+  /** Stage the centroids governing cells version `v` — BEFORE that
+    * version commits ([[IndexModelFiles]]'s pin-then-resolve
+    * protocol, so serving never pairs new centroids with old cell
+    * assignments or vice versa). */
+  private def writeCentroidsFor(root: String, v: Long,
+                                cs: Array[Array[Double]]): Unit =
+    IndexModelFiles.write(root, "centroids", v,
+      cs.map(_.map(java.lang.Double.toString).mkString(" ")).mkString("\n"))
+
+  /** The centroids governing cells version `v`. */
+  private def readCentroidsAt(root: String, v: Long): Array[Array[Double]] =
+    IndexModelFiles.readAt(root, "centroids", v)
       .split("\n").map(_.trim).filter(_.nonEmpty)
       .map(_.split(" ").map(java.lang.Double.parseDouble))
+
+  private def pinnedVersion(root: String): Long =
+    VersionedTable.latestVersion(cellsRoot(root))
+      .getOrElse(sys.error(s"no committed index at $root"))
 
   private def cellRowsOf(vecs: DataFrame, centroids: Array[Array[Double]],
                          idCol: String, vecCol: String): DataFrame = {
@@ -97,7 +119,13 @@ object IvfIndex {
         VersionedTable.latestTxn(cellsRoot(root), appId).exists(_ >= txn))
       return VersionedTable.latestVersion(cellsRoot(root)).getOrElse(-1L)
     val centroids = Similarity.trainCentroids(corpus, nlist, idCol, vecCol)
-    writeCentroids(root, centroids)
+    // stage the model for the version this build WILL commit (single
+    // maintenance writer — the streaming door serializes build/append/
+    // recluster); a crash before the commit leaves an orphan stage no
+    // reader resolves
+    writeCentroidsFor(root,
+      VersionedTable.latestVersion(cellsRoot(root)).map(_ + 1).getOrElse(0L),
+      centroids)
     // explicit file count (default ~2 cells/file): an adaptive
     // coalesce would happily pack a small build into ONE file and
     // erase the per-file cell bands readWhereIn prunes on
@@ -122,7 +150,7 @@ object IvfIndex {
              idCol: String = "vec_id", vecCol: String = "embedding",
              numFiles: Int = 1, appId: String = "ann_ingest",
              txn: Long = -1L): Long = {
-    val centroids = readCentroids(root)
+    val centroids = readCentroidsAt(root, pinnedVersion(root))
     val rows = cellRowsOf(batch, centroids, idCol, vecCol)
       .repartitionByRange(math.max(numFiles, 1), col("cell"), col("id"))
     if (txn >= 0)
@@ -154,10 +182,18 @@ object IvfIndex {
     if (total == 0) return false
     val atBuild = readBuildRows(root).getOrElse(0L)
     if ((total - atBuild).toDouble / total < threshold) return false
-    val nlist = readCentroids(root).length
-    val stored = VersionedTable.read(spark, cr).select(col("id"), col("vec"))
+    val vOld = pinnedVersion(root)
+    val nlist = readCentroidsAt(root, vOld).length
+    val stored = VersionedTable.readVersion(spark, cr, vOld)
+      .select(col("id"), col("vec"))
     val centroids = Similarity.trainCentroids(stored, nlist, "id", "vec")
-    writeCentroids(root, centroids)
+    // stage the new model for the version the rewrite WILL commit;
+    // until that commit lands, every reader still resolves the OLD
+    // (centroids, cells) pair — a query can never pair new centroids
+    // with old assignments. A crash after the commit but before
+    // writeBuildRows re-triggers the (deterministic) retrain next
+    // batch — an extra rewrite, never a wrong answer.
+    writeCentroidsFor(root, vOld + 1, centroids)
     val files = if (numFiles > 0) numFiles else math.max(nlist / 2, 1)
     VersionedTable.overwriteWithStats(
       cellRowsOf(stored, centroids, "id", "vec")
@@ -178,7 +214,11 @@ object IvfIndex {
            vecCol: String = "embedding"): DataFrame = {
     import graft.plans.VectorExpressions.dotProduct
     graft.plans.VectorExpressions.register(spark)
-    val centroids = readCentroids(root)
+    // pin the cells version FIRST, then resolve the model that
+    // produced it — a concurrent recluster between the two reads can
+    // never mix new centroids with old assignments (or vice versa)
+    val pin = pinnedVersion(root)
+    val centroids = readCentroidsAt(root, pin)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("__qn", sqrt(dotProduct(col("qv"), col("qv"))))
       .withColumn("cell",
@@ -190,7 +230,8 @@ object IvfIndex {
     // own probes.
     val probed = q.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val cells = VersionedTable.readWhereIn(spark, cellsRoot(root), "cell", probed)
+    val cells = VersionedTable.readWhereIn(spark, cellsRoot(root), "cell",
+      probed, version = Some(pin))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("id"))

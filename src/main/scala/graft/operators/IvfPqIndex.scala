@@ -19,13 +19,17 @@ import graft.sources.VersionedTable
   * and [[PqIndex]]'s ~32×-compressed scan rows (codes, not vectors).
   *
   * Layout under `root`:
-  *  - `centroids.txt` — nlist lines of dim doubles: the IVF centroids
-  *    over the NORMALIZED corpus (`Double.toString` round-trips
-  *    exactly, so stored centroids reproduce in-memory training
-  *    bit-for-bit);
-  *  - `codebook.txt` — the PQ codebook trained on cell RESIDUALS
+  *  - `centroids.v{v}.txt` — nlist lines of dim doubles: the IVF
+  *    centroids over the NORMALIZED corpus, VERSION-PINNED to the
+  *    codes version they govern ([[IndexModelFiles]]: staged before
+  *    the table commit, resolved at the reader's pinned version —
+  *    a re-train never serves mixed state; `Double.toString`
+  *    round-trips exactly, so stored centroids reproduce in-memory
+  *    training bit-for-bit);
+  *  - `codebook.v{v}.txt` — the PQ codebook trained on cell RESIDUALS
   *    (x̂ − centroid — the distribution PQ quantizes best), header
-  *    `m ksub dsub` then one line per (subspace, code);
+  *    `m ksub dsub` then one line per (subspace, code); same
+  *    version-pinning;
   *  - `codes/` — VersionedTable of (id, cell, code array<int>),
   *    RANGE-CLUSTERED by cell with per-file [min, max] cell stats, so
   *    a probe opens only its cells' files via
@@ -45,8 +49,6 @@ import graft.sources.VersionedTable
   * math. */
 object IvfPqIndex {
 
-  private def centroidsFile(root: String) = new File(root, "centroids.txt")
-  private def codebookFile(root: String) = new File(root, "codebook.txt")
   private def codesRoot(root: String) = new File(root, "codes").getPath
   private def buildRowsFile(root: String) = new File(root, "build_rows.txt")
 
@@ -55,38 +57,49 @@ object IvfPqIndex {
       rows.toString.getBytes(StandardCharsets.UTF_8))
 
   /** Rows at the last (re)build — falls back to the version-0 manifest
-    * count for indexes built before the sidecar existed. */
+    * count for indexes built before the sidecar existed; `None` (drift
+    * = 100%, a self-healing re-train) once vacuum expired that
+    * manifest. */
   private def readBuildRows(root: String): Option[Long] = {
     val f = buildRowsFile(root)
     if (f.exists())
       Some(new String(Files.readAllBytes(f.toPath),
         StandardCharsets.UTF_8).trim.toLong)
-    else VersionedTable.countRows(codesRoot(root), Some(0L))
+    else {
+      val cr = codesRoot(root)
+      if (VersionedTable.versions(cr).contains(0L))
+        VersionedTable.countRows(cr, Some(0L))
+      else None
+    }
   }
 
-  private def writeCentroids(root: String, cs: Array[Array[Double]]): Unit =
-    Files.write(centroidsFile(root).toPath,
-      cs.map(_.map(java.lang.Double.toString).mkString(" ")).mkString("\n")
-        .getBytes(StandardCharsets.UTF_8))
+  private def pinnedVersion(root: String): Long =
+    VersionedTable.latestVersion(codesRoot(root))
+      .getOrElse(sys.error(s"no committed index at $root"))
 
-  private def readCentroids(root: String): Array[Array[Double]] =
-    new String(Files.readAllBytes(centroidsFile(root).toPath),
-      StandardCharsets.UTF_8)
-      .split("\n").map(_.trim).filter(_.nonEmpty)
-      .map(_.split(" ").map(java.lang.Double.parseDouble))
-
-  private def writeCodebook(root: String,
+  /** Stage centroids + codebook governing codes version `v` — BEFORE
+    * that version commits ([[IndexModelFiles]]'s pin-then-resolve
+    * protocol: serving never mixes a new model with old code rows). */
+  private def writeModelFor(root: String, v: Long,
+                            cs: Array[Array[Double]],
                             book: Array[Array[Array[Double]]]): Unit = {
+    IndexModelFiles.write(root, "centroids", v,
+      cs.map(_.map(java.lang.Double.toString).mkString(" ")).mkString("\n"))
     val m = book.length; val ksub = book(0).length; val dsub = book(0)(0).length
     val lines = s"$m $ksub $dsub" +:
       book.flatMap(_.map(_.mkString(" "))).toSeq
-    Files.write(codebookFile(root).toPath,
-      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    IndexModelFiles.write(root, "codebook", v, lines.mkString("\n"))
   }
 
-  private def readCodebook(root: String): Array[Array[Array[Double]]] = {
-    val lines = new String(Files.readAllBytes(codebookFile(root).toPath),
-      StandardCharsets.UTF_8).linesIterator.toSeq
+  private def readCentroidsAt(root: String, v: Long): Array[Array[Double]] =
+    IndexModelFiles.readAt(root, "centroids", v)
+      .split("\n").map(_.trim).filter(_.nonEmpty)
+      .map(_.split(" ").map(java.lang.Double.parseDouble))
+
+  private def readCodebookAt(root: String,
+                             v: Long): Array[Array[Array[Double]]] = {
+    val lines = IndexModelFiles.readAt(root, "codebook", v)
+      .linesIterator.toSeq
     val Array(m, ksub, dsub) = lines.head.trim.split(" ").map(_.toInt)
     val flat = lines.tail.map(_.trim.split(" ").map(_.toDouble))
     require(flat.length == m * ksub && flat.forall(_.length == dsub),
@@ -140,12 +153,16 @@ object IvfPqIndex {
     val centroids = Similarity.refineCentroids(
       cNorm.withColumn("__cell",
         Similarity.nearestCentroid(col("cvn"), seeds)), "cvn", seeds)
-    writeCentroids(root, centroids)
     val assigned = cNorm
       .withColumn("__cell", Similarity.nearestCentroid(col("cvn"), centroids))
       .withColumn("__res", residual(centroids)(col("cvn"), col("__cell")))
     val book = Similarity.trainPqCodebook(assigned, "__res", "id", m, ksub, dsub)
-    writeCodebook(root, book)
+    // stage BOTH model files for the version this build WILL commit
+    // (single maintenance writer); until that commit lands, readers
+    // resolve the previous (model, codes) pair — never mixed state
+    writeModelFor(root,
+      VersionedTable.latestVersion(codesRoot(root)).map(_ + 1).getOrElse(0L),
+      centroids, book)
     val files = if (numFiles > 0) numFiles else math.max(nlist / 2, 1)
     val v = VersionedTable.overwriteWithStats(
       codeRowsOf(corpus, centroids, book, idCol, vecCol)
@@ -178,8 +195,9 @@ object IvfPqIndex {
     if (total == 0) return false
     val atBuild = readBuildRows(root).getOrElse(0L)
     if ((total - atBuild).toDouble / total < threshold) return false
-    val nlist = readCentroids(root).length
-    val book = readCodebook(root)
+    val pin = pinnedVersion(root)
+    val nlist = readCentroidsAt(root, pin).length
+    val book = readCodebookAt(root, pin)
     val (m, ksub, dsub) = (book.length, book(0).length, book(0)(0).length)
     build(corpus, root, dim = m * dsub, nlist = nlist, m = m, ksub = ksub,
       idCol = idCol, vecCol = vecCol, numFiles = numFiles)
@@ -190,12 +208,14 @@ object IvfPqIndex {
     * code rows — O(batch); existing files are inherited untouched. */
   def append(batch: DataFrame, root: String,
              idCol: String = "vec_id", vecCol: String = "embedding",
-             numFiles: Int = 1): Long =
+             numFiles: Int = 1): Long = {
+    val pin = pinnedVersion(root)
     VersionedTable.appendWithStats(
-      codeRowsOf(batch, readCentroids(root), readCodebook(root),
-        idCol, vecCol)
+      codeRowsOf(batch, readCentroidsAt(root, pin),
+        readCodebookAt(root, pin), idCol, vecCol)
         .repartitionByRange(math.max(numFiles, 1), col("cell"), col("id")),
       codesRoot(root), "cell")
+  }
 
   /** IVFADC search against the persisted index: each query probes its
     * `nprobe` nearest stored centroids; ONLY the probed cells' code
@@ -212,8 +232,11 @@ object IvfPqIndex {
     graft.plans.VectorExpressions.register(spark)
     import graft.plans.VectorExpressions.dotProduct
     import graft.plans.{PqExpressions => PQ}
-    val centroids = readCentroids(root)
-    val book = readCodebook(root)
+    // pin the codes version FIRST, then resolve the model that
+    // produced it — a concurrent re-train can never serve mixed state
+    val pin = pinnedVersion(root)
+    val centroids = readCentroidsAt(root, pin)
+    val book = readCodebookAt(root, pin)
     val ksub = book(0).length
     val centLit = typedLit(centroids.map(_.toSeq).toSeq)
     val q = Similarity.withNorm(queries.select(col(idCol).as("query_id"),
@@ -231,7 +254,7 @@ object IvfPqIndex {
     val probed = q.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).toSeq
     val codes = VersionedTable.readWhereIn(spark, codesRoot(root),
-      "cell", probed)
+      "cell", probed, version = Some(pin))
     val wAdc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("__adc").desc, col("id"))

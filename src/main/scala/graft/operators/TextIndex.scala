@@ -1,8 +1,6 @@
 package graft.operators
 
 import java.io.File
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -33,16 +31,18 @@ import graft.sources.VersionedTable
   *    never depends on clustering.
   *  - `doclen/` — VersionedTable `(doc_id, dl)`: BM25's length
   *    normalizer. Joined only against the candidate docs.
-  *  - `_stats` — the index's ATOMIC COMMIT POINTER:
-  *    `(n_docs, sum_dl, postingsV, doclenV)`, replaced by tmp +
-  *    ATOMIC_MOVE only after BOTH table commits land. Every read
-  *    serves AT the recorded versions, so a crash between the
-  *    postings append and the doclen append (or before the pointer
-  *    move) leaves ORPHAN table versions that serving never sees and
-  *    the next maintenance op restores over (the
+  *  - `_ptr.{gen}` — the index's ATOMIC COMMIT POINTER
+  *    ([[graft.sources.PointerCas]]): `(n_docs, sum_dl, postingsV,
+  *    doclenV)`, committed as a generation-numbered file only after
+  *    BOTH table commits land. Every read serves AT the recorded
+  *    versions, so a crash between the postings append and the doclen
+  *    append (or before the pointer commit) leaves ORPHAN table
+  *    versions that serving never sees and the next maintenance op
+  *    restores over (the
   *    [[graft.sources.MaterializedView.refreshJoin]] recovery
-  *    pattern) — the index is torn-commit-safe with a single writer,
-  *    like the rest of the persisted-index family.
+  *    pattern) — the index is torn-commit-safe, and concurrent
+  *    writers serialize through the pointer generation, like the rest
+  *    of the persisted-index family.
   *
   * Scoring is bit-compatible with the ad-hoc corpus query (q140):
   * same Robertson/Sparck-Jones idf `ln((N − df + 0.5)/(df + 0.5) + 1)`,
@@ -60,7 +60,8 @@ object TextIndex {
   private def postingsRoot(root: String) = new File(root, "postings").getPath
   private def doclenRoot(root: String) = new File(root, "doclen").getPath
   private def positionsRoot(root: String) = new File(root, "positions").getPath
-  private def statsFile(root: String) = new File(root, "_stats")
+  private def pointerOf(root: String): Option[String] =
+    graft.sources.PointerCas.read(new File(root))
 
   /** Sentinel for "this index keeps no positional postings" (5-field
     * pointer); a positional index records posV ≥ −1 as a 6th field. */
@@ -94,8 +95,9 @@ object TextIndex {
     * Legacy 2-field sidecars (first TextIndex cut) carry no versions —
     * fall back to the tables' latest, the best available pointer. */
   private def commitState(root: String): (Long, Long, Long, Long) = {
-    val toks = new String(Files.readAllBytes(statsFile(root).toPath),
-      StandardCharsets.UTF_8).trim.split("\\s+")
+    val toks = pointerOf(root)
+      .getOrElse(sys.error(s"no committed index at $root"))
+      .trim.split("\\s+")
     if (toks.length >= 4)
       (toks(0).toLong, toks(1).toLong, toks(2).toLong, toks(3).toLong)
     else {
@@ -112,12 +114,11 @@ object TextIndex {
     * SAME atomic pointer move as the data commit, so there is no
     * crash window between "postings visible" and "progress
     * recorded". */
-  def committedTxn(root: String): Long = {
-    if (!statsFile(root).exists()) return -1L
-    val toks = new String(Files.readAllBytes(statsFile(root).toPath),
-      StandardCharsets.UTF_8).trim.split("\\s+")
-    if (toks.length >= 5) toks(4).toLong else -1L
-  }
+  def committedTxn(root: String): Long =
+    pointerOf(root).map(_.trim.split("\\s+")) match {
+      case Some(toks) if toks.length >= 5 => toks(4).toLong
+      case _ => -1L
+    }
 
   /** (n_docs, sum_dl) covered by the committed index. */
   def stats(root: String): (Long, Long) = {
@@ -127,22 +128,17 @@ object TextIndex {
 
   /** The committed positional-postings version: `Some(posV)` iff this
     * index keeps positional postings (6-field pointer). */
-  def posVersion(root: String): Option[Long] = {
-    if (!statsFile(root).exists()) return None
-    val toks = new String(Files.readAllBytes(statsFile(root).toPath),
-      StandardCharsets.UTF_8).trim.split("\\s+")
-    if (toks.length >= 6) Some(toks(5).toLong) else None
-  }
+  def posVersion(root: String): Option[Long] =
+    pointerOf(root).map(_.trim.split("\\s+")) match {
+      case Some(toks) if toks.length >= 6 => Some(toks(5).toLong)
+      case _ => None
+    }
 
-  private def writeCommit(root: String, nDocs: Long, sumDl: Long,
-                          pV: Long, dV: Long, txn: Long,
-                          posV: Long = PosAbsent): Unit = {
+  private def commitContent(nDocs: Long, sumDl: Long,
+                            pV: Long, dV: Long, txn: Long,
+                            posV: Long = PosAbsent): String = {
     val tail = if (posV == PosAbsent) "" else s" $posV"
-    val tmp = Files.createTempFile(new File(root).toPath, "_st", ".tmp")
-    Files.write(tmp,
-      s"$nDocs $sumDl $pV $dV $txn$tail".getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, statsFile(root).toPath,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    s"$nDocs $sumDl $pV $dV $txn$tail"
   }
 
   /** Land `df` on `tableRoot` as the next COMMITTED state on top of
@@ -180,10 +176,9 @@ object TextIndex {
             textCol: String = "text", positional: Boolean = false): Unit = {
     new File(root).mkdirs()
     while (!graft.sources.PointerCas.commitIfGen(new File(root),
-        graft.sources.PointerCas.gen(new File(root))) {
-      writeCommit(root, 0L, 0L, -1L, -1L, -1L,
-        if (positional) -1L else PosAbsent)
-    }) ()
+      graft.sources.PointerCas.gen(new File(root)),
+      commitContent(0L, 0L, -1L, -1L, -1L,
+        if (positional) -1L else PosAbsent))) ()
     append(docs, root, idCol, textCol)
   }
 
@@ -218,18 +213,18 @@ object TextIndex {
              textCol: String = "text", txn: Long = -1L,
              autoOptimizeFiles: Int = 0,
              autoOptimizeTarget: Int = 8): Unit = {
-    while (!statsFile(root).exists()) {
+    while (pointerOf(root).isEmpty) {
       new File(root).mkdirs()
-      // bootstrap pointer, generation-guarded like every move (two
-      // racing first-appends: the loser finds the winner's file)
+      // bootstrap pointer, generation-guarded like every commit (two
+      // racing first-appends: the loser finds the winner's pointer)
       graft.sources.PointerCas.commitIfGen(new File(root),
-        graft.sources.PointerCas.gen(new File(root))) {
-        writeCommit(root, 0L, 0L, -1L, -1L, -1L)
-      }
+        graft.sources.PointerCas.gen(new File(root)),
+        commitContent(0L, 0L, -1L, -1L, -1L))
+      ()
     }
     val spark = docs.sparkSession
     // OPTIMISTIC multi-writer cycle (PointerCas): read the pointer
-    // generation, stage the table commits, then move the pointer iff
+    // generation, stage the table commits, then commit the pointer iff
     // the generation is unchanged. A lost race leaves this attempt's
     // table versions as invisible orphans (the crash-window stance)
     // and re-runs the WHOLE cycle against the winner's pointer —
@@ -256,15 +251,19 @@ object TextIndex {
       // one 1-row driver aggregate — the O(1) stats delta
       val row = dl.agg(count(lit(1)).as("n"),
         coalesce(sum(col("dl")), lit(0L)).as("s")).head()
-      committed = graft.sources.PointerCas.commitIfGen(new File(root), g0) {
-        writeCommit(root, n0 + row.getLong(0), s0 + row.getLong(1), pV, dV,
-          math.max(txn, committedTxn(root)), posV)
-      }
+      committed = graft.sources.PointerCas.commitIfGen(new File(root), g0,
+        commitContent(n0 + row.getLong(0), s0 + row.getLong(1), pV, dV,
+          math.max(txn, committedTxn(root)), posV))
     }
-    if (autoOptimizeFiles > 0 &&
-        postings(spark, root).inputFiles.length >= autoOptimizeFiles) {
-      optimize(spark, root, autoOptimizeTarget)
-      ()
+    if (autoOptimizeFiles > 0) {
+      // O(manifest) fragmentation probe at the RECORDED version — no
+      // relation build / footer reads on the per-batch hot path
+      val (_, _, pVNow, _) = commitState(root)
+      if (pVNow >= 0 && VersionedTable.fileCount(postingsRoot(root),
+          Some(pVNow)) >= autoOptimizeFiles) {
+        optimize(spark, root, autoOptimizeTarget)
+        ()
+      }
     }
   }
 
@@ -311,9 +310,8 @@ object TextIndex {
         case Some(v0) => v0
         case None => PosAbsent
       }
-      committed = graft.sources.PointerCas.commitIfGen(new File(root), g0) {
-        writeCommit(root, n0, s0, pV, dV0, committedTxn(root), posV)
-      }
+      committed = graft.sources.PointerCas.commitIfGen(new File(root), g0,
+        commitContent(n0, s0, pV, dV0, committedTxn(root), posV))
       out = pV
     }
     out
@@ -364,10 +362,9 @@ object TextIndex {
       case Some(v0) => v0
       case None => PosAbsent
     }
-    committed = graft.sources.PointerCas.commitIfGen(new File(root), g0) {
-      writeCommit(root, n0 - gone.getLong(0), s0 - gone.getLong(1), pV, dV,
-        committedTxn(root), posV)
-    }
+    committed = graft.sources.PointerCas.commitIfGen(new File(root), g0,
+      commitContent(n0 - gone.getLong(0), s0 - gone.getLong(1), pV, dV,
+        committedTxn(root), posV))
     }
   }
 

@@ -36,6 +36,7 @@ object BlobStore {
 
   private def pointerRoot(root: String) = s"$root/pointer"
   private def chunksRoot(root: String) = s"$root/chunks"
+  private def takedownsRoot(root: String) = s"$root/takedowns"
 
   /** (pointer rows, chunk rows) for a media batch — the pure column
     * math shared by [[write]] and [[appendTxn]]. */
@@ -121,50 +122,71 @@ object BlobStore {
     // reads prune on; past the threshold, bin-pack the chunk table
     // (rows unchanged, stats re-derived) on the spot
     if (autoCompactFiles > 0) {
-      val spark = media.sparkSession
-      if (VersionedTable.read(spark, chunksRoot(root))
-          .inputFiles.length >= autoCompactFiles)
-        VersionedTable.compact(spark, chunksRoot(root),
+      // O(manifest) fragmentation probe — no relation build / footer
+      // reads on the per-batch hot path
+      if (VersionedTable.fileCount(chunksRoot(root)) >= autoCompactFiles)
+        VersionedTable.compact(media.sparkSession, chunksRoot(root),
           targetBytes = autoCompactTargetBytes,
           statsCols = Seq("media_id"))
     }
     ()
   }
 
-  /** GDPR TAKEDOWN, phase 1 of 2: delete the POINTER rows for
-    * `mediaIds` — O(pointer files touched), the visibility cut: both
-    * [[readAssembled]] and [[readRange]] resolve through the pointer,
-    * so the assets disappear from every read path immediately while
-    * the (large) chunk bytes wait for [[reclaimOrphans]] on the
-    * retention cadence — delete the pointer, reclaim the chunks. */
+  /** GDPR TAKEDOWN, phase 1 of 2: record the ids in the takedown LOG,
+    * then delete the POINTER rows for `mediaIds` — O(pointer files
+    * touched), the visibility cut: both [[readAssembled]] and
+    * [[readRange]] resolve through the pointer, so the assets
+    * disappear from every read path immediately while the (large)
+    * chunk bytes wait for [[reclaimOrphans]] on the retention
+    * cadence — delete the pointer, reclaim the chunks. Log-first
+    * ordering: a crash between the two leaves a logged id whose
+    * pointer is still live, which reclaim skips — re-running the
+    * takedown completes the cut; no ordering loses the intent. */
   def takedown(spark: SparkSession, root: String,
                mediaIds: Seq[Long]): Unit = {
     require(mediaIds.nonEmpty, "takedown needs at least one media_id")
+    import spark.implicits._
+    VersionedTable.append(mediaIds.toDF("media_id"), takedownsRoot(root))
     VersionedTable.delete(spark, pointerRoot(root),
       col("media_id").isin(mediaIds: _*))
     ()
   }
 
-  /** GDPR takedown, phase 2: physically drop every chunk whose asset
-    * has no pointer (file-pruned [[VersionedTable.delete]] — untouched
-    * chunk files carry over manifest-only). The orphan-id collect is
-    * bounded by takedowns since the last reclaim, never corpus size;
-    * the distinct itself is map-side-partial over the chunk table — an
-    * offline maintenance pass, like vacuum. Returns the number of
-    * orphan ASSETS reclaimed. Old versions still time-travel to the
-    * bytes until [[VersionedTable.vacuum]] expires them — run both for
-    * physical erasure. */
+  /** GDPR takedown, phase 2: physically drop the chunks of every
+    * LOGGED takedown whose pointer is gone (file-pruned
+    * [[VersionedTable.delete]] — untouched chunk files carry over
+    * manifest-only). Reclaim acts ONLY on explicit [[takedown]]
+    * intent, never on inferred pointer absence: [[appendTxn]] commits
+    * chunks before the pointer, so a crashed or in-flight batch looks
+    * exactly like an orphan until its replay completes the pointer —
+    * inferring would delete bytes the replayed batch then publishes a
+    * pointer to (the chunk-table txn no-op makes that corruption
+    * permanent). The log collect is bounded by takedowns since the
+    * last reclaim, never corpus size — an offline maintenance pass,
+    * like vacuum. Returns the number of assets reclaimed. Old
+    * versions still time-travel to the bytes until
+    * [[VersionedTable.vacuum]] expires them — run both for physical
+    * erasure. */
   def reclaimOrphans(spark: SparkSession, root: String): Long = {
+    if (VersionedTable.latestVersion(takedownsRoot(root)).isEmpty) return 0L
+    val logged = VersionedTable.read(spark, takedownsRoot(root))
+      .select(col("media_id")).distinct()
     val live = VersionedTable.read(spark, pointerRoot(root))
       .select(col("media_id"))
-    val orphans = VersionedTable.read(spark, chunksRoot(root))
-      .select(col("media_id")).distinct()
-      .join(live, Seq("media_id"), "left_anti")
+    val gone = logged.join(live, Seq("media_id"), "left_anti")
       .collect().map(_.getLong(0))
-    if (orphans.nonEmpty)
+    if (gone.nonEmpty)
       VersionedTable.delete(spark, chunksRoot(root),
-        col("media_id").isin(orphans.toSeq: _*))
-    orphans.length.toLong
+        col("media_id").isin(gone.toSeq: _*))
+    // fold the log to the unprocessed remainder (ids whose pointer is
+    // still live — a half-done takedown keeps its intent); processed
+    // ids leave so the next reclaim is a no-op. coalesce(1): a single
+    // write task always emits its (possibly empty) file, so the folded
+    // log stays readable even when nothing remains.
+    val remaining = logged.join(live, Seq("media_id"), "left_semi")
+      .localCheckpoint(true) // materialize BEFORE the log overwrite
+    VersionedTable.overwrite(remaining.coalesce(1), takedownsRoot(root))
+    gone.length.toLong
   }
 
   /** Reassemble every asset with CHECKSUM VERIFICATION: chunks sort by

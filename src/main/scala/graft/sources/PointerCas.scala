@@ -9,67 +9,91 @@ import java.nio.file.{Files, StandardCopyOption}
   * filesystem for the repo's two-level pointers ([[SnapshotGroup]]'s
   * group pointer, [[graft.operators.TextIndex]]'s commit pointer).
   *
-  * Every pointer move bumps a `_gen` sidecar; a writer reads the
-  * generation BEFORE its read-modify-write cycle and commits through
-  * [[commitIfGen]], which re-checks the generation under a short lock
-  * (createFile is atomic on POSIX and every object store's
-  * if-none-match; the lock guards only the check + two tiny renames —
-  * microsecond hold, with a stale-steal for crashed holders). A lost
-  * race returns false: the loser re-reads the WINNER's pointer and
-  * retries its whole cycle against that snapshot — so racing writers
-  * SERIALIZE, no publish is silently overwritten, and readers (who
-  * only ever see whole ATOMIC_MOVE'd pointer files) never observe a
-  * torn version set. Table versions staged by a losing attempt become
-  * orphans below the recorded pointer — invisible, reclaimed by
-  * vacuum, exactly the crash-window stance the pointers already
-  * take. */
+  * Protocol: the pointer is a chain of GENERATION-NUMBERED files
+  * `_ptr.1, _ptr.2, …` (the Delta-log commit-numbering idea applied
+  * to a single pointer). A writer reads the current generation `g`
+  * ([[gen]]) and the content at `g` ([[read]]), runs its
+  * read-modify-write cycle, then commits through [[commitIfGen]],
+  * which stages the new content in a temp file and publishes it by
+  * ATOMICALLY creating `_ptr.{g+1}` as a hard link to the staged
+  * bytes — `link(2)` fails with EEXIST for every process but one, so
+  * creation-with-content IS the compare-and-swap. There is no lock,
+  * no lease, and no steal: a writer paused arbitrarily long simply
+  * LOSES its CAS when it finally runs (the generation number in the
+  * filename is the fencing token), never overwriting a publish that
+  * readers already saw — `true` from [[commitIfGen]] means the
+  * content was, at that instant, the newest committed pointer.
+  *
+  * Crash-safety: a crash before the link leaves only an unreferenced
+  * temp file (pruned opportunistically); a crash after it IS a
+  * committed publish. Readers resolve the highest `_ptr.{n}` present —
+  * always fully written, never torn. A lost race returns false: the
+  * loser re-reads the WINNER's pointer and retries its whole cycle
+  * against that snapshot, so racing writers SERIALIZE. Table versions
+  * staged by a losing attempt become orphans below the recorded
+  * pointer — invisible, reclaimed by vacuum, exactly the crash-window
+  * stance the pointers already take. */
 object PointerCas {
 
-  private def genFile(dir: File) = new File(dir, "_gen")
-  private def lockFile(dir: File) = new File(dir, "_ptr.lock")
+  /** Committed generations retained behind the head so a reader whose
+    * listing races the pruner re-resolves instead of erroring. */
+  private val Keep = 8L
 
-  /** Current pointer generation (0 before any guarded commit). */
-  def gen(dir: File): Long = {
-    val f = genFile(dir)
-    if (!f.exists()) 0L
-    else new String(Files.readAllBytes(f.toPath),
-      StandardCharsets.UTF_8).trim.toLong
+  private def ptrFile(dir: File, n: Long) = new File(dir, s"_ptr.$n")
+
+  private def maxGen(dir: File): Long = {
+    val names = dir.list()
+    if (names == null) 0L
+    else names.iterator
+      .filter(n => n.startsWith("_ptr.") && !n.endsWith(".tmp"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("_ptr.").toLong).toOption)
+      .foldLeft(0L)(math.max)
   }
 
-  /** Run `move` (the pointer rename) iff the generation still equals
-    * `expect`, bumping it in the same critical section. False on a
-    * lost race — the caller re-reads state and retries its cycle. */
-  def commitIfGen(dir: File, expect: Long,
-                  staleLockMs: Long = 30000L)(move: => Unit): Boolean = {
-    val lock = lockFile(dir).toPath
-    var held = false
-    while (!held) {
-      try { Files.createFile(lock); held = true }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          // steal only demonstrably stale locks (crashed holder); the
-          // hold window is two tiny file ops, so a live lock clears in
-          // microseconds
-          try {
-            val age = System.currentTimeMillis() -
-              Files.getLastModifiedTime(lock).toMillis
-            if (age > staleLockMs) Files.deleteIfExists(lock)
-            else Thread.sleep(2)
-          } catch { case _: java.nio.file.NoSuchFileException => () }
+  /** Current pointer generation (0 before any guarded commit). */
+  def gen(dir: File): Long = maxGen(dir)
+
+  /** Content of the newest committed pointer, if any commit ever
+    * landed. Retries if the resolved generation is pruned mid-read
+    * (only possible when ≥ `Keep` newer commits land during the
+    * read — re-resolving finds the newer head). */
+  def read(dir: File): Option[String] = {
+    var attempt = 0
+    while (attempt < 8) {
+      val g = maxGen(dir)
+      if (g == 0L) return None
+      try return Some(new String(
+        Files.readAllBytes(ptrFile(dir, g).toPath), StandardCharsets.UTF_8))
+      catch { case _: java.io.IOException => attempt += 1 }
+    }
+    None
+  }
+
+  /** Publish `content` as generation `expect + 1` iff no other writer
+    * has committed past `expect` — false on a lost race, and the
+    * caller re-reads state ([[gen]] + [[read]]) and retries its whole
+    * cycle. The exclusive hard-link creation of `_ptr.{expect+1}` is
+    * the atomic compare-and-swap: content is fully staged before the
+    * link, so readers never see a partial pointer, and exactly one
+    * writer per generation can ever succeed. */
+  def commitIfGen(dir: File, expect: Long, content: String): Boolean = {
+    if (maxGen(dir) != expect) return false // cheap pre-check only
+    val tmp = Files.createTempFile(dir.toPath, "_ptr_stage", ".tmp")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    val target = ptrFile(dir, expect + 1).toPath
+    val won =
+      try { Files.createLink(target, tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    Files.deleteIfExists(tmp)
+    if (won) {
+      // prune generations behind the retention window, newest-first so
+      // an interrupted prune leaves no gap below a surviving file
+      var m = expect + 1 - Keep
+      while (m > 0 && ptrFile(dir, m).exists()) {
+        Files.deleteIfExists(ptrFile(dir, m).toPath)
+        m -= 1
       }
     }
-    try {
-      if (gen(dir) != expect) false
-      else {
-        move
-        val tmp = Files.createTempFile(dir.toPath, "_gen", ".tmp")
-        Files.write(tmp,
-          (expect + 1).toString.getBytes(StandardCharsets.UTF_8))
-        Files.move(tmp, genFile(dir).toPath,
-          StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
-        true
-      }
-    } finally { Files.deleteIfExists(lock); () }
+    won
   }
 }

@@ -1,8 +1,6 @@
 package graft.sources
 
 import java.io.File
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -15,33 +13,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Protocol: commit each table on its own (every commit is already
   * atomic and versioned), then [[publish]] the map {table root →
-  * version} as ONE pointer file moved in by tmp + ATOMIC_MOVE.
-  * Readers resolve through [[readAt]]: they only ever see version sets
-  * that were published together. A crash after some table commits but
-  * before the publish leaves orphan versions that no reader resolves —
-  * the next successful publish supersedes them (vacuum reclaims their
-  * files after retention, the TextIndex recovery stance).
+  * version} as ONE pointer commit through [[PointerCas]] — a
+  * generation-numbered file whose exclusive creation is the
+  * compare-and-swap. Readers resolve through [[readAt]]: they only
+  * ever see version sets that were published together. A crash after
+  * some table commits but before the publish leaves orphan versions
+  * that no reader resolves — the next successful publish supersedes
+  * them (vacuum reclaims their files after retention, the TextIndex
+  * recovery stance).
   *
-  * Multi-writer groups serialize through [[publishCas]] — a
-  * generation-guarded put-if-match ([[PointerCas]]): the loser of a
-  * race gets `false` back, re-reads the winner's snapshot, and
-  * retries; readers still only ever see whole ATOMIC_MOVE'd pointer
-  * files, so no torn version set is observable. [[publish]] keeps the
-  * unconditional last-write-wins single-publisher contract (now
-  * internally serialized, so it composes with CAS publishers). */
+  * Multi-writer groups serialize through [[publishCas]]: the loser of
+  * a race gets `false` back, re-reads the winner's snapshot, and
+  * retries; readers still only ever see whole atomically-created
+  * pointer files, so no torn version set is observable. [[publish]]
+  * keeps the unconditional last-write-wins single-publisher contract
+  * (now internally serialized, so it composes with CAS publishers). */
 object SnapshotGroup {
 
-  private def pointer(groupRoot: String) = new File(groupRoot, "_published")
-
-  private def writePointer(groupRoot: String,
-                           versions: Map[String, Long]): Unit = {
-    val body = versions.toSeq.sortBy(_._1)
+  private def pointerBody(versions: Map[String, Long]): String =
+    versions.toSeq.sortBy(_._1)
       .map { case (r, v) => s"$r\t$v" }.mkString("\n")
-    val tmp = Files.createTempFile(new File(groupRoot).toPath, "_pub", ".tmp")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, pointer(groupRoot).toPath,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
 
   /** The pointer generation a [[publishCas]] caller must echo back —
     * read it, build the version set (usually [[current]] plus the
@@ -60,9 +51,8 @@ object SnapshotGroup {
                  expectedGen: Long): Boolean = {
     require(versions.nonEmpty, "empty publish")
     new File(groupRoot).mkdirs()
-    PointerCas.commitIfGen(new File(groupRoot), expectedGen) {
-      writePointer(groupRoot, versions)
-    }
+    PointerCas.commitIfGen(new File(groupRoot), expectedGen,
+      pointerBody(versions))
   }
 
   /** Atomically publish a consistent set of (table root → version). */
@@ -75,15 +65,13 @@ object SnapshotGroup {
   }
 
   /** The currently published version set, if any publish ever landed. */
-  def current(groupRoot: String): Option[Map[String, Long]] = {
-    val p = pointer(groupRoot)
-    if (!p.exists()) None
-    else Some(new String(Files.readAllBytes(p.toPath), StandardCharsets.UTF_8)
-      .split('\n').filter(_.nonEmpty).map { line =>
+  def current(groupRoot: String): Option[Map[String, Long]] =
+    PointerCas.read(new File(groupRoot)).map {
+      _.split('\n').filter(_.nonEmpty).map { line =>
         val Array(r, v) = line.split('\t')
         r -> v.toLong
-      }.toMap)
-  }
+      }.toMap
+    }
 
   /** Read `tableRoot` AT its published version — never the latest
     * (unpublished commits are invisible by construction). */

@@ -179,8 +179,13 @@ object VersionedTable {
     while (!stop && cur >= 0 && existing.contains(cur)) {
       absorb(readManifest(root, cur))
       if (cur != v && checkpointFile(root, cur).exists()) {
-        absorb(rawCheckpointLines(root, cur))
-        stop = true
+        val lines = rawCheckpointLines(root, cur)
+        absorb(lines)
+        // only a txn-AWARE checkpoint (marker present) aggregates the
+        // state below it; a legacy checkpoint carries file lines only —
+        // keep walking or its history's txn stamps would be dropped
+        // and baked out of every future checkpoint
+        if (lines.contains(TxnCkptMarker)) stop = true
       }
       cur -= 1
     }
@@ -192,7 +197,11 @@ object VersionedTable {
     * the aggregated `#txn` state (see [[txnStateAt]]) after the file
     * lines; [[readListing]] filters them back out. */
   private def writeCheckpoint(root: String, v: Long): Unit = {
-    val listing = readListing(root, v) ++ txnStateAt(root, v)
+    // TxnCkptMarker is written even when the txn state is EMPTY: it is
+    // what lets readers distinguish "aggregates everything below me"
+    // from a legacy (pre-txn-aware) checkpoint that proves nothing
+    val listing = readListing(root, v) ++
+      (TxnCkptMarker +: txnStateAt(root, v))
     val tmp = Files.createTempFile(logDir(root).toPath, s"_ckpt$v", ".inprogress")
     Files.write(tmp, listing.mkString("\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, checkpointFile(root, v).toPath,
@@ -747,9 +756,11 @@ object VersionedTable {
     * (probe set)" from the listing alone. Result = `read(...)`
     * filtered by the IN list. */
   def readWhereIn(spark: SparkSession, root: String, statsCol: String,
-                  values: Seq[Long]): DataFrame = {
+                  values: Seq[Long],
+                  version: Option[Long] = None): DataFrame = {
     require(values.nonEmpty, "readWhereIn needs at least one value")
-    val v = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
+    val v = version.orElse(latestVersion(root))
+      .getOrElse(sys.error(s"no versions at $root"))
     val lines = readListing(root, v)
     val sorted = values.distinct.sorted
     val kept = lines.filter { ln =>
@@ -809,6 +820,16 @@ object VersionedTable {
         if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
     }
   }
+
+  /** METADATA-ONLY file count of a version: the listing's length, zero
+    * data or footer reads — the input to fragmentation/auto-compaction
+    * triggers (`df.inputFiles` would build a relation and read every
+    * footer just to count). 0 when the table has no versions yet. */
+  def fileCount(root: String, version: Option[Long] = None): Int =
+    version.orElse(latestVersion(root)) match {
+      case None => 0
+      case Some(v) => readListing(root, v).size
+    }
 
   /** METADATA-ONLY `(min, max)` of `statsCol`: folded from the per-file
     * [min, max] already in the listing — `Some` only when EVERY file
@@ -1120,6 +1141,14 @@ object VersionedTable {
 
   private val TxnPrefix = "#txn"
 
+  /** Stamped into every txn-aware checkpoint (even with zero txn
+    * lines): readers may STOP a newest→oldest txn walk only at a
+    * checkpoint carrying this marker — a legacy checkpoint without it
+    * aggregates nothing, so pre-upgrade tables keep their idempotency
+    * markers after checkpoints resume. Filtered from file resolution
+    * with the rest of the `#txn` namespace. */
+  private val TxnCkptMarker = s"$TxnPrefix-aware\t1"
+
   private def txnLine(appId: String, n: Long): String = {
     require(!appId.contains('\t') && !appId.contains('\n'),
       "txn appId must contain no tab or newline")
@@ -1143,8 +1172,16 @@ object VersionedTable {
     versions(root).reverseIterator.foreach { v =>
       val hit = hitIn(readManifest(root, v))
       if (hit.isDefined) return hit
-      if (checkpointFile(root, v).exists())
-        return hitIn(rawCheckpointLines(root, v))
+      if (checkpointFile(root, v).exists()) {
+        val lines = rawCheckpointLines(root, v)
+        val ckptHit = hitIn(lines)
+        if (ckptHit.isDefined) return ckptHit
+        // a txn-aware checkpoint with no line for appId is authoritative
+        // ("never stamped below here"); a LEGACY checkpoint carries no
+        // txn state at all — keep walking, or a pre-upgrade table's
+        // stamps would be invisible and a replayed batch re-appended
+        if (lines.contains(TxnCkptMarker)) return None
+      }
     }
     None
   }

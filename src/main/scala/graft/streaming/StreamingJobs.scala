@@ -186,6 +186,12 @@ object StreamingJobs {
         graft.operators.TextIndex.append(batch.toDF(), indexRoot,
           txn = batchId)
       }
+      // persisted checkpoint: batchIds stay stable across restarts, so
+      // the txn replay guard sees the SAME file-to-batch assignment a
+      // crashed run recorded — a temp checkpoint would re-enumerate
+      // from scratch and can silently skip a shifted batch
+      .option("checkpointLocation",
+        new java.io.File(indexRoot, "_ingest_ckpt").getPath)
       .trigger(Trigger.AvailableNow())
       .start()
     q.processAllAvailable()
@@ -221,6 +227,9 @@ object StreamingJobs {
           appId = "media_ingest", txn = batchId,
           autoCompactFiles = autoCompactFiles)
       }
+      // stable batchIds across restarts (see runTextIndexIngest note)
+      .option("checkpointLocation",
+        new java.io.File(root, "_ingest_ckpt").getPath)
       .trigger(Trigger.AvailableNow())
       .start()
     q.processAllAvailable()
@@ -254,13 +263,16 @@ object StreamingJobs {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
         val ix = graft.operators.IvfIndex
-        if (!new java.io.File(indexRoot, "centroids.txt").exists())
+        if (!ix.exists(indexRoot))
           ix.build(batch.toDF(), indexRoot, nlist, txn = batchId)
         else
           ix.append(batch.toDF(), indexRoot, txn = batchId)
         ix.reclusterIfDrifted(spark, indexRoot, driftThreshold)
         ()
       }
+      // stable batchIds across restarts (see runTextIndexIngest note)
+      .option("checkpointLocation",
+        new java.io.File(indexRoot, "_ingest_ckpt").getPath)
       .trigger(Trigger.AvailableNow())
       .start()
     q.processAllAvailable()
@@ -294,13 +306,17 @@ object StreamingJobs {
         import graft.sources.VersionedTable
         VersionedTable.appendZOrderedK(batch.toDF(), root, cols, numFiles,
           appId = "zorder_ingest", txn = batchId)
+        // O(manifest) fragmentation probe — no relation build / footer
+        // reads on the per-batch hot path
         if (autoCompactFiles > 0 &&
-            VersionedTable.read(spark, root).inputFiles.length
-              >= autoCompactFiles)
+            VersionedTable.fileCount(root) >= autoCompactFiles)
           VersionedTable.compactZOrderedK(spark, root, cols,
             compactTargetFiles)
         ()
       }
+      // stable batchIds across restarts (see runTextIndexIngest note)
+      .option("checkpointLocation",
+        new java.io.File(root, "_ingest_ckpt").getPath)
       .trigger(Trigger.AvailableNow())
       .start()
     q.processAllAvailable()

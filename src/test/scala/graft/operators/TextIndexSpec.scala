@@ -306,15 +306,15 @@ class TextIndexSpec extends SparkSuite {
     // a reader sampling serving state concurrently: n_docs from the
     // pointer must always equal the doclen rows AT the recorded
     // version — a torn pointer/table pair would break the equality.
-    // ONE atomic pointer read per sample (the file is ATOMIC_MOVE'd),
-    // then the immutable recorded version is counted.
+    // ONE atomic pointer read per sample (generation-numbered files
+    // are exclusively created whole), then the immutable recorded
+    // version is counted.
     @volatile var torn = false
     @volatile var stop = false
     val reader = new Thread(() => {
       while (!stop) {
-        val toks = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(root, "_stats")),
-          java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
+        val toks = graft.sources.PointerCas.read(new java.io.File(root))
+          .get.trim.split("\\s+")
         val (n, dV) = (toks(0).toLong, toks(3).toLong)
         if (dV >= 0) {
           val served = graft.sources.VersionedTable

@@ -80,6 +80,16 @@ class BlobStoreSpec extends SparkSuite {
     assert(BlobStore.readAssembled(spark, root).filter(col("media_id") === 9L)
       .isEmpty)
     assert(BlobStore.readRange(spark, root, 9L, 0L, 10L).isEmpty)
+    // a maintenance reclaim in the crash window must NOT touch the
+    // stranded chunks: reclaim acts only on explicit takedown intent,
+    // never inferred pointer absence — otherwise the replay below
+    // would no-op the chunk append (txn recorded) and publish a
+    // pointer to deleted bytes, corrupting the asset forever
+    assert(BlobStore.reclaimOrphans(spark, root) == 0L,
+      "in-flight/crashed batches must not look like orphans")
+    assert(VersionedTable.read(spark, s"$root/chunks")
+      .filter(col("media_id") === 9L).count() > 0,
+      "stranded chunks must survive reclaim until their replay")
     // the replay: chunk append no-ops (txn recorded), pointer completes
     val chunkVs = VersionedTable.versions(s"$root/chunks")
     BlobStore.appendTxn(stranded.toDF("media_id", "kind", "payload"), root,
@@ -149,5 +159,18 @@ class BlobStoreSpec extends SparkSuite {
     assert(got.keySet == Set(0L, 2L, 3L, 5L) && got.values.forall(identity))
     // idempotent: nothing left to reclaim
     assert(BlobStore.reclaimOrphans(spark, root) == 0L)
+    // a CRASHED takedown (intent logged, pointer delete never ran):
+    // reclaim skips the still-live id but KEEPS the intent; retrying
+    // the takedown completes the cut and the next reclaim collects it
+    VersionedTable.append(Seq(0L).toDF("media_id"), s"$root/takedowns")
+    assert(BlobStore.reclaimOrphans(spark, root) == 0L,
+      "an id with a live pointer must be skipped, not reclaimed")
+    assert(BlobStore.readAssembled(spark, root)
+      .filter(col("media_id") === 0L).count() == 1,
+      "the asset must keep serving until its takedown completes")
+    BlobStore.takedown(spark, root, Seq(0L))
+    assert(BlobStore.reclaimOrphans(spark, root) == 1L)
+    assert(VersionedTable.read(spark, s"$root/chunks")
+      .filter(col("media_id") === 0L).count() == 0)
   }
 }

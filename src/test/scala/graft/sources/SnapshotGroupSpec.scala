@@ -110,26 +110,39 @@ class SnapshotGroupSpec extends SparkSuite {
     info(s"lost-race retries observed: ${retries.get()}")
   }
 
-  test("PointerCas: a crashed holder's stale lock is stolen; a live " +
-    "lock is honored; stale expected-gen refused") {
-    val dir = Files.createTempDirectory("graft_cas_stale").toFile
-    // crashed holder: lock file left behind, mtime in the past
-    val lock = new java.io.File(dir, "_ptr.lock")
-    java.nio.file.Files.createFile(lock.toPath)
-    java.nio.file.Files.setLastModifiedTime(lock.toPath,
-      java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 60000))
-    var ran = false
-    assert(PointerCas.commitIfGen(dir, 0L, staleLockMs = 1000) { ran = true })
-    assert(ran && PointerCas.gen(dir) == 1L)
-    assert(!lock.exists(), "lock must release after the commit")
-    // stale expected generation → refused, gen unchanged
-    assert(!PointerCas.commitIfGen(dir, 0L) {
-      fail("move must not run on a lost race")
-    })
-    assert(PointerCas.gen(dir) == 1L)
-    assert(PointerCas.commitIfGen(dir, 1L) { () } &&
-      PointerCas.gen(dir) == 2L)
+  test("PointerCas: exclusive-create CAS — exactly one winner per " +
+    "generation, stale expected-gen refused, content atomic, old " +
+    "generations pruned") {
+    val dir = Files.createTempDirectory("graft_cas").toFile
+    assert(PointerCas.gen(dir) == 0L && PointerCas.read(dir).isEmpty)
+    assert(PointerCas.commitIfGen(dir, 0L, "alpha"))
+    assert(PointerCas.gen(dir) == 1L && PointerCas.read(dir).contains("alpha"))
+    // stale expected generation → refused, committed content unchanged
+    assert(!PointerCas.commitIfGen(dir, 0L, "stale"))
+    assert(PointerCas.read(dir).contains("alpha"))
+    assert(PointerCas.commitIfGen(dir, 1L, "beta") &&
+      PointerCas.gen(dir) == 2L && PointerCas.read(dir).contains("beta"))
+    // N writers race the SAME generation: the exclusive link create has
+    // exactly one winner — no lock to steal, no pause window to exploit
+    val won = new java.util.concurrent.atomic.AtomicInteger(0)
+    val barrier = new java.util.concurrent.CyclicBarrier(8)
+    val ts = (0 until 8).map { i =>
+      new Thread(() => {
+        barrier.await()
+        if (PointerCas.commitIfGen(dir, 2L, s"racer-$i")) { won.incrementAndGet(); () }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(won.get() == 1, "exactly one CAS winner per generation")
+    assert(PointerCas.gen(dir) == 3L)
+    assert(PointerCas.read(dir).exists(_.startsWith("racer-")))
+    // long chains prune behind the retention window; reads stay exact
+    (3L until 30L).foreach { g =>
+      assert(PointerCas.commitIfGen(dir, g, s"v${g + 1}"))
+    }
+    assert(PointerCas.gen(dir) == 30L && PointerCas.read(dir).contains("v30"))
+    val ptrs = dir.list().count(_.startsWith("_ptr."))
+    assert(ptrs <= 9, s"old generations must be pruned, saw $ptrs files")
   }
 
   test("readAt rejects a table outside the group; empty group errors") {

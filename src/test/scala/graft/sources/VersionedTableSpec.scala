@@ -84,6 +84,38 @@ class VersionedTableSpec extends SparkSuite {
     assert(VersionedTable.read(spark, root).count() == 27)
   }
 
+  test("legacy checkpoints (no txn state) don't swallow older txn " +
+    "stamps: the walk continues past them and re-aggregates") {
+    import spark.implicits._
+    val root = tmpRoot()
+    VersionedTable.appendTxn(Seq((0, "z")).toDF("k", "v"), root, "app", 9L)
+    // push past the checkpoint cadence so a checkpoint lands above the
+    // stamp, then STRIP its #txn namespace — a pre-upgrade checkpoint
+    for (i <- 0 until 12)
+      VersionedTable.append(Seq((i, "p")).toDF("k", "v"), root)
+    val ckpt = new java.io.File(root, f"_log/${10L}%012d.checkpoint")
+    assert(ckpt.exists(), "test setup: checkpoint expected at v10")
+    val legacy = new String(java.nio.file.Files.readAllBytes(ckpt.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.filterNot(_.startsWith("#txn")).mkString("\n")
+    java.nio.file.Files.write(ckpt.toPath,
+      legacy.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the replay guard must still see txn 9 — a legacy checkpoint
+    // aggregates nothing, so the walk continues to the stamped manifest
+    assert(VersionedTable.latestTxn(root, "app").contains(9L),
+      "legacy checkpoint must not hide an older txn stamp")
+    val v = VersionedTable.latestVersion(root).get
+    assert(VersionedTable.appendTxn(
+      Seq((0, "z")).toDF("k", "v"), root, "app", 9L) == v, "replay no-op")
+    // the NEXT txn-aware checkpoint re-aggregates the recovered state:
+    // after it, even vacuuming away the stamped manifest keeps txn 9
+    for (i <- 0 until 8)
+      VersionedTable.append(Seq((100 + i, "q")).toDF("k", "v"), root)
+    VersionedTable.vacuum(root, retainVersions = 1)
+    assert(VersionedTable.latestTxn(root, "app").contains(9L),
+      "re-aggregated checkpoint must carry the recovered stamp")
+  }
+
   test("appendTxn: batchId rides the atomic commit; replay no-ops; " +
     "listings, checkpoints and time travel stay txn-blind") {
     import spark.implicits._
