@@ -95,12 +95,8 @@ object Tombstones {
     val stored = readPatchKeys(root)
     require(stored.isEmpty || stored == keys,
       s"updateMor keys $keys differ from the table's recorded $stored")
-    if (stored.isEmpty) {
-      require(keys.forall(k => !k.contains("\t") && !k.contains("\n")),
-        "key names must contain no tab or newline")
-      java.nio.file.Files.write(patchKeysFile(root).toPath,
-        keys.mkString("\t").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    }
+    require(keys.forall(k => !k.contains("\t") && !k.contains("\n")),
+      "key names must contain no tab or newline")
     val active = readActive(spark, root)
     require(set.keySet.subsetOf(active.columns.toSet),
       s"SET columns ${set.keySet.diff(active.columns.toSet)} not in table")
@@ -113,6 +109,20 @@ object Tombstones {
       .localCheckpoint(true)
     val n = patch.count()
     if (n > 0) {
+      // record the key set only once an update actually lands (a
+      // zero-match call must not pin the table to its keys forever),
+      // SIDECAR FIRST so readActive never sees a store without its
+      // keys; atomic move — a crash mid-write can't leave a truncated
+      // key list for purge to fold on a wrong prefix
+      if (stored.isEmpty) {
+        val tmp = java.nio.file.Files.createTempFile(
+          new File(root).toPath, "_patch_keys", ".tmp")
+        java.nio.file.Files.write(tmp, keys.mkString("\t")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, patchKeysFile(root).toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
       if (VersionedTable.latestVersion(patchStore(root)).isEmpty)
         VersionedTable.overwrite(patch, patchStore(root))
       else // newest patch per key wins by REPLACING it (merge upsert)
@@ -174,7 +184,12 @@ object Tombstones {
       .select(schema.fieldNames.toSeq.map(col): _*)
       .withColumn("__seq", lit(1L)).withColumn("__op", lit("U"))
     (patches, tombs) match {
-      case (None, None) => return current
+      case (None, None) =>
+        // nothing pending — but clear a key-set sidecar stranded by a
+        // crash between the sidecar write and the patch-store commit,
+        // or the table stays pinned to keys no patch ever used
+        patchKeysFile(root).delete()
+        return current
       case (Some(p), Some(t)) if t.columns.toSeq == patchKeys =>
         current = VersionedTable.applyChanges(spark, root,
           upFeed(p).unionByName(delFeed(t, patchKeys)),

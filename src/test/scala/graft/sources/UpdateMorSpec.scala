@@ -228,4 +228,34 @@ class UpdateMorSpec extends SparkSuite {
     val v = VersionedTable.latestVersion(root).get
     assert(Tombstones.purge(spark, root) == v)
   }
+
+  test("updateMor: a zero-match call does not pin the key set; a " +
+    "stranded sidecar clears on purge") {
+    import spark.implicits._
+    val root = freshRoot("morzero")
+    VersionedTable.overwrite(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "s", "v"), root)
+    // zero rows match: no patch store, and crucially no recorded keys
+    assert(Tombstones.updateMor(spark, root, Seq("s"),
+      col("v") > 99.0, Map("v" -> lit(0.0))) == 0L)
+    // a DIFFERENT key set must still be accepted afterwards
+    assert(Tombstones.updateMor(spark, root, Seq("k"),
+      col("k") === 1L, Map("v" -> lit(10.0))) == 1L)
+    assert(Tombstones.readActive(spark, root)
+      .filter(col("k") === 1L).head().getAs[Double]("v") == 10.0)
+    Tombstones.purge(spark, root)
+    // simulate a crash between the sidecar write and the patch-store
+    // commit: the stranded sidecar must not lock the table forever —
+    // purge clears it, and the next updateMor picks its own keys
+    java.nio.file.Files.write(
+      new java.io.File(root, "_patch_keys").toPath,
+      "s".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    intercept[IllegalArgumentException](Tombstones.updateMor(spark, root,
+      Seq("k"), col("k") === 2L, Map("v" -> lit(0.0))))
+    Tombstones.purge(spark, root)
+    assert(Tombstones.updateMor(spark, root, Seq("k"),
+      col("k") === 2L, Map("v" -> lit(20.0))) == 1L)
+    assert(Tombstones.readActive(spark, root)
+      .filter(col("k") === 2L).head().getAs[Double]("v") == 20.0)
+  }
 }
