@@ -446,6 +446,45 @@ object LakeQueries extends QueryModule {
           AND l_suppkey BETWEEN 1 AND 60
         GROUP BY 1 ORDER BY sk_mod""")),
 
+    // STRING manifest stats (the typed min/max Delta/Iceberg record
+    // for every column — ISO dates, tenants, priorities are the keys
+    // a 100 TB lake actually slices on, and a long-cast records
+    // nothing for them): orders range-clustered on o_orderpriority,
+    // the same overwriteWithStats call records base64-framed string
+    // [min, max] per file, and a BETWEEN slice on the string key opens
+    // only intersecting files (prune_ok counts the opened files;
+    // VersionedTableSpec pins the conservative no-stat/oversized
+    // paths). The oracle pins that string-stat skipping never changes
+    // answers.
+    "q297_string_stats" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_str").resolve("t").toString
+        val od = Tables(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_orderstatus"),
+            col("o_totalprice"))
+          .repartitionByRange(8, col("o_orderpriority"))
+        graft.sources.VersionedTable.overwriteWithStats(
+          od, root, "o_orderpriority")
+        val total = graft.sources.VersionedTable.read(s, root)
+          .inputFiles.length
+        val sliced = graft.sources.VersionedTable.readWhereString(
+          s, root, "o_orderpriority", "2-HIGH", "4-NOT SPECIFIED")
+        val pruneOk = sliced.inputFiles.length < total
+        sliced
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("prune_ok", lit(if (pruneOk) 1L else 0L))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total,
+               CAST(1 AS BIGINT) AS prune_ok
+        FROM orders
+        WHERE o_orderpriority BETWEEN '2-HIGH' AND '4-NOT SPECIFIED'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // OPTIMIZE compaction: four stats-carrying appends degenerate the
     // table into small files; compact() bin-packs them (range-clustered
     // on l_orderkey, stats recomputed), and the post-compaction

@@ -281,6 +281,35 @@ object VersionedTable {
           java.util.Base64.getDecoder.decode(payload)
     }.toMap
 
+  /** Manifest grammar for per-file STRING [min, max] stats (the typed
+    * min/max Delta and Iceberg record for every column — ISO dates,
+    * tenants, categories are the pruning keys a 100 TB lake actually
+    * filters on, and a long-cast records nothing for them):
+    * `\t__str_<col>\t<base64(min)>\t<base64(max)>` — base64 keeps the
+    * tab-separated line grammar safe for arbitrary string content;
+    * comparison happens on the DECODED values. Old readers skip the
+    * triples via [[statsOf]]'s numeric guard (a rare all-digit base64
+    * parse is harmless — the dunder-prefixed name collides with no
+    * real column). Values longer than [[StrStatMaxLen]] record NO
+    * stat for that file (a truncated max is not an upper bound;
+    * conservative beats wrong). */
+  private[sources] val StrPrefix = "__str_"
+
+  /** Stats cap for string values: realistic pruning keys (dates,
+    * tenants, categories) are short; an oversized value skips the
+    * stat rather than truncate it. */
+  private[sources] val StrStatMaxLen = 64
+
+  private def strStatsOf(line: String): Map[String, (String, String)] = {
+    val dec = java.util.Base64.getDecoder
+    line.split('\t').drop(1).grouped(3).collect {
+      case Array(c, lo, hi) if c.startsWith(StrPrefix) =>
+        c.stripPrefix(StrPrefix) ->
+          (new String(dec.decode(lo), StandardCharsets.UTF_8),
+            new String(dec.decode(hi), StandardCharsets.UTF_8))
+    }.toMap
+  }
+
   /** The pseudo-column under which stats-recording commits keep each
     * file's ROW COUNT (as a degenerate [n, n] stat triple — old
     * manifests parse unchanged, real columns can't collide with the
@@ -295,18 +324,31 @@ object VersionedTable {
     * file statistics, not hints, decide the join strategy. */
   private[sources] val BytesKey = "__bytes"
 
-  /** Per-staged-file [min, max] of each `statsCols` entry
-    * (long-castable) PLUS the file's row count under [[RowsKey]],
-    * computed with one small aggregation over just the staged files;
-    * columns whose stats come back null (all-null in that file) are
-    * omitted from that file's line and never skipped on. */
+  /** Per-staged-file [min, max] of each `statsCols` entry PLUS the
+    * file's row count under [[RowsKey]], computed with one small
+    * aggregation over just the staged files. A STRING-typed column
+    * records a [[StrPrefix]] triple (base64-framed, length-capped)
+    * instead of the long-cast one — the same `statsCols` argument
+    * prunes dates/tenants/categories as it does integer keys. Columns
+    * whose stats come back null (all-null in that file) are omitted
+    * from that file's line and never skipped on. */
   private def statLines(spark: SparkSession, staged: Seq[String],
                         statsCols: Seq[String]): Seq[String] = {
     if (staged.isEmpty) return staged
-    val aggs = count(lit(1)).as("__n") +: statsCols.flatMap(c => Seq(
-      min(col(c).cast("long")).as(s"__lo_$c"),
-      max(col(c).cast("long")).as(s"__hi_$c")))
-    val byName = spark.read.parquet(staged: _*)
+    val relation = spark.read.parquet(staged: _*)
+    val isStr = statsCols.map { c =>
+      c -> (relation.schema.find(_.name == c)
+        .exists(_.dataType == org.apache.spark.sql.types.StringType))
+    }.toMap
+    val aggs = count(lit(1)).as("__n") +: statsCols.flatMap { c =>
+      if (isStr(c)) Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c"))
+      else Seq(min(col(c).cast("long")).as(s"__lo_$c"),
+        max(col(c).cast("long")).as(s"__hi_$c"))
+    }
+    val enc = java.util.Base64.getEncoder
+    def b64(s: String) =
+      enc.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+    val byName = relation
       .groupBy(col("_metadata.file_path").as("__p"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>
@@ -314,7 +356,12 @@ object VersionedTable {
         // the (nonce-unique) file name
         val n = r.getLong(1)
         val suffix = s"\t$RowsKey\t$n\t$n" + statsCols.zipWithIndex.collect {
-          case (c, i) if !r.isNullAt(2 + 2 * i) =>
+          case (c, i) if !r.isNullAt(2 + 2 * i) && isStr(c) &&
+              r.getString(2 + 2 * i).length <= StrStatMaxLen &&
+              r.getString(3 + 2 * i).length <= StrStatMaxLen =>
+            s"\t$StrPrefix$c\t${b64(r.getString(2 + 2 * i))}" +
+              s"\t${b64(r.getString(3 + 2 * i))}"
+          case (c, i) if !r.isNullAt(2 + 2 * i) && !isStr(c) =>
             s"\t$c\t${r.getLong(2 + 2 * i)}\t${r.getLong(3 + 2 * i)}"
         }.mkString
         r.getString(0).split('/').last -> suffix
@@ -747,6 +794,43 @@ object VersionedTable {
     val paths = (if (kept.nonEmpty) kept else lines).map(pathOf)
     spark.read.option("mergeSchema", "true").parquet(paths: _*)
       .filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
+  }
+
+  /** [[readWhere]] for a STRING stats column (recorded under the
+    * [[StrPrefix]] grammar by the same `statsCols` argument): BETWEEN
+    * semantics on Spark's binary string ordering — the shape of every
+    * ISO-date / tenant / category slice a 100 TB lake serves. Files
+    * whose recorded [min, max] misses `[lo, hi]` never open; missing
+    * stats keep the file (conservative). */
+  def readWhereString(spark: SparkSession, root: String, statsCol: String,
+                      lo: String, hi: String): DataFrame = {
+    val v = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
+    val lines = readListing(root, v)
+    val kept = lines.filter { ln =>
+      strStatsOf(ln).get(statsCol) match {
+        case Some((flo, fhi)) => fhi >= lo && flo <= hi
+        case None => true // no stats for this column → cannot skip
+      }
+    }
+    val paths = (if (kept.nonEmpty) kept else lines).map(pathOf)
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      .filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
+  }
+
+  /** METADATA-ONLY `(min, max)` of a STRING stats column — the
+    * [[statsRange]] twin over the [[StrPrefix]] grammar; `Some` only
+    * when EVERY file records the stat (conservative). */
+  def statsRangeString(root: String, statsCol: String,
+                       version: Option[Long] = None): Option[(String, String)] = {
+    version.orElse(latestVersion(root)) match {
+      case None => None
+      case Some(v) =>
+        val ranges = readListing(root, v).map(ln => strStatsOf(ln).get(statsCol))
+        if (ranges.nonEmpty && ranges.forall(_.isDefined)) {
+          val rs = ranges.flatten
+          Some((rs.map(_._1).min, rs.map(_._2).max))
+        } else None
+    }
   }
 
   /** IN-list read with manifest-stat file skipping: only files whose

@@ -84,6 +84,40 @@ class VersionedTableSpec extends SparkSuite {
     assert(VersionedTable.read(spark, root).count() == 27)
   }
 
+  test("string manifest stats: readWhereString opens only intersecting " +
+    "files; oversized values record no stat and stay conservative") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val rows = Seq(("2024-01-03", 1L), ("2024-02-10", 2L), ("2024-03-05", 3L),
+      ("2024-04-21", 4L), ("2024-05-09", 5L), ("2024-06-30", 6L))
+      .toDF("day", "v").repartitionByRange(3, col("day"))
+    // ONE statsCols argument covers string and numeric columns alike
+    VersionedTable.overwriteWithStats(rows, root, "day", "v")
+    val total = VersionedTable.read(spark, root).inputFiles.length
+    val sliced = VersionedTable.readWhereString(spark, root, "day",
+      "2024-02-01", "2024-03-31")
+    assert(sliced.collect().map(_.getLong(1)).sorted.toSeq == Seq(2L, 3L))
+    assert(sliced.inputFiles.length < total,
+      "a string slice must open fewer files than the table holds")
+    // metadata-only range over the string stats
+    assert(VersionedTable.statsRangeString(root, "day")
+      .contains(("2024-01-03", "2024-06-30")))
+    // numeric stats on the same commit still serve
+    assert(VersionedTable.readWhere(spark, root, "v", 5L, 6L)
+      .count() == 2L)
+    assert(VersionedTable.countRows(root).contains(6L))
+    // oversized key: no stat for its file (a truncated max would lie);
+    // reads keep the file conservatively and answers stay exact
+    val root2 = tmpRoot()
+    VersionedTable.overwriteWithStats(
+      Seq(("x" * 80, 1L), ("abc", 2L)).toDF("k", "v")
+        .repartitionByRange(2, col("k")), root2, "k")
+    assert(VersionedTable.readWhereString(spark, root2, "k", "a", "b")
+      .collect().map(_.getLong(1)).toSeq == Seq(2L))
+    assert(VersionedTable.statsRangeString(root2, "k").isEmpty,
+      "an oversized value must force the conservative None")
+  }
+
   test("legacy checkpoints (no txn state) don't swallow older txn " +
     "stamps: the walk continues past them and re-aggregates") {
     import spark.implicits._
