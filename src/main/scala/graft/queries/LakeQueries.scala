@@ -485,6 +485,38 @@ object LakeQueries extends QueryModule {
         WHERE o_orderpriority BETWEEN '2-HIGH' AND '4-NOT SPECIFIED'
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // CATALYST-INTEGRATED scan (the Delta TahoeFileIndex role): the
+    // q105 slice written as an ORDINARY DataFrame filter over
+    // VersionedTable.scan — Catalyst hands the predicate to the
+    // manifest-backed FileIndex at plan time, so files prune with no
+    // readWhere call (prune_ok counts opened files via
+    // input_file_name; GraftScanSpec pins SQL-text pruning, version
+    // pinning, IN/flipped shapes, and the manifest-fed auto-broadcast
+    // decision). The oracle pins that plan-time skipping never
+    // changes answers.
+    "q298_catalyst_scan" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_cat").resolve("t").toString
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+          .repartitionByRange(8, col("l_orderkey"))
+        graft.sources.VersionedTable.overwriteWithStats(li, root, "l_orderkey")
+        val sliced = graft.sources.VersionedTable.scan(s, root)
+          .filter(col("l_orderkey") >= 1000L && col("l_orderkey") <= 3000L)
+        val pruneOk =
+          sliced.select(input_file_name()).distinct().count() < 8
+        sliced.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+          .withColumn("prune_ok", lit(if (pruneOk) 1L else 0L))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+               CAST(1 AS BIGINT) AS prune_ok
+        FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // OPTIMIZE compaction: four stats-carrying appends degenerate the
     // table into small files; compact() bin-packs them (range-clustered
     // on l_orderkey, stats recomputed), and the post-compaction

@@ -905,6 +905,40 @@ object VersionedTable {
     }
   }
 
+  /** CATALYST-INTEGRATED scan ([[org.apache.spark.sql.graft.GraftScan]],
+    * the Delta TahoeFileIndex role): ordinary `.filter(...)`s — or the
+    * same predicates in SQL over a temp view — prune files at PLAN time
+    * through a manifest-backed FileIndex (numeric AND string stats),
+    * and the manifest's byte total feeds Catalyst's auto-broadcast
+    * decision; the physical scan stays a normal vectorized parquet
+    * read. Prefer this over `readWhere*` when the predicate arrives
+    * from query text rather than engine code. */
+  def scan(spark: SparkSession, root: String,
+           version: Option[Long] = None): DataFrame =
+    org.apache.spark.sql.graft.GraftScan.scan(spark, root, version)
+
+  /** One data file of a committed version with its manifest stats —
+    * the integration surface the Catalyst-side scan
+    * ([[org.apache.spark.sql.graft.GraftScan]]) builds its FileIndex
+    * from. `bytes` comes from the [[BytesKey]] stat when recorded. */
+  final case class ScanFile(path: String,
+                            stats: Map[String, (Long, Long)],
+                            strStats: Map[String, (String, String)],
+                            bytes: Option[Long])
+
+  /** The resolved file listing of a version WITH its per-file stats —
+    * everything a planning-time file-pruning index needs, O(manifest). */
+  def scanListing(root: String,
+                  version: Option[Long] = None): Seq[ScanFile] = {
+    val v = version.orElse(latestVersion(root))
+      .getOrElse(sys.error(s"no versions at $root"))
+    readListing(root, v).map { ln =>
+      val st = statsOf(ln)
+      ScanFile(pathOf(ln), st - RowsKey - BytesKey, strStatsOf(ln),
+        st.get(BytesKey).map(_._1))
+    }
+  }
+
   /** METADATA-ONLY file count of a version: the listing's length, zero
     * data or footer reads — the input to fragmentation/auto-compaction
     * triggers (`df.inputFiles` would build a relation and read every

@@ -1,0 +1,98 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** VersionedTable.scan — the Catalyst-integrated FileIndex: ordinary
+  * filters (DataFrame or SQL) prune files at plan time against the
+  * manifest's numeric AND string stats; the manifest's byte total
+  * feeds the auto-broadcast decision. */
+class GraftScanSpec extends SparkSuite {
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("graft_scan_spec").resolve("t").toString
+
+  private def mkTable(): String = {
+    import spark.implicits._
+    val root = tmpRoot()
+    val rows = (0L until 600L).map { i =>
+      (i, f"2024-${i % 6 + 1}%02d-10", s"s${i % 7}", i.toDouble)
+    }.toDF("k", "day", "tag", "v")
+      .repartitionByRange(6, col("k"))
+    VersionedTable.overwriteWithStats(rows, root, "k", "day")
+    root
+  }
+
+  private def openedFiles(df: org.apache.spark.sql.DataFrame): Long =
+    df.select(input_file_name()).distinct().count()
+
+  test("plan-time pruning: DataFrame filters on numeric and string " +
+    "stats open only intersecting files; answers match readWhere") {
+    val root = mkTable()
+    val total = openedFiles(VersionedTable.scan(spark, root))
+    assert(total == 6L)
+    // numeric range through an ORDINARY filter
+    val num = VersionedTable.scan(spark, root)
+      .filter(col("k") >= 100L && col("k") <= 199L)
+    assert(openedFiles(num) < total, "numeric filter must prune files")
+    assert(num.count() ==
+      VersionedTable.readWhere(spark, root, "k", 100L, 199L).count())
+    // string range (day is clustered incidentally by k; still prunes
+    // when the band structure allows — correctness is the hard assert)
+    val str = VersionedTable.scan(spark, root)
+      .filter(col("day") === "2024-03-10")
+    assert(str.count() == 100L)
+    // a filter on a stats-less column cannot prune but stays correct
+    val nop = VersionedTable.scan(spark, root).filter(col("tag") === "s3")
+    assert(openedFiles(nop) == total)
+    assert(nop.count() ==
+      VersionedTable.read(spark, root).filter(col("tag") === "s3").count())
+  }
+
+  test("the same pruning serves SQL text over a temp view") {
+    val root = mkTable()
+    VersionedTable.scan(spark, root).createOrReplaceTempView("graft_scan_v")
+    val df = spark.sql(
+      "SELECT count(*) AS n FROM graft_scan_v WHERE k BETWEEN 0 AND 99")
+    assert(df.head().getLong(0) == 100L)
+    val opened = spark.sql(
+      "SELECT input_file_name() AS f FROM graft_scan_v " +
+        "WHERE k BETWEEN 0 AND 99").select("f").distinct().count()
+    assert(opened < 6L, "SQL predicates must reach the manifest index")
+  }
+
+  test("version pinning, IN-lists, and literal-on-left shapes") {
+    import spark.implicits._
+    val root = mkTable()
+    val v0 = VersionedTable.latestVersion(root).get
+    VersionedTable.appendWithStats(
+      Seq((9999L, "2025-01-01", "zz", 0.0)).toDF("k", "day", "tag", "v"),
+      root, "k", "day")
+    assert(VersionedTable.scan(spark, root, Some(v0)).count() == 600L,
+      "a pinned scan must not see later appends")
+    assert(VersionedTable.scan(spark, root).count() == 601L)
+    val in = VersionedTable.scan(spark, root)
+      .filter(col("k").isin(5L, 105L))
+    assert(in.count() == 2L)
+    assert(openedFiles(in) < 7L)
+    val flipped = VersionedTable.scan(spark, root)
+      .filter(lit(99L) >= col("k"))
+    assert(flipped.count() == 100L)
+    assert(openedFiles(flipped) < 7L)
+  }
+
+  test("manifest bytes feed the auto-broadcast decision: a small scan " +
+    "broadcasts with NO hint") {
+    import spark.implicits._
+    val root = mkTable()
+    val big = (0L until 5000L).map(i => (i % 600L, i)).toDF("k", "x")
+    val joined = big.join(VersionedTable.scan(spark, root), Seq("k"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small manifest-sized scan must broadcast without a hint:\n$plan")
+    assert(joined.count() == 5000L)
+  }
+}
