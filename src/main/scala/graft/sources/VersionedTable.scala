@@ -924,7 +924,8 @@ object VersionedTable {
   final case class ScanFile(path: String,
                             stats: Map[String, (Long, Long)],
                             strStats: Map[String, (String, String)],
-                            bytes: Option[Long])
+                            bytes: Option[Long],
+                            blooms: Map[String, Array[Byte]])
 
   /** The resolved file listing of a version WITH its per-file stats —
     * everything a planning-time file-pruning index needs, O(manifest). */
@@ -935,7 +936,7 @@ object VersionedTable {
     readListing(root, v).map { ln =>
       val st = statsOf(ln)
       ScanFile(pathOf(ln), st - RowsKey - BytesKey, strStatsOf(ln),
-        st.get(BytesKey).map(_._1))
+        st.get(BytesKey).map(_._1), bloomsOf(ln))
     }
   }
 

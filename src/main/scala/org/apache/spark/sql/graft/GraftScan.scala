@@ -93,12 +93,17 @@ object GraftScan {
 
   /** Could any row of file `f` satisfy `e`? True (keep) whenever the
     * answer isn't provably no — missing stats, unsupported shapes, and
-    * non-literal operands all keep the file. */
+    * non-literal operands all keep the file. Equality shapes
+    * additionally consult the file's BLOOM sketch when the column
+    * carries one (the point-lookup prune `readWhereEq` does, now fed
+    * by Catalyst's own pushed filters). */
   private def mayMatch(f: ScanFile, e: Expression): Boolean = e match {
     case And(l, r) => mayMatch(f, l) && mayMatch(f, r)
     case Or(l, r) => mayMatch(f, l) || mayMatch(f, r)
-    case EqualTo(a: AttributeReference, l: Literal) => inRange(f, a.name, l, l)
-    case EqualTo(l: Literal, a: AttributeReference) => inRange(f, a.name, l, l)
+    case EqualTo(a: AttributeReference, l: Literal) =>
+      inRange(f, a.name, l, l) && bloomMayContain(f, a.name, l)
+    case EqualTo(l: Literal, a: AttributeReference) =>
+      inRange(f, a.name, l, l) && bloomMayContain(f, a.name, l)
     case GreaterThanOrEqual(a: AttributeReference, l: Literal) => hiAtLeast(f, a.name, l, strict = false)
     case GreaterThan(a: AttributeReference, l: Literal) => hiAtLeast(f, a.name, l, strict = true)
     case LessThanOrEqual(a: AttributeReference, l: Literal) => loAtMost(f, a.name, l, strict = false)
@@ -109,20 +114,41 @@ object GraftScan {
     case LessThanOrEqual(l: Literal, a: AttributeReference) => hiAtLeast(f, a.name, l, strict = false)
     case LessThan(l: Literal, a: AttributeReference) => hiAtLeast(f, a.name, l, strict = true)
     case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-      vs.exists(v => inRange(f, a.name, v.asInstanceOf[Literal],
-        v.asInstanceOf[Literal]))
+      vs.exists { v =>
+        val l = v.asInstanceOf[Literal]
+        inRange(f, a.name, l, l) && bloomMayContain(f, a.name, l)
+      }
     case InSet(a: AttributeReference, vs) =>
-      vs.exists {
-        case n: java.lang.Number =>
-          f.stats.get(a.name).forall { case (lo, hi) =>
-            n.longValue >= lo && n.longValue <= hi }
-        case s: UTF8String =>
-          f.strStats.get(a.name).forall { case (lo, hi) =>
-            s.toString >= lo && s.toString <= hi }
-        case _ => true
+      vs.exists { v =>
+        val l = Literal.create(v, a.dataType)
+        val rangeOk = v match {
+          case n: java.lang.Number =>
+            f.stats.get(a.name).forall { case (lo, hi) =>
+              n.longValue >= lo && n.longValue <= hi }
+          case s: UTF8String =>
+            f.strStats.get(a.name).forall { case (lo, hi) =>
+              s.toString >= lo && s.toString <= hi }
+          case _ => true
+        }
+        rangeOk && bloomMayContain(f, a.name, l)
       }
     case _ => true // IsNotNull, UDFs, casts, … — cannot prune, keep
   }
+
+  /** Bloom test for an equality probe: definite-absence skips the
+    * file; no bloom for the column keeps it. Hash mirrors the writer
+    * (xxhash64 over the column's own type — the analyzed literal
+    * carries it). */
+  private def bloomMayContain(f: ScanFile, col: String,
+                              l: Literal): Boolean =
+    f.blooms.get(col) match {
+      case Some(bytes) =>
+        val h = new XxHash64(Seq(l)).eval(null).asInstanceOf[Long]
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+          .mightContainLong(h)
+      case None => true
+    }
 
   private def longOf(l: Literal): Option[Long] = l.value match {
     case n: java.lang.Number => Some(n.longValue)

@@ -84,6 +84,33 @@ class GraftScanSpec extends SparkSuite {
     assert(openedFiles(flipped) < 7L)
   }
 
+  test("bloom-indexed equality prunes to the containing files through " +
+    "an ordinary === filter") {
+    import spark.implicits._
+    val root = tmpRoot()
+    // four bloom-carrying batches with disjoint id ranges but NO
+    // range-clustering guarantee being tested — the bloom is what
+    // prunes equality probes
+    (0 until 4).foreach { b =>
+      val batch = (0L until 200L).map(i => (b * 1000L + i, s"v$b"))
+        .toDF("id", "s").coalesce(1)
+      if (b == 0) VersionedTable.overwriteWithBloomIndex(batch, root, "id")
+      else VersionedTable.appendWithBloomIndex(batch, root, "id")
+    }
+    val hit = VersionedTable.scan(spark, root).filter(col("id") === 2005L)
+    assert(hit.count() == 1L)
+    assert(openedFiles(hit) == 1L,
+      "a bloom-indexed point probe must open only the containing file")
+    // an absent id: blooms report definite absence for every file
+    val miss = VersionedTable.scan(spark, root).filter(col("id") === 999999L)
+    assert(miss.count() == 0L)
+    // IN over two batches opens exactly those two files
+    val in2 = VersionedTable.scan(spark, root)
+      .filter(col("id").isin(5L, 3007L))
+    assert(in2.count() == 2L)
+    assert(openedFiles(in2) == 2L)
+  }
+
   test("manifest bytes feed the auto-broadcast decision: a small scan " +
     "broadcasts with NO hint") {
     import spark.implicits._
