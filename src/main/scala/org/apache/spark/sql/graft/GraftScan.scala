@@ -5,6 +5,11 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  AggregateExpression, Count}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Aggregate, LocalRelation, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.classic
 import org.apache.spark.sql.execution.datasources.{
   FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
@@ -52,15 +57,49 @@ object GraftScan {
       .parquet(files.map(_.path): _*).schema
     val cs = spark.asInstanceOf[classic.SparkSession]
     val relation = HadoopFsRelation(
-      new GraftFileIndex(files), StructType(Nil), dataSchema, None,
+      new GraftFileIndex(files, VersionedTable.countRows(root, version)),
+      StructType(Nil), dataSchema, None,
       new ParquetFileFormat, Map("mergeSchema" -> "true"))(cs)
+    PlanBridge.registerOptimization(spark, CountFromManifest)
     PlanBridge.ofRows(spark, LogicalRelation(relation, false))
+  }
+
+  /** METADATA-ONLY COUNT(*) (the Delta OptimizeMetadataOnlyQuery
+    * role): a bare, unfiltered, ungrouped `count(1)` over a manifest
+    * scan whose row total is recorded folds to a one-row
+    * LocalRelation — `scan(root).count()` at 100 TB answers from the
+    * listing, zero file opens. Any Filter/grouping/extra aggregate in
+    * between leaves the plan alone. */
+  private object CountFromManifest extends Rule[LogicalPlan] {
+
+    /** The manifest row total under a cardinality-preserving chain of
+      * Projects down to a manifest-backed relation — anything else
+      * (Filter, Sample, joins, …) disqualifies the shortcut. */
+    private def manifestRows(plan: LogicalPlan): Option[Long] = plan match {
+      case org.apache.spark.sql.catalyst.plans.logical.Project(_, child) =>
+        manifestRows(child)
+      case LogicalRelation(r: HadoopFsRelation, _, _, _, _) =>
+        r.location match {
+          case g: GraftFileIndex => g.totalRows
+          case _ => None
+        }
+      case _ => None
+    }
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+      case agg @ Aggregate(Nil, Seq(Alias(
+            AggregateExpression(Count(Seq(Literal(1, _))), _, false, _, _),
+            _)), child, _) if manifestRows(child).isDefined =>
+        LocalRelation(agg.output, Seq(InternalRow(manifestRows(child).get)))
+      case other => other
+    }
   }
 
   /** Manifest-backed [[FileIndex]]: one immutable version's files with
     * their stats; `listFiles` is where Catalyst's pushed data filters
     * meet the manifest. */
-  private final class GraftFileIndex(files: Seq[ScanFile])
+  private final class GraftFileIndex(files: Seq[ScanFile],
+                                     val totalRows: Option[Long])
       extends FileIndex {
 
     private val statuses: Seq[(ScanFile, FileStatus)] = files.map { f =>

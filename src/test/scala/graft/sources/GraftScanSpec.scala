@@ -111,6 +111,30 @@ class GraftScanSpec extends SparkSuite {
     assert(openedFiles(in2) == 2L)
   }
 
+  test("metadata-only COUNT(*): a bare count answers from the manifest " +
+    "with zero file opens; filtered/grouped counts still scan") {
+    val root = mkTable()
+    val bare = VersionedTable.scan(spark, root).groupBy().count()
+    assert(bare.head().getLong(0) == 600L)
+    val optimized = bare.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("Relation") || optimized.contains("LocalRelation"),
+      s"bare count must fold to a LocalRelation:\n$optimized")
+    assert(!bare.queryExecution.executedPlan.toString.contains("FileScan"),
+      "bare count must not plan a file scan")
+    // df.count() rides the same rule
+    assert(VersionedTable.scan(spark, root).count() == 600L)
+    // a FILTERED count must NOT take the metadata shortcut
+    val filtered = VersionedTable.scan(spark, root)
+      .filter(col("k") >= 100L && col("k") <= 199L).groupBy().count()
+    assert(filtered.head().getLong(0) == 100L)
+    assert(filtered.queryExecution.executedPlan.toString.contains("FileScan"),
+      "a filtered count must keep scanning files")
+    // a grouped count must not fold either
+    val grouped = VersionedTable.scan(spark, root)
+      .groupBy(col("tag")).count()
+    assert(grouped.collect().map(_.getLong(1)).sum == 600L)
+  }
+
   test("manifest bytes feed the auto-broadcast decision: a small scan " +
     "broadcasts with NO hint") {
     import spark.implicits._
