@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Count}
+  AggregateExpression, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{
   Aggregate, LocalRelation, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -64,33 +64,62 @@ object GraftScan {
     PlanBridge.ofRows(spark, LogicalRelation(relation, false))
   }
 
-  /** METADATA-ONLY COUNT(*) (the Delta OptimizeMetadataOnlyQuery
-    * role): a bare, unfiltered, ungrouped `count(1)` over a manifest
-    * scan whose row total is recorded folds to a one-row
-    * LocalRelation — `scan(root).count()` at 100 TB answers from the
-    * listing, zero file opens. Any Filter/grouping/extra aggregate in
-    * between leaves the plan alone. */
+  /** METADATA-ONLY aggregates (the Delta OptimizeMetadataOnlyQuery
+    * role): a bare, unfiltered, ungrouped Aggregate over a manifest
+    * scan folds to a one-row LocalRelation when EVERY aggregate
+    * answers from the manifest — `count(1)` from the recorded row
+    * totals, `min/max(col)` from the per-file stats (numeric or
+    * string) when every file records the column (a stats-less or
+    * all-null file could hide the true extremum, so any gap
+    * disqualifies — same conservatism as `statsRange`). The classic
+    * table-profile `SELECT min(x), max(x), count(*)` at 100 TB
+    * answers from the listing, zero file opens. Any Filter, grouping,
+    * DISTINCT, or other aggregate leaves the plan alone. */
   private object CountFromManifest extends Rule[LogicalPlan] {
 
-    /** The manifest row total under a cardinality-preserving chain of
-      * Projects down to a manifest-backed relation — anything else
-      * (Filter, Sample, joins, …) disqualifies the shortcut. */
-    private def manifestRows(plan: LogicalPlan): Option[Long] = plan match {
-      case org.apache.spark.sql.catalyst.plans.logical.Project(_, child) =>
-        manifestRows(child)
-      case LogicalRelation(r: HadoopFsRelation, _, _, _, _) =>
-        r.location match {
-          case g: GraftFileIndex => g.totalRows
-          case _ => None
-        }
+    /** The manifest index under a cardinality-preserving chain of
+      * Projects — anything else (Filter, Sample, joins, …)
+      * disqualifies the shortcut. */
+    private def indexOf(plan: LogicalPlan): Option[GraftFileIndex] =
+      plan match {
+        case org.apache.spark.sql.catalyst.plans.logical.Project(_, child) =>
+          indexOf(child)
+        case LogicalRelation(r: HadoopFsRelation, _, _, _, _) =>
+          r.location match {
+            case g: GraftFileIndex => Some(g)
+            case _ => None
+          }
+        case _ => None
+      }
+
+    /** The manifest's answer for one aggregate, as a catalyst value —
+      * None disqualifies the whole fold. */
+    private def valueOf(g: GraftFileIndex,
+                        e: Expression): Option[Any] = e match {
+      case AggregateExpression(Count(Seq(Literal(1, _))), _, false, _, _) =>
+        g.totalRows
+      case AggregateExpression(Min(a: AttributeReference), _, false, _, _) =>
+        g.columnRange(a.name, a.dataType).map(_._1)
+      case AggregateExpression(Max(a: AttributeReference), _, false, _, _) =>
+        g.columnRange(a.name, a.dataType).map(_._2)
       case _ => None
     }
 
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-      case agg @ Aggregate(Nil, Seq(Alias(
-            AggregateExpression(Count(Seq(Literal(1, _))), _, false, _, _),
-            _)), child, _) if manifestRows(child).isDefined =>
-        LocalRelation(agg.output, Seq(InternalRow(manifestRows(child).get)))
+      case agg @ Aggregate(Nil, exprs, child, _)
+          if exprs.nonEmpty && indexOf(child).isDefined && {
+            val g = indexOf(child).get
+            exprs.forall {
+              case Alias(ae: AggregateExpression, _) =>
+                valueOf(g, ae).isDefined
+              case _ => false
+            }
+          } =>
+        val g = indexOf(child).get
+        val row = InternalRow.fromSeq(exprs.map {
+          case Alias(ae: AggregateExpression, _) => valueOf(g, ae).get
+        })
+        LocalRelation(agg.output, Seq(row))
       case other => other
     }
   }
@@ -128,6 +157,34 @@ object GraftScan {
     override def sizeInBytes: Long = statuses.map(_._2.getLen).sum
 
     override def partitionSchema: StructType = StructType(Nil)
+
+    /** Fold the per-file [min, max] of `name` into the table's range,
+      * as CATALYST values of `dt` — `None` unless EVERY file records
+      * the stat (a stats-less or all-null file could hide the true
+      * extremum) and the type round-trips the manifest encoding. */
+    def columnRange(name: String,
+                    dt: org.apache.spark.sql.types.DataType): Option[(Any, Any)] = {
+      def foldLong: Option[(Long, Long)] = {
+        val rs = files.map(_.stats.get(name))
+        if (rs.nonEmpty && rs.forall(_.isDefined)) {
+          val f = rs.flatten
+          Some((f.map(_._1).min, f.map(_._2).max))
+        } else None
+      }
+      dt match {
+        case org.apache.spark.sql.types.LongType => foldLong
+        case org.apache.spark.sql.types.IntegerType =>
+          foldLong.map { case (lo, hi) => (lo.toInt, hi.toInt) }
+        case org.apache.spark.sql.types.StringType =>
+          val rs = files.map(_.strStats.get(name))
+          if (rs.nonEmpty && rs.forall(_.isDefined)) {
+            val f = rs.flatten
+            Some((UTF8String.fromString(f.map(_._1).min),
+              UTF8String.fromString(f.map(_._2).max)))
+          } else None
+        case _ => None
+      }
+    }
   }
 
   /** Could any row of file `f` satisfy `e`? True (keep) whenever the

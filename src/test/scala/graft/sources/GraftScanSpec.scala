@@ -133,6 +133,23 @@ class GraftScanSpec extends SparkSuite {
     val grouped = VersionedTable.scan(spark, root)
       .groupBy(col("tag")).count()
     assert(grouped.collect().map(_.getLong(1)).sum == 600L)
+    // the table-profile query folds whole: min/max from numeric AND
+    // string stats + count, one LocalRelation row, zero file opens
+    val profile = VersionedTable.scan(spark, root)
+      .agg(min(col("k")).as("klo"), max(col("k")).as("khi"),
+        min(col("day")).as("dlo"), max(col("day")).as("dhi"),
+        count(lit(1)).as("n"))
+    val r = profile.head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 599L)
+    assert(r.getString(2) == "2024-01-10" && r.getString(3) == "2024-06-10")
+    assert(r.getLong(4) == 600L)
+    assert(!profile.queryExecution.executedPlan.toString.contains("FileScan"),
+      "the profile query must answer from the manifest")
+    // a min over a stats-less column disqualifies the whole fold
+    val noStat = VersionedTable.scan(spark, root)
+      .agg(min(col("tag")).as("t"), count(lit(1)).as("n"))
+    assert(noStat.head().getString(0) == "s0")
+    assert(noStat.queryExecution.executedPlan.toString.contains("FileScan"))
   }
 
   test("manifest bytes feed the auto-broadcast decision: a small scan " +
