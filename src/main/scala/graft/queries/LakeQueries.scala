@@ -517,6 +517,38 @@ object LakeQueries extends QueryModule {
         FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
         GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // METADATA-ONLY table profile (the Delta OptimizeMetadataOnlyQuery
+    // role through the Catalyst scan): min/max/count over a
+    // stats-carrying table fold to a one-row LocalRelation sourced
+    // from the manifest — meta_ok pins that the executed plan contains
+    // NO file scan (numeric min/max from the long stats, string
+    // min/max from the base64 string stats, count from the row
+    // totals). The oracle recomputes the same profile from the raw
+    // parquet — manifest answers must equal scan answers exactly.
+    "q299_manifest_profile" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_prof").resolve("t").toString
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+          .repartitionByRange(8, col("l_orderkey"))
+        graft.sources.VersionedTable.overwriteWithStats(
+          li, root, "l_orderkey", "l_returnflag")
+        val profile = graft.sources.VersionedTable.scan(s, root)
+          .agg(min(col("l_orderkey")).as("k_lo"),
+            max(col("l_orderkey")).as("k_hi"),
+            min(col("l_returnflag")).as("rf_lo"),
+            max(col("l_returnflag")).as("rf_hi"),
+            count(lit(1)).as("n"))
+        val metaOk = !profile.queryExecution.executedPlan.toString
+          .contains("FileScan")
+        profile.withColumn("meta_ok", lit(if (metaOk) 1L else 0L))
+      },
+      oracle = Some("""
+        SELECT MIN(l_orderkey) AS k_lo, MAX(l_orderkey) AS k_hi,
+               MIN(l_returnflag) AS rf_lo, MAX(l_returnflag) AS rf_hi,
+               COUNT(*) AS n, CAST(1 AS BIGINT) AS meta_ok
+        FROM lineitem""")),
+
     // OPTIMIZE compaction: four stats-carrying appends degenerate the
     // table into small files; compact() bin-packs them (range-clustered
     // on l_orderkey, stats recomputed), and the post-compaction

@@ -84,6 +84,25 @@ class GraftScanSpec extends SparkSuite {
     assert(openedFiles(flipped) < 7L)
   }
 
+  test("conjunctive box filters over a z-ordered table prune " +
+    "multiplicatively through the scan — readWhereBox parity") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val rows = (0L until 4096L).map(i => (i % 64L, i / 64L, i))
+      .toDF("a", "b", "v")
+    VersionedTable.overwriteZOrdered(rows, root, "a", "b", numFiles = 16)
+    val boxed = VersionedTable.scan(spark, root)
+      .filter(col("a") >= 10L && col("a") <= 20L &&
+        col("b") >= 10L && col("b") <= 20L)
+    val viaApi = VersionedTable.readWhereBox(spark, root,
+      Seq(("a", 10L, 20L), ("b", 10L, 20L)))
+    assert(boxed.count() == viaApi.count() && boxed.count() == 121L)
+    val opened = openedFiles(boxed)
+    assert(opened <= openedFiles(viaApi),
+      "the scan's conjunctive pruning must match the box API")
+    assert(opened < 16L, "both z-order dimensions must prune")
+  }
+
   test("bloom-indexed equality prunes to the containing files through " +
     "an ordinary === filter") {
     import spark.implicits._
