@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Count, Max, Min}
+  AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{
   Aggregate, LocalRelation, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -102,6 +102,14 @@ object GraftScan {
         g.columnRange(a.name, a.dataType).map(_._1)
       case AggregateExpression(Max(a: AttributeReference), _, false, _, _) =>
         g.columnRange(a.name, a.dataType).map(_._2)
+      // SUM from the manifest's per-file `sum:` stats (integral
+      // columns only — the writer records the exact BIGINT sum).
+      // totalRows must be known-positive: SQL SUM over zero rows is
+      // NULL, which the fold cannot represent.
+      case AggregateExpression(Sum(a: AttributeReference, _), _, false, _, _)
+          if a.dataType == org.apache.spark.sql.types.LongType ||
+            a.dataType == org.apache.spark.sql.types.IntegerType =>
+        if (g.totalRows.exists(_ > 0)) g.columnSum(a.name) else None
       case _ => None
     }
 
@@ -157,6 +165,14 @@ object GraftScan {
     override def sizeInBytes: Long = statuses.map(_._2.getLen).sum
 
     override def partitionSchema: StructType = StructType(Nil)
+
+    /** The table's exact SUM of `name` from the per-file `sum:` stats
+      * — `None` unless EVERY file records one. */
+    def columnSum(name: String): Option[Long] = {
+      val rs = files.map(_.stats.get(s"sum:$name"))
+      if (rs.nonEmpty && rs.forall(_.isDefined)) Some(rs.flatten.map(_._1).sum)
+      else None
+    }
 
     /** Fold the per-file [min, max] of `name` into the table's range,
       * as CATALYST values of `dt` — `None` unless EVERY file records

@@ -171,6 +171,29 @@ class GraftScanSpec extends SparkSuite {
     assert(noStat.queryExecution.executedPlan.toString.contains("FileScan"))
   }
 
+  test("metadata-only SUM from sum: stats; plain-stats tables keep " +
+    "scanning for sums") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val rows = (1L to 100L).map(i => (i, i * 3L)).toDF("k", "v")
+      .repartitionByRange(4, col("k"))
+    VersionedTable.overwriteWithSums(rows, root, Seq("v"), Seq("k"))
+    val agg = VersionedTable.scan(spark, root)
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"),
+        min(col("k")).as("lo"))
+    val r = agg.head()
+    assert(r.getLong(0) == 3L * 5050L && r.getLong(1) == 100L &&
+      r.getLong(2) == 1L)
+    assert(!agg.queryExecution.executedPlan.toString.contains("FileScan"),
+      "sum over sum:-stat files must answer from the manifest")
+    // the q297-style table records NO sum stats → sums still scan
+    val root2 = tmpRoot()
+    VersionedTable.overwriteWithStats(rows, root2, "k")
+    val agg2 = VersionedTable.scan(spark, root2).agg(sum(col("v")).as("s"))
+    assert(agg2.head().getLong(0) == 3L * 5050L)
+    assert(agg2.queryExecution.executedPlan.toString.contains("FileScan"))
+  }
+
   test("manifest bytes feed the auto-broadcast decision: a small scan " +
     "broadcasts with NO hint") {
     import spark.implicits._
