@@ -37,6 +37,24 @@ private[operators] object IndexModelFiles {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Delete staged models ABOVE `v` — orphans from a crashed re-train
+    * whose table commit never landed. Called by `append` before it
+    * commits the next version: without this, the append's commit would
+    * reach the orphan's version number and readers would resolve a
+    * model that never produced the stored assignments (mixed state).
+    * Single-maintenance-writer lane, so no live stage can be above the
+    * pinned version when an append runs. */
+  def dropAbove(root: String, name: String, v: Long): Unit = {
+    val names = new File(root).list()
+    val prefix = s"$name.v"
+    if (names != null) names.foreach { n =>
+      if (n.startsWith(prefix) && n.endsWith(".txt"))
+        scala.util.Try(n.stripPrefix(prefix).stripSuffix(".txt").toLong)
+          .toOption.filter(_ > v)
+          .foreach(_ => Files.deleteIfExists(new File(root, n).toPath))
+    }
+  }
+
   /** The model governing table version `v`: greatest staged version
     * ≤ v, falling back to the legacy unversioned `name.txt`. */
   def readAt(root: String, name: String, v: Long): String = {

@@ -150,7 +150,13 @@ object IvfIndex {
              idCol: String = "vec_id", vecCol: String = "embedding",
              numFiles: Int = 1, appId: String = "ann_ingest",
              txn: Long = -1L): Long = {
-    val centroids = readCentroidsAt(root, pinnedVersion(root))
+    val pin = pinnedVersion(root)
+    // a crashed re-train may have staged a model above the committed
+    // head; this append's commit will REACH that version number, so
+    // the orphan must go or readers would pair the new model with
+    // rows assigned under the old one
+    IndexModelFiles.dropAbove(root, "centroids", pin)
+    val centroids = readCentroidsAt(root, pin)
     val rows = cellRowsOf(batch, centroids, idCol, vecCol)
       .repartitionByRange(math.max(numFiles, 1), col("cell"), col("id"))
     if (txn >= 0)

@@ -210,6 +210,9 @@ object IvfPqIndex {
              idCol: String = "vec_id", vecCol: String = "embedding",
              numFiles: Int = 1): Long = {
     val pin = pinnedVersion(root)
+    // drop orphan stages from a crashed re-train (see IvfIndex.append)
+    IndexModelFiles.dropAbove(root, "centroids", pin)
+    IndexModelFiles.dropAbove(root, "codebook", pin)
     VersionedTable.appendWithStats(
       codeRowsOf(batch, readCentroidsAt(root, pin),
         readCodebookAt(root, pin), idCol, vecCol)

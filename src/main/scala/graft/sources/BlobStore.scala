@@ -175,18 +175,41 @@ object BlobStore {
       .select(col("media_id"))
     val gone = logged.join(live, Seq("media_id"), "left_anti")
       .collect().map(_.getLong(0))
-    if (gone.nonEmpty)
+    if (gone.nonEmpty) {
       VersionedTable.delete(spark, chunksRoot(root),
         col("media_id").isin(gone.toSeq: _*))
-    // fold the log to the unprocessed remainder (ids whose pointer is
-    // still live — a half-done takedown keeps its intent); processed
-    // ids leave so the next reclaim is a no-op. coalesce(1): a single
-    // write task always emits its (possibly empty) file, so the folded
-    // log stays readable even when nothing remains.
-    val remaining = logged.join(live, Seq("media_id"), "left_semi")
-      .localCheckpoint(true) // materialize BEFORE the log overwrite
-    VersionedTable.overwrite(remaining.coalesce(1), takedownsRoot(root))
+      // fold the log by DELETING exactly the processed ids — never by
+      // overwriting with a snapshot, which would erase the intent of
+      // any takedown that landed concurrently (its chunks would then
+      // NEVER be reclaimed). Unprocessed intents (ids whose pointer is
+      // still live — a half-done takedown) stay logged. delete() is
+      // optimistic-retry, so it composes with concurrent log appends.
+      VersionedTable.delete(spark, takedownsRoot(root),
+        col("media_id").isin(gone.toSeq: _*))
+    }
     gone.length.toLong
+  }
+
+  /** MIGRATION/ADMIN: append every chunk asset with NO pointer to the
+    * takedown log as explicit intent — the bridge for stores whose
+    * takedowns ran under the pre-log code (pointer already deleted,
+    * chunks still waiting) and would otherwise never be reclaimed.
+    * Run ONLY on a QUIESCENT store: inference cannot distinguish a
+    * completed old-code takedown from a crashed ingest batch whose
+    * replay will complete the pointer — which is exactly why the
+    * automatic path no longer infers. Returns the assets logged. */
+  def logUnreferencedChunks(spark: SparkSession, root: String): Long = {
+    if (VersionedTable.latestVersion(chunksRoot(root)).isEmpty) return 0L
+    val all = VersionedTable.read(spark, chunksRoot(root))
+      .select(col("media_id")).distinct()
+    val orphans = (if (VersionedTable.latestVersion(pointerRoot(root)).isEmpty)
+      all
+    else all.join(VersionedTable.read(spark, pointerRoot(root))
+      .select(col("media_id")), Seq("media_id"), "left_anti"))
+      .localCheckpoint(true)
+    val n = orphans.count()
+    if (n > 0) VersionedTable.append(orphans, takedownsRoot(root))
+    n
   }
 
   /** Reassemble every asset with CHECKSUM VERIFICATION: chunks sort by

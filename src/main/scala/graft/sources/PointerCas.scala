@@ -56,7 +56,10 @@ object PointerCas {
   /** Content of the newest committed pointer, if any commit ever
     * landed. Retries if the resolved generation is pruned mid-read
     * (only possible when ≥ `Keep` newer commits land during the
-    * read — re-resolving finds the newer head). */
+    * read — re-resolving finds the newer head). `None` means ONLY
+    * "no pointer was ever committed"; persistent read failure under
+    * churn THROWS — conflating the two would let a bootstrap path
+    * zero-reset a live pointer. */
   def read(dir: File): Option[String] = {
     var attempt = 0
     while (attempt < 8) {
@@ -66,7 +69,8 @@ object PointerCas {
         Files.readAllBytes(ptrFile(dir, g).toPath), StandardCharsets.UTF_8))
       catch { case _: java.io.IOException => attempt += 1 }
     }
-    None
+    sys.error(s"pointer at $dir unreadable after 8 attempts " +
+      "(persistent churn or IO failure — NOT absence)")
   }
 
   /** Publish `content` as generation `expect + 1` iff no other writer
@@ -86,12 +90,25 @@ object PointerCas {
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
     Files.deleteIfExists(tmp)
     if (won) {
-      // prune generations behind the retention window, newest-first so
-      // an interrupted prune leaves no gap below a surviving file
-      var m = expect + 1 - Keep
-      while (m > 0 && ptrFile(dir, m).exists()) {
-        Files.deleteIfExists(ptrFile(dir, m).toPath)
-        m -= 1
+      // prune by LISTING, not by walking until a gap: an interrupted
+      // earlier prune must not strand generations below its gap
+      // forever. Stale stage tmps (crashed writers) age out too — a
+      // LIVE writer holds its tmp for microseconds, so a minute-old
+      // one is garbage; deleting it makes that writer's (already
+      // doomed) link throw rather than succeed, never corrupts.
+      val names = dir.list()
+      if (names != null) {
+        names.foreach { n =>
+          if (n.startsWith("_ptr.") && !n.endsWith(".tmp"))
+            scala.util.Try(n.stripPrefix("_ptr.").toLong).toOption
+              .filter(_ <= expect + 1 - Keep)
+              .foreach(m => Files.deleteIfExists(ptrFile(dir, m).toPath))
+          else if (n.startsWith("_ptr_stage") && n.endsWith(".tmp")) {
+            val f = new File(dir, n)
+            if (System.currentTimeMillis() - f.lastModified() > 60000L)
+              Files.deleteIfExists(f.toPath)
+          }
+        }
       }
     }
     won

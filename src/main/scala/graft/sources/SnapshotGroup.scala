@@ -64,9 +64,18 @@ object SnapshotGroup {
     while (!publishCas(groupRoot, versions, currentGen(groupRoot))) ()
   }
 
-  /** The currently published version set, if any publish ever landed. */
+  /** The currently published version set, if any publish ever landed.
+    * Falls back to the pre-upgrade fixed-name `_published` pointer so
+    * existing groups stay readable; the first post-upgrade publish
+    * moves them onto the generation chain. */
   def current(groupRoot: String): Option[Map[String, Long]] =
-    PointerCas.read(new File(groupRoot)).map {
+    PointerCas.read(new File(groupRoot)).orElse {
+      val legacy = new File(groupRoot, "_published")
+      if (legacy.exists())
+        Some(new String(java.nio.file.Files.readAllBytes(legacy.toPath),
+          java.nio.charset.StandardCharsets.UTF_8))
+      else None
+    }.map {
       _.split('\n').filter(_.nonEmpty).map { line =>
         val Array(r, v) = line.split('\t')
         r -> v.toLong

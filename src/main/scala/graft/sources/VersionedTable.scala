@@ -806,9 +806,13 @@ object VersionedTable {
                       lo: String, hi: String): DataFrame = {
     val v = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
     val lines = readListing(root, v)
+    // UTF-8 BYTE order throughout ([[Utf8Order]]): the stats were
+    // written by Spark min/max, which compares bytes — Java String
+    // order disagrees beyond the BMP and would wrongly skip files
     val kept = lines.filter { ln =>
       strStatsOf(ln).get(statsCol) match {
-        case Some((flo, fhi)) => fhi >= lo && flo <= hi
+        case Some((flo, fhi)) =>
+          Utf8Order.lteq(lo, fhi) && Utf8Order.lteq(flo, hi)
         case None => true // no stats for this column → cannot skip
       }
     }
@@ -828,7 +832,9 @@ object VersionedTable {
         val ranges = readListing(root, v).map(ln => strStatsOf(ln).get(statsCol))
         if (ranges.nonEmpty && ranges.forall(_.isDefined)) {
           val rs = ranges.flatten
-          Some((rs.map(_._1).min, rs.map(_._2).max))
+          // fold in UTF-8 byte order — the order the stats carry
+          Some((rs.map(_._1).reduce(Utf8Order.min),
+            rs.map(_._2).reduce(Utf8Order.max)))
         } else None
     }
   }

@@ -48,20 +48,49 @@ object GraftScan {
   /** The latest (or pinned) snapshot as a filter-pruning DataFrame. */
   def scan(spark: SparkSession, root: String,
            version: Option[Long] = None): DataFrame = {
-    val files = VersionedTable.scanListing(root, version)
+    val v = version.orElse(VersionedTable.latestVersion(root))
+      .getOrElse(sys.error(s"no versions at $root"))
+    val files = VersionedTable.scanListing(root, Some(v))
     require(files.nonEmpty, s"no files to scan at $root")
-    // schema from the files themselves (mergeSchema: evolution-safe);
-    // the relation below is constructed WITH this schema, so planning
-    // never re-infers
-    val dataSchema = spark.read.option("mergeSchema", "true")
-      .parquet(files.map(_.path): _*).schema
+    val dataSchema = schemaOf(spark, root, v, files.map(_.path))
     val cs = spark.asInstanceOf[classic.SparkSession]
     val relation = HadoopFsRelation(
-      new GraftFileIndex(files, VersionedTable.countRows(root, version)),
+      new GraftFileIndex(files, VersionedTable.countRows(root, Some(v))),
       StructType(Nil), dataSchema, None,
       new ParquetFileFormat, Map("mergeSchema" -> "true"))(cs)
     PlanBridge.registerOptimization(spark, CountFromManifest)
     PlanBridge.ofRows(spark, LogicalRelation(relation, false))
+  }
+
+  /** The version's data schema, CACHED in a `_schema.v{v}.json`
+    * sidecar: the first scan of a version pays one mergeSchema footer
+    * sweep (evolution-safe — a single footer could miss columns that
+    * only older or newer files carry); every later scan of the same
+    * immutable version answers O(1) from the sidecar — the plan-time
+    * zero-file-IO premise holds for the steady state. Best-effort
+    * write (a lost cache just re-infers). */
+  private def schemaOf(spark: SparkSession, root: String, v: Long,
+                       paths: Seq[String]): StructType = {
+    val f = new java.io.File(root, s"_schema.v$v.json")
+    if (f.exists())
+      org.apache.spark.sql.types.DataType.fromJson(
+        new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8))
+        .asInstanceOf[StructType]
+    else {
+      val s = spark.read.option("mergeSchema", "true")
+        .parquet(paths: _*).schema
+      try {
+        val tmp = java.nio.file.Files.createTempFile(
+          new java.io.File(root).toPath, "_schema", ".tmp")
+        java.nio.file.Files.write(tmp,
+          s.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, f.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } catch { case _: java.io.IOException => () }
+      s
+    }
   }
 
   /** METADATA-ONLY aggregates (the Delta OptimizeMetadataOnlyQuery
@@ -77,12 +106,16 @@ object GraftScan {
     * DISTINCT, or other aggregate leaves the plan alone. */
   private object CountFromManifest extends Rule[LogicalPlan] {
 
-    /** The manifest index under a cardinality-preserving chain of
-      * Projects — anything else (Filter, Sample, joins, …)
-      * disqualifies the shortcut. */
+    /** The manifest index under a chain of PURE-ATTRIBUTE Projects —
+      * column selection/reorder only. A Project that ALIASES or
+      * COMPUTES anything disqualifies: an expression re-published
+      * under a stats column's name (e.g. `(k+100).as("k")`) would
+      * otherwise fold the RAW column's manifest stats into a silently
+      * wrong answer. Filter, Sample, joins, … disqualify too. */
     private def indexOf(plan: LogicalPlan): Option[GraftFileIndex] =
       plan match {
-        case org.apache.spark.sql.catalyst.plans.logical.Project(_, child) =>
+        case org.apache.spark.sql.catalyst.plans.logical.Project(ps, child)
+            if ps.forall(_.isInstanceOf[AttributeReference]) =>
           indexOf(child)
         case LogicalRelation(r: HadoopFsRelation, _, _, _, _) =>
           r.location match {
@@ -195,8 +228,11 @@ object GraftScan {
           val rs = files.map(_.strStats.get(name))
           if (rs.nonEmpty && rs.forall(_.isDefined)) {
             val f = rs.flatten
-            Some((UTF8String.fromString(f.map(_._1).min),
-              UTF8String.fromString(f.map(_._2).max)))
+            // UTF-8 byte order — the order the stats were written in
+            Some((UTF8String.fromString(
+              f.map(_._1).reduce(graft.sources.Utf8Order.min)),
+              UTF8String.fromString(
+                f.map(_._2).reduce(graft.sources.Utf8Order.max))))
           } else None
         case _ => None
       }
@@ -239,7 +275,8 @@ object GraftScan {
               n.longValue >= lo && n.longValue <= hi }
           case s: UTF8String =>
             f.strStats.get(a.name).forall { case (lo, hi) =>
-              s.toString >= lo && s.toString <= hi }
+              graft.sources.Utf8Order.lteq(lo, s.toString) &&
+                graft.sources.Utf8Order.lteq(s.toString, hi) }
           case _ => true
         }
         rangeOk && bloomMayContain(f, a.name, l)
@@ -280,7 +317,10 @@ object GraftScan {
         f.stats.get(col).forall { case (lo, hi) => y >= lo && x <= hi }
       case _ => (strOf(a), strOf(b)) match {
         case (Some(x), Some(y)) =>
-          f.strStats.get(col).forall { case (lo, hi) => y >= lo && x <= hi }
+          // UTF-8 byte order (see graft.sources.Utf8Order)
+          f.strStats.get(col).forall { case (lo, hi) =>
+            graft.sources.Utf8Order.lteq(lo, y) &&
+              graft.sources.Utf8Order.lteq(x, hi) }
         case _ => true
       }
     }
@@ -291,7 +331,9 @@ object GraftScan {
     longOf(l).map { v =>
       f.stats.get(col).forall { case (_, hi) => if (strict) hi > v else hi >= v }
     }.orElse(strOf(l).map { v =>
-      f.strStats.get(col).forall { case (_, hi) => if (strict) hi > v else hi >= v }
+      f.strStats.get(col).forall { case (_, hi) =>
+        if (strict) graft.sources.Utf8Order.lt(v, hi)
+        else graft.sources.Utf8Order.lteq(v, hi) }
     }).getOrElse(true)
 
   /** Keep iff the file's MIN could satisfy `col < / <= v`. */
@@ -300,6 +342,8 @@ object GraftScan {
     longOf(l).map { v =>
       f.stats.get(col).forall { case (lo, _) => if (strict) lo < v else lo <= v }
     }.orElse(strOf(l).map { v =>
-      f.strStats.get(col).forall { case (lo, _) => if (strict) lo < v else lo <= v }
+      f.strStats.get(col).forall { case (lo, _) =>
+        if (strict) graft.sources.Utf8Order.lt(lo, v)
+        else graft.sources.Utf8Order.lteq(lo, v) }
     }).getOrElse(true)
 }

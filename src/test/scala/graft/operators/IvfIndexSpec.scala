@@ -88,6 +88,29 @@ class IvfIndexSpec extends SparkSuite {
     assert(res(root).nonEmpty)
   }
 
+  test("an orphan model staged by a crashed re-train is dropped by the " +
+    "next append — readers never pair it with old assignments") {
+    val root = tmpRoot()
+    IvfIndex.build(emb.filter(col("vec_id") < 400), root, nlist = 16)
+    val pin = graft.sources.VersionedTable
+      .latestVersion(new java.io.File(root, "cells").getPath).get
+    // crashed retrain: a staged model ABOVE the committed head whose
+    // table rewrite never landed (garbage content — if anything ever
+    // resolved it, parsing or search would detectably break)
+    val orphan = new java.io.File(root, s"centroids.v${pin + 1}.txt")
+    java.nio.file.Files.write(orphan.toPath, "9.9 9.9".getBytes("UTF-8"))
+    // the next append reaches that version number — the orphan must go
+    IvfIndex.append(emb.filter(col("vec_id") >= 400), root)
+    assert(!orphan.exists(), "append must drop the crashed stage")
+    val fresh = tmpRoot()
+    IvfIndex.build(emb.filter(col("vec_id") < 400), fresh, nlist = 16)
+    IvfIndex.append(emb.filter(col("vec_id") >= 400), fresh)
+    val q = emb.filter(col("vec_id") < 16)
+    def res(r: String) = IvfIndex.topK(spark, q, r, k = 3, nprobe = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(res(root) == res(fresh) && res(root).nonEmpty)
+  }
+
   test("reclusterIfDrifted: threshold gates the retrain; post-recluster " +
     "search equals a fresh full-corpus build bit-for-bit") {
     val cells = (root: String) => new java.io.File(root, "cells").getPath

@@ -33,6 +33,36 @@ class TextIndexSpec extends SparkSuite {
     assert(nDocs == agg.getLong(0) && sumDl == agg.getLong(1))
   }
 
+  test("legacy fixed-name _stats indexes stay readable and append " +
+    "MIGRATES them — never resets") {
+    val root = tmpRoot()
+    TextIndex.build(docs.filter(col("doc_id") % 3 =!= 0), root)
+    val statsBefore = TextIndex.stats(root)
+    val postingsBefore = postingsSet(TextIndex.postings(spark, root))
+    // convert to the pre-upgrade layout: fixed-name pointer file,
+    // generation chain removed
+    val dir = new java.io.File(root)
+    val content = graft.sources.PointerCas.read(dir).get
+    java.nio.file.Files.write(new java.io.File(root, "_stats").toPath,
+      content.getBytes("UTF-8"))
+    dir.listFiles().filter(_.getName.startsWith("_ptr."))
+      .foreach(f => java.nio.file.Files.delete(f.toPath))
+    // legacy reads resolve through the fallback
+    assert(TextIndex.stats(root) == statsBefore)
+    assert(postingsSet(TextIndex.postings(spark, root)) == postingsBefore)
+    // append on the legacy layout MIGRATES (no zero-reset, no
+    // overwrite of the legacy corpus) and lands the batch
+    TextIndex.append(docs.filter(col("doc_id") % 3 === 0), root)
+    val ref = tmpRoot()
+    TextIndex.build(docs, ref)
+    assert(postingsSet(TextIndex.postings(spark, root)) ==
+      postingsSet(TextIndex.postings(spark, ref)),
+      "post-migration index must hold legacy + new postings")
+    assert(TextIndex.stats(root) == TextIndex.stats(ref))
+    assert(graft.sources.PointerCas.gen(dir) >= 1L,
+      "the commit must land on the generation chain")
+  }
+
   test("searchBm25 from the index == from-scratch corpus BM25 (q140 contract)") {
     val root = tmpRoot()
     TextIndex.build(docs.filter(col("doc_id") % 10 =!= 0), root)

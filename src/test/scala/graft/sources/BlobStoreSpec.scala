@@ -173,4 +173,26 @@ class BlobStoreSpec extends SparkSuite {
     assert(VersionedTable.read(spark, s"$root/chunks")
       .filter(col("media_id") === 0L).count() == 0)
   }
+
+  test("logUnreferencedChunks bridges pre-log takedowns: explicit " +
+    "backfill, then reclaim collects them") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val assets = (0L until 3L).map(i => asset(i, 120, 70 + i.toInt))
+    BlobStore.write(assets.toDF("media_id", "kind", "payload"), root,
+      chunkBytes = 100, numFiles = 3)
+    // OLD-code takedown: pointer rows deleted directly, nothing logged
+    VersionedTable.delete(spark, s"$root/pointer", col("media_id") === 1L)
+    // the automatic path must NOT infer (reclaim acts on intent only)
+    assert(BlobStore.reclaimOrphans(spark, root) == 0L)
+    assert(VersionedTable.read(spark, s"$root/chunks")
+      .filter(col("media_id") === 1L).count() > 0)
+    // the explicit quiescent-store backfill logs it; reclaim collects
+    assert(BlobStore.logUnreferencedChunks(spark, root) == 1L)
+    assert(BlobStore.reclaimOrphans(spark, root) == 1L)
+    assert(VersionedTable.read(spark, s"$root/chunks")
+      .filter(col("media_id") === 1L).count() == 0)
+    // survivors intact
+    assert(BlobStore.readAssembled(spark, root).count() == 2L)
+  }
 }

@@ -52,6 +52,20 @@ class GraftScanSpec extends SparkSuite {
       VersionedTable.read(spark, root).filter(col("tag") === "s3").count())
   }
 
+  test("schema is cached per version in a sidecar: later scans skip " +
+    "the footer sweep; a lost cache re-infers") {
+    val root = mkTable()
+    val df1 = VersionedTable.scan(spark, root)
+    val v = VersionedTable.latestVersion(root).get
+    val sidecar = new java.io.File(root, s"_schema.v$v.json")
+    assert(sidecar.exists(), "first scan must persist the schema cache")
+    assert(VersionedTable.scan(spark, root).schema == df1.schema)
+    java.nio.file.Files.delete(sidecar.toPath)
+    assert(VersionedTable.scan(spark, root).schema == df1.schema,
+      "a lost cache must re-infer, not fail")
+    assert(sidecar.exists())
+  }
+
   test("the same pruning serves SQL text over a temp view") {
     val root = mkTable()
     VersionedTable.scan(spark, root).createOrReplaceTempView("graft_scan_v")

@@ -145,6 +145,41 @@ class SnapshotGroupSpec extends SparkSuite {
     assert(ptrs <= 9, s"old generations must be pruned, saw $ptrs files")
   }
 
+  test("PointerCas: generations stranded below a prune gap are cleared " +
+    "by a later commit's listing-based prune") {
+    val dir = Files.createTempDirectory("graft_cas_gap").toFile
+    (0L until 20L).foreach { g =>
+      assert(PointerCas.commitIfGen(dir, g, s"v${g + 1}"))
+    }
+    // simulate an interrupted old prune: a stranded generation far
+    // below the retention window, behind a gap
+    java.nio.file.Files.write(new java.io.File(dir, "_ptr.2").toPath,
+      "stranded".getBytes("UTF-8"))
+    assert(PointerCas.commitIfGen(dir, 20L, "v21"))
+    assert(!new java.io.File(dir, "_ptr.2").exists(),
+      "a stranded generation below the window must be pruned")
+    assert(PointerCas.read(dir).contains("v21"))
+  }
+
+  test("legacy fixed-name _published groups stay readable; the first " +
+    "post-upgrade publish migrates them onto the generation chain") {
+    import spark.implicits._
+    val grp = Files.createTempDirectory("graft_sg_legacy").toString
+    val a = new java.io.File(grp, "a").getPath
+    val av1 = VersionedTable.overwrite(Seq((1L, "x")).toDF("k", "s"), a)
+    // pre-upgrade layout: fixed-name pointer, no _ptr.* chain
+    java.nio.file.Files.write(new java.io.File(grp, "_published").toPath,
+      s"$a\t$av1".getBytes("UTF-8"))
+    assert(SnapshotGroup.current(grp).contains(Map(a -> av1)),
+      "legacy pointer must resolve")
+    assert(SnapshotGroup.readAt(spark, grp, a).count() == 1L)
+    // first post-upgrade publish lands on the chain and wins reads
+    val av2 = VersionedTable.append(Seq((2L, "y")).toDF("k", "s"), a)
+    SnapshotGroup.publish(grp, Map(a -> av2))
+    assert(SnapshotGroup.current(grp).contains(Map(a -> av2)))
+    assert(PointerCas.gen(new java.io.File(grp)) == 1L)
+  }
+
   test("readAt rejects a table outside the group; empty group errors") {
     import spark.implicits._
     val grp = Files.createTempDirectory("graft_sg_err").toString

@@ -118,6 +118,32 @@ class VersionedTableSpec extends SparkSuite {
       "an oversized value must force the conservative None")
   }
 
+  test("string stats prune in UTF-8 BYTE order (Spark's), not UTF-16: " +
+    "supplementary-plane keys are never wrongly skipped") {
+    import spark.implicits._
+    val root = tmpRoot()
+    // "😀" (U+1F600): UTF-16 surrogates sort BELOW "�", UTF-8
+    // bytes sort ABOVE — Java-order pruning would skip its file
+    val rows = Seq(("😀", 1L), ("�", 2L), ("abc", 3L))
+      .toDF("k", "v").repartitionByRange(3, col("k"))
+    VersionedTable.overwriteWithStats(rows, root, "k")
+    val got = VersionedTable.readWhereString(spark, root, "k",
+      "�", "😀")
+    assert(got.collect().map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L),
+      "byte-order BETWEEN must keep the emoji row")
+    // the metadata fold picks the byte-order extremum (Java order
+    // would crown � the max)
+    assert(VersionedTable.statsRangeString(root, "k")
+      .contains(("abc", "😀")))
+    // the Catalyst scan agrees on both counts
+    val viaScan = VersionedTable.scan(spark, root)
+      .filter(col("k") >= "�" && col("k") <= "😀")
+    assert(viaScan.collect().map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L))
+    val prof = VersionedTable.scan(spark, root)
+      .agg(max(col("k")).as("hi"), count(lit(1)).as("n")).head()
+    assert(prof.getString(0) == "😀" && prof.getLong(1) == 3L)
+  }
+
   test("legacy checkpoints (no txn state) don't swallow older txn " +
     "stamps: the walk continues past them and re-aggregates") {
     import spark.implicits._
