@@ -2206,6 +2206,9 @@ object VersionedTable {
     drop.foreach { v =>
       manifestFile(root, v).delete()
       checkpointFile(root, v).delete()
+      // the Catalyst scan's per-version schema cache ages out with
+      // its version (best-effort cache — a miss just re-infers)
+      new File(root, s"_schema.v$v.json").delete()
     }
     dead.length
   }
