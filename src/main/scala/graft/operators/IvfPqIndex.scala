@@ -77,6 +77,11 @@ object IvfPqIndex {
     VersionedTable.latestVersion(codesRoot(root))
       .getOrElse(sys.error(s"no committed index at $root"))
 
+  /** Does a committed index live at `root`? (The streaming door's
+    * build-or-append branch.) */
+  def exists(root: String): Boolean =
+    VersionedTable.latestVersion(codesRoot(root)).nonEmpty
+
   /** Stage centroids + codebook governing codes version `v` — BEFORE
     * that version commits ([[IndexModelFiles]]'s pin-then-resolve
     * protocol: serving never mixes a new model with old code rows). */
@@ -137,10 +142,16 @@ object IvfPqIndex {
   def build(corpus: DataFrame, root: String, dim: Int, nlist: Int = 16,
             m: Int = 8, ksub: Int = 16,
             idCol: String = "vec_id", vecCol: String = "embedding",
-            numFiles: Int = 0): Long = {
+            numFiles: Int = 0, appId: String = "ivfpq_ingest",
+            txn: Long = -1L): Long = {
     require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
     val dsub = dim / m
     new File(root).mkdirs()
+    // exactly-once bootstrap for a streaming door's first micro-batch:
+    // a replayed build no-ops (the IvfIndex.build protocol)
+    if (txn >= 0 &&
+        VersionedTable.latestTxn(codesRoot(root), appId).exists(_ >= txn))
+      return VersionedTable.latestVersion(codesRoot(root)).getOrElse(-1L)
     graft.plans.VectorExpressions.register(corpus.sparkSession)
     val cNorm = Similarity.withNorm(
       corpus.select(col(idCol).as("id"), col(vecCol).as("cv")), "cv", "cn")
@@ -164,10 +175,12 @@ object IvfPqIndex {
       VersionedTable.latestVersion(codesRoot(root)).map(_ + 1).getOrElse(0L),
       centroids, book)
     val files = if (numFiles > 0) numFiles else math.max(nlist / 2, 1)
-    val v = VersionedTable.overwriteWithStats(
-      codeRowsOf(corpus, centroids, book, idCol, vecCol)
-        .repartitionByRange(files, col("cell"), col("id")),
-      codesRoot(root), "cell")
+    val rows = codeRowsOf(corpus, centroids, book, idCol, vecCol)
+      .repartitionByRange(files, col("cell"), col("id"))
+    val v =
+      if (txn >= 0) VersionedTable.overwriteTxnWithStats(rows,
+        codesRoot(root), appId, txn, "cell")
+      else VersionedTable.overwriteWithStats(rows, codesRoot(root), "cell")
     VersionedTable.countRows(codesRoot(root), Some(v))
       .foreach(writeBuildRows(root, _))
     v
@@ -208,16 +221,19 @@ object IvfPqIndex {
     * code rows — O(batch); existing files are inherited untouched. */
   def append(batch: DataFrame, root: String,
              idCol: String = "vec_id", vecCol: String = "embedding",
-             numFiles: Int = 1): Long = {
+             numFiles: Int = 1, appId: String = "ivfpq_ingest",
+             txn: Long = -1L): Long = {
     val pin = pinnedVersion(root)
     // drop orphan stages from a crashed re-train (see IvfIndex.append)
     IndexModelFiles.dropAbove(root, "centroids", pin)
     IndexModelFiles.dropAbove(root, "codebook", pin)
-    VersionedTable.appendWithStats(
-      codeRowsOf(batch, readCentroidsAt(root, pin),
-        readCodebookAt(root, pin), idCol, vecCol)
-        .repartitionByRange(math.max(numFiles, 1), col("cell"), col("id")),
-      codesRoot(root), "cell")
+    val rows = codeRowsOf(batch, readCentroidsAt(root, pin),
+      readCodebookAt(root, pin), idCol, vecCol)
+      .repartitionByRange(math.max(numFiles, 1), col("cell"), col("id"))
+    if (txn >= 0)
+      VersionedTable.appendTxnWithStats(rows, codesRoot(root), appId,
+        txn, "cell")
+    else VersionedTable.appendWithStats(rows, codesRoot(root), "cell")
   }
 
   /** IVFADC search against the persisted index: each query probes its

@@ -869,6 +869,51 @@ object SimilarityQueries extends QueryModule {
       oracle = Some(exactTopkSql("WHERE q.vec_id < 32",
         "recall_ok", "replay_ok"))),
 
+    // The COMPOSITE-index lifecycle through the STREAMING door
+    // (runIvfPqIngestAvailableNow): corpus table and IVFADC index
+    // maintained together exactly-once — the first micro-batch builds
+    // centroids + residual codebook (txn-stamped bootstrap), the
+    // second appends with the stored model, the 50% appended mass
+    // trips the drift dial and the WHOLE model retrains over the
+    // corpus table — so the served index equals a fresh full-corpus
+    // build (IvfPqIndexSpec pins equality; training is order-free:
+    // lowest-id seeds + quantized integer sums). A full door re-run
+    // replays every batchId and must move NEITHER table (replay_ok).
+    // Exact rescore reads the door's own corpus table.
+    "q300_ivfpq_ingest" -> Q(
+      bench = false,
+      run = (s, dir) => {
+        val flat = tempRoot("graft_ivfpq_gate_in").resolve("p").toString
+        val root = tempRoot("graft_ivfpq_gate").resolve("r").toString
+        val emb = Tables(s, dir, "embeddings")
+        emb.filter(col("vec_id") < 250).select("vec_id", "embedding")
+          .repartition(1).write.mode("overwrite").parquet(flat)
+        emb.filter(col("vec_id") >= 250).select("vec_id", "embedding")
+          .repartition(1).write.mode("append").parquet(flat)
+        graft.streaming.StreamingJobs.runIvfPqIngestAvailableNow(
+          s, flat, root, dim = 64, nlist = 16, driftThreshold = 0.5)
+        val corpusRoot = new java.io.File(root, "corpus").getPath
+        val indexRoot = new java.io.File(root, "index").getPath
+        val codes = new java.io.File(indexRoot, "codes").getPath
+        val vs = graft.sources.VersionedTable.versions(codes)
+        val cv = graft.sources.VersionedTable.versions(corpusRoot)
+        graft.streaming.StreamingJobs.runIvfPqIngestAvailableNow(
+          s, flat, root, dim = 64, nlist = 16, driftThreshold = 0.5)
+        val replayOk =
+          graft.sources.VersionedTable.versions(codes) == vs &&
+            graft.sources.VersionedTable.versions(corpusRoot) == cv
+        val corpus = graft.sources.VersionedTable.read(s, corpusRoot)
+        val q = emb.filter(col("vec_id") < 32)
+        certifiedTopK(
+          Similarity.bruteForceTopK(q, emb, k = 5),
+          graft.operators.IvfPqIndex.search(q, corpus, indexRoot, k = 5,
+            nprobe = 8, refine = 8),
+          floor = 0.5)
+          .withColumn("replay_ok", lit(if (replayOk) 1L else 0L))
+      },
+      oracle = Some(exactTopkSql("WHERE q.vec_id < 32",
+        "recall_ok", "replay_ok"))),
+
     // Clustering EVALUATION: per-cluster purity of the q162 fixed-point
     // k-means assignment against the ground-truth labels the
     // embeddings fixture carries — the standard quick audit before

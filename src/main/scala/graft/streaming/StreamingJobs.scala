@@ -279,6 +279,65 @@ object StreamingJobs {
     q.stop()
   }
 
+  /** [[graft.operators.IvfPqIndex]] ingest door — the COMPOSITE-index
+    * lifecycle through streaming, maintaining corpus AND index
+    * together exactly-once: each micro-batch appends the
+    * full-precision vectors to the `corpus/` VersionedTable
+    * (txn-stamped; [[graft.operators.IvfPqIndex.search]]'s exact
+    * rescore reads it) and encodes the batch into the `index/` codes
+    * (first batch BUILDS centroids + residual codebook, later batches
+    * assign + encode with the stored model, all txn-stamped so
+    * replays no-op on BOTH tables). After every append the drift dial
+    * checks appended mass and retrains the WHOLE model over the
+    * current corpus past `driftThreshold` — recall never silently
+    * decays under a drifting stream. First batch must carry ≥ `nlist`
+    * vectors (the build's seeding floor). */
+  def runIvfPqIngestAvailableNow(spark: SparkSession, inputDir: String,
+                                 root: String, dim: Int, nlist: Int = 16,
+                                 m: Int = 8, ksub: Int = 16,
+                                 driftThreshold: Double = 0.5): Unit = {
+    import graft.sources.VersionedTable
+    val corpusRoot = new java.io.File(root, "corpus").getPath
+    val indexRoot = new java.io.File(root, "index").getPath
+    new java.io.File(indexRoot).mkdirs()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", 1)
+      .schema(schema)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val ix = graft.operators.IvfPqIndex
+        // corpus first: the index's exact rescore resolves ids here; a
+        // crash between the two commits leaves corpus-only rows the
+        // replay completes into the index (both appends txn-guarded)
+        VersionedTable.appendTxnWithStats(batch.toDF(), corpusRoot,
+          "ivfpq_ingest", batchId, "vec_id")
+        if (!ix.exists(indexRoot))
+          ix.build(VersionedTable.read(spark, corpusRoot), indexRoot,
+            dim, nlist, m, ksub, txn = batchId)
+        else {
+          ix.append(batch.toDF(), indexRoot, txn = batchId)
+          ix.reclusterIfDrifted(VersionedTable.read(spark, corpusRoot),
+            indexRoot, driftThreshold)
+        }
+        ()
+      }
+      // stable batchIds across restarts (see runTextIndexIngest note)
+      .option("checkpointLocation",
+        new java.io.File(root, "_ingest_ckpt").getPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Z-ORDERED ingest door — incremental clustered ingestion: each
     * micro-batch lands [[graft.sources.VersionedTable.appendZOrderedK]]
     * k-dim clustered with BATCH-LOCAL boundaries (exact per-file

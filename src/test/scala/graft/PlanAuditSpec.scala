@@ -22,7 +22,8 @@ class PlanAuditSpec extends SparkSuite {
     "q228_stream_text_index", "q237_stream_kll", "q240_stream_cdc",
     "q252_stream_ohlc", "q266_stream_expectations",
     "q277_stream_atomic_publish", "q285_stream_outer_join",
-    "q294_media_lifecycle", "q295_ann_ingest", "q296_zorder_ingest")
+    "q294_media_lifecycle", "q295_ann_ingest", "q296_zorder_ingest",
+    "q300_ivfpq_ingest")
 
   /** pattern → queries where it is the intended plan shape. */
   private val allowed: Map[String, Set[String]] = Map(

@@ -65,6 +65,43 @@ class IvfPqIndexSpec extends SparkSuite {
     assert(math.abs(got.head.getDouble(3) - 1.0) < 1e-12)
   }
 
+  test("streaming IVFADC door: corpus + index maintained together, " +
+    "drift retrain fires, re-run is a no-op, search == fresh build") {
+    val root = tmpRoot()
+    val flat = Files.createTempDirectory("graft_ivfpq_flat")
+      .resolve("p").toString
+    emb.filter(col("vec_id") < 250).select("vec_id", "embedding")
+      .repartition(1).write.mode("overwrite").parquet(flat)
+    emb.filter(col("vec_id") >= 250).select("vec_id", "embedding")
+      .repartition(1).write.mode("append").parquet(flat)
+    graft.streaming.StreamingJobs.runIvfPqIngestAvailableNow(
+      spark, flat, root, dim = 64, nlist = 16, driftThreshold = 0.5)
+    val corpusRoot = new java.io.File(root, "corpus").getPath
+    val indexRoot = new java.io.File(root, "index").getPath
+    val codes = new java.io.File(indexRoot, "codes").getPath
+    assert(graft.sources.VersionedTable.read(spark, corpusRoot)
+      .count() == emb.count(), "corpus table must hold every vector once")
+    val vs = graft.sources.VersionedTable.versions(codes)
+    // a full re-run replays every batchId: both tables must move NOTHING
+    graft.streaming.StreamingJobs.runIvfPqIngestAvailableNow(
+      spark, flat, root, dim = 64, nlist = 16, driftThreshold = 0.5)
+    assert(graft.sources.VersionedTable.versions(codes) == vs)
+    assert(graft.sources.VersionedTable.read(spark, corpusRoot)
+      .count() == emb.count())
+    // the 50% appended mass tripped the drift dial → the served index
+    // equals a fresh full-corpus build (deterministic retrain)
+    val fresh = tmpRoot()
+    IvfPqIndex.build(emb, fresh, dim = 64, nlist = 16)
+    val q = emb.filter(col("vec_id") < 32)
+    val corpus = graft.sources.VersionedTable.read(spark, corpusRoot)
+    def res(r: String, c: org.apache.spark.sql.DataFrame) =
+      IvfPqIndex.search(q, c, r, k = 5, nprobe = 4)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          x.getDouble(3))).toSet
+    assert(res(indexRoot, corpus) == res(fresh, emb))
+    assert(res(indexRoot, corpus).nonEmpty)
+  }
+
   test("reclusterIfDrifted: threshold gates the retrain; post-recluster " +
     "search equals a fresh full-corpus build bit-for-bit") {
     val codes = (root: String) => new java.io.File(root, "codes").getPath
