@@ -60,20 +60,11 @@ object TextIndex {
   private def postingsRoot(root: String) = new File(root, "postings").getPath
   private def doclenRoot(root: String) = new File(root, "doclen").getPath
   private def positionsRoot(root: String) = new File(root, "positions").getPath
+  // pre-upgrade indexes committed a fixed-name `_stats` pointer;
+  // without the fallback the bootstrap path would see an empty index
+  // and RESET it (zeroed pointer → overwrite on append)
   private def pointerOf(root: String): Option[String] =
-    graft.sources.PointerCas.read(new File(root)).orElse {
-      // pre-upgrade indexes committed a fixed-name `_stats` pointer;
-      // without this fallback the bootstrap path would see an empty
-      // index and RESET it (zeroed pointer → overwrite on append).
-      // The first post-upgrade commit publishes `_ptr.1` computed
-      // from this state and the legacy file goes stale (read prefers
-      // the generation chain whenever it exists).
-      val legacy = new File(root, "_stats")
-      if (legacy.exists())
-        Some(new String(java.nio.file.Files.readAllBytes(legacy.toPath),
-          java.nio.charset.StandardCharsets.UTF_8))
-      else None
-    }
+    graft.sources.PointerCas.readOrLegacy(new File(root), "_stats")
 
   /** Sentinel for "this index keeps no positional postings" (5-field
     * pointer); a positional index records posV ≥ −1 as a 6th field. */

@@ -73,6 +73,21 @@ object PointerCas {
       "(persistent churn or IO failure — NOT absence)")
   }
 
+  /** [[read]] with a PRE-UPGRADE fallback: resolve the generation
+    * chain first; when none exists, read the fixed-name pointer file
+    * the caller's old protocol committed (TextIndex's `_stats`,
+    * SnapshotGroup's `_published`). The first post-upgrade commit
+    * lands `_ptr.1` and the legacy file goes permanently stale —
+    * migration happens on write, readers never reset live state. */
+  def readOrLegacy(dir: File, legacyName: String): Option[String] =
+    read(dir).orElse {
+      val legacy = new File(dir, legacyName)
+      if (legacy.exists())
+        Some(new String(Files.readAllBytes(legacy.toPath),
+          StandardCharsets.UTF_8))
+      else None
+    }
+
   /** Publish `content` as generation `expect + 1` iff no other writer
     * has committed past `expect` — false on a lost race, and the
     * caller re-reads state ([[gen]] + [[read]]) and retries its whole
@@ -87,7 +102,13 @@ object PointerCas {
     val target = ptrFile(dir, expect + 1).toPath
     val won =
       try { Files.createLink(target, tmp); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        // a writer paused long enough for the stale-tmp pruner to take
+        // its staged file has certainly lost the race anyway — a lost
+        // CAS, not a crash: callers retry on false
+        case _: java.nio.file.NoSuchFileException => false
+      }
     Files.deleteIfExists(tmp)
     if (won) {
       // prune by LISTING, not by walking until a gap: an interrupted

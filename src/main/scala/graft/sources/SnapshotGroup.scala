@@ -69,13 +69,7 @@ object SnapshotGroup {
     * existing groups stay readable; the first post-upgrade publish
     * moves them onto the generation chain. */
   def current(groupRoot: String): Option[Map[String, Long]] =
-    PointerCas.read(new File(groupRoot)).orElse {
-      val legacy = new File(groupRoot, "_published")
-      if (legacy.exists())
-        Some(new String(java.nio.file.Files.readAllBytes(legacy.toPath),
-          java.nio.charset.StandardCharsets.UTF_8))
-      else None
-    }.map {
+    PointerCas.readOrLegacy(new File(groupRoot), "_published").map {
       _.split('\n').filter(_.nonEmpty).map { line =>
         val Array(r, v) = line.split('\t')
         r -> v.toLong

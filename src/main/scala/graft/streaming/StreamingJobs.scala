@@ -245,19 +245,22 @@ object StreamingJobs {
     * reaches `driftThreshold` the centroids retrain on the stored
     * vectors and the table rewrites cell-clustered, so recall never
     * silently decays under a drifting stream. */
+  /** The (vec_id, embedding) drop-file schema BOTH ANN ingest doors
+    * read — one definition, or the doors could silently diverge. */
+  private val embeddingStreamSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("embedding",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))))
+
   def runAnnIngestAvailableNow(spark: SparkSession, inputDir: String,
                                indexRoot: String, nlist: Int = 16,
                                driftThreshold: Double = 0.5): Unit = {
     new java.io.File(indexRoot).mkdirs()
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("vec_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("embedding",
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.FloatType))))
     val q = spark.readStream
       .option("maxFilesPerTrigger", 1)
-      .schema(schema)
+      .schema(embeddingStreamSchema)
       .parquet(inputDir)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -300,15 +303,9 @@ object StreamingJobs {
     val corpusRoot = new java.io.File(root, "corpus").getPath
     val indexRoot = new java.io.File(root, "index").getPath
     new java.io.File(indexRoot).mkdirs()
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("vec_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("embedding",
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.FloatType))))
     val q = spark.readStream
       .option("maxFilesPerTrigger", 1)
-      .schema(schema)
+      .schema(embeddingStreamSchema)
       .parquet(inputDir)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],

@@ -80,15 +80,20 @@ object GraftScan {
     else {
       val s = spark.read.option("mergeSchema", "true")
         .parquet(paths: _*).schema
+      var tmp: java.nio.file.Path = null
       try {
-        val tmp = java.nio.file.Files.createTempFile(
+        tmp = java.nio.file.Files.createTempFile(
           new java.io.File(root).toPath, "_schema", ".tmp")
         java.nio.file.Files.write(tmp,
           s.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         java.nio.file.Files.move(tmp, f.toPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      } catch { case _: java.io.IOException => () }
+      } catch {
+        case _: java.io.IOException => // best-effort cache; no tmp litter
+          if (tmp != null) java.nio.file.Files.deleteIfExists(tmp)
+          ()
+      }
       s
     }
   }
@@ -126,41 +131,53 @@ object GraftScan {
       }
 
     /** The manifest's answer for one aggregate, as a catalyst value —
-      * None disqualifies the whole fold. */
+      * None disqualifies the whole fold. The FILTER slot must be
+      * empty: `count(1) FILTER (WHERE …)` keeps its predicate inside
+      * the AggregateExpression, and folding it to the UNFILTERED
+      * manifest total would be silently wrong. */
     private def valueOf(g: GraftFileIndex,
                         e: Expression): Option[Any] = e match {
-      case AggregateExpression(Count(Seq(Literal(1, _))), _, false, _, _) =>
+      case AggregateExpression(Count(Seq(Literal(1, _))), _, false,
+          None, _) =>
         g.totalRows
-      case AggregateExpression(Min(a: AttributeReference), _, false, _, _) =>
+      case AggregateExpression(Min(a: AttributeReference), _, false,
+          None, _) =>
         g.columnRange(a.name, a.dataType).map(_._1)
-      case AggregateExpression(Max(a: AttributeReference), _, false, _, _) =>
+      case AggregateExpression(Max(a: AttributeReference), _, false,
+          None, _) =>
         g.columnRange(a.name, a.dataType).map(_._2)
       // SUM from the manifest's per-file `sum:` stats (integral
       // columns only — the writer records the exact BIGINT sum).
       // totalRows must be known-positive: SQL SUM over zero rows is
       // NULL, which the fold cannot represent.
-      case AggregateExpression(Sum(a: AttributeReference, _), _, false, _, _)
+      case AggregateExpression(Sum(a: AttributeReference, _), _, false,
+          None, _)
           if a.dataType == org.apache.spark.sql.types.LongType ||
             a.dataType == org.apache.spark.sql.types.IntegerType =>
         if (g.totalRows.exists(_ > 0)) g.columnSum(a.name) else None
       case _ => None
     }
 
+    /** Every aggregate's manifest value, or None if ANY disqualifies —
+      * evaluated ONCE per rule application. */
+    private def foldable(child: LogicalPlan,
+                         exprs: Seq[NamedExpression]): Option[Seq[Any]] =
+      indexOf(child).flatMap { g =>
+        val vals = exprs.map {
+          case Alias(ae: AggregateExpression, _) => valueOf(g, ae)
+          case _ => None
+        }
+        if (vals.nonEmpty && vals.forall(_.isDefined)) Some(vals.map(_.get))
+        else None
+      }
+
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-      case agg @ Aggregate(Nil, exprs, child, _)
-          if exprs.nonEmpty && indexOf(child).isDefined && {
-            val g = indexOf(child).get
-            exprs.forall {
-              case Alias(ae: AggregateExpression, _) =>
-                valueOf(g, ae).isDefined
-              case _ => false
-            }
-          } =>
-        val g = indexOf(child).get
-        val row = InternalRow.fromSeq(exprs.map {
-          case Alias(ae: AggregateExpression, _) => valueOf(g, ae).get
-        })
-        LocalRelation(agg.output, Seq(row))
+      case agg @ Aggregate(Nil, exprs, child, _) =>
+        foldable(child, exprs) match {
+          case Some(vals) =>
+            LocalRelation(agg.output, Seq(InternalRow.fromSeq(vals)))
+          case None => agg
+        }
       case other => other
     }
   }

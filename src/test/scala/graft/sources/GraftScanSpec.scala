@@ -183,6 +183,14 @@ class GraftScanSpec extends SparkSuite {
       .agg(min(col("tag")).as("t"), count(lit(1)).as("n"))
     assert(noStat.head().getString(0) == "s0")
     assert(noStat.queryExecution.executedPlan.toString.contains("FileScan"))
+    // a FILTER-clause aggregate must NOT fold to the unfiltered total
+    VersionedTable.scan(spark, root).createOrReplaceTempView("graft_fold_v")
+    val filteredAgg = spark.sql(
+      "SELECT count(1) FILTER (WHERE k < 100) AS n FROM graft_fold_v")
+    assert(filteredAgg.head().getLong(0) == 100L,
+      "FILTER-clause count must scan, never fold the manifest total")
+    assert(filteredAgg.queryExecution.executedPlan.toString
+      .contains("FileScan"))
   }
 
   test("metadata-only SUM from sum: stats; plain-stats tables keep " +
