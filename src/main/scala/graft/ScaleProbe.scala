@@ -357,6 +357,41 @@ object ScaleProbe {
         new java.io.File(root).getParentFile)
       spark.stop(); return
     }
+    // Catalyst-scan pruning probe (`runMain graft.ScaleProbe scan`):
+    // a FIXED-selectivity slice (1/16 of the key space) through
+    // VersionedTable.scan must open a ~constant FRACTION of a growing
+    // table's files — the manifest FileIndex prunes at plan time, so
+    // work tracks the slice, not the table. The metadata profile
+    // (min/max/count) must stay ~flat: it answers from the listing
+    // (and the cached schema sidecar), never the data files.
+    if (args.contains("scan")) {
+      for (mult <- Seq(1, 4, 10)) {
+        val root = java.nio.file.Files
+          .createTempDirectory("probe_scan").resolve("t").toString
+        val n = 400000L * mult
+        val files = 16 * mult
+        graft.sources.VersionedTable.overwriteWithStats(
+          spark.range(n).select(col("id").as("k"), (col("id") % 97).as("v"))
+            .repartitionByRange(files, col("k")), root, "k")
+        val t0 = System.nanoTime()
+        val sliced = graft.sources.VersionedTable.scan(spark, root)
+          .filter(col("k") >= 0L && col("k") <= n / 16)
+        val opened = sliced.select(input_file_name()).distinct().count()
+        val rows = sliced.count()
+        val t1 = System.nanoTime()
+        val prof = graft.sources.VersionedTable.scan(spark, root)
+          .agg(min(col("k")).as("lo"), max(col("k")).as("hi"),
+            count(lit(1)).as("cnt")).head()
+        val t2 = System.nanoTime()
+        println(f"[probe] mult=$mult%2d rows=$n%8d scan_prune " +
+          f"opened=$opened%4d/$files%4d files rows=$rows%8d " +
+          f"slice=${(t1 - t0) / 1e9}%5.2f s profile=${(t2 - t1) / 1e9}%6.3f s " +
+          f"(cnt=${prof.getAs[Long]("cnt")})")
+        graft.sources.Lake.deleteRecursively(
+          new java.io.File(root).getParentFile)
+      }
+      spark.stop(); return
+    }
     // BPE-training probe (`runMain graft.ScaleProbe bpe`): replicas
     // REUSE the same token space (plain replication with shifted ids),
     // so the corpus grows 1x/4x/10x while the vocabulary — and with it
