@@ -21,7 +21,12 @@ import graft.sources.VersionedTable
   * (b) `append`s the admitted docs' bands, O(batch) again.
   *
   * Layout under `root`:
-  *  - `scheme.txt` — `numHashes bands n`: the banding scheme. MinHash
+  *  - `scheme.v{v}.txt` — `numHashes bands n`: the banding scheme,
+  *    VERSION-PINNED to the bands version it governs
+  *    ([[IndexModelFiles]]: staged before the table commit, resolved
+  *    at the reader's pinned version — a re-build with a new scheme
+  *    never pairs it with old band rows; legacy unversioned
+  *    `scheme.txt` resolves through the fallback). MinHash
   *    permutations are seeded constants (Dedup.perms), so signatures
   *    are reproducible from the scheme alone — but bands from a
   *    DIFFERENT scheme never collide with stored ones, so append/check
@@ -34,12 +39,14 @@ import graft.sources.VersionedTable
   */
 object LshIndex {
 
-  private def schemeFile(root: String) = new File(root, "scheme.txt")
   private def bandsRoot(root: String) = new File(root, "bands").getPath
 
-  private def readScheme(root: String): (Int, Int, Int) = {
-    val Array(nh, b, n) = new String(
-      Files.readAllBytes(schemeFile(root).toPath), StandardCharsets.UTF_8)
+  private def pinnedVersion(root: String): Long =
+    VersionedTable.latestVersion(bandsRoot(root))
+      .getOrElse(sys.error(s"no committed index at $root"))
+
+  private def readSchemeAt(root: String, v: Long): (Int, Int, Int) = {
+    val Array(nh, b, n) = IndexModelFiles.readAt(root, "scheme", v)
       .trim.split(" ").map(_.toInt)
     (nh, b, n)
   }
@@ -57,8 +64,11 @@ object LshIndex {
             idCol: String = "doc_id", textCol: String = "text"): Long = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     new File(root).mkdirs()
-    Files.write(schemeFile(root).toPath,
-      s"$numHashes $bands $n".getBytes(StandardCharsets.UTF_8))
+    // stage for the version this build WILL commit (single maintenance
+    // writer): a re-build with a new scheme never pairs with old rows
+    IndexModelFiles.write(root, "scheme",
+      VersionedTable.latestVersion(bandsRoot(root)).map(_ + 1).getOrElse(0L),
+      s"$numHashes $bands $n")
     VersionedTable.overwrite(
       bandRowsOf(corpus, numHashes, bands, n, idCol, textCol),
       bandsRoot(root))
@@ -68,7 +78,10 @@ object LshIndex {
     * O(batch); existing rows inherited untouched. */
   def append(batch: DataFrame, root: String,
              idCol: String = "doc_id", textCol: String = "text"): Long = {
-    val (nh, b, n) = readScheme(root)
+    val pin = pinnedVersion(root)
+    // drop orphan stages from a crashed re-build (see IvfIndex.append)
+    IndexModelFiles.dropAbove(root, "scheme", pin)
+    val (nh, b, n) = readSchemeAt(root, pin)
     VersionedTable.append(
       bandRowsOf(batch, nh, b, n, idCol, textCol), bandsRoot(root))
   }
@@ -86,8 +99,11 @@ object LshIndex {
             threshold: Double,
             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = batch.sparkSession
-    val (nh, b, n) = readScheme(root)
-    val stored = VersionedTable.read(spark, bandsRoot(root))
+    // pin the bands version FIRST, then resolve the scheme that signed
+    // it — a concurrent re-build can never serve mixed state
+    val pin = pinnedVersion(root)
+    val (nh, b, n) = readSchemeAt(root, pin)
+    val stored = VersionedTable.readVersion(spark, bandsRoot(root), pin)
     val fresh = bandRowsOf(batch, nh, b, n, idCol, textCol)
       .localCheckpoint(true)
     val candidates = stored.as("l")

@@ -1,8 +1,8 @@
 package graft.operators
 
 import java.io.File
-import java.nio.charset.StandardCharsets
-import java.nio.file.Files
+
+
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -20,9 +20,13 @@ import graft.sources.VersionedTable
   * version).
   *
   * Layout under `root`:
-  *  - `codebook.txt` — header `m ksub dsub`, then one line of dsub
-  *    doubles per (subspace, code) — `Double.toString` round-trips
-  *    exactly;
+  *  - `codebook.v{v}.txt` — header `m ksub dsub`, then one line of
+  *    dsub doubles per (subspace, code) — `Double.toString`
+  *    round-trips exactly; VERSION-PINNED to the codes version it
+  *    governs ([[IndexModelFiles]]: staged before the table commit,
+  *    resolved at the reader's pinned version — a periodic re-train
+  *    never serves mixed codebook/codes state; legacy unversioned
+  *    `codebook.txt` resolves through the fallback);
   *  - `codes/` — VersionedTable of (id, cn, code array<int>): the
   *    ~32×-compressed scan side. Exact vectors stay in the CORPUS
   *    table; search re-reads only the shortlist rows for the exact
@@ -31,28 +35,37 @@ import graft.sources.VersionedTable
   */
 object PqIndex {
 
-  private def codebookFile(root: String) = new File(root, "codebook.txt")
   private def codesRoot(root: String) = new File(root, "codes").getPath
 
-  private def writeCodebook(root: String,
-                            book: Array[Array[Array[Double]]]): Unit = {
-    new File(root).mkdirs()
+  private def pinnedVersion(root: String): Long =
+    VersionedTable.latestVersion(codesRoot(root))
+      .getOrElse(sys.error(s"no committed index at $root"))
+
+  /** Stage the codebook governing codes version `v` — BEFORE that
+    * version commits ([[IndexModelFiles]]'s pin-then-resolve
+    * protocol). */
+  private def writeCodebookFor(root: String, v: Long,
+                               book: Array[Array[Array[Double]]]): Unit = {
     val m = book.length; val ksub = book(0).length; val dsub = book(0)(0).length
     val lines = s"$m $ksub $dsub" +:
       book.flatMap(_.map(_.mkString(" "))).toSeq
-    Files.write(codebookFile(root).toPath,
-      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    IndexModelFiles.write(root, "codebook", v, lines.mkString("\n"))
   }
 
-  private[operators] def readCodebook(root: String): Array[Array[Array[Double]]] = {
-    val lines = new String(Files.readAllBytes(codebookFile(root).toPath),
-      StandardCharsets.UTF_8).linesIterator.toSeq
+  private def readCodebookAt(root: String,
+                             v: Long): Array[Array[Array[Double]]] = {
+    val lines = IndexModelFiles.readAt(root, "codebook", v)
+      .linesIterator.toSeq
     val Array(m, ksub, dsub) = lines.head.trim.split(" ").map(_.toInt)
     val flat = lines.tail.map(_.trim.split(" ").map(_.toDouble))
     require(flat.length == m * ksub && flat.forall(_.length == dsub),
       s"corrupt codebook at $root")
     Array.tabulate(m, ksub)((j, c) => flat(j * ksub + c))
   }
+
+  /** The codebook governing the CURRENT codes version. */
+  private[operators] def readCodebook(root: String): Array[Array[Array[Double]]] =
+    readCodebookAt(root, pinnedVersion(root))
 
   /** Normalized vectors + norm, the encode-side shape. */
   private def normalized(corpus: DataFrame, idCol: String,
@@ -75,10 +88,16 @@ object PqIndex {
             m: Int = 8, ksub: Int = 16,
             idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
     require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
+    new File(root).mkdirs()
     graft.plans.VectorExpressions.register(corpus.sparkSession)
     val norm = normalized(corpus, idCol, vecCol)
     val book = Similarity.trainPqCodebook(norm, "cvn", "id", m, ksub, dim / m)
-    writeCodebook(root, book)
+    // stage for the version this build WILL commit (single maintenance
+    // writer): readers resolve the previous (codebook, codes) pair
+    // until the overwrite lands — never mixed state on a re-train
+    writeCodebookFor(root,
+      VersionedTable.latestVersion(codesRoot(root)).map(_ + 1).getOrElse(0L),
+      book)
     VersionedTable.overwrite(encode(norm, book), codesRoot(root))
   }
 
@@ -89,7 +108,10 @@ object PqIndex {
   def append(batch: DataFrame, root: String,
              idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
     graft.plans.VectorExpressions.register(batch.sparkSession)
-    val book = readCodebook(root)
+    val pin = pinnedVersion(root)
+    // drop orphan stages from a crashed re-train (see IvfIndex.append)
+    IndexModelFiles.dropAbove(root, "codebook", pin)
+    val book = readCodebookAt(root, pin)
     VersionedTable.append(
       encode(normalized(batch, idCol, vecCol), book), codesRoot(root))
   }
@@ -106,9 +128,12 @@ object PqIndex {
     val spark = queries.sparkSession
     graft.plans.VectorExpressions.register(spark)
     import graft.plans.{PqExpressions => PQ}
-    val book = readCodebook(root)
+    // pin the codes version FIRST, then resolve the codebook that
+    // produced it — a concurrent re-train can never serve mixed state
+    val pin = pinnedVersion(root)
+    val book = readCodebookAt(root, pin)
     val ksub = book(0).length
-    val codes = VersionedTable.read(spark, codesRoot(root))
+    val codes = VersionedTable.readVersion(spark, codesRoot(root), pin)
       .select(col("id").as("neighbor_id"), col("code"))
     val q = Similarity.withNorm(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qv")), "qv", "qn")
