@@ -266,31 +266,32 @@ object GraftScan {
     case And(l, r) => mayMatch(f, l) && mayMatch(f, r)
     case Or(l, r) => mayMatch(f, l) || mayMatch(f, r)
     case EqualTo(a: AttributeReference, l: Literal) =>
-      inRange(f, a.name, l, l) && bloomMayContain(f, a.name, l)
+      inRange(f, a, l, l) && bloomMayContain(f, a.name, l)
     case EqualTo(l: Literal, a: AttributeReference) =>
-      inRange(f, a.name, l, l) && bloomMayContain(f, a.name, l)
-    case GreaterThanOrEqual(a: AttributeReference, l: Literal) => hiAtLeast(f, a.name, l, strict = false)
-    case GreaterThan(a: AttributeReference, l: Literal) => hiAtLeast(f, a.name, l, strict = true)
-    case LessThanOrEqual(a: AttributeReference, l: Literal) => loAtMost(f, a.name, l, strict = false)
-    case LessThan(a: AttributeReference, l: Literal) => loAtMost(f, a.name, l, strict = true)
+      inRange(f, a, l, l) && bloomMayContain(f, a.name, l)
+    case GreaterThanOrEqual(a: AttributeReference, l: Literal) => hiAtLeast(f, a, l, strict = false)
+    case GreaterThan(a: AttributeReference, l: Literal) => hiAtLeast(f, a, l, strict = true)
+    case LessThanOrEqual(a: AttributeReference, l: Literal) => loAtMost(f, a, l, strict = false)
+    case LessThan(a: AttributeReference, l: Literal) => loAtMost(f, a, l, strict = true)
     // literal-on-left flips the comparison
-    case GreaterThanOrEqual(l: Literal, a: AttributeReference) => loAtMost(f, a.name, l, strict = false)
-    case GreaterThan(l: Literal, a: AttributeReference) => loAtMost(f, a.name, l, strict = true)
-    case LessThanOrEqual(l: Literal, a: AttributeReference) => hiAtLeast(f, a.name, l, strict = false)
-    case LessThan(l: Literal, a: AttributeReference) => hiAtLeast(f, a.name, l, strict = true)
+    case GreaterThanOrEqual(l: Literal, a: AttributeReference) => loAtMost(f, a, l, strict = false)
+    case GreaterThan(l: Literal, a: AttributeReference) => loAtMost(f, a, l, strict = true)
+    case LessThanOrEqual(l: Literal, a: AttributeReference) => hiAtLeast(f, a, l, strict = false)
+    case LessThan(l: Literal, a: AttributeReference) => hiAtLeast(f, a, l, strict = true)
     case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
       vs.exists { v =>
         val l = v.asInstanceOf[Literal]
-        inRange(f, a.name, l, l) && bloomMayContain(f, a.name, l)
+        inRange(f, a, l, l) && bloomMayContain(f, a.name, l)
       }
     case InSet(a: AttributeReference, vs) =>
       vs.exists { v =>
         val l = Literal.create(v, a.dataType)
         val rangeOk = v match {
-          case n: java.lang.Number =>
+          case n: java.lang.Number if integralStats(a.dataType) =>
             f.stats.get(a.name).forall { case (lo, hi) =>
               n.longValue >= lo && n.longValue <= hi }
-          case s: UTF8String =>
+          case s: UTF8String if a.dataType ==
+              org.apache.spark.sql.types.StringType =>
             f.strStats.get(a.name).forall { case (lo, hi) =>
               graft.sources.Utf8Order.lteq(lo, s.toString) &&
                 graft.sources.Utf8Order.lteq(s.toString, hi) }
@@ -300,6 +301,23 @@ object GraftScan {
       }
     case _ => true // IsNotNull, UDFs, casts, … — cannot prune, keep
   }
+
+  /** The manifest's numeric stats were recorded via `cast(col as long)`
+    * (`VersionedTable.statLines`), which is a FAITHFUL [min, max] bound
+    * only for integral columns. For TimestampType the cast yields epoch
+    * SECONDS while a catalyst timestamp literal carries MICROSECONDS
+    * (off by 1e6 — pruning on it would skip every file); for
+    * Float/Double the cast truncates toward zero, so the recorded range
+    * is NOT a bound of the actual values. Those types must never prune
+    * on the long stats — keep the file. */
+  private def integralStats(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
 
   /** Bloom test for an equality probe: definite-absence skips the
     * file; no bloom for the column keeps it. Hash mirrors the writer
@@ -326,41 +344,51 @@ object GraftScan {
     case _ => None
   }
 
-  /** Keep iff the file's [lo, hi] could contain a value in [a, b]. */
-  private def inRange(f: ScanFile, col: String, a: Literal,
+  /** Keep iff the file's [lo, hi] could contain a value in [a, b].
+    * Numeric stats apply only to integral attributes (see
+    * [[integralStats]]); string stats only to StringType. */
+  private def inRange(f: ScanFile, attr: AttributeReference, a: Literal,
                       b: Literal): Boolean =
-    (longOf(a), longOf(b)) match {
+    if (integralStats(attr.dataType)) (longOf(a), longOf(b)) match {
       case (Some(x), Some(y)) =>
-        f.stats.get(col).forall { case (lo, hi) => y >= lo && x <= hi }
-      case _ => (strOf(a), strOf(b)) match {
+        f.stats.get(attr.name).forall { case (lo, hi) => y >= lo && x <= hi }
+      case _ => true
+    } else if (attr.dataType == org.apache.spark.sql.types.StringType)
+      (strOf(a), strOf(b)) match {
         case (Some(x), Some(y)) =>
           // UTF-8 byte order (see graft.sources.Utf8Order)
-          f.strStats.get(col).forall { case (lo, hi) =>
+          f.strStats.get(attr.name).forall { case (lo, hi) =>
             graft.sources.Utf8Order.lteq(lo, y) &&
               graft.sources.Utf8Order.lteq(x, hi) }
         case _ => true
       }
-    }
+    else true
 
   /** Keep iff the file's MAX could satisfy `col > / >= v`. */
-  private def hiAtLeast(f: ScanFile, col: String, l: Literal,
+  private def hiAtLeast(f: ScanFile, attr: AttributeReference, l: Literal,
                         strict: Boolean): Boolean =
-    longOf(l).map { v =>
-      f.stats.get(col).forall { case (_, hi) => if (strict) hi > v else hi >= v }
-    }.orElse(strOf(l).map { v =>
-      f.strStats.get(col).forall { case (_, hi) =>
-        if (strict) graft.sources.Utf8Order.lt(v, hi)
-        else graft.sources.Utf8Order.lteq(v, hi) }
-    }).getOrElse(true)
+    if (integralStats(attr.dataType)) longOf(l).forall { v =>
+      f.stats.get(attr.name).forall { case (_, hi) =>
+        if (strict) hi > v else hi >= v }
+    } else if (attr.dataType == org.apache.spark.sql.types.StringType)
+      strOf(l).forall { v =>
+        f.strStats.get(attr.name).forall { case (_, hi) =>
+          if (strict) graft.sources.Utf8Order.lt(v, hi)
+          else graft.sources.Utf8Order.lteq(v, hi) }
+      }
+    else true
 
   /** Keep iff the file's MIN could satisfy `col < / <= v`. */
-  private def loAtMost(f: ScanFile, col: String, l: Literal,
+  private def loAtMost(f: ScanFile, attr: AttributeReference, l: Literal,
                        strict: Boolean): Boolean =
-    longOf(l).map { v =>
-      f.stats.get(col).forall { case (lo, _) => if (strict) lo < v else lo <= v }
-    }.orElse(strOf(l).map { v =>
-      f.strStats.get(col).forall { case (lo, _) =>
-        if (strict) graft.sources.Utf8Order.lt(lo, v)
-        else graft.sources.Utf8Order.lteq(lo, v) }
-    }).getOrElse(true)
+    if (integralStats(attr.dataType)) longOf(l).forall { v =>
+      f.stats.get(attr.name).forall { case (lo, _) =>
+        if (strict) lo < v else lo <= v }
+    } else if (attr.dataType == org.apache.spark.sql.types.StringType)
+      strOf(l).forall { v =>
+        f.strStats.get(attr.name).forall { case (lo, _) =>
+          if (strict) graft.sources.Utf8Order.lt(lo, v)
+          else graft.sources.Utf8Order.lteq(lo, v) }
+      }
+    else true
 }

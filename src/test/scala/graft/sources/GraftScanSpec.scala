@@ -216,6 +216,49 @@ class GraftScanSpec extends SparkSuite {
     assert(agg2.queryExecution.executedPlan.toString.contains("FileScan"))
   }
 
+  test("timestamp/double stats never prune: the long-cast manifest " +
+    "stats are not faithful bounds for non-integral types") {
+    import spark.implicits._
+    val root = tmpRoot()
+    // ts stats record epoch SECONDS (cast to long); catalyst timestamp
+    // literals carry MICROSECONDS. double stats truncate toward zero.
+    // Neither may be used to skip files.
+    val rows = (0 until 400).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-${i % 4 + 1}%02d-10 12:30:00"),
+        (i % 10) / 10.0 - 0.45)
+    }.toDF("k", "ts", "v").repartitionByRange(4, col("k"))
+    VersionedTable.overwriteWithStats(rows, root, "k", "ts", "v")
+    val total = openedFiles(VersionedTable.scan(spark, root))
+    // timestamp range predicate: would compare micros vs seconds if the
+    // guard were missing and silently return empty
+    val tsq = VersionedTable.scan(spark, root)
+      .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-02-01 00:00:00")))
+    assert(tsq.count() ==
+      VersionedTable.read(spark, root)
+        .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-02-01 00:00:00")))
+        .count())
+    assert(tsq.count() > 0L, "timestamp filter must not skip every file")
+    assert(openedFiles(tsq) == total,
+      "non-integral stats must keep every file")
+    // double strict bound: file stats [0,0] must not skip values in (0, 1)
+    val dq = VersionedTable.scan(spark, root).filter(col("v") > 0.05)
+    assert(dq.count() ==
+      VersionedTable.read(spark, root).filter(col("v") > 0.05).count())
+    assert(dq.count() > 0L)
+    assert(openedFiles(dq) == total)
+    // double equality + InSet-style probe stay correct too
+    val deq = VersionedTable.scan(spark, root)
+      .filter(col("v").isin(0.05, 0.15, 0.25))
+    assert(deq.count() ==
+      VersionedTable.read(spark, root)
+        .filter(col("v").isin(0.05, 0.15, 0.25)).count())
+    // integral pruning on k still works alongside
+    val kq = VersionedTable.scan(spark, root)
+      .filter(col("k") < 100L)
+    assert(kq.count() == 100L)
+    assert(openedFiles(kq) < total, "integral stats must still prune")
+  }
+
   test("manifest bytes feed the auto-broadcast decision: a small scan " +
     "broadcasts with NO hint") {
     import spark.implicits._
