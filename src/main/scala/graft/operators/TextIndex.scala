@@ -145,28 +145,31 @@ object TextIndex {
   }
 
   /** Land `df` on `tableRoot` as the next COMMITTED state on top of
-    * `recordedV`: orphan versions from a crashed maintenance op
-    * (latest ≠ recorded) are overwritten back to the recorded state
-    * first — O(|table|), crash-recovery path only. Returns the new
-    * version to record. */
+    * `recordedV` — content-deterministically: the staged version is
+    * exactly readVersion(recordedV) + the batch
+    * ([[VersionedTable.appendOnto]]), never "latest + the batch". A
+    * plain append would build on whatever is latest AT COMMIT TIME, so
+    * a concurrent appender's table version landing between this
+    * writer's pointer read and its append would be silently absorbed
+    * into the staged version; if this writer then won the pointer CAS,
+    * the published n_docs/sum_dl would exclude that batch and the
+    * loser's retry would re-append it — duplicated postings and
+    * permanently double-counted BM25 stats. With appendOnto, concurrent
+    * versions (and orphans from crashed maintenance ops) stay invisible
+    * above the base — no O(|table|) restore rewrite either. Returns the
+    * new version to record. */
   private def appendCommitted(df: DataFrame, tableRoot: String,
-                              recordedV: Long, bloomCol: Option[String],
-                              spark: SparkSession): Long = {
-    val latest = VersionedTable.latestVersion(tableRoot)
-    def write(d: DataFrame, overwrite: Boolean): Long = (bloomCol, overwrite) match {
-      case (Some(c), true)  => VersionedTable.overwriteWithBloomIndex(d, tableRoot, c)
-      case (Some(c), false) => VersionedTable.appendWithBloomIndex(d, tableRoot, c)
-      case (None, true)     => VersionedTable.overwrite(d, tableRoot)
-      case (None, false)    => VersionedTable.append(d, tableRoot)
+                              recordedV: Long,
+                              bloomCol: Option[String]): Long =
+    (bloomCol, recordedV < 0) match {
+      case (Some(c), true)  => // fresh (orphans discarded)
+        VersionedTable.overwriteWithBloomIndex(df, tableRoot, c)
+      case (None, true)     => VersionedTable.overwrite(df, tableRoot)
+      case (Some(c), false) =>
+        VersionedTable.appendOntoWithBloomIndex(df, tableRoot, recordedV, c)
+      case (None, false)    =>
+        VersionedTable.appendOnto(df, tableRoot, recordedV)
     }
-    if (recordedV < 0) write(df, overwrite = true) // fresh (orphans discarded)
-    else {
-      if (!latest.contains(recordedV))
-        write(VersionedTable.readVersion(spark, tableRoot, recordedV),
-          overwrite = true)
-      write(df, overwrite = false)
-    }
-  }
 
   /** Tokenize `docs` and commit them as the index's first batch.
     * `positional = true` additionally keeps POSITIONAL postings
@@ -241,14 +244,14 @@ object TextIndex {
       // localCheckpoint: the batch postings feed three consumers
       // (postings append, doclen append, stats roll-up) — tokenize once
       val p = postingsOf(docs, idCol, textCol).localCheckpoint(true)
-      val pV = appendCommitted(p, postingsRoot(root), pV0, Some("term"), spark)
+      val pV = appendCommitted(p, postingsRoot(root), pV0, Some("term"))
       val dl = p.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
         .localCheckpoint(true) // doclen append + stats delta read it
-      val dV = appendCommitted(dl, doclenRoot(root), dV0, None, spark)
+      val dV = appendCommitted(dl, doclenRoot(root), dV0, None)
       // positional shape recorded in the pointer → maintain it here
       val posV = posVersion(root) match {
         case Some(v0) => appendCommitted(positionsOf(docs, idCol, textCol),
-          positionsRoot(root), v0, Some("term"), spark)
+          positionsRoot(root), v0, Some("term"))
         case None => PosAbsent
       }
       // one 1-row driver aggregate — the O(1) stats delta
@@ -341,26 +344,18 @@ object TextIndex {
       .filter(col("doc_id").isin(docIds: _*))
       .agg(count(lit(1)).as("n"),
         coalesce(sum(col("dl")), lit(0L)).as("s")).head()
-    // restore any orphans before the COW delete (delete acts on latest)
-    if (!VersionedTable.latestVersion(postingsRoot(root)).contains(pV0))
-      VersionedTable.overwriteWithBloomIndex(
-        VersionedTable.readVersion(spark, postingsRoot(root), pV0),
-        postingsRoot(root), "term")
-    if (!VersionedTable.latestVersion(doclenRoot(root)).contains(dV0))
-      VersionedTable.overwrite(
-        VersionedTable.readVersion(spark, doclenRoot(root), dV0),
-        doclenRoot(root))
-    val pV = VersionedTable.delete(spark, postingsRoot(root),
+    // COW deletes PINNED at the recorded versions (deleteAt): the
+    // rewrite is deterministic from the pointer this cycle read —
+    // orphans from crashed maintenance ops and a concurrent appender's
+    // unpublished versions are equally invisible to it (a delete
+    // acting on latest could absorb either into the rewrite)
+    val pV = VersionedTable.deleteAt(spark, postingsRoot(root), pV0,
       col("doc_id").isin(docIds: _*))
-    val dV = VersionedTable.delete(spark, doclenRoot(root),
+    val dV = VersionedTable.deleteAt(spark, doclenRoot(root), dV0,
       col("doc_id").isin(docIds: _*))
     val posV = posVersion(root) match {
       case Some(v0) if v0 >= 0 =>
-        if (!VersionedTable.latestVersion(positionsRoot(root)).contains(v0))
-          VersionedTable.overwriteWithBloomIndex(
-            VersionedTable.readVersion(spark, positionsRoot(root), v0),
-            positionsRoot(root), "term")
-        VersionedTable.delete(spark, positionsRoot(root),
+        VersionedTable.deleteAt(spark, positionsRoot(root), v0,
           col("doc_id").isin(docIds: _*))
       case Some(v0) => v0
       case None => PosAbsent

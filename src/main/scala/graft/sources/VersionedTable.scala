@@ -605,6 +605,55 @@ object VersionedTable {
     commitWithRetry(root, maxRetries = 5)(_ => lines)
   }
 
+  /** As [[append]], but the committed version's content derives from
+    * the explicit BASE version `baseV` plus `df` — NEVER from whatever
+    * is latest at commit time. An optimistic pointer-CAS protocol
+    * (e.g. [[graft.operators.TextIndex.append]]) reads its base
+    * version from the pointer, stages table commits, then publishes the
+    * pointer iff unchanged; if the staged commit built on *latest*
+    * instead, a concurrent writer's not-yet-published version landing
+    * between the base read and the commit would be silently absorbed —
+    * the winner's pointer stats would exclude those rows and the
+    * loser's retry would re-append them (duplicates). Here the
+    * committed listing is exactly `readListing(baseV) ++ newFiles`:
+    * concurrent versions above `baseV` stay invisible orphans, and a
+    * staged version is deterministic from the base the caller recorded.
+    * O(batch) delta bytes on the uncontended fast path (target version
+    * == baseV + 1); a full listing (manifest bytes only, no data
+    * rewrite) otherwise. */
+  def appendOnto(df: DataFrame, root: String, baseV: Long,
+                 statsCols: String*): Long = {
+    val staged = stageDataFiles(df, root, nextVersion(root))
+    appendOntoLines(root, baseV,
+      statLines(df.sparkSession, staged, statsCols))
+  }
+
+  /** [[appendOnto]] with a per-file bloom on `bloomCol` — see
+    * [[appendWithBloomIndex]]. */
+  def appendOntoWithBloomIndex(df: DataFrame, root: String, baseV: Long,
+                               bloomCol: String,
+                               expectedPerFile: Long = 200000,
+                               fpp: Double = 0.01,
+                               statsCols: Seq[String] = Seq.empty): Long = {
+    val spark = df.sparkSession
+    val staged = stageDataFiles(df, root, nextVersion(root))
+    appendOntoLines(root, baseV,
+      bloomLines(spark, statLines(spark, staged, statsCols),
+        bloomCol, expectedPerFile, fpp))
+  }
+
+  private def appendOntoLines(root: String, baseV: Long,
+                              lines: Seq[String]): Long = {
+    require(baseV >= 0 && manifestFile(root, baseV).exists(),
+      s"appendOnto base version $baseV does not exist at $root")
+    val v = commitWithRetry(root, maxRetries = 5) { v =>
+      if (v == baseV + 1) deltaContent(Seq.empty, lines)
+      else readListing(root, baseV) ++ lines
+    }
+    maybeCheckpoint(root, v)
+    v
+  }
+
   /** EQUALITY read with bloom-index file skipping: a file is opened
     * only if (a) its recorded numeric [min, max] for `eqCol` admits at
     * least one probe value AND (b) its bloom for `eqCol` reports
@@ -1805,6 +1854,49 @@ object VersionedTable {
       }
     }
     -1L // unreachable
+  }
+
+  /** [[delete]] pinned at BASE version `baseV`: the committed version's
+    * content derives from `baseV`'s listing minus the matching rows —
+    * never from latest (the [[appendOnto]] stance for the COW delete).
+    * An optimistic pointer-CAS caller ([[graft.operators.TextIndex.delete]])
+    * must stage a rewrite that is deterministic from the version it
+    * recorded: acting on latest could absorb a concurrent writer's
+    * unpublished rows into the rewrite (publishing them without their
+    * stats) or rewrite files the recorded version never had. Commits an
+    * O(touched + survivors) delta when the base IS the previous
+    * version; a full listing (manifest bytes only) otherwise. Returns
+    * `baseV` unchanged when nothing matches. */
+  def deleteAt(spark: SparkSession, root: String, baseV: Long,
+               predicate: org.apache.spark.sql.Column,
+               beforeCommit: () => Unit = () => ()): Long = {
+    require(manifestFile(root, baseV).exists(),
+      s"deleteAt base version $baseV does not exist at $root")
+    val files = readListing(root, baseV)
+    val target = spark.read.option("mergeSchema", "true")
+      .parquet(files.map(pathOf): _*)
+    val touchedNames = target
+      .withColumn("__file", col("_metadata.file_path"))
+      .filter(predicate)
+      .select(col("__file")).distinct()
+      .collect().map(_.getString(0).split('/').last).toSet
+    if (touchedNames.isEmpty) return baseV
+    val touched0 =
+      files.filter(f => touchedNames.contains(pathOf(f).split('/').last))
+    val survivors = spark.read.option("mergeSchema", "true")
+      .parquet(touched0.map(pathOf): _*)
+      .filter(!coalesce(predicate, lit(false)))
+    val staged = statLines(spark,
+      stageDataFiles(survivors, root, baseV + 1), Seq.empty)
+    beforeCommit()
+    val untouched = files.filterNot(f =>
+      touchedNames.contains(pathOf(f).split('/').last))
+    val v = commitWithRetry(root, maxRetries = 5) { v =>
+      if (v == baseV + 1) deltaContent(touched0, staged)
+      else untouched ++ staged
+    }
+    maybeCheckpoint(root, v)
+    v
   }
 
   /** Row-level UPDATE ... SET (copy-on-write) — the Delta

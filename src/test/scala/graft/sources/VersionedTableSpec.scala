@@ -28,6 +28,52 @@ class VersionedTableSpec extends SparkSuite {
     assert(VersionedTable.readVersion(spark, root, 0).count() == 2)
   }
 
+  test("appendOnto/deleteAt derive content from the BASE version: a " +
+    "concurrent writer's version above the base is never absorbed") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val base = VersionedTable.overwrite(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    // a concurrent/crashed writer lands an unpublished version on top
+    VersionedTable.append(Seq((99L, "rogue")).toDF("k", "v"), root)
+    // appendOnto(base): committed content = base + batch, rogue excluded
+    val v2 = VersionedTable.appendOnto(
+      Seq((3L, "c")).toDF("k", "v"), root, base)
+    assert(VersionedTable.readVersion(spark, root, v2)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // the rogue version itself still time-travels (orphan, not erased)
+    assert(VersionedTable.readVersion(spark, root, base + 1).count() == 3)
+    // deleteAt pinned at v2: rewrite never sees versions above its base
+    VersionedTable.append(Seq((98L, "rogue2")).toDF("k", "v"), root)
+    val v4 = VersionedTable.deleteAt(spark, root, v2, col("k") === 2L)
+    assert(VersionedTable.readVersion(spark, root, v4)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // a no-match predicate commits nothing and returns the base
+    assert(VersionedTable.deleteAt(spark, root, v4,
+      col("k") === 12345L) == v4)
+    // uncontended fast path: appendOnto(latest) == plain append content
+    val root2 = tmpRoot()
+    val b2 = VersionedTable.overwrite(Seq((1L, "a")).toDF("k", "v"), root2)
+    val n2 = VersionedTable.appendOnto(
+      Seq((2L, "b")).toDF("k", "v"), root2, b2)
+    assert(n2 == b2 + 1)
+    assert(VersionedTable.read(spark, root2).count() == 2)
+    // bloom variant keeps the point-probe prune on the new files
+    val root3 = tmpRoot()
+    val b3 = VersionedTable.overwriteWithBloomIndex(
+      (0L until 100L).map(i => (i, s"x$i")).toDF("id", "s"), root3, "id")
+    VersionedTable.appendWithBloomIndex(
+      Seq((777L, "rogue")).toDF("id", "s"), root3, "id")
+    val v3 = VersionedTable.appendOntoWithBloomIndex(
+      (100L until 200L).map(i => (i, s"x$i")).toDF("id", "s"), root3, b3, "id")
+    val probed = VersionedTable.readWhereEq(spark, root3, "id",
+      Seq(150L), atVersion = Some(v3))
+    assert(probed.count() == 1L)
+    assert(probed.inputFiles.length <
+      VersionedTable.readVersion(spark, root3, v3).inputFiles.length)
+    assert(VersionedTable.readVersion(spark, root3, v3).count() == 200L)
+  }
+
   test("appendAutoCompact: the file-count trigger folds small files, " +
     "rows unchanged, reads open fewer files") {
     import spark.implicits._
