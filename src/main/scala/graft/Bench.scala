@@ -97,11 +97,12 @@ object Bench {
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$q,"sf":"$sfDir"}"""
     // the driver's artifact truncates to a ~2000-char tail, losing most
-    // per-query figures — persist the FULL line in-repo so every round's
+    // per-query figures — persist the FULL line so every round's
     // complete bench is auditable (SPARK_GRAFT_BENCH_OUT overrides;
-    // empty disables, e.g. for ad-hoc runs outside the repo)
+    // empty disables). Cwd-relative: any checkout works, and the driver
+    // runs Bench from the repo root.
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_FULL.json")
+      "BENCH_FULL.json")
     if (benchOut.nonEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get(benchOut),
         (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

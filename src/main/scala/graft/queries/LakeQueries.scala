@@ -549,6 +549,67 @@ object LakeQueries extends QueryModule {
                COUNT(*) AS n, CAST(1 AS BIGINT) AS meta_ok
         FROM lineitem""")),
 
+    // MOR-AWARE Catalyst scan (the Delta reader-understands-DVs
+    // contract): pending MOR patches and tombstones overlay
+    // AUTOMATICALLY over the plan-time-pruning scan — a GDPR takedown
+    // landed via deleteMor is invisible through scan() itself, not
+    // only through readActive (takedown_ok), and scan() serves
+    // row-for-row what readActive serves (parity_ok, exceptAll both
+    // ways). The published aggregate reads THROUGH scan() with an
+    // ordinary range filter, so the oracle additionally pins that the
+    // overlay never changes answers; GraftScanSpec pins that the
+    // filter still prunes base files under the overlay and that
+    // metadata-only folds disable themselves while overlays pend.
+    "q301_scan_mor" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_scanmor").resolve("t").toString
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_orderpriority"), col("o_totalprice"))
+          .repartitionByRange(8, col("o_orderkey"))
+        graft.sources.VersionedTable.overwriteWithStats(
+          orders, root, "o_orderkey")
+        graft.sources.Tombstones.updateMor(s, root, Seq("o_orderkey"),
+          col("o_orderstatus") === "F" && col("o_totalprice") < 50000,
+          Map("o_orderpriority" -> lit("PATCHED")))
+        graft.sources.Tombstones.deleteMor(s, root,
+          orders.filter(col("o_orderkey") % 9 === 0)
+            .select(col("o_orderkey")))
+        val served = graft.sources.VersionedTable.scan(s, root)
+        val takedownOk =
+          if (served.filter(col("o_orderkey") % 9 === 0).count() == 0L) 1L
+          else 0L
+        val active = graft.sources.Tombstones.readActive(s, root)
+        val parityOk =
+          if (served.exceptAll(active).count() == 0L &&
+            active.exceptAll(served).count() == 0L) 1L
+          else 0L
+        served
+          .filter(col("o_orderkey") >= 1000L && col("o_orderkey") <= 30000L)
+          .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("takedown_ok", lit(takedownOk))
+          .withColumn("parity_ok", lit(parityOk))
+          .orderBy("o_orderstatus", "o_orderpriority")
+      },
+      oracle = Some("""
+        WITH u1 AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderstatus = 'F' AND o_totalprice < 50000
+                      THEN 'PATCHED' ELSE o_orderpriority END
+                   AS o_orderpriority,
+                 o_totalprice
+          FROM orders)
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total,
+               CAST(1 AS BIGINT) AS takedown_ok,
+               CAST(1 AS BIGINT) AS parity_ok
+        FROM u1
+        WHERE o_orderkey % 9 != 0 AND o_orderkey BETWEEN 1000 AND 30000
+        GROUP BY 1, 2 ORDER BY 1, 2"""),
+      bench = false),
+
     // OPTIMIZE compaction: four stats-carrying appends degenerate the
     // table into small files; compact() bin-packs them (range-clustered
     // on l_orderkey, stats recomputed), and the post-compaction

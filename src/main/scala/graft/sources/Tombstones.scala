@@ -131,16 +131,27 @@ object Tombstones {
     n
   }
 
-  /** Snapshot read MINUS pending tombstones PLUS pending patches (the
-    * merge-on-read): patched keys read their patch row, tombstoned
-    * keys disappear, everything else reads the base files untouched.
-    * Both overlays broadcast while small — which is the regime MOR is
-    * for; an overlay grown to fact scale is the signal to [[purge]].
-    * A key both patched and tombstoned is dead (deletes always win —
-    * [[updateMor]] computes from the active view, so it never patches
-    * a deleted key, and a delete AFTER a patch must hide it). */
-  def readActive(spark: SparkSession, root: String): DataFrame = {
-    val base = VersionedTable.read(spark, root)
+  /** Are any tombstones or patches outstanding? O(two directory
+    * probes) — the guard a read path checks before paying the overlay
+    * plan. */
+  def hasPending(root: String): Boolean =
+    VersionedTable.latestVersion(store(root)).isDefined ||
+      VersionedTable.latestVersion(patchStore(root)).isDefined
+
+  /** The merge-on-read composition over an arbitrary `base` frame:
+    * MINUS pending tombstones PLUS pending patches — patched keys read
+    * their patch row, tombstoned keys disappear, everything else reads
+    * `base` untouched. Catalyst pushes base-column filters through the
+    * anti-joins and the union to `base` itself, so a plan-time-pruning
+    * base ([[VersionedTable.scan]]) keeps its file skipping under the
+    * overlay. Both overlays broadcast while small — which is the
+    * regime MOR is for; an overlay grown to fact scale is the signal
+    * to [[purge]]. A key both patched and tombstoned is dead (deletes
+    * always win — [[updateMor]] computes from the active view, so it
+    * never patches a deleted key, and a delete AFTER a patch must hide
+    * it). */
+  def overlay(spark: SparkSession, root: String,
+              base: DataFrame): DataFrame = {
     val patched = pendingPatches(spark, root) match {
       case None => base
       case Some(p) =>
@@ -153,6 +164,10 @@ object Tombstones {
       case Some(t) => patched.join(broadcast(t), t.columns.toSeq, "left_anti")
     }
   }
+
+  /** Snapshot read under the merge-on-read [[overlay]]. */
+  def readActive(spark: SparkSession, root: String): DataFrame =
+    overlay(spark, root, VersionedTable.read(spark, root))
 
   /** Fold every pending patch AND tombstone into the data files via
     * file-pruned [[VersionedTable.applyChanges]] commits, then reset

@@ -967,10 +967,26 @@ object VersionedTable {
     * and the manifest's byte total feeds Catalyst's auto-broadcast
     * decision; the physical scan stays a normal vectorized parquet
     * read. Prefer this over `readWhere*` when the predicate arrives
-    * from query text rather than engine code. */
+    * from query text rather than engine code.
+    *
+    * MERGE-ON-READ aware (the Delta reader-understands-DVs contract): a
+    * LATEST-state scan of a table with pending [[Tombstones]] deletes
+    * or patches composes the same overlay as [[Tombstones.readActive]]
+    * over the pruning base — a GDPR takedown landed via `deleteMor` is
+    * invisible here too, not only through `readActive`. Base-column
+    * filters still push through the overlay to the file index, and
+    * metadata-only aggregate folds disable themselves (the plan is no
+    * longer a bare manifest relation — manifest totals would count
+    * deleted rows). A VERSION-PINNED scan reads that snapshot raw:
+    * time travel serves history by contract, exactly as
+    * [[readVersion]] does. */
   def scan(spark: SparkSession, root: String,
-           version: Option[Long] = None): DataFrame =
-    org.apache.spark.sql.graft.GraftScan.scan(spark, root, version)
+           version: Option[Long] = None): DataFrame = {
+    val base = org.apache.spark.sql.graft.GraftScan.scan(spark, root, version)
+    if (version.isEmpty && Tombstones.hasPending(root))
+      Tombstones.overlay(spark, root, base)
+    else base
+  }
 
   /** One data file of a committed version with its manifest stats —
     * the integration surface the Catalyst-side scan

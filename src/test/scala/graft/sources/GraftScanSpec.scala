@@ -259,6 +259,64 @@ class GraftScanSpec extends SparkSuite {
     assert(openedFiles(kq) < total, "integral stats must still prune")
   }
 
+  test("MOR-aware scan: pending tombstones and patches overlay " +
+    "automatically; pruning reaches the base; pinned scans serve history") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val rows = (0L until 600L).map(i => (i, s"p${i % 5}", i * 2L))
+      .toDF("k", "grp", "v").repartitionByRange(6, col("k"))
+    VersionedTable.overwriteWithStats(rows, root, "k")
+    val v0 = VersionedTable.latestVersion(root).get
+    // MOR update then MOR delete — the triad's read side
+    Tombstones.updateMor(spark, root, Seq("k"),
+      col("k") === 7L, Map("v" -> lit(-1L)))
+    Tombstones.deleteMor(spark, root, Seq(3L, 300L).toDF("k"))
+    // a takedown must be invisible through scan(), not only readActive
+    val served = VersionedTable.scan(spark, root)
+    assert(served.filter(col("k").isin(3L, 300L)).count() == 0L,
+      "deleted keys must be invisible to scan()")
+    assert(served.filter(col("k") === 7L).head().getLong(2) == -1L,
+      "patched keys must serve the patch row through scan()")
+    // scan() == readActive, row for row
+    val a = Tombstones.readActive(spark, root)
+      .collect().map(_.toSeq).toSet
+    assert(served.collect().map(_.toSeq).toSet == a)
+    // bare count must NOT fold to the manifest total (it counts
+    // deleted rows) — and must equal the active count
+    val bare = VersionedTable.scan(spark, root).groupBy().count()
+    assert(bare.head().getLong(0) == 598L)
+    assert(bare.queryExecution.executedPlan.toString.contains("FileScan"),
+      "a MOR-overlaid count must scan, never fold the manifest total")
+    // base-column filters still prune files through the overlay: the
+    // base relation's scan node receives the pushed slice and selects
+    // fewer than the table's 6 files at plan time
+    val sliced = VersionedTable.scan(spark, root)
+      .filter(col("k") >= 100L && col("k") <= 199L)
+    assert(sliced.count() == 100L)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // AQE wraps the join plan in query stages — traverse with the helper
+    val aqe = new org.apache.spark.sql.execution.adaptive
+      .AdaptiveSparkPlanHelper {}
+    val baseScans = aqe.collect(sliced.queryExecution.executedPlan) {
+      case f: FileSourceScanExec if !f.relation.location.rootPaths.exists(
+        p => p.toString.contains("_patches") ||
+          p.toString.contains("_tombstones")) => f
+    }
+    assert(baseScans.nonEmpty, "expected the base FileScan under the overlay")
+    val opened = baseScans.map(_.selectedPartitions.totalNumberOfFiles).sum
+    assert(opened < 6L,
+      s"pruning must reach the base scan under the overlay, selected $opened")
+    // a version-pinned scan serves the RAW snapshot (time travel)
+    assert(VersionedTable.scan(spark, root, Some(v0)).count() == 600L)
+    // purge folds the overlays; scan() == read() again and the
+    // metadata fold returns
+    Tombstones.purge(spark, root)
+    val after = VersionedTable.scan(spark, root).groupBy().count()
+    assert(after.head().getLong(0) == 598L)
+    assert(!after.queryExecution.executedPlan.toString.contains("FileScan"),
+      "post-purge bare count must fold from the manifest again")
+  }
+
   test("manifest bytes feed the auto-broadcast decision: a small scan " +
     "broadcasts with NO hint") {
     import spark.implicits._
