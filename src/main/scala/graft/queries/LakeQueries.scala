@@ -610,6 +610,54 @@ object LakeQueries extends QueryModule {
         GROUP BY 1, 2 ORDER BY 1, 2"""),
       bench = false),
 
+    // PARTITION-AWARE Catalyst scan (the Delta partitioned-table
+    // role): orders written Hive-layout by o_orderstatus through
+    // VersionedTable (partition values live in the PATH, recorded in
+    // the _partition_schema sidecar, never in the files), and ONE
+    // plan-time FileIndex prunes on the partition dimension (part_ok:
+    // the status predicate selects exactly one of three directories
+    // at plan time) AND the per-file o_orderkey stats within it
+    // (prune_ok: fewer files than the partition holds). The oracle
+    // pins that two-dimensional plan-time skipping never changes
+    // answers.
+    "q302_scan_partitioned" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_scanpart").resolve("t").toString
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_orderpriority"), col("o_totalprice"))
+          .repartitionByRange(6, col("o_orderkey"))
+        graft.sources.VersionedTable.overwritePartitionedWithStats(
+          orders, root, Seq("o_orderstatus"), "o_orderkey")
+        val sliced = graft.sources.VersionedTable.scan(s, root)
+          .filter(col("o_orderstatus") === "F" &&
+            col("o_orderkey") >= 1000L && col("o_orderkey") <= 4000L)
+        val scanNode = sliced.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        val partOk =
+          if (scanNode.nonEmpty && scanNode.head.partitionFilters.nonEmpty &&
+            scanNode.head.selectedPartitions.partitionCount == 1) 1L
+          else 0L
+        val pruneOk =
+          if (scanNode.nonEmpty &&
+            scanNode.head.selectedPartitions.totalNumberOfFiles < 6L) 1L
+          else 0L
+        sliced.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("part_ok", lit(partOk))
+          .withColumn("prune_ok", lit(pruneOk))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total,
+               CAST(1 AS BIGINT) AS part_ok, CAST(1 AS BIGINT) AS prune_ok
+        FROM orders
+        WHERE o_orderstatus = 'F'
+          AND o_orderkey BETWEEN 1000 AND 4000
+        GROUP BY 1 ORDER BY 1""")),
+
     // OPTIMIZE compaction: four stats-carrying appends degenerate the
     // table into small files; compact() bin-packs them (range-clustered
     // on l_orderkey, stats recomputed), and the post-compaction

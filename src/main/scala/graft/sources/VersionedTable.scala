@@ -503,6 +503,115 @@ object VersionedTable {
     v
   }
 
+  // -------------------------------------------------------------------
+  // Hive-layout PARTITIONED tables under the manifest log: data files
+  // live in `data/<col>=<value>/...` directories, a `_partition_schema
+  // .json` sidecar records the partition columns' names and types
+  // (they are NOT stored in the files, exactly Spark's partitionBy
+  // convention), and the Catalyst scan surfaces them through the
+  // FileIndex's partitionSchema — so one plan-time index prunes on the
+  // partition dimension AND the per-file [min, max]/bloom stats, the
+  // Delta partitioned-table role. Manifest lines, time travel, stats
+  // and vacuum are unchanged: a partitioned file is just a file whose
+  // path carries `col=value` segments.
+  // -------------------------------------------------------------------
+
+  private def partitionSchemaFile(root: String): File =
+    new File(root, "_partition_schema.json")
+
+  /** The table's partition columns (empty schema when unpartitioned). */
+  def partitionSchema(root: String): org.apache.spark.sql.types.StructType = {
+    val f = partitionSchemaFile(root)
+    if (!f.exists()) org.apache.spark.sql.types.StructType(Nil)
+    else org.apache.spark.sql.types.DataType.fromJson(
+      new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+  }
+
+  /** Stage `df` partitioned by `partCols` (Hive layout preserved under
+    * `data/`), returning the staged file paths. Partition values must
+    * be string or integral — the types the scan's path parser and the
+    * manifest stats both round-trip. */
+  private def stagePartitioned(df: DataFrame, root: String,
+                               partCols: Seq[String]): Seq[String] = {
+    require(partCols.nonEmpty, "partitioned write needs partition columns")
+    partCols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt == org.apache.spark.sql.types.StringType ||
+        dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.IntegerType ||
+        dt == org.apache.spark.sql.types.ShortType ||
+        dt == org.apache.spark.sql.types.ByteType,
+        s"partition column $c must be string or integral, got $dt")
+    }
+    val pSchema = org.apache.spark.sql.types.StructType(
+      partCols.map(c => df.schema(c).copy(nullable = true)))
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new File(root, s"_staging_p-$nonce")
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
+      .parquet(staging.getPath)
+    dataDir(root).mkdirs()
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val moved = walk(staging).filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getPath).zipWithIndex.map { case (f, i) =>
+        val rel = staging.toPath.relativize(f.getParentFile.toPath).toString
+        val dstDir = new File(dataDir(root), rel)
+        dstDir.mkdirs()
+        val dst = new File(dstDir, f"p-$nonce-$i%05d.parquet")
+        Files.move(f.toPath, dst.toPath, StandardCopyOption.ATOMIC_MOVE)
+        dst.getPath
+      }
+    Lake.deleteRecursively(staging)
+    // sidecar before the commit: a reader resolving the new version
+    // must already know the partition columns. Idempotent content —
+    // the key-set check below makes repeated writes agree.
+    val existing = partitionSchema(root)
+    require(existing.isEmpty || existing == pSchema,
+      s"partition schema $pSchema differs from the table's $existing")
+    if (existing.isEmpty) {
+      val tmp = Files.createTempFile(new File(root).toPath, "_pschema", ".tmp")
+      Files.write(tmp, pSchema.json.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, partitionSchemaFile(root).toPath,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    moved
+  }
+
+  /** Partitioned overwrite: Hive `col=value` layout under `data/`,
+    * partition columns recorded in the `_partition_schema.json`
+    * sidecar (not in the files), per-file [min, max] stats on
+    * `statsCols` (non-partition columns — the partition dimension
+    * prunes from the path, the stats prune within it). Read through
+    * [[scan]] for combined partition + stats + bloom plan-time
+    * pruning. */
+  def overwritePartitionedWithStats(df: DataFrame, root: String,
+                                    partCols: Seq[String],
+                                    statsCols: String*): Long = {
+    require(!statsCols.exists(partCols.contains),
+      "statsCols must be non-partition columns (partition values prune " +
+        "from the path)")
+    val staged = stagePartitioned(df, root, partCols)
+    val lines = statLines(df.sparkSession, staged, statsCols)
+    commitWithRetry(root, maxRetries = 5)(_ => lines)
+  }
+
+  /** As [[overwritePartitionedWithStats]], appending (delta commit). */
+  def appendPartitionedWithStats(df: DataFrame, root: String,
+                                 partCols: Seq[String],
+                                 statsCols: String*): Long = {
+    require(!statsCols.exists(partCols.contains),
+      "statsCols must be non-partition columns (partition values prune " +
+        "from the path)")
+    val staged = stagePartitioned(df, root, partCols)
+    val lines = statLines(df.sparkSession, staged, statsCols)
+    val v = commitWithRetry(root, maxRetries = 5) { v =>
+      if (v == 0) lines else deltaContent(Seq.empty, lines)
+    }
+    maybeCheckpoint(root, v)
+    v
+  }
+
   /** As [[overwriteWithStats]] with per-file sums — see
     * [[appendWithSums]]. */
   def overwriteWithSums(df: DataFrame, root: String, sumCols: Seq[String],

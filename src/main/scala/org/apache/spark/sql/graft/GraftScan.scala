@@ -45,18 +45,29 @@ import graft.sources.VersionedTable.ScanFile
   * never re-lists. */
 object GraftScan {
 
-  /** The latest (or pinned) snapshot as a filter-pruning DataFrame. */
+  /** The latest (or pinned) snapshot as a filter-pruning DataFrame.
+    * Tables written by `overwritePartitionedWithStats` additionally
+    * surface their Hive-layout partition columns through the index's
+    * `partitionSchema` — Catalyst splits predicates into
+    * partitionFilters (evaluated against the path-parsed values, whole
+    * directories skipped) and dataFilters (per-file stats/blooms), so
+    * ONE plan-time index prunes on the partition dimension AND the
+    * manifest stats. */
   def scan(spark: SparkSession, root: String,
            version: Option[Long] = None): DataFrame = {
     val v = version.orElse(VersionedTable.latestVersion(root))
       .getOrElse(sys.error(s"no versions at $root"))
     val files = VersionedTable.scanListing(root, Some(v))
     require(files.nonEmpty, s"no files to scan at $root")
-    val dataSchema = schemaOf(spark, root, v, files.map(_.path))
+    val partSchema = VersionedTable.partitionSchema(root)
+    val dataSchema = StructType(
+      schemaOf(spark, root, v, files.map(_.path))
+        .filterNot(f => partSchema.fieldNames.contains(f.name)))
     val cs = spark.asInstanceOf[classic.SparkSession]
     val relation = HadoopFsRelation(
-      new GraftFileIndex(files, VersionedTable.countRows(root, Some(v))),
-      StructType(Nil), dataSchema, None,
+      new GraftFileIndex(files, VersionedTable.countRows(root, Some(v)),
+        partSchema),
+      partSchema, dataSchema, None,
       new ParquetFileFormat, Map("mergeSchema" -> "true"))(cs)
     PlanBridge.registerOptimization(spark, CountFromManifest)
     PlanBridge.ofRows(spark, LogicalRelation(relation, false))
@@ -183,10 +194,13 @@ object GraftScan {
   }
 
   /** Manifest-backed [[FileIndex]]: one immutable version's files with
-    * their stats; `listFiles` is where Catalyst's pushed data filters
-    * meet the manifest. */
+    * their stats; `listFiles` is where Catalyst's pushed filters meet
+    * the manifest — partitionFilters against the path-parsed partition
+    * values (whole `col=value` directories skipped at plan time),
+    * dataFilters against the per-file [min, max]/bloom stats. */
   private final class GraftFileIndex(files: Seq[ScanFile],
-                                     val totalRows: Option[Long])
+                                     val totalRows: Option[Long],
+                                     partSchema: StructType)
       extends FileIndex {
 
     private val statuses: Seq[(ScanFile, FileStatus)] = files.map { f =>
@@ -195,17 +209,51 @@ object GraftScan {
         128L << 20, jf.lastModified(), new Path(jf.toURI))
     }
 
+    /** Partition groups: (values-as-Seq for grouping equality, the
+      * catalyst row, that partition's files). One group with the empty
+      * row when unpartitioned. */
+    private lazy val groups: Seq[(InternalRow, Seq[(ScanFile, FileStatus)])] =
+      if (partSchema.isEmpty) Seq(InternalRow.empty -> statuses)
+      else statuses
+        .groupBy { case (f, _) => partValuesOf(f.path, partSchema) }
+        .toSeq.map { case (vals, fs) =>
+          InternalRow.fromSeq(vals) -> fs
+        }
+
     override def rootPaths: Seq[Path] =
       statuses.map(_._2.getPath.getParent).distinct
 
     override def listFiles(
         partitionFilters: Seq[Expression],
         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-      val kept = statuses.collect {
-        case (f, st) if dataFilters.forall(mayMatch(f, _)) => st
+      val keep = partitionPredicate(partitionFilters)
+      groups.collect {
+        case (row, fs) if keep(row) =>
+          PartitionDirectory(row, fs.collect {
+            case (f, st) if dataFilters.forall(mayMatch(f, _)) => st
+          }.toArray)
       }
-      Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
     }
+
+    /** The partitionFilters bound (BY NAME, as Spark's own
+      * PartitioningAwareFileIndex does) against the partition-values
+      * row. Any shape that fails to bind or evaluate keeps every
+      * partition — pruning is an optimization, never a semantics
+      * change. */
+    private def partitionPredicate(
+        filters: Seq[Expression]): InternalRow => Boolean =
+      if (partSchema.isEmpty || filters.isEmpty) _ => true
+      else try {
+        val bound = filters.reduce(And).transform {
+          case a: AttributeReference =>
+            val i = partSchema.fieldIndex(a.name)
+            BoundReference(i, partSchema(i).dataType, nullable = true)
+        }
+        val pred = Predicate.createInterpreted(bound)
+        row => try pred.eval(row) catch { case _: Exception => true }
+      } catch {
+        case _: Exception => _ => true
+      }
 
     override def inputFiles: Array[String] =
       statuses.map(_._2.getPath.toString).toArray
@@ -214,7 +262,7 @@ object GraftScan {
 
     override def sizeInBytes: Long = statuses.map(_._2.getLen).sum
 
-    override def partitionSchema: StructType = StructType(Nil)
+    override def partitionSchema: StructType = partSchema
 
     /** The table's exact SUM of `name` from the per-file `sum:` stats
       * — `None` unless EVERY file records one. */
@@ -252,6 +300,34 @@ object GraftScan {
                 f.map(_._2).reduce(graft.sources.Utf8Order.max))))
           } else None
         case _ => None
+      }
+    }
+  }
+
+  /** The file's partition values parsed from its `col=value` path
+    * segments (Hive layout, Spark's own escaping), typed per the
+    * recorded partition schema — the values Catalyst's
+    * partitionFilters evaluate against and the scan injects into the
+    * rows. Missing segment or `__HIVE_DEFAULT_PARTITION__` → null. */
+  private def partValuesOf(path: String, schema: StructType): Seq[Any] = {
+    val segs = path.split('/')
+    schema.fields.toSeq.map { f =>
+      val pref = f.name + "="
+      segs.find(_.startsWith(pref)) match {
+        case Some(seg) =>
+          val raw = org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.unescapePathName(seg.substring(pref.length))
+          if (raw == "__HIVE_DEFAULT_PARTITION__") null
+          else f.dataType match {
+            case org.apache.spark.sql.types.StringType =>
+              UTF8String.fromString(raw)
+            case org.apache.spark.sql.types.LongType => raw.toLong
+            case org.apache.spark.sql.types.IntegerType => raw.toInt
+            case org.apache.spark.sql.types.ShortType => raw.toShort
+            case org.apache.spark.sql.types.ByteType => raw.toByte
+            case dt => sys.error(s"unsupported partition type $dt (${f.name})")
+          }
+        case None => null
       }
     }
   }

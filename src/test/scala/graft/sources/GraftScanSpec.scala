@@ -317,6 +317,64 @@ class GraftScanSpec extends SparkSuite {
       "post-purge bare count must fold from the manifest again")
   }
 
+  test("partition-aware scan: Hive-layout partition columns prune whole " +
+    "directories at plan time AND compose with per-file stats pruning") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = tmpRoot()
+    val rows = (0L until 1200L).map { i =>
+      (i, s"s${i % 4}", f"2024-${i % 3 + 1}%02d", i * 2L)
+    }.toDF("k", "status", "month", "v")
+      .repartitionByRange(4, col("k"))
+    VersionedTable.overwritePartitionedWithStats(
+      rows, root, Seq("status"), "k")
+    // values parsed from the path are injected into the rows
+    val all = VersionedTable.scan(spark, root)
+    assert(all.count() == 1200L)
+    assert(all.schema.fieldNames.contains("status"))
+    assert(all.groupBy(col("status")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("s0" -> 300L, "s1" -> 300L, "s2" -> 300L, "s3" -> 300L))
+    // a partition-column filter selects exactly ONE partition at plan
+    // time (the q203 selectedPartitions assertion through scan())
+    val one = VersionedTable.scan(spark, root)
+      .filter(col("status") === "s2")
+    val scans = one.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    assert(scans.head.partitionFilters.nonEmpty,
+      "partition predicates must surface as partitionFilters")
+    assert(scans.head.selectedPartitions.partitionCount == 1,
+      s"expected 1 partition, got ${scans.head.selectedPartitions.partitionCount}")
+    assert(one.count() == 300L)
+    // partition + stats pruning compose: within the one directory,
+    // the k-range opens fewer than that partition's 4 files
+    val both = VersionedTable.scan(spark, root)
+      .filter(col("status") === "s2" && col("k") < 300L)
+    val bothScan = both.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f }.head
+    assert(bothScan.selectedPartitions.partitionCount == 1)
+    assert(bothScan.selectedPartitions.totalNumberOfFiles < 4L,
+      "stats pruning must apply within the selected partition")
+    assert(both.count() ==
+      rows.filter(col("status") === "s2" && col("k") < 300L).count())
+    // SQL text over a temp view reaches the same partition pruning
+    VersionedTable.scan(spark, root).createOrReplaceTempView("graft_part_v")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft_part_v WHERE status = 's1'")
+      .head().getLong(0) == 300L)
+    // appends keep the layout; new files join their partitions
+    VersionedTable.appendPartitionedWithStats(
+      Seq((5000L, "s2", "2024-04", 1L)).toDF("k", "status", "month", "v"),
+      root, Seq("status"), "k")
+    assert(VersionedTable.scan(spark, root)
+      .filter(col("status") === "s2").count() == 301L)
+    // bare count(*) still folds from the manifest (partition-blind)
+    val bare = VersionedTable.scan(spark, root).groupBy().count()
+    assert(bare.head().getLong(0) == 1201L)
+    assert(!bare.queryExecution.executedPlan.toString.contains("FileScan"))
+  }
+
   test("manifest bytes feed the auto-broadcast decision: a small scan " +
     "broadcasts with NO hint") {
     import spark.implicits._
