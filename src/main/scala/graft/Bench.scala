@@ -47,7 +47,14 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
-    val names = SparkEntry.benchQueries
+    // SPARK_GRAFT_BENCH_ONLY=q172,q173 — comma-separated name prefixes
+    // for targeted re-measures (perf-flag triage); full suite otherwise
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').filter(_.nonEmpty).toSeq) match {
+      case Some(ps) =>
+        SparkEntry.benchQueries.filter(n => ps.exists(n.startsWith))
+      case None => SparkEntry.benchQueries
+    }
     val best = scala.collection.mutable.Map.empty[String, Double]
     val rowsOf = scala.collection.mutable.Map.empty[String, Long]
     for (pass <- 1 to runs) {

@@ -11,6 +11,11 @@ import graft.streaming.{BatchSessionize, StreamingJobs}
   * `documents`. */
 object StreamQueries extends QueryModule {
 
+  /** DuckDB-parity decimal sum published as DOUBLE (QueryModule rules). */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+      .cast(org.apache.spark.sql.types.DoubleType)
+
   override def entries: Seq[(String, Q)] = Seq(
 
     // Structured Streaming (AvailableNow) windowed aggregation — the
@@ -969,6 +974,69 @@ object StreamQueries extends QueryModule {
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
                CAST(1 AS BIGINT) AS consistent_pair
         FROM events GROUP BY 1 ORDER BY 1"""),
+      bench = false),
+
+    // STREAMING read from the Catalyst scan (VersionedTable.scanStream
+    // — the DeltaSource role): micro-batch offsets are table VERSIONS
+    // resolved from the manifest log (never a directory walk), each
+    // batch reads through the same pruning FileIndex as scan(), and an
+    // ordinary .filter on the stream skips non-intersecting files per
+    // batch (GraftStreamSpec pins numInputRows < table rows). The
+    // lineitem table lands in TWO commits; the stream consumes both,
+    // a foreachBatch txn-append lands exactly-once, and a REPLAYED
+    // run with the same checkpoint is a no-op (replay_ok). The oracle
+    // pins the streamed+pruned slice against plain SQL.
+    "q304_scan_stream" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_sstream").resolve("t").toString
+        val out = tempRoot("graft_vt_sstream").resolve("out").toString
+        val ckpt = tempRoot("graft_vt_sstream").resolve("ck").toString
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+        val half = col("l_orderkey") % 2
+        graft.sources.VersionedTable.overwriteWithStats(
+          li.filter(half === 0).repartitionByRange(4, col("l_orderkey")),
+          root, "l_orderkey")
+        graft.sources.VersionedTable.appendWithStats(
+          li.filter(half === 1).repartitionByRange(4, col("l_orderkey")),
+          root, "l_orderkey")
+        def runStream(): Unit = {
+          val q = graft.sources.VersionedTable.scanStream(s, root)
+            .filter(col("l_orderkey") >= 1000L &&
+              col("l_orderkey") <= 3000L)
+            .writeStream
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+               id: Long) =>
+                if (!b.isEmpty)
+                  graft.sources.VersionedTable.appendTxn(b.toDF(), out,
+                    "scan_stream_gate", id)
+                ()
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination(180000)
+          ()
+        }
+        runStream()
+        val n1 = graft.sources.VersionedTable.read(s, out).count()
+        runStream() // replay: committed offsets make it a no-op
+        val replayOk =
+          if (graft.sources.VersionedTable.read(s, out).count() == n1) 1L
+          else 0L
+        graft.sources.VersionedTable.read(s, out)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+          .withColumn("replay_ok", lit(replayOk))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+               CAST(1 AS BIGINT) AS replay_ok
+        FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
+        GROUP BY 1 ORDER BY 1"""),
       bench = false)
   )
 }

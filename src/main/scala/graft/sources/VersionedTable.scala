@@ -453,13 +453,35 @@ object VersionedTable {
     -1L // unreachable
   }
 
+  /** Stats recorded BY DEFAULT by the plain writers: every top-level
+    * integral or string field, in schema order, capped here — a table
+    * written without foresight still gets [[countRows]], plan-time
+    * pruning, and the metadata-only profile fold from [[scan]], the
+    * Delta stance where the first 32 columns collect stats unless told
+    * otherwise. Explicit `*WithStats` calls keep full control (their
+    * column list is recorded verbatim, nothing else); blooms stay
+    * opt-in. One small aggregation over just-staged files, same cost
+    * shape `overwriteWithStats` always paid. */
+  private[sources] val MaxAutoStatsCols = 8
+
+  private def autoStatsCols(df: DataFrame): Seq[String] =
+    df.schema.fields.toSeq.collect {
+      case f if !f.name.contains('.') && !f.name.contains('`') &&
+          (f.dataType == org.apache.spark.sql.types.StringType ||
+            f.dataType == org.apache.spark.sql.types.LongType ||
+            f.dataType == org.apache.spark.sql.types.IntegerType ||
+            f.dataType == org.apache.spark.sql.types.ShortType ||
+            f.dataType == org.apache.spark.sql.types.ByteType) => f.name
+    }.take(MaxAutoStatsCols)
+
   /** Full overwrite → new version referencing only the new files.
     * Overwrite carries no read-dependency on the previous state, so a
     * commit conflict only means renumbering — the staged files are
-    * reused as-is. */
+    * reused as-is. Records [[autoStatsCols]] stats by default. */
   def overwrite(df: DataFrame, root: String): Long = {
     val staged = stageDataFiles(df, root, nextVersion(root))
-    commitWithRetry(root, maxRetries = 5)(_ => staged)
+    val lines = statLines(df.sparkSession, staged, autoStatsCols(df))
+    commitWithRetry(root, maxRetries = 5)(_ => lines)
   }
 
   /** As [[overwrite]], recording per-file [min, max] of `statsCol` in
@@ -733,8 +755,8 @@ object VersionedTable {
   def appendOnto(df: DataFrame, root: String, baseV: Long,
                  statsCols: String*): Long = {
     val staged = stageDataFiles(df, root, nextVersion(root))
-    appendOntoLines(root, baseV,
-      statLines(df.sparkSession, staged, statsCols))
+    appendOntoLines(root, baseV, statLines(df.sparkSession, staged,
+      if (statsCols.isEmpty) autoStatsCols(df) else statsCols))
   }
 
   /** [[appendOnto]] with a per-file bloom on `bloomCol` — see
@@ -1120,6 +1142,43 @@ object VersionedTable {
     }
   }
 
+  /** The files ADDED between version `from` (exclusive; None = from
+    * scratch) and `to` (inclusive), with their stats — one streaming
+    * micro-batch's deterministic file set. Requires an append-only
+    * range: every `from` file must survive to `to`, or the batch
+    * would silently re-serve rewritten rows ([[readChangesStream]]'s
+    * contract, enforced per batch here). */
+  def scanListingDelta(root: String, from: Option[Long],
+                       to: Long): Seq[ScanFile] = {
+    val newer = scanListing(root, Some(to))
+    from match {
+      case None => newer
+      case Some(v0) =>
+        val old = readListing(root, v0).map(pathOf).toSet
+        val newerPaths = newer.map(_.path).toSet
+        require(old.subsetOf(newerPaths),
+          s"scanListingDelta requires an append-only history at $root: " +
+            s"versions ($v0, $to] removed/rewrote files " +
+            "(MERGE/OPTIMIZE/Z-order); use diffVersions instead")
+        newer.filterNot(f => old.contains(f.path))
+    }
+  }
+
+  /** STREAMING read through the Catalyst scan
+    * ([[org.apache.spark.sql.graft.GraftStreamProvider]]): version-
+    * pinned micro-batches — each batch is the files committed between
+    * two manifest versions — through the same pruning FileIndex as
+    * [[scan]], so an ordinary `.filter(...)` on the stream skips
+    * non-intersecting files per batch from the manifest stats. Spark
+    * checkpoints the version offsets: a replayed batch re-reads
+    * exactly the same rows. Append-only history required (checked per
+    * batch). */
+  def scanStream(spark: SparkSession, root: String): DataFrame =
+    spark.readStream
+      .format(classOf[org.apache.spark.sql.graft.GraftStreamProvider].getName)
+      .option("root", root)
+      .load()
+
   /** METADATA-ONLY file count of a version: the listing's length, zero
     * data or footer reads — the input to fragmentation/auto-compaction
     * triggers (`df.inputFiles` would build a relation and read every
@@ -1386,14 +1445,16 @@ object VersionedTable {
     * new files; existing data is not rewritten. The previous file list
     * is re-read inside the retry loop: losing a commit race means the
     * winner's files must appear in ours (append-vs-append commutes, so
-    * retrying with the fresh manifest is always safe). */
+    * retrying with the fresh manifest is always safe). Records
+    * [[autoStatsCols]] stats by default. */
   def append(df: DataFrame, root: String): Long = {
     val staged = stageDataFiles(df, root, nextVersion(root))
+    val lines = statLines(df.sparkSession, staged, autoStatsCols(df))
     // delta commit: O(batch) bytes regardless of accumulated file count
     // (append-vs-append commutes by construction — the delta carries no
     // copy of the previous listing to go stale on a lost race)
     val v = commitWithRetry(root, maxRetries = 5) { v =>
-      if (v == 0) staged else deltaContent(Seq.empty, staged)
+      if (v == 0) lines else deltaContent(Seq.empty, lines)
     }
     maybeCheckpoint(root, v)
     v
@@ -1563,15 +1624,21 @@ object VersionedTable {
                        buckets: Int = 0): Long =
     overwriteZOrderedK(read(spark, root), root, cols, numFiles, buckets)
 
-  /** Snapshot read of a specific version (time travel). mergeSchema:
-    * an appended batch may carry added nullable columns (schema
-    * evolution — the Delta `mergeSchema` role); the union schema is
-    * reconstructed from the version's file footers, old files reading
-    * null for new columns. */
+  /** Snapshot read of a specific version (time travel), THROUGH the
+    * Catalyst-integrated FileIndex ([[scan]]'s base, raw — no MOR
+    * overlay: time travel and engine-internal readers serve the
+    * snapshot as committed): every ordinary read gets plan-time
+    * stats/bloom/partition pruning and manifest-fed sizeInBytes for
+    * free, and the one index is exercised under every plan shape in
+    * the gate instead of a few dedicated queries. mergeSchema
+    * semantics unchanged — an appended batch may carry added nullable
+    * columns (the Delta `mergeSchema` role); the union schema comes
+    * from the version's file footers, cached per immutable version,
+    * old files reading null for new columns. */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
-    val files = readListing(root, v).map(pathOf)
-    require(files.nonEmpty, s"version $v of $root has no files")
-    spark.read.option("mergeSchema", "true").parquet(files: _*)
+    require(readListing(root, v).nonEmpty,
+      s"version $v of $root has no files")
+    org.apache.spark.sql.graft.GraftScan.scan(spark, root, Some(v))
   }
 
   /** Read the latest snapshot. */

@@ -73,6 +73,24 @@ object GraftScan {
     PlanBridge.ofRows(spark, LogicalRelation(relation, false))
   }
 
+  /** A (possibly streaming) relation over an EXPLICIT file set with
+    * its manifest stats — the micro-batch surface
+    * ([[GraftStreamSource]]): the same pruning FileIndex as [[scan]],
+    * scoped to one version-delta's files, `isStreaming` marking the
+    * plan for MicroBatchExecution (exactly `FileStreamSource.getBatch`'s
+    * convention). Pushed filters prune the batch's files from the
+    * manifest stats per micro-batch. */
+  private[graft] def ofFiles(spark: SparkSession, files: Seq[ScanFile],
+                             dataSchema: StructType,
+                             isStreaming: Boolean): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val relation = HadoopFsRelation(
+      new GraftFileIndex(files, None, StructType(Nil)),
+      StructType(Nil), dataSchema, None,
+      new ParquetFileFormat, Map("mergeSchema" -> "true"))(cs)
+    PlanBridge.ofRows(spark, LogicalRelation(relation, isStreaming))
+  }
+
   /** The version's data schema, CACHED in a `_schema.v{v}.json`
     * sidecar: the first scan of a version pays one mergeSchema footer
     * sweep (evolution-safe — a single footer could miss columns that

@@ -1,0 +1,83 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.VersionedTable
+
+/** STREAMING read from the Catalyst-integrated scan (the DeltaSource
+  * role): micro-batches are VERSION-PINNED — each batch is exactly the
+  * files committed between two manifest versions, resolved from the
+  * log (never a directory walk), read through the same manifest-backed
+  * FileIndex as [[GraftScan]] — so a streaming consumer gets the
+  * batch scan's pruning contract: an ordinary `.filter(...)` on the
+  * stream pushes into each micro-batch's file listing and skips
+  * non-intersecting files from the manifest stats/blooms, per batch.
+  *
+  * Offsets are table VERSIONS (checkpointed by Spark), and a version
+  * range resolves to a deterministic file list — a replayed batch
+  * re-reads exactly the same rows, the exactly-once contract
+  * `readChangesStream`'s directory listing approximates but cannot
+  * pin (it discovers files, not commits). Append-only history
+  * required, checked per batch: a rewrite (MERGE/OPTIMIZE/z-order)
+  * fails the stream rather than silently re-serving rewritten rows.
+  *
+  * Use via [[graft.sources.VersionedTable.scanStream]]. */
+class GraftStreamProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    ("graft-table", GraftStreamSource.schemaFor(ctx.sparkSession,
+      GraftStreamSource.rootOf(parameters)))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new GraftStreamSource(ctx.sparkSession,
+      GraftStreamSource.rootOf(parameters))
+}
+
+private[graft] object GraftStreamSource {
+
+  def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("root",
+      sys.error("graft-table stream needs option 'root'"))
+
+  def schemaFor(spark: SparkSession, root: String): StructType = {
+    require(VersionedTable.partitionSchema(root).isEmpty,
+      "graft-table streaming does not serve partitioned tables yet")
+    val v = VersionedTable.latestVersion(root)
+      .getOrElse(sys.error(s"no versions at $root"))
+    VersionedTable.readVersion(spark, root, v).schema
+  }
+}
+
+private[graft] class GraftStreamSource(spark: SparkSession, root: String)
+    extends Source {
+
+  private val schema0 = GraftStreamSource.schemaFor(spark, root)
+
+  override def schema: StructType = schema0
+
+  override def getOffset: Option[Offset] =
+    VersionedTable.latestVersion(root).map(LongOffset(_))
+
+  private def versionOf(o: Offset): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.trim.toLong
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val files = VersionedTable.scanListingDelta(root,
+      start.map(versionOf), versionOf(end))
+    GraftScan.ofFiles(spark, files, schema0, isStreaming = true)
+  }
+
+  override def stop(): Unit = ()
+}

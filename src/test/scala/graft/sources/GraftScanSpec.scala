@@ -375,6 +375,42 @@ class GraftScanSpec extends SparkSuite {
     assert(!bare.queryExecution.executedPlan.toString.contains("FileScan"))
   }
 
+  test("default-on stats: a table written with PLAIN overwrite/append " +
+    "prunes, folds its profile, and answers countRows — no foresight") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val rows = (0L until 600L).map(i => (i, f"d${i % 6}", i.toDouble))
+      .toDF("k", "tag", "v").repartitionByRange(6, col("k"))
+    VersionedTable.overwrite(rows, root)
+    VersionedTable.append(
+      Seq((9999L, "d9", 0.0)).toDF("k", "tag", "v"), root)
+    // countRows answers with zero reads
+    assert(VersionedTable.countRows(root).contains(601L))
+    // numeric pruning through scan() with no statsCols ever passed
+    val sliced = VersionedTable.scan(spark, root).filter(col("k") < 100L)
+    assert(sliced.count() == 100L)
+    assert(openedFiles(sliced) < 7L, "default stats must prune")
+    // string stats recorded too; double column skipped (unsupported)
+    val profile = VersionedTable.scan(spark, root)
+      .agg(min(col("k")).as("klo"), max(col("tag")).as("thi"),
+        count(lit(1)).as("n"))
+    val r = profile.head()
+    assert(r.getLong(0) == 0L && r.getString(1) == "d9" &&
+      r.getLong(2) == 601L)
+    assert(!profile.queryExecution.executedPlan.toString.contains("FileScan"),
+      "the default-written profile must fold from the manifest")
+    // the cap: only the first MaxAutoStatsCols supported fields record
+    val wide = (0L until 10L).map(i =>
+      (i, i, i, i, i, i, i, i, i, s"t$i"))
+      .toDF((1 to 9).map(i => s"c$i") :+ "s": _*)
+    val root2 = tmpRoot()
+    VersionedTable.overwrite(wide, root2)
+    val f2 = VersionedTable.scanListing(root2).head
+    assert(f2.stats.contains("c1") && f2.stats.contains("c8"))
+    assert(!f2.stats.contains("c9") && !f2.strStats.contains("s"),
+      "fields beyond the cap must not record stats")
+  }
+
   test("manifest bytes feed the auto-broadcast decision: a small scan " +
     "broadcasts with NO hint") {
     import spark.implicits._

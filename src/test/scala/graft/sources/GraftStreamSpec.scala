@@ -1,0 +1,111 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSuite
+
+/** VersionedTable.scanStream — version-pinned micro-batches through
+  * the pruning FileIndex: filters prune per batch, offsets are table
+  * versions (exactly-once across restarts), rewrites refuse. */
+class GraftStreamSpec extends SparkSuite {
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("graft_stream").resolve("t").toString
+
+  private def mkTable(root: String, lo: Long, hi: Long,
+                      overwrite: Boolean): Unit = {
+    import spark.implicits._
+    val rows = (lo until hi).map(i => (i, s"s${i % 3}", i * 2L))
+      .toDF("k", "tag", "v").repartitionByRange(3, col("k"))
+    if (overwrite) VersionedTable.overwriteWithStats(rows, root, "k")
+    else VersionedTable.appendWithStats(rows, root, "k")
+    ()
+  }
+
+  private def runOnce(root: String, out: String, ckpt: String,
+                      where: org.apache.spark.sql.Column): Unit = {
+    val q = VersionedTable.scanStream(spark, root)
+      .filter(where)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       id: Long) =>
+        if (!batch.isEmpty)
+          VersionedTable.appendTxn(batch.toDF(), out, "graft_stream_spec", id)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    ()
+  }
+
+  test("version-pinned micro-batches: first run serves the snapshot, " +
+    "a restart serves ONLY versions committed since (exactly-once)") {
+    val root = tmpRoot()
+    val out = tmpRoot()
+    val ckpt = Files.createTempDirectory("graft_stream_ck").toString
+    mkTable(root, 0L, 600L, overwrite = true)
+    runOnce(root, out, ckpt, col("k") >= 0L)
+    assert(VersionedTable.read(spark, out).count() == 600L)
+    // two more commits; the restarted stream reads exactly the delta
+    mkTable(root, 600L, 700L, overwrite = false)
+    mkTable(root, 700L, 750L, overwrite = false)
+    runOnce(root, out, ckpt, col("k") >= 0L)
+    val got = VersionedTable.read(spark, out)
+    assert(got.count() == 750L, "no row lost, none duplicated")
+    assert(got.select(col("k")).distinct().count() == 750L)
+    // an idle restart with no new commits is a no-op
+    runOnce(root, out, ckpt, col("k") >= 0L)
+    assert(VersionedTable.read(spark, out).count() == 750L)
+  }
+
+  test("an ordinary filter prunes each micro-batch's files from the " +
+    "manifest stats: the source reads fewer rows than the table holds") {
+    val root = tmpRoot()
+    val ckpt = Files.createTempDirectory("graft_stream_ck2").toString
+    mkTable(root, 0L, 600L, overwrite = true) // 3 files, k-clustered
+    var inputRows = -1L
+    val q = VersionedTable.scanStream(spark, root)
+      .filter(col("k") < 100L)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        assert(batch.count() == 100L)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    inputRows = q.recentProgress.map(_.numInputRows).sum
+    assert(inputRows > 0L && inputRows < 600L,
+      s"manifest pruning must keep unmatched files unread, " +
+        s"read $inputRows of 600 rows")
+  }
+
+  test("a rewrite inside the offset range refuses rather than " +
+    "re-serving rewritten rows; scanListingDelta pins the contract") {
+    import spark.implicits._
+    val root = tmpRoot()
+    mkTable(root, 0L, 100L, overwrite = true)
+    val v0 = VersionedTable.latestVersion(root).get
+    mkTable(root, 100L, 150L, overwrite = false)
+    // the delta is exactly the appended files' rows
+    val delta = VersionedTable.scanListingDelta(root, Some(v0),
+      VersionedTable.latestVersion(root).get)
+    assert(delta.nonEmpty)
+    assert(spark.read.parquet(delta.map(_.path): _*).count() == 50L)
+    // a rewrite breaks append-only: refused with a clear error
+    VersionedTable.merge(spark, root,
+      Seq((1L, "zz", 0L)).toDF("k", "tag", "v"), Seq("k"))
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.scanListingDelta(root, Some(v0),
+        VersionedTable.latestVersion(root).get)
+    }
+    assert(e.getMessage.contains("append-only"))
+  }
+}

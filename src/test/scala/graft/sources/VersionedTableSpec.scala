@@ -342,7 +342,7 @@ class VersionedTableSpec extends SparkSuite {
     // referenced by the new manifest; the v1 file was replaced
     assert(after(untouchedName) == before(untouchedName))
     val latestFiles = VersionedTable.readListing(root, 2L)
-    assert(latestFiles.exists(_.endsWith(untouchedName)))
+    assert(latestFiles.exists(_.split('\t').head.endsWith(untouchedName)))
     assert(!latestFiles.exists(_.split('/').last.startsWith("v00001-")))
     assert(VersionedTable.read(spark, root).as[(Int, String)].collect().toSet
       == Set((1, "a"), (2, "b"), (10, "X"), (11, "y"), (12, "n")))
@@ -475,11 +475,22 @@ class VersionedTableSpec extends SparkSuite {
     assert(VersionedTable.statsRange(root, "k") == Some((0L, 149L)))
     // time travel: the old version still answers its own count
     assert(VersionedTable.countRows(root, Some(0L)) == Some(100L))
-    // a PLAIN append (no stats writer) poisons only the total, and only
-    // until those files are rewritten
+    // PLAIN appends record default stats now — the total keeps folding
     VersionedTable.append(Seq((999L, 0L)).toDF("k", "v"), root)
+    assert(VersionedTable.countRows(root) == Some(151L))
+    assert(VersionedTable.statsRange(root, "k") == Some((0L, 999L)))
+    // a LEGACY bare-path line (pre-default-stats table on disk) still
+    // poisons the fold conservatively, and only until rewritten
+    val dd = new java.io.File(root, "data")
+    val src = dd.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val legacy = new java.io.File(dd, "v00099-legacy-00000.parquet")
+    java.nio.file.Files.copy(src.toPath, legacy.toPath)
+    java.nio.file.Files.write(
+      new java.io.File(root, "_log/000000000003.manifest").toPath,
+      s"#delta\n+\t${legacy.getPath}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     assert(VersionedTable.countRows(root).isEmpty)
-    assert(VersionedTable.countRows(root, Some(1L)) == Some(150L))
+    assert(VersionedTable.countRows(root, Some(2L)) == Some(151L))
     assert(VersionedTable.statsRange(root, "k").isEmpty)
     // empty root: no versions → None
     assert(VersionedTable.countRows(tmpRoot()).isEmpty)
@@ -581,12 +592,14 @@ class VersionedTableSpec extends SparkSuite {
       spark.range(10).select(col("id").as("k")), root)
     VersionedTable.appendWithStats(
       spark.range(10, 30).select(col("id").as("k")), root)
-    // a plain append leaves that version's count unknowable → None
+    // plain appends record default stats — the count stays knowable
+    // (legacy stats-less lines keep the None path; pinned in the
+    // countRows gap test)
     VersionedTable.append(Seq(99L).toDF("k"), root)
     assert(VersionedTable.history(root).map {
       case (v, files, rows) => (v, files > 0, rows)
     } == Seq((0L, true, Some(10L)), (1L, true, Some(30L)),
-      (2L, true, None)))
+      (2L, true, Some(31L))))
 
     // CHECK constraint: violating batch rejected atomically
     val before = VersionedTable.latestVersion(root)
