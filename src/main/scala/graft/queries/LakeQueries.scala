@@ -658,6 +658,72 @@ object LakeQueries extends QueryModule {
           AND o_orderkey BETWEEN 1000 AND 4000
         GROUP BY 1 ORDER BY 1""")),
 
+    // SQL DML surface (GraftSql — the serving layer's write side):
+    // UPDATE / DELETE / INSERT INTO ... SELECT / MERGE INTO executed
+    // as SQL TEXT route to the same engine paths as the Scala API
+    // (file-pruned COW, atomic manifest commits, optimistic retry —
+    // GraftSqlSpec pins the machinery identity: untouched files
+    // survive a SQL DELETE byte-identical, history advances once per
+    // statement). The oracle replays the four statements as pure SQL
+    // transformations over the raw table — SQL-text DML must land
+    // exactly the state the statements describe.
+    "q303_sql_dml" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_sqldml").resolve("t").toString
+        val name = "gsql_orders"
+        graft.sources.VersionedTable.overwrite(
+          Tables(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice"))
+            .repartitionByRange(6, col("o_orderkey")),
+          root)
+        graft.sources.GraftSql.register(s, name, root)
+        graft.sources.GraftSql.execute(s,
+          s"""UPDATE $name SET o_totalprice = o_totalprice * 2
+              WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0""")
+        graft.sources.GraftSql.execute(s,
+          s"DELETE FROM $name WHERE o_orderkey % 10 = 0")
+        graft.sources.GraftSql.execute(s,
+          s"""INSERT INTO $name
+              SELECT o_orderkey + 1000000, o_orderstatus, o_totalprice
+              FROM $name WHERE o_orderkey % 7 = 0""")
+        graft.sources.GraftSql.execute(s,
+          s"""MERGE INTO $name USING
+              (SELECT o_orderkey, o_orderstatus, 5.0 AS o_totalprice
+               FROM $name WHERE o_orderkey % 11 = 1)
+              ON o_orderkey = o_orderkey
+              WHEN MATCHED THEN UPDATE SET *
+              WHEN NOT MATCHED THEN INSERT *""")
+        graft.sources.GraftSql.execute(s,
+          s"""SELECT o_orderstatus, count(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DOUBLE) AS total
+              FROM $name GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderstatus = 'F' AND o_orderkey % 3 = 0
+                      THEN o_totalprice * 2 ELSE o_totalprice END
+                   AS o_totalprice
+          FROM orders),
+        d AS (SELECT * FROM u WHERE o_orderkey % 10 != 0),
+        t1 AS (
+          SELECT * FROM d
+          UNION ALL
+          SELECT o_orderkey + 1000000, o_orderstatus, o_totalprice
+          FROM d WHERE o_orderkey % 7 = 0),
+        m AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 11 = 1 THEN 5.0
+                      ELSE o_totalprice END AS o_totalprice
+          FROM t1)
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
+        FROM m GROUP BY 1 ORDER BY 1"""),
+      bench = false),
+
     // OPTIMIZE compaction: four stats-carrying appends degenerate the
     // table into small files; compact() bin-packs them (range-clustered
     // on l_orderkey, stats recomputed), and the post-compaction

@@ -1,0 +1,128 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** GraftSql — the SQL DML router: INSERT/DELETE/UPDATE/MERGE text hits
+  * the SAME engine paths as the Scala API (file-pruned COW, atomic
+  * manifest commits), and SELECT passthrough reads committed DML
+  * immediately. */
+class GraftSqlSpec extends SparkSuite {
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("graft_sql").resolve("t").toString
+
+  private def freshTable(): (String, String) = {
+    import spark.implicits._
+    val root = tmpRoot()
+    val name = s"gsql_${math.abs(root.hashCode)}"
+    VersionedTable.overwrite(
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+        .toDF("k", "s", "v"), root)
+    GraftSql.register(spark, name, root)
+    (name, root)
+  }
+
+  test("INSERT INTO ... VALUES and ... SELECT append-commit; SELECT " +
+    "passthrough sees the new rows") {
+    val (name, root) = freshTable()
+    val r1 = GraftSql.execute(spark,
+      s"INSERT INTO $name VALUES (4, 'd', 40), (5, 'e', 50)").head()
+    assert(r1.getString(0) == "INSERT" && r1.getLong(3) == 2L)
+    val r2 = GraftSql.execute(spark,
+      s"INSERT INTO $name SELECT k + 100, s, v FROM $name WHERE k = 1")
+    assert(r2.head().getLong(3) == 1L)
+    assert(GraftSql.execute(spark, s"SELECT count(*) AS n FROM $name")
+      .head().getLong(0) == 6L)
+    // the inserted rows were cast to the table schema positionally
+    assert(VersionedTable.read(spark, root).schema ==
+      VersionedTable.readVersion(spark, root, 0L).schema)
+  }
+
+  test("DELETE FROM ... WHERE routes to the file-pruned COW delete") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val name = s"gsqld_${math.abs(root.hashCode)}"
+    // one file per batch so the pruning boundary is observable
+    VersionedTable.overwrite(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1), root)
+    VersionedTable.append(
+      Seq((10L, "x"), (11L, "y")).toDF("k", "s").coalesce(1), root)
+    val untouched = new java.io.File(root, "data").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).sorted.head
+    GraftSql.register(spark, name, root)
+    GraftSql.execute(spark, s"DELETE FROM $name WHERE k >= 10")
+    // the untouched file survives in the new manifest (file-pruned COW,
+    // the same machinery as the API path)
+    assert(VersionedTable.read(spark, root).inputFiles
+      .exists(_.endsWith(untouched)))
+    assert(GraftSql.execute(spark, s"SELECT k FROM $name ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("UPDATE ... SET with and without WHERE; SET sees pre-update " +
+    "columns; same answer as the API path") {
+    val (name, root) = freshTable()
+    GraftSql.execute(spark,
+      s"UPDATE $name SET v = v * 2, s = concat(s, '!') WHERE k <= 2")
+    val got = VersionedTable.read(spark, root)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2))).toSeq
+    assert(got == Seq((1L, "a!", 20L), (2L, "b!", 40L), (3L, "c", 30L)))
+    // no WHERE = all rows
+    GraftSql.execute(spark, s"UPDATE $name SET v = 0")
+    assert(VersionedTable.read(spark, root)
+      .agg(sum(col("v"))).head().getLong(0) == 0L)
+  }
+
+  test("MERGE INTO ... USING upserts by the ON keys; subquery sources; " +
+    "non-upsert MERGE shapes are rejected") {
+    import spark.implicits._
+    val (name, root) = freshTable()
+    Seq((2L, "B", 222L), (9L, "i", 90L)).toDF("k", "s", "v")
+      .createOrReplaceTempView("gsql_src")
+    GraftSql.execute(spark,
+      s"""MERGE INTO $name AS t USING gsql_src AS s ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+    val got = VersionedTable.read(spark, root).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, "a", 10L), (2L, "B", 222L),
+      (3L, "c", 30L), (9L, "i", 90L)))
+    // a subquery source
+    GraftSql.execute(spark,
+      s"""MERGE INTO $name USING (SELECT 3 AS k, 'C' AS s, 333 AS v)
+          ON k = k
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+    assert(VersionedTable.read(spark, root)
+      .filter(col("k") === 3L).head().getString(1) == "C")
+    // a non-equality ON is not keyed-upsert semantics → clear error
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark,
+        s"""MERGE INTO $name USING gsql_src ON $name.k >= gsql_src.k
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(e.getMessage.contains("equality"))
+  }
+
+  test("DML commits are the table format's atomic versions: history " +
+    "advances once per statement, time travel intact") {
+    val (name, root) = freshTable()
+    val v0 = VersionedTable.latestVersion(root).get
+    GraftSql.execute(spark, s"INSERT INTO $name VALUES (7, 'g', 70)")
+    GraftSql.execute(spark, s"DELETE FROM $name WHERE k = 1")
+    GraftSql.execute(spark, s"UPDATE $name SET v = -1 WHERE k = 7")
+    assert(VersionedTable.latestVersion(root).get == v0 + 3)
+    assert(VersionedTable.readVersion(spark, root, v0).count() == 3L)
+    // unregistered tables are refused, never guessed
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, "DELETE FROM nosuch WHERE k = 1")
+    }
+    assert(e.getMessage.contains("not registered"))
+  }
+}
