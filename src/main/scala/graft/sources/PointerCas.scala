@@ -41,17 +41,14 @@ object PointerCas {
 
   private def ptrFile(dir: File, n: Long) = new File(dir, s"_ptr.$n")
 
-  private def maxGen(dir: File): Long = {
-    val names = dir.list()
-    if (names == null) 0L
-    else names.iterator
+  private def maxGen(dir: File, b: CasBackend): Long =
+    b.list(dir).iterator
       .filter(n => n.startsWith("_ptr.") && !n.endsWith(".tmp"))
       .flatMap(n => scala.util.Try(n.stripPrefix("_ptr.").toLong).toOption)
       .foldLeft(0L)(math.max)
-  }
 
   /** Current pointer generation (0 before any guarded commit). */
-  def gen(dir: File): Long = maxGen(dir)
+  def gen(dir: File, b: CasBackend = LocalCas): Long = maxGen(dir, b)
 
   /** Content of the newest committed pointer, if any commit ever
     * landed. Retries if the resolved generation is pruned mid-read
@@ -60,13 +57,13 @@ object PointerCas {
     * "no pointer was ever committed"; persistent read failure under
     * churn THROWS — conflating the two would let a bootstrap path
     * zero-reset a live pointer. */
-  def read(dir: File): Option[String] = {
+  def read(dir: File, b: CasBackend = LocalCas): Option[String] = {
     var attempt = 0
     while (attempt < 8) {
-      val g = maxGen(dir)
+      val g = maxGen(dir, b)
       if (g == 0L) return None
-      try return Some(new String(
-        Files.readAllBytes(ptrFile(dir, g).toPath), StandardCharsets.UTF_8))
+      try return Some(new String(b.read(ptrFile(dir, g)),
+        StandardCharsets.UTF_8))
       catch { case _: java.io.IOException => attempt += 1 }
     }
     sys.error(s"pointer at $dir unreadable after 8 attempts " +
@@ -79,58 +76,38 @@ object PointerCas {
     * SnapshotGroup's `_published`). The first post-upgrade commit
     * lands `_ptr.1` and the legacy file goes permanently stale —
     * migration happens on write, readers never reset live state. */
-  def readOrLegacy(dir: File, legacyName: String): Option[String] =
-    read(dir).orElse {
+  def readOrLegacy(dir: File, legacyName: String,
+                   b: CasBackend = LocalCas): Option[String] =
+    read(dir, b).orElse {
       val legacy = new File(dir, legacyName)
-      if (legacy.exists())
-        Some(new String(Files.readAllBytes(legacy.toPath),
-          StandardCharsets.UTF_8))
-      else None
+      try Some(new String(b.read(legacy), StandardCharsets.UTF_8))
+      catch { case _: java.io.IOException => None }
     }
 
   /** Publish `content` as generation `expect + 1` iff no other writer
     * has committed past `expect` — false on a lost race, and the
     * caller re-reads state ([[gen]] + [[read]]) and retries its whole
-    * cycle. The exclusive hard-link creation of `_ptr.{expect+1}` is
-    * the atomic compare-and-swap: content is fully staged before the
-    * link, so readers never see a partial pointer, and exactly one
-    * writer per generation can ever succeed. */
-  def commitIfGen(dir: File, expect: Long, content: String): Boolean = {
-    if (maxGen(dir) != expect) return false // cheap pre-check only
-    val tmp = Files.createTempFile(dir.toPath, "_ptr_stage", ".tmp")
-    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
-    val target = ptrFile(dir, expect + 1).toPath
-    val won =
-      try { Files.createLink(target, tmp); true }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-        // a writer paused long enough for the stale-tmp pruner to take
-        // its staged file has certainly lost the race anyway — a lost
-        // CAS, not a crash: callers retry on false
-        case _: java.nio.file.NoSuchFileException => false
-      }
-    Files.deleteIfExists(tmp)
+    * cycle. The backend's atomic put-if-absent of `_ptr.{expect+1}`
+    * IS the compare-and-swap ([[LocalCas]]: exclusive hard-link
+    * creation; an object store: conditional PUT): content is fully
+    * staged before the name appears, so readers never see a partial
+    * pointer, and exactly one writer per generation can ever
+    * succeed. */
+  def commitIfGen(dir: File, expect: Long, content: String,
+                  b: CasBackend = LocalCas): Boolean = {
+    if (maxGen(dir, b) != expect) return false // cheap pre-check only
+    val won = b.putIfAbsent(ptrFile(dir, expect + 1),
+      content.getBytes(StandardCharsets.UTF_8))
     if (won) {
       // prune by LISTING, not by walking until a gap: an interrupted
-      // earlier prune must not strand generations below its gap
-      // forever. Stale stage tmps (crashed writers) age out too — a
-      // LIVE writer holds its tmp for microseconds, so a minute-old
-      // one is garbage; deleting it makes that writer's (already
-      // doomed) link throw rather than succeed, never corrupts.
-      val names = dir.list()
-      if (names != null) {
-        names.foreach { n =>
-          if (n.startsWith("_ptr.") && !n.endsWith(".tmp"))
-            scala.util.Try(n.stripPrefix("_ptr.").toLong).toOption
-              .filter(_ <= expect + 1 - Keep)
-              .foreach(m => Files.deleteIfExists(ptrFile(dir, m).toPath))
-          else if (n.startsWith("_ptr_stage") && n.endsWith(".tmp")) {
-            val f = new File(dir, n)
-            if (System.currentTimeMillis() - f.lastModified() > 60000L)
-              Files.deleteIfExists(f.toPath)
-          }
-        }
+      // earlier prune must not strand generations below its gap forever
+      b.list(dir).foreach { n =>
+        if (n.startsWith("_ptr.") && !n.endsWith(".tmp"))
+          scala.util.Try(n.stripPrefix("_ptr.").toLong).toOption
+            .filter(_ <= expect + 1 - Keep)
+            .foreach(m => b.delete(ptrFile(dir, m)))
       }
+      b.pruneStaleStages(dir)
     }
     won
   }

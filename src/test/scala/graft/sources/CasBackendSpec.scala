@@ -1,0 +1,81 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The CAS seam: the SAME generation-protocol race must serialize on
+  * the link-based local backend and on the in-memory conditional-PUT
+  * double — PointerCas knows only the put-if-absent primitive. */
+class CasBackendSpec extends AnyFunSuite {
+
+  private def raceIncrements(b: CasBackend): Unit = {
+    val dir = Files.createTempDirectory("graft_cas").toFile
+    val threads = 6
+    val perThread = 25
+    // bootstrap
+    assert(PointerCas.commitIfGen(dir, 0L, "0", b))
+    val pool = (1 to threads).map { _ =>
+      new Thread(() => {
+        var done = 0
+        while (done < perThread) {
+          val g = PointerCas.gen(dir, b)
+          val cur = PointerCas.read(dir, b).get.trim.toLong
+          if (PointerCas.commitIfGen(dir, g, (cur + 1).toString, b))
+            done += 1
+        }
+      })
+    }
+    pool.foreach(_.start())
+    pool.foreach(_.join(120000))
+    // every increment serialized: none lost, none doubled
+    assert(PointerCas.read(dir, b).get.trim.toLong ==
+      threads.toLong * perThread)
+    assert(PointerCas.gen(dir, b) == threads.toLong * perThread + 1)
+  }
+
+  test("racing CAS increments serialize on the local (hard-link) backend") {
+    raceIncrements(LocalCas)
+  }
+
+  test("racing CAS increments serialize on the in-memory backend") {
+    raceIncrements(new InMemoryCas)
+  }
+
+  test("putIfAbsent is exclusive per name; read-after-win sees full " +
+    "content; delete frees the name") {
+    Seq(LocalCas: CasBackend, new InMemoryCas).foreach { b =>
+      val dir = Files.createTempDirectory("graft_cas_p").toFile
+      val f = new File(dir, "_ptr.1")
+      val winners = new java.util.concurrent.atomic.AtomicInteger(0)
+      val ts = (1 to 8).map { i =>
+        new Thread(() => {
+          if (b.putIfAbsent(f, s"w$i".getBytes("UTF-8")))
+            winners.incrementAndGet()
+          ()
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join(60000))
+      assert(winners.get() == 1, s"$b: exactly one writer must win")
+      val content = new String(b.read(f), "UTF-8")
+      assert(content.matches("w[1-8]"))
+      assert(b.list(dir).contains("_ptr.1"))
+      b.delete(f)
+      assert(!b.list(dir).contains("_ptr.1"))
+      assert(b.putIfAbsent(f, "again".getBytes("UTF-8")),
+        "a deleted name must be takeable again")
+    }
+  }
+
+  test("legacy fixed-name fallback reads through the backend") {
+    val b = new InMemoryCas
+    val dir = Files.createTempDirectory("graft_cas_l").toFile
+    assert(PointerCas.readOrLegacy(dir, "_stats", b).isEmpty)
+    assert(b.putIfAbsent(new File(dir, "_stats"), "7 9".getBytes("UTF-8")))
+    assert(PointerCas.readOrLegacy(dir, "_stats", b).contains("7 9"))
+    // the first generation commit supersedes the legacy file
+    assert(PointerCas.commitIfGen(dir, 0L, "10 12", b))
+    assert(PointerCas.readOrLegacy(dir, "_stats", b).contains("10 12"))
+  }
+}
