@@ -392,6 +392,42 @@ object ScaleProbe {
       }
       spark.stop(); return
     }
+    // partition-dimension probe (`runMain graft.ScaleProbe part`): a
+    // Hive-layout table (8 tenants × k-clustered files) growing 10×;
+    // the one-tenant + k-band predicate must open a FLAT file fraction
+    // — (1/8 partitions) × (band/files) multiplicatively — because the
+    // partition dimension prunes whole directories at plan time and
+    // the stats prune within the survivor. Work tracks the predicate,
+    // never the table.
+    if (args.contains("part")) {
+      for (mult <- Seq(1, 4, 10)) {
+        val root = java.nio.file.Files
+          .createTempDirectory("probe_part").resolve("t").toString
+        val n = 400000L * mult
+        val filesPerTenant = 8 * mult
+        graft.sources.VersionedTable.overwritePartitionedWithStats(
+          spark.range(n).select(col("id").as("k"),
+            concat(lit("t"), col("id") % 8).as("tenant"),
+            (col("id") % 97).as("v"))
+            .repartitionByRange(filesPerTenant, col("k")),
+          root, Seq("tenant"), "k")
+        val total = graft.sources.VersionedTable.scan(spark, root)
+          .select(input_file_name()).distinct().count()
+        val t0 = System.nanoTime()
+        val sliced = graft.sources.VersionedTable.scan(spark, root)
+          .filter(col("tenant") === "t3" &&
+            col("k") >= 0L && col("k") <= n / 8)
+        val opened = sliced.select(input_file_name()).distinct().count()
+        val rows = sliced.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] mult=$mult%2d rows=$n%8d part_prune " +
+          f"opened=$opened%4d/$total%4d files rows=$rows%8d " +
+          f"frac=${opened.toDouble / total}%6.3f  $secs%5.2f s")
+        graft.sources.Lake.deleteRecursively(
+          new java.io.File(root).getParentFile)
+      }
+      spark.stop(); return
+    }
     // BPE-training probe (`runMain graft.ScaleProbe bpe`): replicas
     // REUSE the same token space (plain replication with shifted ids),
     // so the corpus grows 1x/4x/10x while the vocabulary — and with it

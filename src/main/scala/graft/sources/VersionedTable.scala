@@ -281,6 +281,15 @@ object VersionedTable {
           java.util.Base64.getDecoder.decode(payload)
     }.toMap
 
+  /** [[bloomsOf]] without the decode — the [[ScanFile]] listing keeps
+    * sketches base64-framed and defers decoding to the (rare)
+    * equality probe. */
+  private def bloomsB64Of(line: String): Map[String, String] =
+    line.split('\t').drop(1).grouped(3).collect {
+      case Array(c, _, payload) if c.startsWith(BloomPrefix) =>
+        c.stripPrefix(BloomPrefix) -> payload
+    }.toMap
+
   /** Manifest grammar for per-file STRING [min, max] stats (the typed
     * min/max Delta and Iceberg record for every column — ISO dates,
     * tenants, categories are the pruning keys a 100 TB lake actually
@@ -1122,12 +1131,22 @@ object VersionedTable {
   /** One data file of a committed version with its manifest stats —
     * the integration surface the Catalyst-side scan
     * ([[org.apache.spark.sql.graft.GraftScan]]) builds its FileIndex
-    * from. `bytes` comes from the [[BytesKey]] stat when recorded. */
+    * from. `rows`/`bytes` come from the [[RowsKey]]/[[BytesKey]] stats
+    * when recorded (carried here so the scan never re-walks the
+    * manifest for totals). `bloomsB64` stays base64-ENCODED — every
+    * snapshot read builds a listing, while only equality point probes
+    * ever consult a bloom, so decoding is deferred to the probe. */
   final case class ScanFile(path: String,
                             stats: Map[String, (Long, Long)],
                             strStats: Map[String, (String, String)],
+                            rows: Option[Long],
                             bytes: Option[Long],
-                            blooms: Map[String, Array[Byte]])
+                            bloomsB64: Map[String, String])
+
+  /** The resolved file PATHS of a version — the cheap accessor the
+    * scan's incremental-schema shortcut diffs versions with. */
+  def listingPaths(root: String, v: Long): Seq[String] =
+    readListing(root, v).map(pathOf)
 
   /** The resolved file listing of a version WITH its per-file stats —
     * everything a planning-time file-pruning index needs, O(manifest). */
@@ -1138,7 +1157,8 @@ object VersionedTable {
     readListing(root, v).map { ln =>
       val st = statsOf(ln)
       ScanFile(pathOf(ln), st - RowsKey - BytesKey, strStatsOf(ln),
-        st.get(BytesKey).map(_._1), bloomsOf(ln))
+        st.get(RowsKey).map(_._1), st.get(BytesKey).map(_._1),
+        bloomsB64Of(ln))
     }
   }
 
@@ -1635,11 +1655,9 @@ object VersionedTable {
     * columns (the Delta `mergeSchema` role); the union schema comes
     * from the version's file footers, cached per immutable version,
     * old files reading null for new columns. */
-  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
-    require(readListing(root, v).nonEmpty,
-      s"version $v of $root has no files")
+  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame =
+    // GraftScan resolves the listing once and requires it non-empty
     org.apache.spark.sql.graft.GraftScan.scan(spark, root, Some(v))
-  }
 
   /** Read the latest snapshot. */
   def read(spark: SparkSession, root: String): DataFrame =

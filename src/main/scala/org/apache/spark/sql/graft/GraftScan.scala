@@ -63,14 +63,59 @@ object GraftScan {
     val dataSchema = StructType(
       schemaOf(spark, root, v, files.map(_.path))
         .filterNot(f => partSchema.fieldNames.contains(f.name)))
+    // total rows folded from the listing already in hand (countRows
+    // semantics: any stats-less file disqualifies) — no second
+    // manifest walk per read
+    val totalRows =
+      if (files.forall(_.rows.isDefined)) Some(files.flatMap(_.rows).sum)
+      else None
     val cs = spark.asInstanceOf[classic.SparkSession]
     val relation = HadoopFsRelation(
-      new GraftFileIndex(files, VersionedTable.countRows(root, Some(v)),
-        partSchema),
+      new GraftFileIndex(files, totalRows, partSchema),
       partSchema, dataSchema, None,
       new ParquetFileFormat, Map("mergeSchema" -> "true"))(cs)
     PlanBridge.registerOptimization(spark, CountFromManifest)
     PlanBridge.ofRows(spark, LogicalRelation(relation, false))
+  }
+
+  /** INCREMENTAL schema for an append-delta version: the previous
+    * version's cached sidecar unioned (by name) with a footer sweep of
+    * ONLY the delta's new files — O(batch) footers instead of
+    * O(table), the cost that matters when a churn workload reads after
+    * every commit. `None` (→ the caller's full mergeSchema sweep)
+    * whenever the shortcut can't be PROVEN equivalent: no previous
+    * sidecar, a rewrite inside the step (previous files not a subset),
+    * or a same-name field whose type differs between the sidecar and
+    * the delta footers (parquet's merge semantics are subtler than
+    * keep-either — don't guess). Nullability unions: a field nullable
+    * on either side is nullable in the version. */
+  private def incrementalSchema(spark: SparkSession, root: String, v: Long,
+                                paths: Seq[String]): Option[StructType] = {
+    if (v <= 0) return None
+    val prevF = new java.io.File(root, s"_schema.v${v - 1}.json")
+    if (!prevF.exists()) return None
+    val prev = org.apache.spark.sql.types.DataType.fromJson(
+      new String(java.nio.file.Files.readAllBytes(prevF.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
+    val prevPaths = VersionedTable.listingPaths(root, v - 1).toSet
+    val cur = paths.toSet
+    if (!prevPaths.subsetOf(cur)) return None // rewrite: full sweep
+    val delta = paths.filterNot(prevPaths)
+    if (delta.isEmpty) return Some(prev)
+    val ds = spark.read.option("mergeSchema", "true")
+      .parquet(delta: _*).schema
+    val conflict = ds.fields.exists(df =>
+      prev.find(_.name == df.name).exists(_.dataType != df.dataType))
+    if (conflict) None
+    else Some(StructType(
+      prev.fields.map { pf =>
+        ds.find(_.name == pf.name) match {
+          case Some(df) => pf.copy(nullable = pf.nullable || df.nullable)
+          case None => pf.copy(nullable = true) // absent from new files
+        }
+      } ++
+        ds.fields.filterNot(df => prev.fieldNames.contains(df.name))
+          .map(_.copy(nullable = true)))) // absent from old files
   }
 
   /** A (possibly streaming) relation over an EXPLICIT file set with
@@ -107,8 +152,9 @@ object GraftScan {
           java.nio.charset.StandardCharsets.UTF_8))
         .asInstanceOf[StructType]
     else {
-      val s = spark.read.option("mergeSchema", "true")
-        .parquet(paths: _*).schema
+      val s = incrementalSchema(spark, root, v, paths).getOrElse(
+        spark.read.option("mergeSchema", "true")
+          .parquet(paths: _*).schema)
       var tmp: java.nio.file.Path = null
       try {
         tmp = java.nio.file.Files.createTempFile(
@@ -419,11 +465,12 @@ object GraftScan {
     * carries it). */
   private def bloomMayContain(f: ScanFile, col: String,
                               l: Literal): Boolean =
-    f.blooms.get(col) match {
-      case Some(bytes) =>
+    f.bloomsB64.get(col) match {
+      case Some(b64) =>
         val h = new XxHash64(Seq(l)).eval(null).asInstanceOf[Long]
         org.apache.spark.util.sketch.BloomFilter
-          .readFrom(new java.io.ByteArrayInputStream(bytes))
+          .readFrom(new java.io.ByteArrayInputStream(
+            java.util.Base64.getDecoder.decode(b64)))
           .mightContainLong(h)
       case None => true
     }

@@ -411,6 +411,40 @@ class GraftScanSpec extends SparkSuite {
       "fields beyond the cap must not record stats")
   }
 
+  test("incremental schema: an append-delta's first read sweeps only " +
+    "the NEW files' footers and equals the full mergeSchema inference") {
+    import spark.implicits._
+    val root = tmpRoot()
+    VersionedTable.overwrite(
+      Seq((1L, "a")).toDF("k", "s"), root)
+    VersionedTable.read(spark, root) // caches _schema.v0.json
+    // schema-evolving append: a NEW nullable column
+    VersionedTable.append(
+      Seq((2L, "b", 9L)).toDF("k", "s", "extra"), root)
+    val viaShortcut = VersionedTable.read(spark, root).schema
+    // ground truth: full mergeSchema inference over every file
+    val full = spark.read.option("mergeSchema", "true")
+      .parquet(VersionedTable.listingPaths(root,
+        VersionedTable.latestVersion(root).get): _*).schema
+    assert(viaShortcut.fieldNames.sorted.toSeq ==
+      full.fieldNames.sorted.toSeq)
+    assert(viaShortcut("extra").nullable,
+      "a column absent from old files must read nullable")
+    val got = VersionedTable.read(spark, root).orderBy("k")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(got.toSeq == Seq((1L, -1L), (2L, 9L)),
+      "old rows must read null for the appended column")
+    // a same-name TYPE conflict in the delta refuses the shortcut and
+    // fails exactly as the full inference would (no silent guess)
+    val root2 = tmpRoot()
+    VersionedTable.overwrite(Seq((1L, 5L)).toDF("k", "v"), root2)
+    VersionedTable.read(spark, root2)
+    VersionedTable.append(Seq((2L, "s")).toDF("k", "v"), root2)
+    intercept[Exception] {
+      VersionedTable.read(spark, root2).collect()
+    }
+  }
+
   test("manifest bytes feed the auto-broadcast decision: a small scan " +
     "broadcasts with NO hint") {
     import spark.implicits._
