@@ -26,8 +26,6 @@ object CoreQueries extends QueryModule {
   /** Exact-arithmetic sum of a 2dp money double: cast to DECIMAL so
     * Spark and DuckDB agree bit-for-bit regardless of summation order,
     * then back to DOUBLE for a stable output schema. */
-  private def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
 
   override def entries: Seq[(String, Q)] = Seq(
 

@@ -19,8 +19,6 @@ object ExtendedQueries extends QueryModule {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
-  private def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
 
   override def entries: Seq[(String, Q)] = Seq(
 

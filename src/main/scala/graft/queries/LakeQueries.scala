@@ -30,8 +30,6 @@ object LakeQueries extends QueryModule {
     "Xe phòng VIP",
     "Xe khách thường")
 
-  private def dsum(c: org.apache.spark.sql.Column) =
-    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
 
   override def entries: Seq[(String, Q)] = Seq(
 

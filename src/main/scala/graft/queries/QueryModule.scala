@@ -26,6 +26,16 @@ final case class Q(
 trait QueryModule {
   def entries: Seq[(String, Q)]
 
+  /** DuckDB-parity decimal sum published as DOUBLE (oracle rule: sum
+    * in DECIMAL(18, scale) for summation-order-free exactness, then
+    * cast back for a stable output schema). ONE definition — every
+    * module's oracle convention must move together. */
+  protected def dsum(c: org.apache.spark.sql.Column,
+                     scale: Int = 2): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.sum(
+      c.cast(org.apache.spark.sql.types.DecimalType(18, scale)))
+      .cast(org.apache.spark.sql.types.DoubleType)
+
   /** Temp work dir for queries that build tables/indexes inside the
     * run, deleted on JVM exit — repeated gate/bench runs must not leak
     * disk (cleanup is exit-time because lazily-evaluated reads may

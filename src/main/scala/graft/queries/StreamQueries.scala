@@ -11,11 +11,6 @@ import graft.streaming.{BatchSessionize, StreamingJobs}
   * `documents`. */
 object StreamQueries extends QueryModule {
 
-  /** DuckDB-parity decimal sum published as DOUBLE (QueryModule rules). */
-  private def dsum(c: org.apache.spark.sql.Column) =
-    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-      .cast(org.apache.spark.sql.types.DoubleType)
-
   override def entries: Seq[(String, Q)] = Seq(
 
     // Structured Streaming (AvailableNow) windowed aggregation — the
@@ -1016,7 +1011,8 @@ object StreamQueries extends QueryModule {
             .option("checkpointLocation", ckpt)
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
-          q.awaitTermination(180000)
+          require(q.awaitTermination(180000),
+            "scan stream did not drain within 180 s")
           ()
         }
         runStream()

@@ -51,6 +51,15 @@ object GraftSql {
     refreshView(spark, name)
   }
 
+  /** Drop `name` from the registry (its temp view, if any, is left to
+    * the session). A finished job's temp-rooted table must not stay
+    * registered — [[execute]] re-resolves every registered root, and a
+    * vanished one would otherwise fail unrelated statements. */
+  def unregister(name: String): Unit = {
+    tables.remove(name.toLowerCase)
+    ()
+  }
+
   private def rootOf(name: String): String = {
     val r = tables.get(name.toLowerCase)
     require(r != null, s"table '$name' is not registered with GraftSql")
@@ -61,9 +70,18 @@ object GraftSql {
     VersionedTable.scan(spark, rootOf(name))
       .createOrReplaceTempView(name)
 
+  /** Refresh every registered table's view to its current snapshot. A
+    * root that no longer resolves (a finished job's temp table never
+    * unregistered) is SKIPPED, never allowed to fail an unrelated
+    * statement — the stale name errors only if the statement actually
+    * references it. */
   private def refreshAll(spark: SparkSession): Unit = {
     val it = tables.keySet.iterator()
-    while (it.hasNext) refreshView(spark, it.next())
+    while (it.hasNext) {
+      val n = it.next()
+      try refreshView(spark, n)
+      catch { case _: RuntimeException => () }
+    }
   }
 
   private def result(spark: SparkSession, op: String, table: String,
@@ -80,11 +98,34 @@ object GraftSql {
     """(?is)\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val UpdateSql =
     """(?is)\s*UPDATE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
-  private val MergeSql =
-    ("""(?is)\s*MERGE\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+AS\s+(\w+))?""" +
-      """\s+USING\s+(.+?)(?:\s+AS\s+(\w+))?\s+ON\s+(.+?)""" +
+  private val MergeHead =
+    """(?is)\s*MERGE\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+AS\s+(\w+))?\s+USING\s+(.+)""".r
+
+  private val MergeTail =
+    ("""(?is)\s+(?:AS\s+(\w+)\s+)?ON\s+(.+?)""" +
       """\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
       """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""").r
+
+  /** Index just past the close paren matching the OPEN at position 0 —
+    * single-quote-aware, so a subquery source containing `JOIN ... ON`
+    * or string literals parses whole instead of splitting at the first
+    * keyword a regex would bite on. */
+  private def parenSpan(s: String): Int = {
+    var depth = 0
+    var i = 0
+    var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') inStr = !inStr
+      else if (!inStr && c == '(') depth += 1
+      else if (!inStr && c == ')') {
+        depth -= 1
+        if (depth == 0) return i + 1
+      }
+      i += 1
+    }
+    sys.error(s"unbalanced parentheses in MERGE source: $s")
+  }
 
   /** Execute one statement: DML routes to the engine paths; anything
     * else runs as `spark.sql` over the registered tables' current
@@ -98,8 +139,25 @@ object GraftSql {
       val p = if (pred == null) lit(true) else expr(pred)
       val v = VersionedTable.update(spark, rootOf(t), p, parseSets(sets))
       result(spark, "UPDATE", t, v, -1L)
-    case MergeSql(t, tAlias, source, sAlias, onCond) =>
-      merge(spark, t, Option(tAlias), source, Option(sAlias), onCond)
+    case MergeHead(t, tAlias, rest) =>
+      val r = rest.trim
+      val (source, afterSrc) =
+        if (r.startsWith("(")) {
+          val e = parenSpan(r)
+          (r.take(e), r.drop(e))
+        } else {
+          val id = "^[A-Za-z_][A-Za-z0-9_.]*".r.findFirstIn(r)
+            .getOrElse(sys.error(s"bad MERGE USING source: '$r'"))
+          (id, r.drop(id.length))
+        }
+      afterSrc match {
+        case MergeTail(sAlias, onCond) =>
+          merge(spark, t, Option(tAlias), source, Option(sAlias), onCond)
+        case _ => sys.error(
+          "MERGE must be the canonical upsert: MERGE INTO t USING s " +
+            "ON <equalities> WHEN MATCHED THEN UPDATE SET * " +
+            "WHEN NOT MATCHED THEN INSERT *")
+      }
     case other =>
       refreshAll(spark)
       spark.sql(other)
@@ -109,7 +167,7 @@ object GraftSql {
                      sourceSql: String): DataFrame = {
     val root = rootOf(t)
     refreshAll(spark)
-    val src = sourceSql.trim match {
+    val src = sourceSql.trim.stripSuffix(";").trim match {
       case v if v.toUpperCase.startsWith("VALUES") =>
         spark.sql(s"SELECT * FROM ($v)")
       case q => spark.sql(q)
@@ -117,10 +175,13 @@ object GraftSql {
     val schema = VersionedTable.read(spark, root).schema
     require(src.schema.length == schema.length,
       s"INSERT column count ${src.schema.length} != table ${schema.length}")
-    // positional mapping + cast to the table schema, SQL INSERT style
+    // positional mapping + cast to the table schema, SQL INSERT style;
+    // pinned once — the count and the append must see the SAME rows
+    // (a non-deterministic source evaluated twice could write rows the
+    // reported count never saw), and a large SELECT must not run twice
     val aligned = src.select(src.columns.zip(schema.fields).map {
       case (c, f) => col(c).cast(f.dataType).as(f.name)
-    }.toSeq: _*)
+    }.toSeq: _*).localCheckpoint(true)
     val n = aligned.count()
     val v = VersionedTable.append(aligned, root)
     result(spark, "INSERT", t, v, n)

@@ -79,9 +79,13 @@ object PointerCas {
   def readOrLegacy(dir: File, legacyName: String,
                    b: CasBackend = LocalCas): Option[String] =
     read(dir, b).orElse {
-      val legacy = new File(dir, legacyName)
-      try Some(new String(b.read(legacy), StandardCharsets.UTF_8))
-      catch { case _: java.io.IOException => None }
+      // existence and read-failure must stay DISTINCT: a transient read
+      // error on a present legacy pointer has to throw, or a bootstrap
+      // path would zero-reset a live index (the read() doc's hazard)
+      if (b.list(dir).contains(legacyName))
+        Some(new String(b.read(new File(dir, legacyName)),
+          StandardCharsets.UTF_8))
+      else None
     }
 
   /** Publish `content` as generation `expect + 1` iff no other writer

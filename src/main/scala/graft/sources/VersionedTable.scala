@@ -426,6 +426,16 @@ object VersionedTable {
     * same path, or the commit loser's cleanup would delete the winner's
     * data (exactly the Delta/Iceberg convention of UUID part files). */
   private def stageDataFiles(df: DataFrame, root: String, v: Long): Seq[String] = {
+    // a Hive-partitioned table's values live in the PATH; flat staging
+    // would commit files whose partition columns read back NULL (and a
+    // partition filter would silently prune the new rows away). Refuse
+    // loudly — partitioned tables take the partitioned writers, and
+    // rewrite ops (delete/update/merge/compact, MOR purge) don't serve
+    // them yet.
+    require(partitionSchema(root).isEmpty,
+      s"table at $root is Hive-partitioned: flat staging would lose the " +
+        "partition values — use appendPartitionedWithStats/" +
+        "overwritePartitionedWithStats")
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val staging = new File(root, s"_staging_v$v-$nonce")
     df.write.mode(SaveMode.Overwrite).parquet(staging.getPath)
@@ -1141,7 +1151,18 @@ object VersionedTable {
                             strStats: Map[String, (String, String)],
                             rows: Option[Long],
                             bytes: Option[Long],
-                            bloomsB64: Map[String, String])
+                            bloomsB64: Map[String, String]) {
+    /** Decoded sketches, materialized ONCE per file on the first
+      * equality probe — an IN-list over a bloom-carrying table probes
+      * per (file × value), and re-deserializing a multi-KB sketch per
+      * probe would dominate planning. */
+    @transient lazy val blooms: Map[String, org.apache.spark.util.sketch.BloomFilter] =
+      bloomsB64.map { case (c, b64) =>
+        c -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(
+            java.util.Base64.getDecoder.decode(b64)))
+      }
+  }
 
   /** The resolved file PATHS of a version — the cheap accessor the
     * scan's incremental-schema shortcut diffs versions with. */

@@ -465,13 +465,10 @@ object GraftScan {
     * carries it). */
   private def bloomMayContain(f: ScanFile, col: String,
                               l: Literal): Boolean =
-    f.bloomsB64.get(col) match {
-      case Some(b64) =>
+    f.blooms.get(col) match { // decoded once per file, lazily
+      case Some(bf) =>
         val h = new XxHash64(Seq(l)).eval(null).asInstanceOf[Long]
-        org.apache.spark.util.sketch.BloomFilter
-          .readFrom(new java.io.ByteArrayInputStream(
-            java.util.Base64.getDecoder.decode(b64)))
-          .mightContainLong(h)
+        bf.mightContainLong(h)
       case None => true
     }
 

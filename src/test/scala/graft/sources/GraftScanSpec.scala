@@ -373,6 +373,19 @@ class GraftScanSpec extends SparkSuite {
     val bare = VersionedTable.scan(spark, root).groupBy().count()
     assert(bare.head().getLong(0) == 1201L)
     assert(!bare.queryExecution.executedPlan.toString.contains("FileScan"))
+    // flat writers REFUSE a partitioned table: flat staging would
+    // commit files whose partition values read back NULL (and a
+    // partition filter would silently prune the new rows away)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.append(
+        Seq((1L, "sX", "2024-01", 1L)).toDF("k", "status", "month", "v"),
+        root)
+    }
+    assert(e.getMessage.contains("Hive-partitioned"))
+    intercept[IllegalArgumentException] {
+      VersionedTable.delete(spark, root, col("k") === 1L)
+    }
+    ()
   }
 
   test("default-on stats: a table written with PLAIN overwrite/append " +

@@ -110,6 +110,46 @@ class GraftSqlSpec extends SparkSuite {
     assert(e.getMessage.contains("equality"))
   }
 
+  test("MERGE USING a subquery containing JOIN ... ON parses whole " +
+    "(paren-aware), and INSERT tolerates a trailing semicolon") {
+    import spark.implicits._
+    val (name, root) = freshTable()
+    Seq((2L, "up")).toDF("k", "tag").createOrReplaceTempView("gsql_j1")
+    Seq((2L, 999L)).toDF("k", "nv").createOrReplaceTempView("gsql_j2")
+    GraftSql.execute(spark,
+      s"""MERGE INTO $name USING
+          (SELECT a.k, a.tag AS s, b.nv AS v
+           FROM gsql_j1 a JOIN gsql_j2 b ON a.k = b.k)
+          ON k = k
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+    assert(VersionedTable.read(spark, root)
+      .filter(col("k") === 2L).head().getLong(2) == 999L)
+    GraftSql.execute(spark, s"INSERT INTO $name VALUES (50, 'z', 5);")
+    assert(VersionedTable.read(spark, root).count() == 4L)
+  }
+
+  test("unregister drops a table; a vanished registered root never " +
+    "fails an unrelated statement") {
+    import spark.implicits._
+    val (name, _) = freshTable()
+    // a second registered table whose root disappears (finished job)
+    val deadRoot = tmpRoot()
+    VersionedTable.overwrite(Seq((1L, "x")).toDF("k", "s"), deadRoot)
+    GraftSql.register(spark, "gsql_dead", deadRoot)
+    Lake.deleteRecursively(new java.io.File(deadRoot))
+    // statements over OTHER tables keep working
+    assert(GraftSql.execute(spark,
+      s"SELECT count(*) AS n FROM $name").head().getLong(0) == 3L)
+    GraftSql.execute(spark, s"DELETE FROM $name WHERE k = 1")
+    // unregister: the name is refused afterwards
+    GraftSql.unregister("gsql_dead")
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, "DELETE FROM gsql_dead WHERE k = 1")
+    }
+    assert(e.getMessage.contains("not registered"))
+  }
+
   test("DML commits are the table format's atomic versions: history " +
     "advances once per statement, time travel intact") {
     val (name, root) = freshTable()

@@ -39,7 +39,7 @@ class GraftStreamSpec extends SparkSuite {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not drain within 120 s")
     ()
   }
 
@@ -80,7 +80,7 @@ class GraftStreamSpec extends SparkSuite {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not drain within 120 s")
     inputRows = q.recentProgress.map(_.numInputRows).sum
     assert(inputRows > 0L && inputRows < 600L,
       s"manifest pruning must keep unmatched files unread, " +
