@@ -429,9 +429,9 @@ object VersionedTable {
     // a Hive-partitioned table's values live in the PATH; flat staging
     // would commit files whose partition columns read back NULL (and a
     // partition filter would silently prune the new rows away). Refuse
-    // loudly — partitioned tables take the partitioned writers, and
-    // rewrite ops (delete/update/merge/compact, MOR purge) don't serve
-    // them yet.
+    // loudly — partitioned tables take the partitioned writers; the
+    // COW rewrites (delete/update/merge/applyChanges/replaceWhere)
+    // stage through stageAuto, which lays partitions back out.
     require(partitionSchema(root).isEmpty,
       s"table at $root is Hive-partitioned: flat staging would lose the " +
         "partition values — use appendPartitionedWithStats/" +
@@ -1175,12 +1175,37 @@ object VersionedTable {
                   version: Option[Long] = None): Seq[ScanFile] = {
     val v = version.orElse(latestVersion(root))
       .getOrElse(sys.error(s"no versions at $root"))
-    readListing(root, v).map { ln =>
-      val st = statsOf(ln)
-      ScanFile(pathOf(ln), st - RowsKey - BytesKey, strStatsOf(ln),
-        st.get(RowsKey).map(_._1), st.get(BytesKey).map(_._1),
-        bloomsB64Of(ln))
-    }
+    readListing(root, v).map(scanFileOf)
+  }
+
+  private def scanFileOf(ln: String): ScanFile = {
+    val st = statsOf(ln)
+    ScanFile(pathOf(ln), st - RowsKey - BytesKey, strStatsOf(ln),
+      st.get(RowsKey).map(_._1), st.get(BytesKey).map(_._1),
+      bloomsB64Of(ln))
+  }
+
+  /** Read an EXPLICIT set of listing lines, partition columns injected
+    * when the table is Hive-partitioned — the read surface of every
+    * COW rewrite (delete/update/merge/applyChanges/replaceWhere), so
+    * their predicates can reference partition columns and their
+    * rewritten rows carry the values [[stageAuto]] lays back out.
+    * Plain tables keep the direct parquet read. */
+  private def readLines(spark: SparkSession, root: String,
+                        lines: Seq[String]): DataFrame =
+    if (partitionSchema(root).isEmpty)
+      spark.read.option("mergeSchema", "true").parquet(lines.map(pathOf): _*)
+    else org.apache.spark.sql.graft.GraftScan.ofScanFiles(
+      spark, root, lines.map(scanFileOf))
+
+  /** Stage a rewrite's output in the table's OWN layout: Hive
+    * `col=value` directories for partitioned tables (the partition
+    * columns live in `df` — [[readLines]] injected them), flat files
+    * otherwise. */
+  private def stageAuto(df: DataFrame, root: String, v: Long): Seq[String] = {
+    val ps = partitionSchema(root)
+    if (ps.isEmpty) stageDataFiles(df, root, v)
+    else stagePartitioned(df, root, ps.fieldNames.toSeq)
   }
 
   /** The files ADDED between version `from` (exclusive; None = from
@@ -1446,8 +1471,7 @@ object VersionedTable {
     while (true) {
       val base = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
       val files = readListing(root, base)
-      val target = spark.read.option("mergeSchema", "true")
-        .parquet(files.map(pathOf): _*)
+      val target = readLines(spark, root, files)
       val touchedNames = target
         .withColumn("__file", col("_metadata.file_path"))
         .filter(predicate)
@@ -1458,15 +1482,14 @@ object VersionedTable {
       val outCols = target.columns.toSeq
       val survivorsPlusBatch =
         if (touched0.isEmpty) batch.select(outCols.map(col): _*)
-        else spark.read.option("mergeSchema", "true")
-          .parquet(touched0.map(pathOf): _*)
+        else readLines(spark, root, touched0)
           .filter(!coalesce(predicate, lit(false)))
           .unionByName(batch.select(outCols.map(col): _*),
             allowMissingColumns = true)
           .select(outCols.map(col): _*)
       val v = base + 1
       val staged = statLines(spark,
-        stageDataFiles(survivorsPlusBatch, root, v), Seq.empty)
+        stageAuto(survivorsPlusBatch, root, v), Seq.empty)
       try {
         val committed = commitManifest(root, v, deltaContent(touched0, staged))
         maybeCheckpoint(root, committed)
@@ -1720,8 +1743,7 @@ object VersionedTable {
     while (true) {
       val base = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
       val files = readListing(root, base) // listing LINES (stats kept on carry)
-      val target = spark.read.option("mergeSchema", "true")
-        .parquet(files.map(pathOf): _*)
+      val target = readLines(spark, root, files)
       // schema evolution (the Delta mergeSchema role): source-only
       // columns are appended to the table schema; untouched files simply
       // lack them and read back null via the mergeSchema snapshot read —
@@ -1746,7 +1768,7 @@ object VersionedTable {
       val src = source.select(outCols.map(col): _*)
       val rewritten =
         if (touched.isEmpty) src // pure insert — nothing to rewrite
-        else spark.read.option("mergeSchema", "true").parquet(touched: _*)
+        else readLines(spark, root, touched0)
           .join(srcKeys, keyCols, "left_anti")
           // allowMissingColumns covers the KEPT side: outCols comes from
           // EVERY file's footer, so touched files written before a later
@@ -1759,7 +1781,7 @@ object VersionedTable {
       // merges (column stats of the rewritten files are dropped —
       // statsRange goes conservative None on those, never wrong)
       val staged = statLines(spark,
-        stageDataFiles(rewritten, root, v), Seq.empty)
+        stageAuto(rewritten, root, v), Seq.empty)
       beforeCommit()
       // delta commit: `-` the rewritten files, `+` the staged rewrite —
       // O(touched + batch) bytes, not O(total files)
@@ -1825,8 +1847,7 @@ object VersionedTable {
     while (true) {
       val base = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
       val files = readListing(root, base)
-      val target = spark.read.option("mergeSchema", "true")
-        .parquet(files.map(pathOf): _*)
+      val target = readLines(spark, root, files)
       val touchedNames = target
         .withColumn("__file", col("_metadata.file_path"))
         .join(affectedKeys, keyCols, "left_semi")
@@ -1838,15 +1859,14 @@ object VersionedTable {
       val src = upserts.select(outCols.map(col): _*)
       val rewritten =
         if (touched0.isEmpty) src // pure insert / all-absent deletes
-        else spark.read.option("mergeSchema", "true")
-          .parquet(touched0.map(pathOf): _*)
+        else readLines(spark, root, touched0)
           .join(affectedKeys, keyCols, "left_anti")
           .unionByName(src, allowMissingColumns = true)
           .select(outCols.map(col): _*)
       val v = base + 1
       // __rows-only stats: countRows() stays metadata-answerable
       val staged = statLines(spark,
-        stageDataFiles(rewritten, root, v), Seq.empty)
+        stageAuto(rewritten, root, v), Seq.empty)
       beforeCommit()
       try {
         val committed =
@@ -1924,8 +1944,7 @@ object VersionedTable {
     while (true) {
       val base = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
       val files = readListing(root, base)
-      val target = spark.read.option("mergeSchema", "true")
-        .parquet(files.map(pathOf): _*)
+      val target = readLines(spark, root, files)
       require(target.columns.contains(seqCol),
         s"guarded apply needs the target to store '$seqCol'")
       val touchedNames = target
@@ -1968,8 +1987,7 @@ object VersionedTable {
             if (deletedCol == null) col("__op") =!= "D" else lit(true))
             .select(outCols.map(col): _*)
         else {
-          val stored = spark.read.option("mergeSchema", "true")
-            .parquet(touched0.map(pathOf): _*)
+          val stored = readLines(spark, root, touched0)
           val storedCand = stored
             .join(affectedKeys, keyCols, "left_semi")
             .select((outCols.map(col) :+ lit("U").as("__op")): _*)
@@ -1988,7 +2006,7 @@ object VersionedTable {
         }
       val v = base + 1
       val staged = statLines(spark,
-        stageDataFiles(rewritten, root, v), Seq.empty)
+        stageAuto(rewritten, root, v), Seq.empty)
       beforeCommit()
       try {
         val committed =
@@ -2053,8 +2071,7 @@ object VersionedTable {
     while (true) {
       val base = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
       val files = readListing(root, base)
-      val target = spark.read.option("mergeSchema", "true")
-        .parquet(files.map(pathOf): _*)
+      val target = readLines(spark, root, files)
       val touchedNames = target
         .withColumn("__file", col("_metadata.file_path"))
         .filter(predicate)
@@ -2063,14 +2080,13 @@ object VersionedTable {
       if (touchedNames.isEmpty) return base
       val touched0 =
         files.filter(f => touchedNames.contains(pathOf(f).split('/').last))
-      val survivors = spark.read.option("mergeSchema", "true")
-        .parquet(touched0.map(pathOf): _*)
+      val survivors = readLines(spark, root, touched0)
         // keep when NOT(true): null-predicate rows survive, per SQL
         .filter(!coalesce(predicate, lit(false)))
       val v = base + 1
       // __rows-only stats, as in merge: deletes stay metadata-countable
       val staged = statLines(spark,
-        stageDataFiles(survivors, root, v), Seq.empty)
+        stageAuto(survivors, root, v), Seq.empty)
       beforeCommit()
       try {
         val committed = commitManifest(root, v, deltaContent(touched0, staged))
@@ -2104,8 +2120,7 @@ object VersionedTable {
     require(manifestFile(root, baseV).exists(),
       s"deleteAt base version $baseV does not exist at $root")
     val files = readListing(root, baseV)
-    val target = spark.read.option("mergeSchema", "true")
-      .parquet(files.map(pathOf): _*)
+    val target = readLines(spark, root, files)
     val touchedNames = target
       .withColumn("__file", col("_metadata.file_path"))
       .filter(predicate)
@@ -2114,11 +2129,10 @@ object VersionedTable {
     if (touchedNames.isEmpty) return baseV
     val touched0 =
       files.filter(f => touchedNames.contains(pathOf(f).split('/').last))
-    val survivors = spark.read.option("mergeSchema", "true")
-      .parquet(touched0.map(pathOf): _*)
+    val survivors = readLines(spark, root, touched0)
       .filter(!coalesce(predicate, lit(false)))
     val staged = statLines(spark,
-      stageDataFiles(survivors, root, baseV + 1), Seq.empty)
+      stageAuto(survivors, root, baseV + 1), Seq.empty)
     beforeCommit()
     val untouched = files.filterNot(f =>
       touchedNames.contains(pathOf(f).split('/').last))
@@ -2156,8 +2170,7 @@ object VersionedTable {
     while (true) {
       val base = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
       val files = readListing(root, base)
-      val target = spark.read.option("mergeSchema", "true")
-        .parquet(files.map(pathOf): _*)
+      val target = readLines(spark, root, files)
       require(set.keySet.subsetOf(target.columns.toSet),
         s"SET columns ${set.keySet.diff(target.columns.toSet)} not in table")
       val touchedNames = target
@@ -2169,8 +2182,7 @@ object VersionedTable {
       val touched0 =
         files.filter(f => touchedNames.contains(pathOf(f).split('/').last))
       val hit = coalesce(predicate, lit(false))
-      val rewritten = spark.read.option("mergeSchema", "true")
-        .parquet(touched0.map(pathOf): _*)
+      val rewritten = readLines(spark, root, touched0)
         .select(target.columns.toSeq.map { c =>
           set.get(c) match {
             case Some(e) => when(hit, e).otherwise(col(c)).as(c)
@@ -2179,7 +2191,7 @@ object VersionedTable {
         }: _*)
       val v = base + 1
       val staged = statLines(spark,
-        stageDataFiles(rewritten, root, v), Seq.empty)
+        stageAuto(rewritten, root, v), Seq.empty)
       beforeCommit()
       try {
         val committed = commitManifest(root, v, deltaContent(touched0, staged))

@@ -118,6 +118,29 @@ object GraftScan {
           .map(_.copy(nullable = true)))) // absent from old files
   }
 
+  /** A batch relation over an EXPLICIT subset of `root`'s files, the
+    * table's partition columns injected from the paths when the table
+    * is Hive-partitioned — the COW rewrites' read surface
+    * ([[graft.sources.VersionedTable]] delete/update/merge): their
+    * predicates can reference partition columns and the rewritten rows
+    * carry the values for partitioned re-staging. Schema is inferred
+    * over just these files (rewrite sets are touched-files-sized). */
+  def ofScanFiles(spark: SparkSession, root: String,
+                  files: Seq[ScanFile]): DataFrame = {
+    require(files.nonEmpty, s"no files to read at $root")
+    val partSchema = VersionedTable.partitionSchema(root)
+    val dataSchema = StructType(
+      spark.read.option("mergeSchema", "true")
+        .parquet(files.map(_.path): _*).schema
+        .filterNot(f => partSchema.fieldNames.contains(f.name)))
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val relation = HadoopFsRelation(
+      new GraftFileIndex(files, None, partSchema),
+      partSchema, dataSchema, None,
+      new ParquetFileFormat, Map("mergeSchema" -> "true"))(cs)
+    PlanBridge.ofRows(spark, LogicalRelation(relation, false))
+  }
+
   /** A (possibly streaming) relation over an EXPLICIT file set with
     * its manifest stats — the micro-batch surface
     * ([[GraftStreamSource]]): the same pruning FileIndex as [[scan]],
@@ -127,11 +150,12 @@ object GraftScan {
     * manifest stats per micro-batch. */
   private[graft] def ofFiles(spark: SparkSession, files: Seq[ScanFile],
                              dataSchema: StructType,
-                             isStreaming: Boolean): DataFrame = {
+                             isStreaming: Boolean,
+                             partSchema: StructType = StructType(Nil)): DataFrame = {
     val cs = spark.asInstanceOf[classic.SparkSession]
     val relation = HadoopFsRelation(
-      new GraftFileIndex(files, None, StructType(Nil)),
-      StructType(Nil), dataSchema, None,
+      new GraftFileIndex(files, None, partSchema),
+      partSchema, dataSchema, None,
       new ParquetFileFormat, Map("mergeSchema" -> "true"))(cs)
     PlanBridge.ofRows(spark, LogicalRelation(relation, isStreaming))
   }

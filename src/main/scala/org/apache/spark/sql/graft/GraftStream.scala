@@ -49,9 +49,10 @@ private[graft] object GraftStreamSource {
     parameters.getOrElse("root",
       sys.error("graft-table stream needs option 'root'"))
 
+  /** Full output schema: data columns plus (for Hive-layout tables)
+    * the path-derived partition columns, appended last exactly as the
+    * batch scan serves them. */
   def schemaFor(spark: SparkSession, root: String): StructType = {
-    require(VersionedTable.partitionSchema(root).isEmpty,
-      "graft-table streaming does not serve partitioned tables yet")
     val v = VersionedTable.latestVersion(root)
       .getOrElse(sys.error(s"no versions at $root"))
     VersionedTable.readVersion(spark, root, v).schema
@@ -61,7 +62,10 @@ private[graft] object GraftStreamSource {
 private[graft] class GraftStreamSource(spark: SparkSession, root: String)
     extends Source {
 
+  private val partSchema = VersionedTable.partitionSchema(root)
   private val schema0 = GraftStreamSource.schemaFor(spark, root)
+  private val dataSchema0 = org.apache.spark.sql.types.StructType(
+    schema0.filterNot(f => partSchema.fieldNames.contains(f.name)))
 
   override def schema: StructType = schema0
 
@@ -76,7 +80,8 @@ private[graft] class GraftStreamSource(spark: SparkSession, root: String)
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val files = VersionedTable.scanListingDelta(root,
       start.map(versionOf), versionOf(end))
-    GraftScan.ofFiles(spark, files, schema0, isStreaming = true)
+    GraftScan.ofFiles(spark, files, dataSchema0, isStreaming = true,
+      partSchema = partSchema)
   }
 
   override def stop(): Unit = ()

@@ -382,10 +382,58 @@ class GraftScanSpec extends SparkSuite {
         root)
     }
     assert(e.getMessage.contains("Hive-partitioned"))
-    intercept[IllegalArgumentException] {
-      VersionedTable.delete(spark, root, col("k") === 1L)
-    }
-    ()
+  }
+
+  test("partitioned DML: delete/update/merge rewrite Hive-layout " +
+    "tables in place — partition predicates work, values survive the " +
+    "rewrite, pruning still selects one directory") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = tmpRoot()
+    val rows = (0L until 800L).map { i =>
+      (i, s"s${i % 4}", i * 2L)
+    }.toDF("k", "status", "v").repartitionByRange(4, col("k"))
+    VersionedTable.overwritePartitionedWithStats(
+      rows, root, Seq("status"), "k")
+    // DELETE with a predicate ON the partition column
+    VersionedTable.delete(spark, root,
+      col("status") === "s3" && col("k") < 400L)
+    assert(VersionedTable.scan(spark, root).count() == 700L)
+    assert(VersionedTable.scan(spark, root)
+      .filter(col("status") === "s3").count() == 100L)
+    // UPDATE a data column under a partition predicate
+    VersionedTable.update(spark, root,
+      col("status") === "s1", Map("v" -> lit(-1L)))
+    assert(VersionedTable.scan(spark, root)
+      .filter(col("status") === "s1" && col("v") === -1L).count() == 200L)
+    // MERGE upsert: an update + an insert carrying a NEW partition value
+    VersionedTable.merge(spark, root,
+      Seq((0L, "s0", 123L), (9999L, "s9", 1L)).toDF("k", "status", "v"),
+      Seq("k"))
+    // partition columns append LAST in the scan schema (the Spark
+    // partitionBy convention) — access by name
+    val after = VersionedTable.scan(spark, root)
+    assert(after.filter(col("k") === 0L).head()
+      .getAs[Long]("v") == 123L)
+    assert(after.filter(col("status") === "s9").count() == 1L,
+      "a merge insert must create its new partition directory")
+    // partition pruning still selects exactly one directory at plan time
+    val one = VersionedTable.scan(spark, root)
+      .filter(col("status") === "s2")
+    val scans = one.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f }
+    assert(scans.head.selectedPartitions.partitionCount == 1)
+    assert(one.count() == 200L)
+    // UPDATE that MOVES a row across partitions (SET on the partition
+    // column): the row lands in its new directory
+    VersionedTable.update(spark, root,
+      col("k") === 9999L, Map("status" -> lit("s0")))
+    assert(VersionedTable.scan(spark, root)
+      .filter(col("status") === "s9").count() == 0L)
+    assert(VersionedTable.scan(spark, root)
+      .filter(col("status") === "s0" && col("k") === 9999L).count() == 1L)
+    // time travel still serves the pre-DML snapshot
+    assert(VersionedTable.scan(spark, root, Some(0L)).count() == 800L)
   }
 
   test("default-on stats: a table written with PLAIN overwrite/append " +

@@ -87,6 +87,38 @@ class GraftStreamSpec extends SparkSuite {
         s"read $inputRows of 600 rows")
   }
 
+  test("partitioned tables stream with their partition columns " +
+    "injected; a partition filter prunes each micro-batch's directories") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val ckpt = Files.createTempDirectory("graft_stream_ck3").toString
+    val rows = (0L until 400L).map(i => (i, s"p${i % 4}", i * 3L))
+      .toDF("k", "part", "v").repartitionByRange(2, col("k"))
+    VersionedTable.overwritePartitionedWithStats(
+      rows, root, Seq("part"), "k")
+    var got = Seq.empty[(Long, String)]
+    val q = VersionedTable.scanStream(spark, root)
+      .filter(col("part") === "p2")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        got = got ++ b.collect().map(r =>
+          (r.getAs[Long]("k"), r.getAs[String]("part")))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not drain within 120 s")
+    assert(got.size == 100 && got.forall(_._2 == "p2"),
+      "the stream must serve exactly the filtered partition, values " +
+        "injected from the paths")
+    val inputRows = q.recentProgress.map(_.numInputRows).sum
+    assert(inputRows < 400L,
+      s"partition pruning must keep other directories unread, " +
+        s"read $inputRows of 400 rows")
+  }
+
   test("a rewrite inside the offset range refuses rather than " +
     "re-serving rewritten rows; scanListingDelta pins the contract") {
     import spark.implicits._
