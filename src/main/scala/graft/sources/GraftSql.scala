@@ -72,15 +72,22 @@ object GraftSql {
 
   /** Refresh every registered table's view to its current snapshot. A
     * root that no longer resolves (a finished job's temp table never
-    * unregistered) is SKIPPED, never allowed to fail an unrelated
-    * statement — the stale name errors only if the statement actually
-    * references it. */
+    * unregistered — `scan` raises "no versions at ...") is SKIPPED,
+    * never allowed to fail an unrelated statement; the stale name
+    * errors only if the statement actually references it. Any OTHER
+    * failure (a genuinely corrupt manifest) propagates here, at the
+    * statement that observed it — a broad catch would surface it later
+    * as a confusing stale-view read instead of the root cause. */
   private def refreshAll(spark: SparkSession): Unit = {
     val it = tables.keySet.iterator()
     while (it.hasNext) {
       val n = it.next()
       try refreshView(spark, n)
-      catch { case _: RuntimeException => () }
+      catch {
+        case e: RuntimeException
+            if e.getMessage != null &&
+              e.getMessage.startsWith("no versions at") => ()
+      }
     }
   }
 
@@ -90,21 +97,85 @@ object GraftSql {
     Seq((op, table, version, rows)).toDF("op", "table", "version", "rows")
   }
 
-  // Statement-shape recognizers. DOTALL so WHERE clauses span lines;
-  // table names are bare identifiers (enforced at register()).
+  // Statement-shape recognizers match only the statement HEAD (verb +
+  // bare table identifier, enforced at register()); everything after —
+  // SET lists, WHERE predicates, ON conditions — is located by the
+  // QUOTE-AWARE scanners below, never by regex over the body: a string
+  // literal containing ' WHERE ' or ' AND ' must not split the
+  // statement at the wrong point. DOTALL so clauses span lines.
   private val InsertSql =
     """(?is)\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+(.+)""".r
   private val DeleteSql =
     """(?is)\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  // SQL's DELETE-everything shape, explicit: without it the statement
+  // would fall through to spark.sql over a read-only temp view and
+  // surface a confusing Catalyst error instead of a full-table delete
+  private val DeleteAllSql =
+    """(?is)\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
   private val UpdateSql =
-    """(?is)\s*UPDATE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+    """(?is)\s*UPDATE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(.+?)\s*;?\s*""".r
   private val MergeHead =
     """(?is)\s*MERGE\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+AS\s+(\w+))?\s+USING\s+(.+)""".r
 
-  private val MergeTail =
-    ("""(?is)\s+(?:AS\s+(\w+)\s+)?ON\s+(.+?)""" +
-      """\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
+  private val MergeActions =
+    ("""(?is)\s*WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
       """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""").r
+
+  /** Index of the first TOP-LEVEL occurrence of keyword `kw` in `s` —
+    * outside single-quoted literals, outside parentheses, whole-word
+    * (identifier characters on neither side) — or -1. The shared
+    * boundary locator for WHERE/ON/AND/WHEN: regex splits would bite on
+    * the same keyword inside a string literal or a subquery. */
+  private def topLevelKeyword(s: String, kw: String, from: Int = 0): Int = {
+    var i = math.max(0, from)
+    var inStr = false
+    var depth = 0
+    val n = s.length
+    val k = kw.length
+    def ident(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\'') inStr = !inStr
+      else if (!inStr && c == '(') depth += 1
+      else if (!inStr && c == ')') depth -= 1
+      else if (!inStr && depth == 0 && s.regionMatches(true, i, kw, 0, k) &&
+          (i == 0 || !ident(s.charAt(i - 1))) &&
+          (i + k >= n || !ident(s.charAt(i + k))))
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Split `s` on every top-level occurrence of keyword `kw`. */
+  private def splitTopLevel(s: String, kw: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    var i = topLevelKeyword(s, kw, 0)
+    while (i >= 0) {
+      out += s.substring(start, i)
+      start = i + kw.length
+      i = topLevelKeyword(s, kw, start)
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
+
+  /** First top-level (quote/paren-aware) index of `ch`, or -1. */
+  private def topLevelChar(s: String, ch: Char): Int = {
+    var i = 0
+    var inStr = false
+    var depth = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') inStr = !inStr
+      else if (!inStr && c == '(') depth += 1
+      else if (!inStr && c == ')') depth -= 1
+      else if (!inStr && depth == 0 && c == ch) return i
+      i += 1
+    }
+    -1
+  }
 
   /** Index just past the close paren matching the OPEN at position 0 —
     * single-quote-aware, so a subquery source containing `JOIN ... ON`
@@ -135,8 +206,16 @@ object GraftSql {
     case DeleteSql(t, pred) =>
       val v = VersionedTable.delete(spark, rootOf(t), expr(pred))
       result(spark, "DELETE", t, v, -1L)
-    case UpdateSql(t, sets, pred) =>
-      val p = if (pred == null) lit(true) else expr(pred)
+    case DeleteAllSql(t) => // SQL semantics: no WHERE deletes every row
+      val v = VersionedTable.delete(spark, rootOf(t), lit(true))
+      result(spark, "DELETE", t, v, -1L)
+    case UpdateSql(t, body) =>
+      // the WHERE boundary is located quote-aware: a SET expression
+      // containing ' WHERE ' in a string literal must not split there
+      val (sets, p) = topLevelKeyword(body, "WHERE") match {
+        case -1 => (body, lit(true))
+        case i => (body.take(i), expr(body.drop(i + "WHERE".length)))
+      }
       val v = VersionedTable.update(spark, rootOf(t), p, parseSets(sets))
       result(spark, "UPDATE", t, v, -1L)
     case MergeHead(t, tAlias, rest) =>
@@ -150,14 +229,28 @@ object GraftSql {
             .getOrElse(sys.error(s"bad MERGE USING source: '$r'"))
           (id, r.drop(id.length))
         }
-      afterSrc match {
-        case MergeTail(sAlias, onCond) =>
-          merge(spark, t, Option(tAlias), source, Option(sAlias), onCond)
-        case _ => sys.error(
-          "MERGE must be the canonical upsert: MERGE INTO t USING s " +
-            "ON <equalities> WHEN MATCHED THEN UPDATE SET * " +
-            "WHEN NOT MATCHED THEN INSERT *")
+      def canonical(): Nothing = sys.error(
+        "MERGE must be the canonical upsert: MERGE INTO t USING s " +
+          "ON <equalities> WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")
+      // [AS alias] ON <cond> WHEN ... — boundaries scanned quote-aware,
+      // so an ON condition containing ' WHEN ' or ' ON ' in a string
+      // literal parses whole
+      val onIdx = topLevelKeyword(afterSrc, "ON")
+      if (onIdx < 0) canonical()
+      val sAlias = afterSrc.take(onIdx).trim match {
+        case "" => None
+        case a if a.toUpperCase.startsWith("AS") =>
+          Some(a.drop(2).trim).filter(_.matches("\\w+"))
+            .orElse(canonical())
+        case _ => canonical()
       }
+      val whenIdx = topLevelKeyword(afterSrc, "WHEN", onIdx + 2)
+      if (whenIdx < 0) canonical()
+      val onCond = afterSrc.substring(onIdx + 2, whenIdx)
+      if (!MergeActions.pattern.matcher(afterSrc.substring(whenIdx))
+        .matches()) canonical()
+      merge(spark, t, Option(tAlias), source, sAlias, onCond)
     case other =>
       refreshAll(spark)
       spark.sql(other)
@@ -216,19 +309,25 @@ object GraftSql {
     val root = rootOf(t)
     refreshAll(spark)
     val srcText = source.trim
-    val src =
-      if (srcText.startsWith("(")) spark.sql(s"SELECT * FROM $srcText")
-      else spark.sql(s"SELECT * FROM $srcText")
+    // pinned ONCE before both uses (mirrors insert()): the merge and
+    // the reported row count must see the SAME rows — a
+    // non-deterministic source evaluated twice could report a count
+    // the merge never saw, and a large SELECT must not pay its scan
+    // twice
+    val src = spark.sql(s"SELECT * FROM $srcText").localCheckpoint(true)
     // keys from the ON conjunction: every conjunct must be an equality
     // between the SAME column name on both sides (the canonical keyed
-    // upsert) — anything else is not VersionedTable.merge semantics
+    // upsert) — anything else is not VersionedTable.merge semantics.
+    // Conjuncts and equality splits are located QUOTE-AWARE — ' AND '
+    // or '=' inside a string literal must not split the condition.
     val tNames = Set(t.toLowerCase) ++ tAlias.map(_.toLowerCase)
     val sNames = sAlias.map(_.toLowerCase).toSet + srcText.toLowerCase
-    val keys = onCond.split("(?i)\\s+AND\\s+").toSeq.map { c =>
-      require(!c.exists(ch => ch == '<' || ch == '>') && !c.contains("!="),
+    val keys = splitTopLevel(onCond, "AND").map { c =>
+      val eq = topLevelChar(c, '=')
+      require(eq > 0 && topLevelChar(c, '<') < 0 && topLevelChar(c, '>') < 0 &&
+        c.charAt(eq - 1) != '!' && topLevelChar(c.drop(eq + 1), '=') < 0,
         s"MERGE ON conjunct must be an equality: '$c'")
-      val sides = c.split("=").map(_.trim)
-      require(sides.length == 2, s"MERGE ON conjunct must be an equality: '$c'")
+      val sides = Seq(c.take(eq).trim, c.drop(eq + 1).trim)
       val cols = sides.map { s =>
         val p = s.split('.')
         if (p.length == 2) {
@@ -242,7 +341,8 @@ object GraftSql {
         s"MERGE ON must equate the same column on both sides, got '$c'")
       cols(0)
     }
+    val n = src.count()
     val v = VersionedTable.merge(spark, root, src, keys)
-    result(spark, "MERGE", t, v, src.count())
+    result(spark, "MERGE", t, v, n)
   }
 }

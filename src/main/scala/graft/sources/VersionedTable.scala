@@ -1731,6 +1731,25 @@ object VersionedTable {
     * attempt (lets a spec inject a racing writer deterministically).
     * Rows of `source` replace target rows sharing `keyCols`; unmatched
     * source rows are inserted. Returns the committed version. */
+  /** `df` with every column it shares with `schema` CAST to the
+    * schema's type (SQL write semantics: values land in the TABLE's
+    * types). Without this, an insert-only MERGE/CDC batch — no touched
+    * files, so no union with stored rows to coerce it — would stage
+    * the source's own (possibly narrower) types and commit files whose
+    * footers break the snapshot's mergeSchema read (INT files in a
+    * BIGINT table). Columns absent from `schema` (schema evolution)
+    * keep their own type. */
+  private def alignTypes(df: DataFrame,
+                         schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val want = schema.map(f => f.name -> f.dataType).toMap
+    df.select(df.columns.toSeq.map { c =>
+      want.get(c) match {
+        case Some(dt) if df.schema(c).dataType != dt => col(c).cast(dt).as(c)
+        case _ => col(c)
+      }
+    }: _*)
+  }
+
   def merge(spark: SparkSession, root: String, source: DataFrame,
             keyCols: Seq[String], maxRetries: Int = 5,
             beforeCommit: () => Unit = () => (),
@@ -1765,7 +1784,7 @@ object VersionedTable {
       val touched0 =
         files.filter(f => touchedNames.contains(pathOf(f).split('/').last))
       val touched = touched0.map(pathOf)
-      val src = source.select(outCols.map(col): _*)
+      val src = alignTypes(source.select(outCols.map(col): _*), target.schema)
       val rewritten =
         if (touched.isEmpty) src // pure insert — nothing to rewrite
         else readLines(spark, root, touched0)
@@ -1856,7 +1875,7 @@ object VersionedTable {
       val touched0 =
         files.filter(f => touchedNames.contains(pathOf(f).split('/').last))
       val outCols = target.columns.toSeq
-      val src = upserts.select(outCols.map(col): _*)
+      val src = alignTypes(upserts.select(outCols.map(col): _*), target.schema)
       val rewritten =
         if (touched0.isEmpty) src // pure insert / all-absent deletes
         else readLines(spark, root, touched0)
@@ -1983,9 +2002,9 @@ object VersionedTable {
         else col("__rn") === 1
       val rewritten =
         if (touched0.isEmpty)
-          feedCand.filter(
+          alignTypes(feedCand.filter(
             if (deletedCol == null) col("__op") =!= "D" else lit(true))
-            .select(outCols.map(col): _*)
+            .select(outCols.map(col): _*), target.schema)
         else {
           val stored = readLines(spark, root, touched0)
           val storedCand = stored
@@ -2185,7 +2204,12 @@ object VersionedTable {
       val rewritten = readLines(spark, root, touched0)
         .select(target.columns.toSeq.map { c =>
           set.get(c) match {
-            case Some(e) => when(hit, e).otherwise(col(c)).as(c)
+            // cast back to the COLUMN's type (SQL UPDATE semantics):
+            // when/otherwise coerces to the common type, and a wider
+            // SET expression would otherwise widen the rewritten
+            // files' footer type away from the untouched files'
+            case Some(e) => when(hit, e).otherwise(col(c))
+              .cast(target.schema(c).dataType).as(c)
             case None    => col(c)
           }
         }: _*)

@@ -150,6 +150,69 @@ class GraftSqlSpec extends SparkSuite {
     assert(e.getMessage.contains("not registered"))
   }
 
+  test("DELETE FROM t without WHERE is the explicit full-table delete") {
+    val (name, root) = freshTable()
+    GraftSql.execute(spark, s"DELETE FROM $name")
+    assert(VersionedTable.read(spark, root).count() == 0L)
+    // time travel still serves the pre-delete snapshot
+    assert(VersionedTable.readVersion(spark, root, 0L).count() == 3L)
+  }
+
+  test("quote-aware clause boundaries: ' WHERE '/' AND '/'=' inside " +
+    "string literals never split UPDATE or MERGE statements") {
+    val (name, root) = freshTable()
+    // a SET expression whose string literal contains ' WHERE ' — the
+    // old regex split there and produced a misleading parse error
+    GraftSql.execute(spark,
+      s"UPDATE $name SET s = ' WHERE x AND y = z ' WHERE k = 1")
+    val got = VersionedTable.read(spark, root)
+      .filter(col("k") === 1L).head().getString(1)
+    assert(got == " WHERE x AND y = z ")
+    // the other rows are untouched (the WHERE bound at the right spot)
+    assert(VersionedTable.read(spark, root)
+      .filter(col("s") === "b").count() == 1L)
+    // a subquery MERGE source whose literal contains ' ON ' and ' WHEN '
+    GraftSql.execute(spark,
+      s"""MERGE INTO $name USING
+          (SELECT 77 AS k, ' ON WHEN MATCHED ' AS s, 7 AS v)
+          ON k = k
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+    assert(VersionedTable.read(spark, root)
+      .filter(col("k") === 77L).head().getString(1) == " ON WHEN MATCHED ")
+  }
+
+  test("INSERT and MERGE evaluate their source exactly ONCE: the " +
+    "reported count is the rows the commit actually saw") {
+    import spark.implicits._
+    val (name, root) = freshTable()
+    GraftSqlSpec.ticks.set(0L)
+    spark.udf.register("gsql_tick",
+      udf((k: Long) => { GraftSqlSpec.ticks.incrementAndGet(); k })
+        .asNondeterministic())
+    Seq((101L, "x", 1L), (102L, "y", 2L), (103L, "z", 3L))
+      .toDF("k", "s", "v").createOrReplaceTempView("gsql_nd")
+    // MERGE: 3 unseen keys → 3 inserts; the tick fires once per row
+    val r = GraftSql.execute(spark,
+      s"""MERGE INTO $name USING
+          (SELECT gsql_tick(k) AS k, s, v FROM gsql_nd)
+          ON k = k
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""").head()
+    assert(r.getLong(3) == 3L)
+    assert(GraftSqlSpec.ticks.get() == 3L,
+      s"MERGE source must be evaluated exactly once, " +
+        s"ticked ${GraftSqlSpec.ticks.get()}")
+    assert(VersionedTable.read(spark, root).count() == 6L)
+    // INSERT: same contract (the round-11 fix, pinned here as the twin)
+    GraftSqlSpec.ticks.set(0L)
+    val r2 = GraftSql.execute(spark,
+      s"INSERT INTO $name SELECT gsql_tick(k + 200), s, v FROM gsql_nd")
+    assert(r2.head().getLong(3) == 3L)
+    assert(GraftSqlSpec.ticks.get() == 3L,
+      "INSERT source must be evaluated exactly once")
+  }
+
   test("DML commits are the table format's atomic versions: history " +
     "advances once per statement, time travel intact") {
     val (name, root) = freshTable()
@@ -165,4 +228,9 @@ class GraftSqlSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("not registered"))
   }
+}
+
+object GraftSqlSpec {
+  /** Evaluation counter for the evaluate-once contract tests. */
+  val ticks = new java.util.concurrent.atomic.AtomicLong(0L)
 }
