@@ -88,7 +88,9 @@ case class ZOrderK(children: Seq[Expression], bounds: Seq[Seq[Long]])
   private val k = children.length
   private val bitsPerDim = 63 / k
 
-  require(bounds.forall(_.length < (1 << bitsPerDim)),
+  // LONG shift: at k=2 bitsPerDim is 31 and an Int `1 << 31` wraps
+  // negative, which rejected EVERY 2-dimension ZOrderK
+  require(bounds.forall(_.length < (1L << bitsPerDim)),
     s"at most 2^$bitsPerDim-1 z-order bucket boundaries per dimension " +
       s"at k=$k")
 

@@ -112,6 +112,20 @@ object VersionedTable {
 
   private val DeltaHeader = "#delta"
 
+  /** Manifest annotation (a standalone line) marking a commit as
+    * DATA-PRESERVING: it removes and adds files, but every row of the
+    * previous version is present in the new version exactly once —
+    * bin-packing [[compact]] and the z-order re-layout
+    * [[compactZOrderedK]] qualify; MERGE/DELETE/UPDATE/overwrite do
+    * NOT. The version-offset streaming source SKIPS marked commits
+    * (their delta contributes no new rows — earlier batches' rows are
+    * still served from their original, still-on-disk files) while a
+    * genuine rewrite keeps failing the stream; the Delta analogue is
+    * compaction under `ignoreChanges`-free streams, which Delta solves
+    * the same way (dataChange=false actions). Filtered out of file
+    * resolution like the `#txn` namespace. */
+  private[sources] val PreservingMarker = "#preserving"
+
   /** Every Nth commit gets a checkpoint (Delta's default is 10). */
   private[sources] val checkpointInterval: Long = 10L
 
@@ -133,14 +147,16 @@ object VersionedTable {
       if (ckpt.exists()) {
         // checkpoints carry #txn state lines (see txnStateAt) — file
         // resolution stays txn-blind, like full manifests
-        base = rawCheckpointLines(root, cur).filterNot(_.startsWith(TxnPrefix))
+        base = rawCheckpointLines(root, cur).filterNot(l =>
+          l.startsWith(TxnPrefix) || l == PreservingMarker)
       } else {
         val lines = readManifest(root, cur)
         if (isDelta(lines)) {
           require(cur > 0, s"version 0 of $root cannot be a delta")
           deltas ::= lines.tail
           cur -= 1
-        } else base = lines.filterNot(_.startsWith(TxnPrefix))
+        } else base = lines.filterNot(l =>
+          l.startsWith(TxnPrefix) || l == PreservingMarker)
       }
     }
     deltas.foldLeft(base) { (listing, delta) =>
@@ -319,6 +335,35 @@ object VersionedTable {
     }.toMap
   }
 
+  // Manifest grammar for TYPED [min, max] stats — faithful bounds for
+  // the non-integral types the long-cast triple can NOT bound (the
+  // round-10 guard was correct to stop pruning on those; these keys
+  // restore the pruning with honest units). Same `\tkey\tlo\thi`
+  // triple shape; dunder-prefixed names collide with no real column:
+  //  - `__ts_<col>`  TimestampType, epoch MICROSECONDS (the unit a
+  //    catalyst timestamp literal carries — the long-cast records
+  //    SECONDS, off by 1e6; see the negative spec);
+  //  - `__dt_<col>`  DateType, epoch DAYS (catalyst's internal unit);
+  //  - `__dbl_<col>` Float/Double, `Double.toString` of the exact
+  //    bounds (round-trips bit-exact; floats widen exactly — no
+  //    outward rounding needed). A file whose bound is NaN records NO
+  //    stat (NaN comparisons are all-false and would wrongly skip).
+  // Old readers skip `__ts_`/`__dt_` keys by the dunder name and
+  // `__dbl_` additionally by [[statsOf]]'s integer guard ("1.5" is
+  // not a long). The most common 100 TB slice — `ts >= '2024-06-01'`
+  // — prunes files only through these.
+  private[sources] val TsPrefix = "__ts_"
+  private[sources] val DatePrefix = "__dt_"
+  private[sources] val DblPrefix = "__dbl_"
+
+  private def dblStatsOf(line: String): Map[String, (Double, Double)] =
+    line.split('\t').drop(1).grouped(3).collect {
+      case Array(c, lo, hi) if c.startsWith(DblPrefix) &&
+          scala.util.Try(lo.toDouble).isSuccess &&
+          scala.util.Try(hi.toDouble).isSuccess =>
+        c.stripPrefix(DblPrefix) -> (lo.toDouble, hi.toDouble)
+    }.toMap
+
   /** The pseudo-column under which stats-recording commits keep each
     * file's ROW COUNT (as a degenerate [n, n] stat triple — old
     * manifests parse unchanged, real columns can't collide with the
@@ -335,24 +380,38 @@ object VersionedTable {
 
   /** Per-staged-file [min, max] of each `statsCols` entry PLUS the
     * file's row count under [[RowsKey]], computed with one small
-    * aggregation over just the staged files. A STRING-typed column
-    * records a [[StrPrefix]] triple (base64-framed, length-capped)
-    * instead of the long-cast one — the same `statsCols` argument
-    * prunes dates/tenants/categories as it does integer keys. Columns
-    * whose stats come back null (all-null in that file) are omitted
-    * from that file's line and never skipped on. */
+    * aggregation over just the staged files. Each column records the
+    * TYPED triple its data type round-trips faithfully: STRING under
+    * [[StrPrefix]] (base64-framed, length-capped), TIMESTAMP under
+    * [[TsPrefix]] (epoch micros), DATE under [[DatePrefix]] (epoch
+    * days), FLOAT/DOUBLE under [[DblPrefix]] (exact Double.toString),
+    * everything else the legacy long-cast triple under the bare name
+    * (faithful for integral types only — the reader prunes on it only
+    * for those). Columns whose stats come back null (all-null in that
+    * file) are omitted from that file's line and never skipped on. */
   private def statLines(spark: SparkSession, staged: Seq[String],
                         statsCols: Seq[String]): Seq[String] = {
     if (staged.isEmpty) return staged
+    import org.apache.spark.sql.types._
     val relation = spark.read.parquet(staged: _*)
-    val isStr = statsCols.map { c =>
-      c -> (relation.schema.find(_.name == c)
-        .exists(_.dataType == org.apache.spark.sql.types.StringType))
+    val kind: Map[String, Char] = statsCols.map { c =>
+      c -> relation.schema.find(_.name == c).map(_.dataType match {
+        case StringType => 's'
+        case TimestampType => 't'
+        case DateType => 'd'
+        case DoubleType | FloatType => 'f'
+        case _ => 'i'
+      }).getOrElse('i')
     }.toMap
     val aggs = count(lit(1)).as("__n") +: statsCols.flatMap { c =>
-      if (isStr(c)) Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c"))
-      else Seq(min(col(c).cast("long")).as(s"__lo_$c"),
-        max(col(c).cast("long")).as(s"__hi_$c"))
+      val probe = kind(c) match {
+        case 's' => col(c)
+        case 't' => unix_micros(col(c))
+        case 'd' => unix_date(col(c)).cast("long")
+        case 'f' => col(c).cast("double")
+        case _   => col(c).cast("long")
+      }
+      Seq(min(probe).as(s"__lo_$c"), max(probe).as(s"__hi_$c"))
     }
     val enc = java.util.Base64.getEncoder
     def b64(s: String) =
@@ -364,15 +423,27 @@ object VersionedTable {
         // _metadata.file_path is a URI; staged paths are plain — key on
         // the (nonce-unique) file name
         val n = r.getLong(1)
-        val suffix = s"\t$RowsKey\t$n\t$n" + statsCols.zipWithIndex.collect {
-          case (c, i) if !r.isNullAt(2 + 2 * i) && isStr(c) &&
-              r.getString(2 + 2 * i).length <= StrStatMaxLen &&
-              r.getString(3 + 2 * i).length <= StrStatMaxLen =>
-            s"\t$StrPrefix$c\t${b64(r.getString(2 + 2 * i))}" +
-              s"\t${b64(r.getString(3 + 2 * i))}"
-          case (c, i) if !r.isNullAt(2 + 2 * i) && !isStr(c) =>
-            s"\t$c\t${r.getLong(2 + 2 * i)}\t${r.getLong(3 + 2 * i)}"
-        }.mkString
+        val suffix = s"\t$RowsKey\t$n\t$n" +
+          statsCols.zipWithIndex.flatMap { case (c, i) =>
+            val lo = 2 + 2 * i
+            val hi = 3 + 2 * i
+            if (r.isNullAt(lo)) None
+            else kind(c) match {
+              case 's' if r.getString(lo).length <= StrStatMaxLen &&
+                  r.getString(hi).length <= StrStatMaxLen =>
+                Some(s"\t$StrPrefix$c\t${b64(r.getString(lo))}" +
+                  s"\t${b64(r.getString(hi))}")
+              case 's' => None
+              case 't' => Some(s"\t$TsPrefix$c\t${r.getLong(lo)}\t${r.getLong(hi)}")
+              case 'd' => Some(s"\t$DatePrefix$c\t${r.getLong(lo)}\t${r.getLong(hi)}")
+              case 'f' =>
+                val (x, y) = (r.getDouble(lo), r.getDouble(hi))
+                // a NaN bound compares all-false and would wrongly skip
+                if (x.isNaN || y.isNaN) None
+                else Some(s"\t$DblPrefix$c\t$x\t$y")
+              case _ => Some(s"\t$c\t${r.getLong(lo)}\t${r.getLong(hi)}")
+            }
+          }.mkString
         r.getString(0).split('/').last -> suffix
       }.toMap
     // a staged file absent from the aggregate wrote zero rows; every
@@ -490,7 +561,11 @@ object VersionedTable {
             f.dataType == org.apache.spark.sql.types.LongType ||
             f.dataType == org.apache.spark.sql.types.IntegerType ||
             f.dataType == org.apache.spark.sql.types.ShortType ||
-            f.dataType == org.apache.spark.sql.types.ByteType) => f.name
+            f.dataType == org.apache.spark.sql.types.ByteType ||
+            f.dataType == org.apache.spark.sql.types.TimestampType ||
+            f.dataType == org.apache.spark.sql.types.DateType ||
+            f.dataType == org.apache.spark.sql.types.DoubleType ||
+            f.dataType == org.apache.spark.sql.types.FloatType) => f.name
     }.take(MaxAutoStatsCols)
 
   /** Full overwrite → new version referencing only the new files.
@@ -611,10 +686,43 @@ object VersionedTable {
     require(existing.isEmpty || existing == pSchema,
       s"partition schema $pSchema differs from the table's $existing")
     if (existing.isEmpty) {
+      // the sidecar is table-GLOBAL (not versioned): if flat-file
+      // versions already exist, publishing it would make every read of
+      // them wrong — the scan filters the physically-present partition
+      // column out of dataSchema and path parsing yields NULL, so time
+      // travel serves NULL partition values and partition filters
+      // silently prune those rows. Refuse: partitioned layout starts at
+      // version 0 (or takes a new root). Delta/Iceberg version
+      // partition metadata per snapshot for exactly this reason; the
+      // manifest-global sidecar buys its simplicity with this guard.
+      require(latestVersion(root).isEmpty,
+        s"table at $root already has flat-file versions: a partitioned " +
+          "layout would make their partition values read back NULL — " +
+          "write partitioned from version 0 or use a new root")
+      // put-if-absent publish (hard link, the commitManifest primitive;
+      // NEVER a replacing move): two racing FIRST partitioned writers
+      // must agree on ONE schema — the loser re-reads the winner's
+      // sidecar and aborts on mismatch instead of silently replacing
+      // the layout the winner's committed files were parsed under
       val tmp = Files.createTempFile(new File(root).toPath, "_pschema", ".tmp")
-      Files.write(tmp, pSchema.json.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, partitionSchemaFile(root).toPath,
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      try {
+        Files.write(tmp, pSchema.json.getBytes(StandardCharsets.UTF_8))
+        try Files.createLink(partitionSchemaFile(root).toPath, tmp)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            val winner = partitionSchema(root)
+            require(winner == pSchema,
+              s"lost the partition-schema race: the winner recorded " +
+                s"$winner, this writer laid out $pSchema — aborting " +
+                "(nothing committed)")
+          case e: UnsupportedOperationException =>
+            // no link(2): an exists-check + move would be a TOCTOU race
+            // on the one file whose last-writer-wins is data loss
+            throw new IllegalStateException(
+              "partition-schema publish requires hard-link support " +
+                "(link(2)); this filesystem lacks it", e)
+        }
+      } finally Files.deleteIfExists(tmp)
     }
     moved
   }
@@ -632,9 +740,13 @@ object VersionedTable {
     require(!statsCols.exists(partCols.contains),
       "statsCols must be non-partition columns (partition values prune " +
         "from the path)")
+    val wasPartitioned = partitionSchema(root).nonEmpty
     val staged = stagePartitioned(df, root, partCols)
     val lines = statLines(df.sparkSession, staged, statsCols)
-    commitWithRetry(root, maxRetries = 5)(_ => lines)
+    commitWithRetry(root, maxRetries = 5) { v =>
+      requireFirstPartitionedAtZero(root, v, wasPartitioned)
+      lines
+    }
   }
 
   /** As [[overwritePartitionedWithStats]], appending (delta commit). */
@@ -644,14 +756,33 @@ object VersionedTable {
     require(!statsCols.exists(partCols.contains),
       "statsCols must be non-partition columns (partition values prune " +
         "from the path)")
+    val wasPartitioned = partitionSchema(root).nonEmpty
     val staged = stagePartitioned(df, root, partCols)
     val lines = statLines(df.sparkSession, staged, statsCols)
     val v = commitWithRetry(root, maxRetries = 5) { v =>
+      requireFirstPartitionedAtZero(root, v, wasPartitioned)
       if (v == 0) lines else deltaContent(Seq.empty, lines)
     }
     maybeCheckpoint(root, v)
     v
   }
+
+  /** The FIRST partitioned commit must be version 0: the sidecar check
+    * in [[stagePartitioned]] is check-then-act, so a concurrent FLAT
+    * writer can land version 0 inside the window — committing the
+    * partitioned files as version 1 would put flat history under a
+    * partition sidecar (NULL partition values on time travel). The
+    * closure re-checks at each commit attempt; losers abort loudly
+    * (staged files become fsck-reclaimable orphans). A same-schema
+    * concurrent partitioned writer loses too — the Delta metadata-
+    * conflict stance: first writers don't silently interleave. */
+  private def requireFirstPartitionedAtZero(root: String, v: Long,
+                                            wasPartitioned: Boolean): Unit =
+    require(v == 0 || wasPartitioned,
+      s"a concurrent writer committed version ${v - 1} to $root while " +
+        "this FIRST partitioned write staged: committing would mix " +
+        "flat and partitioned versions under one partition sidecar — " +
+        "aborting")
 
   /** As [[overwriteWithStats]] with per-file sums — see
     * [[appendWithSums]]. */
@@ -1149,9 +1280,20 @@ object VersionedTable {
   final case class ScanFile(path: String,
                             stats: Map[String, (Long, Long)],
                             strStats: Map[String, (String, String)],
+                            dblStats: Map[String, (Double, Double)],
                             rows: Option[Long],
                             bytes: Option[Long],
                             bloomsB64: Map[String, String]) {
+    /** Typed [min, max] for a TimestampType column — epoch MICROS,
+      * recorded under [[TsPrefix]]. The legacy long-cast triple under
+      * the bare name is epoch SECONDS and must never prune timestamps
+      * (off by 1e6 — it would skip every file). */
+    def tsRange(c: String): Option[(Long, Long)] = stats.get(TsPrefix + c)
+
+    /** Typed [min, max] for a DateType column — epoch DAYS (catalyst's
+      * internal date unit), recorded under [[DatePrefix]]. */
+    def dateRange(c: String): Option[(Long, Long)] = stats.get(DatePrefix + c)
+
     /** Decoded sketches, materialized ONCE per file on the first
       * equality probe — an IN-list over a bloom-carrying table probes
       * per (file × value), and re-deserializing a multi-KB sketch per
@@ -1181,6 +1323,7 @@ object VersionedTable {
   private def scanFileOf(ln: String): ScanFile = {
     val st = statsOf(ln)
     ScanFile(pathOf(ln), st - RowsKey - BytesKey, strStatsOf(ln),
+      dblStatsOf(ln),
       st.get(RowsKey).map(_._1), st.get(BytesKey).map(_._1),
       bloomsB64Of(ln))
   }
@@ -1210,23 +1353,53 @@ object VersionedTable {
 
   /** The files ADDED between version `from` (exclusive; None = from
     * scratch) and `to` (inclusive), with their stats — one streaming
-    * micro-batch's deterministic file set. Requires an append-only
-    * range: every `from` file must survive to `to`, or the batch
-    * would silently re-serve rewritten rows ([[readChangesStream]]'s
-    * contract, enforced per batch here). */
+    * micro-batch's deterministic file set, resolved by walking the
+    * COMMITS in the range:
+    *  - an append delta contributes its `+` lines;
+    *  - a commit marked [[PreservingMarker]] (compaction / z-order
+    *    re-layout — data-preserving by construction) contributes
+    *    NOTHING and is skipped: its rows were all committed earlier,
+    *    and rows appended within this same range still serve from
+    *    their original files (on disk until vacuum);
+    *  - any other removing/rewriting commit (MERGE/DELETE/UPDATE/
+    *    overwrite/restore) fails the call — serving it would silently
+    *    re-serve rewritten rows ([[readChangesStream]]'s contract,
+    *    enforced per batch here).
+    * A 100 TB table gets compacted while streams run; this is what
+    * lets the version-offset source ride across OPTIMIZE. */
   def scanListingDelta(root: String, from: Option[Long],
                        to: Long): Seq[ScanFile] = {
-    val newer = scanListing(root, Some(to))
     from match {
-      case None => newer
+      case None => scanListing(root, Some(to))
       case Some(v0) =>
-        val old = readListing(root, v0).map(pathOf).toSet
-        val newerPaths = newer.map(_.path).toSet
-        require(old.subsetOf(newerPaths),
-          s"scanListingDelta requires an append-only history at $root: " +
-            s"versions ($v0, $to] removed/rewrote files " +
-            "(MERGE/OPTIMIZE/Z-order); use diffVersions instead")
-        newer.filterNot(f => old.contains(f.path))
+        require(v0 <= to, s"scanListingDelta range ($v0, $to] is empty")
+        val have = versions(root).toSet
+        val range = (v0 + 1) to to
+        require(range.forall(have.contains),
+          s"scanListingDelta needs every manifest in ($v0, $to] at " +
+            s"$root — some were vacuumed; restart the stream from a " +
+            "fresh load")
+        val added = scala.collection.mutable.ArrayBuffer.empty[String]
+        range.foreach { w =>
+          val lines = readManifest(root, w)
+          val preserving = lines.contains(PreservingMarker)
+          if (isDelta(lines)) {
+            if (!preserving) {
+              val removed = lines.exists(_.startsWith("-\t"))
+              require(!removed,
+                s"scanListingDelta requires an append-only history at " +
+                  s"$root: version $w removed/rewrote files " +
+                  "(MERGE/DELETE/UPDATE); use diffVersions instead")
+              added ++= lines.collect { case l if l.startsWith("+\t") =>
+                l.drop(2) }
+            } // preserving delta: compaction — no new rows
+          } else if (!preserving) sys.error(
+            s"scanListingDelta requires an append-only history at $root: " +
+              s"version $w is a full rewrite (overwrite/restore); " +
+              "use diffVersions instead")
+          // preserving full manifest: z-order re-layout — no new rows
+        }
+        added.map(scanFileOf).toSeq
     }
   }
 
@@ -1341,6 +1514,22 @@ object VersionedTable {
   def history(root: String): Seq[(Long, Int, Option[Long])] =
     versions(root).map { v =>
       (v, readListing(root, v).size, countRows(root, Some(v)))
+    }
+
+  /** [[history]] with each version's COMMIT TIME and whether it sits
+    * inside a retention horizon — the view an operator consults before
+    * a [[vacuum]]: `(version, files, rows, commitMillis, retained)`
+    * where `retained` is true iff the version's commit is newer than
+    * `now - retainMillis` (the versions a horizon-respecting vacuum
+    * will never reclaim, so pinned readers inside the horizon are
+    * safe by the retention contract). */
+  def historyWithRetention(root: String, retainMillis: Long,
+                           nowMillis: Long = System.currentTimeMillis())
+      : Seq[(Long, Int, Option[Long], Long, Boolean)] =
+    versions(root).map { v =>
+      val t = manifestFile(root, v).lastModified()
+      (v, readListing(root, v).size, countRows(root, Some(v)), t,
+        t > nowMillis - retainMillis)
     }
 
   /** CHECK-constraint append (the Delta `ALTER TABLE ADD CONSTRAINT
@@ -1685,8 +1874,27 @@ object VersionedTable {
     * the compaction cadence like [[compact]]. */
   def compactZOrderedK(spark: SparkSession, root: String,
                        cols: Seq[String], numFiles: Int,
-                       buckets: Int = 0): Long =
-    overwriteZOrderedK(read(spark, root), root, cols, numFiles, buckets)
+                       buckets: Int = 0): Long = {
+    // pinned base + single-shot commit (NOT commitWithRetry): the
+    // re-layout's content derives from `base`, and it claims
+    // data-preserving in the manifest — silently renumbering past a
+    // concurrent append would drop the appended rows while claiming
+    // nothing changed. Losing the race aborts; callers re-run against
+    // the new snapshot (the compact() stance).
+    val base = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
+    val clustered = zClusterK(readVersion(spark, root, base), cols,
+      numFiles, buckets)
+    val staged = stageDataFiles(clustered, root, base + 1)
+    val lines = statLines(spark, staged, cols)
+    try commitManifest(root, base + 1, lines :+ PreservingMarker)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        staged.foreach(p => Files.deleteIfExists(new File(p).toPath))
+        throw new java.util.ConcurrentModificationException(
+          s"a writer committed to $root during the z-order re-layout; " +
+            "aborting — re-run against the new snapshot")
+    }
+  }
 
   /** Snapshot read of a specific version (time travel), THROUGH the
     * Catalyst-integrated FileIndex ([[scan]]'s base, raw — no MOR
@@ -2461,10 +2669,11 @@ object VersionedTable {
             "aborting compaction — re-run against the new snapshot")
       }
       beforeCommit()
-      // delta commit: `-` the packed small files, `+` their replacement
+      // delta commit: `-` the packed small files, `+` their replacement;
+      // marked data-preserving so version-offset streams skip it
       try {
-        val committed =
-          commitManifest(root, cur + 1, deltaContent(smallLines, newLines))
+        val committed = commitManifest(root, cur + 1,
+          deltaContent(smallLines, newLines) :+ PreservingMarker)
         maybeCheckpoint(root, committed)
         return committed
       } catch {
@@ -2546,9 +2755,30 @@ object VersionedTable {
     (referenced.filterNot(diskSet).sorted, onDisk.filterNot(refSet).sorted)
   }
 
-  def vacuum(root: String, retainVersions: Int = 1): Int = {
+  /** `retainMillis` is the RETENTION HORIZON (the Delta
+    * `deletedFileRetentionDuration` role, here applied to whole
+    * versions): a version committed within the last `retainMillis` is
+    * NEVER reclaimed, regardless of `retainVersions` — the rule that
+    * makes version-pinned readers (`scan(v)`, `shallowCloneAt`,
+    * streaming offsets) safe to run concurrently with maintenance: pin
+    * only versions inside the horizon you operate vacuum with, and a
+    * racing vacuum cannot delete the files under you. Defaults to 0
+    * (pure version-count retention, the historical behavior);
+    * `nowMillis` is a test seam. */
+  def vacuum(root: String, retainVersions: Int = 1,
+             retainMillis: Long = 0L,
+             nowMillis: Long = System.currentTimeMillis()): Int = {
     val vs = versions(root)
-    val (drop, keep) = vs.splitAt(math.max(0, vs.length - retainVersions))
+    val cut = math.max(0, vs.length - retainVersions)
+    // widen the keep-set to every version inside the time horizon:
+    // versions are committed in order, so the retained suffix stays a
+    // suffix (manifest mtimes are the log's clock, as in versionAsOf)
+    val horizonStart = vs.indexWhere(v =>
+      manifestFile(root, v).lastModified() > nowMillis - retainMillis)
+    val split =
+      if (retainMillis <= 0L || horizonStart < 0) cut
+      else math.min(cut, horizonStart)
+    val (drop, keep) = vs.splitAt(split)
     // the oldest RETAINED version always gets a (re)checkpoint before
     // manifests below it disappear: it keeps a delta manifest
     // resolvable AND preserves the aggregated #txn state recorded in

@@ -55,6 +55,23 @@ object GraftScan {
     * manifest stats. */
   def scan(spark: SparkSession, root: String,
            version: Option[Long] = None): DataFrame = {
+    val (idx, dataSchema, partSchema) = indexFor(spark, root, version)
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val relation = HadoopFsRelation(
+      idx, partSchema, dataSchema, None,
+      new ParquetFileFormat, Map("mergeSchema" -> "true"))(cs)
+    PlanBridge.registerOptimization(spark, CountFromManifest)
+    PlanBridge.ofRows(spark, LogicalRelation(relation, false))
+  }
+
+  /** The pruning index + (data, partition) schemas for one pinned
+    * snapshot — the shared construction [[scan]] and the DSv2
+    * [[GraftCatalog]] table both build on: ONE index implementation,
+    * two integration surfaces (V1 `HadoopFsRelation` and
+    * `ParquetScanBuilder`), identical manifest pruning. */
+  private[graft] def indexFor(spark: SparkSession, root: String,
+                              version: Option[Long])
+      : (GraftFileIndex, StructType, StructType) = {
     val v = version.orElse(VersionedTable.latestVersion(root))
       .getOrElse(sys.error(s"no versions at $root"))
     val files = VersionedTable.scanListing(root, Some(v))
@@ -70,12 +87,8 @@ object GraftScan {
       if (files.forall(_.rows.isDefined)) Some(files.flatMap(_.rows).sum)
       else None
     val cs = spark.asInstanceOf[classic.SparkSession]
-    val relation = HadoopFsRelation(
-      new GraftFileIndex(files, totalRows, partSchema),
-      partSchema, dataSchema, None,
-      new ParquetFileFormat, Map("mergeSchema" -> "true"))(cs)
-    PlanBridge.registerOptimization(spark, CountFromManifest)
-    PlanBridge.ofRows(spark, LogicalRelation(relation, false))
+    (new GraftFileIndex(cs, files, totalRows, partSchema),
+      dataSchema, partSchema)
   }
 
   /** INCREMENTAL schema for an append-delta version: the previous
@@ -135,7 +148,7 @@ object GraftScan {
         .filterNot(f => partSchema.fieldNames.contains(f.name)))
     val cs = spark.asInstanceOf[classic.SparkSession]
     val relation = HadoopFsRelation(
-      new GraftFileIndex(files, None, partSchema),
+      new GraftFileIndex(cs, files, None, partSchema),
       partSchema, dataSchema, None,
       new ParquetFileFormat, Map("mergeSchema" -> "true"))(cs)
     PlanBridge.ofRows(spark, LogicalRelation(relation, false))
@@ -154,7 +167,7 @@ object GraftScan {
                              partSchema: StructType = StructType(Nil)): DataFrame = {
     val cs = spark.asInstanceOf[classic.SparkSession]
     val relation = HadoopFsRelation(
-      new GraftFileIndex(files, None, partSchema),
+      new GraftFileIndex(cs, files, None, partSchema),
       partSchema, dataSchema, None,
       new ParquetFileFormat, Map("mergeSchema" -> "true"))(cs)
     PlanBridge.ofRows(spark, LogicalRelation(relation, isStreaming))
@@ -281,15 +294,22 @@ object GraftScan {
     }
   }
 
-  /** Manifest-backed [[FileIndex]]: one immutable version's files with
+  /** Manifest-backed file index: one immutable version's files with
     * their stats; `listFiles` is where Catalyst's pushed filters meet
     * the manifest — partitionFilters against the path-parsed partition
     * values (whole `col=value` directories skipped at plan time),
-    * dataFilters against the per-file [min, max]/bloom stats. */
-  private final class GraftFileIndex(files: Seq[ScanFile],
-                                     val totalRows: Option[Long],
-                                     partSchema: StructType)
-      extends FileIndex {
+    * dataFilters against the per-file [min, max]/bloom stats.
+    * Extends [[PartitioningAwareFileIndex]] (not bare [[FileIndex]])
+    * so the SAME index serves both integration surfaces: the V1
+    * `HadoopFsRelation` scan here and the DSv2 `ParquetScanBuilder`
+    * behind [[GraftCatalog]] — `listFiles` is overridden wholesale, so
+    * both paths get identical manifest pruning. */
+  private[graft] final class GraftFileIndex(session: classic.SparkSession,
+                                            files: Seq[ScanFile],
+                                            val totalRows: Option[Long],
+                                            partSchema: StructType)
+      extends org.apache.spark.sql.execution.datasources
+        .PartitioningAwareFileIndex(session, Map.empty, None) {
 
     private val statuses: Seq[(ScanFile, FileStatus)] = files.map { f =>
       val jf = new java.io.File(f.path)
@@ -307,6 +327,29 @@ object GraftScan {
         .toSeq.map { case (vals, fs) =>
           InternalRow.fromSeq(vals) -> fs
         }
+
+    override def partitionSpec(): org.apache.spark.sql.execution
+        .datasources.PartitionSpec =
+      if (partSchema.isEmpty)
+        org.apache.spark.sql.execution.datasources.PartitionSpec.emptySpec
+      else org.apache.spark.sql.execution.datasources.PartitionSpec(
+        partSchema,
+        groups.map { case (row, fs) =>
+          org.apache.spark.sql.execution.datasources.PartitionPath(
+            row, fs.head._2.getPath.getParent)
+        })
+
+    override protected def leafFiles
+        : scala.collection.mutable.LinkedHashMap[Path, FileStatus] = {
+      val m = scala.collection.mutable.LinkedHashMap.empty[Path, FileStatus]
+      statuses.foreach { case (_, st) => m.put(st.getPath, st) }
+      m
+    }
+
+    override protected def leafDirToChildrenFiles
+        : Map[Path, Array[FileStatus]] =
+      statuses.groupBy(_._2.getPath.getParent)
+        .map { case (d, fs) => d -> fs.map(_._2).toArray }
 
     override def rootPaths: Seq[Path] =
       statuses.map(_._2.getPath.getParent).distinct
@@ -363,20 +406,37 @@ object GraftScan {
     /** Fold the per-file [min, max] of `name` into the table's range,
       * as CATALYST values of `dt` — `None` unless EVERY file records
       * the stat (a stats-less or all-null file could hide the true
-      * extremum) and the type round-trips the manifest encoding. */
+      * extremum) and the type round-trips the manifest encoding.
+      * Timestamp folds to epoch micros, date to epoch days (both
+      * exactly catalyst's internal values); float bounds widen/narrow
+      * exactly through double. */
     def columnRange(name: String,
                     dt: org.apache.spark.sql.types.DataType): Option[(Any, Any)] = {
-      def foldLong: Option[(Long, Long)] = {
-        val rs = files.map(_.stats.get(name))
+      def foldLong(get: ScanFile => Option[(Long, Long)]): Option[(Long, Long)] = {
+        val rs = files.map(get)
+        if (rs.nonEmpty && rs.forall(_.isDefined)) {
+          val f = rs.flatten
+          Some((f.map(_._1).min, f.map(_._2).max))
+        } else None
+      }
+      def foldDbl: Option[(Double, Double)] = {
+        val rs = files.map(_.dblStats.get(name))
         if (rs.nonEmpty && rs.forall(_.isDefined)) {
           val f = rs.flatten
           Some((f.map(_._1).min, f.map(_._2).max))
         } else None
       }
       dt match {
-        case org.apache.spark.sql.types.LongType => foldLong
+        case org.apache.spark.sql.types.LongType => foldLong(_.stats.get(name))
         case org.apache.spark.sql.types.IntegerType =>
-          foldLong.map { case (lo, hi) => (lo.toInt, hi.toInt) }
+          foldLong(_.stats.get(name)).map { case (lo, hi) => (lo.toInt, hi.toInt) }
+        case org.apache.spark.sql.types.TimestampType =>
+          foldLong(_.tsRange(name))
+        case org.apache.spark.sql.types.DateType =>
+          foldLong(_.dateRange(name)).map { case (lo, hi) => (lo.toInt, hi.toInt) }
+        case org.apache.spark.sql.types.DoubleType => foldDbl
+        case org.apache.spark.sql.types.FloatType =>
+          foldDbl.map { case (lo, hi) => (lo.toFloat, hi.toFloat) }
         case org.apache.spark.sql.types.StringType =>
           val rs = files.map(_.strStats.get(name))
           if (rs.nonEmpty && rs.forall(_.isDefined)) {
@@ -459,6 +519,13 @@ object GraftScan {
             f.strStats.get(a.name).forall { case (lo, hi) =>
               graft.sources.Utf8Order.lteq(lo, s.toString) &&
                 graft.sources.Utf8Order.lteq(s.toString, hi) }
+          case n: java.lang.Number
+              if typedLongRange(f, a.dataType, a.name).isDefined =>
+            typedLongRange(f, a.dataType, a.name).get.forall {
+              case (lo, hi) => n.longValue >= lo && n.longValue <= hi }
+          case n: java.lang.Number if isFractional(a.dataType) =>
+            f.dblStats.get(a.name).forall { case (lo, hi) =>
+              n.doubleValue >= lo && n.doubleValue <= hi }
           case _ => true
         }
         rangeOk && bloomMayContain(f, a.name, l)
@@ -466,14 +533,16 @@ object GraftScan {
     case _ => true // IsNotNull, UDFs, casts, … — cannot prune, keep
   }
 
-  /** The manifest's numeric stats were recorded via `cast(col as long)`
-    * (`VersionedTable.statLines`), which is a FAITHFUL [min, max] bound
-    * only for integral columns. For TimestampType the cast yields epoch
-    * SECONDS while a catalyst timestamp literal carries MICROSECONDS
-    * (off by 1e6 — pruning on it would skip every file); for
-    * Float/Double the cast truncates toward zero, so the recorded range
-    * is NOT a bound of the actual values. Those types must never prune
-    * on the long stats — keep the file. */
+  /** The manifest's bare-name numeric stats were recorded via
+    * `cast(col as long)` (`VersionedTable.statLines`), a FAITHFUL
+    * [min, max] bound only for integral columns. For TimestampType the
+    * cast yields epoch SECONDS while a catalyst timestamp literal
+    * carries MICROSECONDS (off by 1e6 — pruning on it would skip every
+    * file); for Float/Double the cast truncates toward zero. Those
+    * types never prune on the bare-name long stats — they prune ONLY
+    * through their TYPED manifest keys (`__ts_`/`__dt_`/`__dbl_`,
+    * faithful units by construction; a legacy manifest without them
+    * keeps every file, conservative). */
   private def integralStats(dt: org.apache.spark.sql.types.DataType): Boolean =
     dt match {
       case org.apache.spark.sql.types.ByteType |
@@ -482,6 +551,23 @@ object GraftScan {
            org.apache.spark.sql.types.LongType => true
       case _ => false
     }
+
+  /** The typed [min, max] lookup for an attribute whose LONG-valued
+    * catalyst literals compare against a typed manifest key: timestamp
+    * literals carry epoch micros (vs [[graft.sources.VersionedTable.TsPrefix]]
+    * stats), date literals epoch days. None = not such a type. */
+  private def typedLongRange(f: ScanFile,
+                             dt: org.apache.spark.sql.types.DataType,
+                             name: String): Option[Option[(Long, Long)]] =
+    dt match {
+      case org.apache.spark.sql.types.TimestampType => Some(f.tsRange(name))
+      case org.apache.spark.sql.types.DateType => Some(f.dateRange(name))
+      case _ => None
+    }
+
+  private def isFractional(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == org.apache.spark.sql.types.DoubleType ||
+      dt == org.apache.spark.sql.types.FloatType
 
   /** Bloom test for an equality probe: definite-absence skips the
     * file; no bloom for the column keeps it. Hash mirrors the writer
@@ -506,9 +592,19 @@ object GraftScan {
     case _ => None
   }
 
+  /** Exact double of a fractional-typed literal (floats widen exactly;
+    * integral literals against a double column arrive pre-cast by
+    * Catalyst's coercion, so Double/Float covers the analyzed shapes). */
+  private def dblOf(l: Literal): Option[Double] = l.value match {
+    case d: java.lang.Double => Some(d.doubleValue)
+    case f: java.lang.Float => Some(f.toDouble)
+    case _ => None
+  }
+
   /** Keep iff the file's [lo, hi] could contain a value in [a, b].
-    * Numeric stats apply only to integral attributes (see
-    * [[integralStats]]); string stats only to StringType. */
+    * Bare-name numeric stats apply only to integral attributes (see
+    * [[integralStats]]); string stats to StringType; timestamp/date
+    * and float/double compare against their TYPED manifest keys. */
   private def inRange(f: ScanFile, attr: AttributeReference, a: Literal,
                       b: Literal): Boolean =
     if (integralStats(attr.dataType)) (longOf(a), longOf(b)) match {
@@ -524,7 +620,21 @@ object GraftScan {
               graft.sources.Utf8Order.lteq(x, hi) }
         case _ => true
       }
-    else true
+    else typedLongRange(f, attr.dataType, attr.name) match {
+      case Some(range) => (longOf(a), longOf(b)) match {
+        case (Some(x), Some(y)) =>
+          range.forall { case (lo, hi) => y >= lo && x <= hi }
+        case _ => true
+      }
+      case None if isFractional(attr.dataType) =>
+        (dblOf(a), dblOf(b)) match {
+          case (Some(x), Some(y)) =>
+            f.dblStats.get(attr.name).forall { case (lo, hi) =>
+              y >= lo && x <= hi }
+          case _ => true
+        }
+      case None => true
+    }
 
   /** Keep iff the file's MAX could satisfy `col > / >= v`. */
   private def hiAtLeast(f: ScanFile, attr: AttributeReference, l: Literal,
@@ -538,7 +648,16 @@ object GraftScan {
           if (strict) graft.sources.Utf8Order.lt(v, hi)
           else graft.sources.Utf8Order.lteq(v, hi) }
       }
-    else true
+    else typedLongRange(f, attr.dataType, attr.name) match {
+      case Some(range) => longOf(l).forall { v =>
+        range.forall { case (_, hi) => if (strict) hi > v else hi >= v }
+      }
+      case None if isFractional(attr.dataType) => dblOf(l).forall { v =>
+        f.dblStats.get(attr.name).forall { case (_, hi) =>
+          if (strict) hi > v else hi >= v }
+      }
+      case None => true
+    }
 
   /** Keep iff the file's MIN could satisfy `col < / <= v`. */
   private def loAtMost(f: ScanFile, attr: AttributeReference, l: Literal,
@@ -552,5 +671,14 @@ object GraftScan {
           if (strict) graft.sources.Utf8Order.lt(lo, v)
           else graft.sources.Utf8Order.lteq(lo, v) }
       }
-    else true
+    else typedLongRange(f, attr.dataType, attr.name) match {
+      case Some(range) => longOf(l).forall { v =>
+        range.forall { case (lo, _) => if (strict) lo < v else lo <= v }
+      }
+      case None if isFractional(attr.dataType) => dblOf(l).forall { v =>
+        f.dblStats.get(attr.name).forall { case (lo, _) =>
+          if (strict) lo < v else lo <= v }
+      }
+      case None => true
+    }
 }

@@ -29,6 +29,18 @@ class GraftScanSpec extends SparkSuite {
   private def openedFiles(df: org.apache.spark.sql.DataFrame): Long =
     df.select(input_file_name()).distinct().count()
 
+  /** Files the FileIndex actually SELECTED at plan time — unlike
+    * [[openedFiles]] (distinct input_file_name over surviving rows),
+    * this cannot be satisfied vacuously by parquet row-group filtering
+    * when the data is clustered, so it is the honest prune measure. */
+  private def selectedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    val aqe = new org.apache.spark.sql.execution.adaptive
+      .AdaptiveSparkPlanHelper {}
+    aqe.collect(df.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.map(_.selectedPartitions.totalNumberOfFiles).sum
+  }
+
   test("plan-time pruning: DataFrame filters on numeric and string " +
     "stats open only intersecting files; answers match readWhere") {
     val root = mkTable()
@@ -216,47 +228,102 @@ class GraftScanSpec extends SparkSuite {
     assert(agg2.queryExecution.executedPlan.toString.contains("FileScan"))
   }
 
-  test("timestamp/double stats never prune: the long-cast manifest " +
-    "stats are not faithful bounds for non-integral types") {
+  test("typed timestamp/date/double stats prune with faithful units; " +
+    "the profile fold serves typed extrema from the manifest") {
     import spark.implicits._
     val root = tmpRoot()
-    // ts stats record epoch SECONDS (cast to long); catalyst timestamp
-    // literals carry MICROSECONDS. double stats truncate toward zero.
-    // Neither may be used to skip files.
+    // month clustered WITH k so the range partitioner gives each file
+    // one month — the time-slice layout a 100 TB lake actually has
     val rows = (0 until 400).map { i =>
-      (i.toLong, java.sql.Timestamp.valueOf(f"2024-${i % 4 + 1}%02d-10 12:30:00"),
-        (i % 10) / 10.0 - 0.45)
-    }.toDF("k", "ts", "v").repartitionByRange(4, col("k"))
-    VersionedTable.overwriteWithStats(rows, root, "k", "ts", "v")
-    val total = openedFiles(VersionedTable.scan(spark, root))
-    // timestamp range predicate: would compare micros vs seconds if the
-    // guard were missing and silently return empty
-    val tsq = VersionedTable.scan(spark, root)
-      .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-02-01 00:00:00")))
-    assert(tsq.count() ==
-      VersionedTable.read(spark, root)
-        .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-02-01 00:00:00")))
-        .count())
-    assert(tsq.count() > 0L, "timestamp filter must not skip every file")
-    assert(openedFiles(tsq) == total,
-      "non-integral stats must keep every file")
-    // double strict bound: file stats [0,0] must not skip values in (0, 1)
-    val dq = VersionedTable.scan(spark, root).filter(col("v") > 0.05)
-    assert(dq.count() ==
-      VersionedTable.read(spark, root).filter(col("v") > 0.05).count())
-    assert(dq.count() > 0L)
-    assert(openedFiles(dq) == total)
-    // double equality + InSet-style probe stay correct too
-    val deq = VersionedTable.scan(spark, root)
-      .filter(col("v").isin(0.05, 0.15, 0.25))
-    assert(deq.count() ==
-      VersionedTable.read(spark, root)
-        .filter(col("v").isin(0.05, 0.15, 0.25)).count())
-    // integral pruning on k still works alongside
-    val kq = VersionedTable.scan(spark, root)
-      .filter(col("k") < 100L)
-    assert(kq.count() == 100L)
-    assert(openedFiles(kq) < total, "integral stats must still prune")
+      val m = i / 100 + 1
+      (i.toLong,
+        java.sql.Timestamp.valueOf(f"2024-$m%02d-10 12:30:00"),
+        java.sql.Date.valueOf(f"2024-$m%02d-15"),
+        i / 40.0)
+    }.toDF("k", "ts", "d", "v").repartitionByRange(4, col("k"))
+    VersionedTable.overwriteWithStats(rows, root, "k", "ts", "d", "v")
+    val total = selectedFiles(VersionedTable.scan(spark, root))
+    assert(total == 4L)
+    // the canonical 100 TB slice: a timestamp range opens only the
+    // intersecting files, answer unchanged
+    val cut = lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00"))
+    val tsq = VersionedTable.scan(spark, root).filter(col("ts") >= cut)
+    assert(tsq.count() == 200L)
+    assert(selectedFiles(tsq) == 2L,
+      s"timestamp slice must open 2 of 4 files, opened ${selectedFiles(tsq)}")
+    // BETWEEN (epoch-micros inRange shape)
+    val between = VersionedTable.scan(spark, root)
+      .filter(col("ts").between(
+        java.sql.Timestamp.valueOf("2024-02-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-02-28 00:00:00")))
+    assert(between.count() == 100L && selectedFiles(between) == 1L)
+    // date equality prunes through epoch-days stats
+    val dq = VersionedTable.scan(spark, root)
+      .filter(col("d") === lit(java.sql.Date.valueOf("2024-02-15")))
+    assert(dq.count() == 100L && selectedFiles(dq) == 1L)
+    // double range prunes through the exact Double.toString bounds;
+    // strict bound respected (file hi 7.475 < 7.5 skips)
+    val vq = VersionedTable.scan(spark, root).filter(col("v") >= 7.5)
+    assert(vq.count() ==
+      VersionedTable.read(spark, root).filter(col("v") >= 7.5).count())
+    assert(selectedFiles(vq) == 1L,
+      s"double range must open 1 of 4 files, opened ${selectedFiles(vq)}")
+    // the typed table profile folds whole from the manifest
+    val profile = VersionedTable.scan(spark, root)
+      .agg(min(col("ts")).as("tlo"), max(col("ts")).as("thi"),
+        min(col("d")).as("dlo"), max(col("d")).as("dhi"),
+        min(col("v")).as("vlo"), max(col("v")).as("vhi"),
+        count(lit(1)).as("n"))
+    val r = profile.head()
+    assert(r.getTimestamp(0) ==
+      java.sql.Timestamp.valueOf("2024-01-10 12:30:00"))
+    assert(r.getTimestamp(1) ==
+      java.sql.Timestamp.valueOf("2024-04-10 12:30:00"))
+    assert(r.getDate(2) == java.sql.Date.valueOf("2024-01-15"))
+    assert(r.getDate(3) == java.sql.Date.valueOf("2024-04-15"))
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 399 / 40.0)
+    assert(r.getLong(6) == 400L)
+    assert(!profile.queryExecution.executedPlan.toString.contains("FileScan"),
+      "the typed profile must answer from the manifest")
+    // a NaN bound records NO stat: the file is kept, folds disqualify
+    val root2 = tmpRoot()
+    val nan = Seq((1L, 0.5), (2L, Double.NaN), (3L, 2.5))
+      .toDF("k", "v").coalesce(1)
+    VersionedTable.overwriteWithStats(nan, root2, "k", "v")
+    // Spark orders NaN above every value: v > 100.0 RETURNS the NaN
+    // row — the skipped stat keeps the file, so the answer is right
+    val nq = VersionedTable.scan(spark, root2).filter(col("v") > 100.0)
+    assert(nq.count() == 1L && selectedFiles(
+      VersionedTable.scan(spark, root2).filter(col("v") > 0.0)) == 1L)
+    val nprof = VersionedTable.scan(spark, root2).agg(max(col("v")).as("m"))
+    assert(nprof.queryExecution.executedPlan.toString.contains("FileScan"),
+      "a NaN-bounded file must disqualify the metadata fold")
+  }
+
+  test("the micros-vs-seconds trap stays pinned: legacy long-cast " +
+    "stats under a timestamp column's bare name never prune") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val rows = (0 until 400).map { i =>
+      (i.toLong,
+        java.sql.Timestamp.valueOf(f"2024-${i / 100 + 1}%02d-10 12:30:00"))
+    }.toDF("k", "ts").repartitionByRange(4, col("k"))
+    VersionedTable.overwriteWithStats(rows, root, "k")
+    // doctor the manifest into the pre-typed-stats shape: a long-cast
+    // triple under the BARE column name carrying epoch SECONDS — a
+    // reader comparing micros literals against it would skip every file
+    val mf = new java.io.File(root, "_log/000000000000.manifest")
+    val doctored = new String(
+      java.nio.file.Files.readAllBytes(mf.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.map(_ + "\tts\t1704000000\t1712000000").mkString("\n")
+    java.nio.file.Files.write(mf.toPath,
+      doctored.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val cut = lit(java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    val tsq = VersionedTable.scan(spark, root).filter(col("ts") >= cut)
+    assert(tsq.count() == 300L, "legacy stats must not change answers")
+    assert(selectedFiles(tsq) == 4L,
+      "bare-name long stats must never prune a timestamp predicate")
   }
 
   test("MOR-aware scan: pending tombstones and patches overlay " +
@@ -434,6 +501,63 @@ class GraftScanSpec extends SparkSuite {
       .filter(col("status") === "s0" && col("k") === 9999L).count() == 1L)
     // time travel still serves the pre-DML snapshot
     assert(VersionedTable.scan(spark, root, Some(0L)).count() == 800L)
+  }
+
+  test("partition-layout safety: partitioned writes refuse a table with " +
+    "flat versions; racing first partitioned writers agree on ONE schema") {
+    import spark.implicits._
+    // the sidecar is table-global: publishing it over flat history
+    // would make old versions' partition values read back NULL
+    val root = tmpRoot()
+    VersionedTable.overwrite(
+      Seq((1L, "a", 2L)).toDF("k", "status", "v"), root)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.overwritePartitionedWithStats(
+        Seq((1L, "a", 2L)).toDF("k", "status", "v"), root,
+        Seq("status"), "k")
+    }
+    assert(e.getMessage.contains("flat-file versions"))
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.appendPartitionedWithStats(
+        Seq((1L, "b", 3L)).toDF("k", "status", "v"), root,
+        Seq("status"), "k")
+    }
+    assert(e2.getMessage.contains("flat-file versions"))
+    // the flat table is untouched and fully readable
+    assert(VersionedTable.read(spark, root).count() == 1L)
+    assert(VersionedTable.partitionSchema(root).isEmpty,
+      "a refused partitioned write must not leave a sidecar behind")
+
+    // racing FIRST partitioned writers with DIFFERENT partition
+    // columns: the sidecar publishes put-if-absent (hard link), so
+    // exactly one layout survives and the loser aborts loudly instead
+    // of replacing the winner's schema (last-writer-wins here is data
+    // loss — the loser's committed files would parse NULL partitions)
+    val root2 = tmpRoot()
+    val df2 = (0L until 40L).map(i => (i, s"s${i % 2}", s"m${i % 3}"))
+      .toDF("k", "a", "b")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(Seq("a"), Seq("b")).map { pc =>
+      new Thread(() => {
+        try {
+          VersionedTable.overwritePartitionedWithStats(df2, root2, pc, "k")
+          ()
+        } catch { case t: Throwable => errs.add(t); () }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.size() == 1,
+      s"exactly one racer must lose, got ${errs.size()} errors: " +
+        s"${java.util.Arrays.toString(errs.toArray)}")
+    // the survivor's layout is self-consistent: one committed version,
+    // sidecar matches, every row serves a non-null partition value
+    val ps = VersionedTable.partitionSchema(root2)
+    assert(ps.length == 1 && Set("a", "b").contains(ps.head.name))
+    assert(VersionedTable.versions(root2) == Seq(0L))
+    val served = VersionedTable.scan(spark, root2)
+    assert(served.count() == 40L)
+    assert(served.filter(col(ps.head.name).isNull).count() == 0L)
   }
 
   test("default-on stats: a table written with PLAIN overwrite/append " +
