@@ -656,6 +656,138 @@ object LakeQueries extends QueryModule {
           AND o_orderkey BETWEEN 1000 AND 4000
         GROUP BY 1 ORDER BY 1""")),
 
+    // METADATA-FAST COUNT UNDER PENDING MOR DELETES
+    // (Tombstones.countActive): with tombstones pending and no
+    // patches, the active count = manifest row total (O(manifest)
+    // fold) minus the pending keys PRESENT in the base — checked once
+    // through a key-column-only read with the keys pushed as an
+    // IN-list, so the table's min/max stats prune non-intersecting
+    // files at plan time (a recorded key may be ABSENT from the base:
+    // the probe includes absent keys to pin that they subtract
+    // nothing). agree_ok pins countActive == the full overlay count;
+    // the oracle recomputes the active count from raw SQL.
+    "q307_mor_count" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_morcount").resolve("t").toString
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+          .repartitionByRange(8, col("o_orderkey"))
+        graft.sources.VersionedTable.overwriteWithStats(
+          orders, root, "o_orderkey")
+        // takedown keys: every 97th order, plus keys the table never
+        // held (absent keys must not subtract from the count)
+        val keys = orders.filter(col("o_orderkey") % 97 === 0)
+          .select(col("o_orderkey"))
+          .unionByName(s.range(2).select(
+            (col("id") - 10L).as("o_orderkey")))
+        graft.sources.Tombstones.deleteMor(s, root, keys)
+        val meta = graft.sources.Tombstones.countActive(s, root)
+          .getOrElse(-1L)
+        val full = graft.sources.Tombstones.readActive(s, root).count()
+        val agreeOk = if (meta == full) 1L else 0L
+        s.range(1).select(lit(meta).as("active_rows"),
+          lit(agreeOk).as("agree_ok"))
+      },
+      oracle = Some("""
+        SELECT COUNT(*) AS active_rows, CAST(1 AS BIGINT) AS agree_ok
+        FROM orders WHERE o_orderkey % 97 <> 0"""),
+      bench = false),
+
+    // DSv2 CATALOG + SQL TIME TRAVEL (the DeltaCatalog read-path
+    // role): after GraftCatalog.register, spark.sql plans
+    // `graft.gate.orders_tt` NATIVELY — Spark's own parser handles
+    // VERSION AS OF, the catalog's loadTable(ident, version) pins the
+    // snapshot, and the scan is Spark's ParquetScanBuilder over the
+    // SAME manifest-pruning index as VersionedTable.scan (one index,
+    // two integration surfaces — GraftCatalogSpec pins DSv2 file
+    // pruning, TIMESTAMP AS OF, and the MOR-pending refusal). The
+    // statement reads TWO pinned versions in one SQL text; the oracle
+    // replays both snapshots from the raw table.
+    "q308_catalog_timetravel" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_cattt").resolve("t").toString
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+        graft.sources.VersionedTable.overwriteWithStats(
+          orders.filter(col("o_orderkey") % 2 === 0)
+            .repartitionByRange(4, col("o_orderkey")),
+          root, "o_orderkey")
+        graft.sources.VersionedTable.appendWithStats(
+          orders.filter(col("o_orderkey") % 2 === 1)
+            .repartitionByRange(4, col("o_orderkey")),
+          root, "o_orderkey")
+        org.apache.spark.sql.graft.GraftCatalog.register(
+          s, "gate", "orders_tt", root)
+        s.sql("""
+          SELECT o_orderstatus, count(*) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                   AS DOUBLE) AS total
+          FROM (
+            SELECT * FROM graft.gate.orders_tt VERSION AS OF 0
+            UNION ALL
+            SELECT * FROM graft.gate.orders_tt VERSION AS OF 1)
+          GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT o_orderstatus, o_totalprice FROM orders
+          WHERE o_orderkey % 2 = 0
+          UNION ALL
+          SELECT o_orderstatus, o_totalprice FROM orders)
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
+        FROM u GROUP BY 1 ORDER BY 1""")),
+
+    // TYPED time-slice pruning (the single most common 100 TB
+    // predicate: `ts >= '...'`): orders clustered by o_orderdate,
+    // typed manifest stats recorded at write (epoch-MICROS triples for
+    // timestamps, exact Double.toString bounds for doubles — the
+    // long-cast seconds/truncated stats are never consulted for these
+    // types), and an ORDINARY timestamp filter through scan() selects
+    // only the intersecting files AT PLAN TIME (prune_ok counts the
+    // FileIndex's selectedPartitions, not surviving rows — row-group
+    // filtering can't fake it). The conjunctive double bound prunes
+    // through the same index. GraftScanSpec pins BETWEEN/date/NaN
+    // shapes and the micros-vs-seconds legacy trap negative; the
+    // oracle pins that typed plan-time skipping never changes answers.
+    "q305_ts_prune" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_tsprune").resolve("t").toString
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"),
+            col("o_orderdate").cast("timestamp").as("o_orderdate"),
+            col("o_orderstatus"), col("o_totalprice"))
+          .repartitionByRange(8, col("o_orderdate"))
+        graft.sources.VersionedTable.overwriteWithStats(
+          orders, root, "o_orderdate", "o_totalprice")
+        val sliced = graft.sources.VersionedTable.scan(s, root)
+          .filter(col("o_orderdate") >=
+            to_timestamp(lit("1999-01-01 00:00:00")) &&
+            col("o_totalprice") >= 1000.0)
+        val scanNode = sliced.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        val pruneOk =
+          if (scanNode.nonEmpty &&
+            scanNode.head.selectedPartitions.totalNumberOfFiles < 8L) 1L
+          else 0L
+        sliced.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("prune_ok", lit(pruneOk))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total,
+               CAST(1 AS BIGINT) AS prune_ok
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+          AND o_totalprice >= 1000.0
+        GROUP BY 1 ORDER BY 1""")),
+
     // SQL DML surface (GraftSql — the serving layer's write side):
     // UPDATE / DELETE / INSERT INTO ... SELECT / MERGE INTO executed
     // as SQL TEXT route to the same engine paths as the Scala API

@@ -1033,6 +1033,80 @@ object StreamQueries extends QueryModule {
                CAST(1 AS BIGINT) AS replay_ok
         FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
         GROUP BY 1 ORDER BY 1"""),
+      bench = false),
+
+    // STREAMING ACROSS OPTIMIZE (the Delta dataChange=false role): a
+    // version-offset stream drains, then the table takes an append, a
+    // bin-packing compact() (removes + adds files, marked
+    // data-preserving in its manifest), and another append — all
+    // unseen. The restarted stream SKIPS the compaction commit (its
+    // delta carries no new rows; the appends' rows still serve from
+    // their original files) and lands both appends exactly once — a
+    // 100 TB table gets compacted while streams run, and the stream
+    // must ride across it rather than fail or re-serve
+    // (GraftStreamSpec pins the z-order re-layout variant and the
+    // genuine-rewrite-still-refuses negative). dedup_ok pins
+    // exactly-once; the oracle pins the full slice.
+    "q306_stream_compact" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_scompact").resolve("t").toString
+        val out = tempRoot("graft_vt_scompact").resolve("out").toString
+        val ckpt = tempRoot("graft_vt_scompact").resolve("ck").toString
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_quantity"))
+        val third = col("l_orderkey") % 3
+        def runStream(): Unit = {
+          val q = graft.sources.VersionedTable.scanStream(s, root)
+            .filter(col("l_orderkey") <= 5000L)
+            .writeStream
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+               id: Long) =>
+                if (!b.isEmpty)
+                  graft.sources.VersionedTable.appendTxn(b.toDF(), out,
+                    "stream_compact_gate", id)
+                ()
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          require(q.awaitTermination(180000),
+            "scan stream did not drain within 180 s")
+          ()
+        }
+        graft.sources.VersionedTable.overwriteWithStats(
+          li.filter(third === 0).repartitionByRange(4, col("l_orderkey")),
+          root, "l_orderkey")
+        runStream()
+        graft.sources.VersionedTable.appendWithStats(
+          li.filter(third === 1).repartitionByRange(4, col("l_orderkey")),
+          root, "l_orderkey")
+        graft.sources.VersionedTable.compact(s, root,
+          targetBytes = 1L << 30, statsCols = Seq("l_orderkey"))
+        graft.sources.VersionedTable.appendWithStats(
+          li.filter(third === 2).repartitionByRange(4, col("l_orderkey")),
+          root, "l_orderkey")
+        runStream()
+        val served = graft.sources.VersionedTable.read(s, out)
+        // exactly-once: the streamed row count equals the source
+        // slice's — a skipped append would lose rows, a re-served
+        // compaction would duplicate them (the driver's synthetic
+        // lineitem has no unique key, so count parity IS the check;
+        // the oracle additionally pins per-group sums)
+        val expect = li.filter(col("l_orderkey") <= 5000L).count()
+        val onceOk = if (served.count() == expect) 1L else 0L
+        served.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+          .withColumn("once_ok", lit(onceOk))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+               CAST(1 AS BIGINT) AS once_ok
+        FROM lineitem WHERE l_orderkey <= 5000
+        GROUP BY 1 ORDER BY 1"""),
       bench = false)
   )
 }

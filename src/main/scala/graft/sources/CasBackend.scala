@@ -52,23 +52,29 @@ object LocalCas extends CasBackend {
   override def putIfAbsent(f: File, content: Array[Byte]): Boolean = {
     val tmp = Files.createTempFile(f.getParentFile.toPath,
       "_ptr_stage", ".tmp")
-    Files.write(tmp, content)
-    val won =
+    try {
+      Files.write(tmp, content)
       try { Files.createLink(f.toPath, tmp); true }
       catch {
         case _: java.nio.file.FileAlreadyExistsException => false
-        case _: UnsupportedOperationException =>
-          // filesystem without link(2): weakest-available fallback,
-          // same stance as VersionedTable.commitManifest
-          if (f.exists()) false
-          else { Files.move(tmp, f.toPath, StandardCopyOption.ATOMIC_MOVE); true }
+        case e: UnsupportedOperationException =>
+          // filesystem without link(2): an exists-check + rename
+          // (which silently REPLACES) would turn the CAS into a TOCTOU
+          // race and quietly void the exactly-one-winner guarantee the
+          // pointer protocol (TextIndex duplicate-postings/BM25-stats
+          // protection) rests on. Fail loudly — such deployments take
+          // a CasBackend with a native conditional PUT instead of
+          // pretending this one succeeded.
+          throw new IllegalStateException(
+            "LocalCas put-if-absent requires hard-link support " +
+              "(link(2)); this filesystem lacks it — use a CasBackend " +
+              "backed by a native conditional PUT", e)
         // a writer paused long enough for the stale-stage pruner to
         // take its temp file has certainly lost the race anyway — a
         // lost CAS, not a crash: callers retry on false
         case _: java.nio.file.NoSuchFileException => false
       }
-    Files.deleteIfExists(tmp)
-    won
+    } finally Files.deleteIfExists(tmp)
   }
 
   override def delete(f: File): Unit = Files.deleteIfExists(f.toPath)

@@ -169,6 +169,53 @@ object Tombstones {
   def readActive(spark: SparkSession, root: String): DataFrame =
     overlay(spark, root, VersionedTable.read(spark, root))
 
+  /** METADATA-FAST active-row COUNT under a TOMBSTONE-ONLY overlay:
+    * `manifest row total − |pending keys present in the base|`. The
+    * manifest total folds O(manifest) ([[VersionedTable.countRows]]);
+    * the present-key term is exact but not free — it reads the base's
+    * KEY COLUMNS only (column-pruned scan), with the pending keys
+    * pushed as an IN-list filter when few (≤ [[CountActiveInListMax]])
+    * so bloom/min-max file pruning applies: on a key-clustered or
+    * bloom-indexed 100 TB table the term opens only the files that
+    * contain tombstoned keys. (A pure plan-time fold is impossible
+    * here without per-file deletion cardinalities — Delta's metadata
+    * COUNT under DVs works because each DV RECORDS its cardinality;
+    * these tombstones are key-valued, and a recorded key may be absent
+    * from the base, so presence must be checked once.)
+    *
+    * `None` when patches pend (a patch can change nothing the manifest
+    * knows — callers take the full overlay count), when the manifest
+    * lacks row totals, or when the table has no versions. */
+  def countActive(spark: SparkSession, root: String): Option[Long] = {
+    if (VersionedTable.latestVersion(patchStore(root)).isDefined) return None
+    val total = VersionedTable.countRows(root) match {
+      case Some(t) => t
+      case None => return None
+    }
+    pendingKeys(spark, root) match {
+      case None => Some(total)
+      case Some(t) =>
+        val keyCols = t.columns.toSeq
+        val keys = t.distinct().localCheckpoint(true)
+        val base = VersionedTable.read(spark, root).select(keyCols.map(col): _*)
+        // single-key small sets push as an IN-list so the manifest
+        // stats/blooms prune files at plan time; otherwise broadcast
+        val present =
+          if (keyCols.length == 1 && keys.count() <= CountActiveInListMax) {
+            val vals = keys.collect().map(_.get(0))
+            if (vals.isEmpty) 0L
+            else base.filter(col(keyCols.head).isin(vals.toSeq: _*))
+              .select(keyCols.map(col): _*).distinct().count()
+          } else
+            base.join(broadcast(keys), keyCols, "left_semi")
+              .distinct().count()
+        Some(total - present)
+    }
+  }
+
+  /** IN-list pushdown cap for [[countActive]]'s present-key probe. */
+  private[sources] val CountActiveInListMax = 1000L
+
   /** Fold every pending patch AND tombstone into the data files via
     * file-pruned [[VersionedTable.applyChanges]] commits, then reset
     * both stores. When the patch key set and the tombstone key set

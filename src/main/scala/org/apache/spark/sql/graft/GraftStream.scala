@@ -22,8 +22,13 @@ import graft.sources.VersionedTable
   * re-reads exactly the same rows, the exactly-once contract
   * `readChangesStream`'s directory listing approximates but cannot
   * pin (it discovers files, not commits). Append-only history
-  * required, checked per batch: a rewrite (MERGE/OPTIMIZE/z-order)
-  * fails the stream rather than silently re-serving rewritten rows.
+  * required, checked per batch — with one carve-out: commits MARKED
+  * data-preserving in the manifest (bin-packing `compact`, the
+  * z-order re-layout `compactZOrderedK`) are SKIPPED, because their
+  * delta contributes no new rows (a 100 TB table gets compacted while
+  * streams run; Delta's dataChange=false plays the same role). A
+  * genuine rewrite (MERGE/DELETE/UPDATE/overwrite) still fails the
+  * stream rather than silently re-serving rewritten rows.
   *
   * Use via [[graft.sources.VersionedTable.scanStream]]. */
 class GraftStreamProvider extends StreamSourceProvider with DataSourceRegister {

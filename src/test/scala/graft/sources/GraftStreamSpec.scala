@@ -140,4 +140,43 @@ class GraftStreamSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("append-only"))
   }
+
+  test("a stream rides across OPTIMIZE: data-preserving compaction " +
+    "commits are skipped exactly-once; genuine rewrites still refuse") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val out = tmpRoot()
+    val ckpt = Files.createTempDirectory("graft_stream_ck4").toString
+    mkTable(root, 0L, 100L, overwrite = true)
+    runOnce(root, out, ckpt, col("k") >= 0L)
+    assert(VersionedTable.read(spark, out).count() == 100L)
+    // append → COMPACT (bin-pack, removes+adds files) → append, all
+    // unseen by the stream; the compaction must be skipped, the two
+    // appends served exactly once each
+    mkTable(root, 100L, 140L, overwrite = false)
+    val cv = VersionedTable.compact(spark, root, targetBytes = 1L << 30,
+      statsCols = Seq("k"))
+    assert(VersionedTable.readListing(root, cv).nonEmpty)
+    mkTable(root, 140L, 160L, overwrite = false)
+    runOnce(root, out, ckpt, col("k") >= 0L)
+    val got = VersionedTable.read(spark, out)
+    assert(got.count() == 160L, "no row lost, none duplicated across compact")
+    assert(got.select(col("k")).distinct().count() == 160L)
+    // the z-order re-layout is data-preserving too
+    VersionedTable.compactZOrderedK(spark, root, Seq("k", "v"), 2)
+    mkTable(root, 160L, 170L, overwrite = false)
+    runOnce(root, out, ckpt, col("k") >= 0L)
+    assert(VersionedTable.read(spark, out).count() == 170L)
+    assert(VersionedTable.read(spark, out)
+      .select(col("k")).distinct().count() == 170L)
+    // a genuine rewrite in the unseen range still refuses
+    VersionedTable.delete(spark, root, col("k") === 5L)
+    mkTable(root, 170L, 175L, overwrite = false)
+    val e = intercept[Exception] {
+      VersionedTable.scanListingDelta(root,
+        Some(VersionedTable.latestVersion(root).get - 2),
+        VersionedTable.latestVersion(root).get)
+    }
+    assert(e.getMessage.contains("append-only"))
+  }
 }

@@ -300,6 +300,38 @@ class VersionedTableSpec extends SparkSuite {
       == Seq((2, "b")))
   }
 
+  test("vacuum retention horizon: versions inside retainMillis are " +
+    "never reclaimed — a pinned reader inside the horizon survives a " +
+    "concurrent vacuum") {
+    import spark.implicits._
+    val root = tmpRoot()
+    VersionedTable.overwrite(Seq((1, "a")).toDF("k", "v"), root) // v0
+    VersionedTable.overwrite(Seq((2, "b")).toDF("k", "v"), root) // v1
+    VersionedTable.append(Seq((3, "c")).toDF("k", "v"), root)    // v2
+    // a reader pinned at v1, inside the one-hour horizon
+    val pinned = VersionedTable.scan(spark, root, Some(1L))
+    // count-retention alone would reclaim v0+v1; the horizon (every
+    // version committed within the hour) overrides it
+    val removed = VersionedTable.vacuum(root, retainVersions = 1,
+      retainMillis = 3600000L)
+    assert(removed == 0)
+    assert(VersionedTable.versions(root) == Seq(0L, 1L, 2L))
+    assert(pinned.count() == 1L,
+      "the pinned reader inside the horizon must survive the vacuum")
+    // retention surfaces in history: all three versions flagged kept
+    val h = VersionedTable.historyWithRetention(root, 3600000L)
+    assert(h.map(_._1) == Seq(0L, 1L, 2L) && h.forall(_._5))
+    // once the horizon has passed (test seam: nowMillis in the
+    // future), count-retention applies again and old versions age out
+    val later = System.currentTimeMillis() + 7200000L
+    assert(VersionedTable.historyWithRetention(root, 3600000L, later)
+      .forall(!_._5))
+    VersionedTable.vacuum(root, retainVersions = 1,
+      retainMillis = 3600000L, nowMillis = later)
+    assert(VersionedTable.versions(root) == Seq(2L))
+    assert(VersionedTable.read(spark, root).count() == 2L)
+  }
+
   test("schema evolution: appended batch with a new column merges") {
     import spark.implicits._
     val root = tmpRoot()
