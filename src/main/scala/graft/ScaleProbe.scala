@@ -392,6 +392,54 @@ object ScaleProbe {
       }
       spark.stop(); return
     }
+    // typed time-slice probe (`runMain graft.ScaleProbe tslice`): a
+    // timestamp-clustered table growing 10× under a FIXED one-month
+    // slice predicate (the headline 100 TB shape, `ts >= a AND ts < b`)
+    // — the typed epoch-micros manifest stats must hold the SELECTED
+    // file count proportional to the slice, so the opened fraction
+    // stays flat as the table grows; the typed profile fold stays
+    // O(manifest). Selected files are counted at the PLAN level
+    // (selectedPartitions), not from surviving rows.
+    if (args.contains("tslice")) {
+      for (mult <- Seq(1, 4, 10)) {
+        val root = java.nio.file.Files
+          .createTempDirectory("probe_tslice").resolve("t").toString
+        val n = 400000L * mult
+        val files = 16 * mult
+        // one year of data regardless of mult: density grows, the
+        // slice stays one month of wall-clock
+        graft.sources.VersionedTable.overwriteWithStats(
+          spark.range(n).select(col("id").as("k"),
+            timestamp_micros(lit(1704067200000000L) +
+              (col("id") * (365L * 86400000000L / n))).as("ts"),
+            (col("id") % 97).cast("double").as("v"))
+            .repartitionByRange(files, col("ts")), root, "ts", "v")
+        val t0 = System.nanoTime()
+        val sliced = graft.sources.VersionedTable.scan(spark, root)
+          .filter(col("ts") >= to_timestamp(lit("2024-06-01 00:00:00")) &&
+            col("ts") < to_timestamp(lit("2024-07-01 00:00:00")))
+        val rows = sliced.count()
+        val aqe = new org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanHelper {}
+        val selected = aqe.collect(sliced.queryExecution.executedPlan) {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.selectedPartitions.totalNumberOfFiles
+        }.sum
+        val t1 = System.nanoTime()
+        val prof = graft.sources.VersionedTable.scan(spark, root)
+          .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"),
+            count(lit(1)).as("cnt")).head()
+        val t2 = System.nanoTime()
+        println(f"[probe] mult=$mult%2d rows=$n%8d tslice_prune " +
+          f"selected=$selected%4d/$files%4d files " +
+          f"(${selected.toDouble / files}%5.3f) rows=$rows%8d " +
+          f"slice=${(t1 - t0) / 1e9}%5.2f s profile=${(t2 - t1) / 1e9}%6.3f s " +
+          f"(cnt=${prof.getAs[Long]("cnt")})")
+        graft.sources.Lake.deleteRecursively(
+          new java.io.File(root).getParentFile)
+      }
+      spark.stop(); return
+    }
     // partition-dimension probe (`runMain graft.ScaleProbe part`): a
     // Hive-layout table (8 tenants × k-clustered files) growing 10×;
     // the one-tenant + k-band predicate must open a FLAT file fraction

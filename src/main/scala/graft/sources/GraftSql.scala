@@ -21,10 +21,12 @@ import org.apache.spark.sql.functions._
   * DML immediately.
   *
   * Supported statements (case-insensitive keywords):
-  *  - `INSERT INTO t SELECT ...` / `INSERT INTO t VALUES (...), ...`
-  *    (positional columns, cast to the table schema) → append commit;
-  *  - `DELETE FROM t WHERE p` → [[VersionedTable.delete]] (file-pruned
-  *    COW, SQL null-predicate semantics);
+  *  - `INSERT INTO t [(a, b, ...)] SELECT ...` / `... VALUES (...), ...`
+  *    (positional columns — against the explicit list when given,
+  *    unlisted columns NULL — cast to the table schema) → append
+  *    commit;
+  *  - `DELETE FROM t [WHERE p]` → [[VersionedTable.delete]] (file-pruned
+  *    COW, SQL null-predicate semantics; no WHERE deletes every row);
   *  - `UPDATE t SET c = e, ... [WHERE p]` → [[VersionedTable.update]];
   *  - `MERGE INTO t USING s ON t.k = s.k [AND ...] WHEN MATCHED THEN
   *    UPDATE SET * WHEN NOT MATCHED THEN INSERT *` — the canonical
@@ -260,21 +262,41 @@ object GraftSql {
                      sourceSql: String): DataFrame = {
     val root = rootOf(t)
     refreshAll(spark)
-    val src = sourceSql.trim.stripSuffix(";").trim match {
+    // optional explicit column list: INSERT INTO t (a, b) SELECT ... —
+    // listed columns map positionally, unlisted table columns take
+    // NULL (SQL semantics); without a list, positions map to the full
+    // table schema as before
+    val body0 = sourceSql.trim
+    val (cols, body) =
+      if (body0.startsWith("(")) {
+        val e = parenSpan(body0)
+        val listed = body0.substring(1, e - 1).split(',').map(_.trim).toSeq
+        require(listed.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+          s"INSERT column list must be bare identifiers, got $listed")
+        (Some(listed), body0.drop(e).trim)
+      } else (None, body0)
+    val src = body.stripSuffix(";").trim match {
       case v if v.toUpperCase.startsWith("VALUES") =>
         spark.sql(s"SELECT * FROM ($v)")
       case q => spark.sql(q)
     }
     val schema = VersionedTable.read(spark, root).schema
-    require(src.schema.length == schema.length,
-      s"INSERT column count ${src.schema.length} != table ${schema.length}")
+    val target = cols.getOrElse(schema.fieldNames.toSeq)
+    target.foreach(c => require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"INSERT column '$c' not in table $t"))
+    require(src.schema.length == target.length,
+      s"INSERT column count ${src.schema.length} != ${target.length}")
+    val byPos = target.map(_.toLowerCase).zip(src.columns).toMap
     // positional mapping + cast to the table schema, SQL INSERT style;
     // pinned once — the count and the append must see the SAME rows
     // (a non-deterministic source evaluated twice could write rows the
     // reported count never saw), and a large SELECT must not run twice
-    val aligned = src.select(src.columns.zip(schema.fields).map {
-      case (c, f) => col(c).cast(f.dataType).as(f.name)
-    }.toSeq: _*).localCheckpoint(true)
+    val aligned = src.select(schema.fields.toSeq.map { f =>
+      byPos.get(f.name.toLowerCase) match {
+        case Some(c) => col(c).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }: _*).localCheckpoint(true)
     val n = aligned.count()
     val v = VersionedTable.append(aligned, root)
     result(spark, "INSERT", t, v, n)

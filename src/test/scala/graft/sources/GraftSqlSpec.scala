@@ -150,6 +150,25 @@ class GraftSqlSpec extends SparkSuite {
     assert(e.getMessage.contains("not registered"))
   }
 
+  test("INSERT with an explicit column list: listed columns map " +
+    "positionally, unlisted columns take NULL") {
+    val (name, root) = freshTable()
+    GraftSql.execute(spark, s"INSERT INTO $name (v, k) VALUES (70, 7)")
+    val got = VersionedTable.read(spark, root).filter(col("k") === 7L).head()
+    assert(got.getLong(2) == 70L && got.isNullAt(1),
+      "listed columns map by position; the unlisted column reads NULL")
+    // a column not in the table is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, s"INSERT INTO $name (k, nope) VALUES (1, 2)")
+    }
+    assert(e.getMessage.contains("not in table"))
+    // arity mismatch against the LIST is refused
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, s"INSERT INTO $name (k) VALUES (1, 2)")
+    }
+    assert(e2.getMessage.contains("column count"))
+  }
+
   test("DELETE FROM t without WHERE is the explicit full-table delete") {
     val (name, root) = freshTable()
     GraftSql.execute(spark, s"DELETE FROM $name")
