@@ -741,6 +741,58 @@ object LakeQueries extends QueryModule {
                  AS total
         FROM u GROUP BY 1 ORDER BY 1""")),
 
+    // DSv2 CATALOG WRITE PATH (the DeltaCatalog write-side start):
+    // CREATE TABLE through Spark's own DDL makes an EMPTY readable
+    // version 0 (schema in the sidecar); INSERT INTO / INSERT
+    // OVERWRITE land as the engine's own append/overwrite commits
+    // through a V1Write — atomic manifest versions, default typed
+    // stats, time travel across every write. The readback unions a
+    // PINNED pre-overwrite version with the overwritten latest in one
+    // statement, so the oracle pins both that the inserts landed
+    // exactly and that the overwrite preserved history
+    // (GraftCatalogSpec pins partitioned inserts, DROP-keeps-data,
+    // and the empty-version-0 read).
+    "q309_catalog_write" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_catw").resolve("t").toString
+        org.apache.spark.sql.graft.GraftCatalog.install(s)
+        s.sql("DROP TABLE IF EXISTS graft.gate.orders_w")
+        Tables(s, dir, "orders").createOrReplaceTempView("q309_orders")
+        s.sql(
+          s"""CREATE TABLE graft.gate.orders_w
+              (o_orderkey BIGINT, o_orderstatus STRING,
+               o_totalprice DOUBLE) LOCATION '$root'""")
+        s.sql("""INSERT INTO graft.gate.orders_w
+                 SELECT o_orderkey, o_orderstatus, o_totalprice
+                 FROM q309_orders WHERE o_orderkey % 2 = 0""")
+        s.sql("""INSERT INTO graft.gate.orders_w
+                 SELECT o_orderkey, o_orderstatus, o_totalprice
+                 FROM q309_orders WHERE o_orderkey % 2 = 1""")
+        s.sql("""INSERT OVERWRITE graft.gate.orders_w
+                 SELECT o_orderkey, o_orderstatus, o_totalprice
+                 FROM q309_orders WHERE o_orderkey % 3 = 0""")
+        s.sql("""
+          SELECT o_orderstatus, count(*) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                   AS DOUBLE) AS total
+          FROM (
+            SELECT * FROM graft.gate.orders_w VERSION AS OF 2
+            UNION ALL
+            SELECT * FROM graft.gate.orders_w)
+          GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT o_orderstatus, o_totalprice FROM orders
+          UNION ALL
+          SELECT o_orderstatus, o_totalprice FROM orders
+          WHERE o_orderkey % 3 = 0)
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
+        FROM u GROUP BY 1 ORDER BY 1"""),
+      bench = false),
+
     // TYPED time-slice pruning (the single most common 100 TB
     // predicate: `ts >= '...'`): orders clustered by o_orderdate,
     // typed manifest stats recorded at write (epoch-MICROS triples for

@@ -568,6 +568,45 @@ object VersionedTable {
             f.dataType == org.apache.spark.sql.types.FloatType) => f.name
     }.take(MaxAutoStatsCols)
 
+  /** CREATE TABLE: an EMPTY version 0 — no data files, the schema
+    * recorded in the `_schema.v0.json` sidecar (the read path serves
+    * zero rows with that schema until the first insert), and, when
+    * `partCols` is non-empty, the Hive-layout partition sidecar
+    * written UP FRONT so the first partitioned insert finds a
+    * partitioned table instead of the flat-history guard. Fails if the
+    * root already holds versions (put-if-absent commit). */
+  def createEmpty(root: String,
+                  schema: org.apache.spark.sql.types.StructType,
+                  partCols: Seq[String] = Seq.empty): Long = {
+    partCols.foreach { c =>
+      val dt = schema(c).dataType
+      require(dt == org.apache.spark.sql.types.StringType ||
+        dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.IntegerType ||
+        dt == org.apache.spark.sql.types.ShortType ||
+        dt == org.apache.spark.sql.types.ByteType,
+        s"partition column $c must be string or integral, got $dt")
+    }
+    new File(root).mkdirs()
+    if (partCols.nonEmpty) {
+      val pSchema = org.apache.spark.sql.types.StructType(
+        partCols.map(c => schema(c).copy(nullable = true)))
+      val tmp = Files.createTempFile(new File(root).toPath, "_pschema", ".tmp")
+      try {
+        Files.write(tmp, pSchema.json.getBytes(StandardCharsets.UTF_8))
+        try Files.createLink(partitionSchemaFile(root).toPath, tmp)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            require(partitionSchema(root) == pSchema,
+              s"root $root already records a different partition schema")
+        }
+      } finally Files.deleteIfExists(tmp)
+    }
+    val v = commitManifest(root, 0L, Seq.empty) // throws if v0 exists
+    writeEmptySchemaSidecar(root, v, schema)
+    v
+  }
+
   /** Full overwrite → new version referencing only the new files.
     * Overwrite carries no read-dependency on the previous state, so a
     * commit conflict only means renumbering — the staged files are
@@ -575,7 +614,24 @@ object VersionedTable {
   def overwrite(df: DataFrame, root: String): Long = {
     val staged = stageDataFiles(df, root, nextVersion(root))
     val lines = statLines(df.sparkSession, staged, autoStatsCols(df))
-    commitWithRetry(root, maxRetries = 5)(_ => lines)
+    val v = commitWithRetry(root, maxRetries = 5)(_ => lines)
+    if (staged.isEmpty) writeEmptySchemaSidecar(root, v, df.schema)
+    v
+  }
+
+  /** An EMPTY-batch commit records its schema in the version sidecar —
+    * the read path has no footer to infer from, and "CREATE then
+    * insert later" / "overwrite with an (unexpectedly) empty frame"
+    * must stay readable. Best-effort, like the scan's cache. */
+  private[sources] def writeEmptySchemaSidecar(
+      root: String, v: Long,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    try {
+      val tmp = Files.createTempFile(new File(root).toPath, "_schema", ".tmp")
+      Files.write(tmp, schema.json.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, new File(root, s"_schema.v$v.json").toPath,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    } catch { case _: java.io.IOException => () }
   }
 
   /** As [[overwrite]], recording per-file [min, max] of `statsCol` in
@@ -1336,7 +1392,13 @@ object VersionedTable {
     * Plain tables keep the direct parquet read. */
   private def readLines(spark: SparkSession, root: String,
                         lines: Seq[String]): DataFrame =
-    if (partitionSchema(root).isEmpty)
+    if (lines.isEmpty)
+      // an EMPTY snapshot (CREATE TABLE pre-insert, a full delete):
+      // zero rows with the table's recorded schema — DML against it
+      // degenerates correctly (merge = pure insert, delete/update
+      // touch nothing)
+      read(spark, root)
+    else if (partitionSchema(root).isEmpty)
       spark.read.option("mergeSchema", "true").parquet(lines.map(pathOf): _*)
     else org.apache.spark.sql.graft.GraftScan.ofScanFiles(
       spark, root, lines.map(scanFileOf))
@@ -1709,6 +1771,7 @@ object VersionedTable {
     val v = commitWithRetry(root, maxRetries = 5) { v =>
       if (v == 0) lines else deltaContent(Seq.empty, lines)
     }
+    if (staged.isEmpty && v == 0) writeEmptySchemaSidecar(root, v, df.schema)
     maybeCheckpoint(root, v)
     v
   }

@@ -2,27 +2,32 @@ package org.apache.spark.sql.graft
 
 import java.util
 
-import org.apache.spark.sql.classic
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.{DataFrame, classic}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableWritePrivilege}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sources.{Tombstones, VersionedTable}
 
 /** DataSource V2 CATALOG over [[graft.sources.VersionedTable]] roots —
-  * the DeltaCatalog role, scoped (this round) to the READ PATH: once
-  * registered, `spark.sql` plans `graft.db.t` NATIVELY, including
-  * Spark's own time-travel syntax,
+  * the DeltaCatalog role: once registered (or CREATEd), `spark.sql`
+  * plans `graft.db.t` NATIVELY, including Spark's own time-travel
+  * syntax and the insert verbs,
   *
   * {{{
   *   GraftCatalog.register(spark, "db", "t", root)
   *   spark.sql("SELECT * FROM graft.db.t WHERE k > 5")
   *   spark.sql("SELECT * FROM graft.db.t VERSION AS OF 3")
   *   spark.sql("SELECT * FROM graft.db.t TIMESTAMP AS OF '2026-01-01'")
+  *   spark.sql("CREATE TABLE graft.db.n (k BIGINT, s STRING) LOCATION '...'")
+  *   spark.sql("INSERT INTO graft.db.n SELECT ...")      // append commit
+  *   spark.sql("INSERT OVERWRITE graft.db.n SELECT ...") // overwrite commit
   * }}}
   *
   * with the SAME manifest-backed pruning index underneath as
@@ -30,9 +35,13 @@ import graft.sources.{Tombstones, VersionedTable}
   * `newScanBuilder` is Spark's own `ParquetScanBuilder` over the
   * [[GraftScan.GraftFileIndex]], so pushed filters meet the per-file
   * [min, max]/bloom/partition stats identically on both surfaces and
-  * the physical scan stays a vectorized parquet read. DML stays on
-  * [[graft.sources.GraftSql]] (the thin router) until the write path
-  * moves here; create/alter/drop/rename are rejected loudly.
+  * the physical scan stays a vectorized parquet read. Writes are a
+  * [[V1Write]] onto the engine's own append/overwrite (atomic manifest
+  * commits, default stats, partition layout preserved); row-level DML
+  * (DELETE/UPDATE/MERGE text) stays on [[graft.sources.GraftSql]].
+  * ALTER is rejected loudly (schema evolution goes through the
+  * mergeSchema writers); DROP removes the NAME only (external-table
+  * stance — the versioned data stays until vacuumed).
   *
   * MOR safety: a LATEST read refuses while tombstones/patches pend —
   * the raw snapshot would silently serve deleted rows (a GDPR hazard);
@@ -50,6 +59,7 @@ class GraftCatalog extends TableCatalog {
   override def initialize(name: String,
                           options: CaseInsensitiveStringMap): Unit = {
     catName = name
+    warehouse = Option(options.get("warehouse"))
   }
 
   override def name(): String = catName
@@ -105,23 +115,82 @@ class GraftCatalog extends TableCatalog {
     new GraftTableV2(s"${key(ident)}@v$v", root, Some(v))
   }
 
+  /** Write-intent load (Spark routes INSERT/OVERWRITE here): skips the
+    * pending-MOR refusal — appending while tombstones pend is
+    * legitimate (the overlay composes over the new rows too). */
+  override def loadTable(ident: Identifier,
+                         writePrivileges: util.Set[TableWritePrivilege]): Table =
+    new GraftTableV2(key(ident), rootOf(ident), None)
+
+  /** CREATE TABLE (the write-path start): a fresh VersionedTable root
+    * at the `location` property (or `<warehouse>/<ns>/<name>` from the
+    * catalog's `warehouse` option) holding an EMPTY version 0 whose
+    * schema lives in the `_schema.v0.json` sidecar; identity-partition
+    * transforms record the Hive-layout `_partition_schema.json`
+    * sidecar up front, so the first partitioned INSERT finds a
+    * partitioned table (never the flat-history guard). */
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    // Spark normalizes LOCATION to a file: URI; the engine's roots are
+    // local paths — convert, or java.io.File would treat "file:/x" as
+    // a relative path and staging would vanish
+    def localPath(loc: String): String =
+      try {
+        val u = new java.net.URI(loc)
+        if (u.getScheme == "file") java.nio.file.Paths.get(u).toString
+        else loc
+      } catch { case _: Exception => loc }
+    val root = Option(properties.get(TableCatalog.PROP_LOCATION))
+      .map(localPath).getOrElse {
+        val base = warehouse.getOrElse(sys.error(
+          s"CREATE TABLE ${key(ident)} needs a LOCATION, or set " +
+            s"spark.sql.catalog.$catName.warehouse"))
+        (Seq(base) ++ ident.namespace() :+ ident.name()).mkString("/")
+      }
+    require(VersionedTable.versions(root).isEmpty,
+      s"location $root already holds a versioned table")
+    val partCols = partitions.map {
+      case t if t.name == "identity" && t.references().length == 1 =>
+        t.references()(0).fieldNames().mkString(".")
+      case t => throw new UnsupportedOperationException(
+        s"only identity PARTITIONED BY columns are supported, got $t")
+    }
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c not in the table schema"))
+    VersionedTable.createEmpty(root, schema, partCols.toSeq)
+    GraftCatalog.registry.put(key(ident), root)
+    new GraftTableV2(key(ident), root, None)
+  }
+
   private def key(ident: Identifier): String = GraftCatalog.key(ident)
 
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table =
     throw new UnsupportedOperationException(
-      "GraftCatalog is read-path-only: ALTER goes through the " +
-        "VersionedTable API")
+      "GraftCatalog does not ALTER: schema evolution goes through the " +
+        "VersionedTable mergeSchema writers")
 
+  /** DROP = remove the NAME from the catalog; the versioned data stays
+    * on disk (the external-table stance — history remains
+    * time-travelable by root until vacuumed away). */
   override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "GraftCatalog is read-path-only: unregister() removes the name; " +
-        "data removal goes through the VersionedTable API")
+    GraftCatalog.registry.remove(key(ident)) != null
 
   override def renameTable(oldIdent: Identifier,
-                           newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      "GraftCatalog is read-path-only: re-register under the new name")
+                           newIdent: Identifier): Unit = {
+    val r = GraftCatalog.registry.get(key(oldIdent))
+    if (r == null) throw new NoSuchTableException(oldIdent)
+    if (GraftCatalog.registry.putIfAbsent(key(newIdent), r) != null)
+      throw new TableAlreadyExistsException(newIdent)
+    GraftCatalog.registry.remove(key(oldIdent))
+    ()
+  }
+
+  /** The catalog's warehouse directory (for LOCATION-less CREATE):
+    * `spark.sql.catalog.<name>.warehouse`. */
+  private var warehouse: Option[String] = None
 }
 
 object GraftCatalog {
@@ -132,18 +201,26 @@ object GraftCatalog {
   private def key(ident: Identifier): String =
     (ident.namespace() :+ ident.name()).mkString(".").toLowerCase
 
+  /** Install the catalog in the session without registering a table —
+    * what a CREATE TABLE-first workflow needs (catalog instances are
+    * constructed lazily by Spark on first reference; setting the conf
+    * at runtime is the supported path). */
+  def install(spark: org.apache.spark.sql.SparkSession,
+              catalog: String = "graft"): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$catalog",
+      classOf[GraftCatalog].getName)
+    ()
+  }
+
   /** Register `catalog.db.table` → a VersionedTable root and install
-    * the catalog in the session (catalog instances are constructed
-    * lazily by Spark on first reference — setting the conf at runtime
-    * is the supported path). */
+    * the catalog in the session. */
   def register(spark: org.apache.spark.sql.SparkSession, db: String,
                table: String, root: String,
                catalog: String = "graft"): Unit = {
     require(db.matches("[A-Za-z_][A-Za-z0-9_]*") &&
       table.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"db and table must be bare identifiers, got '$db'.'$table'")
-    spark.conf.set(s"spark.sql.catalog.$catalog",
-      classOf[GraftCatalog].getName)
+    install(spark, catalog)
     registry.put(s"$db.$table".toLowerCase, root)
     ()
   }
@@ -156,12 +233,17 @@ object GraftCatalog {
 
 /** One pinned (or latest) snapshot as a DSv2 [[Table]]: schema from
   * the version's cached sidecar, partition columns surfaced as
-  * identity transforms, and `newScanBuilder` = Spark's
+  * identity transforms, `newScanBuilder` = Spark's
   * `ParquetScanBuilder` over the manifest-pruning index — DSv2 pushes
-  * its filters into `listFiles` exactly as the V1 scan does. */
+  * its filters into `listFiles` exactly as the V1 scan does — and
+  * `newWriteBuilder` = a [[V1Write]] landing on the engine's own
+  * writers (append / overwrite, partition-layout-aware), so
+  * `INSERT INTO graft.db.t` and `INSERT OVERWRITE` get the same
+  * atomic manifest commits, default stats, and optimistic retry as
+  * the Scala API. Version-pinned tables are read-only (time travel). */
 private[graft] class GraftTableV2(ident: String, root: String,
                                   version: Option[Long])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
 
   private lazy val (idx, dataSchema, partSchema) = GraftScan.indexFor(
     classic.SparkSession.active, root, version)
@@ -175,9 +257,58 @@ private[graft] class GraftTableV2(ident: String, root: String,
     partSchema.fieldNames.map(Expressions.identity(_): Transform)
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     ParquetScanBuilder(classic.SparkSession.active, idx, schema(),
       dataSchema, options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(version.isEmpty,
+      s"$ident is a pinned time-travel snapshot: read-only")
+    new GraftWriteBuilder(root, partSchema.fieldNames.toSeq)
+  }
+}
+
+/** Append by default; `truncate()` (Spark's INSERT OVERWRITE route)
+  * flips to a full overwrite. Top-level classes on purpose — no outer
+  * pointers for the V1 fallback writer to trip on. */
+private[graft] final class GraftWriteBuilder(root: String,
+                                             partCols: Seq[String])
+    extends WriteBuilder with SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new GraftV1Write(root, partCols, overwrite)
+}
+
+private[graft] final class GraftV1Write(root: String, partCols: Seq[String],
+                                        overwrite: Boolean) extends V1Write {
+  override def toInsertableRelation: InsertableRelation =
+    new GraftInsertableRelation(root, partCols, overwrite)
+}
+
+/** The engine's own writers behind the DSv2 V1 fallback: atomic
+  * manifest commits, default stats, Hive layout preserved for
+  * partitioned tables. */
+private[graft] final class GraftInsertableRelation(root: String,
+                                                   partCols: Seq[String],
+                                                   overwrite: Boolean)
+    extends InsertableRelation {
+
+  override def insert(data: DataFrame, ow: Boolean): Unit = {
+    val full = overwrite || ow
+    if (partCols.isEmpty) {
+      if (full) VersionedTable.overwrite(data, root)
+      else VersionedTable.append(data, root)
+    } else {
+      if (full) VersionedTable.overwritePartitionedWithStats(
+        data, root, partCols)
+      else VersionedTable.appendPartitionedWithStats(data, root, partCols)
+    }
+    ()
+  }
 }

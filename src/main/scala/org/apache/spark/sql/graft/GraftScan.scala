@@ -75,10 +75,15 @@ object GraftScan {
     val v = version.orElse(VersionedTable.latestVersion(root))
       .getOrElse(sys.error(s"no versions at $root"))
     val files = VersionedTable.scanListing(root, Some(v))
-    require(files.nonEmpty, s"no files to scan at $root")
     val partSchema = VersionedTable.partitionSchema(root)
+    // an EMPTY version (CREATE TABLE before the first insert, a
+    // DELETE that removed every row, an empty-batch write) is a
+    // legitimate snapshot: schema comes from the version's sidecar
+    // (written by the creator) or the nearest earlier version that
+    // had files — zero-file scans plan normally and return no rows
     val dataSchema = StructType(
-      schemaOf(spark, root, v, files.map(_.path))
+      (if (files.nonEmpty) schemaOf(spark, root, v, files.map(_.path))
+       else emptySchemaOf(spark, root, v))
         .filterNot(f => partSchema.fieldNames.contains(f.name)))
     // total rows folded from the listing already in hand (countRows
     // semantics: any stats-less file disqualifies) — no second
@@ -171,6 +176,33 @@ object GraftScan {
       partSchema, dataSchema, None,
       new ParquetFileFormat, Map("mergeSchema" -> "true"))(cs)
     PlanBridge.ofRows(spark, LogicalRelation(relation, isStreaming))
+  }
+
+  /** Schema of an EMPTY version: the version's own sidecar (written
+    * by CREATE TABLE or an empty-batch writer), else resolved from the
+    * nearest EARLIER version — a full-table DELETE preserves the
+    * schema of what it deleted. Errors only when the whole history is
+    * schema-less (an empty table never written through a
+    * sidecar-recording path). */
+  private def emptySchemaOf(spark: SparkSession, root: String,
+                            v: Long): StructType = {
+    val own = new java.io.File(root, s"_schema.v$v.json")
+    if (own.exists())
+      return org.apache.spark.sql.types.DataType.fromJson(
+        new String(java.nio.file.Files.readAllBytes(own.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
+    val earlier = VersionedTable.versions(root).filter(_ < v).reverse
+    earlier.foreach { w =>
+      val paths = VersionedTable.listingPaths(root, w)
+      if (paths.nonEmpty) return schemaOf(spark, root, w, paths)
+      val f = new java.io.File(root, s"_schema.v$w.json")
+      if (f.exists())
+        return org.apache.spark.sql.types.DataType.fromJson(
+          new String(java.nio.file.Files.readAllBytes(f.toPath),
+            java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
+    }
+    sys.error(s"version $v of $root is empty and no version carries a " +
+      "schema (write a _schema sidecar or insert data first)")
   }
 
   /** The version's data schema, CACHED in a `_schema.v{v}.json`

@@ -86,6 +86,77 @@ class GraftCatalogSpec extends SparkSuite {
     assert(e.getMessage.contains("no version"))
   }
 
+  test("write path: CREATE TABLE makes an empty readable version 0; " +
+    "INSERT INTO appends atomic versions; INSERT OVERWRITE replaces; " +
+    "time travel sees every state") {
+    import spark.implicits._
+    val root = tmpRoot()
+    GraftCatalog.install(spark)
+    spark.sql(
+      s"CREATE TABLE graft.db.wt (k BIGINT, s STRING) LOCATION '$root'")
+    // CREATE TABLE = an empty, readable version 0
+    assert(spark.sql("SELECT * FROM graft.db.wt").count() == 0L)
+    assert(spark.sql("SELECT * FROM graft.db.wt").schema.fieldNames.toSeq ==
+      Seq("k", "s"))
+    spark.sql("INSERT INTO graft.db.wt VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft.db.wt SELECT k + 10, s FROM graft.db.wt")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.wt")
+      .head().getLong(0) == 4L)
+    spark.sql("INSERT OVERWRITE graft.db.wt VALUES (99, 'z')")
+    assert(spark.sql("SELECT k FROM graft.db.wt").collect()
+      .map(_.getLong(0)).toSeq == Seq(99L))
+    // every write was one atomic version; history time-travels
+    assert(VersionedTable.versions(root) == Seq(0L, 1L, 2L, 3L))
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.db.wt VERSION AS OF 2")
+      .head().getLong(0) == 4L)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.db.wt VERSION AS OF 0")
+      .head().getLong(0) == 0L)
+    // the Scala API reads the same table (one format, two surfaces)
+    assert(VersionedTable.read(spark, root).count() == 1L)
+    // a full-table DELETE through the engine leaves an empty,
+    // still-readable latest version
+    VersionedTable.delete(spark, root, org.apache.spark.sql.functions.lit(true))
+    assert(spark.sql("SELECT * FROM graft.db.wt").count() == 0L)
+    // DROP removes the name, not the data
+    spark.sql("DROP TABLE graft.db.wt")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.db.wt").collect()
+    }
+    assert(VersionedTable.versions(root).nonEmpty)
+  }
+
+  test("write path: partitioned CREATE TABLE lands Hive-layout inserts " +
+    "whose partition predicate prunes directories") {
+    import org.apache.spark.sql.functions._
+    val root = tmpRoot()
+    GraftCatalog.install(spark)
+    // NOTE: partition columns surface LAST in the table's read/write
+    // schema (the Spark partitionBy convention) — inserts are
+    // positional against (k, v, part)
+    spark.sql(
+      s"""CREATE TABLE graft.db.wpt (k BIGINT, part STRING, v BIGINT)
+          PARTITIONED BY (part) LOCATION '$root'""")
+    spark.sql(
+      """INSERT INTO graft.db.wpt
+         SELECT id AS k, id * 2 AS v,
+                concat('p', CAST(id % 3 AS STRING)) AS part
+         FROM range(300)""")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.wpt")
+      .head().getLong(0) == 300L)
+    val one = spark.sql(
+      "SELECT k, part FROM graft.db.wpt WHERE part = 'p1'")
+    assert(one.count() == 100L)
+    assert(one.collect().forall(_.getString(1) == "p1"))
+    // the directory layout is real: the Scala scan prunes partitions
+    val scans = VersionedTable.scan(spark, root)
+      .filter(col("part") === "p1")
+      .queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.head.selectedPartitions.partitionCount == 1)
+  }
+
   test("partitioned tables serve their path-derived partition columns " +
     "through the catalog; MOR-pending tables refuse a raw latest read") {
     import spark.implicits._
