@@ -35,9 +35,25 @@ import java.nio.file.{Files, StandardCopyOption}
   * stance the pointers already take. */
 object PointerCas {
 
-  /** Committed generations retained behind the head so a reader whose
-    * listing races the pruner re-resolves instead of erroring. */
-  private val Keep = 8L
+  /** Committed generations retained behind the head — the protocol's
+    * RETENTION HORIZON, not just reader comfort. Pruning frees slot
+    * NAMES, and a freed name is the one thing a CAS must never hand
+    * out twice: a writer paused between its generation pre-check and
+    * its put-if-absent, while ≥ Keep commits land, would WIN the
+    * pruned slot — a PHANTOM commit below the head that no reader ever
+    * resolves, reported as success (a lost publish, caught by the
+    * CasBackendSpec race at the old Keep=8). Two defenses:
+    *  - the window is wide (a pause must span Keep in-flight commits
+    *    inside a microsecond-scale gap to matter), and
+    *  - [[commitIfGen]] re-checks AFTER winning: a head already ≥
+    *    `expect + Keep` proves the won slot predates the prune floor —
+    *    the slot is deleted and the commit reports false (the caller
+    *    retries against the real head; the phantom was invisible, so
+    *    a retry never double-applies).
+    * Within the horizon the token is absolute; beyond it, this is the
+    * SAME contract as Delta's log retention — size the window to the
+    * worst pause the deployment tolerates. */
+  private[sources] val Keep = 64L
 
   private def ptrFile(dir: File, n: Long) = new File(dir, s"_ptr.$n")
 
@@ -98,10 +114,22 @@ object PointerCas {
     * pointer, and exactly one writer per generation can ever
     * succeed. */
   def commitIfGen(dir: File, expect: Long, content: String,
-                  b: CasBackend = LocalCas): Boolean = {
+                  b: CasBackend = LocalCas,
+                  beforePut: () => Unit = () => ()): Boolean = {
     if (maxGen(dir, b) != expect) return false // cheap pre-check only
+    beforePut() // test seam: the pre-check → put pause window
     val won = b.putIfAbsent(ptrFile(dir, expect + 1),
       content.getBytes(StandardCharsets.UTF_8))
+    if (won && maxGen(dir, b) >= expect + Keep) {
+      // PHANTOM detection (see [[Keep]]): the head is already a full
+      // retention window past us, so the slot we "won" had been pruned
+      // and re-issued — our content is below the head, invisible to
+      // every reader. Withdraw it and report the lost race; within the
+      // retention contract a legitimate win can never observe this
+      // (it would need a post-win pause spanning Keep commits).
+      b.delete(ptrFile(dir, expect + 1))
+      return false
+    }
     if (won) {
       // prune by LISTING, not by walking until a gap: an interrupted
       // earlier prune must not strand generations below its gap forever

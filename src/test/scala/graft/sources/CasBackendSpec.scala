@@ -68,6 +68,33 @@ class CasBackendSpec extends AnyFunSuite {
     }
   }
 
+  test("a writer paused across the retention window cannot land a " +
+    "phantom commit on a pruned slot: the win is withdrawn as a lost race") {
+    Seq(LocalCas: CasBackend, new InMemoryCas).foreach { b =>
+      val dir = Files.createTempDirectory("graft_cas_ph").toFile
+      assert(PointerCas.commitIfGen(dir, 0L, "v1", b))
+      // the hazard: pre-check passes at gen 1, then the writer stalls
+      // while the world advances PAST the retention window — its slot
+      // (_ptr.2) gets pruned and freed. The put-if-absent would "win"
+      // a name no reader will ever resolve; commitIfGen must detect
+      // the stale win and report false, head content untouched.
+      val stalled = PointerCas.commitIfGen(dir, 1L, "PHANTOM", b,
+        beforePut = () => {
+          var g = PointerCas.gen(dir, b)
+          while (g < 1L + PointerCas.Keep + 2L) {
+            assert(PointerCas.commitIfGen(dir, g, s"v${g + 1}", b))
+            g += 1
+          }
+        })
+      assert(!stalled, s"$b: a phantom win must report a lost race")
+      val head = PointerCas.gen(dir, b)
+      assert(PointerCas.read(dir, b).get == s"v$head",
+        "the head must be the live lineage, not the phantom")
+      // the withdrawn slot must not linger below the head
+      assert(!b.list(dir).contains("_ptr.2"))
+    }
+  }
+
   test("legacy fixed-name fallback reads through the backend") {
     val b = new InMemoryCas
     val dir = Files.createTempDirectory("graft_cas_l").toFile

@@ -137,28 +137,32 @@ class SnapshotGroupSpec extends SparkSuite {
     assert(PointerCas.gen(dir) == 3L)
     assert(PointerCas.read(dir).exists(_.startsWith("racer-")))
     // long chains prune behind the retention window; reads stay exact
-    (3L until 30L).foreach { g =>
+    val horizon = PointerCas.Keep + 10L
+    (3L until horizon).foreach { g =>
       assert(PointerCas.commitIfGen(dir, g, s"v${g + 1}"))
     }
-    assert(PointerCas.gen(dir) == 30L && PointerCas.read(dir).contains("v30"))
+    assert(PointerCas.gen(dir) == horizon &&
+      PointerCas.read(dir).contains(s"v$horizon"))
     val ptrs = dir.list().count(_.startsWith("_ptr."))
-    assert(ptrs <= 9, s"old generations must be pruned, saw $ptrs files")
+    assert(ptrs <= PointerCas.Keep + 1,
+      s"generations behind the retention window must be pruned, saw $ptrs")
   }
 
   test("PointerCas: generations stranded below a prune gap are cleared " +
     "by a later commit's listing-based prune") {
     val dir = Files.createTempDirectory("graft_cas_gap").toFile
-    (0L until 20L).foreach { g =>
+    val n = PointerCas.Keep + 12L
+    (0L until n).foreach { g =>
       assert(PointerCas.commitIfGen(dir, g, s"v${g + 1}"))
     }
     // simulate an interrupted old prune: a stranded generation far
     // below the retention window, behind a gap
     java.nio.file.Files.write(new java.io.File(dir, "_ptr.2").toPath,
       "stranded".getBytes("UTF-8"))
-    assert(PointerCas.commitIfGen(dir, 20L, "v21"))
+    assert(PointerCas.commitIfGen(dir, n, s"v${n + 1}"))
     assert(!new java.io.File(dir, "_ptr.2").exists(),
       "a stranded generation below the window must be pruned")
-    assert(PointerCas.read(dir).contains("v21"))
+    assert(PointerCas.read(dir).contains(s"v${n + 1}"))
   }
 
   test("legacy fixed-name _published groups stay readable; the first " +
