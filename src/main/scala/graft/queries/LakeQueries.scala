@@ -675,6 +675,11 @@ object LakeQueries extends QueryModule {
           .repartitionByRange(8, col("o_orderkey"))
         graft.sources.VersionedTable.overwriteWithStats(
           orders, root, "o_orderkey")
+        // NON-unique base on purpose: every 11th order appended AGAIN —
+        // a tombstoned key must subtract every row that carries it,
+        // never one per distinct key
+        graft.sources.VersionedTable.appendWithStats(
+          orders.filter(col("o_orderkey") % 11 === 0), root, "o_orderkey")
         // takedown keys: every 97th order, plus keys the table never
         // held (absent keys must not subtract from the count)
         val keys = orders.filter(col("o_orderkey") % 97 === 0)
@@ -690,8 +695,12 @@ object LakeQueries extends QueryModule {
           lit(agreeOk).as("agree_ok"))
       },
       oracle = Some("""
+        WITH b AS (
+          SELECT o_orderkey FROM orders
+          UNION ALL
+          SELECT o_orderkey FROM orders WHERE o_orderkey % 11 = 0)
         SELECT COUNT(*) AS active_rows, CAST(1 AS BIGINT) AS agree_ok
-        FROM orders WHERE o_orderkey % 97 <> 0"""),
+        FROM b WHERE o_orderkey % 97 <> 0"""),
       bench = false),
 
     // DSv2 CATALOG + SQL TIME TRAVEL (the DeltaCatalog read-path

@@ -105,8 +105,8 @@ object GraftSql {
   // QUOTE-AWARE scanners below, never by regex over the body: a string
   // literal containing ' WHERE ' or ' AND ' must not split the
   // statement at the wrong point. DOTALL so clauses span lines.
-  private val InsertSql =
-    """(?is)\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+(.+)""".r
+  private val InsertSql = // \s* before the body: `INSERT INTO t(a,b)`
+    """(?is)\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s*(.+)""".r
   private val DeleteSql =
     """(?is)\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)\s+WHERE\s+(.+?)\s*;?\s*""".r
   // SQL's DELETE-everything shape, explicit: without it the statement
@@ -137,7 +137,8 @@ object GraftSql {
     def ident(c: Char) = Character.isLetterOrDigit(c) || c == '_'
     while (i < n) {
       val c = s.charAt(i)
-      if (c == '\'') inStr = !inStr
+      if (inStr && c == '\\') i += 1 // backslash-escaped char in a literal
+      else if (c == '\'') inStr = !inStr
       else if (!inStr && c == '(') depth += 1
       else if (!inStr && c == ')') depth -= 1
       else if (!inStr && depth == 0 && s.regionMatches(true, i, kw, 0, k) &&
@@ -170,7 +171,8 @@ object GraftSql {
     var depth = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\'') inStr = !inStr
+      if (inStr && c == '\\') i += 1 // backslash-escaped char in a literal
+      else if (c == '\'') inStr = !inStr
       else if (!inStr && c == '(') depth += 1
       else if (!inStr && c == ')') depth -= 1
       else if (!inStr && depth == 0 && c == ch) return i
@@ -189,7 +191,8 @@ object GraftSql {
     var inStr = false
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\'') inStr = !inStr
+      if (inStr && c == '\\') i += 1 // backslash-escaped char in a literal
+      else if (c == '\'') inStr = !inStr
       else if (!inStr && c == '(') depth += 1
       else if (!inStr && c == ')') {
         depth -= 1
@@ -284,6 +287,8 @@ object GraftSql {
     val target = cols.getOrElse(schema.fieldNames.toSeq)
     target.foreach(c => require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
       s"INSERT column '$c' not in table $t"))
+    require(target.map(_.toLowerCase).distinct.length == target.length,
+      s"INSERT column list repeats a column: $target")
     require(src.schema.length == target.length,
       s"INSERT column count ${src.schema.length} != ${target.length}")
     val byPos = target.map(_.toLowerCase).zip(src.columns).toMap
@@ -309,8 +314,11 @@ object GraftSql {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0
     var inStr = false
+    var esc = false
     val cur = new StringBuilder
     sets.foreach {
+      case c if esc => esc = false; cur += c
+      case '\\' if inStr => esc = true; cur += '\\'
       case '\'' => inStr = !inStr; cur += '\''
       case '(' if !inStr => depth += 1; cur += '('
       case ')' if !inStr => depth -= 1; cur += ')'

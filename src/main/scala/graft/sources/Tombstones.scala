@@ -198,18 +198,21 @@ object Tombstones {
         val keyCols = t.columns.toSeq
         val keys = t.distinct().localCheckpoint(true)
         val base = VersionedTable.read(spark, root).select(keyCols.map(col): _*)
-        // single-key small sets push as an IN-list so the manifest
-        // stats/blooms prune files at plan time; otherwise broadcast
-        val present =
+        // count matching ROWS, never distinct keys: the overlay's
+        // anti-join removes EVERY base row carrying a tombstoned key,
+        // and a non-unique base (plain appends enforce no key) can
+        // hold several. Single-key small sets push as an IN-list so
+        // the manifest stats/blooms prune files at plan time;
+        // otherwise one broadcast semi-join (one output row per
+        // matching base row — keys are pre-distinct).
+        val removed =
           if (keyCols.length == 1 && keys.count() <= CountActiveInListMax) {
             val vals = keys.collect().map(_.get(0))
             if (vals.isEmpty) 0L
-            else base.filter(col(keyCols.head).isin(vals.toSeq: _*))
-              .select(keyCols.map(col): _*).distinct().count()
+            else base.filter(col(keyCols.head).isin(vals.toSeq: _*)).count()
           } else
-            base.join(broadcast(keys), keyCols, "left_semi")
-              .distinct().count()
-        Some(total - present)
+            base.join(broadcast(keys), keyCols, "left_semi").count()
+        Some(total - removed)
     }
   }
 

@@ -587,24 +587,43 @@ object VersionedTable {
         dt == org.apache.spark.sql.types.ByteType,
         s"partition column $c must be string or integral, got $dt")
     }
+    // the guard BEFORE any sidecar publish: a table-global partition
+    // sidecar over existing flat versions would make their partition
+    // values read back NULL (the stagePartitioned hazard), and a
+    // failed CREATE must never leave one behind
+    require(latestVersion(root).isEmpty,
+      s"createEmpty: $root already holds versions")
     new File(root).mkdirs()
+    var linkedSidecar = false
     if (partCols.nonEmpty) {
       val pSchema = org.apache.spark.sql.types.StructType(
         partCols.map(c => schema(c).copy(nullable = true)))
       val tmp = Files.createTempFile(new File(root).toPath, "_pschema", ".tmp")
       try {
         Files.write(tmp, pSchema.json.getBytes(StandardCharsets.UTF_8))
-        try Files.createLink(partitionSchemaFile(root).toPath, tmp)
-        catch {
+        try {
+          Files.createLink(partitionSchemaFile(root).toPath, tmp)
+          linkedSidecar = true
+        } catch {
           case _: java.nio.file.FileAlreadyExistsException =>
             require(partitionSchema(root) == pSchema,
               s"root $root already records a different partition schema")
         }
       } finally Files.deleteIfExists(tmp)
     }
-    val v = commitManifest(root, 0L, Seq.empty) // throws if v0 exists
-    writeEmptySchemaSidecar(root, v, schema)
-    v
+    try {
+      val v = commitManifest(root, 0L, Seq.empty) // throws if v0 exists
+      writeEmptySchemaSidecar(root, v, schema)
+      v
+    } catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        // lost the v0 race (a concurrent writer created the table):
+        // withdraw OUR sidecar — the winner's files may be flat, and a
+        // stranded partition sidecar would corrupt their reads
+        if (linkedSidecar)
+          Files.deleteIfExists(partitionSchemaFile(root).toPath)
+        throw e
+    }
   }
 
   /** Full overwrite → new version referencing only the new files.
@@ -617,6 +636,18 @@ object VersionedTable {
     val v = commitWithRetry(root, maxRetries = 5)(_ => lines)
     if (staged.isEmpty) writeEmptySchemaSidecar(root, v, df.schema)
     v
+  }
+
+  /** The `_schema.v{v}.json` sidecar, decoded — ONE reader for the
+    * convention shared by the scan's cache, the empty-version path,
+    * and the incremental-schema shortcut. */
+  def readSchemaSidecar(
+      root: String, v: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val f = new File(root, s"_schema.v$v.json")
+    if (!f.exists()) None
+    else Some(org.apache.spark.sql.types.DataType.fromJson(
+      new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8))
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
   /** An EMPTY-batch commit records its schema in the version sidecar —

@@ -159,6 +159,16 @@ class GraftCatalog extends TableCatalog {
     }
     partCols.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c not in the table schema"))
+    // the table's read/write schema surfaces partition columns LAST
+    // (the Spark partitionBy convention — data columns come from file
+    // footers, partition values from paths). Require the DECLARATION
+    // to match: silently reordering would make positional INSERTs
+    // land values in the wrong columns.
+    require(schema.fieldNames.takeRight(partCols.length).toSeq ==
+      partCols.toSeq,
+      s"partition columns ${partCols.toSeq} must be declared LAST in " +
+        "the table schema (they surface last in the read/write schema, " +
+        "the Spark partitionBy convention)")
     VersionedTable.createEmpty(root, schema, partCols.toSeq)
     GraftCatalog.registry.put(key(ident), root)
     new GraftTableV2(key(ident), root, None)

@@ -110,11 +110,8 @@ object GraftScan {
   private def incrementalSchema(spark: SparkSession, root: String, v: Long,
                                 paths: Seq[String]): Option[StructType] = {
     if (v <= 0) return None
-    val prevF = new java.io.File(root, s"_schema.v${v - 1}.json")
-    if (!prevF.exists()) return None
-    val prev = org.apache.spark.sql.types.DataType.fromJson(
-      new String(java.nio.file.Files.readAllBytes(prevF.toPath),
-        java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
+    val prev = VersionedTable.readSchemaSidecar(root, v - 1)
+      .getOrElse(return None)
     val prevPaths = VersionedTable.listingPaths(root, v - 1).toSet
     val cur = paths.toSet
     if (!prevPaths.subsetOf(cur)) return None // rewrite: full sweep
@@ -186,20 +183,12 @@ object GraftScan {
     * sidecar-recording path). */
   private def emptySchemaOf(spark: SparkSession, root: String,
                             v: Long): StructType = {
-    val own = new java.io.File(root, s"_schema.v$v.json")
-    if (own.exists())
-      return org.apache.spark.sql.types.DataType.fromJson(
-        new String(java.nio.file.Files.readAllBytes(own.toPath),
-          java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
+    VersionedTable.readSchemaSidecar(root, v).foreach(return _)
     val earlier = VersionedTable.versions(root).filter(_ < v).reverse
     earlier.foreach { w =>
       val paths = VersionedTable.listingPaths(root, w)
       if (paths.nonEmpty) return schemaOf(spark, root, w, paths)
-      val f = new java.io.File(root, s"_schema.v$w.json")
-      if (f.exists())
-        return org.apache.spark.sql.types.DataType.fromJson(
-          new String(java.nio.file.Files.readAllBytes(f.toPath),
-            java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
+      VersionedTable.readSchemaSidecar(root, w).foreach(return _)
     }
     sys.error(s"version $v of $root is empty and no version carries a " +
       "schema (write a _schema sidecar or insert data first)")
@@ -215,12 +204,7 @@ object GraftScan {
   private def schemaOf(spark: SparkSession, root: String, v: Long,
                        paths: Seq[String]): StructType = {
     val f = new java.io.File(root, s"_schema.v$v.json")
-    if (f.exists())
-      org.apache.spark.sql.types.DataType.fromJson(
-        new String(java.nio.file.Files.readAllBytes(f.toPath),
-          java.nio.charset.StandardCharsets.UTF_8))
-        .asInstanceOf[StructType]
-    else {
+    VersionedTable.readSchemaSidecar(root, v).getOrElse {
       val s = incrementalSchema(spark, root, v, paths).getOrElse(
         spark.read.option("mergeSchema", "true")
           .parquet(paths: _*).schema)
@@ -371,14 +355,17 @@ object GraftScan {
             row, fs.head._2.getPath.getParent)
         })
 
-    override protected def leafFiles
+    // lazy vals: the parent consults these repeatedly during DSv2
+    // planning (allFiles/inputFiles/sizeInBytes) and the file set is
+    // immutable — never rebuild per call
+    override protected lazy val leafFiles
         : scala.collection.mutable.LinkedHashMap[Path, FileStatus] = {
       val m = scala.collection.mutable.LinkedHashMap.empty[Path, FileStatus]
       statuses.foreach { case (_, st) => m.put(st.getPath, st) }
       m
     }
 
-    override protected def leafDirToChildrenFiles
+    override protected lazy val leafDirToChildrenFiles
         : Map[Path, Array[FileStatus]] =
       statuses.groupBy(_._2.getPath.getParent)
         .map { case (d, fs) => d -> fs.map(_._2).toArray }
@@ -555,7 +542,8 @@ object GraftScan {
               if typedLongRange(f, a.dataType, a.name).isDefined =>
             typedLongRange(f, a.dataType, a.name).get.forall {
               case (lo, hi) => n.longValue >= lo && n.longValue <= hi }
-          case n: java.lang.Number if isFractional(a.dataType) =>
+          case n: java.lang.Number if isFractional(a.dataType) &&
+              !n.doubleValue.isNaN => // NaN member: keep (see dblOf)
             f.dblStats.get(a.name).forall { case (lo, hi) =>
               n.doubleValue >= lo && n.doubleValue <= hi }
           case _ => true
@@ -626,10 +614,15 @@ object GraftScan {
 
   /** Exact double of a fractional-typed literal (floats widen exactly;
     * integral literals against a double column arrive pre-cast by
-    * Catalyst's coercion, so Double/Float covers the analyzed shapes). */
+    * Catalyst's coercion, so Double/Float covers the analyzed shapes).
+    * A NaN literal returns None — Spark SQL orders NaN ABOVE every
+    * double (`col <= NaN` matches all rows), while IEEE comparisons
+    * against the stats bounds are all-false and would wrongly skip
+    * every file; parquet's own pushdown refuses NaN for the same
+    * reason. None keeps the file (conservative). */
   private def dblOf(l: Literal): Option[Double] = l.value match {
-    case d: java.lang.Double => Some(d.doubleValue)
-    case f: java.lang.Float => Some(f.toDouble)
+    case d: java.lang.Double => Some(d.doubleValue).filterNot(_.isNaN)
+    case f: java.lang.Float => Some(f.toDouble).filterNot(_.isNaN)
     case _ => None
   }
 

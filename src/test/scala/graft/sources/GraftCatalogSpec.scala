@@ -132,11 +132,17 @@ class GraftCatalogSpec extends SparkSuite {
     import org.apache.spark.sql.functions._
     val root = tmpRoot()
     GraftCatalog.install(spark)
-    // NOTE: partition columns surface LAST in the table's read/write
-    // schema (the Spark partitionBy convention) — inserts are
-    // positional against (k, v, part)
+    // partition columns surface LAST in the read/write schema (the
+    // Spark partitionBy convention) — CREATE requires the declaration
+    // to match, so positional INSERTs can never silently mis-map
+    val mis = intercept[Exception] {
+      spark.sql(
+        s"""CREATE TABLE graft.db.wpt (k BIGINT, part STRING, v BIGINT)
+            PARTITIONED BY (part) LOCATION '$root'""")
+    }
+    assert(mis.getMessage.contains("declared LAST"))
     spark.sql(
-      s"""CREATE TABLE graft.db.wpt (k BIGINT, part STRING, v BIGINT)
+      s"""CREATE TABLE graft.db.wpt (k BIGINT, v BIGINT, part STRING)
           PARTITIONED BY (part) LOCATION '$root'""")
     spark.sql(
       """INSERT INTO graft.db.wpt

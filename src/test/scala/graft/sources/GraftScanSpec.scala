@@ -298,6 +298,15 @@ class GraftScanSpec extends SparkSuite {
     val nprof = VersionedTable.scan(spark, root2).agg(max(col("v")).as("m"))
     assert(nprof.queryExecution.executedPlan.toString.contains("FileScan"),
       "a NaN-bounded file must disqualify the metadata fold")
+    // a NaN LITERAL never prunes: Spark orders NaN above every double,
+    // so `v <= NaN` matches ALL rows — IEEE comparisons against the
+    // stats bounds would be all-false and would wrongly skip every file
+    val nle = VersionedTable.scan(spark, root)
+      .filter(col("v") <= Double.NaN)
+    assert(nle.count() == 400L,
+      s"v <= NaN must match every row, got ${nle.count()}")
+    assert(selectedFiles(nle) == 4L,
+      "a NaN literal must keep every file")
   }
 
   test("the micros-vs-seconds trap stays pinned: legacy long-cast " +
