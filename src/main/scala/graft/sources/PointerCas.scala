@@ -124,9 +124,14 @@ object PointerCas {
       // PHANTOM detection (see [[Keep]]): the head is already a full
       // retention window past us, so the slot we "won" had been pruned
       // and re-issued — our content is below the head, invisible to
-      // every reader. Withdraw it and report the lost race; within the
-      // retention contract a legitimate win can never observe this
-      // (it would need a post-win pause spanning Keep commits).
+      // every reader. Withdraw it and report the lost race. Within the
+      // retention contract a legitimate win can never observe this (it
+      // would need a post-win pause spanning Keep commits); OUTSIDE the
+      // contract this check deliberately errs toward a SPURIOUS RETRY
+      // (a legit win whose successors already built on it would be
+      // withdrawn and re-applied) rather than toward a silent lost
+      // publish — retries are visible and idempotence-token-guarded
+      // (the txn-stamped doors), phantoms are neither.
       b.delete(ptrFile(dir, expect + 1))
       return false
     }
