@@ -1503,13 +1503,24 @@ object VersionedTable {
     * [[scan]], so an ordinary `.filter(...)` on the stream skips
     * non-intersecting files per batch from the manifest stats. Spark
     * checkpoints the version offsets: a replayed batch re-reads
-    * exactly the same rows. Append-only history required (checked per
-    * batch). */
-  def scanStream(spark: SparkSession, root: String): DataFrame =
-    spark.readStream
+    * exactly the same rows. Append-only history required per batch —
+    * with data-preserving maintenance commits (compact / z-order
+    * re-layout) skipped, so streams ride across OPTIMIZE.
+    *
+    * `startingVersion` (the Delta option of the same name): serve only
+    * commits AFTER that version — a new consumer of a huge table tails
+    * fresh arrivals instead of replaying the whole snapshot (the
+    * default, `None`, serves the full current snapshot as the first
+    * batch, then the deltas). The named version must still exist
+    * (not vacuumed) when the first batch resolves. */
+  def scanStream(spark: SparkSession, root: String,
+                 startingVersion: Option[Long] = None): DataFrame = {
+    val r = spark.readStream
       .format(classOf[org.apache.spark.sql.graft.GraftStreamProvider].getName)
       .option("root", root)
+    startingVersion.fold(r)(v => r.option("startingVersion", v.toString))
       .load()
+  }
 
   /** METADATA-ONLY file count of a version: the listing's length, zero
     * data or footer reads — the input to fragmentation/auto-compaction

@@ -45,7 +45,8 @@ class GraftStreamProvider extends StreamSourceProvider with DataSourceRegister {
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
     new GraftStreamSource(ctx.sparkSession,
-      GraftStreamSource.rootOf(parameters))
+      GraftStreamSource.rootOf(parameters),
+      GraftStreamSource.startingVersionOf(parameters))
 }
 
 private[graft] object GraftStreamSource {
@@ -53,6 +54,13 @@ private[graft] object GraftStreamSource {
   def rootOf(parameters: Map[String, String]): String =
     parameters.getOrElse("root",
       sys.error("graft-table stream needs option 'root'"))
+
+  /** The Delta `startingVersion` option: serve only commits AFTER this
+    * version (None = full first-snapshot load). Spark lower-cases
+    * DataSource option keys — accept both spellings. */
+  def startingVersionOf(parameters: Map[String, String]): Option[Long] =
+    parameters.get("startingVersion").orElse(parameters.get("startingversion"))
+      .map(_.trim.toLong)
 
   /** Full output schema: data columns plus (for Hive-layout tables)
     * the path-derived partition columns, appended last exactly as the
@@ -64,7 +72,8 @@ private[graft] object GraftStreamSource {
   }
 }
 
-private[graft] class GraftStreamSource(spark: SparkSession, root: String)
+private[graft] class GraftStreamSource(spark: SparkSession, root: String,
+                                       startingVersion: Option[Long] = None)
     extends Source {
 
   private val partSchema = VersionedTable.partitionSchema(root)
@@ -83,8 +92,12 @@ private[graft] class GraftStreamSource(spark: SparkSession, root: String)
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val files = VersionedTable.scanListingDelta(root,
-      start.map(versionOf), versionOf(end))
+    // a fresh stream (no checkpointed start) begins at startingVersion
+    // when given — tail-from-here semantics, commits AFTER it only;
+    // once Spark checkpoints an offset, that governs (the option only
+    // seeds the FIRST batch, exactly Delta's contract)
+    val from = start.map(versionOf).orElse(startingVersion)
+    val files = VersionedTable.scanListingDelta(root, from, versionOf(end))
     GraftScan.ofFiles(spark, files, dataSchema0, isStreaming = true,
       partSchema = partSchema)
   }

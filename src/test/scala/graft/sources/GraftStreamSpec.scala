@@ -141,6 +141,42 @@ class GraftStreamSpec extends SparkSuite {
     assert(e.getMessage.contains("append-only"))
   }
 
+  test("startingVersion tails commits AFTER the named version: no " +
+    "snapshot replay; the checkpointed offset governs restarts") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val out = tmpRoot()
+    val ckpt = Files.createTempDirectory("graft_stream_ck5").toString
+    mkTable(root, 0L, 500L, overwrite = true) // v0: the bulk history
+    val v0 = VersionedTable.latestVersion(root).get
+    mkTable(root, 500L, 530L, overwrite = false) // v1: fresh arrivals
+    // a new consumer tails from v0: the 500-row snapshot is NOT
+    // replayed, only the commits after it
+    val q = VersionedTable.scanStream(spark, root, Some(v0))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       id: Long) =>
+        if (!b.isEmpty)
+          VersionedTable.appendTxn(b.toDF(), out, "graft_stream_sv", id)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not drain within 120 s")
+    val got = VersionedTable.read(spark, out)
+    assert(got.count() == 30L, "only post-startingVersion rows served")
+    assert(got.agg(org.apache.spark.sql.functions.min(col("k")))
+      .head().getLong(0) == 500L)
+    // restart with the SAME checkpoint: the committed offset governs,
+    // startingVersion seeds only the first batch — new commits flow
+    mkTable(root, 530L, 540L, overwrite = false)
+    runOnce(root, out, ckpt, col("k") >= 0L)
+    assert(VersionedTable.read(spark, out).count() == 40L)
+    assert(VersionedTable.read(spark, out)
+      .select(col("k")).distinct().count() == 40L)
+  }
+
   test("a stream rides across OPTIMIZE: data-preserving compaction " +
     "commits are skipped exactly-once; genuine rewrites still refuse") {
     import spark.implicits._
