@@ -915,6 +915,151 @@ object LakeQueries extends QueryModule {
         FROM m GROUP BY 1 ORDER BY 1"""),
       bench = false),
 
+    // General MERGE (the Delta conditional-clause form, through SQL
+    // text): WHEN MATCHED AND <cond> THEN DELETE shadows the
+    // unconditional UPDATE for expensive rows (first-true-clause
+    // precedence), the UPDATE's SET references BOTH sides
+    // (t.price + s.price), and the conditional INSERT admits only
+    // even synthetic keys through an explicit column list (unlisted
+    // columns NULL — none here). Engine path: mergeActions — phase-1
+    // file pruning, one atomic commit (MergeActionsSpec pins clause
+    // precedence, NULL-condition fallthrough, the insert-only
+    // no-rewrite fast path and the dup-key refusal); the oracle
+    // replays the clause semantics as a LEFT JOIN + anti-join UNION.
+    "q310_merge_actions" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_mact").resolve("t").toString
+        val name = "gsql_mact"
+        graft.sources.VersionedTable.overwrite(
+          Tables(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice"))
+            .repartitionByRange(6, col("o_orderkey")),
+          root)
+        graft.sources.GraftSql.register(s, name, root)
+        graft.sources.GraftSql.execute(s,
+          s"""MERGE INTO $name AS t USING
+              (SELECT o_orderkey, o_totalprice FROM $name
+               WHERE o_orderkey % 5 = 1
+               UNION ALL
+               SELECT o_orderkey + 3000000 AS o_orderkey, o_totalprice
+               FROM $name WHERE o_orderkey % 9 = 2) AS s
+              ON t.o_orderkey = s.o_orderkey
+              WHEN MATCHED AND t.o_totalprice > 200000 THEN DELETE
+              WHEN MATCHED THEN UPDATE SET
+                o_totalprice = t.o_totalprice + s.o_totalprice
+              WHEN NOT MATCHED AND s.o_orderkey % 2 = 0 THEN
+                INSERT (o_orderkey, o_orderstatus, o_totalprice)
+                VALUES (s.o_orderkey, 'N', s.o_totalprice * 2)""")
+        graft.sources.GraftSql.execute(s,
+          s"""SELECT o_orderstatus, count(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DOUBLE) AS total
+              FROM $name GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_orderkey % 5 = 1
+          UNION ALL
+          SELECT o_orderkey + 3000000 AS o_orderkey, o_totalprice
+          FROM orders WHERE o_orderkey % 9 = 2),
+        kept AS (
+          SELECT t.o_orderkey, t.o_orderstatus,
+                 CASE WHEN s.o_orderkey IS NOT NULL
+                           AND NOT (t.o_totalprice > 200000)
+                      THEN t.o_totalprice + s.o_totalprice
+                      ELSE t.o_totalprice END AS o_totalprice
+          FROM orders t LEFT JOIN s ON t.o_orderkey = s.o_orderkey
+          WHERE NOT (s.o_orderkey IS NOT NULL
+                     AND t.o_totalprice > 200000)),
+        ins AS (
+          SELECT s.o_orderkey, 'N' AS o_orderstatus,
+                 s.o_totalprice * 2 AS o_totalprice
+          FROM s
+          WHERE s.o_orderkey % 2 = 0
+            AND NOT EXISTS (SELECT 1 FROM orders t
+                            WHERE t.o_orderkey = s.o_orderkey)),
+        f AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
+        FROM f GROUP BY 1 ORDER BY 1"""),
+      bench = false),
+
+    // Native catalog DELETE (DSv2 SupportsDelete): `DELETE FROM
+    // graft.gate.cdel WHERE ...` is planned by Spark itself — the
+    // condition arrives as translated source filters and lands on the
+    // file-pruned COW delete (GraftCatalogSpec pins the untouched-
+    // files-carry and untranslatable-predicate-refusal rows). The
+    // whole statement set — DELETE then aggregate — runs as catalog
+    // SQL text; the oracle replays the delete as a WHERE NOT filter.
+    "q311_catalog_delete" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_cdel").resolve("t").toString
+        graft.sources.VersionedTable.overwriteWithStats(
+          Tables(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice"))
+            .repartitionByRange(6, col("o_orderkey")),
+          root, "o_orderkey")
+        org.apache.spark.sql.graft.GraftCatalog.register(
+          s, "gate", "cdel", root)
+        s.sql("""DELETE FROM graft.gate.cdel
+                 WHERE o_orderkey <= 15000 AND o_orderstatus = 'O'""")
+        s.sql("""SELECT o_orderstatus, count(*) AS n,
+                        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE) AS total
+                 FROM graft.gate.cdel
+                 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
+        FROM orders
+        WHERE NOT (o_orderkey <= 15000 AND o_orderstatus = 'O')
+        GROUP BY 1 ORDER BY 1"""),
+      bench = false),
+
+    // Metadata-only ALTER TABLE ADD COLUMNS (the Delta role): the
+    // catalog ALTER commits an EMPTY data-preserving version whose
+    // sidecar declares the new nullable column — zero data moved at
+    // any table size — existing rows read typed NULL, and the
+    // follow-up UPDATE (a COW rewrite) sets it for a slice while
+    // MATERIALIZING the declaration into the rewritten files
+    // (GraftCatalogSpec pins listing-identity, compaction carry, and
+    // stream ride-across). The oracle computes the post-ALTER state
+    // as a CASE over the raw table.
+    "q312_alter_addcol" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_calt").resolve("t").toString
+        graft.sources.VersionedTable.overwrite(
+          Tables(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_totalprice"))
+            .repartitionByRange(6, col("o_orderkey")),
+          root)
+        org.apache.spark.sql.graft.GraftCatalog.register(
+          s, "gate", "calt", root)
+        s.sql("ALTER TABLE graft.gate.calt ADD COLUMNS (note STRING)")
+        graft.sources.GraftSql.register(s, "gate_calt", root)
+        graft.sources.GraftSql.execute(s,
+          """UPDATE gate_calt SET note = 'hot'
+             WHERE o_totalprice > 300000""")
+        s.sql("""SELECT coalesce(note, 'cold') AS note, count(*) AS n,
+                        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE) AS total
+                 FROM graft.gate.calt GROUP BY 1 ORDER BY 1""")
+      },
+      oracle = Some("""
+        SELECT CASE WHEN o_totalprice > 300000 THEN 'hot' ELSE 'cold'
+                 END AS note,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
+        FROM orders GROUP BY 1 ORDER BY 1"""),
+      bench = false),
+
     // OPTIMIZE compaction: four stats-carrying appends degenerate the
     // table into small files; compact() bin-packs them (range-clustered
     // on l_orderkey, stats recomputed), and the post-compaction

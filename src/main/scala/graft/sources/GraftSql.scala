@@ -28,12 +28,20 @@ import org.apache.spark.sql.functions._
   *  - `DELETE FROM t [WHERE p]` → [[VersionedTable.delete]] (file-pruned
   *    COW, SQL null-predicate semantics; no WHERE deletes every row);
   *  - `UPDATE t SET c = e, ... [WHERE p]` → [[VersionedTable.update]];
-  *  - `MERGE INTO t USING s ON t.k = s.k [AND ...] WHEN MATCHED THEN
-  *    UPDATE SET * WHEN NOT MATCHED THEN INSERT *` — the canonical
-  *    keyed upsert (exactly [[VersionedTable.merge]]); `s` is a
-  *    registered/temp table name or a parenthesized subquery. Other
-  *    MERGE action shapes are rejected with a clear error rather than
-  *    silently narrowed.
+  *  - `MERGE INTO t [AS a] USING s [AS b] ON t.k = s.k [AND ...]`
+  *    followed by WHEN clauses. The canonical pair — `WHEN MATCHED
+  *    THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *` — routes to
+  *    [[VersionedTable.merge]] (the keyed upsert). The general form —
+  *    `WHEN MATCHED [AND c] THEN UPDATE SET a = e, ...` (or `SET *`),
+  *    `WHEN MATCHED [AND c] THEN DELETE`, `WHEN NOT MATCHED [AND c]
+  *    THEN INSERT (cols) VALUES (exprs)` (or `INSERT *`), first true
+  *    clause wins in declared order — routes to
+  *    [[VersionedTable.mergeActions]];
+  *    `s` is a registered/temp table name or a parenthesized
+  *    subquery (aliased, so clause expressions can reference it).
+  *    The ON condition must stay same-column equalities (it is the
+  *    file-pruning key); other shapes are rejected with a clear error
+  *    rather than silently narrowed.
   *
   * DML returns a one-row DataFrame `(op, table, version, rows)` —
   * the committed version and the rows written/affected where the
@@ -124,26 +132,36 @@ object GraftSql {
       """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""").r
 
   /** Index of the first TOP-LEVEL occurrence of keyword `kw` in `s` —
-    * outside single-quoted literals, outside parentheses, whole-word
-    * (identifier characters on neither side) — or -1. The shared
-    * boundary locator for WHERE/ON/AND/WHEN: regex splits would bite on
-    * the same keyword inside a string literal or a subquery. */
+    * outside single-quoted literals, outside parentheses, outside
+    * CASE ... END expressions, whole-word (identifier characters on
+    * neither side) — or -1. The shared boundary locator for
+    * WHERE/ON/AND/WHEN/THEN: regex splits would bite on the same
+    * keyword inside a string literal, a subquery, or a CASE arm
+    * (`SET v = CASE WHEN ... THEN ... END` must not split a MERGE
+    * clause at the CASE's own WHEN/THEN). */
   private def topLevelKeyword(s: String, kw: String, from: Int = 0): Int = {
     var i = math.max(0, from)
     var inStr = false
     var depth = 0
+    var caseDepth = 0
     val n = s.length
     val k = kw.length
     def ident(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    def word(at: Int, w: String) =
+      s.regionMatches(true, at, w, 0, w.length) &&
+        (at == 0 || !ident(s.charAt(at - 1))) &&
+        (at + w.length >= n || !ident(s.charAt(at + w.length)))
     while (i < n) {
       val c = s.charAt(i)
       if (inStr && c == '\\') i += 1 // backslash-escaped char in a literal
       else if (c == '\'') inStr = !inStr
       else if (!inStr && c == '(') depth += 1
       else if (!inStr && c == ')') depth -= 1
-      else if (!inStr && depth == 0 && s.regionMatches(true, i, kw, 0, k) &&
-          (i == 0 || !ident(s.charAt(i - 1))) &&
-          (i + k >= n || !ident(s.charAt(i + k))))
+      else if (!inStr && depth == 0 && word(i, "CASE")) {
+        caseDepth += 1; i += 3
+      } else if (!inStr && depth == 0 && caseDepth > 0 && word(i, "END")) {
+        caseDepth -= 1; i += 2
+      } else if (!inStr && depth == 0 && caseDepth == 0 && word(i, kw))
         return i
       i += 1
     }
@@ -235,9 +253,11 @@ object GraftSql {
           (id, r.drop(id.length))
         }
       def canonical(): Nothing = sys.error(
-        "MERGE must be the canonical upsert: MERGE INTO t USING s " +
-          "ON <equalities> WHEN MATCHED THEN UPDATE SET * " +
-          "WHEN NOT MATCHED THEN INSERT *")
+        "MERGE shape: MERGE INTO t [AS a] USING s [AS b] " +
+          "ON <same-column equalities> then WHEN clauses — " +
+          "WHEN MATCHED [AND c] THEN UPDATE SET */<assignments>, " +
+          "WHEN MATCHED [AND c] THEN DELETE, " +
+          "WHEN NOT MATCHED [AND c] THEN INSERT */(cols) VALUES (exprs)")
       // [AS alias] ON <cond> WHEN ... — boundaries scanned quote-aware,
       // so an ON condition containing ' WHEN ' or ' ON ' in a string
       // literal parses whole
@@ -253,9 +273,15 @@ object GraftSql {
       val whenIdx = topLevelKeyword(afterSrc, "WHEN", onIdx + 2)
       if (whenIdx < 0) canonical()
       val onCond = afterSrc.substring(onIdx + 2, whenIdx)
-      if (!MergeActions.pattern.matcher(afterSrc.substring(whenIdx))
-        .matches()) canonical()
-      merge(spark, t, Option(tAlias), source, sAlias, onCond)
+      val actions = afterSrc.substring(whenIdx)
+      // canonical upsert keeps its dedicated engine path (merge());
+      // any other clause combination routes to the general
+      // first-true-clause executor (mergeActions)
+      if (MergeActions.pattern.matcher(actions).matches())
+        merge(spark, t, Option(tAlias), source, sAlias, onCond)
+      else
+        mergeGeneral(spark, t, Option(tAlias), source, sAlias, onCond,
+          parseMergeClauses(actions))
     case other =>
       refreshAll(spark)
       spark.sql(other)
@@ -307,16 +333,14 @@ object GraftSql {
     result(spark, "INSERT", t, v, n)
   }
 
-  /** Top-level comma split (paren/quote-aware) of `SET a = e1, b = e2`;
-    * each right-hand side is Spark-parsed. */
-  private def parseSets(
-      sets: String): Map[String, org.apache.spark.sql.Column] = {
+  /** Top-level comma split — paren/quote/escape-aware. */
+  private def splitTopComma(s: String): Seq[String] = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0
     var inStr = false
     var esc = false
     val cur = new StringBuilder
-    sets.foreach {
+    s.foreach {
       case c if esc => esc = false; cur += c
       case '\\' if inStr => esc = true; cur += '\\'
       case '\'' => inStr = !inStr; cur += '\''
@@ -326,33 +350,99 @@ object GraftSql {
       case c => cur += c
     }
     if (cur.nonEmpty) parts += cur.toString
-    parts.map { a =>
-      val i = a.indexOf('=')
+    parts.toSeq
+  }
+
+  /** Top-level comma split of `SET a = e1, b = e2`; each right-hand
+    * side is Spark-parsed. The `=` is located quote-aware — an RHS
+    * string literal containing '=' must not split the assignment. */
+  private def parseSets(
+      sets: String): Map[String, org.apache.spark.sql.Column] =
+    splitTopComma(sets).map { a =>
+      val i = topLevelChar(a, '=')
       require(i > 0, s"bad SET assignment: '$a'")
       a.take(i).trim -> expr(a.drop(i + 1).trim)
     }.toMap
+
+  /** Parse the WHEN-clause tail of a non-canonical MERGE into
+    * [[VersionedTable.MergeClause]]s (declared order preserved — it is
+    * the first-true-clause precedence). Every boundary (WHEN/THEN/AND/
+    * VALUES, commas, parens) is located quote-aware. */
+  private def parseMergeClauses(
+      actions: String): Seq[VersionedTable.MergeClause] = {
+    import VersionedTable.MergeClause._
+    val parts = splitTopLevel(actions, "WHEN").map(_.trim).filter(_.nonEmpty)
+    require(parts.nonEmpty, "MERGE needs at least one WHEN clause")
+    parts.map { c0 =>
+      val c = c0.stripSuffix(";").trim
+      val thenIdx = topLevelKeyword(c, "THEN")
+      require(thenIdx > 0, s"MERGE clause missing THEN: 'WHEN $c'")
+      val head = c.take(thenIdx).trim
+      val action = c.drop(thenIdx + "THEN".length).trim
+      val neg = head.toUpperCase.startsWith("NOT")
+      val afterNot = if (neg) head.drop(3).trim else head
+      require(afterNot.toUpperCase.startsWith("MATCHED"),
+        s"MERGE clause must open WHEN [NOT] MATCHED: 'WHEN $c'")
+      val afterM = afterNot.drop("MATCHED".length).trim
+      val cond =
+        if (afterM.isEmpty) None
+        else {
+          require(topLevelKeyword(afterM, "AND") == 0,
+            s"only AND <condition> may follow MATCHED: 'WHEN $c'")
+          Some(expr(afterM.drop(3).trim))
+        }
+      val au = action.toUpperCase
+      if (!neg && au.startsWith("UPDATE")) {
+        val setIdx = topLevelKeyword(action, "SET")
+        require(setIdx > 0, s"UPDATE action needs SET: '$action'")
+        val body = action.drop(setIdx + "SET".length).trim
+        if (body == "*") Update(cond, Map.empty)
+        else Update(cond, parseSets(body))
+      } else if (!neg && au == "DELETE") Delete(cond)
+      else if (neg && au.startsWith("INSERT")) {
+        val body = action.drop("INSERT".length).trim
+        if (body == "*") Insert(cond, Map.empty)
+        else {
+          require(body.startsWith("("),
+            s"INSERT action must be INSERT * or INSERT (cols) VALUES " +
+              s"(exprs): '$action'")
+          val e = parenSpan(body)
+          val cols = splitTopComma(body.substring(1, e - 1)).map(_.trim)
+          require(cols.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+            s"INSERT column list must be bare identifiers, got $cols")
+          require(cols.map(_.toLowerCase).distinct.length == cols.length,
+            s"INSERT column list repeats a column: $cols")
+          val rest = body.drop(e).trim
+          require(topLevelKeyword(rest, "VALUES") == 0,
+            s"INSERT (cols) needs VALUES (exprs): '$action'")
+          val vb = rest.drop("VALUES".length).trim
+          require(vb.startsWith("("), s"VALUES needs (exprs): '$action'")
+          val e2 = parenSpan(vb)
+          require(vb.drop(e2).trim.isEmpty,
+            s"exactly one VALUES row per INSERT clause: '$action'")
+          val exprs = splitTopComma(vb.substring(1, e2 - 1))
+            .map(t => expr(t.trim))
+          require(cols.length == exprs.length,
+            s"INSERT lists ${cols.length} columns but ${exprs.length} values")
+          Insert(cond, cols.zip(exprs).toMap)
+        }
+      } else sys.error(
+        s"unsupported MERGE action (UPDATE SET needs MATCHED, INSERT " +
+          s"needs NOT MATCHED): 'WHEN $c'")
+    }
   }
 
-  private def merge(spark: SparkSession, t: String, tAlias: Option[String],
-                    source: String, sAlias: Option[String],
-                    onCond: String): DataFrame = {
-    val root = rootOf(t)
-    refreshAll(spark)
-    val srcText = source.trim
-    // pinned ONCE before both uses (mirrors insert()): the merge and
-    // the reported row count must see the SAME rows — a
-    // non-deterministic source evaluated twice could report a count
-    // the merge never saw, and a large SELECT must not pay its scan
-    // twice
-    val src = spark.sql(s"SELECT * FROM $srcText").localCheckpoint(true)
-    // keys from the ON conjunction: every conjunct must be an equality
-    // between the SAME column name on both sides (the canonical keyed
-    // upsert) — anything else is not VersionedTable.merge semantics.
-    // Conjuncts and equality splits are located QUOTE-AWARE — ' AND '
-    // or '=' inside a string literal must not split the condition.
+  /** Keys from the ON conjunction: every conjunct must be an equality
+    * between the SAME column name on both sides (the keyed upsert —
+    * also the file-pruning key) — anything else is not
+    * VersionedTable merge semantics. Conjuncts and equality splits are
+    * located QUOTE-AWARE — ' AND ' or '=' inside a string literal must
+    * not split the condition. */
+  private def onKeyCols(t: String, tAlias: Option[String], srcText: String,
+                        sAlias: Option[String], onCond: String): Seq[String] = {
     val tNames = Set(t.toLowerCase) ++ tAlias.map(_.toLowerCase)
     val sNames = sAlias.map(_.toLowerCase).toSet + srcText.toLowerCase
-    val keys = splitTopLevel(onCond, "AND").map { c =>
+    splitTopLevel(onCond, "AND").map { c =>
       val eq = topLevelChar(c, '=')
       require(eq > 0 && topLevelChar(c, '<') < 0 && topLevelChar(c, '>') < 0 &&
         c.charAt(eq - 1) != '!' && topLevelChar(c.drop(eq + 1), '=') < 0,
@@ -371,8 +461,72 @@ object GraftSql {
         s"MERGE ON must equate the same column on both sides, got '$c'")
       cols(0)
     }
+  }
+
+  private def merge(spark: SparkSession, t: String, tAlias: Option[String],
+                    source: String, sAlias: Option[String],
+                    onCond: String): DataFrame = {
+    val root = rootOf(t)
+    refreshAll(spark)
+    val srcText = source.trim
+    // pinned ONCE before both uses (mirrors insert()): the merge and
+    // the reported row count must see the SAME rows — a
+    // non-deterministic source evaluated twice could report a count
+    // the merge never saw, and a large SELECT must not pay its scan
+    // twice
+    val src = spark.sql(s"SELECT * FROM $srcText").localCheckpoint(true)
+    val keys = onKeyCols(t, tAlias, srcText, sAlias, onCond)
     val n = src.count()
     val v = VersionedTable.merge(spark, root, src, keys)
     result(spark, "MERGE", t, v, n)
+  }
+
+  /** Non-canonical MERGE → [[VersionedTable.mergeActions]]. Clause
+    * conditions and values resolve against the target alias (default:
+    * the table name) and the source alias (default: the source's own
+    * name when it is a bare table; a subquery source with clauses
+    * needs an explicit alias to be referenceable at all). The source
+    * is NOT pinned here — mergeActions pins it once internally. */
+  private def mergeGeneral(spark: SparkSession, t: String,
+                           tAlias: Option[String], source: String,
+                           sAlias: Option[String], onCond: String,
+                           clauses: Seq[VersionedTable.MergeClause]): DataFrame = {
+    val root = rootOf(t)
+    refreshAll(spark)
+    val srcText = source.trim
+    val keys = onKeyCols(t, tAlias, srcText, sAlias, onCond)
+    val src = spark.sql(s"SELECT * FROM $srcText")
+    val ta = tAlias.getOrElse(t)
+    val sa = sAlias
+      .orElse(Some(srcText).filter(_.matches("[A-Za-z_][A-Za-z0-9_]*")))
+      .getOrElse(sys.error(
+        "a subquery MERGE source with conditional clauses needs an " +
+          "alias: USING (...) AS s"))
+    // SQL MERGE allows target-qualified SET columns (`SET t.v = ...`);
+    // the engine keys SET/INSERT maps by BARE column name — strip a
+    // target qualifier, reject any other (a source-qualified SET
+    // target is not assignable)
+    val tNames = Set(t.toLowerCase, ta.toLowerCase)
+    def bare(k: String): String = {
+      val p = k.split('.')
+      if (p.length == 1) k
+      else {
+        require(p.length == 2 && tNames.contains(p(0).toLowerCase),
+          s"SET/INSERT column must be a target column, got '$k'")
+        p(1)
+      }
+    }
+    val normalized = clauses.map {
+      case VersionedTable.MergeClause.Update(c, set) =>
+        VersionedTable.MergeClause.Update(c,
+          set.map { case (k, e) => bare(k) -> e })
+      case VersionedTable.MergeClause.Insert(c, vs) =>
+        VersionedTable.MergeClause.Insert(c,
+          vs.map { case (k, e) => bare(k) -> e })
+      case d => d
+    }
+    val v = VersionedTable.mergeActions(
+      spark, root, src, keys, normalized, ta, sa)
+    result(spark, "MERGE", t, v, -1L)
   }
 }

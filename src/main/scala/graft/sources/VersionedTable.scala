@@ -665,6 +665,75 @@ object VersionedTable {
     } catch { case _: java.io.IOException => () }
   }
 
+  /** Metadata-only ALTER TABLE ADD COLUMNS (the Delta role): commits a
+    * new version with the SAME file listing — an empty, data-preserving
+    * delta (version-offset streams skip it, zero data moved at any
+    * table size) — whose schema sidecar declares the added NULLABLE
+    * columns, appended after the existing data columns (partition
+    * columns stay last, the table's declared order). Existing rows
+    * read typed NULL; COW rewrites and compaction read through
+    * [[widenDeclared]] and MATERIALIZE the column into files they
+    * stage, so the declaration survives any later history (an
+    * `overwrite` replaces the schema wholesale — the intentional drop).
+    *
+    * Commit-then-sidecar ordering: the manifest must be WON first — a
+    * lost race writing the sidecar first would plant this ALTER's
+    * schema under someone else's commit. The sidecar write after a won
+    * commit propagates errors (unlike the best-effort cache) — a
+    * schema change that didn't persist must fail loudly, and the
+    * listing-identical manifest is harmless to leave behind. Returns
+    * the committed version. */
+  def alterAddColumns(spark: SparkSession, root: String,
+                      adds: Seq[org.apache.spark.sql.types.StructField],
+                      maxRetries: Int = 5): Long = {
+    import org.apache.spark.sql.types.StructType
+    require(adds.nonEmpty, "ALTER ADD COLUMNS needs at least one column")
+    adds.foreach(f => require(f.nullable,
+      s"added column ${f.name} must be NULLABLE (existing rows read NULL)"))
+    require(adds.map(_.name.toLowerCase).distinct.length == adds.length,
+      s"ALTER ADD COLUMNS repeats a column: ${adds.map(_.name)}")
+    var attempt = 0
+    while (true) {
+      val base = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
+      // the CURRENT declared schema, through the scan machinery (the
+      // sidecar when present, else one cached footer sweep); partition
+      // columns surface LAST and stay last in the new declaration
+      val full = readVersion(spark, root, base).schema
+      val partNames = partitionSchema(root).fieldNames.toSet
+      val dataFields = full.fields.filterNot(f => partNames.contains(f.name))
+      val partFields = full.fields.filter(f => partNames.contains(f.name))
+      val haveNames = full.fieldNames.map(_.toLowerCase).toSet
+      adds.foreach(f => require(!haveNames.contains(f.name.toLowerCase),
+        s"column ${f.name} already exists in the table"))
+      val v = base + 1
+      val won =
+        try {
+          commitManifest(root, v,
+            deltaContent(Seq.empty, Seq.empty) :+ PreservingMarker)
+          true
+        } catch {
+          case e: java.nio.file.FileAlreadyExistsException =>
+            // lost the race: recompute against the winner's schema
+            attempt += 1
+            if (attempt > maxRetries) throw e
+            false
+        }
+      if (won) {
+        // persist the declaration LOUDLY (no best-effort catch)
+        val declared = StructType(dataFields ++ adds ++ partFields)
+        val tmp = Files.createTempFile(
+          new File(root).toPath, "_schema", ".tmp")
+        Files.write(tmp, declared.json.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, new File(root, s"_schema.v$v.json").toPath,
+          StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        maybeCheckpoint(root, v)
+        return v
+      }
+    }
+    -1L // unreachable
+  }
+
   /** As [[overwrite]], recording per-file [min, max] of `statsCol` in
     * the manifest so [[readWhere]] can skip files from the listing
     * alone. Cluster the data on `statsCol` first (`repartitionByRange`
@@ -1434,6 +1503,35 @@ object VersionedTable {
     else org.apache.spark.sql.graft.GraftScan.ofScanFiles(
       spark, root, lines.map(scanFileOf))
 
+  /** `df` widened to version `v`'s DECLARED schema: columns the
+    * version's sidecar declares but `df` lacks (a metadata-only
+    * [[alterAddColumns]] declares columns no data file carries yet)
+    * are appended as typed NULLs. The COW rewrite paths read through
+    * this so their re-staged files MATERIALIZE the declared column —
+    * without it, the rewritten version's footer sweep would silently
+    * drop a column ALTER added. A missing or footer-consistent
+    * sidecar makes this the identity. */
+  private def widenDeclared(df: DataFrame, root: String,
+                            v: Long): DataFrame =
+    readSchemaSidecar(root, v) match {
+      case Some(s) =>
+        // partition columns are PATH-derived, never widened: a raw
+        // footer read of a partitioned table lacks them by design
+        val part = partitionSchema(root).fieldNames.map(_.toLowerCase).toSet
+        val have = df.columns.map(_.toLowerCase).toSet ++ part
+        s.fields.filterNot(f => have.contains(f.name.toLowerCase))
+          .foldLeft(df)((d, f) =>
+            d.withColumn(f.name, lit(null).cast(f.dataType)))
+      case None => df
+    }
+
+  /** [[readLines]] widened to base version `v`'s declared schema —
+    * the read surface for every COW rewrite (delete/update/merge/
+    * applyChanges/compact): see [[widenDeclared]]. */
+  private def readLinesDeclared(spark: SparkSession, root: String, v: Long,
+                                lines: Seq[String]): DataFrame =
+    widenDeclared(readLines(spark, root, lines), root, v)
+
   /** Stage a rewrite's output in the table's OWN layout: Hive
     * `col=value` directories for partitioned tables (the partition
     * columns live in `df` — [[readLines]] injected them), flat files
@@ -1764,7 +1862,7 @@ object VersionedTable {
     while (true) {
       val base = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
       val files = readListing(root, base)
-      val target = readLines(spark, root, files)
+      val target = readLinesDeclared(spark, root, base, files)
       val touchedNames = target
         .withColumn("__file", col("_metadata.file_path"))
         .filter(predicate)
@@ -1775,7 +1873,7 @@ object VersionedTable {
       val outCols = target.columns.toSeq
       val survivorsPlusBatch =
         if (touched0.isEmpty) batch.select(outCols.map(col): _*)
-        else readLines(spark, root, touched0)
+        else readLinesDeclared(spark, root, base, touched0)
           .filter(!coalesce(predicate, lit(false)))
           .unionByName(batch.select(outCols.map(col): _*),
             allowMissingColumns = true)
@@ -2075,7 +2173,7 @@ object VersionedTable {
     while (true) {
       val base = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
       val files = readListing(root, base) // listing LINES (stats kept on carry)
-      val target = readLines(spark, root, files)
+      val target = readLinesDeclared(spark, root, base, files)
       // schema evolution (the Delta mergeSchema role): source-only
       // columns are appended to the table schema; untouched files simply
       // lack them and read back null via the mergeSchema snapshot read —
@@ -2100,7 +2198,7 @@ object VersionedTable {
       val src = alignTypes(source.select(outCols.map(col): _*), target.schema)
       val rewritten =
         if (touched.isEmpty) src // pure insert — nothing to rewrite
-        else readLines(spark, root, touched0)
+        else readLinesDeclared(spark, root, base, touched0)
           .join(srcKeys, keyCols, "left_anti")
           // allowMissingColumns covers the KEPT side: outCols comes from
           // EVERY file's footer, so touched files written before a later
@@ -2120,6 +2218,215 @@ object VersionedTable {
       try {
         val committed =
           commitManifest(root, v, deltaContent(touched0, staged))
+        maybeCheckpoint(root, committed)
+        return committed
+      } catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          staged.foreach(p =>
+            Files.deleteIfExists(new File(pathOf(p)).toPath))
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** One MERGE action clause — the general (Delta-style) MERGE form
+    * [[mergeActions]] executes. Conditions and value expressions may
+    * reference the target and source rows through the aliases passed
+    * to [[mergeActions]] (e.g. `expr("s.price > t.price")`); they are
+    * unresolved Columns, resolved against the matched pair at plan
+    * time. */
+  sealed trait MergeClause { def cond: Option[org.apache.spark.sql.Column] }
+  object MergeClause {
+    /** WHEN MATCHED [AND cond] THEN UPDATE SET ... — an empty `set`
+      * means `SET *` (every target column from the source column of
+      * the same name; the source must then carry them all). Columns
+      * absent from an explicit `set` keep their target value. */
+    final case class Update(cond: Option[org.apache.spark.sql.Column],
+                            set: Map[String, org.apache.spark.sql.Column])
+        extends MergeClause
+    /** WHEN MATCHED [AND cond] THEN DELETE. */
+    final case class Delete(cond: Option[org.apache.spark.sql.Column])
+        extends MergeClause
+    /** WHEN NOT MATCHED [AND cond] THEN INSERT ... — an empty
+      * `values` means `INSERT *` (by name; target columns the source
+      * lacks take NULL). Explicitly listed columns get their
+      * expression; unlisted target columns take NULL (SQL INSERT
+      * column-list semantics). */
+    final case class Insert(cond: Option[org.apache.spark.sql.Column],
+                            values: Map[String, org.apache.spark.sql.Column])
+        extends MergeClause
+  }
+
+  /** General MERGE (the Delta `whenMatched(cond).update/delete` +
+    * `whenNotMatched(cond).insert` surface) — the conditional
+    * superset of [[merge]]'s canonical upsert:
+    *
+    *  - matched target rows take the FIRST matched clause (declared
+    *    order) whose condition is TRUE — update or delete; no clause
+    *    true → the row carries unchanged (NULL conditions are not
+    *    true, SQL semantics);
+    *  - unmatched target rows always carry;
+    *  - unmatched SOURCE rows insert iff the not-matched clause's
+    *    condition passes; no insert clause → they are dropped;
+    *  - a source row whose key matches MULTIPLE target rows applies to
+    *    each (join semantics); multiple SOURCE rows sharing a key that
+    *    matches a target row are REJECTED when a matched clause exists
+    *    (the Delta multiple-source-matches error — which of the two
+    *    updates wins would be arbitrary).
+    *
+    * Same scale mechanics as [[merge]]: phase-1 `_metadata.file_path`
+    * semi-join finds the touched files (untouched manifest lines carry
+    * as-is, stats included — a merge touching 0.1% of keys rewrites
+    * 0.1% of files); insert-only clause sets skip the rewrite
+    * entirely (touched files stay untouched — only the key probe
+    * reads them, column-pruned); optimistic delta commit, full
+    * recompute on a lost race. `keyCols` is the ON equi-key
+    * conjunction — the pruning key, as in [[merge]]. Updated/inserted
+    * values CAST to the table column types ([[update]]'s rule).
+    * Returns the committed version (the base version unchanged when
+    * the statement is a complete no-op). */
+  def mergeActions(spark: SparkSession, root: String, source: DataFrame,
+                   keyCols: Seq[String], clauses: Seq[MergeClause],
+                   targetAlias: String = "t", sourceAlias: String = "s",
+                   maxRetries: Int = 5,
+                   beforeCommit: () => Unit = () => ()): Long = {
+    import MergeClause._
+    require(clauses.nonEmpty, "MERGE needs at least one action clause")
+    require(clauses.count(_.isInstanceOf[Update]) <= 1 &&
+      clauses.count(_.isInstanceOf[Delete]) <= 1 &&
+      clauses.count(_.isInstanceOf[Insert]) <= 1,
+      "at most one UPDATE, one DELETE and one INSERT clause")
+    require(targetAlias != sourceAlias,
+      s"target and source aliases must differ, got '$targetAlias' twice")
+    val matchedClauses = clauses.filter(!_.isInstanceOf[Insert])
+    val insertClause = clauses.collectFirst { case i: Insert => i }
+    // pinned ONCE: the dup-key guard, the key probe, the matched join
+    // and the insert anti-join must all see the SAME rows across every
+    // commit retry (and a large SELECT source must not re-run per use)
+    val src0 = source.localCheckpoint(true)
+    val srcKeys = src0.select(keyCols.map(col): _*).distinct()
+      .localCheckpoint(true)
+    def condOf(c: Option[org.apache.spark.sql.Column]) =
+      c.map(x => coalesce(x, lit(false))).getOrElse(lit(true))
+    var attempt = 0
+    while (true) {
+      val base = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
+      val files = readListing(root, base)
+      val target = readLinesDeclared(spark, root, base, files)
+      val outCols = target.columns.toSeq
+      val schema = target.schema
+      require(!outCols.contains("__graft_m"),
+        "mergeActions reserves the column name __graft_m")
+      matchedClauses.collectFirst { case u: Update => u }.foreach { u =>
+        if (u.set.isEmpty)
+          outCols.foreach(c =>
+            require(src0.columns.exists(_.equalsIgnoreCase(c)),
+              s"UPDATE SET * needs source column '$c'"))
+        else u.set.keys.foreach(k =>
+          require(outCols.exists(_.equalsIgnoreCase(k)),
+            s"SET column '$k' not in table"))
+      }
+      insertClause.foreach(i => i.values.keys.foreach(k =>
+        require(outCols.exists(_.equalsIgnoreCase(k)),
+          s"INSERT column '$k' not in table")))
+      // phase 1 (prune): files containing a matched key — the ONLY
+      // full-table pass, column-pruned to the keys + file metadata
+      val touchedNames = target
+        .withColumn("__file", col("_metadata.file_path"))
+        .join(srcKeys, keyCols, "left_semi")
+        .select(col("__file")).distinct()
+        .collect().map(_.getString(0).split('/').last).toSet
+      val touched0 =
+        files.filter(f => touchedNames.contains(pathOf(f).split('/').last))
+      // matched keys for the insert anti-join: every matched key's
+      // rows live in a touched file by construction, so the probe
+      // reads only those files, key columns only
+      val matchedKeys =
+        if (touched0.isEmpty) srcKeys.limit(0)
+        else srcKeys.join(
+          readLinesDeclared(spark, root, base, touched0).select(keyCols.map(col): _*),
+          keyCols, "left_semi")
+      if (matchedClauses.nonEmpty && touched0.nonEmpty) {
+        // the Delta multiple-source-matches error: two source rows
+        // sharing a key that matches a target row — which update/delete
+        // wins would be arbitrary; insert-only merges tolerate dup keys
+        val dup = src0.join(matchedKeys, keyCols, "left_semi")
+          .groupBy(keyCols.map(col): _*).count()
+          .filter(col("count") > 1).limit(1).count()
+        require(dup == 0L,
+          s"MERGE source has multiple rows per key ${keyCols.mkString(",")} " +
+            "matching the same target row — deduplicate the source")
+      }
+      // phase 2 (rewrite) — skipped wholesale for insert-only merges
+      val rewriteFiles = if (matchedClauses.isEmpty) Seq.empty else touched0
+      val touchedPart: Option[DataFrame] =
+        if (rewriteFiles.isEmpty) None
+        else {
+          val t = readLinesDeclared(spark, root, base, rewriteFiles).alias(targetAlias)
+          val s = src0.withColumn("__graft_m", lit(true)).alias(sourceAlias)
+          val joinCond = keyCols.map(k =>
+            col(s"$targetAlias.$k") === col(s"$sourceAlias.$k"))
+            .reduce(_ && _)
+          val j = t.join(s, joinCond, "left_outer")
+          val isMatched = col("__graft_m").isNotNull
+          // first-true-clause guards, declared order
+          val guards: Seq[(MergeClause, org.apache.spark.sql.Column)] =
+            matchedClauses.zipWithIndex.map { case (cl, i) =>
+              val notPrev = matchedClauses.take(i).map(p => !condOf(p.cond))
+              (cl, (Seq(isMatched, condOf(cl.cond)) ++ notPrev)
+                .reduce(_ && _))
+            }
+          val delGuard = guards.collectFirst { case (_: Delete, g) => g }
+            .getOrElse(lit(false))
+          val updGuard = guards.collectFirst { case (u: Update, g) => (u, g) }
+          val kept = j.filter(!delGuard)
+          Some(kept.select(outCols.map { c =>
+            val tc = col(s"$targetAlias.$c")
+            updGuard match {
+              case Some((u, g)) =>
+                val newV =
+                  if (u.set.isEmpty) col(s"$sourceAlias.$c")
+                  else u.set.collectFirst {
+                    case (k, v) if k.equalsIgnoreCase(c) => v
+                  }.getOrElse(tc)
+                when(g, newV).otherwise(tc)
+                  .cast(schema(c).dataType).as(c)
+              case None => tc.as(c)
+            }
+          }: _*))
+        }
+      val insertPart: Option[DataFrame] = insertClause.map { ins =>
+        val unmatched = src0.alias(sourceAlias)
+          .join(matchedKeys, keyCols, "left_anti")
+          .filter(condOf(ins.cond))
+        unmatched.select(outCols.map { c =>
+          val dt = schema(c).dataType
+          if (ins.values.isEmpty) {
+            if (src0.columns.exists(_.equalsIgnoreCase(c)))
+              col(s"$sourceAlias.$c").cast(dt).as(c)
+            else lit(null).cast(dt).as(c)
+          } else ins.values.collectFirst {
+            case (k, v) if k.equalsIgnoreCase(c) => v.cast(dt).as(c)
+          }.getOrElse(lit(null).cast(dt).as(c))
+        }: _*)
+      }
+      val parts = touchedPart.toSeq ++ insertPart.toSeq
+      if (parts.isEmpty) return base // no clause can have any effect
+      val rewritten = parts.reduce(_ unionByName _)
+      // complete no-op (nothing rewritten, nothing inserted): commit
+      // no version — DML that changes nothing must not churn history
+      if (rewriteFiles.isEmpty && rewritten.isEmpty) return base
+      val v = base + 1
+      // __rows-only stats, as in merge(): countRows() stays
+      // metadata-answerable; rewritten files go conservative on ranges
+      val staged = statLines(spark,
+        stageAuto(rewritten, root, v), Seq.empty)
+      beforeCommit()
+      try {
+        val committed =
+          commitManifest(root, v, deltaContent(rewriteFiles, staged))
         maybeCheckpoint(root, committed)
         return committed
       } catch {
@@ -2179,7 +2486,7 @@ object VersionedTable {
     while (true) {
       val base = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
       val files = readListing(root, base)
-      val target = readLines(spark, root, files)
+      val target = readLinesDeclared(spark, root, base, files)
       val touchedNames = target
         .withColumn("__file", col("_metadata.file_path"))
         .join(affectedKeys, keyCols, "left_semi")
@@ -2191,7 +2498,7 @@ object VersionedTable {
       val src = alignTypes(upserts.select(outCols.map(col): _*), target.schema)
       val rewritten =
         if (touched0.isEmpty) src // pure insert / all-absent deletes
-        else readLines(spark, root, touched0)
+        else readLinesDeclared(spark, root, base, touched0)
           .join(affectedKeys, keyCols, "left_anti")
           .unionByName(src, allowMissingColumns = true)
           .select(outCols.map(col): _*)
@@ -2276,7 +2583,7 @@ object VersionedTable {
     while (true) {
       val base = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
       val files = readListing(root, base)
-      val target = readLines(spark, root, files)
+      val target = readLinesDeclared(spark, root, base, files)
       require(target.columns.contains(seqCol),
         s"guarded apply needs the target to store '$seqCol'")
       val touchedNames = target
@@ -2319,7 +2626,7 @@ object VersionedTable {
             if (deletedCol == null) col("__op") =!= "D" else lit(true))
             .select(outCols.map(col): _*), target.schema)
         else {
-          val stored = readLines(spark, root, touched0)
+          val stored = readLinesDeclared(spark, root, base, touched0)
           val storedCand = stored
             .join(affectedKeys, keyCols, "left_semi")
             .select((outCols.map(col) :+ lit("U").as("__op")): _*)
@@ -2403,7 +2710,7 @@ object VersionedTable {
     while (true) {
       val base = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
       val files = readListing(root, base)
-      val target = readLines(spark, root, files)
+      val target = readLinesDeclared(spark, root, base, files)
       val touchedNames = target
         .withColumn("__file", col("_metadata.file_path"))
         .filter(predicate)
@@ -2412,7 +2719,7 @@ object VersionedTable {
       if (touchedNames.isEmpty) return base
       val touched0 =
         files.filter(f => touchedNames.contains(pathOf(f).split('/').last))
-      val survivors = readLines(spark, root, touched0)
+      val survivors = readLinesDeclared(spark, root, base, touched0)
         // keep when NOT(true): null-predicate rows survive, per SQL
         .filter(!coalesce(predicate, lit(false)))
       val v = base + 1
@@ -2452,7 +2759,7 @@ object VersionedTable {
     require(manifestFile(root, baseV).exists(),
       s"deleteAt base version $baseV does not exist at $root")
     val files = readListing(root, baseV)
-    val target = readLines(spark, root, files)
+    val target = readLinesDeclared(spark, root, baseV, files)
     val touchedNames = target
       .withColumn("__file", col("_metadata.file_path"))
       .filter(predicate)
@@ -2461,7 +2768,7 @@ object VersionedTable {
     if (touchedNames.isEmpty) return baseV
     val touched0 =
       files.filter(f => touchedNames.contains(pathOf(f).split('/').last))
-    val survivors = readLines(spark, root, touched0)
+    val survivors = readLinesDeclared(spark, root, baseV, touched0)
       .filter(!coalesce(predicate, lit(false)))
     val staged = statLines(spark,
       stageAuto(survivors, root, baseV + 1), Seq.empty)
@@ -2502,7 +2809,7 @@ object VersionedTable {
     while (true) {
       val base = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
       val files = readListing(root, base)
-      val target = readLines(spark, root, files)
+      val target = readLinesDeclared(spark, root, base, files)
       require(set.keySet.subsetOf(target.columns.toSet),
         s"SET columns ${set.keySet.diff(target.columns.toSet)} not in table")
       val touchedNames = target
@@ -2514,7 +2821,7 @@ object VersionedTable {
       val touched0 =
         files.filter(f => touchedNames.contains(pathOf(f).split('/').last))
       val hit = coalesce(predicate, lit(false))
-      val rewritten = readLines(spark, root, touched0)
+      val rewritten = readLinesDeclared(spark, root, base, touched0)
         .select(target.columns.toSeq.map { c =>
           set.get(c) match {
             // cast back to the COLUMN's type (SQL UPDATE semantics):
@@ -2755,7 +3062,12 @@ object VersionedTable {
     val smallSet = smallPaths.toSet
     val totalBytes = smallPaths.map(new File(_).length()).sum
     val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val df = spark.read.option("mergeSchema", "true").parquet(smallPaths: _*)
+    // widened to the declared schema: packed files must materialize a
+    // column a metadata-only ALTER declared, or the post-compaction
+    // footer sweep would drop it (the COW-rewrite rule)
+    val df = widenDeclared(
+      spark.read.option("mergeSchema", "true").parquet(smallPaths: _*),
+      root, base)
     val packed =
       if (statsCols.nonEmpty)
         df.repartitionByRange(numFiles, statsCols.map(col): _*)

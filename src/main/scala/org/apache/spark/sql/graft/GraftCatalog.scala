@@ -37,10 +37,13 @@ import graft.sources.{Tombstones, VersionedTable}
   * [min, max]/bloom/partition stats identically on both surfaces and
   * the physical scan stays a vectorized parquet read. Writes are a
   * [[V1Write]] onto the engine's own append/overwrite (atomic manifest
-  * commits, default stats, partition layout preserved); row-level DML
-  * (DELETE/UPDATE/MERGE text) stays on [[graft.sources.GraftSql]].
-  * ALTER is rejected loudly (schema evolution goes through the
-  * mergeSchema writers); DROP removes the NAME only (external-table
+  * commits, default stats, partition layout preserved);
+  * `DELETE FROM graft.db.t WHERE <translatable predicate>` plans
+  * natively (SupportsDelete → the file-pruned COW delete);
+  * `ALTER TABLE graft.db.t ADD COLUMNS (...)` is the metadata-only
+  * schema evolution (an empty preserving commit + sidecar); UPDATE and
+  * MERGE text stay on [[graft.sources.GraftSql]]. Other ALTER verbs
+  * are rejected loudly; DROP removes the NAME only (external-table
   * stance — the versioned data stays until vacuumed).
   *
   * MOR safety: a LATEST read refuses while tombstones/patches pend —
@@ -176,11 +179,37 @@ class GraftCatalog extends TableCatalog {
 
   private def key(ident: Identifier): String = GraftCatalog.key(ident)
 
+  /** `ALTER TABLE graft.db.t ADD COLUMNS (c TYPE, ...)` — the
+    * metadata-only Delta ALTER: [[VersionedTable.alterAddColumns]]
+    * commits an empty data-preserving version whose schema sidecar
+    * declares the new NULLABLE columns (zero data moved at any table
+    * size; existing rows read NULL; COW rewrites materialize the
+    * column forward). Other ALTER verbs (drop/rename/retype/position)
+    * are rejected loudly — they would require rewriting history or a
+    * column-mapping layer this format does not carry. */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "GraftCatalog does not ALTER: schema evolution goes through the " +
-        "VersionedTable mergeSchema writers")
+                          changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "only top-level ADD COLUMNS is supported, got nested field " +
+            a.fieldNames().mkString("."))
+        require(a.isNullable,
+          s"added column ${a.fieldNames()(0)} must be nullable " +
+            "(existing rows read NULL)")
+        require(a.position() == null,
+          "column position is not supported: added columns append " +
+            "after the existing data columns")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType(), nullable = true)
+      case c => throw new UnsupportedOperationException(
+        s"GraftCatalog ALTER supports ADD COLUMNS only, got $c")
+    }
+    VersionedTable.alterAddColumns(
+      classic.SparkSession.active, root, adds)
+    new GraftTableV2(key(ident), root, None)
+  }
 
   /** DROP = remove the NAME from the catalog; the versioned data stays
     * on disk (the external-table stance — history remains
@@ -239,6 +268,41 @@ object GraftCatalog {
     registry.remove(s"$db.$table".toLowerCase)
     ()
   }
+
+  /** V1 source Filter → Column, total over the filters Spark's own
+    * translator emits (anything it can't express never reaches the
+    * sink as a Filter). None = untranslatable (a nested V2 reference
+    * this engine doesn't model) → `canDeleteWhere` refuses and Spark
+    * surfaces the clean "cannot delete" error instead of a wrong
+    * delete. */
+  private[graft] def filterColumn(
+      f: org.apache.spark.sql.sources.Filter)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case StringContains(a, v) => Some(col(a).contains(v))
+      case And(l, r) =>
+        for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc && rc
+      case Or(l, r) =>
+        for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc || rc
+      case Not(c) => filterColumn(c).map(not)
+      case _: AlwaysTrue => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+  }
 }
 
 /** One pinned (or latest) snapshot as a DSv2 [[Table]]: schema from
@@ -253,7 +317,8 @@ object GraftCatalog {
   * the Scala API. Version-pinned tables are read-only (time travel). */
 private[graft] class GraftTableV2(ident: String, root: String,
                                   version: Option[Long])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private lazy val (idx, dataSchema, partSchema) = GraftScan.indexFor(
     classic.SparkSession.active, root, version)
@@ -278,6 +343,30 @@ private[graft] class GraftTableV2(ident: String, root: String,
     require(version.isEmpty,
       s"$ident is a pinned time-travel snapshot: read-only")
     new GraftWriteBuilder(root, partSchema.fieldNames.toSeq)
+  }
+
+  /** `DELETE FROM graft.db.t WHERE <condition>` through Spark's own
+    * planner (the SupportsDelete route): the condition arrives as V1
+    * source Filters — exactly when it is a source-translatable
+    * predicate — and lands on [[VersionedTable.delete]]'s file-pruned
+    * copy-on-write path. A condition Spark cannot translate (an
+    * arithmetic predicate, a UDF) fails its DELETE loudly; route those
+    * through [[graft.sources.GraftSql]], which parses the full
+    * predicate text. No WHERE → empty filter array → full-table
+    * delete (the table stays readable via its schema sidecar). */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => GraftCatalog.filterColumn(f).isDefined)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(version.isEmpty,
+      s"$ident is a pinned time-travel snapshot: read-only")
+    val cond = filters.toSeq.flatMap(GraftCatalog.filterColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    VersionedTable.delete(classic.SparkSession.active, root, cond)
+    ()
   }
 }
 

@@ -196,4 +196,134 @@ class GraftCatalogSpec extends SparkSuite {
     assert(spark.sql("SELECT count(*) AS n FROM graft.db.mor")
       .head().getLong(0) == 48L)
   }
+
+  test("DELETE FROM graft.db.t WHERE plans natively (SupportsDelete): " +
+    "translatable predicates land on the COW delete, untouched files " +
+    "carry byte-identical; untranslatable predicates fail loudly") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val rows = (0L until 600L).map(i => (i, s"s${i % 3}", i * 2L))
+      .toDF("k", "tag", "v").repartitionByRange(6, col("k"))
+    VersionedTable.overwriteWithStats(rows, root, "k")
+    GraftCatalog.register(spark, "db", "del", root)
+    val before = VersionedTable.read(spark, root)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0)).toSet
+    spark.sql("DELETE FROM graft.db.del WHERE k < 100 AND tag = 's0'")
+    assert(VersionedTable.latestVersion(root).contains(1L),
+      "the DELETE must commit exactly one engine version")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.del")
+      .head().getLong(0) == 600L - 34L) // k in [0,100) with k%3==0
+    val after = VersionedTable.read(spark, root)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert((before intersect after).nonEmpty,
+      "file-pruned COW: untouched files must survive the delete as-is")
+    // IN-list and IS NULL translate too
+    spark.sql("DELETE FROM graft.db.del WHERE k IN (500, 501)")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.db.del WHERE k IN (500, 501)")
+      .head().getLong(0) == 0L)
+    // an arithmetic predicate is not source-translatable: loud error,
+    // not a wrong delete (route those through GraftSql)
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM graft.db.del WHERE k % 2 = 0")
+    }
+    assert(e.getMessage.toLowerCase.matches(
+      "(?s).*(cannot|can't|unable).*delet.*") ||
+      e.getMessage.toLowerCase.contains("translat"), e.getMessage)
+    // time travel stays intact under native DML
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.db.del VERSION AS OF 0")
+      .head().getLong(0) == 600L)
+    // TRUNCATE TABLE rides the same seam (SupportsDelete's inherited
+    // truncate): one full-table delete commit, table stays readable
+    spark.sql("TRUNCATE TABLE graft.db.del")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.del")
+      .head().getLong(0) == 0L)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.db.del VERSION AS OF 0")
+      .head().getLong(0) == 600L, "history intact after TRUNCATE")
+  }
+
+  test("ALTER TABLE graft.db.t ADD COLUMNS is metadata-only: same " +
+    "listing, preserving commit, typed NULLs served; COW rewrites " +
+    "carry the declared column forward") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val rows = (0L until 300L).map(i => (i, i * 2L)).toDF("k", "v")
+      .repartitionByRange(3, col("k"))
+    VersionedTable.overwriteWithStats(rows, root, "k")
+    GraftCatalog.register(spark, "db", "alt", root)
+    val filesBefore = VersionedTable.scanListing(root, Some(0L))
+      .map(_.path).toSet
+    spark.sql("ALTER TABLE graft.db.alt ADD COLUMNS (note STRING)")
+    assert(VersionedTable.latestVersion(root).contains(1L))
+    assert(VersionedTable.scanListing(root, Some(1L)).map(_.path).toSet
+      == filesBefore, "ALTER must move zero data files")
+    // the new column reads as typed NULL on both surfaces
+    val viaCatalog = spark.sql(
+      "SELECT note FROM graft.db.alt WHERE k = 5")
+    assert(viaCatalog.schema("note").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(viaCatalog.head().isNullAt(0))
+    assert(VersionedTable.read(spark, root).schema.fieldNames.toSeq ==
+      Seq("k", "v", "note"))
+    // a COW rewrite (UPDATE through GraftSql) materializes the column
+    GraftSql.register(spark, "gcat_alt", root)
+    GraftSql.execute(spark,
+      "UPDATE gcat_alt SET note = 'hot' WHERE k < 10")
+    val st = VersionedTable.read(spark, root)
+    assert(st.filter(col("note") === "hot").count() == 10L)
+    assert(st.filter(col("note").isNull).count() == 290L)
+    // ... and the declaration SURVIVES the rewrite (footer sweep would
+    // have dropped a never-materialized column without the widen rule)
+    assert(VersionedTable.read(spark, root).schema.fieldNames
+      .contains("note"))
+    // duplicate and non-nullable adds are refused
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.alt ADD COLUMNS (note INT)")
+    }
+    assert(e.getMessage.contains("already exists"))
+    val e2 = intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE graft.db.alt ADD COLUMNS (must INT NOT NULL)")
+    }
+    assert(e2.getMessage.toLowerCase.contains("nullable"))
+    // other ALTER verbs stay loud refusals
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.alt RENAME COLUMN v TO w")
+    }
+    assert(e3.getMessage.contains("ADD COLUMNS only"))
+  }
+
+  test("ALTER-declared columns survive compaction and a version-offset " +
+    "stream rides across the ALTER commit") {
+    import spark.implicits._
+    val root = tmpRoot()
+    VersionedTable.overwriteWithStats(
+      (0L until 100L).map(i => (i, i)).toDF("k", "v"), root, "k")
+    (1 to 3).foreach { b =>
+      VersionedTable.appendWithStats(
+        (0L until 50L).map(i => (b * 1000L + i, i)).toDF("k", "v"),
+        root, "k")
+    }
+    GraftCatalog.register(spark, "db", "altc", root)
+    spark.sql("ALTER TABLE graft.db.altc ADD COLUMNS (score DOUBLE)")
+    val alterV = VersionedTable.latestVersion(root).get
+    // compaction packs the small files and must MATERIALIZE the column
+    VersionedTable.compact(spark, root, targetBytes = 64L << 20,
+      statsCols = Seq("k"))
+    assert(VersionedTable.latestVersion(root).get > alterV)
+    val sch = VersionedTable.read(spark, root).schema
+    assert(sch.fieldNames.contains("score"),
+      "compaction must not drop an ALTER-declared column")
+    assert(sch("score").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    // the ALTER commit is data-preserving: the streaming delta across
+    // it contributes nothing and does not refuse
+    val delta = VersionedTable.scanListingDelta(root, Some(alterV - 1),
+      alterV)
+    assert(delta.isEmpty, "ALTER adds no files to a streaming range")
+  }
 }

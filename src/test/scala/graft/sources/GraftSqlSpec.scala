@@ -232,6 +232,78 @@ class GraftSqlSpec extends SparkSuite {
       "INSERT source must be evaluated exactly once")
   }
 
+  test("general MERGE: conditional UPDATE/DELETE/INSERT clauses, " +
+    "first-true precedence, explicit SET and INSERT lists") {
+    import spark.implicits._
+    val (name, root) = freshTable() // (1,a,10) (2,b,20) (3,c,30)
+    Seq((1L, 5L), (2L, 999L), (7L, 70L), (8L, 81L))
+      .toDF("k", "nv").createOrReplaceTempView("gsql_ga")
+    GraftSql.execute(spark,
+      s"""MERGE INTO $name AS t USING gsql_ga AS s ON t.k = s.k
+          WHEN MATCHED AND s.nv > 100 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET v = t.v + s.nv
+          WHEN NOT MATCHED AND s.nv % 2 = 0 THEN
+            INSERT (k, v) VALUES (s.k, s.nv * 10)""")
+    val got = VersionedTable.read(spark, root).orderBy("k").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1L, Some("a"), 15L),  // conditional update fell through to SET
+      (3L, Some("c"), 30L),  // unmatched target row carries
+      (7L, None, 700L)))     // insert list: s NULL, v computed; 8 odd→no
+  }
+
+  test("general MERGE: string literals containing WHEN/THEN/AND do " +
+    "not split clauses; bad action shapes get clear errors") {
+    import spark.implicits._
+    val (name, root) = freshTable()
+    Seq((2L, "x")).toDF("k", "tag").createOrReplaceTempView("gsql_gb")
+    GraftSql.execute(spark,
+      s"""MERGE INTO $name AS t USING gsql_gb AS s ON t.k = s.k
+          WHEN MATCHED AND s.tag != ' WHEN MATCHED THEN ' THEN
+            UPDATE SET s = concat(t.s, ' AND THEN ')
+          WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)""")
+    assert(VersionedTable.read(spark, root)
+      .filter(col("k") === 2L).head().getString(1) == "b AND THEN ")
+    // target-qualified SET columns normalize to bare names (SQL MERGE
+    // allows `SET t.v = ...`); a source-qualified target is rejected
+    GraftSql.execute(spark,
+      s"""MERGE INTO $name AS t USING gsql_gb AS s ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET t.v = t.v + 100
+          WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)""")
+    assert(VersionedTable.read(spark, root)
+      .filter(col("k") === 2L).head().getLong(2) == 120L)
+    val eq = intercept[RuntimeException] {
+      GraftSql.execute(spark,
+        s"""MERGE INTO $name AS t USING gsql_gb AS s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET s.tag = 'no'""")
+    }
+    assert(eq.getMessage.contains("must be a target column"))
+    // a CASE WHEN ... THEN ... END inside SET must not split the
+    // clause at the CASE's own WHEN/THEN (CASE-aware keyword scan)
+    GraftSql.execute(spark,
+      s"""MERGE INTO $name AS t USING gsql_gb AS s ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET
+            v = CASE WHEN s.tag = 'x' THEN t.v + 1 ELSE t.v END
+          WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)""")
+    assert(VersionedTable.read(spark, root)
+      .filter(col("k") === 2L).head().getLong(2) == 121L) // 20+100, +1
+    // UPDATE under NOT MATCHED is not SQL MERGE
+    val e = intercept[RuntimeException] {
+      GraftSql.execute(spark,
+        s"""MERGE INTO $name USING gsql_gb ON k = k
+            WHEN NOT MATCHED THEN UPDATE SET *""")
+    }
+    assert(e.getMessage.contains("unsupported MERGE action"))
+    // a subquery source with clauses needs an alias to reference
+    val e2 = intercept[RuntimeException] {
+      GraftSql.execute(spark,
+        s"""MERGE INTO $name USING (SELECT 9 AS k) ON k = k
+            WHEN MATCHED THEN DELETE""")
+    }
+    assert(e2.getMessage.contains("needs an alias"))
+  }
+
   test("DML commits are the table format's atomic versions: history " +
     "advances once per statement, time travel intact") {
     val (name, root) = freshTable()
