@@ -1060,6 +1060,100 @@ object LakeQueries extends QueryModule {
         FROM orders GROUP BY 1 ORDER BY 1"""),
       bench = false),
 
+    // Table CHECK constraints (the Delta ALTER TABLE ADD CONSTRAINT
+    // role): the DDL persists the constraint after validating every
+    // existing row once; a later VALID insert lands, a VIOLATING one
+    // fails INSIDE its own write job (per-row assert, one pass — a
+    // separate validation pass would double-read a 100 TB batch) and
+    // commits nothing. rejected_ok pins the refusal; the oracle
+    // replays only the accepted statement.
+    "q313_check_constraint" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_chk").resolve("t").toString
+        val name = "gsql_chk"
+        graft.sources.VersionedTable.overwrite(
+          Tables(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice"))
+            .repartitionByRange(6, col("o_orderkey")),
+          root)
+        graft.sources.GraftSql.register(s, name, root)
+        graft.sources.GraftSql.execute(s,
+          s"""ALTER TABLE $name ADD CONSTRAINT price_pos
+              CHECK (o_totalprice > 0)""")
+        graft.sources.GraftSql.execute(s,
+          s"""INSERT INTO $name
+              SELECT o_orderkey + 1000000, o_orderstatus, o_totalprice
+              FROM $name WHERE o_orderkey % 7 = 0""")
+        val rejected =
+          try {
+            graft.sources.GraftSql.execute(s,
+              s"INSERT INTO $name VALUES (1, 'X', -5.0)")
+            0L
+          } catch { case _: Exception => 1L }
+        val base = graft.sources.VersionedTable.latestVersion(root).get
+        graft.sources.GraftSql.execute(s,
+          s"""SELECT o_orderstatus, count(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DOUBLE) AS total
+              FROM $name GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+          .withColumn("rejected_ok", lit(rejected))
+          .withColumn("no_commit_ok", lit(if (base == 1L) 1L else 0L))
+      },
+      oracle = Some("""
+        WITH t1 AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+          UNION ALL
+          SELECT o_orderkey + 1000000, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderkey % 7 = 0)
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total,
+               CAST(1 AS BIGINT) AS rejected_ok,
+               CAST(1 AS BIGINT) AS no_commit_ok
+        FROM t1 GROUP BY 1 ORDER BY 1"""),
+      bench = false),
+
+    // INSERT INTO ... REPLACE WHERE (Delta's idempotent partition
+    // reload, as SQL text): one atomic commit swaps exactly the
+    // predicate's rows for the batch — re-landing the 'F' slice with
+    // doubled prices replaces that slice and nothing else (the scope
+    // guard refuses batch rows outside the predicate; ConstraintsSpec
+    // pins it). The oracle computes the post-swap state directly.
+    "q314_replace_where" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_rw").resolve("t").toString
+        val name = "gsql_rw"
+        graft.sources.VersionedTable.overwrite(
+          Tables(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice"))
+            .repartitionByRange(6, col("o_orderkey")),
+          root)
+        graft.sources.GraftSql.register(s, name, root)
+        graft.sources.GraftSql.execute(s,
+          s"""INSERT INTO $name REPLACE WHERE o_orderstatus = 'F'
+              SELECT o_orderkey, o_orderstatus, o_totalprice * 2
+              FROM $name WHERE o_orderstatus = 'F'""")
+        val oneCommit =
+          graft.sources.VersionedTable.latestVersion(root).get
+        graft.sources.GraftSql.execute(s,
+          s"""SELECT o_orderstatus, count(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DOUBLE) AS total
+              FROM $name GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+          .withColumn("atomic_ok", lit(if (oneCommit == 1L) 1L else 0L))
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(
+                 CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+                      ELSE o_totalprice END AS DECIMAL(18,2)))
+                 AS DOUBLE) AS total,
+               CAST(1 AS BIGINT) AS atomic_ok
+        FROM orders GROUP BY 1 ORDER BY 1"""),
+      bench = false),
+
     // OPTIMIZE compaction: four stats-carrying appends degenerate the
     // table into small files; compact() bin-packs them (range-clustered
     // on l_orderkey, stats recomputed), and the post-compaction

@@ -24,7 +24,13 @@ import org.apache.spark.sql.functions._
   *  - `INSERT INTO t [(a, b, ...)] SELECT ...` / `... VALUES (...), ...`
   *    (positional columns — against the explicit list when given,
   *    unlisted columns NULL — cast to the table schema) → append
-  *    commit;
+  *    commit; `INSERT INTO t REPLACE WHERE p SELECT ...` → the
+  *    idempotent partition-reload ([[VersionedTable.replaceWhere]]:
+  *    one atomic swap, batch rows validated against `p`);
+  *  - `ALTER TABLE t ADD CONSTRAINT n CHECK (p)` / `DROP CONSTRAINT n`
+  *    → [[VersionedTable.addConstraint]] (existing rows validated
+  *    once; every later write on ANY surface enforces per-row,
+  *    in-job);
   *  - `DELETE FROM t [WHERE p]` → [[VersionedTable.delete]] (file-pruned
   *    COW, SQL null-predicate semantics; no WHERE deletes every row);
   *  - `UPDATE t SET c = e, ... [WHERE p]` → [[VersionedTable.update]];
@@ -126,6 +132,17 @@ object GraftSql {
     """(?is)\s*UPDATE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(.+?)\s*;?\s*""".r
   private val MergeHead =
     """(?is)\s*MERGE\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+AS\s+(\w+))?\s+USING\s+(.+)""".r
+  // CHECK constraint DDL (the Delta ALTER TABLE ADD CONSTRAINT role —
+  // Spark's own parser has no CHECK grammar, so the text surface
+  // lives here): the CHECK body is captured from its open paren and
+  // span-matched quote-aware (a regex close-paren would bite inside
+  // a nested expression)
+  private val AddConstraintSql =
+    ("""(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+""" +
+      """CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s+CHECK\s*(\(.+)""").r
+  private val DropConstraintSql =
+    ("""(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+""" +
+      """CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
 
   private val MergeActions =
     ("""(?is)\s*WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
@@ -225,6 +242,18 @@ object GraftSql {
     * else runs as `spark.sql` over the registered tables' current
     * snapshots. */
   def execute(spark: SparkSession, sql: String): DataFrame = sql match {
+    case AddConstraintSql(t, n, rest) =>
+      val e = parenSpan(rest)
+      require(rest.drop(e).trim.stripSuffix(";").trim.isEmpty,
+        s"trailing text after CHECK (...): '${rest.drop(e)}'")
+      VersionedTable.addConstraint(spark, rootOf(t), n,
+        rest.substring(1, e - 1).trim)
+      result(spark, "ADD CONSTRAINT", t,
+        VersionedTable.latestVersion(rootOf(t)).getOrElse(-1L), -1L)
+    case DropConstraintSql(t, n) =>
+      VersionedTable.dropConstraint(rootOf(t), n)
+      result(spark, "DROP CONSTRAINT", t,
+        VersionedTable.latestVersion(rootOf(t)).getOrElse(-1L), -1L)
     case InsertSql(t, sourceSql) => insert(spark, t, sourceSql)
     case DeleteSql(t, pred) =>
       val v = VersionedTable.delete(spark, rootOf(t), expr(pred))
@@ -296,7 +325,7 @@ object GraftSql {
     // NULL (SQL semantics); without a list, positions map to the full
     // table schema as before
     val body0 = sourceSql.trim
-    val (cols, body) =
+    val (cols, bodyC) =
       if (body0.startsWith("(")) {
         val e = parenSpan(body0)
         val listed = body0.substring(1, e - 1).split(',').map(_.trim).toSeq
@@ -304,6 +333,25 @@ object GraftSql {
           s"INSERT column list must be bare identifiers, got $listed")
         (Some(listed), body0.drop(e).trim)
       } else (None, body0)
+    // Delta's idempotent partition-reload verb: INSERT INTO t
+    // REPLACE WHERE <pred> SELECT ... — atomically swaps the rows
+    // matching the predicate for the batch (VersionedTable.replaceWhere,
+    // batch rows validated against the predicate). The predicate ends
+    // where the top-level SELECT/VALUES source begins.
+    val (replacePred, body) =
+      if (topLevelKeyword(bodyC, "REPLACE") == 0) {
+        val afterR = bodyC.drop("REPLACE".length).trim
+        require(topLevelKeyword(afterR, "WHERE") == 0,
+          "REPLACE must be followed by WHERE <predicate>")
+        val afterW = afterR.drop("WHERE".length)
+        val cut = Seq(topLevelKeyword(afterW, "SELECT"),
+          topLevelKeyword(afterW, "VALUES")).filter(_ >= 0)
+          .minOption.getOrElse(sys.error(
+            "REPLACE WHERE needs a SELECT or VALUES source"))
+        require(afterW.take(cut).trim.nonEmpty,
+          "REPLACE WHERE needs a predicate before the source")
+        (Some(expr(afterW.take(cut).trim)), afterW.drop(cut))
+      } else (None, bodyC)
     val src = body.stripSuffix(";").trim match {
       case v if v.toUpperCase.startsWith("VALUES") =>
         spark.sql(s"SELECT * FROM ($v)")
@@ -329,7 +377,10 @@ object GraftSql {
       }
     }: _*).localCheckpoint(true)
     val n = aligned.count()
-    val v = VersionedTable.append(aligned, root)
+    val v = replacePred match {
+      case Some(p) => VersionedTable.replaceWhere(spark, root, p, aligned)
+      case None => VersionedTable.append(aligned, root)
+    }
     result(spark, "INSERT", t, v, n)
   }
 

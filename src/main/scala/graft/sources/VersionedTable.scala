@@ -490,13 +490,133 @@ object VersionedTable {
     }
   }
 
+  // ---------------------------------------------------------------
+  // Table CHECK constraints (the Delta ALTER TABLE ADD CONSTRAINT
+  // role): `_constraints.json` at the table root maps constraint name
+  // → Spark SQL boolean expression text. EVERY writer enforces them
+  // IN the write job at stage time — one pass, per-row, codegen'd —
+  // so an INSERT/MERGE/UPDATE/CDC batch (or a COW rewrite) carrying a
+  // violating row fails before any manifest commit, at any scale
+  // (a separate validation pass would double-read a 100 TB batch).
+  // restore() re-points at already-committed files without staging —
+  // rows that predate a constraint are not re-validated (the Delta
+  // stance: ADD CONSTRAINT validates existing rows once, at add time).
+  // ---------------------------------------------------------------
+
+  private def constraintsFile(root: String) = new File(root, "_constraints.json")
+
+  /** The table's CHECK constraints, name → expression text. */
+  def constraints(root: String): Map[String, String] = {
+    val f = constraintsFile(root)
+    if (!f.exists()) Map.empty
+    else {
+      val txt = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      // one flat JSON object of string → string, written by us
+      txt.linesIterator.map(_.trim).filter(_.startsWith("\"")).map { ln =>
+        val k = ln.drop(1).takeWhile(_ != '"')
+        val rest = ln.drop(k.length + 2).dropWhile(c => c == ':' || c == ' ')
+        val vtxt = rest.stripSuffix(",").trim
+        k -> unescapeJson(vtxt.drop(1).dropRight(1))
+      }.toMap
+    }
+  }
+
+  private def escapeJson(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\t' => "\\t"
+      case '\r' => "\\r"
+      case c => c.toString
+    }
+
+  private def unescapeJson(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => b += '\n'
+          case 't' => b += '\t'
+          case 'r' => b += '\r'
+          case o => b += o
+        }
+        i += 2
+      } else { b += c; i += 1 }
+    }
+    b.toString
+  }
+
+  private def writeConstraints(root: String,
+                               cs: Map[String, String]): Unit = {
+    if (cs.isEmpty) { constraintsFile(root).delete(); return }
+    val body = cs.toSeq.sortBy(_._1).map { case (k, v) =>
+      s""""${escapeJson(k)}": "${escapeJson(v)}""""
+    }.mkString("{\n", ",\n", "\n}")
+    val tmp = Files.createTempFile(new File(root).toPath, "_constraints", ".tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, constraintsFile(root).toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** ADD CONSTRAINT name CHECK (exprText): validates EVERY existing
+    * live row once (through [[scan]], so pending MOR overlays count),
+    * then persists the constraint — all later writes enforce it
+    * in-job. NULL results count as violations (the SQL CHECK
+    * convention is null-passes; Delta's is null-fails — this engine
+    * takes Delta's: a constraint that silently ignores null rows
+    * protects nothing at 100 TB). Fails if the name exists with a
+    * DIFFERENT expression (idempotent re-adds are no-ops). */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+                    exprText: String): Unit = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"constraint name must be a bare identifier, got '$name'")
+    val existing = constraints(root)
+    existing.get(name).foreach { prev =>
+      if (prev == exprText) return
+      sys.error(s"constraint $name already exists as: $prev")
+    }
+    if (latestVersion(root).isDefined) {
+      val bad = scan(spark, root)
+        .filter(!coalesce(expr(exprText).cast("boolean"), lit(false)))
+        .limit(1).count()
+      require(bad == 0L,
+        s"cannot add CHECK constraint $name: existing rows violate ($exprText)")
+    }
+    writeConstraints(root, existing + (name -> exprText))
+  }
+
+  /** DROP CONSTRAINT name (missing names are a no-op, like Delta's
+    * IF EXISTS). */
+  def dropConstraint(root: String, name: String): Unit =
+    writeConstraints(root, constraints(root) - name)
+
+  /** `df` with the table's CHECK constraints enforced PER ROW inside
+    * whatever job consumes it: each violating row raises with the
+    * constraint name and expression; passing rows stream through
+    * unchanged. The filter's predicate is `assert_true(...) IS NULL`
+    * — always true when no row violates — kept from being folded away
+    * by assert_true's non-foldable, error-raising semantics. */
+  private def enforceConstraints(df: DataFrame, root: String): DataFrame = {
+    val cs = constraints(root)
+    if (cs.isEmpty) df
+    else cs.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, t)) =>
+      d.filter(assert_true(
+        coalesce(expr(t).cast("boolean"), lit(false)),
+        lit(s"CHECK constraint $n violated: $t")).isNull)
+    }
+  }
+
   /** Write `df`'s rows as new data files under `data/`, returning their
     * paths (staged via a temp dir, then renamed in — never copied).
     * Names carry a writer-unique nonce besides the target version: two
     * writers racing toward the same version must never stage onto the
     * same path, or the commit loser's cleanup would delete the winner's
     * data (exactly the Delta/Iceberg convention of UUID part files). */
-  private def stageDataFiles(df: DataFrame, root: String, v: Long): Seq[String] = {
+  private def stageDataFiles(df0: DataFrame, root: String, v: Long): Seq[String] = {
+    val df = enforceConstraints(df0, root)
     // a Hive-partitioned table's values live in the PATH; flat staging
     // would commit files whose partition columns read back NULL (and a
     // partition filter would silently prune the new rows away). Refuse
@@ -804,8 +924,9 @@ object VersionedTable {
     * `data/`), returning the staged file paths. Partition values must
     * be string or integral — the types the scan's path parser and the
     * manifest stats both round-trip. */
-  private def stagePartitioned(df: DataFrame, root: String,
+  private def stagePartitioned(df0: DataFrame, root: String,
                                partCols: Seq[String]): Seq[String] = {
+    val df = enforceConstraints(df0, root)
     require(partCols.nonEmpty, "partitioned write needs partition columns")
     partCols.foreach { c =>
       val dt = df.schema(c).dataType

@@ -1,0 +1,159 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Table CHECK constraints — persisted in `_constraints.json`,
+  * validated once against existing rows at ADD time, then enforced
+  * PER ROW inside every writer's own job (append/overwrite/merge/
+  * update/CDC/partitioned/compaction all stage through the two
+  * choke points). Null results are violations (the Delta stance). */
+class ConstraintsSpec extends SparkSuite {
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("graft_ck").resolve("t").toString
+
+  test("ADD CONSTRAINT validates existing rows; writers enforce on " +
+    "every later batch; DROP lifts it") {
+    import spark.implicits._
+    val root = tmpRoot()
+    VersionedTable.overwrite(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), root)
+    // existing rows violate → refused, nothing persisted
+    val e0 = intercept[IllegalArgumentException] {
+      VersionedTable.addConstraint(spark, root, "v_big", "v > 15")
+    }
+    assert(e0.getMessage.contains("existing rows violate"))
+    assert(VersionedTable.constraints(root).isEmpty)
+    VersionedTable.addConstraint(spark, root, "v_pos", "v > 0")
+    // idempotent re-add is a no-op; a DIFFERENT expression is refused
+    VersionedTable.addConstraint(spark, root, "v_pos", "v > 0")
+    val eDup = intercept[RuntimeException] {
+      VersionedTable.addConstraint(spark, root, "v_pos", "v > 1")
+    }
+    assert(eDup.getMessage.contains("already exists"))
+    // a violating append fails INSIDE the write job, commits nothing
+    val base = VersionedTable.latestVersion(root).get
+    val eIns = intercept[Exception] {
+      VersionedTable.append(Seq((3L, -5L)).toDF("k", "v"), root)
+    }
+    assert(eIns.getMessage != null)
+    assert(VersionedTable.latestVersion(root).contains(base),
+      "violating batch must not commit a version")
+    // passing rows stream through unchanged
+    VersionedTable.append(Seq((3L, 5L)).toDF("k", "v"), root)
+    assert(VersionedTable.read(spark, root).count() == 3L)
+    // NULL constraint results are violations (Delta semantics)
+    val eNull = intercept[Exception] {
+      VersionedTable.append(
+        Seq((4L, Option.empty[Long])).toDF("k", "v"), root)
+    }
+    assert(eNull.getMessage != null)
+    VersionedTable.dropConstraint(root, "v_pos")
+    VersionedTable.append(Seq((5L, -1L)).toDF("k", "v"), root)
+    assert(VersionedTable.read(spark, root).count() == 4L)
+  }
+
+  test("constraints bind COW rewrites too: an UPDATE writing a " +
+    "violating value fails; a merge inserting one fails") {
+    import spark.implicits._
+    val root = tmpRoot()
+    VersionedTable.overwrite(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), root)
+    VersionedTable.addConstraint(spark, root, "v_pos", "v > 0")
+    val base = VersionedTable.latestVersion(root).get
+    val eUpd = intercept[Exception] {
+      VersionedTable.update(spark, root, col("k") === 1L,
+        Map("v" -> lit(-9L)))
+    }
+    assert(eUpd.getMessage != null)
+    assert(VersionedTable.latestVersion(root).contains(base))
+    val eMrg = intercept[Exception] {
+      VersionedTable.merge(spark, root,
+        Seq((9L, -1L)).toDF("k", "v"), Seq("k"))
+    }
+    assert(eMrg.getMessage != null)
+    assert(VersionedTable.latestVersion(root).contains(base))
+    // a legal update still lands
+    VersionedTable.update(spark, root, col("k") === 1L,
+      Map("v" -> lit(99L)))
+    assert(VersionedTable.read(spark, root)
+      .filter(col("k") === 1L).head().getLong(1) == 99L)
+  }
+
+  test("partitioned writers enforce through the same choke point") {
+    import spark.implicits._
+    val root = tmpRoot()
+    VersionedTable.overwritePartitionedWithStats(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "p", "v"),
+      root, Seq("p"))
+    VersionedTable.addConstraint(spark, root, "v_pos", "v > 0")
+    val base = VersionedTable.latestVersion(root).get
+    val e = intercept[Exception] {
+      VersionedTable.appendPartitionedWithStats(
+        Seq((3L, "c", -1L)).toDF("k", "p", "v"), root, Seq("p"))
+    }
+    assert(e.getMessage != null)
+    assert(VersionedTable.latestVersion(root).contains(base))
+    VersionedTable.appendPartitionedWithStats(
+      Seq((3L, "c", 1L)).toDF("k", "p", "v"), root, Seq("p"))
+    assert(VersionedTable.read(spark, root).count() == 3L)
+  }
+
+  test("GraftSql DDL: ADD CONSTRAINT ... CHECK (...) with nested " +
+    "parens; violating SQL INSERT refused; DROP CONSTRAINT lifts") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val name = s"gck_${math.abs(root.hashCode)}"
+    VersionedTable.overwrite(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), root)
+    GraftSql.register(spark, name, root)
+    GraftSql.execute(spark,
+      s"ALTER TABLE $name ADD CONSTRAINT v_ok CHECK ((v > 0) AND (k > 0))")
+    assert(VersionedTable.constraints(root).keySet == Set("v_ok"))
+    val e = intercept[Exception] {
+      GraftSql.execute(spark, s"INSERT INTO $name VALUES (3, -1)")
+    }
+    assert(e.getMessage != null)
+    assert(VersionedTable.read(spark, root).count() == 2L)
+    GraftSql.execute(spark, s"ALTER TABLE $name DROP CONSTRAINT v_ok")
+    GraftSql.execute(spark, s"INSERT INTO $name VALUES (3, -1)")
+    assert(VersionedTable.read(spark, root).count() == 3L)
+  }
+
+  test("INSERT INTO ... REPLACE WHERE swaps exactly the predicate's " +
+    "rows atomically; out-of-scope batch rows are refused") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val name = s"grw_${math.abs(root.hashCode)}"
+    VersionedTable.overwrite(
+      Seq((1L, "d1", 10L), (2L, "d1", 20L), (3L, "d2", 30L))
+        .toDF("k", "day", "v"), root)
+    GraftSql.register(spark, name, root)
+    GraftSql.execute(spark,
+      s"""INSERT INTO $name REPLACE WHERE day = 'd1'
+          VALUES (7, 'd1', 70), (8, 'd1', 80)""")
+    val got = VersionedTable.read(spark, root).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((3L, "d2", 30L), (7L, "d1", 70L), (8L, "d1", 80L)))
+    assert(VersionedTable.latestVersion(root).contains(1L),
+      "REPLACE WHERE is ONE atomic commit")
+    // the scope guard: a batch row outside the predicate is refused
+    val e = intercept[Exception] {
+      GraftSql.execute(spark,
+        s"""INSERT INTO $name REPLACE WHERE day = 'd1'
+            VALUES (9, 'd2', 90)""")
+    }
+    assert(e.getMessage.contains("outside the predicate"))
+    // a SELECT source and a predicate containing a string with the
+    // word SELECT must not cut early (quote-aware keyword scan)
+    GraftSql.execute(spark,
+      s"""INSERT INTO $name REPLACE WHERE day = 'd2' AND day != 'SELECT x'
+          SELECT k + 100, day, v FROM $name WHERE day = 'd2'""")
+    assert(VersionedTable.read(spark, root)
+      .filter(col("day") === "d2").head().getLong(0) == 103L)
+  }
+}
