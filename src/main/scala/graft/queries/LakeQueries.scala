@@ -1154,6 +1154,61 @@ object LakeQueries extends QueryModule {
         FROM orders GROUP BY 1 ORDER BY 1"""),
       bench = false),
 
+    // Maintenance verbs as SQL text (the Delta OPTIMIZE / VACUUM /
+    // DESCRIBE HISTORY serving surface): four appends degenerate the
+    // table into small files; `OPTIMIZE` bin-packs them (one
+    // #preserving commit), `DESCRIBE HISTORY` folds one metadata-only
+    // row per commit (hist_ok pins the count and the rows fold),
+    // `VACUUM ... RETAIN 0 HOURS` reclaims everything outside the
+    // horizon (vacuum_ok pins exactly-one-version), and the
+    // post-maintenance slice answers exactly as a plain WHERE over
+    // the raw table.
+    "q315_sql_maintenance" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_maint").resolve("t").toString
+        val name = "gsql_maint"
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"),
+            col("l_quantity"))
+        val b = col("l_orderkey") % 4
+        (0 to 3).foreach { i =>
+          val batch = li.filter(b === i)
+            .repartitionByRange(4, col("l_orderkey"))
+          if (i == 0) graft.sources.VersionedTable
+            .overwriteWithStats(batch, root, "l_orderkey")
+          else graft.sources.VersionedTable
+            .appendWithStats(batch, root, "l_orderkey")
+        }
+        graft.sources.GraftSql.register(s, name, root)
+        graft.sources.GraftSql.execute(s, s"OPTIMIZE $name")
+        val hist = graft.sources.GraftSql
+          .execute(s, s"DESCRIBE HISTORY $name").collect()
+        val histOk = if (hist.map(_.getLong(0)).toSeq == (0L to 4L) &&
+          hist.forall(r => !r.isNullAt(2))) 1L else 0L
+        graft.sources.GraftSql.execute(s,
+          s"VACUUM $name RETAIN 0 HOURS")
+        val vacOk =
+          if (graft.sources.VersionedTable.versions(root) == Seq(4L)) 1L
+          else 0L
+        graft.sources.GraftSql.execute(s,
+          s"""SELECT l_returnflag, count(*) AS n,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                       AS DOUBLE) AS qty
+              FROM $name WHERE l_orderkey BETWEEN 2000 AND 5000
+              GROUP BY l_returnflag ORDER BY l_returnflag""")
+          .withColumn("hist_ok", lit(histOk))
+          .withColumn("vacuum_ok", lit(vacOk))
+      },
+      oracle = Some("""
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS qty,
+               CAST(1 AS BIGINT) AS hist_ok,
+               CAST(1 AS BIGINT) AS vacuum_ok
+        FROM lineitem WHERE l_orderkey BETWEEN 2000 AND 5000
+        GROUP BY 1 ORDER BY 1"""),
+      bench = false),
+
     // OPTIMIZE compaction: four stats-carrying appends degenerate the
     // table into small files; compact() bin-packs them (range-clustered
     // on l_orderkey, stats recomputed), and the post-compaction

@@ -31,6 +31,13 @@ import org.apache.spark.sql.functions._
   *    → [[VersionedTable.addConstraint]] (existing rows validated
   *    once; every later write on ANY surface enforces per-row,
   *    in-job);
+  *  - maintenance: `OPTIMIZE t [ZORDER BY (a, b)]` →
+  *    [[VersionedTable.compact]] / `compactZOrderedK` (~128 MiB
+  *    targets from manifest byte totals); `VACUUM t [RETAIN n HOURS]`
+  *    (168 h default, the Delta retention) → horizon-respecting
+  *    [[VersionedTable.vacuum]]; `DESCRIBE HISTORY t` → one
+  *    metadata-only row per commit (version, files, rows,
+  *    commit_time);
   *  - `DELETE FROM t [WHERE p]` → [[VersionedTable.delete]] (file-pruned
   *    COW, SQL null-predicate semantics; no WHERE deletes every row);
   *  - `UPDATE t SET c = e, ... [WHERE p]` → [[VersionedTable.update]];
@@ -143,6 +150,17 @@ object GraftSql {
   private val DropConstraintSql =
     ("""(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+""" +
       """CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
+  // Maintenance verbs (the Delta OPTIMIZE / VACUUM / DESCRIBE HISTORY
+  // SQL surface): ZORDER BY columns are bare identifiers (validated),
+  // so a regex paren capture is safe here
+  private val OptimizeSql =
+    ("""(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)""" +
+      """(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""").r
+  private val VacuumSql =
+    ("""(?is)\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)""" +
+      """(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""").r
+  private val DescribeHistorySql =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
 
   private val MergeActions =
     ("""(?is)\s*WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
@@ -254,6 +272,43 @@ object GraftSql {
       VersionedTable.dropConstraint(rootOf(t), n)
       result(spark, "DROP CONSTRAINT", t,
         VersionedTable.latestVersion(rootOf(t)).getOrElse(-1L), -1L)
+    case OptimizeSql(t, zcols) =>
+      val root = rootOf(t)
+      val v =
+        if (zcols == null) VersionedTable.compact(spark, root)
+        else {
+          val cols = zcols.split(',').map(_.trim).toSeq
+          require(cols.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+            s"ZORDER BY columns must be bare identifiers, got $cols")
+          val latest = VersionedTable.latestVersion(root)
+            .getOrElse(sys.error(s"no versions at $root"))
+          // re-layout file count sized to ~128 MiB targets from the
+          // manifest's own byte totals (filesystem fallback for
+          // legacy stat-less lines)
+          val bytes = VersionedTable.scanListing(root, Some(latest))
+            .map(f => f.bytes.getOrElse(new java.io.File(f.path).length()))
+            .sum
+          val numFiles = math.max(1,
+            math.ceil(bytes.toDouble / (128L << 20)).toInt)
+          VersionedTable.compactZOrderedK(spark, root, cols, numFiles)
+        }
+      result(spark, "OPTIMIZE", t, v, -1L)
+    case VacuumSql(t, hours) =>
+      // Delta's default retention (168h) unless RETAIN is explicit;
+      // the engine's horizon rule keeps pinned readers safe
+      val retainMs = Option(hours).map(_.toLong * 3600000L)
+        .getOrElse(168L * 3600000L)
+      val n = VersionedTable.vacuum(rootOf(t), retainVersions = 1,
+        retainMillis = retainMs)
+      result(spark, "VACUUM", t,
+        VersionedTable.latestVersion(rootOf(t)).getOrElse(-1L), n.toLong)
+    case DescribeHistorySql(t) =>
+      import spark.implicits._
+      VersionedTable.historyWithRetention(rootOf(t), 0L)
+        .map { case (v, files, rows, ts, _) =>
+          (v, files.toLong, rows, new java.sql.Timestamp(ts)) }
+        .toDF("version", "files", "rows", "commit_time")
+        .orderBy(col("version"))
     case InsertSql(t, sourceSql) => insert(spark, t, sourceSql)
     case DeleteSql(t, pred) =>
       val v = VersionedTable.delete(spark, rootOf(t), expr(pred))

@@ -304,6 +304,36 @@ class GraftSqlSpec extends SparkSuite {
     assert(e2.getMessage.contains("needs an alias"))
   }
 
+  test("maintenance verbs: OPTIMIZE bin-packs, OPTIMIZE ZORDER BY " +
+    "re-lays, VACUUM RETAIN reclaims outside the horizon, DESCRIBE " +
+    "HISTORY is one metadata row per commit") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val name = s"gmx_${math.abs(root.hashCode)}"
+    VersionedTable.overwriteWithStats(
+      (0L until 200L).map(i => (i, i * 2L)).toDF("k", "v"), root, "k")
+    (1 to 3).foreach(b => VersionedTable.appendWithStats(
+      (0L until 100L).map(i => (b * 1000L + i, i)).toDF("k", "v"),
+      root, "k"))
+    GraftSql.register(spark, name, root)
+    val h0 = GraftSql.execute(spark, s"DESCRIBE HISTORY $name").collect()
+    assert(h0.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(h0.last.getLong(2) == 500L, "rows folded from manifests")
+    val before = VersionedTable.scanListing(root, Some(3L)).size
+    GraftSql.execute(spark, s"OPTIMIZE $name")
+    val afterV = VersionedTable.latestVersion(root).get
+    assert(afterV == 4L &&
+      VersionedTable.scanListing(root, Some(afterV)).size < before)
+    assert(VersionedTable.read(spark, root).count() == 500L)
+    GraftSql.execute(spark, s"OPTIMIZE $name ZORDER BY (k, v)")
+    assert(VersionedTable.read(spark, root).count() == 500L)
+    // VACUUM RETAIN 0 HOURS: only the latest survives; reads intact
+    val r = GraftSql.execute(spark, s"VACUUM $name RETAIN 0 HOURS").head()
+    assert(r.getString(0) == "VACUUM")
+    assert(VersionedTable.versions(root).size == 1)
+    assert(VersionedTable.read(spark, root).count() == 500L)
+  }
+
   test("DML commits are the table format's atomic versions: history " +
     "advances once per statement, time travel intact") {
     val (name, root) = freshTable()
