@@ -37,7 +37,11 @@ import org.apache.spark.sql.functions._
   *    (168 h default, the Delta retention) → horizon-respecting
   *    [[VersionedTable.vacuum]]; `DESCRIBE HISTORY t` → one
   *    metadata-only row per commit (version, files, rows,
-  *    commit_time);
+  *    commit_time); `RESTORE TABLE t TO VERSION AS OF v` →
+  *    [[VersionedTable.restore]] (rollback as roll-forward);
+  *    `CREATE TABLE n SHALLOW CLONE t [VERSION AS OF v] LOCATION
+  *    '...'` → [[VersionedTable.shallowCloneAt]] (zero-copy, clone
+  *    registered immediately);
   *  - `DELETE FROM t [WHERE p]` → [[VersionedTable.delete]] (file-pruned
   *    COW, SQL null-predicate semantics; no WHERE deletes every row);
   *  - `UPDATE t SET c = e, ... [WHERE p]` → [[VersionedTable.update]];
@@ -161,6 +165,15 @@ object GraftSql {
       """(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""").r
   private val DescribeHistorySql =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+  private val RestoreSql =
+    ("""(?is)\s*RESTORE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+""" +
+      """VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
+  // CREATE TABLE n SHALLOW CLONE t [VERSION AS OF v] LOCATION '...'
+  private val CloneSql =
+    ("""(?is)\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SHALLOW\s+""" +
+      """CLONE\s+([A-Za-z_][A-Za-z0-9_]*)""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
+      """\s+LOCATION\s+'([^']+)'\s*;?\s*""").r
 
   private val MergeActions =
     ("""(?is)\s*WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
@@ -309,6 +322,21 @@ object GraftSql {
           (v, files.toLong, rows, new java.sql.Timestamp(ts)) }
         .toDF("version", "files", "rows", "commit_time")
         .orderBy(col("version"))
+    case RestoreSql(t, v) =>
+      // rollback-as-roll-forward: a NEW version pointing at the old
+      // file set — history is preserved, vacuum governs reclamation
+      val committed = VersionedTable.restore(rootOf(t), v.toLong)
+      result(spark, "RESTORE", t, committed, -1L)
+    case CloneSql(n, t, v, loc) =>
+      // zero-copy table: version 0 of the clone references the
+      // source's files by path (vacuum the SOURCE with care); the
+      // clone registers under its own name immediately
+      val srcRoot = rootOf(t)
+      val pinned = Option(v).map(_.toLong)
+      VersionedTable.shallowCloneAt(srcRoot, loc, pinned)
+      register(spark, n, loc)
+      result(spark, "CLONE", n, 0L,
+        VersionedTable.countRows(loc, Some(0L)).getOrElse(-1L))
     case InsertSql(t, sourceSql) => insert(spark, t, sourceSql)
     case DeleteSql(t, pred) =>
       val v = VersionedTable.delete(spark, rootOf(t), expr(pred))

@@ -334,6 +334,35 @@ class GraftSqlSpec extends SparkSuite {
     assert(VersionedTable.read(spark, root).count() == 500L)
   }
 
+  test("RESTORE TABLE rolls forward to an old file set; SHALLOW CLONE " +
+    "creates a zero-copy registered table, optionally version-pinned") {
+    import spark.implicits._
+    val (name, root) = freshTable() // v0: (1,a,10) (2,b,20) (3,c,30)
+    GraftSql.execute(spark, s"DELETE FROM $name WHERE k = 2") // v1
+    assert(VersionedTable.read(spark, root).count() == 2L)
+    val r = GraftSql.execute(spark,
+      s"RESTORE TABLE $name TO VERSION AS OF 0").head()
+    assert(r.getString(0) == "RESTORE" && r.getLong(2) == 2L)
+    assert(VersionedTable.read(spark, root).count() == 3L,
+      "restore must resurrect the v0 rows as a NEW version")
+    // pinned shallow clone of v1 (the post-delete state), zero copy
+    val cloneLoc = tmpRoot()
+    val c = GraftSql.execute(spark,
+      s"""CREATE TABLE ${name}_c SHALLOW CLONE $name VERSION AS OF 1
+          LOCATION '$cloneLoc'""").head()
+    assert(c.getString(0) == "CLONE")
+    assert(GraftSql.execute(spark,
+      s"SELECT count(*) AS n FROM ${name}_c").head().getLong(0) == 2L)
+    // the clone references the SOURCE's files by path — no data copied
+    val cloneFiles = VersionedTable.scanListing(cloneLoc, Some(0L))
+    assert(cloneFiles.forall(_.path.startsWith(
+      root.stripSuffix("/"))), "clone v0 must point at source files")
+    // writes to the clone never touch the source
+    GraftSql.execute(spark, s"INSERT INTO ${name}_c VALUES (9, 'z', 90)")
+    assert(VersionedTable.read(spark, root).count() == 3L)
+    GraftSql.unregister(s"${name}_c")
+  }
+
   test("DML commits are the table format's atomic versions: history " +
     "advances once per statement, time travel intact") {
     val (name, root) = freshTable()
