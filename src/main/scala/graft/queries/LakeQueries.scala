@@ -1209,6 +1209,48 @@ object LakeQueries extends QueryModule {
         GROUP BY 1 ORDER BY 1"""),
       bench = false),
 
+    // RESTORE + SHALLOW CLONE as SQL text: a DELETE carves the table,
+    // RESTORE TO VERSION AS OF 0 resurrects the original rows as a
+    // NEW version (rollback is roll-forward — history intact), and a
+    // clone pinned at the post-delete version serves that state
+    // zero-copy under its own name. The union of both reads must
+    // equal raw-orders + the post-delete slice (oracle replays both).
+    "q316_restore_clone" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_rc").resolve("t").toString
+        val cloneLoc = tempRoot("graft_vt_rc").resolve("c").toString
+        val name = "gsql_rc"
+        graft.sources.VersionedTable.overwrite(
+          Tables(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice"))
+            .repartitionByRange(6, col("o_orderkey")),
+          root)
+        graft.sources.GraftSql.register(s, name, root)
+        graft.sources.GraftSql.execute(s,
+          s"DELETE FROM $name WHERE o_orderkey % 3 = 0") // v1
+        graft.sources.GraftSql.execute(s,
+          s"""CREATE TABLE ${name}_c SHALLOW CLONE $name
+              VERSION AS OF 1 LOCATION '$cloneLoc'""")
+        graft.sources.GraftSql.execute(s,
+          s"RESTORE TABLE $name TO VERSION AS OF 0") // v2 = v0 rows
+        graft.sources.GraftSql.execute(s,
+          s"""SELECT 'restored' AS src, o_orderstatus, count(*) AS n
+              FROM $name GROUP BY o_orderstatus
+              UNION ALL
+              SELECT 'clone' AS src, o_orderstatus, count(*) AS n
+              FROM ${name}_c GROUP BY o_orderstatus
+              ORDER BY src, o_orderstatus""")
+      },
+      oracle = Some("""
+        SELECT 'restored' AS src, o_orderstatus, COUNT(*) AS n
+        FROM orders GROUP BY 2
+        UNION ALL
+        SELECT 'clone' AS src, o_orderstatus, COUNT(*) AS n
+        FROM orders WHERE o_orderkey % 3 != 0 GROUP BY 2
+        ORDER BY 1, 2"""),
+      bench = false),
+
     // OPTIMIZE compaction: four stats-carrying appends degenerate the
     // table into small files; compact() bin-packs them (range-clustered
     // on l_orderkey, stats recomputed), and the post-compaction
