@@ -3000,6 +3000,25 @@ object VersionedTable {
       latestVersion(src).getOrElse(sys.error(s"no versions at $src")))
     require(versions(src).contains(base), s"version $base not in $src history")
     require(latestVersion(dst).isEmpty, s"clone target $dst already exists")
+    new File(dst).mkdirs()
+    // table-level sidecars CARRY, before the manifest commit makes the
+    // clone readable: a partitioned source's clone must know the
+    // partition schema or the partition columns silently VANISH from
+    // its reads (footers don't carry them — the paths do); CHECK
+    // constraints inherit (the Delta clone-properties stance); the
+    // pinned version's schema sidecar becomes the clone's v0
+    // declaration, so ALTER-declared columns survive the clone and the
+    // first scan skips its footer sweep.
+    val ps = partitionSchemaFile(src)
+    if (ps.exists())
+      Files.copy(ps.toPath, partitionSchemaFile(dst).toPath,
+        StandardCopyOption.REPLACE_EXISTING)
+    val cf = constraintsFile(src)
+    if (cf.exists())
+      Files.copy(cf.toPath, constraintsFile(dst).toPath,
+        StandardCopyOption.REPLACE_EXISTING)
+    readSchemaSidecar(src, base).foreach(s =>
+      writeEmptySchemaSidecar(dst, 0, s))
     commitManifest(dst, 0, readListing(src, base))
   }
 

@@ -1141,6 +1141,40 @@ class VersionedTableSpec extends SparkSuite {
       .as[Int].collect().toSet == Set(2))
   }
 
+  test("shallowClone carries table-level sidecars: a partitioned " +
+    "clone keeps its partition columns, constraints inherit, an " +
+    "ALTER-declared column survives") {
+    import spark.implicits._
+    val src = tmpRoot(); val dst = tmpRoot() + "_pclone"
+    VersionedTable.overwritePartitionedWithStats(
+      Seq((1L, "x", 10L), (2L, "y", 20L), (3L, "x", 30L))
+        .toDF("k", "p", "v"), src, Seq("p"))
+    VersionedTable.addConstraint(spark, src, "v_pos", "v > 0")
+    VersionedTable.alterAddColumns(spark, src,
+      Seq(org.apache.spark.sql.types.StructField("note",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    VersionedTable.shallowClone(src, dst)
+    val cloned = VersionedTable.read(spark, dst)
+    // without the sidecar carry the partition column would VANISH
+    // from the clone's schema (footers don't store it — paths do)
+    assert(cloned.schema.fieldNames.contains("p"),
+      "partition column must survive the clone")
+    assert(cloned.filter(col("p") === "x").count() == 2L)
+    // the ALTER-declared (never materialized) column survives too
+    assert(cloned.schema.fieldNames.contains("note"))
+    // constraints inherit: the clone refuses a violating write
+    assert(VersionedTable.constraints(dst) ==
+      Map("v_pos" -> "v > 0"))
+    val e = intercept[Exception] {
+      VersionedTable.appendPartitionedWithStats(
+        Seq((9L, "z", -1L, "n")).toDF("k", "p", "v", "note")
+          .select(col("k"), col("v"), col("note"), col("p")),
+        dst, Seq("p"))
+    }
+    assert(e.getMessage != null)
+    assert(VersionedTable.read(spark, dst).count() == 3L)
+  }
+
   test("shallowClone: zero-copy reads, diverging writes, fresh history") {
     import spark.implicits._
     val src = tmpRoot(); val dst = tmpRoot() + "_clone"
