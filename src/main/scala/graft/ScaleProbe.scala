@@ -1066,6 +1066,48 @@ object ScaleProbe {
         graft.sources.Lake.deleteRecursively(dir.toFile)
       }
     }
+    // General-MERGE locality probe (`runMain graft.ScaleProbe mact`):
+    // a conditional mergeActions touching a FIXED 900-key slice of a
+    // key-clustered table must rewrite a FLAT number of files as the
+    // table grows — phase-1 pruning finds the touched span from the
+    // stats; everything else carries by manifest line. rewritten/total
+    // is the write-amplification story at 100 TB: fixed keys → fixed
+    // files, whatever the table size.
+    if (args.contains("mact")) {
+      import graft.sources.VersionedTable
+      import graft.sources.VersionedTable.MergeClause.{Delete, Insert, Update}
+      for (mult <- Seq(1, 4, 10)) {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_probe_mact$mult").resolve("t").toString
+        val n = mult * 200000L
+        val rows = spark.range(0, n)
+          .select(col("id").as("k"), (col("id") % 97).cast("double").as("v"))
+          .repartitionByRange(mult * 16, col("k"))
+        VersionedTable.overwriteWithStats(rows, root, "k")
+        val before = VersionedTable.scanListing(root, Some(0L))
+          .map(_.path).toSet
+        // 900 matched keys spread over the FIRST 90k ids (a bounded
+        // clustered span at every scale) + 100 unmatched inserts
+        val src = spark.range(0, 1000L).select(
+          when(col("id") < 900, col("id") * 100L)
+            .otherwise(col("id") + 100000000L).as("k"),
+          lit(5.0).as("nv"))
+        val t0 = System.nanoTime()
+        val v = VersionedTable.mergeActions(spark, root, src, Seq("k"), Seq(
+          Delete(Some(expr("s.nv > t.v"))),
+          Update(None, Map("v" -> expr("t.v + s.nv"))),
+          Insert(Some(expr("s.k % 2 = 0")),
+            Map("k" -> expr("s.k"), "v" -> expr("s.nv")))))
+        val secs = (System.nanoTime() - t0) / 1e9
+        val after = VersionedTable.scanListing(root, Some(v))
+          .map(_.path).toSet
+        val rewritten = (before -- after).size
+        println(f"[probe] mult=$mult%2d rows=$n%8d merge_actions " +
+          f"rewritten=$rewritten%4d of ${before.size}%4d files  $secs%6.2f s")
+        graft.sources.Lake.deleteRecursively(
+          new java.io.File(root).getParentFile)
+      }
+    }
     // 3-D z-order box probe (`runMain graft.ScaleProbe zbox`): a fixed
     // absolute box over a corpus growing in the z dimension — the
     // files OPENED must stay flat (the box covers a fixed slab; only
