@@ -1047,6 +1047,70 @@ object StreamQueries extends QueryModule {
     // (GraftStreamSpec pins the z-order re-layout variant and the
     // genuine-rewrite-still-refuses negative). dedup_ok pins
     // exactly-once; the oracle pins the full slice.
+    // STREAM ADMISSION CONTROL (the Delta maxFilesPerTrigger role in
+    // this log's units): a tail-from-v0 stream capped at ONE version
+    // per trigger drains a 3-commit backlog across MULTIPLE bounded
+    // runs (AvailableNow captures one offered offset per run — each
+    // run advances at most one version) and still lands exactly-once:
+    // runs_ok pins that the capped drain took >1 run (the cap actually
+    // bound the batches); the oracle pins the streamed slice.
+    "q317_stream_ratelimit" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_rlim").resolve("t").toString
+        val out = tempRoot("graft_vt_rlim").resolve("out").toString
+        val ckpt = tempRoot("graft_vt_rlim").resolve("ck").toString
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+        val third = pmod(col("l_orderkey"), lit(3))
+        graft.sources.VersionedTable.overwriteWithStats(
+          li.filter(third === 0).repartitionByRange(2, col("l_orderkey")),
+          root, "l_orderkey") // v0 — NOT streamed (startingVersion = 0)
+        (1 to 2).foreach(i => graft.sources.VersionedTable.appendWithStats(
+          li.filter(third === i).repartitionByRange(2, col("l_orderkey")),
+          root, "l_orderkey")) // v1, v2 — the streamed backlog
+        def runOnce(): Unit = {
+          val q = graft.sources.VersionedTable.scanStream(s, root,
+            startingVersion = Some(0L),
+            maxVersionsPerTrigger = Some(1L))
+            .writeStream
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+               id: Long) =>
+                if (!b.isEmpty)
+                  graft.sources.VersionedTable.appendTxn(b.toDF(), out,
+                    "rlim_gate", id)
+                ()
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          require(q.awaitTermination(180000),
+            "rate-limited stream did not drain within 180 s")
+          ()
+        }
+        val expect = graft.sources.VersionedTable.read(s, root)
+          .filter(third =!= 0).count()
+        var runs = 0
+        while (runs < 6 && (graft.sources.VersionedTable
+          .latestVersion(out).isEmpty ||
+          graft.sources.VersionedTable.read(s, out).count() < expect)) {
+          runOnce(); runs += 1
+        }
+        val runsOk = if (runs >= 2) 1L else 0L
+        graft.sources.VersionedTable.read(s, out)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+          .withColumn("runs_ok", lit(runsOk))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+               CAST(1 AS BIGINT) AS runs_ok
+        FROM lineitem WHERE l_orderkey % 3 != 0
+        GROUP BY 1 ORDER BY 1"""),
+      bench = false),
+
     "q306_stream_compact" -> Q(
       run = (s, dir) => {
         val root = tempRoot("graft_vt_scompact").resolve("t").toString

@@ -1733,11 +1733,18 @@ object VersionedTable {
     * batch, then the deltas). The named version must still exist
     * (not vacuumed) when the first batch resolves. */
   def scanStream(spark: SparkSession, root: String,
-                 startingVersion: Option[Long] = None): DataFrame = {
-    val r = spark.readStream
+                 startingVersion: Option[Long] = None,
+                 maxVersionsPerTrigger: Option[Long] = None,
+                 maxBytesPerTrigger: Option[Long] = None): DataFrame = {
+    val r0 = spark.readStream
       .format(classOf[org.apache.spark.sql.graft.GraftStreamProvider].getName)
       .option("root", root)
-    startingVersion.fold(r)(v => r.option("startingVersion", v.toString))
+    val r1 = startingVersion.fold(r0)(v =>
+      r0.option("startingVersion", v.toString))
+    val r2 = maxVersionsPerTrigger.fold(r1)(v =>
+      r1.option("maxVersionsPerTrigger", v.toString))
+    maxBytesPerTrigger.fold(r2)(v =>
+      r2.option("maxBytesPerTrigger", v.toString))
       .load()
   }
 

@@ -30,6 +30,19 @@ import graft.sources.VersionedTable
   * genuine rewrite (MERGE/DELETE/UPDATE/overwrite) still fails the
   * stream rather than silently re-serving rewritten rows.
   *
+  * Admission control (`maxVersionsPerTrigger` / `maxBytesPerTrigger`,
+  * the Delta maxFilesPerTrigger role): the source caps the end offset
+  * it OFFERS so one micro-batch admits a bounded number of commits /
+  * added bytes — a 100 TB backlog drains as bounded batches under a
+  * ProcessingTime trigger instead of one giant catch-up job. V1-source
+  * caveats (Delta's V1 path shares them): the cap anchors on the last
+  * batch this source instance served, so the FIRST batch of a freshly
+  * (re)started stream — the initial snapshot load, or a restart with
+  * no in-flight batch to recover — is uncapped; and Trigger.AvailableNow
+  * captures ONE offered offset per run, so a capped AvailableNow run
+  * processes at most one cap's worth and leaves the rest for the next
+  * run (exactly-once either way — the checkpoint governs).
+  *
   * Use via [[graft.sources.VersionedTable.scanStream]]. */
 class GraftStreamProvider extends StreamSourceProvider with DataSourceRegister {
 
@@ -46,7 +59,9 @@ class GraftStreamProvider extends StreamSourceProvider with DataSourceRegister {
                             parameters: Map[String, String]): Source =
     new GraftStreamSource(ctx.sparkSession,
       GraftStreamSource.rootOf(parameters),
-      GraftStreamSource.startingVersionOf(parameters))
+      GraftStreamSource.startingVersionOf(parameters),
+      GraftStreamSource.longOpt(parameters, "maxVersionsPerTrigger"),
+      GraftStreamSource.longOpt(parameters, "maxBytesPerTrigger"))
 }
 
 private[graft] object GraftStreamSource {
@@ -62,6 +77,15 @@ private[graft] object GraftStreamSource {
     parameters.get("startingVersion").orElse(parameters.get("startingversion"))
       .map(_.trim.toLong)
 
+  /** Positive long option, accepted in both spellings (Spark
+    * lower-cases DataSource option keys). */
+  def longOpt(parameters: Map[String, String], key: String): Option[Long] = {
+    val v = parameters.get(key).orElse(parameters.get(key.toLowerCase))
+      .map(_.trim.toLong)
+    v.foreach(n => require(n > 0, s"$key must be positive, got $n"))
+    v
+  }
+
   /** Full output schema: data columns plus (for Hive-layout tables)
     * the path-derived partition columns, appended last exactly as the
     * batch scan serves them. */
@@ -73,7 +97,9 @@ private[graft] object GraftStreamSource {
 }
 
 private[graft] class GraftStreamSource(spark: SparkSession, root: String,
-                                       startingVersion: Option[Long] = None)
+                                       startingVersion: Option[Long] = None,
+                                       maxVersionsPerTrigger: Option[Long] = None,
+                                       maxBytesPerTrigger: Option[Long] = None)
     extends Source {
 
   private val partSchema = VersionedTable.partitionSchema(root)
@@ -83,8 +109,53 @@ private[graft] class GraftStreamSource(spark: SparkSession, root: String,
 
   override def schema: StructType = schema0
 
-  override def getOffset: Option[Offset] =
-    VersionedTable.latestVersion(root).map(LongOffset(_))
+  /** The last END this source served (or the tail seed) — the anchor
+    * the per-trigger admission caps measure from. Recovery-safe: on a
+    * restart Spark replays the last checkpointed batch through
+    * [[getBatch]] BEFORE asking for a new offset, which re-seats this
+    * anchor; the only uncapped batch is a brand-new stream's initial
+    * snapshot load (Delta's V1 source accepts the same carve-out). */
+  @volatile private var lastEnd: Option[Long] = startingVersion
+
+  /** Admission control (the Delta maxFilesPerTrigger role, expressed
+    * in this log's units): cap the offered end offset so one
+    * micro-batch admits at most `maxVersionsPerTrigger` commits /
+    * `maxBytesPerTrigger` bytes of ADDED files (always at least one
+    * commit, or a single oversized commit could wedge the stream). A
+    * 100 TB backlog then drains as bounded batches instead of one
+    * giant catch-up job. */
+  override def getOffset: Option[Offset] = {
+    val latest = VersionedTable.latestVersion(root)
+    (latest, lastEnd) match {
+      case (Some(l), Some(e))
+          if l > e && (maxVersionsPerTrigger.isDefined ||
+            maxBytesPerTrigger.isDefined) =>
+        val capV = maxVersionsPerTrigger
+          .map(c => math.min(l, e + c)).getOrElse(l)
+        val capped = maxBytesPerTrigger match {
+          case None => capV
+          case Some(budget) =>
+            // walk commits, admit whole versions until the byte budget
+            // is spent — preserving commits add nothing and are free,
+            // and the first BYTE-CARRYING commit always admits even
+            // oversized (or a single big commit would wedge the stream)
+            var w = e
+            var acc = 0L
+            var open = true
+            while (w < capV && open) {
+              val add = VersionedTable
+                .scanListingDelta(root, Some(w), w + 1)
+                .map(f => f.bytes.getOrElse(
+                  new java.io.File(f.path).length())).sum
+              if (acc + add <= budget || acc == 0L) { acc += add; w += 1 }
+              else open = false // budget spent — stop admitting
+            }
+            w
+        }
+        Some(LongOffset(capped))
+      case (l, _) => l.map(LongOffset(_))
+    }
+  }
 
   private def versionOf(o: Offset): Long = o match {
     case LongOffset(v) => v
@@ -97,6 +168,7 @@ private[graft] class GraftStreamSource(spark: SparkSession, root: String,
     // once Spark checkpoints an offset, that governs (the option only
     // seeds the FIRST batch, exactly Delta's contract)
     val from = start.map(versionOf).orElse(startingVersion)
+    lastEnd = Some(versionOf(end))
     val files = VersionedTable.scanListingDelta(root, from, versionOf(end))
     GraftScan.ofFiles(spark, files, dataSchema0, isStreaming = true,
       partSchema = partSchema)
