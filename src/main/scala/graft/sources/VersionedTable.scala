@@ -504,21 +504,47 @@ object VersionedTable {
   // ---------------------------------------------------------------
 
   private def constraintsFile(root: String) = new File(root, "_constraints.json")
+  private def legacyConstraintsFile(root: String) = new File(root, "_constraints")
 
-  /** The table's CHECK constraints, name → expression text. */
+  /** Per-table-root RMW guard for the constraints sidecar: two
+    * concurrent adds must not lose each other's entry (the commit
+    * protocol's documented concurrency domain is single-JVM — this
+    * lock closes the read-modify-write race inside it; cross-process
+    * administration stays a documented single-administrator op, as
+    * [[setConstraints]] always said). */
+  private val constraintsLock = new Object
+
+  /** The table's CHECK constraints, name → expression text. ONE
+    * unified store: entries from the original tab-grammar
+    * `_constraints` sidecar (the [[setConstraints]] surface) and the
+    * JSON sidecar read together (JSON wins a name collision), so a
+    * table configured through EITHER surface is enforced by every
+    * writer. */
   def constraints(root: String): Map[String, String] = {
+    val legacy = legacyConstraintsOf(root).toMap
     val f = constraintsFile(root)
-    if (!f.exists()) Map.empty
+    if (!f.exists()) legacy
     else {
       val txt = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
       // one flat JSON object of string → string, written by us
-      txt.linesIterator.map(_.trim).filter(_.startsWith("\"")).map { ln =>
-        val k = ln.drop(1).takeWhile(_ != '"')
-        val rest = ln.drop(k.length + 2).dropWhile(c => c == ':' || c == ' ')
-        val vtxt = rest.stripSuffix(",").trim
-        k -> unescapeJson(vtxt.drop(1).dropRight(1))
-      }.toMap
+      legacy ++ txt.linesIterator.map(_.trim).filter(_.startsWith("\""))
+        .map { ln =>
+          val k = ln.drop(1).takeWhile(_ != '"')
+          val rest = ln.drop(k.length + 2).dropWhile(c => c == ':' || c == ' ')
+          val vtxt = rest.stripSuffix(",").trim
+          k -> unescapeJson(vtxt.drop(1).dropRight(1))
+        }.toMap
     }
+  }
+
+  private def legacyConstraintsOf(root: String): Seq[(String, String)] = {
+    val f = legacyConstraintsFile(root)
+    if (!f.exists()) Seq.empty
+    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split('\n').filter(_.nonEmpty).toSeq.map { line =>
+        val i = line.indexOf('\t')
+        (line.substring(0, i), line.substring(i + 1))
+      }
   }
 
   private def escapeJson(s: String): String =
@@ -549,16 +575,25 @@ object VersionedTable {
     b.toString
   }
 
+  /** Persist the FULL unified constraint map (callers hold
+    * [[constraintsLock]] and pass `constraints(root) ± change`, so
+    * legacy tab-sidecar entries fold in); the JSON file becomes the
+    * single authority after any write — the legacy sidecar is
+    * retired here. */
   private def writeConstraints(root: String,
                                cs: Map[String, String]): Unit = {
-    if (cs.isEmpty) { constraintsFile(root).delete(); return }
-    val body = cs.toSeq.sortBy(_._1).map { case (k, v) =>
-      s""""${escapeJson(k)}": "${escapeJson(v)}""""
-    }.mkString("{\n", ",\n", "\n}")
-    val tmp = Files.createTempFile(new File(root).toPath, "_constraints", ".tmp")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, constraintsFile(root).toPath,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    new File(root).mkdirs()
+    if (cs.nonEmpty) {
+      val body = cs.toSeq.sortBy(_._1).map { case (k, v) =>
+        s""""${escapeJson(k)}": "${escapeJson(v)}""""
+      }.mkString("{\n", ",\n", "\n}")
+      val tmp = Files.createTempFile(new File(root).toPath, "_constraints", ".tmp")
+      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, constraintsFile(root).toPath,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    } else constraintsFile(root).delete()
+    legacyConstraintsFile(root).delete()
+    ()
   }
 
   /** ADD CONSTRAINT name CHECK (exprText): validates EVERY existing
@@ -568,30 +603,54 @@ object VersionedTable {
     * convention is null-passes; Delta's is null-fails — this engine
     * takes Delta's: a constraint that silently ignores null rows
     * protects nothing at 100 TB). Fails if the name exists with a
-    * DIFFERENT expression (idempotent re-adds are no-ops). */
+    * DIFFERENT expression (idempotent re-adds are no-ops).
+    *
+    * Race window: a writer that STAGED its batch before the
+    * constraint persisted enforces nothing for that batch — the
+    * post-persist re-validation below catches the common interleaving
+    * (the violating commit lands before the re-check) by dropping the
+    * fresh constraint and failing loudly; a commit landing after the
+    * re-check can still slip (closing it fully needs constraints in
+    * the versioned manifest — the documented trade of the sidecar). */
   def addConstraint(spark: SparkSession, root: String, name: String,
                     exprText: String): Unit = {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"constraint name must be a bare identifier, got '$name'")
-    val existing = constraints(root)
-    existing.get(name).foreach { prev =>
-      if (prev == exprText) return
-      sys.error(s"constraint $name already exists as: $prev")
-    }
-    if (latestVersion(root).isDefined) {
-      val bad = scan(spark, root)
+    def violating(): Long =
+      if (latestVersion(root).isEmpty) 0L
+      else scan(spark, root)
         .filter(!coalesce(expr(exprText).cast("boolean"), lit(false)))
         .limit(1).count()
-      require(bad == 0L,
+    constraintsLock.synchronized {
+      val existing = constraints(root)
+      existing.get(name).foreach { prev =>
+        if (prev == exprText) return
+        sys.error(s"constraint $name already exists as: $prev")
+      }
+      require(violating() == 0L,
         s"cannot add CHECK constraint $name: existing rows violate ($exprText)")
+      writeConstraints(root, existing + (name -> exprText))
     }
-    writeConstraints(root, existing + (name -> exprText))
+    // re-validate AFTER the constraint is visible to writers: a batch
+    // staged pre-persist could have landed violating rows believing
+    // no constraint existed — surface that instead of claiming a
+    // validated table
+    if (violating() != 0L) {
+      constraintsLock.synchronized {
+        writeConstraints(root, constraints(root) - name)
+      }
+      sys.error(s"CHECK constraint $name: a concurrent write landed " +
+        s"violating rows during ADD — constraint withdrawn, re-run " +
+        s"after cleaning ($exprText)")
+    }
   }
 
   /** DROP CONSTRAINT name (missing names are a no-op, like Delta's
     * IF EXISTS). */
   def dropConstraint(root: String, name: String): Unit =
-    writeConstraints(root, constraints(root) - name)
+    constraintsLock.synchronized {
+      writeConstraints(root, constraints(root) - name)
+    }
 
   /** `df` with the table's CHECK constraints enforced PER ROW inside
     * whatever job consumes it: each violating row raises with the
@@ -1624,17 +1683,85 @@ object VersionedTable {
     else org.apache.spark.sql.graft.GraftScan.ofScanFiles(
       spark, root, lines.map(scanFileOf))
 
+  /** The schema DECLARED at version `v`: the nearest schema sidecar
+    * at-or-below `v` that is reachable from `v` through DELTA commits
+    * only. Appends and COW rewrites (delta manifests) inherit the
+    * declaration — a metadata-only [[alterAddColumns]] must survive a
+    * chain of appends that nobody read in between (no sidecar gets
+    * cached, so an exact-version lookup would silently drop the
+    * column). A FULL manifest (overwrite / restore) is a declaration
+    * boundary: it replaces the schema wholesale, and walking past it
+    * would resurrect dropped columns. O(1) when no sidecars exist
+    * (one directory list); O(gap) manifest reads otherwise — reads
+    * cache sidecars per version, so gaps stay short in mixed
+    * workloads, and [[vacuum]] materializes the declaration onto the
+    * oldest retained version before expiring the chain below it. */
+  def declaredSchemaAt(
+      root: String, v: Long): Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types.StructType
+    val names = new File(root).list()
+    if (names == null) return None
+    // two sidecar kinds participate: the AUTHORITATIVE per-version
+    // cache/declaration (`_schema.vN.json` — the full schema of N) and
+    // the DECLARATION-ONLY marker (`_schema.declared.vN.json`, written
+    // by vacuum/clone to keep an expired chain's declaration alive —
+    // never the full schema, so schemaOf must not serve it verbatim)
+    val Auth = """_schema\.v(\d+)\.json""".r
+    val Decl = """_schema\.declared\.v(\d+)\.json""".r
+    val below = names.collect {
+      case Auth(n) => n.toLong
+      case Decl(n) => n.toLong
+    }.filter(_ <= v)
+    if (below.isEmpty) return None
+    val w = below.max
+    var x = v
+    while (x > w) {
+      // a FULL manifest between the sidecar and v replaces the schema
+      if (!isDelta(readManifest(root, x))) return None
+      x -= 1
+    }
+    val auth = readSchemaSidecar(root, w)
+    val decl = readDeclaredSidecar(root, w)
+    (auth, decl) match {
+      case (Some(a), Some(d)) =>
+        val have = a.fieldNames.map(_.toLowerCase).toSet
+        Some(StructType(a.fields ++
+          d.fields.filterNot(f => have.contains(f.name.toLowerCase))))
+      case (a, d) => a.orElse(d)
+    }
+  }
+
+  private def readDeclaredSidecar(
+      root: String, v: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val f = new File(root, s"_schema.declared.v$v.json")
+    if (!f.exists()) None
+    else Some(org.apache.spark.sql.types.DataType.fromJson(
+      new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8))
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  private def writeDeclaredSidecar(
+      root: String, v: Long,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    try {
+      val tmp = Files.createTempFile(new File(root).toPath, "_schemad", ".tmp")
+      Files.write(tmp, schema.json.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, new File(root, s"_schema.declared.v$v.json").toPath,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    } catch { case _: java.io.IOException => () }
+  }
+
   /** `df` widened to version `v`'s DECLARED schema: columns the
-    * version's sidecar declares but `df` lacks (a metadata-only
+    * declaration carries but `df` lacks (a metadata-only
     * [[alterAddColumns]] declares columns no data file carries yet)
     * are appended as typed NULLs. The COW rewrite paths read through
     * this so their re-staged files MATERIALIZE the declared column —
     * without it, the rewritten version's footer sweep would silently
     * drop a column ALTER added. A missing or footer-consistent
-    * sidecar makes this the identity. */
+    * declaration makes this the identity. */
   private def widenDeclared(df: DataFrame, root: String,
                             v: Long): DataFrame =
-    readSchemaSidecar(root, v) match {
+    declaredSchemaAt(root, v) match {
       case Some(s) =>
         // partition columns are PATH-derived, never widened: a raw
         // footer read of a partitioned table lacks them by design
@@ -1883,45 +2010,29 @@ object VersionedTable {
   }
 
   /** PERSISTED table constraints (the Delta `ALTER TABLE ... ADD
-    * CONSTRAINT` role): named row-level boolean SQL expressions stored
-    * in a `_constraints` sidecar next to the log, so EVERY writer that
-    * appends through [[appendConstrained]] enforces the table owner's
-    * rules — the contract travels with the table instead of with each
-    * caller's code (the gap in per-call [[appendChecked]]). Atomic
-    * tmp+move replace; single administrator per table. */
+    * CONSTRAINT` role), the ADMIN surface: replace the table's WHOLE
+    * constraint set in one write — no existing-row validation (the
+    * per-constraint [[addConstraint]] surface validates; this one is
+    * the single-administrator bulk op, as before). ONE store with
+    * [[addConstraint]]/[[constraints]]: every writer enforces these
+    * at stage time, whichever surface set them. */
   def setConstraints(root: String,
-                     constraints: Seq[(String, String)]): Unit = {
-    // both fields must reject BOTH separators: a newline in a NAME (or
-    // a tab in an expr's name position) would corrupt the sidecar's
-    // line\ttab grammar and make constraintsOf throw on read
-    require(constraints.forall { case (n, e) =>
-      !n.contains("\t") && !n.contains("\n") &&
-        !e.contains("\t") && !e.contains("\n")
-    }, "constraint names/exprs must contain no tab or newline")
-    new File(root).mkdirs()
-    val body = constraints.map { case (n, e) => s"$n\t$e" }.mkString("\n")
-    val tmp = Files.createTempFile(new File(root).toPath, "_cons", ".tmp")
-    Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    Files.move(tmp, new File(root, "_constraints").toPath,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+                     constraints: Seq[(String, String)]): Unit =
+    constraintsLock.synchronized {
+      writeConstraints(root, constraints.toMap)
+    }
 
-  /** The table's stored constraints (empty if none were ever set). */
-  def constraintsOf(root: String): Seq[(String, String)] = {
-    val f = new File(root, "_constraints")
-    if (!f.exists()) Seq.empty
-    else new String(Files.readAllBytes(f.toPath),
-      java.nio.charset.StandardCharsets.UTF_8)
-      .split('\n').filter(_.nonEmpty).toSeq.map { line =>
-        val i = line.indexOf('\t')
-        (line.substring(0, i), line.substring(i + 1))
-      }
-  }
+  /** The table's stored constraints (empty if none were ever set),
+    * name-ordered — the unified store, both surfaces' entries. */
+  def constraintsOf(root: String): Seq[(String, String)] =
+    constraints(root).toSeq.sortBy(_._1)
 
   /** Append enforcing every STORED constraint (all evaluated in ONE
     * aggregation; SQL CHECK semantics — NULL violates, like
     * [[appendChecked]]): a batch breaking any constraint is rejected
-    * whole, naming every broken one. */
+    * whole, naming every broken one — a friendlier failure than the
+    * stage-time per-row assert (which also guards this path, as it
+    * guards every writer). */
   def appendConstrained(df: DataFrame, root: String,
                         statsCols: String*): Long = {
     val cs = constraintsOf(root)
@@ -2323,6 +2434,20 @@ object VersionedTable {
       val touched0 =
         files.filter(f => touchedNames.contains(pathOf(f).split('/').last))
       val touched = touched0.map(pathOf)
+      // loud, actionable refusal (SQL's own UPDATE SET * stance): the
+      // canonical merge REPLACES matched rows wholesale, so a source
+      // lacking a table column — often one a metadata-only ALTER or an
+      // evolution append added after the feed was written — would
+      // otherwise die in an opaque unresolved-column AnalysisException
+      // (silently null-filling here would CLEAR that column on every
+      // matched row instead)
+      val missing = outCols.filterNot(c =>
+        source.columns.exists(_.equalsIgnoreCase(c)))
+      require(missing.isEmpty,
+        s"merge source lacks table column(s) ${missing.mkString(", ")}: " +
+          "the canonical merge replaces matched rows wholesale — carry " +
+          "every table column (null-fill explicitly), or use " +
+          "mergeActions with explicit SET/INSERT column maps")
       val src = alignTypes(source.select(outCols.map(col): _*), target.schema)
       val rewritten =
         if (touched.isEmpty) src // pure insert — nothing to rewrite
@@ -2623,6 +2748,15 @@ object VersionedTable {
       val touched0 =
         files.filter(f => touchedNames.contains(pathOf(f).split('/').last))
       val outCols = target.columns.toSeq
+      // merge()'s refusal, CDC-worded: a feed missing a table column
+      // (ALTER-declared or evolution-appended after the feed's schema
+      // froze) fails actionably, never as an opaque unresolved column
+      val missing = outCols.filterNot(c =>
+        upserts.columns.exists(_.equalsIgnoreCase(c)))
+      require(missing.isEmpty,
+        s"CDC feed lacks table column(s) ${missing.mkString(", ")}: " +
+          "upserts replace rows wholesale — carry every table column " +
+          "(null-fill explicitly in the feed)")
       val src = alignTypes(upserts.select(outCols.map(col): _*), target.schema)
       val rewritten =
         if (touched0.isEmpty) src // pure insert / all-absent deletes
@@ -2725,6 +2859,13 @@ object VersionedTable {
       if (deletedCol != null)
         require(outCols.contains(deletedCol),
           s"tombstone mode needs the target to store '$deletedCol'")
+      // deletedCol is DERIVED from the op column, never fed
+      val missingG = outCols.filterNot(c => c == deletedCol ||
+        latest.columns.exists(_.equalsIgnoreCase(c)))
+      require(missingG.isEmpty,
+        s"CDC feed lacks table column(s) ${missingG.mkString(", ")}: " +
+          "upserts replace rows wholesale — carry every table column " +
+          "(null-fill explicitly in the feed)")
       // stored rows compete as live upserts at their RECORDED sequence;
       // __src breaks seq ties toward the feed (replay idempotence).
       // Tombstone mode projects feed DELETES as flagged rows (key +
@@ -3012,10 +3153,11 @@ object VersionedTable {
     // clone readable: a partitioned source's clone must know the
     // partition schema or the partition columns silently VANISH from
     // its reads (footers don't carry them — the paths do); CHECK
-    // constraints inherit (the Delta clone-properties stance); the
-    // pinned version's schema sidecar becomes the clone's v0
-    // declaration, so ALTER-declared columns survive the clone and the
-    // first scan skips its footer sweep.
+    // constraints inherit, both stores (the Delta clone-properties
+    // stance); the source's DECLARATION at the pinned version becomes
+    // the clone's v0 declaration-only sidecar, so ALTER-declared
+    // columns survive the clone (declaration-ONLY: the cloned listing
+    // may carry evolution columns the declaration does not know).
     val ps = partitionSchemaFile(src)
     if (ps.exists())
       Files.copy(ps.toPath, partitionSchemaFile(dst).toPath,
@@ -3024,8 +3166,12 @@ object VersionedTable {
     if (cf.exists())
       Files.copy(cf.toPath, constraintsFile(dst).toPath,
         StandardCopyOption.REPLACE_EXISTING)
-    readSchemaSidecar(src, base).foreach(s =>
-      writeEmptySchemaSidecar(dst, 0, s))
+    val lcf = legacyConstraintsFile(src)
+    if (lcf.exists())
+      Files.copy(lcf.toPath, legacyConstraintsFile(dst).toPath,
+        StandardCopyOption.REPLACE_EXISTING)
+    declaredSchemaAt(src, base).foreach(s =>
+      writeDeclaredSidecar(dst, 0, s))
     commitManifest(dst, 0, readListing(src, base))
   }
 
@@ -3351,6 +3497,16 @@ object VersionedTable {
     keep.headOption.foreach { oldest =>
       if (drop.nonEmpty || !checkpointFile(root, oldest).exists())
         writeCheckpoint(root, oldest)
+      // materialize the DECLARATION onto the oldest retained version
+      // before the chain below it (which may hold the only sidecar —
+      // a metadata-only ALTER's) expires: written as the
+      // DECLARATION-ONLY kind, never the authoritative per-version
+      // schema — files committed after the declaring version may
+      // carry evolution columns the declaration does not know, and an
+      // authoritative sidecar would hide them from every later read
+      if (drop.nonEmpty && readSchemaSidecar(root, oldest).isEmpty)
+        declaredSchemaAt(root, oldest).foreach(s =>
+          writeDeclaredSidecar(root, oldest, s))
     }
     val live = keep.flatMap(readListing(root, _).map(pathOf)).toSet
     val dead = Option(dataDir(root).listFiles()).getOrElse(Array.empty)
@@ -3360,8 +3516,11 @@ object VersionedTable {
       manifestFile(root, v).delete()
       checkpointFile(root, v).delete()
       // the Catalyst scan's per-version schema cache ages out with
-      // its version (best-effort cache — a miss just re-infers)
+      // its version (best-effort cache — a miss just re-infers; the
+      // declaration was materialized onto the oldest retained version
+      // above before this chain expired)
       new File(root, s"_schema.v$v.json").delete()
+      new File(root, s"_schema.declared.v$v.json").delete()
     }
     dead.length
   }

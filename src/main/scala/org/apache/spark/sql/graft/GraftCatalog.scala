@@ -362,8 +362,15 @@ private[graft] class GraftTableV2(ident: String, root: String,
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     require(version.isEmpty,
       s"$ident is a pinned time-travel snapshot: read-only")
-    val cond = filters.toSeq.flatMap(GraftCatalog.filterColumn)
-      .reduceOption(_ && _)
+    // the invariant is LOCAL, not delegated to the caller's
+    // canDeleteWhere discipline: silently dropping an untranslatable
+    // conjunct would delete a SUPERSET of the requested rows
+    val cols = filters.toSeq.map(f => f -> GraftCatalog.filterColumn(f))
+    val bad = cols.collect { case (f, None) => f }
+    require(bad.isEmpty,
+      s"untranslatable DELETE filters: ${bad.mkString(", ")} — " +
+        "route the statement through GraftSql")
+    val cond = cols.flatMap(_._2).reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     VersionedTable.delete(classic.SparkSession.active, root, cond)
     ()

@@ -205,9 +205,21 @@ object GraftScan {
                        paths: Seq[String]): StructType = {
     val f = new java.io.File(root, s"_schema.v$v.json")
     VersionedTable.readSchemaSidecar(root, v).getOrElse {
-      val s = incrementalSchema(spark, root, v, paths).getOrElse(
+      val s0 = incrementalSchema(spark, root, v, paths).getOrElse(
         spark.read.option("mergeSchema", "true")
           .parquet(paths: _*).schema)
+      // DECLARED-COLUMN CARRY: a metadata-only ALTER's column may live
+      // in no data file yet — the nearest delta-reachable sidecar is
+      // the declaration, and a footer sweep (or a one-step incremental
+      // miss) must not silently drop it. The union is cached below, so
+      // the declaration re-materializes into this version's sidecar.
+      val s = VersionedTable.declaredSchemaAt(root, v) match {
+        case Some(d) =>
+          val have = s0.fieldNames.map(_.toLowerCase).toSet
+          StructType(s0.fields ++ d.fields.filterNot(df0 =>
+            have.contains(df0.name.toLowerCase)))
+        case None => s0
+      }
       var tmp: java.nio.file.Path = null
       try {
         tmp = java.nio.file.Files.createTempFile(

@@ -103,6 +103,62 @@ class ConstraintsSpec extends SparkSuite {
     assert(VersionedTable.read(spark, root).count() == 3L)
   }
 
+  test("concurrent addConstraint calls both survive (the RMW race is " +
+    "closed): neither entry is lost to a last-write-wins overwrite") {
+    import spark.implicits._
+    val root = tmpRoot()
+    VersionedTable.overwrite(Seq((1L, 10L)).toDF("k", "v"), root)
+    val names = (0 until 8).map(i => s"c_$i")
+    val threads = names.map { n =>
+      new Thread(() =>
+        VersionedTable.addConstraint(spark, root, n, "v > 0"))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(VersionedTable.constraints(root).keySet == names.toSet,
+      "every concurrently-added constraint must persist")
+  }
+
+  test("ONE store: legacy setConstraints entries are enforced by " +
+    "every writer and visible to constraints(); addConstraint and the " +
+    "legacy surface see each other") {
+    import spark.implicits._
+    val root = tmpRoot()
+    VersionedTable.overwrite(Seq((1L, 10L)).toDF("k", "v"), root)
+    // legacy admin surface — now universally enforced
+    VersionedTable.setConstraints(root, Seq("v_pos" -> "v > 0"))
+    val base = VersionedTable.latestVersion(root).get
+    val e = intercept[Exception] {
+      VersionedTable.append(Seq((2L, -1L)).toDF("k", "v"), root)
+    }
+    assert(e.getMessage != null)
+    assert(VersionedTable.latestVersion(root).contains(base),
+      "a legacy-set constraint must bind EVERY writer, not only " +
+        "appendConstrained")
+    // the two surfaces read one store
+    VersionedTable.addConstraint(spark, root, "k_pos", "k > 0")
+    assert(VersionedTable.constraintsOf(root).map(_._1) ==
+      Seq("k_pos", "v_pos"))
+    assert(VersionedTable.constraints(root).keySet == Set("k_pos", "v_pos"))
+    // a clone inherits BOTH (single unified file after any write)
+    val dst = tmpRoot() + "_c"
+    VersionedTable.shallowClone(root, dst)
+    assert(VersionedTable.constraints(dst).keySet == Set("k_pos", "v_pos"))
+    // an OLD table carrying only the legacy tab-grammar file on disk
+    // (written by a previous release): read, enforced, cloned
+    val old = tmpRoot()
+    VersionedTable.overwrite(Seq((1L, 10L)).toDF("k", "v"), old)
+    Files.write(new java.io.File(old, "_constraints").toPath,
+      "v_pos\tv > 0".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(VersionedTable.constraints(old) == Map("v_pos" -> "v > 0"))
+    val e2 = intercept[Exception] {
+      VersionedTable.append(Seq((2L, -5L)).toDF("k", "v"), old)
+    }
+    assert(e2.getMessage != null)
+    val dst2 = tmpRoot() + "_c2"
+    VersionedTable.shallowClone(old, dst2)
+    assert(VersionedTable.constraints(dst2) == Map("v_pos" -> "v > 0"))
+  }
+
   test("GraftSql DDL: ADD CONSTRAINT ... CHECK (...) with nested " +
     "parens; violating SQL INSERT refused; DROP CONSTRAINT lifts") {
     import spark.implicits._

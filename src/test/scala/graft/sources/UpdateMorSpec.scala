@@ -146,25 +146,23 @@ class UpdateMorSpec extends SparkSuite {
       err.getMessage.contains("s_nonnull"))
     assert(VersionedTable.read(spark, root).count() == 2L,
       "rejected batch leaves no trace")
-    // contract durable across 'writers'
+    // contract durable across 'writers' (unified store, name-ordered)
     assert(VersionedTable.constraintsOf(root).map(_._1) ==
-      Seq("v_pos", "s_nonnull"))
+      Seq("s_nonnull", "v_pos"))
     // tables without a contract append freely
     val root2 = freshRoot("nocons")
     VersionedTable.overwrite(Seq((1L, "a", 1.0)).toDF("k", "s", "v"), root2)
     VersionedTable.appendConstrained(
       Seq((2L, null.asInstanceOf[String], -5.0)).toDF("k", "s", "v"), root2)
     assert(VersionedTable.read(spark, root2).count() == 2L)
-    // separator validation covers BOTH fields in BOTH directions — a
-    // newline in a NAME would truncate the sidecar line and make
-    // constraintsOf throw on the tab-less fragment
-    for (bad <- Seq(
-      Seq("a\nb" -> "v > 0"), Seq("a\tb" -> "v > 0"),
-      Seq("ok" -> "v >\n0"), Seq("ok" -> "v >\t0"))) {
-      intercept[IllegalArgumentException] {
-        VersionedTable.setConstraints(freshRoot("badcons"), bad)
-      }
-    }
+    // the unified JSON store ESCAPES separators — an expression
+    // carrying a newline round-trips intact instead of corrupting the
+    // old line\tab grammar (the legacy writer rejected these outright)
+    val root3 = freshRoot("sepcons")
+    VersionedTable.setConstraints(root3,
+      Seq("ok" -> "v >\n0 AND\ts IS NOT NULL"))
+    assert(VersionedTable.constraintsOf(root3) ==
+      Seq("ok" -> "v >\n0 AND\ts IS NOT NULL"))
   }
 
   test("updateMor: patch overlay == COW update; stacking, delete-wins, " +
