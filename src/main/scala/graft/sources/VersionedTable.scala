@@ -1740,15 +1740,19 @@ object VersionedTable {
       .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
+  /** LOUD on failure (unlike the best-effort schema cache): the
+    * declaration-only sidecar is written exactly when the declaration
+    * would otherwise be LOST — vacuum expiring the declaring chain, a
+    * clone leaving the source behind — and a swallowed IO error there
+    * is the silent-column-loss bug class this sidecar kind exists to
+    * close. */
   private def writeDeclaredSidecar(
       root: String, v: Long,
       schema: org.apache.spark.sql.types.StructType): Unit = {
-    try {
-      val tmp = Files.createTempFile(new File(root).toPath, "_schemad", ".tmp")
-      Files.write(tmp, schema.json.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, new File(root, s"_schema.declared.v$v.json").toPath,
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    } catch { case _: java.io.IOException => () }
+    val tmp = Files.createTempFile(new File(root).toPath, "_schemad", ".tmp")
+    Files.write(tmp, schema.json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, new File(root, s"_schema.declared.v$v.json").toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** `df` widened to version `v`'s DECLARED schema: columns the
