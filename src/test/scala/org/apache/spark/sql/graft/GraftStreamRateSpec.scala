@@ -84,17 +84,19 @@ class GraftStreamRateSpec extends SparkSuite {
     assert(src.getOffset.contains(LongOffset(5L)))
   }
 
-  test("end-to-end: a capped stream still reaches exactly-once " +
-    "totals across restarts (checkpoint governs)") {
+  test("end-to-end: a capped AvailableNow run advances EXACTLY one " +
+    "cap per run — the restart re-seats the anchor from the recovered " +
+    "batch (the Spark-order assumption this source documents), and " +
+    "repeated runs drain exactly-once") {
     import org.apache.spark.sql.streaming.Trigger
     val root = tmpRoot()
     val out = tmpRoot()
     val ckpt = Files.createTempDirectory("graft_rate_ck").toString
-    append(root, 0L, 100L)
+    append(root, 0L, 100L) // v0 — NOT streamed (startingVersion = 0)
     (1 to 3).foreach(i => append(root, i * 1000L, i * 1000L + 10L))
     def runOnce(): Unit = {
       val q = VersionedTable.scanStream(spark, root,
-        maxVersionsPerTrigger = Some(1L))
+        startingVersion = Some(0L), maxVersionsPerTrigger = Some(1L))
         .writeStream
         .foreachBatch {
           (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -109,17 +111,19 @@ class GraftStreamRateSpec extends SparkSuite {
       assert(q.awaitTermination(120000), "stream did not drain")
       ()
     }
-    // AvailableNow captures one offered offset per run; with the cap
-    // each run advances at most one version past the recovered anchor
-    // — repeated runs drain the backlog exactly-once
-    var guard = 0
-    while (VersionedTable.latestVersion(out)
-      .map(_ => VersionedTable.read(spark, out).count())
-      .getOrElse(0L) < 130L && guard < 8) {
-      runOnce(); guard += 1
-    }
+    def outCount(): Long = VersionedTable.latestVersion(out)
+      .map(_ => VersionedTable.read(spark, out).count()).getOrElse(0L)
+    // each run must land EXACTLY one version's rows: if a Spark
+    // upgrade reorders the AvailableNow offset capture before the
+    // recovery getBatch, the anchor would go stale and the second run
+    // would either wedge (advance 0) or drain uncapped (advance 20+)
+    // — both trip these asserts
+    runOnce(); assert(outCount() == 10L, "run 1 serves exactly v1")
+    runOnce(); assert(outCount() == 20L, "run 2 serves exactly v2")
+    runOnce(); assert(outCount() == 30L, "run 3 serves exactly v3")
+    runOnce(); assert(outCount() == 30L, "a drained run is a no-op")
     val got = VersionedTable.read(spark, out)
-    assert(got.count() == 130L, "no row lost, none duplicated")
-    assert(got.select(col("k")).distinct().count() == 130L)
+    assert(got.select(col("k")).distinct().count() == 30L,
+      "no row lost, none duplicated")
   }
 }
