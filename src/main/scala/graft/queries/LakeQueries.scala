@@ -1251,6 +1251,47 @@ object LakeQueries extends QueryModule {
         ORDER BY 1, 2"""),
       bench = false),
 
+    // Row-level CDC as SQL text (DESCRIBE CHANGES — the Delta
+    // table_changes role): a COW UPDATE rewrites whole touched files,
+    // but the diff serves ONLY the actually-changed rows (common
+    // files cancel at plan time, rewritten files' unchanged rows
+    // cancel by multiset exceptAll) — each update surfaces as its
+    // delete(old) + insert(new) pair. The oracle replays both sides
+    // from the raw table.
+    "q318_describe_changes" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_dch").resolve("t").toString
+        val name = "gsql_dch"
+        graft.sources.VersionedTable.overwrite(
+          Tables(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_totalprice"))
+            .repartitionByRange(6, col("o_orderkey")),
+          root)
+        graft.sources.GraftSql.register(s, name, root)
+        graft.sources.GraftSql.execute(s,
+          s"""UPDATE $name SET o_totalprice = o_totalprice * 2
+              WHERE o_orderkey % 7 = 0""")
+        graft.sources.GraftSql
+          .execute(s, s"DESCRIBE CHANGES $name BETWEEN 0 AND 1")
+          .groupBy(col("_change"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("_change")
+      },
+      oracle = Some("""
+        WITH u AS (SELECT o_totalprice FROM orders
+                   WHERE o_orderkey % 7 = 0)
+        SELECT 'delete' AS _change, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
+        FROM u
+        UNION ALL
+        SELECT 'insert' AS _change, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice * 2 AS DECIMAL(18,2)))
+                 AS DOUBLE) AS total
+        FROM u
+        ORDER BY 1"""),
+      bench = false),
+
     // OPTIMIZE compaction: four stats-carrying appends degenerate the
     // table into small files; compact() bin-packs them (range-clustered
     // on l_orderkey, stats recomputed), and the post-compaction

@@ -37,7 +37,10 @@ import org.apache.spark.sql.functions._
   *    (168 h default, the Delta retention) → horizon-respecting
   *    [[VersionedTable.vacuum]]; `DESCRIBE HISTORY t` → one
   *    metadata-only row per commit (version, files, rows,
-  *    commit_time); `RESTORE TABLE t TO VERSION AS OF v` →
+  *    commit_time); `DESCRIBE CHANGES t BETWEEN v1 AND v2` → the
+  *    row-level diff ([[VersionedTable.diffVersions]] — the Delta
+  *    table_changes role, `_change` = insert/delete, common files
+  *    cancel at plan time); `RESTORE TABLE t TO VERSION AS OF v` →
   *    [[VersionedTable.restore]] (rollback as roll-forward);
   *    `CREATE TABLE n SHALLOW CLONE t [VERSION AS OF v] LOCATION
   *    '...'` → [[VersionedTable.shallowCloneAt]] (zero-copy, clone
@@ -165,6 +168,10 @@ object GraftSql {
       """(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""").r
   private val DescribeHistorySql =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+  // row-level CDC between two versions (the Delta table_changes role)
+  private val DescribeChangesSql =
+    ("""(?is)\s*DESCRIBE\s+CHANGES\s+([A-Za-z_][A-Za-z0-9_]*)\s+""" +
+      """BETWEEN\s+(\d+)\s+AND\s+(\d+)\s*;?\s*""").r
   private val RestoreSql =
     ("""(?is)\s*RESTORE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+""" +
       """VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
@@ -322,6 +329,15 @@ object GraftSql {
           (v, files.toLong, rows, new java.sql.Timestamp(ts)) }
         .toDF("version", "files", "rows", "commit_time")
         .orderBy(col("version"))
+    case DescribeChangesSql(t, v1, v2) =>
+      // row-level CDC (the Delta table_changes role): every row of v2
+      // not in v1 tagged insert, every v1 row gone from v2 tagged
+      // delete (updates = their delete+insert pair, multiset
+      // semantics); files common to both manifests cancel at PLAN
+      // time and are never read
+      require(v1.toLong <= v2.toLong,
+        s"DESCRIBE CHANGES range is empty: $v1 > $v2")
+      VersionedTable.diffVersions(spark, rootOf(t), v1.toLong, v2.toLong)
     case RestoreSql(t, v) =>
       // rollback-as-roll-forward: a NEW version pointing at the old
       // file set — history is preserved, vacuum governs reclamation
