@@ -150,7 +150,18 @@ object GraftSql {
   // Spark's own parser has no CHECK grammar, so the text surface
   // lives here): the CHECK body is captured from its open paren and
   // span-matched quote-aware (a regex close-paren would bite inside
-  // a nested expression)
+  // a nested expression).
+  //
+  // Concurrency caveat (inherited from VersionedTable.addConstraint,
+  // stated here because THIS is the user-facing surface): ADD
+  // CONSTRAINT validates existing rows, persists, then RE-validates to
+  // catch writers that staged before the constraint became visible —
+  // but a concurrent write that read the constraint set pre-persist
+  // and commits AFTER that re-validation can still land violating rows
+  // while the constraint stays in force. Quiesce writers around ADD
+  // CONSTRAINT (or re-run it, which re-validates) when the table is
+  // under concurrent write load; closing the window fully would need
+  // the constraint set inside the versioned commit protocol.
   private val AddConstraintSql =
     ("""(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+""" +
       """CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s+CHECK\s*(\(.+)""").r

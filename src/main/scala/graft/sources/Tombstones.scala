@@ -101,11 +101,20 @@ object Tombstones {
     require(set.keySet.subsetOf(active.columns.toSet),
       s"SET columns ${set.keySet.diff(active.columns.toSet)} not in table")
     // patch = post-update image of the matching rows only; computed
-    // once and pinned (the store it merges into feeds readActive)
-    val patch = active.filter(coalesce(predicate, lit(false)))
-      .select(active.columns.toSeq.map { c =>
-        set.get(c).map(_.as(c)).getOrElse(col(c))
-      }: _*)
+    // once and pinned (the store it merges into feeds readActive).
+    // The MAIN root's CHECK constraints apply HERE: the patch commits
+    // into the _patches store (a different table root whose own
+    // constraint set is empty), yet readActive serves these rows as
+    // the table — the "EVERY writer enforces at stage time" contract
+    // must hold for the MOR writer too, or a violating patch poisons
+    // reads now and makes the eventual purge() fail permanently. The
+    // eager localCheckpoint runs the assert, so a violation surfaces
+    // at the updateMor call, before any commit.
+    val patch = VersionedTable.enforceConstraints(
+      active.filter(coalesce(predicate, lit(false)))
+        .select(active.columns.toSeq.map { c =>
+          set.get(c).map(_.as(c)).getOrElse(col(c))
+        }: _*), root)
       .localCheckpoint(true)
     val n = patch.count()
     if (n > 0) {

@@ -526,14 +526,30 @@ object VersionedTable {
     if (!f.exists()) legacy
     else {
       val txt = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-      // one flat JSON object of string → string, written by us
-      legacy ++ txt.linesIterator.map(_.trim).filter(_.startsWith("\""))
-        .map { ln =>
-          val k = ln.drop(1).takeWhile(_ != '"')
-          val rest = ln.drop(k.length + 2).dropWhile(c => c == ':' || c == ' ')
-          val vtxt = rest.stripSuffix(",").trim
-          k -> unescapeJson(vtxt.drop(1).dropRight(1))
-        }.toMap
+      // one flat JSON object of string → string, written by us: extract
+      // every JSON string ESCAPE-AWARE (a '\"' inside a key or value
+      // must not terminate it — the old line-splitting reader truncated
+      // such keys and mis-sliced values, leaving the table unwritable)
+      // and pair them positionally (k1,v1,k2,v2,…); both sides unescape
+      // symmetrically with [[escapeJson]].
+      val strings = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < txt.length) {
+        if (txt.charAt(i) == '"') {
+          val b = new StringBuilder
+          i += 1
+          while (i < txt.length && txt.charAt(i) != '"') {
+            if (txt.charAt(i) == '\\' && i + 1 < txt.length) {
+              b += txt.charAt(i); b += txt.charAt(i + 1); i += 2
+            } else { b += txt.charAt(i); i += 1 }
+          }
+          strings += unescapeJson(b.toString)
+        }
+        i += 1
+      }
+      require(strings.length % 2 == 0,
+        s"corrupt constraints sidecar at $f: odd string count")
+      legacy ++ strings.grouped(2).map(p => p(0) -> p(1)).toMap
     }
   }
 
@@ -658,7 +674,7 @@ object VersionedTable {
     * unchanged. The filter's predicate is `assert_true(...) IS NULL`
     * — always true when no row violates — kept from being folded away
     * by assert_true's non-foldable, error-raising semantics. */
-  private def enforceConstraints(df: DataFrame, root: String): DataFrame = {
+  private[sources] def enforceConstraints(df: DataFrame, root: String): DataFrame = {
     val cs = constraints(root)
     if (cs.isEmpty) df
     else cs.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, t)) =>
@@ -2021,10 +2037,19 @@ object VersionedTable {
     * [[addConstraint]]/[[constraints]]: every writer enforces these
     * at stage time, whichever surface set them. */
   def setConstraints(root: String,
-                     constraints: Seq[(String, String)]): Unit =
+                     constraints: Seq[(String, String)]): Unit = {
+    // same name discipline as addConstraint: the sidecar is keyed by
+    // name, and a bare identifier survives any serialization round-trip
+    // (the escape-aware reader handles arbitrary names defensively, but
+    // the public surfaces never mint them)
+    constraints.foreach { case (n, _) =>
+      require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"constraint name must be a bare identifier, got '$n'")
+    }
     constraintsLock.synchronized {
       writeConstraints(root, constraints.toMap)
     }
+  }
 
   /** The table's stored constraints (empty if none were ever set),
     * name-ordered — the unified store, both surfaces' entries. */

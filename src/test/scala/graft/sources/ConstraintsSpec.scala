@@ -159,6 +159,59 @@ class ConstraintsSpec extends SparkSuite {
     assert(VersionedTable.constraints(dst2) == Map("v_pos" -> "v > 0"))
   }
 
+  test("MOR UPDATE enforces the MAIN root's constraints: a violating " +
+    "patch is refused before any commit; readActive and purge stay " +
+    "consistent") {
+    import spark.implicits._
+    val root = tmpRoot()
+    VersionedTable.overwrite(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), root)
+    VersionedTable.addConstraint(spark, root, "v_pos", "v > 0")
+    // the patch stages into _patches (a different table root with no
+    // constraints of its own) — the main table's CHECK must bind anyway
+    val e = intercept[Exception] {
+      Tombstones.updateMor(spark, root, Seq("k"),
+        col("k") === 1L, Map("v" -> lit(-5L)))
+    }
+    assert(e.getMessage != null)
+    assert(!Tombstones.hasPending(root),
+      "a violating MOR update must commit NO patch")
+    assert(Tombstones.readActive(spark, root)
+      .filter(col("v") <= 0).count() == 0L)
+    // a legal MOR update lands, and purge folds it without tripping
+    // the main root's stage-time enforcement
+    assert(Tombstones.updateMor(spark, root, Seq("k"),
+      col("k") === 1L, Map("v" -> lit(99L))) == 1L)
+    Tombstones.purge(spark, root)
+    assert(VersionedTable.read(spark, root)
+      .filter(col("k") === 1L).head().getLong(1) == 99L)
+  }
+
+  test("constraint sidecar round-trips expressions with quotes and " +
+    "backslashes; setConstraints validates names") {
+    import spark.implicits._
+    val root = tmpRoot()
+    VersionedTable.overwrite(Seq((1L, "a")).toDF("k", "s"), root)
+    // an expression containing a double-quoted literal and a backslash
+    // escape — the escape-aware reader must round-trip it exactly (the
+    // old line parser truncated at the first escaped quote, yielding a
+    // garbage expression that made every later write throw)
+    val tricky = """s != "x\\y" AND s != 'q"z'"""
+    VersionedTable.setConstraints(root, Seq("s_ok" -> tricky))
+    assert(VersionedTable.constraints(root) == Map("s_ok" -> tricky),
+      "escaped quotes/backslashes must survive the sidecar round-trip")
+    // the table stays writable: the parsed expression compiles
+    VersionedTable.append(Seq((2L, "b")).toDF("k", "s"), root)
+    assert(VersionedTable.read(spark, root).count() == 2L)
+    // names are identifiers on BOTH public surfaces
+    intercept[IllegalArgumentException] {
+      VersionedTable.setConstraints(root, Seq("""bad"name""" -> "k > 0"))
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.addConstraint(spark, root, "also bad", "k > 0")
+    }
+  }
+
   test("GraftSql DDL: ADD CONSTRAINT ... CHECK (...) with nested " +
     "parens; violating SQL INSERT refused; DROP CONSTRAINT lifts") {
     import spark.implicits._
