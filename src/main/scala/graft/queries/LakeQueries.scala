@@ -1292,6 +1292,92 @@ object LakeQueries extends QueryModule {
         ORDER BY 1"""),
       bench = false),
 
+    // MERGE WHEN NOT MATCHED BY SOURCE (the Delta full-sync/mirror
+    // clause family, completing the three-way general merge): ONE
+    // statement — conditional matched UPDATE, INSERT of new keys,
+    // conditional by-source UPDATE (flag strayed 'F' rows 'X') and
+    // by-source DELETE of the remaining strays — lands as ONE atomic
+    // commit (one_commit_ok pins base+1). The by-source pruning set
+    // differs from the matched one (files holding unmatched rows must
+    // rewrite too — MergeActionsSpec pins the fully-matched-file
+    // no-rewrite row); the oracle replays the full three-family clause
+    // logic as LEFT JOIN + filtered carry + anti-join insert.
+    "q319_merge_by_source" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_mbys").resolve("t").toString
+        val name = "gsql_mbys"
+        graft.sources.VersionedTable.overwrite(
+          Tables(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice"))
+            .repartitionByRange(6, col("o_orderkey")),
+          root)
+        graft.sources.GraftSql.register(s, name, root)
+        val base = graft.sources.VersionedTable.latestVersion(root).get
+        graft.sources.GraftSql.execute(s,
+          s"""MERGE INTO $name AS t USING
+              (SELECT o_orderkey,
+                      CASE WHEN o_orderkey % 5 = 0
+                           THEN o_totalprice * 2
+                           ELSE o_totalprice END AS o_totalprice
+               FROM $name WHERE o_orderkey % 3 != 0
+               UNION ALL
+               SELECT o_orderkey + 5000000 AS o_orderkey, o_totalprice
+               FROM $name WHERE o_orderkey % 11 = 3) AS s
+              ON t.o_orderkey = s.o_orderkey
+              WHEN MATCHED AND s.o_totalprice != t.o_totalprice THEN
+                UPDATE SET o_totalprice = s.o_totalprice
+              WHEN NOT MATCHED THEN
+                INSERT (o_orderkey, o_orderstatus, o_totalprice)
+                VALUES (s.o_orderkey, 'Z', s.o_totalprice)
+              WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'F' THEN
+                UPDATE SET o_orderstatus = 'X'
+              WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+        val after = graft.sources.VersionedTable.latestVersion(root).get
+        graft.sources.GraftSql.execute(s,
+          s"""SELECT o_orderstatus, count(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DOUBLE) AS total
+              FROM $name GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+          .withColumn("one_commit_ok",
+            lit(if (after == base + 1) 1L else 0L))
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                      ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 3 != 0
+          UNION ALL
+          SELECT o_orderkey + 5000000 AS o_orderkey, o_totalprice
+          FROM orders WHERE o_orderkey % 11 = 3),
+        j AS (
+          SELECT t.o_orderkey, t.o_orderstatus,
+                 CASE WHEN s.o_orderkey IS NOT NULL
+                           AND s.o_totalprice != t.o_totalprice
+                      THEN s.o_totalprice
+                      ELSE t.o_totalprice END AS o_totalprice,
+                 s.o_orderkey IS NOT NULL AS m
+          FROM orders t LEFT JOIN s ON t.o_orderkey = s.o_orderkey),
+        kept AS (
+          SELECT o_orderkey,
+                 CASE WHEN NOT m AND o_orderstatus = 'F' THEN 'X'
+                      ELSE o_orderstatus END AS o_orderstatus,
+                 o_totalprice
+          FROM j WHERE m OR o_orderstatus = 'F'),
+        ins AS (
+          SELECT s.o_orderkey, 'Z' AS o_orderstatus, s.o_totalprice
+          FROM s
+          WHERE NOT EXISTS (SELECT 1 FROM orders t
+                            WHERE t.o_orderkey = s.o_orderkey)),
+        f AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total,
+               CAST(1 AS BIGINT) AS one_commit_ok
+        FROM f GROUP BY 1 ORDER BY 1"""),
+      bench = false),
+
     // OPTIMIZE compaction: four stats-carrying appends degenerate the
     // table into small files; compact() bin-packs them (range-clustered
     // on l_orderkey, stats recomputed), and the post-compaction

@@ -53,10 +53,13 @@ import org.apache.spark.sql.functions._
   *    THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *` — routes to
   *    [[VersionedTable.merge]] (the keyed upsert). The general form —
   *    `WHEN MATCHED [AND c] THEN UPDATE SET a = e, ...` (or `SET *`),
-  *    `WHEN MATCHED [AND c] THEN DELETE`, `WHEN NOT MATCHED [AND c]
-  *    THEN INSERT (cols) VALUES (exprs)` (or `INSERT *`), first true
-  *    clause wins in declared order — routes to
-  *    [[VersionedTable.mergeActions]];
+  *    `WHEN MATCHED [AND c] THEN DELETE`, `WHEN NOT MATCHED
+  *    [BY TARGET] [AND c] THEN INSERT (cols) VALUES (exprs)` (or
+  *    `INSERT *`), and the Delta full-sync family `WHEN NOT MATCHED
+  *    BY SOURCE [AND c] THEN UPDATE SET a = e, .../DELETE` (target
+  *    rows with no source match; conditions/SETs reference the target
+  *    only), first true clause wins in declared order per family —
+  *    routes to [[VersionedTable.mergeActions]];
   *    `s` is a registered/temp table name or a parenthesized
   *    subquery (aliased, so clause expressions can reference it).
   *    The ON condition must stay same-column equalities (it is the
@@ -396,7 +399,10 @@ object GraftSql {
           "ON <same-column equalities> then WHEN clauses — " +
           "WHEN MATCHED [AND c] THEN UPDATE SET */<assignments>, " +
           "WHEN MATCHED [AND c] THEN DELETE, " +
-          "WHEN NOT MATCHED [AND c] THEN INSERT */(cols) VALUES (exprs)")
+          "WHEN NOT MATCHED [BY TARGET] [AND c] THEN INSERT */(cols) " +
+          "VALUES (exprs), " +
+          "WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET " +
+          "<assignments>/DELETE")
       // [AS alias] ON <cond> WHEN ... — boundaries scanned quote-aware,
       // so an ON condition containing ' WHEN ' or ' ON ' in a string
       // literal parses whole
@@ -544,7 +550,16 @@ object GraftSql {
       val afterNot = if (neg) head.drop(3).trim else head
       require(afterNot.toUpperCase.startsWith("MATCHED"),
         s"MERGE clause must open WHEN [NOT] MATCHED: 'WHEN $c'")
-      val afterM = afterNot.drop("MATCHED".length).trim
+      val afterM0 = afterNot.drop("MATCHED".length).trim
+      // WHEN NOT MATCHED [BY TARGET | BY SOURCE]: BY TARGET is the
+      // explicit spelling of the plain insert family; BY SOURCE is the
+      // Delta full-sync family (target rows with no source match)
+      val (bySource, afterM) =
+        if (neg && afterM0.toUpperCase.matches("(?s)BY\\s+SOURCE\\b.*"))
+          (true, afterM0.drop(2).trim.drop("SOURCE".length).trim)
+        else if (neg && afterM0.toUpperCase.matches("(?s)BY\\s+TARGET\\b.*"))
+          (false, afterM0.drop(2).trim.drop("TARGET".length).trim)
+        else (false, afterM0)
       val cond =
         if (afterM.isEmpty) None
         else {
@@ -553,7 +568,19 @@ object GraftSql {
           Some(expr(afterM.drop(3).trim))
         }
       val au = action.toUpperCase
-      if (!neg && au.startsWith("UPDATE")) {
+      if (bySource && au.startsWith("UPDATE")) {
+        val setIdx = topLevelKeyword(action, "SET")
+        require(setIdx > 0, s"UPDATE action needs SET: '$action'")
+        val body = action.drop(setIdx + "SET".length).trim
+        require(body != "*",
+          "BY SOURCE UPDATE needs an explicit SET list — there is no " +
+            "source row to take SET * values from")
+        UpdateBySource(cond, parseSets(body))
+      } else if (bySource && au == "DELETE") DeleteBySource(cond)
+      else if (bySource) sys.error(
+        s"WHEN NOT MATCHED BY SOURCE supports UPDATE SET/DELETE only: " +
+          s"'WHEN $c'")
+      else if (!neg && au.startsWith("UPDATE")) {
         val setIdx = topLevelKeyword(action, "SET")
         require(setIdx > 0, s"UPDATE action needs SET: '$action'")
         val body = action.drop(setIdx + "SET".length).trim
@@ -588,8 +615,8 @@ object GraftSql {
           Insert(cond, cols.zip(exprs).toMap)
         }
       } else sys.error(
-        s"unsupported MERGE action (UPDATE SET needs MATCHED, INSERT " +
-          s"needs NOT MATCHED): 'WHEN $c'")
+        s"unsupported MERGE action (UPDATE SET/DELETE need MATCHED or " +
+          s"NOT MATCHED BY SOURCE, INSERT needs NOT MATCHED): 'WHEN $c'")
     }
   }
 
@@ -684,6 +711,9 @@ object GraftSql {
       case VersionedTable.MergeClause.Insert(c, vs) =>
         VersionedTable.MergeClause.Insert(c,
           vs.map { case (k, e) => bare(k) -> e })
+      case VersionedTable.MergeClause.UpdateBySource(c, set) =>
+        VersionedTable.MergeClause.UpdateBySource(c,
+          set.map { case (k, e) => bare(k) -> e })
       case d => d
     }
     val v = VersionedTable.mergeActions(

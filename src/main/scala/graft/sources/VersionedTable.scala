@@ -2539,6 +2539,24 @@ object VersionedTable {
     final case class Insert(cond: Option[org.apache.spark.sql.Column],
                             values: Map[String, org.apache.spark.sql.Column])
         extends MergeClause
+    /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET ... —
+      * the Delta full-sync/mirror clause family: applies to TARGET
+      * rows with NO source match. `set` must be explicit (there is no
+      * `SET *` — no source row exists to take values from) and, like
+      * `cond`, may reference the TARGET alias only: the source side of
+      * an unmatched row is all-NULL, so a source reference could only
+      * ever be a bug (checked loudly at plan time). */
+    final case class UpdateBySource(
+        cond: Option[org.apache.spark.sql.Column],
+        set: Map[String, org.apache.spark.sql.Column])
+        extends MergeClause
+    /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE — drop target
+      * rows with no source match (the mirror idiom: one commit syncs
+      * the table to exactly the source snapshot). `cond` may reference
+      * the target alias only, as in [[UpdateBySource]]. */
+    final case class DeleteBySource(
+        cond: Option[org.apache.spark.sql.Column])
+        extends MergeClause
   }
 
   /** General MERGE (the Delta `whenMatched(cond).update/delete` +
@@ -2549,7 +2567,10 @@ object VersionedTable {
     *    order) whose condition is TRUE — update or delete; no clause
     *    true → the row carries unchanged (NULL conditions are not
     *    true, SQL semantics);
-    *  - unmatched target rows always carry;
+    *  - unmatched target rows take the FIRST not-matched-BY-SOURCE
+    *    clause whose condition is TRUE (update or delete — the Delta
+    *    full-sync clause family); none declared or none true → they
+    *    carry unchanged;
     *  - unmatched SOURCE rows insert iff the not-matched clause's
     *    condition passes; no insert clause → they are dropped;
     *  - a source row whose key matches MULTIPLE target rows applies to
@@ -2568,7 +2589,19 @@ object VersionedTable {
     * conjunction — the pruning key, as in [[merge]]. Updated/inserted
     * values CAST to the table column types ([[update]]'s rule).
     * Returns the committed version (the base version unchanged when
-    * the statement is a complete no-op). */
+    * the statement is a complete no-op).
+    *
+    * BY SOURCE clauses change the PRUNING SET, not the mechanics: the
+    * files that must rewrite are those holding a matched key (matched
+    * clauses) UNION those holding at least one row with NO source
+    * match (by-source clauses) — one combined probe pass computes
+    * both. A full mirror (`DELETE` by source over a disjoint
+    * snapshot) therefore rewrites every file, which is what the
+    * statement means; a trickle-sync whose source covers most keys
+    * rewrites only the files holding strays. When NO matched clause
+    * needs source VALUES (by-source/insert-only merges), the rewrite
+    * joins the distinct source KEYS instead of the source rows — a
+    * duplicate-keyed source cannot duplicate carried target rows. */
   def mergeActions(spark: SparkSession, root: String, source: DataFrame,
                    keyCols: Seq[String], clauses: Seq[MergeClause],
                    targetAlias: String = "t", sourceAlias: String = "s",
@@ -2578,12 +2611,22 @@ object VersionedTable {
     require(clauses.nonEmpty, "MERGE needs at least one action clause")
     require(clauses.count(_.isInstanceOf[Update]) <= 1 &&
       clauses.count(_.isInstanceOf[Delete]) <= 1 &&
-      clauses.count(_.isInstanceOf[Insert]) <= 1,
-      "at most one UPDATE, one DELETE and one INSERT clause")
+      clauses.count(_.isInstanceOf[Insert]) <= 1 &&
+      clauses.count(_.isInstanceOf[UpdateBySource]) <= 1 &&
+      clauses.count(_.isInstanceOf[DeleteBySource]) <= 1,
+      "at most one clause of each kind (matched UPDATE/DELETE, " +
+        "not-matched INSERT, by-source UPDATE/DELETE)")
     require(targetAlias != sourceAlias,
       s"target and source aliases must differ, got '$targetAlias' twice")
-    val matchedClauses = clauses.filter(!_.isInstanceOf[Insert])
+    val matchedClauses = clauses.filter(c =>
+      c.isInstanceOf[Update] || c.isInstanceOf[Delete])
+    val bySourceClauses = clauses.filter(c =>
+      c.isInstanceOf[UpdateBySource] || c.isInstanceOf[DeleteBySource])
     val insertClause = clauses.collectFirst { case i: Insert => i }
+    bySourceClauses.collectFirst { case u: UpdateBySource => u }.foreach(u =>
+      require(u.set.nonEmpty,
+        "BY SOURCE UPDATE needs an explicit SET list (there is no " +
+          "source row to take `SET *` values from)"))
     // pinned ONCE: the dup-key guard, the key probe, the matched join
     // and the insert anti-join must all see the SAME rows across every
     // commit retry (and a large SELECT source must not re-run per use)
@@ -2613,15 +2656,67 @@ object VersionedTable {
       insertClause.foreach(i => i.values.keys.foreach(k =>
         require(outCols.exists(_.equalsIgnoreCase(k)),
           s"INSERT column '$k' not in table")))
-      // phase 1 (prune): files containing a matched key — the ONLY
-      // full-table pass, column-pruned to the keys + file metadata
-      val touchedNames = target
-        .withColumn("__file", col("_metadata.file_path"))
-        .join(srcKeys, keyCols, "left_semi")
-        .select(col("__file")).distinct()
-        .collect().map(_.getString(0).split('/').last).toSet
+      bySourceClauses.collectFirst { case u: UpdateBySource => u }
+        .foreach(u => u.set.keys.foreach(k =>
+          require(outCols.exists(_.equalsIgnoreCase(k)),
+            s"BY SOURCE SET column '$k' not in table")))
+      // BY SOURCE clauses act on rows with NO source match — the
+      // source side is all-NULL there, so a source reference could
+      // only ever evaluate over NULLs (a silent-wrong-answer trap:
+      // `s.x IS NULL` would be vacuously true). Refuse SEMANTICALLY:
+      // each by-source condition/SET expression must resolve against
+      // the TARGET columns alone (plan-time analysis of an empty
+      // aliased frame — no job runs; this also catches misspelled
+      // columns with the clause named, before any file is staged).
+      if (bySourceClauses.nonEmpty) {
+        val probe = target.limit(0).alias(targetAlias)
+        bySourceClauses.foreach { cl =>
+          val exprs = cl.cond.toSeq ++ (cl match {
+            case u: UpdateBySource => u.set.values.toSeq
+            case _ => Seq.empty
+          })
+          exprs.foreach { c =>
+            try { probe.select(c).queryExecution.analyzed; () }
+            catch {
+              case e: org.apache.spark.sql.AnalysisException =>
+                throw new IllegalArgumentException(
+                  "BY SOURCE clauses may reference the target only — " +
+                    "the source side of an unmatched row is all-NULL " +
+                    s"(failed to resolve against the target: ${e.getMessage})")
+            }
+          }
+        }
+      }
+      // phase 1 (prune): the ONLY full-table pass, column-pruned to
+      // the keys + file metadata. Without by-source clauses: files
+      // containing a matched key (semi-join, as merge()). With them,
+      // the pruning set is genuinely DIFFERENT — by-source clauses
+      // rewrite files holding at least one row with NO source match —
+      // so ONE combined outer-join pass computes both per-file flags
+      // (two separate probes would double-read the table).
+      val (matchedNames, unmatchedNames): (Set[String], Set[String]) =
+        if (bySourceClauses.isEmpty) {
+          val m = target
+            .withColumn("__file", col("_metadata.file_path"))
+            .join(srcKeys, keyCols, "left_semi")
+            .select(col("__file")).distinct()
+            .collect().map(_.getString(0).split('/').last).toSet
+          (m, Set.empty)
+        } else {
+          val rows = target
+            .withColumn("__file", col("_metadata.file_path"))
+            .join(srcKeys.withColumn("__graft_m", lit(true)),
+              keyCols, "left_outer")
+            .groupBy(col("__file"))
+            .agg(max(col("__graft_m").isNotNull.cast("int")).as("__m"),
+              max(col("__graft_m").isNull.cast("int")).as("__u"))
+            .collect()
+          def names(i: Int) = rows.filter(_.getInt(i) == 1)
+            .map(_.getString(0).split('/').last).toSet
+          (names(1), names(2))
+        }
       val touched0 =
-        files.filter(f => touchedNames.contains(pathOf(f).split('/').last))
+        files.filter(f => matchedNames.contains(pathOf(f).split('/').last))
       // matched keys for the insert anti-join: every matched key's
       // rows live in a touched file by construction, so the probe
       // reads only those files, key columns only
@@ -2641,42 +2736,74 @@ object VersionedTable {
           s"MERGE source has multiple rows per key ${keyCols.mkString(",")} " +
             "matching the same target row — deduplicate the source")
       }
-      // phase 2 (rewrite) — skipped wholesale for insert-only merges
-      val rewriteFiles = if (matchedClauses.isEmpty) Seq.empty else touched0
+      // phase 2 (rewrite) — skipped wholesale for insert-only merges;
+      // the rewrite set is matched files (matched clauses) UNION
+      // unmatched-row files (by-source clauses)
+      val rewriteNames =
+        (if (matchedClauses.isEmpty) Set.empty[String] else matchedNames) ++
+          (if (bySourceClauses.isEmpty) Set.empty[String] else unmatchedNames)
+      val rewriteFiles =
+        files.filter(f => rewriteNames.contains(pathOf(f).split('/').last))
       val touchedPart: Option[DataFrame] =
         if (rewriteFiles.isEmpty) None
         else {
           val t = readLinesDeclared(spark, root, base, rewriteFiles).alias(targetAlias)
-          val s = src0.withColumn("__graft_m", lit(true)).alias(sourceAlias)
+          // matched clauses may reference source VALUES; without any,
+          // join the distinct KEYS instead — a duplicate-keyed source
+          // must not duplicate carried target rows (the dup guard only
+          // arms when a matched clause exists)
+          val srcSide = if (matchedClauses.nonEmpty) src0 else srcKeys
+          val s = srcSide.withColumn("__graft_m", lit(true)).alias(sourceAlias)
           val joinCond = keyCols.map(k =>
             col(s"$targetAlias.$k") === col(s"$sourceAlias.$k"))
             .reduce(_ && _)
           val j = t.join(s, joinCond, "left_outer")
           val isMatched = col("__graft_m").isNotNull
-          // first-true-clause guards, declared order
+          // first-true-clause guards, declared order — each family
+          // (matched / by-source) sequences independently: a row is in
+          // exactly one family by construction
           val guards: Seq[(MergeClause, org.apache.spark.sql.Column)] =
             matchedClauses.zipWithIndex.map { case (cl, i) =>
               val notPrev = matchedClauses.take(i).map(p => !condOf(p.cond))
               (cl, (Seq(isMatched, condOf(cl.cond)) ++ notPrev)
                 .reduce(_ && _))
             }
-          val delGuard = guards.collectFirst { case (_: Delete, g) => g }
-            .getOrElse(lit(false))
+          val guardsB: Seq[(MergeClause, org.apache.spark.sql.Column)] =
+            bySourceClauses.zipWithIndex.map { case (cl, i) =>
+              val notPrev = bySourceClauses.take(i).map(p => !condOf(p.cond))
+              (cl, (Seq(!isMatched, condOf(cl.cond)) ++ notPrev)
+                .reduce(_ && _))
+            }
+          val delGuard =
+            (guards.collectFirst { case (_: Delete, g) => g } ++
+              guardsB.collectFirst { case (_: DeleteBySource, g) => g })
+              .reduceOption(_ || _).getOrElse(lit(false))
           val updGuard = guards.collectFirst { case (u: Update, g) => (u, g) }
+          val updBGuard =
+            guardsB.collectFirst { case (u: UpdateBySource, g) => (u, g) }
           val kept = j.filter(!delGuard)
           Some(kept.select(outCols.map { c =>
             val tc = col(s"$targetAlias.$c")
-            updGuard match {
-              case Some((u, g)) =>
-                val newV =
-                  if (u.set.isEmpty) col(s"$sourceAlias.$c")
-                  else u.set.collectFirst {
-                    case (k, v) if k.equalsIgnoreCase(c) => v
-                  }.getOrElse(tc)
-                when(g, newV).otherwise(tc)
-                  .cast(schema(c).dataType).as(c)
-              case None => tc.as(c)
+            val matchedCase = updGuard.map { case (u, g) =>
+              val newV =
+                if (u.set.isEmpty) col(s"$sourceAlias.$c")
+                else u.set.collectFirst {
+                  case (k, v) if k.equalsIgnoreCase(c) => v
+                }.getOrElse(tc)
+              g -> newV
             }
+            val bySourceCase = updBGuard.flatMap { case (u, g) =>
+              u.set.collectFirst {
+                case (k, v) if k.equalsIgnoreCase(c) => g -> v
+              }
+            }
+            val cases = matchedCase.toSeq ++ bySourceCase.toSeq
+            if (cases.isEmpty) tc.as(c)
+            else cases.tail
+              .foldLeft(when(cases.head._1, cases.head._2)) {
+                case (acc, (g, v)) => acc.when(g, v)
+              }
+              .otherwise(tc).cast(schema(c).dataType).as(c)
           }: _*))
         }
       val insertPart: Option[DataFrame] = insertClause.map { ins =>

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
-import graft.sources.VersionedTable.MergeClause.{Delete, Insert, Update}
+import graft.sources.VersionedTable.MergeClause.{Delete, DeleteBySource, Insert, Update, UpdateBySource}
 
 /** [[VersionedTable.mergeActions]] — the general (conditional) MERGE:
   * first-true-clause precedence, NULL conditions not-true, unmatched
@@ -161,6 +161,118 @@ class MergeActionsSpec extends SparkSuite {
     assert(sch("v").dataType == org.apache.spark.sql.types.LongType)
     val st = stateOf(root)
     assert(st(1L) == ("a", 7L) && st(30L)._2 == 3L)
+  }
+
+  test("BY SOURCE full mirror: matched update + insert + by-source " +
+    "delete sync the table to the source in ONE commit") {
+    import spark.implicits._
+    val root = freshTable() // k 1..6
+    val base = VersionedTable.latestVersion(root).get
+    // snapshot: keeps 2 and 4 (2 changed), adds 9 — everything else goes
+    val snap = Seq((2L, "B", 200L), (4L, "d", 40L), (9L, "i", 90L))
+      .toDF("k", "s", "v")
+    val v = VersionedTable.mergeActions(spark, root, snap, Seq("k"), Seq(
+      Update(None, Map.empty),  // SET * — replace matched rows
+      Insert(None, Map.empty),
+      DeleteBySource(None)))
+    assert(v == base + 1, "the mirror is ONE atomic commit")
+    val st = stateOf(root)
+    assert(st == Map(2L -> ("B", 200L), 4L -> ("d", 40L),
+      9L -> ("i", 90L)), s"table must equal the snapshot, got $st")
+  }
+
+  test("BY SOURCE conditional update + delete: first-true precedence " +
+    "within the by-source family; matched rows untouched by it") {
+    import spark.implicits._
+    val root = freshTable()
+    val src = Seq((1L, "a", 10L)).toDF("k", "s", "v") // only k=1 matches
+    VersionedTable.mergeActions(spark, root, src, Seq("k"), Seq(
+      // unmatched rows with v < 35: flag; others: delete. k=2,3 (20,30)
+      // flag; k=4,5,6 (40,50,60) delete; k=1 matched → carries.
+      UpdateBySource(Some(expr("t.v < 35")), Map("s" -> lit("stray"))),
+      DeleteBySource(None)))
+    val st = stateOf(root)
+    assert(st == Map(1L -> ("a", 10L), 2L -> ("stray", 20L),
+      3L -> ("stray", 30L)), s"got $st")
+  }
+
+  test("BY SOURCE pruning set: a file whose keys ALL match must not " +
+    "rewrite under by-source-only clauses; only stray-holding files do") {
+    import spark.implicits._
+    val root = freshTable() // 2 range files: k 1..3 and k 4..6
+    val before = VersionedTable.read(spark, root)
+      .withColumn("f", col("_metadata.file_path"))
+      .select("k", "f").collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    // source covers ALL of file 1 (k=1,2,3) and part of file 2
+    val src = Seq(1L, 2L, 3L, 4L).toDF("k")
+    VersionedTable.mergeActions(spark, root, src, Seq("k"), Seq(
+      DeleteBySource(None)))
+    val after = VersionedTable.read(spark, root)
+      .withColumn("f", col("_metadata.file_path"))
+      .select("k", "f").collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(after.keySet == Set(1L, 2L, 3L, 4L))
+    assert(after(1L) == before(1L) && after(2L) == before(2L),
+      "the fully-matched file must carry byte-identical (no rewrite)")
+    assert(after(4L) != before(4L),
+      "the stray-holding file must rewrite")
+  }
+
+  test("BY SOURCE clauses refuse source references; BY SOURCE UPDATE " +
+    "refuses an empty SET; duplicate source keys are tolerated when no " +
+    "matched clause exists") {
+    import spark.implicits._
+    val root = freshTable()
+    val src = Seq((1L, "z", 1L)).toDF("k", "s", "v")
+    val eRef = intercept[IllegalArgumentException] {
+      VersionedTable.mergeActions(spark, root, src, Seq("k"), Seq(
+        DeleteBySource(Some(expr("s.v IS NULL")))))
+    }
+    assert(eRef.getMessage.contains("reference the target only"))
+    val eSet = intercept[IllegalArgumentException] {
+      VersionedTable.mergeActions(spark, root, src, Seq("k"), Seq(
+        UpdateBySource(None, Map.empty)))
+    }
+    assert(eSet.getMessage.contains("explicit SET"))
+    // dup-keyed source + by-source-only clauses: carried matched rows
+    // must NOT duplicate (the rewrite joins distinct keys)
+    val dup = Seq((1L, "p", 1L), (1L, "q", 2L), (2L, "r", 3L))
+      .toDF("k", "s", "v")
+    VersionedTable.mergeActions(spark, root, dup, Seq("k"), Seq(
+      DeleteBySource(Some(expr("t.k >= 5")))))
+    val st = stateOf(root)
+    assert(st.keySet == Set(1L, 2L, 3L, 4L) &&
+      st(1L) == ("a", 10L),
+      s"matched rows carry ONCE under a dup-keyed source, got $st")
+  }
+
+  test("SQL surface: WHEN NOT MATCHED BY SOURCE THEN UPDATE/DELETE " +
+    "parse and execute; BY TARGET is the plain-insert alias") {
+    import spark.implicits._
+    val root = freshTable()
+    val name = s"gma_${math.abs(root.hashCode)}"
+    GraftSql.register(spark, name, root)
+    Seq((2L, "B", 200L), (9L, "i", 90L)).toDF("k", "s", "v")
+      .createOrReplaceTempView(s"${name}_src")
+    GraftSql.execute(spark,
+      s"""MERGE INTO $name AS t USING ${name}_src AS s ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED BY TARGET THEN INSERT *
+          WHEN NOT MATCHED BY SOURCE AND t.v < 45 THEN UPDATE SET
+            t.s = 'old'
+          WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    val st = stateOf(root)
+    assert(st == Map(2L -> ("B", 200L), 9L -> ("i", 90L),
+      1L -> ("old", 10L), 3L -> ("old", 30L), 4L -> ("old", 40L)),
+      s"got $st")
+    // a by-source clause referencing the source alias is refused loudly
+    val e = intercept[Exception] {
+      GraftSql.execute(spark,
+        s"""MERGE INTO $name AS t USING ${name}_src AS s ON t.k = s.k
+            WHEN NOT MATCHED BY SOURCE AND s.v IS NULL THEN DELETE""")
+    }
+    assert(e.getMessage.contains("reference the target only"))
   }
 
   test("optimistic retry: a racing append loses nothing — the merge " +
