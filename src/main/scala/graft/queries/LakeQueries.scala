@@ -1378,6 +1378,75 @@ object LakeQueries extends QueryModule {
         FROM f GROUP BY 1 ORDER BY 1"""),
       bench = false),
 
+    // ALTER TABLE RENAME/DROP COLUMN (the Delta column-mapping role):
+    // both are METADATA-ONLY commits — files_ok pins the identical
+    // file listing across both ALTERs (zero data moved at any table
+    // size). The renamed column serves the original physical data
+    // (filters on it still prune — ColumnMappingSpec pins the
+    // file-count), version 0 time-travels with its OLD name
+    // (old_names_ok), a re-added same-name column maps to a FRESH
+    // physical slot so dropped data never resurrects
+    // (no_resurrect_ok), and an INSERT through the SQL surface lands
+    // in the physical slot under the logical name. The oracle replays
+    // the surviving statement stream over the original column names.
+    "q320_column_mapping" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_cmap").resolve("t").toString
+        val name = "gsql_cmap"
+        graft.sources.VersionedTable.overwrite(
+          Tables(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice"))
+            .repartitionByRange(6, col("o_orderkey")),
+          root)
+        graft.sources.GraftSql.register(s, name, root)
+        val files0 = graft.sources.VersionedTable.listingPaths(root, 0L)
+        graft.sources.GraftSql.execute(s,
+          s"ALTER TABLE $name RENAME COLUMN o_totalprice TO price")
+        graft.sources.GraftSql.execute(s,
+          s"ALTER TABLE $name DROP COLUMN o_orderstatus")
+        val v2 = graft.sources.VersionedTable.latestVersion(root).get
+        val filesOk =
+          graft.sources.VersionedTable.listingPaths(root, v2) == files0
+        val oldNamesOk = graft.sources.VersionedTable
+          .readVersion(s, root, 0L).columns.toSeq ==
+          Seq("o_orderkey", "o_orderstatus", "o_totalprice")
+        // re-add the dropped name: fresh physical slot, all NULL
+        graft.sources.VersionedTable.alterAddColumns(s, root,
+          Seq(org.apache.spark.sql.types.StructField("o_orderstatus",
+            org.apache.spark.sql.types.StringType, nullable = true)))
+        val resurrected = graft.sources.VersionedTable.read(s, root)
+          .filter(col("o_orderstatus").isNotNull).count()
+        // write through the mapped surface
+        graft.sources.GraftSql.execute(s,
+          s"INSERT INTO $name (o_orderkey, price) VALUES (9000001, 123.45)")
+        graft.sources.GraftSql.execute(s,
+          s"""SELECT o_orderkey % 3 AS grp, count(*) AS n,
+                     CAST(SUM(CAST(price AS DECIMAL(18,2)))
+                       AS DOUBLE) AS total
+              FROM $name GROUP BY o_orderkey % 3 ORDER BY grp""")
+          .withColumn("files_ok", lit(if (filesOk) 1L else 0L))
+          .withColumn("old_names_ok", lit(if (oldNamesOk) 1L else 0L))
+          .withColumn("no_resurrect_ok",
+            lit(if (resurrected == 0L) 1L else 0L))
+      },
+      oracle = Some("""
+        WITH t1 AS (
+          SELECT o_orderkey, o_totalprice AS price FROM orders
+          UNION ALL
+          SELECT 9000001, 123.45),
+        f AS (
+          SELECT o_orderkey % 3 AS grp, COUNT(*) AS n,
+                 CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total
+          FROM t1 GROUP BY 1)
+        SELECT grp, n, total,
+               CAST(1 AS BIGINT) AS files_ok,
+               CAST(1 AS BIGINT) AS old_names_ok,
+               CAST(1 AS BIGINT) AS no_resurrect_ok
+        FROM f ORDER BY grp"""),
+      bench = false),
+
     // OPTIMIZE compaction: four stats-carrying appends degenerate the
     // table into small files; compact() bin-packs them (range-clustered
     // on l_orderkey, stats recomputed), and the post-compaction

@@ -171,6 +171,16 @@ object GraftSql {
   private val DropConstraintSql =
     ("""(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+""" +
       """CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
+  // Column-lifecycle DDL (the Delta column-mapping role — metadata-only
+  // commits, zero files moved): DROP COLUMN retires the physical slot,
+  // RENAME COLUMN pins it under the new logical name
+  private val DropColumnSql =
+    ("""(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+""" +
+      """COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
+  private val RenameColumnSql =
+    ("""(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+RENAME\s+""" +
+      """COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
   // Maintenance verbs (the Delta OPTIMIZE / VACUUM / DESCRIBE HISTORY
   // SQL surface): ZORDER BY columns are bare identifiers (validated),
   // so a regex paren capture is safe here
@@ -306,6 +316,12 @@ object GraftSql {
       VersionedTable.dropConstraint(rootOf(t), n)
       result(spark, "DROP CONSTRAINT", t,
         VersionedTable.latestVersion(rootOf(t)).getOrElse(-1L), -1L)
+    case DropColumnSql(t, c) =>
+      val v = VersionedTable.alterDropColumn(spark, rootOf(t), c)
+      result(spark, "DROP COLUMN", t, v, -1L)
+    case RenameColumnSql(t, from, to) =>
+      val v = VersionedTable.alterRenameColumn(spark, rootOf(t), from, to)
+      result(spark, "RENAME COLUMN", t, v, -1L)
     case OptimizeSql(t, zcols) =>
       val root = rootOf(t)
       val v =

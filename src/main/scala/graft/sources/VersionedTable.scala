@@ -389,11 +389,30 @@ object VersionedTable {
     * (faithful for integral types only — the reader prunes on it only
     * for those). Columns whose stats come back null (all-null in that
     * file) are omitted from that file's line and never skipped on. */
+  /** Remap caller-LOGICAL column names onto the staged files' PHYSICAL
+    * names: a name already present in the staged schema passes through
+    * (unmapped tables, overwrite batches — which stage un-renamed);
+    * otherwise the table's latest mapping resolves it, so manifest
+    * stats stay keyed exactly as the pruning filters arrive (physical,
+    * post-alias pushdown). */
+  private def remapToPhysical(staged: org.apache.spark.sql.types.StructType,
+                              cols: Seq[String], root: String): Seq[String] = {
+    if (cols.isEmpty || !isColumnMapped(root)) return cols
+    lazy val m = mappingFor(root)
+    cols.map(c =>
+      if (staged.fieldNames.contains(c)) c else m.getOrElse(c.toLowerCase, c))
+  }
+
   private def statLines(spark: SparkSession, staged: Seq[String],
-                        statsCols: Seq[String]): Seq[String] = {
+                        statsCols0: Seq[String], root: String): Seq[String] = {
     if (staged.isEmpty) return staged
     import org.apache.spark.sql.types._
     val relation = spark.read.parquet(staged: _*)
+    // column-mapping: staged files carry PHYSICAL names; a caller's
+    // logical stats column is remapped exactly when the staged schema
+    // lacks it and the table's mapping has it (overwrite batches,
+    // which stage un-mapped, match the first branch and pass through)
+    val statsCols = remapToPhysical(relation.schema, statsCols0, root)
     val kind: Map[String, Char] = statsCols.map { c =>
       c -> relation.schema.find(_.name == c).map(_.dataType match {
         case StringType => 's'
@@ -469,9 +488,11 @@ object VersionedTable {
     * column is entirely null records NO sum (conservative — callers of
     * [[sumTotal]] get `None` rather than a wrong total). */
   private def sumLines(spark: SparkSession, lines: Seq[String],
-                       sumCols: Seq[String]): Seq[String] = {
-    if (lines.isEmpty || sumCols.isEmpty) return lines
+                       sumCols0: Seq[String], root: String): Seq[String] = {
+    if (lines.isEmpty || sumCols0.isEmpty) return lines
     val paths = lines.map(_.split('\t').head)
+    val sumCols = remapToPhysical(
+      spark.read.parquet(paths: _*).schema, sumCols0, root)
     val aggs = sumCols.map(c => sum(col(c).cast("long")).as(s"__s_$c"))
     val byName = spark.read.parquet(paths: _*)
       .groupBy(col("_metadata.file_path").as("__p"))
@@ -690,8 +711,47 @@ object VersionedTable {
     * writers racing toward the same version must never stage onto the
     * same path, or the commit loser's cleanup would delete the winner's
     * data (exactly the Delta/Iceberg convention of UUID part files). */
-  private def stageDataFiles(df0: DataFrame, root: String, v: Long): Seq[String] = {
-    val df = enforceConstraints(df0, root)
+  /** Rename a batch's LOGICAL column names to the table's PHYSICAL
+    * storage names before staging (no-op for unmapped tables — one
+    * file-exists probe). Columns outside the declaration stage under
+    * their own name (schema evolution by append), EXCEPT retired names:
+    * adopting one would resurrect dropped/renamed column data into
+    * every file that still physically carries it. */
+  private def toPhysicalStage(df: DataFrame, root: String): DataFrame = {
+    if (!isColumnMapped(root)) return df
+    val decl = latestVersion(root).flatMap(v =>
+      readSchemaSidecar(root, v).orElse(declaredSchemaAt(root, v)))
+    // logical → physical (non-identity entries only)
+    val m = decl.map(_.fields.iterator.collect {
+      case f if physicalName(f) != f.name =>
+        f.name.toLowerCase -> physicalName(f)
+    }.toMap).getOrElse(Map.empty)
+    // a declared LOGICAL name is always legal to stage — including a
+    // name an `overwrite` re-legitimized after an old DROP (the full
+    // rewrite evicted every file that physically carried the old data,
+    // so the registry entry no longer bites the current world)
+    val declaredLogical = decl.map(_.fieldNames.map(_.toLowerCase).toSet)
+      .getOrElse(Set.empty)
+    val retired = retiredColumns(root)
+    val livePhys = m.values.map(_.toLowerCase).toSet
+    df.columns.foreach { c =>
+      val cl = c.toLowerCase
+      require(declaredLogical.contains(cl) ||
+        (!retired.contains(cl) && !livePhys.contains(cl)),
+        s"column '$c' names a retired or remapped physical slot " +
+          "(a previous DROP/RENAME COLUMN) — old file data would " +
+          "resurrect under it; ALTER ADD COLUMNS first (it assigns a " +
+          "fresh physical slot) or pick another name")
+    }
+    if (m.isEmpty) df
+    else df.select(df.columns.map(c =>
+      col(c).as(m.getOrElse(c.toLowerCase, c))): _*)
+  }
+
+  private def stageDataFiles(df0: DataFrame, root: String, v: Long,
+                             mapNames: Boolean = true): Seq[String] = {
+    val df1 = enforceConstraints(df0, root)
+    val df = if (mapNames) toPhysicalStage(df1, root) else df1
     // a Hive-partitioned table's values live in the PATH; flat staging
     // would commit files whose partition columns read back NULL (and a
     // partition filter would silently prune the new rows away). Refuse
@@ -826,8 +886,8 @@ object VersionedTable {
     * commit conflict only means renumbering — the staged files are
     * reused as-is. Records [[autoStatsCols]] stats by default. */
   def overwrite(df: DataFrame, root: String): Long = {
-    val staged = stageDataFiles(df, root, nextVersion(root))
-    val lines = statLines(df.sparkSession, staged, autoStatsCols(df))
+    val staged = stageDataFiles(df, root, nextVersion(root), mapNames = false)
+    val lines = statLines(df.sparkSession, staged, autoStatsCols(df), root)
     val v = commitWithRetry(root, maxRetries = 5)(_ => lines)
     if (staged.isEmpty) writeEmptySchemaSidecar(root, v, df.schema)
     v
@@ -858,6 +918,252 @@ object VersionedTable {
       Files.move(tmp, new File(root, s"_schema.v$v.json").toPath,
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     } catch { case _: java.io.IOException => () }
+  }
+
+  // ---------------------------------------------------------------
+  // COLUMN MAPPING (the Delta column-mapping role): DROP/RENAME COLUMN
+  // are metadata-only commits. Each declared field may carry the
+  // PHYSICAL column name (the name data files actually store) in its
+  // StructField metadata under [[PhysicalKey]]; logical == physical
+  // when the metadata is absent (every pre-mapping table, zero
+  // overhead). A RENAME changes the LOGICAL name and pins the physical
+  // one; a DROP removes the field from the declaration and RETIRES its
+  // physical name in the `_retired_cols` registry so (a) footer sweeps
+  // never resurrect it into the schema and (b) a re-added column of
+  // the same name gets a FRESH physical slot — old data stays
+  // invisible forever. Readers project physical → logical at plan
+  // time (filters push through the aliases, so manifest pruning keeps
+  // working against the physically-keyed stats); writers rename
+  // logical → physical at the staging choke points; COW rewrites
+  // drop retired physical data from the files they re-stage. The
+  // registry file doubles as the mode flag: absent (the common case)
+  // means every mapping code path is a no-op probe.
+  // ---------------------------------------------------------------
+
+  /** StructField-metadata key carrying a column's PHYSICAL name. */
+  val PhysicalKey = "graft.physical"
+
+  private def retiredColsFile(root: String) = new File(root, "_retired_cols")
+  private val retiredLock = new Object
+
+  /** The PHYSICAL column name of a declared field (its own name unless
+    * a rename pinned the original storage name in the metadata). */
+  def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
+  /** Physical column names RETIRED by DROP/RENAME (lower-cased):
+    * possibly present in data files but banned from (re)entering the
+    * logical schema — by footer sweep or by a plain append. */
+  def retiredColumns(root: String): Set[String] = {
+    val f = retiredColsFile(root)
+    if (!f.exists()) Set.empty
+    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split('\n').map(_.trim).filter(_.nonEmpty).map(_.toLowerCase).toSet
+  }
+
+  /** True when the table has EVER dropped or renamed a column — the
+    * O(1) probe every mapping code path is gated on. */
+  def isColumnMapped(root: String): Boolean = retiredColsFile(root).exists()
+
+  /** Append names to the retired registry (creating it even for an
+    * empty batch — the file's EXISTENCE is the mapping-mode flag).
+    * Loud on IO failure: a lost retirement would let a later append or
+    * footer sweep resurrect dropped data. */
+  private def retireColumns(root: String, names: Seq[String]): Unit =
+    retiredLock.synchronized {
+      val merged = retiredColumns(root) ++ names.map(_.toLowerCase)
+      val tmp = Files.createTempFile(new File(root).toPath, "_retired", ".tmp")
+      Files.write(tmp, merged.toSeq.sorted.mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, retiredColsFile(root).toPath,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+
+  /** logical(lower-cased) → physical for every NON-identity mapping in
+    * the table's latest declaration; empty for unmapped tables (one
+    * file-exists probe) and after an `overwrite` (declaration
+    * boundary — a full rewrite starts a fresh logical=physical world). */
+  private[sources] def mappingFor(root: String): Map[String, String] = {
+    if (!isColumnMapped(root)) return Map.empty
+    latestVersion(root).flatMap(v =>
+      readSchemaSidecar(root, v).orElse(declaredSchemaAt(root, v))) match {
+      case Some(s) => s.fields.iterator.collect {
+        case f if physicalName(f) != f.name =>
+          f.name.toLowerCase -> physicalName(f)
+      }.toMap
+      case None => Map.empty
+    }
+  }
+
+  /** The table's logical schema at version `v` WITH mapping metadata:
+    * the version's sidecar, else the declaration walk-back, else one
+    * footer-sweeping read (which caches the sidecar for next time). */
+  private def logicalSchemaAt(spark: SparkSession, root: String,
+                              v: Long): org.apache.spark.sql.types.StructType =
+    readSchemaSidecar(root, v).orElse(declaredSchemaAt(root, v)).getOrElse {
+      val s = readVersion(spark, root, v).schema
+      readSchemaSidecar(root, v).getOrElse(s)
+    }
+
+  /** The LOGICAL data schema (mapping metadata included) governing
+    * version `v`'s files — the streaming source's per-batch view:
+    * `fallback` (the source-start schema; zero extra IO) for unmapped
+    * tables or when no declaration reaches `v`. */
+  def logicalDataSchemaFor(spark: SparkSession, root: String, v: Long,
+                           fallback: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    if (!isColumnMapped(root)) return fallback
+    val part = partitionSchema(root).fieldNames.toSet
+    readSchemaSidecar(root, v).orElse(declaredSchemaAt(root, v)) match {
+      case Some(s) => org.apache.spark.sql.types.StructType(
+        s.fields.filterNot(f => part.contains(f.name)))
+      case None => fallback
+    }
+  }
+
+  /** Word-boundary probe: does any stored CHECK constraint reference
+    * `name`? (The Delta stance — dropping/renaming a constrained
+    * column would make every later write throw on a broken
+    * expression.) */
+  private def constraintReferences(root: String, name: String): Option[String] =
+    constraints(root).collectFirst {
+      case (n, t) if ("(?i)(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(name) +
+          "(?![A-Za-z0-9_])").r.findFirstIn(t).isDefined => n
+    }
+
+  /** Metadata-only ALTER TABLE RENAME COLUMN (the Delta column-mapping
+    * role): commits a data-preserving empty delta whose schema sidecar
+    * carries the new LOGICAL name with the original PHYSICAL name
+    * pinned in the field metadata — zero files moved at any table
+    * size. Readers of this and later versions project the physical
+    * column under the new name; earlier versions time-travel with
+    * their old names (each version's sidecar is its own declaration).
+    * The old logical name is RETIRED when it names the physical slot,
+    * so a later ADD COLUMNS of the same name gets a fresh physical
+    * column and never resurrects the renamed data. Refused for
+    * partition columns (path-derived — a rename would need a directory
+    * rewrite), under pending MOR overlays (their frames carry the old
+    * names), and for columns referenced by CHECK constraints. */
+  def alterRenameColumn(spark: SparkSession, root: String,
+                        from: String, to: String,
+                        maxRetries: Int = 5): Long = {
+    import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructType}
+    require(to.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"new column name must be a bare identifier, got '$to'")
+    require(!from.equalsIgnoreCase(to), s"RENAME to the same name: '$from'")
+    require(!Tombstones.hasPending(root),
+      "RENAME COLUMN with pending MOR tombstones/patches would strand " +
+        "their old-name frames — purge() first")
+    constraintReferences(root, from).foreach(n => sys.error(
+      s"cannot rename $from: CHECK constraint $n references it — drop " +
+        "the constraint first"))
+    require(!partitionSchema(root).fieldNames.exists(_.equalsIgnoreCase(from)),
+      s"cannot rename partition column $from (values live in paths)")
+    var attempt = 0
+    while (true) {
+      val base = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
+      val fields = logicalSchemaAt(spark, root, base).fields
+      val f = fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
+        sys.error(s"no column $from in table at $root"))
+      require(!fields.exists(_.name.equalsIgnoreCase(to)),
+        s"column $to already exists in the table")
+      val phys = physicalName(f)
+      val renamed = fields.map { g =>
+        if (g.name.equalsIgnoreCase(from)) {
+          val md = new MetadataBuilder().withMetadata(
+            Metadata.fromJson(g.metadata.json))
+            .putString(PhysicalKey, phys).build()
+          g.copy(name = to, metadata = md)
+        } else g
+      }
+      val v = base + 1
+      val won =
+        try {
+          commitManifest(root, v,
+            deltaContent(Seq.empty, Seq.empty) :+ PreservingMarker)
+          true
+        } catch {
+          case e: java.nio.file.FileAlreadyExistsException =>
+            attempt += 1
+            if (attempt > maxRetries) throw e
+            false
+        }
+      if (won) {
+        // registry BEFORE sidecar: a crash in between leaves mapping
+        // mode on with an identity mapping (harmless); the reverse
+        // order could let an append adopt the freed name
+        retireColumns(root,
+          if (phys.equalsIgnoreCase(from)) Seq(from) else Seq.empty)
+        val tmp = Files.createTempFile(new File(root).toPath, "_schema", ".tmp")
+        Files.write(tmp,
+          StructType(renamed).json.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, new File(root, s"_schema.v$v.json").toPath,
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        maybeCheckpoint(root, v)
+        return v
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Metadata-only ALTER TABLE DROP COLUMN: a data-preserving empty
+    * delta whose sidecar declaration no longer carries the field; the
+    * PHYSICAL name is retired, so footer sweeps exclude the orphaned
+    * data and a later same-name ADD COLUMNS maps to a FRESH physical
+    * slot (old values never resurrect). The data itself stays in the
+    * files until COW rewrites/compaction re-stage them (the rewrite
+    * read projects retired columns away — dropped data erodes with
+    * table churn, exactly Delta's story before a VACUUM-style rewrite).
+    * Same refusals as [[alterRenameColumn]], plus the last data column
+    * (a table must keep at least one). */
+  def alterDropColumn(spark: SparkSession, root: String, name: String,
+                      maxRetries: Int = 5): Long = {
+    import org.apache.spark.sql.types.StructType
+    require(!Tombstones.hasPending(root),
+      "DROP COLUMN with pending MOR tombstones/patches would strand " +
+        "their full-schema frames — purge() first")
+    constraintReferences(root, name).foreach(n => sys.error(
+      s"cannot drop $name: CHECK constraint $n references it — drop " +
+        "the constraint first"))
+    val partNames = partitionSchema(root).fieldNames
+    require(!partNames.exists(_.equalsIgnoreCase(name)),
+      s"cannot drop partition column $name (values live in paths)")
+    var attempt = 0
+    while (true) {
+      val base = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
+      val fields = logicalSchemaAt(spark, root, base).fields
+      val f = fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        sys.error(s"no column $name in table at $root"))
+      require(fields.count(g =>
+        !partNames.exists(_.equalsIgnoreCase(g.name))) > 1,
+        s"cannot drop $name: it is the table's last data column")
+      val remaining = fields.filterNot(_.name.equalsIgnoreCase(name))
+      val v = base + 1
+      val won =
+        try {
+          commitManifest(root, v,
+            deltaContent(Seq.empty, Seq.empty) :+ PreservingMarker)
+          true
+        } catch {
+          case e: java.nio.file.FileAlreadyExistsException =>
+            attempt += 1
+            if (attempt > maxRetries) throw e
+            false
+        }
+      if (won) {
+        retireColumns(root, Seq(physicalName(f)))
+        val tmp = Files.createTempFile(new File(root).toPath, "_schema", ".tmp")
+        Files.write(tmp,
+          StructType(remaining).json.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, new File(root, s"_schema.v$v.json").toPath,
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        maybeCheckpoint(root, v)
+        return v
+      }
+    }
+    -1L // unreachable
   }
 
   /** Metadata-only ALTER TABLE ADD COLUMNS (the Delta role): commits a
@@ -891,9 +1197,10 @@ object VersionedTable {
     while (true) {
       val base = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
       // the CURRENT declared schema, through the scan machinery (the
-      // sidecar when present, else one cached footer sweep); partition
-      // columns surface LAST and stay last in the new declaration
-      val full = readVersion(spark, root, base).schema
+      // sidecar when present, else one cached footer sweep) — WITH its
+      // column-mapping metadata, which the new declaration must carry
+      // forward; partition columns surface LAST and stay last
+      val full = logicalSchemaAt(spark, root, base)
       val partNames = partitionSchema(root).fieldNames.toSet
       val dataFields = full.fields.filterNot(f => partNames.contains(f.name))
       val partFields = full.fields.filter(f => partNames.contains(f.name))
@@ -901,6 +1208,23 @@ object VersionedTable {
       adds.foreach(f => require(!haveNames.contains(f.name.toLowerCase),
         s"column ${f.name} already exists in the table"))
       val v = base + 1
+      // column-mapping: a re-added name whose PHYSICAL slot is retired
+      // (a previous DROP) or live under another logical column (the
+      // pre-rename storage name) maps to a FRESH physical slot —
+      // `<name>__r<v>` is unique because exactly one ALTER wins
+      // version v — so old file data NEVER resurrects into the new
+      // column (it reads typed NULL until writes fill it)
+      val retired = retiredColumns(root)
+      val livePhys = full.fields.map(f =>
+        physicalName(f).toLowerCase).toSet
+      val mappedAdds = adds.map { f =>
+        val taken = retired.contains(f.name.toLowerCase) ||
+          livePhys.contains(f.name.toLowerCase)
+        if (!taken) f
+        else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString(PhysicalKey, s"${f.name}__r$v").build())
+      }
       val won =
         try {
           commitManifest(root, v,
@@ -915,7 +1239,7 @@ object VersionedTable {
         }
       if (won) {
         // persist the declaration LOUDLY (no best-effort catch)
-        val declared = StructType(dataFields ++ adds ++ partFields)
+        val declared = StructType(dataFields ++ mappedAdds ++ partFields)
         val tmp = Files.createTempFile(
           new File(root).toPath, "_schema", ".tmp")
         Files.write(tmp, declared.json.getBytes(StandardCharsets.UTF_8))
@@ -936,8 +1260,8 @@ object VersionedTable {
     * ranges overlap and nothing skips. */
   def overwriteWithStats(df: DataFrame, root: String,
                          statsCols: String*): Long = {
-    val staged = stageDataFiles(df, root, nextVersion(root))
-    val lines = statLines(df.sparkSession, staged, statsCols)
+    val staged = stageDataFiles(df, root, nextVersion(root), mapNames = false)
+    val lines = statLines(df.sparkSession, staged, statsCols, root)
     commitWithRetry(root, maxRetries = 5)(_ => lines)
   }
 
@@ -946,7 +1270,7 @@ object VersionedTable {
   def appendWithStats(df: DataFrame, root: String,
                       statsCols: String*): Long = {
     val staged = stageDataFiles(df, root, nextVersion(root))
-    val lines = statLines(df.sparkSession, staged, statsCols)
+    val lines = statLines(df.sparkSession, staged, statsCols, root)
     val v = commitWithRetry(root, maxRetries = 5) { v =>
       if (v == 0) lines else deltaContent(Seq.empty, lines)
     }
@@ -962,7 +1286,7 @@ object VersionedTable {
                      statsCols: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
     val staged = stageDataFiles(df, root, nextVersion(root))
-    val lines = sumLines(spark, statLines(spark, staged, statsCols), sumCols)
+    val lines = sumLines(spark, statLines(spark, staged, statsCols, root), sumCols, root)
     val v = commitWithRetry(root, maxRetries = 5) { v =>
       if (v == 0) lines else deltaContent(Seq.empty, lines)
     }
@@ -1000,8 +1324,12 @@ object VersionedTable {
     * be string or integral — the types the scan's path parser and the
     * manifest stats both round-trip. */
   private def stagePartitioned(df0: DataFrame, root: String,
-                               partCols: Seq[String]): Seq[String] = {
-    val df = enforceConstraints(df0, root)
+                               partCols: Seq[String],
+                               mapNames: Boolean = true): Seq[String] = {
+    val df1 = enforceConstraints(df0, root)
+    // partition columns are never mapped (ALTER refuses them), so the
+    // partitionBy names below stay valid after the rename
+    val df = if (mapNames) toPhysicalStage(df1, root) else df1
     require(partCols.nonEmpty, "partitioned write needs partition columns")
     partCols.foreach { c =>
       val dt = df.schema(c).dataType
@@ -1093,8 +1421,8 @@ object VersionedTable {
       "statsCols must be non-partition columns (partition values prune " +
         "from the path)")
     val wasPartitioned = partitionSchema(root).nonEmpty
-    val staged = stagePartitioned(df, root, partCols)
-    val lines = statLines(df.sparkSession, staged, statsCols)
+    val staged = stagePartitioned(df, root, partCols, mapNames = false)
+    val lines = statLines(df.sparkSession, staged, statsCols, root)
     commitWithRetry(root, maxRetries = 5) { v =>
       requireFirstPartitionedAtZero(root, v, wasPartitioned)
       lines
@@ -1110,7 +1438,7 @@ object VersionedTable {
         "from the path)")
     val wasPartitioned = partitionSchema(root).nonEmpty
     val staged = stagePartitioned(df, root, partCols)
-    val lines = statLines(df.sparkSession, staged, statsCols)
+    val lines = statLines(df.sparkSession, staged, statsCols, root)
     val v = commitWithRetry(root, maxRetries = 5) { v =>
       requireFirstPartitionedAtZero(root, v, wasPartitioned)
       if (v == 0) lines else deltaContent(Seq.empty, lines)
@@ -1141,8 +1469,8 @@ object VersionedTable {
   def overwriteWithSums(df: DataFrame, root: String, sumCols: Seq[String],
                         statsCols: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
-    val staged = stageDataFiles(df, root, nextVersion(root))
-    val lines = sumLines(spark, statLines(spark, staged, statsCols), sumCols)
+    val staged = stageDataFiles(df, root, nextVersion(root), mapNames = false)
+    val lines = sumLines(spark, statLines(spark, staged, statsCols, root), sumCols, root)
     commitWithRetry(root, maxRetries = 5)(_ => lines)
   }
 
@@ -1175,12 +1503,15 @@ object VersionedTable {
     * production table with万-file listings would side-file them, as
     * Delta does, without changing the read contract). */
   private def bloomLines(spark: SparkSession, lines: Seq[String],
-                         bloomCol: String, expectedPerFile: Long,
-                         fpp: Double): Seq[String] = {
+                         bloomCol0: String, expectedPerFile: Long,
+                         fpp: Double, root: String): Seq[String] = {
     if (lines.isEmpty) return lines
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.ColumnBridge
+    val bloomCol = remapToPhysical(
+      spark.read.parquet(lines.map(pathOf): _*).schema,
+      Seq(bloomCol0), root).head
     val numBits = math.max(64L, math.ceil(
       -expectedPerFile * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
     val agg = ColumnBridge.column(new BloomFilterAggregate(
@@ -1213,8 +1544,8 @@ object VersionedTable {
                            statsCols: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
     val staged = stageDataFiles(df, root, nextVersion(root))
-    val lines = bloomLines(spark, statLines(spark, staged, statsCols),
-      bloomCol, expectedPerFile, fpp)
+    val lines = bloomLines(spark, statLines(spark, staged, statsCols, root),
+      bloomCol, expectedPerFile, fpp, root)
     val v = commitWithRetry(root, maxRetries = 5) { v =>
       if (v == 0) lines else deltaContent(Seq.empty, lines)
     }
@@ -1232,9 +1563,9 @@ object VersionedTable {
                               fpp: Double = 0.01,
                               statsCols: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
-    val staged = stageDataFiles(df, root, nextVersion(root))
-    val lines = bloomLines(spark, statLines(spark, staged, statsCols),
-      bloomCol, expectedPerFile, fpp)
+    val staged = stageDataFiles(df, root, nextVersion(root), mapNames = false)
+    val lines = bloomLines(spark, statLines(spark, staged, statsCols, root),
+      bloomCol, expectedPerFile, fpp, root)
     commitWithRetry(root, maxRetries = 5)(_ => lines)
   }
 
@@ -1258,7 +1589,7 @@ object VersionedTable {
                  statsCols: String*): Long = {
     val staged = stageDataFiles(df, root, nextVersion(root))
     appendOntoLines(root, baseV, statLines(df.sparkSession, staged,
-      if (statsCols.isEmpty) autoStatsCols(df) else statsCols))
+      if (statsCols.isEmpty) autoStatsCols(df) else statsCols, root))
   }
 
   /** [[appendOnto]] with a per-file bloom on `bloomCol` — see
@@ -1271,8 +1602,8 @@ object VersionedTable {
     val spark = df.sparkSession
     val staged = stageDataFiles(df, root, nextVersion(root))
     appendOntoLines(root, baseV,
-      bloomLines(spark, statLines(spark, staged, statsCols),
-        bloomCol, expectedPerFile, fpp))
+      bloomLines(spark, statLines(spark, staged, statsCols, root),
+        bloomCol, expectedPerFile, fpp, root))
   }
 
   private def appendOntoLines(root: String, baseV: Long,
@@ -1399,7 +1730,7 @@ object VersionedTable {
       return latestVersion(root).getOrElse(-1L)
     val clustered = zClusterK(df, cols, numFiles, buckets)
     val staged = stageDataFiles(clustered, root, nextVersion(root))
-    val lines = statLines(df.sparkSession, staged, cols)
+    val lines = statLines(df.sparkSession, staged, cols, root)
     val tl = if (txn >= 0) Seq(txnLine(appId, txn)) else Seq.empty
     val v = commitWithRetry(root, maxRetries = 5) { v =>
       (if (v == 0) lines else deltaContent(Seq.empty, lines)) ++ tl
@@ -1446,7 +1777,7 @@ object VersionedTable {
                      buckets: Int = 1024): Long = {
     val clustered = zCluster(df, colA, colB, numFiles, buckets)
     val staged = stageDataFiles(clustered, root, nextVersion(root))
-    val lines = statLines(df.sparkSession, staged, Seq(colA, colB))
+    val lines = statLines(df.sparkSession, staged, Seq(colA, colB), root)
     val v = commitWithRetry(root, maxRetries = 5) { v =>
       if (v == 0) lines else deltaContent(Seq.empty, lines)
     }
@@ -1786,10 +2117,43 @@ object VersionedTable {
         // partition columns are PATH-derived, never widened: a raw
         // footer read of a partitioned table lacks them by design
         val part = partitionSchema(root).fieldNames.map(_.toLowerCase).toSet
-        val have = df.columns.map(_.toLowerCase).toSet ++ part
-        s.fields.filterNot(f => have.contains(f.name.toLowerCase))
-          .foldLeft(df)((d, f) =>
-            d.withColumn(f.name, lit(null).cast(f.dataType)))
+        val mapped = s.fields.exists(f => physicalName(f) != f.name)
+        val retired = if (isColumnMapped(root)) retiredColumns(root)
+                      else Set.empty[String]
+        if (!mapped && retired.isEmpty) {
+          // fast path (no mapping in play): pure widening, as before
+          val have = df.columns.map(_.toLowerCase).toSet ++ part
+          s.fields.filterNot(f => have.contains(f.name.toLowerCase))
+            .foldLeft(df)((d, f) =>
+              d.withColumn(f.name, lit(null).cast(f.dataType)))
+        } else {
+          // column-mapping projection: the physical frame becomes the
+          // LOGICAL view — renamed columns read their physical slot,
+          // declared-but-unmaterialized columns read typed NULL, and
+          // RETIRED physical columns are dropped (so every COW rewrite
+          // physically erodes dropped-column data from the files it
+          // re-stages). Footer extras outside the declaration (schema
+          // evolution by plain append) carry as themselves.
+          val dfLower = df.columns.map(_.toLowerCase).toSet
+          val declData = s.fields.filterNot(f =>
+            part.contains(f.name.toLowerCase))
+          val declPhysLower = declData.map(f =>
+            physicalName(f).toLowerCase).toSet
+          val declLogLower = declData.map(_.name.toLowerCase).toSet
+          val dataCols = declData.map { f =>
+            val p = physicalName(f)
+            if (dfLower.contains(p.toLowerCase)) col(p).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }.toSeq
+          val extras = df.columns.filter { c =>
+            val cl = c.toLowerCase
+            !declPhysLower.contains(cl) && !declLogLower.contains(cl) &&
+              !retired.contains(cl) && !part.contains(cl)
+          }.map(col).toSeq
+          val partCols = df.columns
+            .filter(c => part.contains(c.toLowerCase)).map(col).toSeq
+          df.select(dataCols ++ extras ++ partCols: _*)
+        }
       case None => df
     }
 
@@ -2148,7 +2512,7 @@ object VersionedTable {
           .select(outCols.map(col): _*)
       val v = base + 1
       val staged = statLines(spark,
-        stageAuto(survivorsPlusBatch, root, v), Seq.empty)
+        stageAuto(survivorsPlusBatch, root, v), Seq.empty, root)
       try {
         val committed = commitManifest(root, v, deltaContent(touched0, staged))
         maybeCheckpoint(root, committed)
@@ -2172,7 +2536,7 @@ object VersionedTable {
     * [[autoStatsCols]] stats by default. */
   def append(df: DataFrame, root: String): Long = {
     val staged = stageDataFiles(df, root, nextVersion(root))
-    val lines = statLines(df.sparkSession, staged, autoStatsCols(df))
+    val lines = statLines(df.sparkSession, staged, autoStatsCols(df), root)
     // delta commit: O(batch) bytes regardless of accumulated file count
     // (append-vs-append commutes by construction — the delta carries no
     // copy of the previous listing to go stale on a lost race)
@@ -2307,7 +2671,7 @@ object VersionedTable {
         sys.error(s"txn recorded but no versions at $root"))
     if (df.isEmpty) return latestVersion(root).getOrElse(-1L)
     val staged = stageDataFiles(df, root, nextVersion(root))
-    val lines = statLines(df.sparkSession, staged, statsCols)
+    val lines = statLines(df.sparkSession, staged, statsCols, root)
     val v = commitWithRetry(root, maxRetries = 5) { v =>
       if (v == 0) lines :+ line
       else deltaContent(Seq.empty, lines) :+ line
@@ -2327,8 +2691,8 @@ object VersionedTable {
     if (latestTxn(root, appId).exists(_ >= txn))
       return latestVersion(root).getOrElse(
         sys.error(s"txn recorded but no versions at $root"))
-    val staged = stageDataFiles(df, root, nextVersion(root))
-    val lines = statLines(df.sparkSession, staged, statsCols)
+    val staged = stageDataFiles(df, root, nextVersion(root), mapNames = false)
+    val lines = statLines(df.sparkSession, staged, statsCols, root)
     val v = commitWithRetry(root, maxRetries = 5)(_ =>
       lines :+ txnLine(appId, txn))
     maybeCheckpoint(root, v)
@@ -2356,7 +2720,7 @@ object VersionedTable {
     val clustered = zClusterK(readVersion(spark, root, base), cols,
       numFiles, buckets)
     val staged = stageDataFiles(clustered, root, base + 1)
-    val lines = statLines(spark, staged, cols)
+    val lines = statLines(spark, staged, cols, root)
     try commitManifest(root, base + 1, lines :+ PreservingMarker)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -2493,7 +2857,7 @@ object VersionedTable {
       // merges (column stats of the rewritten files are dropped —
       // statsRange goes conservative None on those, never wrong)
       val staged = statLines(spark,
-        stageAuto(rewritten, root, v), Seq.empty)
+        stageAuto(rewritten, root, v), Seq.empty, root)
       beforeCommit()
       // delta commit: `-` the rewritten files, `+` the staged rewrite —
       // O(touched + batch) bytes, not O(total files)
@@ -2831,7 +3195,7 @@ object VersionedTable {
       // __rows-only stats, as in merge(): countRows() stays
       // metadata-answerable; rewritten files go conservative on ranges
       val staged = statLines(spark,
-        stageAuto(rewritten, root, v), Seq.empty)
+        stageAuto(rewritten, root, v), Seq.empty, root)
       beforeCommit()
       try {
         val committed =
@@ -2923,7 +3287,7 @@ object VersionedTable {
       val v = base + 1
       // __rows-only stats: countRows() stays metadata-answerable
       val staged = statLines(spark,
-        stageAuto(rewritten, root, v), Seq.empty)
+        stageAuto(rewritten, root, v), Seq.empty, root)
       beforeCommit()
       try {
         val committed =
@@ -3070,7 +3434,7 @@ object VersionedTable {
         }
       val v = base + 1
       val staged = statLines(spark,
-        stageAuto(rewritten, root, v), Seq.empty)
+        stageAuto(rewritten, root, v), Seq.empty, root)
       beforeCommit()
       try {
         val committed =
@@ -3150,7 +3514,7 @@ object VersionedTable {
       val v = base + 1
       // __rows-only stats, as in merge: deletes stay metadata-countable
       val staged = statLines(spark,
-        stageAuto(survivors, root, v), Seq.empty)
+        stageAuto(survivors, root, v), Seq.empty, root)
       beforeCommit()
       try {
         val committed = commitManifest(root, v, deltaContent(touched0, staged))
@@ -3196,7 +3560,7 @@ object VersionedTable {
     val survivors = readLinesDeclared(spark, root, baseV, touched0)
       .filter(!coalesce(predicate, lit(false)))
     val staged = statLines(spark,
-      stageAuto(survivors, root, baseV + 1), Seq.empty)
+      stageAuto(survivors, root, baseV + 1), Seq.empty, root)
     beforeCommit()
     val untouched = files.filterNot(f =>
       touchedNames.contains(pathOf(f).split('/').last))
@@ -3260,7 +3624,7 @@ object VersionedTable {
         }: _*)
       val v = base + 1
       val staged = statLines(spark,
-        stageAuto(rewritten, root, v), Seq.empty)
+        stageAuto(rewritten, root, v), Seq.empty, root)
       beforeCommit()
       try {
         val committed = commitManifest(root, v, deltaContent(touched0, staged))
@@ -3325,6 +3689,13 @@ object VersionedTable {
     val lcf = legacyConstraintsFile(src)
     if (lcf.exists())
       Files.copy(lcf.toPath, legacyConstraintsFile(dst).toPath,
+        StandardCopyOption.REPLACE_EXISTING)
+    // the column-mapping registry carries too: without it the clone's
+    // footer sweeps would resurrect dropped columns and its appends
+    // would stage under logical instead of physical names
+    val rc = retiredColsFile(src)
+    if (rc.exists())
+      Files.copy(rc.toPath, retiredColsFile(dst).toPath,
         StandardCopyOption.REPLACE_EXISTING)
     declaredSchemaAt(src, base).foreach(s =>
       writeDeclaredSidecar(dst, 0, s))
@@ -3523,7 +3894,7 @@ object VersionedTable {
           .sortWithinPartitions(statsCols.map(col): _*)
       else df.repartition(numFiles)
     val staged = stageDataFiles(packed, root, base + 1)
-    val newLines = statLines(spark, staged, statsCols)
+    val newLines = statLines(spark, staged, statsCols, root)
     var attempt = 0
     while (true) {
       val cur = latestVersion(root).get
@@ -3561,7 +3932,20 @@ object VersionedTable {
     // full listing on purpose: a restore's content IS the old file set,
     // and the full manifest doubles as a walk-back barrier
     val files = readListing(root, v)
-    commitManifest(root, nextVersion(root), files)
+    // the restored-to version's DECLARATION restores with it: the full
+    // manifest blocks the sidecar walk-back, so without re-planting it
+    // a column-mapped table would serve PHYSICAL names (and resurrect
+    // dropped columns) from the post-restore footer sweep. Loud write —
+    // a silently lost declaration here is silently wrong column names.
+    val declared = readSchemaSidecar(root, v).orElse(declaredSchemaAt(root, v))
+    val nv = commitManifest(root, nextVersion(root), files)
+    declared.foreach { s =>
+      val tmp = Files.createTempFile(new File(root).toPath, "_schema", ".tmp")
+      Files.write(tmp, s.json.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, new File(root, s"_schema.v$nv.json").toPath,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    nv
   }
 
   /** VACUUM: drop manifests older than the last `retainVersions` and

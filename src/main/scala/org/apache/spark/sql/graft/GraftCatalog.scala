@@ -179,35 +179,48 @@ class GraftCatalog extends TableCatalog {
 
   private def key(ident: Identifier): String = GraftCatalog.key(ident)
 
-  /** `ALTER TABLE graft.db.t ADD COLUMNS (c TYPE, ...)` — the
-    * metadata-only Delta ALTER: [[VersionedTable.alterAddColumns]]
-    * commits an empty data-preserving version whose schema sidecar
-    * declares the new NULLABLE columns (zero data moved at any table
-    * size; existing rows read NULL; COW rewrites materialize the
-    * column forward). Other ALTER verbs (drop/rename/retype/position)
-    * are rejected loudly — they would require rewriting history or a
-    * column-mapping layer this format does not carry. */
+  /** Metadata-only ALTERs (the Delta column-lifecycle role):
+    * `ADD COLUMNS (c TYPE, ...)` appends NULLABLE declarations
+    * ([[VersionedTable.alterAddColumns]]); `DROP COLUMN c` and
+    * `RENAME COLUMN a TO b` are column-MAPPING commits
+    * ([[VersionedTable.alterDropColumn]]/[[VersionedTable.alterRenameColumn]])
+    * — zero data moved at any table size, old versions time-travel
+    * with their old names, dropped data never resurrects (a re-added
+    * name maps to a fresh physical slot). Retype/position stay
+    * rejected loudly — they would rewrite history. */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
     val root = rootOf(ident)
-    val adds = changes.map {
+    val spark = classic.SparkSession.active
+    def topLevel(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"only top-level $what is supported, got nested field " +
+          fieldNames.mkString("."))
+      fieldNames(0)
+    }
+    val adds = changes.flatMap {
       case a: TableChange.AddColumn =>
-        require(a.fieldNames().length == 1,
-          "only top-level ADD COLUMNS is supported, got nested field " +
-            a.fieldNames().mkString("."))
+        val n = topLevel(a.fieldNames(), "ADD COLUMNS")
         require(a.isNullable,
-          s"added column ${a.fieldNames()(0)} must be nullable " +
-            "(existing rows read NULL)")
+          s"added column $n must be nullable (existing rows read NULL)")
         require(a.position() == null,
           "column position is not supported: added columns append " +
             "after the existing data columns")
-        org.apache.spark.sql.types.StructField(
-          a.fieldNames()(0), a.dataType(), nullable = true)
+        Some(org.apache.spark.sql.types.StructField(
+          n, a.dataType(), nullable = true))
+      case d: TableChange.DeleteColumn =>
+        VersionedTable.alterDropColumn(spark, root,
+          topLevel(d.fieldNames(), "DROP COLUMN"))
+        None
+      case r: TableChange.RenameColumn =>
+        VersionedTable.alterRenameColumn(spark, root,
+          topLevel(r.fieldNames(), "RENAME COLUMN"), r.newName())
+        None
       case c => throw new UnsupportedOperationException(
-        s"GraftCatalog ALTER supports ADD COLUMNS only, got $c")
+        s"GraftCatalog ALTER supports ADD/DROP/RENAME COLUMN only, got $c")
     }
-    VersionedTable.alterAddColumns(
-      classic.SparkSession.active, root, adds)
+    if (adds.nonEmpty)
+      VersionedTable.alterAddColumns(spark, root, adds)
     new GraftTableV2(key(ident), root, None)
   }
 
@@ -320,13 +333,18 @@ private[graft] class GraftTableV2(ident: String, root: String,
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
-  private lazy val (idx, dataSchema, partSchema) = GraftScan.indexFor(
-    classic.SparkSession.active, root, version)
+  private lazy val (idx, dataSchema, partSchema, logicalSchema) =
+    GraftScan.indexFor(classic.SparkSession.active, root, version)
+
+  /** A RENAME COLUMN left logical names diverging from the physical
+    * storage names — reads must project through the mapping. */
+  private def mapped: Boolean =
+    !dataSchema.fieldNames.sameElements(logicalSchema.fieldNames)
 
   override def name(): String = ident
 
   override def schema(): StructType =
-    StructType(dataSchema.fields ++ partSchema.fields)
+    StructType(logicalSchema.fields ++ partSchema.fields)
 
   override def partitioning(): Array[Transform] =
     partSchema.fieldNames.map(Expressions.identity(_): Transform)
@@ -335,9 +353,18 @@ private[graft] class GraftTableV2(ident: String, root: String,
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
+  /** Unmapped tables (the common case) plan straight onto Spark's
+    * vectorized `ParquetScanBuilder` over the pruning index. MAPPED
+    * snapshots route through a [[V1Scan]] fallback wrapping the
+    * engine's own mapped scan — pushed filters (logical names) land
+    * INSIDE that scan, where Catalyst rewrites them through the
+    * rename aliases onto the physical attributes, so manifest pruning
+    * holds on both surfaces. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    ParquetScanBuilder(classic.SparkSession.active, idx, schema(),
-      dataSchema, options)
+    if (!mapped)
+      ParquetScanBuilder(classic.SparkSession.active, idx, schema(),
+        dataSchema, options)
+    else new GraftMappedScanBuilder(root, version, schema())
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(version.isEmpty,
@@ -375,6 +402,72 @@ private[graft] class GraftTableV2(ident: String, root: String,
     VersionedTable.delete(classic.SparkSession.active, root, cond)
     ()
   }
+}
+
+/** DSv2 ScanBuilder for COLUMN-MAPPED snapshots: captures pushed
+  * filters and the pruned projection, then builds a [[V1Scan]] whose
+  * relation applies them on the engine's mapped scan
+  * ([[GraftScan.scan]] — physical parquet read + logical projection).
+  * Filters are applied EXACTLY (only source-translatable ones are
+  * claimed), so returning the untranslatable residue is the whole
+  * re-evaluation story. Top-level class — no outer pointers for the
+  * V1 fallback to trip on. */
+private[graft] final class GraftMappedScanBuilder(
+    root: String, version: Option[Long], full: StructType)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  private var required: StructType = full
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    val (ok, residual) =
+      filters.partition(f => GraftCatalog.filterColumn(f).isDefined)
+    pushed = ok
+    residual
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    required = requiredSchema
+    ()
+  }
+
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    new GraftMappedV1Scan(root, version, required, pushed)
+}
+
+private[graft] final class GraftMappedV1Scan(
+    root: String, version: Option[Long], required: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter])
+    extends org.apache.spark.sql.connector.read.V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+      with org.apache.spark.sql.sources.TableScan](
+      context: org.apache.spark.sql.SQLContext): T =
+    new org.apache.spark.sql.sources.BaseRelation
+        with org.apache.spark.sql.sources.TableScan {
+      override def sqlContext: org.apache.spark.sql.SQLContext = context
+      override def schema: StructType = required
+      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+        import org.apache.spark.sql.functions.col
+        // the engine's mapped scan: raw snapshot (pinned or latest —
+        // the catalog's loadTable already refused pending MOR), with
+        // the claimed filters applied inside it so Catalyst pushes
+        // them through the rename aliases into the manifest index
+        var df = GraftScan.scan(context.sparkSession, root, version)
+        pushed.flatMap(GraftCatalog.filterColumn)
+          .foreach(c => df = df.filter(c))
+        df.select(required.fieldNames.toSeq.map(col): _*).rdd
+      }
+    }.asInstanceOf[T]
 }
 
 /** Append by default; `truncate()` (Spark's INSERT OVERWRITE route)

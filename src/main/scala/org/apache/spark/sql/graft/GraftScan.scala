@@ -55,23 +55,45 @@ object GraftScan {
     * manifest stats. */
   def scan(spark: SparkSession, root: String,
            version: Option[Long] = None): DataFrame = {
-    val (idx, dataSchema, partSchema) = indexFor(spark, root, version)
+    val (idx, dataSchema, partSchema, logicalSchema) =
+      indexFor(spark, root, version)
     val cs = spark.asInstanceOf[classic.SparkSession]
     val relation = HadoopFsRelation(
       idx, partSchema, dataSchema, None,
       new ParquetFileFormat, Map("mergeSchema" -> "true"))(cs)
     PlanBridge.registerOptimization(spark, CountFromManifest)
-    PlanBridge.ofRows(spark, LogicalRelation(relation, false))
+    val raw = PlanBridge.ofRows(spark, LogicalRelation(relation, false))
+    projectLogical(raw, dataSchema, logicalSchema, partSchema)
   }
 
-  /** The pruning index + (data, partition) schemas for one pinned
-    * snapshot — the shared construction [[scan]] and the DSv2
-    * [[GraftCatalog]] table both build on: ONE index implementation,
-    * two integration surfaces (V1 `HadoopFsRelation` and
-    * `ParquetScanBuilder`), identical manifest pruning. */
+  /** The column-mapping projection: PHYSICAL relation output →
+    * LOGICAL view. Identity (no Project node — metadata-only aggregate
+    * folds stay eligible) when the table never renamed a column.
+    * Filters on logical names push through the aliases to the physical
+    * attributes, so manifest pruning (physically-keyed stats) is
+    * untouched. */
+  private[graft] def projectLogical(df: DataFrame, physical: StructType,
+                                    logical: StructType,
+                                    partSchema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (physical.fieldNames.sameElements(logical.fieldNames)) df
+    else df.select(logical.fields.zip(physical.fields).map {
+      case (lf, pf) => col(pf.name).as(lf.name)
+    }.toSeq ++ partSchema.fieldNames.toSeq.map(col): _*)
+  }
+
+  /** The pruning index + (PHYSICAL data, partition, LOGICAL data)
+    * schemas for one pinned snapshot — the shared construction
+    * [[scan]] and the DSv2 [[GraftCatalog]] table both build on: ONE
+    * index implementation, two integration surfaces (V1
+    * `HadoopFsRelation` and `ParquetScanBuilder`), identical manifest
+    * pruning. Physical and logical schemas are field-aligned
+    * (position i of one is position i of the other); they differ only
+    * when a metadata-only RENAME COLUMN mapped a logical name onto its
+    * original storage slot. */
   private[graft] def indexFor(spark: SparkSession, root: String,
                               version: Option[Long])
-      : (GraftFileIndex, StructType, StructType) = {
+      : (GraftFileIndex, StructType, StructType, StructType) = {
     val v = version.orElse(VersionedTable.latestVersion(root))
       .getOrElse(sys.error(s"no versions at $root"))
     val files = VersionedTable.scanListing(root, Some(v))
@@ -81,10 +103,15 @@ object GraftScan {
     // legitimate snapshot: schema comes from the version's sidecar
     // (written by the creator) or the nearest earlier version that
     // had files — zero-file scans plan normally and return no rows
-    val dataSchema = StructType(
+    val logicalSchema = StructType(
       (if (files.nonEmpty) schemaOf(spark, root, v, files.map(_.path))
        else emptySchemaOf(spark, root, v))
         .filterNot(f => partSchema.fieldNames.contains(f.name)))
+    // the relation reads by the names files actually store; metadata
+    // is stripped so plan schemas stay clean
+    val dataSchema = StructType(logicalSchema.fields.map(f =>
+      org.apache.spark.sql.types.StructField(
+        VersionedTable.physicalName(f), f.dataType, f.nullable)))
     // total rows folded from the listing already in hand (countRows
     // semantics: any stats-less file disqualifies) — no second
     // manifest walk per read
@@ -93,7 +120,9 @@ object GraftScan {
       else None
     val cs = spark.asInstanceOf[classic.SparkSession]
     (new GraftFileIndex(cs, files, totalRows, partSchema),
-      dataSchema, partSchema)
+      dataSchema, partSchema,
+      StructType(logicalSchema.fields.map(f =>
+        org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable))))
   }
 
   /** INCREMENTAL schema for an append-delta version: the previous
@@ -215,9 +244,31 @@ object GraftScan {
       // the declaration re-materializes into this version's sidecar.
       val s = VersionedTable.declaredSchemaAt(root, v) match {
         case Some(d) =>
-          val have = s0.fieldNames.map(_.toLowerCase).toSet
-          StructType(s0.fields ++ d.fields.filterNot(df0 =>
-            have.contains(df0.name.toLowerCase)))
+          val mapped = d.fields.exists(f =>
+            VersionedTable.physicalName(f) != f.name)
+          val retired = if (VersionedTable.isColumnMapped(root))
+            VersionedTable.retiredColumns(root) else Set.empty[String]
+          if (!mapped && retired.isEmpty) {
+            val have = s0.fieldNames.map(_.toLowerCase).toSet
+            StructType(s0.fields ++ d.fields.filterNot(df0 =>
+              have.contains(df0.name.toLowerCase)))
+          } else {
+            // COLUMN MAPPING in play: the declaration is authoritative
+            // (logical names + physical metadata); footer fields join
+            // only when they are genuinely NEW (schema evolution by
+            // append) — a field matching a declared PHYSICAL slot is
+            // already served through its logical name, and a RETIRED
+            // field is dropped-column residue that must never
+            // resurrect into the schema
+            val physLower = d.fields.map(f =>
+              VersionedTable.physicalName(f).toLowerCase).toSet
+            val logLower = d.fields.map(_.name.toLowerCase).toSet
+            StructType(d.fields ++ s0.fields.filterNot { f0 =>
+              val fl = f0.name.toLowerCase
+              physLower.contains(fl) || logLower.contains(fl) ||
+                retired.contains(fl)
+            })
+          }
         case None => s0
       }
       var tmp: java.nio.file.Path = null

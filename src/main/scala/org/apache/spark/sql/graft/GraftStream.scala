@@ -170,8 +170,23 @@ private[graft] class GraftStreamSource(spark: SparkSession, root: String,
     val from = start.map(versionOf).orElse(startingVersion)
     lastEnd = Some(versionOf(end))
     val files = VersionedTable.scanListingDelta(root, from, versionOf(end))
-    GraftScan.ofFiles(spark, files, dataSchema0, isStreaming = true,
+    // COLUMN MAPPING: files store PHYSICAL names; serve the LOGICAL
+    // view. Physical names are immutable from a column's birth, so the
+    // END version's declaration maps every file in the span. A rename
+    // committed MID-STREAM changes the logical schema and fails the
+    // run loudly (batch schema ≠ source schema — the Delta stance);
+    // streams started on an already-mapped table run fine.
+    val logical = VersionedTable.logicalDataSchemaFor(spark, root,
+      versionOf(end), dataSchema0)
+    val physical = org.apache.spark.sql.types.StructType(
+      logical.fields.map(f => org.apache.spark.sql.types.StructField(
+        VersionedTable.physicalName(f), f.dataType, f.nullable)))
+    val raw = GraftScan.ofFiles(spark, files, physical, isStreaming = true,
       partSchema = partSchema)
+    GraftScan.projectLogical(raw, physical,
+      org.apache.spark.sql.types.StructType(logical.fields.map(f =>
+        org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable))),
+      partSchema)
   }
 
   override def stop(): Unit = ()

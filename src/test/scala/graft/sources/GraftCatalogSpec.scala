@@ -290,11 +290,16 @@ class GraftCatalogSpec extends SparkSuite {
         "ALTER TABLE graft.db.alt ADD COLUMNS (must INT NOT NULL)")
     }
     assert(e2.getMessage.toLowerCase.contains("nullable"))
-    // other ALTER verbs stay loud refusals
+    // RENAME COLUMN is now a metadata-only column-mapping commit
+    // (ColumnMappingSpec owns the deep coverage); retype stays a loud
+    // refusal
+    spark.sql("ALTER TABLE graft.db.alt RENAME COLUMN v TO w")
+    assert(spark.sql("SELECT * FROM graft.db.alt").columns.contains("w"))
     val e3 = intercept[Exception] {
-      spark.sql("ALTER TABLE graft.db.alt RENAME COLUMN v TO w")
+      spark.sql("ALTER TABLE graft.db.alt ALTER COLUMN w TYPE STRING")
     }
-    assert(e3.getMessage.contains("ADD COLUMNS only"))
+    assert(e3.getMessage.contains("ADD/DROP/RENAME COLUMN only") ||
+      e3.getMessage.toLowerCase.contains("unsupported"))
   }
 
   test("ALTER-declared columns survive compaction and a version-offset " +
