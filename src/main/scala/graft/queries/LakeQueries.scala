@@ -1378,6 +1378,53 @@ object LakeQueries extends QueryModule {
         FROM f GROUP BY 1 ORDER BY 1"""),
       bench = false),
 
+    // Atomic CTAS / CREATE OR REPLACE (the StagingTableCatalog role):
+    // CREATE TABLE ... AS SELECT lands the name + data as one staged
+    // commit (GraftCatalogSpec pins the abort path: a failing CTAS
+    // leaves no name and no root); CREATE OR REPLACE overwrites into
+    // the SAME root, so the pre-replace table time-travels — the final
+    // union reads both worlds through Spark's own VERSION AS OF. The
+    // oracle replays the surviving statement stream.
+    "q321_ctas_replace" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_ctas").resolve("t").toString
+        org.apache.spark.sql.graft.GraftCatalog.install(s)
+        s.sql("DROP TABLE IF EXISTS graft.gate.ctas_t")
+        Tables(s, dir, "orders").createOrReplaceTempView("q321_orders")
+        s.sql(
+          s"""CREATE TABLE graft.gate.ctas_t LOCATION '$root' AS
+              SELECT o_orderkey, o_orderstatus, o_totalprice
+              FROM q321_orders WHERE o_orderkey % 2 = 0""")
+        val preV = graft.sources.VersionedTable.latestVersion(root).get
+        s.sql(
+          """CREATE OR REPLACE TABLE graft.gate.ctas_t AS
+             SELECT o_orderstatus, o_totalprice * 2 AS price2
+             FROM q321_orders WHERE o_orderkey % 3 = 0""")
+        s.sql(
+          s"""SELECT o_orderstatus, count(*) AS n,
+                     CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total
+              FROM (
+                SELECT o_orderstatus, o_totalprice AS price
+                FROM graft.gate.ctas_t VERSION AS OF $preV
+                UNION ALL
+                SELECT o_orderstatus, price2 AS price
+                FROM graft.gate.ctas_t)
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT o_orderstatus, o_totalprice AS price FROM orders
+          WHERE o_orderkey % 2 = 0
+          UNION ALL
+          SELECT o_orderstatus, o_totalprice * 2 AS price FROM orders
+          WHERE o_orderkey % 3 = 0)
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
+        FROM u GROUP BY 1 ORDER BY 1"""),
+      bench = false),
+
     // ALTER TABLE RENAME/DROP COLUMN (the Delta column-mapping role):
     // both are METADATA-ONLY commits — files_ok pins the identical
     // file listing across both ALTERs (zero data moved at any table

@@ -55,7 +55,8 @@ import graft.sources.{Tombstones, VersionedTable}
   * The registry is JVM-global (one catalog instance is constructed by
   * Spark per session via reflection and must see tables registered
   * before it existed); production would back it with a metastore. */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catName = "graft"
 
@@ -125,6 +126,51 @@ class GraftCatalog extends TableCatalog {
                          writePrivileges: util.Set[TableWritePrivilege]): Table =
     new GraftTableV2(key(ident), rootOf(ident), None)
 
+  private def localPath(loc: String): String =
+    try {
+      val u = new java.net.URI(loc)
+      if (u.getScheme == "file") java.nio.file.Paths.get(u).toString
+      else loc
+    } catch { case _: Exception => loc }
+
+  /** Root resolution shared by CREATE TABLE and the staged (CTAS)
+    * paths: the `location` property (Spark normalizes it to a file:
+    * URI; the engine's roots are local paths — convert, or
+    * java.io.File would treat "file:/x" as a relative path and
+    * staging would vanish), else `<warehouse>/<ns>/<name>`. */
+  private def resolveRoot(ident: Identifier,
+                          properties: util.Map[String, String]): String =
+    Option(properties.get(TableCatalog.PROP_LOCATION))
+      .map(localPath).getOrElse {
+        val base = warehouse.getOrElse(sys.error(
+          s"CREATE TABLE ${key(ident)} needs a LOCATION, or set " +
+            s"spark.sql.catalog.$catName.warehouse"))
+        (Seq(base) ++ ident.namespace() :+ ident.name()).mkString("/")
+      }
+
+  /** Identity partition transforms → column names, declared-LAST
+    * validated (the Spark partitionBy convention — data columns come
+    * from file footers, partition values from paths; silently
+    * reordering would make positional INSERTs land values in the
+    * wrong columns). */
+  private def partColsOf(schema: StructType,
+                         partitions: Array[Transform]): Seq[String] = {
+    val partCols = partitions.map {
+      case t if t.name == "identity" && t.references().length == 1 =>
+        t.references()(0).fieldNames().mkString(".")
+      case t => throw new UnsupportedOperationException(
+        s"only identity PARTITIONED BY columns are supported, got $t")
+    }
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c not in the table schema"))
+    require(schema.fieldNames.takeRight(partCols.length).toSeq ==
+      partCols.toSeq,
+      s"partition columns ${partCols.toSeq} must be declared LAST in " +
+        "the table schema (they surface last in the read/write schema, " +
+        "the Spark partitionBy convention)")
+    partCols.toSeq
+  }
+
   /** CREATE TABLE (the write-path start): a fresh VersionedTable root
     * at the `location` property (or `<warehouse>/<ns>/<name>` from the
     * catalog's `warehouse` option) holding an EMPTY version 0 whose
@@ -136,45 +182,107 @@ class GraftCatalog extends TableCatalog {
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    // Spark normalizes LOCATION to a file: URI; the engine's roots are
-    // local paths — convert, or java.io.File would treat "file:/x" as
-    // a relative path and staging would vanish
-    def localPath(loc: String): String =
-      try {
-        val u = new java.net.URI(loc)
-        if (u.getScheme == "file") java.nio.file.Paths.get(u).toString
-        else loc
-      } catch { case _: Exception => loc }
-    val root = Option(properties.get(TableCatalog.PROP_LOCATION))
-      .map(localPath).getOrElse {
-        val base = warehouse.getOrElse(sys.error(
-          s"CREATE TABLE ${key(ident)} needs a LOCATION, or set " +
-            s"spark.sql.catalog.$catName.warehouse"))
-        (Seq(base) ++ ident.namespace() :+ ident.name()).mkString("/")
-      }
+    val root = resolveRoot(ident, properties)
     require(VersionedTable.versions(root).isEmpty,
       s"location $root already holds a versioned table")
-    val partCols = partitions.map {
-      case t if t.name == "identity" && t.references().length == 1 =>
-        t.references()(0).fieldNames().mkString(".")
-      case t => throw new UnsupportedOperationException(
-        s"only identity PARTITIONED BY columns are supported, got $t")
-    }
-    partCols.foreach(c => require(schema.fieldNames.contains(c),
-      s"partition column $c not in the table schema"))
-    // the table's read/write schema surfaces partition columns LAST
-    // (the Spark partitionBy convention — data columns come from file
-    // footers, partition values from paths). Require the DECLARATION
-    // to match: silently reordering would make positional INSERTs
-    // land values in the wrong columns.
-    require(schema.fieldNames.takeRight(partCols.length).toSeq ==
-      partCols.toSeq,
-      s"partition columns ${partCols.toSeq} must be declared LAST in " +
-        "the table schema (they surface last in the read/write schema, " +
-        "the Spark partitionBy convention)")
-    VersionedTable.createEmpty(root, schema, partCols.toSeq)
+    val partCols = partColsOf(schema, partitions)
+    VersionedTable.createEmpty(root, schema, partCols)
     GraftCatalog.registry.put(key(ident), root)
     new GraftTableV2(key(ident), root, None)
+  }
+
+  // ---------------------------------------------------------------
+  // ATOMIC CTAS / RTAS (the StagingTableCatalog role): Spark routes
+  // `CREATE TABLE ... AS SELECT` / `[CREATE OR] REPLACE TABLE ... AS
+  // SELECT` here when the catalog stages. CREATE stages a fresh root
+  // whose NAME is registered only at commit — an aborted CTAS (a
+  // failing query, a mid-write error) leaves no half-table: the name
+  // never existed and the staged root is deleted. REPLACE is the
+  // engine-native OVERWRITE into the SAME root — location and history
+  // preserved (the pre-replace table stays time-travelable) — with
+  // abort = RESTORE to the pre-replace version, so a failed RTAS
+  // leaves the old table intact by commit protocol, not by luck.
+  // ---------------------------------------------------------------
+
+  override def stageCreate(
+      ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    stagedCreate(ident, info)
+  }
+
+  override def stageReplace(
+      ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    stagedReplace(ident, info)
+  }
+
+  override def stageCreateOrReplace(
+      ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    if (tableExists(ident)) stagedReplace(ident, info)
+    else stagedCreate(ident, info)
+
+  private def stagedCreate(
+      ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val root = resolveRoot(ident, info.properties())
+    // abort cleans the root RECURSIVELY — require it empty up front so
+    // the cleanup can never eat pre-existing user files
+    val f = new java.io.File(root)
+    require(!f.exists() || Option(f.list()).forall(_.isEmpty),
+      s"CTAS staging location $root is not empty — point LOCATION at " +
+        "a fresh directory (an aborted CTAS deletes it recursively)")
+    val schema = info.schema()
+    val partCols = partColsOf(schema, info.partitions())
+    VersionedTable.createEmpty(root, schema, partCols)
+    val k = key(ident)
+    new GraftStagedTable(k, root, partCols, schema,
+      overwriteOnWrite = false,
+      onCommit = () => { GraftCatalog.registry.put(k, root); () },
+      onAbort = () => {
+        def rm(x: java.io.File): Unit = {
+          if (x.isDirectory)
+            Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+          x.delete()
+          ()
+        }
+        rm(f)
+      })
+  }
+
+  private def stagedReplace(
+      ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val root = rootOf(ident)
+    val schema = info.schema()
+    val partCols = partColsOf(schema, info.partitions())
+    val existing = VersionedTable.partitionSchema(root).fieldNames.toSeq
+    // the partition sidecar is table-global: a REPLACE cannot change
+    // the partitioning without strandling old versions' reads
+    require(partCols == existing,
+      s"REPLACE TABLE cannot change partitioning (table has $existing, " +
+        s"statement declares $partCols) — CREATE a new table instead")
+    val base = VersionedTable.latestVersion(root)
+    val k = key(ident)
+    new GraftStagedTable(k, root, partCols, schema,
+      overwriteOnWrite = true,
+      onCommit = () => (),
+      onAbort = () => base.foreach { v =>
+        // undo an overwrite that already landed (the V1 write commits
+        // during the write phase): one restore commit re-points at the
+        // pre-replace file set, schema declaration included
+        if (VersionedTable.latestVersion(root).exists(_ > v)) {
+          VersionedTable.restore(root, v)
+          ()
+        }
+      })
   }
 
   private def key(ident: Identifier): String = GraftCatalog.key(ident)
@@ -402,6 +510,35 @@ private[graft] class GraftTableV2(ident: String, root: String,
     VersionedTable.delete(classic.SparkSession.active, root, cond)
     ()
   }
+}
+
+/** A staged (CTAS/RTAS) table: the underlying [[GraftTableV2]] plus
+  * the commit/abort callbacks the staging catalog wired. REPLACE
+  * tables force their V1 write into OVERWRITE mode (Spark writes a
+  * staged table as if it were new — the engine expresses that as one
+  * overwrite commit into the same root). */
+private[graft] final class GraftStagedTable(
+    ident: String, root: String, partCols: Seq[String],
+    declared: StructType, overwriteOnWrite: Boolean,
+    onCommit: () => Unit, onAbort: () => Unit)
+    extends GraftTableV2(ident, root, None)
+    with org.apache.spark.sql.connector.catalog.StagedTable {
+
+  /** The REQUESTED schema, not the root's current one: Spark aligns
+    * the CTAS/RTAS query output against the staged table's reported
+    * schema — a REPLACE reporting the pre-replace schema would make
+    * Spark rename the new columns positionally onto the old names. */
+  override def schema(): StructType = declared
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val b = new GraftWriteBuilder(root, partCols)
+    if (overwriteOnWrite) b.truncate()
+    b
+  }
+
+  override def commitStagedChanges(): Unit = onCommit()
+
+  override def abortStagedChanges(): Unit = onAbort()
 }
 
 /** DSv2 ScanBuilder for COLUMN-MAPPED snapshots: captures pushed

@@ -331,4 +331,85 @@ class GraftCatalogSpec extends SparkSuite {
       alterV)
     assert(delta.isEmpty, "ALTER adds no files to a streaming range")
   }
+
+  test("atomic CTAS: CREATE TABLE ... AS SELECT lands name + data in " +
+    "one staged commit; a FAILED CTAS leaves no table and no root") {
+    import spark.implicits._
+    val root = tmpRoot() + "_ctas"
+    (1L to 50L).map(i => (i, i * 2L)).toDF("k", "v")
+      .createOrReplaceTempView("gcat_src")
+    GraftCatalog.install(spark)
+    spark.sql(s"""CREATE TABLE graft.db.ctas LOCATION '$root' AS
+                  SELECT k, v FROM gcat_src WHERE k <= 40""")
+    assert(spark.sql("SELECT count(*) FROM graft.db.ctas")
+      .head().getLong(0) == 40L)
+    assert(VersionedTable.read(spark, root).count() == 40L)
+    // a failing CTAS (the query throws mid-write) aborts: no name, no
+    // half-written root left behind
+    val badRoot = tmpRoot() + "_ctas_bad"
+    intercept[Exception] {
+      spark.sql(s"""CREATE TABLE graft.db.ctasbad LOCATION '$badRoot' AS
+                    SELECT k, CAST(assert_true(k < 10, 'boom') AS STRING)
+                      AS x FROM gcat_src""")
+    }
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.db.ctasbad").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("table"))
+    assert(!new java.io.File(badRoot).exists(),
+      "an aborted CTAS must delete its staged root")
+    // the staging guard: a non-empty LOCATION is refused up front
+    // (abort-cleanup must never eat user files)
+    val occupied = tmpRoot() + "_occ"
+    new java.io.File(occupied).mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(occupied, "keep.txt").toPath, "x".getBytes)
+    intercept[Exception] {
+      spark.sql(s"""CREATE TABLE graft.db.ctasocc LOCATION '$occupied'
+                    AS SELECT 1 AS k""")
+    }
+    assert(new java.io.File(occupied, "keep.txt").exists())
+  }
+
+  test("atomic RTAS: CREATE OR REPLACE TABLE overwrites into the SAME " +
+    "root (history time-travels); a FAILED replace restores the old " +
+    "table") {
+    import spark.implicits._
+    val root = tmpRoot() + "_rtas"
+    (1L to 20L).map(i => (i, s"old$i")).toDF("k", "s")
+      .createOrReplaceTempView("gcat_src2")
+    GraftCatalog.install(spark)
+    spark.sql(s"""CREATE TABLE graft.db.rtas LOCATION '$root' AS
+                  SELECT k, s FROM gcat_src2""")
+    val preV = VersionedTable.latestVersion(root).get
+    // replace with a DIFFERENT schema
+    spark.sql("""CREATE OR REPLACE TABLE graft.db.rtas AS
+                 SELECT k * 10 AS id, length(s) AS n FROM gcat_src2
+                 WHERE k <= 5""")
+    assert(spark.sql("SELECT * FROM graft.db.rtas").columns.toSeq ==
+      Seq("id", "n"))
+    assert(spark.sql("SELECT count(*) FROM graft.db.rtas")
+      .head().getLong(0) == 5L)
+    // the pre-replace table time-travels (same root, same history)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.db.rtas VERSION AS OF $preV")
+      .head().getLong(0) == 20L)
+    // a failing replace aborts → RESTORE: the old content still serves
+    val goodV = VersionedTable.latestVersion(root).get
+    intercept[Exception] {
+      spark.sql("""CREATE OR REPLACE TABLE graft.db.rtas AS
+                   SELECT CAST(assert_true(id < 10, 'boom') AS STRING)
+                     AS x, id FROM graft.db.rtas""")
+    }
+    assert(spark.sql("SELECT * FROM graft.db.rtas").columns.toSeq ==
+      Seq("id", "n"),
+      "a failed RTAS must leave the previous table intact")
+    assert(spark.sql("SELECT count(*) FROM graft.db.rtas")
+      .head().getLong(0) == 5L)
+    assert(VersionedTable.latestVersion(root).get >= goodV)
+    // bare REPLACE TABLE of a missing name is a clean miss
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE graft.db.rtas_missing AS SELECT 1 AS k")
+    }
+  }
 }
