@@ -1111,6 +1111,71 @@ object StreamQueries extends QueryModule {
         GROUP BY 1 ORDER BY 1"""),
       bench = false),
 
+    // NATIVE streaming SINK (writeStream.format("graft-table")
+    // .toTable("graft.gate.sink_t") through the catalog's V1
+    // fallback): every micro-batch lands as ONE txn-stamped manifest
+    // commit — the foreachBatch doors as one line. Kill-and-restart
+    // replay proof: a 1-version-per-trigger AvailableNow drain needs
+    // several RUNS of the same checkpoint, and every restart re-seats
+    // the last batch through the sink — the (appId=checkpoint,
+    // batchId) marker must swallow each replay (runs_ok pins that at
+    // least one restart actually happened; the count parity pins the
+    // dedup). GraftStreamSpec owns the sink-side exactly-once rows.
+    "q322_native_sink" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_nsink").resolve("t").toString
+        val out = tempRoot("graft_vt_nsink").resolve("out").toString
+        val ckpt = tempRoot("graft_vt_nsink").resolve("ck").toString
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+        val third = pmod(col("l_orderkey"), lit(3))
+        // empty v0, three appended thirds v1..v3: with startingVersion
+        // = 0 the admission cap binds EVERY batch (the uncapped
+        // carve-out is only the anchorless initial snapshot load), so
+        // the AvailableNow drain genuinely needs several restarts
+        graft.sources.VersionedTable.overwrite(li.limit(0), root)
+        (0 to 2).foreach(i => graft.sources.VersionedTable.appendWithStats(
+          li.filter(third === i).repartitionByRange(2, col("l_orderkey")),
+          root, "l_orderkey"))
+        graft.sources.VersionedTable.overwrite(
+          li.limit(0), out) // empty catalog table to stream into
+        org.apache.spark.sql.graft.GraftCatalog.register(
+          s, "gate", "sink_t", out)
+        def runOnce(): Unit = {
+          val q = graft.sources.VersionedTable.scanStream(s, root,
+            startingVersion = Some(0L),
+            maxVersionsPerTrigger = Some(1L))
+            .writeStream.format("graft-table")
+            .option("checkpointLocation", ckpt)
+            .option("statsCols", "l_orderkey")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .toTable("graft.gate.sink_t")
+          require(q.awaitTermination(180000),
+            "native sink stream did not drain within 180 s")
+          ()
+        }
+        val expect = graft.sources.VersionedTable.read(s, root).count()
+        var runs = 0
+        while (runs < 6 && graft.sources.VersionedTable
+          .read(s, out).count() < expect) {
+          runOnce(); runs += 1
+        }
+        runOnce() // one more full replay-the-last-batch restart
+        val runsOk = if (runs >= 2) 1L else 0L
+        s.sql("""SELECT l_returnflag, count(*) AS n,
+                        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                          AS DOUBLE) AS qty
+                 FROM graft.gate.sink_t
+                 GROUP BY l_returnflag ORDER BY l_returnflag""")
+          .withColumn("runs_ok", lit(runsOk))
+      },
+      oracle = Some("""
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+               CAST(1 AS BIGINT) AS runs_ok
+        FROM lineitem GROUP BY 1 ORDER BY 1"""),
+      bench = false),
+
     "q306_stream_compact" -> Q(
       run = (s, dir) => {
         val root = tempRoot("graft_vt_scompact").resolve("t").toString

@@ -1423,10 +1423,14 @@ object VersionedTable {
     val wasPartitioned = partitionSchema(root).nonEmpty
     val staged = stagePartitioned(df, root, partCols, mapNames = false)
     val lines = statLines(df.sparkSession, staged, statsCols, root)
-    commitWithRetry(root, maxRetries = 5) { v =>
+    val v = commitWithRetry(root, maxRetries = 5) { v =>
       requireFirstPartitionedAtZero(root, v, wasPartitioned)
       lines
     }
+    // an EMPTY partitioned overwrite records its schema like the flat
+    // path does — the version stays readable (zero rows, full schema)
+    if (staged.isEmpty) writeEmptySchemaSidecar(root, v, df.schema)
+    v
   }
 
   /** As [[overwritePartitionedWithStats]], appending (delta commit). */
@@ -2671,6 +2675,30 @@ object VersionedTable {
         sys.error(s"txn recorded but no versions at $root"))
     if (df.isEmpty) return latestVersion(root).getOrElse(-1L)
     val staged = stageDataFiles(df, root, nextVersion(root))
+    val lines = statLines(df.sparkSession, staged, statsCols, root)
+    val v = commitWithRetry(root, maxRetries = 5) { v =>
+      if (v == 0) lines :+ line
+      else deltaContent(Seq.empty, lines) :+ line
+    }
+    maybeCheckpoint(root, v)
+    v
+  }
+
+  /** [[appendTxnWithStats]] for Hive-partitioned tables: the
+    * exactly-once streaming append whose files land in the table's
+    * `col=value` layout — data files, stats, AND the txn marker in one
+    * atomic manifest commit. The [[appendPartitionedWithStats]] twin
+    * of the flat-table txn path (the native streaming sink routes
+    * through whichever matches the table's layout). */
+  def appendPartitionedTxn(df: DataFrame, root: String,
+                           partCols: Seq[String], appId: String,
+                           txn: Long, statsCols: Seq[String] = Seq.empty): Long = {
+    val line = txnLine(appId, txn)
+    if (latestTxn(root, appId).exists(_ >= txn))
+      return latestVersion(root).getOrElse(
+        sys.error(s"txn recorded but no versions at $root"))
+    if (df.isEmpty) return latestVersion(root).getOrElse(-1L)
+    val staged = stagePartitioned(df, root, partCols)
     val lines = statLines(df.sparkSession, staged, statsCols, root)
     val v = commitWithRetry(root, maxRetries = 5) { v =>
       if (v == 0) lines :+ line

@@ -97,7 +97,7 @@ class GraftCatalog extends TableCatalog
         s"table ${key(ident)} has pending merge-on-read overlays " +
           "(tombstones/patches): a raw catalog read would serve deleted " +
           "rows — purge() them or read via VersionedTable.scan")
-    new GraftTableV2(key(ident), root, None)
+    new GraftTableV2(key(ident), root, None, catName)
   }
 
   /** `VERSION AS OF n` — Spark routes the version string here. */
@@ -108,7 +108,7 @@ class GraftCatalog extends TableCatalog
     }
     require(VersionedTable.versions(root).contains(v),
       s"table ${key(ident)} has no version $v")
-    new GraftTableV2(s"${key(ident)}@v$v", root, Some(v))
+    new GraftTableV2(s"${key(ident)}@v$v", root, Some(v), catName)
   }
 
   /** `TIMESTAMP AS OF ts` — Spark hands epoch MICROseconds. */
@@ -116,7 +116,7 @@ class GraftCatalog extends TableCatalog
     val root = rootOf(ident)
     val v = VersionedTable.versionAsOf(root, timestamp / 1000L)
       .getOrElse(throw new NoSuchTableException(ident))
-    new GraftTableV2(s"${key(ident)}@v$v", root, Some(v))
+    new GraftTableV2(s"${key(ident)}@v$v", root, Some(v), catName)
   }
 
   /** Write-intent load (Spark routes INSERT/OVERWRITE here): skips the
@@ -124,7 +124,7 @@ class GraftCatalog extends TableCatalog
     * legitimate (the overlay composes over the new rows too). */
   override def loadTable(ident: Identifier,
                          writePrivileges: util.Set[TableWritePrivilege]): Table =
-    new GraftTableV2(key(ident), rootOf(ident), None)
+    new GraftTableV2(key(ident), rootOf(ident), None, catName)
 
   private def localPath(loc: String): String =
     try {
@@ -188,7 +188,7 @@ class GraftCatalog extends TableCatalog
     val partCols = partColsOf(schema, partitions)
     VersionedTable.createEmpty(root, schema, partCols)
     GraftCatalog.registry.put(key(ident), root)
-    new GraftTableV2(key(ident), root, None)
+    new GraftTableV2(key(ident), root, None, catName)
   }
 
   // ---------------------------------------------------------------
@@ -329,7 +329,7 @@ class GraftCatalog extends TableCatalog
     }
     if (adds.nonEmpty)
       VersionedTable.alterAddColumns(spark, root, adds)
-    new GraftTableV2(key(ident), root, None)
+    new GraftTableV2(key(ident), root, None, catName)
   }
 
   /** DROP = remove the NAME from the catalog; the versioned data stays
@@ -437,9 +437,31 @@ object GraftCatalog {
   * atomic manifest commits, default stats, and optimistic retry as
   * the Scala API. Version-pinned tables are read-only (time travel). */
 private[graft] class GraftTableV2(ident: String, root: String,
-                                  version: Option[Long])
+                                  version: Option[Long],
+                                  catalogName: String = "graft")
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback {
+
+  /** STREAMING writes (`df.writeStream.format("graft-table")
+    * .toTable("graft.db.t")`): Spark's V1 fallback routes the table's
+    * provider + location into [[GraftStreamProvider.createSink]] —
+    * every micro-batch becomes one exactly-once txn-stamped append
+    * commit. Batch reads/writes never consult this. */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    require(version.isEmpty,
+      s"$ident is a pinned time-travel snapshot: read-only")
+    val parts = ident.split('.')
+    org.apache.spark.sql.catalyst.catalog.CatalogTable(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+        parts.last, parts.dropRight(1).lastOption, Some(catalogName)),
+      tableType =
+        org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+      storage = org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat
+        .empty.copy(locationUri = Some(new java.io.File(root).toURI)),
+      schema = schema(),
+      provider = Some("graft-table"))
+  }
 
   private lazy val (idx, dataSchema, partSchema, logicalSchema) =
     GraftScan.indexFor(classic.SparkSession.active, root, version)

@@ -1,9 +1,11 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.sources.VersionedTable
@@ -44,7 +46,8 @@ import graft.sources.VersionedTable
   * run (exactly-once either way — the checkpoint governs).
   *
   * Use via [[graft.sources.VersionedTable.scanStream]]. */
-class GraftStreamProvider extends StreamSourceProvider with DataSourceRegister {
+class GraftStreamProvider extends StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
 
@@ -62,13 +65,99 @@ class GraftStreamProvider extends StreamSourceProvider with DataSourceRegister {
       GraftStreamSource.startingVersionOf(parameters),
       GraftStreamSource.longOpt(parameters, "maxVersionsPerTrigger"),
       GraftStreamSource.longOpt(parameters, "maxBytesPerTrigger"))
+
+  /** NATIVE streaming WRITE (the DeltaSink role): every micro-batch
+    * lands as one exactly-once [[VersionedTable.appendTxn]]-family
+    * commit — data files, stats, and the `(appId, batchId)` txn marker
+    * in ONE atomic manifest commit, so a kill-and-restart replay of
+    * the last batch is recognized and skipped by the table itself, not
+    * by sink-side bookkeeping. Routes:
+    *
+    * {{{
+    *   df.writeStream.format("graft-table").option("root", root)...
+    *   df.writeStream.format("graft-table").toTable("graft.db.t")
+    * }}}
+    *
+    * (the second through [[GraftTableV2]]'s V1 fallback, which passes
+    * the table location as `path`). The exactly-once appId is, in
+    * order: the `txnAppId` option, else the query's checkpoint
+    * location (stable across restarts — the same checkpoint IS the
+    * same logical stream), else a fresh UUID (no checkpoint = no
+    * replay to dedup). Append mode appends; Complete overwrites per
+    * batch (same txn stamping); Update is refused. Partitioned tables
+    * land in their Hive layout automatically. */
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    val root = GraftStreamSource.rootOf(parameters)
+    require(outputMode == OutputMode.Append() ||
+      outputMode == OutputMode.Complete(),
+      s"graft-table sink supports Append and Complete, got $outputMode")
+    val tableParts = VersionedTable.partitionSchema(root).fieldNames.toSeq
+    require(partitionColumns.isEmpty || partitionColumns == tableParts,
+      s"partitionBy(${partitionColumns.mkString(",")}) differs from the " +
+        s"table's partitioning ${tableParts.mkString(",")}")
+    val appId = parameters.get("txnAppId")
+      .orElse(parameters.get("txnappid"))
+      .orElse(parameters.get("checkpointLocation"))
+      .orElse(parameters.get("checkpointlocation"))
+      .getOrElse(java.util.UUID.randomUUID().toString)
+    val statsCols = parameters.get("statsCols")
+      .orElse(parameters.get("statscols"))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    new GraftStreamSink(root, appId, tableParts, statsCols,
+      complete = outputMode == OutputMode.Complete())
+  }
+}
+
+/** V1 streaming Sink onto the engine's exactly-once txn commits. The
+  * incoming micro-batch frame is STREAMING-flagged (the V1 contract);
+  * it re-wraps over its already-planned RDD as a batch frame before
+  * the write — never re-planned, never double-computed beyond the
+  * write's own passes. */
+private[graft] class GraftStreamSink(root: String, appId: String,
+                                     partCols: Seq[String],
+                                     statsCols: Seq[String],
+                                     complete: Boolean) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val cs = data.sparkSession.asInstanceOf[classic.SparkSession]
+    val batch = cs.internalCreateDataFrame(
+      data.asInstanceOf[classic.DataFrame].queryExecution.toRdd,
+      data.schema, isStreaming = false)
+    if (complete) {
+      require(partCols.isEmpty,
+        "Complete-mode overwrite of a partitioned table is not " +
+          "supported — use Append, or a foreachBatch door")
+      VersionedTable.overwriteTxnWithStats(
+        batch, root, appId, batchId, statsCols: _*)
+    } else if (partCols.isEmpty)
+      VersionedTable.appendTxnWithStats(
+        batch, root, appId, batchId, statsCols: _*)
+    else
+      VersionedTable.appendPartitionedTxn(
+        batch, root, partCols, appId, batchId, statsCols)
+    ()
+  }
+
+  override def toString: String = s"GraftStreamSink[$root]"
 }
 
 private[graft] object GraftStreamSource {
 
   def rootOf(parameters: Map[String, String]): String =
-    parameters.getOrElse("root",
-      sys.error("graft-table stream needs option 'root'"))
+    parameters.get("root").orElse(parameters.get("path").map { p =>
+      // `path` is how the catalog's V1 fallback (`.toTable`) hands the
+      // table LOCATION over — it arrives as a Hadoop Path string of a
+      // file: URI; the engine's roots are local paths
+      try {
+        val u = new java.net.URI(p)
+        if (u.getScheme == "file") java.nio.file.Paths.get(u).toString
+        else p
+      } catch { case _: Exception => p }
+    }).getOrElse(
+      sys.error("graft-table stream needs option 'root' (or 'path')"))
 
   /** The Delta `startingVersion` option: serve only commits AFTER this
     * version (None = full first-snapshot load). Spark lower-cases

@@ -23,7 +23,8 @@ class PlanAuditSpec extends SparkSuite {
     "q252_stream_ohlc", "q266_stream_expectations",
     "q277_stream_atomic_publish", "q285_stream_outer_join",
     "q294_media_lifecycle", "q295_ann_ingest", "q296_zorder_ingest",
-    "q300_ivfpq_ingest", "q304_scan_stream", "q306_stream_compact", "q317_stream_ratelimit")
+    "q300_ivfpq_ingest", "q304_scan_stream", "q306_stream_compact",
+    "q317_stream_ratelimit", "q322_native_sink")
 
   /** pattern → queries where it is the intended plan shape. */
   private val allowed: Map[String, Set[String]] = Map(

@@ -215,4 +215,101 @@ class GraftStreamSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("append-only"))
   }
+
+  test("NATIVE sink: writeStream.format(graft-table) lands each " +
+    "micro-batch as ONE txn-stamped commit; a kill-and-restart replay " +
+    "is deduplicated by the table itself") {
+    import spark.implicits._
+    val src = tmpRoot()
+    val out = tmpRoot()
+    val ckpt = Files.createTempDirectory("graft_sink_ck").toString
+    mkTable(src, 0L, 60L, overwrite = true)
+    VersionedTable.overwrite(
+      Seq.empty[(Long, String, Long)].toDF("k", "tag", "v"), out)
+    def run(): Unit = {
+      val q = VersionedTable.scanStream(spark, src,
+        maxVersionsPerTrigger = Some(1L))
+        .writeStream.format("graft-table")
+        .option("root", out)
+        .option("checkpointLocation", ckpt)
+        .option("statsCols", "k")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+      ()
+    }
+    run()
+    assert(VersionedTable.read(spark, out).count() == 60L)
+    // three more source commits; capped AvailableNow runs drain them
+    // across RESTARTS of the same checkpoint — each run re-seats the
+    // last batch through the sink (the kill-and-restart replay), and
+    // the txn marker must swallow the replays
+    mkTable(src, 60L, 80L, overwrite = false)
+    mkTable(src, 80L, 90L, overwrite = false)
+    run(); run(); run(); run()
+    val got = VersionedTable.read(spark, out)
+    assert(got.count() == 90L,
+      s"exactly-once across restarts, got ${got.count()}")
+    assert(got.select(col("k")).distinct().count() == 90L)
+    // the txn markers are IN the manifest commits (one atomic unit)
+    assert(VersionedTable.latestTxn(out, ckpt).nonEmpty,
+      "the checkpoint location is the exactly-once appId")
+    // stats recorded through the sink prune reads
+    val q2 = VersionedTable.scan(spark, out).filter(col("k") < 10L)
+    assert(q2.count() == 10L)
+  }
+
+  test("NATIVE sink via the catalog: format(graft-table)" +
+    ".toTable(graft.db.t) routes through the V1 fallback; partitioned " +
+    "tables land their Hive layout") {
+    import spark.implicits._
+    val src = tmpRoot()
+    val out = tmpRoot()
+    val ckpt = Files.createTempDirectory("graft_sink_ck2").toString
+    mkTable(src, 0L, 30L, overwrite = true)
+    // catalog table, Hive-partitioned by tag
+    VersionedTable.overwritePartitionedWithStats(
+      Seq.empty[(Long, Long, String)].toDF("k", "v", "tag"),
+      out, Seq("tag"))
+    org.apache.spark.sql.graft.GraftCatalog.register(
+      spark, "snk", "t", out)
+    val q = VersionedTable.scanStream(spark, src)
+      .select(col("k"), col("v"), col("tag"))
+      .writeStream.format("graft-table")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .toTable("graft.snk.t")
+    q.awaitTermination(180000)
+    assert(spark.sql("SELECT count(*) FROM graft.snk.t")
+      .head().getLong(0) == 30L)
+    // Hive layout: the partition predicate prunes directories
+    assert(VersionedTable.listingPaths(out,
+      VersionedTable.latestVersion(out).get)
+      .forall(_.contains("tag=")), "partitioned sink must lay out " +
+      "col=value directories")
+    // replay of the same checkpoint adds nothing
+    val q3 = VersionedTable.scanStream(spark, src)
+      .select(col("k"), col("v"), col("tag"))
+      .writeStream.format("graft-table")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .toTable("graft.snk.t")
+    q3.awaitTermination(180000)
+    assert(spark.sql("SELECT count(*) FROM graft.snk.t")
+      .head().getLong(0) == 30L)
+    // Update mode is refused loudly
+    val e = intercept[Exception] {
+      VersionedTable.scanStream(spark, src)
+        .select(col("k"), col("v"), col("tag"))
+        .writeStream.format("graft-table")
+        .outputMode("update")
+        .option("root", out)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_sink_ck3").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    assert(e.getMessage.contains("Append and Complete") ||
+      e.getMessage.toLowerCase.contains("update"))
+  }
 }
