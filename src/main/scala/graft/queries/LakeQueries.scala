@@ -1378,6 +1378,50 @@ object LakeQueries extends QueryModule {
         FROM f GROUP BY 1 ORDER BY 1"""),
       bench = false),
 
+    // SQL serving metadata verbs (the Presto-shaped listing surface):
+    // SHOW PARTITIONS answers from the MANIFEST PATHS (metadata-only
+    // at any table size — the oracle replays it as DISTINCT over the
+    // data, proving the listing equals the data's true partition set);
+    // tables_ok pins SHOW TABLES carrying the registered name at its
+    // committed version, describe_ok pins DESCRIBE TABLE's
+    // name/type/partition-role rows from one sidecar read. The
+    // catalog-side twins (SHOW TABLES IN graft.db, native SHOW
+    // PARTITIONS via SupportsPartitionManagement) are spec-pinned in
+    // GraftSqlSpec.
+    "q323_show_metadata" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_meta").resolve("t").toString
+        val name = "gsql_meta"
+        graft.sources.VersionedTable.overwritePartitionedWithStats(
+          Tables(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_totalprice"),
+              col("o_orderstatus"))
+            .repartitionByRange(4, col("o_orderkey")),
+          root, Seq("o_orderstatus"))
+        graft.sources.GraftSql.register(s, name, root)
+        val tablesOk = graft.sources.GraftSql.execute(s, "SHOW TABLES")
+          .collect().exists(r => r.getString(0) == name &&
+            r.getString(1) == root && r.getLong(2) == 0L)
+        val de = graft.sources.GraftSql
+          .execute(s, s"DESCRIBE TABLE $name").collect()
+          .map(r => (r.getString(0), r.getString(1), r.getBoolean(3)))
+          .toSeq
+        val describeOk = de == Seq(
+          ("o_orderkey", "bigint", false),
+          ("o_totalprice", "double", false),
+          ("o_orderstatus", "string", true))
+        graft.sources.GraftSql.execute(s, s"SHOW PARTITIONS $name")
+          .withColumn("tables_ok", lit(if (tablesOk) 1L else 0L))
+          .withColumn("describe_ok", lit(if (describeOk) 1L else 0L))
+          .orderBy("partition")
+      },
+      oracle = Some("""
+        SELECT DISTINCT 'o_orderstatus=' || o_orderstatus AS partition,
+               CAST(1 AS BIGINT) AS tables_ok,
+               CAST(1 AS BIGINT) AS describe_ok
+        FROM orders ORDER BY 1"""),
+      bench = false),
+
     // Atomic CTAS / CREATE OR REPLACE (the StagingTableCatalog role):
     // CREATE TABLE ... AS SELECT lands the name + data as one staged
     // commit (GraftCatalogSpec pins the abort path: a failing CTAS

@@ -31,6 +31,12 @@ import org.apache.spark.sql.functions._
   *    → [[VersionedTable.addConstraint]] (existing rows validated
   *    once; every later write on ANY surface enforces per-row,
   *    in-job);
+  *  - `ALTER TABLE t DROP COLUMN c` / `RENAME COLUMN a TO b` →
+  *    metadata-only column-mapping commits
+  *    ([[VersionedTable.alterDropColumn]]/[[VersionedTable.alterRenameColumn]]);
+  *  - listings: `SHOW TABLES` (registry), `DESCRIBE [TABLE] t` (one
+  *    sidecar read — name/type/nullability/partition role),
+  *    `SHOW PARTITIONS t` (manifest-path parse) — all metadata-only;
   *  - maintenance: `OPTIMIZE t [ZORDER BY (a, b)]` →
   *    [[VersionedTable.compact]] / `compactZOrderedK` (~128 MiB
   *    targets from manifest byte totals); `VACUUM t [RETAIN n HOURS]`
@@ -206,6 +212,15 @@ object GraftSql {
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
       """\s+LOCATION\s+'([^']+)'\s*;?\s*""").r
 
+  // Metadata listing verbs (the last Presto-shaped serving surface:
+  // SHOW TABLES / DESCRIBE TABLE / SHOW PARTITIONS) — all answered
+  // from the registry + sidecars + manifest paths, zero file opens
+  private val ShowTablesSql = """(?is)\s*SHOW\s+TABLES\s*;?\s*""".r
+  private val DescribeTableSql =
+    """(?is)\s*DESCRIBE\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+  private val ShowPartitionsSql =
+    """(?is)\s*SHOW\s+PARTITIONS\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+
   private val MergeActions =
     ("""(?is)\s*WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
       """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""").r
@@ -359,6 +374,44 @@ object GraftSql {
           (v, files.toLong, rows, new java.sql.Timestamp(ts)) }
         .toDF("version", "files", "rows", "commit_time")
         .orderBy(col("version"))
+    case ShowTablesSql() =>
+      import spark.implicits._
+      import scala.jdk.CollectionConverters._
+      tables.asScala.toSeq.sortBy(_._1).map { case (n, r) =>
+        (n, r, VersionedTable.latestVersion(r).getOrElse(-1L))
+      }.toDF("table", "location", "version")
+    case DescribeTableSql(t) =>
+      // one sidecar read (scan-cached), zero file opens: name, Spark
+      // SQL type, nullability, partition role — schema order
+      import spark.implicits._
+      val root = rootOf(t)
+      val part = VersionedTable.partitionSchema(root)
+        .fieldNames.map(_.toLowerCase).toSet
+      VersionedTable.scan(spark, root).schema.fields.toSeq.map { f =>
+        (f.name, f.dataType.sql.toLowerCase, f.nullable,
+          part.contains(f.name.toLowerCase))
+      }.toDF("col_name", "data_type", "nullable", "is_partition")
+    case ShowPartitionsSql(t) =>
+      // manifest-path parse, metadata-only at any table size — the
+      // Hive `col=value` segments of the CURRENT listing, distinct
+      import spark.implicits._
+      val root = rootOf(t)
+      val ps = VersionedTable.partitionSchema(root)
+      require(ps.nonEmpty, s"table '$t' is not partitioned")
+      val v = VersionedTable.latestVersion(root)
+        .getOrElse(sys.error(s"no versions at $root"))
+      VersionedTable.listingPaths(root, v).flatMap { p =>
+        val segs = p.split('/')
+        val vals = ps.fieldNames.map(n => segs.collectFirst {
+          case seg if seg.startsWith(n + "=") =>
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(seg.substring(n.length + 1))
+        })
+        if (vals.forall(_.isDefined))
+          Some(ps.fieldNames.zip(vals.map(_.get))
+            .map { case (n, x) => s"$n=$x" }.mkString("/"))
+        else None
+      }.distinct.sorted.toDF("partition")
     case DescribeChangesSql(t, v1, v2) =>
       // row-level CDC (the Delta table_changes role): every row of v2
       // not in v1 tagged insert, every v1 row gone from v2 tagged

@@ -56,7 +56,8 @@ import graft.sources.{Tombstones, VersionedTable}
   * Spark per session via reflection and must see tables registered
   * before it existed); production would back it with a metastore. */
 class GraftCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
 
   private var catName = "graft"
 
@@ -88,6 +89,55 @@ class GraftCatalog extends TableCatalog
 
   override def tableExists(ident: Identifier): Boolean =
     GraftCatalog.registry.containsKey(GraftCatalog.key(ident))
+
+  // -------------------------------------------------------------
+  // Namespaces (the SHOW TABLES IN graft.db / SHOW NAMESPACES role):
+  // namespaces are IMPLICIT — exactly the databases of registered
+  // tables (the registry is the metastore). Creation/alteration are
+  // no-ops-by-refusal: a namespace exists iff a table uses it.
+  // -------------------------------------------------------------
+
+  private def allNamespaces(): Seq[Array[String]] = {
+    import scala.jdk.CollectionConverters._
+    GraftCatalog.registry.keySet.asScala.toSeq
+      .map(_.split('.').dropRight(1)).distinct.sortBy(_.mkString("."))
+  }
+
+  override def listNamespaces(): Array[Array[String]] =
+    allNamespaces().toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    // single-level namespaces: nothing nests below an existing one
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Array.empty
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    allNamespaces().exists(_.sameElements(namespace))
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces are implicit: CREATE a table under the " +
+        "namespace instead")
+
+  override def alterNamespace(
+      namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException(
+      "graft namespaces are implicit: DROP the tables instead")
 
   override def loadTable(ident: Identifier): Table = {
     val root = rootOf(ident)
@@ -441,7 +491,83 @@ private[graft] class GraftTableV2(ident: String, root: String,
                                   catalogName: String = "graft")
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback {
+    with org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
+
+  // -------------------------------------------------------------
+  // SHOW PARTITIONS (SupportsPartitionManagement, read-only subset):
+  // partition identifiers parse from the MANIFEST's file paths —
+  // metadata-only at any table size, exactly the pruning index's
+  // information. Mutation verbs refuse: partitions exist exactly when
+  // data in them exists (the Hive-layout writers own that).
+  // -------------------------------------------------------------
+
+  override def partitionSchema(): StructType = partSchema
+
+  override def listPartitionIdentifiers(
+      names: Array[String],
+      partIdent: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    import org.apache.spark.unsafe.types.UTF8String
+    val ps = partitionSchema()
+    require(names.length == partIdent.numFields,
+      "names and partIdent must have the same length")
+    val wanted = names.map(ps.fieldIndex)
+    def valueOf(i: Int, raw: String): Any = {
+      val s = ExternalCatalogUtils.unescapePathName(raw)
+      if (s == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+      else ps.fields(i).dataType match {
+        case org.apache.spark.sql.types.StringType => UTF8String.fromString(s)
+        case org.apache.spark.sql.types.LongType => s.toLong
+        case org.apache.spark.sql.types.IntegerType => s.toInt
+        case org.apache.spark.sql.types.ShortType => s.toShort
+        case org.apache.spark.sql.types.ByteType => s.toByte
+        case dt => sys.error(s"unsupported partition type $dt")
+      }
+    }
+    val tuples = idx.inputFiles.toSeq.flatMap { p =>
+      val segs = p.split('/')
+      val vals = ps.fields.zipWithIndex.map { case (f, i) =>
+        segs.collectFirst {
+          case seg if seg.startsWith(f.name + "=") =>
+            valueOf(i, seg.substring(f.name.length + 1))
+        }
+      }
+      if (vals.forall(_.isDefined)) Some(vals.map(_.get).toSeq) else None
+    }.distinct
+    tuples.filter { t =>
+      wanted.zipWithIndex.forall { case (fieldIdx, j) =>
+        val want = partIdent.get(j, ps.fields(fieldIdx).dataType)
+        val got = t(fieldIdx)
+        (want == null && got == null) || (want != null && want == got)
+      }
+    }.map(t =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        t.toArray)).toArray
+  }
+
+  override def createPartition(
+      partIdent: org.apache.spark.sql.catalyst.InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft partitions exist exactly when data in them exists — " +
+        "INSERT rows instead")
+
+  override def dropPartition(
+      partIdent: org.apache.spark.sql.catalyst.InternalRow): Boolean =
+    throw new UnsupportedOperationException(
+      "drop partitions by DELETE FROM t WHERE <partition predicate>")
+
+  override def replacePartitionMetadata(
+      partIdent: org.apache.spark.sql.catalyst.InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft partitions carry no metadata")
+
+  override def loadPartitionMetadata(
+      partIdent: org.apache.spark.sql.catalyst.InternalRow)
+      : util.Map[String, String] = java.util.Collections.emptyMap()
 
   /** STREAMING writes (`df.writeStream.format("graft-table")
     * .toTable("graft.db.t")`): Spark's V1 fallback routes the table's

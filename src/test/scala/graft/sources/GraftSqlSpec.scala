@@ -378,6 +378,61 @@ class GraftSqlSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("not registered"))
   }
+
+  test("metadata listings: SHOW TABLES, DESCRIBE TABLE, SHOW " +
+    "PARTITIONS answer from registry/sidecars/manifest paths; the " +
+    "catalog serves SHOW TABLES IN / SHOW PARTITIONS natively") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val name = s"gmeta_${math.abs(root.hashCode)}"
+    VersionedTable.overwritePartitionedWithStats(
+      Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "a"))
+        .toDF("k", "v", "tag"),
+      root, Seq("tag"))
+    GraftSql.register(spark, name, root)
+    // SHOW TABLES lists the registered name with its location+version
+    val st = GraftSql.execute(spark, "SHOW TABLES").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(st.exists(t => t._1 == name && t._2 == root && t._3 == 0L))
+    // DESCRIBE TABLE: schema rows with partition role, zero file opens
+    val de = GraftSql.execute(spark, s"DESCRIBE TABLE $name").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(3)))
+    assert(de.toSeq == Seq(("k", "bigint", false), ("v", "bigint", false),
+      ("tag", "string", true)))
+    // bare DESCRIBE works too; DESCRIBE HISTORY still routes to history
+    assert(GraftSql.execute(spark, s"DESCRIBE $name").count() == 3L)
+    assert(GraftSql.execute(spark, s"DESCRIBE HISTORY $name")
+      .columns.contains("commit_time"))
+    // SHOW PARTITIONS: distinct manifest-path values, sorted
+    val sp = GraftSql.execute(spark, s"SHOW PARTITIONS $name")
+      .collect().map(_.getString(0)).toSeq
+    assert(sp == Seq("tag=a", "tag=b"))
+    val eFlat = intercept[IllegalArgumentException] {
+      val flat = tmpRoot()
+      VersionedTable.overwrite(Seq((1L, 2L)).toDF("k", "v"), flat)
+      GraftSql.register(spark, name + "_f", flat)
+      GraftSql.execute(spark, s"SHOW PARTITIONS ${name}_f")
+    }
+    assert(eFlat.getMessage.contains("not partitioned"))
+    // the CATALOG surface: SHOW TABLES IN graft.<db> and native
+    // SHOW PARTITIONS through SupportsNamespaces/PartitionManagement
+    org.apache.spark.sql.graft.GraftCatalog.register(
+      spark, "meta", "t", root)
+    val cst = spark.sql("SHOW TABLES IN graft.meta").collect()
+      .map(_.getString(1))
+    assert(cst.contains("t"))
+    assert(spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).contains("meta"))
+    val csp = spark.sql("SHOW PARTITIONS graft.meta.t").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(csp == Seq("tag=a", "tag=b"))
+    assert(spark.sql("DESCRIBE TABLE graft.meta.t").collect()
+      .map(_.getString(0)).contains("tag"))
+    // a partition-clause filter narrows the native listing
+    val one = spark.sql(
+      "SHOW PARTITIONS graft.meta.t PARTITION (tag = 'a')").collect()
+    assert(one.map(_.getString(0)).toSeq == Seq("tag=a"))
+  }
 }
 
 object GraftSqlSpec {
