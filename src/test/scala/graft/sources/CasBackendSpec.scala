@@ -95,6 +95,66 @@ class CasBackendSpec extends AnyFunSuite {
     }
   }
 
+  // ---- the WIRE backend: the same matrix over real HTTP round-trips
+  // (HttpCas against an in-process object-store stub whose
+  // If-None-Match precondition is evaluated atomically server-side —
+  // the S3/GCS conditional-PUT path as code, not a comment) ----
+
+  private def withWire[A](body: CasBackend => A): A = {
+    val srv = new CasStubServer
+    try body(new HttpCas(srv.endpoint)) finally srv.stop()
+  }
+
+  test("racing CAS increments serialize on the HTTP wire backend") {
+    withWire(raceIncrements)
+  }
+
+  test("putIfAbsent is exclusive per name over the wire; read/list/" +
+    "delete round-trip; a 412 is the lost race") {
+    withWire { b =>
+      val dir = Files.createTempDirectory("graft_cas_w").toFile
+      val f = new File(dir, "_ptr.1")
+      val winners = new java.util.concurrent.atomic.AtomicInteger(0)
+      val ts = (1 to 8).map { i =>
+        new Thread(() => {
+          if (b.putIfAbsent(f, s"w$i".getBytes("UTF-8")))
+            winners.incrementAndGet()
+          ()
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join(60000))
+      assert(winners.get() == 1, "exactly one wire writer must win")
+      assert(new String(b.read(f), "UTF-8").matches("w[1-8]"))
+      assert(b.list(dir).contains("_ptr.1"))
+      assert(!b.putIfAbsent(f, "loser".getBytes("UTF-8")))
+      b.delete(f)
+      assert(!b.list(dir).contains("_ptr.1"))
+      assert(b.putIfAbsent(f, "again".getBytes("UTF-8")))
+      intercept[java.nio.file.NoSuchFileException] {
+        b.read(new File(dir, "_ptr.none"))
+      }
+    }
+  }
+
+  test("phantom-slot withdrawal holds over the wire backend") {
+    withWire { b =>
+      val dir = Files.createTempDirectory("graft_cas_wp").toFile
+      assert(PointerCas.commitIfGen(dir, 0L, "v1", b))
+      val stalled = PointerCas.commitIfGen(dir, 1L, "PHANTOM", b,
+        beforePut = () => {
+          var g = PointerCas.gen(dir, b)
+          while (g < 1L + PointerCas.Keep + 2L) {
+            assert(PointerCas.commitIfGen(dir, g, s"v${g + 1}", b))
+            g += 1
+          }
+        })
+      assert(!stalled, "a phantom win must report a lost race on the wire")
+      val head = PointerCas.gen(dir, b)
+      assert(PointerCas.read(dir, b).get == s"v$head")
+      assert(!b.list(dir).contains("_ptr.2"))
+    }
+  }
+
   test("legacy fixed-name fallback reads through the backend") {
     val b = new InMemoryCas
     val dir = Files.createTempDirectory("graft_cas_l").toFile
