@@ -403,10 +403,135 @@ object VersionedTable {
       if (staged.fieldNames.contains(c)) c else m.getOrElse(c.toLowerCase, c))
   }
 
+  /** Driver-side FOOTER fold for [[statLines]] — the commit-dense
+    * fast path: a small staged set whose stats columns are all
+    * exactly-footer-representable (integral, date, MICROS timestamp,
+    * float/double) answers rows/bytes/min-max from the parquet footers
+    * already on disk, eliminating the per-commit stats JOB entirely.
+    * Every COW rewrite (empty stats cols) and every small
+    * materialized-view refresh hits this. `None` → the Spark-job path,
+    * on ANY doubt: >64 files (the job amortizes), a string column
+    * (parquet binary stats may be truncated), INT96 timestamps (no
+    * reliable stats — falling back keeps the stat recorded rather than
+    * silently losing pruning), or any footer surprise. Semantics are
+    * byte-identical to the job path: same key prefixes, same
+    * all-null-skip, same NaN-skip, same zero-row handling. */
+  private def footerStatLines(staged: Seq[String], cols0: Seq[String],
+                              mapping: Map[String, String])
+      : Option[Seq[String]] = {
+    if (staged.length > 64) return None
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    try {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val lines = staged.map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val schema = r.getFooter.getFileMetaData.getSchema
+          val blocks = r.getFooter.getBlocks.asScala.toSeq
+          val rows = blocks.map(_.getRowCount).sum
+          // the remapToPhysical rule over footer fields: a name the
+          // file carries passes through (unmapped tables, overwrite
+          // batches); else the mapping resolves it
+          val cols = cols0.map { c0 =>
+            if (schema.containsField(c0)) c0
+            else mapping.getOrElse(c0.toLowerCase, c0)
+          }
+          // per requested column: (manifest key, lo, hi) or skip
+          val colParts = cols.map { c =>
+            if (!schema.containsField(c)) return None
+            val t = schema.getFields.asScala.find(_.getName == c)
+              .getOrElse(return None)
+            if (!t.isPrimitive) return None
+            val pt = t.asPrimitiveType()
+            val ann = pt.getLogicalTypeAnnotation
+            // exactly-representable kinds only; anything else bails
+            // the WHOLE batch to the job path
+            val kind: Char = pt.getPrimitiveTypeName match {
+              case INT64 => ann match {
+                case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                    if ts.getUnit ==
+                      LogicalTypeAnnotation.TimeUnit.MICROS => 't'
+                case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                  return None
+                case null => 'i'
+                case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation => 'i'
+                case _ => return None
+              }
+              case INT32 => ann match {
+                case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => 'd'
+                case null => 'i'
+                case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation => 'i'
+                case _ => return None
+              }
+              case DOUBLE | FLOAT => 'f'
+              case _ => return None
+            }
+            val perBlock = blocks.map { b =>
+              val cc = b.getColumns.asScala.find(
+                _.getPath.toDotString == c).getOrElse(return None)
+              val st = cc.getStatistics
+              if (st == null) return None
+              if (st.getNumNulls < 0) return None // unknown null count
+              if (b.getRowCount == 0L || st.getNumNulls == b.getRowCount)
+                None // all-null block contributes nothing
+              else if (!st.hasNonNullValue) return None // stats absent
+              else Some((st.genericGetMin, st.genericGetMax))
+            }
+            val present = perBlock.flatten
+            if (present.isEmpty) "" // all-null column in this file: skip
+            else kind match {
+              case 'f' =>
+                def d(x: Any): Double = x match {
+                  case v: java.lang.Double => v.doubleValue()
+                  case v: java.lang.Float => v.floatValue().toDouble
+                  case _ => throw new IllegalStateException("footer stat")
+                }
+                val lo = present.map(x => d(x._1)).min
+                val hi = present.map(x => d(x._2)).max
+                if (lo.isNaN || hi.isNaN) ""
+                else s"\t$DblPrefix$c\t$lo\t$hi"
+              case k =>
+                def l(x: Any): Long = x match {
+                  case v: java.lang.Long => v.longValue()
+                  case v: java.lang.Integer => v.longValue()
+                  case _ => throw new IllegalStateException("footer stat")
+                }
+                val lo = present.map(x => l(x._1)).min
+                val hi = present.map(x => l(x._2)).max
+                val prefix = k match {
+                  case 't' => TsPrefix + c
+                  case 'd' => DatePrefix + c
+                  case _ => c
+                }
+                s"\t$prefix\t$lo\t$hi"
+            }
+          }
+          val bytes = new File(p).length()
+          p + s"\t$RowsKey\t$rows\t$rows" + colParts.mkString +
+            s"\t$BytesKey\t$bytes\t$bytes"
+        } finally r.close()
+      }
+      Some(lines)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   private def statLines(spark: SparkSession, staged: Seq[String],
                         statsCols0: Seq[String], root: String): Seq[String] = {
     if (staged.isEmpty) return staged
     import org.apache.spark.sql.types._
+    // the driver-side footer fold first: small batches with
+    // footer-exact stat columns never pay the stats job. Columns are
+    // remapped against the first footer's field set (staged files of
+    // one batch share a schema).
+    if (staged.length <= 64) {
+      val m = if (isColumnMapped(root)) mappingFor(root)
+              else Map.empty[String, String]
+      footerStatLines(staged, statsCols0, m).foreach(return _)
+    }
     val relation = spark.read.parquet(staged: _*)
     // column-mapping: staged files carry PHYSICAL names; a caller's
     // logical stats column is remapped exactly when the staged schema
