@@ -35,8 +35,16 @@ import java.nio.charset.StandardCharsets
   * APPLIED). */
 final class HttpCas(endpoint: String,
                     client: HttpClient = HttpClient.newBuilder()
-                      .version(HttpClient.Version.HTTP_1_1).build())
+                      .version(HttpClient.Version.HTTP_1_1)
+                      .connectTimeout(java.time.Duration.ofSeconds(10))
+                      .build(),
+                    requestTimeout: java.time.Duration =
+                      java.time.Duration.ofSeconds(30))
     extends CasBackend {
+
+  // every call carries connect + request timeouts: the put fences
+  // commit protocols, and a black-holed store must surface as an
+  // IOException (HttpTimeoutException is one), never wedge the writer
 
   private val base = endpoint.stripSuffix("/")
 
@@ -49,7 +57,7 @@ final class HttpCas(endpoint: String,
   override def list(dir: File): Seq[String] = {
     val rsp = client.send(
       HttpRequest.newBuilder(URI.create(s"$base/${keyOf(dir)}/?list"))
-        .GET().build(),
+        .timeout(requestTimeout).GET().build(),
       HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
     rsp.statusCode() match {
       case 200 => rsp.body().split('\n').filter(_.nonEmpty).toSeq
@@ -61,7 +69,7 @@ final class HttpCas(endpoint: String,
 
   override def read(f: File): Array[Byte] = {
     val rsp = client.send(
-      HttpRequest.newBuilder(uriFor(f)).GET().build(),
+      HttpRequest.newBuilder(uriFor(f)).timeout(requestTimeout).GET().build(),
       HttpResponse.BodyHandlers.ofByteArray())
     rsp.statusCode() match {
       case 200 => rsp.body()
@@ -72,7 +80,7 @@ final class HttpCas(endpoint: String,
 
   override def putIfAbsent(f: File, content: Array[Byte]): Boolean = {
     val rsp = client.send(
-      HttpRequest.newBuilder(uriFor(f))
+      HttpRequest.newBuilder(uriFor(f)).timeout(requestTimeout)
         .header("If-None-Match", "*")
         .PUT(HttpRequest.BodyPublishers.ofByteArray(content)).build(),
       HttpResponse.BodyHandlers.discarding())
@@ -85,7 +93,7 @@ final class HttpCas(endpoint: String,
 
   override def delete(f: File): Unit = {
     val rsp = client.send(
-      HttpRequest.newBuilder(uriFor(f)).DELETE().build(),
+      HttpRequest.newBuilder(uriFor(f)).timeout(requestTimeout).DELETE().build(),
       HttpResponse.BodyHandlers.discarding())
     rsp.statusCode() match {
       case c if (c >= 200 && c < 300) || c == 404 => ()

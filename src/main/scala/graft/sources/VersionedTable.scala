@@ -616,8 +616,13 @@ object VersionedTable {
                        sumCols0: Seq[String], root: String): Seq[String] = {
     if (lines.isEmpty || sumCols0.isEmpty) return lines
     val paths = lines.map(_.split('\t').head)
-    val sumCols = remapToPhysical(
-      spark.read.parquet(paths: _*).schema, sumCols0, root)
+    // remap only when the table is column-mapped: the schema argument
+    // is a footer-inference pass, and unmapped tables (the common
+    // case) must not pay it per commit
+    val sumCols =
+      if (!isColumnMapped(root)) sumCols0
+      else remapToPhysical(
+        spark.read.parquet(paths: _*).schema, sumCols0, root)
     val aggs = sumCols.map(c => sum(col(c).cast("long")).as(s"__s_$c"))
     val byName = spark.read.parquet(paths: _*)
       .groupBy(col("_metadata.file_path").as("__p"))
@@ -846,17 +851,24 @@ object VersionedTable {
     if (!isColumnMapped(root)) return df
     val decl = latestVersion(root).flatMap(v =>
       readSchemaSidecar(root, v).orElse(declaredSchemaAt(root, v)))
+    // NO reachable declaration while mapping mode is on means a
+    // non-empty `overwrite` reset the world after the last ALTER (a
+    // full manifest with no sidecar is the only way that happens —
+    // every ALTER writes its sidecar loudly, restore re-plants one):
+    // logical == physical again, EVERY name is legal (the overwrite
+    // evicted the files that physically carried retired data), and
+    // none of the guards below may bite — regardless of whether some
+    // read has cached the overwrite version's sidecar yet.
+    if (decl.isEmpty) return df
     // logical → physical (non-identity entries only)
-    val m = decl.map(_.fields.iterator.collect {
+    val m = decl.get.fields.iterator.collect {
       case f if physicalName(f) != f.name =>
         f.name.toLowerCase -> physicalName(f)
-    }.toMap).getOrElse(Map.empty)
+    }.toMap
     // a declared LOGICAL name is always legal to stage — including a
-    // name an `overwrite` re-legitimized after an old DROP (the full
-    // rewrite evicted every file that physically carried the old data,
-    // so the registry entry no longer bites the current world)
-    val declaredLogical = decl.map(_.fieldNames.map(_.toLowerCase).toSet)
-      .getOrElse(Set.empty)
+    // name an `overwrite` re-legitimized after an old DROP (post-
+    // overwrite sidecars declare it identity-mapped)
+    val declaredLogical = decl.get.fieldNames.map(_.toLowerCase).toSet
     val retired = retiredColumns(root)
     val livePhys = m.values.map(_.toLowerCase).toSet
     df.columns.foreach { c =>
@@ -1171,6 +1183,51 @@ object VersionedTable {
     * partition columns (path-derived — a rename would need a directory
     * rewrite), under pending MOR overlays (their frames carry the old
     * names), and for columns referenced by CHECK constraints. */
+  /** The shared metadata-only ALTER commit cycle (rename/drop/add):
+    * optimistic loop — `declare` recomputes the new FULL field list
+    * (and the physical names to retire; `None` = this verb never
+    * touches the registry) against the then-current base version; win
+    * an empty data-preserving delta; then persist registry-BEFORE-
+    * sidecar (a crash in between leaves mapping mode on with an
+    * identity mapping, harmless — the reverse order could let an
+    * append adopt a freed name) and LOUDLY (no best-effort catch: a
+    * schema change that didn't persist must fail, and the
+    * listing-identical manifest is harmless to leave behind). */
+  private def commitAlterDeclaration(root: String, maxRetries: Int)(
+      declare: Long => (Seq[org.apache.spark.sql.types.StructField],
+        Option[Seq[String]])): Long = {
+    import org.apache.spark.sql.types.StructType
+    var attempt = 0
+    while (true) {
+      val base = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
+      val (fields, retire) = declare(base)
+      val v = base + 1
+      val won =
+        try {
+          commitManifest(root, v,
+            deltaContent(Seq.empty, Seq.empty) :+ PreservingMarker)
+          true
+        } catch {
+          case e: java.nio.file.FileAlreadyExistsException =>
+            // lost the race: recompute against the winner's schema
+            attempt += 1
+            if (attempt > maxRetries) throw e
+            false
+        }
+      if (won) {
+        retire.foreach(names => retireColumns(root, names))
+        val tmp = Files.createTempFile(new File(root).toPath, "_schema", ".tmp")
+        Files.write(tmp,
+          StructType(fields).json.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, new File(root, s"_schema.v$v.json").toPath,
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        maybeCheckpoint(root, v)
+        return v
+      }
+    }
+    -1L // unreachable
+  }
+
   def alterRenameColumn(spark: SparkSession, root: String,
                         from: String, to: String,
                         maxRetries: Int = 5): Long = {
@@ -1186,9 +1243,7 @@ object VersionedTable {
         "the constraint first"))
     require(!partitionSchema(root).fieldNames.exists(_.equalsIgnoreCase(from)),
       s"cannot rename partition column $from (values live in paths)")
-    var attempt = 0
-    while (true) {
-      val base = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
+    commitAlterDeclaration(root, maxRetries) { base =>
       val fields = logicalSchemaAt(spark, root, base).fields
       val f = fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
         sys.error(s"no column $from in table at $root"))
@@ -1203,34 +1258,12 @@ object VersionedTable {
           g.copy(name = to, metadata = md)
         } else g
       }
-      val v = base + 1
-      val won =
-        try {
-          commitManifest(root, v,
-            deltaContent(Seq.empty, Seq.empty) :+ PreservingMarker)
-          true
-        } catch {
-          case e: java.nio.file.FileAlreadyExistsException =>
-            attempt += 1
-            if (attempt > maxRetries) throw e
-            false
-        }
-      if (won) {
-        // registry BEFORE sidecar: a crash in between leaves mapping
-        // mode on with an identity mapping (harmless); the reverse
-        // order could let an append adopt the freed name
-        retireColumns(root,
-          if (phys.equalsIgnoreCase(from)) Seq(from) else Seq.empty)
-        val tmp = Files.createTempFile(new File(root).toPath, "_schema", ".tmp")
-        Files.write(tmp,
-          StructType(renamed).json.getBytes(StandardCharsets.UTF_8))
-        Files.move(tmp, new File(root, s"_schema.v$v.json").toPath,
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-        maybeCheckpoint(root, v)
-        return v
-      }
+      // retire the freed logical name only when it names the physical
+      // slot (old files carry it); an always-Some keeps the registry
+      // file — the mapping-mode flag — present either way
+      (renamed.toSeq,
+        Some(if (phys.equalsIgnoreCase(from)) Seq(from) else Seq.empty))
     }
-    -1L // unreachable
   }
 
   /** Metadata-only ALTER TABLE DROP COLUMN: a data-preserving empty
@@ -1255,40 +1288,16 @@ object VersionedTable {
     val partNames = partitionSchema(root).fieldNames
     require(!partNames.exists(_.equalsIgnoreCase(name)),
       s"cannot drop partition column $name (values live in paths)")
-    var attempt = 0
-    while (true) {
-      val base = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
+    commitAlterDeclaration(root, maxRetries) { base =>
       val fields = logicalSchemaAt(spark, root, base).fields
       val f = fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
         sys.error(s"no column $name in table at $root"))
       require(fields.count(g =>
         !partNames.exists(_.equalsIgnoreCase(g.name))) > 1,
         s"cannot drop $name: it is the table's last data column")
-      val remaining = fields.filterNot(_.name.equalsIgnoreCase(name))
-      val v = base + 1
-      val won =
-        try {
-          commitManifest(root, v,
-            deltaContent(Seq.empty, Seq.empty) :+ PreservingMarker)
-          true
-        } catch {
-          case e: java.nio.file.FileAlreadyExistsException =>
-            attempt += 1
-            if (attempt > maxRetries) throw e
-            false
-        }
-      if (won) {
-        retireColumns(root, Seq(physicalName(f)))
-        val tmp = Files.createTempFile(new File(root).toPath, "_schema", ".tmp")
-        Files.write(tmp,
-          StructType(remaining).json.getBytes(StandardCharsets.UTF_8))
-        Files.move(tmp, new File(root, s"_schema.v$v.json").toPath,
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-        maybeCheckpoint(root, v)
-        return v
-      }
+      (fields.filterNot(_.name.equalsIgnoreCase(name)).toSeq,
+        Some(Seq(physicalName(f))))
     }
-    -1L // unreachable
   }
 
   /** Metadata-only ALTER TABLE ADD COLUMNS (the Delta role): commits a
@@ -1318,9 +1327,7 @@ object VersionedTable {
       s"added column ${f.name} must be NULLABLE (existing rows read NULL)"))
     require(adds.map(_.name.toLowerCase).distinct.length == adds.length,
       s"ALTER ADD COLUMNS repeats a column: ${adds.map(_.name)}")
-    var attempt = 0
-    while (true) {
-      val base = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
+    commitAlterDeclaration(root, maxRetries) { base =>
       // the CURRENT declared schema, through the scan machinery (the
       // sidecar when present, else one cached footer sweep) — WITH its
       // column-mapping metadata, which the new declaration must carry
@@ -1332,13 +1339,12 @@ object VersionedTable {
       val haveNames = full.fieldNames.map(_.toLowerCase).toSet
       adds.foreach(f => require(!haveNames.contains(f.name.toLowerCase),
         s"column ${f.name} already exists in the table"))
-      val v = base + 1
       // column-mapping: a re-added name whose PHYSICAL slot is retired
       // (a previous DROP) or live under another logical column (the
       // pre-rename storage name) maps to a FRESH physical slot —
       // `<name>__r<v>` is unique because exactly one ALTER wins
-      // version v — so old file data NEVER resurrects into the new
-      // column (it reads typed NULL until writes fill it)
+      // version base+1 — so old file data NEVER resurrects into the
+      // new column (it reads typed NULL until writes fill it)
       val retired = retiredColumns(root)
       val livePhys = full.fields.map(f =>
         physicalName(f).toLowerCase).toSet
@@ -1348,34 +1354,12 @@ object VersionedTable {
         if (!taken) f
         else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata)
-          .putString(PhysicalKey, s"${f.name}__r$v").build())
+          .putString(PhysicalKey, s"${f.name}__r${base + 1}").build())
       }
-      val won =
-        try {
-          commitManifest(root, v,
-            deltaContent(Seq.empty, Seq.empty) :+ PreservingMarker)
-          true
-        } catch {
-          case e: java.nio.file.FileAlreadyExistsException =>
-            // lost the race: recompute against the winner's schema
-            attempt += 1
-            if (attempt > maxRetries) throw e
-            false
-        }
-      if (won) {
-        // persist the declaration LOUDLY (no best-effort catch)
-        val declared = StructType(dataFields ++ mappedAdds ++ partFields)
-        val tmp = Files.createTempFile(
-          new File(root).toPath, "_schema", ".tmp")
-        Files.write(tmp, declared.json.getBytes(StandardCharsets.UTF_8))
-        Files.move(tmp, new File(root, s"_schema.v$v.json").toPath,
-          StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
-        maybeCheckpoint(root, v)
-        return v
-      }
+      // ALTER ADD never touches the retirement registry (None): a
+      // never-mapped table must not enter mapping mode here
+      ((dataFields ++ mappedAdds ++ partFields).toSeq, None)
     }
-    -1L // unreachable
   }
 
   /** As [[overwrite]], recording per-file [min, max] of `statsCol` in
@@ -1638,9 +1622,11 @@ object VersionedTable {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.ColumnBridge
-    val bloomCol = remapToPhysical(
-      spark.read.parquet(lines.map(pathOf): _*).schema,
-      Seq(bloomCol0), root).head
+    val bloomCol =
+      if (!isColumnMapped(root)) bloomCol0
+      else remapToPhysical(
+        spark.read.parquet(lines.map(pathOf): _*).schema,
+        Seq(bloomCol0), root).head
     val numBits = math.max(64L, math.ceil(
       -expectedPerFile * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
     val agg = ColumnBridge.column(new BloomFilterAggregate(
@@ -2823,9 +2809,14 @@ object VersionedTable {
       return latestVersion(root).getOrElse(
         sys.error(s"txn recorded but no versions at $root"))
     if (df.isEmpty) return latestVersion(root).getOrElse(-1L)
+    val wasPartitioned = partitionSchema(root).nonEmpty
     val staged = stagePartitioned(df, root, partCols)
     val lines = statLines(df.sparkSession, staged, statsCols, root)
     val v = commitWithRetry(root, maxRetries = 5) { v =>
+      // the same per-attempt re-check as appendPartitionedWithStats:
+      // a concurrent flat writer landing version 0 inside the staging
+      // window must fail THIS commit, not read back NULL partitions
+      requireFirstPartitionedAtZero(root, v, wasPartitioned)
       if (v == 0) lines :+ line
       else deltaContent(Seq.empty, lines) :+ line
     }

@@ -176,13 +176,6 @@ class GraftCatalog extends TableCatalog
                          writePrivileges: util.Set[TableWritePrivilege]): Table =
     new GraftTableV2(key(ident), rootOf(ident), None, catName)
 
-  private def localPath(loc: String): String =
-    try {
-      val u = new java.net.URI(loc)
-      if (u.getScheme == "file") java.nio.file.Paths.get(u).toString
-      else loc
-    } catch { case _: Exception => loc }
-
   /** Root resolution shared by CREATE TABLE and the staged (CTAS)
     * paths: the `location` property (Spark normalizes it to a file:
     * URI; the engine's roots are local paths — convert, or
@@ -191,7 +184,7 @@ class GraftCatalog extends TableCatalog
   private def resolveRoot(ident: Identifier,
                           properties: util.Map[String, String]): String =
     Option(properties.get(TableCatalog.PROP_LOCATION))
-      .map(localPath).getOrElse {
+      .map(GraftCatalog.localPath).getOrElse {
         val base = warehouse.getOrElse(sys.error(
           s"CREATE TABLE ${key(ident)} needs a LOCATION, or set " +
             s"spark.sql.catalog.$catName.warehouse"))
@@ -407,6 +400,18 @@ object GraftCatalog {
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** `file:` URI → local path, anything else verbatim — the ONE
+    * normalizer between Spark-normalized LOCATIONs and the engine's
+    * java.io roots (CREATE TABLE, CTAS staging, the streaming sink's
+    * `path` option all route here; java.io.File would treat "file:/x"
+    * as a relative path and staging would vanish). */
+  private[graft] def localPath(loc: String): String =
+    try {
+      val u = new java.net.URI(loc)
+      if (u.getScheme == "file") java.nio.file.Paths.get(u).toString
+      else loc
+    } catch { case _: Exception => loc }
 
   private def key(ident: Identifier): String =
     (ident.namespace() :+ ident.name()).mkString(".").toLowerCase

@@ -97,6 +97,12 @@ class GraftStreamProvider extends StreamSourceProvider
     require(partitionColumns.isEmpty || partitionColumns == tableParts,
       s"partitionBy(${partitionColumns.mkString(",")}) differs from the " +
         s"table's partitioning ${tableParts.mkString(",")}")
+    // refuse at SINK CONSTRUCTION, not at the first addBatch — both
+    // facts are known here, and failing after batch 0's offsets were
+    // checkpointed is a noisier death
+    require(outputMode != OutputMode.Complete() || tableParts.isEmpty,
+      "Complete-mode overwrite of a partitioned table is not " +
+        "supported — use Append, or a foreachBatch door")
     val appId = parameters.get("txnAppId")
       .orElse(parameters.get("txnappid"))
       .orElse(parameters.get("checkpointLocation"))
@@ -147,17 +153,13 @@ private[graft] class GraftStreamSink(root: String, appId: String,
 private[graft] object GraftStreamSource {
 
   def rootOf(parameters: Map[String, String]): String =
-    parameters.get("root").orElse(parameters.get("path").map { p =>
+    parameters.get("root")
       // `path` is how the catalog's V1 fallback (`.toTable`) hands the
-      // table LOCATION over — it arrives as a Hadoop Path string of a
-      // file: URI; the engine's roots are local paths
-      try {
-        val u = new java.net.URI(p)
-        if (u.getScheme == "file") java.nio.file.Paths.get(u).toString
-        else p
-      } catch { case _: Exception => p }
-    }).getOrElse(
-      sys.error("graft-table stream needs option 'root' (or 'path')"))
+      // table LOCATION over — a file: URI string; ONE normalizer with
+      // the catalog's CREATE-TABLE path resolution
+      .orElse(parameters.get("path").map(GraftCatalog.localPath))
+      .getOrElse(
+        sys.error("graft-table stream needs option 'root' (or 'path')"))
 
   /** The Delta `startingVersion` option: serve only commits AFTER this
     * version (None = full first-snapshot load). Spark lower-cases

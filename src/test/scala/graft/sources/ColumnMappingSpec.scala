@@ -206,6 +206,23 @@ class ColumnMappingSpec extends SparkSuite {
     assert(VersionedTable.read(spark, root).count() == 2L)
   }
 
+  test("overwrite re-legitimizes a retired name WITHOUT an interleaved " +
+    "read: the very next append must stage (no sidecar-cache " +
+    "order-dependence)") {
+    import spark.implicits._
+    val root = freshTable()
+    VersionedTable.alterDropColumn(spark, root, "s")
+    VersionedTable.overwrite(
+      Seq((1L, "fresh", 100L)).toDF("k", "s", "v"), root)
+    // NO read between the overwrite and this append — the walk-back
+    // sees a full manifest with no sidecar (decl = None), which must
+    // mean identity world, not a retired-name refusal
+    VersionedTable.append(Seq((2L, "more", 200L)).toDF("k", "s", "v"), root)
+    val got = VersionedTable.read(spark, root)
+    assert(got.count() == 2L)
+    assert(got.filter(col("s") === "more").count() == 1L)
+  }
+
   test("RESTORE re-plants the declaration: time-travel semantics " +
     "survive a restore of a mapped snapshot; clones inherit the " +
     "mapping and the registry") {

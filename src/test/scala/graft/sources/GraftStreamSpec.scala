@@ -297,6 +297,32 @@ class GraftStreamSpec extends SparkSuite {
     q3.awaitTermination(180000)
     assert(spark.sql("SELECT count(*) FROM graft.snk.t")
       .head().getLong(0) == 30L)
+    // a partitioned txn append onto FLAT history refuses (the same
+    // first-partitioned-at-zero guard every partitioned writer
+    // re-checks inside its commit attempt)
+    val flat = tmpRoot()
+    VersionedTable.overwrite(
+      Seq((1L, 2L, "x")).toDF("k", "v", "tag"), flat)
+    intercept[Exception] {
+      VersionedTable.appendPartitionedTxn(
+        Seq((2L, 3L, "y")).toDF("k", "v", "tag"),
+        flat, Seq("tag"), "app", 0L)
+    }
+    // Complete mode into a partitioned table refuses at SINK
+    // CONSTRUCTION (before any batch runs)
+    val eC = intercept[Exception] {
+      VersionedTable.scanStream(spark, src)
+        .select(col("k"), col("v"), col("tag"))
+        .writeStream.format("graft-table")
+        .outputMode("complete")
+        .option("root", out)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_sink_ckc").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    assert(eC.getMessage.contains("partitioned") ||
+      eC.getMessage.toLowerCase.contains("complete"))
     // Update mode is refused loudly
     val e = intercept[Exception] {
       VersionedTable.scanStream(spark, src)
