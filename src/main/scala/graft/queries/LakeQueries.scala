@@ -1410,15 +1410,26 @@ object LakeQueries extends QueryModule {
           ("o_orderkey", "bigint", false),
           ("o_totalprice", "double", false),
           ("o_orderstatus", "string", true))
+        // DESCRIBE DETAIL: the manifest-only table card — its row
+        // total and partitioning must agree with the data
+        val det = graft.sources.GraftSql
+          .execute(s, s"DESCRIBE DETAIL $name").collect().head
+        val nRows = Tables(s, dir, "orders").count()
+        val detailOk = det.getAs[Long]("num_rows") == nRows &&
+          det.getAs[String]("partition_columns") == "o_orderstatus" &&
+          det.getAs[Long]("version") == 0L &&
+          det.getAs[Long]("num_files") > 0L
         graft.sources.GraftSql.execute(s, s"SHOW PARTITIONS $name")
           .withColumn("tables_ok", lit(if (tablesOk) 1L else 0L))
           .withColumn("describe_ok", lit(if (describeOk) 1L else 0L))
+          .withColumn("detail_ok", lit(if (detailOk) 1L else 0L))
           .orderBy("partition")
       },
       oracle = Some("""
         SELECT DISTINCT 'o_orderstatus=' || o_orderstatus AS partition,
                CAST(1 AS BIGINT) AS tables_ok,
-               CAST(1 AS BIGINT) AS describe_ok
+               CAST(1 AS BIGINT) AS describe_ok,
+               CAST(1 AS BIGINT) AS detail_ok
         FROM orders ORDER BY 1"""),
       bench = false),
 

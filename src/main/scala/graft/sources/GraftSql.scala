@@ -36,7 +36,9 @@ import org.apache.spark.sql.functions._
   *    ([[VersionedTable.alterDropColumn]]/[[VersionedTable.alterRenameColumn]]);
   *  - listings: `SHOW TABLES` (registry), `DESCRIBE [TABLE] t` (one
   *    sidecar read — name/type/nullability/partition role),
-  *    `SHOW PARTITIONS t` (manifest-path parse) — all metadata-only;
+  *    `SHOW PARTITIONS t` (manifest-path parse), `DESCRIBE DETAIL t`
+  *    (the Delta table card: version/files/bytes/rows/partitioning/
+  *    constraint count from the manifest alone) — all metadata-only;
   *  - maintenance: `OPTIMIZE t [ZORDER BY (a, b)]` →
   *    [[VersionedTable.compact]] / `compactZOrderedK` (~128 MiB
   *    targets from manifest byte totals); `VACUUM t [RETAIN n HOURS]`
@@ -220,6 +222,8 @@ object GraftSql {
     """(?is)\s*DESCRIBE\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
   private val ShowPartitionsSql =
     """(?is)\s*SHOW\s+PARTITIONS\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+  private val DescribeDetailSql =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
 
   private val MergeActions =
     ("""(?is)\s*WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
@@ -374,6 +378,26 @@ object GraftSql {
           (v, files.toLong, rows, new java.sql.Timestamp(ts)) }
         .toDF("version", "files", "rows", "commit_time")
         .orderBy(col("version"))
+    case DescribeDetailSql(t) =>
+      // the Delta DESCRIBE DETAIL card: one row of table-level facts,
+      // ALL from the manifest/sidecars (format, location, committed
+      // version, file count, total bytes, row total when every file
+      // records one, partition columns, constraint count) — zero file
+      // opens at any table size
+      import spark.implicits._
+      val root = rootOf(t)
+      val v = VersionedTable.latestVersion(root)
+        .getOrElse(sys.error(s"no versions at $root"))
+      val files = VersionedTable.scanListing(root, Some(v))
+      Seq((
+        "graft", t, root, v,
+        files.length.toLong,
+        files.flatMap(_.bytes).sum,
+        VersionedTable.countRows(root).getOrElse(-1L),
+        VersionedTable.partitionSchema(root).fieldNames.mkString(","),
+        VersionedTable.constraintsOf(root).length.toLong
+      )).toDF("format", "name", "location", "version", "num_files",
+        "size_bytes", "num_rows", "partition_columns", "num_constraints")
     case ShowTablesSql() =>
       import spark.implicits._
       import scala.jdk.CollectionConverters._

@@ -432,6 +432,17 @@ class GraftSqlSpec extends SparkSuite {
     val one = spark.sql(
       "SHOW PARTITIONS graft.meta.t PARTITION (tag = 'a')").collect()
     assert(one.map(_.getString(0)).toSeq == Seq("tag=a"))
+    // DESCRIBE DETAIL: one manifest-only row of table facts
+    val det = GraftSql.execute(spark, s"DESCRIBE DETAIL $name")
+      .collect().head
+    assert(det.getAs[String]("format") == "graft")
+    assert(det.getAs[String]("location") == root)
+    assert(det.getAs[Long]("version") == 0L)
+    assert(det.getAs[Long]("num_rows") == 3L)
+    assert(det.getAs[Long]("num_files") > 0L)
+    assert(det.getAs[Long]("size_bytes") > 0L)
+    assert(det.getAs[String]("partition_columns") == "tag")
+    assert(det.getAs[Long]("num_constraints") == 0L)
   }
 }
 
