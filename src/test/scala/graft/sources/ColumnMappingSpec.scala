@@ -290,6 +290,49 @@ class ColumnMappingSpec extends SparkSuite {
       "SELECT price FROM graft.cmdb.t WHERE k = 99").head().getLong(0) == 990L)
   }
 
+  test("feature interaction: a rename chain (v->amount->price) keeps " +
+    "ONE physical slot; general MERGE with BY SOURCE clauses and " +
+    "compaction work on the mapped table") {
+    import spark.implicits._
+    import VersionedTable.MergeClause.{DeleteBySource, Insert, Update}
+    val root = freshTable() // k 1..6, s, v — two range files
+    VersionedTable.alterRenameColumn(spark, root, "v", "amount")
+    VersionedTable.alterRenameColumn(spark, root, "amount", "price")
+    val now = VersionedTable.read(spark, root)
+    assert(now.columns.toSeq == Seq("k", "s", "price"))
+    assert(now.agg(sum(col("price"))).head().getLong(0) == 210L,
+      "a rename chain must keep serving the one physical slot")
+    // full-sync mirror THROUGH the mapping: matched update (SET * with
+    // logical names), insert, by-source delete — one commit
+    val snap = Seq((2L, "B", 200L), (9L, "i", 90L))
+      .toDF("k", "s", "price")
+    VersionedTable.mergeActions(spark, root, snap, Seq("k"), Seq(
+      Update(None, Map.empty),
+      Insert(None, Map.empty),
+      DeleteBySource(None)))
+    val st = VersionedTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(st == Map(2L -> ("B", 200L), 9L -> ("i", 90L)),
+      s"mirror through the mapping, got $st")
+    // the rewritten files stage under the ORIGINAL physical name
+    val latest = VersionedTable.latestVersion(root).get
+    val cols = spark.read.parquet(
+      VersionedTable.listingPaths(root, latest): _*).columns.toSet
+    assert(cols.contains("v") && !cols.contains("price"),
+      s"merge restage must keep the physical slot, staged $cols")
+    // compaction over the mapped table preserves the logical view
+    VersionedTable.append(Seq((10L, "j", 100L)).toDF("k", "s", "price"), root)
+    VersionedTable.compact(spark, root, targetBytes = 1L << 30)
+    val after = VersionedTable.read(spark, root)
+    assert(after.columns.toSeq == Seq("k", "s", "price"))
+    assert(after.agg(sum(col("price"))).head().getLong(0) == 390L)
+    // time travel across the chain: v0 has "v", v1 has "amount"
+    assert(VersionedTable.readVersion(spark, root, 0L)
+      .columns.toSeq == Seq("k", "s", "v"))
+    assert(VersionedTable.readVersion(spark, root, 1L)
+      .columns.toSeq == Seq("k", "s", "amount"))
+  }
+
   test("streaming a mapped table serves the logical view per batch") {
     import spark.implicits._
     val root = tmpRoot()
