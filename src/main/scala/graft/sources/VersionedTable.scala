@@ -126,6 +126,21 @@ object VersionedTable {
     * resolution like the `#txn` namespace. */
   private[sources] val PreservingMarker = "#preserving"
 
+  /** Marker line: this commit's DECLARATION lives in its
+    * `_schema.v{v}.json` sidecar, written immediately AFTER the
+    * manifest commit wins (sidecar-first would let a racing loser's
+    * sidecar land under the winner's version — the reverse tear).
+    * Schema resolution treats marker-without-sidecar as IN FLIGHT:
+    * [[declaredSchemaAt]] spins briefly for the sidecar and then fails
+    * LOUDLY, so (a) a writer that lost an ALTER race and retries
+    * against base+1 can never resolve the stale pre-ALTER declaration
+    * and silently erase the winner's rename/drop/add, and (b) a crash
+    * between commit and sidecar (restore's window) surfaces as an
+    * explicit torn-declaration error instead of physical names served
+    * from a footer sweep. Filtered out of file resolution like
+    * [[PreservingMarker]]. */
+  private[sources] val DeclaredMarker = "#declared"
+
   /** Every Nth commit gets a checkpoint (Delta's default is 10). */
   private[sources] val checkpointInterval: Long = 10L
 
@@ -148,7 +163,8 @@ object VersionedTable {
         // checkpoints carry #txn state lines (see txnStateAt) — file
         // resolution stays txn-blind, like full manifests
         base = rawCheckpointLines(root, cur).filterNot(l =>
-          l.startsWith(TxnPrefix) || l == PreservingMarker)
+          l.startsWith(TxnPrefix) || l == PreservingMarker ||
+            l == DeclaredMarker)
       } else {
         val lines = readManifest(root, cur)
         if (isDelta(lines)) {
@@ -156,7 +172,8 @@ object VersionedTable {
           deltas ::= lines.tail
           cur -= 1
         } else base = lines.filterNot(l =>
-          l.startsWith(TxnPrefix) || l == PreservingMarker)
+          l.startsWith(TxnPrefix) || l == PreservingMarker ||
+            l == DeclaredMarker)
       }
     }
     deltas.foldLeft(base) { (listing, delta) =>
@@ -416,8 +433,8 @@ object VersionedTable {
     * silently losing pruning), or any footer surprise. Semantics are
     * byte-identical to the job path: same key prefixes, same
     * all-null-skip, same NaN-skip, same zero-row handling. */
-  private def footerStatLines(staged: Seq[String], cols0: Seq[String],
-                              mapping: Map[String, String])
+  private[sources] def footerStatLines(staged: Seq[String], cols0: Seq[String],
+                                       mapping: Map[String, String])
       : Option[Seq[String]] = {
     if (staged.length > 64) return None
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -452,19 +469,29 @@ object VersionedTable {
             // the WHOLE batch to the job path
             val kind: Char = pt.getPrimitiveTypeName match {
               case INT64 => ann match {
+                // NTZ (isAdjustedToUTC=false) bails: the job path
+                // records TimestampNTZ as a bare long cast, not a
+                // __ts_ triple — emitting micros here would break the
+                // byte-identical parity and plant inconsistent keys
                 case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
                     if ts.getUnit ==
-                      LogicalTypeAnnotation.TimeUnit.MICROS => 't'
+                      LogicalTypeAnnotation.TimeUnit.MICROS &&
+                      ts.isAdjustedToUTC => 't'
                 case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
                   return None
                 case null => 'i'
-                case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation => 'i'
+                // unsigned annotations (never written by Spark, legal
+                // in foreign files) would fold min/max as SIGNED longs
+                // — mis-ordered bounds, wrong pruning; bail
+                case it: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+                    if it.isSigned => 'i'
                 case _ => return None
               }
               case INT32 => ann match {
                 case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => 'd'
                 case null => 'i'
-                case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation => 'i'
+                case it: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+                    if it.isSigned => 'i'
                 case _ => return None
               }
               case DOUBLE | FLOAT => 'f'
@@ -1204,8 +1231,15 @@ object VersionedTable {
       val v = base + 1
       val won =
         try {
+          // DeclaredMarker makes the commit-then-sidecar pair safe
+          // against concurrent declaration readers: until the sidecar
+          // lands, anyone resolving this version's declaration (a
+          // racing ALTER's retry, an append's mappingFor) spins in
+          // declaredSchemaAt instead of walking back to the stale
+          // pre-ALTER sidecar
           commitManifest(root, v,
-            deltaContent(Seq.empty, Seq.empty) :+ PreservingMarker)
+            deltaContent(Seq.empty, Seq.empty) :+ PreservingMarker :+
+              DeclaredMarker)
           true
         } catch {
           case e: java.nio.file.FileAlreadyExistsException =>
@@ -2161,35 +2195,86 @@ object VersionedTable {
   def declaredSchemaAt(
       root: String, v: Long): Option[org.apache.spark.sql.types.StructType] = {
     import org.apache.spark.sql.types.StructType
-    val names = new File(root).list()
-    if (names == null) return None
-    // two sidecar kinds participate: the AUTHORITATIVE per-version
-    // cache/declaration (`_schema.vN.json` — the full schema of N) and
-    // the DECLARATION-ONLY marker (`_schema.declared.vN.json`, written
-    // by vacuum/clone to keep an expired chain's declaration alive —
-    // never the full schema, so schemaOf must not serve it verbatim)
-    val Auth = """_schema\.v(\d+)\.json""".r
-    val Decl = """_schema\.declared\.v(\d+)\.json""".r
-    val below = names.collect {
-      case Auth(n) => n.toLong
-      case Decl(n) => n.toLong
-    }.filter(_ <= v)
-    if (below.isEmpty) return None
-    val w = below.max
-    var x = v
-    while (x > w) {
-      // a FULL manifest between the sidecar and v replaces the schema
-      if (!isDelta(readManifest(root, x))) return None
-      x -= 1
+    var spins = 0
+    while (true) {
+      val names = new File(root).list()
+      if (names == null) return None
+      // two sidecar kinds participate: the AUTHORITATIVE per-version
+      // cache/declaration (`_schema.vN.json` — the full schema of N) and
+      // the DECLARATION-ONLY marker (`_schema.declared.vN.json`, written
+      // by vacuum/clone to keep an expired chain's declaration alive —
+      // never the full schema, so schemaOf must not serve it verbatim)
+      val Auth = """_schema\.v(\d+)\.json""".r
+      val Decl = """_schema\.declared\.v(\d+)\.json""".r
+      val below = names.collect {
+        case Auth(n) => n.toLong
+        case Decl(n) => n.toLong
+      }.filter(_ <= v)
+      val w = if (below.isEmpty) -1L else below.max
+      // walk v down to the sidecar (or to a full-manifest boundary),
+      // watching for a [[DeclaredMarker]] commit whose sidecar hasn't
+      // landed: resolving PAST it would serve the stale pre-ALTER
+      // declaration (the lost-ALTER-race eraser) or a footer sweep
+      // (restore's torn-declaration window) — spin for it instead,
+      // loud after the timeout
+      var x = v
+      var pending = -1L
+      var boundary = below.isEmpty // full walk needs a manifest boundary
+      var done = false
+      while (x > w && !done) {
+        if (!manifestFile(root, x).exists()) { boundary = true; done = true }
+        else {
+          val lines = readManifest(root, x)
+          if (lines.contains(DeclaredMarker) &&
+              readSchemaSidecar(root, x).isEmpty) { pending = x; done = true }
+          // a FULL manifest between the sidecar and v replaces the schema
+          else if (!isDelta(lines)) { boundary = true; done = true }
+          else x -= 1
+        }
+      }
+      if (pending >= 0) {
+        awaitDeclarationSidecar(root, pending)
+        spins += 1
+        require(spins <= 4,
+          s"declaration sidecars at $root keep appearing mid-walk — " +
+            "giving up after 4 restarts")
+        // restart resolution: the awaited sidecar may now be the max
+      } else if (boundary || below.isEmpty) return None
+      else {
+        val auth = readSchemaSidecar(root, w)
+        val decl = readDeclaredSidecar(root, w)
+        return (auth, decl) match {
+          case (Some(a), Some(d)) =>
+            val have = a.fieldNames.map(_.toLowerCase).toSet
+            Some(StructType(a.fields ++
+              d.fields.filterNot(f => have.contains(f.name.toLowerCase))))
+          case (a, d) => a.orElse(d)
+        }
+      }
     }
-    val auth = readSchemaSidecar(root, w)
-    val decl = readDeclaredSidecar(root, w)
-    (auth, decl) match {
-      case (Some(a), Some(d)) =>
-        val have = a.fieldNames.map(_.toLowerCase).toSet
-        Some(StructType(a.fields ++
-          d.fields.filterNot(f => have.contains(f.name.toLowerCase))))
-      case (a, d) => a.orElse(d)
+    None // unreachable
+  }
+
+  /** Spin (25 ms steps, 10 s budget) for the `_schema.v{v}.json`
+    * sidecar a [[DeclaredMarker]] commit promised. The in-flight
+    * window between a won manifest commit and its sidecar move is
+    * microseconds on a healthy writer — a timeout means the writer
+    * CRASHED between the two, and the table's declaration at `v` is
+    * torn: fail loudly (the schema served otherwise would be silently
+    * wrong — physical names, resurrected columns) and name the repair. */
+  /** Spin budget for [[awaitDeclarationSidecar]] — test seam only. */
+  private[sources] var declarationSpinMillis: Long = 10000L
+
+  private def awaitDeclarationSidecar(root: String, v: Long): Unit = {
+    val deadline = System.nanoTime() + declarationSpinMillis * 1000000L
+    while (readSchemaSidecar(root, v).isEmpty) {
+      if (System.nanoTime() > deadline) sys.error(
+        s"version $v of $root committed a declaration (ALTER/RESTORE) " +
+          "whose _schema sidecar never landed — the writer crashed " +
+          "between manifest commit and sidecar write. Repair: restore() " +
+          "to the previous version, or re-run the ALTER to re-plant the " +
+          "declaration")
+      Thread.sleep(25)
     }
   }
 
@@ -4082,7 +4167,15 @@ object VersionedTable {
     // dropped columns) from the post-restore footer sweep. Loud write —
     // a silently lost declaration here is silently wrong column names.
     val declared = readSchemaSidecar(root, v).orElse(declaredSchemaAt(root, v))
-    val nv = commitManifest(root, nextVersion(root), files)
+    // the sidecar stays AFTER the commit (a pre-commit sidecar written
+    // to the final path could land under a concurrent writer's version
+    // if this commit loses the race) — the DeclaredMarker inside the
+    // committed manifest closes the crash window instead: a reader
+    // that finds the marker without the sidecar spins briefly and then
+    // fails LOUDLY (declaredSchemaAt), never serving physical names or
+    // footer-swept retired columns from a torn restore
+    val nv = commitManifest(root, nextVersion(root),
+      if (declared.isDefined) files :+ DeclaredMarker else files)
     declared.foreach { s =>
       val tmp = Files.createTempFile(new File(root).toPath, "_schema", ".tmp")
       Files.write(tmp, s.json.getBytes(StandardCharsets.UTF_8))

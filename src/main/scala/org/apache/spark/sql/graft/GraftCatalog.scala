@@ -288,7 +288,7 @@ class GraftCatalog extends TableCatalog
     new GraftStagedTable(k, root, partCols, schema,
       overwriteOnWrite = false,
       onCommit = () => { GraftCatalog.registry.put(k, root); () },
-      onAbort = () => {
+      onAbort = _ => {
         def rm(x: java.io.File): Unit = {
           if (x.isDirectory)
             Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
@@ -317,13 +317,27 @@ class GraftCatalog extends TableCatalog
     new GraftStagedTable(k, root, partCols, schema,
       overwriteOnWrite = true,
       onCommit = () => (),
-      onAbort = () => base.foreach { v =>
+      onAbort = committedV => base.foreach { v =>
         // undo an overwrite that already landed (the V1 write commits
         // during the write phase): one restore commit re-points at the
-        // pre-replace file set, schema declaration included
-        if (VersionedTable.latestVersion(root).exists(_ > v)) {
-          VersionedTable.restore(root, v)
-          ()
+        // pre-replace file set, schema declaration included. The
+        // restore fires ONLY when the table's latest version IS the
+        // exact version this RTAS committed — a concurrent writer's
+        // commit that landed on top must not be silently reverted
+        // along with the replace (fail loudly, leave state for the
+        // operator); and an RTAS that never committed its write has
+        // nothing to undo, whatever else landed meanwhile.
+        if (committedV >= 0) {
+          val latest = VersionedTable.latestVersion(root)
+          if (latest.contains(committedV)) {
+            VersionedTable.restore(root, v)
+            ()
+          } else sys.error(
+            s"aborting REPLACE TABLE at $root: commits landed after " +
+              s"the replace (latest=${latest.getOrElse(-1L)}, the " +
+              s"replace wrote $committedV) — not auto-restoring; " +
+              s"RESTORE to version $v manually after inspecting the " +
+              "interleaved commits")
         }
       })
   }
@@ -673,7 +687,7 @@ private[graft] class GraftTableV2(ident: String, root: String,
 private[graft] final class GraftStagedTable(
     ident: String, root: String, partCols: Seq[String],
     declared: StructType, overwriteOnWrite: Boolean,
-    onCommit: () => Unit, onAbort: () => Unit)
+    onCommit: () => Unit, onAbort: Long => Unit)
     extends GraftTableV2(ident, root, None)
     with org.apache.spark.sql.connector.catalog.StagedTable {
 
@@ -683,15 +697,20 @@ private[graft] final class GraftStagedTable(
     * Spark rename the new columns positionally onto the old names. */
   override def schema(): StructType = declared
 
+  /** The exact version this staged table's write committed (-1 until
+    * it lands) — the abort's restore target guard. */
+  private[graft] val writeCommittedV =
+    new java.util.concurrent.atomic.AtomicLong(-1L)
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    val b = new GraftWriteBuilder(root, partCols)
+    val b = new GraftWriteBuilder(root, partCols, writeCommittedV)
     if (overwriteOnWrite) b.truncate()
     b
   }
 
   override def commitStagedChanges(): Unit = onCommit()
 
-  override def abortStagedChanges(): Unit = onAbort()
+  override def abortStagedChanges(): Unit = onAbort(writeCommittedV.get())
 }
 
 /** DSv2 ScanBuilder for COLUMN-MAPPED snapshots: captures pushed
@@ -763,34 +782,40 @@ private[graft] final class GraftMappedV1Scan(
 /** Append by default; `truncate()` (Spark's INSERT OVERWRITE route)
   * flips to a full overwrite. Top-level classes on purpose — no outer
   * pointers for the V1 fallback writer to trip on. */
-private[graft] final class GraftWriteBuilder(root: String,
-                                             partCols: Seq[String])
+private[graft] final class GraftWriteBuilder(
+    root: String, partCols: Seq[String],
+    committed: java.util.concurrent.atomic.AtomicLong = null)
     extends WriteBuilder with SupportsTruncate {
 
   private var overwrite = false
 
   override def truncate(): WriteBuilder = { overwrite = true; this }
 
-  override def build(): Write = new GraftV1Write(root, partCols, overwrite)
+  override def build(): Write =
+    new GraftV1Write(root, partCols, overwrite, committed)
 }
 
-private[graft] final class GraftV1Write(root: String, partCols: Seq[String],
-                                        overwrite: Boolean) extends V1Write {
+private[graft] final class GraftV1Write(
+    root: String, partCols: Seq[String], overwrite: Boolean,
+    committed: java.util.concurrent.atomic.AtomicLong) extends V1Write {
   override def toInsertableRelation: InsertableRelation =
-    new GraftInsertableRelation(root, partCols, overwrite)
+    new GraftInsertableRelation(root, partCols, overwrite, committed)
 }
 
 /** The engine's own writers behind the DSv2 V1 fallback: atomic
   * manifest commits, default stats, Hive layout preserved for
-  * partitioned tables. */
-private[graft] final class GraftInsertableRelation(root: String,
-                                                   partCols: Seq[String],
-                                                   overwrite: Boolean)
+  * partitioned tables. `committed` (nullable — only the staged RTAS
+  * path wires it) receives the exact version this write landed, so
+  * the staging catalog's abort can restore PRECISELY that commit and
+  * never revert an unrelated concurrent writer's version. */
+private[graft] final class GraftInsertableRelation(
+    root: String, partCols: Seq[String], overwrite: Boolean,
+    committed: java.util.concurrent.atomic.AtomicLong)
     extends InsertableRelation {
 
   override def insert(data: DataFrame, ow: Boolean): Unit = {
     val full = overwrite || ow
-    if (partCols.isEmpty) {
+    val v = if (partCols.isEmpty) {
       if (full) VersionedTable.overwrite(data, root)
       else VersionedTable.append(data, root)
     } else {
@@ -798,6 +823,7 @@ private[graft] final class GraftInsertableRelation(root: String,
         data, root, partCols)
       else VersionedTable.appendPartitionedWithStats(data, root, partCols)
     }
+    if (committed != null) committed.set(v)
     ()
   }
 }

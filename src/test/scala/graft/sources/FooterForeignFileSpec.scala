@@ -1,0 +1,89 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The driver-side footer-stat fold must BAIL (fall back to the Spark
+  * job path) on footer shapes Spark never writes but foreign writers
+  * legally can: unsigned integer annotations (whose min/max would fold
+  * mis-ordered as signed longs → wrong pruning) and TIMESTAMP_NTZ
+  * (whose job-path stat is a bare long cast, not a `__ts_` triple —
+  * a footer-emitted micros stat would break the byte-identical parity
+  * the fold promises). */
+class FooterForeignFileSpec extends SparkSuite {
+
+  private def tmpDir(): File =
+    Files.createTempDirectory("graft_foreign").toFile
+
+  private def parquetFilesIn(d: File): Seq[String] =
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getPath).toSeq
+
+  /** One parquet file with an UNSIGNED-annotated int64 column, written
+    * through parquet-java directly (Spark never stages one). */
+  private def writeUnsignedFile(): String = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.MessageTypeParser
+    val schema = MessageTypeParser.parseMessageType(
+      "message m { required int64 u (INTEGER(64,false)); }")
+    val out = new File(tmpDir(), "u.parquet")
+    val w = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(out.getPath))
+      .withType(schema)
+      .build()
+    val f = new SimpleGroupFactory(schema)
+    // -1L as unsigned = 2^64-1, the max; 1L the min. A signed fold
+    // would order them the other way round.
+    try { w.write(f.newGroup().append("u", 1L))
+          w.write(f.newGroup().append("u", -1L)) }
+    finally w.close()
+    out.getPath
+  }
+
+  test("unsigned-annotated int64 bails the footer fold to the job path") {
+    val p = writeUnsignedFile()
+    assert(VersionedTable.footerStatLines(Seq(p), Seq("u"), Map.empty).isEmpty,
+      "an unsigned annotation must not fold as signed longs")
+  }
+
+  test("TIMESTAMP_NTZ bails the footer fold (job-path stat is a bare " +
+    "long cast, not __ts_ micros)") {
+    val d = tmpDir()
+    spark.range(4)
+      .withColumn("ts", to_timestamp_ntz(
+        concat(lit("2024-01-0"), (col("id") + 1).cast("string"))))
+      .coalesce(1).write.mode("overwrite").parquet(d.getPath)
+    val files = parquetFilesIn(d)
+    assert(files.nonEmpty)
+    assert(VersionedTable.footerStatLines(files, Seq("ts"), Map.empty).isEmpty)
+  }
+
+  test("control: signed long + UTC timestamp still fold from footers") {
+    val d = tmpDir()
+    // the session default (INT96) correctly bails the fold — MICROS is
+    // the footer-exact layout this control pins
+    val k = "spark.sql.parquet.outputTimestampType"
+    val saved = spark.conf.get(k)
+    try {
+      spark.conf.set(k, "TIMESTAMP_MICROS")
+      spark.range(4)
+        .withColumn("ts", to_timestamp(
+          concat(lit("2024-01-0"), (col("id") + 1).cast("string"))))
+        .coalesce(1).write.mode("overwrite").parquet(d.getPath)
+    } finally spark.conf.set(k, saved)
+    val files = parquetFilesIn(d)
+    val folded = VersionedTable.footerStatLines(files, Seq("id", "ts"),
+      Map.empty)
+    assert(folded.nonEmpty, "the happy path must keep folding")
+    val line = folded.get.head
+    assert(line.contains("\tid\t0\t3"), line)
+    assert(line.contains("__ts_ts"), line)
+  }
+}
