@@ -1480,6 +1480,68 @@ object LakeQueries extends QueryModule {
         FROM u GROUP BY 1 ORDER BY 1"""),
       bench = false),
 
+    // DURABLE catalog registry (the metastore role — reference:
+    // hive/Dockerfile:1-5, presto/config/delta.properties.txt:2): a
+    // catalog installed with a warehouse persists name→root in a
+    // CAS-guarded store under <warehouse>/_catalog. The query CREATEs
+    // a table, wipes every in-memory binding (the fresh-JVM
+    // simulation — the catalog instance holds no names), and re-reads
+    // through SQL: resolution, SHOW TABLES, duplicate-CREATE refusal
+    // (exclusive_ok — the CAS serializes racing CREATEs;
+    // DurableCatalogSpec runs the 8-thread race), and DROP removing
+    // durable state (drop_gone_ok) must all survive the wipe.
+    "q324_durable_catalog" -> Q(
+      bench = false,
+      run = (s, dir) => {
+        val wh = tempRoot("graft_vt_dwh").toString
+        s.conf.set("spark.sql.catalog.graftdur",
+          classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graftdur.warehouse", wh)
+        // the catalog INSTANCE is cached per session with its first
+        // warehouse — rerun-safe because these drops clear the
+        // instance's own store
+        s.sql("DROP TABLE IF EXISTS graftdur.gate.dur_t")
+        s.sql("DROP TABLE IF EXISTS graftdur.gate.tmp_t")
+        Tables(s, dir, "orders").createOrReplaceTempView("q324_orders")
+        s.sql(
+          """CREATE TABLE graftdur.gate.dur_t AS
+             SELECT o_orderkey, o_orderstatus, o_totalprice
+             FROM q324_orders WHERE o_orderkey % 2 = 0""")
+        // fresh JVM: every cached binding gone; the durable store is
+        // the only way back to the data
+        org.apache.spark.sql.graft.GraftCatalog.resetCache()
+        val exclusiveOk =
+          try {
+            s.sql("CREATE TABLE graftdur.gate.dur_t (k BIGINT)")
+            false // a duplicate CREATE must refuse from durable state
+          } catch { case _: Exception => true }
+        s.sql("CREATE TABLE graftdur.gate.tmp_t (k BIGINT)")
+        s.sql("DROP TABLE graftdur.gate.tmp_t")
+        org.apache.spark.sql.graft.GraftCatalog.resetCache()
+        val names = s.sql("SHOW TABLES IN graftdur.gate").collect()
+          .map(_.getString(1)).toSeq
+        val dropGoneOk = !names.contains("tmp_t")
+        val showOk = names == Seq("dur_t")
+        s.sql(
+          """SELECT o_orderstatus, count(*) AS n,
+                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE) AS total
+             FROM graftdur.gate.dur_t
+             GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+          .withColumn("exclusive_ok", lit(if (exclusiveOk) 1L else 0L))
+          .withColumn("drop_gone_ok", lit(if (dropGoneOk) 1L else 0L))
+          .withColumn("show_ok", lit(if (showOk) 1L else 0L))
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total,
+               CAST(1 AS BIGINT) AS exclusive_ok,
+               CAST(1 AS BIGINT) AS drop_gone_ok,
+               CAST(1 AS BIGINT) AS show_ok
+        FROM orders WHERE o_orderkey % 2 = 0
+        GROUP BY 1 ORDER BY 1""")),
+
     // ALTER TABLE RENAME/DROP COLUMN (the Delta column-mapping role):
     // both are METADATA-ONLY commits — files_ok pins the identical
     // file listing across both ALTERs (zero data moved at any table

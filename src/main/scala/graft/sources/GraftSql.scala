@@ -82,12 +82,57 @@ object GraftSql {
   private val tables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // DURABLE registry (the metastore role — optional, enabled by
+  // [[useWarehouse]]): name→root persisted under <warehouse>/_sqlcatalog
+  // via the CAS-guarded [[CatalogStore]], so SHOW TABLES and name
+  // resolution survive a fresh JVM. The map above is the cache;
+  // [[sync]] merges on generation change, register/unregister write
+  // through. Names the store dropped (another JVM's DROP) are evicted;
+  // session-local temp registrations (no write-through before
+  // useWarehouse, or after useWarehouse(None)) stay untouched.
+  private var store: Option[java.io.File] = None
+  private var storeGen = -1L
+  private var storeOwned = Set.empty[String]
+
+  /** Persist this registry under `warehouse` (and load what previous
+    * JVMs persisted there). Pass the SAME warehouse every run — that
+    * is what makes the SQL surface a serving layer instead of a
+    * session toy. */
+  def useWarehouse(warehouse: String): Unit = this.synchronized {
+    store = Some(new java.io.File(warehouse, "_sqlcatalog"))
+    storeGen = -1L
+    sync()
+  }
+
+  /** Detach from the durable store (session-local mode; nothing is
+    * deleted). */
+  def detachWarehouse(): Unit = this.synchronized {
+    store = None
+    storeGen = -1L
+    storeOwned = Set.empty
+  }
+
+  private def sync(): Unit = this.synchronized {
+    store.foreach { d =>
+      val g = CatalogStore.gen(d)
+      if (g != storeGen) {
+        val (g2, m) = CatalogStore.load(d)
+        (storeOwned -- m.keySet).foreach(tables.remove)
+        m.foreach { case (k, v) => tables.put(k, v) }
+        storeOwned = m.keySet
+        storeGen = g2
+      }
+    }
+  }
+
   /** Register `name` → a VersionedTable root. SELECT statements see
     * the table's latest snapshot (re-resolved per [[execute]] call,
-    * MOR overlays included via [[VersionedTable.scan]]). */
+    * MOR overlays included via [[VersionedTable.scan]]). Durable when
+    * a warehouse is attached. */
   def register(spark: SparkSession, name: String, root: String): Unit = {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"table name must be a bare identifier, got '$name'")
+    store.foreach(d => CatalogStore.upsert(d, name.toLowerCase, root))
     tables.put(name.toLowerCase, root)
     refreshView(spark, name)
   }
@@ -95,13 +140,24 @@ object GraftSql {
   /** Drop `name` from the registry (its temp view, if any, is left to
     * the session). A finished job's temp-rooted table must not stay
     * registered — [[execute]] re-resolves every registered root, and a
-    * vanished one would otherwise fail unrelated statements. */
+    * vanished one would otherwise fail unrelated statements. Removes
+    * durable state too when a warehouse is attached. */
   def unregister(name: String): Unit = {
+    store.foreach(d => CatalogStore.remove(d, name.toLowerCase))
     tables.remove(name.toLowerCase)
     ()
   }
 
+  /** Forget cached bindings (the fresh-JVM simulation seam; the next
+    * resolution reloads from the attached warehouse, if any). */
+  def resetCache(): Unit = this.synchronized {
+    tables.clear()
+    storeGen = -1L
+    storeOwned = Set.empty
+  }
+
   private def rootOf(name: String): String = {
+    sync()
     val r = tables.get(name.toLowerCase)
     require(r != null, s"table '$name' is not registered with GraftSql")
     r
@@ -120,6 +176,7 @@ object GraftSql {
     * statement that observed it — a broad catch would surface it later
     * as a confusing stale-view read instead of the root cause. */
   private def refreshAll(spark: SparkSession): Unit = {
+    sync() // pick up other JVMs' CREATEs before the passthrough plans
     val it = tables.keySet.iterator()
     while (it.hasNext) {
       val n = it.next()
@@ -401,6 +458,7 @@ object GraftSql {
     case ShowTablesSql() =>
       import spark.implicits._
       import scala.jdk.CollectionConverters._
+      sync() // other JVMs' CREATE/DROP must show
       tables.asScala.toSeq.sortBy(_._1).map { case (n, r) =>
         (n, r, VersionedTable.latestVersion(r).getOrElse(-1L))
       }.toDF("table", "location", "version")

@@ -2255,16 +2255,17 @@ object VersionedTable {
     None // unreachable
   }
 
-  /** Spin (25 ms steps, 10 s budget) for the `_schema.v{v}.json`
-    * sidecar a [[DeclaredMarker]] commit promised. The in-flight
-    * window between a won manifest commit and its sidecar move is
-    * microseconds on a healthy writer — a timeout means the writer
-    * CRASHED between the two, and the table's declaration at `v` is
-    * torn: fail loudly (the schema served otherwise would be silently
-    * wrong — physical names, resurrected columns) and name the repair. */
   /** Spin budget for [[awaitDeclarationSidecar]] — test seam only. */
   private[sources] var declarationSpinMillis: Long = 10000L
 
+  /** Spin (25 ms steps, [[declarationSpinMillis]] budget) for the
+    * `_schema.v{v}.json` sidecar a [[DeclaredMarker]] commit promised.
+    * The in-flight window between a won manifest commit and its
+    * sidecar move is microseconds on a healthy writer — a timeout
+    * means the writer CRASHED between the two, and the table's
+    * declaration at `v` is torn: fail loudly (the schema served
+    * otherwise would be silently wrong — physical names, resurrected
+    * columns) and name the repair. */
   private def awaitDeclarationSidecar(root: String, v: Long): Unit = {
     val deadline = System.nanoTime() + declarationSpinMillis * 1000000L
     while (readSchemaSidecar(root, v).isEmpty) {

@@ -52,9 +52,16 @@ import graft.sources.{Tombstones, VersionedTable}
   * first. Version/timestamp-pinned reads serve the RAW snapshot by the
   * time-travel contract, exactly like `scan(v)`.
   *
-  * The registry is JVM-global (one catalog instance is constructed by
-  * Spark per session via reflection and must see tables registered
-  * before it existed); production would back it with a metastore. */
+  * The registry CACHE is JVM-global (one catalog instance is
+  * constructed by Spark per session via reflection and must see tables
+  * registered before it existed). With a `warehouse` option the
+  * catalog is DURABLE: names persist in a CAS-guarded store under
+  * `<warehouse>/_catalog` ([[graft.sources.CatalogStore]] — the
+  * metastore role the reference delegates to Hive, see
+  * `hive/Dockerfile:1-5`), every resolution re-syncs from it, and
+  * create/drop/rename write through — `graft.db.t` and `SHOW TABLES`
+  * survive a fresh JVM, and racing CREATEs across JVMs serialize
+  * through the CAS. */
 class GraftCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.StagingTableCatalog
     with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
@@ -69,13 +76,28 @@ class GraftCatalog extends TableCatalog
 
   override def name(): String = catName
 
+  /** The catalog's DURABLE registry (the metastore role): present
+    * exactly when the catalog was installed with a `warehouse` option.
+    * Every name resolution re-syncs from it (one directory listing
+    * when unchanged — [[GraftCatalog.syncStore]]), every
+    * create/drop/rename writes through, so `graft.db.t` and
+    * `SHOW TABLES` survive a fresh SparkSession in a fresh JVM and
+    * racing writers in other JVMs serialize through the CAS. */
+  private def storeDir: Option[java.io.File] =
+    warehouse.map(w =>
+      new java.io.File(GraftCatalog.localPath(w), "_catalog"))
+
+  private def sync(): Unit = storeDir.foreach(GraftCatalog.syncStore)
+
   private def rootOf(ident: Identifier): String = {
+    sync()
     val r = GraftCatalog.registry.get(GraftCatalog.key(ident))
     if (r == null) throw new NoSuchTableException(ident)
     r
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
+    sync()
     val db = namespace.mkString(".")
     import scala.jdk.CollectionConverters._
     val found = GraftCatalog.registry.keySet.asScala.toSeq.sorted.collect {
@@ -87,8 +109,10 @@ class GraftCatalog extends TableCatalog
     found.toArray
   }
 
-  override def tableExists(ident: Identifier): Boolean =
+  override def tableExists(ident: Identifier): Boolean = {
+    sync()
     GraftCatalog.registry.containsKey(GraftCatalog.key(ident))
+  }
 
   // -------------------------------------------------------------
   // Namespaces (the SHOW TABLES IN graft.db / SHOW NAMESPACES role):
@@ -98,6 +122,7 @@ class GraftCatalog extends TableCatalog
   // -------------------------------------------------------------
 
   private def allNamespaces(): Seq[Array[String]] = {
+    sync()
     import scala.jdk.CollectionConverters._
     GraftCatalog.registry.keySet.asScala.toSeq
       .map(_.split('.').dropRight(1)).distinct.sortBy(_.mkString("."))
@@ -230,8 +255,21 @@ class GraftCatalog extends TableCatalog
       s"location $root already holds a versioned table")
     val partCols = partColsOf(schema, partitions)
     VersionedTable.createEmpty(root, schema, partCols)
-    GraftCatalog.registry.put(key(ident), root)
+    bindName(ident, root)
     new GraftTableV2(key(ident), root, None, catName)
+  }
+
+  /** Publish `ident` → `root`: durable-first (the CAS serializes
+    * racing CREATEs across JVMs — exactly one wins the name; the
+    * loser's just-created empty root is a harmless orphan, named in
+    * the error), then the in-memory cache. */
+  private def bindName(ident: Identifier, root: String): Unit = {
+    storeDir.foreach { d =>
+      if (!graft.sources.CatalogStore.createExclusive(d, key(ident), root))
+        throw new TableAlreadyExistsException(ident)
+    }
+    GraftCatalog.registry.put(key(ident), root)
+    ()
   }
 
   // ---------------------------------------------------------------
@@ -287,7 +325,7 @@ class GraftCatalog extends TableCatalog
     val k = key(ident)
     new GraftStagedTable(k, root, partCols, schema,
       overwriteOnWrite = false,
-      onCommit = () => { GraftCatalog.registry.put(k, root); () },
+      onCommit = () => bindName(ident, root),
       onAbort = _ => {
         def rm(x: java.io.File): Unit = {
           if (x.isDirectory)
@@ -392,16 +430,38 @@ class GraftCatalog extends TableCatalog
   /** DROP = remove the NAME from the catalog; the versioned data stays
     * on disk (the external-table stance — history remains
     * time-travelable by root until vacuumed away). */
-  override def dropTable(ident: Identifier): Boolean =
-    GraftCatalog.registry.remove(key(ident)) != null
+  override def dropTable(ident: Identifier): Boolean = {
+    val durable = storeDir.exists(d =>
+      graft.sources.CatalogStore.remove(d, key(ident)))
+    val cached = GraftCatalog.registry.remove(key(ident)) != null
+    durable || cached
+  }
 
   override def renameTable(oldIdent: Identifier,
                            newIdent: Identifier): Unit = {
+    sync()
     val r = GraftCatalog.registry.get(key(oldIdent))
     if (r == null) throw new NoSuchTableException(oldIdent)
-    if (GraftCatalog.registry.putIfAbsent(key(newIdent), r) != null)
+    if (GraftCatalog.registry.containsKey(key(newIdent)))
       throw new TableAlreadyExistsException(newIdent)
-    GraftCatalog.registry.remove(key(oldIdent))
+    storeDir match {
+      case Some(d) =>
+        // one CAS commit renames atomically; racing binds of the new
+        // name lose the generation and surface here
+        try graft.sources.CatalogStore.rename(d, key(oldIdent),
+          key(newIdent))
+        catch { case e: IllegalArgumentException =>
+          if (e.getMessage != null && e.getMessage.contains("already bound"))
+            throw new TableAlreadyExistsException(newIdent)
+          else throw new NoSuchTableException(oldIdent)
+        }
+        GraftCatalog.registry.put(key(newIdent), r)
+        GraftCatalog.registry.remove(key(oldIdent))
+      case None =>
+        if (GraftCatalog.registry.putIfAbsent(key(newIdent), r) != null)
+          throw new TableAlreadyExistsException(newIdent)
+        GraftCatalog.registry.remove(key(oldIdent))
+    }
     ()
   }
 
@@ -414,6 +474,42 @@ object GraftCatalog {
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  // durable-store merge state, per store directory: the generation the
+  // cache reflects and the key set that CAME from the store (so a name
+  // dropped by another JVM leaves the cache on the next sync, while
+  // session-local register() bindings are never swept)
+  private val storeGens =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  private val storeOwned =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+
+  /** Merge a durable registry into the in-memory cache when its
+    * generation moved (one directory listing when it didn't — the
+    * cheap per-resolution staleness probe). Names the store no longer
+    * carries are evicted from the cache; everything it carries wins
+    * over stale cached roots. */
+  private[graft] def syncStore(dir: java.io.File): Unit = this.synchronized {
+    val p = dir.getPath
+    val g = graft.sources.CatalogStore.gen(dir)
+    if (storeGens.getOrDefault(p, -1L) == g) return
+    val (g2, m) = graft.sources.CatalogStore.load(dir)
+    (storeOwned.getOrDefault(p, Set.empty) -- m.keySet)
+      .foreach(registry.remove)
+    m.foreach { case (k, v) => registry.put(k, v) }
+    storeOwned.put(p, m.keySet)
+    storeGens.put(p, g2)
+    ()
+  }
+
+  /** Forget every cached binding and sync watermark — the
+    * fresh-JVM simulation seam (the next resolution reloads from the
+    * durable store) and the ops "REFRESH CATALOG" surface. */
+  def resetCache(): Unit = this.synchronized {
+    registry.clear()
+    storeGens.clear()
+    storeOwned.clear()
+  }
 
   /** `file:` URI → local path, anything else verbatim — the ONE
     * normalizer between Spark-normalized LOCATIONs and the engine's
