@@ -1542,6 +1542,112 @@ object LakeQueries extends QueryModule {
         FROM orders WHERE o_orderkey % 2 = 0
         GROUP BY 1 ORDER BY 1""")),
 
+    // ALTER COLUMN TYPE — metadata-only WIDENING (the Delta
+    // type-widening role): the declaration sidecar carries the wider
+    // type, ZERO files move (zero_moved_ok), readers up-cast old
+    // files at scan time, appends land beyond the old type's range,
+    // version 0 time-travels with the ORIGINAL types (old_types_ok).
+    // WidenColumnSpec pins pruning exactness, COW materialization,
+    // z-order survival, and the refusal matrix. The oracle replays
+    // the statement stream: original rows + the wide appended row.
+    "q325_widen_column" -> Q(
+      bench = false,
+      run = (s, dir) => {
+        import org.apache.spark.sql.types.{FloatType, IntegerType}
+        val root = tempRoot("graft_vt_widen").resolve("t").toString
+        val name = "gsql_widen"
+        graft.sources.VersionedTable.overwriteWithStats(
+          Tables(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_quantity").cast("float").as("qty_f"))
+            .repartitionByRange(6, col("l_orderkey")),
+          root, "l_orderkey")
+        graft.sources.GraftSql.register(s, name, root)
+        graft.sources.GraftSql.execute(s,
+          s"ALTER TABLE $name ALTER COLUMN l_linenumber TYPE BIGINT")
+        graft.sources.GraftSql.execute(s,
+          s"ALTER TABLE $name ALTER COLUMN qty_f TYPE DOUBLE")
+        val zeroMovedOk =
+          graft.sources.VersionedTable.listingPaths(root, 0L) ==
+            graft.sources.VersionedTable.listingPaths(root, 2L)
+        // a row beyond Int range in BOTH widened columns
+        import s.implicits._
+        graft.sources.VersionedTable.appendWithStats(
+          Seq((9000000000L, 6000000000L, 2.5d))
+            .toDF("l_orderkey", "l_linenumber", "qty_f"),
+          root, "l_orderkey")
+        val sc0 = graft.sources.VersionedTable
+          .readVersion(s, root, 0L).schema
+        val oldTypesOk = sc0("l_linenumber").dataType == IntegerType &&
+          sc0("qty_f").dataType == FloatType
+        graft.sources.VersionedTable.read(s, root)
+          .groupBy(col("l_linenumber").as("ln"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("qty_f").cast("decimal(18,2)")).cast("double")
+              .as("total"))
+          .withColumn("zero_moved_ok", lit(if (zeroMovedOk) 1L else 0L))
+          .withColumn("old_types_ok", lit(if (oldTypesOk) 1L else 0L))
+          .orderBy("ln")
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT CAST(l_linenumber AS BIGINT) AS ln, l_quantity AS q
+          FROM lineitem
+          UNION ALL SELECT 6000000000, 2.5)
+        SELECT ln, COUNT(*) AS n,
+               CAST(SUM(CAST(q AS DECIMAL(18,2))) AS DOUBLE) AS total,
+               CAST(1 AS BIGINT) AS zero_moved_ok,
+               CAST(1 AS BIGINT) AS old_types_ok
+        FROM u GROUP BY 1 ORDER BY 1""")),
+
+    // Column DEFAULT values (the Delta column-default role): SET
+    // DEFAULT lands in the declaration sidecar; INSERT column-lists
+    // fill the expression for unlisted columns through BOTH surfaces —
+    // the GraftSql INSERT path and the DSv2 catalog path (Spark's own
+    // analyzer fills from the reported column defaults). Existing
+    // rows stay untouched (their stored values group unchanged).
+    // ColumnDefaultSpec pins merge-INSERT fills, DROP DEFAULT, and
+    // the self-contained-expression validation. The oracle replays
+    // the statement stream with the defaults materialized.
+    "q326_column_default" -> Q(
+      bench = false,
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_def").resolve("t").toString
+        val name = "gsql_def"
+        graft.sources.VersionedTable.overwrite(
+          Tables(s, dir, "orders")
+            .select(col("o_orderkey").as("k"),
+              col("o_orderstatus").as("status"),
+              col("o_custkey").as("v")),
+          root)
+        graft.sources.GraftSql.register(s, name, root)
+        graft.sources.GraftSql.execute(s,
+          s"ALTER TABLE $name ALTER COLUMN status SET DEFAULT " +
+            "upper('unk')")
+        graft.sources.GraftSql.execute(s,
+          s"ALTER TABLE $name ALTER COLUMN v SET DEFAULT 42")
+        // surface 1: the engine's own INSERT column-list fill
+        graft.sources.GraftSql.execute(s,
+          s"INSERT INTO $name (k) VALUES (-1)")
+        // surface 2: the DSv2 catalog path — Spark's analyzer fills
+        // from the table's reported column defaults
+        org.apache.spark.sql.graft.GraftCatalog.register(
+          s, "gate", "def_t", root)
+        s.sql("INSERT INTO graft.gate.def_t (k) VALUES (-2)")
+        s.sql(
+          s"""SELECT status, count(*) AS n,
+                     CAST(SUM(v) AS BIGINT) AS sum_v
+              FROM graft.gate.def_t
+              GROUP BY status ORDER BY status""")
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT o_orderstatus AS status, o_custkey AS v FROM orders
+          UNION ALL SELECT 'UNK', 42
+          UNION ALL SELECT 'UNK', 42)
+        SELECT status, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sum_v
+        FROM u GROUP BY 1 ORDER BY 1""")),
+
     // ALTER TABLE RENAME/DROP COLUMN (the Delta column-mapping role):
     // both are METADATA-ONLY commits — files_ok pins the identical
     // file listing across both ALTERs (zero data moved at any table

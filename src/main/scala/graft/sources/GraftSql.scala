@@ -246,6 +246,22 @@ object GraftSql {
     ("""(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+RENAME\s+""" +
       """COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+""" +
       """([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
+  // ALTER COLUMN c TYPE <sql-type> — metadata-only WIDENING (the Delta
+  // type-widening role); the type text parses through Spark's own DDL
+  // parser, so DECIMAL(20,2) etc. work
+  private val WidenColumnSql =
+    ("""(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ALTER\s+""" +
+      """COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+(?:SET\s+DATA\s+)?TYPE\s+""" +
+      """([A-Za-z0-9_(), ]+?)\s*;?\s*""").r
+  // ALTER COLUMN c SET DEFAULT <expr> / DROP DEFAULT — the Delta
+  // column-default role: unlisted INSERT columns fill the expression
+  private val SetDefaultSql =
+    ("""(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ALTER\s+""" +
+      """COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+DEFAULT\s+""" +
+      """(.+?)\s*;?\s*""").r
+  private val DropDefaultSql =
+    ("""(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ALTER\s+""" +
+      """COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+DEFAULT\s*;?\s*""").r
   // Maintenance verbs (the Delta OPTIMIZE / VACUUM / DESCRIBE HISTORY
   // SQL surface): ZORDER BY columns are bare identifiers (validated),
   // so a regex paren capture is safe here
@@ -398,6 +414,17 @@ object GraftSql {
     case RenameColumnSql(t, from, to) =>
       val v = VersionedTable.alterRenameColumn(spark, rootOf(t), from, to)
       result(spark, "RENAME COLUMN", t, v, -1L)
+    case WidenColumnSql(t, c, tpe) =>
+      val dt = org.apache.spark.sql.types.DataType
+        .fromDDL(tpe.trim) // Spark's own type grammar
+      val v = VersionedTable.alterWidenColumn(spark, rootOf(t), c, dt)
+      result(spark, "ALTER COLUMN TYPE", t, v, -1L)
+    case SetDefaultSql(t, c, d) =>
+      val v = VersionedTable.alterSetDefault(spark, rootOf(t), c, d.trim)
+      result(spark, "SET DEFAULT", t, v, -1L)
+    case DropDefaultSql(t, c) =>
+      val v = VersionedTable.alterDropDefault(spark, rootOf(t), c)
+      result(spark, "DROP DEFAULT", t, v, -1L)
     case OptimizeSql(t, zcols) =>
       val root = rootOf(t)
       val v =
@@ -624,7 +651,9 @@ object GraftSql {
         spark.sql(s"SELECT * FROM ($v)")
       case q => spark.sql(q)
     }
-    val schema = VersionedTable.read(spark, root).schema
+    // the DECLARED schema (metadata kept): unlisted columns fill their
+    // declared DEFAULT, not bare NULL
+    val schema = VersionedTable.writeSchema(spark, root)
     val target = cols.getOrElse(schema.fieldNames.toSeq)
     target.foreach(c => require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
       s"INSERT column '$c' not in table $t"))
@@ -640,7 +669,7 @@ object GraftSql {
     val aligned = src.select(schema.fields.toSeq.map { f =>
       byPos.get(f.name.toLowerCase) match {
         case Some(c) => col(c).cast(f.dataType).as(f.name)
-        case None => lit(null).cast(f.dataType).as(f.name)
+        case None => VersionedTable.defaultOrNull(f).as(f.name)
       }
     }: _*).localCheckpoint(true)
     val n = aligned.count()

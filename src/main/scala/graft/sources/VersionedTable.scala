@@ -1352,6 +1352,215 @@ object VersionedTable {
     * schema change that didn't persist must fail loudly, and the
     * listing-identical manifest is harmless to leave behind. Returns
     * the committed version. */
+  /** `spark.read.option("mergeSchema").parquet(paths)` tolerant of
+    * WIDENED histories: parquet's own schema merge refuses
+    * INT32-vs-INT64 (etc.) across files, but a metadata-only
+    * [[alterWidenColumn]] legitimately mixes vintages in one listing
+    * (old files at the narrow type, post-ALTER appends at the wide
+    * one). On a merge failure the per-file footers are re-merged with
+    * [[isWideningCast]] resolving type conflicts — the wider type
+    * wins, every value up-casts exactly, and the read retries with the
+    * explicit schema (the vectorized reader up-casts per file). A
+    * conflict widening can't explain rethrows the ORIGINAL error. The
+    * happy path (no widen in history) is byte-identical to the plain
+    * read. */
+  def readParquetMerged(spark: SparkSession,
+                                         paths: Seq[String]): DataFrame =
+    try spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        import org.apache.spark.sql.types.StructType
+        def widenMerge(a: StructType, b: StructType): StructType =
+          StructType(
+            a.fields.map { fa =>
+              b.find(_.name.equalsIgnoreCase(fa.name)) match {
+                case Some(fb) if fa.dataType == fb.dataType =>
+                  fa.copy(nullable = fa.nullable || fb.nullable)
+                case Some(fb) if isWideningCast(fa.dataType, fb.dataType) =>
+                  fa.copy(dataType = fb.dataType,
+                    nullable = fa.nullable || fb.nullable)
+                case Some(fb) if isWideningCast(fb.dataType, fa.dataType) =>
+                  fa.copy(nullable = fa.nullable || fb.nullable)
+                case Some(_) => throw e // genuinely incompatible
+                case None => fa.copy(nullable = true)
+              }
+            } ++ b.fields.filterNot(fb =>
+              a.fields.exists(_.name.equalsIgnoreCase(fb.name)))
+              .map(_.copy(nullable = true)))
+        val merged =
+          try paths.map(p => spark.read.parquet(p).schema)
+            .reduceLeft(widenMerge)
+          catch { case scala.util.control.NonFatal(_) => throw e }
+        spark.read.schema(merged).parquet(paths: _*)
+    }
+
+  /** Is `from` → `to` a WIDENING type change — every `from` value
+    * exactly representable as `to`, and (the pruning contract) every
+    * recorded manifest stat bound still a faithful bound under `to`
+    * comparisons? Integral up-casts (byte→short→int→long: the
+    * long-cast stat triples are unchanged), float→double (exact
+    * embedding; `__dbl_` triples were computed as doubles already),
+    * and same-scale decimal precision growth (values and their
+    * truncating long-cast stats unchanged). Everything else —
+    * including any narrowing, long→double (inexact above 2^53), and
+    * scale changes (value-rewriting) — is refused. */
+  def isWideningCast(from: org.apache.spark.sql.types.DataType,
+                     to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision > f.precision
+      case _ => false
+    }
+  }
+
+  /** Metadata-only ALTER TABLE ALTER COLUMN TYPE — WIDENING only (the
+    * Delta type-widening role): a data-preserving empty delta whose
+    * sidecar declares the column at the wider type; zero files moved
+    * at any table size. Readers up-cast old files at scan time (the
+    * vectorized parquet reader reads INT32 into a LongType column
+    * natively — [[org.apache.spark.sql.graft.GraftScan]] serves the
+    * DECLARED type over every file vintage); appends after the ALTER
+    * stage at the wide type; COW rewrites and compaction MATERIALIZE
+    * the wide type into the files they re-stage ([[widenDeclared]]
+    * casts), so the declaration survives full-manifest re-layouts.
+    * Old versions time-travel with their old types (each version's
+    * sidecar is its own declaration). Manifest stats stay faithful
+    * bounds by [[isWideningCast]]'s contract — pruning is untouched.
+    * Refused for narrowing (rewrite the table), partition columns
+    * (path-derived text), and under pending MOR overlays (their
+    * key-matched frames carry the old type). */
+  def alterWidenColumn(spark: SparkSession, root: String, name: String,
+                       to: org.apache.spark.sql.types.DataType,
+                       maxRetries: Int = 5): Long = {
+    require(!Tombstones.hasPending(root),
+      "ALTER COLUMN TYPE with pending MOR tombstones/patches would " +
+        "strand their old-type frames — purge() first")
+    require(!partitionSchema(root).fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"cannot retype partition column $name (values live in paths)")
+    commitAlterDeclaration(root, maxRetries) { base =>
+      val fields = logicalSchemaAt(spark, root, base).fields
+      val f = fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        sys.error(s"no column $name in table at $root"))
+      require(f.dataType != to,
+        s"column $name is already ${to.simpleString}")
+      require(isWideningCast(f.dataType, to),
+        s"ALTER COLUMN TYPE only widens: ${f.dataType.simpleString} -> " +
+          s"${to.simpleString} is not a widening cast " +
+          "(byte/short/int up-casts, float->double, decimal precision " +
+          "growth at the same scale) — rewrite the table instead")
+      (fields.map(g =>
+        if (g.name.equalsIgnoreCase(name)) g.copy(dataType = to) else g)
+        .toSeq, None) // never touches the mapping registry
+    }
+  }
+
+  /** StructField-metadata key carrying a column's DEFAULT expression
+    * text — Spark's OWN key (`ResolveDefaultColumns`), so a declared
+    * default flows through `CatalogV2Util.structTypeToV2Columns` and
+    * the analyzer fills DSv2 INSERT column-lists natively. */
+  val CurrentDefaultKey = "CURRENT_DEFAULT"
+
+  /** Spark's existing-rows key. Always declared as NULL here — the
+    * Delta stance: a default affects FUTURE writes only; rows that
+    * predate it (and files that never materialized the column) read
+    * NULL, never a retroactive constant. */
+  val ExistsDefaultKey = "EXISTS_DEFAULT"
+
+  /** The fill expression for an unlisted INSERT/merge-insert column:
+    * its declared DEFAULT when one exists, else typed NULL (plain SQL
+    * semantics). */
+  private[sources] def defaultOrNull(
+      f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.Column =
+    if (f.metadata.contains(CurrentDefaultKey))
+      expr(f.metadata.getString(CurrentDefaultKey)).cast(f.dataType)
+    else lit(null).cast(f.dataType)
+
+  /** The table's CURRENT declared schema WITH its metadata (column
+    * mapping, defaults) — the schema WRITE paths consult; the scan
+    * serves a metadata-stripped copy for plan cleanliness. */
+  def writeSchema(spark: SparkSession,
+                  root: String): org.apache.spark.sql.types.StructType =
+    logicalSchemaAt(spark, root,
+      latestVersion(root).getOrElse(sys.error(s"no versions at $root")))
+
+  /** `lowercased name -> DEFAULT expression text` of the current
+    * declaration — O(one sidecar read), session-free: the accessor
+    * [[org.apache.spark.sql.graft.GraftCatalog]]'s table card
+    * re-attaches defaults to its reported schema with. */
+  def columnDefaults(root: String): Map[String, String] =
+    latestVersion(root).flatMap(v =>
+      readSchemaSidecar(root, v).orElse(declaredSchemaAt(root, v))) match {
+      case Some(s) => s.fields.iterator.collect {
+        case f if f.metadata.contains(CurrentDefaultKey) =>
+          f.name.toLowerCase -> f.metadata.getString(CurrentDefaultKey)
+      }.toMap
+      case None => Map.empty
+    }
+
+  /** Metadata-only `ALTER TABLE ... ALTER COLUMN c SET DEFAULT expr`
+    * (the Delta column-default role): the declaration sidecar pins the
+    * expression text; INSERT column-lists and merge-INSERT clauses
+    * fill it for unlisted columns from then on. EXISTING rows are
+    * untouched — they serve their stored values (or NULL where the
+    * column never materialized), never a retroactive constant. The
+    * expression must resolve self-contained (no column references —
+    * validated by resolving it against an empty frame); CURRENT_DATE
+    * and friends are fine. */
+  def alterSetDefault(spark: SparkSession, root: String, name: String,
+                      sqlText: String, maxRetries: Int = 5): Long = {
+    import org.apache.spark.sql.types.MetadataBuilder
+    commitAlterDeclaration(root, maxRetries) { base =>
+      val fields = logicalSchemaAt(spark, root, base).fields
+      val f = fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        sys.error(s"no column $name in table at $root"))
+      // resolve against an empty frame: a column reference (or a typo)
+      // must fail HERE, not at the first INSERT that needs the fill
+      try spark.range(1).select(expr(sqlText).cast(f.dataType)).collect()
+      catch {
+        case e: Exception => sys.error(
+          s"DEFAULT for $name must be a self-contained expression " +
+            s"castable to ${f.dataType.simpleString}: '$sqlText' " +
+            s"failed to resolve (${e.getMessage})")
+      }
+      (fields.map { g =>
+        if (!g.name.equalsIgnoreCase(name)) g
+        else g.copy(metadata = new MetadataBuilder()
+          .withMetadata(g.metadata)
+          .putString(CurrentDefaultKey, sqlText)
+          .putString(ExistsDefaultKey, "NULL").build())
+      }.toSeq, None)
+    }
+  }
+
+  /** Remove a column's declared DEFAULT (unlisted INSERT columns fill
+    * NULL again). No-op-by-refusal when none is declared. */
+  def alterDropDefault(spark: SparkSession, root: String, name: String,
+                       maxRetries: Int = 5): Long = {
+    import org.apache.spark.sql.types.{Metadata, MetadataBuilder}
+    commitAlterDeclaration(root, maxRetries) { base =>
+      val fields = logicalSchemaAt(spark, root, base).fields
+      val f = fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        sys.error(s"no column $name in table at $root"))
+      require(f.metadata.contains(CurrentDefaultKey),
+        s"column $name has no declared DEFAULT")
+      (fields.map { g =>
+        if (!g.name.equalsIgnoreCase(name)) g
+        else {
+          val kept = Metadata.fromJson(g.metadata.json) // copy
+          val b = new MetadataBuilder().withMetadata(kept)
+          b.remove(CurrentDefaultKey)
+          b.remove(ExistsDefaultKey)
+          g.copy(metadata = b.build())
+        }
+      }.toSeq, None)
+    }
+  }
+
   def alterAddColumns(spark: SparkSession, root: String,
                       adds: Seq[org.apache.spark.sql.types.StructField],
                       maxRetries: Int = 5): Long = {
@@ -1811,7 +2020,7 @@ object VersionedTable {
     // all files skipped → conservative full listing for the schema
     // (footer reads only; the IN filter still returns zero rows)
     val paths = (if (kept.nonEmpty) kept else lines).map(pathOf)
-    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    readParquetMerged(spark, paths)
       .filter(col(eqCol).isin(values: _*))
   }
 
@@ -1954,7 +2163,7 @@ object VersionedTable {
     // all files skipped → still answer with the right schema (footer
     // reads only; parquet stats keep the scan trivial)
     val paths = (if (kept.nonEmpty) kept else lines).map(pathOf)
-    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    readParquetMerged(spark, paths)
       .filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
   }
 
@@ -1979,7 +2188,7 @@ object VersionedTable {
       }
     }
     val paths = (if (kept.nonEmpty) kept else lines).map(pathOf)
-    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    readParquetMerged(spark, paths)
       .filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
   }
 
@@ -2022,7 +2231,7 @@ object VersionedTable {
       }
     }
     val paths = (if (kept.nonEmpty) kept else lines).map(pathOf)
-    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    readParquetMerged(spark, paths)
       .filter(col(statsCol).isin(sorted: _*))
   }
 
@@ -2048,7 +2257,7 @@ object VersionedTable {
       }
     }
     val paths = (if (kept.nonEmpty) kept else lines).map(pathOf)
-    bounds.foldLeft(spark.read.option("mergeSchema", "true").parquet(paths: _*)) {
+    bounds.foldLeft(readParquetMerged(spark, paths)) {
       case (df, (c, lo, hi)) => df.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
     }
   }
@@ -2175,7 +2384,7 @@ object VersionedTable {
       // touch nothing)
       read(spark, root)
     else if (partitionSchema(root).isEmpty)
-      spark.read.option("mergeSchema", "true").parquet(lines.map(pathOf): _*)
+      readParquetMerged(spark, lines.map(pathOf))
     else org.apache.spark.sql.graft.GraftScan.ofScanFiles(
       spark, root, lines.map(scanFileOf))
 
@@ -2322,11 +2531,25 @@ object VersionedTable {
         val retired = if (isColumnMapped(root)) retiredColumns(root)
                       else Set.empty[String]
         if (!mapped && retired.isEmpty) {
-          // fast path (no mapping in play): pure widening, as before
-          val have = df.columns.map(_.toLowerCase).toSet ++ part
-          s.fields.filterNot(f => have.contains(f.name.toLowerCase))
-            .foldLeft(df)((d, f) =>
-              d.withColumn(f.name, lit(null).cast(f.dataType)))
+          // fast path (no mapping in play): add declared-but-missing
+          // columns as typed NULL, and MATERIALIZE declared type
+          // widenings (ALTER COLUMN TYPE) into the rewrite — a
+          // full-manifest re-layout (z-order) is a declaration
+          // boundary, so a widen left un-materialized there would be
+          // silently lost to the next footer sweep. Guarded by
+          // [[isWideningCast]]: this can never narrow data staged at
+          // a wider footer type than some stale declaration.
+          val dfByName = df.schema.fields
+            .map(f => f.name.toLowerCase -> f).toMap
+          s.fields.filterNot(f => part.contains(f.name.toLowerCase))
+            .foldLeft(df) { (d, f) =>
+              dfByName.get(f.name.toLowerCase) match {
+                case None => d.withColumn(f.name, lit(null).cast(f.dataType))
+                case Some(g) if isWideningCast(g.dataType, f.dataType) =>
+                  d.withColumn(g.name, col(g.name).cast(f.dataType))
+                case Some(_) => d
+              }
+            }
         } else {
           // column-mapping projection: the physical frame becomes the
           // LOGICAL view — renamed columns read their physical slot,
@@ -2341,10 +2564,17 @@ object VersionedTable {
           val declPhysLower = declData.map(f =>
             physicalName(f).toLowerCase).toSet
           val declLogLower = declData.map(_.name.toLowerCase).toSet
+          val dfTypes = df.schema.fields
+            .map(f => f.name.toLowerCase -> f.dataType).toMap
           val dataCols = declData.map { f =>
             val p = physicalName(f)
-            if (dfLower.contains(p.toLowerCase)) col(p).as(f.name)
-            else lit(null).cast(f.dataType).as(f.name)
+            dfTypes.get(p.toLowerCase) match {
+              // materialize declared type widenings, as the fast path
+              case Some(t) if isWideningCast(t, f.dataType) =>
+                col(p).cast(f.dataType).as(f.name)
+              case Some(_) => col(p).as(f.name)
+              case None => lit(null).cast(f.dataType).as(f.name)
+            }
           }.toSeq
           val extras = df.columns.filter { c =>
             val cl = c.toLowerCase
@@ -3404,15 +3634,24 @@ object VersionedTable {
         val unmatched = src0.alias(sourceAlias)
           .join(matchedKeys, keyCols, "left_anti")
           .filter(condOf(ins.cond))
+        // unlisted INSERT columns fill their declared DEFAULT (the
+        // declaration carries the metadata; target.schema is a plan
+        // schema and doesn't), else typed NULL — SQL column-list
+        // semantics on both the INSERT * and explicit-list arms
+        val declByName = logicalSchemaAt(spark, root, base).fields
+          .map(f => f.name.toLowerCase -> f).toMap
+        def fillFor(c: String): org.apache.spark.sql.Column =
+          declByName.get(c.toLowerCase).map(defaultOrNull)
+            .getOrElse(lit(null)).cast(schema(c).dataType)
         unmatched.select(outCols.map { c =>
           val dt = schema(c).dataType
           if (ins.values.isEmpty) {
             if (src0.columns.exists(_.equalsIgnoreCase(c)))
               col(s"$sourceAlias.$c").cast(dt).as(c)
-            else lit(null).cast(dt).as(c)
+            else fillFor(c).as(c)
           } else ins.values.collectFirst {
             case (k, v) if k.equalsIgnoreCase(c) => v.cast(dt).as(c)
-          }.getOrElse(lit(null).cast(dt).as(c))
+          }.getOrElse(fillFor(c).as(c))
         }: _*)
       }
       val parts = touchedPart.toSeq ++ insertPart.toSeq
@@ -3986,7 +4225,7 @@ object VersionedTable {
     val before = readListing(root, sinceV).map(pathOf).toSet
     val added = readListing(root, untilV).map(pathOf).filterNot(before)
     if (added.isEmpty) readVersion(spark, root, untilV).limit(0)
-    else spark.read.option("mergeSchema", "true").parquet(added: _*)
+    else readParquetMerged(spark, added)
   }
 
   /** STREAMING changes feed for an APPEND-ONLY table — the streaming
@@ -4045,9 +4284,9 @@ object VersionedTable {
     val f2 = readListing(root, v2).map(pathOf).toSet
     def readOr(paths: Seq[String], other: Seq[String]): DataFrame =
       if (paths.nonEmpty)
-        spark.read.option("mergeSchema", "true").parquet(paths: _*)
+        readParquetMerged(spark, paths)
       else // empty side: same schema, zero rows
-        spark.read.option("mergeSchema", "true").parquet(other: _*).limit(0)
+        readParquetMerged(spark, other).limit(0)
     val only1 = (f1 -- f2).toSeq.sorted
     val only2 = (f2 -- f1).toSeq.sorted
     if (only1.isEmpty && only2.isEmpty)
@@ -4116,7 +4355,7 @@ object VersionedTable {
     // column a metadata-only ALTER declared, or the post-compaction
     // footer sweep would drop it (the COW-rewrite rule)
     val df = widenDeclared(
-      spark.read.option("mergeSchema", "true").parquet(smallPaths: _*),
+      readParquetMerged(spark, smallPaths),
       root, base)
     val packed =
       if (statsCols.nonEmpty)

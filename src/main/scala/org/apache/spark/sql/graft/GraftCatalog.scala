@@ -76,6 +76,16 @@ class GraftCatalog extends TableCatalog
 
   override def name(): String = catName
 
+  /** `CREATE TABLE (c TYPE DEFAULT expr)` is accepted: Spark plants
+    * the default into the column metadata (CURRENT_DEFAULT) of the
+    * schema handed to createTable, the engine persists it in the
+    * declaration sidecar, and the analyzer fills INSERT column-lists
+    * from the reported schema. */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   /** The catalog's DURABLE registry (the metastore role): present
     * exactly when the catalog was installed with a `warehouse` option.
     * Every name resolution re-syncs from it (one directory listing
@@ -419,8 +429,21 @@ class GraftCatalog extends TableCatalog
         VersionedTable.alterRenameColumn(spark, root,
           topLevel(r.fieldNames(), "RENAME COLUMN"), r.newName())
         None
+      case u: TableChange.UpdateColumnType =>
+        VersionedTable.alterWidenColumn(spark, root,
+          topLevel(u.fieldNames(), "ALTER COLUMN TYPE"), u.newDataType())
+        None
+      case d: TableChange.UpdateColumnDefaultValue =>
+        val c = topLevel(d.fieldNames(), "ALTER COLUMN DEFAULT")
+        // Spark's convention: empty string = DROP DEFAULT
+        if (d.newDefaultValue() == null || d.newDefaultValue().isEmpty)
+          VersionedTable.alterDropDefault(spark, root, c)
+        else VersionedTable.alterSetDefault(spark, root, c,
+          d.newDefaultValue())
+        None
       case c => throw new UnsupportedOperationException(
-        s"GraftCatalog ALTER supports ADD/DROP/RENAME COLUMN only, got $c")
+        "GraftCatalog ALTER supports ADD/DROP/RENAME COLUMN and " +
+          s"ALTER COLUMN TYPE (widening) only, got $c")
     }
     if (adds.nonEmpty)
       VersionedTable.alterAddColumns(spark, root, adds)
@@ -714,8 +737,25 @@ private[graft] class GraftTableV2(ident: String, root: String,
 
   override def name(): String = ident
 
-  override def schema(): StructType =
-    StructType(logicalSchema.fields ++ partSchema.fields)
+  override def schema(): StructType = {
+    // re-attach declared column DEFAULTs (the plan-side schemas are
+    // deliberately metadata-stripped): structTypeToV2Columns turns
+    // CURRENT_DEFAULT into the V2 column default, which is how the
+    // analyzer fills INSERT column-lists for this table
+    val base = StructType(logicalSchema.fields ++ partSchema.fields)
+    val defaults = VersionedTable.columnDefaults(root)
+    if (defaults.isEmpty) base
+    else StructType(base.fields.map { f =>
+      defaults.get(f.name.toLowerCase) match {
+        case Some(d) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(VersionedTable.CurrentDefaultKey, d)
+            .putString(VersionedTable.ExistsDefaultKey, "NULL").build())
+        case None => f
+      }
+    })
+  }
 
   override def partitioning(): Array[Transform] =
     partSchema.fieldNames.map(Expressions.identity(_): Transform)

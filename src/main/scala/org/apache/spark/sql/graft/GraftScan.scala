@@ -173,9 +173,10 @@ object GraftScan {
                   files: Seq[ScanFile]): DataFrame = {
     require(files.nonEmpty, s"no files to read at $root")
     val partSchema = VersionedTable.partitionSchema(root)
+    // widen-tolerant sweep: a rewrite set can mix file vintages across
+    // a metadata-only ALTER COLUMN TYPE
     val dataSchema = StructType(
-      spark.read.option("mergeSchema", "true")
-        .parquet(files.map(_.path): _*).schema
+      VersionedTable.readParquetMerged(spark, files.map(_.path)).schema
         .filterNot(f => partSchema.fieldNames.contains(f.name)))
     val cs = spark.asInstanceOf[classic.SparkSession]
     val relation = HadoopFsRelation(
@@ -235,8 +236,7 @@ object GraftScan {
     val f = new java.io.File(root, s"_schema.v$v.json")
     VersionedTable.readSchemaSidecar(root, v).getOrElse {
       val s0 = incrementalSchema(spark, root, v, paths).getOrElse(
-        spark.read.option("mergeSchema", "true")
-          .parquet(paths: _*).schema)
+        VersionedTable.readParquetMerged(spark, paths).schema)
       // DECLARED-COLUMN CARRY: a metadata-only ALTER's column may live
       // in no data file yet — the nearest delta-reachable sidecar is
       // the declaration, and a footer sweep (or a one-step incremental
@@ -249,8 +249,27 @@ object GraftScan {
           val retired = if (VersionedTable.isColumnMapped(root))
             VersionedTable.retiredColumns(root) else Set.empty[String]
           if (!mapped && retired.isEmpty) {
+            // declared TYPES override the footer types when the
+            // declaration is the WIDER one (ALTER COLUMN TYPE): the
+            // scan serves the declared type over every file vintage
+            // and the vectorized reader up-casts per file. Guarded by
+            // isWideningCast so a stale declaration can never narrow.
+            // Declared METADATA (column DEFAULTs) carries too — the
+            // cached sidecar is the next version's declaration, and a
+            // footer-swept field (metadata-free by construction) must
+            // not strip it.
+            val byName = d.fields.map(f => f.name.toLowerCase -> f).toMap
             val have = s0.fieldNames.map(_.toLowerCase).toSet
-            StructType(s0.fields ++ d.fields.filterNot(df0 =>
+            StructType(s0.fields.map { f0 =>
+              byName.get(f0.name.toLowerCase) match {
+                case Some(df0) =>
+                  val dt = if (VersionedTable.isWideningCast(
+                      f0.dataType, df0.dataType)) df0.dataType
+                    else f0.dataType
+                  f0.copy(dataType = dt, metadata = df0.metadata)
+                case None => f0
+              }
+            } ++ d.fields.filterNot(df0 =>
               have.contains(df0.name.toLowerCase)))
           } else {
             // COLUMN MAPPING in play: the declaration is authoritative
