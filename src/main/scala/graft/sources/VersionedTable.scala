@@ -3457,6 +3457,8 @@ object VersionedTable {
     val src0 = source.localCheckpoint(true)
     val srcKeys = src0.select(keyCols.map(col): _*).distinct()
       .localCheckpoint(true)
+    // computed only if a commit race ever needs the rebase probe
+    lazy val srcKeyRanges = integralKeyRanges(srcKeys, keyCols)
     def condOf(c: Option[org.apache.spark.sql.Column]) =
       c.map(x => coalesce(x, lit(false))).getOrElse(lit(true))
     var attempt = 0
@@ -3666,20 +3668,103 @@ object VersionedTable {
       val staged = statLines(spark,
         stageAuto(rewritten, root, v), Seq.empty, root)
       beforeCommit()
-      try {
-        val committed =
-          commitManifest(root, v, deltaContent(rewriteFiles, staged))
-        maybeCheckpoint(root, committed)
-        return committed
-      } catch {
-        case e: java.nio.file.FileAlreadyExistsException =>
-          staged.foreach(p =>
-            Files.deleteIfExists(new File(pathOf(p)).toPath))
-          attempt += 1
-          if (attempt > maxRetries) throw e
+      // CONFLICT-AWARE RECONCILIATION (the Delta conflict-class role):
+      // a lost commit race does NOT automatically recompute phases
+      // 1-2. When every interleaved commit is a pure APPEND whose
+      // added files PROVABLY hold no source-key matches (manifest stat
+      // ranges disjoint from the source's key range — stronger than
+      // Delta's blind-append allowance: zero anomaly, not an accepted
+      // one), the SAME delta rebases onto the new head: removed files
+      // still exist (appends never remove), staged files are reused,
+      // appended rows carry through the interleaved commit itself. At
+      // 100 TB with streaming ingest + MERGE running concurrently,
+      // full recompute retries are the first thing that melts — this
+      // is what keeps them for the cases that genuinely need them
+      // (overlapping keys, rewrites, ALTERs, by-source clauses, which
+      // must SEE interleaved rows).
+      var commitAt = v
+      while (commitAt > 0) {
+        try {
+          val committed = commitManifest(root, commitAt,
+            deltaContent(rewriteFiles, staged))
+          maybeCheckpoint(root, committed)
+          return committed
+        } catch {
+          case e: java.nio.file.FileAlreadyExistsException =>
+            attempt += 1
+            if (attempt > maxRetries) {
+              staged.foreach(p =>
+                Files.deleteIfExists(new File(pathOf(p)).toPath))
+              throw e
+            }
+            val cur = latestVersion(root).getOrElse(-1L)
+            if (!bySourceClauses.isEmpty || cur < commitAt ||
+                !appendsKeyDisjoint(root, commitAt - 1, cur,
+                  srcKeyRanges)) {
+              // recompute against the winner's snapshot (outer loop)
+              staged.foreach(p =>
+                Files.deleteIfExists(new File(pathOf(p)).toPath))
+              commitAt = -1L
+            } else commitAt = cur + 1 // rebase, no recompute
+        }
       }
     }
     -1L // unreachable
+  }
+
+  /** The source's per-key-column [min, max] as exact longs — the
+    * rebase disjointness probe's query side. `None` when any key
+    * column is non-integral (bare manifest stats are only exact for
+    * integral columns) or the source is empty: no rebase, recompute. */
+  private def integralKeyRanges(srcKeys: DataFrame, keyCols: Seq[String])
+      : Option[Map[String, (Long, Long)]] = {
+    import org.apache.spark.sql.types._
+    val integral = keyCols.forall(c =>
+      srcKeys.schema.fields.find(_.name.equalsIgnoreCase(c))
+        .exists(_.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }))
+    if (!integral) return None
+    val aggs = keyCols.flatMap(c => Seq(
+      min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val r = srcKeys.agg(aggs.head, aggs.tail: _*).head()
+    if (keyCols.indices.exists(i => r.isNullAt(2 * i))) None // empty src
+    else Some(keyCols.zipWithIndex.map { case (c, i) =>
+      c.toLowerCase -> (r.getLong(2 * i), r.getLong(2 * i + 1))
+    }.toMap)
+  }
+
+  /** Can a lost MERGE race rebase over versions `(base, cur]` without
+    * recompute? True iff every interleaved commit is a pure append
+    * (delta, no removals, no preserving/declared markers — compaction
+    * rewrote files we read, an ALTER changed the declaration) and
+    * every added file's manifest stats prove key-disjointness from the
+    * source: some key column's file range misses the source range
+    * entirely. Stats-less files, vacuumed manifests, and non-integral
+    * keys all fail SAFE (recompute). O(interleaved manifests), zero
+    * data reads. */
+  private def appendsKeyDisjoint(root: String, base: Long, cur: Long,
+                                 ranges: Option[Map[String, (Long, Long)]])
+      : Boolean = ranges match {
+    case None => false
+    case Some(rs) =>
+      ((base + 1) to cur).forall { w =>
+        if (!manifestFile(root, w).exists()) false
+        else {
+          val lines = readManifest(root, w)
+          isDelta(lines) && !lines.contains(PreservingMarker) &&
+            !lines.contains(DeclaredMarker) &&
+            lines.tail.forall(l =>
+              l.startsWith("+\t") || l.startsWith(TxnPrefix)) &&
+            lines.collect { case l if l.startsWith("+\t") =>
+              scanFileOf(l.drop(2))
+            }.forall(sf => rs.exists { case (c, (slo, shi)) =>
+              sf.stats.get(c).exists { case (flo, fhi) =>
+                fhi < slo || flo > shi }
+            })
+        }
+      }
   }
 
   /** APPLY CHANGES INTO (the Delta Live Tables `apply_changes` /

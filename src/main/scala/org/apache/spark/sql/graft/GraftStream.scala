@@ -112,8 +112,13 @@ class GraftStreamProvider extends StreamSourceProvider
       .orElse(parameters.get("statscols"))
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+    // schema-evolution dial (the Delta autoMerge role): a micro-batch
+    // carrying columns the table does not declare REFUSES by default;
+    // option("mergeSchema", true) evolves the table instead
+    val evolve = parameters.get("mergeSchema")
+      .orElse(parameters.get("mergeschema")).exists(_.toBoolean)
     new GraftStreamSink(root, appId, tableParts, statsCols,
-      complete = outputMode == OutputMode.Complete())
+      complete = outputMode == OutputMode.Complete(), evolve = evolve)
   }
 }
 
@@ -125,13 +130,41 @@ class GraftStreamProvider extends StreamSourceProvider
 private[graft] class GraftStreamSink(root: String, appId: String,
                                      partCols: Seq[String],
                                      statsCols: Seq[String],
-                                     complete: Boolean) extends Sink {
+                                     complete: Boolean,
+                                     evolve: Boolean = false) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val cs = data.sparkSession.asInstanceOf[classic.SparkSession]
     val batch = cs.internalCreateDataFrame(
       data.asInstanceOf[classic.DataFrame].queryExecution.toRdd,
       data.schema, isStreaming = false)
+    // SCHEMA-EVOLUTION CONTRACT (append modes; Complete overwrites the
+    // schema wholesale by design): a batch carrying columns the table
+    // does not declare refuses LOUDLY unless mergeSchema=true, which
+    // routes through a metadata-only ALTER ADD COLUMNS and then the
+    // txn append. Exactly-once holds across the ALTER+append pair: a
+    // replayed batch finds the columns already declared (the ALTER
+    // no-ops by construction — only genuinely-new names are added) and
+    // the append no-ops on its (appId, batchId) txn marker. A fresh
+    // root (no versions) takes the first batch's schema as-is.
+    if (!complete && VersionedTable.latestVersion(root).isDefined) {
+      val declared = VersionedTable.writeSchema(cs, root)
+      val have = declared.fieldNames.map(_.toLowerCase).toSet
+      val extra = batch.schema.fields
+        .filterNot(f => have.contains(f.name.toLowerCase))
+      if (extra.nonEmpty) {
+        require(evolve,
+          s"micro-batch $batchId carries column(s) " +
+            s"${extra.map(_.name).mkString(", ")} the table at $root " +
+            "does not declare — drop them upstream, or set " +
+            "option(\"mergeSchema\", \"true\") on the writeStream to " +
+            "evolve the table (a metadata-only ALTER ADD COLUMNS, " +
+            "then the append)")
+        VersionedTable.alterAddColumns(cs, root, extra.map(f =>
+          org.apache.spark.sql.types.StructField(
+            f.name, f.dataType, nullable = true)).toSeq)
+      }
+    }
     if (complete) {
       require(partCols.isEmpty,
         "Complete-mode overwrite of a partitioned table is not " +

@@ -1,0 +1,124 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.sources.VersionedTable.MergeClause._
+
+/** Conflict-aware commit reconciliation (the Delta conflict-class
+  * role): a MERGE that loses its commit race to a PURE APPEND whose
+  * files provably hold no source-key matches (manifest stat ranges
+  * disjoint) REBASES the same delta onto the new head — phases 1-2
+  * never recompute, the table is never re-read. Overlapping keys,
+  * rewrites, and by-source clauses (which must SEE interleaved rows)
+  * still recompute. The `beforeCommit` seam fires once per COMPUTE
+  * (not per commit attempt), so its count is the recompute count. */
+class MergeRebaseSpec extends SparkSuite {
+
+  private def freshTable(): String = {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_rebase").resolve("t").toString
+    VersionedTable.overwriteWithStats(
+      (1L to 20L).map(i => (i, s"s$i", i * 10L)).toDF("k", "s", "v")
+        .repartitionByRange(2, col("k")), root, "k")
+    root
+  }
+
+  private def stateOf(root: String): Map[Long, (String, Long)] =
+    VersionedTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+  test("a DISJOINT racing append REBASES: one compute pass, no " +
+    "second table read, both writers' effects land") {
+    import spark.implicits._
+    val root = freshTable()
+    var computes = 0
+    val src = Seq((5L, "u", 1L)).toDF("k", "s", "v")
+    val (_, run) = graft.core.Metrics.measure(spark) {
+      VersionedTable.mergeActions(spark, root, src, Seq("k"), Seq(
+        Update(None, Map("v" -> expr("t.v + s.v")))),
+        beforeCommit = () => {
+          computes += 1
+          if (computes == 1)
+            VersionedTable.appendWithStats( // keys 100.. disjoint of 5
+              Seq((100L, "r", 1L)).toDF("k", "s", "v"), root, "k")
+        })
+    }
+    assert(computes == 1,
+      s"a key-disjoint append must rebase, not recompute ($computes)")
+    val st = stateOf(root)
+    assert(st(5L) == ("s5", 51L), "the merge's update landed")
+    assert(st(100L) == ("r", 1L), "the racing append's row survived")
+    assert(st.size == 21)
+    assert(run.bytesRead > 0) // the single compute pass did read
+  }
+
+  test("an OVERLAPPING racing append recomputes: the merge must see " +
+    "the interleaved matching row") {
+    import spark.implicits._
+    val root = freshTable()
+    var computes = 0
+    val src = Seq((5L, "u", 1L), (30L, "n", 2L)).toDF("k", "s", "v")
+    VersionedTable.mergeActions(spark, root, src, Seq("k"), Seq(
+      Update(None, Map("v" -> expr("t.v + s.v"))),
+      Insert(None, Map.empty)),
+      beforeCommit = () => {
+        computes += 1
+        if (computes == 1)
+          VersionedTable.appendWithStats( // key 30 INSIDE [5, 30]
+            Seq((30L, "r", 100L)).toDF("k", "s", "v"), root, "k")
+      })
+    assert(computes == 2,
+      s"an overlapping append must recompute ($computes)")
+    val st = stateOf(root)
+    // the recompute saw the appended k=30 as MATCHED: updated, not
+    // double-inserted
+    assert(st(30L) == ("r", 102L), st.get(30L).toString)
+    assert(st(5L) == ("s5", 51L))
+  }
+
+  test("a racing REWRITE (delete) recomputes — removed files cannot " +
+    "rebase") {
+    import spark.implicits._
+    val root = freshTable()
+    var computes = 0
+    val src = Seq((5L, "u", 1L)).toDF("k", "s", "v")
+    VersionedTable.mergeActions(spark, root, src, Seq("k"), Seq(
+      Update(None, Map("v" -> expr("t.v + s.v")))),
+      beforeCommit = () => {
+        computes += 1
+        if (computes == 1) {
+          VersionedTable.delete(spark, root, col("k") === 20L)
+          ()
+        }
+      })
+    assert(computes == 2, s"a rewrite must recompute ($computes)")
+    val st = stateOf(root)
+    assert(!st.contains(20L) && st(5L) == ("s5", 51L))
+  }
+
+  test("BY SOURCE clauses force recompute even for a disjoint append " +
+    "— the interleaved row has no source match and must be processed") {
+    import spark.implicits._
+    val root = freshTable()
+    var computes = 0
+    val src = (1L to 20L).map(i => (i, s"s$i", i * 10L)).toDF("k", "s", "v")
+    VersionedTable.mergeActions(spark, root, src, Seq("k"), Seq(
+      Update(None, Map("v" -> expr("s.v"))),
+      DeleteBySource(None)), // mirror: target rows without source match die
+      beforeCommit = () => {
+        computes += 1
+        if (computes == 1)
+          VersionedTable.appendWithStats(
+            Seq((100L, "r", 1L)).toDF("k", "s", "v"), root, "k")
+      })
+    assert(computes == 2,
+      s"by-source semantics must recompute ($computes)")
+    val st = stateOf(root)
+    assert(!st.contains(100L),
+      "the mirror merge must have deleted the interleaved unmatched row")
+    assert(st.size == 20)
+  }
+}
