@@ -326,6 +326,29 @@ object ScaleProbe {
       }
       spark.stop(); return
     }
+    // footer-fold boundary probe (`runMain graft.ScaleProbe fold`):
+    // commit wall (stage + stats + manifest) vs staged-file count
+    // across the 64-file boundary — ≤64 files answer their stats from
+    // parquet footers DRIVER-side (zero Spark jobs), >64 pays the
+    // one-job aggregate. The probe measures the cliff instead of
+    // assuming it: the expected shape is a mild per-file driver cost
+    // up to 64, one job-startup step at 65, then job amortization.
+    if (args.contains("fold")) {
+      val df0 = spark.range(400000L).select(col("id").as("k"),
+        (col("id") % 997L).as("v"),
+        md5(col("id").cast("string")).as("s")).localCheckpoint(true)
+      for (round <- 1 to 3; files <- Seq(8, 32, 63, 64, 65, 96, 192)) {
+        val root = java.nio.file.Files
+          .createTempDirectory("probe_fold").resolve("t").toString
+        val d = df0.repartition(files)
+        val t0 = System.nanoTime()
+        graft.sources.VersionedTable.overwriteWithStats(d, root, "k", "v")
+        val secs = (System.nanoTime() - t0) / 1e9
+        if (round > 1) // round 1 warms JIT/codegen
+          println(f"[probe] files=$files%4d fold_commit $secs%7.3f s")
+      }
+      spark.stop(); return
+    }
     // manifest-chain probe (`runMain graft.ScaleProbe manifest`): a
     // 60-append chain on a VersionedTable. With round-6 delta commits
     // the per-append wall must stay flat (the commit file is one
