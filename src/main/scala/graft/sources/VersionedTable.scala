@@ -3735,37 +3735,72 @@ object VersionedTable {
     }.toMap)
   }
 
+  /** The `+` file lines of versions `(base, cur]` when EVERY
+    * interleaved commit is a PURE APPEND — a delta with no removals
+    * and no preserving/declared markers (compaction rewrote files the
+    * loser read; an ALTER changed the declaration). `None` (recompute)
+    * on anything else, including vacuumed manifests. The shared
+    * precondition of every rebase path. */
+  private def interleavedAppendLines(root: String, base: Long,
+                                     cur: Long): Option[Seq[String]] = {
+    val out = Seq.newBuilder[String]
+    var ok = true
+    var w = base + 1
+    while (ok && w <= cur) {
+      if (!manifestFile(root, w).exists()) ok = false
+      else {
+        val lines = readManifest(root, w)
+        if (!isDelta(lines) || lines.contains(PreservingMarker) ||
+            lines.contains(DeclaredMarker) ||
+            !lines.tail.forall(l =>
+              l.startsWith("+\t") || l.startsWith(TxnPrefix))) ok = false
+        else out ++= lines.tail.collect {
+          case l if l.startsWith("+\t") => l.drop(2) }
+      }
+      w += 1
+    }
+    if (ok) Some(out.result()) else None
+  }
+
   /** Can a lost MERGE race rebase over versions `(base, cur]` without
-    * recompute? True iff every interleaved commit is a pure append
-    * (delta, no removals, no preserving/declared markers — compaction
-    * rewrote files we read, an ALTER changed the declaration) and
-    * every added file's manifest stats prove key-disjointness from the
-    * source: some key column's file range misses the source range
-    * entirely. Stats-less files, vacuumed manifests, and non-integral
-    * keys all fail SAFE (recompute). O(interleaved manifests), zero
-    * data reads. */
+    * recompute? True iff the interleave is pure appends
+    * ([[interleavedAppendLines]]) and every added file's manifest
+    * stats prove key-disjointness from the source: some key column's
+    * file range misses the source range entirely. Stats-less files
+    * and non-integral keys fail SAFE (recompute). O(interleaved
+    * manifests), zero data reads. */
   private def appendsKeyDisjoint(root: String, base: Long, cur: Long,
                                  ranges: Option[Map[String, (Long, Long)]])
-      : Boolean = ranges match {
-    case None => false
-    case Some(rs) =>
-      ((base + 1) to cur).forall { w =>
-        if (!manifestFile(root, w).exists()) false
-        else {
-          val lines = readManifest(root, w)
-          isDelta(lines) && !lines.contains(PreservingMarker) &&
-            !lines.contains(DeclaredMarker) &&
-            lines.tail.forall(l =>
-              l.startsWith("+\t") || l.startsWith(TxnPrefix)) &&
-            lines.collect { case l if l.startsWith("+\t") =>
-              scanFileOf(l.drop(2))
-            }.forall(sf => rs.exists { case (c, (slo, shi)) =>
-              sf.stats.get(c).exists { case (flo, fhi) =>
-                fhi < slo || flo > shi }
-            })
-        }
-      }
+      : Boolean = (ranges, interleavedAppendLines(root, base, cur)) match {
+    case (Some(rs), Some(added)) =>
+      added.map(scanFileOf).forall(sf => rs.exists {
+        case (c, (slo, shi)) =>
+          sf.stats.get(c).exists { case (flo, fhi) =>
+            fhi < slo || flo > shi }
+      })
+    case _ => false
   }
+
+  /** Can a lost DELETE/UPDATE race rebase over `(base, cur]`? The
+    * interleave must be pure appends AND none of the appended rows may
+    * match `predicate` — under serializable semantics a matching
+    * appended row belongs to the rewrite, so finding one forces the
+    * recompute. The probe reads ONLY the interleaved batches'
+    * files (O(appended), never O(table)) — the exact evaluation of
+    * Delta's read-predicate conflict check. */
+  private def appendsPredicateFree(spark: SparkSession, root: String,
+                                   base: Long, cur: Long,
+                                   predicate: org.apache.spark.sql.Column)
+      : Boolean =
+    interleavedAppendLines(root, base, cur) match {
+      case Some(added) if added.isEmpty => true
+      case Some(added) =>
+        try readLinesDeclared(spark, root, cur, added)
+          .filter(coalesce(predicate, lit(false)))
+          .limit(1).collect().isEmpty
+        catch { case scala.util.control.NonFatal(_) => false } // recompute
+      case None => false
+    }
 
   /** APPLY CHANGES INTO (the Delta Live Tables `apply_changes` /
     * Debezium-sink role): fold an ORDERED change feed — rows tagged
@@ -4070,16 +4105,36 @@ object VersionedTable {
       val staged = statLines(spark,
         stageAuto(survivors, root, v), Seq.empty, root)
       beforeCommit()
-      try {
-        val committed = commitManifest(root, v, deltaContent(touched0, staged))
-        maybeCheckpoint(root, committed)
-        return committed
-      } catch {
-        case e: java.nio.file.FileAlreadyExistsException =>
-          staged.foreach(p =>
-            Files.deleteIfExists(new File(pathOf(p)).toPath))
-          attempt += 1
-          if (attempt > maxRetries) throw e
+      // conflict-aware reconciliation, as in mergeActions: a lost race
+      // against pure appends whose rows provably don't match the
+      // predicate (probed by reading ONLY the appended files) rebases
+      // the same delta onto the new head — no O(table) recompute
+      var commitAt = v
+      while (commitAt > 0) {
+        try {
+          val committed = commitManifest(root, commitAt,
+            deltaContent(touched0, staged))
+          maybeCheckpoint(root, committed)
+          return committed
+        } catch {
+          case e: java.nio.file.FileAlreadyExistsException =>
+            attempt += 1
+            if (attempt > maxRetries) {
+              staged.foreach(p =>
+                Files.deleteIfExists(new File(pathOf(p)).toPath))
+              throw e
+            }
+            val cur = latestVersion(root).getOrElse(-1L)
+            if (cur >= commitAt &&
+                appendsPredicateFree(spark, root, commitAt - 1, cur,
+                  predicate))
+              commitAt = cur + 1
+            else {
+              staged.foreach(p =>
+                Files.deleteIfExists(new File(pathOf(p)).toPath))
+              commitAt = -1L
+            }
+        }
       }
     }
     -1L // unreachable
@@ -4180,16 +4235,36 @@ object VersionedTable {
       val staged = statLines(spark,
         stageAuto(rewritten, root, v), Seq.empty, root)
       beforeCommit()
-      try {
-        val committed = commitManifest(root, v, deltaContent(touched0, staged))
-        maybeCheckpoint(root, committed)
-        return committed
-      } catch {
-        case e: java.nio.file.FileAlreadyExistsException =>
-          staged.foreach(p =>
-            Files.deleteIfExists(new File(pathOf(p)).toPath))
-          attempt += 1
-          if (attempt > maxRetries) throw e
+      // conflict-aware reconciliation (see delete/mergeActions): rows
+      // appended by a racing writer that match the predicate would
+      // belong to this UPDATE under serializable semantics — probe
+      // ONLY the appended files; a clean probe rebases, a hit recomputes
+      var commitAt = v
+      while (commitAt > 0) {
+        try {
+          val committed = commitManifest(root, commitAt,
+            deltaContent(touched0, staged))
+          maybeCheckpoint(root, committed)
+          return committed
+        } catch {
+          case e: java.nio.file.FileAlreadyExistsException =>
+            attempt += 1
+            if (attempt > maxRetries) {
+              staged.foreach(p =>
+                Files.deleteIfExists(new File(pathOf(p)).toPath))
+              throw e
+            }
+            val cur = latestVersion(root).getOrElse(-1L)
+            if (cur >= commitAt &&
+                appendsPredicateFree(spark, root, commitAt - 1, cur,
+                  predicate))
+              commitAt = cur + 1
+            else {
+              staged.foreach(p =>
+                Files.deleteIfExists(new File(pathOf(p)).toPath))
+              commitAt = -1L
+            }
+        }
       }
     }
     -1L // unreachable

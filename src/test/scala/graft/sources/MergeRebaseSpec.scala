@@ -99,6 +99,66 @@ class MergeRebaseSpec extends SparkSuite {
     assert(!st.contains(20L) && st(5L) == ("s5", 51L))
   }
 
+  test("DELETE racing a NON-MATCHING append rebases (one compute); a " +
+    "MATCHING append recomputes and deletes the interleaved row too") {
+    import spark.implicits._
+    val root = freshTable()
+    var computes = 0
+    VersionedTable.delete(spark, root, col("k") <= 3L,
+      beforeCommit = () => {
+        computes += 1
+        if (computes == 1)
+          VersionedTable.appendWithStats( // k=50: predicate-free
+            Seq((50L, "r", 1L)).toDF("k", "s", "v"), root, "k")
+      })
+    assert(computes == 1, s"predicate-free append must rebase ($computes)")
+    val st1 = stateOf(root)
+    assert(!st1.contains(1L) && st1.contains(50L) && st1.size == 18)
+    // matching append: the interleaved row is IN the predicate
+    var computes2 = 0
+    VersionedTable.delete(spark, root, col("k") >= 40L,
+      beforeCommit = () => {
+        computes2 += 1
+        if (computes2 == 1)
+          VersionedTable.appendWithStats(
+            Seq((60L, "m", 1L)).toDF("k", "s", "v"), root, "k")
+      })
+    assert(computes2 == 2, s"a matching append must recompute ($computes2)")
+    val st2 = stateOf(root)
+    assert(!st2.contains(50L) && !st2.contains(60L),
+      "serializable delete removes the interleaved matching row too")
+  }
+
+  test("UPDATE racing a NON-MATCHING append rebases; a MATCHING " +
+    "append recomputes and updates the interleaved row too") {
+    import spark.implicits._
+    val root = freshTable()
+    var computes = 0
+    VersionedTable.update(spark, root, col("k") === 2L,
+      Map("v" -> lit(999L)),
+      beforeCommit = () => {
+        computes += 1
+        if (computes == 1)
+          VersionedTable.appendWithStats(
+            Seq((70L, "r", 1L)).toDF("k", "s", "v"), root, "k")
+      })
+    assert(computes == 1, s"predicate-free append must rebase ($computes)")
+    assert(stateOf(root)(2L) == ("s2", 999L))
+    var computes2 = 0
+    VersionedTable.update(spark, root, col("k") >= 70L,
+      Map("v" -> lit(777L)),
+      beforeCommit = () => {
+        computes2 += 1
+        if (computes2 == 1)
+          VersionedTable.appendWithStats(
+            Seq((80L, "m", 1L)).toDF("k", "s", "v"), root, "k")
+      })
+    assert(computes2 == 2, s"a matching append must recompute ($computes2)")
+    val st = stateOf(root)
+    assert(st(70L)._2 == 777L && st(80L)._2 == 777L,
+      "the recompute must update the interleaved matching row too")
+  }
+
   test("BY SOURCE clauses force recompute even for a disjoint append " +
     "— the interleaved row has no source match and must be processed") {
     import spark.implicits._
