@@ -24,6 +24,15 @@ object GraftSession {
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // write timestamps as INT64 MICROS, not the legacy 12-byte INT96:
+    // INT96 footers carry NO usable min/max (row-group pruning on a
+    // timestamp predicate is impossible inside every staged file, and
+    // the driver-side footer stats fold must bail to the stats job) —
+    // at 100 TB that is lost pruning on every time-filtered read of
+    // engine-written data. MICROS is also what the reference's own
+    // testdata ships (TESTDATA.md) and what every modern reader speaks.
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
     graft.plans.GraftFunctions.registerAll(spark)
     org.apache.spark.sql.graft.PlanBridge
       .registerStrategy(spark, graft.plans.AsOfJoinStrategy)

@@ -67,8 +67,9 @@ class FooterForeignFileSpec extends SparkSuite {
 
   test("control: signed long + UTC timestamp still fold from footers") {
     val d = tmpDir()
-    // the session default (INT96) correctly bails the fold — MICROS is
-    // the footer-exact layout this control pins
+    // pin MICROS explicitly (GraftSession.tune sets it session-wide,
+    // but this control must hold even on an untuned session; INT96
+    // correctly bails the fold)
     val k = "spark.sql.parquet.outputTimestampType"
     val saved = spark.conf.get(k)
     try {
