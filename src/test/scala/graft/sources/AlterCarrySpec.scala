@@ -93,6 +93,42 @@ class AlterCarrySpec extends SparkSuite {
     assert(sch.contains("note") && sch.contains("x"))
   }
 
+  test("WIDEN and DEFAULT declarations survive vacuum past their own " +
+    "version and ride shallow clones (metadata lives in the " +
+    "declaration sidecars)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val root = tmpRoot()
+    VersionedTable.overwrite(
+      Seq((1, 10L)).toDF("k", "v")
+        .select(col("k").cast(IntegerType).as("k"), col("v")), root) // v0
+    VersionedTable.alterWidenColumn(spark, root, "k", LongType)     // v1
+    VersionedTable.alterSetDefault(spark, root, "v", "42")          // v2
+    VersionedTable.append(Seq((5000000000L, 20L)).toDF("k", "v"), root)
+    VersionedTable.append(Seq((3L, 30L)).toDF("k", "v"), root)      // v4
+    VersionedTable.vacuum(root, retainVersions = 2) // drops v0..v2
+    assert(VersionedTable.versions(root) == Seq(3L, 4L))
+    val sch = VersionedTable.writeSchema(spark, root)
+    assert(sch("k").dataType == LongType,
+      "the widen must survive its own version's expiry")
+    assert(sch("v").metadata.contains(VersionedTable.CurrentDefaultKey),
+      "the default must survive its own version's expiry")
+    assert(VersionedTable.read(spark, root)
+      .filter(col("k") > 4000000000L).count() == 1L)
+    // the default still FILLS after the vacuum
+    val name = s"carry_${System.nanoTime()}"
+    GraftSql.register(spark, name, root)
+    GraftSql.execute(spark, s"INSERT INTO $name (k) VALUES (9)")
+    assert(VersionedTable.read(spark, root)
+      .filter(col("k") === 9L).head().getLong(1) == 42L)
+    // shallow clone: both declarations ride along
+    val dst = tmpRoot() + "_wc"
+    VersionedTable.shallowClone(root, dst)
+    val csch = VersionedTable.writeSchema(spark, dst)
+    assert(csch("k").dataType == LongType)
+    assert(csch("v").metadata.contains(VersionedTable.CurrentDefaultKey))
+  }
+
   test("canonical merge / CDC feeds lacking a declared column refuse " +
     "with an actionable message, never an unresolved-column error") {
     import spark.implicits._
