@@ -349,6 +349,56 @@ object ScaleProbe {
       }
       spark.stop(); return
     }
+    // conflict-rebase probe (`runMain graft.ScaleProbe rebase`): the
+    // cost of LOSING a MERGE commit race to a key-disjoint append,
+    // rebase vs recompute, as the table grows. The rebase path is
+    // O(interleaved manifests) — flat in table size — while the
+    // recompute path re-runs the O(table) phases; the gap is the whole
+    // point of conflict classes at 100 TB. Both arms race the same
+    // single-row merge against one interleaved append; the recompute
+    // arm forces the conflict by overlapping the source key range.
+    if (args.contains("rebase")) {
+      import graft.sources.VersionedTable
+      import graft.sources.VersionedTable.MergeClause._
+      for (mult <- Seq(1, 4, 10)) {
+        val root = java.nio.file.Files
+          .createTempDirectory("probe_rebase").resolve("t").toString
+        val n = 200000L * mult
+        val rows = spark.range(n).select(col("id").as("k"),
+          md5(col("id").cast("string")).as("s"), (col("id") * 2).as("v"))
+        VersionedTable.overwriteWithStats(
+          rows.repartitionByRange(8 * mult, col("k")), root, "k")
+        import spark.implicits._
+        // BROAD merge: one source key per 200 target rows, spread over
+        // every file — phase 2 rewrites the WHOLE table, so a recompute
+        // genuinely re-pays O(table); a narrow pruned merge would hide
+        // the gap behind phase-1 pruning
+        def arm(appendKey: Long): Double = {
+          val src = spark.range(0, n, 200).select(col("id").as("k"),
+            lit("u").as("s"), lit(1L).as("v"))
+          var raced = false
+          val t0 = System.nanoTime()
+          VersionedTable.mergeActions(spark, root, src, Seq("k"), Seq(
+            Update(None, Map("v" -> expr("t.v + s.v")))),
+            beforeCommit = () => {
+              if (!raced) {
+                raced = true
+                VersionedTable.appendWithStats(
+                  Seq((appendKey, "r", 1L)).toDF("k", "s", "v"),
+                  root, "k")
+              }
+            })
+          (System.nanoTime() - t0) / 1e9
+        }
+        val warm = arm(n + 900000000L) // JIT + plan warm (rebases)
+        val reb = arm(n + 910000000L)  // disjoint: rebase
+        val rec = arm(0L)              // overlaps k=0: recompute
+        println(f"[probe] mult=$mult%2d rows=$n%8d rebase_race " +
+          f"rebase=$reb%6.2f s recompute=$rec%6.2f s " +
+          f"saved=${rec - reb}%6.2f s (warm=$warm%5.2f)")
+      }
+      spark.stop(); return
+    }
     // manifest-chain probe (`runMain graft.ScaleProbe manifest`): a
     // 60-append chain on a VersionedTable. With round-6 delta commits
     // the per-append wall must stay flat (the commit file is one

@@ -1433,7 +1433,11 @@ object VersionedTable {
     * bounds by [[isWideningCast]]'s contract — pruning is untouched.
     * Refused for narrowing (rewrite the table), partition columns
     * (path-derived text), and under pending MOR overlays (their
-    * key-matched frames carry the old type). */
+    * key-matched frames carry the old type). A RUNNING version-offset
+    * stream rides across the ALTER itself (an empty preserving commit
+    * contributes no files) but fails loudly at the first batch staged
+    * at the wider type and recovers on restart with the new schema —
+    * the Delta stream-schema-change stance. */
   def alterWidenColumn(spark: SparkSession, root: String, name: String,
                        to: org.apache.spark.sql.types.DataType,
                        maxRetries: Int = 5): Long = {
