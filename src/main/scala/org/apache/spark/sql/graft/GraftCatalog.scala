@@ -468,7 +468,8 @@ class GraftCatalog extends TableCatalog
     if (GraftCatalog.registry.containsKey(key(newIdent)))
       throw new TableAlreadyExistsException(newIdent)
     storeDir match {
-      case Some(d) =>
+      case Some(d) if graft.sources.CatalogStore.load(d)._2
+          .contains(key(oldIdent)) =>
         // one CAS commit renames atomically; racing binds of the new
         // name lose the generation and surface here
         try graft.sources.CatalogStore.rename(d, key(oldIdent),
@@ -480,7 +481,9 @@ class GraftCatalog extends TableCatalog
         }
         GraftCatalog.registry.put(key(newIdent), r)
         GraftCatalog.registry.remove(key(oldIdent))
-      case None =>
+      case _ =>
+        // session-local binding (the register() helper on a durable
+        // catalog, or no warehouse at all): memory-only rename
         if (GraftCatalog.registry.putIfAbsent(key(newIdent), r) != null)
           throw new TableAlreadyExistsException(newIdent)
         GraftCatalog.registry.remove(key(oldIdent))

@@ -106,6 +106,24 @@ class DurableCatalogSpec extends SparkSuite {
       "the generation probe must surface other-JVM CREATEs")
   }
 
+  test("a SESSION-LOCAL binding (register helper) on a durable catalog " +
+    "renames memory-only instead of failing against the store") {
+    import spark.implicits._
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.graftd3",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftd3.warehouse", wh)
+    val root = Files.createTempDirectory("graft_dloc").resolve("t").toString
+    VersionedTable.overwrite(Seq((1L, 5L)).toDF("k", "v"), root)
+    GraftCatalog.register(spark, "db", "localb", root, catalog = "graftd3")
+    spark.sql("ALTER TABLE graftd3.db.localb RENAME TO db.localc")
+    assert(spark.sql("SELECT v FROM graftd3.db.localc").head().getLong(0)
+      == 5L)
+    // and the durable store never learned either name
+    assert(!CatalogStore.load(new File(wh, "_catalog"))._2.keySet
+      .exists(_.contains("local")))
+  }
+
   test("GraftSql registry persists through a warehouse: names survive " +
     "a cache reset, unregister removes durable state") {
     import spark.implicits._
