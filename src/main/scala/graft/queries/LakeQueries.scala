@@ -1220,6 +1220,10 @@ object LakeQueries extends QueryModule {
         val root = tempRoot("graft_vt_rc").resolve("t").toString
         val cloneLoc = tempRoot("graft_vt_rc").resolve("c").toString
         val name = "gsql_rc"
+        // CLONE registers EXCLUSIVELY (it refuses to rebind an
+        // existing name) — drop any binding a previous run of this
+        // query left in the JVM-global registry, q324-style
+        graft.sources.GraftSql.unregister(name + "_c")
         graft.sources.VersionedTable.overwrite(
           Tables(s, dir, "orders")
             .select(col("o_orderkey"), col("o_orderstatus"),

@@ -137,6 +137,38 @@ object GraftSql {
     refreshView(spark, name)
   }
 
+  /** Register REFUSING an existing binding — the `SHALLOW CLONE` path's
+    * contract, mirroring the DSv2 catalog's createExclusive CREATE: on
+    * a durable warehouse a last-wins [[register]] here could silently
+    * rebind a name created by another JVM between this session's parse
+    * and its write-through. The CAS inside
+    * [[CatalogStore.createExclusive]] serializes racing creators so
+    * exactly one wins; session-local mode refuses on the cached map.
+    * The explicit [[register]] helper stays last-wins on purpose (it
+    * is the user-facing "bind this name HERE" verb, documented). */
+  private def registerExclusive(spark: SparkSession, name: String,
+                                root: String): Unit = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"table name must be a bare identifier, got '$name'")
+    val key = name.toLowerCase
+    this.synchronized {
+      sync() // see another JVM's bindings before the local-map check
+      store match {
+        case Some(d) =>
+          require(CatalogStore.createExclusive(d, key, root),
+            s"table $name already exists in the attached warehouse — " +
+              "CLONE refuses to rebind it (DROP it first, or pick " +
+              "another name)")
+        case None =>
+          require(!tables.containsKey(key),
+            s"table $name is already registered — CLONE refuses to " +
+              "rebind it (unregister it first, or pick another name)")
+      }
+      tables.put(key, root)
+    }
+    refreshView(spark, name)
+  }
+
   /** Drop `name` from the registry (its temp view, if any, is left to
     * the session). A finished job's temp-rooted table must not stay
     * registered — [[execute]] re-resolves every registered root, and a
@@ -541,8 +573,15 @@ object GraftSql {
       // clone registers under its own name immediately
       val srcRoot = rootOf(t)
       val pinned = Option(v).map(_.toLong)
+      // fail fast on a visibly-taken name before materializing the
+      // clone; registerExclusive below is the authoritative (CAS)
+      // check — a racer that slips between the two loses there, and
+      // the already-written clone metadata stays at `loc` for the
+      // caller to inspect or delete
+      require(!tables.containsKey(n.toLowerCase),
+        s"table $n already exists — CLONE refuses to rebind it")
       VersionedTable.shallowCloneAt(srcRoot, loc, pinned)
-      register(spark, n, loc)
+      registerExclusive(spark, n, loc)
       result(spark, "CLONE", n, 0L,
         VersionedTable.countRows(loc, Some(0L)).getOrElse(-1L))
     case InsertSql(t, sourceSql) => insert(spark, t, sourceSql)

@@ -141,6 +141,33 @@ object VersionedTable {
     * [[PreservingMarker]]. */
   private[sources] val DeclaredMarker = "#declared"
 
+  /** Declaration-commit INTENT breadcrumb (`_declintent.<nonce>` at
+    * the table root): created immediately before a [[DeclaredMarker]]
+    * manifest commit, mtime-refreshed before every retry attempt, and
+    * deleted once the `_schema.v{v}.json` sidecar lands. Purpose:
+    * [[declaredSchemaAt]] on a table with NO sidecar at-or-below `v`
+    * would otherwise read EVERY delta manifest down the chain hunting
+    * for a torn marker — O(chain) IO on long never-ALTERed append
+    * chains, spent guarding a microseconds-wide crash window. The
+    * breadcrumb inverts the cost: no intent in the directory listing
+    * (already fetched) → no in-flight or torn declaration is possible
+    * → O(1) short-circuit; intent present → the full walk runs (rare,
+    * transient on a healthy writer). Creation strictly happens-before
+    * the manifest commit and deletion strictly after the sidecar move,
+    * so a reader that can observe a marker-without-sidecar manifest
+    * also observes the intent. A writer that crashed BEFORE its commit
+    * leaves pure litter — [[vacuum]] reclaims intents older than
+    * [[declIntentStaleMs]], but only after proving no retained
+    * marker-bearing commit is missing its sidecar (a post-commit tear
+    * keeps its intent until the table is repaired). */
+  private[sources] val DeclIntentPrefix = "_declintent."
+
+  /** Intent-staleness horizon for [[vacuum]]'s reclamation (test
+    * seam): generous on purpose — a live ALTER refreshes its intent's
+    * mtime right before each commit attempt, so anything older than
+    * this with no torn marker in sight is a crashed writer's litter. */
+  private[sources] var declIntentStaleMs: Long = 600000L
+
   /** Every Nth commit gets a checkpoint (Delta's default is 10). */
   private[sources] val checkpointInterval: Long = 10L
 
@@ -1225,41 +1252,58 @@ object VersionedTable {
         Option[Seq[String]])): Long = {
     import org.apache.spark.sql.types.StructType
     var attempt = 0
-    while (true) {
-      val base = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
-      val (fields, retire) = declare(base)
-      val v = base + 1
-      val won =
-        try {
-          // DeclaredMarker makes the commit-then-sidecar pair safe
-          // against concurrent declaration readers: until the sidecar
-          // lands, anyone resolving this version's declaration (a
-          // racing ALTER's retry, an append's mappingFor) spins in
-          // declaredSchemaAt instead of walking back to the stale
-          // pre-ALTER sidecar
-          commitManifest(root, v,
-            deltaContent(Seq.empty, Seq.empty) :+ PreservingMarker :+
-              DeclaredMarker)
-          true
-        } catch {
-          case e: java.nio.file.FileAlreadyExistsException =>
-            // lost the race: recompute against the winner's schema
-            attempt += 1
-            if (attempt > maxRetries) throw e
-            false
+    // the intent breadcrumb outlives the whole retry loop and is
+    // deleted only after the sidecar lands (or the ALTER gives up) —
+    // see [[DeclIntentPrefix]] for the reader-side contract
+    val intent =
+      Files.createTempFile(new File(root).toPath, DeclIntentPrefix, "")
+    // a marker committed whose sidecar then failed to land is a TORN
+    // declaration — the intent must survive it (readers short-circuit
+    // on its absence), so the finally below keys on this flag
+    var torn = false
+    try {
+      while (true) {
+        val base = latestVersion(root).getOrElse(sys.error(s"no versions at $root"))
+        val (fields, retire) = declare(base)
+        val v = base + 1
+        // declare() can be arbitrarily slow (footer sweeps on a huge
+        // table) and vacuum's stale-intent reclamation keys on mtime —
+        // keep the window that must stay fresh (intent→commit) tight
+        intent.toFile.setLastModified(System.currentTimeMillis())
+        val won =
+          try {
+            // DeclaredMarker makes the commit-then-sidecar pair safe
+            // against concurrent declaration readers: until the sidecar
+            // lands, anyone resolving this version's declaration (a
+            // racing ALTER's retry, an append's mappingFor) spins in
+            // declaredSchemaAt instead of walking back to the stale
+            // pre-ALTER sidecar
+            commitManifest(root, v,
+              deltaContent(Seq.empty, Seq.empty) :+ PreservingMarker :+
+                DeclaredMarker)
+            true
+          } catch {
+            case e: java.nio.file.FileAlreadyExistsException =>
+              // lost the race: recompute against the winner's schema
+              attempt += 1
+              if (attempt > maxRetries) throw e
+              false
+          }
+        if (won) {
+          torn = true // until the sidecar move below completes
+          retire.foreach(names => retireColumns(root, names))
+          val tmp = Files.createTempFile(new File(root).toPath, "_schema", ".tmp")
+          Files.write(tmp,
+            StructType(fields).json.getBytes(StandardCharsets.UTF_8))
+          Files.move(tmp, new File(root, s"_schema.v$v.json").toPath,
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+          torn = false
+          maybeCheckpoint(root, v)
+          return v
         }
-      if (won) {
-        retire.foreach(names => retireColumns(root, names))
-        val tmp = Files.createTempFile(new File(root).toPath, "_schema", ".tmp")
-        Files.write(tmp,
-          StructType(fields).json.getBytes(StandardCharsets.UTF_8))
-        Files.move(tmp, new File(root, s"_schema.v$v.json").toPath,
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-        maybeCheckpoint(root, v)
-        return v
       }
-    }
-    -1L // unreachable
+      -1L // unreachable
+    } finally if (!torn) Files.deleteIfExists(intent)
   }
 
   def alterRenameColumn(spark: SparkSession, root: String,
@@ -1522,9 +1566,13 @@ object VersionedTable {
       val fields = logicalSchemaAt(spark, root, base).fields
       val f = fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
         sys.error(s"no column $name in table at $root"))
-      // resolve against an empty frame: a column reference (or a typo)
-      // must fail HERE, not at the first INSERT that needs the fill
-      try spark.range(1).select(expr(sqlText).cast(f.dataType)).collect()
+      // resolve against a ZERO-COLUMN single-row frame: a column
+      // reference (or a typo) must fail HERE, not at the first INSERT
+      // that needs the fill. range(1) would expose an `id` column, so
+      // `SET DEFAULT id` would pass validation as a column reference —
+      // drop it before resolving
+      try spark.range(1).drop("id").select(expr(sqlText).cast(f.dataType))
+        .collect()
       catch {
         case e: Exception => sys.error(
           s"DEFAULT for $name must be a self-contained expression " +
@@ -2423,6 +2471,14 @@ object VersionedTable {
         case Auth(n) => n.toLong
         case Decl(n) => n.toLong
       }.filter(_ <= v)
+      // O(1) short-circuit on never-ALTERed chains: with no sidecar
+      // at-or-below v AND no declaration-commit intent breadcrumb in
+      // the listing (see [[DeclIntentPrefix]]), no marker-bearing
+      // commit can be awaiting — or have torn — its sidecar, so the
+      // walk below could only ever return None; skip its O(chain)
+      // manifest reads
+      if (below.isEmpty && !names.exists(_.startsWith(DeclIntentPrefix)))
+        return None
       val w = if (below.isEmpty) -1L else below.max
       // walk v down to the sidecar (or to a full-manifest boundary),
       // watching for a [[DeclaredMarker]] commit whose sidecar hasn't
@@ -4578,15 +4634,25 @@ object VersionedTable {
     // that finds the marker without the sidecar spins briefly and then
     // fails LOUDLY (declaredSchemaAt), never serving physical names or
     // footer-swept retired columns from a torn restore
-    val nv = commitManifest(root, nextVersion(root),
-      if (declared.isDefined) files :+ DeclaredMarker else files)
-    declared.foreach { s =>
-      val tmp = Files.createTempFile(new File(root).toPath, "_schema", ".tmp")
-      Files.write(tmp, s.json.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, new File(root, s"_schema.v$nv.json").toPath,
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    }
-    nv
+    // intent breadcrumb (see [[DeclIntentPrefix]]): restore is the
+    // other DeclaredMarker writer, with the same commit-then-sidecar
+    // crash window — kept on a tear, deleted once the sidecar lands
+    val intent = declared.map(_ =>
+      Files.createTempFile(new File(root).toPath, DeclIntentPrefix, ""))
+    var torn = false
+    try {
+      val nv = commitManifest(root, nextVersion(root),
+        if (declared.isDefined) files :+ DeclaredMarker else files)
+      torn = declared.isDefined
+      declared.foreach { s =>
+        val tmp = Files.createTempFile(new File(root).toPath, "_schema", ".tmp")
+        Files.write(tmp, s.json.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, new File(root, s"_schema.v$nv.json").toPath,
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      }
+      torn = false
+      nv
+    } finally if (!torn) intent.foreach(Files.deleteIfExists)
   }
 
   /** VACUUM: drop manifests older than the last `retainVersions` and
@@ -4703,6 +4769,23 @@ object VersionedTable {
       new File(root, s"_schema.v$v.json").delete()
       new File(root, s"_schema.declared.v$v.json").delete()
     }
+    // reclaim crashed declaration-commit intents (see
+    // [[DeclIntentPrefix]]): safe exactly when no RETAINED
+    // marker-bearing commit is missing its sidecar — then any intent
+    // older than the staleness horizon is a pre-commit crash's pure
+    // litter (a live ALTER refreshes its intent's mtime right before
+    // each commit attempt). A genuine tear keeps every intent in
+    // place: the short-circuit in declaredSchemaAt must keep seeing
+    // one until the table is repaired.
+    val tornRetained = keep.exists(v =>
+      readManifest(root, v).contains(DeclaredMarker) &&
+        readSchemaSidecar(root, v).isEmpty)
+    if (!tornRetained)
+      Option(new File(root).list()).getOrElse(Array.empty)
+        .filter(_.startsWith(DeclIntentPrefix)).foreach { n =>
+          val f = new File(root, n)
+          if (nowMillis - f.lastModified() > declIntentStaleMs) f.delete()
+        }
     dead.length
   }
 }

@@ -740,13 +740,23 @@ private[graft] class GraftTableV2(ident: String, root: String,
 
   override def name(): String = ident
 
+  /** Declared column DEFAULTs, resolved ONCE per table instance:
+    * Spark calls [[schema]] repeatedly during analysis, and a sidecar
+    * read (worst case a declaration walk) per call is pure waste.
+    * Pinned time-travel snapshots skip the lookup entirely — they are
+    * read-only (no INSERT fill to serve) and the latest version's
+    * defaults would be WRONG for them anyway. */
+  private lazy val colDefaults: Map[String, String] =
+    if (version.isDefined) Map.empty
+    else VersionedTable.columnDefaults(root)
+
   override def schema(): StructType = {
     // re-attach declared column DEFAULTs (the plan-side schemas are
     // deliberately metadata-stripped): structTypeToV2Columns turns
     // CURRENT_DEFAULT into the V2 column default, which is how the
     // analyzer fills INSERT column-lists for this table
     val base = StructType(logicalSchema.fields ++ partSchema.fields)
-    val defaults = VersionedTable.columnDefaults(root)
+    val defaults = colDefaults
     if (defaults.isEmpty) base
     else StructType(base.fields.map { f =>
       defaults.get(f.name.toLowerCase) match {

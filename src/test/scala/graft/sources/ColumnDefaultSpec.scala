@@ -47,6 +47,17 @@ class ColumnDefaultSpec extends SparkSuite {
     intercept[Exception] {
       GraftSql.execute(spark, s"ALTER TABLE $t ALTER COLUMN v SET DEFAULT k + 1")
     }
+    // the validation probe must not leak ITS OWN columns: a range(1)
+    // probe exposes `id`, so `SET DEFAULT id` would pass as a column
+    // reference and then bind confusingly at INSERT fill time — the
+    // probe resolves against a zero-column frame instead
+    intercept[Exception] {
+      GraftSql.execute(spark, s"ALTER TABLE $t ALTER COLUMN v SET DEFAULT id")
+    }
+    intercept[Exception] {
+      GraftSql.execute(spark,
+        s"ALTER TABLE $t ALTER COLUMN v SET DEFAULT id + 1")
+    }
   }
 
   test("merge-INSERT clauses fill the declared default for unlisted " +
@@ -92,5 +103,32 @@ class ColumnDefaultSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getString(1),
         if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
     assert(got == Seq((1L, "unk", 10L), (2L, "unk", 42L)), got.toString)
+  }
+
+  test("pinned time-travel snapshots serve NO defaults (read-only, and " +
+    "the LATEST version's defaults would be wrong for them); the live " +
+    "table resolves defaults once per instance") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val root = Files.createTempDirectory("graft_defpin")
+      .resolve("t").toString
+    org.apache.spark.sql.graft.GraftCatalog.install(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.db.defpin")
+    spark.sql(
+      s"""CREATE TABLE graft.db.defpin (k BIGINT, v BIGINT)
+          LOCATION '$root'""")
+    spark.sql("INSERT INTO graft.db.defpin VALUES (1, 10)") // v1
+    spark.sql(
+      "ALTER TABLE graft.db.defpin ALTER COLUMN v SET DEFAULT 42") // v2
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val ident = Identifier.of(Array("db"), "defpin")
+    val live = cat.loadTable(ident)
+    assert(live.schema().fields.find(_.name == "v").exists(
+      _.metadata.contains(VersionedTable.CurrentDefaultKey)),
+      "the live table reports the declared default")
+    val atV1 = cat.loadTable(ident, "1")
+    assert(atV1.schema().fields.forall(
+      !_.metadata.contains(VersionedTable.CurrentDefaultKey)),
+      "a pinned snapshot must not serve the LATEST version's defaults")
   }
 }

@@ -149,4 +149,57 @@ class DurableCatalogSpec extends SparkSuite {
       assert(e.getMessage.contains("persql"), e.getMessage)
     } finally GraftSql.detachWarehouse()
   }
+
+  test("SQL SHALLOW CLONE registers EXCLUSIVELY: it refuses to rebind " +
+    "a durable name created by another JVM (and a session-local one)") {
+    import spark.implicits._
+    val wh = freshWarehouse()
+    val root = Files.createTempDirectory("graft_dclx").resolve("t").toString
+    VersionedTable.overwrite(Seq((1L, "x"), (2L, "y")).toDF("k", "s"), root)
+    GraftSql.useWarehouse(wh)
+    try {
+      GraftSql.register(spark, "clx_src", root)
+      // "another JVM" binds the clone's target name durably, unseen by
+      // this session's cache
+      val other = Files.createTempDirectory("graft_dclx_o")
+        .resolve("t").toString
+      VersionedTable.overwrite(Seq((9L, "z")).toDF("k", "s"), other)
+      CatalogStore.upsert(new File(wh, "_sqlcatalog"), "clx_taken", other)
+      val loc = Files.createTempDirectory("graft_dclx_c")
+        .resolve("c").toString
+      val e = intercept[Exception] {
+        GraftSql.execute(spark,
+          s"CREATE TABLE clx_taken SHALLOW CLONE clx_src LOCATION '$loc'")
+      }
+      assert(e.getMessage.contains("clx_taken"), e.getMessage)
+      // the other JVM's binding is INTACT (upsert would have clobbered)
+      assert(CatalogStore.load(new File(wh, "_sqlcatalog"))
+        ._2("clx_taken") == other,
+        "CLONE must never silently rebind an existing durable name")
+      // a fresh name clones fine
+      val loc2 = Files.createTempDirectory("graft_dclx_c2")
+        .resolve("c").toString
+      GraftSql.execute(spark,
+        s"CREATE TABLE clx_fresh SHALLOW CLONE clx_src LOCATION '$loc2'")
+      assert(GraftSql.execute(spark,
+        "SELECT count(*) AS n FROM clx_fresh").head().getLong(0) == 2L)
+      GraftSql.unregister("clx_fresh")
+      GraftSql.unregister("clx_src")
+      GraftSql.unregister("clx_taken")
+    } finally GraftSql.detachWarehouse()
+    // session-local mode refuses too (the cached map is authority)
+    val root2 = Files.createTempDirectory("graft_dclx2").resolve("t").toString
+    VersionedTable.overwrite(Seq((1L, "x")).toDF("k", "s"), root2)
+    GraftSql.register(spark, "clx_mem_src", root2)
+    GraftSql.register(spark, "clx_mem_taken", root2)
+    val e2 = intercept[Exception] {
+      GraftSql.execute(spark,
+        s"""CREATE TABLE clx_mem_taken SHALLOW CLONE clx_mem_src
+            LOCATION '${Files.createTempDirectory("graft_dclx3")
+          .resolve("c")}'""")
+    }
+    assert(e2.getMessage.contains("clx_mem_taken"), e2.getMessage)
+    GraftSql.unregister("clx_mem_src")
+    GraftSql.unregister("clx_mem_taken")
+  }
 }

@@ -114,6 +114,87 @@ class TornDeclarationSpec extends SparkSuite {
     } finally VersionedTable.declarationSpinMillis = saved
   }
 
+  test("never-ALTERed chains resolve declarations O(1): with no sidecar " +
+    "and no intent breadcrumb the walk reads NO manifests") {
+    val root = freshTable()
+    import spark.implicits._
+    (1 to 5).foreach(i =>
+      VersionedTable.append(Seq((10L + i, 1L)).toDF("k", "v"), root))
+    // make a mid-chain manifest UNREADABLE (a directory in its place —
+    // any read throws): the short-circuit must return None WITHOUT
+    // touching it (the old code walked every delta manifest down the
+    // chain hunting for a torn marker)
+    val mid = new File(new File(root, "_log"), f"${3L}%012d.manifest")
+    val saved = Files.readAllBytes(mid.toPath)
+    assert(mid.delete() && mid.mkdir())
+    try assert(VersionedTable.declaredSchemaAt(root, 5L).isEmpty,
+      "no sidecar + no intent = None, no manifest IO")
+    finally { assert(mid.delete()); Files.write(mid.toPath, saved) }
+    // with an intent breadcrumb present the full walk runs (and is
+    // fine here: no marker, so it just returns None the slow way)
+    val intent = new File(root, "_declintent.test")
+    Files.write(intent.toPath, Array.empty[Byte])
+    try assert(VersionedTable.declaredSchemaAt(root, 5L).isEmpty)
+    finally { intent.delete(); () }
+  }
+
+  test("the intent breadcrumb keeps a tear on a never-ALTERed table " +
+    "visible; a completed ALTER leaves no breadcrumb behind") {
+    val root = freshTable()
+    import spark.implicits._
+    VersionedTable.append(Seq((7L, 70L)).toDF("k", "v"), root) // v1
+    // a real writer plants the intent BEFORE its marker commit — a
+    // torn state is marker + intent, no sidecar
+    val intent = new File(root, "_declintent.crashed")
+    Files.write(intent.toPath, Array.empty[Byte])
+    plantMarkerCommit(root, 2L)
+    val saved = VersionedTable.declarationSpinMillis
+    VersionedTable.declarationSpinMillis = 250L
+    try {
+      val e = intercept[RuntimeException] {
+        VersionedTable.declaredSchemaAt(root, 2L)
+      }
+      assert(e.getMessage.contains("sidecar never landed"), e.getMessage)
+    } finally {
+      VersionedTable.declarationSpinMillis = saved
+      assert(new File(new File(root, "_log"), f"${2L}%012d.manifest")
+        .delete())
+      intent.delete()
+    }
+    // a COMPLETED declaration commit cleans its breadcrumb up: the
+    // fast path stays available afterwards
+    VersionedTable.alterRenameColumn(spark, root, "v", "amount")
+    assert(!new File(root).list().exists(_.startsWith("_declintent.")),
+      "completed ALTERs must delete their intent breadcrumb")
+  }
+
+  test("vacuum reclaims STALE intent litter only when no retained " +
+    "marker-bearing commit is missing its sidecar") {
+    val root = freshTable()
+    import spark.implicits._
+    VersionedTable.append(Seq((7L, 70L)).toDF("k", "v"), root) // v1
+    val litter = new File(root, "_declintent.litter")
+    Files.write(litter.toPath, Array.empty[Byte])
+    assert(litter.setLastModified(
+      System.currentTimeMillis() - VersionedTable.declIntentStaleMs - 5000))
+    // fresh intents survive (a live ALTER between breadcrumb and commit)
+    val fresh = new File(root, "_declintent.fresh")
+    Files.write(fresh.toPath, Array.empty[Byte])
+    VersionedTable.vacuum(root, retainVersions = 10)
+    assert(!litter.exists(), "stale pre-commit litter is reclaimed")
+    assert(fresh.exists(), "fresh intents are a live writer's — kept")
+    // now a genuine TEAR in the retained range: even stale intents stay
+    Files.write(litter.toPath, Array.empty[Byte])
+    assert(litter.setLastModified(
+      System.currentTimeMillis() - VersionedTable.declIntentStaleMs - 5000))
+    plantMarkerCommit(root, 2L)
+    VersionedTable.vacuum(root, retainVersions = 10)
+    assert(litter.exists(),
+      "a torn declaration must keep every intent visible until repaired")
+    litter.delete(); fresh.delete()
+    assert(new File(new File(root, "_log"), f"${2L}%012d.manifest").delete())
+  }
+
   test("history/time-travel surfaces ignore the marker lines") {
     val root = freshTable()
     VersionedTable.alterRenameColumn(spark, root, "v", "amount")
