@@ -1652,6 +1652,83 @@ object LakeQueries extends QueryModule {
         SELECT status, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sum_v
         FROM u GROUP BY 1 ORDER BY 1""")),
 
+    // Table protocol / feature versioning (the Delta PROTOCOL.md
+    // reader/writer table-feature role): a feature-using commit
+    // records its requirement INSIDE its own manifest (the rename
+    // lands `column-mapping` here — mapped_ok), a FUTURE feature name
+    // fences the snapshot loudly on BOTH surfaces (read_fenced_ok /
+    // write_fenced_ok — the refusal names the feature), resolution is
+    // per-snapshot so time travel below the fence serves untouched
+    // history (the aggregate rows), and legacy feature-free tables
+    // resolve empty requirements (legacy_ok). The oracle replays the
+    // statement stream: both slices under the renamed column.
+    "q327_protocol_features" -> Q(
+      bench = false,
+      run = (s, dir) => {
+        val VT = graft.sources.VersionedTable
+        val root = tempRoot("graft_vt_feat").resolve("t").toString
+        VT.overwrite(
+          Tables(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice"))
+            .repartitionByRange(4, col("o_orderkey")),
+          root) // v0
+        VT.append(
+          Tables(s, dir, "orders")
+            .filter(col("o_orderkey") % 5 === 0)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice")),
+          root) // v1
+        val legacyOk = VT.requiredFeatures(root, 1L) == ((Set(), Set()))
+        // a REAL feature requirement rides the ALTER's own commit and
+        // this build keeps serving through it
+        VT.alterRenameColumn(s, root, "o_totalprice", "price") // v2
+        val mappedOk =
+          VT.requiredFeatures(root, 2L)._1 == Set("column-mapping") &&
+            VT.read(s, root).columns.toSeq ==
+              Seq("o_orderkey", "o_orderstatus", "price")
+        // fence with a feature name no build understands yet: reads
+        // AND writes refuse loudly, naming it
+        VT.requireFeature(root, "r", "future-codec-x9") // v3
+        val readFencedOk =
+          try { VT.read(s, root).count(); false }
+          catch { case e: Exception =>
+            e.getMessage.contains("future-codec-x9") }
+        val writeFencedOk =
+          try {
+            VT.append(VT.readVersion(s, root, 2L).limit(1), root); false
+          } catch { case e: Exception =>
+            e.getMessage.contains("future-codec-x9") }
+        // per-snapshot resolution: the pre-fence snapshot is history,
+        // served under its declared (renamed) schema
+        VT.readVersion(s, root, 2L)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("price").cast("decimal(18,2)")).cast("double")
+              .as("total"))
+          .withColumn("legacy_ok", lit(if (legacyOk) 1L else 0L))
+          .withColumn("mapped_ok", lit(if (mappedOk) 1L else 0L))
+          .withColumn("read_fenced_ok",
+            lit(if (readFencedOk) 1L else 0L))
+          .withColumn("write_fenced_ok",
+            lit(if (writeFencedOk) 1L else 0L))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT o_orderstatus, o_totalprice FROM orders
+          UNION ALL
+          SELECT o_orderstatus, o_totalprice FROM orders
+          WHERE o_orderkey % 5 = 0)
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total,
+               CAST(1 AS BIGINT) AS legacy_ok,
+               CAST(1 AS BIGINT) AS mapped_ok,
+               CAST(1 AS BIGINT) AS read_fenced_ok,
+               CAST(1 AS BIGINT) AS write_fenced_ok
+        FROM u GROUP BY 1 ORDER BY 1""")),
+
     // ALTER TABLE RENAME/DROP COLUMN (the Delta column-mapping role):
     // both are METADATA-ONLY commits — files_ok pins the identical
     // file listing across both ALTERs (zero data moved at any table

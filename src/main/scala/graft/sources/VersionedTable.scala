@@ -190,8 +190,8 @@ object VersionedTable {
         // checkpoints carry #txn state lines (see txnStateAt) — file
         // resolution stays txn-blind, like full manifests
         base = rawCheckpointLines(root, cur).filterNot(l =>
-          l.startsWith(TxnPrefix) || l == PreservingMarker ||
-            l == DeclaredMarker)
+          l.startsWith(TxnPrefix) || l.startsWith(FeaturePrefix) ||
+            l == PreservingMarker || l == DeclaredMarker)
       } else {
         val lines = readManifest(root, cur)
         if (isDelta(lines)) {
@@ -199,8 +199,8 @@ object VersionedTable {
           deltas ::= lines.tail
           cur -= 1
         } else base = lines.filterNot(l =>
-          l.startsWith(TxnPrefix) || l == PreservingMarker ||
-            l == DeclaredMarker)
+          l.startsWith(TxnPrefix) || l.startsWith(FeaturePrefix) ||
+            l == PreservingMarker || l == DeclaredMarker)
       }
     }
     deltas.foldLeft(base) { (listing, delta) =>
@@ -261,7 +261,8 @@ object VersionedTable {
     // what lets readers distinguish "aggregates everything below me"
     // from a legacy (pre-txn-aware) checkpoint that proves nothing
     val listing = readListing(root, v) ++
-      (TxnCkptMarker +: txnStateAt(root, v))
+      (TxnCkptMarker +: txnStateAt(root, v)) ++
+      (FeatCkptMarker +: featureLinesAt(root, v))
     val tmp = Files.createTempFile(logDir(root).toPath, s"_ckpt$v", ".inprogress")
     Files.write(tmp, listing.mkString("\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, checkpointFile(root, v).toPath,
@@ -286,6 +287,11 @@ object VersionedTable {
     * the link springs into existence. (On an object store the same
     * role is played by put-if-absent.) */
   private def commitManifest(root: String, v: Long, files: Seq[String]): Long = {
+    // the single write gate: a writer that cannot resolve the log it
+    // extends (unknown reader OR writer feature at the base version)
+    // must not commit. Checked against v-1 — the new commit may itself
+    // be the one INTRODUCING a requirement.
+    if (v > 0) requireWritable(root, v - 1)
     logDir(root).mkdirs()
     val target = manifestFile(root, v)
     val tmp = Files.createTempFile(logDir(root).toPath, s"_tmp$v", ".inprogress")
@@ -1058,7 +1064,12 @@ object VersionedTable {
       } finally Files.deleteIfExists(tmp)
     }
     try {
-      val v = commitManifest(root, 0L, Seq.empty) // throws if v0 exists
+      // a partitioned birth records the `partitioning` reader feature
+      // in its v0 manifest: foreign readers must derive the partition
+      // values from paths or they serve NULLs
+      val v = commitManifest(root, 0L,
+        if (partCols.nonEmpty) Seq(featureLine("r", "partitioning"))
+        else Seq.empty) // throws if v0 exists
       writeEmptySchemaSidecar(root, v, schema)
       v
     } catch {
@@ -1247,7 +1258,8 @@ object VersionedTable {
     * append adopt a freed name) and LOUDLY (no best-effort catch: a
     * schema change that didn't persist must fail, and the
     * listing-identical manifest is harmless to leave behind). */
-  private def commitAlterDeclaration(root: String, maxRetries: Int)(
+  private def commitAlterDeclaration(root: String, maxRetries: Int,
+      features: Seq[(String, String)] = Seq.empty)(
       declare: Long => (Seq[org.apache.spark.sql.types.StructField],
         Option[Seq[String]])): Long = {
     import org.apache.spark.sql.types.StructType
@@ -1278,9 +1290,13 @@ object VersionedTable {
             // racing ALTER's retry, an append's mappingFor) spins in
             // declaredSchemaAt instead of walking back to the stale
             // pre-ALTER sidecar
+            // the feature requirement (column-mapping / type-widening /
+            // column-defaults / …) lands INSIDE the declaring commit —
+            // no window where the capability is in effect unrecorded
             commitManifest(root, v,
-              deltaContent(Seq.empty, Seq.empty) :+ PreservingMarker :+
-                DeclaredMarker)
+              deltaContent(Seq.empty, Seq.empty) ++
+                Seq(PreservingMarker, DeclaredMarker) ++
+                newFeatureLines(root, base, features))
             true
           } catch {
             case e: java.nio.file.FileAlreadyExistsException =>
@@ -1321,7 +1337,8 @@ object VersionedTable {
         "the constraint first"))
     require(!partitionSchema(root).fieldNames.exists(_.equalsIgnoreCase(from)),
       s"cannot rename partition column $from (values live in paths)")
-    commitAlterDeclaration(root, maxRetries) { base =>
+    commitAlterDeclaration(root, maxRetries,
+      features = Seq(("r", "column-mapping"))) { base =>
       val fields = logicalSchemaAt(spark, root, base).fields
       val f = fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
         sys.error(s"no column $from in table at $root"))
@@ -1366,7 +1383,11 @@ object VersionedTable {
     val partNames = partitionSchema(root).fieldNames
     require(!partNames.exists(_.equalsIgnoreCase(name)),
       s"cannot drop partition column $name (values live in paths)")
-    commitAlterDeclaration(root, maxRetries) { base =>
+    // a footer-sweeping reader blind to the declaration would
+    // RESURRECT the dropped column from still-on-disk files — the same
+    // logical-vs-physical divergence rename creates, same feature
+    commitAlterDeclaration(root, maxRetries,
+      features = Seq(("r", "column-mapping"))) { base =>
       val fields = logicalSchemaAt(spark, root, base).fields
       val f = fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
         sys.error(s"no column $name in table at $root"))
@@ -1490,7 +1511,8 @@ object VersionedTable {
         "strand their old-type frames — purge() first")
     require(!partitionSchema(root).fieldNames.exists(_.equalsIgnoreCase(name)),
       s"cannot retype partition column $name (values live in paths)")
-    commitAlterDeclaration(root, maxRetries) { base =>
+    commitAlterDeclaration(root, maxRetries,
+      features = Seq(("r", "type-widening"))) { base =>
       val fields = logicalSchemaAt(spark, root, base).fields
       val f = fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
         sys.error(s"no column $name in table at $root"))
@@ -1562,7 +1584,8 @@ object VersionedTable {
   def alterSetDefault(spark: SparkSession, root: String, name: String,
                       sqlText: String, maxRetries: Int = 5): Long = {
     import org.apache.spark.sql.types.MetadataBuilder
-    commitAlterDeclaration(root, maxRetries) { base =>
+    commitAlterDeclaration(root, maxRetries,
+      features = Seq(("w", "column-defaults"))) { base =>
       val fields = logicalSchemaAt(spark, root, base).fields
       val f = fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
         sys.error(s"no column $name in table at $root"))
@@ -1829,7 +1852,8 @@ object VersionedTable {
     val lines = statLines(df.sparkSession, staged, statsCols, root)
     val v = commitWithRetry(root, maxRetries = 5) { v =>
       requireFirstPartitionedAtZero(root, v, wasPartitioned)
-      lines
+      // the v0 birth commit records the `partitioning` reader feature
+      if (v == 0) lines :+ featureLine("r", "partitioning") else lines
     }
     // an EMPTY partitioned overwrite records its schema like the flat
     // path does — the version stays readable (zero rows, full schema)
@@ -1849,7 +1873,8 @@ object VersionedTable {
     val lines = statLines(df.sparkSession, staged, statsCols, root)
     val v = commitWithRetry(root, maxRetries = 5) { v =>
       requireFirstPartitionedAtZero(root, v, wasPartitioned)
-      if (v == 0) lines else deltaContent(Seq.empty, lines)
+      if (v == 0) lines :+ featureLine("r", "partitioning")
+      else deltaContent(Seq.empty, lines)
     }
     maybeCheckpoint(root, v)
     v
@@ -2410,6 +2435,13 @@ object VersionedTable {
                   version: Option[Long] = None): Seq[ScanFile] = {
     val v = version.orElse(latestVersion(root))
       .getOrElse(sys.error(s"no versions at $root"))
+    // the user-facing read gate: every GraftScan-planned read (read /
+    // readVersion / scan / DSv2 / SQL / streaming source) resolves its
+    // listing here — refuse a snapshot requiring unknown reader
+    // features BEFORE serving possibly-misread data. Internal writer
+    // reads (readLines over an already-resolved base) are gated at
+    // their commit instead (commitManifest → requireWritable).
+    requireReadable(root, v)
     readListing(root, v).map(scanFileOf)
   }
 
@@ -3094,6 +3126,193 @@ object VersionedTable {
     s"$TxnPrefix\t$appId\t$n"
   }
 
+  // -------------------------------------------------------------------
+  // Table protocol / feature versioning (the Delta PROTOCOL.md
+  // reader/writer table-feature role): a commit that first USES an
+  // engine capability third-party or older readers may not understand
+  // carries a `#feature\t<r|w>\t<name>` line INSIDE its manifest —
+  // atomically with the change itself, so there is no window where the
+  // capability is in effect but unrecorded. Requirements accumulate
+  // monotonically (never dropped); checkpoints aggregate them exactly
+  // like `#txn` state, so they survive vacuum's manifest expiry.
+  // Readers refuse to SERVE a snapshot requiring an unknown READER
+  // feature; writers refuse to COMMIT onto a table requiring any
+  // unknown feature at all (a writer that cannot correctly read the
+  // log cannot correctly extend it — Delta's stance). Resolution is
+  // PER SNAPSHOT: time travel to a version before a feature landed is
+  // unaffected. Legacy tables carry no lines and resolve to empty
+  // requirement sets — they keep opening everywhere.
+  //
+  // Why this exists NOW: the durable catalog makes tables outlive the
+  // JVM (and build) that created them, so version skew between the
+  // table format and the engine reading it is no longer hypothetical.
+  // An older build opening a column-mapped table would silently serve
+  // PHYSICAL column names; one opening a widened table would serve the
+  // narrow footer types. Refusing loudly with the feature name is the
+  // only safe behavior — exactly what Delta's protocol action
+  // (minReaderVersion/minWriterVersion + readerFeatures/writerFeatures
+  // in PROTOCOL.md) guards against.
+  // -------------------------------------------------------------------
+
+  private[sources] val FeaturePrefix = "#feature"
+
+  /** Stamped into every feature-aware checkpoint (even with zero
+    * feature lines): the aggregation-boundary marker, mirroring
+    * [[TxnCkptMarker]] — a legacy checkpoint without it proves
+    * nothing, so the walk continues past it. */
+  private[sources] val FeatCkptMarker = s"$FeaturePrefix-aware\t1"
+
+  /** Reader features this build understands. `mor-overlays` is in the
+    * registry but never auto-required: pending overlays are transient
+    * side-store state (purge folds them away), the DSv2 surface
+    * already refuses under them, and a PERMANENT requirement would
+    * keep refusing legacy readers after purge returned the table to
+    * plain parquet — callers who hand feature-blind readers a table
+    * with live overlays can opt in via [[requireFeature]]. */
+  private[sources] val SupportedReaderFeatures: Set[String] = Set(
+    "column-mapping", "type-widening", "partitioning", "mor-overlays")
+
+  /** Writer features include every reader feature: a writer must
+    * resolve the log it extends. */
+  private[sources] val SupportedWriterFeatures: Set[String] =
+    SupportedReaderFeatures ++ Set(
+      "column-defaults", "check-constraints", "identity-columns")
+
+  private def featureLine(kind: String, name: String): String = {
+    require(kind == "r" || kind == "w",
+      s"feature kind must be 'r' (reader+writer) or 'w' (writer): $kind")
+    require(name.nonEmpty && !name.exists(c => c == '\t' || c == '\n'),
+      s"feature name must be non-empty and tab/newline-free: '$name'")
+    s"$FeaturePrefix\t$kind\t$name"
+  }
+
+  /** (root, version) → required (reader, writer) features — immutable
+    * once the version exists, so memoizable forever; the map is
+    * size-capped with a full clear (re-resolution is one bounded
+    * walk). */
+  private val featureCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), (Set[String], Set[String])]()
+
+  /** The (readerFeatures, writerFeatures) REQUIRED as of version `v`:
+    * the union of `#feature` lines walking newest→oldest, stopping at
+    * the first feature-aware checkpoint (which aggregates everything
+    * below it). O(checkpointInterval) manifest reads cold, O(1)
+    * memoized. */
+  def requiredFeatures(root: String, v: Long): (Set[String], Set[String]) = {
+    val key = (root, v)
+    val hit = featureCache.get(key)
+    if (hit != null) return hit
+    val r = scala.collection.mutable.Set.empty[String]
+    val w = scala.collection.mutable.Set.empty[String]
+    def absorb(lines: Seq[String]): Unit = lines.foreach { l =>
+      if (l.startsWith(FeaturePrefix + "\t")) {
+        val parts = l.split('\t')
+        if (parts.length == 3)
+          (if (parts(1) == "r") r else w) += parts(2)
+      }
+    }
+    val existing = versions(root).toSet
+    var cur = v
+    var stop = false
+    while (!stop && cur >= 0 && existing.contains(cur)) {
+      absorb(readManifest(root, cur))
+      if (cur != v && checkpointFile(root, cur).exists()) {
+        val lines = rawCheckpointLines(root, cur)
+        absorb(lines)
+        // only a feature-AWARE checkpoint aggregates the requirements
+        // below it; walking past a legacy one would drop them
+        if (lines.contains(FeatCkptMarker)) stop = true
+      }
+      cur -= 1
+    }
+    val res = (r.toSet, w.toSet)
+    if (featureCache.size > 16384) featureCache.clear()
+    featureCache.put(key, res)
+    res
+  }
+
+  /** The aggregated feature lines of `v`, for checkpoint carry. */
+  private def featureLinesAt(root: String, v: Long): Seq[String] = {
+    val (r, w) = requiredFeatures(root, v)
+    r.toSeq.sorted.map(featureLine("r", _)) ++
+      w.toSeq.sorted.map(featureLine("w", _))
+  }
+
+  /** Refuse to SERVE version `v` when it requires a reader feature
+    * this build does not understand — serving anyway could mean
+    * physical column names, narrow types, or silently-missing
+    * semantics. Named loudly so the operator knows WHAT to upgrade. */
+  private[sources] def requireReadable(root: String, v: Long): Unit = {
+    val unknown = requiredFeatures(root, v)._1 -- SupportedReaderFeatures
+    if (unknown.nonEmpty) sys.error(
+      s"table at $root requires reader table-feature(s) " +
+        s"[${unknown.toSeq.sorted.mkString(", ")}] (as of version $v) " +
+        "that this engine build does not support — refusing to read; " +
+        "upgrade the engine, or time-travel below the requiring commit")
+  }
+
+  /** Refuse to COMMIT onto a table whose BASE version requires ANY
+    * feature (reader or writer) this build does not understand. */
+  private def requireWritable(root: String, base: Long): Unit = {
+    val (r, w) = requiredFeatures(root, base)
+    val unknown = (r ++ w) -- SupportedWriterFeatures
+    if (unknown.nonEmpty) sys.error(
+      s"table at $root requires table-feature(s) " +
+        s"[${unknown.toSeq.sorted.mkString(", ")}] (as of version $base) " +
+        "that this engine build does not support — refusing to write " +
+        "(a writer that cannot resolve the log cannot extend it); " +
+        "upgrade the engine")
+  }
+
+  /** Record that this table REQUIRES feature `name` from here on — the
+    * upgrade verb (Delta: `ALTER TABLE ... SET TBLPROPERTIES
+    * ('delta.feature.X' = 'supported')`). kind `"r"`: readers (and
+    * therefore writers) must understand it; `"w"`: writers only.
+    * Feature-introducing engine ops record their own requirement
+    * inside their own commit; this explicit form exists for opt-in
+    * names (`mor-overlays`) and forward-compat fencing. Idempotent —
+    * an already-required name commits nothing. The commit itself is
+    * checked against the BASE version's requirements, so fencing a
+    * table with a future feature name succeeds exactly once and then
+    * locks the build out, by design. */
+  def requireFeature(root: String, kind: String, name: String,
+                     maxRetries: Int = 5): Long = {
+    val line = featureLine(kind, name)
+    var attempt = 0
+    while (true) {
+      val base = latestVersion(root).getOrElse(
+        sys.error(s"no versions at $root"))
+      val (r, w) = requiredFeatures(root, base)
+      if (if (kind == "r") r.contains(name) else w.contains(name))
+        return base
+      try {
+        val v = commitManifest(root, base + 1,
+          deltaContent(Seq.empty, Seq.empty) :+ PreservingMarker :+ line)
+        maybeCheckpoint(root, v)
+        return v
+      } catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** The feature lines a feature-introducing commit must carry: the
+    * requested (kind, name) pairs MINUS what the base version already
+    * requires (idempotent across repeated ALTERs). */
+  private def newFeatureLines(root: String, base: Long,
+                              wanted: Seq[(String, String)]): Seq[String] =
+    if (wanted.isEmpty) Seq.empty
+    else {
+      val (r, w) = requiredFeatures(root, base)
+      wanted.collect {
+        case ("r", n) if !r.contains(n) => featureLine("r", n)
+        case ("w", n) if !w.contains(n) => featureLine("w", n)
+      }
+    }
+
   /** The newest recorded transaction version for `appId`, scanning
     * manifests newest→oldest (early exit on the first hit — for a
     * steady single-writer stream that is the head commit). The walk is
@@ -3193,7 +3412,7 @@ object VersionedTable {
       // a concurrent flat writer landing version 0 inside the staging
       // window must fail THIS commit, not read back NULL partitions
       requireFirstPartitionedAtZero(root, v, wasPartitioned)
-      if (v == 0) lines :+ line
+      if (v == 0) lines ++ Seq(line, featureLine("r", "partitioning"))
       else deltaContent(Seq.empty, lines) :+ line
     }
     maybeCheckpoint(root, v)
