@@ -396,6 +396,45 @@ object ScaleProbe {
         println(f"[probe] mult=$mult%2d rows=$n%8d rebase_race " +
           f"rebase=$reb%6.2f s recompute=$rec%6.2f s " +
           f"saved=${rec - reb}%6.2f s (warm=$warm%5.2f)")
+        // round-15 arms — the rewrite-aware conflict classes: a NARROW
+        // merge (one key, one touched file) losing its race to (a) a
+        // compaction packing OTHER files, (b) a rival narrow merge on
+        // a DIFFERENT file. Both rebase from manifest proof alone; the
+        // recompute twin is a full-table compaction that consumes the
+        // touched file.
+        def armNarrow(key: Long, interleave: () => Unit): Double = {
+          val src = Seq((key, "u", 1L)).toDF("k", "s", "v")
+          var raced = false
+          val t0 = System.nanoTime()
+          VersionedTable.mergeActions(spark, root, src, Seq("k"), Seq(
+            Update(None, Map("v" -> expr("t.v + s.v")))),
+            beforeCommit = () => {
+              if (!raced) { raced = true; interleave() } })
+          (System.nanoTime() - t0) / 1e9
+        }
+        // two tiny tail files for the disjoint compaction to pack
+        VersionedTable.appendWithStats(
+          Seq((n + 1, "x", 1L)).toDF("k", "s", "v"), root, "k")
+        VersionedTable.appendWithStats(
+          Seq((n + 2, "x", 1L)).toDF("k", "s", "v"), root, "k")
+        val rebC = armNarrow(100L, () => {
+          VersionedTable.compact(spark, root, targetBytes = 64L << 10)
+          ()
+        })
+        val rebM = armNarrow(101L, () => {
+          VersionedTable.mergeActions(spark, root,
+            Seq((n - 1, "w", 7L)).toDF("k", "s", "v"), Seq("k"), Seq(
+              Update(None, Map("v" -> expr("t.v + s.v")))))
+          ()
+        })
+        val recC = armNarrow(102L, () => {
+          VersionedTable.compact(spark, root) // consumes the touched file
+          ()
+        })
+        println(f"[probe] mult=$mult%2d rows=$n%8d rebase_rewrite " +
+          f"compact_rebase=$rebC%6.2f s merge_rebase=$rebM%6.2f s " +
+          f"compact_recompute=$recC%6.2f s " +
+          f"saved=${recC - (rebC + rebM) / 2}%6.2f s")
       }
       spark.stop(); return
     }

@@ -3592,11 +3592,14 @@ object VersionedTable {
           .unionByName(src, allowMissingColumns = true)
           .select(outCols.map(col): _*)
       val v = base + 1
-      // __rows-only stats: keeps countRows() metadata-answerable across
-      // merges (column stats of the rewritten files are dropped —
-      // statsRange goes conservative None on those, never wrong)
-      val staged = statLines(spark,
-        stageAuto(rewritten, root, v), Seq.empty, root)
+      // stats on the INTEGRAL merge keys (footer-exact, so small
+      // batches fold driver-side): keeps countRows() metadata-
+      // answerable AND lets a rival merge's rebase probe prove
+      // key-disjointness against THIS commit's output from manifest
+      // stats alone ([[rebaseKeyDisjoint]]); other columns stay
+      // conservative (no stat, never wrong)
+      val staged = statLines(spark, stageAuto(rewritten, root, v),
+        integralStatKeys(target.schema, keyCols), root)
       beforeCommit()
       // delta commit: `-` the rewritten files, `+` the staged rewrite —
       // O(touched + batch) bytes, not O(total files)
@@ -3942,10 +3945,11 @@ object VersionedTable {
       // no version — DML that changes nothing must not churn history
       if (rewriteFiles.isEmpty && rewritten.isEmpty) return base
       val v = base + 1
-      // __rows-only stats, as in merge(): countRows() stays
-      // metadata-answerable; rewritten files go conservative on ranges
-      val staged = statLines(spark,
-        stageAuto(rewritten, root, v), Seq.empty, root)
+      // integral-key stats, as in merge(): countRows() stays
+      // metadata-answerable, rival rebase probes get provable
+      // key-disjointness, other columns stay conservative
+      val staged = statLines(spark, stageAuto(rewritten, root, v),
+        integralStatKeys(schema, keyCols), root)
       beforeCommit()
       // CONFLICT-AWARE RECONCILIATION (the Delta conflict-class role):
       // a lost commit race does NOT automatically recompute phases
@@ -3978,8 +3982,8 @@ object VersionedTable {
             }
             val cur = latestVersion(root).getOrElse(-1L)
             if (!bySourceClauses.isEmpty || cur < commitAt ||
-                !appendsKeyDisjoint(root, commitAt - 1, cur,
-                  srcKeyRanges)) {
+                !rebaseKeyDisjoint(root, commitAt - 1, cur,
+                  srcKeyRanges, rewriteFiles.map(pathOf).toSet)) {
               // recompute against the winner's snapshot (outer loop)
               staged.foreach(p =>
                 Files.deleteIfExists(new File(pathOf(p)).toPath))
@@ -3989,6 +3993,19 @@ object VersionedTable {
       }
     }
     -1L // unreachable
+  }
+
+  /** The merge keys eligible for rebase-probe (and pruning) stats:
+    * integral target columns — footer-exact and long-castable, exactly
+    * the shape [[rebaseKeyDisjoint]] compares. */
+  private def integralStatKeys(schema: org.apache.spark.sql.types.StructType,
+                               keyCols: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.types._
+    keyCols.filter(c => schema.fields
+      .find(_.name.equalsIgnoreCase(c)).exists(_.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }))
   }
 
   /** The source's per-key-column [min, max] as exact longs — the
@@ -4014,70 +4031,115 @@ object VersionedTable {
     }.toMap)
   }
 
-  /** The `+` file lines of versions `(base, cur]` when EVERY
-    * interleaved commit is a PURE APPEND — a delta with no removals
-    * and no preserving/declared markers (compaction rewrote files the
-    * loser read; an ALTER changed the declaration). `None` (recompute)
-    * on anything else, including vacuumed manifests. The shared
-    * precondition of every rebase path. */
-  private def interleavedAppendLines(root: String, base: Long,
-                                     cur: Long): Option[Seq[String]] = {
-    val out = Seq.newBuilder[String]
+  /** Conflict classification of the interleaved commits `(base, cur]`
+    * — the shared precondition of every rebase path, generalized
+    * beyond pure appends (round-14 covered appends only; at 100 TB
+    * compaction and streaming MERGE run continuously, so append-only
+    * rebase covers half the races). Some((appendAdded, rewriteAdded,
+    * removedPaths)) when every interleaved commit is a DELTA carrying
+    * no declaration change:
+    *
+    *  - a PURE APPEND contributes its `+` lines to `appendAdded`;
+    *  - a PRESERVING delta (bin-packing [[compact]]; [[requireFeature]]'s
+    *    empty commit) contributes its removed paths ONLY — its added
+    *    files hold rows that already existed somewhere (data-preserving
+    *    by contract), so content checks on them are redundant: a
+    *    pre-existing row either lived in a file the loser rewrote
+    *    (caught by the removed-path overlap check at the caller) or
+    *    was already accounted for by the loser's full phase-1 pass,
+    *    and an interleave-APPENDED row folded in by the compaction is
+    *    checked through the append's own manifest lines above;
+    *  - a REWRITE-class delta (a winning MERGE/DELETE/UPDATE/
+    *    applyChanges) contributes its `+` lines to `rewriteAdded` —
+    *    genuinely NEW row content that must pass the same checks as
+    *    appended rows — and its removed paths (the Delta
+    *    rewrite-vs-rewrite file-disjointness reconciliation).
+    *
+    * `None` (recompute) on a full manifest (overwrite/restore/z-order
+    * re-layout), a [[DeclaredMarker]] commit (the declaration the
+    * loser computed under changed), or a vacuumed gap. */
+  private def interleavedDeltaClasses(root: String, base: Long, cur: Long)
+      : Option[(Seq[String], Seq[String], Set[String])] = {
+    val appendAdded = Seq.newBuilder[String]
+    val rewriteAdded = Seq.newBuilder[String]
+    val removed = Set.newBuilder[String]
     var ok = true
     var w = base + 1
     while (ok && w <= cur) {
       if (!manifestFile(root, w).exists()) ok = false
       else {
         val lines = readManifest(root, w)
-        if (!isDelta(lines) || lines.contains(PreservingMarker) ||
-            lines.contains(DeclaredMarker) ||
+        if (!isDelta(lines) || lines.contains(DeclaredMarker) ||
             !lines.tail.forall(l =>
-              l.startsWith("+\t") || l.startsWith(TxnPrefix))) ok = false
-        else out ++= lines.tail.collect {
-          case l if l.startsWith("+\t") => l.drop(2) }
+              l.startsWith("+\t") || l.startsWith("-\t") ||
+                l.startsWith(TxnPrefix) || l.startsWith(FeaturePrefix) ||
+                l == PreservingMarker)) ok = false
+        else {
+          val adds = lines.tail.collect {
+            case l if l.startsWith("+\t") => l.drop(2) }
+          val rems = lines.tail.collect {
+            case l if l.startsWith("-\t") => l.drop(2) }
+          if (lines.contains(PreservingMarker)) removed ++= rems
+          else if (rems.isEmpty) appendAdded ++= adds
+          else { rewriteAdded ++= adds; removed ++= rems }
+        }
       }
       w += 1
     }
-    if (ok) Some(out.result()) else None
+    if (ok) Some((appendAdded.result(), rewriteAdded.result(),
+      removed.result()))
+    else None
   }
 
   /** Can a lost MERGE race rebase over versions `(base, cur]` without
-    * recompute? True iff the interleave is pure appends
-    * ([[interleavedAppendLines]]) and every added file's manifest
-    * stats prove key-disjointness from the source: some key column's
-    * file range misses the source range entirely. Stats-less files
-    * and non-integral keys fail SAFE (recompute). O(interleaved
-    * manifests), zero data reads. */
-  private def appendsKeyDisjoint(root: String, base: Long, cur: Long,
-                                 ranges: Option[Map[String, (Long, Long)]])
-      : Boolean = (ranges, interleavedAppendLines(root, base, cur)) match {
-    case (Some(rs), Some(added)) =>
-      added.map(scanFileOf).forall(sf => rs.exists {
-        case (c, (slo, shi)) =>
-          sf.stats.get(c).exists { case (flo, fhi) =>
-            fhi < slo || flo > shi }
-      })
+    * recompute? True iff [[interleavedDeltaClasses]] resolves AND
+    * (a) no interleaved commit removed a file the loser's delta also
+    * removes — a compaction or rival rewrite consumed rows the loser
+    * rewrote, so replaying the delta would duplicate or resurrect
+    * them — AND (b) every NEW-content file's manifest stats prove
+    * key-disjointness from the source: some key column's file range
+    * misses the source range entirely (so the loser's match/insert
+    * decisions are unchanged under serial execution). Stats-less
+    * files and non-integral keys fail SAFE (recompute).
+    * O(interleaved manifests), zero data reads. */
+  private def rebaseKeyDisjoint(root: String, base: Long, cur: Long,
+                                ranges: Option[Map[String, (Long, Long)]],
+                                loserRemoves: Set[String])
+      : Boolean = (ranges, interleavedDeltaClasses(root, base, cur)) match {
+    case (Some(rs), Some((appAdded, rwAdded, removed))) =>
+      removed.intersect(loserRemoves).isEmpty &&
+        (appAdded ++ rwAdded).map(scanFileOf).forall(sf => rs.exists {
+          case (c, (slo, shi)) =>
+            sf.stats.get(c).exists { case (flo, fhi) =>
+              fhi < slo || flo > shi }
+        })
     case _ => false
   }
 
   /** Can a lost DELETE/UPDATE race rebase over `(base, cur]`? The
-    * interleave must be pure appends AND none of the appended rows may
-    * match `predicate` — under serializable semantics a matching
-    * appended row belongs to the rewrite, so finding one forces the
-    * recompute. The probe reads ONLY the interleaved batches'
-    * files (O(appended), never O(table)) — the exact evaluation of
-    * Delta's read-predicate conflict check. */
-  private def appendsPredicateFree(spark: SparkSession, root: String,
-                                   base: Long, cur: Long,
-                                   predicate: org.apache.spark.sql.Column)
+    * interleave must classify ([[interleavedDeltaClasses]]), no
+    * interleaved commit may have removed a file the loser's delta
+    * removes, AND none of the interleaved NEW rows (appends + rival
+    * rewrites' outputs) may match `predicate` — under serializable
+    * semantics a matching row belongs to this rewrite, so finding one
+    * forces the recompute. The probe reads ONLY the interleaved
+    * batches' files (O(new content), never O(table)) — the exact
+    * evaluation of Delta's read-predicate conflict check. */
+  private def rebasePredicateFree(spark: SparkSession, root: String,
+                                  base: Long, cur: Long,
+                                  predicate: org.apache.spark.sql.Column,
+                                  loserRemoves: Set[String])
       : Boolean =
-    interleavedAppendLines(root, base, cur) match {
-      case Some(added) if added.isEmpty => true
-      case Some(added) =>
-        try readLinesDeclared(spark, root, cur, added)
-          .filter(coalesce(predicate, lit(false)))
-          .limit(1).collect().isEmpty
-        catch { case scala.util.control.NonFatal(_) => false } // recompute
+    interleavedDeltaClasses(root, base, cur) match {
+      case Some((appAdded, rwAdded, removed)) =>
+        removed.intersect(loserRemoves).isEmpty && {
+          val fresh = appAdded ++ rwAdded
+          fresh.isEmpty ||
+            (try readLinesDeclared(spark, root, cur, fresh)
+              .filter(coalesce(predicate, lit(false)))
+              .limit(1).collect().isEmpty
+            catch { case scala.util.control.NonFatal(_) => false })
+        }
       case None => false
     }
 
@@ -4405,8 +4467,8 @@ object VersionedTable {
             }
             val cur = latestVersion(root).getOrElse(-1L)
             if (cur >= commitAt &&
-                appendsPredicateFree(spark, root, commitAt - 1, cur,
-                  predicate))
+                rebasePredicateFree(spark, root, commitAt - 1, cur,
+                  predicate, touched0.map(pathOf).toSet))
               commitAt = cur + 1
             else {
               staged.foreach(p =>
@@ -4535,8 +4597,8 @@ object VersionedTable {
             }
             val cur = latestVersion(root).getOrElse(-1L)
             if (cur >= commitAt &&
-                appendsPredicateFree(spark, root, commitAt - 1, cur,
-                  predicate))
+                rebasePredicateFree(spark, root, commitAt - 1, cur,
+                  predicate, touched0.map(pathOf).toSet))
               commitAt = cur + 1
             else {
               staged.foreach(p =>

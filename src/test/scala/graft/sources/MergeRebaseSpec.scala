@@ -79,8 +79,8 @@ class MergeRebaseSpec extends SparkSuite {
     assert(st(5L) == ("s5", 51L))
   }
 
-  test("a racing REWRITE (delete) recomputes — removed files cannot " +
-    "rebase") {
+  test("a racing REWRITE whose output carries NO key stats recomputes " +
+    "— unprovable disjointness fails safe") {
     import spark.implicits._
     val root = freshTable()
     var computes = 0
@@ -90,13 +90,159 @@ class MergeRebaseSpec extends SparkSuite {
       beforeCommit = () => {
         computes += 1
         if (computes == 1) {
+          // delete stages its survivors with rows-only stats — the
+          // loser cannot prove key-disjointness from the manifest and
+          // must recompute, even though the file sets are disjoint
           VersionedTable.delete(spark, root, col("k") === 20L)
           ()
         }
       })
-    assert(computes == 2, s"a rewrite must recompute ($computes)")
+    assert(computes == 2, s"a stats-less rewrite must recompute ($computes)")
     val st = stateOf(root)
     assert(!st.contains(20L) && st(5L) == ("s5", 51L))
+  }
+
+  test("a racing COMPACTION of files the merge never touched REBASES: " +
+    "one compute pass, data-preserving interleave is proof enough") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_rebase_c")
+      .resolve("t").toString
+    // one BIG file (keys 1-50, the merge's target) + two small ones
+    VersionedTable.overwriteWithStats(
+      (1L to 50L).map(i => (i, s"s$i", i * 10L)).toDF("k", "s", "v")
+        .coalesce(1), root, "k")
+    VersionedTable.appendWithStats(
+      (100L to 110L).map(i => (i, s"s$i", i)).toDF("k", "s", "v")
+        .coalesce(1), root, "k")
+    VersionedTable.appendWithStats(
+      (200L to 210L).map(i => (i, s"s$i", i)).toDF("k", "s", "v")
+        .coalesce(1), root, "k")
+    val sizes = VersionedTable.listingPaths(
+      root, VersionedTable.latestVersion(root).get)
+      .map(p => new java.io.File(p).length()).sorted
+    val target = sizes.last // the big file must NOT be packed
+    var computes = 0
+    val src = Seq((5L, "u", 1L)).toDF("k", "s", "v")
+    val (_, run) = graft.core.Metrics.measure(spark) {
+      VersionedTable.mergeActions(spark, root, src, Seq("k"), Seq(
+        Update(None, Map("v" -> expr("t.v + s.v")))),
+        beforeCommit = () => {
+          computes += 1
+          if (computes == 1) {
+            VersionedTable.compact(spark, root, targetBytes = target)
+            ()
+          }
+        })
+    }
+    assert(computes == 1,
+      s"a disjoint compaction interleave must rebase ($computes)")
+    val st = stateOf(root)
+    assert(st(5L) == ("s5", 51L), "the merge's update landed")
+    assert(st.size == 72, s"every compacted row survived: ${st.size}")
+    assert((100L to 110L).forall(st.contains) &&
+      (200L to 210L).forall(st.contains))
+    assert(run.bytesRead > 0)
+  }
+
+  test("a racing compaction that CONSUMED a merge-touched file " +
+    "recomputes — replaying the delta would duplicate its rows") {
+    import spark.implicits._
+    val root = freshTable() // two small range files, keys 1-10 / 11-20
+    var computes = 0
+    val src = Seq((5L, "u", 1L)).toDF("k", "s", "v")
+    VersionedTable.mergeActions(spark, root, src, Seq("k"), Seq(
+      Update(None, Map("v" -> expr("t.v + s.v")))),
+      beforeCommit = () => {
+        computes += 1
+        if (computes == 1) {
+          // packs BOTH files (they are tiny) — including the touched one
+          VersionedTable.compact(spark, root)
+          ()
+        }
+      })
+    assert(computes == 2,
+      s"an overlapping compaction must recompute ($computes)")
+    val st = stateOf(root)
+    assert(st(5L) == ("s5", 51L) && st.size == 20,
+      s"no duplicated or lost rows: ${st.size}")
+  }
+
+  test("two MERGEs with DISJOINT touched files and provably disjoint " +
+    "key ranges serialize WITHOUT recompute (manifest-stats proof)") {
+    import spark.implicits._
+    val root = freshTable() // file1 = keys 1-10, file2 = keys 11-20
+    var computes = 0
+    val loserSrc = Seq((5L, "u", 1L)).toDF("k", "s", "v")
+    val (_, run) = graft.core.Metrics.measure(spark) {
+      VersionedTable.mergeActions(spark, root, loserSrc, Seq("k"), Seq(
+        Update(None, Map("v" -> expr("t.v + s.v")))),
+        beforeCommit = () => {
+          computes += 1
+          if (computes == 1) {
+            // the WINNER merge touches file2 only; its staged output
+            // (rows 11-20, k-stats [11,20]) is provably disjoint from
+            // the loser's source range [5,5]
+            VersionedTable.mergeActions(spark, root,
+              Seq((15L, "w", 7L)).toDF("k", "s", "v"), Seq("k"), Seq(
+                Update(None, Map("v" -> expr("t.v + s.v")))))
+            ()
+          }
+        })
+    }
+    assert(computes == 1,
+      s"disjoint merge-merge must rebase, not recompute ($computes)")
+    val st = stateOf(root)
+    assert(st(5L) == ("s5", 51L), "the loser's update landed")
+    assert(st(15L) == ("s15", 157L), "the winner's update survived")
+    assert(st.size == 20)
+    assert(run.bytesRead > 0)
+  }
+
+  test("two merges over the SAME file (or overlapping key ranges) " +
+    "recompute — the loser must see the winner's rows") {
+    import spark.implicits._
+    val root = freshTable()
+    var computes = 0
+    // both merges touch file2 (keys 11-20)
+    val loserSrc = Seq((12L, "u", 1L)).toDF("k", "s", "v")
+    VersionedTable.mergeActions(spark, root, loserSrc, Seq("k"), Seq(
+      Update(None, Map("v" -> expr("t.v + s.v")))),
+      beforeCommit = () => {
+        computes += 1
+        if (computes == 1) {
+          VersionedTable.mergeActions(spark, root,
+            Seq((15L, "w", 7L)).toDF("k", "s", "v"), Seq("k"), Seq(
+              Update(None, Map("v" -> expr("t.v + s.v")))))
+          ()
+        }
+      })
+    assert(computes == 2,
+      s"overlapping merge-merge must recompute ($computes)")
+    val st = stateOf(root)
+    assert(st(12L) == ("s12", 121L) && st(15L) == ("s15", 157L),
+      "both updates land exactly once under the recompute")
+  }
+
+  test("DELETE racing a winner MERGE whose output rows don't match the " +
+    "predicate rebases — the probe reads ONLY the winner's output") {
+    import spark.implicits._
+    val root = freshTable()
+    var computes = 0
+    VersionedTable.delete(spark, root, col("k") <= 3L, // touches file1
+      beforeCommit = () => {
+        computes += 1
+        if (computes == 1) {
+          VersionedTable.mergeActions(spark, root, // touches file2
+            Seq((15L, "w", 7L)).toDF("k", "s", "v"), Seq("k"), Seq(
+              Update(None, Map("v" -> expr("t.v + s.v")))))
+          ()
+        }
+      })
+    assert(computes == 1,
+      s"a predicate-free merge interleave must rebase ($computes)")
+    val st = stateOf(root)
+    assert(!st.contains(1L) && !st.contains(3L) && st(15L)._2 == 157L)
+    assert(st.size == 17)
   }
 
   test("DELETE racing a NON-MATCHING append rebases (one compute); a " +
