@@ -1061,12 +1061,16 @@ object LakeQueries extends QueryModule {
       bench = false),
 
     // Table CHECK constraints (the Delta ALTER TABLE ADD CONSTRAINT
-    // role): the DDL persists the constraint after validating every
-    // existing row once; a later VALID insert lands, a VIOLATING one
-    // fails INSIDE its own write job (per-row assert, one pass — a
-    // separate validation pass would double-read a 100 TB batch) and
-    // commits nothing. rejected_ok pins the refusal; the oracle
-    // replays only the accepted statement.
+    // role): the DDL validates every existing row once and COMMITS the
+    // constraint into the versioned chain (round 15 — v1 here, so it
+    // serializes against writers; ConstraintsSpec pins the race
+    // matrix); a later VALID insert lands, a VIOLATING one fails
+    // INSIDE its own write job (per-row assert, one pass — a separate
+    // validation pass would double-read a 100 TB batch) and commits
+    // nothing. rejected_ok pins the refusal; no_commit_ok pins the
+    // version count (overwrite v0 + constraint v1 + insert v2, the
+    // refusal adding none); the oracle replays the accepted
+    // statements.
     "q313_check_constraint" -> Q(
       run = (s, dir) => {
         val root = tempRoot("graft_vt_chk").resolve("t").toString
@@ -1098,7 +1102,7 @@ object LakeQueries extends QueryModule {
                        AS DOUBLE) AS total
               FROM $name GROUP BY o_orderstatus ORDER BY o_orderstatus""")
           .withColumn("rejected_ok", lit(rejected))
-          .withColumn("no_commit_ok", lit(if (base == 1L) 1L else 0L))
+          .withColumn("no_commit_ok", lit(if (base == 2L) 1L else 0L))
       },
       oracle = Some("""
         WITH t1 AS (

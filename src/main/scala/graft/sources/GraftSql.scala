@@ -252,16 +252,17 @@ object GraftSql {
   // span-matched quote-aware (a regex close-paren would bite inside
   // a nested expression).
   //
-  // Concurrency caveat (inherited from VersionedTable.addConstraint,
-  // stated here because THIS is the user-facing surface): ADD
-  // CONSTRAINT validates existing rows, persists, then RE-validates to
-  // catch writers that staged before the constraint became visible —
-  // but a concurrent write that read the constraint set pre-persist
-  // and commits AFTER that re-validation can still land violating rows
-  // while the constraint stays in force. Quiesce writers around ADD
-  // CONSTRAINT (or re-run it, which re-validates) when the table is
-  // under concurrent write load; closing the window fully would need
-  // the constraint set inside the versioned commit protocol.
+  // Concurrency (round 15 — the round-12 residual closed): the
+  // constraint set lives INSIDE the versioned commit protocol. ADD
+  // CONSTRAINT validates the snapshot at its base version and commits
+  // a `#constraint` state line under the same CAS every writer uses —
+  // a win proves the validated snapshot was the pre-commit state;
+  // writers revalidate (append family) or recompute (rebase
+  // classifiers) when a constraint commit interleaves, so neither
+  // interleaving of ADD-vs-violating-write can land a committed
+  // violation. The one remaining corner is MOR overlay patches (they
+  // commit outside the chain): ADD re-scans after its commit when
+  // overlays are pending and withdraws loudly on a hit.
   private val AddConstraintSql =
     ("""(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+""" +
       """CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s+CHECK\s*(\(.+)""").r

@@ -191,6 +191,7 @@ object VersionedTable {
         // resolution stays txn-blind, like full manifests
         base = rawCheckpointLines(root, cur).filterNot(l =>
           l.startsWith(TxnPrefix) || l.startsWith(FeaturePrefix) ||
+            l.startsWith(ConstraintPrefix) ||
             l == PreservingMarker || l == DeclaredMarker)
       } else {
         val lines = readManifest(root, cur)
@@ -200,6 +201,7 @@ object VersionedTable {
           cur -= 1
         } else base = lines.filterNot(l =>
           l.startsWith(TxnPrefix) || l.startsWith(FeaturePrefix) ||
+            l.startsWith(ConstraintPrefix) ||
             l == PreservingMarker || l == DeclaredMarker)
       }
     }
@@ -262,7 +264,8 @@ object VersionedTable {
     // from a legacy (pre-txn-aware) checkpoint that proves nothing
     val listing = readListing(root, v) ++
       (TxnCkptMarker +: txnStateAt(root, v)) ++
-      (FeatCkptMarker +: featureLinesAt(root, v))
+      (FeatCkptMarker +: featureLinesAt(root, v)) ++
+      (ConstraintCkptMarker +: constraintOpLinesAt(root, v))
     val tmp = Files.createTempFile(logDir(root).toPath, s"_ckpt$v", ".inprogress")
     Files.write(tmp, listing.mkString("\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, checkpointFile(root, v).toPath,
@@ -725,13 +728,98 @@ object VersionedTable {
     * [[setConstraints]] always said). */
   private val constraintsLock = new Object
 
-  /** The table's CHECK constraints, name → expression text. ONE
-    * unified store: entries from the original tab-grammar
-    * `_constraints` sidecar (the [[setConstraints]] surface) and the
-    * JSON sidecar read together (JSON wins a name collision), so a
-    * table configured through EITHER surface is enforced by every
-    * writer. */
-  def constraints(root: String): Map[String, String] = {
+  // Round 15: the MUTATING verbs ([[addConstraint]]/[[dropConstraint]])
+  // moved INTO the versioned commit chain — a constraint change is a
+  // commit (`#constraint\t+\t<name>\t<expr>` / `#constraint\t-\t<name>`
+  // state lines, preserving delta), so the manifest CAS serializes it
+  // against every data writer and the round-12 accepted residual (a
+  // writer that read the constraint set pre-persist committing after
+  // the post-persist re-validation) is structurally closed. The JSON/
+  // legacy sidecars remain the LEGACY BASE of resolution (tables
+  // configured before round 15, and the [[setConstraints]] single-
+  // administrator surface) — manifest ops override them per name.
+
+  private[sources] val ConstraintPrefix = "#constraint"
+
+  /** Aggregation-boundary marker for constraint state in checkpoints —
+    * same role as [[FeatCkptMarker]]. */
+  private[sources] val ConstraintCkptMarker = s"$ConstraintPrefix-aware\t1"
+
+  private def constraintAddLine(name: String, exprText: String): String =
+    s"$ConstraintPrefix\t+\t$name\t${escapeJson(exprText)}"
+
+  private def constraintDropLine(name: String): String =
+    s"$ConstraintPrefix\t-\t$name"
+
+  /** Newest constraint op per name as of `v`: Some(expr) = active add,
+    * None = dropped. Walk bounded at the first checkpoint — like
+    * feature lines (and unlike `#txn` state), constraint ops did not
+    * exist before this protocol, so any checkpoint proves the history
+    * below it op-free; aware checkpoints additionally carry the
+    * aggregated ops across vacuum. */
+  private def constraintOpsAt(root: String,
+                              v: Long): Map[String, Option[String]] = {
+    val seen = scala.collection.mutable.LinkedHashMap
+      .empty[String, Option[String]]
+    def absorb(lines: Seq[String]): Unit = lines.foreach { l =>
+      if (l.startsWith(ConstraintPrefix + "\t")) {
+        val parts = l.split('\t')
+        parts(1) match {
+          case "+" if parts.length == 4 =>
+            if (!seen.contains(parts(2)))
+              seen(parts(2)) = Some(unescapeJson(parts(3)))
+          case "-" if parts.length == 3 =>
+            if (!seen.contains(parts(2))) seen(parts(2)) = None
+          case _ => ()
+        }
+      }
+    }
+    val existing = versions(root).toSet
+    var cur = v
+    var stop = false
+    while (!stop && cur >= 0 && existing.contains(cur)) {
+      absorb(readManifest(root, cur))
+      if (cur != v && checkpointFile(root, cur).exists()) {
+        absorb(rawCheckpointLines(root, cur))
+        stop = true
+      }
+      cur -= 1
+    }
+    seen.toMap
+  }
+
+  /** The constraint op lines of `v`, for checkpoint carry. DROP ops
+    * carry too — a '-' must keep shadowing a legacy-sidecar entry
+    * after the manifest that recorded it expires. */
+  private def constraintOpLinesAt(root: String, v: Long): Seq[String] =
+    constraintOpsAt(root, v).toSeq.sortBy(_._1).map {
+      case (n, Some(e)) => constraintAddLine(n, e)
+      case (n, None) => constraintDropLine(n)
+    }
+
+  /** The CHECK constraints in force AS OF version `v`: the legacy
+    * sidecar base overridden by the newest manifest op per name. */
+  def constraintsAt(root: String, v: Long): Map[String, String] =
+    constraintOpsAt(root, v).foldLeft(sidecarConstraints(root)) {
+      case (m, (n, Some(e))) => m + (n -> e)
+      case (m, (n, None)) => m - n
+    }
+
+  /** The table's CHECK constraints in force NOW (latest version's
+    * resolution; the sidecar alone for a not-yet-created root). */
+  def constraints(root: String): Map[String, String] =
+    latestVersion(root) match {
+      case Some(v) => constraintsAt(root, v)
+      case None => sidecarConstraints(root)
+    }
+
+  /** The LEGACY constraint base, name → expression text: entries from
+    * the original tab-grammar `_constraints` sidecar (the
+    * [[setConstraints]] surface) and the JSON sidecar read together
+    * (JSON wins a name collision) — tables configured through EITHER
+    * pre-round-15 surface stay enforced; manifest ops override per
+    * name in [[constraintsAt]]. */
+  private def sidecarConstraints(root: String): Map[String, String] = {
     val legacy = legacyConstraintsOf(root).toMap
     val f = constraintsFile(root)
     if (!f.exists()) legacy
@@ -825,59 +913,117 @@ object VersionedTable {
 
   /** ADD CONSTRAINT name CHECK (exprText): validates EVERY existing
     * live row once (through [[scan]], so pending MOR overlays count),
-    * then persists the constraint — all later writes enforce it
-    * in-job. NULL results count as violations (the SQL CHECK
-    * convention is null-passes; Delta's is null-fails — this engine
-    * takes Delta's: a constraint that silently ignores null rows
-    * protects nothing at 100 TB). Fails if the name exists with a
-    * DIFFERENT expression (idempotent re-adds are no-ops).
+    * then COMMITS the constraint into the versioned chain — all later
+    * writes enforce it in-job. NULL results count as violations (the
+    * SQL CHECK convention is null-passes; Delta's is null-fails —
+    * this engine takes Delta's: a constraint that silently ignores
+    * null rows protects nothing at 100 TB). Fails if the name exists
+    * with a DIFFERENT expression (idempotent re-adds are no-ops).
     *
-    * Race window: a writer that STAGED its batch before the
-    * constraint persisted enforces nothing for that batch — the
-    * post-persist re-validation below catches the common interleaving
-    * (the violating commit lands before the re-check) by dropping the
-    * fresh constraint and failing loudly; a commit landing after the
-    * re-check can still slip (closing it fully needs constraints in
-    * the versioned manifest — the documented trade of the sidecar). */
+    * CONCURRENCY (round 15 — the round-12 residual closed): the ADD
+    * is optimistic-CAS like every writer. Validate the snapshot at
+    * `base`, attempt the `#constraint +` commit at `base+1`; a CAS
+    * win PROVES the validated snapshot was the immediately-pre-commit
+    * state (nothing interleaved), a loss re-reads and re-validates
+    * against the winner's state. Data writers mirror it: enforcement
+    * at stage time, plus a pre-attempt revalidation when a constraint
+    * commit interleaved ([[commitWithRetry]]'s guard; the rebase
+    * classifiers already force recompute on any `#constraint`
+    * interleave). Either interleaving of ADD-vs-violating-append
+    * therefore refuses — never a committed violation. MOR overlay
+    * patches commit OUTSIDE this chain ([[Tombstones]] stores), so a
+    * post-commit overlay re-scan below closes their common window
+    * loudly (withdraw + error); an overlay landing after that re-scan
+    * remains the documented MOR residual. */
   def addConstraint(spark: SparkSession, root: String, name: String,
-                    exprText: String): Unit = {
+                    exprText: String, maxRetries: Int = 64,
+                    beforeCommit: () => Unit = () => ()): Unit = {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"constraint name must be a bare identifier, got '$name'")
-    def violating(): Long =
-      if (latestVersion(root).isEmpty) 0L
-      else scan(spark, root)
+    if (latestVersion(root).isEmpty) {
+      // not-yet-created root: the legacy sidecar is the only store
+      // (pre-creation configuration, the setConstraints admin shape)
+      constraintsLock.synchronized {
+        val existing = constraints(root)
+        existing.get(name).foreach { prev =>
+          if (prev == exprText) return
+          sys.error(s"constraint $name already exists as: $prev")
+        }
+        writeConstraints(root, existing + (name -> exprText))
+      }
+      return
+    }
+    def violating(): Boolean =
+      scan(spark, root)
         .filter(!coalesce(expr(exprText).cast("boolean"), lit(false)))
-        .limit(1).count()
-    constraintsLock.synchronized {
-      val existing = constraints(root)
+        .limit(1).count() != 0L
+    var attempt = 0
+    while (true) {
+      val base = latestVersion(root).get
+      val existing = constraintsAt(root, base)
       existing.get(name).foreach { prev =>
         if (prev == exprText) return
         sys.error(s"constraint $name already exists as: $prev")
       }
-      require(violating() == 0L,
+      require(!violating(),
         s"cannot add CHECK constraint $name: existing rows violate ($exprText)")
-      writeConstraints(root, existing + (name -> exprText))
-    }
-    // re-validate AFTER the constraint is visible to writers: a batch
-    // staged pre-persist could have landed violating rows believing
-    // no constraint existed — surface that instead of claiming a
-    // validated table
-    if (violating() != 0L) {
-      constraintsLock.synchronized {
-        writeConstraints(root, constraints(root) - name)
+      beforeCommit() // race-injection seam (post-validation, pre-CAS)
+      val won =
+        try {
+          commitManifest(root, base + 1,
+            deltaContent(Seq.empty, Seq.empty) ++
+              Seq(PreservingMarker, constraintAddLine(name, exprText)) ++
+              newFeatureLines(root, base, Seq(("w", "check-constraints"))))
+          true
+        } catch {
+          case e: java.nio.file.FileAlreadyExistsException =>
+            attempt += 1
+            if (attempt > maxRetries) throw e
+            false // a writer interleaved: re-validate its rows too
+        }
+      if (won) {
+        maybeCheckpoint(root, base + 1)
+        // MOR-overlay closer: an overlay patch staged pre-commit could
+        // carry violating rows past the chain-side guards — surface it
+        // instead of claiming a validated table
+        if (Tombstones.hasPending(root) && violating()) {
+          dropConstraint(root, name)
+          sys.error(s"CHECK constraint $name: a concurrent MOR overlay " +
+            "landed violating rows during ADD — constraint withdrawn, " +
+            s"re-run after cleaning ($exprText)")
+        }
+        return
       }
-      sys.error(s"CHECK constraint $name: a concurrent write landed " +
-        s"violating rows during ADD — constraint withdrawn, re-run " +
-        s"after cleaning ($exprText)")
     }
   }
 
   /** DROP CONSTRAINT name (missing names are a no-op, like Delta's
-    * IF EXISTS). */
-  def dropConstraint(root: String, name: String): Unit =
-    constraintsLock.synchronized {
-      writeConstraints(root, constraints(root) - name)
+    * IF EXISTS) — a `#constraint -` commit, so it serializes against
+    * writers and shadows legacy-sidecar entries durably. */
+  def dropConstraint(root: String, name: String, maxRetries: Int = 64): Unit = {
+    if (latestVersion(root).isEmpty) {
+      constraintsLock.synchronized {
+        writeConstraints(root, constraints(root) - name)
+      }
+      return
     }
+    var attempt = 0
+    while (true) {
+      val base = latestVersion(root).get
+      if (!constraintsAt(root, base).contains(name)) return
+      try {
+        commitManifest(root, base + 1,
+          deltaContent(Seq.empty, Seq.empty) :+ PreservingMarker :+
+            constraintDropLine(name))
+        maybeCheckpoint(root, base + 1)
+        return
+      } catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+  }
 
   /** `df` with the table's CHECK constraints enforced PER ROW inside
     * whatever job consumes it: each violating row raises with the
@@ -947,6 +1093,10 @@ object VersionedTable {
 
   private def stageDataFiles(df0: DataFrame, root: String, v: Long,
                              mapNames: Boolean = true): Seq[String] = {
+    // record which version's constraint set this staging pass enforces
+    // BEFORE reading it — commitWithRetry's guard revalidates exactly
+    // when a #constraint commit lands above this mark
+    latestVersion(root).foreach(b => stagedConstraintBase.get()(root) = b)
     val df1 = enforceConstraints(df0, root)
     val df = if (mapNames) toPhysicalStage(df1, root) else df1
     // a Hive-partitioned table's values live in the PATH; flat staging
@@ -985,14 +1135,82 @@ object VersionedTable {
     var attempt = 0
     while (true) {
       val v = nextVersion(root)
-      try return commitManifest(root, v, manifest(v))
-      catch {
+      val lines = manifest(v)
+      // constraint-race guard (the append-family arm of the
+      // constraint-commit protocol): this writer's rows were enforced
+      // against the constraint set read at STAGE time; if a
+      // `#constraint` commit interleaved since, re-validate the staged
+      // rows against the set as of v-1 BEFORE attempting the CAS. A
+      // win at v then proves nothing further interleaved. Losers loop
+      // back here, so every eventual commit saw every earlier
+      // constraint. O(interleaved manifests) + O(batch) re-read, only
+      // when a constraint actually moved.
+      stagedConstraintBase.get().get(root).foreach { cb =>
+        if (v - 1 > cb && constraintsMovedBetween(root, cb, v - 1))
+          revalidateStaged(root, v - 1, newContentOf(lines))
+      }
+      try {
+        val committed = commitManifest(root, v, lines)
+        stagedConstraintBase.get().remove(root)
+        return committed
+      } catch {
         case e: java.nio.file.FileAlreadyExistsException =>
           attempt += 1
           if (attempt > maxRetries) throw e
       }
     }
     -1L // unreachable
+  }
+
+  /** root → the table version whose constraint set the CURRENT
+    * thread's latest staging pass enforced (set by [[stageDataFiles]]/
+    * [[stagePartitioned]], consumed by [[commitWithRetry]]'s guard).
+    * Thread-local is sound because staging and committing are one
+    * driver-side flow on one thread — the same assumption the
+    * optimistic loops themselves make. */
+  private val stagedConstraintBase
+      : ThreadLocal[scala.collection.mutable.Map[String, Long]] =
+    ThreadLocal.withInitial(() => scala.collection.mutable.Map.empty)
+
+  /** Did any commit in `(from, to]` change the constraint set? A
+    * vacuumed gap counts as moved (forces the safe revalidation). */
+  private def constraintsMovedBetween(root: String, from: Long,
+                                      to: Long): Boolean = {
+    var w = from + 1
+    while (w <= to) {
+      if (!manifestFile(root, w).exists()) return true
+      if (readManifest(root, w).exists(_.startsWith(ConstraintPrefix + "\t")))
+        return true
+      w += 1
+    }
+    false
+  }
+
+  /** The data lines a manifest commits (delta `+` tail, or the full
+    * listing minus state/marker lines) — the revalidation read set. */
+  private def newContentOf(lines: Seq[String]): Seq[String] =
+    if (isDelta(lines))
+      lines.tail.collect { case l if l.startsWith("+\t") => l.drop(2) }
+    else lines.filterNot(l => l.startsWith(TxnPrefix) ||
+      l.startsWith(FeaturePrefix) || l.startsWith(ConstraintPrefix) ||
+      l == PreservingMarker || l == DeclaredMarker)
+
+  /** Re-validate STAGED (not yet committed) lines against the
+    * constraint set as of `v` — loud on the first violation, naming
+    * the constraint. Reads only the staged batch. */
+  private def revalidateStaged(root: String, v: Long,
+                               staged: Seq[String]): Unit = {
+    val cs = constraintsAt(root, v)
+    if (cs.isEmpty || staged.isEmpty) return
+    val spark = org.apache.spark.sql.classic.SparkSession.active
+    val df = readLinesDeclared(spark, root, v, staged)
+    cs.toSeq.sortBy(_._1).foreach { case (n, t) =>
+      if (df.filter(!coalesce(expr(t).cast("boolean"), lit(false)))
+          .limit(1).count() != 0L)
+        sys.error(s"CHECK constraint $n was added concurrently with " +
+          s"this write and the staged rows violate it ($t) — nothing " +
+          "committed; clean the batch and retry")
+    }
   }
 
   /** Stats recorded BY DEFAULT by the plain writers: every top-level
@@ -1753,6 +1971,8 @@ object VersionedTable {
   private def stagePartitioned(df0: DataFrame, root: String,
                                partCols: Seq[String],
                                mapNames: Boolean = true): Seq[String] = {
+    // constraint-base mark, as in stageDataFiles
+    latestVersion(root).foreach(b => stagedConstraintBase.get()(root) = b)
     val df1 = enforceConstraints(df0, root)
     // partition columns are never mapped (ALTER refuses them), so the
     // partitionBy names below stay valid after the rename
@@ -3057,9 +3277,11 @@ object VersionedTable {
     * winner's files must appear in ours (append-vs-append commutes, so
     * retrying with the fresh manifest is always safe). Records
     * [[autoStatsCols]] stats by default. */
-  def append(df: DataFrame, root: String): Long = {
+  def append(df: DataFrame, root: String,
+             beforeCommit: () => Unit = () => ()): Long = {
     val staged = stageDataFiles(df, root, nextVersion(root))
     val lines = statLines(df.sparkSession, staged, autoStatsCols(df), root)
+    beforeCommit() // race-injection seam (fires between stage and CAS)
     // delta commit: O(batch) bytes regardless of accumulated file count
     // (append-vs-append commutes by construction — the delta carries no
     // copy of the previous listing to go stale on a lost race)
@@ -3217,11 +3439,17 @@ object VersionedTable {
     while (!stop && cur >= 0 && existing.contains(cur)) {
       absorb(readManifest(root, cur))
       if (cur != v && checkpointFile(root, cur).exists()) {
-        val lines = rawCheckpointLines(root, cur)
-        absorb(lines)
-        // only a feature-AWARE checkpoint aggregates the requirements
-        // below it; walking past a legacy one would drop them
-        if (lines.contains(FeatCkptMarker)) stop = true
+        // ANY checkpoint bounds the walk — unlike `#txn` state (which
+        // pre-upgrade builds wrote, so a legacy checkpoint proves
+        // nothing there), feature lines did not exist before this
+        // protocol shipped: every build that emits them also writes
+        // feature-aware checkpoints, so a legacy checkpoint can only
+        // sit ABOVE a feature-free history. This keeps cold feature
+        // resolution O(checkpointInterval) on arbitrarily long legacy
+        // chains. Aware checkpoints additionally carry the aggregated
+        // lines (vacuum-surviving state).
+        absorb(rawCheckpointLines(root, cur))
+        stop = true
       }
       cur -= 1
     }
@@ -4669,7 +4897,14 @@ object VersionedTable {
         StandardCopyOption.REPLACE_EXISTING)
     declaredSchemaAt(src, base).foreach(s =>
       writeDeclaredSidecar(dst, 0, s))
-    commitManifest(dst, 0, readListing(src, base))
+    // the source's required table FEATURES and manifest-committed
+    // constraint ops (as of the pinned version) land INSIDE the
+    // clone's v0 manifest: a clone of a column-mapped/widened table
+    // must fence feature-blind readers exactly like its source, and a
+    // constraint added (or a legacy one dropped) through the commit
+    // protocol must bind/unbind the clone's writers too
+    commitManifest(dst, 0, readListing(src, base) ++
+      featureLinesAt(src, base) ++ constraintOpLinesAt(src, base))
   }
 
   /** Merge an APPEND-ONLY branch (created by [[shallowClone]]) back

@@ -265,4 +265,85 @@ class ConstraintsSpec extends SparkSuite {
     assert(VersionedTable.read(spark, root)
       .filter(col("day") === "d2").head().getLong(0) == 103L)
   }
+
+  test("constraint-commit protocol, interleaving A: a violating batch " +
+    "STAGED before the ADD committed is refused at ITS commit (the " +
+    "round-12 residual, closed)") {
+    import spark.implicits._
+    val root = tmpRoot()
+    VersionedTable.overwrite(Seq((1L, 10L)).toDF("k", "v"), root)
+    // the batch stages while NO constraint exists (stage-time
+    // enforcement passes); the ADD commits before the batch's CAS —
+    // the commit-side revalidation must refuse
+    val e = intercept[RuntimeException] {
+      VersionedTable.append(Seq((2L, -5L)).toDF("k", "v"), root,
+        beforeCommit = () =>
+          VersionedTable.addConstraint(spark, root, "v_pos", "v > 0"))
+    }
+    assert(e.getMessage.contains("v_pos") &&
+      e.getMessage.contains("concurrently"), e.getMessage)
+    assert(VersionedTable.read(spark, root).count() == 1L,
+      "the violating batch must never commit")
+    assert(VersionedTable.constraints(root) == Map("v_pos" -> "v > 0"),
+      "the constraint stays in force")
+    // a CLEAN batch staged pre-ADD revalidates and lands
+    VersionedTable.append(Seq((3L, 5L)).toDF("k", "v"), root,
+      beforeCommit = () =>
+        VersionedTable.addConstraint(spark, root, "k_pos", "k > 0"))
+    assert(VersionedTable.read(spark, root).count() == 2L)
+  }
+
+  test("constraint-commit protocol, interleaving B: a violating append " +
+    "committing between the ADD's validation and its CAS makes the " +
+    "ADD lose and re-validate — refused, constraint never in force") {
+    import spark.implicits._
+    val root = tmpRoot()
+    VersionedTable.overwrite(Seq((1L, 10L)).toDF("k", "v"), root)
+    var fired = false
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.addConstraint(spark, root, "v_pos", "v > 0",
+        beforeCommit = () => if (!fired) {
+          fired = true // the violating write wins the CAS first
+          VersionedTable.append(Seq((2L, -5L)).toDF("k", "v"), root)
+          ()
+        })
+    }
+    assert(e.getMessage.contains("existing rows violate"), e.getMessage)
+    assert(VersionedTable.constraints(root).isEmpty,
+      "the refused constraint must not be in force")
+    assert(VersionedTable.read(spark, root).count() == 2L,
+      "the append serialized BEFORE the (refused) ADD — it stands")
+  }
+
+  test("real-thread race: ADD CONSTRAINT vs a violating append never " +
+    "yields a committed violation, whichever side wins") {
+    import spark.implicits._
+    (1 to 6).foreach { i =>
+      val root = tmpRoot() + s"_$i"
+      VersionedTable.overwrite(Seq((1L, 10L)).toDF("k", "v"), root)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      def guarded(f: => Unit) = new Thread(() => {
+        gate.await()
+        try f catch { case t: Throwable => errs.add(t); () }
+      })
+      val tAdd = guarded(
+        VersionedTable.addConstraint(spark, root, "v_pos", "v > 0"))
+      val tApp = guarded {
+        VersionedTable.append(Seq((2L, -5L)).toDF("k", "v"), root); ()
+      }
+      tAdd.start(); tApp.start(); gate.countDown()
+      tAdd.join(); tApp.join()
+      val constraintHeld =
+        VersionedTable.constraints(root).contains("v_pos")
+      val violations = VersionedTable.read(spark, root)
+        .filter(col("v") <= 0).count()
+      // the serializable invariant — exactly one side prevailed
+      assert(!constraintHeld || violations == 0L,
+        s"iteration $i: constraint in force WITH a committed violation " +
+          s"(errors seen: ${errs.size})")
+      assert(constraintHeld || violations == 1L,
+        s"iteration $i: both sides failed — the race must have a winner")
+    }
+  }
 }
