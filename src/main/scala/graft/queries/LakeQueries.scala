@@ -1733,6 +1733,76 @@ object LakeQueries extends QueryModule {
                CAST(1 AS BIGINT) AS write_fenced_ok
         FROM u GROUP BY 1 ORDER BY 1""")),
 
+    // IDENTITY columns (the Delta GENERATED ALWAYS AS IDENTITY role —
+    // the transactional fix for the reference's surrogate-key
+    // protocol, to_silver.py:106,130-132): the high-water mark lives
+    // in the manifest and keys are allocated INSIDE the commit's CAS,
+    // so two interleaved appends get dense, disjoint ranges — the
+    // second appender loses the race, re-reads the winner's mark, and
+    // re-stages above it. Batches are single-partition and sorted by
+    // o_orderkey, so the assignment is deterministic and the oracle
+    // REPLAYS it with row_number arithmetic; sum_k per status pins the
+    // exact key→row mapping, dense_ok pins density end to end.
+    "q328_identity" -> Q(
+      bench = false,
+      run = (s, dir) => {
+        val VT = graft.sources.VersionedTable
+        val root = tempRoot("graft_vt_id").resolve("t").toString
+        val name = "gsql_id"
+        val orders = Tables(s, dir, "orders")
+        VT.overwrite(
+          orders.select(col("o_orderkey").as("k"),
+            col("o_orderstatus"), col("o_totalprice"))
+            .repartitionByRange(4, col("k")),
+          root)
+        graft.sources.GraftSql.register(s, name, root)
+        graft.sources.GraftSql.execute(s,
+          s"ALTER TABLE $name ALTER COLUMN k SET GENERATED ALWAYS " +
+            "AS IDENTITY")
+        val hw0 = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+        def batch(mod: Int) = orders
+          .filter(col("o_orderkey") % mod === 0)
+          .repartition(1).sortWithinPartitions("o_orderkey")
+          .select(col("o_orderstatus"), col("o_totalprice"))
+        // append A stages first but LOSES its commit race to B — the
+        // identity path re-reads B's advanced mark and re-stages
+        var raced = false
+        VT.append(batch(3), root, beforeCommit = () => if (!raced) {
+          raced = true
+          VT.append(batch(7), root)
+          ()
+        })
+        val appended = VT.read(s, root).filter(col("k") > hw0)
+          .localCheckpoint(true)
+        val ks = appended.agg(count(lit(1)), min(col("k")), max(col("k")))
+          .head()
+        val denseOk = ks.getLong(1) == hw0 + 1 &&
+          ks.getLong(2) == hw0 + ks.getLong(0)
+        appended.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("k")).cast("long").as("sum_k"))
+          .withColumn("dense_ok", lit(if (denseOk) 1L else 0L))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some("""
+        WITH hw AS (SELECT MAX(o_orderkey) AS h FROM orders),
+        nb AS (SELECT COUNT(*) AS c FROM orders WHERE o_orderkey % 7 = 0),
+        b AS (
+          SELECT o_orderstatus,
+                 ROW_NUMBER() OVER (ORDER BY o_orderkey)
+                   + (SELECT h FROM hw) AS k
+          FROM orders WHERE o_orderkey % 7 = 0),
+        a AS (
+          SELECT o_orderstatus,
+                 ROW_NUMBER() OVER (ORDER BY o_orderkey)
+                   + (SELECT h FROM hw) + (SELECT c FROM nb) AS k
+          FROM orders WHERE o_orderkey % 3 = 0),
+        u AS (SELECT * FROM b UNION ALL SELECT * FROM a)
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               CAST(1 AS BIGINT) AS dense_ok
+        FROM u GROUP BY 1 ORDER BY 1""")),
+
     // ALTER TABLE RENAME/DROP COLUMN (the Delta column-mapping role):
     // both are METADATA-ONLY commits — files_ok pins the identical
     // file listing across both ALTERs (zero data moved at any table

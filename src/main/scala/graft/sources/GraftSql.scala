@@ -286,6 +286,13 @@ object GraftSql {
     ("""(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ALTER\s+""" +
       """COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+(?:SET\s+DATA\s+)?TYPE\s+""" +
       """([A-Za-z0-9_(), ]+?)\s*;?\s*""").r
+  // ALTER COLUMN c SET GENERATED ALWAYS AS IDENTITY [START WITH n] —
+  // the Delta identity-column role: the high-water mark lives in the
+  // manifest and keys are allocated inside the commit
+  private val SetIdentitySql =
+    ("""(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ALTER\s+""" +
+      """COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+GENERATED\s+ALWAYS\s+""" +
+      """AS\s+IDENTITY(?:\s+START\s+WITH\s+(-?\d+))?\s*;?\s*""").r
   // ALTER COLUMN c SET DEFAULT <expr> / DROP DEFAULT — the Delta
   // column-default role: unlisted INSERT columns fill the expression
   private val SetDefaultSql =
@@ -458,6 +465,10 @@ object GraftSql {
     case DropDefaultSql(t, c) =>
       val v = VersionedTable.alterDropDefault(spark, rootOf(t), c)
       result(spark, "DROP DEFAULT", t, v, -1L)
+    case SetIdentitySql(t, c, start) =>
+      val v = VersionedTable.alterSetIdentity(spark, rootOf(t), c,
+        Option(start).map(_.toLong).getOrElse(1L))
+      result(spark, "SET IDENTITY", t, v, -1L)
     case OptimizeSql(t, zcols) =>
       val root = rootOf(t)
       val v =
@@ -694,7 +705,21 @@ object GraftSql {
     // the DECLARED schema (metadata kept): unlisted columns fill their
     // declared DEFAULT, not bare NULL
     val schema = VersionedTable.writeSchema(spark, root)
+    // GENERATED ALWAYS AS IDENTITY: the engine assigns the column —
+    // an INSERT may not list it (and a list-free INSERT on an identity
+    // table is refused with guidance, since its positional mapping
+    // would have to cover it); the aligned frame simply omits it and
+    // append()'s transactional fill takes over
+    val idCol = VersionedTable.identityColumnOf(schema).map(_.name)
     val target = cols.getOrElse(schema.fieldNames.toSeq)
+    idCol.foreach { c =>
+      require(!target.exists(_.equalsIgnoreCase(c)),
+        s"column $c is GENERATED ALWAYS AS IDENTITY — omit it from the " +
+          "INSERT (use an explicit column list without it)")
+      require(replacePred.isEmpty,
+        "INSERT REPLACE WHERE is not supported on identity tables — " +
+          "the replaced rows' keys cannot be reassigned in place")
+    }
     target.foreach(c => require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
       s"INSERT column '$c' not in table $t"))
     require(target.map(_.toLowerCase).distinct.length == target.length,
@@ -706,7 +731,8 @@ object GraftSql {
     // pinned once — the count and the append must see the SAME rows
     // (a non-deterministic source evaluated twice could write rows the
     // reported count never saw), and a large SELECT must not run twice
-    val aligned = src.select(schema.fields.toSeq.map { f =>
+    val aligned = src.select(schema.fields.toSeq
+      .filterNot(f => idCol.exists(_.equalsIgnoreCase(f.name))).map { f =>
       byPos.get(f.name.toLowerCase) match {
         case Some(c) => col(c).cast(f.dataType).as(f.name)
         case None => VersionedTable.defaultOrNull(f).as(f.name)

@@ -191,7 +191,7 @@ object VersionedTable {
         // resolution stays txn-blind, like full manifests
         base = rawCheckpointLines(root, cur).filterNot(l =>
           l.startsWith(TxnPrefix) || l.startsWith(FeaturePrefix) ||
-            l.startsWith(ConstraintPrefix) ||
+            l.startsWith(ConstraintPrefix) || l.startsWith(IdentityPrefix) ||
             l == PreservingMarker || l == DeclaredMarker)
       } else {
         val lines = readManifest(root, cur)
@@ -201,7 +201,7 @@ object VersionedTable {
           cur -= 1
         } else base = lines.filterNot(l =>
           l.startsWith(TxnPrefix) || l.startsWith(FeaturePrefix) ||
-            l.startsWith(ConstraintPrefix) ||
+            l.startsWith(ConstraintPrefix) || l.startsWith(IdentityPrefix) ||
             l == PreservingMarker || l == DeclaredMarker)
       }
     }
@@ -265,7 +265,8 @@ object VersionedTable {
     val listing = readListing(root, v) ++
       (TxnCkptMarker +: txnStateAt(root, v)) ++
       (FeatCkptMarker +: featureLinesAt(root, v)) ++
-      (ConstraintCkptMarker +: constraintOpLinesAt(root, v))
+      (ConstraintCkptMarker +: constraintOpLinesAt(root, v)) ++
+      (IdentityCkptMarker +: identityLinesAt(root, v))
     val tmp = Files.createTempFile(logDir(root).toPath, s"_ckpt$v", ".inprogress")
     Files.write(tmp, listing.mkString("\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, checkpointFile(root, v).toPath,
@@ -1097,6 +1098,19 @@ object VersionedTable {
     // BEFORE reading it — commitWithRetry's guard revalidates exactly
     // when a #constraint commit lands above this mark
     latestVersion(root).foreach(b => stagedConstraintBase.get()(root) = b)
+    // an identity table's appended batches must carry the (engine-
+    // assigned) column — a writer staging WITHOUT it would land null
+    // keys no high-water mark covers. append() fills it; other
+    // append-family verbs direct there. Overwrite-family staging
+    // (mapNames = false) is a declaration boundary and exempt.
+    if (mapNames)
+      latestVersion(root)
+        .map(v => logicalSchemaAt(df0.sparkSession, root, v))
+        .flatMap(identityColumnOf)
+        .filterNot(f => df0.columns.exists(_.equalsIgnoreCase(f.name)))
+        .foreach(f => sys.error(
+          s"table at $root declares identity column ${f.name}: write " +
+            "through append()/INSERT (the engine assigns the keys)"))
     val df1 = enforceConstraints(df0, root)
     val df = if (mapNames) toPhysicalStage(df1, root) else df1
     // a Hive-partitioned table's values live in the PATH; flat staging
@@ -1193,6 +1207,7 @@ object VersionedTable {
       lines.tail.collect { case l if l.startsWith("+\t") => l.drop(2) }
     else lines.filterNot(l => l.startsWith(TxnPrefix) ||
       l.startsWith(FeaturePrefix) || l.startsWith(ConstraintPrefix) ||
+      l.startsWith(IdentityPrefix) ||
       l == PreservingMarker || l == DeclaredMarker)
 
   /** Re-validate STAGED (not yet committed) lines against the
@@ -1477,7 +1492,8 @@ object VersionedTable {
     * schema change that didn't persist must fail, and the
     * listing-identical manifest is harmless to leave behind). */
   private def commitAlterDeclaration(root: String, maxRetries: Int,
-      features: Seq[(String, String)] = Seq.empty)(
+      features: Seq[(String, String)] = Seq.empty,
+      stateLines: Long => Seq[String] = _ => Seq.empty)(
       declare: Long => (Seq[org.apache.spark.sql.types.StructField],
         Option[Seq[String]])): Long = {
     import org.apache.spark.sql.types.StructType
@@ -1514,7 +1530,8 @@ object VersionedTable {
             commitManifest(root, v,
               deltaContent(Seq.empty, Seq.empty) ++
                 Seq(PreservingMarker, DeclaredMarker) ++
-                newFeatureLines(root, base, features))
+                newFeatureLines(root, base, features) ++
+                stateLines(base))
             true
           } catch {
             case e: java.nio.file.FileAlreadyExistsException =>
@@ -1560,6 +1577,9 @@ object VersionedTable {
       val fields = logicalSchemaAt(spark, root, base).fields
       val f = fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
         sys.error(s"no column $from in table at $root"))
+      require(!f.metadata.contains(IdentityKey),
+        s"cannot rename identity column $from: the high-water mark is " +
+          "keyed by name — drop the identity property first")
       require(!fields.exists(_.name.equalsIgnoreCase(to)),
         s"column $to already exists in the table")
       val phys = physicalName(f)
@@ -1734,6 +1754,9 @@ object VersionedTable {
       val fields = logicalSchemaAt(spark, root, base).fields
       val f = fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
         sys.error(s"no column $name in table at $root"))
+      require(!f.metadata.contains(IdentityKey),
+        s"cannot retype identity column $name: allocation is keyed by " +
+          "the declared type — drop the identity property first")
       require(f.dataType != to,
         s"column $name is already ${to.simpleString}")
       require(isWideningCast(f.dataType, to),
@@ -1775,6 +1798,199 @@ object VersionedTable {
                   root: String): org.apache.spark.sql.types.StructType =
     logicalSchemaAt(spark, root,
       latestVersion(root).getOrElse(sys.error(s"no versions at $root")))
+
+  // -------------------------------------------------------------------
+  // IDENTITY columns (the Delta GENERATED ALWAYS AS IDENTITY role —
+  // the TRANSACTIONAL fix for the reference's surrogate-key protocol,
+  // to_silver.py:106,130-132: its max-key probe + row_number, ported
+  // faithfully in operators/KeyGen.scala, sits OUTSIDE any commit, so
+  // two concurrent appenders can mint colliding keys). Here the
+  // high-water mark lives in the manifest (`#identity\t<col>\t<hw>`
+  // state line) and allocation happens INSIDE the commit: the filled
+  // rows and the new mark land in one atomic CAS, a lost race re-reads
+  // the winner's mark and re-stages with fresh keys — dense and
+  // collision-free by construction, at any writer count.
+  // -------------------------------------------------------------------
+
+  /** StructField-metadata key marking a column GENERATED ALWAYS AS
+    * IDENTITY (value = the declared START WITH, informational). */
+  val IdentityKey = "graft.identity"
+
+  private[sources] val IdentityPrefix = "#identity"
+
+  /** Aggregation-boundary marker, as [[FeatCkptMarker]]. */
+  private[sources] val IdentityCkptMarker = s"$IdentityPrefix-aware\t1"
+
+  private def identityLine(c: String, hw: Long): String =
+    s"$IdentityPrefix\t${c.toLowerCase}\t$hw"
+
+  /** The declared identity column of `schema`, if any (at most one —
+    * [[alterSetIdentity]] enforces it). */
+  def identityColumnOf(schema: org.apache.spark.sql.types.StructType)
+      : Option[org.apache.spark.sql.types.StructField] =
+    schema.fields.find(_.metadata.contains(IdentityKey))
+
+  /** The identity high-water mark of `col` as of version `v` (the
+    * highest key allocated at-or-below it): newest `#identity` line
+    * wins; any checkpoint bounds the walk (identity lines cannot
+    * predate this protocol); aware checkpoints carry the mark across
+    * vacuum. */
+  def identityHighWater(root: String, v: Long,
+                        col: String): Option[Long] = {
+    val prefix = s"$IdentityPrefix\t${col.toLowerCase}\t"
+    def hitIn(lines: Seq[String]): Option[Long] = lines.collectFirst {
+      case l if l.startsWith(prefix) => l.substring(prefix.length).toLong
+    }
+    val existing = versions(root).toSet
+    var cur = v
+    while (cur >= 0 && existing.contains(cur)) {
+      val hit = hitIn(readManifest(root, cur))
+      if (hit.isDefined) return hit
+      if (cur != v && checkpointFile(root, cur).exists())
+        return hitIn(rawCheckpointLines(root, cur))
+      cur -= 1
+    }
+    None
+  }
+
+  /** Every column's newest identity mark at `v`, for checkpoint
+    * carry. */
+  private def identityLinesAt(root: String, v: Long): Seq[String] = {
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def absorb(lines: Seq[String]): Unit = lines.foreach { l =>
+      if (l.startsWith(IdentityPrefix + "\t")) {
+        val parts = l.split('\t')
+        if (parts.length == 3 && !seen.contains(parts(1)))
+          seen(parts(1)) = parts(2).toLong
+      }
+    }
+    val existing = versions(root).toSet
+    var cur = v
+    var stop = false
+    while (!stop && cur >= 0 && existing.contains(cur)) {
+      absorb(readManifest(root, cur))
+      if (cur != v && checkpointFile(root, cur).exists()) {
+        absorb(rawCheckpointLines(root, cur))
+        stop = true
+      }
+      cur -= 1
+    }
+    seen.toSeq.map { case (c, hw) => identityLine(c, hw) }
+  }
+
+  /** `ALTER TABLE ... ALTER COLUMN c SET GENERATED ALWAYS AS IDENTITY
+    * [START WITH n]`: declares the column engine-assigned. The
+    * declaring commit seeds the high-water mark at
+    * max(existing values, startWith − 1) — computed against the same
+    * base version the CAS wins, so pre-existing keys can never
+    * collide with future allocations. Integral columns only; at most
+    * one identity column per table; partition columns, renames, and
+    * type changes of identity columns refuse (the mark is keyed by
+    * name and allocation is keyed by type). */
+  def alterSetIdentity(spark: SparkSession, root: String, name: String,
+                       startWith: Long = 1L, maxRetries: Int = 5): Long = {
+    import org.apache.spark.sql.types._
+    require(!partitionSchema(root).fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"cannot make partition column $name an identity column " +
+        "(values live in paths)")
+    commitAlterDeclaration(root, maxRetries,
+      features = Seq(("w", "identity-columns")),
+      stateLines = base => {
+        // the seed scan pins to BASE — the version this attempt's CAS
+        // serializes against; a lost race recomputes against the new
+        // base, so an interleaved append's keys are always covered
+        val existingMax = readVersion(spark, root, base)
+          .agg(max(col(name).cast("long"))).head() match {
+            case r if r.isNullAt(0) => None
+            case r => Some(r.getLong(0))
+          }
+        Seq(identityLine(name,
+          math.max(existingMax.getOrElse(Long.MinValue), startWith - 1L)))
+      }) { base =>
+      val fields = logicalSchemaAt(spark, root, base).fields
+      val f = fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        sys.error(s"no column $name in table at $root"))
+      f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => ()
+        case dt => sys.error(
+          s"identity column $name must be integral, got ${dt.simpleString}")
+      }
+      identityColumnOf(StructType(fields)).foreach(g =>
+        sys.error(s"table already has identity column ${g.name} — " +
+          "at most one per table"))
+      (fields.map { g =>
+        if (!g.name.equalsIgnoreCase(name)) g
+        else g.copy(nullable = false, metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(g.metadata)
+            .putString(IdentityKey, startWith.toString).build())
+      }.toSeq, None)
+    }
+  }
+
+  /** GENERATED ALWAYS AS IDENTITY append: fill `c` with
+    * hw+1 … hw+n and commit rows + the advanced mark atomically.
+    * Dense two-pass numbering (per-partition counts, then
+    * partition-offset row_number — no global sort, the scale path the
+    * reference's global-window protocol lacks); keys follow the
+    * batch's partition-row order, so sort-and-coalesce the batch
+    * first when a specific order matters. A lost CAS deletes the
+    * staged files and re-stages against the winner's mark — retries
+    * cost O(batch), the price of density under contention. */
+  private def appendIdentity(df0: DataFrame, root: String, c: String,
+                             beforeCommit: () => Unit,
+                             maxRetries: Int = 5): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df0.sparkSession
+    val declared = writeSchema(spark, root)
+    val f = declared.fields.find(_.name.equalsIgnoreCase(c)).get
+    // pinned: the per-partition counts and the numbering pass must see
+    // the same rows in the same partition order
+    val df = df0.localCheckpoint(true)
+    val withPid = df.withColumn("__graft_pid", spark_partition_id())
+    val counts = withPid.groupBy(col("__graft_pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2).init).toMap
+    var attempt = 0
+    while (true) {
+      val base = latestVersion(root).getOrElse(
+        sys.error(s"no versions at $root"))
+      val hw = identityHighWater(root, base, f.name).getOrElse(sys.error(
+        s"identity column ${f.name} at $root has no recorded high-water " +
+          "mark — the declaring commit always seeds one; was the chain " +
+          "hand-edited?"))
+      val filled =
+        if (n == 0L) withPid.drop("__graft_pid")
+          .withColumn(f.name, lit(null).cast(f.dataType))
+        else withPid
+          .withColumn("__graft_mid", monotonically_increasing_id())
+          .withColumn(f.name,
+            (row_number().over(Window.partitionBy(col("__graft_pid"))
+              .orderBy(col("__graft_mid"))).cast("long") +
+              element_at(typedLit(offsets), col("__graft_pid")) +
+              lit(hw)).cast(f.dataType))
+          .drop("__graft_pid", "__graft_mid")
+      val staged = stageDataFiles(filled, root, base + 1)
+      val lines = statLines(spark, staged, autoStatsCols(filled), root)
+      beforeCommit()
+      try {
+        val v = commitManifest(root, base + 1,
+          deltaContent(Seq.empty, lines) :+ identityLine(f.name, hw + n))
+        maybeCheckpoint(root, v)
+        return v
+      } catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          // the winner may have advanced the mark — these keys are void
+          staged.foreach(p =>
+            Files.deleteIfExists(new File(pathOf(p)).toPath))
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
 
   /** `lowercased name -> DEFAULT expression text` of the current
     * declaration — O(one sidecar read), session-free: the accessor
@@ -3279,6 +3495,16 @@ object VersionedTable {
     * [[autoStatsCols]] stats by default. */
   def append(df: DataFrame, root: String,
              beforeCommit: () => Unit = () => ()): Long = {
+    // GENERATED ALWAYS AS IDENTITY tables route through the
+    // transactional fill; batches may not supply the column themselves
+    latestVersion(root).map(v => logicalSchemaAt(df.sparkSession, root, v))
+      .flatMap(identityColumnOf) match {
+      case Some(f) if df.columns.exists(_.equalsIgnoreCase(f.name)) =>
+        sys.error(s"column ${f.name} is GENERATED ALWAYS AS IDENTITY — " +
+          "the engine assigns it; drop it from the batch")
+      case Some(f) => return appendIdentity(df, root, f.name, beforeCommit)
+      case None => ()
+    }
     val staged = stageDataFiles(df, root, nextVersion(root))
     val lines = statLines(df.sparkSession, staged, autoStatsCols(df), root)
     beforeCommit() // race-injection seam (fires between stage and CAS)
@@ -3992,6 +4218,16 @@ object VersionedTable {
       insertClause.foreach(i => i.values.keys.foreach(k =>
         require(outCols.exists(_.equalsIgnoreCase(k)),
           s"INSERT column '$k' not in table")))
+      // GENERATED ALWAYS AS IDENTITY: merge-INSERT would have to fill
+      // the identity column (NULL/default — both wrong) or let the
+      // source supply it (forbidden). The transactional fill lives on
+      // the append path; refuse here rather than mint unsound keys.
+      if (insertClause.nonEmpty)
+        identityColumnOf(logicalSchemaAt(spark, root, base)).foreach(f =>
+          sys.error(
+          s"table declares identity column ${f.name}: MERGE INSERT " +
+            "clauses are not supported — split the not-matched rows " +
+            "out and append() them (the engine assigns the keys)"))
       bySourceClauses.collectFirst { case u: UpdateBySource => u }
         .foreach(u => u.set.keys.foreach(k =>
           require(outCols.exists(_.equalsIgnoreCase(k)),
@@ -4301,6 +4537,7 @@ object VersionedTable {
             !lines.tail.forall(l =>
               l.startsWith("+\t") || l.startsWith("-\t") ||
                 l.startsWith(TxnPrefix) || l.startsWith(FeaturePrefix) ||
+                l.startsWith(IdentityPrefix) ||
                 l == PreservingMarker)) ok = false
         else {
           val adds = lines.tail.collect {
@@ -4904,7 +5141,8 @@ object VersionedTable {
     // constraint added (or a legacy one dropped) through the commit
     // protocol must bind/unbind the clone's writers too
     commitManifest(dst, 0, readListing(src, base) ++
-      featureLinesAt(src, base) ++ constraintOpLinesAt(src, base))
+      featureLinesAt(src, base) ++ constraintOpLinesAt(src, base) ++
+      identityLinesAt(src, base))
   }
 
   /** Merge an APPEND-ONLY branch (created by [[shallowClone]]) back

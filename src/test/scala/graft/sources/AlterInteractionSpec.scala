@@ -85,4 +85,76 @@ class AlterInteractionSpec extends SparkSuite {
     assert(VersionedTable.read(spark, root).filter(col("k") === 3L)
       .head().getLong(1) == 99L)
   }
+
+  test("identity × rename/widen: OTHER columns stay alterable on an " +
+    "identity table and the fill keeps working through the mapping; " +
+    "the identity column itself refuses both verbs") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_ai4").resolve("t").toString
+    VersionedTable.overwrite(
+      Seq((1L, "a", 10)).toDF("k", "s", "n")
+        .select(col("k"), col("s"), col("n").cast(IntegerType).as("n")),
+      root)
+    VersionedTable.alterSetIdentity(spark, root, "k")
+    // rename + widen a NON-identity column — the declaration chain and
+    // the identity fill must compose
+    VersionedTable.alterRenameColumn(spark, root, "s", "label")
+    VersionedTable.alterWidenColumn(spark, root, "n", LongType)
+    VersionedTable.append(
+      Seq(("b", 5000000000L)).toDF("label", "n").coalesce(1), root)
+    val rows = VersionedTable.read(spark, root).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getAs[String]("label"),
+        r.getAs[Long]("n"))).toSeq
+    assert(rows == Seq((1L, "a", 10L), (2L, "b", 5000000000L)),
+      rows.toString)
+    // the identity column itself refuses rename and widen (the mark is
+    // keyed by name, allocation by declared type)
+    val e1 = intercept[Exception] {
+      VersionedTable.alterRenameColumn(spark, root, "k", "kk")
+    }
+    assert(e1.getMessage.contains("identity"), e1.getMessage)
+    // widen refusal needs an INT identity column
+    val root2 = Files.createTempDirectory("graft_ai5").resolve("t").toString
+    VersionedTable.overwrite(Seq((1, "a")).toDF("k", "s")
+      .select(col("k").cast(IntegerType).as("k"), col("s")), root2)
+    VersionedTable.alterSetIdentity(spark, root2, "k")
+    val e2 = intercept[Exception] {
+      VersionedTable.alterWidenColumn(spark, root2, "k", LongType)
+    }
+    assert(e2.getMessage.contains("identity"), e2.getMessage)
+  }
+
+  test("protocol-feature × time-travel: a fence commits ABOVE altered " +
+    "history — old versions keep serving their declarations, a clone " +
+    "of a pre-fence version opens, a clone of the fenced head refuses") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_ai6").resolve("t").toString
+    VersionedTable.overwrite(
+      Seq((1, 10L), (2, 20L)).toDF("n", "v")
+        .select(col("n").cast(IntegerType).as("n"), col("v")), root) // v0
+    VersionedTable.alterRenameColumn(spark, root, "n", "num")        // v1
+    VersionedTable.alterWidenColumn(spark, root, "num", LongType)    // v2
+    VersionedTable.requireFeature(root, "r", "future-codec-x9")      // v3
+    // pre-fence versions: full declaration stack intact
+    val v2 = VersionedTable.readVersion(spark, root, 2L)
+    assert(v2.schema("num").dataType == LongType)
+    assert(VersionedTable.readVersion(spark, root, 0L)
+      .schema.fieldNames.toSeq == Seq("n", "v"))
+    intercept[RuntimeException] { VersionedTable.read(spark, root).count() }
+    // a clone PINNED below the fence inherits features as of THAT
+    // version (column-mapping + widening, not the fence) and serves
+    val dst = Files.createTempDirectory("graft_ai7").resolve("c").toString
+    VersionedTable.shallowCloneAt(root, dst, Some(2L))
+    assert(VersionedTable.requiredFeatures(dst, 0L)._1 ==
+      Set("column-mapping", "type-widening"))
+    assert(VersionedTable.read(spark, dst)
+      .agg(sum(col("num"))).head().getLong(0) == 3L)
+    // a clone of the fenced HEAD carries the fence — and refuses
+    val dst2 = Files.createTempDirectory("graft_ai8").resolve("c").toString
+    VersionedTable.shallowCloneAt(root, dst2, Some(3L))
+    val e = intercept[RuntimeException] {
+      VersionedTable.read(spark, dst2).count()
+    }
+    assert(e.getMessage.contains("future-codec-x9"), e.getMessage)
+  }
 }

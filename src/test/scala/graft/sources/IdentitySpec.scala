@@ -1,0 +1,168 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.SparkSuite
+
+/** IDENTITY columns (the Delta GENERATED ALWAYS AS IDENTITY role — the
+  * transactional fix for the reference's max-key continuation
+  * protocol, to_silver.py:106,130-132): the high-water mark lives in
+  * the manifest, allocation happens inside the commit's CAS, so
+  * concurrent appenders can never mint colliding keys; assignments
+  * stay dense. */
+class IdentitySpec extends SparkSuite {
+
+  private def freshTable(): String = {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_id").resolve("t").toString
+    // pre-existing keys 1-5 (hand-assigned history, reference-style)
+    VersionedTable.overwrite(
+      (1L to 5L).map(i => (i, s"s$i")).toDF("k", "s"), root)
+    root
+  }
+
+  test("SET GENERATED ALWAYS AS IDENTITY seeds the mark at the " +
+    "existing max; appends fill dense keys; supplying the column " +
+    "refuses; stats-path appends without it refuse with guidance") {
+    import spark.implicits._
+    val root = freshTable()
+    VersionedTable.alterSetIdentity(spark, root, "k")
+    assert(VersionedTable.identityHighWater(
+      root, VersionedTable.latestVersion(root).get, "k").contains(5L))
+    // the batch has no k: the engine assigns 6, 7 (sorted single
+    // partition → deterministic order)
+    VersionedTable.append(
+      Seq("x", "y").toDF("s").orderBy("s").coalesce(1), root)
+    val got = VersionedTable.read(spark, root)
+      .filter(col("s").isin("x", "y")).orderBy("s").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("s"))).toSeq
+    assert(got == Seq((6L, "x"), (7L, "y")), got.toString)
+    // GENERATED ALWAYS: a batch carrying k refuses
+    val e = intercept[RuntimeException] {
+      VersionedTable.append(Seq((99L, "z")).toDF("k", "s"), root)
+    }
+    assert(e.getMessage.contains("GENERATED ALWAYS"), e.getMessage)
+    // the stats-path append without the column refuses with guidance
+    val e2 = intercept[RuntimeException] {
+      VersionedTable.appendWithStats(Seq(("w")).toDF("s"), root)
+    }
+    assert(e2.getMessage.contains("identity column k"), e2.getMessage)
+    // refusal matrix: non-integral, second identity, rename, widen
+    intercept[Exception] {
+      VersionedTable.alterSetIdentity(spark, root, "s")
+    }
+    VersionedTable.alterAddColumns(spark, root,
+      Seq(org.apache.spark.sql.types.StructField("k2", LongType)))
+    intercept[Exception] {
+      VersionedTable.alterSetIdentity(spark, root, "k2")
+    }
+    val er = intercept[Exception] {
+      VersionedTable.alterRenameColumn(spark, root, "k", "kk")
+    }
+    assert(er.getMessage.contains("identity"), er.getMessage)
+  }
+
+  test("racing appenders never mint the same key: real threads, keys " +
+    "dense and disjoint") {
+    import spark.implicits._
+    val root = freshTable()
+    VersionedTable.alterSetIdentity(spark, root, "k")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to 4).map { i =>
+      new Thread(() => {
+        gate.await()
+        try {
+          VersionedTable.append(
+            (1 to 10).map(j => s"t${i}_$j").toDF("s"), root)
+          ()
+        } catch { case t: Throwable => errs.add(t); () }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    assert(errs.isEmpty, errs.toString)
+    val keys = VersionedTable.read(spark, root)
+      .select(col("k").cast("long")).collect().map(_.getLong(0)).sorted
+    assert(keys.length == 45 && keys.distinct.length == 45,
+      s"collision: ${keys.length} rows, ${keys.distinct.length} distinct")
+    assert(keys.toSeq == (1L to 45L),
+      s"keys must stay DENSE under contention: ${keys.take(50).toSeq}")
+  }
+
+  test("a lost CAS re-stages above the winner's mark (deterministic " +
+    "interleave); the mark survives vacuum via the checkpoint carry") {
+    import spark.implicits._
+    val root = freshTable()
+    VersionedTable.alterSetIdentity(spark, root, "k")
+    var raced = false
+    VersionedTable.append(
+      Seq("a1", "a2").toDF("s").orderBy("s").coalesce(1), root,
+      beforeCommit = () => if (!raced) {
+        raced = true // the winner takes 6, 7, 8 first
+        VersionedTable.append(
+          Seq("w1", "w2", "w3").toDF("s").orderBy("s").coalesce(1), root)
+        ()
+      })
+    val byS = VersionedTable.read(spark, root).collect()
+      .map(r => r.getAs[String]("s") -> r.getAs[Long]("k")).toMap
+    assert(byS("w1") == 6L && byS("w2") == 7L && byS("w3") == 8L)
+    assert(byS("a1") == 9L && byS("a2") == 10L,
+      s"the loser re-assigns above the winner: $byS")
+    // bury the newest identity line under identity-free commits, then
+    // vacuum them away — the checkpoint carry must preserve the mark
+    (1 to 12).foreach(i =>
+      VersionedTable.delete(spark, root, col("s") === s"gone_$i"))
+    VersionedTable.vacuum(root, retainVersions = 2)
+    VersionedTable.append(Seq("after").toDF("s"), root)
+    val k = VersionedTable.read(spark, root)
+      .filter(col("s") === "after").head().getAs[Long]("k")
+    assert(k == 11L, s"the mark must survive vacuum: got $k")
+  }
+
+  test("SQL surface: SET GENERATED ALWAYS AS IDENTITY START WITH; " +
+    "INSERT omits the column; listing it refuses; merge-INSERT refuses") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_idq").resolve("t").toString
+    VersionedTable.overwrite(
+      Seq((100L, "a", 1L)).toDF("k", "s", "v"), root)
+    val name = s"id_sql_${System.nanoTime()}"
+    GraftSql.register(spark, name, root)
+    GraftSql.execute(spark,
+      s"""ALTER TABLE $name ALTER COLUMN k SET GENERATED ALWAYS AS
+          IDENTITY START WITH 500""")
+    // existing max 100 < start-1 499 → next key 500
+    GraftSql.execute(spark, s"INSERT INTO $name (s, v) VALUES ('b', 2)")
+    val rows = VersionedTable.read(spark, root).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((100L, "a"), (500L, "b")), rows.toString)
+    val e = intercept[Exception] {
+      GraftSql.execute(spark,
+        s"INSERT INTO $name (k, s, v) VALUES (9, 'c', 3)")
+    }
+    assert(e.getMessage.contains("GENERATED ALWAYS"), e.getMessage)
+    // positional full-schema INSERT refuses with guidance
+    val e2 = intercept[Exception] {
+      GraftSql.execute(spark, s"INSERT INTO $name VALUES (9, 'c', 3)")
+    }
+    assert(e2.getMessage.contains("column list"), e2.getMessage)
+    // merge-INSERT clauses refuse (the fill lives on the append path)
+    Seq((500L, "upd", 9L)).toDF("k", "s", "v")
+      .createOrReplaceTempView("id_src")
+    GraftSql.execute(spark,
+      s"""MERGE INTO $name AS t USING id_src AS m ON t.k = m.k
+          WHEN MATCHED THEN UPDATE SET s = m.s""")
+    assert(VersionedTable.read(spark, root)
+      .filter(col("k") === 500L).head().getString(1) == "upd")
+    val e3 = intercept[Exception] {
+      GraftSql.execute(spark,
+        s"""MERGE INTO $name AS t USING id_src AS m ON t.k = m.k
+            WHEN MATCHED THEN UPDATE SET s = m.s
+            WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(e3.getMessage.contains("identity column"), e3.getMessage)
+    GraftSql.unregister(name)
+  }
+}
