@@ -849,6 +849,51 @@ object LakeQueries extends QueryModule {
           AND o_totalprice >= 1000.0
         GROUP BY 1 ORDER BY 1""")),
 
+    // TIMESTAMP_NTZ time-slice pruning (the q305 story for the
+    // zone-naive type Spark 4 promotes): manifest stats land under the
+    // dedicated __ntz_ kind — UNADJUSTED wall-clock epoch micros, the
+    // long catalyst itself stores — on both the footer fold and the
+    // job path, and an ordinary NTZ filter through scan() skips
+    // non-intersecting files AT PLAN TIME (prune_ok counts the
+    // FileIndex's selected files). __ts_ and __ntz_ never cross-prune
+    // (they differ by the writer's zone offset) — GraftScanSpec pins
+    // the doctored-manifest negatives in both directions and the
+    // zone-independence of the stats job. The oracle pins answers
+    // unchanged under the skipping.
+    "q329_ntz_prune" -> Q(
+      run = (s, dir) => {
+        val root = tempRoot("graft_vt_ntzprune").resolve("t").toString
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"),
+            expr("to_timestamp_ntz(CAST(o_orderdate AS STRING))")
+              .as("o_orderdate"),
+            col("o_orderstatus"), col("o_totalprice"))
+          .repartitionByRange(8, col("o_orderdate"))
+        graft.sources.VersionedTable.overwriteWithStats(
+          orders, root, "o_orderdate")
+        val sliced = graft.sources.VersionedTable.scan(s, root)
+          .filter(col("o_orderdate") >=
+            expr("to_timestamp_ntz('1999-01-01 00:00:00')"))
+        val scanNode = sliced.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        val pruneOk =
+          if (scanNode.nonEmpty &&
+            scanNode.head.selectedPartitions.totalNumberOfFiles < 8L) 1L
+          else 0L
+        sliced.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("prune_ok", lit(pruneOk))
+          .orderBy("o_orderstatus")
+      },
+      oracle = Some("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total,
+               CAST(1 AS BIGINT) AS prune_ok
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY 1 ORDER BY 1""")),
+
     // SQL DML surface (GraftSql — the serving layer's write side):
     // UPDATE / DELETE / INSERT INTO ... SELECT / MERGE INTO executed
     // as SQL TEXT route to the same engine paths as the Scala API

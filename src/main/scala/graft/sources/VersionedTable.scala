@@ -410,6 +410,15 @@ object VersionedTable {
   private[sources] val DatePrefix = "__dt_"
   private[sources] val DblPrefix = "__dbl_"
 
+  /** TimestampNTZType [min, max] — epoch micros of the WALL-CLOCK
+    * value with NO UTC adjustment (exactly the long catalyst stores,
+    * and exactly what an unadjusted parquet footer records). A
+    * separate kind from [[TsPrefix]] on purpose: an instant-semantics
+    * `__ts_` bound and a zone-naive `__ntz_` bound differ by the
+    * writer's zone offset — cross-pruning would skip live files (the
+    * round-12 micros-vs-seconds trap, one type over). */
+  private[sources] val NtzPrefix = "__ntz_"
+
   private def dblStatsOf(line: String): Map[String, (Double, Double)] =
     line.split('\t').drop(1).grouped(3).collect {
       case Array(c, lo, hi) if c.startsWith(DblPrefix) &&
@@ -506,14 +515,18 @@ object VersionedTable {
             // the WHOLE batch to the job path
             val kind: Char = pt.getPrimitiveTypeName match {
               case INT64 => ann match {
-                // NTZ (isAdjustedToUTC=false) bails: the job path
-                // records TimestampNTZ as a bare long cast, not a
-                // __ts_ triple — emitting micros here would break the
-                // byte-identical parity and plant inconsistent keys
                 case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
                     if ts.getUnit ==
                       LogicalTypeAnnotation.TimeUnit.MICROS &&
                       ts.isAdjustedToUTC => 't'
+                // NTZ MICROS: the footer long IS the unadjusted
+                // wall-clock micros — exactly the __ntz_ unit (the job
+                // path's to_utc_timestamp reinterpretation reads out
+                // the same value, so the two paths stay byte-identical)
+                case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                    if ts.getUnit ==
+                      LogicalTypeAnnotation.TimeUnit.MICROS &&
+                      !ts.isAdjustedToUTC => 'n'
                 case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
                   return None
                 case null => 'i'
@@ -568,6 +581,7 @@ object VersionedTable {
                 val hi = present.map(x => l(x._2)).max
                 val prefix = k match {
                   case 't' => TsPrefix + c
+                  case 'n' => NtzPrefix + c
                   case 'd' => DatePrefix + c
                   case _ => c
                 }
@@ -606,6 +620,7 @@ object VersionedTable {
       c -> relation.schema.find(_.name == c).map(_.dataType match {
         case StringType => 's'
         case TimestampType => 't'
+        case TimestampNTZType => 'n'
         case DateType => 'd'
         case DoubleType | FloatType => 'f'
         case _ => 'i'
@@ -615,6 +630,17 @@ object VersionedTable {
       val probe = kind(c) match {
         case 's' => col(c)
         case 't' => unix_micros(col(c))
+        // NTZ: assemble the unadjusted wall-clock micros from FIELD
+        // functions, which are zone-free on TimestampNTZ (casting to
+        // TIMESTAMP — even implicitly via to_utc_timestamp — would
+        // shift by the session zone; the zone-pinned spec proves it).
+        // date_part SECOND = seconds with fraction as DECIMAL(8,6) —
+        // times 1e6 is the exact micros of the sub-minute part.
+        case 'n' =>
+          unix_date(col(c).cast("date")).cast("long") * lit(86400000000L) +
+            hour(col(c)).cast("long") * lit(3600000000L) +
+            minute(col(c)).cast("long") * lit(60000000L) +
+            (date_part(lit("SECOND"), col(c)) * lit(1000000L)).cast("long")
         case 'd' => unix_date(col(c)).cast("long")
         case 'f' => col(c).cast("double")
         case _   => col(c).cast("long")
@@ -643,6 +669,7 @@ object VersionedTable {
                   s"\t${b64(r.getString(hi))}")
               case 's' => None
               case 't' => Some(s"\t$TsPrefix$c\t${r.getLong(lo)}\t${r.getLong(hi)}")
+              case 'n' => Some(s"\t$NtzPrefix$c\t${r.getLong(lo)}\t${r.getLong(hi)}")
               case 'd' => Some(s"\t$DatePrefix$c\t${r.getLong(lo)}\t${r.getLong(hi)}")
               case 'f' =>
                 val (x, y) = (r.getDouble(lo), r.getDouble(hi))
@@ -2847,6 +2874,12 @@ object VersionedTable {
     /** Typed [min, max] for a DateType column — epoch DAYS (catalyst's
       * internal date unit), recorded under [[DatePrefix]]. */
     def dateRange(c: String): Option[(Long, Long)] = stats.get(DatePrefix + c)
+
+    /** Typed [min, max] for a TimestampNTZType column — UNADJUSTED
+      * wall-clock epoch micros under [[NtzPrefix]]. Never served for
+      * TimestampType probes (and vice versa): the two kinds differ by
+      * the writer's zone offset. */
+    def ntzRange(c: String): Option[(Long, Long)] = stats.get(NtzPrefix + c)
 
     /** Decoded sketches, materialized ONCE per file on the first
       * equality probe — an IN-list over a bloom-carrying table probes

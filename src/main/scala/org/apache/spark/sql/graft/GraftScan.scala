@@ -663,6 +663,12 @@ object GraftScan {
                              name: String): Option[Option[(Long, Long)]] =
     dt match {
       case org.apache.spark.sql.types.TimestampType => Some(f.tsRange(name))
+      // NTZ literals carry unadjusted wall-clock micros — compared
+      // ONLY against the __ntz_ kind (an instant-semantics __ts_ bound
+      // differs by the writer's zone offset; cross-pruning would skip
+      // live files)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        Some(f.ntzRange(name))
       case org.apache.spark.sql.types.DateType => Some(f.dateRange(name))
       case _ => None
     }

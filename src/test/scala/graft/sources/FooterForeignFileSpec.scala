@@ -8,12 +8,12 @@ import org.apache.spark.sql.functions._
 import graft.SparkSuite
 
 /** The driver-side footer-stat fold must BAIL (fall back to the Spark
-  * job path) on footer shapes Spark never writes but foreign writers
-  * legally can: unsigned integer annotations (whose min/max would fold
-  * mis-ordered as signed longs → wrong pruning) and TIMESTAMP_NTZ
-  * (whose job-path stat is a bare long cast, not a `__ts_` triple —
-  * a footer-emitted micros stat would break the byte-identical parity
-  * the fold promises). */
+  * job path) on footer shapes it cannot fold faithfully: unsigned
+  * integer annotations (whose min/max would fold mis-ordered as signed
+  * longs → wrong pruning) and NANOS timestamps. TIMESTAMP_NTZ at
+  * MICROS folds since round 15 — the footer long IS the unadjusted
+  * wall-clock micros the `__ntz_` kind records, byte-identical to the
+  * job path's zone-free field arithmetic. */
 class FooterForeignFileSpec extends SparkSuite {
 
   private def tmpDir(): File =
@@ -53,8 +53,8 @@ class FooterForeignFileSpec extends SparkSuite {
       "an unsigned annotation must not fold as signed longs")
   }
 
-  test("TIMESTAMP_NTZ bails the footer fold (job-path stat is a bare " +
-    "long cast, not __ts_ micros)") {
+  test("TIMESTAMP_NTZ at MICROS folds from footers as __ntz_ " +
+    "(unadjusted wall-clock micros); NANOS still bails") {
     val d = tmpDir()
     spark.range(4)
       .withColumn("ts", to_timestamp_ntz(
@@ -62,7 +62,30 @@ class FooterForeignFileSpec extends SparkSuite {
       .coalesce(1).write.mode("overwrite").parquet(d.getPath)
     val files = parquetFilesIn(d)
     assert(files.nonEmpty)
-    assert(VersionedTable.footerStatLines(files, Seq("ts"), Map.empty).isEmpty)
+    val folded = VersionedTable.footerStatLines(files, Seq("ts"), Map.empty)
+    assert(folded.isDefined, "NTZ MICROS must fold driver-side")
+    val lo = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    val hi = java.time.LocalDateTime.of(2024, 1, 4, 0, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    assert(folded.get.head.contains(s"\t__ntz_ts\t$lo\t$hi"),
+      s"unadjusted micros expected: ${folded.get.head}")
+    // NANOS (foreign writers; Spark never stages it) still bails
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.MessageTypeParser
+    val schema = MessageTypeParser.parseMessageType(
+      "message m { required int64 ts (TIMESTAMP(NANOS,false)); }")
+    val out = new File(tmpDir(), "n.parquet")
+    val w = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(out.getPath))
+      .withType(schema).build()
+    val f = new SimpleGroupFactory(schema)
+    try w.write(f.newGroup().append("ts", 1700000000000000000L))
+    finally w.close()
+    assert(VersionedTable.footerStatLines(
+      Seq(out.getPath), Seq("ts"), Map.empty).isEmpty,
+      "NANOS timestamps must bail the fold")
   }
 
   test("control: signed long + UTC timestamp still fold from footers") {

@@ -335,6 +335,79 @@ class GraftScanSpec extends SparkSuite {
       "bare-name long stats must never prune a timestamp predicate")
   }
 
+  test("TimestampNTZ stats prune through the __ntz_ kind — unadjusted " +
+    "wall-clock micros on BOTH stat paths, zone-independent; __ts_ and " +
+    "__ntz_ never cross-prune") {
+    import spark.implicits._
+    def ntzRows = (0 until 400).map { i =>
+      (i.toLong, f"2024-${i / 100 + 1}%02d-10 12:30:00")
+    }.toDF("k", "s")
+      .withColumn("ts", expr("to_timestamp_ntz(s)"))
+      .repartitionByRange(4, col("k"))
+    // expected UNADJUSTED micros of the global minimum wall-clock value
+    val minMicros = java.time.LocalDateTime.of(2024, 1, 10, 12, 30)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    def manifestText(root: String) = new String(
+      java.nio.file.Files.readAllBytes(
+        new java.io.File(root, "_log/000000000000.manifest").toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    // footer-fold path: (k, ts) only — all columns footer-exact
+    val rootF = tmpRoot()
+    VersionedTable.overwriteWithStats(
+      ntzRows.drop("s"), rootF, "k", "ts")
+    // job path: the string stats column disqualifies the footer fold;
+    // a non-UTC session zone pins zone-independence of the probe
+    val rootJ = tmpRoot()
+    val savedTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      VersionedTable.overwriteWithStats(ntzRows, rootJ, "k", "ts", "s")
+    } finally spark.conf.set("spark.sql.session.timeZone", savedTz)
+    for (root <- Seq(rootF, rootJ)) {
+      assert(VersionedTable.read(spark, root).schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampNTZType)
+      assert(manifestText(root).contains(s"\t__ntz_ts\t$minMicros\t"),
+        s"both stat paths must record unadjusted micros under __ntz_: " +
+          manifestText(root).linesIterator.next())
+      val q = VersionedTable.scan(spark, root)
+        .filter(col("ts") >= expr("to_timestamp_ntz('2024-03-01 00:00:00')"))
+      assert(q.count() == 200L)
+      assert(selectedFiles(q) == 2L,
+        s"NTZ slice must open 2 of 4 files at $root, " +
+          s"opened ${selectedFiles(q)}")
+    }
+    // NEGATIVE twin: a __ts_ triple under an NTZ column never prunes
+    // (instant vs wall-clock bounds differ by the writer's zone) — a
+    // stats-less NTZ table doctored with an everything-excluding __ts_
+    // bound must keep all files and the full answer
+    val rootN = tmpRoot()
+    VersionedTable.overwriteWithStats(ntzRows.drop("s"), rootN, "k")
+    val mfN = new java.io.File(rootN, "_log/000000000000.manifest")
+    java.nio.file.Files.write(mfN.toPath, manifestText(rootN)
+      .linesIterator.map(_ + "\t__ts_ts\t0\t1").mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val qn = VersionedTable.scan(spark, rootN)
+      .filter(col("ts") >= expr("to_timestamp_ntz('2024-01-01 00:00:00')"))
+    assert(qn.count() == 400L && selectedFiles(qn) == 4L,
+      "__ts_ bounds must never prune an NTZ predicate")
+    // and the reverse: an __ntz_ triple under a TimestampType column
+    // never prunes an instant predicate
+    val rootR = tmpRoot()
+    val tzRows = (0 until 400).map { i =>
+      (i.toLong,
+        java.sql.Timestamp.valueOf(f"2024-${i / 100 + 1}%02d-10 12:30:00"))
+    }.toDF("k", "ts").repartitionByRange(4, col("k"))
+    VersionedTable.overwriteWithStats(tzRows, rootR, "k")
+    val mfR = new java.io.File(rootR, "_log/000000000000.manifest")
+    java.nio.file.Files.write(mfR.toPath, manifestText(rootR)
+      .linesIterator.map(_ + "\t__ntz_ts\t0\t1").mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val qr = VersionedTable.scan(spark, rootR).filter(
+      col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    assert(qr.count() == 400L && selectedFiles(qr) == 4L,
+      "__ntz_ bounds must never prune a TimestampType predicate")
+  }
+
   test("MOR-aware scan: pending tombstones and patches overlay " +
     "automatically; pruning reaches the base; pinned scans serve history") {
     import spark.implicits._
