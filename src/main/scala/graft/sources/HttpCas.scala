@@ -27,6 +27,14 @@ import java.nio.charset.StandardCharsets
   * exclusive wins, the phantom-slot withdrawal) is executed against
   * this backend through an in-process stub store.
   *
+  * AUTH (round 15): pass a [[SigV4.Signer]] and every request is
+  * AWS-SigV4-signed — the dialect of S3 and every S3-compatible store
+  * (MinIO, the reference's deployment: docker-compose.yml:2-14,
+  * spark_config.py:15-19). The signature covers host, x-amz-date, and
+  * the payload hash, so a replayed or payload-tampered request fails
+  * server-side; CasBackendSpec runs the race matrix against a
+  * signature-ENFORCING stub that re-derives and 403s on mismatch.
+  *
   * Keys mirror the local layout: each path segment of the `File` is
   * URL-encoded under `endpoint`, so one table root maps to one key
   * prefix. Non-2xx/404/412 responses raise `IOException` — a throttled
@@ -39,7 +47,8 @@ final class HttpCas(endpoint: String,
                       .connectTimeout(java.time.Duration.ofSeconds(10))
                       .build(),
                     requestTimeout: java.time.Duration =
-                      java.time.Duration.ofSeconds(30))
+                      java.time.Duration.ofSeconds(30),
+                    signer: Option[SigV4.Signer] = None)
     extends CasBackend {
 
   // every call carries connect + request timeouts: the put fences
@@ -54,11 +63,27 @@ final class HttpCas(endpoint: String,
 
   private def uriFor(f: File): URI = URI.create(s"$base/${keyOf(f)}")
 
+  private def send[T](method: String, uri: URI, body: Option[Array[Byte]],
+                      extraHeaders: Seq[(String, String)],
+                      handler: HttpResponse.BodyHandler[T])
+      : HttpResponse[T] = {
+    val b = HttpRequest.newBuilder(uri).timeout(requestTimeout)
+    extraHeaders.foreach { case (k, v) => b.header(k, v) }
+    signer.foreach(
+      _.headersFor(method, uri, body.getOrElse(Array.empty))
+        .foreach { case (k, v) => b.header(k, v) })
+    method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case "PUT" =>
+        b.PUT(HttpRequest.BodyPublishers.ofByteArray(body.get))
+    }
+    client.send(b.build(), handler)
+  }
+
   override def list(dir: File): Seq[String] = {
-    val rsp = client.send(
-      HttpRequest.newBuilder(URI.create(s"$base/${keyOf(dir)}/?list"))
-        .timeout(requestTimeout).GET().build(),
-      HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
+    val rsp = send("GET", URI.create(s"$base/${keyOf(dir)}/?list"), None,
+      Seq.empty, HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
     rsp.statusCode() match {
       case 200 => rsp.body().split('\n').filter(_.nonEmpty).toSeq
         .map(java.net.URLDecoder.decode(_, "UTF-8"))
@@ -68,8 +93,7 @@ final class HttpCas(endpoint: String,
   }
 
   override def read(f: File): Array[Byte] = {
-    val rsp = client.send(
-      HttpRequest.newBuilder(uriFor(f)).timeout(requestTimeout).GET().build(),
+    val rsp = send("GET", uriFor(f), None, Seq.empty,
       HttpResponse.BodyHandlers.ofByteArray())
     rsp.statusCode() match {
       case 200 => rsp.body()
@@ -79,11 +103,8 @@ final class HttpCas(endpoint: String,
   }
 
   override def putIfAbsent(f: File, content: Array[Byte]): Boolean = {
-    val rsp = client.send(
-      HttpRequest.newBuilder(uriFor(f)).timeout(requestTimeout)
-        .header("If-None-Match", "*")
-        .PUT(HttpRequest.BodyPublishers.ofByteArray(content)).build(),
-      HttpResponse.BodyHandlers.discarding())
+    val rsp = send("PUT", uriFor(f), Some(content),
+      Seq("If-None-Match" -> "*"), HttpResponse.BodyHandlers.discarding())
     rsp.statusCode() match {
       case c if c >= 200 && c < 300 => true
       case 412 | 409 => false // lost the CAS (S3/GCS: 412; ABFS: 409)
@@ -92,8 +113,7 @@ final class HttpCas(endpoint: String,
   }
 
   override def delete(f: File): Unit = {
-    val rsp = client.send(
-      HttpRequest.newBuilder(uriFor(f)).timeout(requestTimeout).DELETE().build(),
+    val rsp = send("DELETE", uriFor(f), None, Seq.empty,
       HttpResponse.BodyHandlers.discarding())
     rsp.statusCode() match {
       case c if (c >= 200 && c < 300) || c == 404 => ()

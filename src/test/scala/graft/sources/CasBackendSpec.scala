@@ -155,6 +155,83 @@ class CasBackendSpec extends AnyFunSuite {
     }
   }
 
+  // ---- the SIGNED wire backend: AWS SigV4 over the same matrix,
+  // against a signature-ENFORCING stub (re-derives server-side, 403 on
+  // any mismatch — the auth gate a real S3/MinIO endpoint runs) ----
+
+  private val SigCreds = ("AKIDEXAMPLE",
+    "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY")
+
+  private def withSignedWire[A](body: CasBackend => A): A = {
+    val srv = new CasStubServer(requireSigV4 = Some(SigCreds))
+    val signer = new SigV4.Signer(SigCreds._1, SigCreds._2, "us-east-1")
+    try body(new HttpCas(srv.endpoint, signer = Some(signer)))
+    finally srv.stop()
+  }
+
+  test("SigV4 derivation matches AWS's published worked example") {
+    // the complete example from the public SigV4 specification
+    // (docs.aws.amazon.com, "Signature Version 4 signing process"):
+    // GET https://iam.amazonaws.com/?Action=ListUsers&Version=2010-05-08
+    // at 20150830T123600Z with the documented demo credentials
+    val emptySha = SigV4.payloadHash(Array.empty)
+    assert(emptySha ==
+      "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855")
+    val cr = SigV4.canonicalRequest("GET", "/",
+      "Action=ListUsers&Version=2010-05-08",
+      Seq("host" -> "iam.amazonaws.com",
+        "content-type" -> "application/x-www-form-urlencoded; charset=utf-8",
+        "x-amz-date" -> "20150830T123600Z"),
+      emptySha)
+    val toSign = SigV4.stringToSign("20150830T123600Z",
+      "20150830/us-east-1/iam/aws4_request", cr)
+    assert(toSign.linesIterator.toSeq(3) ==
+      "f536975d06c0309214f805bb90ccff089219ecd68b2577efef23edd43b7e1a59",
+      s"canonical-request hash diverged:\n$cr")
+    val sig = SigV4.signature(
+      SigV4.signingKey(SigCreds._2, "20150830", "us-east-1", "iam"),
+      toSign)
+    assert(sig ==
+      "5d672d79c15b13162d9279b0855cfba6789a8edb4c82c400e06b5924a6f2b5d7",
+      "the documented final signature must reproduce")
+  }
+
+  test("racing CAS increments serialize on the SIGNED wire backend") {
+    withSignedWire(raceIncrements)
+  }
+
+  test("the signature-enforcing store rejects unsigned and " +
+    "wrong-secret clients; verify() round-trips the Signer") {
+    val srv = new CasStubServer(requireSigV4 = Some(SigCreds))
+    try {
+      val dir = Files.createTempDirectory("graft_cas_sig").toFile
+      val f = new File(dir, "_ptr.1")
+      // unsigned client: every verb is 403 → surfaced as IOException
+      val unsigned = new HttpCas(srv.endpoint)
+      intercept[java.io.IOException] {
+        unsigned.putIfAbsent(f, "x".getBytes("UTF-8"))
+      }
+      // wrong secret: same refusal (the signature, not the key id,
+      // is what the store checks)
+      val badSigner = new SigV4.Signer(SigCreds._1, "WRONG", "us-east-1")
+      intercept[java.io.IOException] {
+        new HttpCas(srv.endpoint, signer = Some(badSigner))
+          .putIfAbsent(f, "x".getBytes("UTF-8"))
+      }
+      // correctly signed: full round-trip, payload covered by the hash
+      val good = new HttpCas(srv.endpoint,
+        signer = Some(new SigV4.Signer(SigCreds._1, SigCreds._2,
+          "us-east-1")))
+      assert(good.putIfAbsent(f, "signed".getBytes("UTF-8")))
+      assert(new String(good.read(f), "UTF-8") == "signed")
+      assert(good.list(dir).contains("_ptr.1"))
+      assert(!good.putIfAbsent(f, "loser".getBytes("UTF-8")),
+        "a lost CAS must still surface as 412 through the auth gate")
+      good.delete(f)
+      assert(!good.list(dir).contains("_ptr.1"))
+    } finally srv.stop()
+  }
+
   test("legacy fixed-name fallback reads through the backend") {
     val b = new InMemoryCas
     val dir = Files.createTempDirectory("graft_cas_l").toFile

@@ -9,8 +9,14 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * precondition is evaluated atomically against the current key map
   * (exactly one concurrent creator of a key receives 2xx; the rest
   * get 412), so [[HttpCas]]'s race matrix runs against real HTTP
-  * round-trips with real server-side atomicity. */
-final class CasStubServer {
+  * round-trips with real server-side atomicity.
+  *
+  * `requireSigV4 = Some(accessKey -> secretKey)` turns it into a
+  * signature-ENFORCING store: every request's Authorization header is
+  * re-derived server-side ([[SigV4.verify]] — same math a real
+  * S3/MinIO endpoint runs) and a missing or mismatched signature gets
+  * 403 before any store state is touched. */
+final class CasStubServer(requireSigV4: Option[(String, String)] = None) {
 
   private val store =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
@@ -35,6 +41,29 @@ final class CasStubServer {
     try {
       val raw = x.getRequestURI.getRawPath.stripPrefix("/")
       val isList = Option(x.getRequestURI.getRawQuery).contains("list")
+      // auth gate first — a real store rejects before touching state.
+      // The payload must be read up front (it is part of the signed
+      // content); the PUT branch below reuses it.
+      val body = x.getRequestBody.readAllBytes()
+      requireSigV4.foreach { case (_, secret) =>
+        val auth = Option(x.getRequestHeaders.getFirst("Authorization"))
+        val bad = auth match {
+          case None => Some("no Authorization header")
+          case Some(a) =>
+            // reconstruct the absolute URI the client signed: the
+            // exchange's URI is origin-form; host comes from the header
+            val uri = java.net.URI.create(
+              s"http://${x.getRequestHeaders.getFirst("Host")}" +
+                x.getRequestURI.toString)
+            SigV4.verify(a, x.getRequestMethod, uri,
+              n => Option(x.getRequestHeaders.getFirst(n)), body, secret)
+        }
+        if (bad.isDefined) {
+          x.sendResponseHeaders(403, -1)
+          x.close()
+          return
+        }
+      }
       x.getRequestMethod match {
         case "GET" if isList =>
           val prefix = raw.stripSuffix("/") + "/"
@@ -54,7 +83,6 @@ final class CasStubServer {
             if (b.nonEmpty) x.getResponseBody.write(b)
           }
         case "PUT" =>
-          val body = x.getRequestBody.readAllBytes()
           val conditional =
             Option(x.getRequestHeaders.getFirst("If-None-Match"))
               .contains("*")
