@@ -1131,9 +1131,7 @@ object VersionedTable {
     // append-family verbs direct there. Overwrite-family staging
     // (mapNames = false) is a declaration boundary and exempt.
     if (mapNames)
-      latestVersion(root)
-        .map(v => logicalSchemaAt(df0.sparkSession, root, v))
-        .flatMap(identityColumnOf)
+      identityColumnIfMarked(df0.sparkSession, root)
         .filterNot(f => df0.columns.exists(_.equalsIgnoreCase(f.name)))
         .foreach(f => sys.error(
           s"table at $root declares identity column ${f.name}: write " +
@@ -1851,6 +1849,25 @@ object VersionedTable {
   private def identityLine(c: String, hw: Long): String =
     s"$IdentityPrefix\t${c.toLowerCase}\t$hw"
 
+  /** Fast-path HINT that a table MAY declare an identity column (the
+    * `_retired_cols` pattern): written by [[alterSetIdentity]] BEFORE
+    * its commit (a false positive after a lost/crashed ALTER merely
+    * costs the next append one schema read; a false negative is
+    * impossible), carried by clones. Without it every append would pay
+    * a declaration resolution — a footer sweep per commit on the
+    * hottest write path — just to learn the common answer: no. */
+  private def identityMarkerFile(root: String): File =
+    new File(root, "_identity")
+
+  /** The declared identity column, resolved ONLY when the marker hints
+    * one may exist — None on marker-less tables at zero IO. */
+  private def identityColumnIfMarked(spark: SparkSession, root: String)
+      : Option[org.apache.spark.sql.types.StructField] =
+    if (!identityMarkerFile(root).exists()) None
+    else latestVersion(root)
+      .map(v => logicalSchemaAt(spark, root, v))
+      .flatMap(identityColumnOf)
+
   /** The declared identity column of `schema`, if any (at most one —
     * [[alterSetIdentity]] enforces it). */
   def identityColumnOf(schema: org.apache.spark.sql.types.StructType)
@@ -1920,6 +1937,10 @@ object VersionedTable {
     require(!partitionSchema(root).fieldNames.exists(_.equalsIgnoreCase(name)),
       s"cannot make partition column $name an identity column " +
         "(values live in paths)")
+    // the hint lands BEFORE the commit: the safe false-positive order
+    // (see identityMarkerFile)
+    Files.write(identityMarkerFile(root).toPath,
+      name.getBytes(StandardCharsets.UTF_8))
     commitAlterDeclaration(root, maxRetries,
       features = Seq(("w", "identity-columns")),
       stateLines = base => {
@@ -3529,9 +3550,9 @@ object VersionedTable {
   def append(df: DataFrame, root: String,
              beforeCommit: () => Unit = () => ()): Long = {
     // GENERATED ALWAYS AS IDENTITY tables route through the
-    // transactional fill; batches may not supply the column themselves
-    latestVersion(root).map(v => logicalSchemaAt(df.sparkSession, root, v))
-      .flatMap(identityColumnOf) match {
+    // transactional fill; batches may not supply the column themselves.
+    // Marker-gated: the common (no-identity) table pays zero IO here.
+    identityColumnIfMarked(df.sparkSession, root) match {
       case Some(f) if df.columns.exists(_.equalsIgnoreCase(f.name)) =>
         sys.error(s"column ${f.name} is GENERATED ALWAYS AS IDENTITY — " +
           "the engine assigns it; drop it from the batch")
@@ -4256,7 +4277,7 @@ object VersionedTable {
       // source supply it (forbidden). The transactional fill lives on
       // the append path; refuse here rather than mint unsound keys.
       if (insertClause.nonEmpty)
-        identityColumnOf(logicalSchemaAt(spark, root, base)).foreach(f =>
+        identityColumnIfMarked(spark, root).foreach(f =>
           sys.error(
           s"table declares identity column ${f.name}: MERGE INSERT " +
             "clauses are not supported — split the not-matched rows " +
@@ -5164,6 +5185,12 @@ object VersionedTable {
     val rc = retiredColsFile(src)
     if (rc.exists())
       Files.copy(rc.toPath, retiredColsFile(dst).toPath,
+        StandardCopyOption.REPLACE_EXISTING)
+    // the identity fast-path hint carries (the mark itself rides the
+    // v0 manifest below)
+    val im = identityMarkerFile(src)
+    if (im.exists())
+      Files.copy(im.toPath, identityMarkerFile(dst).toPath,
         StandardCopyOption.REPLACE_EXISTING)
     declaredSchemaAt(src, base).foreach(s =>
       writeDeclaredSidecar(dst, 0, s))
