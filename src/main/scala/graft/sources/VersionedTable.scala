@@ -785,8 +785,18 @@ object VersionedTable {
     * exist before this protocol, so any checkpoint proves the history
     * below it op-free; aware checkpoints additionally carry the
     * aggregated ops across vacuum. */
+  /** (root, version) → resolved constraint ops — immutable once the
+    * version exists (the featureCache argument), so memoizable: every
+    * stage-time enforcement resolves constraints(root), and an
+    * uncached walk per write would re-read the same manifests
+    * forever. Size-capped with a full clear. */
+  private val constraintCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Map[String, Option[String]]]()
+
   private def constraintOpsAt(root: String,
                               v: Long): Map[String, Option[String]] = {
+    val hit = constraintCache.get((root, v))
+    if (hit != null) return hit
     val seen = scala.collection.mutable.LinkedHashMap
       .empty[String, Option[String]]
     def absorb(lines: Seq[String]): Unit = lines.foreach { l =>
@@ -813,7 +823,10 @@ object VersionedTable {
       }
       cur -= 1
     }
-    seen.toMap
+    val res = seen.toMap
+    if (constraintCache.size > 16384) constraintCache.clear()
+    constraintCache.put((root, v), res)
+    res
   }
 
   /** The constraint op lines of `v`, for checkpoint carry. DROP ops
@@ -1303,6 +1316,12 @@ object VersionedTable {
     // failed CREATE must never leave one behind
     require(latestVersion(root).isEmpty,
       s"createEmpty: $root already holds versions")
+    // a RE-CREATED root (manually cleared, then createEmpty — the only
+    // legal fresh-table path; createTable/CTAS refuse non-empty
+    // locations) must not serve a previous incarnation's memoized
+    // feature requirements or constraint ops
+    featureCache.keySet.removeIf(_._1 == root)
+    constraintCache.keySet.removeIf(_._1 == root)
     new File(root).mkdirs()
     var linkedSidecar = false
     if (partCols.nonEmpty) {
