@@ -293,6 +293,9 @@ object GraftSql {
     ("""(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ALTER\s+""" +
       """COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+GENERATED\s+ALWAYS\s+""" +
       """AS\s+IDENTITY(?:\s+START\s+WITH\s+(-?\d+))?\s*;?\s*""").r
+  private val DropIdentitySql =
+    ("""(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ALTER\s+""" +
+      """COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+IDENTITY\s*;?\s*""").r
   // ALTER COLUMN c SET DEFAULT <expr> / DROP DEFAULT — the Delta
   // column-default role: unlisted INSERT columns fill the expression
   private val SetDefaultSql =
@@ -469,6 +472,9 @@ object GraftSql {
       val v = VersionedTable.alterSetIdentity(spark, rootOf(t), c,
         Option(start).map(_.toLong).getOrElse(1L))
       result(spark, "SET IDENTITY", t, v, -1L)
+    case DropIdentitySql(t, c) =>
+      val v = VersionedTable.alterDropIdentity(spark, rootOf(t), c)
+      result(spark, "DROP IDENTITY", t, v, -1L)
     case OptimizeSql(t, zcols) =>
       val root = rootOf(t)
       val v =

@@ -1971,8 +1971,13 @@ object VersionedTable {
             case r if r.isNullAt(0) => None
             case r => Some(r.getLong(0))
           }
-        Seq(identityLine(name,
-          math.max(existingMax.getOrElse(Long.MinValue), startWith - 1L)))
+        // any PREVIOUS mark (a drop-then-reset cycle) also floors the
+        // seed: deleted rows' keys are never re-minted, the SQL
+        // identity-counter stance
+        Seq(identityLine(name, Seq(
+          existingMax.getOrElse(Long.MinValue),
+          identityHighWater(root, base, name).getOrElse(Long.MinValue),
+          startWith - 1L).max))
       }) { base =>
       val fields = logicalSchemaAt(spark, root, base).fields
       val f = fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
@@ -1991,6 +1996,36 @@ object VersionedTable {
           new org.apache.spark.sql.types.MetadataBuilder()
             .withMetadata(g.metadata)
             .putString(IdentityKey, startWith.toString).build())
+      }.toSeq, None)
+    }
+  }
+
+  /** `ALTER COLUMN c DROP IDENTITY` — remove the GENERATED ALWAYS
+    * property (the verb the rename/retype refusals direct to): the
+    * column becomes an ordinary integral column, batches supply it
+    * again, rename/widen unlock. The high-water line and the hint
+    * file stay behind harmlessly (resolution keys on the declaration
+    * metadata; the hint's false positive costs one schema read) — so
+    * a later SET IDENTITY resumes from max(recorded mark, existing
+    * values), never re-minting old keys. Refuses when no identity is
+    * declared (like DROP DEFAULT). */
+  def alterDropIdentity(spark: SparkSession, root: String, name: String,
+                        maxRetries: Int = 5): Long = {
+    import org.apache.spark.sql.types.{Metadata, MetadataBuilder}
+    commitAlterDeclaration(root, maxRetries) { base =>
+      val fields = logicalSchemaAt(spark, root, base).fields
+      val f = fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        sys.error(s"no column $name in table at $root"))
+      require(f.metadata.contains(IdentityKey),
+        s"column $name is not an identity column")
+      (fields.map { g =>
+        if (!g.name.equalsIgnoreCase(name)) g
+        else {
+          val kept = Metadata.fromJson(g.metadata.json) // copy
+          val b = new MetadataBuilder().withMetadata(kept)
+          b.remove(IdentityKey)
+          g.copy(nullable = true, metadata = b.build())
+        }
       }.toSeq, None)
     }
   }

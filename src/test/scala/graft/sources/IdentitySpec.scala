@@ -165,4 +165,37 @@ class IdentitySpec extends SparkSuite {
     assert(e3.getMessage.contains("identity column"), e3.getMessage)
     GraftSql.unregister(name)
   }
+
+  test("DROP IDENTITY unlocks the column (batches supply it, rename " +
+    "works again); a later re-SET resumes ABOVE the old mark — " +
+    "deleted keys are never re-minted") {
+    import spark.implicits._
+    val root = freshTable() // keys 1-5
+    VersionedTable.alterSetIdentity(spark, root, "k")
+    VersionedTable.append(Seq("x", "y").toDF("s").coalesce(1), root) // 6,7
+    val name = s"id_drop_${System.nanoTime()}"
+    GraftSql.register(spark, name, root)
+    GraftSql.execute(spark,
+      s"ALTER TABLE $name ALTER COLUMN k DROP IDENTITY")
+    // ordinary column again: supplying is legal, rename unlocks
+    VersionedTable.append(Seq((100L, "manual")).toDF("k", "s"), root)
+    VersionedTable.alterRenameColumn(spark, root, "k", "kk")
+    VersionedTable.alterRenameColumn(spark, root, "kk", "k")
+    // carve off the high keys, then re-declare identity: the seed must
+    // respect the OLD recorded mark (7), not just the surviving max
+    VersionedTable.delete(spark, root, col("k") >= 6L)
+    assert(VersionedTable.read(spark, root).agg(max(col("k")))
+      .head().getLong(0) == 5L)
+    VersionedTable.alterSetIdentity(spark, root, "k")
+    VersionedTable.append(Seq("z").toDF("s").coalesce(1), root)
+    val zk = VersionedTable.read(spark, root)
+      .filter(col("s") === "z").head().getAs[Long]("k")
+    assert(zk == 8L,
+      s"re-SET must resume above the old mark (7), got $zk")
+    // dropping a non-identity column refuses, like DROP DEFAULT
+    intercept[Exception] {
+      VersionedTable.alterDropIdentity(spark, root, "s")
+    }
+    GraftSql.unregister(name)
+  }
 }
