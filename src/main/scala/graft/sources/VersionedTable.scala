@@ -983,7 +983,14 @@ object VersionedTable {
       s"constraint name must be a bare identifier, got '$name'")
     if (latestVersion(root).isEmpty) {
       // not-yet-created root: the legacy sidecar is the only store
-      // (pre-creation configuration, the setConstraints admin shape)
+      // (pre-creation configuration, the setConstraints admin shape).
+      // RESIDUAL (documented): a sidecar write cannot join the
+      // manifest CAS, so a first-version commit racing THIS branch in
+      // the microseconds between the writer's set capture and its
+      // commit can still land unvalidated rows (the re-check below
+      // closes the common interleaving). For a fully-serialized ADD,
+      // create the table first — createEmpty() commits v0, and every
+      // later ADD is a CAS commit with zero windows.
       constraintsLock.synchronized {
         val existing = constraints(root)
         existing.get(name).foreach { prev =>
@@ -991,6 +998,24 @@ object VersionedTable {
           sys.error(s"constraint $name already exists as: $prev")
         }
         writeConstraints(root, existing + (name -> exprText))
+      }
+      // CREATION-race closer: a writer staging the table's FIRST
+      // version captured its enforced set BEFORE this sidecar landed;
+      // its commit-time set comparison revalidates (commitWithRetry),
+      // but a v0 that COMMITTED between our empty-table check above
+      // and the sidecar write saw neither side. Re-check now that the
+      // constraint is visible: a violating v0 withdraws the add loudly
+      // (the old post-persist pattern, scoped to the birth window).
+      if (latestVersion(root).isDefined &&
+          scan(org.apache.spark.sql.classic.SparkSession.active, root)
+            .filter(!coalesce(expr(exprText).cast("boolean"), lit(false)))
+            .limit(1).count() != 0L) {
+        constraintsLock.synchronized {
+          writeConstraints(root, constraints(root) - name)
+        }
+        sys.error(s"CHECK constraint $name: a concurrent table " +
+          "creation landed violating rows during ADD — constraint " +
+          s"withdrawn, re-run after cleaning ($exprText)")
       }
       return
     }
@@ -1053,9 +1078,14 @@ object VersionedTable {
       val base = latestVersion(root).get
       if (!constraintsAt(root, base).contains(name)) return
       try {
+        // the drop records the same writer feature the add does: its
+        // '-' op must never be dropped by a feature-blind build's
+        // checkpoint (a vacuum would then resurrect a dropped
+        // legacy-sidecar constraint)
         commitManifest(root, base + 1,
-          deltaContent(Seq.empty, Seq.empty) :+ PreservingMarker :+
-            constraintDropLine(name))
+          deltaContent(Seq.empty, Seq.empty) ++
+            Seq(PreservingMarker, constraintDropLine(name)) ++
+            newFeatureLines(root, base, Seq(("w", "check-constraints"))))
         maybeCheckpoint(root, base + 1)
         return
       } catch {
@@ -1133,22 +1163,32 @@ object VersionedTable {
   }
 
   private def stageDataFiles(df0: DataFrame, root: String, v: Long,
-                             mapNames: Boolean = true): Seq[String] = {
-    // record which version's constraint set this staging pass enforces
-    // BEFORE reading it — commitWithRetry's guard revalidates exactly
-    // when a #constraint commit lands above this mark
-    latestVersion(root).foreach(b => stagedConstraintBase.get()(root) = b)
-    // an identity table's appended batches must carry the (engine-
-    // assigned) column — a writer staging WITHOUT it would land null
-    // keys no high-water mark covers. append() fills it; other
-    // append-family verbs direct there. Overwrite-family staging
+                             mapNames: Boolean = true,
+                             identityFill: Boolean = false): Seq[String] = {
+    // refuse a feature-fenced table BEFORE writing the batch: the
+    // commit-side gate (commitManifest) stays the authority, but
+    // staging first would orphan a batch-sized file set per attempt
+    latestVersion(root).foreach(b => requireWritable(root, b))
+    // record the constraint set this staging pass enforces BEFORE
+    // enforcing it — commitWithRetry's guard revalidates exactly when
+    // the set in force at commit time differs
+    stagedConstraintSet.get()(root) = constraints(root)
+    // an identity table's appended batches refuse in BOTH directions
+    // unless this staging IS the engine's own fill or a row-preserving
+    // rewrite (identityFill): a batch WITHOUT the column would land
+    // null keys no high-water mark covers, and a batch WITH it would
+    // mint manual keys the mark never advanced over (a later fill
+    // would collide). append() fills; overwrite-family staging
     // (mapNames = false) is a declaration boundary and exempt.
-    if (mapNames)
-      identityColumnIfMarked(df0.sparkSession, root)
-        .filterNot(f => df0.columns.exists(_.equalsIgnoreCase(f.name)))
-        .foreach(f => sys.error(
+    if (mapNames && !identityFill)
+      identityColumnIfMarked(df0.sparkSession, root).foreach { f =>
+        if (df0.columns.exists(_.equalsIgnoreCase(f.name)))
+          refuseIdentitySurface(df0.sparkSession, root,
+            s"supplying ${f.name} in an appended batch")
+        else sys.error(
           s"table at $root declares identity column ${f.name}: write " +
-            "through append()/INSERT (the engine assigns the keys)"))
+            "through append()/INSERT (the engine assigns the keys)")
+      }
     val df1 = enforceConstraints(df0, root)
     val df = if (mapNames) toPhysicalStage(df1, root) else df1
     // a Hive-partitioned table's values live in the PATH; flat staging
@@ -1190,20 +1230,30 @@ object VersionedTable {
       val lines = manifest(v)
       // constraint-race guard (the append-family arm of the
       // constraint-commit protocol): this writer's rows were enforced
-      // against the constraint set read at STAGE time; if a
-      // `#constraint` commit interleaved since, re-validate the staged
-      // rows against the set as of v-1 BEFORE attempting the CAS. A
-      // win at v then proves nothing further interleaved. Losers loop
-      // back here, so every eventual commit saw every earlier
-      // constraint. O(interleaved manifests) + O(batch) re-read, only
-      // when a constraint actually moved.
-      stagedConstraintBase.get().get(root).foreach { cb =>
-        if (v - 1 > cb && constraintsMovedBetween(root, cb, v - 1))
-          revalidateStaged(root, v - 1, newContentOf(lines))
+      // against the constraint SET captured at STAGE time; if the set
+      // in force now (a `#constraint` commit interleaved — or, for a
+      // table-CREATION race, a pre-version sidecar landed) differs,
+      // re-validate the staged rows against the CURRENT set BEFORE
+      // attempting the CAS. A win at v then proves nothing further
+      // interleaved; losers loop back here, so every eventual commit
+      // saw every earlier constraint. Comparing SETS (not versions)
+      // also covers v0 creation races and admin sidecar edits, and a
+      // stale thread-local entry is harmless (equal sets no-op). A
+      // refused batch deletes its staged files before surfacing.
+      stagedConstraintSet.get().get(root).foreach { enforced =>
+        val now = if (v == 0) constraints(root) else constraintsAt(root, v - 1)
+        if (now != enforced)
+          try revalidateStaged(root, now, newContentOf(lines))
+          catch {
+            case e: Throwable =>
+              newContentOf(lines).foreach(p =>
+                Files.deleteIfExists(new File(pathOf(p)).toPath))
+              throw e
+          }
       }
       try {
         val committed = commitManifest(root, v, lines)
-        stagedConstraintBase.get().remove(root)
+        stagedConstraintSet.get().remove(root)
         return committed
       } catch {
         case e: java.nio.file.FileAlreadyExistsException =>
@@ -1214,29 +1264,15 @@ object VersionedTable {
     -1L // unreachable
   }
 
-  /** root → the table version whose constraint set the CURRENT
-    * thread's latest staging pass enforced (set by [[stageDataFiles]]/
-    * [[stagePartitioned]], consumed by [[commitWithRetry]]'s guard).
-    * Thread-local is sound because staging and committing are one
-    * driver-side flow on one thread — the same assumption the
-    * optimistic loops themselves make. */
-  private val stagedConstraintBase
-      : ThreadLocal[scala.collection.mutable.Map[String, Long]] =
+  /** root → the constraint SET the CURRENT thread's latest staging
+    * pass enforced (set by [[stageDataFiles]]/[[stagePartitioned]],
+    * consumed by [[commitWithRetry]]'s guard). Thread-local is sound
+    * because staging and committing are one driver-side flow on one
+    * thread — the same assumption the optimistic loops themselves
+    * make. */
+  private val stagedConstraintSet
+      : ThreadLocal[scala.collection.mutable.Map[String, Map[String, String]]] =
     ThreadLocal.withInitial(() => scala.collection.mutable.Map.empty)
-
-  /** Did any commit in `(from, to]` change the constraint set? A
-    * vacuumed gap counts as moved (forces the safe revalidation). */
-  private def constraintsMovedBetween(root: String, from: Long,
-                                      to: Long): Boolean = {
-    var w = from + 1
-    while (w <= to) {
-      if (!manifestFile(root, w).exists()) return true
-      if (readManifest(root, w).exists(_.startsWith(ConstraintPrefix + "\t")))
-        return true
-      w += 1
-    }
-    false
-  }
 
   /** The data lines a manifest commits (delta `+` tail, or the full
     * listing minus state/marker lines) — the revalidation read set. */
@@ -1248,15 +1284,15 @@ object VersionedTable {
       l.startsWith(IdentityPrefix) ||
       l == PreservingMarker || l == DeclaredMarker)
 
-  /** Re-validate STAGED (not yet committed) lines against the
-    * constraint set as of `v` — loud on the first violation, naming
-    * the constraint. Reads only the staged batch. */
-  private def revalidateStaged(root: String, v: Long,
+  /** Re-validate STAGED (not yet committed) lines against constraint
+    * set `cs` — loud on the first violation, naming the constraint.
+    * Reads only the staged batch. */
+  private def revalidateStaged(root: String, cs: Map[String, String],
                                staged: Seq[String]): Unit = {
-    val cs = constraintsAt(root, v)
     if (cs.isEmpty || staged.isEmpty) return
     val spark = org.apache.spark.sql.classic.SparkSession.active
-    val df = readLinesDeclared(spark, root, v, staged)
+    val v = latestVersion(root).getOrElse(-1L)
+    val df = readLinesDeclared(spark, root, math.max(v, 0L), staged)
     cs.toSeq.sortBy(_._1).foreach { case (n, t) =>
       if (df.filter(!coalesce(expr(t).cast("boolean"), lit(false)))
           .limit(1).count() != 0L)
@@ -1887,6 +1923,17 @@ object VersionedTable {
       .map(v => logicalSchemaAt(spark, root, v))
       .flatMap(identityColumnOf)
 
+  /** GENERATED ALWAYS refusal for verbs that would SUPPLY or REWRITE
+    * the identity column (`what` names the verb in the error):
+    * Delta's stance — the engine is the only writer of that column. */
+  private def refuseIdentitySurface(spark: SparkSession, root: String,
+                                    what: String): Unit =
+    identityColumnIfMarked(spark, root).foreach(f => sys.error(
+      s"table at $root declares identity column ${f.name} " +
+        s"(GENERATED ALWAYS): $what is not supported — the engine is " +
+        "the only writer of that column (drop the identity property " +
+        "first: ALTER COLUMN ... DROP IDENTITY)"))
+
   /** The declared identity column of `schema`, if any (at most one —
     * [[alterSetIdentity]] enforces it). */
   def identityColumnOf(schema: org.apache.spark.sql.types.StructType)
@@ -2074,7 +2121,21 @@ object VersionedTable {
               element_at(typedLit(offsets), col("__graft_pid")) +
               lit(hw)).cast(f.dataType))
           .drop("__graft_pid", "__graft_mid")
-      val staged = stageDataFiles(filled, root, base + 1)
+      // the declared type must HOLD the new range — a narrow identity
+      // column near its max would otherwise wrap silently (non-ANSI
+      // cast), minting colliding keys while the mark kept counting
+      val cap = f.dataType match {
+        case org.apache.spark.sql.types.ByteType => Byte.MaxValue.toLong
+        case org.apache.spark.sql.types.ShortType => Short.MaxValue.toLong
+        case org.apache.spark.sql.types.IntegerType => Int.MaxValue.toLong
+        case _ => Long.MaxValue
+      }
+      require(n <= cap - hw, // overflow-safe spelling of hw + n <= cap
+        s"identity column ${f.name} exhausts its declared " +
+          s"${f.dataType.simpleString} range (mark $hw + $n new keys > " +
+          s"$cap) — DROP IDENTITY, widen the column, re-SET IDENTITY")
+      val staged = stageDataFiles(filled, root, base + 1,
+        identityFill = true)
       val lines = statLines(spark, staged, autoStatsCols(filled), root)
       beforeCommit()
       try {
@@ -2288,9 +2349,21 @@ object VersionedTable {
     * manifest stats both round-trip. */
   private def stagePartitioned(df0: DataFrame, root: String,
                                partCols: Seq[String],
-                               mapNames: Boolean = true): Seq[String] = {
-    // constraint-base mark, as in stageDataFiles
-    latestVersion(root).foreach(b => stagedConstraintBase.get()(root) = b)
+                               mapNames: Boolean = true,
+                               identityFill: Boolean = false): Seq[String] = {
+    // pre-stage fence + constraint-set mark + identity guard, as in
+    // stageDataFiles
+    latestVersion(root).foreach(b => requireWritable(root, b))
+    stagedConstraintSet.get()(root) = constraints(root)
+    if (mapNames && !identityFill)
+      identityColumnIfMarked(df0.sparkSession, root).foreach { f =>
+        if (df0.columns.exists(_.equalsIgnoreCase(f.name)))
+          refuseIdentitySurface(df0.sparkSession, root,
+            s"supplying ${f.name} in an appended batch")
+        else sys.error(
+          s"table at $root declares identity column ${f.name}: write " +
+            "through append()/INSERT (the engine assigns the keys)")
+      }
     val df1 = enforceConstraints(df0, root)
     // partition columns are never mapped (ALTER refuses them), so the
     // partitionBy names below stay valid after the rename
@@ -3237,8 +3310,13 @@ object VersionedTable {
     * otherwise. */
   private def stageAuto(df: DataFrame, root: String, v: Long): Seq[String] = {
     val ps = partitionSchema(root)
-    if (ps.isEmpty) stageDataFiles(df, root, v)
-    else stagePartitioned(df, root, ps.fieldNames.toSeq)
+    // identityFill: COW rewrites CARRY the engine-assigned keys of the
+    // rows they preserve — the verbs that could CHANGE them (UPDATE
+    // SET, merge UPDATE clauses, applyChanges, replaceWhere) refuse at
+    // their own entry instead
+    if (ps.isEmpty) stageDataFiles(df, root, v, identityFill = true)
+    else stagePartitioned(df, root, ps.fieldNames.toSeq,
+      identityFill = true)
   }
 
   /** The files ADDED between version `from` (exclusive; None = from
@@ -3551,6 +3629,9 @@ object VersionedTable {
                    batch: DataFrame,
                    validateBatch: Boolean = true,
                    maxRetries: Int = 5): Long = {
+    // GENERATED ALWAYS: the replacement batch carries whole rows —
+    // the replaced rows' keys cannot be reassigned in place
+    refuseIdentitySurface(spark, root, "INSERT REPLACE WHERE")
     if (validateBatch) {
       val leak = batch.filter(!coalesce(predicate, lit(false))).take(1)
       if (leak.nonEmpty)
@@ -4098,6 +4179,11 @@ object VersionedTable {
             keyCols: Seq[String], maxRetries: Int = 5,
             beforeCommit: () => Unit = () => (),
             evolveSchema: Boolean = false): Long = {
+    // GENERATED ALWAYS: the canonical merge replaces matched rows
+    // wholesale FROM THE SOURCE (which must carry every column —
+    // including the identity key) and inserts unmatched source rows
+    // verbatim — both directions supply the engine-assigned column
+    refuseIdentitySurface(spark, root, "the canonical keyed merge()")
     // materialized once — reused by the prune semi-join and the rewrite
     // anti-join on every attempt; blocks free on GC (no CacheManager leak)
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
@@ -4336,6 +4422,19 @@ object VersionedTable {
           s"table declares identity column ${f.name}: MERGE INSERT " +
             "clauses are not supported — split the not-matched rows " +
             "out and append() them (the engine assigns the keys)"))
+      // ... and no clause may REWRITE the key (SET * replaces every
+      // column, including it, from the source — equally refused)
+      identityColumnIfMarked(spark, root).foreach { f =>
+        val setsIdentity = clauses.exists {
+          case u: Update =>
+            u.set.isEmpty || u.set.keys.exists(_.equalsIgnoreCase(f.name))
+          case u: UpdateBySource =>
+            u.set.keys.exists(_.equalsIgnoreCase(f.name))
+          case _ => false
+        }
+        if (setsIdentity) refuseIdentitySurface(spark, root,
+          s"a MERGE UPDATE clause writing ${f.name} (SET * included)")
+      }
       bySourceClauses.collectFirst { case u: UpdateBySource => u }
         .foreach(u => u.set.keys.foreach(k =>
           require(outCols.exists(_.equalsIgnoreCase(k)),
@@ -4745,6 +4844,9 @@ object VersionedTable {
                    keyCols: Seq[String], seqCol: String, opCol: String,
                    maxRetries: Int = 5,
                    beforeCommit: () => Unit = () => ()): Long = {
+    // GENERATED ALWAYS: a CDC feed carries its own rows wholesale —
+    // upserts would supply (or rewrite) the engine-assigned column
+    refuseIdentitySurface(spark, root, "applyChanges (CDC upsert)")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col(seqCol).desc, upper(col(opCol)).desc)
@@ -5124,6 +5226,11 @@ object VersionedTable {
       val target = readLinesDeclared(spark, root, base, files)
       require(set.keySet.subsetOf(target.columns.toSet),
         s"SET columns ${set.keySet.diff(target.columns.toSet)} not in table")
+      // GENERATED ALWAYS: the engine-assigned key may not be rewritten
+      identityColumnIfMarked(spark, root)
+        .filter(f => set.keys.exists(_.equalsIgnoreCase(f.name)))
+        .foreach(f => refuseIdentitySurface(spark, root,
+          s"UPDATE SET ${f.name}"))
       val touchedNames = target
         .withColumn("__file", col("_metadata.file_path"))
         .filter(predicate)
@@ -5450,7 +5557,8 @@ object VersionedTable {
         df.repartitionByRange(numFiles, statsCols.map(col): _*)
           .sortWithinPartitions(statsCols.map(col): _*)
       else df.repartition(numFiles)
-    val staged = stageDataFiles(packed, root, base + 1)
+    val staged = stageDataFiles(packed, root, base + 1,
+      identityFill = true) // row-preserving: keys carry untouched
     val newLines = statLines(spark, staged, statsCols, root)
     var attempt = 0
     while (true) {

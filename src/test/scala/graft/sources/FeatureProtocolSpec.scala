@@ -56,10 +56,16 @@ class FeatureProtocolSpec extends SparkSuite {
     VersionedTable.requireFeature(root, "w", "vector-commit-z2")
     assert(VersionedTable.read(spark, root).count() == 8L,
       "writer-only features never gate reads")
+    val filesBefore = Option(new java.io.File(root, "data").list())
+      .getOrElse(Array.empty).toSet
     val e = intercept[RuntimeException] {
       VersionedTable.append(Seq((9L, 90L)).toDF("k", "v"), root)
     }
     assert(e.getMessage.contains("vector-commit-z2"), e.getMessage)
+    // the pre-stage fence refuses BEFORE writing: no orphan data files
+    assert(Option(new java.io.File(root, "data").list())
+      .getOrElse(Array.empty).toSet == filesBefore,
+      "a fenced append must not stage a batch it cannot commit")
     // maintenance writers hit the same gate (single choke point)
     val e2 = intercept[RuntimeException] {
       VersionedTable.delete(spark, root, col("k") === 1L)

@@ -198,4 +198,89 @@ class IdentitySpec extends SparkSuite {
     }
     GraftSql.unregister(name)
   }
+
+  test("GENERATED ALWAYS binds EVERY write surface: supplying via the " +
+    "stats path, UPDATE SET, merge UPDATE/SET *, canonical merge, " +
+    "applyChanges, and replaceWhere all refuse") {
+    import spark.implicits._
+    import VersionedTable.MergeClause._
+    val root = freshTable() // keys 1-5
+    VersionedTable.alterSetIdentity(spark, root, "k")
+    // a stats-path batch SUPPLYING the column must refuse — committing
+    // manual keys would leave the mark behind and a later fill would
+    // collide (the silent-acceptance hole this test pins shut)
+    val e1 = intercept[RuntimeException] {
+      VersionedTable.appendWithStats(
+        Seq((6L, "manual")).toDF("k", "s"), root, "k")
+    }
+    assert(e1.getMessage.contains("GENERATED ALWAYS"), e1.getMessage)
+    // UPDATE may not rewrite the key
+    val e2 = intercept[RuntimeException] {
+      VersionedTable.update(spark, root, col("k") === 5L,
+        Map("k" -> lit(1L)))
+    }
+    assert(e2.getMessage.contains("UPDATE SET k"), e2.getMessage)
+    // non-key UPDATE still works
+    VersionedTable.update(spark, root, col("k") === 5L,
+      Map("s" -> lit("upd")))
+    assert(VersionedTable.read(spark, root)
+      .filter(col("k") === 5L).head().getString(1) == "upd")
+    // merge UPDATE clause naming the key — and SET * — refuse
+    val src = Seq((5L, "m")).toDF("k", "s")
+    val e3 = intercept[RuntimeException] {
+      VersionedTable.mergeActions(spark, root, src, Seq("k"),
+        Seq(Update(None, Map("k" -> expr("s.k + 100")))))
+    }
+    assert(e3.getMessage.contains("MERGE UPDATE"), e3.getMessage)
+    val e4 = intercept[RuntimeException] {
+      VersionedTable.mergeActions(spark, root, src, Seq("k"),
+        Seq(Update(None, Map.empty))) // SET * replaces every column
+    }
+    assert(e4.getMessage.contains("SET *"), e4.getMessage)
+    // a targeted non-key merge UPDATE is fine
+    VersionedTable.mergeActions(spark, root, src, Seq("k"),
+      Seq(Update(None, Map("s" -> expr("s.s")))))
+    assert(VersionedTable.read(spark, root)
+      .filter(col("k") === 5L).head().getString(1) == "m")
+    // whole-row surfaces refuse outright
+    val e5 = intercept[RuntimeException] {
+      VersionedTable.merge(spark, root, src, Seq("k"))
+    }
+    assert(e5.getMessage.contains("canonical"), e5.getMessage)
+    val e6 = intercept[RuntimeException] {
+      VersionedTable.applyChanges(spark, root,
+        Seq((5L, "c", 1L, "U")).toDF("k", "s", "seq", "op"),
+        Seq("k"), "seq", "op")
+    }
+    assert(e6.getMessage.contains("applyChanges"), e6.getMessage)
+    val e7 = intercept[RuntimeException] {
+      VersionedTable.replaceWhere(spark, root, col("k") === 5L, src)
+    }
+    assert(e7.getMessage.contains("REPLACE WHERE"), e7.getMessage)
+    // the refusals changed nothing: history intact, fill still works
+    VersionedTable.append(Seq("z").toDF("s").coalesce(1), root)
+    assert(VersionedTable.read(spark, root)
+      .filter(col("s") === "z").head().getAs[Long]("k") == 6L)
+  }
+
+  test("a NARROW identity column refuses allocation past its declared " +
+    "type range instead of wrapping silently") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.IntegerType
+    val root = Files.createTempDirectory("graft_idcap").resolve("t").toString
+    VersionedTable.overwrite(
+      Seq((Int.MaxValue - 2, "a")).toDF("k", "s")
+        .select(col("k").cast(IntegerType).as("k"), col("s")), root)
+    VersionedTable.alterSetIdentity(spark, root, "k")
+    // two keys fit (max-1, max)...
+    VersionedTable.append(Seq("b", "c").toDF("s").coalesce(1), root)
+    assert(VersionedTable.read(spark, root).agg(max(col("k")))
+      .head().getInt(0) == Int.MaxValue)
+    // ...the next allocation must refuse, not wrap negative
+    val e = intercept[Exception] {
+      VersionedTable.append(Seq("d").toDF("s"), root)
+    }
+    assert(e.getMessage.contains("exhausts"), e.getMessage)
+    assert(VersionedTable.read(spark, root).count() == 3L)
+  }
 }
