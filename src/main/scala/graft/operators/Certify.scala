@@ -31,17 +31,36 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
 object Certify {
 
   /** 1-row frame: 1 iff |approx ∩ exact| / |exact| ≥ floor on `keys`.
-    * Both sides deduped on the keys so duplicates can't inflate hits. */
+    * Both sides deduped on the keys so duplicates can't inflate hits.
+    *
+    * One pass over each side: hits and total come out of a single
+    * left join + aggregate (the original formulation referenced the
+    * exact twin TWICE — once for the intersection, once for the
+    * total — and Spark re-executes unshared lineage per reference, so
+    * the expensive exact subtree ran an extra time per flag). Both
+    * sides are key-distinct, so the left join matches at most one
+    * approx row per exact row: count(__hit) = |approx ∩ exact|,
+    * count(*) = |exact| — bit-identical to the two-reference form,
+    * including the empty-exact case (0/0 → NaN ≥ floor → false → 0). */
   def recallFlag(approx: DataFrame, exact: DataFrame, keys: Seq[String],
                  floor: Double, name: String): DataFrame = {
     val kc = keys.map(col)
-    approx.select(kc: _*).distinct()
-      .join(exact.select(kc: _*).distinct(), keys)
-      .agg(count(lit(1)).as("__hits"))
-      .crossJoin(exact.select(kc: _*).distinct().agg(count(lit(1)).as("__tot")))
+    exact.select(kc: _*).distinct()
+      .join(approx.select(kc: _*).distinct().withColumn("__hit", lit(1)),
+        keys, "left")
+      .agg(count(col("__hit")).as("__hits"), count(lit(1)).as("__tot"))
       .select((col("__hits").cast(DoubleType) / col("__tot") >= floor)
         .cast(LongType).as(name))
   }
+
+  /** Eagerly materialize a frame that the certified-query pattern will
+    * reference more than once (anchor + one reference per flag): Spark
+    * re-executes unshared lineage per reference, so an un-pinned exact
+    * twin would recompute its whole pipeline once per flag. Charged
+    * inside the timed query (the builder runs in the benched region);
+    * blocks are dropped between bench runs and freed by the
+    * ContextCleaner — never a cross-run cache. */
+  def pin(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
 
   /** 1-row frame: 1 iff every `approx` key-tuple appears in `exact`. */
   def subsetFlag(approx: DataFrame, exact: DataFrame, keys: Seq[String],

@@ -290,12 +290,24 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct()
 
+    // canon WITHOUT the dedup exchange — for the largeStar→smallStar
+    // intermediate only: largeStar emits ≤ |sym| rows either way (one
+    // per oriented edge), duplicates change neither smallStar's
+    // per-group min nor its join-then-distinct output set, and the
+    // round's convergence counts are taken on smallStar's deduped
+    // output — so the intermediate distinct bought nothing but a
+    // full extra shuffle per round (guide §2.4: remove shuffles a
+    // downstream operator makes redundant)
+    def canonKeepDups(e: DataFrame): DataFrame = e
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy(col("u"))
         .agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
-      canon(sym.join(mins, Seq("u"))
+      canonKeepDups(sym.join(mins, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("m").as("u"), col("v")))
     }
@@ -312,17 +324,24 @@ object Dedup {
 
     var edges = canon(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
       .localCheckpoint(true)
-    var converged = edges.isEmpty
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0
     var i = 0
     while (!converged && i < maxIter) {
       // per-round localCheckpoint: persist does not truncate lineage and
       // an iterated join/agg plan doubles per round (see
-      // connectedComponents)
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      converged = next.count() == edges.count() &&
+      // connectedComponents). LAZY mark + count(): the count is the
+      // materializing action, so the round runs ONE job (an eager
+      // checkpoint ran its own materialization job and the count a
+      // second) — safe here because the count executes before the
+      // previous round's blocks unpersist.
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
+      val nextCount = next.count()
+      converged = nextCount == edgeCount &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty
       edges.unpersist()
       edges = next
+      edgeCount = nextCount
       i += 1
     }
     require(converged, s"connectedComponentsStar did not converge in $maxIter rounds")

@@ -168,10 +168,13 @@ object Graphs {
       val prop = e.join(dist, e("src") === dist("node"))
         .select(col("dst"), (col("d") + 1L).as("pd"))
         .groupBy(col("dst")).agg(min(col("pd")).as("pd"))
+      // LAZY checkpoint mark + the sum as the materializing action:
+      // one job per round instead of two (the Dedup.connectedComponents
+      // fusion) — safe because the sum runs before dist.unpersist()
       val next = dist.join(prop, dist("node") === prop("dst"), "left")
         .select(col("node"),
           least(col("d"), coalesce(col("pd"), lit(UNSEEN))).as("d"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val s = next.agg(sum(col("d"))).head().getLong(0)
       converged = s == prevSum
       prevSum = s

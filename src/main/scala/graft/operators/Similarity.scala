@@ -49,7 +49,11 @@ object Similarity {
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
     val q = withNorm(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "qv", "qn")
-    val c = withNorm(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "cv", "cn")
+    // fanOut: the |corpus|·|queries| dot products run in the corpus
+    // scan stage — a single-file corpus would score every pair on one
+    // task (guide §2.5); no-op on an already-parallel corpus
+    val c = withNorm(graft.core.FanOut.fanOut(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))), "cv", "cn")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", fastCos(col("qv"), col("qn"), col("cv"), col("cn")))
@@ -82,8 +86,11 @@ object Similarity {
                     groupCol: String = "label"): DataFrame = {
     val q = withNorm(queries.select(col(idCol).as("query_id"),
       col(groupCol).as("__qg"), col(vecCol).as("qv")), "qv", "qn")
-    val c = withNorm(corpus.select(col(idCol).as("neighbor_id"),
-      col(groupCol).as("__cg"), col(vecCol).as("cv")), "cv", "cn")
+    // fanOut: per-pair scoring runs in the corpus scan stage (see
+    // bruteForceTopK)
+    val c = withNorm(graft.core.FanOut.fanOut(
+      corpus.select(col(idCol).as("neighbor_id"),
+        col(groupCol).as("__cg"), col(vecCol).as("cv"))), "cv", "cn")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -116,8 +123,11 @@ object Similarity {
                  vecCol: String = "embedding"): DataFrame = {
     val q = withNorm(queries.select(col(docCol).as("query_doc"),
       col(idCol).as("qt"), col(vecCol).as("qv")), "qv", "qn")
-    val c = withNorm(corpus.select(col(docCol).as("neighbor_doc"),
-      col(vecCol).as("cv")), "cv", "cn")
+    // fanOut: token-pair scoring runs in the corpus scan stage (see
+    // bruteForceTopK)
+    val c = withNorm(graft.core.FanOut.fanOut(
+      corpus.select(col(docCol).as("neighbor_doc"),
+        col(vecCol).as("cv"))), "cv", "cn")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_doc") =!= col("neighbor_doc"))
       .withColumn("__cos", round(fastCos(col("qv"), col("qn"),
@@ -284,8 +294,9 @@ object Similarity {
 
     // no persist: the assignment subtree feeds exactly one join below,
     // so caching it would only leak a CacheManager entry the caller can
-    // never unpersist
-    val assigned = corpus
+    // never unpersist. fanOut: cell assignment + per-candidate scoring
+    // run in the corpus scan stage (see bruteForceTopK)
+    val assigned = graft.core.FanOut.fanOut(corpus)
       .withColumn("__cell", nearestCentroid(col(vecCol), refined))
       .withColumn("__cn",
         sqrt(dotProduct(col(vecCol), col(vecCol))))
@@ -616,9 +627,14 @@ object Similarity {
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
                          idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame = {
-    val a = withNorm(corpus.select(col(idCol).as("id_a"), col(vecCol).as("va")), "va", "na")
+    // fanOut the STREAMED side: the n² pair scoring runs in its scan
+    // stage (see bruteForceTopK); the build side is broadcast anyway
+    // (this is the documented dev-scale n² variant — LSH is the scale
+    // path), so pin the BNLJ build side deliberately (guide §3.1)
+    val a = withNorm(graft.core.FanOut.fanOut(
+      corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))), "va", "na")
     val b = withNorm(corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb")), "vb", "nb")
-    a.join(b, col("id_a") < col("id_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
       .withColumn("cos", fastCos(col("va"), col("na"), col("vb"), col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
@@ -642,6 +658,12 @@ object Similarity {
     val sides = withNorm(
       corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "v", "nrm")
       .localCheckpoint(true)
+    // eagerly checkpointed: both self-join sides reference this
+    // subtree, and the materialized LogicalRDD's exact size feeds the
+    // join planner (an optimization-round experiment dropped this
+    // checkpoint — re-deriving the explode is map-local — and the
+    // self-join consistently got ~1.2 s SLOWER from the lost size
+    // information; measured, reverted)
     val banded = sides
       .select(col("id"), posexplode(signLshBands(col("v"), bits, bands, dim)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
@@ -727,7 +749,7 @@ object Similarity {
     // mining pipelines do: the neighborhood that normalizes a score
     // is the retrieved neighborhood).
     val rawPairs = candidates match {
-      case None => bv.crossJoin(broadcast(av))
+      case None => graft.core.FanOut.fanOut(bv).crossJoin(broadcast(av))
       case Some(c) => c.select(col("id_a"), col("id_b"))
         .join(av, "id_a").join(bv, "id_b")
     }

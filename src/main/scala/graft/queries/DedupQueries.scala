@@ -244,7 +244,10 @@ object DedupQueries extends QueryModule {
     "q33_simhash" -> Q(
       run = (s, dir) => {
         val docs = Tables(s, dir, "documents")
-        val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.8)
+        // pinned: exact anchors the output AND feeds the recall flag —
+        // un-pinned, the prefix-filtered verify joins re-execute per
+        // reference (Certify.pin scaladoc)
+        val exact = Certify.pin(Dedup.ngramJaccardPairs(docs, threshold = 0.8))
         val approx = Dedup.simhashNearDupPairs(docs, maxDist = 6)
         Certify.attach(
           exact.select(col("id_a"), col("id_b"),
@@ -536,12 +539,15 @@ object DedupQueries extends QueryModule {
         val indexed = docs.filter(b =!= 0)
         val batch = docs.filter(b === 0)
         graft.operators.LshIndex.build(indexed, root)
-        val approx = graft.operators.LshIndex
-          .check(batch, indexed, root, threshold = 0.8)
+        // pinned: approx feeds both flags, exact anchors + feeds both —
+        // un-pinned, each re-executes per reference (Certify.pin)
+        val approx = Certify.pin(graft.operators.LshIndex
+          .check(batch, indexed, root, threshold = 0.8))
         graft.operators.LshIndex.append(batch, root)
-        val exact = Dedup.ngramJaccardJoin(batch, indexed, threshold = 0.8)
-          .select(col("corpus_id").as("id_a"), col("new_id").as("id_b"),
-            col("jaccard"))
+        val exact = Certify.pin(
+          Dedup.ngramJaccardJoin(batch, indexed, threshold = 0.8)
+            .select(col("corpus_id").as("id_a"), col("new_id").as("id_b"),
+              col("jaccard")))
         Certify.attach(
           exact.select(col("id_a"), col("id_b"),
             round(col("jaccard"), 6).as("jaccard")),

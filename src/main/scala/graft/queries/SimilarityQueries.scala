@@ -30,15 +30,20 @@ object SimilarityQueries extends QueryModule {
   /** Certified-ANN gate body: exact twin as the hash-checked anchor,
     * approximate result folded into ONE aggregate recall flag (floor
     * measured by graft.RecallProbe, set well under it). */
-  private def certifiedTopK(exact: org.apache.spark.sql.DataFrame,
+  private def certifiedTopK(exact0: org.apache.spark.sql.DataFrame,
                             approx: org.apache.spark.sql.DataFrame,
-                            floor: Double): org.apache.spark.sql.DataFrame =
+                            floor: Double): org.apache.spark.sql.DataFrame = {
+    // pin the exact twin: referenced below as the anchor AND inside
+    // the recall flag — un-pinned, the whole brute-force pipeline
+    // would re-execute per reference (Certify.pin scaladoc)
+    val exact = Certify.pin(exact0)
     Certify.attach(
       exact.select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cos"), 6).as("cos")),
       Certify.recallFlag(approx, exact, Seq("query_id", "neighbor_id"),
         floor, "recall_ok"))
       .orderBy("query_id", "rank")
+  }
 
   override def entries: Seq[(String, Q)] = Seq(
 
@@ -326,9 +331,12 @@ object SimilarityQueries extends QueryModule {
     "q83_cosine_neardup_lsh" -> Q(
       run = (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
-        val exact = Similarity.cosineNearDupPairs(emb, 0.4)
-        val approx = Similarity.cosineNearDupPairsLSH(
-          emb, 0.4, dim = 64, bits = 64, bands = 16)
+        // pinned: exact anchors the output AND feeds both flags; approx
+        // feeds both flags — un-pinned, the n² verify re-executes per
+        // reference (Certify.pin scaladoc)
+        val exact = Certify.pin(Similarity.cosineNearDupPairs(emb, 0.4))
+        val approx = Certify.pin(Similarity.cosineNearDupPairsLSH(
+          emb, 0.4, dim = 64, bits = 64, bands = 16))
         Certify.attach(
           exact.select(col("id_a"), col("id_b"),
             round(col("cos"), 6).as("cos")),
@@ -358,9 +366,10 @@ object SimilarityQueries extends QueryModule {
       run = (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
         val labels = emb.select(col("vec_id"), col("label"))
-        val exact = Similarity.semanticDedupSurvivors(emb, 0.4)
+        // pinned: anchors the output AND feeds the recall flag
+        val exact = Certify.pin(Similarity.semanticDedupSurvivors(emb, 0.4)
           .join(labels, Seq("vec_id"))
-          .select(col("vec_id"), col("label"), col("group_size"))
+          .select(col("vec_id"), col("label"), col("group_size")))
         val approx = Similarity.semanticDedupSurvivors(emb, 0.4,
           pairs = Some(Similarity.cosineNearDupPairsLSH(
             emb, 0.4, dim = 64, bits = 64, bands = 16)))

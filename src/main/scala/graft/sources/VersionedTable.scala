@@ -2731,15 +2731,21 @@ object VersionedTable {
     * Morton key so the resulting files are tight in BOTH dimensions. */
   private def zCluster(df: DataFrame, colA: String, colB: String,
                        numFiles: Int, buckets: Int): DataFrame = {
+    // fanOutPinned: three passes consume the input (quantile scan,
+    // range sampling, shuffle map) — each would otherwise re-run the
+    // single-task scan stage of a single-file input (guide §2.5);
+    // pass-through (no repartition, no materialization) on a
+    // parallel input
+    val dfp = graft.core.FanOut.fanOutPinned(df)
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    val Array(boundsA, boundsB) = df
+    val Array(boundsA, boundsB) = dfp
       .select(col(colA).cast("double").as("__qa"),
         col(colB).cast("double").as("__qb"))
       .stat.approxQuantile(Array("__qa", "__qb"), probs, 1.0 / (4 * buckets))
       .map(_.map(_.toLong).distinct.toSeq)
     val z = graft.plans.ZOrder64(col(colA).cast("long"),
       col(colB).cast("long"), boundsA, boundsB)
-    df.withColumn("__z", z)
+    dfp.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
@@ -2796,16 +2802,18 @@ object VersionedTable {
     val nb =
       if (buckets > 0) buckets
       else math.min(1024, 1 << (63 / cols.length - 1))
+    // fanOutPinned for the three input passes — see zCluster
+    val dfp = graft.core.FanOut.fanOutPinned(df)
     val probs = (1 until nb).map(_.toDouble / nb).toArray
     val qNames = cols.indices.map(i => s"__q$i")
-    val allBounds = df
+    val allBounds = dfp
       .select(cols.zip(qNames).map { case (c, q) =>
         col(c).cast("double").as(q)
       }: _*)
       .stat.approxQuantile(qNames.toArray, probs, 1.0 / (4 * nb))
       .map(_.map(_.toLong).distinct.toSeq).toSeq
     val z = graft.plans.ZOrderK(cols.map(c => col(c).cast("long")), allBounds)
-    df.withColumn("__z", z)
+    dfp.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
