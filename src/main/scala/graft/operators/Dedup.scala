@@ -43,7 +43,10 @@ object Dedup {
                         maxShingleFreq: Option[Int] = None,
                         textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
-    val shingled = docs
+    // fanOut: shingling is the heavy map of this pipeline and runs in
+    // the docs scan stage — single-task on a single-file corpus (guide
+    // §2.5); no-op on a parallel input
+    val shingled = graft.core.FanOut.fanOut(docs)
       .select(col(idCol).as("id"), wordShingles(col(textCol), n).as("toks"))
       .filter(size(col("toks")) > 0)
     val sets = maxShingleFreq match {
@@ -66,7 +69,7 @@ object Dedup {
                        threshold: Double, n: Int = 3,
                        textCol: String = "text",
                        idCol: String = "doc_id"): DataFrame = {
-    def sets(df: DataFrame) = df
+    def sets(df: DataFrame) = graft.core.FanOut.fanOut(df) // see ngramJaccardPairs
       .select(col(idCol).as("id"), wordShingles(col(textCol), n).as("toks"))
       .filter(size(col("toks")) > 0)
     SetSimJoin.jaccardJoin(sets(newDocs), sets(corpus), threshold)
@@ -113,7 +116,8 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, numHashes: Int, n: Int,
                         textCol: String, idCol: String): DataFrame = {
     val ps = perms(numHashes)
-    docs.select(col(idCol).as("id"),
+    // fanOut: the whole-signature projection is the heavy map (guide §2.5)
+    graft.core.FanOut.fanOut(docs).select(col(idCol).as("id"),
       graft.plans.DocHashExpressions
         .minhashSig(col(textCol), n, ps.map(_.a), ps.map(_.b), MersennePrime)
         .as("sig"))
@@ -204,8 +208,9 @@ object Dedup {
     * token shuffle — DocHashSpec asserts the equivalence). */
   def simhashes(docs: DataFrame, textCol: String = "text",
                 idCol: String = "doc_id"): DataFrame =
-    docs.select(col(idCol).as("id"),
-      graft.plans.DocHashExpressions.simhash64(col(textCol)).as("sh"))
+    graft.core.FanOut.fanOut(docs) // simhash64 is the heavy map (guide §2.5)
+      .select(col(idCol).as("id"),
+        graft.plans.DocHashExpressions.simhash64(col(textCol)).as("sh"))
 
   /** Connected components over an undirected pair list — turns near-dup
     * PAIRS into dedup GROUPS (keep one doc per component). Iterative
@@ -423,7 +428,8 @@ object Dedup {
                        dfCap: Long = Long.MaxValue,
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
+    // fanOut: shingling is the heavy map (guide §2.5)
+    val sh = graft.core.FanOut.fanOut(docs).select(col(idCol).as("id"),
         explode(graft.functions.TextFunctions.wordShingles(col(textCol), n))
           .as("g"))
       .localCheckpoint(true) // sizes + both join sides reuse it

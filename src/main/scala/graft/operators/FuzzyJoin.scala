@@ -42,8 +42,11 @@ object FuzzyJoin {
                 leftId: String, leftName: String, rightName: String,
                 blockCol: String, band: Int = 4): DataFrame = {
     require(band >= 0, "band must be non-negative")
-    val l = left.select(col(leftId).as("__lid"), col(leftName).as("__ln"),
-      col(blockCol).as("__blk"))
+    // fanOut: the per-candidate Levenshtein runs in the probe side's
+    // scan stage — single-task on a single-file dim (guide §2.5)
+    val l = graft.core.FanOut.fanOut(
+      left.select(col(leftId).as("__lid"), col(leftName).as("__ln"),
+        col(blockCol).as("__blk")))
     val r = right.select(col(rightName).as("__rn"), col(blockCol).as("__blk"))
       .withColumn("__rlen", length(col("__rn")))
     val w = Window.partitionBy(col("__lid"))
@@ -105,7 +108,9 @@ object FuzzyJoin {
                            blockCol: String): DataFrame = {
     val w = Window.partitionBy(col(leftId))
       .orderBy(col("lev"), col(rightName))
-    left.select(col(leftId), col(leftName), col(blockCol))
+    // fanOut: see bestMatch — the Levenshtein map dominates
+    graft.core.FanOut.fanOut(
+      left.select(col(leftId), col(leftName), col(blockCol)))
       .join(right.select(col(rightName), col(blockCol)), Seq(blockCol))
       .withColumn("lev", levenshtein(col(leftName), col(rightName)))
       .withColumn("__rk", row_number().over(w))

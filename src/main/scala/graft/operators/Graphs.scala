@@ -234,14 +234,21 @@ object Graphs {
   }
 
   def triangleStats(pairs: DataFrame): DataFrame = {
+    // pinned: und feeds the degree union (2 refs) + the orientation
+    // join, deg feeds both orientation joins + the wedge census —
+    // un-pinned, the whole upstream edge build re-executes per
+    // reference (both frames are edge/node-list-sized, the same
+    // materialization trade `oriented` below already makes)
     val und = pairs
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .localCheckpoint(true)
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     // orient u→v iff (deg(u), u) < (deg(v), v)
     val oriented = und
       .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))

@@ -40,7 +40,9 @@ object SpanDedup {
     val win = (i: Column) => concat_ws(" ", slice(col("__toks"), i, lit(w)))
     val h = (i: Column) => if (hash64) xxhash64(win(i)).cast(StringType)
                            else md5(win(i))
-    docs
+    // fanOut: the per-offset window hashing is the heavy map of every
+    // span pipeline and runs in the docs scan stage (guide §2.5)
+    graft.core.FanOut.fanOut(docs)
       .select(col(idCol).as("id"), toks.as("__toks"))
       .filter(size(col("__toks")) >= w)
       .select(col("id"), posexplode(
@@ -139,7 +141,7 @@ object SpanDedup {
         explode(sequence(col("pos"), col("pos") + (w - 1))).as("p"))
       .groupBy(col("id"))
       .agg(collect_set(col("p")).as("__rem"))
-    docs
+    graft.core.FanOut.fanOut(docs) // token rebuild is the heavy map (guide §2.5)
       .select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
       .join(removed, Seq("id"), "left")
       .select(col("id"), concat_ws(" ",

@@ -19,13 +19,19 @@ object TextQueries extends QueryModule {
     * combinable. */
   private def cooccurrenceEdges(s: org.apache.spark.sql.SparkSession,
                                 dir: String) = {
-    val bg = Tables(s, dir, "documents")
+    // fanOut: tokenize is the heavy map (guide §2.5); pinned because
+    // the symmetrizing union below references bg twice and Spark
+    // re-executes unshared lineage per reference — bg is already the
+    // aggregated bigram frame (edge-list-sized), so materializing it
+    // is the same trade every graph operator here makes for its edges
+    val bg = graft.core.FanOut.fanOut(Tables(s, dir, "documents"))
       .select(explode(wordShinglesAll(col("text"), 2)).as("bigram"))
       .select(split(col("bigram"), " ").getItem(0).as("x"),
         split(col("bigram"), " ").getItem(1).as("y"))
       .filter(col("x") =!= col("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 3)
+      .localCheckpoint(true)
     bg.select(col("x").as("src"), col("y").as("dst"), col("c").as("w"))
       .union(bg
         .select(col("y").as("src"), col("x").as("dst"), col("c").as("w")))
@@ -40,7 +46,7 @@ object TextQueries extends QueryModule {
     * stream is shuffled exactly once per query. */
   private def termPostings(s: org.apache.spark.sql.SparkSession,
                            dir: String) =
-    Tables(s, dir, "documents")
+    graft.core.FanOut.fanOut(Tables(s, dir, "documents")) // tokenize map, guide §2.5
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("doc_id"), col("term"))
@@ -628,12 +634,19 @@ object TextQueries extends QueryModule {
           .flags(docs.select(col("doc_id"), col("text")))
           .filter(col("keep") === 1)
           .select(col("doc_id"), col("text"), col("n_tok"))
-        val firstPerDigest = clean
-          .groupBy(md5(col("text")).as("__d"))
-          .agg(min(col("doc_id")).as("doc_id"))
-          .select(col("doc_id"))
-        val deduped = clean.join(firstPerDigest, Seq("doc_id"), "left_semi")
+        // first-doc-per-digest as ONE window pass over clean (the
+        // groupBy+semi-join form referenced clean twice, re-running the
+        // quality-rules pipeline per reference); pinned because the
+        // contamination probe AND the final anti-join both read it —
+        // materializing the cleaned corpus is exactly what a freeze
+        // pipeline ships anyway
+        val wd = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+        val deduped = clean
+          .withColumn("__rn", row_number().over(wd))
+          .filter(col("__rn") === 1).drop("__rn")
           .filter(col("doc_id") >= 10) // the holdout never ships
+          .localCheckpoint(true)
         val shingle3 = (c: org.apache.spark.sql.Column) =>
           graft.functions.TextFunctions.wordShingles(c, 3)
         val benchSh = docs.filter(col("doc_id") < 10)
