@@ -43,10 +43,13 @@ object Dedup {
                         maxShingleFreq: Option[Int] = None,
                         textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
-    // fanOut: shingling is the heavy map of this pipeline and runs in
-    // the docs scan stage — single-task on a single-file corpus (guide
-    // §2.5); no-op on a parallel input
-    val shingled = graft.core.FanOut.fanOut(docs)
+    // No fanOut here (tried in this optimization round, measured +0.5 s
+    // on q31/q66 across two full-suite passes): the SetSimJoin pipeline
+    // re-shuffles the token stream immediately, so the parallelism
+    // floor bought nothing and its repartition+32-task stages only
+    // added fixed overhead — unlike containmentPairs, whose verify
+    // join re-reads the fanned checkpoint blocks
+    val shingled = docs
       .select(col(idCol).as("id"), wordShingles(col(textCol), n).as("toks"))
       .filter(size(col("toks")) > 0)
     val sets = maxShingleFreq match {
@@ -69,7 +72,7 @@ object Dedup {
                        threshold: Double, n: Int = 3,
                        textCol: String = "text",
                        idCol: String = "doc_id"): DataFrame = {
-    def sets(df: DataFrame) = graft.core.FanOut.fanOut(df) // see ngramJaccardPairs
+    def sets(df: DataFrame) = df
       .select(col(idCol).as("id"), wordShingles(col(textCol), n).as("toks"))
       .filter(size(col("toks")) > 0)
     SetSimJoin.jaccardJoin(sets(newDocs), sets(corpus), threshold)
@@ -116,8 +119,7 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, numHashes: Int, n: Int,
                         textCol: String, idCol: String): DataFrame = {
     val ps = perms(numHashes)
-    // fanOut: the whole-signature projection is the heavy map (guide §2.5)
-    graft.core.FanOut.fanOut(docs).select(col(idCol).as("id"),
+    docs.select(col(idCol).as("id"),
       graft.plans.DocHashExpressions
         .minhashSig(col(textCol), n, ps.map(_.a), ps.map(_.b), MersennePrime)
         .as("sig"))
@@ -160,7 +162,12 @@ object Dedup {
                           idCol: String = "doc_id"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val signed = minhashSignatures(docs, numHashes, n, textCol, idCol)
+    // fanOut HERE, not inside minhashSignatures: the whole-signature
+    // projection is the heavy map (guide §2.5), but the signature
+    // helper also feeds LshIndex's table commits, where a repartition
+    // multiplies staged files (measured regression, batch-2 notes)
+    val signed = minhashSignatures(graft.core.FanOut.fanOut(docs),
+      numHashes, n, textCol, idCol)
     // eagerly checkpointed (not persist): both sides of the bucket
     // self-join reference this subtree; without reuse the signature
     // computation runs twice. localCheckpoint over persist because the
@@ -335,11 +342,15 @@ object Dedup {
     while (!converged && i < maxIter) {
       // per-round localCheckpoint: persist does not truncate lineage and
       // an iterated join/agg plan doubles per round (see
-      // connectedComponents). LAZY mark + count(): the count is the
-      // materializing action, so the round runs ONE job (an eager
-      // checkpoint ran its own materialization job and the count a
-      // second) — safe here because the count executes before the
-      // previous round's blocks unpersist.
+      // connectedComponents) — this round RE-MEASURED that warning:
+      // fusing two alternations per materialization blew q103/q119 up
+      // 2.5× (each star references its input 4-8×, and only a
+      // materialized input makes those references cheap block reads).
+      // LAZY mark + count(): the count is the materializing action, so
+      // the round runs ONE job (an eager checkpoint ran its own
+      // materialization job and the count a second) — safe here
+      // because the count executes before the previous round's blocks
+      // unpersist.
       val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val nextCount = next.count()
       converged = nextCount == edgeCount &&

@@ -72,9 +72,13 @@ object Graphs {
               when(col("__t").isNotNull, lit(1)).otherwise(lit(0)).as("tele"))
       }
     }.localCheckpoint(true)
-    val n = nodes.count()
+    // one aggregate row for both setup scalars (two separate count
+    // actions were two jobs over the same materialized blocks)
+    val setupRow = nodes.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("tele")), lit(0L)).as("s")).head()
+    val n = setupRow.getLong(0)
     require(n > 0, "weightedPageRank: empty edge list")
-    val s = nodes.filter(col("tele") === 1).count()
+    val s = setupRow.getLong(1)
     require(s > 0, "weightedPageRank: teleport set disjoint from graph nodes")
     // (1-d)/|S| restart mass in 1e-8 units, floor — exact long arithmetic
     val baseS = (100L - dNum) * 100000000L / (100L * s)

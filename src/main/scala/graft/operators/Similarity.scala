@@ -47,13 +47,19 @@ object Similarity {
     * Output: (query_id, neighbor_id, rank, cos). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding",
+                     wide: Boolean = false): DataFrame = {
     val q = withNorm(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "qv", "qn")
-    // fanOut: the |corpus|·|queries| dot products run in the corpus
-    // scan stage — a single-file corpus would score every pair on one
-    // task (guide §2.5); no-op on an already-parallel corpus
-    val c = withNorm(graft.core.FanOut.fanOut(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))), "cv", "cn")
+    // wide = corpus-sized query set (the kNN-graph shape): the
+    // |corpus|·|queries| dot products run in the corpus scan stage —
+    // single-task on a single-file corpus (guide §2.5) — so fan the
+    // streamed side out. Deliberately opt-in: for human-sized query
+    // sets the scoring is light and the repartition's fixed 32-task
+    // stage overhead measurably LOSES (~+0.3 s per query on the
+    // q40/q42/q122 family, mid-round bench) — no-op at scale either
+    // way (FanOut never repartitions an already-parallel input).
+    val c0 = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val c = withNorm(if (wide) graft.core.FanOut.fanOut(c0) else c0, "cv", "cn")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", fastCos(col("qv"), col("qn"), col("cv"), col("cn")))
@@ -86,11 +92,8 @@ object Similarity {
                     groupCol: String = "label"): DataFrame = {
     val q = withNorm(queries.select(col(idCol).as("query_id"),
       col(groupCol).as("__qg"), col(vecCol).as("qv")), "qv", "qn")
-    // fanOut: per-pair scoring runs in the corpus scan stage (see
-    // bruteForceTopK)
-    val c = withNorm(graft.core.FanOut.fanOut(
-      corpus.select(col(idCol).as("neighbor_id"),
-        col(groupCol).as("__cg"), col(vecCol).as("cv"))), "cv", "cn")
+    val c = withNorm(corpus.select(col(idCol).as("neighbor_id"),
+      col(groupCol).as("__cg"), col(vecCol).as("cv")), "cv", "cn")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -123,11 +126,8 @@ object Similarity {
                  vecCol: String = "embedding"): DataFrame = {
     val q = withNorm(queries.select(col(docCol).as("query_doc"),
       col(idCol).as("qt"), col(vecCol).as("qv")), "qv", "qn")
-    // fanOut: token-pair scoring runs in the corpus scan stage (see
-    // bruteForceTopK)
-    val c = withNorm(graft.core.FanOut.fanOut(
-      corpus.select(col(docCol).as("neighbor_doc"),
-        col(vecCol).as("cv"))), "cv", "cn")
+    val c = withNorm(corpus.select(col(docCol).as("neighbor_doc"),
+      col(vecCol).as("cv")), "cv", "cn")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_doc") =!= col("neighbor_doc"))
       .withColumn("__cos", round(fastCos(col("qv"), col("qn"),
@@ -294,9 +294,10 @@ object Similarity {
 
     // no persist: the assignment subtree feeds exactly one join below,
     // so caching it would only leak a CacheManager entry the caller can
-    // never unpersist. fanOut: cell assignment + per-candidate scoring
-    // run in the corpus scan stage (see bruteForceTopK)
-    val assigned = graft.core.FanOut.fanOut(corpus)
+    // never unpersist. (No fanOut here: the per-row cell assignment is
+    // light and the mid-round bench showed the repartition's fixed
+    // stage overhead losing ~+0.5 s on the ivf family.)
+    val assigned = corpus
       .withColumn("__cell", nearestCentroid(col(vecCol), refined))
       .withColumn("__cn",
         sqrt(dotProduct(col(vecCol), col(vecCol))))
@@ -749,7 +750,7 @@ object Similarity {
     // mining pipelines do: the neighborhood that normalizes a score
     // is the retrieved neighborhood).
     val rawPairs = candidates match {
-      case None => graft.core.FanOut.fanOut(bv).crossJoin(broadcast(av))
+      case None => bv.crossJoin(broadcast(av))
       case Some(c) => c.select(col("id_a"), col("id_b"))
         .join(av, "id_a").join(bv, "id_b")
     }

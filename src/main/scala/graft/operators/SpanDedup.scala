@@ -40,9 +40,7 @@ object SpanDedup {
     val win = (i: Column) => concat_ws(" ", slice(col("__toks"), i, lit(w)))
     val h = (i: Column) => if (hash64) xxhash64(win(i)).cast(StringType)
                            else md5(win(i))
-    // fanOut: the per-offset window hashing is the heavy map of every
-    // span pipeline and runs in the docs scan stage (guide §2.5)
-    graft.core.FanOut.fanOut(docs)
+    docs
       .select(col(idCol).as("id"), toks.as("__toks"))
       .filter(size(col("__toks")) >= w)
       .select(col("id"), posexplode(
@@ -69,7 +67,11 @@ object SpanDedup {
     * time through [[duplicatedSpans]]' own hashing pass). */
   private def dupOccurrences(docs: DataFrame, w: Int, minDocs: Int,
                              idCol: String, textCol: String): DataFrame = {
-    val spans = spanHashes(docs, w, idCol, textCol)
+    // fanOut HERE, not inside spanHashes: the per-offset window hashing
+    // is the heavy map (guide §2.5) and this frame is consumed twice,
+    // but spanHashes also feeds SpanIndex's table commits, where a
+    // repartition multiplies staged files (batch-2 notes)
+    val spans = spanHashes(graft.core.FanOut.fanOut(docs), w, idCol, textCol)
     val dups = spans
       .groupBy(col("h"), col("id")).agg(count(lit(1)).as("__c"))
       .groupBy(col("h")).agg(count(lit(1)).as("__nd"))

@@ -539,15 +539,16 @@ object DedupQueries extends QueryModule {
         val indexed = docs.filter(b =!= 0)
         val batch = docs.filter(b === 0)
         graft.operators.LshIndex.build(indexed, root)
-        // pinned: approx feeds both flags, exact anchors + feeds both —
-        // un-pinned, each re-executes per reference (Certify.pin)
-        val approx = Certify.pin(graft.operators.LshIndex
-          .check(batch, indexed, root, threshold = 0.8))
+        val approx = graft.operators.LshIndex
+          .check(batch, indexed, root, threshold = 0.8)
         graft.operators.LshIndex.append(batch, root)
-        val exact = Certify.pin(
-          Dedup.ngramJaccardJoin(batch, indexed, threshold = 0.8)
-            .select(col("corpus_id").as("id_a"), col("new_id").as("id_b"),
-              col("jaccard")))
+        // NOT pinned (tried in this optimization round, measured
+        // slower): both twins are shuffle-based, so their repeated
+        // references already fold through ReuseExchange — the eager
+        // checkpoint jobs only added to the critical path
+        val exact = Dedup.ngramJaccardJoin(batch, indexed, threshold = 0.8)
+          .select(col("corpus_id").as("id_a"), col("new_id").as("id_b"),
+            col("jaccard"))
         Certify.attach(
           exact.select(col("id_a"), col("id_b"),
             round(col("jaccard"), 6).as("jaccard")),

@@ -46,7 +46,9 @@ object TextQueries extends QueryModule {
     * stream is shuffled exactly once per query. */
   private def termPostings(s: org.apache.spark.sql.SparkSession,
                            dir: String) =
-    graft.core.FanOut.fanOut(Tables(s, dir, "documents")) // tokenize map, guide §2.5
+    Tables(s, dir, "documents") // no fanOut: measured +0.1-0.3 s on the
+      // q62/q140/q150/q206 family — the postings agg shuffles
+      // immediately, so the floor only added a repartition
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("doc_id"), col("term"))
