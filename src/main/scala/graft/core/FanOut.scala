@@ -16,41 +16,86 @@ import org.apache.spark.sql.DataFrame
   * side, Morton-code clustering, shingling — therefore runs
   * single-threaded while every other core idles.
   *
-  * [[fanOut]] raises the partition count to the session default
-  * parallelism ONLY when the input is below it: at 100 TB the input
-  * arrives in thousands of scan partitions and this is a no-op (no
-  * shuffle is ever added to an already-parallel input — a blanket
-  * `repartition(cores)` would instead SHRINK a large scan); locally it
-  * costs one round-robin shuffle of the narrow input rows and buys a
-  * cores-wide compute stage. Round-robin repartition is
+  * [[fanOut]] raises the partition count toward a BYTES-DERIVED
+  * target, never above the session default parallelism and never
+  * shrinking an already-parallel input: at 100 TB the input arrives
+  * in thousands of scan partitions and this is a no-op (no shuffle is
+  * ever added to an already-parallel input — a blanket
+  * `repartition(cores)` would instead SHRINK a large scan); locally
+  * it costs one round-robin shuffle of the narrow input rows and buys
+  * a multi-core compute stage. Round-robin repartition is
   * deterministic (sort-before-repartition, SPARK-23207) and row
   * placement never affects any declared result (all downstream
   * operators here are order-insensitive aggregations/joins or
-  * explicitly ordered windows). */
+  * explicitly ordered windows).
+  *
+  * Why bytes-derived and not a flat `defaultParallelism` (the round-15
+  * form): on sub-MB gate inputs a 32-task exchange costs more than it
+  * buys — the round-15 driver's scaling pass showed several fanned
+  * queries FASTER at 8 cores than 32 (q127 0.49, q41 0.66, q60 0.74
+  * ratios), pure fan-width overhead. The target
+  * clamp(bytes / 8 MB, 4, defaultParallelism) keeps the 100 TB
+  * behavior identical (any input ≥ 32 MB·cores/4 still hits the
+  * parallelism cap; unknown-size plans conservatively fan wide) while
+  * sizing tiny-input exchanges to the work they carry. 8 MB/task is
+  * deliberately below the guide §2.2 shuffle guidance — these are
+  * CPU-bound hash/score maps, not shuffle reducers. */
 object FanOut {
+
+  /** Conservative per-task input for compute-heavy fanned maps. */
+  private val BytesPerTask = 8L << 20
+
+  /** Plans whose size estimate is unavailable report defaults near
+    * Long.MaxValue — treat anything implausibly large as unknown. */
+  private val UnknownBytes = BigInt(1L << 50)
+
+  private def target(df: DataFrame): Int = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes <= 0 || bytes >= UnknownBytes) par
+    else {
+      val byBytes = ((bytes + BytesPerTask - 1) / BytesPerTask).toLong
+      math.max(4L, math.min(par.toLong, byBytes)).toInt
+    }
+  }
+
   def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
     // toRdd is the already-planned physical RDD (cached on the
     // QueryExecution) — reading its partition count runs no job
     val have = df.queryExecution.toRdd.getNumPartitions
-    if (have < target) df.repartition(target) else df
+    val t = target(df)
+    if (have < t) df.repartition(t) else df
   }
 
   /** [[fanOut]] for inputs consumed by SEVERAL passes (write-side
     * clustering: quantile scan, range sampling, shuffle map): when the
     * input is below the parallelism floor, additionally materialize it
-    * (eager localCheckpoint) so every pass reads cores-wide in-memory
+    * (eager localCheckpoint) so every pass reads multi-core in-memory
     * blocks instead of re-running the single-task scan per pass. At
     * scale this is a pass-through — a parallel input is never
     * repartitioned, and NEVER materialized (checkpointing a 100 TB
     * scan would be fatal; re-scanning is the right trade there — the
-    * gate is the same partitions-below-cores probe as [[fanOut]]).
+    * gate is the same partitions-below-target probe as [[fanOut]]).
     * Blocks free via the ContextCleaner when the caller's frames drop;
     * never a cross-run cache (the builder runs inside the timed
     * region). */
   def fanOutPinned(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
     val have = df.queryExecution.toRdd.getNumPartitions
-    if (have < target) df.repartition(target).localCheckpoint(true) else df
+    val t = target(df)
+    if (have < t) df.repartition(t).localCheckpoint(true) else df
   }
+
+  /** Byte-sized output partitioning for a frame about to be COMMITTED
+    * as table files (guide §6 small-files: "coalesce on write — AQE's
+    * partition coalescing, coalesce(n), or a REBALANCE hint before the
+    * write"). A fanned compute stage would otherwise stage one file
+    * per task — tiny files whose count tracks the core count (the
+    * round-15 q290 measurement: staged-file multiplication made the
+    * fanned postings map a net 2× LOSS). RebalancePartitions is the
+    * AQE-sized exchange: post-shuffle partitions coalesce/split toward
+    * `spark.sql.adaptive.advisoryPartitionSizeInBytes` from ACTUAL map
+    * output bytes, so the same call writes one file at gate scale and
+    * ~64 MB files at 100 TB — scale-adaptive by construction, never a
+    * constant tuned for either. */
+  def rebalance(df: DataFrame): DataFrame = df.hint("rebalance")
 }

@@ -57,6 +57,21 @@ object LshIndex {
       Dedup.minhashSignatures(docs, numHashes, n, textCol, idCol),
       bands, numHashes / bands)
 
+  /** [[bandRowsOf]] for the COMMIT paths (build/append): fan the
+    * MinHash signature map out of the single-task scan stage (guide
+    * §2.5 — the whole-signature projection is the heavy map; round 15
+    * left it single-task here because a bare repartition multiplied
+    * staged files per commit), then REBALANCE so the staged file count
+    * follows bytes, not task count (guide §6; FanOut.rebalance). The
+    * read-side [[check]] keeps plain [[bandRowsOf]] — its output feeds
+    * a join, never a commit. */
+  private def bandRowsForCommit(docs: DataFrame, numHashes: Int, bands: Int,
+                                n: Int, idCol: String,
+                                textCol: String): DataFrame =
+    graft.core.FanOut.rebalance(
+      bandRowsOf(graft.core.FanOut.fanOut(docs), numHashes, bands, n,
+        idCol, textCol))
+
   /** Sign `corpus` and commit its band rows as version 0 (plus the
     * scheme sidecar). */
   def build(corpus: DataFrame, root: String,
@@ -70,7 +85,7 @@ object LshIndex {
       VersionedTable.latestVersion(bandsRoot(root)).map(_ + 1).getOrElse(0L),
       s"$numHashes $bands $n")
     VersionedTable.overwrite(
-      bandRowsOf(corpus, numHashes, bands, n, idCol, textCol),
+      bandRowsForCommit(corpus, numHashes, bands, n, idCol, textCol),
       bandsRoot(root))
   }
 
@@ -83,7 +98,7 @@ object LshIndex {
     IndexModelFiles.dropAbove(root, "scheme", pin)
     val (nh, b, n) = readSchemeAt(root, pin)
     VersionedTable.append(
-      bandRowsOf(batch, nh, b, n, idCol, textCol), bandsRoot(root))
+      bandRowsForCommit(batch, nh, b, n, idCol, textCol), bandsRoot(root))
   }
 
   /** Near-duplicate pairs between `batch` and the INDEXED corpus:
@@ -104,8 +119,11 @@ object LshIndex {
     val pin = pinnedVersion(root)
     val (nh, b, n) = readSchemeAt(root, pin)
     val stored = VersionedTable.readVersion(spark, bandsRoot(root), pin)
-    val fresh = bandRowsOf(batch, nh, b, n, idCol, textCol)
-      .localCheckpoint(true)
+    // fanOut: the batch signature map is the heavy per-row work of the
+    // check (guide §2.5); this path feeds the candidate join, never a
+    // commit, so no rebalance is needed
+    val fresh = bandRowsOf(graft.core.FanOut.fanOut(batch), nh, b, n,
+      idCol, textCol).localCheckpoint(true)
     val candidates = stored.as("l")
       .join(fresh.as("r"),
         col("l.band") === col("r.band") &&
