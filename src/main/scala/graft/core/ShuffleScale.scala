@@ -33,10 +33,32 @@ object ShuffleScale {
     * iterative rounds re-shuffle the same rows repeatedly). */
   val RowsPerPartition: Long = 1L << 20
 
-  def withRowCap[T](spark: SparkSession, rows: Long)(body: => T): T = {
+  def withRowCap[T](spark: SparkSession, rows: Long)(body: => T): T =
+    withCap(spark,
+      math.max(1L, (rows + RowsPerPartition - 1) / RowsPerPartition))(body)
+
+  /** [[withRowCap]] from a Catalyst size estimate: cap the shuffle
+    * width of `body`'s EAGER pipeline stages to ceil(bytes /
+    * bytesPerPartition). Unknown estimates (the near-Long.MaxValue
+    * defaults) disable the cap entirely — conservative: only a
+    * confidently-small input ever narrows the shuffle, production
+    * plans pass through. */
+  def withBytesCap[T](spark: SparkSession, bytes: BigInt,
+                      bytesPerPartition: Long = 4L << 20)(body: => T): T =
+    if (bytes <= 0 || bytes >= UnknownBytes) body
+    else withCap(spark,
+      ((bytes + bytesPerPartition - 1) / bytesPerPartition).toLong)(body)
+
+  /** Catalyst's size estimate for a frame (guide §1: plan-time stats);
+    * near-Long.MaxValue defaults mean "unknown". */
+  def statBytes(df: org.apache.spark.sql.DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
+  val UnknownBytes: BigInt = BigInt(1L << 50)
+
+  private def withCap[T](spark: SparkSession, cap: Long)(body: => T): T = {
     val prev = spark.conf.get(Key)
-    val cap = math.max(1L, (rows + RowsPerPartition - 1) / RowsPerPartition)
-    val target = math.min(prev.toLong, cap)
+    val target = math.min(prev.toLong, math.max(1L, cap))
     if (target == prev.toLong) body
     else {
       spark.conf.set(Key, target.toString)

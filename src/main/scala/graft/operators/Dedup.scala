@@ -43,13 +43,12 @@ object Dedup {
                         maxShingleFreq: Option[Int] = None,
                         textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
-    // No fanOut here (tried in this optimization round, measured +0.5 s
-    // on q31/q66 across two full-suite passes): the SetSimJoin pipeline
-    // re-shuffles the token stream immediately, so the parallelism
-    // floor bought nothing and its repartition+32-task stages only
-    // added fixed overhead — unlike containmentPairs, whose verify
-    // join re-reads the fanned checkpoint blocks
-    val shingled = docs
+    // fanOut RE-MEASURED this round: the round-15 flat-32 fan cost
+    // +0.5 s on q31/q66 (repartition+32-task stages of fixed overhead);
+    // the bytes-aware fan (4-way on the gate corpus) parallelizes the
+    // single-task shingling map without that tax — still a no-op on a
+    // production-parallel scan (guide §2.5)
+    val shingled = graft.core.FanOut.fanOut(docs)
       .select(col(idCol).as("id"), wordShingles(col(textCol), n).as("toks"))
       .filter(size(col("toks")) > 0)
     val sets = maxShingleFreq match {
@@ -72,7 +71,8 @@ object Dedup {
                        threshold: Double, n: Int = 3,
                        textCol: String = "text",
                        idCol: String = "doc_id"): DataFrame = {
-    def sets(df: DataFrame) = df
+    // bytes-aware fanOut of the shingling maps — see ngramJaccardPairs
+    def sets(df: DataFrame) = graft.core.FanOut.fanOut(df)
       .select(col(idCol).as("id"), wordShingles(col(textCol), n).as("toks"))
       .filter(size(col("toks")) > 0)
     SetSimJoin.jaccardJoin(sets(newDocs), sets(corpus), threshold)

@@ -60,6 +60,14 @@ object SetSimJoin {
       sets: DataFrame, threshold: Double): (DataFrame, DataFrame) = {
     require(threshold > 0 && threshold <= 1)
 
+    // cap the EAGER pipeline stages' shuffle width to the input size
+    // (guide §2.2): the dictionary ranking + rank-set builds below run
+    // their checkpoints at the session partition count, and over a
+    // few-MB gate corpus the 32-wide range-repartition + checkpoint
+    // rounds cost more than the data. Lower-only: unknown/production
+    // sizes pass through (ShuffleScale).
+    val capBytes = graft.core.ShuffleScale.statBytes(sets)
+
     val tokens = sets.select(col("id"), explode(col("toks")).as("tok"))
     val freq = tokens.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // rarest-first global ORDER (dense ranks are not needed — only a
@@ -79,11 +87,14 @@ object SetSimJoin {
     // eager localCheckpoint freezes the tok→rank map before any
     // consumer runs. (Found the hard way: one shared shingle of a
     // near-dup pair ranked differently in the two docs' arrays.)
-    val ranked = freq
-      .repartitionByRange(col("df"), col("tok"))
-      .sortWithinPartitions(col("df"), col("tok"))
-      .select(col("tok"), monotonically_increasing_id().as("rank"))
-      .localCheckpoint(true)
+    val ranked = graft.core.ShuffleScale.withBytesCap(
+      sets.sparkSession, capBytes) {
+      freq
+        .repartitionByRange(col("df"), col("tok"))
+        .sortWithinPartitions(col("df"), col("tok"))
+        .select(col("tok"), monotonically_increasing_id().as("rank"))
+        .localCheckpoint(true)
+    }
 
     // eagerly checkpointed, NOT lazily persisted: the self-join and the
     // two verify joins each reference this subtree, and Spark re-executes
@@ -95,15 +106,18 @@ object SetSimJoin {
     // memory (shuffle spill everywhere). localCheckpoint materializes
     // once, truncates lineage, and its RDD blocks are freed by the
     // ContextCleaner as soon as the result DataFrame is dropped.
-    val rankSets = tokens
-      .join(ranked, Seq("tok"))
-      .groupBy(col("id"))
-      .agg(sort_array(collect_list(col("rank"))).as("ranks"))
-      .withColumn("sz", size(col("ranks")))
-      // prefix length |x| − ⌈t·|x|⌉ + 1
-      .withColumn("plen",
-        (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast(IntegerType))
-      .localCheckpoint(true)
+    val rankSets = graft.core.ShuffleScale.withBytesCap(
+      sets.sparkSession, capBytes) {
+      tokens
+        .join(ranked, Seq("tok"))
+        .groupBy(col("id"))
+        .agg(sort_array(collect_list(col("rank"))).as("ranks"))
+        .withColumn("sz", size(col("ranks")))
+        // prefix length |x| − ⌈t·|x|⌉ + 1
+        .withColumn("plen",
+          (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast(IntegerType))
+        .localCheckpoint(true)
+    }
 
     // NOT checkpointed: both self-join sides re-derive this from the
     // checkpointed rankSets — the re-derivation is a map-local explode
@@ -147,19 +161,27 @@ object SetSimJoin {
       .unionByName(right
         .select(lit(1).as("side"), col("id"), explode(col("toks")).as("tok")))
     val freq = tokens.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val ranked = freq
-      .repartitionByRange(col("df"), col("tok"))
-      .sortWithinPartitions(col("df"), col("tok"))
-      .select(col("tok"), monotonically_increasing_id().as("rank"))
-      .localCheckpoint(true)
-    val rankSets = tokens
-      .join(ranked, Seq("tok"))
-      .groupBy(col("side"), col("id"))
-      .agg(sort_array(collect_list(col("rank"))).as("ranks"))
-      .withColumn("sz", size(col("ranks")))
-      .withColumn("plen",
-        (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast(IntegerType))
-      .localCheckpoint(true)
+    // shuffle width of the eager builds capped to the two inputs'
+    // combined size estimate — see rankSetsAndCandidates (guide §2.2)
+    val capBytes = graft.core.ShuffleScale.statBytes(left) +
+      graft.core.ShuffleScale.statBytes(right)
+    val ranked = graft.core.ShuffleScale.withBytesCap(spark, capBytes) {
+      freq
+        .repartitionByRange(col("df"), col("tok"))
+        .sortWithinPartitions(col("df"), col("tok"))
+        .select(col("tok"), monotonically_increasing_id().as("rank"))
+        .localCheckpoint(true)
+    }
+    val rankSets = graft.core.ShuffleScale.withBytesCap(spark, capBytes) {
+      tokens
+        .join(ranked, Seq("tok"))
+        .groupBy(col("side"), col("id"))
+        .agg(sort_array(collect_list(col("rank"))).as("ranks"))
+        .withColumn("sz", size(col("ranks")))
+        .withColumn("plen",
+          (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast(IntegerType))
+        .localCheckpoint(true)
+    }
     def prefixes(side: Int, idName: String) = rankSets
       .filter(col("side") === side)
       .select(col("id").as(idName), col("sz"),

@@ -237,26 +237,37 @@ object TextIndex {
     // racing appenders serialize, neither batch is lost, and readers
     // (who read AT the pointer) never see a torn postings/doclen set.
     var committed = false
+    // fanOut: whitespace tokenization is the heavy per-row map of the
+    // ingest (guide §2.5); postings/positions pass through their own
+    // groupBy/AQE-sized exchanges before staging, so the fan never
+    // multiplies committed files (unlike the round-15 experiment that
+    // fanned the post-aggregation postings frame — measured 2× loss)
+    val fanned = graft.core.FanOut.fanOut(docs)
     while (!committed) {
       if (txn >= 0 && committedTxn(root) >= txn) return
       val g0 = graft.sources.PointerCas.gen(new File(root))
       val (n0, s0, pV0, dV0) = commitState(root)
       // localCheckpoint: the batch postings feed three consumers
       // (postings append, doclen append, stats roll-up) — tokenize once
-      val p = postingsOf(docs, idCol, textCol).localCheckpoint(true)
+      val p = postingsOf(fanned, idCol, textCol).localCheckpoint(true)
       val pV = appendCommitted(p, postingsRoot(root), pV0, Some("term"))
+      // doclen derives from the CHECKPOINTED postings with one cheap
+      // shuffle — staging materializes it; a second eager checkpoint
+      // here bought nothing but an extra job per batch (guide §2.4)
       val dl = p.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-        .localCheckpoint(true) // doclen append + stats delta read it
       val dV = appendCommitted(dl, doclenRoot(root), dV0, None)
       // positional shape recorded in the pointer → maintain it here
       val posV = posVersion(root) match {
-        case Some(v0) => appendCommitted(positionsOf(docs, idCol, textCol),
+        case Some(v0) => appendCommitted(positionsOf(fanned, idCol, textCol),
           positionsRoot(root), v0, Some("term"))
         case None => PosAbsent
       }
-      // one 1-row driver aggregate — the O(1) stats delta
-      val row = dl.agg(count(lit(1)).as("n"),
-        coalesce(sum(col("dl")), lit(0L)).as("s")).head()
+      // one 1-row driver aggregate — the O(1) stats delta, computed
+      // straight off the checkpointed postings (n_docs = docs with ≥1
+      // posting = distinct doc_id; sum_dl = Σ tf — identical to the
+      // doclen-frame rollup it replaces, one shuffle fewer)
+      val row = p.agg(count_distinct(col("doc_id")).as("n"),
+        coalesce(sum(col("tf")), lit(0L)).as("s")).head()
       committed = graft.sources.PointerCas.commitIfGen(new File(root), g0,
         commitContent(n0 + row.getLong(0), s0 + row.getLong(1), pV, dV,
           math.max(txn, committedTxn(root)), posV))

@@ -810,7 +810,7 @@ object SimilarityQueries extends QueryModule {
           Similarity.bruteForceTopK(q, emb, k = 5),
           graft.operators.IvfPqIndex.search(q, emb, root, k = 5,
             nprobe = 8, refine = 8),
-          floor = 0.5)
+          floor = 0.5, pinExact = true)
       },
       oracle = Some(exactTopkSql("WHERE q.vec_id < 32", "recall_ok"))),
 
@@ -841,7 +841,7 @@ object SimilarityQueries extends QueryModule {
         certifiedTopK(
           Similarity.bruteForceTopK(q, emb, k = 5),
           graft.operators.IvfIndex.topK(s, q, root, k = 5, nprobe = 6),
-          floor = 0.6)
+          floor = 0.6, pinExact = true)
           .withColumn("noop_ok", lit(if (early) 0L else 1L))
           .withColumn("retrained_ok", lit(if (ran) 1L else 0L))
       },
