@@ -655,9 +655,13 @@ object Similarity {
                             vecCol: String = "embedding"): DataFrame = {
     graft.plans.VectorExpressions.register(corpus.sparkSession)
     // eagerly checkpointed: both sides of the bucket self-join and the
-    // verify re-attach reference this subtree (see SetSimJoin note)
+    // verify re-attach reference this subtree (see SetSimJoin note).
+    // fanOut: the norm map, the band projection and the verify scoring
+    // all read these blocks — a single-file corpus would pin them all
+    // to one task (guide §2.5; bytes-derived width)
     val sides = withNorm(
-      corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "v", "nrm")
+      graft.core.FanOut.fanOut(
+        corpus.select(col(idCol).as("id"), col(vecCol).as("v"))), "v", "nrm")
       .localCheckpoint(true)
     // eagerly checkpointed: both self-join sides reference this
     // subtree, and the materialized LogicalRDD's exact size feeds the
