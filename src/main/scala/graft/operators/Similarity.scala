@@ -59,7 +59,7 @@ object Similarity {
     // q40/q42/q122 family, mid-round bench) — no-op at scale either
     // way (FanOut never repartitions an already-parallel input).
     val c0 = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val c = withNorm(if (wide) graft.core.FanOut.fanOut(c0) else c0, "cv", "cn")
+    val c = withNorm(if (wide) graft.core.FanOut.fanOutWide(c0) else c0, "cv", "cn")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", fastCos(col("qv"), col("qn"), col("cv"), col("cn")))
@@ -350,8 +350,15 @@ object Similarity {
 
     val refined = trainCentroids(corpus, nlist, idCol, vecCol)
 
-    val stored = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // fanOutWide the STORED side: the planner broadcasts the exploded
+    // probing side (nprobe·n rows but narrow), so the per-candidate
+    // scoring runs in stored's scan stage — single-task on a
+    // single-file corpus, with per-row work ∝ nprobe·(n/nlist) (the
+    // q165 wide-BNLJ argument; guide §2.5). Fanning the PROBING side
+    // instead was measured 2.98 → 5.27 s this round: it parallelized
+    // the broadcast build, not the scoring.
+    val stored = graft.core.FanOut.fanOutWide(corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")))
       .withColumn("__cell", nearestCentroid(col("cv"), refined))
       .withColumn("__cn", sqrt(dotProduct(col("cv"), col("cv"))))
     val probing = corpus

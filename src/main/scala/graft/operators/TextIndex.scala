@@ -241,7 +241,11 @@ object TextIndex {
     // ingest (guide §2.5); postings/positions pass through their own
     // groupBy/AQE-sized exchanges before staging, so the fan never
     // multiplies committed files (unlike the round-15 experiment that
-    // fanned the post-aggregation postings frame — measured 2× loss)
+    // fanned the post-aggregation postings frame — measured 2× loss).
+    // A/B'd this round with SPARK_GRAFT_BENCH_ONLY: neutral within
+    // targeted-run noise locally (q223 3.16 vs 2.84, q231 3.30 vs
+    // 3.75, q290 4.01 vs 4.41) — kept for the single-unsplittable-file
+    // ingest case the fan exists for.
     val fanned = graft.core.FanOut.fanOut(docs)
     while (!committed) {
       if (txn >= 0 && committedTxn(root) >= txn) return
