@@ -260,9 +260,15 @@ object TextIndex {
       // here bought nothing but an extra job per batch (guide §2.4)
       val dl = p.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       val dV = appendCommitted(dl, doclenRoot(root), dV0, None)
-      // positional shape recorded in the pointer → maintain it here
+      // positional shape recorded in the pointer → maintain it here.
+      // REBALANCE before staging: positionsOf is a pure projection
+      // (no aggregation exchange like postingsOf), so the fanned
+      // tokenize width would otherwise become the staged file count —
+      // measured 4 files/append vs 1 this round (guide §6 small-files;
+      // the round-15 q290 regression signature)
       val posV = posVersion(root) match {
-        case Some(v0) => appendCommitted(positionsOf(fanned, idCol, textCol),
+        case Some(v0) => appendCommitted(
+          graft.core.FanOut.rebalance(positionsOf(fanned, idCol, textCol)),
           positionsRoot(root), v0, Some("term"))
         case None => PosAbsent
       }
